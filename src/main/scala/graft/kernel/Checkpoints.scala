@@ -1,0 +1,168 @@
+package graft.kernel
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * Classic (V1) single-file parquet checkpoints: one row per live action,
+ * columns `txn | add | remove | metaData | protocol`, written every
+ * `delta.checkpointInterval` commits plus a `_last_checkpoint` hint —
+ * reference behavior in `crates/core/src/protocol/checkpoints.rs:27-46`
+ * (`create_checkpoint_for`).
+ *
+ * The checkpoint is written and read through Spark so that on a huge table
+ * the state materialization is a distributed parquet job, not driver JSON
+ * parsing.
+ */
+object Checkpoints {
+
+  private val strMap = MapType(StringType, StringType, valueContainsNull = true)
+
+  val addType: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues", strMap),
+    StructField("size", LongType),
+    StructField("modificationTime", LongType),
+    StructField("dataChange", BooleanType),
+    StructField("stats", StringType),
+    StructField("tags", strMap)
+  ))
+
+  val removeType: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("deletionTimestamp", LongType),
+    StructField("dataChange", BooleanType),
+    StructField("extendedFileMetadata", BooleanType),
+    StructField("partitionValues", strMap),
+    StructField("size", LongType)
+  ))
+
+  val metadataType: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("name", StringType),
+    StructField("description", StringType),
+    StructField("format", StructType(Seq(
+      StructField("provider", StringType),
+      StructField("options", strMap)))),
+    StructField("schemaString", StringType),
+    StructField("partitionColumns", ArrayType(StringType)),
+    StructField("configuration", strMap),
+    StructField("createdTime", LongType)
+  ))
+
+  val protocolType: StructType = StructType(Seq(
+    StructField("minReaderVersion", IntegerType),
+    StructField("minWriterVersion", IntegerType)
+  ))
+
+  val txnType: StructType = StructType(Seq(
+    StructField("appId", StringType),
+    StructField("version", LongType),
+    StructField("lastUpdated", LongType)
+  ))
+
+  val checkpointSchema: StructType = StructType(Seq(
+    StructField("txn", txnType),
+    StructField("add", addType),
+    StructField("remove", removeType),
+    StructField("metaData", metadataType),
+    StructField("protocol", protocolType)
+  ))
+
+  private def addRow(f: AddFile): Row =
+    Row(f.path, f.partitionValues, f.size, f.modificationTime, f.dataChange,
+      f.stats.orNull, f.tags.orNull)
+
+  private def removeRow(r: RemoveFile): Row =
+    Row(r.path, r.deletionTimestamp.map(Long.box).orNull, r.dataChange,
+      r.extendedFileMetadata.map(Boolean.box).orNull,
+      r.partitionValues.orNull, r.size.map(Long.box).orNull)
+
+  /** Write the checkpoint for `snapshot` plus the `_last_checkpoint` hint. */
+  def write(spark: SparkSession, logPath: Path, snapshot: Snapshot, store: LogStore): Unit = {
+    val m = snapshot.metadata
+    val rows: Seq[Row] =
+      Seq(Row(null, null, null,
+        Row(m.id, m.name.orNull, m.description.orNull,
+          Row(m.format.provider, m.format.options), m.schemaString,
+          m.partitionColumns, m.configuration, m.createdTime.map(Long.box).orNull),
+        null)) ++
+      Seq(Row(null, null, null, null,
+        Row(snapshot.protocol.minReaderVersion, snapshot.protocol.minWriterVersion))) ++
+      snapshot.txns.toSeq.map { case (app, v) => Row(Row(app, v, null), null, null, null, null) } ++
+      snapshot.allFiles.map(f => Row(null, addRow(f), null, null, null)) ++
+      snapshot.tombstones.map(r => Row(null, null, removeRow(r), null, null))
+
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 50000)),
+      checkpointSchema)
+
+    val fs = logPath.getFileSystem(store.conf)
+    val tmp = new Path(logPath, s".checkpoint_tmp_${snapshot.version}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+    val dest = new Path(logPath, LogStore.checkpointFileName(snapshot.version))
+    if (fs.exists(dest)) fs.delete(dest, false)
+    fs.rename(part, dest)
+    fs.delete(tmp, true)
+
+    val size = snapshot.allFiles.size + snapshot.tombstones.size + snapshot.txns.size + 2
+    val hint = s"""{"version":${snapshot.version},"size":$size}"""
+    val hintPath = new Path(logPath, LogStore.LAST_CHECKPOINT)
+    // hint is advisory; plain overwrite is fine
+    val out = fs.create(hintPath, true)
+    try out.write(hint.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a checkpoint parquet back into actions. */
+  def read(spark: SparkSession, file: Path): Seq[Action] = {
+    val df = spark.read.schema(checkpointSchema).parquet(file.toString)
+    df.collect().toSeq.flatMap { row =>
+      def mapOf(r: Row, i: Int): Map[String, String] =
+        if (r.isNullAt(i)) Map.empty
+        else r.getMap[String, String](i).toMap
+      if (!row.isNullAt(1)) {
+        val a = row.getStruct(1)
+        Some(AddFile(
+          path = a.getString(0),
+          partitionValues = mapOf(a, 1),
+          size = if (a.isNullAt(2)) 0L else a.getLong(2),
+          modificationTime = if (a.isNullAt(3)) 0L else a.getLong(3),
+          dataChange = if (a.isNullAt(4)) true else a.getBoolean(4),
+          stats = Option(a.getString(5)),
+          tags = if (a.isNullAt(6)) None else Some(a.getMap[String, String](6).toMap)))
+      } else if (!row.isNullAt(2)) {
+        val r = row.getStruct(2)
+        Some(RemoveFile(
+          path = r.getString(0),
+          deletionTimestamp = if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          dataChange = if (r.isNullAt(2)) true else r.getBoolean(2),
+          extendedFileMetadata = if (r.isNullAt(3)) None else Some(r.getBoolean(3)),
+          partitionValues = if (r.isNullAt(4)) None else Some(r.getMap[String, String](4).toMap),
+          size = if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      } else if (!row.isNullAt(3)) {
+        val m = row.getStruct(3)
+        val fmt = m.getStruct(3)
+        Some(graft.kernel.Metadata(
+          id = m.getString(0),
+          name = Option(m.getString(1)),
+          description = Option(m.getString(2)),
+          format = Format(fmt.getString(0), mapOf(fmt, 1)),
+          schemaString = m.getString(4),
+          partitionColumns = m.getSeq[String](5),
+          configuration = mapOf(m, 6),
+          createdTime = if (m.isNullAt(7)) None else Some(m.getLong(7))))
+      } else if (!row.isNullAt(4)) {
+        val p = row.getStruct(4)
+        Some(Protocol(p.getInt(0), p.getInt(1)))
+      } else if (!row.isNullAt(0)) {
+        val t = row.getStruct(0)
+        Some(SetTransaction(t.getString(0), t.getLong(1),
+          if (t.isNullAt(2)) None else Some(t.getLong(2))))
+      } else None
+    }
+  }
+}

@@ -1,0 +1,110 @@
+package graft.kernel
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+/**
+ * Storage abstraction for the transaction log, mirroring delta-rs's
+ * `LogStore` trait (`crates/core/src/logstore/mod.rs:369-401`:
+ * read_commit_entry :379, write_commit_entry :385, abort_commit_entry :393,
+ * get_latest_version :401).
+ *
+ * The one hard requirement is **mutual exclusion on commit**: writing
+ * version N must fail if N already exists. On local filesystems we get this
+ * from `CREATE_NEW`; on HDFS from `create(path, overwrite=false)`; object
+ * stores would plug in conditional-put (delta-rs uses a DynamoDB lock for
+ * S3, `crates/aws/src/lib.rs:39`) — the trait boundary is where that goes.
+ */
+trait LogStore {
+  def conf: Configuration
+
+  /** List files directly under `dir`, sorted by name. Empty if dir missing. */
+  def list(dir: Path): Seq[FileStatus]
+
+  def read(path: Path): Seq[String]
+
+  /** Atomically create `path` with `lines`; throw VersionAlreadyExists if present. */
+  def writeAtomic(path: Path, lines: Iterator[String]): Unit
+
+  def exists(path: Path): Boolean
+  def delete(path: Path): Boolean
+}
+
+class VersionAlreadyExistsException(val path: String)
+    extends RuntimeException(s"Commit file already exists: $path")
+
+/** Hadoop-FileSystem-backed log store (local/HDFS; S3A etc. work for reads,
+  * commit atomicity there needs a coordination layer as noted above). */
+class HadoopLogStore(val conf: Configuration) extends LogStore {
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  override def list(dir: Path): Seq[FileStatus] = {
+    val f = fs(dir)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.sortBy(_.getPath.getName)
+  }
+
+  override def read(path: Path): Seq[String] = {
+    val in = fs(path).open(path)
+    try {
+      val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      val buf = new ArrayBuffer[String]()
+      var line = r.readLine()
+      while (line != null) { buf += line; line = r.readLine() }
+      buf.toSeq
+    } finally in.close()
+  }
+
+  override def writeAtomic(path: Path, lines: Iterator[String]): Unit = {
+    val f = fs(path)
+    val scheme = Option(path.toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      // java.nio CREATE_NEW is atomic on POSIX: open(O_CREAT|O_EXCL).
+      val local = Paths.get(path.toUri.getPath)
+      Files.createDirectories(local.getParent)
+      val ch = try {
+        Files.newByteChannel(local, StandardOpenOption.WRITE, StandardOpenOption.CREATE_NEW)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new VersionAlreadyExistsException(path.toString)
+      }
+      try {
+        val sb = new StringBuilder
+        lines.foreach { l => sb.append(l); sb.append('\n') }
+        ch.write(java.nio.ByteBuffer.wrap(sb.toString.getBytes(StandardCharsets.UTF_8)))
+      } finally ch.close()
+    } else {
+      // HDFS: create(overwrite=false) is atomic. Object stores need a
+      // conditional-put implementation behind this trait.
+      if (f.exists(path)) throw new VersionAlreadyExistsException(path.toString)
+      val out = f.create(path, false)
+      try {
+        lines.foreach { l =>
+          out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
+        }
+      } finally out.close()
+    }
+  }
+
+  override def exists(path: Path): Boolean = fs(path).exists(path)
+  override def delete(path: Path): Boolean = fs(path).delete(path, false)
+}
+
+object LogStore {
+  val LOG_DIR = "_delta_log" // kernel/transaction/mod.rs:119 DELTA_LOG_FOLDER
+  val LAST_CHECKPOINT = "_last_checkpoint"
+
+  def commitFileName(version: Long): String = f"$version%020d.json"
+  def checkpointFileName(version: Long): String = f"$version%020d.checkpoint.parquet"
+
+  def isCommitFile(name: String): Boolean = name.matches("\\d{20}\\.json")
+  def isCheckpointFile(name: String): Boolean = name.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet")
+  def fileVersion(name: String): Long = name.takeWhile(_.isDigit).toLong
+}

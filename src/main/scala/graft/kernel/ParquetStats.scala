@@ -1,0 +1,191 @@
+package graft.kernel
+
+import java.time.{Instant, LocalDate}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, DecimalLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.types.StructType
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Per-file `stats` JSON (`numRecords`/`minValues`/`maxValues`/`nullCount`,
+ * field names per delta-rs `kernel/snapshot/stats_projection.rs:26-33`)
+ * derived from parquet footer metadata, exactly as the reference does in
+ * `crates/core/src/writer/stats.rs:82-130` (`stats_from_parquet_metadata`).
+ * String truncation (32 chars, max gets its last char bumped so the bound
+ * stays an upper bound) follows `writer/stats.rs:495-560`.
+ *
+ * Reading a footer is a few KB of IO — collection over the files of one
+ * commit is parallelized on the driver; at fleet scale the same function is
+ * a `mapPartitions` over the written-file list.
+ */
+object ParquetStats {
+
+  val STRING_PREFIX_LEN = 32
+
+  def truncateMin(s: String): String =
+    if (s.length <= STRING_PREFIX_LEN) s else s.take(STRING_PREFIX_LEN)
+
+  /** Truncate a max bound upward: take prefix and bump the last char. */
+  def truncateMax(s: String): Option[String] = {
+    if (s.length <= STRING_PREFIX_LEN) return Some(s)
+    val p = s.take(STRING_PREFIX_LEN).toCharArray
+    var i = p.length - 1
+    while (i >= 0) {
+      if (p(i) < Char.MaxValue) {
+        p(i) = (p(i) + 1).toChar
+        return Some(new String(p, 0, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+
+  /** Row count + stats JSON for one parquet data file. */
+  def collect(
+      conf: Configuration,
+      file: Path,
+      schema: StructType,
+      numIndexedCols: Int = 32): (Long, String) = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks
+      var numRecords = 0L
+      // leaf-column accumulators keyed by top-level column name
+      val mins = scala.collection.mutable.Map[String, Any]()
+      val maxs = scala.collection.mutable.Map[String, Any]()
+      val nulls = scala.collection.mutable.Map[String, Long]()
+      val broken = scala.collection.mutable.Set[String]()
+
+      val indexed: Set[String] =
+        if (numIndexedCols < 0) schema.fieldNames.toSet
+        else schema.fieldNames.take(numIndexedCols).toSet
+
+      val it = blocks.iterator()
+      while (it.hasNext) {
+        val block = it.next()
+        numRecords += block.getRowCount
+        val cols = block.getColumns.iterator()
+        while (cols.hasNext) {
+          val cc = cols.next()
+          val pathParts = cc.getPath.toArray
+          if (pathParts.length == 1 && indexed.contains(pathParts(0))) {
+            val name = pathParts(0)
+            val st = cc.getStatistics
+            if (st == null || broken.contains(name)) { broken += name }
+            else {
+              nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+              if (st.hasNonNullValue) {
+                val prim = cc.getPrimitiveType
+                (decode(st.genericGetMin, prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation),
+                 decode(st.genericGetMax, prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation)) match {
+                  case (Some(mn), Some(mx)) =>
+                    mins(name) = mins.get(name).map(combine(_, mn, keepMin = true)).getOrElse(mn)
+                    maxs(name) = maxs.get(name).map(combine(_, mx, keepMin = false)).getOrElse(mx)
+                  case _ => broken += name
+                }
+              }
+            }
+          }
+        }
+      }
+      broken.foreach { c => mins.remove(c); maxs.remove(c) }
+
+      val minJ = JObject(mins.toList.sortBy(_._1).map { case (k, v) => k -> toJValue(v, isMax = false) }
+        .collect { case (k, Some(j)) => k -> j })
+      val maxJ = JObject(maxs.toList.sortBy(_._1).map { case (k, v) => k -> toJValue(v, isMax = true) }
+        .collect { case (k, Some(j)) => k -> j })
+      val nullJ = JObject(nulls.toList.sortBy(_._1).map { case (k, v) => k -> JLong(v) })
+      val json = JObject(
+        "numRecords" -> JLong(numRecords),
+        "minValues" -> minJ,
+        "maxValues" -> maxJ,
+        "nullCount" -> nullJ)
+      (numRecords, JsonMethods.compact(JsonMethods.render(json)))
+    } finally reader.close()
+  }
+
+  // internal tagged values: Long, Double, BigDecimal, String, Boolean,
+  // DateVal(days), TsVal(micros)
+  private case class DateVal(days: Int)
+  private case class TsVal(micros: Long)
+
+  private def decode(v: Any, prim: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+                     logical: LogicalTypeAnnotation): Option[Any] = {
+    prim match {
+      case INT32 => logical match {
+        case _: DateLogicalTypeAnnotation => Some(DateVal(v.asInstanceOf[Number].intValue()))
+        case d: DecimalLogicalTypeAnnotation =>
+          Some(BigDecimal(BigInt(v.asInstanceOf[Number].longValue()), d.getScale))
+        case _ => Some(v.asInstanceOf[Number].longValue())
+      }
+      case INT64 => logical match {
+        case t: TimestampLogicalTypeAnnotation =>
+          val raw = v.asInstanceOf[Number].longValue()
+          val micros = t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+            case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+            case LogicalTypeAnnotation.TimeUnit.NANOS => raw / 1000L
+          }
+          Some(TsVal(micros))
+        case d: DecimalLogicalTypeAnnotation =>
+          Some(BigDecimal(BigInt(v.asInstanceOf[Number].longValue()), d.getScale))
+        case _ => Some(v.asInstanceOf[Number].longValue())
+      }
+      case FLOAT =>
+        val f = v.asInstanceOf[Number].floatValue()
+        if (f.isNaN) None else Some(f.toDouble)
+      case DOUBLE =>
+        val d = v.asInstanceOf[Number].doubleValue()
+        if (d.isNaN) None else Some(d)
+      case BOOLEAN => Some(v.asInstanceOf[Boolean])
+      case BINARY => logical match {
+        case _: StringLogicalTypeAnnotation =>
+          Some(v.asInstanceOf[Binary].toStringUsingUTF8)
+        case d: DecimalLogicalTypeAnnotation =>
+          Some(BigDecimal(BigInt(v.asInstanceOf[Binary].getBytes), d.getScale))
+        case _ => None // raw binary: no stats
+      }
+      case FIXED_LEN_BYTE_ARRAY => logical match {
+        case d: DecimalLogicalTypeAnnotation =>
+          Some(BigDecimal(BigInt(v.asInstanceOf[Binary].getBytes), d.getScale))
+        case _ => None
+      }
+      case INT96 => None // legacy timestamps carry no usable stats
+    }
+  }
+
+  private def combine(a: Any, b: Any, keepMin: Boolean): Any = (a, b) match {
+    case (x: Long, y: Long) => if ((x < y) == keepMin) x else y
+    case (x: Double, y: Double) => if ((x < y) == keepMin) x else y
+    case (x: BigDecimal, y: BigDecimal) => if ((x < y) == keepMin) x else y
+    case (x: String, y: String) => if ((x < y) == keepMin) x else y
+    case (x: Boolean, y: Boolean) => if ((!x) == keepMin) x else y // false < true
+    case (DateVal(x), DateVal(y)) => if ((x < y) == keepMin) DateVal(x) else DateVal(y)
+    case (TsVal(x), TsVal(y)) => if ((x < y) == keepMin) TsVal(x) else TsVal(y)
+    case _ => a
+  }
+
+  private def toJValue(v: Any, isMax: Boolean): Option[JValue] = v match {
+    case x: Long => Some(JLong(x))
+    case x: Double => Some(JDouble(x))
+    case x: BigDecimal => Some(JDecimal(x))
+    case x: String =>
+      if (isMax) truncateMax(x).map(JString(_)) else Some(JString(truncateMin(x)))
+    case x: Boolean => Some(JBool(x))
+    case DateVal(days) => Some(JString(LocalDate.ofEpochDay(days.toLong).toString))
+    case TsVal(micros) =>
+      val inst = Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+        Math.floorMod(micros, 1000000L) * 1000L)
+      Some(JString(inst.toString))
+    case _ => None
+  }
+}

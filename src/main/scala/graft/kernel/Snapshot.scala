@@ -1,0 +1,182 @@
+package graft.kernel
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Materialized table state at a version — the replay of actions 0..version,
+ * equivalent to delta-rs `EagerSnapshot`
+ * (`crates/core/src/kernel/snapshot/mod.rs:156,1168`).
+ *
+ * Replay reconciliation is last-writer-wins per file path: a later `add` of
+ * the same path replaces the earlier one, a `remove` tombstones it, and a
+ * subsequent `add` resurrects it. Tombstones are retained for VACUUM.
+ *
+ * Scale note: the file index lives on the driver (same as delta-rs, whose
+ * snapshot caches log data in Arrow batches in-process). Checkpoint parquet
+ * is read through Spark, so the heavy part of replay on a 100 TB table
+ * (millions of Add entries compacted into the checkpoint) is a distributed
+ * scan that reduces to the driver index; the JSON tail after the checkpoint
+ * is bounded by `delta.checkpointInterval` commits. `addsDF` exposes the
+ * index back as a DataFrame so pruning itself can run distributed.
+ */
+case class Snapshot(
+    tablePath: String,
+    version: Long,
+    protocol: Protocol,
+    metadata: Metadata,
+    allFiles: Vector[AddFile],
+    tombstones: Vector[RemoveFile],
+    txns: Map[String, Long],
+    domains: Map[String, DomainMetadata],
+    timestampMs: Long
+) {
+  def schema = metadata.schema
+  def partitionColumns: Seq[String] = metadata.partitionColumns
+
+  def numFiles: Int = allFiles.size
+  def sizeInBytes: Long = allFiles.map(_.size).sum
+
+  /** Approximate row count from per-file stats (python/deltalake/table.py:584-604). */
+  def approxNumRecords: Option[Long] = {
+    val counts = allFiles.flatMap(_.numRecords)
+    if (counts.size == allFiles.size) Some(counts.sum) else None
+  }
+
+  def getConf(key: String): Option[String] = metadata.configuration.get(key)
+  def confBool(key: String, default: Boolean = false): Boolean =
+    getConf(key).map(_.trim.equalsIgnoreCase("true")).getOrElse(default)
+
+  def absolutePath(relative: String): Path = {
+    val p = new Path(relative)
+    if (p.isAbsolute) p else new Path(new Path(tablePath), relative)
+  }
+}
+
+class DeltaTableNotFoundException(path: String)
+    extends RuntimeException(s"Not a Delta table (no _delta_log): $path")
+
+/**
+ * The transaction log of one table: listing, replay, time travel, history.
+ * Mirrors delta-rs `Snapshot`/log-segment assembly
+ * (`kernel/snapshot/mod.rs`) and time-travel semantics
+ * (`table/mod.rs:232` load_version, `table/mod.rs:375` load_with_datetime).
+ */
+class DeltaLog(val spark: SparkSession, val tablePath: Path) {
+  val store: LogStore = new HadoopLogStore(spark.sessionState.newHadoopConf())
+  val logPath = new Path(tablePath, LogStore.LOG_DIR)
+
+  def tableExists: Boolean =
+    store.list(logPath).exists(f => LogStore.isCommitFile(f.getPath.getName))
+
+  /** All commit versions present in the log dir, ascending. */
+  private def commitVersions(): Seq[(Long, Long)] = // (version, mtimeMs)
+    store.list(logPath).collect {
+      case f if LogStore.isCommitFile(f.getPath.getName) =>
+        (LogStore.fileVersion(f.getPath.getName), f.getModificationTime)
+    }
+
+  def latestVersion(): Long = {
+    val vs = commitVersions()
+    if (vs.isEmpty) -1L else vs.map(_._1).max
+  }
+
+  def readCommit(version: Long): Seq[Action] =
+    store.read(new Path(logPath, LogStore.commitFileName(version)))
+      .flatMap(ActionCodec.fromJson)
+
+  /** The `_last_checkpoint` hint, if present. */
+  def lastCheckpointHint(): Option[Long] = {
+    val p = new Path(logPath, LogStore.LAST_CHECKPOINT)
+    if (!store.exists(p)) None
+    else store.read(p).headOption.flatMap { line =>
+      JsonMethods.parse(line) \ "version" match {
+        case JInt(n) => Some(n.toLong); case JLong(n) => Some(n); case _ => None
+      }
+    }
+  }
+
+  /** Latest checkpoint version ≤ bound present on disk. */
+  private def checkpointVersionUpTo(bound: Option[Long]): Option[Long] = {
+    val cps = store.list(logPath).collect {
+      case f if LogStore.isCheckpointFile(f.getPath.getName) =>
+        LogStore.fileVersion(f.getPath.getName)
+    }
+    val eligible = bound.map(b => cps.filter(_ <= b)).getOrElse(cps)
+    if (eligible.isEmpty) None else Some(eligible.max)
+  }
+
+  def snapshot(): Snapshot = snapshotAt(None)
+
+  def snapshotAt(version: Long): Snapshot = snapshotAt(Some(version))
+
+  private def snapshotAt(target: Option[Long]): Snapshot = {
+    val versions = commitVersions()
+    if (versions.isEmpty) throw new DeltaTableNotFoundException(tablePath.toString)
+    val maxV = versions.map(_._1).max
+    val v = target.getOrElse(maxV)
+    require(v <= maxV, s"Version $v does not exist yet (latest: $maxV)")
+
+    val cpVersion = checkpointVersionUpTo(Some(v))
+    val base: Seq[Action] = cpVersion match {
+      case Some(cv) => Checkpoints.read(spark, new Path(logPath, LogStore.checkpointFileName(cv)))
+      case None => Nil
+    }
+    val startAfter = cpVersion.getOrElse(-1L)
+    val toReplay = versions.map(_._1).filter(cv => cv > startAfter && cv <= v).sorted
+    // contiguity check — a gap means a vacuumed/corrupt log
+    val expected = (startAfter + 1) to v
+    require(toReplay == expected,
+      s"Log is not contiguous between ${startAfter + 1} and $v: found $toReplay")
+
+    val adds = mutable.LinkedHashMap[String, AddFile]()
+    val removes = mutable.LinkedHashMap[String, RemoveFile]()
+    val txns = mutable.Map[String, Long]()
+    val domains = mutable.Map[String, DomainMetadata]()
+    var protocol: Protocol = Protocol()
+    var metadata: Metadata = null
+
+    def apply(a: Action): Unit = a match {
+      case f: AddFile => adds(f.path) = f; removes.remove(f.path)
+      case r: RemoveFile => adds.remove(r.path); removes(r.path) = r
+      case m: Metadata => metadata = m
+      case p: Protocol => protocol = p
+      case t: SetTransaction => txns(t.appId) = t.version
+      case d: DomainMetadata =>
+        if (d.removed) domains.remove(d.domain) else domains(d.domain) = d
+      case _: CommitInfo | _: AddCDCFile => // not part of table state
+    }
+
+    base.foreach(apply)
+    toReplay.foreach(cv => readCommit(cv).foreach(apply))
+
+    require(metadata != null, s"No metaData action found replaying to version $v")
+    val ts = versions.find(_._1 == v).map(_._2).getOrElse(0L)
+    Snapshot(tablePath.toString, v, protocol, metadata,
+      adds.values.toVector, removes.values.toVector, txns.toMap, domains.toMap, ts)
+  }
+
+  /** Time travel by timestamp: last commit with mtime ≤ target
+    * (`table/mod.rs:375` load_with_datetime). */
+  def snapshotForTimestamp(tsMs: Long): Snapshot = {
+    val versions = commitVersions()
+    val eligible = versions.filter(_._2 <= tsMs)
+    require(eligible.nonEmpty,
+      s"No commit at or before timestamp $tsMs (earliest: ${versions.headOption.map(_._2)})")
+    snapshotAt(eligible.map(_._1).max)
+  }
+
+  /** Commit history, newest first: (version, timestampMs, commitInfo). */
+  def history(limit: Option[Int] = None): Seq[(Long, Long, Option[CommitInfo])] = {
+    val versions = commitVersions().sortBy(-_._1)
+    val sel = limit.map(versions.take).getOrElse(versions)
+    sel.map { case (v, ts) =>
+      val ci = readCommit(v).collectFirst { case c: CommitInfo => c }
+      (v, ts, ci)
+    }
+  }
+}

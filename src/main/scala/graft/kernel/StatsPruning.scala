@@ -1,0 +1,424 @@
+package graft.kernel
+
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Partition-value string codec — serialization rules from delta-rs
+ * `crates/core/src/kernel/scalars.rs:58-126` (`ScalarExt::serialize`):
+ * plain decimal strings for numerics, `yyyy-MM-dd` for dates,
+ * `yyyy-MM-dd HH:mm:ss[.ffffff]` for timestamps, `true|false` for booleans,
+ * null encoded as a JSON-null partition value (and
+ * `__HIVE_DEFAULT_PARTITION__` in file paths, `crates/core/src/lib.rs:551`).
+ */
+object PartitionCodec {
+  val HIVE_DEFAULT = "__HIVE_DEFAULT_PARTITION__"
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Internal-value (Catalyst) → partition string. */
+  def serialize(value: Any, dt: DataType): String = value match {
+    case null => null
+    case v => dt match {
+      case DateType => LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+      case TimestampType | TimestampNTZType =>
+        val micros = v.asInstanceOf[Long]
+        LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000).toInt, ZoneOffset.UTC).format(tsFmt)
+      case BinaryType => new String(v.asInstanceOf[Array[Byte]], "UTF-8")
+      case _: DecimalType => v.toString
+      case _ => v.toString
+    }
+  }
+
+  /** Partition string → comparable internal value (see Comparables). */
+  def parse(s: String, dt: DataType): Any = {
+    if (s == null || s == HIVE_DEFAULT) return null
+    dt match {
+      case StringType => s
+      case IntegerType | LongType | ShortType | ByteType => BigDecimal(s)
+      case FloatType | DoubleType | _: DecimalType => BigDecimal(s)
+      case BooleanType => s.toBoolean
+      case DateType => LocalDate.parse(s).toEpochDay.toInt
+      case TimestampType | TimestampNTZType => parseTsMicros(s)
+      case _ => s
+    }
+  }
+
+  def parseTsMicros(s: String): Long = {
+    val norm = s.replace(' ', 'T')
+    val ldt =
+      if (norm.contains("+") || norm.endsWith("Z"))
+        Instant.parse(norm).atOffset(ZoneOffset.UTC).toLocalDateTime
+      else LocalDateTime.parse(norm)
+    ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+  }
+}
+
+/**
+ * Driver-side file skipping: evaluate a Catalyst predicate against each
+ * file's partition values and min/max/nullCount stats, keeping the file
+ * when it MAY contain matching rows. This is the Spark-side analogue of
+ * delta-rs `files_matching_predicate`
+ * (`crates/core/src/delta_datafusion/mod.rs:267-292`) over the
+ * `PruningStatistics` of `kernel/snapshot/log_data.rs:281-380`.
+ *
+ * Unsupported expression shapes **fail open** (file kept), matching
+ * `find_files.rs:719` ("silently disable pruning by failing open") —
+ * pruning must never change results, only cost.
+ *
+ * Runs on the driver (no Spark job) so scan planning stays at
+ * metadata-latency even when the query itself is tiny; the evaluation is
+ * O(files × predicate-size) over the in-memory index, the same shape as
+ * delta-rs's in-process Arrow evaluation.
+ */
+object StatsPruning {
+
+  /** Per-file parsed stats. */
+  case class FileStats(
+      numRecords: Option[Long],
+      min: Map[String, Any],
+      max: Map[String, Any],
+      nullCount: Map[String, Long])
+
+  def parseStats(statsJson: String, schema: StructType): FileStats = {
+    val j = JsonMethods.parse(statsJson)
+    def typed(field: String): Map[String, Any] = j \ field match {
+      case JObject(fields) =>
+        fields.flatMap { case (name, v) =>
+          schema.find(_.name == name).flatMap(f => jvalueToComparable(v, f.dataType))
+            .map(name -> _)
+        }.toMap
+      case _ => Map.empty
+    }
+    val nulls = j \ "nullCount" match {
+      case JObject(fields) => fields.collect {
+        case (name, JInt(n)) => name -> n.toLong
+        case (name, JLong(n)) => name -> n
+      }.toMap
+      case _ => Map.empty[String, Long]
+    }
+    val nr = j \ "numRecords" match {
+      case JInt(n) => Some(n.toLong); case JLong(n) => Some(n); case _ => None
+    }
+    FileStats(nr, typed("minValues"), typed("maxValues"), nulls)
+  }
+
+  private def jvalueToComparable(v: JValue, dt: DataType): Option[Any] = (v, dt) match {
+    case (JNull | JNothing, _) => None
+    case (JString(s), StringType) => Some(s)
+    case (JString(s), DateType) => scala.util.Try(LocalDate.parse(s).toEpochDay.toInt).toOption
+    case (JString(s), TimestampType | TimestampNTZType) =>
+      scala.util.Try(PartitionCodec.parseTsMicros(s)).toOption
+    case (JString(s), BinaryType) => Some(s)
+    case (JBool(b), BooleanType) => Some(b)
+    case (JInt(n), DateType) => Some(n.toInt)
+    case (JInt(n), _) => Some(BigDecimal(n))
+    case (JLong(n), _) => Some(BigDecimal(n))
+    case (JDouble(d), _) => if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
+    case (JDecimal(d), _) => Some(d)
+    case _ => None
+  }
+
+  /** Catalyst literal → comparable value in our internal ordering domain. */
+  def literalToComparable(lit: Literal): Option[Any] = {
+    if (lit.value == null) return None
+    lit.dataType match {
+      case StringType => Some(lit.value.toString)
+      case IntegerType | LongType | ShortType | ByteType =>
+        Some(BigDecimal(lit.value.toString))
+      case FloatType | DoubleType =>
+        val d = lit.value.toString.toDouble
+        if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
+      case dt: DecimalType => Some(BigDecimal(lit.value.toString))
+      case BooleanType => Some(lit.value.asInstanceOf[Boolean])
+      case DateType => Some(lit.value.asInstanceOf[Int])
+      case TimestampType | TimestampNTZType => Some(lit.value.asInstanceOf[Long])
+      case _ => None
+    }
+  }
+
+  def compare(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Int, y: Int) => Some(x.compareTo(y))
+    case (x: Long, y: Long) => Some(x.compareTo(y))
+    case (x: Int, y: Long) => Some(x.toLong.compareTo(y))
+    case (x: Long, y: Int) => Some(x.compareTo(y.toLong))
+    case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  private case class FileView(
+      partitionValues: Map[String, Any], // typed, null allowed
+      stats: Option[FileStats])
+
+  /** Extract (columnName, literal, flippedComparison) from a binary comparison. */
+  private def colLit(l: Expression, r: Expression): Option[(String, Literal, Boolean)] =
+    (stripCast(l), stripCast(r)) match {
+      case (a: UnresolvedAttribute, lit: Literal) => Some((a.nameParts.last, lit, false))
+      case (a: AttributeReference, lit: Literal) => Some((a.name, lit, false))
+      case (lit: Literal, a: UnresolvedAttribute) => Some((a.nameParts.last, lit, true))
+      case (lit: Literal, a: AttributeReference) => Some((a.name, lit, true))
+      case _ => None
+    }
+
+  private def stripCast(e: Expression): Expression = e match {
+    case Cast(child, _, _, _) => stripCast(child)
+    case _ => e
+  }
+
+  private def attrName(e: Expression): Option[String] = stripCast(e) match {
+    case a: UnresolvedAttribute => Some(a.nameParts.last)
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  /** True iff the file may contain rows satisfying `pred` (fail-open). */
+  def fileMayMatch(
+      schema: StructType,
+      partitionColumns: Seq[String],
+      pred: Expression,
+      file: AddFile): Boolean = {
+    val partVals: Map[String, Any] = partitionColumns.flatMap { c =>
+      schema.find(_.name == c).map { f =>
+        c -> PartitionCodec.parse(file.partitionValues.get(c).orNull, f.dataType)
+      }
+    }.toMap
+    val stats = file.stats.flatMap(s =>
+      scala.util.Try(parseStats(s, schema)).toOption)
+    eval(schema, partitionColumns.toSet, pred, FileView(partVals, stats))
+      .getOrElse(true)
+  }
+
+  /** Prune a file list down to those that may match all `preds`. */
+  def prune(
+      schema: StructType,
+      partitionColumns: Seq[String],
+      preds: Seq[Expression],
+      files: Seq[AddFile]): Seq[AddFile] = {
+    if (preds.isEmpty) files
+    else files.filter(f => preds.forall(p => fileMayMatch(schema, partitionColumns, p, f)))
+  }
+
+  /** Returns Some(false) = provably no match (skip file); Some(true)/None = keep. */
+  private def eval(
+      schema: StructType,
+      partCols: Set[String],
+      pred: Expression,
+      fv: FileView): Option[Boolean] = {
+
+    def isPart(c: String) = partCols.contains(c)
+    def litCmp(lit: Literal): Option[Any] = literalToComparable(lit)
+
+    /** Exact evaluation on a partition value; None = unknown. */
+    def partEval(c: String, lit: Literal, op: Int => Boolean): Option[Boolean] = {
+      val v = fv.partitionValues.getOrElse(c, return None)
+      if (v == null) return Some(false) // comparison with null is never true
+      litCmp(lit).flatMap(l => compare(v, l)).map(op)
+    }
+
+    /** Range evaluation on stats; None = unknown (no stats → keep). */
+    def statRange(c: String): Option[(Option[Any], Option[Any], Option[Long], Option[Long])] =
+      fv.stats.map(s => (s.min.get(c), s.max.get(c), s.nullCount.get(c), s.numRecords))
+
+    def cmpNode(l: Expression, r: Expression,
+                partOp: Int => Boolean,
+                statKeep: (Option[Any], Option[Any], Any) => Option[Boolean]): Option[Boolean] = {
+      colLit(l, r) match {
+        case Some((c, lit, flipped)) =>
+          val effOp: Int => Boolean = if (flipped) (i: Int) => partOp(-i) else partOp
+          if (isPart(c)) partEval(c, lit, effOp)
+          else {
+            litCmp(lit) match {
+              case None => None
+              case Some(lv) =>
+                statRange(c) match {
+                  case Some((mn, mx, _, _)) =>
+                    if (flipped) statKeepFlipped(statKeep)(mn, mx, lv) else statKeep(mn, mx, lv)
+                  case None => None
+                }
+            }
+          }
+        case None => None
+      }
+    }
+
+    // For flipped comparisons (lit OP col), rewrite in terms of col OP' lit
+    def statKeepFlipped(f: (Option[Any], Option[Any], Any) => Option[Boolean]) = f
+
+    def le(a: Any, b: Any): Option[Boolean] = compare(a, b).map(_ <= 0)
+    def lt(a: Any, b: Any): Option[Boolean] = compare(a, b).map(_ < 0)
+    def ge(a: Any, b: Any): Option[Boolean] = compare(a, b).map(_ >= 0)
+    def gt(a: Any, b: Any): Option[Boolean] = compare(a, b).map(_ > 0)
+
+    pred match {
+      case Literal(v, BooleanType) => Option(v).map(_.asInstanceOf[Boolean])
+
+      case And(l, r) =>
+        (eval(schema, partCols, l, fv), eval(schema, partCols, r, fv)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+
+      case Or(l, r) =>
+        (eval(schema, partCols, l, fv), eval(schema, partCols, r, fv)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+
+      case Not(child) =>
+        // exact negation only safe for partition-column predicates
+        attrsOf(child) match {
+          case attrs if attrs.nonEmpty && attrs.forall(partCols.contains) =>
+            eval(schema, partCols, child, fv).map(!_)
+          case _ => None
+        }
+
+      case EqualTo(l, r) =>
+        cmpNode(l, r, _ == 0, (mn, mx, lv) => (mn, mx) match {
+          case (Some(a), Some(b)) =>
+            for (x <- le(a, lv); y <- ge(b, lv)) yield x && y
+          case _ => None
+        })
+
+      case EqualNullSafe(l, r) => eval(schema, partCols, EqualTo(l, r), fv)
+
+      case LessThan(l, r) =>
+        colLit(l, r) match {
+          case Some((c, lit, false)) => cmpKeep(c, lit, isPart, fv, _ < 0,
+            (mn, lv) => lt(mn, lv), useMin = true)
+          case Some((c, lit, true)) => // lit < col  ⇔  col > lit
+            cmpKeep(c, lit, isPart, fv, _ > 0, (mx, lv) => gt(mx, lv), useMin = false)
+          case None => None
+        }
+
+      case LessThanOrEqual(l, r) =>
+        colLit(l, r) match {
+          case Some((c, lit, false)) => cmpKeep(c, lit, isPart, fv, _ <= 0,
+            (mn, lv) => le(mn, lv), useMin = true)
+          case Some((c, lit, true)) =>
+            cmpKeep(c, lit, isPart, fv, _ >= 0, (mx, lv) => ge(mx, lv), useMin = false)
+          case None => None
+        }
+
+      case GreaterThan(l, r) =>
+        colLit(l, r) match {
+          case Some((c, lit, false)) => cmpKeep(c, lit, isPart, fv, _ > 0,
+            (mx, lv) => gt(mx, lv), useMin = false)
+          case Some((c, lit, true)) =>
+            cmpKeep(c, lit, isPart, fv, _ < 0, (mn, lv) => lt(mn, lv), useMin = true)
+          case None => None
+        }
+
+      case GreaterThanOrEqual(l, r) =>
+        colLit(l, r) match {
+          case Some((c, lit, false)) => cmpKeep(c, lit, isPart, fv, _ >= 0,
+            (mx, lv) => ge(mx, lv), useMin = false)
+          case Some((c, lit, true)) =>
+            cmpKeep(c, lit, isPart, fv, _ <= 0, (mn, lv) => le(mn, lv), useMin = true)
+          case None => None
+        }
+
+      case In(value, list) if list.forall(_.isInstanceOf[Literal]) =>
+        attrName(value).flatMap { c =>
+          val lits = list.map(_.asInstanceOf[Literal])
+          val results = lits.map(l => eval(schema, partCols, EqualTo(value, l), fv))
+          if (results.exists(_.contains(true))) Some(true)
+          else if (results.forall(_.contains(false))) Some(false)
+          else None
+        }
+
+      case InSet(value, hset) =>
+        // evaluated over partition values only
+        attrName(value) match {
+          case Some(c) if isPart(c) =>
+            fv.partitionValues.get(c) match {
+              case Some(null) => Some(false)
+              case Some(v: BigDecimal) =>
+                Some(hset.exists(h => scala.util.Try(BigDecimal(h.toString) == v).getOrElse(false)))
+              case Some(v) => Some(hset.map(_.toString).contains(v.toString))
+              case None => None
+            }
+          case _ => None
+        }
+
+      case IsNull(child) =>
+        attrName(child).flatMap { c =>
+          if (isPart(c)) fv.partitionValues.get(c).map(_ == null)
+          else fv.stats.flatMap(s => s.nullCount.get(c).map(_ > 0))
+        }
+
+      case IsNotNull(child) =>
+        attrName(child).flatMap { c =>
+          if (isPart(c)) fv.partitionValues.get(c).map(_ != null)
+          else fv.stats.flatMap { s =>
+            for (nc <- s.nullCount.get(c); nr <- s.numRecords) yield nc < nr
+          }
+        }
+
+      case StartsWith(l, Literal(prefix, StringType)) if prefix != null =>
+        attrName(l).flatMap { c =>
+          val p = prefix.toString
+          if (isPart(c)) fv.partitionValues.get(c).map {
+            case null => false
+            case v: String => v.startsWith(p)
+            case v => v.toString.startsWith(p)
+          } else fv.stats.flatMap { s =>
+            (s.min.get(c), s.max.get(c)) match {
+              case (Some(mn: String), Some(mx: String)) =>
+                val mnp = mn.take(p.length); val mxp = mx.take(p.length)
+                Some(mnp <= p && p <= mxp)
+              case _ => None
+            }
+          }
+        }
+
+      case _ => None // fail open
+    }
+  }
+
+  private def cmpKeep(
+      c: String, lit: Literal, isPart: String => Boolean, fv: FileView,
+      partOp: Int => Boolean,
+      statCheck: (Any, Any) => Option[Boolean],
+      useMin: Boolean): Option[Boolean] = {
+    literalToComparable(lit) match {
+      case None => None
+      case Some(lv) =>
+        if (isPart(c)) {
+          fv.partitionValues.get(c) match {
+            case Some(null) => Some(false)
+            case Some(v) => compare(v, lv).map(partOp)
+            case None => None
+          }
+        } else {
+          fv.stats.flatMap { s =>
+            val bound = if (useMin) s.min.get(c) else s.max.get(c)
+            bound.flatMap(b => statCheck(b, lv))
+          }
+        }
+    }
+  }
+
+  private def attrsOf(e: Expression): Seq[String] = e.collect {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case a: AttributeReference => a.name
+  }
+
+  /** Does the predicate reference only partition columns? (find_files.rs:214-278) */
+  def isPartitionOnly(pred: Expression, partCols: Seq[String]): Boolean = {
+    val attrs = attrsOf(pred)
+    attrs.nonEmpty && attrs.forall(partCols.contains) && !pred.exists {
+      case _: UnresolvedFunction => true
+      case _ => false
+    }
+  }
+}

@@ -1,0 +1,211 @@
+package graft.kernel
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Description of the operation being committed (CommitInfo payload). */
+case class Operation(
+    name: String,
+    parameters: Map[String, String] = Map.empty,
+    metrics: Map[String, String] = Map.empty)
+
+class CommitConflictException(kind: String, detail: String)
+    extends RuntimeException(s"$kind: $detail")
+
+/**
+ * Optimistic concurrency commit loop — port of delta-rs
+ * `CommitBuilder`/`PreparedCommit` (`crates/core/src/kernel/transaction/mod.rs:1-117`,
+ * retries `DEFAULT_RETRIES = 15` at mod.rs:120) with the conflict matrix of
+ * `kernel/transaction/conflict_checker.rs` (ConcurrentAppend :34,
+ * ConcurrentDeleteRead :41, ConcurrentDeleteDelete :48, MetadataChanged :53,
+ * ConcurrentTransaction :59, ProtocolChanged :67; predicate read-set check
+ * `check_conflicts` :409, snapshot-isolation downgrade :474-480).
+ *
+ * Read-set tracking: operations register the predicates they scanned with
+ * (`readPredicates`), the concrete files they read (`readFiles`), or
+ * `readWholeTable()`. Winning commits discovered on retry are checked
+ * against this read set; file-matching uses the same stats/partition
+ * interval evaluation as scan pruning (fail-open = conflict).
+ */
+class OptimisticTransaction(
+    val log: DeltaLog,
+    val snapshot: Option[Snapshot],
+    val isolationLevel: IsolationLevel = IsolationLevel.default) {
+
+  private val maxRetries = 15
+
+  private var readPredicates: Vector[Expression] = Vector.empty
+  private var readFiles: Set[String] = Set.empty
+  private var didReadWholeTable = false
+
+  def readPredicate(p: Expression): Unit = readPredicates :+= p
+  def readFile(paths: Iterable[String]): Unit = readFiles ++= paths
+  def readWholeTable(): Unit = didReadWholeTable = true
+
+  private def readVersion: Long = snapshot.map(_.version).getOrElse(-1L)
+
+  /** Commit `actions` as the next version; returns the committed version. */
+  def commit(actions: Seq[Action], op: Operation): Long = {
+    val meta = snapshot.map(_.metadata)
+    val newMeta = actions.collectFirst { case m: Metadata => m }
+    val effectiveMeta = newMeta.orElse(meta)
+
+    val isBlindAppend = !didReadWholeTable && readPredicates.isEmpty &&
+      readFiles.isEmpty && actions.forall {
+        case _: AddFile | _: CommitInfo | _: SetTransaction | _: AddCDCFile => true
+        case _ => false
+      }
+
+    val commitInfo = CommitInfo(
+      timestamp = Some(System.currentTimeMillis()),
+      operation = op.name,
+      operationParameters = op.parameters,
+      readVersion = if (readVersion >= 0) Some(readVersion) else None,
+      isolationLevel = Some(isolationLevel.name),
+      isBlindAppend = Some(isBlindAppend),
+      operationMetrics = op.metrics,
+      txnId = Some(java.util.UUID.randomUUID.toString))
+
+    val fullActions: Seq[Action] = commitInfo +: actions
+
+    var attempt = readVersion + 1
+    var retries = 0
+    while (true) {
+      val path = new Path(log.logPath, LogStore.commitFileName(attempt))
+      try {
+        log.store.writeAtomic(path, fullActions.iterator.map(ActionCodec.toJson))
+        postCommit(attempt, effectiveMeta)
+        return attempt
+      } catch {
+        case _: VersionAlreadyExistsException =>
+          retries += 1
+          if (retries > maxRetries)
+            throw new CommitConflictException("MaxCommitRetries",
+              s"gave up after $maxRetries attempts at version $attempt")
+          // replay winners and check for conflicts before retrying at next version
+          val latest = log.latestVersion()
+          ((attempt to latest)).foreach { winner =>
+            checkConflicts(log.readCommit(winner), actions, winner)
+          }
+          attempt = latest + 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def checkConflicts(winner: Seq[Action], ours: Seq[Action], winnerVersion: Long): Unit = {
+    val winnerInfo = winner.collectFirst { case ci: CommitInfo => ci }
+    val winnerBlind = winnerInfo.flatMap(_.isBlindAppend).getOrElse(false)
+    val winnerAdds = winner.collect { case a: AddFile if a.dataChange => a }
+    val winnerRemoves = winner.collect { case r: RemoveFile => r }
+
+    // ProtocolChanged
+    if (winner.exists(_.isInstanceOf[Protocol]))
+      throw new CommitConflictException("ProtocolChangedException",
+        s"version $winnerVersion changed the protocol")
+
+    // MetadataChanged
+    if (winner.exists(_.isInstanceOf[Metadata]))
+      throw new CommitConflictException("MetadataChangedException",
+        s"version $winnerVersion changed table metadata")
+
+    // ConcurrentAppend: winner added files our read-set may cover.
+    // Serializable: any such append conflicts. WriteSerializable: blind
+    // appends are allowed to interleave (conflict_checker.rs isolation
+    // handling; snapshot isolation skips the check entirely when we made
+    // no data-visible read).
+    val checkAppends = isolationLevel match {
+      case IsolationLevel.Serializable => true
+      case IsolationLevel.WriteSerializable => !winnerBlind
+      case IsolationLevel.SnapshotIsolation => false
+    }
+    if (checkAppends && winnerAdds.nonEmpty && mayHaveRead(winnerAdds))
+      throw new CommitConflictException("ConcurrentAppendException",
+        s"version $winnerVersion appended files that this transaction may have read")
+
+    // ConcurrentDeleteRead: winner removed files we read
+    val ourReadPaths = readFiles
+    if (winnerRemoves.exists(r => didReadWholeTable || ourReadPaths.contains(r.path)))
+      throw new CommitConflictException("ConcurrentDeleteReadException",
+        s"version $winnerVersion removed files read by this transaction")
+
+    // ConcurrentDeleteDelete: both removed the same file
+    val ourRemoves = ours.collect { case r: RemoveFile => r.path }.toSet
+    if (winnerRemoves.exists(r => ourRemoves.contains(r.path)))
+      throw new CommitConflictException("ConcurrentDeleteDeleteException",
+        s"version $winnerVersion removed files also removed by this transaction")
+
+    // ConcurrentTransaction: same appId txn
+    val ourApps = ours.collect { case t: SetTransaction => t.appId }.toSet
+    if (winner.exists { case t: SetTransaction => ourApps.contains(t.appId); case _ => false })
+      throw new CommitConflictException("ConcurrentTransactionException",
+        s"version $winnerVersion advanced a txn appId this transaction also sets")
+  }
+
+  /** Could our read-set cover any of these files? Fail-open to `true`. */
+  private def mayHaveRead(files: Seq[AddFile]): Boolean = {
+    if (didReadWholeTable) return true
+    if (readPredicates.isEmpty) return false
+    snapshot match {
+      case None => true
+      case Some(s) =>
+        files.exists { f =>
+          readPredicates.exists(p =>
+            StatsPruning.fileMayMatch(s.schema, s.partitionColumns, p, f))
+        }
+    }
+  }
+
+  /** Checkpoint every `delta.checkpointInterval` commits (default 10) and
+    * clean expired logs (checkpoints.rs:27-46, cleanup :57+). */
+  private def postCommit(version: Long, meta: Option[Metadata]): Unit = {
+    val interval = meta.flatMap(_.configuration.get("delta.checkpointInterval"))
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(10)
+    if (interval > 0 && version > 0 && version % interval == 0) {
+      try {
+        val snap = log.snapshotAt(version)
+        Checkpoints.write(log.spark, log.logPath, snap, log.store)
+        cleanupExpiredLogs(version, meta)
+      } catch {
+        case e: Exception =>
+          // checkpointing is an optimization; never fail the commit
+          System.err.println(s"[graft] checkpoint at $version failed: ${e.getMessage}")
+      }
+    }
+  }
+
+  private def cleanupExpiredLogs(checkpointVersion: Long, meta: Option[Metadata]): Unit = {
+    val enabled = meta.flatMap(_.configuration.get("delta.enableExpiredLogCleanup"))
+      .forall(_.trim.equalsIgnoreCase("true"))
+    if (!enabled) return
+    val retentionMs = meta.flatMap(_.configuration.get("delta.logRetentionDuration"))
+      .flatMap(DeltaConfig.parseDuration).getOrElse(30L * 24 * 3600 * 1000)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    log.store.list(log.logPath).foreach { f =>
+      val name = f.getPath.getName
+      val isOld = (LogStore.isCommitFile(name) || LogStore.isCheckpointFile(name)) &&
+        LogStore.fileVersion(name) < checkpointVersion && f.getModificationTime < cutoff
+      if (isOld) log.store.delete(f.getPath)
+    }
+  }
+}
+
+object DeltaConfig {
+  /** Parse `interval N unit` / `N unit` duration strings (delta-style). */
+  def parseDuration(s: String): Option[Long] = {
+    val t = s.trim.toLowerCase.stripPrefix("interval").trim
+    val parts = t.split("\\s+")
+    if (parts.length != 2) return None
+    scala.util.Try(parts(0).toLong).toOption.map { n =>
+      parts(1) match {
+        case u if u.startsWith("millisecond") => n
+        case u if u.startsWith("second") => n * 1000
+        case u if u.startsWith("minute") => n * 60000
+        case u if u.startsWith("hour") => n * 3600000
+        case u if u.startsWith("day") => n * 86400000
+        case u if u.startsWith("week") => n * 7 * 86400000
+        case _ => n
+      }
+    }
+  }
+}

@@ -1,0 +1,234 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kernel._
+import graft.table.{DeltaTable, DeltaWriter, Scan}
+
+/** Shared DML plumbing: matched-file discovery and CDC emission. */
+object Dml {
+
+  /** Map `input_file_name()` / `_metadata.file_path` URIs back to AddFiles.
+    * Keyed by the decoded absolute filesystem path — part-file NAMES are not
+    * unique across partition directories (one Spark write task reuses the
+    * same job UUID + task number in every partition dir it writes). */
+  def filePathIndex(snapshot: Snapshot, files: Seq[AddFile]): Map[String, AddFile] =
+    files.map(f => snapshot.absolutePath(f.path).toUri.getPath -> f).toMap
+
+  /** Decode a scan-emitted file URI to the index key above. */
+  def uriToPathKey(uri: String): String =
+    try new java.net.URI(uri).getPath
+    catch { case _: Exception => new org.apache.hadoop.fs.Path(uri).toUri.getPath }
+
+  /** Files that actually contain rows matching `pred` — stats-pruned
+    * candidates narrowed by a distributed scan tagging each row with its
+    * source file (delta-rs `find_files.rs:38,414`: partition-only fast path
+    * vs data scan with a file-path column). */
+  def findMatchingFiles(
+      spark: SparkSession,
+      snapshot: Snapshot,
+      pred: String): Seq[AddFile] = {
+    val predExpr = Scan.parsePredicate(spark, pred)
+    val candidates = Scan.prunedFiles(snapshot, Seq(predExpr))
+    if (candidates.isEmpty) return Nil
+    if (StatsPruning.isPartitionOnly(predExpr, snapshot.partitionColumns)) {
+      // stats pruning on partition-only predicates is exact
+      return candidates
+    }
+    val idx = filePathIndex(snapshot, candidates)
+    val hits = Scan.readFiles(spark, snapshot, candidates)
+      .filter(expr(pred))
+      .select(input_file_name().as("f"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+    hits.flatMap(uri => idx.get(uriToPathKey(uri))).toSeq
+  }
+
+  /** Whether this table wants CDC rows (operations/cdc.rs should_write_cdc). */
+  def cdcEnabled(snapshot: Snapshot): Boolean =
+    snapshot.confBool("delta.enableChangeDataFeed")
+
+  val CDC_COL = "_change_type"
+  val CDC_DIR = "_change_data"
+
+  /** Write CDC rows (must already carry `_change_type`) under
+    * `_change_data/`, returning the AddCDCFile actions. */
+  def writeCdc(
+      spark: SparkSession,
+      table: DeltaTable,
+      cdcRows: DataFrame,
+      numIndexedCols: Int): Seq[AddCDCFile] = {
+    val adds = DeltaWriter.writeFiles(spark, table.tablePath, cdcRows,
+      table.partitionColumns, numIndexedCols, pathPrefix = CDC_DIR)
+    adds.map(a => AddCDCFile(a.path, a.partitionValues, a.size))
+  }
+}
+
+/**
+ * DELETE — predicate split into metadata-only whole-file removes vs
+ * rewrite of partially-matching files, per delta-rs
+ * `crates/core/src/operations/delete.rs` (builder :97; docs :1-13 describe
+ * the two-phase partition/data split). Metrics keys follow delta-rs's
+ * DeleteMetrics.
+ */
+object DeleteOp {
+
+  def run(table: DeltaTable, predicate: Option[String]): Map[String, String] = {
+    val spark = table.spark
+    val t0 = System.nanoTime()
+    val snapshot = table.refresh()
+    val meta = snapshot.metadata
+    val txn = table.startTransaction()
+    val now = System.currentTimeMillis()
+    val nIdx = WriteIntoDelta.numIndexedCols(meta)
+
+    predicate match {
+      case None =>
+        // full-table delete: metadata-only
+        txn.readWholeTable()
+        val removes = snapshot.allFiles.map(_.remove(now, dataChange = true))
+        val deletedRows = snapshot.approxNumRecords.getOrElse(-1L)
+        val metrics = Map(
+          "num_removed_files" -> removes.size.toString,
+          "num_added_files" -> "0",
+          "num_deleted_rows" -> deletedRows.toString,
+          "num_copied_rows" -> "0",
+          "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
+        table.commitAndRefresh(txn, removes,
+          Operation("DELETE", Map("predicate" -> "true"), metrics))
+        metrics
+
+      case Some(pred) =>
+        val predExpr = Scan.parsePredicate(spark, pred)
+        txn.readPredicate(predExpr)
+        val candidates = Scan.prunedFiles(snapshot, Seq(predExpr))
+        txn.readFile(candidates.map(_.path))
+
+        // provably fully-matching files (negation can't match) drop whole
+        val negation = Scan.parsePredicate(spark, s"NOT ($pred)")
+        val (fullFiles, partialCandidates) = candidates.partition { f =>
+          !StatsPruning.fileMayMatch(snapshot.schema, snapshot.partitionColumns, negation, f)
+        }
+        // narrow partial candidates to files with actual matches
+        val partialFiles =
+          if (partialCandidates.isEmpty) Nil
+          else {
+            val idx = Dml.filePathIndex(snapshot, partialCandidates)
+            Scan.readFiles(spark, snapshot, partialCandidates)
+              .filter(expr(pred))
+              .select(input_file_name().as("f")).distinct().collect()
+              .flatMap(r => idx.get(Dml.uriToPathKey(r.getString(0)))).toSeq
+          }
+
+        val rewriteAdds: Seq[AddFile] =
+          if (partialFiles.isEmpty) Nil
+          else {
+            val keep = Scan.readFiles(spark, snapshot, partialFiles)
+              .filter(not(coalesce(expr(pred), lit(false))))
+            DeltaWriter.writeFiles(spark, table.tablePath, keep,
+              snapshot.partitionColumns, nIdx)
+          }
+
+        val cdc: Seq[Action] =
+          if (Dml.cdcEnabled(snapshot) && (fullFiles.nonEmpty || partialFiles.nonEmpty)) {
+            val deleted = Scan.readFiles(spark, snapshot, fullFiles ++ partialFiles)
+              .filter(expr(pred))
+              .withColumn(Dml.CDC_COL, lit("delete"))
+            Dml.writeCdc(spark, table, deleted, nIdx)
+          } else Nil
+
+        val removes = (fullFiles ++ partialFiles).map(_.remove(now, dataChange = true))
+        val removedRows = (fullFiles ++ partialFiles).flatMap(_.numRecords).sum
+        val keptRows = rewriteAdds.flatMap(_.numRecords).sum
+        val metrics = Map(
+          "num_removed_files" -> removes.size.toString,
+          "num_added_files" -> rewriteAdds.size.toString,
+          "num_deleted_rows" -> (removedRows - keptRows).toString,
+          "num_copied_rows" -> keptRows.toString,
+          "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
+        table.commitAndRefresh(txn, removes ++ rewriteAdds ++ cdc,
+          Operation("DELETE", Map("predicate" -> pred), metrics))
+        metrics
+    }
+  }
+}
+
+/**
+ * UPDATE — rewrite files containing matches; each SET column becomes
+ * `CASE WHEN pred THEN new ELSE old END` (delta-rs
+ * `operations/update.rs:86` builder, execute :275; the case/cast imports at
+ * update.rs:32 are exactly Spark's `when(...).otherwise(...)`).
+ */
+object UpdateOp {
+
+  def run(
+      table: DeltaTable,
+      set: Map[String, Column],
+      predicate: Option[String]): Map[String, String] = {
+    val spark = table.spark
+    val t0 = System.nanoTime()
+    val snapshot = table.refresh()
+    val meta = snapshot.metadata
+    val nIdx = WriteIntoDelta.numIndexedCols(meta)
+    require(set.nonEmpty, "UPDATE requires at least one SET column")
+    set.keys.foreach { c =>
+      require(snapshot.schema.fieldNames.contains(c), s"Unknown column in SET: $c")
+      require(!snapshot.partitionColumns.contains(c),
+        s"Updating partition column $c is not supported")
+    }
+
+    val pred = predicate.getOrElse("true")
+    val txn = table.startTransaction()
+    val predExpr = Scan.parsePredicate(spark, pred)
+    txn.readPredicate(predExpr)
+
+    val files = Dml.findMatchingFiles(spark, snapshot, pred)
+    txn.readFile(files.map(_.path))
+    if (files.isEmpty) {
+      val metrics = Map("num_added_files" -> "0", "num_removed_files" -> "0",
+        "num_updated_rows" -> "0", "num_copied_rows" -> "0",
+        "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
+      table.commitAndRefresh(txn, Nil, Operation("UPDATE", Map("predicate" -> pred), metrics))
+      return metrics
+    }
+
+    val src = Scan.readFiles(spark, snapshot, files)
+    val predCol = coalesce(expr(pred), lit(false))
+    val updatedCols = snapshot.schema.map { f =>
+      set.get(f.name) match {
+        case Some(newExpr) =>
+          when(predCol, newExpr.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    val rewritten = src.select(updatedCols: _*)
+    val adds = DeltaWriter.writeFiles(spark, table.tablePath, rewritten,
+      snapshot.partitionColumns, nIdx)
+
+    // rows matching the predicate within the rewritten files
+    val updatedRows = src.filter(predCol).count()
+
+    val cdc: Seq[Action] =
+      if (Dml.cdcEnabled(snapshot)) {
+        val pre = src.filter(predCol).withColumn(Dml.CDC_COL, lit("update_preimage"))
+        val post = src.filter(predCol).select(updatedCols: _*)
+          .withColumn(Dml.CDC_COL, lit("update_postimage"))
+        Dml.writeCdc(spark, table, pre.unionByName(post), nIdx)
+      } else Nil
+
+    val now = System.currentTimeMillis()
+    val removes = files.map(_.remove(now, dataChange = true))
+    val totalRows = adds.flatMap(_.numRecords).sum
+    val metrics = Map(
+      "num_added_files" -> adds.size.toString,
+      "num_removed_files" -> removes.size.toString,
+      "num_updated_rows" -> updatedRows.toString,
+      "num_copied_rows" -> (totalRows - updatedRows).toString,
+      "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
+    table.commitAndRefresh(txn, removes ++ adds ++ cdc,
+      Operation("UPDATE", Map("predicate" -> pred), metrics))
+    metrics
+  }
+}

@@ -1,0 +1,294 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+import graft.kernel._
+import graft.table.{DeltaTable, Scan}
+
+/**
+ * VACUUM — delete unreferenced files older than the retention window
+ * (default 7d `delta.deletedFileRetentionDuration`), with dry-run and the
+ * retention-duration guard; VacuumStart/End commits
+ * (`crates/core/src/operations/vacuum.rs:1-22`, commits
+ * `protocol/mod.rs:355-368`).
+ */
+object VacuumOp {
+
+  def run(table: DeltaTable, retentionHours: Double, dryRun: Boolean,
+          enforceRetention: Boolean): Seq[String] = {
+    val snapshot = table.refresh()
+    val configured = snapshot.getConf("delta.deletedFileRetentionDuration")
+      .flatMap(DeltaConfig.parseDuration).getOrElse(7L * 24 * 3600 * 1000)
+    val retentionMs = (retentionHours * 3600 * 1000).toLong
+    if (enforceRetention && retentionMs < configured)
+      throw new IllegalArgumentException(
+        s"Retention ${retentionHours}h is below the configured minimum " +
+        s"(${configured}ms); pass enforceRetention=false to override")
+
+    val fs = table.tablePath.getFileSystem(table.spark.sessionState.newHadoopConf())
+    val now = System.currentTimeMillis()
+    val cutoff = now - retentionMs
+
+    // live = current adds + cdc files referenced since; keep anything
+    // tracked by a recent tombstone or newer than the cutoff
+    val live: Set[String] = snapshot.allFiles.map(_.path).toSet
+    val recentTombstones: Set[String] = snapshot.tombstones
+      .filter(_.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoff)
+      .map(_.path).toSet
+
+    val candidates = mutable.ArrayBuffer[String]()
+    def walk(dir: Path, rel: String): Unit = {
+      if (!fs.exists(dir)) return
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        val childRel = if (rel.isEmpty) name else s"$rel/$name"
+        if (st.isDirectory) {
+          if (name != LogStore.LOG_DIR && !name.startsWith(".tmp_")) walk(st.getPath, childRel)
+        } else if (!name.startsWith(".") && !name.startsWith("_")) {
+          val tracked = live.contains(childRel) || recentTombstones.contains(childRel)
+          if (!tracked && st.getModificationTime < cutoff) candidates += childRel
+        }
+      }
+    }
+    walk(table.tablePath, "")
+
+    if (!dryRun) {
+      val txnStart = table.startTransaction()
+      txnStart.commit(Nil, Operation("VACUUM START", Map(
+        "retentionCheckEnabled" -> enforceRetention.toString,
+        "specifiedRetentionMillis" -> retentionMs.toString),
+        Map("numFilesToDelete" -> candidates.size.toString)))
+      candidates.foreach(rel => fs.delete(new Path(table.tablePath, rel), false))
+      val txnEnd = table.startTransaction()
+      txnEnd.commit(Nil, Operation("VACUUM END", Map("status" -> "COMPLETED"),
+        Map("numDeletedFiles" -> candidates.size.toString)))
+      table.refresh()
+    }
+    candidates.toSeq
+  }
+}
+
+/**
+ * RESTORE — set algebra between the target-version snapshot and the
+ * current one: re-add files missing now, remove files added since
+ * (`crates/core/src/operations/restore.rs:1-21`).
+ */
+object RestoreOp {
+  def run(table: DeltaTable, version: Long): Map[String, String] = {
+    val current = table.refresh()
+    val target = table.deltaLog.snapshotAt(version)
+    val currentPaths = current.allFiles.map(_.path).toSet
+    val targetPaths = target.allFiles.map(_.path).toSet
+
+    val toAdd = target.allFiles.filterNot(f => currentPaths.contains(f.path))
+      .map(_.copy(dataChange = true))
+    val now = System.currentTimeMillis()
+    val toRemove = current.allFiles.filterNot(f => targetPaths.contains(f.path))
+      .map(_.remove(now, dataChange = true))
+
+    val metaAction: Seq[Action] =
+      if (target.metadata.schemaString != current.metadata.schemaString ||
+          target.metadata.partitionColumns != current.metadata.partitionColumns ||
+          target.metadata.configuration != current.metadata.configuration)
+        Seq(target.metadata)
+      else Nil
+
+    val txn = table.startTransaction()
+    txn.readWholeTable()
+    val metrics = Map(
+      "numRestoredFiles" -> toAdd.size.toString,
+      "numRemovedFiles" -> toRemove.size.toString)
+    table.commitAndRefresh(txn, metaAction ++ toAdd ++ toRemove,
+      Operation("RESTORE", Map("version" -> version.toString), metrics))
+    metrics
+  }
+}
+
+/** FSCK — drop Add entries whose backing files vanished
+  * (`operations/filesystem_check.rs:43`). */
+object FsckOp {
+  def run(table: DeltaTable, dryRun: Boolean): Seq[String] = {
+    val snapshot = table.refresh()
+    val fs = table.tablePath.getFileSystem(table.spark.sessionState.newHadoopConf())
+    val missing = snapshot.allFiles.filterNot { f =>
+      fs.exists(snapshot.absolutePath(f.path))
+    }
+    if (missing.nonEmpty && !dryRun) {
+      val now = System.currentTimeMillis()
+      val txn = table.startTransaction()
+      table.commitAndRefresh(txn,
+        missing.map(_.remove(now, dataChange = true)),
+        Operation("FSCK", Map("dry_run" -> "false"),
+          Map("files_removed" -> missing.size.toString)))
+    }
+    missing.map(_.path)
+  }
+}
+
+/** ADD/DROP CONSTRAINT (`operations/constraints.rs:28`,
+  * `drop_constraints.rs`) — ADD validates existing rows first. */
+object ConstraintsOp {
+  def add(table: DeltaTable, name: String, exprStr: String): Unit = {
+    val snapshot = table.refresh()
+    val key = s"delta.constraints.$name"
+    require(!snapshot.metadata.configuration.contains(key),
+      s"Constraint $name already exists")
+    // validate current data (constraints.rs:1-24 scans with DataValidationExec)
+    val violations = table.toDF
+      .filter(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.expr(exprStr),
+        org.apache.spark.sql.functions.lit(true)) === false)
+      .limit(1).count()
+    if (violations > 0)
+      throw new ConstraintViolationException(
+        s"Cannot add constraint $name: existing rows violate ($exprStr)")
+    val newMeta = snapshot.metadata.copy(
+      configuration = snapshot.metadata.configuration + (key -> exprStr))
+    val txn = table.startTransaction()
+    table.commitAndRefresh(txn, Seq(newMeta),
+      Operation("ADD CONSTRAINT", Map("name" -> name, "expr" -> exprStr)))
+  }
+
+  def drop(table: DeltaTable, name: String): Unit = {
+    val snapshot = table.refresh()
+    val key = s"delta.constraints.$name"
+    require(snapshot.metadata.configuration.contains(key), s"No such constraint: $name")
+    val newMeta = snapshot.metadata.copy(
+      configuration = snapshot.metadata.configuration - key)
+    val txn = table.startTransaction()
+    table.commitAndRefresh(txn, Seq(newMeta),
+      Operation("DROP CONSTRAINT", Map("name" -> name)))
+  }
+}
+
+/** Metadata-only DDL: table properties, add-column
+  * (`operations/set_tbl_properties.rs`, `add_column.rs`). */
+object MetadataOps {
+  def setProperties(table: DeltaTable, props: Map[String, String]): Unit = {
+    val snapshot = table.refresh()
+    val newMeta = snapshot.metadata.copy(
+      configuration = snapshot.metadata.configuration ++ props)
+    val txn = table.startTransaction()
+    table.commitAndRefresh(txn, Seq(newMeta),
+      Operation("SET TBLPROPERTIES", props))
+  }
+
+  def addColumns(table: DeltaTable, newCols: StructType): Unit = {
+    val snapshot = table.refresh()
+    val existing = snapshot.schema.fieldNames.map(_.toLowerCase).toSet
+    newCols.foreach { f =>
+      require(!existing.contains(f.name.toLowerCase), s"Column ${f.name} already exists")
+      require(f.nullable, s"New column ${f.name} must be nullable")
+    }
+    val merged = StructType(snapshot.schema.fields ++ newCols.fields)
+    val newMeta = snapshot.metadata.copy(schemaString = merged.json)
+    val txn = table.startTransaction()
+    table.commitAndRefresh(txn, Seq(newMeta),
+      Operation("ADD COLUMNS", Map("columns" -> newCols.fieldNames.mkString(","))))
+  }
+}
+
+/** Convert a plain parquet directory in place
+  * (`operations/convert_to_delta.rs:1-36`): infer schema + hive partitions,
+  * synthesize Adds with footer stats, single initial commit. */
+object ConvertToDeltaOp {
+  def run(spark: SparkSession, path: String,
+          partitionSchema: Option[StructType]): DeltaTable = {
+    val tablePath = new Path(path)
+    val log = new DeltaLog(spark, tablePath)
+    require(!log.tableExists, s"$path is already a Delta table")
+    val fs = tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+
+    // schema via Spark inference (includes hive partition columns)
+    val inferred = spark.read.option("basePath", path).parquet(path)
+    val fullSchema = inferred.schema
+    val partCols: Seq[String] = partitionSchema.map(_.fieldNames.toSeq).getOrElse {
+      // infer: columns that only appear in directory names
+      val sample = firstParquet(fs, tablePath)
+        .getOrElse(throw new IllegalArgumentException(s"No parquet files under $path"))
+      val fileSchema = spark.read.parquet(sample.toString).schema.fieldNames.toSet
+      fullSchema.fieldNames.toSeq.filterNot(fileSchema.contains)
+    }
+    val dataSchema = StructType(fullSchema.filterNot(f => partCols.contains(f.name)))
+
+    val files = mutable.ArrayBuffer[(Path, Seq[(String, String)])]()
+    def walk(dir: Path, parts: Seq[(String, String)]): Unit = {
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && !name.startsWith("_") && !name.startsWith(".")) {
+          val eq = name.indexOf('=')
+          if (eq > 0)
+            walk(st.getPath, parts :+ (graft.table.DeltaWriter.unescapePathName(name.take(eq)) ->
+              graft.table.DeltaWriter.unescapePathName(name.drop(eq + 1))))
+          else walk(st.getPath, parts)
+        } else if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
+          files += ((st.getPath, parts))
+      }
+    }
+    walk(tablePath, Nil)
+
+    val conf = spark.sessionState.newHadoopConf()
+    val adds = files.toSeq.map { case (p, parts) =>
+      val (_, stats) = ParquetStats.collect(conf, p, dataSchema)
+      val rel = tablePath.toUri.relativize(p.toUri).getPath
+      val st = fs.getFileStatus(p)
+      AddFile(
+        path = rel,
+        partitionValues = parts.map { case (k, v) =>
+          k -> (if (v == PartitionCodec.HIVE_DEFAULT) null else v)
+        }.toMap,
+        size = st.getLen,
+        modificationTime = st.getModificationTime,
+        dataChange = true,
+        stats = Some(stats))
+    }
+
+    val metadata = Metadata(
+      schemaString = fullSchema.json,
+      partitionColumns = partCols,
+      createdTime = Some(System.currentTimeMillis()))
+    val txn = new OptimisticTransaction(log, None)
+    txn.commit(Seq(Protocol(), metadata) ++ adds,
+      Operation("CONVERT", Map("numFiles" -> adds.size.toString)))
+    new DeltaTable(spark, tablePath)
+  }
+
+  private def firstParquet(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Option[Path] = {
+    fs.listStatus(dir).sortBy(_.getPath.getName).view.flatMap { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && !name.startsWith("_") && !name.startsWith(".")) firstParquet(fs, st.getPath)
+      else if (st.isFile && name.endsWith(".parquet")) Some(st.getPath)
+      else None
+    }.headOption
+  }
+}
+
+/** `_symlink_format_manifest` generation for Presto/Trino
+  * (`operations/generate.rs:91`). */
+object GenerateManifestOp {
+  def run(table: DeltaTable): Unit = {
+    val snapshot = table.refresh()
+    val fs = table.tablePath.getFileSystem(table.spark.sessionState.newHadoopConf())
+    val manifestRoot = new Path(table.tablePath, "_symlink_format_manifest")
+    if (fs.exists(manifestRoot)) fs.delete(manifestRoot, true)
+    snapshot.allFiles.groupBy(_.partitionValues).foreach { case (parts, files) =>
+      val sub = snapshot.partitionColumns.flatMap { c =>
+        parts.get(c).map { v =>
+          val enc = if (v == null) PartitionCodec.HIVE_DEFAULT
+            else graft.table.DeltaWriter.escapePathName(v)
+          s"${graft.table.DeltaWriter.escapePathName(c)}=$enc"
+        }
+      }.mkString("/")
+      val dir = if (sub.isEmpty) manifestRoot else new Path(manifestRoot, sub)
+      fs.mkdirs(dir)
+      val out = fs.create(new Path(dir, "manifest"), true)
+      try files.foreach { f =>
+        out.write((snapshot.absolutePath(f.path).toString + "\n").getBytes("UTF-8"))
+      } finally out.close()
+    }
+  }
+}

@@ -1,0 +1,319 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.kernel._
+import graft.table.{DeltaTable, DeltaWriter, Scan}
+
+/** Ordered merge clauses (delta-rs `operations/merge/mod.rs:254-392`). */
+sealed trait MergeClause { def condition: Option[String] }
+case class MatchedUpdate(condition: Option[String], set: Map[String, String]) extends MergeClause
+case class MatchedUpdateAll(condition: Option[String]) extends MergeClause
+case class MatchedDelete(condition: Option[String]) extends MergeClause
+case class NotMatchedInsert(condition: Option[String], values: Map[String, String]) extends MergeClause
+case class NotMatchedInsertAll(condition: Option[String]) extends MergeClause
+case class NotMatchedBySourceUpdate(condition: Option[String], set: Map[String, String]) extends MergeClause
+case class NotMatchedBySourceDelete(condition: Option[String]) extends MergeClause
+
+class MergeDuplicateMatchException extends RuntimeException(
+  "MERGE: a target row matched more than one source row (merge/validation.rs semantics)")
+
+/**
+ * MERGE INTO — a single full-outer join of source × target candidates, a
+ * CASE cascade picking the clause per row, a changed-file barrier, and one
+ * rewrite commit. Mirrors delta-rs `operations/merge/mod.rs` (join :1022,
+ * barrier `merge/barrier.rs:42`, duplicate-match validation
+ * `merge/validation.rs`, early filter `merge/filter.rs:324`), re-expressed
+ * as DataFrame combinators:
+ *
+ *  - early filter: one `agg(min,max)` / distinct on the source builds a
+ *    pruning predicate over the join keys → stats + partition skipping cuts
+ *    the target file set before any shuffle;
+ *  - target rows carry `_metadata` file/row-index identity; the "barrier"
+ *    is `filter(op != COPY).select(__file).distinct()`;
+ *  - duplicate-match validation is a groupBy over (file,row) identity;
+ *  - Spark/AQE picks the join strategy (broadcast when the source is small).
+ *
+ * Condition and clause expressions reference the two sides as
+ * `source.<col>` / `target.<col>`.
+ */
+class MergeBuilder(table: DeltaTable, source: DataFrame, condition: String) {
+  private var clauses: Vector[MergeClause] = Vector.empty
+  private var validateDuplicates = true
+
+  def whenMatchedUpdate(set: Map[String, String], condition: Option[String] = None): MergeBuilder = {
+    clauses :+= MatchedUpdate(condition, set); this
+  }
+  def whenMatchedUpdateAll(condition: Option[String] = None): MergeBuilder = {
+    clauses :+= MatchedUpdateAll(condition); this
+  }
+  def whenMatchedDelete(condition: Option[String] = None): MergeBuilder = {
+    clauses :+= MatchedDelete(condition); this
+  }
+  def whenNotMatchedInsert(values: Map[String, String], condition: Option[String] = None): MergeBuilder = {
+    clauses :+= NotMatchedInsert(condition, values); this
+  }
+  def whenNotMatchedInsertAll(condition: Option[String] = None): MergeBuilder = {
+    clauses :+= NotMatchedInsertAll(condition); this
+  }
+  def whenNotMatchedBySourceUpdate(set: Map[String, String], condition: Option[String] = None): MergeBuilder = {
+    clauses :+= NotMatchedBySourceUpdate(condition, set); this
+  }
+  def whenNotMatchedBySourceDelete(condition: Option[String] = None): MergeBuilder = {
+    clauses :+= NotMatchedBySourceDelete(condition); this
+  }
+  /** Skip the duplicate-match validation pass (perf escape hatch). */
+  def withoutDuplicateValidation(): MergeBuilder = { validateDuplicates = false; this }
+
+  def execute(): Map[String, String] = MergeOp.run(table, source, condition, clauses, validateDuplicates)
+}
+
+object MergeOp {
+
+  private val COPY = -1
+
+  def run(
+      table: DeltaTable,
+      source: DataFrame,
+      condition: String,
+      clauses: Seq[MergeClause],
+      validateDuplicates: Boolean): Map[String, String] = {
+    require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
+    val spark = table.spark
+    val t0 = System.nanoTime()
+    val snapshot = table.refresh()
+    val schema = snapshot.schema
+    val nIdx = WriteIntoDelta.numIndexedCols(snapshot.metadata)
+    val txn = table.startTransaction()
+
+    val hasBySource = clauses.exists {
+      case _: NotMatchedBySourceUpdate | _: NotMatchedBySourceDelete => true
+      case _ => false
+    }
+
+    // ---- early filter (merge/filter.rs:324): source agg → target pruning ----
+    val condExpr = Scan.parsePredicate(spark, condition)
+    val equiPairs = extractEquiPairs(condExpr, schema.fieldNames.toSet, source.schema.fieldNames.toSet)
+    val earlyPreds: Seq[Expression] =
+      if (hasBySource || equiPairs.isEmpty) Nil // by-source clauses touch all files
+      else {
+        val aggs = equiPairs.flatMap { case (_, s) =>
+          Seq(min(col(s)).as(s + "__mn"), max(col(s)).as(s + "__mx"))
+        }
+        val row = source.agg(aggs.head, aggs.tail: _*).collect()(0)
+        equiPairs.zipWithIndex.flatMap { case ((t, _), i) =>
+          val mn = row.get(2 * i); val mx = row.get(2 * i + 1)
+          if (mn == null || mx == null) None
+          else Some(Scan.parsePredicate(spark,
+            s"$t >= ${sqlLit(mn)} AND $t <= ${sqlLit(mx)}"))
+        }
+      }
+    earlyPreds.foreach(txn.readPredicate)
+    if (earlyPreds.isEmpty) txn.readWholeTable()
+
+    val candidates = Scan.prunedFiles(snapshot, earlyPreds)
+    txn.readFile(candidates.map(_.path))
+
+    // ---- single full-outer join ----
+    val tgt = Scan.readFiles(spark, snapshot, candidates, withFileIdentity = true)
+      .withColumn("__tgt", lit(true))
+    val src = source.withColumn("__src", lit(true))
+    val joined = src.alias("source")
+      .join(tgt.alias("target"), expr(condition), "full_outer")
+
+    val matchedC = col("__src").isNotNull && col("__tgt").isNotNull
+    val srcOnlyC = col("__src").isNotNull && col("__tgt").isNull
+    val tgtOnlyC = col("__src").isNull && col("__tgt").isNotNull
+
+    def clauseCond(c: MergeClause): Column =
+      c.condition.map(s => coalesce(expr(s), lit(false))).getOrElse(lit(true))
+
+    // opcode: clause index in declaration order; COPY for untouched rows
+    val indexed = clauses.zipWithIndex
+    val opCol = {
+      var e: Column = lit(COPY)
+      // build reversed so first clause wins in the when-chain
+      val chains = indexed.map { case (c, i) =>
+        val base = c match {
+          case _: MatchedUpdate | _: MatchedUpdateAll | _: MatchedDelete => matchedC
+          case _: NotMatchedInsert | _: NotMatchedInsertAll => srcOnlyC
+          case _: NotMatchedBySourceUpdate | _: NotMatchedBySourceDelete => tgtOnlyC
+        }
+        (base && clauseCond(c), i)
+      }
+      chains.foldRight(lit(COPY): Column) { case ((cond, i), acc) =>
+        when(cond, lit(i)).otherwise(acc)
+      }
+    }
+
+    val withOp = joined.withColumn("__op", opCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      // ---- duplicate-match validation (merge/validation.rs) ----
+      if (validateDuplicates) {
+        val dups = withOp.filter(matchedC)
+          .groupBy(col("target.__file"), col("target.__pos"))
+          .count().filter(col("count") > 1).limit(1).count()
+        if (dups > 0) throw new MergeDuplicateMatchException
+      }
+
+      // ---- barrier: files with ≥1 modified row (merge/barrier.rs:42) ----
+      val deleteOps = indexed.collect {
+        case (_: MatchedDelete, i) => i
+        case (_: NotMatchedBySourceDelete, i) => i
+      }.toSet
+      val changeOps = indexed.collect {
+        case (_: MatchedUpdate, i) => i
+        case (_: MatchedUpdateAll, i) => i
+        case (_: MatchedDelete, i) => i
+        case (_: NotMatchedBySourceUpdate, i) => i
+        case (_: NotMatchedBySourceDelete, i) => i
+      }.toSet
+      val insertOps = indexed.collect {
+        case (_: NotMatchedInsert, i) => i
+        case (_: NotMatchedInsertAll, i) => i
+      }.toSet
+
+      val changedFileRows =
+        if (changeOps.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else withOp
+          .filter(col("__tgt").isNotNull && col("__op").isin(changeOps.toSeq.map(Int.box): _*))
+          .select(col("target.__file")).distinct().collect()
+      val changedFiles = changedFileRows.map(_.getString(0)).toSet
+
+      val pathIdx = Dml.filePathIndex(snapshot, candidates)
+      val removedAdds = changedFiles.toSeq.flatMap(uri => pathIdx.get(Dml.uriToPathKey(uri)))
+
+      // ---- output projection ----
+      def clauseExpr(c: MergeClause, field: String): Column = c match {
+        case MatchedUpdate(_, set) =>
+          set.get(field).map(expr).getOrElse(col(s"target.$field"))
+        case _: MatchedUpdateAll => col(s"source.$field")
+        case NotMatchedInsert(_, values) =>
+          values.get(field).map(expr).getOrElse(lit(null))
+        case _: NotMatchedInsertAll =>
+          if (source.schema.fieldNames.contains(field)) col(s"source.$field") else lit(null)
+        case NotMatchedBySourceUpdate(_, set) =>
+          set.get(field).map(expr).getOrElse(col(s"target.$field"))
+        case _ => col(s"target.$field") // deletes never project
+      }
+
+      val outCols = schema.map { f =>
+        val chain = indexed.filterNot { case (_, i) => deleteOps.contains(i) }
+          .foldRight(col(s"target.${f.name}")) { case ((c, i), acc) =>
+            when(col("__op") === i, clauseExpr(c, f.name)).otherwise(acc)
+          }
+        chain.cast(f.dataType).as(f.name)
+      }
+
+      val isDeleted = if (deleteOps.isEmpty) lit(false)
+        else col("__op").isin(deleteOps.toSeq.map(Int.box): _*)
+      val isInsert = if (insertOps.isEmpty) lit(false)
+        else col("__op").isin(insertOps.toSeq.map(Int.box): _*)
+
+      val fromChangedFiles =
+        if (changedFiles.isEmpty) lit(false)
+        else col("__tgt").isNotNull && col("target.__file").isin(changedFiles.toSeq: _*)
+
+      val outputRows = withOp
+        .filter((fromChangedFiles && !isDeleted) || isInsert)
+        .select(outCols: _*)
+
+      val adds =
+        if (changedFiles.isEmpty && insertOps.isEmpty) Nil
+        else DeltaWriter.writeFiles(spark, table.tablePath, outputRows,
+          snapshot.partitionColumns, nIdx)
+
+      // ---- metrics (names from merge/mod.rs:677 MergeMetrics) ----
+      val opCounts = withOp.groupBy(col("__op")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      def countOf(ids: Set[Int]): Long = ids.toSeq.map(i => opCounts.getOrElse(i, 0L)).sum
+      val numSourceRows = withOp.filter(col("__src").isNotNull).count()
+      val updateOps = indexed.collect {
+        case (_: MatchedUpdate, i) => i; case (_: MatchedUpdateAll, i) => i
+        case (_: NotMatchedBySourceUpdate, i) => i
+      }.toSet
+      val rowsUpdated = countOf(updateOps)
+      val rowsDeleted = countOf(deleteOps)
+      val rowsInserted = countOf(insertOps)
+      val outputTotal = adds.flatMap(_.numRecords).sum
+      val rowsCopied = math.max(0L, outputTotal - rowsUpdated - rowsInserted)
+
+      // ---- CDC ----
+      val cdc: Seq[Action] =
+        if (Dml.cdcEnabled(snapshot) &&
+            (rowsUpdated + rowsDeleted + rowsInserted) > 0) {
+          val updCond = if (updateOps.isEmpty) lit(false)
+            else col("__op").isin(updateOps.toSeq.map(Int.box): _*)
+          val tgtCols = schema.map(f => col(s"target.${f.name}").as(f.name))
+          val preImages = withOp.filter(updCond).select(tgtCols: _*)
+            .withColumn(Dml.CDC_COL, lit("update_preimage"))
+          val postImages = withOp.filter(updCond).select(outCols: _*)
+            .withColumn(Dml.CDC_COL, lit("update_postimage"))
+          val deletes = withOp.filter(isDeleted).select(tgtCols: _*)
+            .withColumn(Dml.CDC_COL, lit("delete"))
+          val inserts = withOp.filter(isInsert).select(outCols: _*)
+            .withColumn(Dml.CDC_COL, lit("insert"))
+          val all = preImages.unionByName(postImages).unionByName(deletes).unionByName(inserts)
+          Dml.writeCdc(spark, table, all, nIdx)
+        } else Nil
+
+      val now = System.currentTimeMillis()
+      val removes = removedAdds.map(_.remove(now, dataChange = true))
+      val metrics = Map(
+        "num_source_rows" -> numSourceRows.toString,
+        "num_target_rows_inserted" -> rowsInserted.toString,
+        "num_target_rows_updated" -> rowsUpdated.toString,
+        "num_target_rows_deleted" -> rowsDeleted.toString,
+        "num_target_rows_copied" -> rowsCopied.toString,
+        "num_output_rows" -> outputTotal.toString,
+        "num_target_files_added" -> adds.size.toString,
+        "num_target_files_removed" -> removes.size.toString,
+        "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
+
+      table.commitAndRefresh(txn, removes ++ adds ++ cdc,
+        Operation("MERGE", Map("predicate" -> condition), metrics))
+      metrics
+    } finally {
+      withOp.unpersist()
+    }
+  }
+
+  /** Find `target_col = source_col` equality pairs in the join condition. */
+  private def extractEquiPairs(
+      cond: Expression,
+      targetCols: Set[String],
+      sourceCols: Set[String]): Seq[(String, String)] = {
+    def attr(e: Expression): Option[(String, String)] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 2 =>
+        Some((a.nameParts.head.toLowerCase, a.nameParts.last))
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(("", a.nameParts.head))
+      case _ => None
+    }
+    cond.collect {
+      case EqualTo(l, r) =>
+        (attr(l), attr(r)) match {
+          case (Some(("target", t)), Some(("source", s))) => Some((t, s))
+          case (Some(("source", s)), Some(("target", t))) => Some((t, s))
+          case (Some(("", a)), Some(("", b)))
+              if targetCols.contains(a) && sourceCols.contains(b) => Some((a, b))
+          case _ => None
+        }
+    }.flatten
+  }
+
+  private def sqlLit(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case ts: java.sql.Timestamp => s"TIMESTAMP '${ts.toString}'"
+    case d: java.sql.Date => s"DATE '${d.toString}'"
+    case i: java.time.Instant => s"TIMESTAMP '${java.sql.Timestamp.from(i)}'"
+    case d: java.time.LocalDate => s"DATE '$d'"
+    case other => other.toString
+  }
+}

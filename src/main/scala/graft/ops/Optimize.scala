@@ -1,0 +1,126 @@
+package graft.ops
+
+import scala.collection.parallel.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.kernel._
+import graft.table.{DeltaTable, DeltaWriter, Scan}
+
+/**
+ * OPTIMIZE — compaction bin-packs small files per partition into
+ * `targetSize` bins (delta-rs `operations/optimize.rs:266-268`
+ * OptimizeType::Compact, bin planning :535,1023-1279); Z-ORDER computes an
+ * interleaved-bit clustering key and range-repartitions by it
+ * (optimize.rs:270 + ZOrderUDF :1560-1590). Both commit `dataChange=false`
+ * remove+add pairs so streams/CDF see no logical change.
+ */
+object OptimizeOp {
+
+  def compact(
+      table: DeltaTable,
+      targetSize: Long,
+      predicate: Option[String]): Map[String, String] = {
+    val spark = table.spark
+    val snapshot = table.refresh()
+    val txn = table.startTransaction()
+
+    val candidates = predicate match {
+      case Some(p) =>
+        val e = Scan.parsePredicate(spark, p)
+        require(StatsPruning.isPartitionOnly(e, snapshot.partitionColumns),
+          "OPTIMIZE predicate must reference only partition columns")
+        Scan.prunedFiles(snapshot, Seq(e))
+      case None => snapshot.allFiles
+    }
+
+    // bin-pack per partition: only files below target participate
+    val byPartition = candidates.filter(_.size < targetSize)
+      .groupBy(_.partitionValues)
+    val bins: Seq[Seq[AddFile]] = byPartition.values.flatMap { files =>
+      val sorted = files.sortBy(-_.size)
+      val acc = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[AddFile]]()
+      sorted.foreach { f =>
+        acc.find(b => b.map(_.size).sum + f.size <= targetSize) match {
+          case Some(b) => b += f
+          case None => acc += scala.collection.mutable.ArrayBuffer(f)
+        }
+      }
+      acc.filter(_.size >= 2).map(_.toSeq)
+    }.toSeq
+
+    if (bins.isEmpty) {
+      val metrics = Map("num_files_added" -> "0", "num_files_removed" -> "0",
+        "partitions_optimized" -> "0", "total_considered_files" -> candidates.size.toString)
+      table.commitAndRefresh(txn, Nil, Operation("OPTIMIZE",
+        Map("targetSize" -> targetSize.toString), metrics))
+      return metrics
+    }
+
+    txn.readFile(bins.flatten.map(_.path))
+
+    // each bin rewrites independently; bins run as parallel Spark jobs like
+    // the reference's max_concurrent_tasks
+    val results: Seq[(Seq[AddFile], Seq[AddFile])] = bins.par.map { bin =>
+      val df = Scan.readFiles(spark, snapshot, bin).coalesce(1)
+      val adds = DeltaWriter.writeFiles(spark, table.tablePath, df,
+        snapshot.partitionColumns, WriteIntoDelta.numIndexedCols(snapshot.metadata))
+      (bin, adds.map(_.copy(dataChange = false)))
+    }.seq
+
+    val now = System.currentTimeMillis()
+    val removes = results.flatMap(_._1).map(_.remove(now, dataChange = false))
+    val adds = results.flatMap(_._2)
+    val metrics = Map(
+      "num_files_added" -> adds.size.toString,
+      "num_files_removed" -> removes.size.toString,
+      "partitions_optimized" -> bins.map(_.head.partitionValues).distinct.size.toString,
+      "total_considered_files" -> candidates.size.toString,
+      "total_files_skipped" -> (candidates.size - removes.size).toString)
+    table.commitAndRefresh(txn, removes ++ adds,
+      Operation("OPTIMIZE", Map("targetSize" -> targetSize.toString, "predicate" -> "[]"), metrics))
+    metrics
+  }
+
+  def zorder(
+      table: DeltaTable,
+      columns: Seq[String],
+      targetSize: Long): Map[String, String] = {
+    val spark = table.spark
+    val snapshot = table.refresh()
+    require(columns.nonEmpty, "Z-ORDER requires at least one column")
+    columns.foreach { c =>
+      require(snapshot.schema.fieldNames.contains(c), s"Unknown Z-ORDER column: $c")
+      require(!snapshot.partitionColumns.contains(c),
+        s"Z-ORDER column $c is a partition column (optimize.rs:1287 validation)")
+    }
+    val txn = table.startTransaction()
+    txn.readWholeTable()
+    val files = snapshot.allFiles
+    if (files.isEmpty) return Map("num_files_added" -> "0", "num_files_removed" -> "0")
+    txn.readFile(files.map(_.path))
+
+    val totalSize = files.map(_.size).sum
+    val numOut = math.max(1, math.ceil(totalSize.toDouble / targetSize).toInt)
+
+    val df = Scan.readFiles(spark, snapshot, files)
+    val zkey = graft.functions.ZOrder.zorderKey(columns.map(col): _*)
+    val clustered = df.withColumn("__zkey", zkey)
+      .repartitionByRange(numOut, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+    val adds = DeltaWriter.writeFiles(spark, table.tablePath, clustered,
+      snapshot.partitionColumns, WriteIntoDelta.numIndexedCols(snapshot.metadata))
+      .map(_.copy(dataChange = false, clusteringProvider = Some("zorder")))
+
+    val now = System.currentTimeMillis()
+    val removes = files.map(_.remove(now, dataChange = false))
+    val metrics = Map(
+      "num_files_added" -> adds.size.toString,
+      "num_files_removed" -> removes.size.toString,
+      "zorder_columns" -> columns.mkString(","))
+    table.commitAndRefresh(txn, removes ++ adds,
+      Operation("OPTIMIZE", Map("zOrderBy" -> columns.mkString("[", ",", "]")), metrics))
+    metrics
+  }
+}

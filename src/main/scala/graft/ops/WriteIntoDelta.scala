@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.kernel._
+import graft.table.{DeltaTable, DeltaWriter, Scan}
+
+/**
+ * Batch write: create-if-absent, save modes error/append/overwrite/ignore,
+ * `replaceWhere`, schema merge/overwrite — semantics from delta-rs
+ * `WriteBuilder` (`crates/core/src/operations/write/mod.rs:128-400`; mode
+ * semantics mod.rs:1-27, schema handling :106-123,361-395). `replaceWhere`
+ * is delete-matching + append in a single atomic commit.
+ */
+object WriteIntoDelta {
+
+  def run(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      mode: String,
+      partitionBy: Seq[String],
+      replaceWhere: Option[String],
+      mergeSchema: Boolean,
+      overwriteSchema: Boolean,
+      configuration: Map[String, String]): DeltaTable = {
+
+    val tablePath = new Path(path)
+    val log = new DeltaLog(spark, tablePath)
+    val exists = log.tableExists
+    val m = mode.toLowerCase
+
+    if (!exists) {
+      return createAndWrite(spark, df, tablePath, partitionBy, configuration)
+    }
+
+    m match {
+      case "error" | "errorifexists" =>
+        throw new IllegalArgumentException(s"Delta table already exists at $path (mode=error)")
+      case "ignore" => return DeltaTable.forPath(spark, path)
+      case "append" | "overwrite" => // continue
+      case other => throw new IllegalArgumentException(s"Unknown save mode: $other")
+    }
+
+    val table = DeltaTable.forPath(spark, path)
+    val snapshot = table.snapshot
+    val meta = snapshot.metadata
+    val partCols = meta.partitionColumns
+    require(partitionBy.isEmpty || partitionBy == partCols,
+      s"partitionBy $partitionBy does not match table partitioning $partCols")
+
+    // schema evolution
+    val (targetSchema, newMetadata): (StructType, Option[Metadata]) =
+      if (m == "overwrite" && overwriteSchema) {
+        (df.schema, Some(meta.copy(schemaString = df.schema.json)))
+      } else if (mergeSchema) {
+        val merged = DeltaWriter.mergeSchemas(meta.schema, df.schema)
+        if (merged == meta.schema) (meta.schema, None)
+        else (merged, Some(meta.copy(schemaString = merged.json)))
+      } else {
+        val incoming = df.schema.fieldNames.map(_.toLowerCase).toSet
+        val tableCols = meta.schema.fieldNames.map(_.toLowerCase).toSet
+        val extra = incoming -- tableCols
+        require(extra.isEmpty,
+          s"Schema mismatch: columns $extra not in table schema (use mergeSchema)")
+        (meta.schema, None)
+      }
+
+    val normalized = Validation.prepareForWrite(spark,
+      DeltaWriter.normalize(Generated.fill(df, targetSchema), targetSchema), meta)
+
+    val txn = table.startTransaction()
+    val adds = DeltaWriter.writeFiles(spark, tablePath, normalized, partCols,
+      numIndexedCols(meta))
+
+    val now = System.currentTimeMillis()
+    val (extraActions, predicateParam): (Seq[Action], Option[String]) = (m, replaceWhere) match {
+      case ("overwrite", None) =>
+        txn.readWholeTable()
+        (snapshot.allFiles.map(_.remove(now, dataChange = true)), None)
+      case ("overwrite", Some(pred)) =>
+        // enforce: every new row must satisfy the predicate
+        val violations = normalized.filter(not(coalesce(expr(pred), lit(false)))).limit(1).count()
+        require(violations == 0,
+          s"replaceWhere: written data contains rows violating predicate '$pred'")
+        val predExpr = Scan.parsePredicate(spark, pred)
+        txn.readPredicate(predExpr)
+        val candidates = Scan.prunedFiles(snapshot, Seq(predExpr))
+        txn.readFile(candidates.map(_.path))
+        // drop fully-matching files whole; rewrite partial files keeping
+        // only their non-matching rows
+        val (fullRemoves, rewrites) = splitFullPartial(spark, snapshot, candidates, pred)
+        val rewriteAdds: Seq[Action] =
+          if (rewrites.isEmpty) Nil
+          else {
+            val keep = Scan.readFiles(spark, snapshot, rewrites)
+              .filter(not(coalesce(expr(pred), lit(false))))
+            DeltaWriter.writeFiles(spark, tablePath, keep, partCols, numIndexedCols(meta))
+          }
+        val removes: Seq[Action] =
+          (fullRemoves ++ rewrites).map(_.remove(now, dataChange = true))
+        (removes ++ rewriteAdds, Some(pred))
+      case _ => (Nil, None) // append
+    }
+
+    val actions: Seq[Action] = newMetadata.toSeq ++ adds ++ extraActions
+    val params = Map("mode" -> (if (m == "overwrite") "Overwrite" else "Append")) ++
+      predicateParam.map("predicate" -> _)
+    table.commitAndRefresh(txn, actions,
+      Operation("WRITE", params, Map(
+        "numFiles" -> adds.size.toString,
+        "numOutputRows" -> adds.flatMap(_.numRecords).sum.toString,
+        "numOutputBytes" -> adds.map(_.size).sum.toString)))
+    table
+  }
+
+  /** Files whose rows ALL match `pred` (can be dropped whole) vs files that
+    * need a rewrite. A file is fully-matched when the predicate is
+    * partition-only, or when its negation provably matches nothing in the
+    * file — decided from stats; fail-closed to rewrite. */
+  private[ops] def splitFullPartial(
+      spark: SparkSession,
+      snapshot: Snapshot,
+      candidates: Seq[AddFile],
+      pred: String): (Seq[AddFile], Seq[AddFile]) = {
+    val negation = Scan.parsePredicate(spark, s"NOT ($pred)")
+    candidates.partition { f =>
+      !StatsPruning.fileMayMatch(snapshot.schema, snapshot.partitionColumns, negation, f)
+    }
+  }
+
+  private[ops] def numIndexedCols(meta: Metadata): Int =
+    meta.configuration.get("delta.dataSkippingNumIndexedCols")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(32)
+
+  private def createAndWrite(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: Path,
+      partitionBy: Seq[String],
+      configuration: Map[String, String]): DeltaTable = {
+    val log = new DeltaLog(spark, tablePath)
+    val schema = df.schema
+    val metadata = Metadata(
+      schemaString = schema.json,
+      partitionColumns = partitionBy,
+      configuration = configuration,
+      createdTime = Some(System.currentTimeMillis()))
+    val normalized = Validation.prepareForWrite(spark, df, metadata)
+    val adds = DeltaWriter.writeFiles(spark, tablePath, normalized, partitionBy,
+      numIndexedCols(metadata))
+    val txn = new OptimisticTransaction(log, None)
+    txn.commit(Seq(Protocol(), metadata) ++ adds,
+      Operation("CREATE TABLE AS SELECT",
+        Map("mode" -> "ErrorIfExists",
+            "partitionBy" -> partitionBy.mkString("[\"", "\",\"", "\"]")),
+        Map("numFiles" -> adds.size.toString,
+            "numOutputBytes" -> adds.map(_.size).sum.toString)))
+    new DeltaTable(spark, tablePath)
+  }
+}

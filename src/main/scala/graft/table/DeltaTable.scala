@@ -1,0 +1,175 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.kernel._
+import graft.ops._
+
+/**
+ * User-facing handle on a Delta table — the Spark-native analogue of
+ * delta-rs `DeltaTable` (`crates/core/src/table/mod.rs`) plus its operation
+ * builders (`crates/core/src/operations/mod.rs:188-250`). All relational
+ * work happens in Spark DataFrames; this class owns only the metadata plane
+ * (snapshot cache + transactions).
+ */
+class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
+
+  val deltaLog = new DeltaLog(spark, tablePath)
+
+  @volatile private var cached: Snapshot = _
+
+  def snapshot: Snapshot = {
+    if (cached == null) cached = deltaLog.snapshot()
+    cached
+  }
+
+  /** Re-read the log (update_incremental, table/mod.rs:206). */
+  def refresh(): Snapshot = { cached = deltaLog.snapshot(); cached }
+
+  def version: Long = snapshot.version
+  def schema = snapshot.schema
+  def partitionColumns: Seq[String] = snapshot.partitionColumns
+
+  // ---- read ----
+
+  def toDF: DataFrame = Scan.read(spark, snapshot)
+
+  /** Pruned scan: file skipping on `predicate`, exact filter re-applied by Spark. */
+  def scanWhere(predicate: String): DataFrame = {
+    val expr = Scan.parsePredicate(spark, predicate)
+    Scan.readWhere(spark, snapshot, Seq(expr)).filter(predicate)
+  }
+
+  /** Time travel (table/mod.rs:232 load_version). */
+  def asOfVersion(v: Long): DataFrame =
+    Scan.read(spark, deltaLog.snapshotAt(v))
+
+  /** Time travel by timestamp (table/mod.rs:375 load_with_datetime). */
+  def asOfTimestamp(tsMs: Long): DataFrame =
+    Scan.read(spark, deltaLog.snapshotForTimestamp(tsMs))
+
+  def history(limit: Option[Int] = None): Seq[(Long, Long, Option[CommitInfo])] =
+    deltaLog.history(limit)
+
+  /** Stats-only row count (python/deltalake/table.py:584-604). */
+  def approxCount: Option[Long] = snapshot.approxNumRecords
+
+  /** Last recorded version for an idempotent-writer appId
+    * (python/deltalake/table.py:1318-1330). */
+  def txnVersion(appId: String): Option[Long] = snapshot.txns.get(appId)
+
+  def startTransaction(isolation: IsolationLevel = IsolationLevel.default) =
+    new OptimisticTransaction(deltaLog, Some(snapshot), isolation)
+
+  private[graft] def commitAndRefresh(
+      txn: OptimisticTransaction, actions: Seq[Action], op: Operation): Long = {
+    val v = txn.commit(actions, op)
+    refresh()
+    v
+  }
+
+  // ---- DML ----
+
+  def delete(predicate: Option[String] = None): Map[String, String] =
+    DeleteOp.run(this, predicate)
+
+  def update(set: Map[String, Column], predicate: Option[String] = None): Map[String, String] =
+    UpdateOp.run(this, set, predicate)
+
+  def merge(source: DataFrame, condition: String): MergeBuilder =
+    new MergeBuilder(this, source, condition)
+
+  // ---- maintenance ----
+
+  def optimizeCompact(targetSizeBytes: Long = 128L * 1024 * 1024,
+                      predicate: Option[String] = None): Map[String, String] =
+    OptimizeOp.compact(this, targetSizeBytes, predicate)
+
+  def optimizeZOrder(columns: Seq[String],
+                     targetSizeBytes: Long = 128L * 1024 * 1024): Map[String, String] =
+    OptimizeOp.zorder(this, columns, targetSizeBytes)
+
+  def vacuum(retentionHours: Double = 24 * 7, dryRun: Boolean = false,
+             enforceRetention: Boolean = true): Seq[String] =
+    VacuumOp.run(this, retentionHours, dryRun, enforceRetention)
+
+  def restore(version: Long): Map[String, String] = RestoreOp.run(this, version)
+
+  def fsck(dryRun: Boolean = false): Seq[String] = FsckOp.run(this, dryRun)
+
+  def addConstraint(name: String, expr: String): Unit =
+    ConstraintsOp.add(this, name, expr)
+
+  def dropConstraint(name: String): Unit = ConstraintsOp.drop(this, name)
+
+  def setProperties(props: Map[String, String]): Unit =
+    MetadataOps.setProperties(this, props)
+
+  def addColumns(newCols: org.apache.spark.sql.types.StructType): Unit =
+    MetadataOps.addColumns(this, newCols)
+
+  def generateSymlinkManifest(): Unit = GenerateManifestOp.run(this)
+
+  // ---- CDF ----
+
+  def loadCdf(startingVersion: Long, endingVersion: Option[Long] = None): DataFrame =
+    CdfRead.load(this, startingVersion, endingVersion)
+}
+
+object DeltaTable {
+
+  def forPath(spark: SparkSession, path: String): DeltaTable = {
+    val t = new DeltaTable(spark, new Path(path))
+    if (!t.deltaLog.tableExists) throw new DeltaTableNotFoundException(path)
+    t
+  }
+
+  def isDeltaTable(spark: SparkSession, path: String): Boolean =
+    new DeltaLog(spark, new Path(path)).tableExists
+
+  /** Metadata-only CREATE (operations/create.rs:79). */
+  def create(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionColumns: Seq[String] = Nil,
+      configuration: Map[String, String] = Map.empty,
+      name: Option[String] = None,
+      description: Option[String] = None): DeltaTable = {
+    val tablePath = new Path(path)
+    val log = new DeltaLog(spark, tablePath)
+    require(!log.tableExists, s"Delta table already exists at $path")
+    val metadata = Metadata(
+      name = name, description = description,
+      schemaString = schema.json,
+      partitionColumns = partitionColumns,
+      configuration = configuration,
+      createdTime = Some(System.currentTimeMillis()))
+    val txn = new OptimisticTransaction(log, None)
+    txn.commit(Seq(Protocol(), metadata),
+      Operation("CREATE TABLE", Map(
+        "mode" -> "ErrorIfExists",
+        "partitionBy" -> partitionColumns.mkString("[\"", "\",\"", "\"]"))))
+    new DeltaTable(spark, tablePath)
+  }
+
+  /** Batch write — see [[graft.ops.WriteIntoDelta]]. */
+  def write(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      mode: String = "append",
+      partitionBy: Seq[String] = Nil,
+      replaceWhere: Option[String] = None,
+      mergeSchema: Boolean = false,
+      overwriteSchema: Boolean = false,
+      configuration: Map[String, String] = Map.empty): DeltaTable =
+    WriteIntoDelta.run(spark, df, path, mode, partitionBy, replaceWhere,
+      mergeSchema, overwriteSchema, configuration)
+
+  /** In-place convert of a parquet directory (operations/convert_to_delta.rs). */
+  def convertToDelta(spark: SparkSession, path: String,
+                     partitionSchema: Option[org.apache.spark.sql.types.StructType] = None): DeltaTable =
+    ConvertToDeltaOp.run(spark, path, partitionSchema)
+}

@@ -1,0 +1,164 @@
+package graft.table
+
+import java.util.UUID
+
+import scala.collection.parallel.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.kernel.{AddFile, ParquetStats, PartitionCodec}
+
+/**
+ * Physical file writer: stage hive-partitioned parquet with Spark's native
+ * writer, harvest footer stats, move files into the table directory, and
+ * return the `Add` actions. This replaces delta-rs's hand-rolled
+ * `PartitionWriter`/`RecordBatchWriter` (`crates/core/src/operations/write/writer.rs:414`,
+ * `writer/record_batch.rs:44`) with Spark's distributed, codegen'd parquet
+ * sink — stats collection stays footer-based like `writer/stats.rs:82-130`.
+ */
+object DeltaWriter {
+
+  /** Hive path-name escaping (inverse of what Spark's FileFormatWriter does). */
+  def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 <= s.length - 1) {
+        val hex = s.substring(i + 1, i + 3)
+        try {
+          sb.append(Integer.parseInt(hex, 16).toChar)
+          i += 3
+        } catch {
+          case _: NumberFormatException => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Write `df` as parquet data files of the table; returns Add actions with
+    * relative paths, partition values, and footer-derived stats. Does NOT
+    * commit. */
+  def writeFiles(
+      spark: SparkSession,
+      tablePath: Path,
+      df: DataFrame,
+      partitionColumns: Seq[String],
+      numIndexedCols: Int = 32,
+      optimizeWrite: Boolean = false,
+      pathPrefix: String = ""): Seq[AddFile] = {
+
+    // Delta requires µs timestamps in parquet (normalize_for_delta,
+    // kernel/schema/cast/mod.rs:325); INT96 would also break footer stats.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+    val fs = tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new Path(tablePath, s".tmp_write_${UUID.randomUUID().toString.take(12)}")
+
+    val toWrite =
+      if (optimizeWrite && partitionColumns.nonEmpty)
+        df.repartition(partitionColumns.map(col): _*)
+      else df
+
+    val writer = toWrite.write.mode("overwrite")
+    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
+      .parquet(staging.toString)
+
+    // Collect written part-files (recursive; partition dirs in between)
+    val files = scala.collection.mutable.ArrayBuffer[(Path, Seq[(String, String)])]()
+    def walk(dir: Path, parts: Seq[(String, String)]): Unit = {
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          val eq = name.indexOf('=')
+          if (eq > 0) {
+            val k = unescapePathName(name.substring(0, eq))
+            val v = unescapePathName(name.substring(eq + 1))
+            walk(st.getPath, parts :+ (k -> v))
+          } else walk(st.getPath, parts)
+        } else if (name.startsWith("part-") && name.endsWith(".parquet")) {
+          files += ((st.getPath, parts))
+        }
+      }
+    }
+    walk(staging, Nil)
+
+    val conf = spark.sessionState.newHadoopConf()
+    val dataSchema = StructType(df.schema.filterNot(f => partitionColumns.contains(f.name)))
+
+    val adds = files.toSeq.par.map { case (src, parts) =>
+      val (_, statsJson) = ParquetStats.collect(conf, src, dataSchema, numIndexedCols)
+      val partDirs = parts.map { case (k, v) =>
+        s"${escapePathName(k)}=${escapePathName(v)}"
+      }
+      val relDir = (Seq(pathPrefix).filter(_.nonEmpty) ++ partDirs).mkString("/")
+      val relPath = if (relDir.isEmpty) src.getName else s"$relDir/${src.getName}"
+      val dest = new Path(tablePath, relPath)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(src, dest))
+        throw new IllegalStateException(s"failed to move $src -> $dest")
+      val st = fs.getFileStatus(dest)
+      val partValues: Map[String, String] = parts.map { case (k, v) =>
+        k -> (if (v == PartitionCodec.HIVE_DEFAULT) null else v)
+      }.toMap
+      AddFile(
+        path = relPath,
+        partitionValues = partValues,
+        size = st.getLen,
+        modificationTime = st.getModificationTime,
+        dataChange = true,
+        stats = Some(statsJson))
+    }.seq
+
+    fs.delete(staging, true)
+    adds
+  }
+
+  /** Hive-style escaping for partition path segments (ASCII control and
+    * filesystem-special chars → %XX), matching Spark/Hive behavior. */
+  def escapePathName(s: String): String = {
+    def needsEscape(c: Char): Boolean =
+      c < ' ' || c == '\u007F' || "\"#%'*/:=?\\{[]^".indexOf(c.toInt) >= 0
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if (needsEscape(c)) sb.append(f"%%${c.toInt}%02X") else sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Align `df` to the target schema: reorder columns, cast where needed.
+    * Missing nullable columns are filled with nulls. */
+  def normalize(df: DataFrame, target: StructType): DataFrame = {
+    val cols = target.map { f =>
+      df.schema.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(src) =>
+          if (src.dataType == f.dataType) col(src.name).as(f.name)
+          else col(src.name).cast(f.dataType).as(f.name)
+        case None =>
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  /** Delta-style schema merge for `mergeSchema` writes — field-level union,
+    * existing field types win unless safely widenable
+    * (merge_arrow_schema, kernel/schema/cast/merge_schema.rs:296). */
+  def mergeSchemas(table: StructType, incoming: StructType): StructType = {
+    val existing = table.map(f => f.name.toLowerCase -> f).toMap
+    val merged = table.map { tf =>
+      incoming.find(_.name.equalsIgnoreCase(tf.name)) match {
+        case Some(inF) if tf.dataType != inF.dataType =>
+          // keep table type; runtime cast handles widening
+          tf
+        case _ => tf
+      }
+    } ++ incoming.filterNot(f => existing.contains(f.name.toLowerCase))
+      .map(f => StructField(f.name, f.dataType, nullable = true, f.metadata))
+    StructType(merged)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+import graft.kernel.{AddFile, Snapshot, StatsPruning}
+
+/**
+ * The read path: snapshot → (partition pruning + stats file skipping on the
+ * driver) → a pruned explicit file list handed to Spark's vectorized
+ * parquet source. Spark then does projection pushdown, parquet row-group
+ * filtering, whole-stage codegen — everything below the file list is stock
+ * Catalyst, mirroring how delta-rs layers its `DeltaScan` TableProvider on
+ * DataFusion's ParquetSource (`delta_datafusion/table_provider/next/mod.rs:728-768`).
+ *
+ * Data files omit partition columns (Delta protocol); they are recovered
+ * from hive-style directory names via Spark partition discovery anchored at
+ * `basePath`, then cast to the table schema's declared types.
+ */
+object Scan {
+
+  /** All live files, no pruning. */
+  def read(spark: SparkSession, snapshot: Snapshot): DataFrame =
+    readFiles(spark, snapshot, snapshot.allFiles)
+
+  /** Pruned read: only files that may satisfy `predicates`. */
+  def readWhere(spark: SparkSession, snapshot: Snapshot, predicates: Seq[Expression]): DataFrame = {
+    val pruned = StatsPruning.prune(
+      snapshot.schema, snapshot.partitionColumns, predicates, snapshot.allFiles)
+    readFiles(spark, snapshot, pruned)
+  }
+
+  def prunedFiles(snapshot: Snapshot, predicates: Seq[Expression]): Seq[AddFile] =
+    StatsPruning.prune(snapshot.schema, snapshot.partitionColumns, predicates, snapshot.allFiles)
+
+  /** Read an explicit subset of the snapshot's files as a DataFrame with the
+    * full table schema (partition columns reconstructed + cast).
+    * With `withFileIdentity`, appends `__file` (path) and `__pos`
+    * (row index in file) from Spark's `_metadata` column — a stable row
+    * identity used by MERGE for duplicate-match detection and the
+    * changed-file barrier (the reference's file-path + row-ordinal metadata
+    * columns, `table_provider/next/mod.rs:986-1002`). */
+  def readFiles(
+      spark: SparkSession,
+      snapshot: Snapshot,
+      files: Seq[AddFile],
+      withFileIdentity: Boolean = false): DataFrame = {
+    val schema = snapshot.schema
+    val partCols = snapshot.partitionColumns
+    if (files.isEmpty) {
+      val out = if (withFileIdentity)
+        StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField("__file", org.apache.spark.sql.types.StringType) :+
+          org.apache.spark.sql.types.StructField("__pos", org.apache.spark.sql.types.LongType))
+      else schema
+      return emptyDf(spark, out)
+    }
+
+    val paths = files.map(f => snapshot.absolutePath(f.path).toString)
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+
+    val raw =
+      if (partCols.isEmpty) spark.read.schema(dataSchema).parquet(paths: _*)
+      else spark.read.option("basePath", snapshot.tablePath)
+        .schema(dataSchema).parquet(paths: _*)
+
+    // partition columns come back type-inferred from the path; cast to the
+    // declared schema types and restore schema column order
+    val cols: Seq[Column] = schema.map { f =>
+      if (partCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else col(f.name)
+    }
+    val identity: Seq[Column] =
+      if (withFileIdentity)
+        Seq(col("_metadata.file_path").as("__file"), col("_metadata.row_index").as("__pos"))
+      else Nil
+    raw.select(cols ++ identity: _*)
+  }
+
+  def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Parse a predicate string with Spark's SQL parser. */
+  def parsePredicate(spark: SparkSession, sql: String): Expression =
+    spark.sessionState.sqlParser.parseExpression(sql)
+}

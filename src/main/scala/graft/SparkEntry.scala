@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.entries.{CoreEntries, EntryCtx, LlmEntries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * One entry per implemented SURVEY §2 operator (plus the LLM-pipeline
+  * operators); definitions live in [[graft.entries.CoreEntries]] and
+  * [[graft.entries.LlmEntries]]. */
 object SparkEntry {
+
+  private lazy val all = CoreEntries.entries ++ LlmEntries.entries
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    Seq("orders", "customer").foreach(EntryCtx.deltaView(spark, d, _))
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(27,2)) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(e => e.name -> e.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    all.flatMap(e => e.oracle.map(e.name -> _)).toMap
 }

@@ -1,0 +1,465 @@
+package graft.entries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kernel._
+import graft.ops.ConstraintViolationException
+import graft.table.{DeltaTable, DeltaWriter}
+import EntryCtx._
+
+/**
+ * Driver-contract entries for the SURVEY §2 operator inventory: each builds
+ * the operator's scenario on the driver's parquet testdata, runs it through
+ * the Delta engine, and returns a DataFrame whose content a DuckDB oracle
+ * reproduces over the same parquet. Read-path entries share cached Delta
+ * copies; mutating entries build throwaway tables.
+ */
+object CoreEntries {
+
+  // ---------------------------------------------------------------- scans
+
+  private val scanEntries = Seq(
+    // open_table + full load (SURVEY §2.1 rows 1,4)
+    Entry("delta_scan_full", (s, d) =>
+      DeltaTable.forPath(s, sharedDelta(s, d, "lineitem")).toDF,
+      Some("SELECT * FROM lineitem")),
+
+    // stats-based file skipping + exact re-filter (§2.2 rows 16,17)
+    Entry("delta_scan_pruned", (s, d) =>
+      DeltaTable.forPath(s, sharedDelta(s, d, "lineitem"))
+        .scanWhere("l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' AND l_quantity < 10"),
+      Some("SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' AND l_quantity < 10")),
+
+    // partition pruning on a hive-partitioned Delta table (§2.2 row 18)
+    Entry("delta_partition_pruning", (s, d) =>
+      DeltaTable.forPath(s, sharedDelta(s, d, "orders", partitionBy = Seq("o_orderstatus")))
+        .scanWhere("o_orderstatus = 'F' AND o_totalprice > 50000"),
+      Some("SELECT * FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 50000")),
+
+    // time travel by version (§2.1 row 2)
+    Entry("time_travel", (s, d) => {
+      val dir = tempDir("tt")
+      val o = pq(s, d, "orders")
+      DeltaTable.write(s, o.filter("o_orderkey % 3 = 0"), dir)
+      DeltaTable.write(s, o.filter("o_orderkey % 3 <> 0"), dir, mode = "append")
+      DeltaTable.forPath(s, dir).asOfVersion(0)
+    }, Some("SELECT * FROM orders WHERE o_orderkey % 3 = 0")),
+
+    // stats-only count, no scan (§2.4 row 26)
+    Entry("stats_only_count", (s, d) => {
+      val cnt = DeltaTable.forPath(s, sharedDelta(s, d, "lineitem")).approxCount.get
+      import s.implicits._
+      Seq(cnt).toDF("cnt")
+    }, Some("SELECT count(*) AS cnt FROM lineitem")),
+
+    // convert-to-delta over a plain parquet dir (§2.1 row 11)
+    Entry("convert_to_delta", (s, d) => {
+      val dir = tempDir("conv")
+      pq(s, d, "region").write.parquet(dir)
+      DeltaTable.convertToDelta(s, dir).toDF
+    }, Some("SELECT * FROM region")),
+
+    // checkpoint write + replay from _last_checkpoint (§2.7 row 43)
+    Entry("checkpoint_replay", (s, d) => {
+      val dir = tempDir("ckpt")
+      val n = pq(s, d, "nation")
+      (0 until 13).foreach { k =>
+        DeltaTable.write(s, n.filter(s"n_nationkey % 13 = $k"), dir, mode = "append")
+      }
+      DeltaTable.forPath(s, dir).toDF // fresh handle: checkpoint + tail replay
+    }, Some("SELECT * FROM nation")))
+
+  // ------------------------------------------------- SQL surface over Delta
+  // One SQL text, two engines: Spark runs it over Delta-backed temp views
+  // named like the parquet tables; DuckDB runs the identical text (§2.3-2.5).
+
+  private val sqlEntries = Seq(
+    sqlEntry("sql_join_agg", Seq("orders", "customer"),
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(27,2)) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin),
+
+    sqlEntry("sql_multi_join", Seq("supplier", "nation", "region"),
+      """SELECT s_suppkey, s_name, n_name, r_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin),
+
+    sqlEntry("sql_semi_join", Seq("customer", "orders"),
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)""".stripMargin),
+
+    sqlEntry("sql_anti_join", Seq("customer", "orders"),
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)""".stripMargin),
+
+    sqlEntry("agg_q1", Seq("lineitem"),
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(27,2)) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(27,2)) AS sum_price,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+
+    sqlEntry("agg_grouping_sets", Seq("lineitem"),
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin),
+
+    sqlEntry("window_topk", Seq("orders"),
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin),
+
+    sqlEntry("window_running", Seq("orders"),
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(27,2)) AS run_total
+        |FROM orders""".stripMargin),
+
+    sqlEntry("set_ops", Seq("customer", "supplier"),
+      """SELECT 'only_customers' AS tag, k FROM (
+        |  SELECT DISTINCT c_nationkey AS k FROM customer
+        |  EXCEPT SELECT DISTINCT s_nationkey AS k FROM supplier) t1
+        |UNION ALL
+        |SELECT 'both' AS tag, k FROM (
+        |  SELECT DISTINCT c_nationkey AS k FROM customer
+        |  INTERSECT SELECT DISTINCT s_nationkey AS k FROM supplier) t2""".stripMargin),
+
+    sqlEntry("scalar_fns", Seq("part"),
+      """SELECT p_partkey, upper(p_name) AS uname,
+        |       CAST(length(p_name) AS INT) AS len, p_size % 7 AS size_mod,
+        |       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |       substr(p_brand, 1, 5) AS brand5,
+        |       concat(p_type, '#', p_brand) AS typebrand
+        |FROM part""".stripMargin),
+
+    sqlEntry("date_fns", Seq("orders"),
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(month(o_orderdate) AS INT) AS mo,
+        |       CAST(day(o_orderdate) AS INT) AS dy
+        |FROM orders""".stripMargin),
+
+    sqlEntry("limit_sort", Seq("lineitem"),
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin))
+
+  // ---------------------------------------------------------------- writes
+
+  private val writeEntries = Seq(
+    // append mode (§2.1 row 6)
+    Entry("write_append", (s, d) => {
+      val dir = tempDir("wa")
+      val n = pq(s, d, "nation")
+      DeltaTable.write(s, n.filter("n_nationkey < 10"), dir)
+      DeltaTable.write(s, n.filter("n_nationkey >= 10"), dir, mode = "append")
+      DeltaTable.forPath(s, dir).toDF
+    }, Some("SELECT * FROM nation")),
+
+    // overwrite mode (§2.1 row 6)
+    Entry("write_overwrite", (s, d) => {
+      val dir = tempDir("wo")
+      val r = pq(s, d, "region")
+      DeltaTable.write(s, r, dir)
+      DeltaTable.write(s, r.filter("r_regionkey < 3"), dir, mode = "overwrite")
+      DeltaTable.forPath(s, dir).toDF
+    }, Some("SELECT * FROM region WHERE r_regionkey < 3")),
+
+    // replaceWhere: delete-matching + append in one commit (§2.1 row 7)
+    Entry("replace_where", (s, d) => {
+      val dir = tempDir("rw")
+      val li = pq(s, d, "lineitem")
+      DeltaTable.write(s, li, dir, partitionBy = Seq("l_returnflag"))
+      val repl = li.filter("l_returnflag = 'A'")
+        .withColumn("l_quantity", col("l_quantity") + 1000)
+      DeltaTable.write(s, repl, dir, mode = "overwrite",
+        replaceWhere = Some("l_returnflag = 'A'"))
+      DeltaTable.forPath(s, dir).toDF
+    }, Some(
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |       CASE WHEN l_returnflag = 'A' THEN l_quantity + 1000 ELSE l_quantity END AS l_quantity,
+        |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem""".stripMargin)),
+
+    // schema evolution on append (§2.1 row 8)
+    Entry("schema_evolution", (s, d) => {
+      val dir = tempDir("se")
+      val sup = pq(s, d, "supplier")
+      DeltaTable.write(s, sup.filter("s_suppkey <= 50"), dir)
+      DeltaTable.write(s,
+        sup.filter("s_suppkey > 50").withColumn("bonus", col("s_suppkey") * 2),
+        dir, mode = "append", mergeSchema = true)
+      DeltaTable.forPath(s, dir).toDF
+    }, Some(
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+        |       CASE WHEN s_suppkey > 50 THEN s_suppkey * 2 ELSE NULL END AS bonus
+        |FROM supplier""".stripMargin)),
+
+    // idempotent app transactions (§2.7 row 44)
+    Entry("app_txn", (s, d) => {
+      val dir = tempDir("txn")
+      val r = pq(s, d, "region")
+      DeltaTable.write(s, r.limit(0), dir) // create empty v0
+      val t = DeltaTable.forPath(s, dir)
+      def appendIdempotent(appVer: Long): Unit = {
+        t.refresh()
+        if (t.txnVersion("loader").exists(_ >= appVer)) return
+        val adds = DeltaWriter.writeFiles(s, t.tablePath, r, Nil, 32)
+        val txn = t.startTransaction()
+        t.commitAndRefresh(txn,
+          adds :+ SetTransaction("loader", appVer, Some(System.currentTimeMillis())),
+          Operation("WRITE", Map("mode" -> "Append")))
+      }
+      appendIdempotent(1L)
+      appendIdempotent(1L) // duplicate delivery — must be skipped
+      t.toDF
+    }, Some("SELECT * FROM region")))
+
+  // ------------------------------------------------------------------- DML
+
+  private val dmlEntries = Seq(
+    // DELETE with rewrite of partially-matching files (§2.6 row 28)
+    Entry("delete_partial", (s, d) => {
+      val dir = tempDir("del")
+      DeltaTable.write(s, pq(s, d, "orders"), dir)
+      val t = DeltaTable.forPath(s, dir)
+      t.delete(Some("o_orderstatus = 'F' AND o_totalprice < 100000"))
+      t.toDF
+    }, Some("SELECT * FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)")),
+
+    // DELETE metadata-only whole-partition path (§2.6 row 28)
+    Entry("delete_partition", (s, d) => {
+      val dir = tempDir("delp")
+      DeltaTable.write(s, pq(s, d, "orders"), dir, partitionBy = Seq("o_orderstatus"))
+      val t = DeltaTable.forPath(s, dir)
+      t.delete(Some("o_orderstatus = 'O'"))
+      t.toDF
+    }, Some("SELECT * FROM orders WHERE o_orderstatus <> 'O'")),
+
+    // UPDATE with CASE-per-SET rewrite (§2.6 row 29)
+    Entry("update_op", (s, d) => {
+      val dir = tempDir("upd")
+      DeltaTable.write(s, pq(s, d, "part"), dir)
+      val t = DeltaTable.forPath(s, dir)
+      t.update(Map("p_retailprice" -> expr("p_retailprice * 2")), Some("p_size > 40"))
+      t.toDF
+    }, Some(
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size,
+        |       CASE WHEN p_size > 40 THEN p_retailprice * 2 ELSE p_retailprice END AS p_retailprice
+        |FROM part""".stripMargin)),
+
+    // MERGE upsert: update-all + insert-all (§2.6 row 30, §2.3 join)
+    Entry("merge_upsert", (s, d) => {
+      val dir = tempDir("mrg")
+      val o = pq(s, d, "orders")
+      DeltaTable.write(s, o, dir)
+      val updates = o.filter("o_orderkey % 2 = 0")
+      val inserts = o.filter("o_orderkey % 100 = 0")
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000)
+      val src = updates.unionByName(inserts)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+      val t = DeltaTable.forPath(s, dir)
+      t.merge(src, "target.o_orderkey = source.o_orderkey")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+      t.toDF
+    }, Some(
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_totalprice + 1,
+        |       o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin)),
+
+    // MERGE with conditional update/delete clauses + insert (§2.6 row 30)
+    Entry("merge_mixed", (s, d) => {
+      val dir = tempDir("mrgm")
+      val sup = pq(s, d, "supplier")
+      DeltaTable.write(s, sup, dir)
+      val src = sup.filter("s_suppkey <= 60")
+        .unionByName(sup.filter("s_suppkey <= 5")
+          .withColumn("s_suppkey", col("s_suppkey") + 1000))
+      val t = DeltaTable.forPath(s, dir)
+      t.merge(src, "target.s_suppkey = source.s_suppkey")
+        .whenMatchedUpdate(Map("s_acctbal" -> "source.s_acctbal + 10"),
+          Some("source.s_suppkey <= 30"))
+        .whenMatchedDelete(Some("source.s_suppkey > 30"))
+        .whenNotMatchedInsertAll()
+        .execute()
+      t.toDF
+    }, Some(
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |       CASE WHEN s_suppkey <= 30 THEN s_acctbal + 10 ELSE s_acctbal END AS s_acctbal
+        |FROM supplier WHERE NOT (s_suppkey > 30 AND s_suppkey <= 60)
+        |UNION ALL
+        |SELECT s_suppkey + 1000, s_name, s_nationkey, s_acctbal
+        |FROM supplier WHERE s_suppkey <= 5""".stripMargin)),
+
+    // MERGE not-matched-by-source clauses (§2.6 row 30)
+    Entry("merge_by_source", (s, d) => {
+      val dir = tempDir("mrgs")
+      val n = pq(s, d, "nation")
+      DeltaTable.write(s, n, dir)
+      val t = DeltaTable.forPath(s, dir)
+      t.merge(n.filter("n_nationkey < 10"), "target.n_nationkey = source.n_nationkey")
+        .whenMatchedUpdate(Map("n_name" -> "concat(target.n_name, '!')"))
+        .whenNotMatchedBySourceDelete()
+        .execute()
+      t.toDF
+    }, Some(
+      """SELECT n_nationkey, concat(n_name, '!') AS n_name, n_regionkey
+        |FROM nation WHERE n_nationkey < 10""".stripMargin)))
+
+  // ---------------------------------------------------------- maintenance
+
+  private val maintenanceEntries = Seq(
+    // OPTIMIZE compact: many small files → few, data unchanged (§2.6 row 31)
+    Entry("optimize_compact", (s, d) => {
+      val dir = tempDir("opt")
+      val li = pq(s, d, "lineitem")
+      DeltaTable.write(s, li.filter("l_orderkey % 2 = 0").repartition(16), dir)
+      DeltaTable.write(s, li.filter("l_orderkey % 2 <> 0").repartition(16), dir, mode = "append")
+      val t = DeltaTable.forPath(s, dir)
+      t.optimizeCompact()
+      t.toDF
+    }, Some("SELECT * FROM lineitem")),
+
+    // OPTIMIZE Z-ORDER: clustering rewrite, data unchanged (§2.6 row 32)
+    Entry("optimize_zorder", (s, d) => {
+      val dir = tempDir("zo")
+      DeltaTable.write(s, pq(s, d, "lineitem").repartition(8), dir)
+      val t = DeltaTable.forPath(s, dir)
+      t.optimizeZOrder(Seq("l_partkey", "l_suppkey"))
+      t.toDF
+    }, Some("SELECT * FROM lineitem")),
+
+    // VACUUM: physically drops tombstoned files, live data intact (§2.6 row 33)
+    Entry("vacuum_op", (s, d) => {
+      val dir = tempDir("vac")
+      DeltaTable.write(s, pq(s, d, "orders").repartition(8), dir)
+      val t = DeltaTable.forPath(s, dir)
+      t.delete(Some("o_totalprice < 50000"))
+      t.vacuum(retentionHours = 0, dryRun = false, enforceRetention = false)
+      DeltaTable.forPath(s, dir).toDF
+    }, Some("SELECT * FROM orders WHERE NOT (o_totalprice < 50000)")),
+
+    // RESTORE to an earlier version (§2.6 row 34)
+    Entry("restore_op", (s, d) => {
+      val dir = tempDir("rst")
+      DeltaTable.write(s, pq(s, d, "nation"), dir)
+      val t = DeltaTable.forPath(s, dir)
+      t.delete(Some("n_nationkey >= 10"))
+      t.restore(0)
+      t.toDF
+    }, Some("SELECT * FROM nation")),
+
+    // FSCK: drop Adds whose files vanished (§2.6 row 35)
+    Entry("fsck_op", (s, d) => {
+      val dir = tempDir("fsck")
+      val n = pq(s, d, "nation")
+      DeltaTable.write(s, n.filter("n_nationkey < 15"), dir)
+      val t0 = DeltaTable.forPath(s, dir)
+      val before = t0.snapshot.allFiles.map(_.path).toSet
+      DeltaTable.write(s, n.filter("n_nationkey >= 15"), dir, mode = "append")
+      val t = DeltaTable.forPath(s, dir)
+      val snap = t.snapshot
+      val fs = t.tablePath.getFileSystem(s.sessionState.newHadoopConf())
+      snap.allFiles.filterNot(f => before.contains(f.path))
+        .foreach(f => fs.delete(snap.absolutePath(f.path), false))
+      t.fsck()
+      t.toDF
+    }, Some("SELECT * FROM nation WHERE n_nationkey < 15")),
+
+    // CHECK constraint DDL + write-path enforcement (§2.2 row 21, §2.6 row 38)
+    Entry("constraints_ddl", (s, d) => {
+      val dir = tempDir("con")
+      val r = pq(s, d, "region")
+      DeltaTable.write(s, r, dir)
+      val t = DeltaTable.forPath(s, dir)
+      t.addConstraint("r_nonneg", "r_regionkey >= 0")
+      val bad = r.limit(1).withColumn("r_regionkey", lit(-1))
+      try {
+        DeltaTable.write(s, bad, dir, mode = "append")
+        throw new IllegalStateException("constraint not enforced")
+      } catch { case _: ConstraintViolationException => () }
+      t.refresh()
+      t.toDF
+    }, Some("SELECT * FROM region")),
+
+    // CDF write path + read assembly (§2.6 rows 36,37)
+    Entry("cdf_read", (s, d) => {
+      val dir = tempDir("cdf")
+      DeltaTable.write(s, pq(s, d, "nation"), dir,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      val t = DeltaTable.forPath(s, dir)
+      t.delete(Some("n_nationkey >= 20"))
+      t.update(Map("n_name" -> expr("concat(n_name, '?')")), Some("n_nationkey < 3"))
+      t.loadCdf(0).drop("_commit_timestamp")
+    }, Some(
+      """SELECT n_nationkey, n_name, n_regionkey, 'insert' AS _change_type,
+        |       CAST(0 AS BIGINT) AS _commit_version
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'delete', 1 FROM nation WHERE n_nationkey >= 20
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'update_preimage', 2 FROM nation WHERE n_nationkey < 3
+        |UNION ALL
+        |SELECT n_nationkey, concat(n_name, '?'), n_regionkey, 'update_postimage', 2
+        |FROM nation WHERE n_nationkey < 3""".stripMargin)))
+
+  // -------------------------------------------------------- events / time
+
+  private val eventEntries = Seq(
+    Entry("events_hourly", (s, d) => {
+      eventsDeltaView(s, d)
+      // TIMESTAMP_NTZ so the parquet output is tz-naive like DuckDB's
+      s.sql(
+        """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ) AS hr, event_type, count(*) AS cnt,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(27,2)) AS total
+          |FROM events_delta GROUP BY 1, 2""".stripMargin)
+    }, Some(
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(27,2)) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    Entry("events_sessions", (s, d) => {
+      eventsDeltaView(s, d)
+      s.sql(
+        """SELECT user_id, CAST(1 + sum(newsess) AS BIGINT) AS n_sessions FROM (
+          |  SELECT user_id,
+          |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS newsess
+          |  FROM events_delta) g GROUP BY user_id""".stripMargin)
+    }, Some(
+      """SELECT user_id, CAST(1 + sum(newsess) AS BIGINT) AS n_sessions FROM (
+        |  SELECT user_id,
+        |         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+        |                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS newsess
+        |  FROM events) g GROUP BY user_id""".stripMargin)))
+
+  /** Delta copy of `events` with the nanosecond epoch converted to a proper
+    * timestamp column (Spark has no nanosecond timestamp type). */
+  private def eventsDeltaView(s: SparkSession, d: String): Unit = {
+    val dir = EntryCtx.shared2.getOrElseUpdate(s"$d#events_delta", {
+      val dd = tempDir("events")
+      val ev = pq(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      DeltaTable.write(s, ev.repartition(4), dd)
+      dd
+    })
+    DeltaTable.forPath(s, dir).toDF.createOrReplaceTempView("events_delta")
+  }
+
+  val entries: Seq[Entry] =
+    scanEntries ++ sqlEntries ++ writeEntries ++ dmlEntries ++
+      maintenanceEntries ++ eventEntries
+}

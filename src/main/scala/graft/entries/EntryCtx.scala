@@ -1,0 +1,66 @@
+package graft.entries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.table.DeltaTable
+
+/** One driver-contract query: a Spark implementation plus (optionally) the
+  * equivalent DuckDB SQL over the raw parquet tables. */
+case class Entry(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/**
+ * Shared context for the driver-contract entries ([[graft.SparkEntry]]).
+ * Read-only Delta copies of the testdata tables are built once per
+ * (sfDir, table) and reused across entries; mutating entries build their
+ * own throwaway table under a fresh temp dir.
+ */
+object EntryCtx {
+
+  private val shared = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Generic once-per-key cache for entry-built table paths. */
+  val shared2 = scala.collection.concurrent.TrieMap[String, String]()
+
+  def tempDir(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString + "/t"
+
+  /** Raw parquet input table. */
+  def pq(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark only reads via the
+    // nanos-as-long legacy mode; harmless for the other tables.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$table.parquet")
+  }
+
+  /** Path of a shared read-only Delta copy of `table` (built on first use,
+    * split into `nFiles` data files so pruning/compaction have structure). */
+  def sharedDelta(spark: SparkSession, sfDir: String, table: String,
+                  partitionBy: Seq[String] = Nil, nFiles: Int = 4): String =
+    shared.getOrElseUpdate(s"$sfDir#$table#${partitionBy.mkString(",")}", {
+      val dir = tempDir(table)
+      val df0 = pq(spark, sfDir, table)
+      val df = if (nFiles > 1 && partitionBy.isEmpty) df0.repartition(nFiles) else df0
+      DeltaTable.write(spark, df, dir, mode = "append", partitionBy = partitionBy)
+      dir
+    })
+
+  /** Register the shared Delta copy of `table` as a temp view named exactly
+    * like the oracle-side table, so one SQL text serves both engines. */
+  def deltaView(spark: SparkSession, sfDir: String, table: String): Unit = {
+    val t = DeltaTable.forPath(spark, sharedDelta(spark, sfDir, table))
+    t.toDF.createOrReplaceTempView(table)
+  }
+
+  /** Entry whose Spark side is `spark.sql(sql)` over Delta-backed temp views
+    * and whose oracle is the identical SQL text (shared-dialect subset). */
+  def sqlEntry(name: String, tables: Seq[String], sql: String): Entry =
+    Entry(name, (s, d) => {
+      tables.foreach(deltaView(s, d, _))
+      s.sql(sql)
+    }, Some(sql))
+}

@@ -1,0 +1,186 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.table.DeltaTable
+import EntryCtx._
+
+/**
+ * Driver-contract entries for the training-data-pipeline operators
+ * (dedup / similarity / multimodal / text analysis) over the `documents`
+ * and `embeddings` testdata tables, each with a DuckDB-expressible oracle
+ * where the semantics allow (hash-function-dependent ops get rows-only
+ * checks plus ScalaTest coverage).
+ */
+object LlmEntries {
+
+  /** documents with injected near-duplicates: every 10th doc reappears with
+    * a shifted id and three extra words — gives MinHash verification real
+    * positives whose expected answer DuckDB can recompute exactly. */
+  private def corpusWithNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = docsDelta(s, d).select("doc_id", "text")
+    val mut = docs.filter("doc_id % 10 = 0")
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text", concat(col("text"), lit(" zz extra token")))
+    docs.unionByName(mut)
+  }
+
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, text || ' zz extra token' FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  private def docsDelta(s: SparkSession, d: String): DataFrame =
+    DeltaTable.forPath(s, sharedDelta(s, d, "documents")).toDF
+
+  private def embDelta(s: SparkSession, d: String): DataFrame =
+    DeltaTable.forPath(s, sharedDelta(s, d, "embeddings")).toDF
+
+  /** DuckDB-side LSH bucket id: same hyperplanes, same sign rule. */
+  private def duckBucketExpr(vecExpr: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (h, p) =>
+      val lits = h.map(v => java.math.BigDecimal.valueOf(v).toPlainString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vecExpr, $lits) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val planes = Similarity.hyperplanes(nBits = 4, dim = 64)
+
+  val entries: Seq[Entry] = Seq(
+
+    // ---- text analysis ----------------------------------------------------
+
+    Entry("llm_textstats", (s, d) =>
+      TextOps.textStats(docsDelta(s, d), "doc_id", "text"),
+      Some(
+        """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          |       CAST(list_sum([CAST(ceil(length(w) / 4.0) AS BIGINT) FOR w IN string_split(text, ' ')]) AS BIGINT) AS n_tokens
+          |FROM documents""".stripMargin)),
+
+    Entry("llm_quality", (s, d) => {
+      val t = col("text")
+      docsDelta(s, d).select(col("doc_id"),
+        TextOps.meanWordLen(t).as("mean_word_len"),
+        TextOps.digitRatio(t).as("digit_ratio"))
+    }, Some(
+      """SELECT doc_id,
+        |       list_sum([CAST(length(w) AS DOUBLE) FOR w IN string_split(text, ' ')])
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+        |       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |         / CAST(length(text) AS DOUBLE) AS digit_ratio
+        |FROM documents""".stripMargin)),
+
+    Entry("llm_fingerprint", (s, d) =>
+      docsDelta(s, d).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp")),
+      Some(
+        """SELECT doc_id,
+          |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+          |FROM documents""".stripMargin)),
+
+    Entry("llm_langid", (s, d) =>
+      docsDelta(s, d).select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred")),
+      Some {
+        val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+        val scores = TextOps.langMarkers.map { case (lang, ms) =>
+          val list = ms.map(m => s"'$m'").mkString("(", ", ", ")")
+          lang -> s"len(list_filter(string_split($norm, ' '), w -> w IN $list))"
+        }
+        val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+        val cases = scores.map { case (lang, sc) =>
+          s"WHEN $sc = __best AND __best > 0 THEN '$lang'"
+        }.mkString(" ")
+        s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+           |FROM (SELECT doc_id, text, $best AS __best FROM documents) t""".stripMargin
+      }),
+
+    // ---- dedup ------------------------------------------------------------
+
+    Entry("llm_exact_dedup", (s, d) => {
+      val docs = docsDelta(s, d).select("doc_id", "text", "lang")
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.exactKeepMin(doubled, "doc_id", Seq("text")).select("doc_id", "lang")
+    }, Some("SELECT doc_id, lang FROM documents")),
+
+    Entry("llm_neardup_minhash", (s, d) =>
+      Dedup.minhashNearDups(corpusWithNearDups(s, d), "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 64, threshold = 0.5)
+        .select("id_a", "id_b"),
+      Some(
+        s"""WITH corpus AS ($corpusSql),
+           |sh AS (
+           |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS s
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) t
+           |),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |)
+           |SELECT id_a, id_b FROM pairs
+           |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5""".stripMargin)),
+
+    // hash-function-dependent fingerprints: rows-only contract check,
+    // exactness covered by LlmSpec
+    Entry("llm_neardup_simhash", (s, d) =>
+      Dedup.simhashNearDups(corpusWithNearDups(s, d), "doc_id", "text"),
+      None),
+
+    // ---- similarity search ------------------------------------------------
+
+    Entry("llm_ann_topk", (s, d) => {
+      val emb = embDelta(s, d)
+      Similarity.cosineTopK(emb, emb.filter("vec_id < 8"), "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id", "rnk")
+    }, Some(
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (
+        |  SELECT qid, vec_id,
+        |         list_dot_product(qv, cv) /
+        |         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM q, c WHERE vec_id <> qid)
+        |SELECT qid AS query_id, vec_id AS neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        |FROM s QUALIFY rnk <= 10""".stripMargin)),
+
+    Entry("llm_ann_lsh", (s, d) => {
+      val emb = embDelta(s, d)
+      Similarity.lshTopK(emb, emb.filter("vec_id < 8"), "vec_id", "embedding",
+        k = 10, nBits = 4, dim = 64)
+        .select("query_id", "neighbor_id", "rnk")
+    }, Some {
+      val bucket = duckBucketExpr("v", planes)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 8),
+         |s AS (
+         |  SELECT q.qid, b.vec_id,
+         |         list_dot_product(q.qv, b.v) /
+         |         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+         |  FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.qid)
+         |SELECT qid AS query_id, vec_id AS neighbor_id,
+         |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+         |FROM s QUALIFY rnk <= 10""".stripMargin
+    }),
+
+    // ---- multimodal binary columns ----------------------------------------
+
+    Entry("llm_multimodal_meta", (s, d) => {
+      val withP = Multimodal.withPayload(docsDelta(s, d), "text")
+      Multimodal.payloadMeta(withP, "doc_id", "payload")
+    }, Some(
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS digest
+        |FROM documents""".stripMargin)),
+
+    // mapPartitions batch transform with a stubbed codec: rows-only check
+    Entry("llm_multimodal_features", (s, d) => {
+      val withP = Multimodal.withPayload(docsDelta(s, d), "text")
+      Multimodal.extractFeatures(withP, "doc_id", "payload", dim = 8)
+    }, None))
+}

@@ -19,6 +19,14 @@ object Checkpoints {
 
   private val strMap = MapType(StringType, StringType, valueContainsNull = true)
 
+  val dvType: StructType = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)
+  ))
+
   val addType: StructType = StructType(Seq(
     StructField("path", StringType),
     StructField("partitionValues", strMap),
@@ -26,7 +34,11 @@ object Checkpoints {
     StructField("modificationTime", LongType),
     StructField("dataChange", BooleanType),
     StructField("stats", StringType),
-    StructField("tags", strMap)
+    StructField("tags", strMap),
+    StructField("deletionVector", dvType),
+    StructField("baseRowId", LongType),
+    StructField("defaultRowCommitVersion", LongType),
+    StructField("clusteringProvider", StringType)
   ))
 
   val removeType: StructType = StructType(Seq(
@@ -35,7 +47,14 @@ object Checkpoints {
     StructField("dataChange", BooleanType),
     StructField("extendedFileMetadata", BooleanType),
     StructField("partitionValues", strMap),
-    StructField("size", LongType)
+    StructField("size", LongType),
+    StructField("deletionVector", dvType)
+  ))
+
+  val domainMetadataType: StructType = StructType(Seq(
+    StructField("domain", StringType),
+    StructField("configuration", StringType),
+    StructField("removed", BooleanType)
   ))
 
   val metadataType: StructType = StructType(Seq(
@@ -67,17 +86,26 @@ object Checkpoints {
     StructField("add", addType),
     StructField("remove", removeType),
     StructField("metaData", metadataType),
-    StructField("protocol", protocolType)
+    StructField("protocol", protocolType),
+    StructField("domainMetadata", domainMetadataType)
   ))
+
+  private def dvRow(dv: DeletionVectorDescriptor): Row =
+    Row(dv.storageType, dv.pathOrInlineDv, dv.offset.map(Int.box).orNull,
+      dv.sizeInBytes, dv.cardinality)
 
   private def addRow(f: AddFile): Row =
     Row(f.path, f.partitionValues, f.size, f.modificationTime, f.dataChange,
-      f.stats.orNull, f.tags.orNull)
+      f.stats.orNull, f.tags.orNull, f.deletionVector.map(dvRow).orNull,
+      f.baseRowId.map(Long.box).orNull,
+      f.defaultRowCommitVersion.map(Long.box).orNull,
+      f.clusteringProvider.orNull)
 
   private def removeRow(r: RemoveFile): Row =
     Row(r.path, r.deletionTimestamp.map(Long.box).orNull, r.dataChange,
       r.extendedFileMetadata.map(Boolean.box).orNull,
-      r.partitionValues.orNull, r.size.map(Long.box).orNull)
+      r.partitionValues.orNull, r.size.map(Long.box).orNull,
+      r.deletionVector.map(dvRow).orNull)
 
   /** Write the checkpoint for `snapshot` plus the `_last_checkpoint` hint. */
   def write(spark: SparkSession, logPath: Path, snapshot: Snapshot, store: LogStore): Unit = {
@@ -87,12 +115,14 @@ object Checkpoints {
         Row(m.id, m.name.orNull, m.description.orNull,
           Row(m.format.provider, m.format.options), m.schemaString,
           m.partitionColumns, m.configuration, m.createdTime.map(Long.box).orNull),
-        null)) ++
+        null, null)) ++
       Seq(Row(null, null, null, null,
-        Row(snapshot.protocol.minReaderVersion, snapshot.protocol.minWriterVersion))) ++
-      snapshot.txns.toSeq.map { case (app, v) => Row(Row(app, v, null), null, null, null, null) } ++
-      snapshot.allFiles.map(f => Row(null, addRow(f), null, null, null)) ++
-      snapshot.tombstones.map(r => Row(null, null, removeRow(r), null, null))
+        Row(snapshot.protocol.minReaderVersion, snapshot.protocol.minWriterVersion), null)) ++
+      snapshot.txns.toSeq.map { case (app, v) => Row(Row(app, v, null), null, null, null, null, null) } ++
+      snapshot.allFiles.map(f => Row(null, addRow(f), null, null, null, null)) ++
+      snapshot.tombstones.map(r => Row(null, null, removeRow(r), null, null, null)) ++
+      snapshot.domains.values.toSeq.map(d =>
+        Row(null, null, null, null, null, Row(d.domain, d.configuration, d.removed)))
 
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, rows.size / 50000)),
@@ -124,6 +154,17 @@ object Checkpoints {
       def mapOf(r: Row, i: Int): Map[String, String] =
         if (r.isNullAt(i)) Map.empty
         else r.getMap[String, String](i).toMap
+      def dvOf(r: Row, i: Int): Option[DeletionVectorDescriptor] =
+        if (r.length <= i || r.isNullAt(i)) None
+        else {
+          val d = r.getStruct(i)
+          Some(DeletionVectorDescriptor(
+            storageType = d.getString(0),
+            pathOrInlineDv = d.getString(1),
+            offset = if (d.isNullAt(2)) None else Some(d.getInt(2)),
+            sizeInBytes = if (d.isNullAt(3)) 0 else d.getInt(3),
+            cardinality = if (d.isNullAt(4)) 0L else d.getLong(4)))
+        }
       if (!row.isNullAt(1)) {
         val a = row.getStruct(1)
         Some(AddFile(
@@ -133,7 +174,11 @@ object Checkpoints {
           modificationTime = if (a.isNullAt(3)) 0L else a.getLong(3),
           dataChange = if (a.isNullAt(4)) true else a.getBoolean(4),
           stats = Option(a.getString(5)),
-          tags = if (a.isNullAt(6)) None else Some(a.getMap[String, String](6).toMap)))
+          tags = if (a.isNullAt(6)) None else Some(a.getMap[String, String](6).toMap),
+          deletionVector = dvOf(a, 7),
+          baseRowId = if (a.isNullAt(8)) None else Some(a.getLong(8)),
+          defaultRowCommitVersion = if (a.isNullAt(9)) None else Some(a.getLong(9)),
+          clusteringProvider = Option(a.getString(10))))
       } else if (!row.isNullAt(2)) {
         val r = row.getStruct(2)
         Some(RemoveFile(
@@ -142,7 +187,8 @@ object Checkpoints {
           dataChange = if (r.isNullAt(2)) true else r.getBoolean(2),
           extendedFileMetadata = if (r.isNullAt(3)) None else Some(r.getBoolean(3)),
           partitionValues = if (r.isNullAt(4)) None else Some(r.getMap[String, String](4).toMap),
-          size = if (r.isNullAt(5)) None else Some(r.getLong(5))))
+          size = if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          deletionVector = dvOf(r, 6)))
       } else if (!row.isNullAt(3)) {
         val m = row.getStruct(3)
         val fmt = m.getStruct(3)
@@ -162,6 +208,10 @@ object Checkpoints {
         val t = row.getStruct(0)
         Some(SetTransaction(t.getString(0), t.getLong(1),
           if (t.isNullAt(2)) None else Some(t.getLong(2))))
+      } else if (row.length > 5 && !row.isNullAt(5)) {
+        val d = row.getStruct(5)
+        Some(DomainMetadata(d.getString(0), d.getString(1),
+          if (d.isNullAt(2)) false else d.getBoolean(2)))
       } else None
     }
   }

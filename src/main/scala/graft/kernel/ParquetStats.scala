@@ -97,7 +97,10 @@ object ParquetStats {
           }
         }
       }
-      broken.foreach { c => mins.remove(c); maxs.remove(c) }
+      // a column with any statless/undecodable row-group must drop nullCount
+      // too: a partial sum (e.g. 0) would make IsNull pruning wrongly skip
+      // files that do contain nulls (ADVICE r1)
+      broken.foreach { c => mins.remove(c); maxs.remove(c); nulls.remove(c) }
 
       val minJ = JObject(mins.toList.sortBy(_._1).map { case (k, v) => k -> toJValue(v, isMax = false) }
         .collect { case (k, Some(j)) => k -> j })

@@ -1,0 +1,87 @@
+package graft.kernel
+
+class DeltaProtocolException(msg: String) extends RuntimeException(msg)
+
+/**
+ * Reader/writer protocol gate — the Spark-side port of delta-rs
+ * `ProtocolChecker` (`crates/core/src/kernel/transaction/protocol.rs`,
+ * `can_read_from` :187). Without this gate a table written by another engine
+ * with deletion vectors or column mapping would *silently return wrong
+ * rows*; refusing loudly is a correctness feature, not a limitation.
+ *
+ * Support matrix (what this engine actually implements):
+ *  - reader v1: plain tables — full support;
+ *  - reader v2: column mapping possible — allowed only while
+ *    `delta.columnMapping.mode` is unset/none;
+ *  - reader v3: allowed iff every `readerFeatures` entry is in
+ *    [[supportedReaderFeatures]]; deletionVectors is accepted at snapshot
+ *    level but any file that actually carries a DV is refused at scan time
+ *    ([[checkScanFiles]]) until a DV reader lands;
+ *  - writer v≤4: invariants / CHECK constraints / CDF / generated columns
+ *    are all enforced by our write path;
+ *  - writer v5/6 (column mapping, identity columns): refused when in use;
+ *  - writer v7: allowed iff every `writerFeatures` entry is in
+ *    [[supportedWriterFeatures]].
+ */
+object ProtocolGate {
+
+  val supportedReaderFeatures: Set[String] =
+    Set("timestampNtz", "deletionVectors", "vacuumProtocolCheck")
+
+  val supportedWriterFeatures: Set[String] =
+    Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+      "generatedColumns", "timestampNtz", "domainMetadata",
+      "vacuumProtocolCheck", "deletionVectors")
+
+  private def columnMappingMode(m: Metadata): String =
+    m.configuration.getOrElse("delta.columnMapping.mode", "none").trim.toLowerCase
+
+  /** Gate every snapshot materialization (read side). */
+  def checkRead(protocol: Protocol, metadata: Metadata): Unit = {
+    if (protocol.minReaderVersion > 3)
+      throw new DeltaProtocolException(
+        s"Unsupported minReaderVersion ${protocol.minReaderVersion} (max supported: 3)")
+    if (protocol.minReaderVersion == 3) {
+      val missing = protocol.readerFeatures.getOrElse(Nil).toSet -- supportedReaderFeatures
+      if (missing.nonEmpty)
+        throw new DeltaProtocolException(
+          s"Unsupported reader features: ${missing.mkString(", ")} " +
+          s"(supported: ${supportedReaderFeatures.mkString(", ")})")
+    }
+    if (columnMappingMode(metadata) != "none")
+      throw new DeltaProtocolException(
+        s"Column mapping mode '${columnMappingMode(metadata)}' is not supported " +
+        "— reading would misinterpret every column")
+  }
+
+  /** Gate every commit (write side). */
+  def checkWrite(protocol: Protocol, metadata: Metadata): Unit = {
+    checkRead(protocol, metadata)
+    if (protocol.minWriterVersion > 7)
+      throw new DeltaProtocolException(
+        s"Unsupported minWriterVersion ${protocol.minWriterVersion} (max supported: 7)")
+    if (protocol.minWriterVersion == 7) {
+      val missing = protocol.writerFeatures.getOrElse(Nil).toSet -- supportedWriterFeatures
+      if (missing.nonEmpty)
+        throw new DeltaProtocolException(
+          s"Unsupported writer features: ${missing.mkString(", ")} " +
+          s"(supported: ${supportedWriterFeatures.mkString(", ")})")
+    }
+  }
+
+  /** Refuse to scan files whose rows are masked by a deletion vector — until
+    * a roaring-bitmap DV reader exists, returning them would resurrect
+    * deleted rows (next/scan/exec.rs:63-150 applies these masks). */
+  def checkScanFiles(files: Seq[AddFile]): Unit =
+    files.find(f => f.deletionVector.exists(_.cardinality > 0)).foreach { f =>
+      throw new DeltaProtocolException(
+        s"File ${f.path} carries a deletion vector; DV-masked scans are not " +
+        "supported yet and reading the raw file would return deleted rows")
+    }
+
+  /** delta.appendOnly enforcement (writer feature / table property). */
+  def checkAppendOnly(snapshot: Snapshot, op: String): Unit =
+    if (snapshot.confBool("delta.appendOnly"))
+      throw new DeltaProtocolException(
+        s"Table is append-only (delta.appendOnly=true): $op is not allowed")
+}

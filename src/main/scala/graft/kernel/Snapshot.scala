@@ -155,6 +155,9 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     toReplay.foreach(cv => readCommit(cv).foreach(apply))
 
     require(metadata != null, s"No metaData action found replaying to version $v")
+    // refuse tables whose protocol/features we cannot read correctly
+    // (delta-rs ProtocolChecker::can_read_from, transaction/protocol.rs:187)
+    ProtocolGate.checkRead(protocol, metadata)
     val ts = versions.find(_._1 == v).map(_._2).getOrElse(0L)
     Snapshot(tablePath.toString, v, protocol, metadata,
       adds.values.toVector, removes.values.toVector, txns.toMap, domains.toMap, ts)

@@ -275,10 +275,21 @@ object StatsPruning {
         }
 
       case Not(child) =>
-        // exact negation only safe for partition-column predicates
+        // Exact negation is only safe for partition-column predicates AND
+        // only where SQL three-valued logic collapses to two values. A
+        // comparison against a NULL partition value evaluates to NULL (we
+        // report it as "no match", Some(false)) — negating that would turn
+        // "unknown" into "provably true" and let DELETE/replaceWhere drop
+        // whole files whose rows the predicate does NOT match (ADVICE r1).
+        // Null-safe operators (IS [NOT] NULL, <=>) are genuinely 2-valued
+        // and stay negatable even with NULL partition values.
         attrsOf(child) match {
           case attrs if attrs.nonEmpty && attrs.forall(partCols.contains) =>
-            eval(schema, partCols, child, fv).map(!_)
+            val anyNullPart = attrs.exists(c => fv.partitionValues.get(c).contains(null))
+            val nullSafe = child.isInstanceOf[IsNull] ||
+              child.isInstanceOf[IsNotNull] || child.isInstanceOf[EqualNullSafe]
+            if (anyNullPart && !nullSafe) None
+            else eval(schema, partCols, child, fv).map(!_)
           case _ => None
         }
 
@@ -289,7 +300,26 @@ object StatsPruning {
           case _ => None
         })
 
-      case EqualNullSafe(l, r) => eval(schema, partCols, EqualTo(l, r), fv)
+      case EqualNullSafe(l, r) =>
+        // `c <=> lit` matches NULLs when lit is NULL — do NOT delegate to
+        // EqualTo's null-rejecting semantics (ADVICE r1: scanWhere silently
+        // dropped null-partition files).
+        colLit(l, r) match {
+          case Some((c, lit, _)) =>
+            val litIsNull = lit.value == null
+            if (isPart(c)) {
+              fv.partitionValues.get(c) match {
+                case Some(null) => Some(litIsNull)
+                case Some(v) =>
+                  if (litIsNull) Some(false)
+                  else litCmp(lit).flatMap(lv => compare(v, lv)).map(_ == 0)
+                case None => None
+              }
+            } else if (litIsNull) {
+              fv.stats.flatMap(s => s.nullCount.get(c).map(_ > 0))
+            } else eval(schema, partCols, EqualTo(l, r), fv)
+          case None => None
+        }
 
       case LessThan(l, r) =>
         colLit(l, r) match {

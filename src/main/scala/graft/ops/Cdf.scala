@@ -26,6 +26,14 @@ object CdfRead {
     val log = table.deltaLog
     val end = endingVersion.getOrElse(log.latestVersion())
     val snapshot = table.snapshot
+    // Change data is only well-defined while `delta.enableChangeDataFeed`
+    // is set: without it DML rewrites carry no CDC files and synthesizing
+    // legs from add/remove actions would misreport rescued rows as changes
+    // (delta-rs load_cdf errors outside enabled ranges).
+    if (!Dml.cdcEnabled(snapshot))
+      throw new IllegalStateException(
+        "Change Data Feed is not enabled on this table " +
+        "(set delta.enableChangeDataFeed=true before the requested range)")
     val schema = snapshot.schema
     val partCols = snapshot.partitionColumns
 

@@ -79,6 +79,7 @@ object DeleteOp {
     val spark = table.spark
     val t0 = System.nanoTime()
     val snapshot = table.refresh()
+    ProtocolGate.checkAppendOnly(snapshot, "DELETE")
     val meta = snapshot.metadata
     val txn = table.startTransaction()
     val now = System.currentTimeMillis()
@@ -170,6 +171,7 @@ object UpdateOp {
     val spark = table.spark
     val t0 = System.nanoTime()
     val snapshot = table.refresh()
+    ProtocolGate.checkAppendOnly(snapshot, "UPDATE")
     val meta = snapshot.metadata
     val nIdx = WriteIntoDelta.numIndexedCols(meta)
     require(set.nonEmpty, "UPDATE requires at least one SET column")

@@ -47,7 +47,14 @@ object VacuumOp {
         val name = st.getPath.getName
         val childRel = if (rel.isEmpty) name else s"$rel/$name"
         if (st.isDirectory) {
-          if (name != LogStore.LOG_DIR && !name.startsWith(".tmp_")) walk(st.getPath, childRel)
+          // skip hidden dirs and all `_`-prefixed dirs (delta-spark
+          // semantics) EXCEPT `_change_data`, whose CDC files are
+          // log-tracked and must age out like data files — otherwise
+          // `_symlink_format_manifest/manifest` files (no `_` prefix on the
+          // file itself) would be vacuumed away
+          val vacuumable = name == Dml.CDC_DIR ||
+            (!name.startsWith("_") && !name.startsWith(".") && !name.startsWith(".tmp_"))
+          if (vacuumable) walk(st.getPath, childRel)
         } else if (!name.startsWith(".") && !name.startsWith("_")) {
           val tracked = live.contains(childRel) || recentTombstones.contains(childRel)
           if (!tracked && st.getModificationTime < cutoff) candidates += childRel
@@ -80,6 +87,7 @@ object VacuumOp {
 object RestoreOp {
   def run(table: DeltaTable, version: Long): Map[String, String] = {
     val current = table.refresh()
+    ProtocolGate.checkAppendOnly(current, "RESTORE")
     val target = table.deltaLog.snapshotAt(version)
     val currentPaths = current.allFiles.map(_.path).toSet
     val targetPaths = target.allFiles.map(_.path).toSet

@@ -86,6 +86,8 @@ object MergeOp {
     val spark = table.spark
     val t0 = System.nanoTime()
     val snapshot = table.refresh()
+    if (clauses.exists(c => !(c.isInstanceOf[NotMatchedInsert] || c.isInstanceOf[NotMatchedInsertAll])))
+      ProtocolGate.checkAppendOnly(snapshot, "MERGE with update/delete clauses")
     val schema = snapshot.schema
     val nIdx = WriteIntoDelta.numIndexedCols(snapshot.metadata)
     val txn = table.startTransaction()
@@ -119,9 +121,15 @@ object MergeOp {
     txn.readFile(candidates.map(_.path))
 
     // ---- single full-outer join ----
+    // num_source_rows is observed on the source scan BEFORE the join — a
+    // post-join count would be inflated by duplicate target matches
+    // (delta-rs treats metric values as contract, benchmarks/src/merge.rs:77-111)
+    val srcObs = new org.apache.spark.sql.Observation(
+      s"merge_src_${java.util.UUID.randomUUID.toString.take(8)}")
     val tgt = Scan.readFiles(spark, snapshot, candidates, withFileIdentity = true)
       .withColumn("__tgt", lit(true))
-    val src = source.withColumn("__src", lit(true))
+    val src = source.observe(srcObs, count(lit(1)).as("n"))
+      .withColumn("__src", lit(true))
     val joined = src.alias("source")
       .join(tgt.alias("target"), expr(condition), "full_outer")
 
@@ -150,7 +158,16 @@ object MergeOp {
       }
     }
 
+    // per-op row counts are observed during the persist-materializing first
+    // action (MetricObserverExec-style, delta_datafusion/physical.rs) — no
+    // dedicated counting pass over the join
+    val opObs = new org.apache.spark.sql.Observation(
+      s"merge_ops_${java.util.UUID.randomUUID.toString.take(8)}")
+    val opCountAggs = indexed.map { case (_, i) =>
+      sum(when(col("__op") === i, 1L).otherwise(0L)).as(s"op_$i")
+    }
     val withOp = joined.withColumn("__op", opCol)
+      .observe(opObs, opCountAggs.head, opCountAggs.tail: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
@@ -230,10 +247,17 @@ object MergeOp {
           snapshot.partitionColumns, nIdx)
 
       // ---- metrics (names from merge/mod.rs:677 MergeMetrics) ----
-      val opCounts = withOp.groupBy(col("__op")).count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // Both observations fired during the first action that materialized
+      // the persisted join (every clause type forces at least one: the
+      // dup-check count, the changed-file collect, or the output write).
+      def obsLong(v: Any): Long = v match {
+        case null => 0L // sum() over an empty input observes NULL
+        case n: java.lang.Number => n.longValue
+      }
+      val opRow = opObs.get
+      val opCounts = indexed.map { case (_, i) => i -> obsLong(opRow(s"op_$i")) }.toMap
       def countOf(ids: Set[Int]): Long = ids.toSeq.map(i => opCounts.getOrElse(i, 0L)).sum
-      val numSourceRows = withOp.filter(col("__src").isNotNull).count()
+      val numSourceRows = obsLong(srcObs.get("n"))
       val updateOps = indexed.collect {
         case (_: MatchedUpdate, i) => i; case (_: MatchedUpdateAll, i) => i
         case (_: NotMatchedBySourceUpdate, i) => i

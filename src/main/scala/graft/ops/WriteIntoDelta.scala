@@ -47,6 +47,7 @@ object WriteIntoDelta {
 
     val table = DeltaTable.forPath(spark, path)
     val snapshot = table.snapshot
+    if (m == "overwrite") ProtocolGate.checkAppendOnly(snapshot, "overwrite")
     val meta = snapshot.metadata
     val partCols = meta.partitionColumns
     require(partitionBy.isEmpty || partitionBy == partCols,

@@ -52,10 +52,6 @@ object DeltaWriter {
       optimizeWrite: Boolean = false,
       pathPrefix: String = ""): Seq[AddFile] = {
 
-    // Delta requires µs timestamps in parquet (normalize_for_delta,
-    // kernel/schema/cast/mod.rs:325); INT96 would also break footer stats.
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-
     val fs = tablePath.getFileSystem(spark.sessionState.newHadoopConf())
     val staging = new Path(tablePath, s".tmp_write_${UUID.randomUUID().toString.take(12)}")
 
@@ -64,9 +60,23 @@ object DeltaWriter {
         df.repartition(partitionColumns.map(col): _*)
       else df
 
-    val writer = toWrite.write.mode("overwrite")
-    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
-      .parquet(staging.toString)
+    // Delta requires µs timestamps in parquet (normalize_for_delta,
+    // kernel/schema/cast/mod.rs:325); INT96 would also break footer stats.
+    // The knob is session-level (no per-write parquet option exists), so
+    // scope the override to this write and restore the user's value after.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      val writer = toWrite.write.mode("overwrite")
+      (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
+        .parquet(staging.toString)
+    } finally {
+      prevTs match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None => spark.conf.unset(tsKey)
+      }
+    }
 
     // Collect written part-files (recursive; partition dirs in between)
     val files = scala.collection.mutable.ArrayBuffer[(Path, Seq[(String, String)])]()
@@ -145,16 +155,48 @@ object DeltaWriter {
     df.select(cols: _*)
   }
 
-  /** Delta-style schema merge for `mergeSchema` writes — field-level union,
-    * existing field types win unless safely widenable
-    * (merge_arrow_schema, kernel/schema/cast/merge_schema.rs:296). */
+  /** Can a value of `from` be cast to `to` without losing information?
+    * (The safe-cast lattice of kernel/schema/cast/merge_schema.rs:125.) */
+  private def safelyCastable(from: org.apache.spark.sql.types.DataType,
+                             to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, FloatType | DoubleType) => true
+      case (LongType, DoubleType) => false // precision loss beyond 2^53
+      case (a: DecimalType, b: DecimalType) =>
+        b.precision - b.scale >= a.precision - a.scale && b.scale >= a.scale
+      case (ArrayType(ae, an), ArrayType(be, bn)) =>
+        (bn || !an) && safelyCastable(ae, be)
+      case (a: StructType, b: StructType) =>
+        a.length == b.length && a.fields.zip(b.fields).forall { case (x, y) =>
+          x.name.equalsIgnoreCase(y.name) && safelyCastable(x.dataType, y.dataType)
+        }
+      case _ => false
+    }
+  }
+
+  /** Delta-style schema merge for `mergeSchema` writes — field-level union
+    * (merge_arrow_schema, kernel/schema/cast/merge_schema.rs:296). The table
+    * type wins when the incoming type safely upcasts to it; the table column
+    * is widened when the existing type safely upcasts to the incoming one;
+    * anything else (narrowing, incompatible) errors rather than silently
+    * truncating at write time (merge_schema.rs:125 semantics). */
   def mergeSchemas(table: StructType, incoming: StructType): StructType = {
     val existing = table.map(f => f.name.toLowerCase -> f).toMap
     val merged = table.map { tf =>
       incoming.find(_.name.equalsIgnoreCase(tf.name)) match {
         case Some(inF) if tf.dataType != inF.dataType =>
-          // keep table type; runtime cast handles widening
-          tf
+          if (safelyCastable(inF.dataType, tf.dataType)) tf
+          else if (safelyCastable(tf.dataType, inF.dataType))
+            tf.copy(dataType = inF.dataType)
+          else throw new IllegalArgumentException(
+            s"Cannot merge schemas: column ${tf.name} has incompatible types " +
+            s"${tf.dataType.simpleString} (table) vs ${inF.dataType.simpleString} (data)")
         case _ => tf
       }
     } ++ incoming.filterNot(f => existing.contains(f.name.toLowerCase))

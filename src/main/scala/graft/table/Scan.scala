@@ -47,6 +47,8 @@ object Scan {
       snapshot: Snapshot,
       files: Seq[AddFile],
       withFileIdentity: Boolean = false): DataFrame = {
+    // files masked by deletion vectors cannot be read raw — refuse loudly
+    graft.kernel.ProtocolGate.checkScanFiles(files)
     val schema = snapshot.schema
     val partCols = snapshot.partitionColumns
     if (files.isEmpty) {

@@ -1,0 +1,272 @@
+package graft.kernel
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.CRC32
+
+import org.apache.hadoop.fs.Path
+
+/**
+ * Deletion-vector decoding per the public Delta protocol spec
+ * ("Deletion Vector Format" in delta-io PROTOCOL.md; descriptor shape
+ * mirrored from `crates/core/src/kernel/models/actions.rs:883-913`):
+ *
+ *  - descriptor storageType `u` = relative file (pathOrInlineDv is
+ *    `<prefix><z85 uuid>`), `i` = inline z85 bytes, `p` = absolute path;
+ *  - on-disk file: version byte 1, then per-DV `[int32 BE size][data]
+ *    [int32 BE crc32(data)]` with `offset` pointing at the size field;
+ *  - data: int32 LE magic 1681511377, then a 64-bit RoaringBitmapArray:
+ *    int64 LE bitmap count, then per 32-bit key a standard-format
+ *    serialized RoaringBitmap (RoaringFormatSpec: cookies 12346/12347,
+ *    array/bitset/run containers).
+ *
+ * The decoder returns deleted row indexes; [[serializeRoaring]] writes the
+ * same format (array/bitset containers) for DV-table fixtures and tests.
+ */
+/** Spellings under which Spark's `_metadata.file_path` / `input_file_name`
+  * may report a path — used to key driver-built maps joined against scans. */
+object PathKeys {
+  def variants(p: Path): Seq[String] = {
+    val uri = p.toUri
+    val decoded = uri.getPath
+    val encoded = try new java.net.URI(null, null, decoded, null).getRawPath
+      catch { case _: Exception => decoded }
+    Seq(p.toString, uri.toString, decoded, encoded,
+      "file:" + encoded, "file://" + encoded, "file:" + decoded).distinct
+  }
+}
+
+object DeletionVectors {
+
+  val MAGIC = 1681511377
+
+  private val Z85_CHARS =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val z85Decode: Array[Int] = {
+    val d = Array.fill(128)(-1)
+    Z85_CHARS.zipWithIndex.foreach { case (c, i) => d(c.toInt) = i }
+    d
+  }
+
+  def z85ToBytes(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"z85 length must be a multiple of 5: ${s.length}")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    while (i < s.length) {
+      var v = 0L
+      (0 until 5).foreach { j =>
+        val c = s.charAt(i + j)
+        val d = if (c < 128) z85Decode(c.toInt) else -1
+        require(d >= 0, s"invalid z85 char '$c'")
+        v = v * 85 + d
+      }
+      val o = i / 5 * 4
+      out(o) = ((v >>> 24) & 0xFF).toByte
+      out(o + 1) = ((v >>> 16) & 0xFF).toByte
+      out(o + 2) = ((v >>> 8) & 0xFF).toByte
+      out(o + 3) = (v & 0xFF).toByte
+      i += 5
+    }
+    out
+  }
+
+  def bytesToZ85(b: Array[Byte]): String = {
+    require(b.length % 4 == 0)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < b.length) {
+      var v = ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+        ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+      val chunk = new Array[Char](5)
+      (4 to 0 by -1).foreach { j => chunk(j) = Z85_CHARS((v % 85).toInt); v /= 85 }
+      sb.appendAll(chunk)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** Absolute storage location of a descriptor, if not inline. */
+  def dvPath(tablePath: Path, dv: DeletionVectorDescriptor): Option[Path] =
+    dv.storageType match {
+      case "p" => Some(new Path(dv.pathOrInlineDv))
+      case "u" =>
+        val s = dv.pathOrInlineDv
+        val prefix = s.dropRight(20)
+        val uuidBytes = z85ToBytes(s.takeRight(20))
+        val bb = ByteBuffer.wrap(uuidBytes)
+        val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+        val name = s"deletion_vector_$uuid.bin"
+        Some(if (prefix.isEmpty) new Path(tablePath, name)
+        else new Path(new Path(tablePath, prefix), name))
+      case _ => None
+    }
+
+  /** Deleted row indexes of one descriptor (sorted ascending). */
+  def read(tablePath: Path, dv: DeletionVectorDescriptor,
+           conf: org.apache.hadoop.conf.Configuration): Array[Long] = {
+    val data: Array[Byte] = dv.storageType match {
+      case "i" => z85ToBytes(dv.pathOrInlineDv)
+      case "u" | "p" =>
+        val p = dvPath(tablePath, dv).get
+        val fs = p.getFileSystem(conf)
+        val in = fs.open(p)
+        try {
+          val offset = dv.offset.getOrElse(1) // past the version byte
+          in.seek(offset.toLong)
+          val size = in.readInt() // BE length
+          require(size == dv.sizeInBytes,
+            s"DV size mismatch: file says $size, descriptor says ${dv.sizeInBytes}")
+          val buf = new Array[Byte](size)
+          in.readFully(buf)
+          val crcStored = in.readInt()
+          val crc = new CRC32; crc.update(buf)
+          require(crcStored == crc.getValue.toInt,
+            s"DV checksum mismatch in $p at offset $offset")
+          buf
+        } finally in.close()
+      case other => throw new IllegalArgumentException(s"Unknown DV storageType: $other")
+    }
+    decodeRoaringArray(data)
+  }
+
+  /** Decode magic-prefixed 64-bit RoaringBitmapArray data → sorted indexes. */
+  def decodeRoaringArray(data: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt
+    require(magic == MAGIC, s"Bad DV magic: $magic")
+    val nBitmaps = bb.getLong
+    val out = Array.newBuilder[Long]
+    (0L until nBitmaps).foreach { high =>
+      val values = decodeRoaring32(bb)
+      values.foreach(v => out += (high << 32) | (v & 0xFFFFFFFFL))
+    }
+    out.result()
+  }
+
+  private val SERIAL_COOKIE_NO_RUN = 12346
+  private val SERIAL_COOKIE = 12347
+  private val NO_OFFSET_THRESHOLD = 4
+
+  /** Decode one standard-format 32-bit roaring bitmap from `bb` (LE),
+    * advancing the buffer. Returns unsigned int values as Ints. */
+  private def decodeRoaring32(bb: ByteBuffer): Array[Int] = {
+    val cookie = bb.getInt
+    val (nContainers, runBitmap): (Int, Array[Byte]) =
+      if ((cookie & 0xFFFF) == SERIAL_COOKIE) {
+        val n = (cookie >>> 16) + 1
+        val bytes = new Array[Byte]((n + 7) / 8)
+        bb.get(bytes)
+        (n, bytes)
+      } else if (cookie == SERIAL_COOKIE_NO_RUN) {
+        (bb.getInt, null)
+      } else throw new IllegalArgumentException(s"Bad roaring cookie: $cookie")
+
+    def isRun(i: Int): Boolean =
+      runBitmap != null && ((runBitmap(i / 8) & (1 << (i % 8))) != 0)
+
+    val keys = new Array[Int](nContainers)
+    val cards = new Array[Int](nContainers)
+    (0 until nContainers).foreach { i =>
+      keys(i) = bb.getShort & 0xFFFF
+      cards(i) = (bb.getShort & 0xFFFF) + 1
+    }
+    // offset header present for no-run cookie or many containers
+    if (runBitmap == null || nContainers >= NO_OFFSET_THRESHOLD)
+      (0 until nContainers).foreach(_ => bb.getInt)
+
+    val out = Array.newBuilder[Int]
+    (0 until nContainers).foreach { i =>
+      val base = keys(i) << 16
+      if (isRun(i)) {
+        val nRuns = bb.getShort & 0xFFFF
+        (0 until nRuns).foreach { _ =>
+          val start = bb.getShort & 0xFFFF
+          val len = bb.getShort & 0xFFFF
+          (start to start + len).foreach(v => out += (base | v))
+        }
+      } else if (cards(i) > 4096) { // bitset container: 1024 × int64
+        (0 until 1024).foreach { w =>
+          var word = bb.getLong
+          while (word != 0) {
+            val bit = java.lang.Long.numberOfTrailingZeros(word)
+            out += (base | (w * 64 + bit))
+            word &= word - 1
+          }
+        }
+      } else {
+        (0 until cards(i)).foreach(_ => out += (base | (bb.getShort & 0xFFFF)))
+      }
+    }
+    out.result()
+  }
+
+  // ---- writer (fixtures/tests; array + bitset containers, no runs) ----
+
+  /** Serialize sorted row indexes as magic-prefixed RoaringBitmapArray. */
+  def encodeRoaringArray(values: Array[Long]): Array[Byte] = {
+    val byHigh = values.sorted.groupBy(_ >>> 32).toSeq.sortBy(_._1)
+    val nBitmaps = if (byHigh.isEmpty) 0L else byHigh.last._1 + 1
+    val parts = (0L until nBitmaps).map { h =>
+      serializeRoaring32(byHigh.find(_._1 == h).map(_._2.map(v => (v & 0xFFFFFFFFL).toInt))
+        .getOrElse(Array.empty[Int]))
+    }
+    val total = 4 + 8 + parts.map(_.length).sum
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(MAGIC)
+    bb.putLong(nBitmaps)
+    parts.foreach(bb.put)
+    bb.array()
+  }
+
+  private def serializeRoaring32(values: Array[Int]): Array[Byte] = {
+    val byKey = values.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+    val n = byKey.size
+    val containers = byKey.map { case (_, vs) =>
+      if (vs.length > 4096) { // bitset
+        val words = new Array[Long](1024)
+        vs.foreach { v => val low = v & 0xFFFF; words(low / 64) |= (1L << (low % 64)) }
+        val b = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
+        words.foreach(b.putLong)
+        b.array()
+      } else {
+        val b = ByteBuffer.allocate(vs.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+        vs.foreach(v => b.putShort((v & 0xFFFF).toShort))
+        b.array()
+      }
+    }
+    val size = 4 + 4 + n * 4 + n * 4 + containers.map(_.length).sum
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(SERIAL_COOKIE_NO_RUN)
+    bb.putInt(n)
+    byKey.foreach { case (k, vs) =>
+      bb.putShort((k & 0xFFFF).toShort)
+      bb.putShort(((vs.length - 1) & 0xFFFF).toShort)
+    }
+    var off = 4 + 4 + n * 4 + n * 4
+    containers.foreach { c => bb.putInt(off); off += c.length }
+    containers.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Write a DV file (version byte + one entry) and return its descriptor
+    * (storageType `u`). Fixture/test helper mirroring the on-disk layout. */
+  def writeDvFile(tablePath: Path, values: Array[Long],
+                  conf: org.apache.hadoop.conf.Configuration): DeletionVectorDescriptor = {
+    val data = encodeRoaringArray(values)
+    val uuid = java.util.UUID.randomUUID()
+    val bb = ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits)
+    bb.putLong(uuid.getLeastSignificantBits)
+    val z85uuid = bytesToZ85(bb.array())
+    val p = new Path(tablePath, s"deletion_vector_$uuid.bin")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try {
+      out.writeByte(1) // format version
+      out.writeInt(data.length) // BE
+      out.write(data)
+      val crc = new CRC32; crc.update(data)
+      out.writeInt(crc.getValue.toInt) // BE
+    } finally out.close()
+    DeletionVectorDescriptor("u", z85uuid, Some(1), data.length, values.length.toLong)
+  }
+}

@@ -14,9 +14,8 @@ class DeltaProtocolException(msg: String) extends RuntimeException(msg)
  *  - reader v2: column mapping possible — allowed only while
  *    `delta.columnMapping.mode` is unset/none;
  *  - reader v3: allowed iff every `readerFeatures` entry is in
- *    [[supportedReaderFeatures]]; deletionVectors is accepted at snapshot
- *    level but any file that actually carries a DV is refused at scan time
- *    ([[checkScanFiles]]) until a DV reader lands;
+ *    [[supportedReaderFeatures]]; deletionVectors are decoded and applied
+ *    as row-index masks at scan time ([[graft.kernel.DeletionVectors]]);
  *  - writer v≤4: invariants / CHECK constraints / CDF / generated columns
  *    are all enforced by our write path;
  *  - writer v5/6 (column mapping, identity columns): refused when in use;
@@ -68,16 +67,6 @@ object ProtocolGate {
           s"(supported: ${supportedWriterFeatures.mkString(", ")})")
     }
   }
-
-  /** Refuse to scan files whose rows are masked by a deletion vector — until
-    * a roaring-bitmap DV reader exists, returning them would resurrect
-    * deleted rows (next/scan/exec.rs:63-150 applies these masks). */
-  def checkScanFiles(files: Seq[AddFile]): Unit =
-    files.find(f => f.deletionVector.exists(_.cardinality > 0)).foreach { f =>
-      throw new DeltaProtocolException(
-        s"File ${f.path} carries a deletion vector; DV-masked scans are not " +
-        "supported yet and reading the raw file would return deleted rows")
-    }
 
   /** delta.appendOnly enforcement (writer feature / table property). */
   def checkAppendOnly(snapshot: Snapshot, op: String): Unit =

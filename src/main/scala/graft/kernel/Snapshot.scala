@@ -41,10 +41,13 @@ case class Snapshot(
   def numFiles: Int = allFiles.size
   def sizeInBytes: Long = allFiles.map(_.size).sum
 
-  /** Approximate row count from per-file stats (python/deltalake/table.py:584-604). */
+  /** Approximate row count from per-file stats (python/deltalake/table.py:584-604),
+    * net of deletion-vector cardinalities. */
   def approxNumRecords: Option[Long] = {
     val counts = allFiles.flatMap(_.numRecords)
-    if (counts.size == allFiles.size) Some(counts.sum) else None
+    if (counts.size == allFiles.size)
+      Some(counts.sum - allFiles.flatMap(_.deletionVector).map(_.cardinality).sum)
+    else None
   }
 
   def getConf(key: String): Option[String] = metadata.configuration.get(key)
@@ -59,6 +62,44 @@ case class Snapshot(
 
 class DeltaTableNotFoundException(path: String)
     extends RuntimeException(s"Not a Delta table (no _delta_log): $path")
+
+/** Mutable action-replay accumulator shared by full and incremental replay. */
+private[kernel] class ReplayState {
+  val adds = mutable.LinkedHashMap[String, AddFile]()
+  val removes = mutable.LinkedHashMap[String, RemoveFile]()
+  val txns = mutable.Map[String, Long]()
+  val domains = mutable.Map[String, DomainMetadata]()
+  var protocol: Protocol = Protocol()
+  var metadata: Metadata = null
+
+  def apply(a: Action): Unit = a match {
+    case f: AddFile => adds(f.path) = f; removes.remove(f.path)
+    case r: RemoveFile => adds.remove(r.path); removes(r.path) = r
+    case m: Metadata => metadata = m
+    case p: Protocol => protocol = p
+    case t: SetTransaction => txns(t.appId) = t.version
+    case d: DomainMetadata =>
+      if (d.removed) domains.remove(d.domain) else domains(d.domain) = d
+    case _: CommitInfo | _: AddCDCFile => // not part of table state
+  }
+
+  def toSnapshot(tablePath: String, version: Long, ts: Long): Snapshot =
+    Snapshot(tablePath, version, protocol, metadata,
+      adds.values.toVector, removes.values.toVector, txns.toMap, domains.toMap, ts)
+}
+
+private[kernel] object ReplayState {
+  def from(prev: Snapshot): ReplayState = {
+    val s = new ReplayState
+    prev.allFiles.foreach(f => s.adds(f.path) = f)
+    prev.tombstones.foreach(r => s.removes(r.path) = r)
+    s.txns ++= prev.txns
+    s.domains ++= prev.domains
+    s.protocol = prev.protocol
+    s.metadata = prev.metadata
+    s
+  }
+}
 
 /**
  * The transaction log of one table: listing, replay, time travel, history.
@@ -133,34 +174,35 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     require(toReplay == expected,
       s"Log is not contiguous between ${startAfter + 1} and $v: found $toReplay")
 
-    val adds = mutable.LinkedHashMap[String, AddFile]()
-    val removes = mutable.LinkedHashMap[String, RemoveFile]()
-    val txns = mutable.Map[String, Long]()
-    val domains = mutable.Map[String, DomainMetadata]()
-    var protocol: Protocol = Protocol()
-    var metadata: Metadata = null
+    val state = new ReplayState
+    base.foreach(state.apply)
+    toReplay.foreach(cv => readCommit(cv).foreach(state.apply))
 
-    def apply(a: Action): Unit = a match {
-      case f: AddFile => adds(f.path) = f; removes.remove(f.path)
-      case r: RemoveFile => adds.remove(r.path); removes(r.path) = r
-      case m: Metadata => metadata = m
-      case p: Protocol => protocol = p
-      case t: SetTransaction => txns(t.appId) = t.version
-      case d: DomainMetadata =>
-        if (d.removed) domains.remove(d.domain) else domains(d.domain) = d
-      case _: CommitInfo | _: AddCDCFile => // not part of table state
-    }
-
-    base.foreach(apply)
-    toReplay.foreach(cv => readCommit(cv).foreach(apply))
-
-    require(metadata != null, s"No metaData action found replaying to version $v")
+    require(state.metadata != null, s"No metaData action found replaying to version $v")
     // refuse tables whose protocol/features we cannot read correctly
     // (delta-rs ProtocolChecker::can_read_from, transaction/protocol.rs:187)
-    ProtocolGate.checkRead(protocol, metadata)
+    ProtocolGate.checkRead(state.protocol, state.metadata)
     val ts = versions.find(_._1 == v).map(_._2).getOrElse(0L)
-    Snapshot(tablePath.toString, v, protocol, metadata,
-      adds.values.toVector, removes.values.toVector, txns.toMap, domains.toMap, ts)
+    state.toSnapshot(tablePath.toString, v, ts)
+  }
+
+  /** Incremental refresh (update_incremental, table/mod.rs:206): replay only
+    * the commits after `prev.version` on top of the cached state — O(new
+    * commits), not a full log re-replay, the shape that keeps refresh cheap
+    * on a table with thousands of commits. */
+  def update(prev: Snapshot): Snapshot = {
+    val versions = commitVersions()
+    val latest = if (versions.isEmpty) -1L else versions.map(_._1).max
+    if (latest <= prev.version) return prev
+    val newVs = versions.map(_._1).filter(_ > prev.version).sorted
+    val expected = (prev.version + 1) to latest
+    if (newVs != expected) return snapshot() // gap (vacuumed log) → full replay
+
+    val state = ReplayState.from(prev)
+    newVs.foreach(cv => readCommit(cv).foreach(state.apply))
+    ProtocolGate.checkRead(state.protocol, state.metadata)
+    val ts = versions.find(_._1 == latest).map(_._2).getOrElse(0L)
+    state.toSnapshot(tablePath.toString, latest, ts)
   }
 
   /** Time travel by timestamp: last commit with mtime ≤ target

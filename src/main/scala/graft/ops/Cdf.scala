@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -8,16 +9,22 @@ import graft.kernel._
 import graft.table.{DeltaTable, Scan}
 
 /**
- * Change Data Feed read — assemble the change stream between versions as a
- * union of three legs (delta-rs `operations/load_cdf.rs:47`; CDF schema
+ * Change Data Feed read — the change stream between two versions as a union
+ * of THREE batched legs (delta-rs `operations/load_cdf.rs:47`; CDF schema
  * columns `delta_datafusion/cdf/mod.rs:16-42`):
  *
- *  - `cdc` files written by DML under `_change_data/` are read as-is
- *    (they already carry `_change_type`);
- *  - commits without cdc actions synthesize: `add(dataChange=true)` →
- *    `_change_type='insert'`, `remove(dataChange=true)` →
- *    `_change_type='delete'` (reading the still-present removed file);
- *  - every leg gains `_commit_version` / `_commit_timestamp`.
+ *  - `cdc` files written by DML under `_change_data/` read as-is (they
+ *    already carry `_change_type`);
+ *  - commits without cdc actions contribute their `add(dataChange)` files
+ *    as `_change_type='insert'` and their `remove(dataChange)` files as
+ *    `'delete'` (reading the still-present removed file).
+ *
+ * Scale shape: each leg is ONE parquet scan over all its files regardless
+ * of how many commits the range spans; `_commit_version`/`_commit_timestamp`
+ * are recovered by a broadcast join of `_metadata.file_path` against the
+ * (small) file→version map, mirroring the reference's three ParquetSource
+ * legs (load_cdf.rs ~480). A 1,000-version range analyzes as 3 scans, not
+ * 1,000 union branches.
  */
 object CdfRead {
 
@@ -37,33 +44,39 @@ object CdfRead {
     val schema = snapshot.schema
     val partCols = snapshot.partitionColumns
 
-    val legs = (startingVersion to end).flatMap { v =>
+    // gather per-commit file lists, grouped into the three legs
+    val cdc = Vector.newBuilder[(AddCDCFile, Long, Long)]
+    val ins = Vector.newBuilder[(AddFile, Long, Long)]
+    val del = Vector.newBuilder[(RemoveFile, Long, Long)]
+    (startingVersion to end).foreach { v =>
       val actions = log.readCommit(v)
       val ts = actions.collectFirst { case ci: CommitInfo if ci.timestamp.isDefined =>
         ci.timestamp.get }.getOrElse(0L)
       val cdcFiles = actions.collect { case c: AddCDCFile => c }
-      val leg: Option[DataFrame] =
-        if (cdcFiles.nonEmpty) {
-          Some(readCdcFiles(spark, table, schema, partCols, cdcFiles))
-        } else {
-          val adds = actions.collect { case a: AddFile if a.dataChange => a }
-          val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
-          val insertLeg =
-            if (adds.isEmpty) None
-            else Some(Scan.readFiles(spark, snapshot, adds)
-              .withColumn(Dml.CDC_COL, lit("insert")))
-          val deleteLeg =
-            if (removes.isEmpty) None
-            else Some(readRemovedFiles(spark, table, schema, partCols, removes)
-              .withColumn(Dml.CDC_COL, lit("delete")))
-          (insertLeg, deleteLeg) match {
-            case (Some(i), Some(d)) => Some(i.unionByName(d))
-            case (i, d) => i.orElse(d)
-          }
+      if (cdcFiles.nonEmpty) cdcFiles.foreach(f => cdc += ((f, v, ts)))
+      else {
+        actions.foreach {
+          case a: AddFile if a.dataChange => ins += ((a, v, ts))
+          case r: RemoveFile if r.dataChange => del += ((r, v, ts))
+          case _ =>
         }
-      leg.map(_.withColumn("_commit_version", lit(v))
-        .withColumn("_commit_timestamp", (lit(ts) / 1000).cast("timestamp")))
+      }
     }
+
+    val legs: Seq[DataFrame] = Seq(
+      legDf(spark, table, schema, partCols,
+        cdc.result().map { case (f, v, t) => (f.path, v, t) },
+        basePath = Some(new Path(table.tablePath, Dml.CDC_DIR)),
+        changeType = None),
+      legDf(spark, table, schema, partCols,
+        ins.result().map { case (f, v, t) => (f.path, v, t) },
+        basePath = Some(table.tablePath),
+        changeType = Some("insert")),
+      legDf(spark, table, schema, partCols,
+        del.result().map { case (f, v, t) => (f.path, v, t) },
+        basePath = Some(table.tablePath),
+        changeType = Some("delete"))
+    ).flatten
 
     if (legs.isEmpty) {
       val outSchema = StructType(schema.fields ++ Seq(
@@ -74,41 +87,78 @@ object CdfRead {
     } else legs.reduce(_.unionByName(_))
   }
 
-  private def readCdcFiles(
-      spark: SparkSession,
+  /** Resolve a timestamp range to versions (load_cdf.rs:102-126 semantics:
+    * start = first commit with ts ≥ start, end = last commit with ts ≤ end).
+    * With `allowOutOfRange`, an empty window yields an empty feed instead of
+    * erroring. */
+  def loadBetweenTimestamps(
       table: DeltaTable,
-      schema: StructType,
-      partCols: Seq[String],
-      files: Seq[AddCDCFile]): DataFrame = {
-    val base = new org.apache.hadoop.fs.Path(table.tablePath, Dml.CDC_DIR)
-    val paths = files.map(f => new org.apache.hadoop.fs.Path(table.tablePath, f.path).toString)
-    val dataSchema = StructType(
-      schema.filterNot(f => partCols.contains(f.name)) :+
-        org.apache.spark.sql.types.StructField(Dml.CDC_COL, org.apache.spark.sql.types.StringType))
-    val raw =
-      if (partCols.isEmpty) spark.read.schema(dataSchema).parquet(paths: _*)
-      else spark.read.option("basePath", base.toString).schema(dataSchema).parquet(paths: _*)
-    val cols = schema.map { f =>
-      if (partCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name) else col(f.name)
-    } :+ col(Dml.CDC_COL)
-    raw.select(cols: _*)
+      startTsMs: Long,
+      endTsMs: Option[Long],
+      allowOutOfRange: Boolean = false): DataFrame = {
+    val versionsTs = table.history().map(h => (h._1, h._2)).sortBy(_._1)
+    val startV = versionsTs.find(_._2 >= startTsMs).map(_._1)
+    val endV = endTsMs.map(e => versionsTs.filter(_._2 <= e).map(_._1))
+      .map(vs => if (vs.isEmpty) -1L else vs.max)
+    (startV, endV) match {
+      case (Some(s), Some(e)) if e >= s => load(table, s, Some(e))
+      case (Some(s), None) => load(table, s, None)
+      case _ if allowOutOfRange =>
+        load(table, 0, Some(-1)) // empty range → empty feed (schema preserved)
+      case _ => throw new IllegalArgumentException(
+        s"No commits in timestamp range [$startTsMs, $endTsMs]; " +
+        "pass allowOutOfRange=true for an empty feed")
+    }
   }
 
-  private def readRemovedFiles(
+  /** One leg: a single parquet scan over `files` with commit provenance
+    * recovered via a broadcast path→(version, timestamp) join. */
+  private def legDf(
       spark: SparkSession,
       table: DeltaTable,
       schema: StructType,
       partCols: Seq[String],
-      removes: Seq[RemoveFile]): DataFrame = {
-    val paths = removes.map(r => new org.apache.hadoop.fs.Path(table.tablePath, r.path).toString)
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
-    val raw =
-      if (partCols.isEmpty) spark.read.schema(dataSchema).parquet(paths: _*)
-      else spark.read.option("basePath", table.tablePath.toString)
-        .schema(dataSchema).parquet(paths: _*)
-    val cols = schema.map { f =>
-      if (partCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name) else col(f.name)
+      files: Seq[(String, Long, Long)], // (rel path, version, tsMs)
+      basePath: Option[Path],
+      changeType: Option[String]): Option[DataFrame] = {
+    if (files.isEmpty) return None
+    val abs = files.map { case (rel, v, ts) =>
+      (new Path(table.tablePath, rel), v, ts)
     }
-    raw.select(cols: _*)
+
+    val dataSchema = StructType(
+      schema.filterNot(f => partCols.contains(f.name)) ++
+        (if (changeType.isEmpty)
+          Seq(org.apache.spark.sql.types.StructField(Dml.CDC_COL, org.apache.spark.sql.types.StringType))
+        else Nil))
+
+    val reader = spark.read.schema(dataSchema)
+    val withBase = basePath.filter(_ => partCols.nonEmpty)
+      .map(b => reader.option("basePath", b.toString)).getOrElse(reader)
+    val raw = withBase.parquet(abs.map(_._1.toString): _*)
+
+    // _metadata.file_path is a URI-style string ("file:/dir/p%20x/f.parquet");
+    // emit every plausible encoding of each path so the equi-join is robust
+    // across filesystems, then assert nothing fell through.
+    import spark.implicits._
+    val keyed = abs.flatMap { case (p, v, ts) =>
+      PathKeys.variants(p).map(k => (k, v, ts))
+    }.distinct.toDF("__k", "__v", "__ts")
+
+    val joined = raw
+      .withColumn("__fp", col("_metadata.file_path"))
+      .join(broadcast(keyed), col("__fp") === col("__k"), "left")
+
+    val cols: Seq[Column] = schema.map { f =>
+      if (partCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else col(f.name)
+    } ++ Seq(
+      changeType.map(ct => lit(ct).as(Dml.CDC_COL)).getOrElse(col(Dml.CDC_COL)),
+      when(col("__v").isNotNull, col("__v"))
+        .otherwise(raise_error(concat(lit("CDF: unmapped file path "), col("__fp"))))
+        .as("_commit_version"),
+      (col("__ts") / 1000).cast("timestamp").as("_commit_timestamp"))
+    Some(joined.select(cols: _*))
   }
+
 }

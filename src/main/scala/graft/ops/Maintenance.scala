@@ -198,6 +198,62 @@ object MetadataOps {
     table.commitAndRefresh(txn, Seq(newMeta),
       Operation("ADD COLUMNS", Map("columns" -> newCols.fieldNames.mkString(","))))
   }
+
+  /** ADD FEATURE (operations/add_feature.rs): record a protocol feature,
+    * upgrading to the features-capable versions when needed. Only features
+    * this engine can actually honor are allowed (ProtocolGate support set). */
+  def addFeature(table: DeltaTable, feature: String,
+                 allowProtocolVersionIncrease: Boolean = true): Unit = {
+    val snapshot = table.refresh()
+    val p = snapshot.protocol
+    val isReaderFeature = ProtocolGate.supportedReaderFeatures.contains(feature)
+    require(ProtocolGate.supportedWriterFeatures.contains(feature) || isReaderFeature,
+      s"Feature $feature is not supported by this engine")
+    val needsUpgrade = p.minWriterVersion < 7 || (isReaderFeature && p.minReaderVersion < 3)
+    require(allowProtocolVersionIncrease || !needsUpgrade,
+      s"Adding $feature requires a protocol upgrade (pass allowProtocolVersionIncrease=true)")
+    val newProtocol = Protocol(
+      minReaderVersion = if (isReaderFeature) 3 else p.minReaderVersion,
+      minWriterVersion = 7,
+      readerFeatures = Some(
+        (p.readerFeatures.getOrElse(Nil) ++ (if (isReaderFeature) Seq(feature) else Nil)).distinct),
+      writerFeatures = Some((p.writerFeatures.getOrElse(Nil) :+ feature).distinct))
+    val txn = table.startTransaction()
+    table.commitAndRefresh(txn, Seq(newProtocol),
+      Operation("ADD FEATURE", Map("feature" -> feature)))
+  }
+
+  /** update_field_metadata.rs: merge metadata keys into one schema field. */
+  def updateFieldMetadata(table: DeltaTable, column: String,
+                          metadata: Map[String, String]): Unit = {
+    val snapshot = table.refresh()
+    require(snapshot.schema.fieldNames.contains(column), s"No such column: $column")
+    val newFields = snapshot.schema.map { f =>
+      if (f.name != column) f
+      else {
+        val b = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+        metadata.foreach { case (k, v) => b.putString(k, v) }
+        f.copy(metadata = b.build())
+      }
+    }
+    val newMeta = snapshot.metadata.copy(schemaString = StructType(newFields).json)
+    val txn = table.startTransaction()
+    table.commitAndRefresh(txn, Seq(newMeta),
+      Operation("UPDATE FIELD METADATA", Map("column" -> column)))
+  }
+
+  /** update_table_metadata.rs: table name/description. */
+  def updateTableMetadata(table: DeltaTable, name: Option[String],
+                          description: Option[String]): Unit = {
+    val snapshot = table.refresh()
+    val newMeta = snapshot.metadata.copy(
+      name = name.orElse(snapshot.metadata.name),
+      description = description.orElse(snapshot.metadata.description))
+    val txn = table.startTransaction()
+    table.commitAndRefresh(txn, Seq(newMeta),
+      Operation("UPDATE TABLE METADATA",
+        name.map("name" -> _).toMap ++ description.map("description" -> _).toMap))
+  }
 }
 
 /** Convert a plain parquet directory in place

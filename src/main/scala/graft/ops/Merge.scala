@@ -44,6 +44,7 @@ class MergeDuplicateMatchException extends RuntimeException(
 class MergeBuilder(table: DeltaTable, source: DataFrame, condition: String) {
   private var clauses: Vector[MergeClause] = Vector.empty
   private var validateDuplicates = true
+  private var schemaEvolution = false
 
   def whenMatchedUpdate(set: Map[String, String], condition: Option[String] = None): MergeBuilder = {
     clauses :+= MatchedUpdate(condition, set); this
@@ -69,7 +70,12 @@ class MergeBuilder(table: DeltaTable, source: DataFrame, condition: String) {
   /** Skip the duplicate-match validation pass (perf escape hatch). */
   def withoutDuplicateValidation(): MergeBuilder = { validateDuplicates = false; this }
 
-  def execute(): Map[String, String] = MergeOp.run(table, source, condition, clauses, validateDuplicates)
+  /** Allow new source columns to evolve the target schema
+    * (with_merge_schema, merge/mod.rs:1047-1077). */
+  def withSchemaEvolution(): MergeBuilder = { schemaEvolution = true; this }
+
+  def execute(): Map[String, String] =
+    MergeOp.run(table, source, condition, clauses, validateDuplicates, schemaEvolution)
 }
 
 object MergeOp {
@@ -81,7 +87,8 @@ object MergeOp {
       source: DataFrame,
       condition: String,
       clauses: Seq[MergeClause],
-      validateDuplicates: Boolean): Map[String, String] = {
+      validateDuplicates: Boolean,
+      schemaEvolution: Boolean = false): Map[String, String] = {
     require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
     val spark = table.spark
     val t0 = System.nanoTime()
@@ -89,6 +96,12 @@ object MergeOp {
     if (clauses.exists(c => !(c.isInstanceOf[NotMatchedInsert] || c.isInstanceOf[NotMatchedInsertAll])))
       ProtocolGate.checkAppendOnly(snapshot, "MERGE with update/delete clauses")
     val schema = snapshot.schema
+    // schema evolution: new source columns extend the target schema
+    // (existing column type conflicts follow the safe-cast merge rules)
+    val outSchema =
+      if (schemaEvolution) DeltaWriter.mergeSchemas(schema, source.schema)
+      else schema
+    val targetHas = schema.fieldNames.toSet
     val nIdx = WriteIntoDelta.numIndexedCols(snapshot.metadata)
     val txn = table.startTransaction()
 
@@ -207,22 +220,28 @@ object MergeOp {
       val removedAdds = changedFiles.toSeq.flatMap(uri => pathIdx.get(Dml.uriToPathKey(uri)))
 
       // ---- output projection ----
+      val sourceHas = source.schema.fieldNames.toSet
+      // a target column absent from the (pre-evolution) target reads as null
+      def tgtCol(field: String): Column =
+        if (targetHas.contains(field)) col(s"target.$field") else lit(null)
+
       def clauseExpr(c: MergeClause, field: String): Column = c match {
         case MatchedUpdate(_, set) =>
-          set.get(field).map(expr).getOrElse(col(s"target.$field"))
-        case _: MatchedUpdateAll => col(s"source.$field")
+          set.get(field).map(expr).getOrElse(tgtCol(field))
+        case _: MatchedUpdateAll =>
+          if (sourceHas.contains(field)) col(s"source.$field") else tgtCol(field)
         case NotMatchedInsert(_, values) =>
           values.get(field).map(expr).getOrElse(lit(null))
         case _: NotMatchedInsertAll =>
-          if (source.schema.fieldNames.contains(field)) col(s"source.$field") else lit(null)
+          if (sourceHas.contains(field)) col(s"source.$field") else lit(null)
         case NotMatchedBySourceUpdate(_, set) =>
-          set.get(field).map(expr).getOrElse(col(s"target.$field"))
-        case _ => col(s"target.$field") // deletes never project
+          set.get(field).map(expr).getOrElse(tgtCol(field))
+        case _ => tgtCol(field) // deletes never project
       }
 
-      val outCols = schema.map { f =>
+      val outCols = outSchema.map { f =>
         val chain = indexed.filterNot { case (_, i) => deleteOps.contains(i) }
-          .foldRight(col(s"target.${f.name}")) { case ((c, i), acc) =>
+          .foldRight(tgtCol(f.name)) { case ((c, i), acc) =>
             when(col("__op") === i, clauseExpr(c, f.name)).otherwise(acc)
           }
         chain.cast(f.dataType).as(f.name)
@@ -274,7 +293,7 @@ object MergeOp {
             (rowsUpdated + rowsDeleted + rowsInserted) > 0) {
           val updCond = if (updateOps.isEmpty) lit(false)
             else col("__op").isin(updateOps.toSeq.map(Int.box): _*)
-          val tgtCols = schema.map(f => col(s"target.${f.name}").as(f.name))
+          val tgtCols = outSchema.map(f => tgtCol(f.name).cast(f.dataType).as(f.name))
           val preImages = withOp.filter(updCond).select(tgtCols: _*)
             .withColumn(Dml.CDC_COL, lit("update_preimage"))
           val postImages = withOp.filter(updCond).select(outCols: _*)
@@ -289,6 +308,10 @@ object MergeOp {
 
       val now = System.currentTimeMillis()
       val removes = removedAdds.map(_.remove(now, dataChange = true))
+      val metaActions: Seq[Action] =
+        if (outSchema != schema)
+          Seq(snapshot.metadata.copy(schemaString = outSchema.json))
+        else Nil
       val metrics = Map(
         "num_source_rows" -> numSourceRows.toString,
         "num_target_rows_inserted" -> rowsInserted.toString,
@@ -300,7 +323,7 @@ object MergeOp {
         "num_target_files_removed" -> removes.size.toString,
         "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
 
-      table.commitAndRefresh(txn, removes ++ adds ++ cdc,
+      table.commitAndRefresh(txn, metaActions ++ removes ++ adds ++ cdc,
         Operation("MERGE", Map("predicate" -> condition), metrics))
       metrics
     } finally {

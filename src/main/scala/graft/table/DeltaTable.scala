@@ -24,8 +24,12 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
     cached
   }
 
-  /** Re-read the log (update_incremental, table/mod.rs:206). */
-  def refresh(): Snapshot = { cached = deltaLog.snapshot(); cached }
+  /** Re-read the log — incremental when a snapshot is cached
+    * (update_incremental, table/mod.rs:206). */
+  def refresh(): Snapshot = {
+    cached = if (cached == null) deltaLog.snapshot() else deltaLog.update(cached)
+    cached
+  }
 
   def version: Long = snapshot.version
   def schema = snapshot.schema
@@ -111,10 +115,37 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
 
   def generateSymlinkManifest(): Unit = GenerateManifestOp.run(this)
 
+  def addFeature(feature: String, allowProtocolVersionIncrease: Boolean = true): Unit =
+    MetadataOps.addFeature(this, feature, allowProtocolVersionIncrease)
+
+  def updateFieldMetadata(column: String, metadata: Map[String, String]): Unit =
+    MetadataOps.updateFieldMetadata(this, column, metadata)
+
+  def updateTableMetadata(name: Option[String] = None,
+                          description: Option[String] = None): Unit =
+    MetadataOps.updateTableMetadata(this, name, description)
+
+  // ---- SQL surface (QueryBuilder equivalent, python/deltalake/query.py:42-53) ----
+
+  /** Register this table's current snapshot under `name` so arbitrary
+    * `spark.sql` runs against it. */
+  def createTempView(name: String): Unit = toDF.createOrReplaceTempView(name)
+
+  /** QueryBuilder.execute: register + run in one call. */
+  def sql(viewName: String, query: String): DataFrame = {
+    createTempView(viewName)
+    spark.sql(query)
+  }
+
   // ---- CDF ----
 
   def loadCdf(startingVersion: Long, endingVersion: Option[Long] = None): DataFrame =
     CdfRead.load(this, startingVersion, endingVersion)
+
+  /** CDF by timestamp bounds (load_cdf.rs:102-126). */
+  def loadCdfBetweenTimestamps(startTsMs: Long, endTsMs: Option[Long] = None,
+                               allowOutOfRange: Boolean = false): DataFrame =
+    CdfRead.loadBetweenTimestamps(this, startTsMs, endTsMs, allowOutOfRange)
 }
 
 object DeltaTable {

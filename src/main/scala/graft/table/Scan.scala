@@ -2,10 +2,10 @@ package graft.table
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.types.StructType
 
-import graft.kernel.{AddFile, Snapshot, StatsPruning}
+import graft.kernel.{AddFile, DeletionVectors, PathKeys, Snapshot, StatsPruning}
 
 /**
  * The read path: snapshot → (partition pruning + stats file skipping on the
@@ -41,18 +41,57 @@ object Scan {
     * (row index in file) from Spark's `_metadata` column — a stable row
     * identity used by MERGE for duplicate-match detection and the
     * changed-file barrier (the reference's file-path + row-ordinal metadata
-    * columns, `table_provider/next/mod.rs:986-1002`). */
+    * columns, `table_provider/next/mod.rs:986-1002`).
+    *
+    * Files carrying deletion vectors are read through a row-index anti-join
+    * against the decoded DV bitmaps (the reference applies them as
+    * selection-vector masks, next/scan/exec.rs:63-150). */
   def readFiles(
       spark: SparkSession,
       snapshot: Snapshot,
       files: Seq[AddFile],
       withFileIdentity: Boolean = false): DataFrame = {
-    // files masked by deletion vectors cannot be read raw — refuse loudly
-    graft.kernel.ProtocolGate.checkScanFiles(files)
+    val schema = snapshot.schema
+    val (dvFiles, plainFiles) = files.partition(_.deletionVector.exists(_.cardinality > 0))
+    if (files.isEmpty || dvFiles.isEmpty) {
+      val plain = readRaw(spark, snapshot, files, withIdentity = withFileIdentity)
+      return plain
+    }
+
+    // DV-masked leg: needs row identity for the mask even if caller doesn't
+    val masked = {
+      val withId = readRaw(spark, snapshot, dvFiles, withIdentity = true)
+      val conf = spark.sessionState.newHadoopConf()
+      val tp = new org.apache.hadoop.fs.Path(snapshot.tablePath)
+      // driver decodes the bitmaps; the (fileKey, rowIndex) tombstone set is
+      // bounded by total DV cardinality of the SCANNED files — large masks
+      // should move to a broadcast-bitmap Expression (future work)
+      val deleted: Seq[(String, Long)] = dvFiles.flatMap { f =>
+        val positions = DeletionVectors.read(tp, f.deletionVector.get, conf)
+        val keys = PathKeys.variants(snapshot.absolutePath(f.path))
+        keys.flatMap(k => positions.map(k -> _))
+      }
+      import spark.implicits._
+      val delDf = deleted.toDF("__delfile", "__delpos")
+      withId.join(broadcast(delDf),
+        col("__file") === col("__delfile") && col("__pos") === col("__delpos"),
+        "left_anti")
+    }
+    val maskedOut = if (withFileIdentity) masked else masked.drop("__file", "__pos")
+    if (plainFiles.isEmpty) maskedOut
+    else readRaw(spark, snapshot, plainFiles, withIdentity = withFileIdentity)
+      .unionByName(maskedOut)
+  }
+
+  private def readRaw(
+      spark: SparkSession,
+      snapshot: Snapshot,
+      files: Seq[AddFile],
+      withIdentity: Boolean): DataFrame = {
     val schema = snapshot.schema
     val partCols = snapshot.partitionColumns
     if (files.isEmpty) {
-      val out = if (withFileIdentity)
+      val out = if (withIdentity)
         StructType(schema.fields :+
           org.apache.spark.sql.types.StructField("__file", org.apache.spark.sql.types.StringType) :+
           org.apache.spark.sql.types.StructField("__pos", org.apache.spark.sql.types.LongType))
@@ -75,7 +114,7 @@ object Scan {
       else col(f.name)
     }
     val identity: Seq[Column] =
-      if (withFileIdentity)
+      if (withIdentity)
         Seq(col("_metadata.file_path").as("__file"), col("_metadata.row_index").as("__pos"))
       else Nil
     raw.select(cols ++ identity: _*)

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.DeltaTable
+
+/** Round-2 feature coverage: merge schema evolution, batched CDF legs,
+  * CDF timestamp options, incremental refresh, DDL trio. */
+class Round2FeaturesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test-r2f")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmpDir(): String = Files.createTempDirectory("graft_r2f_").toString
+
+  test("MERGE withSchemaEvolution adds source columns") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), dir)
+    val src = Seq((2, "b2", 99L), (3, "c", 100L)).toDF("k", "v", "extra")
+    val t = DeltaTable.forPath(spark, dir)
+    t.merge(src, "target.k = source.k")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withSchemaEvolution()
+      .execute()
+    val out = t.toDF.orderBy("k").collect()
+    assert(t.schema.fieldNames.toSeq == Seq("k", "v", "extra"))
+    assert(out.map(r => (r.getInt(0), r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq ==
+      Seq((1, "a", -1L), (2, "b2", 99L), (3, "c", 100L)))
+  }
+
+  test("MERGE without schema evolution rejects unknown source columns silently (drops)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    val src = Seq((1, "a2", 7L)).toDF("k", "v", "extra")
+    val t = DeltaTable.forPath(spark, dir)
+    t.merge(src, "target.k = source.k").whenMatchedUpdateAll().execute()
+    assert(t.schema.fieldNames.toSeq == Seq("k", "v")) // unchanged
+    assert(t.toDF.select("v").as[String].collect().toSeq == Seq("a2"))
+  }
+
+  test("CDF over a partitioned table with special chars in partition values") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = Seq((1, "1-URGENT x"), (2, "2-HIGH%y"), (3, "1-URGENT x")).toDF("id", "pr")
+    DeltaTable.write(spark, df, dir, partitionBy = Seq("pr"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.delete(Some("id = 3"))
+    val cdf = t.loadCdf(0)
+    val changes = cdf.select("id", "pr", "_change_type", "_commit_version")
+      .as[(Int, String, String, Long)].collect().toSet
+    assert(changes == Set(
+      (1, "1-URGENT x", "insert", 0L),
+      (2, "2-HIGH%y", "insert", 0L),
+      (3, "1-URGENT x", "insert", 0L),
+      (3, "1-URGENT x", "delete", 1L)))
+  }
+
+  test("CDF plan over many versions stays a 3-leg union") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((0, "x")).toDF("id", "v"), dir,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    (1 until 8).foreach { i =>
+      DeltaTable.write(spark, Seq((i, "x")).toDF("id", "v"), dir, mode = "append")
+    }
+    val t = DeltaTable.forPath(spark, dir)
+    val cdf = t.loadCdf(0)
+    assert(cdf.count() == 8)
+    // 8 commits must NOT produce 8 scan branches
+    val scans = cdf.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LeafNode => l
+    }
+    assert(scans.size <= 4, s"expected ≤4 leaf relations, got ${scans.size}")
+    assert(cdf.select("_commit_version").distinct().count() == 8)
+  }
+
+  test("CDF by timestamp bounds + allowOutOfRange") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1, "a")).toDF("k", "v"), dir,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.loadCdfBetweenTimestamps(0L).count() == 1)
+    assertThrows[IllegalArgumentException] {
+      t.loadCdfBetweenTimestamps(System.currentTimeMillis() + 1000000)
+    }
+    assert(t.loadCdfBetweenTimestamps(System.currentTimeMillis() + 1000000,
+      None, allowOutOfRange = true).count() == 0)
+  }
+
+  test("incremental refresh matches full replay") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.version == 0)
+    // three commits behind t's cached snapshot
+    DeltaTable.write(spark, Seq((2, "b")).toDF("k", "v"), dir, mode = "append")
+    val other = DeltaTable.forPath(spark, dir)
+    other.delete(Some("k = 1"))
+    DeltaTable.write(spark, Seq((3, "c")).toDF("k", "v"), dir, mode = "append")
+    val inc = t.refresh() // incremental path
+    val full = new DeltaTable(spark, t.tablePath).snapshot // fresh full replay
+    assert(inc.version == full.version)
+    assert(inc.allFiles.map(_.path).toSet == full.allFiles.map(_.path).toSet)
+    assert(t.toDF.select("k").as[Int].collect().toSet == Set(2, 3))
+  }
+
+  test("add_feature / update_field_metadata / update_table_metadata") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    t.addFeature("changeDataFeed")
+    assert(t.snapshot.protocol.minWriterVersion == 7)
+    assert(t.snapshot.protocol.writerFeatures.get.contains("changeDataFeed"))
+    assertThrows[IllegalArgumentException](t.addFeature("unknownFeature"))
+
+    t.updateFieldMetadata("v", Map("comment" -> "the value"))
+    assert(t.snapshot.schema("v").metadata.getString("comment") == "the value")
+
+    t.updateTableMetadata(name = Some("t1"), description = Some("desc"))
+    assert(t.snapshot.metadata.name.contains("t1"))
+    assert(t.snapshot.metadata.description.contains("desc"))
+    // still writable after feature upgrade (features are all supported)
+    DeltaTable.write(spark, Seq((2, "b")).toDF("k", "v"), dir, mode = "append")
+    assert(t.refresh().allFiles.size == 2)
+  }
+}

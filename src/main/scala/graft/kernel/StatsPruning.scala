@@ -196,14 +196,45 @@ object StatsPruning {
       .getOrElse(true)
   }
 
-  /** Prune a file list down to those that may match all `preds`. */
+  /** Above this many candidate files, pruning runs as a Spark job instead
+    * of a serial driver loop (override: spark.graft.distributedPruneThreshold). */
+  val DefaultDistributedThreshold = 50000
+
+  /** Prune a file list down to those that may match all `preds`.
+    *
+    * Small snapshots evaluate on the driver (metadata-latency planning, no
+    * job). Large ones distribute the O(files × predicate) evaluation as a
+    * mapPartitions filter and reduce only the survivors to the driver — the
+    * per-file cost at millions of Adds is then cluster-parallel. (The Add
+    * index itself still materializes on the driver first; moving the whole
+    * snapshot to a Dataset is the follow-on step for >10M-file tables.) */
   def prune(
       schema: StructType,
       partitionColumns: Seq[String],
       preds: Seq[Expression],
-      files: Seq[AddFile]): Seq[AddFile] = {
-    if (preds.isEmpty) files
-    else files.filter(f => preds.forall(p => fileMayMatch(schema, partitionColumns, p, f)))
+      files: Seq[AddFile],
+      spark: Option[org.apache.spark.sql.SparkSession] = None): Seq[AddFile] = {
+    if (preds.isEmpty) return files
+    val threshold = spark.flatMap(s =>
+        scala.util.Try(s.conf.get("spark.graft.distributedPruneThreshold").toInt).toOption)
+      .getOrElse(DefaultDistributedThreshold)
+    spark match {
+      case Some(s) if files.size >= threshold =>
+        val schemaJson = schema.json
+        val pc = partitionColumns
+        val predsB = s.sparkContext.broadcast(preds.toVector)
+        val slices = math.max(s.sparkContext.defaultParallelism, files.size / 10000)
+        s.sparkContext.parallelize(files, slices)
+          .mapPartitions { it =>
+            val sch = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+              .asInstanceOf[StructType]
+            val ps = predsB.value
+            it.filter(f => ps.forall(p => fileMayMatch(sch, pc, p, f)))
+          }
+          .collect().toSeq
+      case _ =>
+        files.filter(f => preds.forall(p => fileMayMatch(schema, partitionColumns, p, f)))
+    }
   }
 
   /** Returns Some(false) = provably no match (skip file); Some(true)/None = keep. */

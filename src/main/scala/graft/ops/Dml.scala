@@ -30,7 +30,7 @@ object Dml {
       snapshot: Snapshot,
       pred: String): Seq[AddFile] = {
     val predExpr = Scan.parsePredicate(spark, pred)
-    val candidates = Scan.prunedFiles(snapshot, Seq(predExpr))
+    val candidates = Scan.prunedFiles(snapshot, Seq(predExpr), Some(spark))
     if (candidates.isEmpty) return Nil
     if (StatsPruning.isPartitionOnly(predExpr, snapshot.partitionColumns)) {
       // stats pruning on partition-only predicates is exact
@@ -104,7 +104,7 @@ object DeleteOp {
       case Some(pred) =>
         val predExpr = Scan.parsePredicate(spark, pred)
         txn.readPredicate(predExpr)
-        val candidates = Scan.prunedFiles(snapshot, Seq(predExpr))
+        val candidates = Scan.prunedFiles(snapshot, Seq(predExpr), Some(spark))
         txn.readFile(candidates.map(_.path))
 
         // provably fully-matching files (negation can't match) drop whole

@@ -130,7 +130,7 @@ object MergeOp {
     earlyPreds.foreach(txn.readPredicate)
     if (earlyPreds.isEmpty) txn.readWholeTable()
 
-    val candidates = Scan.prunedFiles(snapshot, earlyPreds)
+    val candidates = Scan.prunedFiles(snapshot, earlyPreds, Some(spark))
     txn.readFile(candidates.map(_.path))
 
     // ---- single full-outer join ----

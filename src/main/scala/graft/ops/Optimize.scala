@@ -30,7 +30,7 @@ object OptimizeOp {
         val e = Scan.parsePredicate(spark, p)
         require(StatsPruning.isPartitionOnly(e, snapshot.partitionColumns),
           "OPTIMIZE predicate must reference only partition columns")
-        Scan.prunedFiles(snapshot, Seq(e))
+        Scan.prunedFiles(snapshot, Seq(e), Some(table.spark))
       case None => snapshot.allFiles
     }
 

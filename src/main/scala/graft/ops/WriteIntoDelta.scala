@@ -89,7 +89,7 @@ object WriteIntoDelta {
           s"replaceWhere: written data contains rows violating predicate '$pred'")
         val predExpr = Scan.parsePredicate(spark, pred)
         txn.readPredicate(predExpr)
-        val candidates = Scan.prunedFiles(snapshot, Seq(predExpr))
+        val candidates = Scan.prunedFiles(snapshot, Seq(predExpr), Some(spark))
         txn.readFile(candidates.map(_.path))
         // drop fully-matching files whole; rewrite partial files keeping
         // only their non-matching rows

@@ -28,12 +28,14 @@ object Scan {
   /** Pruned read: only files that may satisfy `predicates`. */
   def readWhere(spark: SparkSession, snapshot: Snapshot, predicates: Seq[Expression]): DataFrame = {
     val pruned = StatsPruning.prune(
-      snapshot.schema, snapshot.partitionColumns, predicates, snapshot.allFiles)
+      snapshot.schema, snapshot.partitionColumns, predicates, snapshot.allFiles, Some(spark))
     readFiles(spark, snapshot, pruned)
   }
 
-  def prunedFiles(snapshot: Snapshot, predicates: Seq[Expression]): Seq[AddFile] =
-    StatsPruning.prune(snapshot.schema, snapshot.partitionColumns, predicates, snapshot.allFiles)
+  def prunedFiles(snapshot: Snapshot, predicates: Seq[Expression],
+                  spark: Option[SparkSession] = None): Seq[AddFile] =
+    StatsPruning.prune(snapshot.schema, snapshot.partitionColumns, predicates,
+      snapshot.allFiles, spark)
 
   /** Read an explicit subset of the snapshot's files as a DataFrame with the
     * full table schema (partition columns reconstructed + cast).

@@ -119,6 +119,22 @@ class Round2FeaturesSpec extends AnyFunSuite {
     assert(t.toDF.select("k").as[Int].collect().toSet == Set(2, 3))
   }
 
+  test("distributed pruning path matches driver-side pruning") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = (0 until 1000).map(i => (i.toLong, i % 10)).toDF("id", "bucket")
+    DeltaTable.write(spark, df.repartitionByRange(10, col("id")), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    val pred = graft.table.Scan.parsePredicate(spark, "id < 100")
+    val driverSide = graft.table.Scan.prunedFiles(t.snapshot, Seq(pred))
+    spark.conf.set("spark.graft.distributedPruneThreshold", "1")
+    try {
+      val distributed = graft.table.Scan.prunedFiles(t.snapshot, Seq(pred), Some(spark))
+      assert(distributed.map(_.path).toSet == driverSide.map(_.path).toSet)
+      assert(driverSide.size < t.snapshot.numFiles)
+    } finally spark.conf.unset("spark.graft.distributedPruneThreshold")
+  }
+
   test("add_feature / update_field_metadata / update_table_metadata") {
     import spark.implicits._
     val dir = tmpDir()

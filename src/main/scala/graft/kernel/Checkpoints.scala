@@ -147,9 +147,19 @@ object Checkpoints {
     try out.write(hint.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Read a checkpoint parquet back into actions. */
-  def read(spark: SparkSession, file: Path): Seq[Action] = {
-    val df = spark.read.schema(checkpointSchema).parquet(file.toString)
+  /** Read a checkpoint parquet back into actions. With `withFiles = false`
+    * only the control-plane columns are scanned (columnar pruning makes this
+    * near-free even on a huge checkpoint). */
+  def read(spark: SparkSession, file: Path, withFiles: Boolean = true): Seq[Action] = {
+    val schema0 =
+      if (withFiles) checkpointSchema
+      else StructType(checkpointSchema.filterNot(f => f.name == "add" || f.name == "remove"))
+    val df0 = spark.read.schema(schema0).parquet(file.toString)
+    // re-align to the full positional layout expected below
+    val df = if (withFiles) df0 else df0
+      .withColumn("add", org.apache.spark.sql.functions.lit(null).cast(addType))
+      .withColumn("remove", org.apache.spark.sql.functions.lit(null).cast(removeType))
+      .select("txn", "add", "remove", "metaData", "protocol", "domainMetadata")
     df.collect().toSeq.flatMap { row =>
       def mapOf(r: Row, i: Int): Map[String, String] =
         if (r.isNullAt(i)) Map.empty

@@ -155,7 +155,13 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
 
   def snapshotAt(version: Long): Snapshot = snapshotAt(Some(version))
 
-  private def snapshotAt(target: Option[Long]): Snapshot = {
+  /** Metadata-only snapshot: protocol/metadata/txns without materializing
+    * the Add index — the BlindDeltaTable fast path (table/blind.rs:1).
+    * The checkpoint read prunes to the metaData/protocol/txn columns, so on
+    * a million-file table this touches a few KB instead of the full state. */
+  def metadataSnapshot(): Snapshot = snapshotAt(None, withFiles = false)
+
+  private def snapshotAt(target: Option[Long], withFiles: Boolean = true): Snapshot = {
     val versions = commitVersions()
     if (versions.isEmpty) throw new DeltaTableNotFoundException(tablePath.toString)
     val maxV = versions.map(_._1).max
@@ -164,7 +170,8 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
 
     val cpVersion = checkpointVersionUpTo(Some(v))
     val base: Seq[Action] = cpVersion match {
-      case Some(cv) => Checkpoints.read(spark, new Path(logPath, LogStore.checkpointFileName(cv)))
+      case Some(cv) => Checkpoints.read(spark,
+        new Path(logPath, LogStore.checkpointFileName(cv)), withFiles = withFiles)
       case None => Nil
     }
     val startAfter = cpVersion.getOrElse(-1L)
@@ -175,8 +182,12 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
       s"Log is not contiguous between ${startAfter + 1} and $v: found $toReplay")
 
     val state = new ReplayState
-    base.foreach(state.apply)
-    toReplay.foreach(cv => readCommit(cv).foreach(state.apply))
+    def applyMaybe(a: Action): Unit = a match {
+      case _: AddFile | _: RemoveFile if !withFiles => // metadata-only replay
+      case other => state.apply(other)
+    }
+    base.foreach(applyMaybe)
+    toReplay.foreach(cv => readCommit(cv).foreach(applyMaybe))
 
     require(state.metadata != null, s"No metaData action found replaying to version $v")
     // refuse tables whose protocol/features we cannot read correctly

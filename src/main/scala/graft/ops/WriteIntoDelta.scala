@@ -133,7 +133,7 @@ object WriteIntoDelta {
     }
   }
 
-  private[ops] def numIndexedCols(meta: Metadata): Int =
+  private[graft] def numIndexedCols(meta: Metadata): Int =
     meta.configuration.get("delta.dataSkippingNumIndexedCols")
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(32)
 

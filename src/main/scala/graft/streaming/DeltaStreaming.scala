@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.table.{BlindDeltaTable, DeltaTable}
+
+/**
+ * Structured Streaming integration (SURVEY §2.10). The reference has no
+ * continuous runtime; its streaming-adjacent surface is (a) `txn`
+ * idempotency for exactly-once sinks (actions.rs:1042-1072) and (b) CDF
+ * incremental reads as a microbatch source. Both map onto Spark Structured
+ * Streaming idioms:
+ *
+ *  - sink: `df.writeStream.foreachBatch(DeltaStreaming.sink(path, appId))`
+ *    — each microbatch commits as a blind append carrying
+ *    `SetTransaction(appId, batchId)`; on restart, replayed batch ids are
+ *    skipped, giving exactly-once table contents from at-least-once batch
+ *    delivery (the delta-spark `txnAppId`/`txnVersion` recipe);
+ *  - source: [[changesSince]] assembles the CDF rows after a version, the
+ *    `getBatch(start, end)` half of a microbatch source; poll it from any
+ *    scheduler (or wire into foreachBatch of a rate stream).
+ */
+object DeltaStreaming {
+
+  /** foreachBatch function with exactly-once semantics per (appId, batchId). */
+  def sink(path: String, appId: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val t = BlindDeltaTable.forPath(batch.sparkSession, path)
+      t.append(batch, Some(appId), Some(batchId))
+      ()
+    }
+  }
+
+  /** Create-if-absent variant for first-batch convenience. */
+  def sinkCreating(path: String, appId: String,
+                   partitionBy: Seq[String] = Nil): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      if (!DeltaTable.isDeltaTable(spark, path)) {
+        DeltaTable.write(spark, batch.limit(0), path, partitionBy = partitionBy)
+      }
+      val t = BlindDeltaTable.forPath(spark, path)
+      t.append(batch, Some(appId), Some(batchId))
+      ()
+    }
+  }
+
+  /** Incremental change feed: rows committed in (afterVersion, latest],
+    * with the CDF columns; returns None when there is nothing new.
+    * Microbatch-source semantics (update_incremental + load_cdf). */
+  def changesSince(spark: SparkSession, path: String,
+                   afterVersion: Long): Option[(DataFrame, Long)] = {
+    val t = DeltaTable.forPath(spark, path)
+    val latest = t.deltaLog.latestVersion()
+    if (latest <= afterVersion) None
+    else Some((t.loadCdf(afterVersion + 1, Some(latest)), latest))
+  }
+}

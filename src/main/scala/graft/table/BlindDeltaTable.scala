@@ -1,0 +1,66 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.kernel._
+import graft.ops.{Generated, Validation, WriteIntoDelta}
+
+/**
+ * Append-only table handle that never materializes the file index — the
+ * BlindDeltaTable fast path (`crates/core/src/table/blind.rs:1`). Loading
+ * reads only the control-plane columns of the checkpoint plus the JSON
+ * tail, so opening a million-file table for ingest costs KBs of metadata.
+ * Blind appends interleave with concurrent readers/writers under
+ * WriteSerializable without conflict (no read set).
+ */
+class BlindDeltaTable private (val spark: SparkSession, val tablePath: Path) {
+
+  val deltaLog = new DeltaLog(spark, tablePath)
+
+  /** Metadata-only state (no Add index). */
+  @volatile private var meta: Snapshot = deltaLog.metadataSnapshot()
+
+  def schema = meta.schema
+  def partitionColumns: Seq[String] = meta.partitionColumns
+  def version: Long = meta.version
+
+  def refresh(): Unit = { meta = deltaLog.metadataSnapshot() }
+
+  /** Last recorded version for an idempotent-writer appId. */
+  def txnVersion(appId: String): Option[Long] = meta.txns.get(appId)
+
+  /** Blind append; returns the committed version, or None when an
+    * (appId, appVersion) pair was already recorded (idempotent replay). */
+  def append(df: DataFrame, appId: Option[String] = None,
+             appVersion: Option[Long] = None): Option[Long] = {
+    refresh()
+    (appId, appVersion) match {
+      case (Some(a), Some(v)) if txnVersion(a).exists(_ >= v) => return None
+      case _ =>
+    }
+    val m = meta.metadata
+    val normalized = Validation.prepareForWrite(spark,
+      DeltaWriter.normalize(Generated.fill(df, m.schema), m.schema), m)
+    val adds = DeltaWriter.writeFiles(spark, tablePath, normalized,
+      m.partitionColumns, WriteIntoDelta.numIndexedCols(m))
+    val txnActions: Seq[Action] = (appId, appVersion) match {
+      case (Some(a), Some(v)) => Seq(SetTransaction(a, v, Some(System.currentTimeMillis())))
+      case _ => Nil
+    }
+    val txn = new OptimisticTransaction(deltaLog, Some(meta))
+    val committed = txn.commit(adds ++ txnActions,
+      Operation("WRITE", Map("mode" -> "Append", "blind" -> "true"),
+        Map("numFiles" -> adds.size.toString,
+          "numOutputRows" -> adds.flatMap(_.numRecords).sum.toString)))
+    refresh()
+    Some(committed)
+  }
+}
+
+object BlindDeltaTable {
+  def forPath(spark: SparkSession, path: String): BlindDeltaTable = {
+    val t = new BlindDeltaTable(spark, new Path(path))
+    t
+  }
+}

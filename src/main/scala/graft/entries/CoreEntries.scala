@@ -200,6 +200,59 @@ object CoreEntries {
         |       CASE WHEN s_suppkey > 50 THEN s_suppkey * 2 ELSE NULL END AS bonus
         |FROM supplier""".stripMargin)),
 
+    // MERGE schema evolution (§2.6 row 30 / merge/mod.rs:1047-1077)
+    Entry("merge_schema_evolution", (s, d) => {
+      val dir = tempDir("mse")
+      val n = pq(s, d, "nation")
+      DeltaTable.write(s, n, dir)
+      val src = n.filter("n_nationkey >= 20")
+        .withColumn("n_note", concat(lit("note-"), col("n_nationkey")))
+      val t = DeltaTable.forPath(s, dir)
+      t.merge(src, "target.n_nationkey = source.n_nationkey")
+        .whenMatchedUpdateAll()
+        .withSchemaEvolution()
+        .execute()
+      t.toDF
+    }, Some(
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |       CASE WHEN n_nationkey >= 20 THEN concat('note-', n_nationkey) ELSE NULL END AS n_note
+        |FROM nation""".stripMargin)),
+
+    // blind append fast path (§2.1 row 10, table/blind.rs)
+    Entry("blind_append", (s, d) => {
+      val dir = tempDir("blind")
+      val r = pq(s, d, "region")
+      DeltaTable.write(s, r.filter("r_regionkey < 2"), dir)
+      val blind = graft.table.BlindDeltaTable.forPath(s, dir)
+      blind.append(r.filter("r_regionkey >= 2"), Some("loader"), Some(7L))
+      blind.append(r.filter("r_regionkey >= 2"), Some("loader"), Some(7L)) // replay → skipped
+      DeltaTable.forPath(s, dir).toDF
+    }, Some("SELECT * FROM region")),
+
+    // structured-streaming sink semantics (§2.10): exactly-once microbatches
+    Entry("streaming_sink", (s, d) => {
+      val dir = tempDir("stream")
+      val n = pq(s, d, "nation")
+      val sink = graft.streaming.DeltaStreaming.sinkCreating(dir, "entry-app")
+      sink(n.filter("n_nationkey < 10"), 0L)
+      sink(n.filter("n_nationkey >= 10"), 1L)
+      sink(n.filter("n_nationkey < 10"), 0L) // batch-0 replay → skipped
+      DeltaTable.forPath(s, dir).toDF
+    }, Some("SELECT * FROM nation")),
+
+    // column mapping: physical-name files, logical-name results (§2.9 row 47)
+    Entry("column_mapping", (s, d) => {
+      val dir = tempDir("cm")
+      DeltaTable.write(s, pq(s, d, "supplier"), dir,
+        partitionBy = Seq("s_nationkey"),
+        configuration = Map("delta.columnMapping.mode" -> "name"))
+      val t = DeltaTable.forPath(s, dir)
+      t.delete(Some("s_acctbal < 0"))
+      t.scanWhere("s_nationkey >= 10")
+    }, Some(
+      """SELECT * FROM supplier
+        |WHERE NOT (s_acctbal < 0) AND s_nationkey >= 10""".stripMargin)),
+
     // idempotent app transactions (§2.7 row 44)
     Entry("app_txn", (s, d) => {
       val dir = tempDir("txn")

@@ -11,26 +11,27 @@ class DeltaProtocolException(msg: String) extends RuntimeException(msg)
  *
  * Support matrix (what this engine actually implements):
  *  - reader v1: plain tables — full support;
- *  - reader v2: column mapping possible — allowed only while
- *    `delta.columnMapping.mode` is unset/none;
+ *  - reader v2: column mapping (name/id) handled by physical-name
+ *    translation at the scan/write boundary ([[ColumnMapping]]);
  *  - reader v3: allowed iff every `readerFeatures` entry is in
  *    [[supportedReaderFeatures]]; deletionVectors are decoded and applied
  *    as row-index masks at scan time ([[graft.kernel.DeletionVectors]]);
  *  - writer v≤4: invariants / CHECK constraints / CDF / generated columns
  *    are all enforced by our write path;
- *  - writer v5/6 (column mapping, identity columns): refused when in use;
+ *  - writer v5/6 (column mapping, identity columns): column mapping
+ *    supported; identity-column metadata is tolerated (not generated);
  *  - writer v7: allowed iff every `writerFeatures` entry is in
  *    [[supportedWriterFeatures]].
  */
 object ProtocolGate {
 
   val supportedReaderFeatures: Set[String] =
-    Set("timestampNtz", "deletionVectors", "vacuumProtocolCheck")
+    Set("timestampNtz", "deletionVectors", "vacuumProtocolCheck", "columnMapping")
 
   val supportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "generatedColumns", "timestampNtz", "domainMetadata",
-      "vacuumProtocolCheck", "deletionVectors")
+      "vacuumProtocolCheck", "deletionVectors", "columnMapping")
 
   private def columnMappingMode(m: Metadata): String =
     m.configuration.getOrElse("delta.columnMapping.mode", "none").trim.toLowerCase
@@ -47,10 +48,11 @@ object ProtocolGate {
           s"Unsupported reader features: ${missing.mkString(", ")} " +
           s"(supported: ${supportedReaderFeatures.mkString(", ")})")
     }
-    if (columnMappingMode(metadata) != "none")
-      throw new DeltaProtocolException(
-        s"Column mapping mode '${columnMappingMode(metadata)}' is not supported " +
-        "— reading would misinterpret every column")
+    columnMappingMode(metadata) match {
+      case "none" | "name" | "id" => // name/id: physical-name translation at scan/write
+      case other => throw new DeltaProtocolException(
+        s"Unknown column mapping mode '$other' — reading would misinterpret every column")
+    }
   }
 
   /** Gate every commit (write side). */

@@ -179,6 +179,29 @@ object StatsPruning {
     case _ => None
   }
 
+  /** Snapshot-aware variant: translates schema/partition/predicate names to
+    * the physical domain when column mapping is enabled (log partitionValues
+    * and stats keys are physical names). */
+  def fileMayMatch(snapshot: Snapshot, pred: Expression, file: AddFile): Boolean = {
+    if (ColumnMapping.enabled(snapshot.metadata)) {
+      val nm = ColumnMapping.nameMap(snapshot.schema)
+      fileMayMatch(ColumnMapping.physicalSchema(snapshot.schema),
+        snapshot.partitionColumns.map(c => nm.getOrElse(c, c)),
+        ColumnMapping.toPhysicalPredicate(pred, nm), file)
+    } else fileMayMatch(snapshot.schema, snapshot.partitionColumns, pred, file)
+  }
+
+  /** Snapshot-aware prune (mapping-translated, optionally distributed). */
+  def prune(snapshot: Snapshot, preds: Seq[Expression], files: Seq[AddFile],
+            spark: Option[org.apache.spark.sql.SparkSession]): Seq[AddFile] = {
+    if (ColumnMapping.enabled(snapshot.metadata)) {
+      val nm = ColumnMapping.nameMap(snapshot.schema)
+      prune(ColumnMapping.physicalSchema(snapshot.schema),
+        snapshot.partitionColumns.map(c => nm.getOrElse(c, c)),
+        preds.map(ColumnMapping.toPhysicalPredicate(_, nm)), files, spark)
+    } else prune(snapshot.schema, snapshot.partitionColumns, preds, files, spark)
+  }
+
   /** True iff the file may contain rows satisfying `pred` (fail-open). */
   def fileMayMatch(
       schema: StructType,

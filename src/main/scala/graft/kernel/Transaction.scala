@@ -158,8 +158,7 @@ class OptimisticTransaction(
       case None => true
       case Some(s) =>
         files.exists { f =>
-          readPredicates.exists(p =>
-            StatsPruning.fileMayMatch(s.schema, s.partitionColumns, p, f))
+          readPredicates.exists(p => StatsPruning.fileMayMatch(s, p, f))
         }
     }
   }

@@ -126,8 +126,11 @@ object CdfRead {
       (new Path(table.tablePath, rel), v, ts)
     }
 
+    val mapped = ColumnMapping.enabled(table.snapshot.metadata)
+    val nm = if (mapped) ColumnMapping.nameMap(schema) else Map.empty[String, String]
+    val logicalData = StructType(schema.filterNot(f => partCols.contains(f.name)))
     val dataSchema = StructType(
-      schema.filterNot(f => partCols.contains(f.name)) ++
+      (if (mapped) ColumnMapping.physicalSchema(logicalData) else logicalData) ++
         (if (changeType.isEmpty)
           Seq(org.apache.spark.sql.types.StructField(Dml.CDC_COL, org.apache.spark.sql.types.StringType))
         else Nil))
@@ -150,7 +153,8 @@ object CdfRead {
       .join(broadcast(keyed), col("__fp") === col("__k"), "left")
 
     val cols: Seq[Column] = schema.map { f =>
-      if (partCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      val pn = nm.getOrElse(f.name, f.name)
+      if (partCols.contains(f.name) || mapped) col(pn).cast(f.dataType).as(f.name)
       else col(f.name)
     } ++ Seq(
       changeType.map(ct => lit(ct).as(Dml.CDC_COL)).getOrElse(col(Dml.CDC_COL)),

@@ -61,7 +61,8 @@ object Dml {
       cdcRows: DataFrame,
       numIndexedCols: Int): Seq[AddCDCFile] = {
     val adds = DeltaWriter.writeFiles(spark, table.tablePath, cdcRows,
-      table.partitionColumns, numIndexedCols, pathPrefix = CDC_DIR)
+      table.partitionColumns, numIndexedCols, pathPrefix = CDC_DIR,
+      meta = Some(table.snapshot.metadata))
     adds.map(a => AddCDCFile(a.path, a.partitionValues, a.size))
   }
 }
@@ -110,7 +111,7 @@ object DeleteOp {
         // provably fully-matching files (negation can't match) drop whole
         val negation = Scan.parsePredicate(spark, s"NOT ($pred)")
         val (fullFiles, partialCandidates) = candidates.partition { f =>
-          !StatsPruning.fileMayMatch(snapshot.schema, snapshot.partitionColumns, negation, f)
+          !StatsPruning.fileMayMatch(snapshot, negation, f)
         }
         // narrow partial candidates to files with actual matches
         val partialFiles =
@@ -129,7 +130,7 @@ object DeleteOp {
             val keep = Scan.readFiles(spark, snapshot, partialFiles)
               .filter(not(coalesce(expr(pred), lit(false))))
             DeltaWriter.writeFiles(spark, table.tablePath, keep,
-              snapshot.partitionColumns, nIdx)
+              snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
           }
 
         val cdc: Seq[Action] =
@@ -207,7 +208,7 @@ object UpdateOp {
     }
     val rewritten = src.select(updatedCols: _*)
     val adds = DeltaWriter.writeFiles(spark, table.tablePath, rewritten,
-      snapshot.partitionColumns, nIdx)
+      snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
 
     // rows matching the predicate within the rewritten files
     val updatedRows = src.filter(predCol).count()

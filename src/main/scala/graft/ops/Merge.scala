@@ -263,7 +263,7 @@ object MergeOp {
       val adds =
         if (changedFiles.isEmpty && insertOps.isEmpty) Nil
         else DeltaWriter.writeFiles(spark, table.tablePath, outputRows,
-          snapshot.partitionColumns, nIdx)
+          snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
 
       // ---- metrics (names from merge/mod.rs:677 MergeMetrics) ----
       // Both observations fired during the first action that materialized

@@ -64,7 +64,8 @@ object OptimizeOp {
     val results: Seq[(Seq[AddFile], Seq[AddFile])] = bins.par.map { bin =>
       val df = Scan.readFiles(spark, snapshot, bin).coalesce(1)
       val adds = DeltaWriter.writeFiles(spark, table.tablePath, df,
-        snapshot.partitionColumns, WriteIntoDelta.numIndexedCols(snapshot.metadata))
+        snapshot.partitionColumns, WriteIntoDelta.numIndexedCols(snapshot.metadata),
+        meta = Some(snapshot.metadata))
       (bin, adds.map(_.copy(dataChange = false)))
     }.seq
 
@@ -110,7 +111,8 @@ object OptimizeOp {
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
     val adds = DeltaWriter.writeFiles(spark, table.tablePath, clustered,
-      snapshot.partitionColumns, WriteIntoDelta.numIndexedCols(snapshot.metadata))
+      snapshot.partitionColumns, WriteIntoDelta.numIndexedCols(snapshot.metadata),
+      meta = Some(snapshot.metadata))
       .map(_.copy(dataChange = false, clusteringProvider = Some("zorder")))
 
     val now = System.currentTimeMillis()

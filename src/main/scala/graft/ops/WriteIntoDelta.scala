@@ -75,7 +75,7 @@ object WriteIntoDelta {
 
     val txn = table.startTransaction()
     val adds = DeltaWriter.writeFiles(spark, tablePath, normalized, partCols,
-      numIndexedCols(meta))
+      numIndexedCols(meta), meta = Some(meta))
 
     val now = System.currentTimeMillis()
     val (extraActions, predicateParam): (Seq[Action], Option[String]) = (m, replaceWhere) match {
@@ -99,7 +99,7 @@ object WriteIntoDelta {
           else {
             val keep = Scan.readFiles(spark, snapshot, rewrites)
               .filter(not(coalesce(expr(pred), lit(false))))
-            DeltaWriter.writeFiles(spark, tablePath, keep, partCols, numIndexedCols(meta))
+            DeltaWriter.writeFiles(spark, tablePath, keep, partCols, numIndexedCols(meta), meta = Some(meta))
           }
         val removes: Seq[Action] =
           (fullRemoves ++ rewrites).map(_.remove(now, dataChange = true))
@@ -129,8 +129,23 @@ object WriteIntoDelta {
       pred: String): (Seq[AddFile], Seq[AddFile]) = {
     val negation = Scan.parsePredicate(spark, s"NOT ($pred)")
     candidates.partition { f =>
-      !StatsPruning.fileMayMatch(snapshot.schema, snapshot.partitionColumns, negation, f)
+      !StatsPruning.fileMayMatch(snapshot, negation, f)
     }
+  }
+
+  /** CREATE-time schema handling: when `delta.columnMapping.mode` is
+    * requested, assign physical names/ids and bump the protocol to the
+    * mapping-capable versions. */
+  private[graft] def prepareCreateSchema(
+      schema: StructType,
+      configuration: Map[String, String]): (StructType, Map[String, String], Protocol) = {
+    val mode = configuration.getOrElse(ColumnMapping.MODE_KEY, "none").trim.toLowerCase
+    if (mode == "name" || mode == "id") {
+      val (annotated, maxId) = ColumnMapping.assignMetadata(schema)
+      (annotated,
+        configuration + (ColumnMapping.MAX_ID_KEY -> maxId.toString),
+        Protocol(2, 5))
+    } else (schema, configuration, Protocol())
   }
 
   private[graft] def numIndexedCols(meta: Metadata): Int =
@@ -144,17 +159,18 @@ object WriteIntoDelta {
       partitionBy: Seq[String],
       configuration: Map[String, String]): DeltaTable = {
     val log = new DeltaLog(spark, tablePath)
-    val schema = df.schema
+    val (schema, conf, protocol) =
+      prepareCreateSchema(df.schema, configuration)
     val metadata = Metadata(
       schemaString = schema.json,
       partitionColumns = partitionBy,
-      configuration = configuration,
+      configuration = conf,
       createdTime = Some(System.currentTimeMillis()))
     val normalized = Validation.prepareForWrite(spark, df, metadata)
     val adds = DeltaWriter.writeFiles(spark, tablePath, normalized, partitionBy,
-      numIndexedCols(metadata))
+      numIndexedCols(metadata), meta = Some(metadata))
     val txn = new OptimisticTransaction(log, None)
-    txn.commit(Seq(Protocol(), metadata) ++ adds,
+    txn.commit(Seq(protocol, metadata) ++ adds,
       Operation("CREATE TABLE AS SELECT",
         Map("mode" -> "ErrorIfExists",
             "partitionBy" -> partitionBy.mkString("[\"", "\",\"", "\"]")),

@@ -43,7 +43,7 @@ class BlindDeltaTable private (val spark: SparkSession, val tablePath: Path) {
     val normalized = Validation.prepareForWrite(spark,
       DeltaWriter.normalize(Generated.fill(df, m.schema), m.schema), m)
     val adds = DeltaWriter.writeFiles(spark, tablePath, normalized,
-      m.partitionColumns, WriteIntoDelta.numIndexedCols(m))
+      m.partitionColumns, WriteIntoDelta.numIndexedCols(m), meta = Some(m))
     val txnActions: Seq[Action] = (appId, appVersion) match {
       case (Some(a), Some(v)) => Seq(SetTransaction(a, v, Some(System.currentTimeMillis())))
       case _ => Nil

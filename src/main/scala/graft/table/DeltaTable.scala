@@ -171,14 +171,16 @@ object DeltaTable {
     val tablePath = new Path(path)
     val log = new DeltaLog(spark, tablePath)
     require(!log.tableExists, s"Delta table already exists at $path")
+    val (schema2, conf2, protocol) =
+      graft.ops.WriteIntoDelta.prepareCreateSchema(schema, configuration)
     val metadata = Metadata(
       name = name, description = description,
-      schemaString = schema.json,
+      schemaString = schema2.json,
       partitionColumns = partitionColumns,
-      configuration = configuration,
+      configuration = conf2,
       createdTime = Some(System.currentTimeMillis()))
     val txn = new OptimisticTransaction(log, None)
-    txn.commit(Seq(Protocol(), metadata),
+    txn.commit(Seq(protocol, metadata),
       Operation("CREATE TABLE", Map(
         "mode" -> "ErrorIfExists",
         "partitionBy" -> partitionColumns.mkString("[\"", "\",\"", "\"]"))))

@@ -50,15 +50,26 @@ object DeltaWriter {
       partitionColumns: Seq[String],
       numIndexedCols: Int = 32,
       optimizeWrite: Boolean = false,
-      pathPrefix: String = ""): Seq[AddFile] = {
+      pathPrefix: String = "",
+      meta: Option[graft.kernel.Metadata] = None): Seq[AddFile] = {
+
+    // column mapping: files/partition dirs/stats carry physical names
+    val mapped = meta.exists(graft.kernel.ColumnMapping.enabled)
+    val (dfPhys, physPartCols) =
+      if (mapped) {
+        val m = meta.get
+        val nm = graft.kernel.ColumnMapping.nameMap(m.schema)
+        (graft.kernel.ColumnMapping.toPhysical(df, m.schema),
+          partitionColumns.map(c => nm.getOrElse(c, c)))
+      } else (df, partitionColumns)
 
     val fs = tablePath.getFileSystem(spark.sessionState.newHadoopConf())
     val staging = new Path(tablePath, s".tmp_write_${UUID.randomUUID().toString.take(12)}")
 
     val toWrite =
-      if (optimizeWrite && partitionColumns.nonEmpty)
-        df.repartition(partitionColumns.map(col): _*)
-      else df
+      if (optimizeWrite && physPartCols.nonEmpty)
+        dfPhys.repartition(physPartCols.map(col): _*)
+      else dfPhys
 
     // Delta requires µs timestamps in parquet (normalize_for_delta,
     // kernel/schema/cast/mod.rs:325); INT96 would also break footer stats.
@@ -69,7 +80,7 @@ object DeltaWriter {
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
     try {
       val writer = toWrite.write.mode("overwrite")
-      (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
+      (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
         .parquet(staging.toString)
     } finally {
       prevTs match {
@@ -98,7 +109,7 @@ object DeltaWriter {
     walk(staging, Nil)
 
     val conf = spark.sessionState.newHadoopConf()
-    val dataSchema = StructType(df.schema.filterNot(f => partitionColumns.contains(f.name)))
+    val dataSchema = StructType(dfPhys.schema.filterNot(f => physPartCols.contains(f.name)))
 
     val adds = files.toSeq.par.map { case (src, parts) =>
       val (_, statsJson) = ParquetStats.collect(conf, src, dataSchema, numIndexedCols)

@@ -27,15 +27,13 @@ object Scan {
 
   /** Pruned read: only files that may satisfy `predicates`. */
   def readWhere(spark: SparkSession, snapshot: Snapshot, predicates: Seq[Expression]): DataFrame = {
-    val pruned = StatsPruning.prune(
-      snapshot.schema, snapshot.partitionColumns, predicates, snapshot.allFiles, Some(spark))
+    val pruned = StatsPruning.prune(snapshot, predicates, snapshot.allFiles, Some(spark))
     readFiles(spark, snapshot, pruned)
   }
 
   def prunedFiles(snapshot: Snapshot, predicates: Seq[Expression],
                   spark: Option[SparkSession] = None): Seq[AddFile] =
-    StatsPruning.prune(snapshot.schema, snapshot.partitionColumns, predicates,
-      snapshot.allFiles, spark)
+    StatsPruning.prune(snapshot, predicates, snapshot.allFiles, spark)
 
   /** Read an explicit subset of the snapshot's files as a DataFrame with the
     * full table schema (partition columns reconstructed + cast).
@@ -102,7 +100,13 @@ object Scan {
     }
 
     val paths = files.map(f => snapshot.absolutePath(f.path).toString)
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    // under column mapping, files (and partition dirs) carry physical names;
+    // read physically, project back to logical (column_mapping.rs semantics)
+    val mapped = graft.kernel.ColumnMapping.enabled(snapshot.metadata)
+    val nm = if (mapped) graft.kernel.ColumnMapping.nameMap(schema) else Map.empty[String, String]
+    val logicalData = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val dataSchema =
+      if (mapped) graft.kernel.ColumnMapping.physicalSchema(logicalData) else logicalData
 
     val raw =
       if (partCols.isEmpty) spark.read.schema(dataSchema).parquet(paths: _*)
@@ -112,7 +116,9 @@ object Scan {
     // partition columns come back type-inferred from the path; cast to the
     // declared schema types and restore schema column order
     val cols: Seq[Column] = schema.map { f =>
-      if (partCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      val pn = nm.getOrElse(f.name, f.name)
+      if (partCols.contains(f.name)) col(pn).cast(f.dataType).as(f.name)
+      else if (mapped) col(pn).cast(f.dataType).as(f.name)
       else col(f.name)
     }
     val identity: Seq[Column] =

@@ -123,7 +123,7 @@ class Round2FixesSpec extends AnyFunSuite {
 
   // --- protocol gate + DV refusal ---
 
-  test("snapshot refuses unsupported reader features and column mapping") {
+  test("snapshot refuses unsupported reader features / unknown mapping modes") {
     val m = Metadata(schemaString = new org.apache.spark.sql.types.StructType()
       .add("a", "int").json)
     assertThrows[DeltaProtocolException] {
@@ -132,8 +132,11 @@ class Round2FixesSpec extends AnyFunSuite {
     }
     assertThrows[DeltaProtocolException] {
       ProtocolGate.checkRead(Protocol(2, 5), m.copy(configuration =
-        Map("delta.columnMapping.mode" -> "name")))
+        Map("delta.columnMapping.mode" -> "surprise")))
     }
+    // supported modes pass the gate
+    ProtocolGate.checkRead(Protocol(2, 5), m.copy(configuration =
+      Map("delta.columnMapping.mode" -> "name")))
     ProtocolGate.checkRead(Protocol(1, 2), m) // plain table fine
   }
 

@@ -499,6 +499,29 @@ object CoreEntries {
         |                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS newsess
         |  FROM events) g GROUP BY user_id""".stripMargin)))
 
+  /** As-of join (an extension op the reference lacks, SURVEY §2.3): each
+    * event matched to the latest order of its user at-or-before event time,
+    * composed from a range join + per-event top-1 window. */
+  private val asofEntry = Entry("asof_join", (s, d) => {
+    eventsDeltaView(s, d)
+    deltaView(s, d, "orders")
+    s.sql(
+      """SELECT event_id, o_orderkey FROM (
+        |  SELECT e.event_id, o.o_orderkey,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events_delta e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+        |WHERE rn = 1""".stripMargin)
+  }, Some(
+    """SELECT event_id, o_orderkey FROM (
+      |  SELECT e.event_id, o.o_orderkey,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e JOIN orders o
+      |    ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)) t
+      |WHERE rn = 1""".stripMargin))
+
   /** Delta copy of `events` with the nanosecond epoch converted to a proper
     * timestamp column (Spark has no nanosecond timestamp type). */
   private def eventsDeltaView(s: SparkSession, d: String): Unit = {
@@ -514,5 +537,5 @@ object CoreEntries {
 
   val entries: Seq[Entry] =
     scanEntries ++ sqlEntries ++ writeEntries ++ dmlEntries ++
-      maintenanceEntries ++ eventEntries
+      maintenanceEntries ++ eventEntries :+ asofEntry
 }

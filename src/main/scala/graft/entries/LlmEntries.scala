@@ -168,6 +168,32 @@ object LlmEntries {
          |FROM s QUALIFY rnk <= 10""".stripMargin
     }),
 
+    // embedding-cosine near-dup: LSH-bucketed candidate join + exact verify.
+    // Doubled corpus (scaled copies, cosine exactly 1.0) provides known
+    // positives; scaling by 2 is FP-exact so both engines agree bit-for-bit.
+    Entry("llm_embedding_neardup", (s, d) => {
+      val emb = embDelta(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val mut = emb.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("v"), x => x * lit(2.0)).as("v"))
+      Similarity.cosineNearDups(emb.unionByName(mut), "vec_id", "v",
+        threshold = 0.95, nBits = 4, dim = 64)
+        .select("id_a", "id_b")
+    }, Some {
+      val bucket = duckBucketExpr("v", planes)
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |corpus AS (
+         |  SELECT vec_id, v FROM base
+         |  UNION ALL SELECT vec_id + 1000000, [x * 2 FOR x IN v] FROM base),
+         |b AS (SELECT vec_id, v, $bucket AS bucket FROM corpus),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |         list_dot_product(a.v, c.v) /
+         |         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         |SELECT id_a, id_b FROM p WHERE cos >= 0.95""".stripMargin
+    }),
+
     // ---- multimodal binary columns ----------------------------------------
 
     Entry("llm_multimodal_meta", (s, d) => {

@@ -75,6 +75,31 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /**
+   * Embedding near-duplicate pairs: all (id_a < id_b) with cosine ≥
+   * `threshold`, found via sign-LSH bucketing (equi-join on bucket id — NOT
+   * an all-pairs cross join) and verified exactly. Bucketing costs recall
+   * for pairs straddling a hyperplane; raise `nBits` multi-probe style by
+   * unioning rotated plane sets when higher recall is needed.
+   */
+  def cosineNearDups(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nBits, dim)
+    val b = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      bucketId(col(vecCol), planes).as("__bucket"))
+    val l = b.select(col("__id").as("id_a"), col("__v").as("__va"), col("__bucket"))
+    val r = b.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__bucket").as("__bucket2"))
+    l.join(r, col("__bucket") === col("__bucket2") && col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /**
    * Bucketed ANN: top-k among corpus vectors sharing the query's LSH bucket.
    * Trades recall for a candidate set ~|corpus| / 2^nBits per query.
    */

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Semantics + plan-shape checks for the LLM-pipeline operators. */
+class LlmSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test-llm")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def assertNoCartesian(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"$what plan contains a cartesian product")
+  }
+
+  test("minhash near-dup finds injected near-duplicates, no all-pairs join") {
+    import spark.implicits._
+    val base = docs.select("doc_id", "text")
+    val mut = base.filter("doc_id % 10 = 0")
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text", concat(col("text"), lit(" zz extra token")))
+    val corpus = base.unionByName(mut)
+    val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text")
+    assertNoCartesian(pairs, "minhash")
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = base.filter("doc_id % 10 = 0").select("doc_id").as[Long]
+      .collect().map(i => (i, i + 1000000)).toSet
+    assert(expected.subsetOf(found),
+      s"missing injected pairs: ${expected -- found}")
+    // verified pairs really are similar: jaccard column ≥ threshold
+    assert(pairs.filter(col("jaccard") < 0.5).isEmpty)
+  }
+
+  test("simhash: identical docs collide, near-dups within hamming bound") {
+    import spark.implicits._
+    val base = docs.select("doc_id", "text").limit(20)
+    val dup = base.withColumn("doc_id", col("doc_id") + 5000)
+    val fps = Dedup.simhash(base.unionByName(dup), "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    (0 until 20).foreach { _ => () }
+    fps.filter(_._1 < 5000).foreach { case (id, fp) =>
+      assert(fps(id + 5000) == fp, s"identical doc $id got different simhash")
+    }
+    val pairs = Dedup.simhashNearDups(base.unionByName(dup), "doc_id", "text")
+    assertNoCartesian(pairs, "simhash")
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fps.keySet.filter(_ < 5000).map(i => (i, i + 5000)).subsetOf(found))
+  }
+
+  test("exact dedup keeps the smallest id per key") {
+    import spark.implicits._
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("id", "k")
+    val out = Dedup.exactKeepMin(df, "id", Seq("k"))
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))
+  }
+
+  test("lsh ann recall vs brute force on shared buckets") {
+    val exact = Similarity.cosineTopK(emb, emb.filter("vec_id < 4"), "vec_id", "embedding", 5)
+    val lsh = Similarity.lshTopK(emb, emb.filter("vec_id < 4"), "vec_id", "embedding", 5)
+    assertNoCartesian(lsh, "lshTopK")
+    // every LSH hit must also be a true neighbor under the bucket restriction:
+    // ranks are consistent (monotone) per query
+    val ranks = lsh.select("query_id", "rnk").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq)
+    ranks.foreach { case (_, rs) => assert(rs == (1L to rs.length)) }
+    assert(exact.count() == 4 * 5)
+  }
+
+  test("token estimate and fingerprint are deterministic and sane") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello, World! 42 times")).toDF("id", "text")
+    val stats = TextOps.textStats(df, "id", "text").collect()(0)
+    assert(stats.getLong(1) == 22) // n_chars
+    assert(stats.getLong(2) == 4)  // n_words
+    assert(stats.getLong(3) > 0)
+    val fp = df.select(TextOps.fingerprint(col("text"))).as[String].head()
+    val fp2 = spark.createDataset(Seq("  hello world 42 times "))
+      .select(TextOps.fingerprint(col("value"))).as[String].head()
+    assert(fp == fp2, "normalization must collapse case/punct/whitespace")
+  }
+
+  test("multimodal feature extraction: batch shape and determinism") {
+    val withP = Multimodal.withPayload(docs.limit(10), "text")
+    val feats = Multimodal.extractFeatures(withP, "doc_id", "payload", dim = 8)
+    val rows = feats.collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val arr = r.getSeq[Float](1)
+      assert(arr.length == 8)
+      assert(arr.exists(_ > 0))
+    }
+    val again = Multimodal.extractFeatures(withP, "doc_id", "payload", dim = 8).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+}

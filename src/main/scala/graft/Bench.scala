@@ -46,34 +46,37 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def force(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+    // read-only queries: warm-up run then best-of-2 (JIT/codegen warm; the
+    // mutating ops below stay single-shot on fresh tables)
+    def timedRead(df: => DataFrame): Double = { timed(force(df)); math.min(timed(force(df)), timed(force(df))) }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     // TPC-H Q1-shaped aggregation over the Delta lineitem
-    results("q1_agg") = timed(force(spark.sql(
+    results("q1_agg") = timedRead(spark.sql(
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |       sum(l_extendedprice) AS sum_price, avg(l_discount) AS avg_disc,
         |       count(*) AS cnt
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)))
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin))
 
     // file-skipping scan with residual filter
-    results("pruned_scan") = timed(force(
+    results("pruned_scan") = timedRead(
       DeltaTable.forPath(spark, liDir)
-        .scanWhere("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_quantity < 5")))
+        .scanWhere("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_quantity < 5"))
 
     // 3-way join + aggregation (shuffle-heavy path, AQE picks broadcast)
-    results("join_agg") = timed(force(spark.sql(
+    results("join_agg") = timedRead(spark.sql(
       """SELECT c_mktsegment, count(*) AS cnt, sum(l_extendedprice) AS rev
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin)))
+        |GROUP BY c_mktsegment""".stripMargin))
 
     // window top-k per key
-    results("window_topk") = timed(force(spark.sql(
+    results("window_topk") = timedRead(spark.sql(
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey,
         |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) rn
-        |  FROM orders) t WHERE rn <= 3""".stripMargin)))
+        |  FROM orders) t WHERE rn <= 3""".stripMargin))
 
     // merge upsert: 50% of rows matched (update), ~1% inserted — the
     // benchmarks/src/merge.rs upsert shape, fresh target per run
@@ -105,14 +108,14 @@ object Bench {
     }
 
     // LLM-pipeline operators
-    results("llm_textstats") = timed(force(
-      TextOps.textStats(docs, "doc_id", "text")))
-    results("llm_exact_dedup") = timed(force(
-      Dedup.exactKeepMin(docs.select("doc_id", "text"), "doc_id", Seq("text"))))
-    results("llm_minhash_neardup") = timed(force(
-      Dedup.minhashNearDups(docs.select("doc_id", "text"), "doc_id", "text")))
-    results("llm_ann_topk") = timed(force(
-      Similarity.cosineTopK(emb, emb.filter("vec_id < 8"), "vec_id", "embedding", 10)))
+    results("llm_textstats") = timedRead(
+      TextOps.textStats(docs, "doc_id", "text"))
+    results("llm_exact_dedup") = timedRead(
+      Dedup.exactKeepMin(docs.select("doc_id", "text"), "doc_id", Seq("text")))
+    results("llm_minhash_neardup") = timedRead(
+      Dedup.minhashNearDups(docs.select("doc_id", "text"), "doc_id", "text"))
+    results("llm_ann_topk") = timedRead(
+      Similarity.cosineTopK(emb, emb.filter("vec_id < 8"), "vec_id", "embedding", 10))
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

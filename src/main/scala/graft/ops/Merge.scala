@@ -184,15 +184,6 @@ object MergeOp {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
-      // ---- duplicate-match validation (merge/validation.rs) ----
-      if (validateDuplicates) {
-        val dups = withOp.filter(matchedC)
-          .groupBy(col("target.__file"), col("target.__pos"))
-          .count().filter(col("count") > 1).limit(1).count()
-        if (dups > 0) throw new MergeDuplicateMatchException
-      }
-
-      // ---- barrier: files with ≥1 modified row (merge/barrier.rs:42) ----
       val deleteOps = indexed.collect {
         case (_: MatchedDelete, i) => i
         case (_: NotMatchedBySourceDelete, i) => i
@@ -209,12 +200,27 @@ object MergeOp {
         case (_: NotMatchedInsertAll, i) => i
       }.toSet
 
-      val changedFileRows =
-        if (changeOps.isEmpty) Array.empty[org.apache.spark.sql.Row]
-        else withOp
-          .filter(col("__tgt").isNotNull && col("__op").isin(changeOps.toSeq.map(Int.box): _*))
-          .select(col("target.__file")).distinct().collect()
-      val changedFiles = changedFileRows.map(_.getString(0)).toSet
+      // ---- ONE bookkeeping pass over the cached join: duplicate-match
+      // validation (merge/validation.rs: any target row with >1 matched
+      // source rows) AND the changed-file barrier (merge/barrier.rs:42) fold
+      // into a per-(file,row) aggregation reduced to one row per file ----
+      val changedCond =
+        if (changeOps.isEmpty) lit(false)
+        else col("__op").isin(changeOps.toSeq.map(Int.box): _*)
+      val perFile =
+        if (!validateDuplicates && changeOps.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else withOp.filter(col("__tgt").isNotNull)
+          .groupBy(col("target.__file").as("__f"), col("target.__pos"))
+          .agg(sum(when(matchedC, 1L).otherwise(0L)).as("__nm"),
+            max(when(changedCond, 1).otherwise(0)).as("__chg"))
+          .groupBy(col("__f"))
+          .agg(max("__nm").as("__maxnm"), max("__chg").as("__chg"))
+          .collect() // one row per candidate FILE — bounded by file count
+
+      if (validateDuplicates && perFile.exists(_.getLong(1) > 1))
+        throw new MergeDuplicateMatchException
+
+      val changedFiles = perFile.filter(_.getInt(2) == 1).map(_.getString(0)).toSet
 
       val pathIdx = Dml.filePathIndex(snapshot, candidates)
       val removedAdds = changedFiles.toSeq.flatMap(uri => pathIdx.get(Dml.uriToPathKey(uri)))

@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.DeltaStreaming
@@ -54,6 +55,64 @@ class StreamingSpec extends AnyFunSuite {
     // exactly-once despite a manual replay of batch 0
     DeltaStreaming.sink(dir, "stream-app")(Seq(1, 2, 3).toDF("n"), 0L)
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 5)
+  }
+
+  test("watermarked windowed aggregation streaming into a Delta sink") {
+    import spark.implicits._
+    val dir = tmpDir()
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = input.toDF().toDF("ts", "kind", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("kind"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("window.start").as("win_start"), col("kind"), col("n"), col("total"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch(graft.streaming.DeltaStreaming.sinkCreating(dir, "win-app"))
+      .start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(7), "b", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = DeltaTable.forPath(spark, dir).toDF
+    val a = out.filter("kind = 'a'").select("n", "total").as[(Long, Double)].collect()
+    assert(a.toSeq == Seq((2L, 3.0)))
+    assert(out.filter("kind = 'b'").count() == 1)
+  }
+
+  test("stateful stream (flatMapGroupsWithState) into a Delta sink") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = tmpDir()
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    // running per-key max, emitted on every update
+    val stateful = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (String, Int)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Int)], state: GroupState[Int]) =>
+          val prev = state.getOption.getOrElse(Int.MinValue)
+          val mx = math.max(prev, rows.map(_._2).max)
+          state.update(mx)
+          Iterator((key, mx))
+      }.toDF("k", "running_max")
+    val q = stateful.writeStream
+      .outputMode("update")
+      .foreachBatch(graft.streaming.DeltaStreaming.sinkCreating(dir, "state-app"))
+      .start()
+    try {
+      input.addData(("x", 3), ("x", 9), ("y", 1))
+      q.processAllAvailable()
+      input.addData(("x", 5), ("y", 7))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = DeltaTable.forPath(spark, dir).toDF
+      .groupBy("k").agg(max("running_max").as("m"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("x" -> 9L, "y" -> 7L))
   }
 
   test("changesSince yields only new CDF rows") {

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -21,8 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
  *    values sign-flipped (total order, NaN sorts last);
  *  - string/binary: first 8 bytes, zero-padded;
  *  - boolean: 0/1; null: all zeros (nulls cluster first).
+ *
+ * Participates in whole-stage codegen: per-column encoding is emitted
+ * inline (type dispatch happens at codegen time), only the bit interleave
+ * is a static call — the rewrite stays in one generated pipeline stage.
  */
-case class ZOrderKey(children: Seq[Expression]) extends Expression with CodegenFallback {
+case class ZOrderKey(children: Seq[Expression]) extends Expression {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
 
@@ -37,6 +42,34 @@ case class ZOrderKey(children: Seq[Expression]) extends Expression with CodegenF
     ZOrderKey.interleave(longs)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val zk = "graft.functions.ZOrderKey"
+    val arr = ctx.freshName("zkeys")
+    val evals = children.map(_.genCode(ctx))
+    val encodes = children.zip(evals).zipWithIndex.map { case ((c, e), i) =>
+      val enc = c.dataType match {
+        case ByteType | ShortType | IntegerType | DateType =>
+          s"$zk.encodeLong((long) ${e.value})"
+        case LongType | TimestampType | TimestampNTZType =>
+          s"$zk.encodeLong(${e.value})"
+        case FloatType => s"$zk.encodeDouble((double) ${e.value})"
+        case DoubleType => s"$zk.encodeDouble(${e.value})"
+        case BooleanType => s"(${e.value} ? 1L : 0L)"
+        case StringType => s"$zk.encodeBytes(${e.value}.getBytes())"
+        case BinaryType => s"$zk.encodeBytes(${e.value})"
+        case _: DecimalType => s"$zk.encodeDouble(${e.value}.toDouble())"
+        case _ => "0L"
+      }
+      s"""${e.code}
+         |$arr[$i] = ${e.isNull} ? 0L : $enc;""".stripMargin
+    }.mkString("\n")
+    val resultCode =
+      s"""long[] $arr = new long[${children.length}];
+         |$encodes
+         |byte[] ${ev.value} = $zk.interleave($arr);""".stripMargin
+    ev.copy(code = code"$resultCode", isNull = FalseLiteral)
+  }
+
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
@@ -46,29 +79,30 @@ object ZOrderKey {
   def encode(value: Any, dt: DataType): Long = {
     if (value == null) return 0L
     dt match {
-      case ByteType => flipSign(value.asInstanceOf[Byte].toLong)
-      case ShortType => flipSign(value.asInstanceOf[Short].toLong)
-      case IntegerType | DateType => flipSign(value.asInstanceOf[Int].toLong)
-      case LongType | TimestampType | TimestampNTZType => flipSign(value.asInstanceOf[Long])
-      case FloatType => doubleBits(value.asInstanceOf[Float].toDouble)
-      case DoubleType => doubleBits(value.asInstanceOf[Double])
+      case ByteType => encodeLong(value.asInstanceOf[Byte].toLong)
+      case ShortType => encodeLong(value.asInstanceOf[Short].toLong)
+      case IntegerType | DateType => encodeLong(value.asInstanceOf[Int].toLong)
+      case LongType | TimestampType | TimestampNTZType => encodeLong(value.asInstanceOf[Long])
+      case FloatType => encodeDouble(value.asInstanceOf[Float].toDouble)
+      case DoubleType => encodeDouble(value.asInstanceOf[Double])
       case BooleanType => if (value.asInstanceOf[Boolean]) 1L else 0L
-      case StringType => prefixBits(value.asInstanceOf[UTF8String].getBytes)
-      case BinaryType => prefixBits(value.asInstanceOf[Array[Byte]])
+      case StringType => encodeBytes(value.asInstanceOf[UTF8String].getBytes)
+      case BinaryType => encodeBytes(value.asInstanceOf[Array[Byte]])
       case _: DecimalType =>
-        doubleBits(value.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
+        encodeDouble(value.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
       case _ => 0L
     }
   }
 
-  private def flipSign(v: Long): Long = v ^ Long.MinValue
+  // public + JVM-static (companion forwarders) so generated code can call them
+  def encodeLong(v: Long): Long = v ^ Long.MinValue
 
-  private def doubleBits(d: Double): Long = {
+  def encodeDouble(d: Double): Long = {
     val bits = java.lang.Double.doubleToLongBits(d)
     if (bits < 0) ~bits else bits ^ Long.MinValue
   }
 
-  private def prefixBits(b: Array[Byte]): Long = {
+  def encodeBytes(b: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 8) {

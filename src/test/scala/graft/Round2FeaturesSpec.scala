@@ -135,6 +135,34 @@ class Round2FeaturesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.distributedPruneThreshold")
   }
 
+  test("zorder key codegen matches interpreted eval and preserves order") {
+    import spark.implicits._
+    import graft.functions.{ZOrder, ZOrderKey}
+    val df = Seq((-5L, "apple", 1.5), (3L, "banana", -2.0), (3L, "apple", 0.0))
+      .toDF("a", "b", "c")
+    val keys = df.select(ZOrder.zorderKey(col("a"), col("b"), col("c")).as("k"))
+      .as[Array[Byte]].collect()
+    // reference: direct object-level computation
+    val expected = Seq((-5L, "apple", 1.5), (3L, "banana", -2.0), (3L, "apple", 0.0))
+      .map { case (a, b, c) =>
+        ZOrderKey.interleave(Array(
+          ZOrderKey.encodeLong(a),
+          ZOrderKey.encodeBytes(b.getBytes("UTF-8")),
+          ZOrderKey.encodeDouble(c)))
+      }
+    keys.zip(expected).foreach { case (got, want) =>
+      assert(got.toSeq == want.toSeq)
+    }
+    // single-column key must order like the column itself
+    val ordered = Seq(-10L, -1L, 0L, 1L, 42L)
+    val enc = ordered.map(v => ZOrderKey.interleave(Array(ZOrderKey.encodeLong(v))))
+    val cmp = new java.util.Comparator[Array[Byte]] {
+      def compare(x: Array[Byte], y: Array[Byte]): Int =
+        java.util.Arrays.compareUnsigned(x, y)
+    }
+    assert(enc.sortWith((x, y) => cmp.compare(x, y) < 0) == enc)
+  }
+
   test("add_feature / update_field_metadata / update_table_metadata") {
     import spark.implicits._
     val dir = tmpDir()

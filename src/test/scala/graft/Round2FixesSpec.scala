@@ -200,6 +200,40 @@ class Round2FixesSpec extends AnyFunSuite {
     assert(t.refresh().allFiles.size == 2)
   }
 
+  // --- DAT-style log-format assertions: the written JSON must carry the
+  // protocol's public field names so other engines can read our tables ---
+
+  test("commit JSON uses canonical Delta action shapes") {
+    import spark.implicits._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1, "a")).toDF("id", "p"), dir,
+      partitionBy = Seq("p"))
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000000.json")).toArray.map(_.toString)
+    val objs = lines.map(l => JsonMethods.parse(l).asInstanceOf[JObject])
+    val keys = objs.flatMap(_.obj.map(_._1)).toSet
+    assert(keys.contains("commitInfo") && keys.contains("protocol") &&
+      keys.contains("metaData") && keys.contains("add"))
+    val proto = objs.flatMap(o => (o \ "protocol").toOption
+      .filter(_ != JNothing)).head
+    assert((proto \ "minReaderVersion") == JInt(1))
+    assert((proto \ "minWriterVersion") == JInt(2))
+    val meta = objs.map(o => o \ "metaData").find(_ != JNothing).get
+    assert((meta \ "format" \ "provider") == JString("parquet"))
+    assert((meta \ "partitionColumns") == JArray(List(JString("p"))))
+    assert((meta \ "schemaString").isInstanceOf[JString])
+    val add = objs.map(o => o \ "add").find(_ != JNothing).get
+    assert((add \ "partitionValues") == JObject(List("p" -> JString("a"))))
+    assert((add \ "dataChange") == JBool(true))
+    val stats = JsonMethods.parse((add \ "stats").asInstanceOf[JString].s)
+    assert((stats \ "numRecords") == JInt(1))
+    assert((stats \ "minValues" \ "id") == JInt(1))
+    assert((stats \ "nullCount" \ "id") == JInt(0))
+  }
+
   // --- checkpoint completeness: domainMetadata survives replay ---
 
   test("domainMetadata survives checkpoint round-trip") {

@@ -10,14 +10,19 @@ class ConstraintViolationException(msg: String) extends RuntimeException(msg)
 
 /**
  * Write-time data validation — CHECK constraints, column invariants,
- * nullability, generated columns. The reference wraps write inputs in a
- * `DataValidationExec` that errors on the first violating row
- * (`crates/core/src/delta_datafusion/data_validation.rs:62,359-404`); here
- * the check is a Spark-side `filter(violation).limit(1)` probe per
- * constraint batch — one distributed pass, short-circuiting on the first
- * hit, fully codegen'd.
+ * nullability, generated columns. Like the reference's `DataValidationExec`
+ * (`crates/core/src/delta_datafusion/data_validation.rs:62,359-404`), the
+ * checks ride INSIDE the write projection as a `raise_error` guard on the
+ * first output column: the input is computed exactly once (no separate
+ * validation scan before the write — the r1 100TB-scale finding), the
+ * write job aborts on the first violating row, and [[graft.table.DeltaWriter]]
+ * translates the raised marker back into [[ConstraintViolationException]].
  */
 object Validation {
+
+  /** Marker embedded in raise_error messages so the write path can map the
+    * SparkException back to a ConstraintViolationException. */
+  val MARKER = "[GRAFT_CONSTRAINT]"
 
   /** CHECK constraints from table properties (`delta.constraints.<name>`). */
   def constraints(meta: Metadata): Map[String, String] =
@@ -65,19 +70,20 @@ object Validation {
       }
 
     val all = notNullChecks ++ checkChecks ++ invChecks
-    if (all.nonEmpty) {
-      // single pass: first violating row, tagged with which checks tripped
-      val anyViolation = all.map(_._2).reduce(_ || _)
-      val probe = df.filter(anyViolation)
-        .select(all.map { case (msg, c) => c.as(msg) }: _*)
-        .limit(1).collect()
-      probe.headOption.foreach { row =>
-        val tripped = all.indices.filter(i => !row.isNullAt(i) && row.getBoolean(i))
-          .map(i => all(i)._1)
-        throw new ConstraintViolationException(tripped.mkString("; "))
+    if (all.isEmpty) df
+    else {
+      // violation message (first tripped check wins), null when the row is ok
+      val msg = all.foldRight(lit(null).cast("string")) { case ((m, cond), acc) =>
+        when(cond, lit(s"$MARKER $m")).otherwise(acc)
       }
+      // the guard is woven into the FIRST output column (not a dropped side
+      // column — Catalyst would prune that away): rows pass through
+      // unchanged unless a check trips, in which case the write job aborts
+      val first = df.schema.fields.head
+      val guarded = when(msg.isNotNull, raise_error(msg))
+        .otherwise(col(first.name)).cast(first.dataType).as(first.name)
+      df.select(guarded +: df.columns.tail.map(col).toSeq: _*)
     }
-    df
   }
 }
 

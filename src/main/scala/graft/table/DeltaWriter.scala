@@ -82,6 +82,21 @@ object DeltaWriter {
       val writer = toWrite.write.mode("overwrite")
       (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
         .parquet(staging.toString)
+    } catch {
+      case e: Throwable =>
+        // surface inline-validation failures (Validation.MARKER raise_error
+        // guards evaluated during this write) with the library's exception
+        var t: Throwable = e
+        while (t != null) {
+          val m = t.getMessage
+          if (m != null && m.contains(graft.ops.Validation.MARKER)) {
+            fs.delete(staging, true)
+            throw new graft.ops.ConstraintViolationException(
+              m.substring(m.indexOf(graft.ops.Validation.MARKER)))
+          }
+          t = t.getCause
+        }
+        throw e
     } finally {
       prevTs match {
         case Some(v) => spark.conf.set(tsKey, v)

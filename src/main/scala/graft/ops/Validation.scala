@@ -46,6 +46,18 @@ object Validation {
       } else Nil
     }
 
+  /** Weave a single ad-hoc requirement into the write projection (same
+    * inline raise_error mechanism as [[prepareForWrite]]) — used by
+    * replaceWhere to enforce "every written row satisfies the predicate"
+    * without a separate pre-write scan. */
+  def requireOnWrite(df: DataFrame, violation: org.apache.spark.sql.Column,
+                     message: String): DataFrame = {
+    val first = df.schema.fields.head
+    val guarded = when(violation, raise_error(lit(s"$MARKER $message")))
+      .otherwise(col(first.name)).cast(first.dataType).as(first.name)
+    df.select(guarded +: df.columns.tail.map(col).toSeq: _*)
+  }
+
   /** Validate + return the input unchanged (validation is eager). */
   def prepareForWrite(spark: SparkSession, df: DataFrame, meta: Metadata): DataFrame = {
     val schema = meta.schema

@@ -70,8 +70,16 @@ object WriteIntoDelta {
         (meta.schema, None)
       }
 
-    val normalized = Validation.prepareForWrite(spark,
+    val normalized0 = Validation.prepareForWrite(spark,
       DeltaWriter.normalize(Generated.fill(df, targetSchema), targetSchema), meta)
+    // replaceWhere: every written row must satisfy the predicate — enforced
+    // inline during the write (no separate pre-write scan of the input)
+    val normalized = replaceWhere.filter(_ => m == "overwrite") match {
+      case Some(pred) => Validation.requireOnWrite(normalized0,
+        not(coalesce(expr(pred), lit(false))),
+        s"replaceWhere: written data contains rows violating predicate '$pred'")
+      case None => normalized0
+    }
 
     val txn = table.startTransaction()
     val adds = DeltaWriter.writeFiles(spark, tablePath, normalized, partCols,
@@ -83,10 +91,6 @@ object WriteIntoDelta {
         txn.readWholeTable()
         (snapshot.allFiles.map(_.remove(now, dataChange = true)), None)
       case ("overwrite", Some(pred)) =>
-        // enforce: every new row must satisfy the predicate
-        val violations = normalized.filter(not(coalesce(expr(pred), lit(false)))).limit(1).count()
-        require(violations == 0,
-          s"replaceWhere: written data contains rows violating predicate '$pred'")
         val predExpr = Scan.parsePredicate(spark, pred)
         txn.readPredicate(predExpr)
         val candidates = Scan.prunedFiles(snapshot, Seq(predExpr), Some(spark))

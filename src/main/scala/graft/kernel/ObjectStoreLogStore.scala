@@ -1,0 +1,75 @@
+package graft.kernel
+
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+
+/**
+ * Object-store commit semantics: eventually-listed blob stores have no
+ * atomic `create-if-absent` file primitive, so commit mutual exclusion
+ * comes from a **conditional put** (S3 `If-None-Match: *`, GCS
+ * `ifGenerationMatch=0`, Azure `If-None-Match`) or an external lock
+ * (delta-rs pairs S3 with a DynamoDB lock table, `crates/aws/src/lib.rs:39`).
+ *
+ * [[ConditionalPutClient]] is that minimal contract; [[ObjectStoreLogStore]]
+ * adapts it to the [[LogStore]] trait so the commit protocol above is
+ * unchanged — `OptimisticTransaction` retries on
+ * [[VersionAlreadyExistsException]] exactly as with the file backend.
+ * [[InMemoryPutClient]] provides CAS semantics for tests and in-process use.
+ */
+trait ConditionalPutClient {
+  /** Atomic put-if-absent. False when the key already exists. */
+  def putIfAbsent(key: String, bytes: Array[Byte]): Boolean
+  def get(key: String): Option[Array[Byte]]
+  def listPrefix(prefix: String): Seq[(String, Long)] // (key, sizeBytes)
+  def delete(key: String): Boolean
+}
+
+class InMemoryPutClient extends ConditionalPutClient {
+  private val blobs = new ConcurrentHashMap[String, Array[Byte]]()
+  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
+    blobs.putIfAbsent(key, bytes) == null
+  override def get(key: String): Option[Array[Byte]] = Option(blobs.get(key))
+  override def listPrefix(prefix: String): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    blobs.asScala.filter(_._1.startsWith(prefix))
+      .map { case (k, v) => (k, v.length.toLong) }.toSeq.sortBy(_._1)
+  }
+  override def delete(key: String): Boolean = blobs.remove(key) != null
+}
+
+class ObjectStoreLogStore(val conf: Configuration, client: ConditionalPutClient)
+    extends LogStore {
+
+  private def key(p: Path): String = p.toUri.getPath
+
+  override def list(dir: Path): Seq[FileStatus] = {
+    val prefix = key(dir).stripSuffix("/") + "/"
+    client.listPrefix(prefix).collect {
+      // only direct children (no '/' after the prefix)
+      case (k, size) if !k.stripPrefix(prefix).contains('/') =>
+        new FileStatus(size, false, 1, size, System.currentTimeMillis(), new Path(k))
+    }.sortBy(_.getPath.getName)
+  }
+
+  override def read(path: Path): Seq[String] =
+    client.get(key(path)) match {
+      case Some(bytes) =>
+        new String(bytes, StandardCharsets.UTF_8).split("\n", -1).toSeq
+          .filter(_.nonEmpty)
+      case None => throw new java.io.FileNotFoundException(path.toString)
+    }
+
+  override def writeAtomic(path: Path, lines: Iterator[String]): Unit = {
+    val sb = new StringBuilder
+    lines.foreach { l => sb.append(l); sb.append('\n') }
+    if (!client.putIfAbsent(key(path), sb.toString.getBytes(StandardCharsets.UTF_8)))
+      throw new VersionAlreadyExistsException(path.toString)
+  }
+
+  override def exists(path: Path): Boolean = client.get(key(path)).isDefined
+
+  override def delete(path: Path): Boolean = client.delete(key(path))
+}

@@ -135,6 +135,42 @@ class Round2FeaturesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.distributedPruneThreshold")
   }
 
+  test("conditional-put log store: exactly one winner per contended version") {
+    import graft.kernel._
+    import org.apache.hadoop.fs.Path
+    val store = new ObjectStoreLogStore(
+      new org.apache.hadoop.conf.Configuration(), new InMemoryPutClient)
+    val logDir = new Path("/bucket/table/_delta_log")
+    val racers = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(racers)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val futures = (0 until racers).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            latch.await()
+            try {
+              store.writeAtomic(new Path(logDir, LogStore.commitFileName(0)),
+                Iterator(s"""{"commitInfo":{"racer":$i}}"""))
+              wins.incrementAndGet()
+            } catch {
+              case _: VersionAlreadyExistsException => losses.incrementAndGet()
+            }
+          }
+        })
+      }
+      latch.countDown()
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    assert(wins.get() == 1 && losses.get() == racers - 1)
+    // list + read round-trip through the blob interface
+    assert(store.list(logDir).map(_.getPath.getName) ==
+      Seq(LogStore.commitFileName(0)))
+    assert(store.read(new Path(logDir, LogStore.commitFileName(0))).size == 1)
+  }
+
   test("zorder key codegen matches interpreted eval and preserves order") {
     import spark.implicits._
     import graft.functions.{ZOrder, ZOrderKey}

@@ -447,6 +447,20 @@ object CoreEntries {
       t.toDF
     }, Some("SELECT * FROM region")),
 
+    // generated columns computed on write (§2.2 row 21 / generated_columns.rs)
+    Entry("generated_columns", (s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = tempDir("gen")
+      val part = pq(s, d, "part")
+      val genMeta = new MetadataBuilder()
+        .putString("delta.generationExpression", "p_retailprice * 2").build()
+      val schema = StructType(part.schema.fields :+
+        StructField("double_price", DoubleType, nullable = true, genMeta))
+      DeltaTable.create(s, dir, schema)
+      DeltaTable.write(s, part, dir, mode = "append") // no double_price given
+      DeltaTable.forPath(s, dir).toDF
+    }, Some("SELECT *, p_retailprice * 2 AS double_price FROM part")),
+
     // CDF write path + read assembly (§2.6 rows 36,37)
     Entry("cdf_read", (s, d) => {
       val dir = tempDir("cdf")

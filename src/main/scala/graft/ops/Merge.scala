@@ -82,6 +82,18 @@ object MergeOp {
 
   private val COPY = -1
 
+  /** Phase timings on stderr when SPARK_GRAFT_TRACE=1 (perf triage aid). */
+  private val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+  private def traced[T](name: String)(body: => T): T = {
+    if (!trace) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[merge-trace] $name%-22s ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+  }
+
   def run(
       table: DeltaTable,
       source: DataFrame,
@@ -119,7 +131,7 @@ object MergeOp {
         val aggs = equiPairs.flatMap { case (_, s) =>
           Seq(min(col(s)).as(s + "__mn"), max(col(s)).as(s + "__mx"))
         }
-        val row = source.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val row = traced("early_filter_agg")(source.agg(aggs.head, aggs.tail: _*).collect()(0))
         equiPairs.zipWithIndex.flatMap { case ((t, _), i) =>
           val mn = row.get(2 * i); val mx = row.get(2 * i + 1)
           if (mn == null || mx == null) None
@@ -207,7 +219,7 @@ object MergeOp {
       val changedCond =
         if (changeOps.isEmpty) lit(false)
         else col("__op").isin(changeOps.toSeq.map(Int.box): _*)
-      val perFile =
+      val perFile = traced("bookkeeping_pass")(
         if (!validateDuplicates && changeOps.isEmpty) Array.empty[org.apache.spark.sql.Row]
         else withOp.filter(col("__tgt").isNotNull)
           .groupBy(col("target.__file").as("__f"), col("target.__pos"))
@@ -215,7 +227,7 @@ object MergeOp {
             max(when(changedCond, 1).otherwise(0)).as("__chg"))
           .groupBy(col("__f"))
           .agg(max("__nm").as("__maxnm"), max("__chg").as("__chg"))
-          .collect() // one row per candidate FILE — bounded by file count
+          .collect()) // one row per candidate FILE — bounded by file count
 
       if (validateDuplicates && perFile.exists(_.getLong(1) > 1))
         throw new MergeDuplicateMatchException
@@ -266,10 +278,10 @@ object MergeOp {
         .filter((fromChangedFiles && !isDeleted) || isInsert)
         .select(outCols: _*)
 
-      val adds =
+      val adds = traced("output_write")(
         if (changedFiles.isEmpty && insertOps.isEmpty) Nil
         else DeltaWriter.writeFiles(spark, table.tablePath, outputRows,
-          snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
+          snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata)))
 
       // ---- metrics (names from merge/mod.rs:677 MergeMetrics) ----
       // Both observations fired during the first action that materialized
@@ -329,8 +341,8 @@ object MergeOp {
         "num_target_files_removed" -> removes.size.toString,
         "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
 
-      table.commitAndRefresh(txn, metaActions ++ removes ++ adds ++ cdc,
-        Operation("MERGE", Map("predicate" -> condition), metrics))
+      traced("commit")(table.commitAndRefresh(txn, metaActions ++ removes ++ adds ++ cdc,
+        Operation("MERGE", Map("predicate" -> condition), metrics)))
       metrics
     } finally {
       withOp.unpersist()

@@ -150,11 +150,18 @@ object Checkpoints {
   /** Read a checkpoint parquet back into actions. With `withFiles = false`
     * only the control-plane columns are scanned (columnar pruning makes this
     * near-free even on a huge checkpoint). */
-  def read(spark: SparkSession, file: Path, withFiles: Boolean = true): Seq[Action] = {
+  def read(spark: SparkSession, file: Path, withFiles: Boolean = true): Seq[Action] =
+    read(spark, Seq(file), withFiles)
+
+  /** Multi-file variant: all parts of one checkpoint version (classic
+    * single-file, or delta-spark's `.checkpoint.%010d.%010d.parquet` parts)
+    * read as one distributed scan. */
+  def read(spark: SparkSession, files: Seq[Path], withFiles: Boolean): Seq[Action] = {
+    require(files.nonEmpty, "no checkpoint files to read")
     val schema0 =
       if (withFiles) checkpointSchema
       else StructType(checkpointSchema.filterNot(f => f.name == "add" || f.name == "remove"))
-    val df0 = spark.read.schema(schema0).parquet(file.toString)
+    val df0 = spark.read.schema(schema0).parquet(files.map(_.toString): _*)
     // re-align to the full positional layout expected below
     val df = if (withFiles) df0 else df0
       .withColumn("add", org.apache.spark.sql.functions.lit(null).cast(addType))

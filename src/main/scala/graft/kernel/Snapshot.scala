@@ -170,8 +170,13 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
 
     val cpVersion = checkpointVersionUpTo(Some(v))
     val base: Seq[Action] = cpVersion match {
-      case Some(cv) => Checkpoints.read(spark,
-        new Path(logPath, LogStore.checkpointFileName(cv)), withFiles = withFiles)
+      case Some(cv) =>
+        // all parts of that version: single-file classic or multi-part
+        // (%020d.checkpoint.%010d.%010d.parquet written by delta-spark)
+        val parts = store.list(logPath).map(_.getPath).filter { p =>
+          LogStore.isCheckpointFile(p.getName) && LogStore.fileVersion(p.getName) == cv
+        }
+        Checkpoints.read(spark, parts, withFiles = withFiles)
       case None => Nil
     }
     val startAfter = cpVersion.getOrElse(-1L)

@@ -135,6 +135,38 @@ class Round2FeaturesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.distributedPruneThreshold")
   }
 
+  test("multi-part checkpoints replay like single-file ones") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.kernel.{Checkpoints, LogStore}
+    val dir = tmpDir()
+    (0 until 11).foreach { i =>
+      DeltaTable.write(spark, Seq((i, s"v$i")).toDF("id", "v"), dir, mode = "append")
+    }
+    val logPath = new Path(dir, "_delta_log")
+    val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val single = new Path(logPath, LogStore.checkpointFileName(10))
+    assert(fs.exists(single), "checkpoint at v10 expected")
+    // split the classic checkpoint into two parts the way delta-spark names them
+    val rows = spark.read.schema(Checkpoints.checkpointSchema).parquet(single.toString)
+    def part(i: Int): String =
+      f"$logPath/${10L}%020d.checkpoint.$i%010d.${2}%010d.parquet"
+    val Seq(h1, h2) = Seq(0, 1).map(i => rows.filter(org.apache.spark.sql.functions
+      .spark_partition_id().isNotNull && org.apache.spark.sql.functions
+      .monotonically_increasing_id() % 2 === i))
+    Seq((h1, 1), (h2, 2)).foreach { case (half, i) =>
+      val tmp = new Path(s"$dir/.cp_tmp_$i")
+      half.coalesce(1).write.parquet(tmp.toString)
+      val p = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-")).get
+      fs.rename(p, new Path(part(i)))
+      fs.delete(tmp, true)
+    }
+    fs.delete(single, false)
+    val fresh = DeltaTable.forPath(spark, dir)
+    assert(fresh.version == 10)
+    assert(fresh.toDF.select("id").as[Int].collect().toSet == (0 until 11).toSet)
+  }
+
   test("conditional-put log store: exactly one winner per contended version") {
     import graft.kernel._
     import org.apache.hadoop.fs.Path

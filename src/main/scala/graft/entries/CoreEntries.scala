@@ -147,7 +147,49 @@ object CoreEntries {
 
     sqlEntry("limit_sort", Seq("lineitem"),
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
-        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin))
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin),
+
+    // TPC-H-shaped classics over Delta views (decimal-cast per row so both
+    // engines sum exactly)
+    sqlEntry("tpch_q3_shape", Seq("customer", "orders", "lineitem"),
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(27,4)) AS revenue,
+        |       o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin),
+
+    sqlEntry("tpch_q5_shape", Seq("customer", "orders", "lineitem", "supplier", "nation", "region"),
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(27,4)) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin),
+
+    sqlEntry("tpch_q6_shape", Seq("lineitem"),
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(27,4)) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+
+    sqlEntry("tpch_q10_shape", Seq("customer", "orders", "lineitem", "nation"),
+      """SELECT c_custkey, c_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(27,4)) AS revenue,
+        |       c_acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
 
   // ---------------------------------------------------------------- writes
 

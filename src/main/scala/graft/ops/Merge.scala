@@ -125,19 +125,42 @@ object MergeOp {
     // ---- early filter (merge/filter.rs:324): source agg → target pruning ----
     val condExpr = Scan.parsePredicate(spark, condition)
     val equiPairs = extractEquiPairs(condExpr, schema.fieldNames.toSet, source.schema.fieldNames.toSet)
+    // partition-key equi-pairs get an exact IN-list (capped) instead of a
+    // range — far tighter pruning when keys are sparse across partitions
+    // (merge/filter.rs: distinct-partition list path)
+    val maxInList = 1000
     val earlyPreds: Seq[Expression] =
       if (hasBySource || equiPairs.isEmpty) Nil // by-source clauses touch all files
       else {
-        val aggs = equiPairs.flatMap { case (_, s) =>
-          Seq(min(col(s)).as(s + "__mn"), max(col(s)).as(s + "__mx"))
-        }
-        val row = traced("early_filter_agg")(source.agg(aggs.head, aggs.tail: _*).collect()(0))
-        equiPairs.zipWithIndex.flatMap { case ((t, _), i) =>
-          val mn = row.get(2 * i); val mx = row.get(2 * i + 1)
-          if (mn == null || mx == null) None
-          else Some(Scan.parsePredicate(spark,
-            s"$t >= ${sqlLit(mn)} AND $t <= ${sqlLit(mx)}"))
-        }
+        val (partPairs, dataPairs) =
+          equiPairs.partition { case (t, _) => snapshot.partitionColumns.contains(t) }
+        // Left = pair whose IN-list was too wide (falls back to range)
+        val inListResults: Seq[Either[(String, String), Expression]] =
+          partPairs.map { case pair @ (t, s) =>
+            val distinctVals = traced("early_filter_distinct")(
+              source.select(col(s)).distinct().limit(maxInList + 1).collect())
+            val nonNull = distinctVals.filter(!_.isNullAt(0))
+            if (distinctVals.length > maxInList || nonNull.isEmpty) Left(pair)
+            else Right(Scan.parsePredicate(spark,
+              nonNull.map(r => sqlLit(r.get(0))).mkString(s"$t IN (", ", ", ")")))
+          }
+        val inListPreds = inListResults.collect { case Right(p) => p }
+        val rangePairs = dataPairs ++ inListResults.collect { case Left(pair) => pair }
+        val rangePreds =
+          if (rangePairs.isEmpty) Nil
+          else {
+            val aggs = rangePairs.flatMap { case (_, s) =>
+              Seq(min(col(s)).as(s + "__mn"), max(col(s)).as(s + "__mx"))
+            }
+            val row = traced("early_filter_agg")(source.agg(aggs.head, aggs.tail: _*).collect()(0))
+            rangePairs.zipWithIndex.flatMap { case ((t, _), i) =>
+              val mn = row.get(2 * i); val mx = row.get(2 * i + 1)
+              if (mn == null || mx == null) None
+              else Some(Scan.parsePredicate(spark,
+                s"$t >= ${sqlLit(mn)} AND $t <= ${sqlLit(mx)}"))
+            }
+          }
+        inListPreds ++ rangePreds
       }
     earlyPreds.foreach(txn.readPredicate)
     if (earlyPreds.isEmpty) txn.readWholeTable()

@@ -34,6 +34,15 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
   def version: Long = snapshot.version
   def schema = snapshot.schema
   def partitionColumns: Seq[String] = snapshot.partitionColumns
+  def metadata: Metadata = snapshot.metadata
+  def protocol: Protocol = snapshot.protocol
+
+  /** Relative data-file paths (python/deltalake table.files()). */
+  def files: Seq[String] = snapshot.allFiles.map(_.path)
+
+  /** Absolute data-file URIs (table.file_uris()). */
+  def fileUris: Seq[String] =
+    snapshot.allFiles.map(f => snapshot.absolutePath(f.path).toString)
 
   // ---- read ----
 

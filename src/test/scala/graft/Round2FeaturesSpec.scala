@@ -135,6 +135,23 @@ class Round2FeaturesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.distributedPruneThreshold")
   }
 
+  test("merge early filter prunes partitions via source IN-list") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val target = (0 until 100).map(i => (i.toLong, i % 5, s"v$i")).toDF("id", "p", "v")
+    DeltaTable.write(spark, target.coalesce(1), dir, partitionBy = Seq("p"))
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.snapshot.numFiles == 5)
+    // source only touches partition p=2 — the merge must not rewrite others
+    val src = target.filter("p = 2").withColumn("v", lit("updated"))
+    val metrics = t.merge(src, "target.id = source.id AND target.p = source.p")
+      .whenMatchedUpdateAll().execute()
+    assert(metrics("num_target_files_removed") == "1",
+      s"expected only the p=2 file rewritten, got ${metrics("num_target_files_removed")}")
+    assert(t.toDF.filter("v = 'updated'").count() == 20)
+    assert(t.toDF.count() == 100)
+  }
+
   test("multi-part checkpoints replay like single-file ones") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path

@@ -184,6 +184,33 @@ class Round2FeaturesSpec extends AnyFunSuite {
     assert(fresh.toDF.select("id").as[Int].collect().toSet == (0 until 11).toSet)
   }
 
+  test("contended blind appends all land via the retry loop") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((-1, "seed")).toDF("id", "v"), dir)
+    val writers = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val futures = (0 until writers).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            latch.await()
+            val blind = graft.table.BlindDeltaTable.forPath(spark, dir)
+            blind.append(Seq((i, s"w$i")).toDF("id", "v")).get
+          }
+        })
+      }
+      latch.countDown()
+      val versions = futures.map(_.get())
+      assert(versions.distinct.size == writers, "each commit got a distinct version")
+    } finally pool.shutdown()
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.version == writers.toLong)
+    assert(t.toDF.select("id").as[Int].collect().toSet ==
+      ((0 until writers).toSet + -1))
+  }
+
   test("conditional-put log store: exactly one winner per contended version") {
     import graft.kernel._
     import org.apache.hadoop.fs.Path

@@ -336,6 +336,17 @@ object CoreEntries {
       t.toDF
     }, Some("SELECT * FROM orders WHERE o_orderstatus <> 'O'")),
 
+    // DELETE via deletion vectors: mask instead of rewrite (§2.9 row 46 +
+    // write-side extension beyond the reference)
+    Entry("delete_via_dv", (s, d) => {
+      val dir = tempDir("dvdel")
+      DeltaTable.write(s, pq(s, d, "part"), dir,
+        configuration = Map("delta.enableDeletionVectors" -> "true"))
+      val t = DeltaTable.forPath(s, dir)
+      t.delete(Some("p_size > 25"))
+      t.toDF
+    }, Some("SELECT * FROM part WHERE NOT (p_size > 25)")),
+
     // UPDATE with CASE-per-SET rewrite (§2.6 row 29)
     Entry("update_op", (s, d) => {
       val dir = tempDir("upd")

@@ -248,7 +248,8 @@ object DeletionVectors {
   }
 
   /** Write a DV file (version byte + one entry) and return its descriptor
-    * (storageType `u`). Fixture/test helper mirroring the on-disk layout. */
+    * (storageType `u`) — the write half of DV-based DELETE
+    * ([[graft.ops.DvDelete]]) and the fixture builder for tests. */
   def writeDvFile(tablePath: Path, values: Array[Long],
                   conf: org.apache.hadoop.conf.Configuration): DeletionVectorDescriptor = {
     val data = encodeRoaringArray(values)

@@ -70,6 +70,30 @@ object ProtocolGate {
     }
   }
 
+  /** Protocol action required before the first deletion-vector write, if
+    * the current protocol doesn't already carry the feature. Upgrading a
+    * legacy protocol to v7 enumerates the implied legacy writer features. */
+  def upgradeForDv(p: Protocol): Option[Protocol] = {
+    val okReader = p.minReaderVersion >= 3 &&
+      p.readerFeatures.exists(_.contains("deletionVectors"))
+    val okWriter = p.minWriterVersion >= 7 &&
+      p.writerFeatures.exists(_.contains("deletionVectors"))
+    if (okReader && okWriter) None
+    else {
+      val implied = p.minWriterVersion match {
+        case v if v >= 7 => p.writerFeatures.getOrElse(Nil)
+        case v =>
+          (if (v >= 2) Seq("appendOnly", "invariants") else Nil) ++
+            (if (v >= 3) Seq("checkConstraints") else Nil) ++
+            (if (v >= 4) Seq("changeDataFeed", "generatedColumns") else Nil)
+      }
+      Some(Protocol(3, 7,
+        readerFeatures = Some(
+          (p.readerFeatures.getOrElse(Nil) :+ "deletionVectors").distinct),
+        writerFeatures = Some((implied :+ "deletionVectors").distinct)))
+    }
+  }
+
   /** delta.appendOnly enforcement (writer feature / table property). */
   def checkAppendOnly(snapshot: Snapshot, op: String): Unit =
     if (snapshot.confBool("delta.appendOnly"))

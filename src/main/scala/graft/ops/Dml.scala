@@ -124,13 +124,20 @@ object DeleteOp {
               .flatMap(r => idx.get(Dml.uriToPathKey(r.getString(0)))).toSeq
           }
 
-        val rewriteAdds: Seq[AddFile] =
-          if (partialFiles.isEmpty) Nil
-          else {
+        // With delta.enableDeletionVectors, partially-matching files keep
+        // their data and gain a row-index mask instead of being rewritten —
+        // deleting 0.1% of rows from a 100 TB table touches KBs, not TBs.
+        val useDv = snapshot.confBool("delta.enableDeletionVectors")
+        val (dvActions, rewriteAdds, dvDeletedRows) =
+          if (partialFiles.isEmpty) (Nil, Nil, 0L)
+          else if (useDv) {
+            val acts = DvDelete.maskFiles(table, snapshot, partialFiles, pred)
+            (acts._1, Nil, acts._2)
+          } else {
             val keep = Scan.readFiles(spark, snapshot, partialFiles)
               .filter(not(coalesce(expr(pred), lit(false))))
-            DeltaWriter.writeFiles(spark, table.tablePath, keep,
-              snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
+            (Nil, DeltaWriter.writeFiles(spark, table.tablePath, keep,
+              snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata)), 0L)
           }
 
         val cdc: Seq[Action] =
@@ -141,19 +148,73 @@ object DeleteOp {
             Dml.writeCdc(spark, table, deleted, nIdx)
           } else Nil
 
-        val removes = (fullFiles ++ partialFiles).map(_.remove(now, dataChange = true))
-        val removedRows = (fullFiles ++ partialFiles).flatMap(_.numRecords).sum
+        // protocol upgrade rides the same commit when DVs are first written
+        val protocolUpgrade: Seq[Action] =
+          if (dvActions.nonEmpty) ProtocolGate.upgradeForDv(snapshot.protocol).toSeq
+          else Nil
+
+        val rewrittenFiles = if (useDv) fullFiles else fullFiles ++ partialFiles
+        val removes = rewrittenFiles.map(_.remove(now, dataChange = true))
+        val removedRows = rewrittenFiles.flatMap(_.numRecords).sum
         val keptRows = rewriteAdds.flatMap(_.numRecords).sum
         val metrics = Map(
           "num_removed_files" -> removes.size.toString,
           "num_added_files" -> rewriteAdds.size.toString,
-          "num_deleted_rows" -> (removedRows - keptRows).toString,
+          "num_deleted_rows" -> (removedRows - keptRows + dvDeletedRows).toString,
           "num_copied_rows" -> keptRows.toString,
           "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
-        table.commitAndRefresh(txn, removes ++ rewriteAdds ++ cdc,
+        table.commitAndRefresh(txn,
+          protocolUpgrade ++ removes ++ rewriteAdds ++ dvActions ++ cdc,
           Operation("DELETE", Map("predicate" -> pred), metrics))
         metrics
     }
+  }
+}
+
+/** DELETE-via-deletion-vector: mask matching rows instead of rewriting the
+  * file (delta-spark's DV delete; the reference reads DVs but rewrites on
+  * delete — this is the 100 TB-friendly extension). */
+object DvDelete {
+
+  /** Row-count cap for driver-side position collection; above it the
+    * caller should rewrite instead (masks that big defeat the purpose). */
+  val MaxMaskedRows = 50000000L
+
+  /** Returns (remove+add actions, rows newly masked). Each file's new mask
+    * is unioned with any existing DV. */
+  def maskFiles(
+      table: DeltaTable,
+      snapshot: Snapshot,
+      files: Seq[AddFile],
+      pred: String): (Seq[Action], Long) = {
+    val spark = table.spark
+    val conf = spark.sessionState.newHadoopConf()
+    val idx = Dml.filePathIndex(snapshot, files)
+    // positions of matching rows per file (row_index is pre-mask: the scan
+    // already excludes previously-masked rows, so indexes stay file-absolute)
+    val hits = Scan.readFiles(spark, snapshot, files, withFileIdentity = true)
+      .filter(expr(pred))
+      .select(col("__file"), col("__pos"))
+      .collect()
+    require(hits.length <= MaxMaskedRows,
+      s"DV delete would mask ${hits.length} rows; rewrite instead")
+    val byFile = hits.groupBy(r => Dml.uriToPathKey(r.getString(0)))
+    val now = System.currentTimeMillis()
+    var masked = 0L
+    val actions = byFile.toSeq.flatMap { case (key, rows) =>
+      val add = idx(key)
+      val existing: Array[Long] = add.deletionVector
+        .map(dv => DeletionVectors.read(table.tablePath, dv, conf))
+        .getOrElse(Array.empty)
+      val newPositions = rows.map(_.getLong(1))
+      masked += newPositions.length
+      val union = (existing ++ newPositions).distinct.sorted
+      val desc = DeletionVectors.writeDvFile(table.tablePath, union, conf)
+      Seq(
+        add.remove(now, dataChange = true),
+        add.copy(deletionVector = Some(desc), dataChange = true))
+    }
+    (actions, masked)
   }
 }
 

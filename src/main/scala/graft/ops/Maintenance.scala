@@ -33,9 +33,14 @@ object VacuumOp {
     val now = System.currentTimeMillis()
     val cutoff = now - retentionMs
 
-    // live = current adds + cdc files referenced since; keep anything
-    // tracked by a recent tombstone or newer than the cutoff
-    val live: Set[String] = snapshot.allFiles.map(_.path).toSet
+    // live = current adds + their deletion-vector blobs + cdc files
+    // referenced since; keep anything tracked by a recent tombstone or
+    // newer than the cutoff
+    val tableUri = table.tablePath.toUri
+    val liveDvs: Set[String] = snapshot.allFiles.flatMap(_.deletionVector)
+      .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
+      .map(p => tableUri.relativize(p.toUri).getPath).toSet
+    val live: Set[String] = snapshot.allFiles.map(_.path).toSet ++ liveDvs
     val recentTombstones: Set[String] = snapshot.tombstones
       .filter(_.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoff)
       .map(_.path).toSet

@@ -135,6 +135,44 @@ class Round2FeaturesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.distributedPruneThreshold")
   }
 
+  test("DELETE via deletion vectors: no rewrite, masks merge, vacuum keeps blobs") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    DeltaTable.write(spark, df.coalesce(1), dir,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    val dataPath = t.files.head
+
+    t.delete(Some("id >= 90"))
+    val s1 = t.snapshot
+    // same physical file, now masked — nothing rewritten
+    assert(s1.allFiles.map(_.path) == Seq(dataPath))
+    assert(s1.allFiles.head.deletionVector.exists(_.cardinality == 10))
+    assert(s1.protocol.minReaderVersion == 3 &&
+      s1.protocol.readerFeatures.get.contains("deletionVectors"))
+    assert(t.toDF.count() == 90)
+    assert(t.approxCount.contains(90L))
+
+    // second delete unions into the existing mask
+    t.delete(Some("id < 5"))
+    val s2 = t.refresh()
+    assert(s2.allFiles.map(_.path) == Seq(dataPath))
+    assert(s2.allFiles.head.deletionVector.exists(_.cardinality == 15))
+    assert(t.toDF.select("id").as[Long].collect().toSet == (5L until 90L).toSet)
+
+    // vacuum must keep the data file AND the live DV blob
+    t.vacuum(retentionHours = 0, dryRun = false, enforceRetention = false)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 85)
+
+    // compaction purges masked rows and drops the DV
+    t.optimizeCompact()
+    val s3 = t.refresh()
+    assert(s3.allFiles.forall(_.deletionVector.isEmpty) ||
+      s3.allFiles.map(_.path) == Seq(dataPath)) // single file: no bin to compact
+    assert(t.toDF.count() == 85)
+  }
+
   test("merge early filter prunes partitions via source IN-list") {
     import spark.implicits._
     val dir = tmpDir()

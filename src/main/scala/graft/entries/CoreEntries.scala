@@ -359,6 +359,19 @@ object CoreEntries {
         |       CASE WHEN p_size > 40 THEN p_retailprice * 2 ELSE p_retailprice END AS p_retailprice
         |FROM part""".stripMargin)),
 
+    // UPDATE via deletion vectors: mask + append (§2.9 row 46 extension)
+    Entry("update_via_dv", (s, d) => {
+      val dir = tempDir("dvupd")
+      DeltaTable.write(s, pq(s, d, "supplier"), dir,
+        configuration = Map("delta.enableDeletionVectors" -> "true"))
+      val t = DeltaTable.forPath(s, dir)
+      t.update(Map("s_acctbal" -> expr("s_acctbal + 100")), Some("s_suppkey <= 20"))
+      t.toDF
+    }, Some(
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |       CASE WHEN s_suppkey <= 20 THEN s_acctbal + 100 ELSE s_acctbal END AS s_acctbal
+        |FROM supplier""".stripMargin)),
+
     // MERGE upsert: update-all + insert-all (§2.6 row 30, §2.3 join)
     Entry("merge_upsert", (s, d) => {
       val dir = tempDir("mrg")

@@ -267,12 +267,28 @@ object UpdateOp {
         case None => col(f.name)
       }
     }
-    val rewritten = src.select(updatedCols: _*)
-    val adds = DeltaWriter.writeFiles(spark, table.tablePath, rewritten,
-      snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
 
-    // rows matching the predicate within the rewritten files
-    val updatedRows = src.filter(predCol).count()
+    // With delta.enableDeletionVectors: mask the OLD versions of matching
+    // rows in place and append a file holding only the updated rows —
+    // untouched rows never move (delta-spark's DV update shape)
+    val useDv = snapshot.confBool("delta.enableDeletionVectors")
+    val (actions, adds, removes, updatedRows): (Seq[Action], Seq[AddFile], Seq[Action], Long) =
+      if (useDv) {
+        val (dvActions, masked) = DvDelete.maskFiles(table, snapshot, files, pred)
+        val updatedOnly = src.filter(predCol).select(updatedCols: _*)
+        val newAdds = DeltaWriter.writeFiles(spark, table.tablePath, updatedOnly,
+          snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
+        val upgrade = ProtocolGate.upgradeForDv(snapshot.protocol).toSeq
+        (upgrade ++ dvActions ++ newAdds, newAdds, Nil, masked)
+      } else {
+        val rewritten = src.select(updatedCols: _*)
+        val newAdds = DeltaWriter.writeFiles(spark, table.tablePath, rewritten,
+          snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
+        val now = System.currentTimeMillis()
+        val rem = files.map(_.remove(now, dataChange = true))
+        val matched = src.filter(predCol).count()
+        (rem ++ newAdds, newAdds, rem, matched)
+      }
 
     val cdc: Seq[Action] =
       if (Dml.cdcEnabled(snapshot)) {
@@ -282,16 +298,14 @@ object UpdateOp {
         Dml.writeCdc(spark, table, pre.unionByName(post), nIdx)
       } else Nil
 
-    val now = System.currentTimeMillis()
-    val removes = files.map(_.remove(now, dataChange = true))
     val totalRows = adds.flatMap(_.numRecords).sum
     val metrics = Map(
       "num_added_files" -> adds.size.toString,
       "num_removed_files" -> removes.size.toString,
       "num_updated_rows" -> updatedRows.toString,
-      "num_copied_rows" -> (totalRows - updatedRows).toString,
+      "num_copied_rows" -> math.max(0L, totalRows - updatedRows).toString,
       "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
-    table.commitAndRefresh(txn, removes ++ adds ++ cdc,
+    table.commitAndRefresh(txn, actions ++ cdc,
       Operation("UPDATE", Map("predicate" -> pred), metrics))
     metrics
   }

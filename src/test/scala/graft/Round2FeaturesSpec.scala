@@ -173,6 +173,27 @@ class Round2FeaturesSpec extends AnyFunSuite {
     assert(t.toDF.count() == 85)
   }
 
+  test("UPDATE via deletion vectors: masks old rows, appends updated ones") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    DeltaTable.write(spark, df.coalesce(1), dir,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    val originalFile = t.files.head
+    val m = t.update(Map("v" -> lit("upd")), Some("id < 10"))
+    assert(m("num_updated_rows") == "10")
+    val s = t.snapshot
+    // original file still present (masked), plus one new file of updates
+    assert(s.allFiles.map(_.path).contains(originalFile))
+    assert(s.allFiles.size == 2)
+    assert(s.allFiles.find(_.path == originalFile).get
+      .deletionVector.exists(_.cardinality == 10))
+    assert(t.toDF.filter("v = 'upd'").count() == 10)
+    assert(t.toDF.count() == 100)
+    assert(t.toDF.select("id").as[Long].collect().toSet == (0L until 100L).toSet)
+  }
+
   test("merge early filter prunes partitions via source IN-list") {
     import spark.implicits._
     val dir = tmpDir()

@@ -108,6 +108,16 @@ object Bench {
         .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
     }
 
+    // same upsert on a DV-enabled target: masks + appends, no copy rewrite
+    val mergeDvDir = EntryCtx.tempDir("bench_merge_dv")
+    DeltaTable.write(spark, orders, mergeDvDir,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    results("merge_upsert_dv") = timed {
+      DeltaTable.forPath(spark, mergeDvDir)
+        .merge(mergeSrc, "target.o_orderkey = source.o_orderkey")
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    }
+
     // delete with partial-file rewrite
     val delDir = EntryCtx.tempDir("bench_del")
     DeltaTable.write(spark, orders.repartition(8), delDir)

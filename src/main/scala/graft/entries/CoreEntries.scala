@@ -398,6 +398,23 @@ object CoreEntries {
         |       o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin)),
 
+    // MERGE on a DV-enabled table: masks + appends, no copies (row 46 ext.)
+    Entry("merge_via_dv", (s, d) => {
+      val dir = tempDir("mrgdv")
+      val sup = pq(s, d, "supplier")
+      DeltaTable.write(s, sup, dir,
+        configuration = Map("delta.enableDeletionVectors" -> "true"))
+      val src = sup.filter("s_suppkey % 2 = 0")
+        .withColumn("s_acctbal", col("s_acctbal") + 5)
+      val t = DeltaTable.forPath(s, dir)
+      t.merge(src, "target.s_suppkey = source.s_suppkey")
+        .whenMatchedUpdateAll().execute()
+      t.toDF
+    }, Some(
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |       CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal + 5 ELSE s_acctbal END AS s_acctbal
+        |FROM supplier""".stripMargin)),
+
     // MERGE with conditional update/delete clauses + insert (§2.6 row 30)
     Entry("merge_mixed", (s, d) => {
       val dir = tempDir("mrgm")

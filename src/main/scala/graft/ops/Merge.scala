@@ -292,19 +292,57 @@ object MergeOp {
         else col("__op").isin(deleteOps.toSeq.map(Int.box): _*)
       val isInsert = if (insertOps.isEmpty) lit(false)
         else col("__op").isin(insertOps.toSeq.map(Int.box): _*)
+      val updateOps = indexed.collect {
+        case (_: MatchedUpdate, i) => i; case (_: MatchedUpdateAll, i) => i
+        case (_: NotMatchedBySourceUpdate, i) => i
+      }.toSet
+      val isUpdated = if (updateOps.isEmpty) lit(false)
+        else col("__op").isin(updateOps.toSeq.map(Int.box): _*)
 
       val fromChangedFiles =
         if (changedFiles.isEmpty) lit(false)
         else col("__tgt").isNotNull && col("target.__file").isin(changedFiles.toSeq: _*)
 
-      val outputRows = withOp
-        .filter((fromChangedFiles && !isDeleted) || isInsert)
-        .select(outCols: _*)
+      // With delta.enableDeletionVectors, changed target rows are MASKED in
+      // place and only updated/inserted rows are written — untouched rows in
+      // changed files are never copied (the DV merge shape). Falls back to
+      // the rewrite path when the mask would be enormous.
+      val useDv = snapshot.confBool("delta.enableDeletionVectors")
+      val maskPositions: Array[org.apache.spark.sql.Row] =
+        if (useDv && changedFiles.nonEmpty)
+          withOp.filter(changedCond && col("__tgt").isNotNull)
+            .select(col("target.__file"), col("target.__pos")).collect()
+        else Array.empty
+      val dvMode = useDv && changedFiles.nonEmpty &&
+        maskPositions.length <= DvDelete.MaxMaskedRows
+
+      val outputRows =
+        if (dvMode) withOp.filter(isUpdated || isInsert).select(outCols: _*)
+        else withOp.filter((fromChangedFiles && !isDeleted) || isInsert).select(outCols: _*)
 
       val adds = traced("output_write")(
         if (changedFiles.isEmpty && insertOps.isEmpty) Nil
         else DeltaWriter.writeFiles(spark, table.tablePath, outputRows,
           snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata)))
+
+      // mask actions (remove + re-add with unioned DV) for DV mode
+      val dvNow = System.currentTimeMillis()
+      val dvActions: Seq[Action] =
+        if (!dvMode) Nil
+        else {
+          val conf = spark.sessionState.newHadoopConf()
+          maskPositions.groupBy(r => Dml.uriToPathKey(r.getString(0))).toSeq.flatMap {
+            case (key, rows) =>
+              val add = pathIdx(key)
+              val existing = add.deletionVector
+                .map(dv => graft.kernel.DeletionVectors.read(table.tablePath, dv, conf))
+                .getOrElse(Array.empty[Long])
+              val union = (existing ++ rows.map(_.getLong(1))).distinct.sorted
+              val desc = graft.kernel.DeletionVectors.writeDvFile(table.tablePath, union, conf)
+              Seq(add.remove(dvNow, dataChange = true),
+                add.copy(deletionVector = Some(desc), dataChange = true))
+          } ++ ProtocolGate.upgradeForDv(snapshot.protocol).toSeq
+        }
 
       // ---- metrics (names from merge/mod.rs:677 MergeMetrics) ----
       // Both observations fired during the first action that materialized
@@ -318,10 +356,6 @@ object MergeOp {
       val opCounts = indexed.map { case (_, i) => i -> obsLong(opRow(s"op_$i")) }.toMap
       def countOf(ids: Set[Int]): Long = ids.toSeq.map(i => opCounts.getOrElse(i, 0L)).sum
       val numSourceRows = obsLong(srcObs.get("n"))
-      val updateOps = indexed.collect {
-        case (_: MatchedUpdate, i) => i; case (_: MatchedUpdateAll, i) => i
-        case (_: NotMatchedBySourceUpdate, i) => i
-      }.toSet
       val rowsUpdated = countOf(updateOps)
       val rowsDeleted = countOf(deleteOps)
       val rowsInserted = countOf(insertOps)
@@ -348,11 +382,15 @@ object MergeOp {
         } else Nil
 
       val now = System.currentTimeMillis()
-      val removes = removedAdds.map(_.remove(now, dataChange = true))
+      val removes: Seq[Action] =
+        if (dvMode) Nil // dvActions carry the remove+re-add(DV) pairs
+        else removedAdds.map(_.remove(now, dataChange = true))
       val metaActions: Seq[Action] =
         if (outSchema != schema)
           Seq(snapshot.metadata.copy(schemaString = outSchema.json))
         else Nil
+      val filesRemoved =
+        if (dvMode) dvActions.count(_.isInstanceOf[RemoveFile]) else removes.size
       val metrics = Map(
         "num_source_rows" -> numSourceRows.toString,
         "num_target_rows_inserted" -> rowsInserted.toString,
@@ -361,10 +399,11 @@ object MergeOp {
         "num_target_rows_copied" -> rowsCopied.toString,
         "num_output_rows" -> outputTotal.toString,
         "num_target_files_added" -> adds.size.toString,
-        "num_target_files_removed" -> removes.size.toString,
+        "num_target_files_removed" -> filesRemoved.toString,
         "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
 
-      traced("commit")(table.commitAndRefresh(txn, metaActions ++ removes ++ adds ++ cdc,
+      traced("commit")(table.commitAndRefresh(txn,
+        metaActions ++ removes ++ dvActions ++ adds ++ cdc,
         Operation("MERGE", Map("predicate" -> condition), metrics)))
       metrics
     } finally {

@@ -194,6 +194,38 @@ class Round2FeaturesSpec extends AnyFunSuite {
     assert(t.toDF.select("id").as[Long].collect().toSet == (0L until 100L).toSet)
   }
 
+  test("MERGE via deletion vectors: copies untouched, masks + appends only") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val target = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    DeltaTable.write(spark, target.coalesce(1), dir,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    val originalFile = t.files.head
+    val src = Seq((5L, "u5"), (7L, "u7"), (200L, "new")).toDF("id", "v")
+    val m = t.merge(src, "target.id = source.id")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(m("num_target_rows_updated") == "2")
+    assert(m("num_target_rows_inserted") == "1")
+    assert(m("num_target_rows_copied") == "0", "DV merge must not copy rows")
+    val s = t.snapshot
+    assert(s.allFiles.map(_.path).contains(originalFile), "original file kept")
+    assert(s.allFiles.find(_.path == originalFile).get
+      .deletionVector.exists(_.cardinality == 2))
+    val out = t.toDF
+    assert(out.count() == 101)
+    assert(out.filter("id = 5").select("v").as[String].head() == "u5")
+    assert(out.filter("id = 200").count() == 1)
+    assert(out.filter("id = 6").select("v").as[String].head() == "v6")
+
+    // delete clause through DV merge
+    val m2 = t.merge(Seq((8L, "x")).toDF("id", "v"), "target.id = source.id")
+      .whenMatchedDelete().execute()
+    assert(m2("num_target_rows_deleted") == "1")
+    assert(t.toDF.count() == 100)
+    assert(t.toDF.filter("id = 8").count() == 0)
+  }
+
   test("merge early filter prunes partitions via source IN-list") {
     import spark.implicits._
     val dir = tmpDir()

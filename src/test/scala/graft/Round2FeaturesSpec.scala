@@ -194,6 +194,22 @@ class Round2FeaturesSpec extends AnyFunSuite {
     assert(t.toDF.select("id").as[Long].collect().toSet == (0L until 100L).toSet)
   }
 
+  test("CDF and deletion vectors compose: masked deletes still emit change rows") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, (0 until 50).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      dir, configuration = Map(
+        "delta.enableChangeDataFeed" -> "true",
+        "delta.enableDeletionVectors" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.delete(Some("id >= 45"))
+    assert(t.snapshot.allFiles.head.deletionVector.isDefined) // mask, not rewrite
+    val changes = t.loadCdf(1).filter("_change_type = 'delete'")
+      .select("id").as[Int].collect().toSet
+    assert(changes == (45 until 50).toSet)
+    assert(t.toDF.count() == 45)
+  }
+
   test("MERGE via deletion vectors: copies untouched, masks + appends only") {
     import spark.implicits._
     val dir = tmpDir()

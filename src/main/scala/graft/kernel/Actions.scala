@@ -134,6 +134,20 @@ case class DomainMetadata(domain: String, configuration: String, removed: Boolea
   override def wrapperKey: String = "domainMetadata"
 }
 
+/** V2 checkpoint manifest descriptor (actions.rs:1141). */
+case class CheckpointMetadata(version: Long, tags: Option[Map[String, String]] = None)
+    extends Action {
+  override def wrapperKey: String = "checkpointMetadata"
+}
+
+/** V2 checkpoint sidecar reference — add/remove state lives in
+  * `_delta_log/_sidecars/<path>` parquet files (actions.rs:1154). */
+case class Sidecar(path: String, sizeInBytes: Option[Long] = None,
+    modificationTime: Option[Long] = None, tags: Option[Map[String, String]] = None)
+    extends Action {
+  override def wrapperKey: String = "sidecar"
+}
+
 /** Isolation levels, conflict-check semantics per delta-rs
   * `kernel/transaction/conflict_checker.rs` + actions.rs:1178. */
 sealed abstract class IsolationLevel(val name: String)
@@ -228,6 +242,13 @@ object ActionCodec {
         "domain" -> JString(d.domain),
         "configuration" -> JString(d.configuration),
         "removed" -> JBool(d.removed))
+      case c: CheckpointMetadata => JObject(
+        List("version" -> JLong(c.version)) ++ opt("tags", c.tags.map(jmap)))
+      case s: Sidecar => JObject(
+        List("path" -> JString(s.path)) ++
+        opt("sizeInBytes", s.sizeInBytes.map(JLong(_))) ++
+        opt("modificationTime", s.modificationTime.map(JLong(_))) ++
+        opt("tags", s.tags.map(jmap)))
     }
     JObject(a.wrapperKey -> body)
   }
@@ -363,6 +384,20 @@ object ActionCodec {
         domain = str(o \ "domain"),
         configuration = str(o \ "configuration"),
         removed = boolOpt(o \ "removed").getOrElse(false)))
+      case _ =>
+    }
+    (j \ "checkpointMetadata") match {
+      case o: JObject => return Some(CheckpointMetadata(
+        version = longOpt(o \ "version").getOrElse(0L),
+        tags = smapOpt(o \ "tags")))
+      case _ =>
+    }
+    (j \ "sidecar") match {
+      case o: JObject => return Some(Sidecar(
+        path = str(o \ "path"),
+        sizeInBytes = longOpt(o \ "sizeInBytes"),
+        modificationTime = longOpt(o \ "modificationTime"),
+        tags = smapOpt(o \ "tags")))
       case _ =>
     }
     None

@@ -57,6 +57,13 @@ object Checkpoints {
     StructField("removed", BooleanType)
   ))
 
+  /** V2 manifest sidecar reference column (read-only; we write classic). */
+  val sidecarType: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("sizeInBytes", LongType),
+    StructField("modificationTime", LongType)
+  ))
+
   val metadataType: StructType = StructType(Seq(
     StructField("id", StringType),
     StructField("name", StringType),
@@ -153,20 +160,47 @@ object Checkpoints {
   def read(spark: SparkSession, file: Path, withFiles: Boolean = true): Seq[Action] =
     read(spark, Seq(file), withFiles)
 
+  /** Resolve any checkpoint flavor: classic parquet part(s), or a V2 uuid
+    * manifest (json lines or parquet) whose Sidecar actions point at
+    * `_delta_log/_sidecars/` parquets carrying the add/remove state. */
+  def readResolved(spark: SparkSession, store: LogStore, logPath: Path,
+                   parts: Seq[Path], withFiles: Boolean): Seq[Action] = {
+    val (jsonParts, parquetParts) = parts.partition(_.getName.endsWith(".json"))
+    val manifestActions: Seq[Action] =
+      jsonParts.flatMap(p => store.read(p).flatMap(ActionCodec.fromJson)) ++
+        (if (parquetParts.nonEmpty) read(spark, parquetParts, withFiles) else Nil)
+    val sidecars = manifestActions.collect { case s: Sidecar => s }
+    val resolved =
+      if (sidecars.isEmpty || !withFiles)
+        manifestActions.filter {
+          case _: AddFile | _: RemoveFile if !withFiles => false
+          case _ => true
+        }
+      else {
+        val sidecarPaths = sidecars.map(s =>
+          new Path(new Path(logPath, "_sidecars"), s.path))
+        manifestActions ++ read(spark, sidecarPaths, withFiles = true)
+          .filter(a => a.isInstanceOf[AddFile] || a.isInstanceOf[RemoveFile])
+      }
+    resolved.filterNot(a => a.isInstanceOf[Sidecar] || a.isInstanceOf[CheckpointMetadata])
+  }
+
   /** Multi-file variant: all parts of one checkpoint version (classic
     * single-file, or delta-spark's `.checkpoint.%010d.%010d.parquet` parts)
     * read as one distributed scan. */
   def read(spark: SparkSession, files: Seq[Path], withFiles: Boolean): Seq[Action] = {
     require(files.nonEmpty, "no checkpoint files to read")
+    val readSchema = StructType(checkpointSchema.fields :+
+      StructField("sidecar", sidecarType))
     val schema0 =
-      if (withFiles) checkpointSchema
-      else StructType(checkpointSchema.filterNot(f => f.name == "add" || f.name == "remove"))
+      if (withFiles) readSchema
+      else StructType(readSchema.filterNot(f => f.name == "add" || f.name == "remove"))
     val df0 = spark.read.schema(schema0).parquet(files.map(_.toString): _*)
     // re-align to the full positional layout expected below
     val df = if (withFiles) df0 else df0
       .withColumn("add", org.apache.spark.sql.functions.lit(null).cast(addType))
       .withColumn("remove", org.apache.spark.sql.functions.lit(null).cast(removeType))
-      .select("txn", "add", "remove", "metaData", "protocol", "domainMetadata")
+      .select("txn", "add", "remove", "metaData", "protocol", "domainMetadata", "sidecar")
     df.collect().toSeq.flatMap { row =>
       def mapOf(r: Row, i: Int): Map[String, String] =
         if (r.isNullAt(i)) Map.empty
@@ -229,6 +263,11 @@ object Checkpoints {
         val d = row.getStruct(5)
         Some(DomainMetadata(d.getString(0), d.getString(1),
           if (d.isNullAt(2)) false else d.getBoolean(2)))
+      } else if (row.length > 6 && !row.isNullAt(6)) {
+        val s = row.getStruct(6)
+        Some(Sidecar(s.getString(0),
+          if (s.isNullAt(1)) None else Some(s.getLong(1)),
+          if (s.isNullAt(2)) None else Some(s.getLong(2))))
       } else None
     }
   }

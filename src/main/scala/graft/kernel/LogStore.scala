@@ -105,6 +105,9 @@ object LogStore {
   def checkpointFileName(version: Long): String = f"$version%020d.checkpoint.parquet"
 
   def isCommitFile(name: String): Boolean = name.matches("\\d{20}\\.json")
-  def isCheckpointFile(name: String): Boolean = name.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet")
+  /** Classic single-file, classic multi-part, and V2 uuid-named manifests. */
+  def isCheckpointFile(name: String): Boolean =
+    name.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet") ||
+      name.matches("\\d{20}\\.checkpoint\\.[0-9a-fA-F-]{32,36}\\.(json|parquet)")
   def fileVersion(name: String): Long = name.takeWhile(_.isDigit).toLong
 }

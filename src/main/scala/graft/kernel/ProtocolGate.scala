@@ -25,8 +25,13 @@ class DeltaProtocolException(msg: String) extends RuntimeException(msg)
  */
 object ProtocolGate {
 
+  // v2Checkpoint is reader-side only: we READ uuid-manifest+sidecar
+  // checkpoints but write classic ones, so tables carrying the WRITER
+  // feature are still refused for writes (spec: such writers must emit
+  // v2 checkpoints).
   val supportedReaderFeatures: Set[String] =
-    Set("timestampNtz", "deletionVectors", "vacuumProtocolCheck", "columnMapping")
+    Set("timestampNtz", "deletionVectors", "vacuumProtocolCheck",
+      "columnMapping", "v2Checkpoint")
 
   val supportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",

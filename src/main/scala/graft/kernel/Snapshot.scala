@@ -81,6 +81,7 @@ private[kernel] class ReplayState {
     case d: DomainMetadata =>
       if (d.removed) domains.remove(d.domain) else domains(d.domain) = d
     case _: CommitInfo | _: AddCDCFile => // not part of table state
+    case _: CheckpointMetadata | _: Sidecar => // checkpoint plumbing only
   }
 
   def toSnapshot(tablePath: String, version: Long, ts: Long): Snapshot =
@@ -171,12 +172,13 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     val cpVersion = checkpointVersionUpTo(Some(v))
     val base: Seq[Action] = cpVersion match {
       case Some(cv) =>
-        // all parts of that version: single-file classic or multi-part
-        // (%020d.checkpoint.%010d.%010d.parquet written by delta-spark)
+        // all parts of that version: single-file classic, multi-part
+        // (%020d.checkpoint.%010d.%010d.parquet), or a V2 uuid manifest
+        // whose add/remove state lives in _sidecars/ parquets
         val parts = store.list(logPath).map(_.getPath).filter { p =>
           LogStore.isCheckpointFile(p.getName) && LogStore.fileVersion(p.getName) == cv
         }
-        Checkpoints.read(spark, parts, withFiles = withFiles)
+        Checkpoints.readResolved(spark, store, logPath, parts, withFiles = withFiles)
       case None => Nil
     }
     val startAfter = cpVersion.getOrElse(-1L)

@@ -259,6 +259,48 @@ class Round2FeaturesSpec extends AnyFunSuite {
     assert(t.toDF.count() == 100)
   }
 
+  test("V2 uuid-manifest checkpoint with sidecars replays") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.kernel._
+    val dir = tmpDir()
+    (0 until 3).foreach { i =>
+      DeltaTable.write(spark, Seq((i, s"v$i")).toDF("id", "v"), dir, mode = "append")
+    }
+    val t = DeltaTable.forPath(spark, dir)
+    val log = t.deltaLog
+    val logPath = new Path(dir, "_delta_log")
+    val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // classic checkpoint as a source of correctly-shaped add rows
+    Checkpoints.write(spark, logPath, t.snapshot, log.store)
+    val classic = new Path(logPath, LogStore.checkpointFileName(2))
+    // sidecar parquet: just the add column
+    val sidecarDir = new Path(logPath, "_sidecars")
+    fs.mkdirs(sidecarDir)
+    val addsOnly = spark.read.parquet(classic.toString)
+      .select("add").where("add IS NOT NULL")
+    val tmp = new Path(dir, ".sc_tmp")
+    addsOnly.coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.rename(part, new Path(sidecarDir, "sc-1.parquet"))
+    fs.delete(tmp, true)
+    // V2 json manifest referencing the sidecar
+    val uuid = java.util.UUID.randomUUID().toString
+    val manifest = new Path(logPath, f"${2L}%020d.checkpoint.$uuid.json")
+    val m = t.snapshot.metadata
+    log.store.writeAtomic(manifest, Iterator(
+      ActionCodec.toJson(CheckpointMetadata(2)),
+      ActionCodec.toJson(t.snapshot.protocol),
+      ActionCodec.toJson(m),
+      ActionCodec.toJson(Sidecar("sc-1.parquet"))))
+    // drop the classic checkpoint and the pre-checkpoint commits
+    fs.delete(classic, false)
+    (0 until 2).foreach(v => fs.delete(new Path(logPath, LogStore.commitFileName(v)), false))
+    val fresh = DeltaTable.forPath(spark, dir)
+    assert(fresh.version == 2)
+    assert(fresh.toDF.select("id").as[Int].collect().toSet == Set(0, 1, 2))
+  }
+
   test("multi-part checkpoints replay like single-file ones") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path

@@ -56,8 +56,20 @@ object CdfRead {
       if (cdcFiles.nonEmpty) cdcFiles.foreach(f => cdc += ((f, v, ts)))
       else {
         actions.foreach {
-          case a: AddFile if a.dataChange => ins += ((a, v, ts))
-          case r: RemoveFile if r.dataChange => del += ((r, v, ts))
+          case a: AddFile if a.dataChange =>
+            // synthesized legs read files raw; a DV'd add (e.g. RESTORE onto
+            // a masked state) would misreport masked rows as inserts
+            if (a.deletionVector.exists(_.cardinality > 0))
+              throw new IllegalStateException(
+                s"CDF cannot synthesize changes for DV-masked file ${a.path} " +
+                s"at version $v (no CDC files in that commit)")
+            ins += ((a, v, ts))
+          case r: RemoveFile if r.dataChange =>
+            if (r.deletionVector.exists(_.cardinality > 0))
+              throw new IllegalStateException(
+                s"CDF cannot synthesize changes for DV-masked file ${r.path} " +
+                s"at version $v (no CDC files in that commit)")
+            del += ((r, v, ts))
           case _ =>
         }
       }

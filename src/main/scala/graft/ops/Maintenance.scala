@@ -94,13 +94,18 @@ object RestoreOp {
     val current = table.refresh()
     ProtocolGate.checkAppendOnly(current, "RESTORE")
     val target = table.deltaLog.snapshotAt(version)
-    val currentPaths = current.allFiles.map(_.path).toSet
-    val targetPaths = target.allFiles.map(_.path).toSet
+    // file identity includes the deletion-vector: the same path with a
+    // different (or no) mask is a DIFFERENT logical file — path-only
+    // comparison would fail to resurrect rows masked since `version`
+    def key(f: AddFile): (String, Option[String]) =
+      (f.path, f.deletionVector.map(_.pathOrInlineDv))
+    val currentKeys = current.allFiles.map(key).toSet
+    val targetKeys = target.allFiles.map(key).toSet
 
-    val toAdd = target.allFiles.filterNot(f => currentPaths.contains(f.path))
+    val toAdd = target.allFiles.filterNot(f => currentKeys.contains(key(f)))
       .map(_.copy(dataChange = true))
     val now = System.currentTimeMillis()
-    val toRemove = current.allFiles.filterNot(f => targetPaths.contains(f.path))
+    val toRemove = current.allFiles.filterNot(f => targetKeys.contains(key(f)))
       .map(_.remove(now, dataChange = true))
 
     val metaAction: Seq[Action] =
@@ -115,7 +120,9 @@ object RestoreOp {
     val metrics = Map(
       "numRestoredFiles" -> toAdd.size.toString,
       "numRemovedFiles" -> toRemove.size.toString)
-    table.commitAndRefresh(txn, metaAction ++ toAdd ++ toRemove,
+    // removes MUST precede adds: with DV restores the same path can be
+    // tombstoned and re-added in one commit, and replay is order-sensitive
+    table.commitAndRefresh(txn, metaAction ++ toRemove ++ toAdd,
       Operation("RESTORE", Map("version" -> version.toString), metrics))
     metrics
   }

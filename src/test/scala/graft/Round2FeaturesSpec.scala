@@ -194,6 +194,23 @@ class Round2FeaturesSpec extends AnyFunSuite {
     assert(t.toDF.select("id").as[Long].collect().toSet == (0L until 100L).toSet)
   }
 
+  test("RESTORE across a DV delete resurrects masked rows") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, (0 until 30).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      dir, configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.delete(Some("id >= 20")) // masks, same path
+    assert(t.toDF.count() == 20)
+    t.restore(0)
+    assert(t.toDF.count() == 30, "masked rows must come back")
+    assert(t.snapshot.allFiles.forall(_.deletionVector.isEmpty))
+    // and restoring FORWARD to the masked state works too
+    t.restore(1)
+    assert(t.refresh().allFiles.head.deletionVector.isDefined)
+    assert(t.toDF.count() == 20)
+  }
+
   test("CDF and deletion vectors compose: masked deletes still emit change rows") {
     import spark.implicits._
     val dir = tmpDir()

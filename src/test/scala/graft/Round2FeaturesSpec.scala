@@ -194,6 +194,23 @@ class Round2FeaturesSpec extends AnyFunSuite {
     assert(t.toDF.select("id").as[Long].collect().toSet == (0L until 100L).toSet)
   }
 
+  test("deletion vectors survive checkpoint replay") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, (0 until 40).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      dir, configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.delete(Some("id >= 30")) // masks 10 rows at v1
+    // push past the checkpoint interval
+    (0 until 10).foreach { i =>
+      DeltaTable.write(spark, Seq((1000 + i, "x")).toDF("id", "v"), dir, mode = "append")
+    }
+    assert(t.refresh().version >= 10)
+    val fresh = DeltaTable.forPath(spark, dir) // replays from checkpoint
+    assert(fresh.snapshot.allFiles.exists(_.deletionVector.exists(_.cardinality == 10)))
+    assert(fresh.toDF.filter("id < 1000").count() == 30)
+  }
+
   test("RESTORE across a DV delete resurrects masked rows") {
     import spark.implicits._
     val dir = tmpDir()

@@ -60,9 +60,12 @@ object Dedup {
    *      when the candidate set is small)        (shuffle on id)
    *
    * Returns (id_a, id_b, jaccard) for verified pairs ≥ `threshold`.
-   * At 100 TB the only hotspot is a skewed band bucket (boilerplate
-   * duplicated billions of times); cap bucket width upstream by exact-
-   * deduping first (always do exact before near-dup).
+   * At 100 TB the hotspot is a skewed band bucket (boilerplate duplicated
+   * billions of times → a quadratic self-join inside one bucket):
+   * `maxBucketWidth` drops buckets wider than the cap before the join —
+   * documents that pathological belong to exact dedup (always run exact
+   * before near-dup), and each doc still has `bands-1` other chances to
+   * collide. Dropped buckets are a recall trade, not a correctness one.
    */
   def minhashNearDups(
       df: DataFrame,
@@ -71,7 +74,8 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 128,
       bands: Int = 64,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketWidth: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be a multiple of bands")
     val r = numHashes / bands
 
@@ -87,9 +91,17 @@ object Dedup {
       val slice = (b * r until (b + 1) * r).map(i => col(s"__h$i"))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
     }
-    val banded = sig
+    val banded0 = sig
       .select(col("__id"), explode(array(bandStructs: _*)).as("__bk"))
       .select(col("__id"), col("__bk.band").as("__band"), col("__bk.bh").as("__bh"))
+
+    // skew guard: discard pathologically wide buckets before self-joining
+    val bucketWidth = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__band"), col("__bh"))
+    val banded = banded0
+      .withColumn("__bw", count(lit(1)).over(bucketWidth))
+      .filter(col("__bw") <= maxBucketWidth)
+      .drop("__bw")
 
     // 4. candidate pairs (equi-join on band bucket — NOT all-pairs)
     val a = banded.select(col("__id").as("id_a"), col("__band"), col("__bh"))

@@ -134,4 +134,10 @@ object ZOrder {
   def zorderKey(cols: Column*): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       ZOrderKey(cols.map(org.apache.spark.sql.GraftSqlBridge.expression).toSeq))
+
+  /** Make `zorder_key(...)` callable from `spark.sql` (the reference
+    * registers its zorder UDF in the session, optimize.rs:1560). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder_key", exprs => ZOrderKey(exprs), "scala_udf")
 }

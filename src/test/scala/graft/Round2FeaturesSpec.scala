@@ -448,6 +448,13 @@ class Round2FeaturesSpec extends AnyFunSuite {
     keys.zip(expected).foreach { case (got, want) =>
       assert(got.toSeq == want.toSeq)
     }
+    // SQL registration path
+    graft.functions.ZOrder.register(spark)
+    df.createOrReplaceTempView("zt")
+    val viaSql = spark.sql("SELECT zorder_key(a, b, c) AS k FROM zt")
+      .as[Array[Byte]].collect()
+    keys.zip(viaSql).foreach { case (x, y) => assert(x.toSeq == y.toSeq) }
+
     // single-column key must order like the column itself
     val ordered = Seq(-10L, -1L, 0L, 1L, 42L)
     val enc = ordered.map(v => ZOrderKey.interleave(Array(ZOrderKey.encodeLong(v))))

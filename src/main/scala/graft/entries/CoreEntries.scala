@@ -97,10 +97,14 @@ object CoreEntries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)""".stripMargin),
 
+    // Sums go through integer cents (round(x*100) is IEEE-identical in Spark
+    // and DuckDB) rather than double→DECIMAL casts, whose half-cent tie
+    // rounding diverges between the engines (Spark rounds the shortest
+    // decimal repr HALF_UP; DuckDB rounds the exact binary value).
     sqlEntry("agg_q1", Seq("lineitem"),
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(27,2)) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(27,2)) AS sum_price,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_price,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
 
@@ -117,9 +121,9 @@ object CoreEntries {
 
     sqlEntry("window_running", Seq("orders"),
       """SELECT o_custkey, o_orderkey,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
         |         PARTITION BY o_custkey ORDER BY o_orderkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(27,2)) AS run_total
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS run_total
         |FROM orders""".stripMargin),
 
     sqlEntry("set_ops", Seq("customer", "supplier"),
@@ -573,11 +577,11 @@ object CoreEntries {
       // TIMESTAMP_NTZ so the parquet output is tz-naive like DuckDB's
       s.sql(
         """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ) AS hr, event_type, count(*) AS cnt,
-          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(27,2)) AS total
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
           |FROM events_delta GROUP BY 1, 2""".stripMargin)
     }, Some(
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type, count(*) AS cnt,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(27,2)) AS total
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
         |FROM events GROUP BY 1, 2""".stripMargin)),
 
     Entry("events_sessions", (s, d) => {

@@ -1,6 +1,6 @@
 package graft.entries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
@@ -37,6 +37,60 @@ object LlmEntries {
 
   private def embDelta(s: SparkSession, d: String): DataFrame =
     DeltaTable.forPath(s, sharedDelta(s, d, "embeddings")).toDF
+
+  /** Cross-engine-reproducible 64-bit shingle hash: the first 16 hex chars
+    * of md5 assembled from two 32-bit halves (conv of >16 hex digits would
+    * overflow a signed long). Spark's md5 and DuckDB's md5 agree, so the
+    * oracle can replay the exact SimHash fingerprints. */
+  private def md5Hash64(c: Column): Column = {
+    val m = md5(c)
+    val hi = conv(substring(m, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(m, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  /** DuckDB replay of the md5Hash64-based SimHash pipeline as a brute-force
+    * oracle: same shingles, same md5-derived bits, same sign-aggregate; the
+    * pigeonhole banding in Dedup.simhashNearDups is lossless for
+    * hamming <= 3 (3 flipped bits cannot touch all four 16-bit chunks), so
+    * the all-pairs version is the exact expected answer. */
+  private def simhashOracleSql: String = {
+    // bit j of the 64-bit hash = bit (j%4) of the hex digit at 1-indexed
+    // position 16 - j/4 in the md5 string (big-endian numeric value).
+    val sums = (0 until 64).map { j =>
+      val pos = 16 - j / 4
+      val b = j % 4
+      s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(m, $pos, 1)) - 1) >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val fpList = (0 until 64).map(j => s"CASE WHEN s$j > 0 THEN 1 ELSE 0 END")
+      .mkString("[", ", ", "]")
+    s"""WITH corpus AS ($corpusSql),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) t
+       |),
+       |hs AS (SELECT doc_id, md5(s) AS m FROM sh),
+       |bits AS (SELECT doc_id, $sums FROM hs GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fpList AS f FROM bits)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(list_sum([CASE WHEN a.f[k] <> b.f[k] THEN 1 ELSE 0 END FOR k IN range(1, 65)]) AS BIGINT) AS hamming
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id) p
+       |WHERE hamming <= 3""".stripMargin
+  }
+
+  /** DuckDB replay of Multimodal.fakeDecode: per-dim integer byte sums over
+    * hex(encode(text)) divided by 256 — a power-of-two divide, so fp32
+    * (Spark) and fp64 (DuckDB) agree bit-for-bit after widening. */
+  private def multimodalFeaturesOracle(dim: Int): String = {
+    def byteExpr(i: String) =
+      s"(strpos('0123456789ABCDEF', substr(hx, 2*$i+1, 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substr(hx, 2*$i+2, 1)) - 1)"
+    val fcols = (0 until dim).map { j =>
+      s"CAST(COALESCE(list_sum([${byteExpr("i")} FOR i IN range(length(hx) // 2) IF i % $dim = $j]), 0) AS DOUBLE) / 256 AS f$j"
+    }.mkString(", ")
+    s"""SELECT doc_id, $fcols
+       |FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents) t""".stripMargin
+  }
 
   /** DuckDB-side LSH bucket id: same hyperplanes, same sign rule. */
   private def duckBucketExpr(vecExpr: String, planes: Array[Array[Double]]): String =
@@ -124,11 +178,15 @@ object LlmEntries {
            |SELECT id_a, id_b FROM pairs
            |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5""".stripMargin)),
 
-    // hash-function-dependent fingerprints: rows-only contract check,
-    // exactness covered by LlmSpec
+    // full oracle: md5-derived hash lets DuckDB replay the exact
+    // fingerprints; the banded join is provably lossless at hamming<=3, so
+    // brute-force all-pairs in DuckDB is the precise expected output.
+    // (xxhash64 production default stays covered by LlmSpec.)
     Entry("llm_neardup_simhash", (s, d) =>
-      Dedup.simhashNearDups(corpusWithNearDups(s, d), "doc_id", "text"),
-      None),
+      Dedup.simhashNearDups(corpusWithNearDups(s, d), "doc_id", "text",
+        hashFn = md5Hash64)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming")),
+      Some(simhashOracleSql)),
 
     // ---- similarity search ------------------------------------------------
 
@@ -204,9 +262,13 @@ object LlmEntries {
         |       md5(text) AS digest
         |FROM documents""".stripMargin)),
 
-    // mapPartitions batch transform with a stubbed codec: rows-only check
+    // mapPartitions batch transform with a stubbed codec. The entry projects
+    // one double column per dim (the harness can't sort/hash array cells) and
+    // carries a full oracle: fakeDecode is deterministic byte math.
     Entry("llm_multimodal_features", (s, d) => {
       val withP = Multimodal.withPayload(docsDelta(s, d), "text")
-      Multimodal.extractFeatures(withP, "doc_id", "payload", dim = 8)
-    }, None))
+      val feats = Multimodal.extractFeatures(withP, "doc_id", "payload", dim = 8)
+      feats.select(col("doc_id") +: (0 until 8).map(j =>
+        element_at(col("features"), j + 1).cast("double").as(s"f$j")): _*)
+    }, Some(multimodalFeaturesOracle(8))))
 }

@@ -77,9 +77,14 @@ object Checkpoints {
     StructField("createdTime", LongType)
   ))
 
+  // v3/v7 protocol rows MUST carry their feature lists (Delta PROTOCOL.md
+  // checkpoint schema) — dropping them would silently strip the feature
+  // signal from third-party readers on replay.
   val protocolType: StructType = StructType(Seq(
     StructField("minReaderVersion", IntegerType),
-    StructField("minWriterVersion", IntegerType)
+    StructField("minWriterVersion", IntegerType),
+    StructField("readerFeatures", ArrayType(StringType)),
+    StructField("writerFeatures", ArrayType(StringType))
   ))
 
   val txnType: StructType = StructType(Seq(
@@ -124,7 +129,9 @@ object Checkpoints {
           m.partitionColumns, m.configuration, m.createdTime.map(Long.box).orNull),
         null, null)) ++
       Seq(Row(null, null, null, null,
-        Row(snapshot.protocol.minReaderVersion, snapshot.protocol.minWriterVersion), null)) ++
+        Row(snapshot.protocol.minReaderVersion, snapshot.protocol.minWriterVersion,
+          snapshot.protocol.readerFeatures.orNull,
+          snapshot.protocol.writerFeatures.orNull), null)) ++
       snapshot.txns.toSeq.map { case (app, v) => Row(Row(app, v, null), null, null, null, null, null) } ++
       snapshot.allFiles.map(f => Row(null, addRow(f), null, null, null, null)) ++
       snapshot.tombstones.map(r => Row(null, null, removeRow(r), null, null, null)) ++
@@ -254,7 +261,11 @@ object Checkpoints {
           createdTime = if (m.isNullAt(7)) None else Some(m.getLong(7))))
       } else if (!row.isNullAt(4)) {
         val p = row.getStruct(4)
-        Some(Protocol(p.getInt(0), p.getInt(1)))
+        // feature columns are absent in checkpoints written by older
+        // versions of this library — tolerate a 2-field struct
+        def feats(i: Int): Option[Seq[String]] =
+          if (p.length <= i || p.isNullAt(i)) None else Some(p.getSeq[String](i))
+        Some(Protocol(p.getInt(0), p.getInt(1), feats(2), feats(3)))
       } else if (!row.isNullAt(0)) {
         val t = row.getStruct(0)
         Some(SetTransaction(t.getString(0), t.getLong(1),

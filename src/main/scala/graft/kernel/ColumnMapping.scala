@@ -89,11 +89,14 @@ object ColumnMapping {
       case other => other
     }
     def annotateField(f: StructField): StructField = {
-      id += 1
       val b = new MetadataBuilder().withMetadata(f.metadata)
       if (!f.metadata.contains(PHYS_KEY))
         b.putString(PHYS_KEY, s"col-${java.util.UUID.randomUUID()}")
-      if (!f.metadata.contains(ID_KEY)) b.putLong(ID_KEY, id.toLong)
+      // already-annotated fields keep their id (schema evolution re-runs
+      // this over a merged schema); fresh fields get ids above every
+      // existing one so uniqueness holds
+      if (!f.metadata.contains(ID_KEY)) { id += 1; b.putLong(ID_KEY, id.toLong) }
+      else id = math.max(id, f.metadata.getLong(ID_KEY).toInt)
       f.copy(metadata = b.build(), dataType = annotate(f.dataType))
     }
     (StructType(schema.fields.map(annotateField)), id)

@@ -102,7 +102,13 @@ object DeletionVectors {
 
   /** Deleted row indexes of one descriptor (sorted ascending). */
   def read(tablePath: Path, dv: DeletionVectorDescriptor,
-           conf: org.apache.hadoop.conf.Configuration): Array[Long] = {
+           conf: org.apache.hadoop.conf.Configuration): Array[Long] =
+    decodeRoaringArray(readBytes(tablePath, dv, conf))
+
+  /** The descriptor's magic-prefixed roaring data, still compressed —
+    * what scan-side masking broadcasts (KBs per file, not positions). */
+  def readBytes(tablePath: Path, dv: DeletionVectorDescriptor,
+                conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
     val data: Array[Byte] = dv.storageType match {
       case "i" => z85ToBytes(dv.pathOrInlineDv)
       case "u" | "p" =>
@@ -125,7 +131,7 @@ object DeletionVectors {
         } finally in.close()
       case other => throw new IllegalArgumentException(s"Unknown DV storageType: $other")
     }
-    decodeRoaringArray(data)
+    data
   }
 
   /** Decode magic-prefixed 64-bit RoaringBitmapArray data → sorted indexes. */

@@ -81,8 +81,18 @@ class HadoopLogStore(val conf: Configuration) extends LogStore {
         ch.write(java.nio.ByteBuffer.wrap(sb.toString.getBytes(StandardCharsets.UTF_8)))
       } finally ch.close()
     } else {
-      // HDFS: create(overwrite=false) is atomic. Object stores need a
-      // conditional-put implementation behind this trait.
+      // HDFS: create(overwrite=false) is atomic. Blob stores are NOT:
+      // S3A/GCS/Azure implement create() as exists-then-put, so two racing
+      // writers can both "win" version N and silently corrupt the log.
+      // Refuse loudly — those schemes must route through a conditional-put
+      // LogStore (ObjectStoreLogStore) or an external lock, like the
+      // reference's S3+DynamoDB backend (crates/aws/src/lib.rs:39).
+      if (HadoopLogStore.NonAtomicSchemes.contains(scheme.toLowerCase))
+        throw new UnsupportedOperationException(
+          s"HadoopLogStore cannot commit atomically on '$scheme://' - " +
+            "exists-then-create is not atomic on object stores. Use a " +
+            "conditional-put LogStore (ObjectStoreLogStore) or an external " +
+            "commit coordinator for this scheme.")
       if (f.exists(path)) throw new VersionAlreadyExistsException(path.toString)
       val out = f.create(path, false)
       try {
@@ -95,6 +105,12 @@ class HadoopLogStore(val conf: Configuration) extends LogStore {
 
   override def exists(path: Path): Boolean = fs(path).exists(path)
   override def delete(path: Path): Boolean = fs(path).delete(path, false)
+}
+
+object HadoopLogStore {
+  /** Schemes whose Hadoop FileSystem create() lacks atomic create-exclusive. */
+  val NonAtomicSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cos")
 }
 
 object LogStore {
@@ -110,4 +126,11 @@ object LogStore {
     name.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet") ||
       name.matches("\\d{20}\\.checkpoint\\.[0-9a-fA-F-]{32,36}\\.(json|parquet)")
   def fileVersion(name: String): Long = name.takeWhile(_.isDigit).toLong
+
+  private val MultiPartRe = "\\d{20}\\.checkpoint\\.(\\d+)\\.(\\d+)\\.parquet".r
+  /** (partNumber, numParts) for classic multi-part checkpoint names. */
+  def multiPartInfo(name: String): Option[(Int, Int)] = name match {
+    case MultiPartRe(part, total) => Some((part.toInt, total.toInt))
+    case _ => None
+  }
 }

@@ -19,23 +19,31 @@ import org.apache.hadoop.fs.{FileStatus, Path}
  * [[VersionAlreadyExistsException]] exactly as with the file backend.
  * [[InMemoryPutClient]] provides CAS semantics for tests and in-process use.
  */
+/** One listed object: key, size, and creation/last-modified time (object
+  * stores report a real per-object timestamp; surfacing it matters because
+  * commit-file mtimes drive time travel by timestamp, `history()`,
+  * CDF timestamp ranges and tombstone retention). */
+case class ObjectMeta(key: String, size: Long, mtimeMs: Long)
+
 trait ConditionalPutClient {
   /** Atomic put-if-absent. False when the key already exists. */
   def putIfAbsent(key: String, bytes: Array[Byte]): Boolean
   def get(key: String): Option[Array[Byte]]
-  def listPrefix(prefix: String): Seq[(String, Long)] // (key, sizeBytes)
+  def listPrefix(prefix: String): Seq[ObjectMeta]
   def delete(key: String): Boolean
 }
 
 class InMemoryPutClient extends ConditionalPutClient {
-  private val blobs = new ConcurrentHashMap[String, Array[Byte]]()
+  private case class Blob(bytes: Array[Byte], createdMs: Long)
+  private val blobs = new ConcurrentHashMap[String, Blob]()
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
-    blobs.putIfAbsent(key, bytes) == null
-  override def get(key: String): Option[Array[Byte]] = Option(blobs.get(key))
-  override def listPrefix(prefix: String): Seq[(String, Long)] = {
+    blobs.putIfAbsent(key, Blob(bytes, System.currentTimeMillis())) == null
+  override def get(key: String): Option[Array[Byte]] = Option(blobs.get(key)).map(_.bytes)
+  override def listPrefix(prefix: String): Seq[ObjectMeta] = {
     import scala.jdk.CollectionConverters._
     blobs.asScala.filter(_._1.startsWith(prefix))
-      .map { case (k, v) => (k, v.length.toLong) }.toSeq.sortBy(_._1)
+      .map { case (k, b) => ObjectMeta(k, b.bytes.length.toLong, b.createdMs) }
+      .toSeq.sortBy(_.key)
   }
   override def delete(key: String): Boolean = blobs.remove(key) != null
 }
@@ -49,8 +57,8 @@ class ObjectStoreLogStore(val conf: Configuration, client: ConditionalPutClient)
     val prefix = key(dir).stripSuffix("/") + "/"
     client.listPrefix(prefix).collect {
       // only direct children (no '/' after the prefix)
-      case (k, size) if !k.stripPrefix(prefix).contains('/') =>
-        new FileStatus(size, false, 1, size, System.currentTimeMillis(), new Path(k))
+      case ObjectMeta(k, size, mtime) if !k.stripPrefix(prefix).contains('/') =>
+        new FileStatus(size, false, 1, size, mtime, new Path(k))
     }.sortBy(_.getPath.getName)
   }
 

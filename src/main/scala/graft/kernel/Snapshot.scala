@@ -178,6 +178,19 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
         val parts = store.list(logPath).map(_.getPath).filter { p =>
           LogStore.isCheckpointFile(p.getName) && LogStore.fileVersion(p.getName) == cv
         }
+        // multi-part completeness: an eventually-consistent listing that
+        // misses a part would silently drop AddFiles — fail loudly instead
+        val multi = parts.flatMap(p => LogStore.multiPartInfo(p.getName))
+        if (multi.nonEmpty) {
+          val declared = multi.map(_._2).distinct
+          require(declared.size == 1,
+            s"Inconsistent multi-part checkpoint at $cv: part counts $declared")
+          val seen = multi.map(_._1).toSet
+          val want = (1 to declared.head).toSet
+          require(seen == want,
+            s"Incomplete multi-part checkpoint at version $cv: " +
+              s"found parts ${seen.toSeq.sorted}, expected ${declared.head}")
+        }
         Checkpoints.readResolved(spark, store, logPath, parts, withFiles = withFiles)
       case None => Nil
     }

@@ -126,10 +126,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint per document: sign-aggregate of shingle-hash
-    * bits. One shuffle (groupBy id); fingerprint assembly is pure bit math. */
-  def simhash(df: DataFrame, idCol: String, textCol: String, shingleSize: Int = 3): DataFrame = {
+    * bits. One shuffle (groupBy id); fingerprint assembly is pure bit math.
+    * `hashFn` maps the shingle column to a 64-bit hash — xxhash64 by default
+    * (fastest, codegen'd); pluggable so a cross-engine-reproducible hash
+    * (e.g. md5-derived) can stand in when an external oracle must replay
+    * the fingerprints. */
+  def simhash(df: DataFrame, idCol: String, textCol: String, shingleSize: Int = 3,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val sh = shingles(df, idCol, textCol, shingleSize)
-      .withColumn("__h", xxhash64(col("__sh")))
+      .withColumn("__h", hashFn(col("__sh")))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"__b$j")
@@ -147,8 +152,11 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val fps = simhash(df, idCol, textCol).withColumnRenamed(idCol, "__id")
+      maxHamming: Int = 3,
+      shingleSize: Int = 3,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val fps = simhash(df, idCol, textCol, shingleSize, hashFn)
+      .withColumnRenamed(idCol, "__id")
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))

@@ -58,14 +58,16 @@ object Multimodal {
   }
 
   /** Deterministic stand-in for a media codec: dim byte-histogram-ish floats.
-    * Replace with the real decoder; the pipeline around it is unchanged. */
+    * Replace with the real decoder; the pipeline around it is unchanged.
+    * Integer accumulation + a power-of-two divide keeps the value FP-exact
+    * (no fp32 rounding), so an external oracle can reproduce it bit-for-bit. */
   private def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val acc = new Array[Float](dim)
+    val acc = new Array[Int](dim)
     var i = 0
     while (i < bytes.length) {
-      acc(i % dim) += (bytes(i) & 0xFF) / 255.0f
+      acc(i % dim) += bytes(i) & 0xFF
       i += 1
     }
-    acc
+    acc.map(_ / 256.0f)
   }
 }

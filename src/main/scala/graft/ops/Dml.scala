@@ -128,17 +128,21 @@ object DeleteOp {
         // their data and gain a row-index mask instead of being rewritten —
         // deleting 0.1% of rows from a 100 TB table touches KBs, not TBs.
         val useDv = snapshot.confBool("delta.enableDeletionVectors")
-        val (dvActions, rewriteAdds, dvDeletedRows) =
-          if (partialFiles.isEmpty) (Nil, Nil, 0L)
-          else if (useDv) {
-            val acts = DvDelete.maskFiles(table, snapshot, partialFiles, pred)
-            (acts._1, Nil, acts._2)
-          } else {
-            val keep = Scan.readFiles(spark, snapshot, partialFiles)
-              .filter(not(coalesce(expr(pred), lit(false))))
-            (Nil, DeltaWriter.writeFiles(spark, table.tablePath, keep,
-              snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata)), 0L)
+        def rewriteKept(): Seq[AddFile] = {
+          val keep = Scan.readFiles(spark, snapshot, partialFiles)
+            .filter(not(coalesce(expr(pred), lit(false))))
+          DeltaWriter.writeFiles(spark, table.tablePath, keep,
+            snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
+        }
+        // `masked` = partials got DVs; false → they were rewritten (either
+        // DVs disabled, or the mask exceeded the cap and we fell back)
+        val (dvActions, rewriteAdds, dvDeletedRows, masked) =
+          if (partialFiles.isEmpty) (Nil, Nil, 0L, useDv)
+          else if (useDv) DvDelete.maskFiles(table, snapshot, partialFiles, pred) match {
+            case Some((acts, n)) => (acts, Nil, n, true)
+            case None => (Nil, rewriteKept(), 0L, false)
           }
+          else (Nil, rewriteKept(), 0L, false)
 
         val cdc: Seq[Action] =
           if (Dml.cdcEnabled(snapshot) && (fullFiles.nonEmpty || partialFiles.nonEmpty)) {
@@ -153,7 +157,7 @@ object DeleteOp {
           if (dvActions.nonEmpty) ProtocolGate.upgradeForDv(snapshot.protocol).toSeq
           else Nil
 
-        val rewrittenFiles = if (useDv) fullFiles else fullFiles ++ partialFiles
+        val rewrittenFiles = if (masked) fullFiles else fullFiles ++ partialFiles
         val removes = rewrittenFiles.map(_.remove(now, dataChange = true))
         val removedRows = rewrittenFiles.flatMap(_.numRecords).sum
         val keptRows = rewriteAdds.flatMap(_.numRecords).sum
@@ -171,50 +175,133 @@ object DeleteOp {
   }
 }
 
+/** Hadoop Configuration is not Serializable; minimal wrapper for shipping
+  * it into the DV-building tasks. */
+class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** One executor-built deletion-vector blob: descriptor fields for a single
+  * masked file plus how many rows its task newly masked. */
+case class DvBlob(
+    key: String,
+    storageType: String,
+    pathOrInlineDv: String,
+    offset: Option[Int],
+    sizeInBytes: Int,
+    cardinality: Long,
+    newlyMasked: Long)
+
+/** Distributed deletion-vector construction shared by DELETE/UPDATE/MERGE
+  * dv-modes: positions never cross the driver. */
+object DvWriter {
+
+  /** Build per-file DV blobs ON EXECUTORS from a DataFrame of
+    * (`__file` URI, `__pos`) hit rows: a cheap count() decides dv-vs-rewrite
+    * BEFORE any materialization, then hits shuffle by file, each task writes
+    * its files' roaring blobs (unioned with any existing mask) and only the
+    * per-file descriptors — one small row per masked file — return to the
+    * driver. The naive collect() of 50M (file,pos) pairs was multi-GB of
+    * driver heap, OOMing on exactly the big-table workload DVs target.
+    *
+    * Returns None when the total mask exceeds the cap (rewrite instead —
+    * a mask that big defeats the purpose of DVs). */
+  def maskDistributed(
+      table: DeltaTable,
+      filesByKey: Map[String, AddFile],
+      hits: DataFrame): Option[(Seq[Action], Long)] = {
+    val spark = table.spark
+    val cap = spark.conf.getOption("spark.graft.dv.maxMaskedRows")
+      .map(_.toLong).getOrElse(DvDelete.MaxMaskedRows)
+    val total = hits.count()
+    if (total == 0) return Some((Nil, 0L))
+    if (total > cap) return None
+
+    import spark.implicits._
+    val tablePathStr = table.tablePath.toString
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val bcDvs = spark.sparkContext.broadcast(
+      filesByKey.collect { case (k, a) if a.deletionVector.isDefined =>
+        k -> a.deletionVector.get })
+
+    val blobs: Array[DvBlob] = hits
+      .select(col("__file").cast("string").as("__file"), col("__pos").cast("long").as("__pos"))
+      .repartition(col("__file"))
+      .sortWithinPartitions("__file", "__pos")
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val conf = bcConf.value.value
+        val tp = new org.apache.hadoop.fs.Path(tablePathStr)
+        val out = scala.collection.mutable.ArrayBuffer.empty[DvBlob]
+        var cur: String = null
+        var buf = Array.newBuilder[Long]
+        def flush(): Unit = if (cur != null) {
+          val key = Dml.uriToPathKey(cur)
+          val fresh = buf.result()
+          val existing = bcDvs.value.get(key)
+            .map(d => DeletionVectors.read(tp, d, conf))
+            .getOrElse(Array.empty[Long])
+          val union = (existing ++ fresh).distinct.sorted
+          val desc = DeletionVectors.writeDvFile(tp, union, conf)
+          out += DvBlob(key, desc.storageType, desc.pathOrInlineDv, desc.offset,
+            desc.sizeInBytes, desc.cardinality, fresh.length.toLong)
+        }
+        it.foreach { case (f, p) =>
+          if (f != cur) { flush(); cur = f; buf = Array.newBuilder[Long] }
+          buf += p
+        }
+        flush()
+        out.iterator
+      }.collect()
+
+    val now = System.currentTimeMillis()
+    val actions = blobs.toSeq.flatMap { b =>
+      val add = filesByKey(b.key)
+      val desc = DeletionVectorDescriptor(b.storageType, b.pathOrInlineDv,
+        b.offset, b.sizeInBytes, b.cardinality)
+      Seq(add.remove(now, dataChange = true),
+        add.copy(deletionVector = Some(desc), dataChange = true))
+    }
+    Some((actions, blobs.map(_.newlyMasked).sum))
+  }
+}
+
 /** DELETE-via-deletion-vector: mask matching rows instead of rewriting the
   * file (delta-spark's DV delete; the reference reads DVs but rewrites on
   * delete — this is the 100 TB-friendly extension). */
 object DvDelete {
 
-  /** Row-count cap for driver-side position collection; above it the
-    * caller should rewrite instead (masks that big defeat the purpose). */
+  /** Total-mask row cap; above it the caller rewrites instead (masks that
+    * big defeat the purpose). Overridable for tests via the spark conf
+    * `spark.graft.dv.maxMaskedRows`. */
   val MaxMaskedRows = 50000000L
 
-  /** Returns (remove+add actions, rows newly masked). Each file's new mask
-    * is unioned with any existing DV. */
+  /** Returns Some(remove+add actions, rows newly masked), or None when the
+    * mask would exceed the cap (caller falls back to rewrite). Each file's
+    * new mask is unioned with any existing DV. */
   def maskFiles(
       table: DeltaTable,
       snapshot: Snapshot,
       files: Seq[AddFile],
-      pred: String): (Seq[Action], Long) = {
+      pred: String): Option[(Seq[Action], Long)] = {
     val spark = table.spark
-    val conf = spark.sessionState.newHadoopConf()
     val idx = Dml.filePathIndex(snapshot, files)
     // positions of matching rows per file (row_index is pre-mask: the scan
     // already excludes previously-masked rows, so indexes stay file-absolute)
     val hits = Scan.readFiles(spark, snapshot, files, withFileIdentity = true)
       .filter(expr(pred))
       .select(col("__file"), col("__pos"))
-      .collect()
-    require(hits.length <= MaxMaskedRows,
-      s"DV delete would mask ${hits.length} rows; rewrite instead")
-    val byFile = hits.groupBy(r => Dml.uriToPathKey(r.getString(0)))
-    val now = System.currentTimeMillis()
-    var masked = 0L
-    val actions = byFile.toSeq.flatMap { case (key, rows) =>
-      val add = idx(key)
-      val existing: Array[Long] = add.deletionVector
-        .map(dv => DeletionVectors.read(table.tablePath, dv, conf))
-        .getOrElse(Array.empty)
-      val newPositions = rows.map(_.getLong(1))
-      masked += newPositions.length
-      val union = (existing ++ newPositions).distinct.sorted
-      val desc = DeletionVectors.writeDvFile(table.tablePath, union, conf)
-      Seq(
-        add.remove(now, dataChange = true),
-        add.copy(deletionVector = Some(desc), dataChange = true))
-    }
-    (actions, masked)
+    DvWriter.maskDistributed(table, idx, hits)
   }
 }
 
@@ -272,23 +359,26 @@ object UpdateOp {
     // rows in place and append a file holding only the updated rows —
     // untouched rows never move (delta-spark's DV update shape)
     val useDv = snapshot.confBool("delta.enableDeletionVectors")
+    def fullRewrite(): (Seq[Action], Seq[AddFile], Seq[Action], Long) = {
+      val rewritten = src.select(updatedCols: _*)
+      val newAdds = DeltaWriter.writeFiles(spark, table.tablePath, rewritten,
+        snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
+      val now = System.currentTimeMillis()
+      val rem = files.map(_.remove(now, dataChange = true))
+      val matched = src.filter(predCol).count()
+      (rem ++ newAdds, newAdds, rem, matched)
+    }
     val (actions, adds, removes, updatedRows): (Seq[Action], Seq[AddFile], Seq[Action], Long) =
-      if (useDv) {
-        val (dvActions, masked) = DvDelete.maskFiles(table, snapshot, files, pred)
-        val updatedOnly = src.filter(predCol).select(updatedCols: _*)
-        val newAdds = DeltaWriter.writeFiles(spark, table.tablePath, updatedOnly,
-          snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
-        val upgrade = ProtocolGate.upgradeForDv(snapshot.protocol).toSeq
-        (upgrade ++ dvActions ++ newAdds, newAdds, Nil, masked)
-      } else {
-        val rewritten = src.select(updatedCols: _*)
-        val newAdds = DeltaWriter.writeFiles(spark, table.tablePath, rewritten,
-          snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
-        val now = System.currentTimeMillis()
-        val rem = files.map(_.remove(now, dataChange = true))
-        val matched = src.filter(predCol).count()
-        (rem ++ newAdds, newAdds, rem, matched)
+      if (useDv) DvDelete.maskFiles(table, snapshot, files, pred) match {
+        case Some((dvActions, masked)) =>
+          val updatedOnly = src.filter(predCol).select(updatedCols: _*)
+          val newAdds = DeltaWriter.writeFiles(spark, table.tablePath, updatedOnly,
+            snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
+          val upgrade = ProtocolGate.upgradeForDv(snapshot.protocol).toSeq
+          (upgrade ++ dvActions ++ newAdds, newAdds, Nil, masked)
+        case None => fullRewrite() // mask over cap: DV defeats its purpose
       }
+      else fullRewrite()
 
     val cdc: Seq[Action] =
       if (Dml.cdcEnabled(snapshot)) {

@@ -110,9 +110,26 @@ object MergeOp {
     val schema = snapshot.schema
     // schema evolution: new source columns extend the target schema
     // (existing column type conflicts follow the safe-cast merge rules)
-    val outSchema =
+    val outSchema0 =
       if (schemaEvolution) DeltaWriter.mergeSchemas(schema, source.schema)
       else schema
+    // under column mapping the evolved fields need physical names/ids and a
+    // maxColumnId bump, or external readers reject/misread the table
+    val evolvedMeta: Option[graft.kernel.Metadata] =
+      if (outSchema0 == schema) None
+      else if (ColumnMapping.enabled(snapshot.metadata)) {
+        val curMax = snapshot.metadata.configuration
+          .get(ColumnMapping.MAX_ID_KEY).map(_.toInt).getOrElse(0)
+        val (annotated, maxId) = ColumnMapping.assignMetadata(outSchema0, startId = curMax)
+        Some(snapshot.metadata.copy(schemaString = annotated.json,
+          configuration = snapshot.metadata.configuration +
+            (ColumnMapping.MAX_ID_KEY -> maxId.toString)))
+      } else Some(snapshot.metadata.copy(schemaString = outSchema0.json))
+    val outSchema = evolvedMeta
+      .map(m => org.apache.spark.sql.types.DataType.fromJson(m.schemaString)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(outSchema0)
+    val writeMeta = evolvedMeta.getOrElse(snapshot.metadata)
     val targetHas = schema.fieldNames.toSet
     val nIdx = WriteIntoDelta.numIndexedCols(snapshot.metadata)
     val txn = table.startTransaction()
@@ -306,15 +323,16 @@ object MergeOp {
       // With delta.enableDeletionVectors, changed target rows are MASKED in
       // place and only updated/inserted rows are written — untouched rows in
       // changed files are never copied (the DV merge shape). Falls back to
-      // the rewrite path when the mask would be enormous.
+      // the rewrite path when the mask would be enormous. Mask construction
+      // is distributed (DvWriter): positions never cross the driver.
       val useDv = snapshot.confBool("delta.enableDeletionVectors")
-      val maskPositions: Array[org.apache.spark.sql.Row] =
+      val dvMaskResult: Option[(Seq[Action], Long)] =
         if (useDv && changedFiles.nonEmpty)
-          withOp.filter(changedCond && col("__tgt").isNotNull)
-            .select(col("target.__file"), col("target.__pos")).collect()
-        else Array.empty
-      val dvMode = useDv && changedFiles.nonEmpty &&
-        maskPositions.length <= DvDelete.MaxMaskedRows
+          DvWriter.maskDistributed(table, pathIdx,
+            withOp.filter(changedCond && col("__tgt").isNotNull)
+              .select(col("target.__file").as("__file"), col("target.__pos").as("__pos")))
+        else None
+      val dvMode = dvMaskResult.isDefined
 
       val outputRows =
         if (dvMode) withOp.filter(isUpdated || isInsert).select(outCols: _*)
@@ -323,26 +341,13 @@ object MergeOp {
       val adds = traced("output_write")(
         if (changedFiles.isEmpty && insertOps.isEmpty) Nil
         else DeltaWriter.writeFiles(spark, table.tablePath, outputRows,
-          snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata)))
+          snapshot.partitionColumns, nIdx, meta = Some(writeMeta)))
 
       // mask actions (remove + re-add with unioned DV) for DV mode
-      val dvNow = System.currentTimeMillis()
-      val dvActions: Seq[Action] =
-        if (!dvMode) Nil
-        else {
-          val conf = spark.sessionState.newHadoopConf()
-          maskPositions.groupBy(r => Dml.uriToPathKey(r.getString(0))).toSeq.flatMap {
-            case (key, rows) =>
-              val add = pathIdx(key)
-              val existing = add.deletionVector
-                .map(dv => graft.kernel.DeletionVectors.read(table.tablePath, dv, conf))
-                .getOrElse(Array.empty[Long])
-              val union = (existing ++ rows.map(_.getLong(1))).distinct.sorted
-              val desc = graft.kernel.DeletionVectors.writeDvFile(table.tablePath, union, conf)
-              Seq(add.remove(dvNow, dataChange = true),
-                add.copy(deletionVector = Some(desc), dataChange = true))
-          } ++ ProtocolGate.upgradeForDv(snapshot.protocol).toSeq
-        }
+      val dvActions: Seq[Action] = dvMaskResult match {
+        case Some((acts, _)) => acts ++ ProtocolGate.upgradeForDv(snapshot.protocol).toSeq
+        case None => Nil
+      }
 
       // ---- metrics (names from merge/mod.rs:677 MergeMetrics) ----
       // Both observations fired during the first action that materialized
@@ -385,10 +390,7 @@ object MergeOp {
       val removes: Seq[Action] =
         if (dvMode) Nil // dvActions carry the remove+re-add(DV) pairs
         else removedAdds.map(_.remove(now, dataChange = true))
-      val metaActions: Seq[Action] =
-        if (outSchema != schema)
-          Seq(snapshot.metadata.copy(schemaString = outSchema.json))
-        else Nil
+      val metaActions: Seq[Action] = evolvedMeta.toSeq
       val filesRemoved =
         if (dvMode) dvActions.count(_.isInstanceOf[RemoveFile]) else removes.size
       val metrics = Map(

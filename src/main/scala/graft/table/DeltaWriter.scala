@@ -192,7 +192,11 @@ object DeltaWriter {
       case (ShortType, IntegerType | LongType) => true
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
-      case (ByteType | ShortType | IntegerType, FloatType | DoubleType) => true
+      case (ByteType | ShortType, FloatType | DoubleType) => true
+      // int32 above 2^24 doesn't fit float32's 24-bit mantissa — same
+      // reason Long→Double is rejected below
+      case (IntegerType, DoubleType) => true
+      case (IntegerType, FloatType) => false
       case (LongType, DoubleType) => false // precision loss beyond 2^53
       case (a: DecimalType, b: DecimalType) =>
         b.precision - b.scale >= a.precision - a.scale && b.scale >= a.scale

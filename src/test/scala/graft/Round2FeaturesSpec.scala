@@ -209,6 +209,36 @@ class Round2FeaturesSpec extends AnyFunSuite {
     val fresh = DeltaTable.forPath(spark, dir) // replays from checkpoint
     assert(fresh.snapshot.allFiles.exists(_.deletionVector.exists(_.cardinality == 10)))
     assert(fresh.toDF.filter("id < 1000").count() == 30)
+    // a v3/v7 protocol row must round-trip its feature lists through the
+    // checkpoint — without them a third-party reader loses the DV signal
+    val p = fresh.snapshot.protocol
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7)
+    assert(p.readerFeatures.exists(_.contains("deletionVectors")),
+      s"readerFeatures lost in checkpoint: $p")
+    assert(p.writerFeatures.exists(_.contains("deletionVectors")),
+      s"writerFeatures lost in checkpoint: $p")
+  }
+
+  test("DV delete over the mask cap falls back to rewrite cleanly") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, (0 until 100).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      dir, configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    spark.conf.set("spark.graft.dv.maxMaskedRows", "5")
+    try {
+      val m = t.delete(Some("id >= 90")) // 10 masked rows > cap of 5
+      assert(m("num_deleted_rows") == "10")
+      assert(t.toDF.count() == 90)
+      // fell back to rewrite: no file carries a deletion vector
+      assert(t.snapshot.allFiles.forall(_.deletionVector.isEmpty),
+        "cap exceeded - partials must be rewritten, not masked")
+      // and under the cap the mask path still engages
+      val m2 = t.delete(Some("id >= 88"))
+      assert(m2("num_deleted_rows") == "2")
+      assert(t.refresh().allFiles.exists(_.deletionVector.exists(_.cardinality == 2)))
+      assert(t.toDF.count() == 88)
+    } finally spark.conf.unset("spark.graft.dv.maxMaskedRows")
   }
 
   test("RESTORE across a DV delete resurrects masked rows") {

@@ -1,0 +1,70 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.kernel.DeletionVectors
+
+/**
+ * Executor-side deletion-vector membership over a broadcast of
+ * roaring-COMPRESSED bitmaps keyed by file path (KBs per masked file):
+ * the scale-safe replacement for anti-joining exploded (file, pos) pairs,
+ * whose broadcast is tens of GB at 1B masked rows (the reference applies
+ * DVs as per-file selection-vector masks, `next/scan/exec.rs:63-150` —
+ * this is the same shape expressed as a Catalyst predicate).
+ *
+ * Bitmaps decode lazily once per file per task; row lookups hit a
+ * thread-local (file → positions) memo — scan rows arrive grouped by file,
+ * so the common case is one UTF8String equality check + a binary search.
+ */
+class DvMaskLookup(masks: Broadcast[Map[String, Array[Byte]]]) extends Serializable {
+  @transient private lazy val decoded = new ConcurrentHashMap[String, Array[Long]]()
+  @transient private lazy val memo = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](2)
+  }
+
+  def deleted(file: UTF8String, pos: Long): Boolean = {
+    val m = memo.get()
+    var arr: Array[Long] = null
+    if (m(0) != null && m(0).asInstanceOf[UTF8String].equals(file)) {
+      arr = m(1).asInstanceOf[Array[Long]]
+    } else {
+      arr = decoded.computeIfAbsent(file.toString, k =>
+        masks.value.get(k).map(DeletionVectors.decodeRoaringArray)
+          .getOrElse(DvMaskLookup.Empty))
+      m(0) = file.clone()
+      m(1) = arr
+    }
+    java.util.Arrays.binarySearch(arr, pos) >= 0
+  }
+}
+
+object DvMaskLookup {
+  val Empty: Array[Long] = Array.empty[Long]
+}
+
+/** TRUE when the row at (`file`, `pos`) is NOT masked by its file's
+  * deletion vector — a codegen'd filter predicate, so DV application adds
+  * no join to the scan plan and stays inside whole-stage codegen. */
+case class DvMaskKeep(file: Expression, pos: Expression, lookup: DvMaskLookup)
+    extends BinaryExpression with Predicate {
+
+  override def left: Expression = file
+  override def right: Expression = pos
+
+  override protected def nullSafeEval(f: Any, p: Any): Any =
+    !lookup.deleted(f.asInstanceOf[UTF8String], p.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dvMasks", lookup, classOf[DvMaskLookup].getName)
+    nullSafeCodeGen(ctx, ev, (f, p) => s"${ev.value} = !$ref.deleted($f, $p);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(file = newLeft, pos = newRight)
+}

@@ -63,8 +63,20 @@ class HadoopLogStore(val conf: Configuration) extends LogStore {
   }
 
   override def writeAtomic(path: Path, lines: Iterator[String]): Unit = {
-    val f = fs(path)
     val scheme = Option(path.toUri.getScheme).getOrElse("file")
+    // Blob stores are NOT atomic here: S3A/GCS/Azure implement create() as
+    // exists-then-put, so two racing writers can both "win" version N and
+    // silently corrupt the log. Refuse loudly before touching the FS —
+    // those schemes must route through a conditional-put LogStore
+    // (ObjectStoreLogStore) or an external lock, like the reference's
+    // S3+DynamoDB backend (crates/aws/src/lib.rs:39).
+    if (HadoopLogStore.NonAtomicSchemes.contains(scheme.toLowerCase))
+      throw new UnsupportedOperationException(
+        s"HadoopLogStore cannot commit atomically on '$scheme://' - " +
+          "exists-then-create is not atomic on object stores. Use a " +
+          "conditional-put LogStore (ObjectStoreLogStore) or an external " +
+          "commit coordinator for this scheme.")
+    val f = fs(path)
     if (scheme == "file") {
       // java.nio CREATE_NEW is atomic on POSIX: open(O_CREAT|O_EXCL).
       val local = Paths.get(path.toUri.getPath)
@@ -81,18 +93,7 @@ class HadoopLogStore(val conf: Configuration) extends LogStore {
         ch.write(java.nio.ByteBuffer.wrap(sb.toString.getBytes(StandardCharsets.UTF_8)))
       } finally ch.close()
     } else {
-      // HDFS: create(overwrite=false) is atomic. Blob stores are NOT:
-      // S3A/GCS/Azure implement create() as exists-then-put, so two racing
-      // writers can both "win" version N and silently corrupt the log.
-      // Refuse loudly — those schemes must route through a conditional-put
-      // LogStore (ObjectStoreLogStore) or an external lock, like the
-      // reference's S3+DynamoDB backend (crates/aws/src/lib.rs:39).
-      if (HadoopLogStore.NonAtomicSchemes.contains(scheme.toLowerCase))
-        throw new UnsupportedOperationException(
-          s"HadoopLogStore cannot commit atomically on '$scheme://' - " +
-            "exists-then-create is not atomic on object stores. Use a " +
-            "conditional-put LogStore (ObjectStoreLogStore) or an external " +
-            "commit coordinator for this scheme.")
+      // HDFS: create(overwrite=false) is atomic.
       if (f.exists(path)) throw new VersionAlreadyExistsException(path.toString)
       val out = f.create(path, false)
       try {
@@ -119,6 +120,8 @@ object LogStore {
 
   def commitFileName(version: Long): String = f"$version%020d.json"
   def checkpointFileName(version: Long): String = f"$version%020d.checkpoint.parquet"
+  def multiPartCheckpointFileName(version: Long, part: Int, total: Int): String =
+    f"$version%020d.checkpoint.$part%010d.$total%010d.parquet"
 
   def isCommitFile(name: String): Boolean = name.matches("\\d{20}\\.json")
   /** Classic single-file, classic multi-part, and V2 uuid-named manifests. */

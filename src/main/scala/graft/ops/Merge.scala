@@ -316,9 +316,20 @@ object MergeOp {
       val isUpdated = if (updateOps.isEmpty) lit(false)
         else col("__op").isin(updateOps.toSeq.map(Int.box): _*)
 
-      val fromChangedFiles =
-        if (changedFiles.isEmpty) lit(false)
-        else col("__tgt").isNotNull && col("target.__file").isin(changedFiles.toSeq: _*)
+      // changed-file membership: a literal IN-list for small sets; above the
+      // threshold a broadcast equi-join on __file (an isin over 100k paths
+      // is a megabyte-scale expression the planner chokes on)
+      val maxChangedInList = 1000
+      val (withOpCf, fromChangedFiles) =
+        if (changedFiles.isEmpty) (withOp, lit(false))
+        else if (changedFiles.size <= maxChangedInList)
+          (withOp, col("__tgt").isNotNull && col("target.__file").isin(changedFiles.toSeq: _*))
+        else {
+          import spark.implicits._
+          val cfDf = broadcast(changedFiles.toSeq.toDF("__changed_file"))
+          (withOp.join(cfDf, col("target.__file") === col("__changed_file"), "left_outer"),
+            col("__tgt").isNotNull && col("__changed_file").isNotNull)
+        }
 
       // With delta.enableDeletionVectors, changed target rows are MASKED in
       // place and only updated/inserted rows are written — untouched rows in
@@ -336,7 +347,7 @@ object MergeOp {
 
       val outputRows =
         if (dvMode) withOp.filter(isUpdated || isInsert).select(outCols: _*)
-        else withOp.filter((fromChangedFiles && !isDeleted) || isInsert).select(outCols: _*)
+        else withOpCf.filter((fromChangedFiles && !isDeleted) || isInsert).select(outCols: _*)
 
       val adds = traced("output_write")(
         if (changedFiles.isEmpty && insertOps.isEmpty) Nil

@@ -71,14 +71,7 @@ object DeltaWriter {
         dfPhys.repartition(physPartCols.map(col): _*)
       else dfPhys
 
-    // Delta requires µs timestamps in parquet (normalize_for_delta,
-    // kernel/schema/cast/mod.rs:325); INT96 would also break footer stats.
-    // The knob is session-level (no per-write parquet option exists), so
-    // scope the override to this write and restore the user's value after.
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try {
+    try withMicrosTimestamps(spark) {
       val writer = toWrite.write.mode("overwrite")
       (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
         .parquet(staging.toString)
@@ -97,11 +90,6 @@ object DeltaWriter {
           t = t.getCause
         }
         throw e
-    } finally {
-      prevTs match {
-        case Some(v) => spark.conf.set(tsKey, v)
-        case None => spark.conf.unset(tsKey)
-      }
     }
 
     // Collect written part-files (recursive; partition dirs in between)
@@ -126,7 +114,38 @@ object DeltaWriter {
     val conf = spark.sessionState.newHadoopConf()
     val dataSchema = StructType(dfPhys.schema.filterNot(f => physPartCols.contains(f.name)))
 
-    val adds = files.toSeq.par.map { case (src, parts) =>
+    // delta.targetFileSize: resplit staged files that came out oversized.
+    // Only the oversized data pays the extra read/write, and bytes-per-row
+    // is exact (taken from the staged file itself) rather than a pre-write
+    // guess — the reference sizes files while streaming the write
+    // (operations/mod.rs:598-609, write/writer.rs:317).
+    val targetSize = meta.flatMap(_.configuration.get("delta.targetFileSize"))
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption).filter(_ > 0)
+    val finalFiles: Seq[(Path, Seq[(String, String)])] = targetSize match {
+      case None => files.toSeq
+      case Some(tgt) =>
+        val (over, ok) = files.toSeq.partition { case (p, _) =>
+          fs.getFileStatus(p).getLen > tgt * 3 / 2 }
+        val resplit = over.zipWithIndex.flatMap { case ((p, parts), i) =>
+          val len = fs.getFileStatus(p).getLen
+          val (rows, _) = ParquetStats.collect(conf, p, dataSchema, 0)
+          val chunks = math.max(2L, (len + tgt - 1) / tgt)
+          val perFile = math.max(1L, (rows + chunks - 1) / chunks)
+          val sub = new Path(staging, s"resplit_$i")
+          withMicrosTimestamps(spark) {
+            spark.read.schema(dataSchema).parquet(p.toString)
+              .write.option("maxRecordsPerFile", perFile)
+              .mode("overwrite").parquet(sub.toString)
+          }
+          fs.delete(p, false)
+          fs.listStatus(sub).map(_.getPath)
+            .filter(q => q.getName.startsWith("part-") && q.getName.endsWith(".parquet"))
+            .sortBy(_.getName).toSeq.map(q => (q, parts))
+        }
+        ok ++ resplit
+    }
+
+    val adds = finalFiles.par.map { case (src, parts) =>
       val (_, statsJson) = ParquetStats.collect(conf, src, dataSchema, numIndexedCols)
       val partDirs = parts.map { case (k, v) =>
         s"${escapePathName(k)}=${escapePathName(v)}"
@@ -152,6 +171,20 @@ object DeltaWriter {
 
     fs.delete(staging, true)
     adds
+  }
+
+  /** Delta requires µs timestamps in parquet (normalize_for_delta,
+    * kernel/schema/cast/mod.rs:325); INT96 would also break footer stats.
+    * The knob is session-level (no per-write parquet option exists), so
+    * scope the override to each write and restore the user's value after. */
+  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
   }
 
   /** Hive-style escaping for partition path segments (ASCII control and

@@ -58,24 +58,26 @@ object Scan {
       return plain
     }
 
-    // DV-masked leg: needs row identity for the mask even if caller doesn't
+    // DV-masked leg: needs row identity for the mask even if caller doesn't.
+    // Bitmaps stay roaring-COMPRESSED in a broadcast keyed by file path and
+    // are tested per-row by a codegen'd predicate — no join in the plan, and
+    // the broadcast is KBs per masked file instead of exploded positions
+    // (at 1B masked rows the old (file,pos) anti-join broadcast was tens of
+    // GB; this is the reference's per-file selection-vector shape,
+    // next/scan/exec.rs:63-150).
     val masked = {
       val withId = readRaw(spark, snapshot, dvFiles, withIdentity = true)
       val conf = spark.sessionState.newHadoopConf()
       val tp = new org.apache.hadoop.fs.Path(snapshot.tablePath)
-      // driver decodes the bitmaps; the (fileKey, rowIndex) tombstone set is
-      // bounded by total DV cardinality of the SCANNED files — large masks
-      // should move to a broadcast-bitmap Expression (future work)
-      val deleted: Seq[(String, Long)] = dvFiles.flatMap { f =>
-        val positions = DeletionVectors.read(tp, f.deletionVector.get, conf)
-        val keys = PathKeys.variants(snapshot.absolutePath(f.path))
-        keys.flatMap(k => positions.map(k -> _))
-      }
-      import spark.implicits._
-      val delDf = deleted.toDF("__delfile", "__delpos")
-      withId.join(broadcast(delDf),
-        col("__file") === col("__delfile") && col("__pos") === col("__delpos"),
-        "left_anti")
+      val masks: Map[String, Array[Byte]] = dvFiles.flatMap { f =>
+        val bytes = DeletionVectors.readBytes(tp, f.deletionVector.get, conf)
+        PathKeys.variants(snapshot.absolutePath(f.path)).map(_ -> bytes)
+      }.toMap
+      val lookup = new graft.functions.DvMaskLookup(spark.sparkContext.broadcast(masks))
+      import org.apache.spark.sql.GraftSqlBridge
+      withId.filter(GraftSqlBridge.column(graft.functions.DvMaskKeep(
+        GraftSqlBridge.expression(col("__file")),
+        GraftSqlBridge.expression(col("__pos")), lookup)))
     }
     val maskedOut = if (withFileIdentity) masked else masked.drop("__file", "__pos")
     if (plainFiles.isEmpty) maskedOut

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.DeltaTable
+
+/** Round-3 coverage: scan-side DV masks as broadcast bitmaps (join-free
+  * plan, 1M-row mask), merge schema evolution under column mapping, and the
+  * object-store scheme guard. */
+class Round3Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test-r3")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmpDir(): String = Files.createTempDirectory("graft_r3_").toString
+
+  test("DV scan applies masks without a join in the plan") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, (0 until 1000).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      dir, configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.delete(Some("id % 3 = 0"))
+    val df = t.toDF
+    assert(df.count() == 666)
+    assert(df.select("id").as[Int].collect().toSet == (0 until 1000).filter(_ % 3 != 0).toSet)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"DV application must be a filter predicate, not a join:\n$plan")
+    assert(plan.contains("DvMaskKeep") || plan.toLowerCase.contains("filter"),
+      s"expected a DV filter in plan:\n$plan")
+  }
+
+  test("DV scan with a 1M-row mask: broadcast stays compressed, results exact") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // 1.2M rows in one file; mask 1M of them
+    DeltaTable.write(spark,
+      spark.range(1200000).select(col("id"), (col("id") % 7).as("m")).coalesce(1),
+      dir, configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    val m = t.delete(Some("id < 1000000"))
+    assert(m("num_deleted_rows") == "1000000")
+    // the file is masked, not rewritten
+    assert(t.snapshot.allFiles.exists(_.deletionVector.exists(_.cardinality == 1000000L)))
+    val df = t.toDF
+    assert(df.count() == 200000)
+    assert(df.agg(min("id"), max("id")).as[(Long, Long)].head() == ((1000000L, 1199999L)))
+    // roaring-compressed 1M-dense mask is ~KBs-to-low-MBs, not 16MB of pairs
+    val dvSize = t.snapshot.allFiles.flatMap(_.deletionVector).map(_.sizeInBytes).sum
+    assert(dvSize < 2 * 1024 * 1024, s"DV blob unexpectedly large: $dvSize bytes")
+  }
+
+  test("MERGE schema evolution under column mapping assigns ids and bumps maxColumnId") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), dir,
+      configuration = Map("delta.columnMapping.mode" -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    val before = t.snapshot.metadata.configuration("delta.columnMapping.maxColumnId").toInt
+    t.merge(Seq((2, "b2", 9L), (3, "c", 10L)).toDF("k", "v", "extra"), "target.k = source.k")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withSchemaEvolution()
+      .execute()
+    val meta = t.refresh().metadata
+    val after = meta.configuration("delta.columnMapping.maxColumnId").toInt
+    assert(after > before, s"maxColumnId must grow: $before -> $after")
+    val extraField = meta.schema.fields.find(_.name == "extra").get
+    assert(extraField.metadata.contains("delta.columnMapping.physicalName"))
+    assert(extraField.metadata.contains("delta.columnMapping.id"))
+    assert(extraField.metadata.getLong("delta.columnMapping.id") > before)
+    // ids unique across the schema
+    val ids = meta.schema.fields.map(_.metadata.getLong("delta.columnMapping.id"))
+    assert(ids.distinct.length == ids.length)
+    // and the evolved table reads back correctly (new column physical in parquet)
+    val out = t.toDF.orderBy("k").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq ==
+      Seq((1, "a", -1L), (2, "b2", 9L), (3, "c", 10L)))
+  }
+
+  test("multi-part checkpoint writes above partSize and replays") {
+    import spark.implicits._
+    val dir = tmpDir()
+    spark.conf.set("spark.graft.checkpoint.partSize", "4")
+    try {
+      // 13 commits -> checkpoint at the interval with ~15 actions -> 4 parts
+      (0 until 13).foreach { k =>
+        DeltaTable.write(spark, Seq((k, s"v$k")).toDF("id", "v"), dir,
+          mode = if (k == 0) "overwrite" else "append")
+      }
+      val logDir = new java.io.File(dir, "_delta_log")
+      val multiParts = logDir.listFiles
+        .filter(_.getName.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+      assert(multiParts.length > 1, s"expected multi-part checkpoint, got: " +
+        logDir.listFiles.map(_.getName).filter(_.contains("checkpoint")).mkString(", "))
+      val declared = graft.kernel.LogStore.multiPartInfo(multiParts.head.getName).get._2
+      assert(multiParts.length == declared)
+      // fresh handle replays from the multi-part checkpoint
+      val fresh = DeltaTable.forPath(spark, dir)
+      assert(fresh.toDF.count() == 13)
+      assert(fresh.toDF.select("id").as[Int].collect().toSet == (0 until 13).toSet)
+      // incomplete checkpoint (missing part) fails loudly, not silently
+      val victim = multiParts.head
+      val backup = new java.io.File(victim.getPath + ".bak")
+      assert(victim.renameTo(backup))
+      try {
+        val e = intercept[IllegalArgumentException] {
+          DeltaTable.forPath(spark, dir).snapshot // snapshot build is lazy
+        }
+        assert(e.getMessage.contains("Incomplete multi-part checkpoint"))
+      } finally backup.renameTo(victim)
+    } finally spark.conf.unset("spark.graft.checkpoint.partSize")
+  }
+
+  test("delta.targetFileSize splits oversized write outputs") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // ~100k rows of ~40B in one incoming partition would stage one big file
+    val df = spark.range(100000)
+      .select(col("id"), concat(lit("payload_payload_payload_"), col("id")).as("v"))
+      .coalesce(1)
+    DeltaTable.write(spark, df, dir,
+      configuration = Map("delta.targetFileSize" -> "100000"))
+    val t = DeltaTable.forPath(spark, dir)
+    val files = t.snapshot.allFiles
+    assert(files.size >= 5, s"expected the staged file split into >=5, got ${files.size}")
+    val maxSize = files.map(_.size).max
+    assert(maxSize <= 100000 * 2, s"file exceeds 2x target: $maxSize")
+    assert(t.toDF.count() == 100000)
+    assert(files.flatMap(_.numRecords).sum == 100000L)
+    // appends honor it too
+    DeltaTable.write(spark, df, dir, mode = "append")
+    assert(DeltaTable.forPath(spark, dir).snapshot.allFiles.size >= 10)
+  }
+
+  test("HadoopLogStore refuses non-atomic object-store commit schemes") {
+    val store = new graft.kernel.HadoopLogStore(spark.sessionState.newHadoopConf())
+    val e = intercept[UnsupportedOperationException] {
+      store.writeAtomic(new org.apache.hadoop.fs.Path("s3a://bucket/t/_delta_log/0.json"),
+        Iterator("{}"))
+    }
+    assert(e.getMessage.contains("conditional-put"))
+  }
+}

@@ -1,0 +1,152 @@
+package graft.kernel
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+/**
+ * Dataset-backed Add index for huge tables: the checkpoint's add/remove rows
+ * stay in parquet, and pruning evaluates file-skipping predicates as a
+ * distributed job that reduces ONLY the surviving AddFiles to the driver —
+ * a snapshot load over a 10M-Add table costs a columnar control-plane read,
+ * not a 10M-object driver materialization (the SURVEY §1.1 design;
+ * delta-rs keeps the equivalent state in Arrow batches,
+ * `kernel/snapshot/mod.rs:1168` EagerSnapshot).
+ *
+ * The JSON tail after the checkpoint (bounded by delta.checkpointInterval
+ * commits) is replayed eagerly on the driver and overlays the checkpoint:
+ * tail adds/removes win over checkpoint rows for the same path.
+ *
+ * Full materialization stays available ([[materializeAdds]]) for operators
+ * that genuinely need every file (VACUUM, RESTORE, FSCK) and is cached.
+ */
+class LazyFileIndex(
+    spark: SparkSession,
+    val checkpointParts: Seq[Path],
+    val tailAdds: Vector[AddFile],
+    val tailRemoves: Vector[RemoveFile]) {
+
+  @volatile private var cachedAdds: Vector[AddFile] = _
+  @volatile private var cachedRemoves: Vector[RemoveFile] = _
+
+  /** True once the full Add vector has been pulled to the driver. */
+  def isMaterialized: Boolean = cachedAdds != null
+
+  private def tailPaths: Set[String] =
+    (tailAdds.map(_.path) ++ tailRemoves.map(_.path)).toSet
+
+  private def colDf(name: String, dt: StructType) = spark.read
+    .schema(StructType(Seq(StructField(name, dt))))
+    .parquet(checkpointParts.map(_.toString): _*)
+    .filter(col(name).isNotNull)
+
+  /** Distributed prune: file-skipping predicates evaluate on executors over
+    * the checkpoint parquet; only survivors cross to the driver. `schema`/
+    * `partitionColumns`/`preds` must already be in the physical domain when
+    * column mapping is enabled (see StatsPruning.prune(snapshot, ...)). */
+  def prune(
+      schema: StructType,
+      partitionColumns: Seq[String],
+      preds: Seq[Expression]): Vector[AddFile] = {
+    if (isMaterialized)
+      return cachedAdds.filter(f =>
+        preds.forall(p => StatsPruning.fileMayMatch(schema, partitionColumns, p, f)))
+    val schemaJson = schema.json
+    val pc = partitionColumns
+    val predsB = spark.sparkContext.broadcast(preds.toVector)
+    val overlayB = spark.sparkContext.broadcast(tailPaths)
+    val survivors = colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
+      val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      val ps = predsB.value
+      val overlay = overlayB.value
+      it.flatMap { row =>
+        val f = Checkpoints.decodeAdd(row.getStruct(0))
+        if (!overlay.contains(f.path) &&
+            ps.forall(p => StatsPruning.fileMayMatch(sch, pc, p, f))) Some(f)
+        else None
+      }
+    }.collect().toVector
+    survivors ++ tailAdds.filter(f =>
+      preds.forall(p => StatsPruning.fileMayMatch(schema, partitionColumns, p, f)))
+  }
+
+  /** Live file count without materializing (checkpoint rows minus overlay
+    * plus the tail). */
+  def countAdds(): Long = {
+    if (isMaterialized) return cachedAdds.size.toLong
+    val overlayB = spark.sparkContext.broadcast(tailPaths)
+    val ckpt = colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
+      val overlay = overlayB.value
+      it.filter(row => !overlay.contains(row.getStruct(0).getString(0)))
+    }.count()
+    ckpt + tailAdds.size
+  }
+
+  /** (numFiles, totalBytes, numRecords-if-complete, dvCardinality) as one
+    * distributed pass — serves size/count accessors without materializing. */
+  def statsSummary(): (Long, Long, Option[Long], Long) = {
+    val adds = materializeSummaryView()
+    val counts = adds.flatMap(_._3)
+    (adds.size.toLong, adds.map(_._2).sum,
+      if (counts.size == adds.size) Some(counts.sum) else None,
+      adds.map(_._4).sum)
+  }
+
+  // (path, size, numRecords, dvCardinality) — small tuples, not full AddFiles
+  private def materializeSummaryView(): Vector[(String, Long, Option[Long], Long)] = {
+    if (isMaterialized)
+      return cachedAdds.map(f => (f.path, f.size, f.numRecords,
+        f.deletionVector.map(_.cardinality).getOrElse(0L)))
+    val overlayB = spark.sparkContext.broadcast(tailPaths)
+    val ckpt = colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
+      val overlay = overlayB.value
+      it.flatMap { row =>
+        val f = Checkpoints.decodeAdd(row.getStruct(0))
+        if (overlay.contains(f.path)) None
+        else Some((f.path, f.size, f.numRecords,
+          f.deletionVector.map(_.cardinality).getOrElse(0L)))
+      }
+    }.collect().toVector
+    ckpt ++ tailAdds.map(f => (f.path, f.size, f.numRecords,
+      f.deletionVector.map(_.cardinality).getOrElse(0L)))
+  }
+
+  /** Full Add vector (checkpoint + tail overlay), cached after first pull. */
+  def materializeAdds(): Vector[AddFile] = {
+    if (cachedAdds == null) synchronized {
+      if (cachedAdds == null) {
+        val overlayB = spark.sparkContext.broadcast(tailPaths)
+        val ckpt = colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
+          val overlay = overlayB.value
+          it.flatMap { row =>
+            val f = Checkpoints.decodeAdd(row.getStruct(0))
+            if (overlay.contains(f.path)) None else Some(f)
+          }
+        }.collect().toVector
+        cachedAdds = ckpt ++ tailAdds
+      }
+    }
+    cachedAdds
+  }
+
+  /** Full tombstone vector (checkpoint removes + tail; a tail re-add clears
+    * a checkpoint tombstone). */
+  def materializeTombstones(): Vector[RemoveFile] = {
+    if (cachedRemoves == null) synchronized {
+      if (cachedRemoves == null) {
+        val overlayB = spark.sparkContext.broadcast(tailPaths)
+        val ckpt = colDf("remove", Checkpoints.removeType).rdd.mapPartitions { it =>
+          val overlay = overlayB.value
+          it.flatMap { row =>
+            val r = Checkpoints.decodeRemove(row.getStruct(0))
+            if (overlay.contains(r.path)) None else Some(r)
+          }
+        }.collect().toVector
+        cachedRemoves = ckpt ++ tailRemoves
+      }
+    }
+    cachedRemoves
+  }
+}

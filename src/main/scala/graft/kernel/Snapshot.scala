@@ -29,25 +29,46 @@ case class Snapshot(
     version: Long,
     protocol: Protocol,
     metadata: Metadata,
-    allFiles: Vector[AddFile],
-    tombstones: Vector[RemoveFile],
+    private val eagerFiles: Vector[AddFile],
+    private val eagerTombstones: Vector[RemoveFile],
     txns: Map[String, Long],
     domains: Map[String, DomainMetadata],
-    timestampMs: Long
+    timestampMs: Long,
+    lazyIndex: Option[LazyFileIndex] = None
 ) {
   def schema = metadata.schema
   def partitionColumns: Seq[String] = metadata.partitionColumns
 
-  def numFiles: Int = allFiles.size
-  def sizeInBytes: Long = allFiles.map(_.size).sum
+  /** The live file set. On a lazy (huge-table) snapshot this pulls the full
+    * index to the driver once and caches it — prefer
+    * [[StatsPruning.prune(snapshot*]] / the count/size accessors below,
+    * which stay distributed. */
+  lazy val allFiles: Vector[AddFile] =
+    lazyIndex.map(_.materializeAdds()).getOrElse(eagerFiles)
+
+  lazy val tombstones: Vector[RemoveFile] =
+    lazyIndex.map(_.materializeTombstones()).getOrElse(eagerTombstones)
+
+  def numFiles: Long = lazyIndex match {
+    case Some(idx) if !idx.isMaterialized => idx.countAdds()
+    case _ => allFiles.size.toLong
+  }
+  def sizeInBytes: Long = lazyIndex match {
+    case Some(idx) if !idx.isMaterialized => idx.statsSummary()._2
+    case _ => allFiles.map(_.size).sum
+  }
 
   /** Approximate row count from per-file stats (python/deltalake/table.py:584-604),
-    * net of deletion-vector cardinalities. */
-  def approxNumRecords: Option[Long] = {
-    val counts = allFiles.flatMap(_.numRecords)
-    if (counts.size == allFiles.size)
-      Some(counts.sum - allFiles.flatMap(_.deletionVector).map(_.cardinality).sum)
-    else None
+    * net of deletion-vector cardinalities. Distributed on lazy snapshots. */
+  def approxNumRecords: Option[Long] = lazyIndex match {
+    case Some(idx) if !idx.isMaterialized =>
+      val (nFiles, _, rows, dvCard) = idx.statsSummary()
+      rows.map(_ - dvCard)
+    case _ =>
+      val counts = allFiles.flatMap(_.numRecords)
+      if (counts.size == allFiles.size)
+        Some(counts.sum - allFiles.flatMap(_.deletionVector).map(_.cardinality).sum)
+      else None
   }
 
   def getConf(key: String): Option[String] = metadata.configuration.get(key)
@@ -132,11 +153,16 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
       .flatMap(ActionCodec.fromJson)
 
   /** The `_last_checkpoint` hint, if present. */
-  def lastCheckpointHint(): Option[Long] = {
+  def lastCheckpointHint(): Option[Long] = lastCheckpointField("version")
+
+  /** The hint's declared action count — decides eager vs lazy file index. */
+  def lastCheckpointSize(): Option[Long] = lastCheckpointField("size")
+
+  private def lastCheckpointField(field: String): Option[Long] = {
     val p = new Path(logPath, LogStore.LAST_CHECKPOINT)
     if (!store.exists(p)) None
     else store.read(p).headOption.flatMap { line =>
-      JsonMethods.parse(line) \ "version" match {
+      JsonMethods.parse(line) \ field match {
         case JInt(n) => Some(n.toLong); case JLong(n) => Some(n); case _ => None
       }
     }
@@ -170,6 +196,11 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     require(v <= maxV, s"Version $v does not exist yet (latest: $maxV)")
 
     val cpVersion = checkpointVersionUpTo(Some(v))
+    // above this many checkpoint actions the Add index stays a distributed
+    // parquet-backed view (LazyFileIndex) instead of a driver Vector
+    val lazyThreshold = scala.util.Try(
+      spark.conf.get("spark.graft.lazySnapshotThreshold").toLong).getOrElse(500000L)
+    var lazyParts: Option[Seq[Path]] = None
     val base: Seq[Action] = cpVersion match {
       case Some(cv) =>
         // all parts of that version: single-file classic, multi-part
@@ -191,7 +222,18 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
             s"Incomplete multi-part checkpoint at version $cv: " +
               s"found parts ${seen.toSeq.sorted}, expected ${declared.head}")
         }
-        Checkpoints.readResolved(spark, store, logPath, parts, withFiles = withFiles)
+        // lazy mode: classic (non-V2) checkpoints only — sidecar state would
+        // need manifest resolution; our writer never emits V2
+        val classic = parts.nonEmpty && parts.forall(p =>
+          LogStore.multiPartInfo(p.getName).isDefined ||
+            p.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
+        if (withFiles && classic &&
+            lastCheckpointSize().exists(_ >= lazyThreshold)) {
+          lazyParts = Some(parts)
+          // control plane only — columnar pruning makes this near-free
+          Checkpoints.readResolved(spark, store, logPath, parts, withFiles = false)
+        } else
+          Checkpoints.readResolved(spark, store, logPath, parts, withFiles = withFiles)
       case None => Nil
     }
     val startAfter = cpVersion.getOrElse(-1L)
@@ -214,7 +256,17 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     // (delta-rs ProtocolChecker::can_read_from, transaction/protocol.rs:187)
     ProtocolGate.checkRead(state.protocol, state.metadata)
     val ts = versions.find(_._1 == v).map(_._2).getOrElse(0L)
-    state.toSnapshot(tablePath.toString, v, ts)
+    lazyParts match {
+      case Some(parts) =>
+        // the replayed state holds only the post-checkpoint TAIL; the
+        // checkpoint's file rows stay parquet-backed behind the index
+        val idx = new LazyFileIndex(spark, parts,
+          state.adds.values.toVector, state.removes.values.toVector)
+        Snapshot(tablePath.toString, v, state.protocol, state.metadata,
+          Vector.empty, Vector.empty, state.txns.toMap, state.domains.toMap,
+          ts, Some(idx))
+      case None => state.toSnapshot(tablePath.toString, v, ts)
+    }
   }
 
   /** Incremental refresh (update_incremental, table/mod.rs:206): replay only
@@ -229,11 +281,37 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     val expected = (prev.version + 1) to latest
     if (newVs != expected) return snapshot() // gap (vacuumed log) → full replay
 
-    val state = ReplayState.from(prev)
-    newVs.foreach(cv => readCommit(cv).foreach(state.apply))
-    ProtocolGate.checkRead(state.protocol, state.metadata)
-    val ts = versions.find(_._1 == latest).map(_._2).getOrElse(0L)
-    state.toSnapshot(tablePath.toString, latest, ts)
+    // a checkpoint written after prev supersedes the lazy index's parquet
+    // backing (and resets the tail) — full reload rebinds to it
+    if (prev.lazyIndex.isDefined &&
+        checkpointVersionUpTo(Some(latest)).exists(_ > prev.version))
+      return snapshotAt(latest)
+
+    prev.lazyIndex match {
+      case Some(idx) if !idx.isMaterialized =>
+        // extend the TAIL overlay only — the checkpoint rows stay parquet
+        val state = new ReplayState
+        idx.tailAdds.foreach(f => state.adds(f.path) = f)
+        idx.tailRemoves.foreach(r => state.removes(r.path) = r)
+        state.txns ++= prev.txns
+        state.domains ++= prev.domains
+        state.protocol = prev.protocol
+        state.metadata = prev.metadata
+        newVs.foreach(cv => readCommit(cv).foreach(state.apply))
+        ProtocolGate.checkRead(state.protocol, state.metadata)
+        val ts = versions.find(_._1 == latest).map(_._2).getOrElse(0L)
+        val newIdx = new LazyFileIndex(spark, idx.checkpointParts,
+          state.adds.values.toVector, state.removes.values.toVector)
+        Snapshot(tablePath.toString, latest, state.protocol, state.metadata,
+          Vector.empty, Vector.empty, state.txns.toMap, state.domains.toMap,
+          ts, Some(newIdx))
+      case _ =>
+        val state = ReplayState.from(prev)
+        newVs.foreach(cv => readCommit(cv).foreach(state.apply))
+        ProtocolGate.checkRead(state.protocol, state.metadata)
+        val ts = versions.find(_._1 == latest).map(_._2).getOrElse(0L)
+        state.toSnapshot(tablePath.toString, latest, ts)
+    }
   }
 
   /** Time travel by timestamp: last commit with mtime ≤ target

@@ -202,6 +202,22 @@ object StatsPruning {
     } else prune(snapshot.schema, snapshot.partitionColumns, preds, files, spark)
   }
 
+  /** Prune the snapshot's live set WITHOUT materializing it: on a lazy
+    * (huge-table) snapshot the predicates evaluate distributed over the
+    * checkpoint parquet and only survivors reach the driver. */
+  def pruneSnapshot(snapshot: Snapshot, preds: Seq[Expression],
+                    spark: Option[org.apache.spark.sql.SparkSession]): Seq[AddFile] =
+    snapshot.lazyIndex match {
+      case Some(idx) if !idx.isMaterialized && preds.nonEmpty =>
+        if (ColumnMapping.enabled(snapshot.metadata)) {
+          val nm = ColumnMapping.nameMap(snapshot.schema)
+          idx.prune(ColumnMapping.physicalSchema(snapshot.schema),
+            snapshot.partitionColumns.map(c => nm.getOrElse(c, c)),
+            preds.map(ColumnMapping.toPhysicalPredicate(_, nm)))
+        } else idx.prune(snapshot.schema, snapshot.partitionColumns, preds)
+      case _ => prune(snapshot, preds, snapshot.allFiles, spark)
+    }
+
   /** True iff the file may contain rows satisfying `pred` (fail-open). */
   def fileMayMatch(
       schema: StructType,

@@ -26,14 +26,12 @@ object Scan {
     readFiles(spark, snapshot, snapshot.allFiles)
 
   /** Pruned read: only files that may satisfy `predicates`. */
-  def readWhere(spark: SparkSession, snapshot: Snapshot, predicates: Seq[Expression]): DataFrame = {
-    val pruned = StatsPruning.prune(snapshot, predicates, snapshot.allFiles, Some(spark))
-    readFiles(spark, snapshot, pruned)
-  }
+  def readWhere(spark: SparkSession, snapshot: Snapshot, predicates: Seq[Expression]): DataFrame =
+    readFiles(spark, snapshot, prunedFiles(snapshot, predicates, Some(spark)))
 
   def prunedFiles(snapshot: Snapshot, predicates: Seq[Expression],
                   spark: Option[SparkSession] = None): Seq[AddFile] =
-    StatsPruning.prune(snapshot, predicates, snapshot.allFiles, spark)
+    StatsPruning.pruneSnapshot(snapshot, predicates, spark)
 
   /** Read an explicit subset of the snapshot's files as a DataFrame with the
     * full table schema (partition columns reconstructed + cast).

@@ -143,6 +143,73 @@ class Round3Spec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, dir).snapshot.allFiles.size >= 10)
   }
 
+  test("lazy snapshot: 1M-Add checkpoint loads and prunes without driver materialization") {
+    import spark.implicits._
+    import graft.kernel.{Checkpoints, LogStore}
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((-1L, "real")).toDF("k", "v"), dir)
+    val t0 = DeltaTable.forPath(spark, dir)
+    Checkpoints.write(spark, t0.deltaLog.logPath, t0.snapshot, t0.deltaLog.store)
+
+    // forge a 2-part checkpoint: part1 = the real control+add rows, part2 =
+    // 1M synthetic adds with stats (built via expressions — the driver never
+    // holds the rows)
+    val logDir = new java.io.File(dir, "_delta_log")
+    val classic = new java.io.File(logDir, LogStore.checkpointFileName(0))
+    assert(classic.exists)
+    assert(classic.renameTo(new java.io.File(logDir,
+      LogStore.multiPartCheckpointFileName(0, 1, 2))))
+    val fakeAdds = spark.range(1000000).select(
+      struct(
+        concat(lit("part-fake-"), col("id"), lit(".parquet")).as("path"),
+        map().cast("map<string,string>").as("partitionValues"),
+        lit(1000L).as("size"),
+        lit(0L).as("modificationTime"),
+        lit(false).as("dataChange"),
+        concat(lit("{\"numRecords\":10,\"minValues\":{\"k\":"), (col("id") * 10).cast("string"),
+          lit("},\"maxValues\":{\"k\":"), ((col("id") * 10) + 9).cast("string"),
+          lit("},\"nullCount\":{\"k\":0}}")).as("stats"),
+        lit(null).cast("map<string,string>").as("tags"),
+        lit(null).cast(Checkpoints.dvType).as("deletionVector"),
+        lit(null).cast("long").as("baseRowId"),
+        lit(null).cast("long").as("defaultRowCommitVersion"),
+        lit(null).cast("string").as("clusteringProvider")).as("add"))
+    val stage = tmpDir()
+    fakeAdds.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(logDir, LogStore.multiPartCheckpointFileName(0, 2, 2)).toPath)
+    // drop Hadoop local-FS checksum sidecars invalidated by the forgery
+    logDir.listFiles.filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    java.nio.file.Files.writeString(
+      new java.io.File(logDir, "_last_checkpoint").toPath,
+      """{"version":0,"size":1000003,"parts":2}""")
+
+    spark.conf.set("spark.graft.lazySnapshotThreshold", "1000")
+    try {
+      val t = DeltaTable.forPath(spark, dir)
+      val snap = t.snapshot
+      assert(snap.lazyIndex.exists(!_.isMaterialized), "expected a lazy snapshot")
+      assert(snap.numFiles == 1000001L)
+      assert(snap.approxNumRecords.contains(10000001L)) // 1M x 10 + the real row
+      val pred = graft.table.Scan.parsePredicate(spark, "k = 12345")
+      val pruned = graft.table.Scan.prunedFiles(snap, Seq(pred), Some(spark))
+      assert(pruned.map(_.path) == Seq("part-fake-1234.parquet"))
+      assert(snap.lazyIndex.exists(!_.isMaterialized),
+        "count/prune must not pull the full Add index to the driver")
+      // incremental refresh extends the TAIL overlay, checkpoint stays parquet
+      DeltaTable.write(spark, Seq((777777770L, "new")).toDF("k", "v"), dir, mode = "append")
+      val snap2 = t.refresh()
+      assert(snap2.lazyIndex.exists(!_.isMaterialized), "refresh must stay lazy")
+      assert(snap2.numFiles == 1000002L)
+      val pruned2 = graft.table.Scan.prunedFiles(snap2,
+        Seq(graft.table.Scan.parsePredicate(spark, "k = 777777770")), Some(spark))
+      assert(pruned2.size == 1 && pruned2.head.path.startsWith("part-"))
+      assert(snap2.lazyIndex.exists(!_.isMaterialized))
+    } finally spark.conf.unset("spark.graft.lazySnapshotThreshold")
+  }
+
   test("HadoopLogStore refuses non-atomic object-store commit schemes") {
     val store = new graft.kernel.HadoopLogStore(spark.sessionState.newHadoopConf())
     val e = intercept[UnsupportedOperationException] {

@@ -569,6 +569,103 @@ object CoreEntries {
         |SELECT n_nationkey, concat(n_name, '?'), n_regionkey, 'update_postimage', 2
         |FROM nation WHERE n_nationkey < 3""".stripMargin)))
 
+  // ------------------------------------------- round-3 driver-proof entries
+  // Operators previously covered only by sbt suites (VERDICT r2 rows 12,
+  // 39, 41, 48) now carry oracle-checked entries.
+
+  private val round3Entries = Seq(
+    // symlink manifest (§2.1 row 12): prove it by reading the table back
+    // EXCLUSIVELY through the manifest-listed files (what Presto/Trino do)
+    Entry("generate_manifest", (s, d) => {
+      val dir = tempDir("mangen")
+      DeltaTable.write(s, pq(s, d, "orders"), dir, partitionBy = Seq("o_orderstatus"))
+      val t = DeltaTable.forPath(s, dir)
+      t.generateSymlinkManifest()
+      val fs = t.tablePath.getFileSystem(s.sessionState.newHadoopConf())
+      def manifests(p: Path): Seq[Path] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) manifests(st.getPath)
+          else if (st.getPath.getName == "manifest") Seq(st.getPath) else Nil
+        }
+      val listed = manifests(new Path(dir, "_symlink_format_manifest")).flatMap { p =>
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      }.filter(_.nonEmpty)
+      require(listed.nonEmpty, "manifest listed no files")
+      s.read.option("basePath", dir).parquet(listed: _*)
+    }, Some("SELECT * FROM orders")),
+
+    // add_feature / update_table_metadata / update_field_metadata (row 39):
+    // apply the DDL trio, reload from the log, emit the resulting protocol +
+    // metadata as rows a constant oracle reproduces
+    Entry("ddl_features", (s, d) => {
+      val dir = tempDir("feat")
+      DeltaTable.write(s, pq(s, d, "region"), dir)
+      val t = DeltaTable.forPath(s, dir)
+      t.addFeature("deletionVectors")
+      t.addFeature("changeDataFeed")
+      t.updateTableMetadata(name = Some("bench_region"), description = Some("round3"))
+      t.updateFieldMetadata("r_name", Map("comment" -> "region name"))
+      val snap = DeltaTable.forPath(s, dir).snapshot // fresh log reload
+      val p = snap.protocol
+      import s.implicits._
+      Seq(
+        "minReaderVersion" -> p.minReaderVersion.toString,
+        "minWriterVersion" -> p.minWriterVersion.toString,
+        "readerFeatures" -> p.readerFeatures.getOrElse(Nil).sorted.mkString(","),
+        "hasDvWriter" -> p.writerFeatures.exists(_.contains("deletionVectors")).toString,
+        "hasCdfWriter" -> p.writerFeatures.exists(_.contains("changeDataFeed")).toString,
+        "name" -> snap.metadata.name.getOrElse(""),
+        "description" -> snap.metadata.description.getOrElse(""),
+        "r_name_comment" -> snap.schema("r_name").metadata.getString("comment")
+      ).toDF("k", "v")
+    }, Some(
+      """SELECT 'minReaderVersion' AS k, '3' AS v
+        |UNION ALL SELECT 'minWriterVersion', '7'
+        |UNION ALL SELECT 'readerFeatures', 'deletionVectors'
+        |UNION ALL SELECT 'hasDvWriter', 'true'
+        |UNION ALL SELECT 'hasCdfWriter', 'true'
+        |UNION ALL SELECT 'name', 'bench_region'
+        |UNION ALL SELECT 'description', 'round3'
+        |UNION ALL SELECT 'r_name_comment', 'region name'""".stripMargin)),
+
+    // optimistic commit + conflict checker under real contention (rows 40,41):
+    // 8 writers race disjoint appends; every one must land via the retry loop
+    Entry("concurrent_appends", (s, d) => {
+      val dir = tempDir("conc")
+      val n = pq(s, d, "nation")
+      DeltaTable.write(s, n.limit(0), dir)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val fs = (0 until 8).map { k =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit =
+              DeltaTable.write(s, n.filter(s"n_nationkey % 8 = $k"), dir, mode = "append")
+          })
+        }
+        fs.foreach(_.get())
+      } finally pool.shutdown()
+      val t = DeltaTable.forPath(s, dir)
+      require(t.version == 8L, s"expected 9 commits, got ${t.version + 1}")
+      t.toDF
+    }, Some("SELECT * FROM nation")),
+
+    // incremental snapshot refresh (row 48): cached snapshot + tail replay
+    Entry("incremental_refresh", (s, d) => {
+      val dir = tempDir("incr")
+      val r = pq(s, d, "region")
+      DeltaTable.write(s, r, dir)
+      val t = DeltaTable.forPath(s, dir)
+      t.snapshot // cache v0
+      DeltaTable.write(s,
+        r.withColumn("r_regionkey", col("r_regionkey") + 100), dir, mode = "append")
+      t.refresh() // incremental: replays only commit 1 on the cached state
+      t.toDF
+    }, Some(
+      """SELECT * FROM region
+        |UNION ALL SELECT r_regionkey + 100, r_name FROM region""".stripMargin)))
+
   // -------------------------------------------------------- events / time
 
   private val eventEntries = Seq(
@@ -638,5 +735,5 @@ object CoreEntries {
 
   val entries: Seq[Entry] =
     scanEntries ++ sqlEntries ++ writeEntries ++ dmlEntries ++
-      maintenanceEntries ++ eventEntries :+ asofEntry
+      maintenanceEntries ++ round3Entries ++ eventEntries :+ asofEntry
 }

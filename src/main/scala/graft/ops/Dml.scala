@@ -206,12 +206,15 @@ case class DvBlob(
 object DvWriter {
 
   /** Build per-file DV blobs ON EXECUTORS from a DataFrame of
-    * (`__file` URI, `__pos`) hit rows: a cheap count() decides dv-vs-rewrite
-    * BEFORE any materialization, then hits shuffle by file, each task writes
-    * its files' roaring blobs (unioned with any existing mask) and only the
-    * per-file descriptors — one small row per masked file — return to the
-    * driver. The naive collect() of 50M (file,pos) pairs was multi-GB of
-    * driver heap, OOMing on exactly the big-table workload DVs target.
+    * (`__file` URI, `__pos`) hit rows: hits shuffle by file, each task
+    * writes its files' roaring blobs (unioned with any existing mask) and
+    * only the per-file descriptors — one small row per masked file —
+    * return to the driver. The naive collect() of 50M (file,pos) pairs was
+    * multi-GB of driver heap, OOMing on exactly the big-table workload DVs
+    * target. The mask-size cap is enforced from the same single pass (the
+    * per-blob counts sum on the driver); an over-cap build deletes its
+    * orphan blobs and falls back — cheaper than a dedicated count() pass on
+    * the common under-cap path.
     *
     * Returns None when the total mask exceeds the cap (rewrite instead —
     * a mask that big defeats the purpose of DVs). */
@@ -222,9 +225,6 @@ object DvWriter {
     val spark = table.spark
     val cap = spark.conf.getOption("spark.graft.dv.maxMaskedRows")
       .map(_.toLong).getOrElse(DvDelete.MaxMaskedRows)
-    val total = hits.count()
-    if (total == 0) return Some((Nil, 0L))
-    if (total > cap) return None
 
     import spark.implicits._
     val tablePathStr = table.tablePath.toString
@@ -264,6 +264,19 @@ object DvWriter {
         out.iterator
       }.collect()
 
+    val total = blobs.map(_.newlyMasked).sum
+    if (total > cap) {
+      // fall back to rewrite: the uncommitted blobs are orphans — delete
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = table.tablePath.getFileSystem(conf)
+      blobs.foreach { b =>
+        DeletionVectors.dvPath(table.tablePath,
+          DeletionVectorDescriptor(b.storageType, b.pathOrInlineDv,
+            b.offset, b.sizeInBytes, b.cardinality))
+          .foreach(p => scala.util.Try(fs.delete(p, false)))
+      }
+      return None
+    }
     val now = System.currentTimeMillis()
     val actions = blobs.toSeq.flatMap { b =>
       val add = filesByKey(b.key)
@@ -272,7 +285,7 @@ object DvWriter {
       Seq(add.remove(now, dataChange = true),
         add.copy(deletionVector = Some(desc), dataChange = true))
     }
-    Some((actions, blobs.map(_.newlyMasked).sum))
+    Some((actions, total))
   }
 }
 

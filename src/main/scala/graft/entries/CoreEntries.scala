@@ -193,7 +193,24 @@ object CoreEntries {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+
+    // Q12 shape: join + conditional counts by priority class
+    sqlEntry("tpch_q12_shape", Seq("orders", "lineitem"),
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin),
+
+    // Q14 shape: promo revenue via integer cents (engine-identical rounding)
+    sqlEntry("tpch_q14_shape", Seq("lineitem", "part"),
+      """SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |                     ELSE 0 END) AS BIGINT) AS promo_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin))
 
   // ---------------------------------------------------------------- writes
 

@@ -19,6 +19,23 @@ import org.apache.hadoop.fs.{FileStatus, Path}
  * [[VersionAlreadyExistsException]] exactly as with the file backend.
  * [[InMemoryPutClient]] provides CAS semantics for tests and in-process use.
  */
+/* Wiring a REAL store (no cloud SDKs ship in this environment, so the
+ * in-memory CAS client is the only bundled implementation; the mapping for
+ * each provider, mirroring the reference's backends in
+ * /root/reference/crates/{aws,gcp,azure}):
+ *
+ *  - S3: `PutObject` with `If-None-Match: *` (supported since 2024-08) —
+ *    putIfAbsent returns false on HTTP 412. Pre-conditional-put S3 needs an
+ *    external lock instead: the reference pairs S3 with a DynamoDB lock
+ *    table (crates/aws/src/lib.rs:39, conditional `PutItem` on the commit
+ *    version as the mutex, commit file written after the lock wins).
+ *  - GCS: `insert` with `ifGenerationMatch=0` — 412 = exists.
+ *  - Azure Blob: `Put Blob` with `If-None-Match: *` — 409/412 = exists.
+ *  - listPrefix maps to the provider's list API; populate ObjectMeta.mtimeMs
+ *    from the object's creation/last-modified time (commit mtimes drive
+ *    time travel, history and CDF timestamp ranges).
+ */
+
 /** One listed object: key, size, and creation/last-modified time (object
   * stores report a real per-object timestamp; surfacing it matters because
   * commit-file mtimes drive time travel by timestamp, `history()`,

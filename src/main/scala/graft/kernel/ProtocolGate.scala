@@ -85,18 +85,23 @@ object ProtocolGate {
       p.writerFeatures.exists(_.contains("deletionVectors"))
     if (okReader && okWriter) None
     else {
-      val implied = p.minWriterVersion match {
-        case v if v >= 7 => p.writerFeatures.getOrElse(Nil)
-        case v =>
-          (if (v >= 2) Seq("appendOnly", "invariants") else Nil) ++
-            (if (v >= 3) Seq("checkConstraints") else Nil) ++
-            (if (v >= 4) Seq("changeDataFeed", "generatedColumns") else Nil)
-      }
+      val implied = impliedWriterFeatures(p)
       Some(Protocol(3, 7,
         readerFeatures = Some(
           (p.readerFeatures.getOrElse(Nil) :+ "deletionVectors").distinct),
         writerFeatures = Some((implied :+ "deletionVectors").distinct)))
     }
+  }
+
+  /** Writer features a pre-v7 protocol version implies — upgrading to v7
+    * MUST enumerate them (spec: feature lists replace version implication,
+    * so an unenumerated upgrade silently drops capabilities for readers). */
+  def impliedWriterFeatures(p: Protocol): Seq[String] = p.minWriterVersion match {
+    case v if v >= 7 => p.writerFeatures.getOrElse(Nil)
+    case v =>
+      (if (v >= 2) Seq("appendOnly", "invariants") else Nil) ++
+        (if (v >= 3) Seq("checkConstraints") else Nil) ++
+        (if (v >= 4) Seq("changeDataFeed", "generatedColumns") else Nil)
   }
 
   /** delta.appendOnly enforcement (writer feature / table property). */

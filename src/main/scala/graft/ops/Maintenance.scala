@@ -224,12 +224,15 @@ object MetadataOps {
     val needsUpgrade = p.minWriterVersion < 7 || (isReaderFeature && p.minReaderVersion < 3)
     require(allowProtocolVersionIncrease || !needsUpgrade,
       s"Adding $feature requires a protocol upgrade (pass allowProtocolVersionIncrease=true)")
+    // upgrading a legacy protocol to v7 must enumerate the writer features
+    // the old version implied — feature lists replace version implication
     val newProtocol = Protocol(
       minReaderVersion = if (isReaderFeature) 3 else p.minReaderVersion,
       minWriterVersion = 7,
       readerFeatures = Some(
         (p.readerFeatures.getOrElse(Nil) ++ (if (isReaderFeature) Seq(feature) else Nil)).distinct),
-      writerFeatures = Some((p.writerFeatures.getOrElse(Nil) :+ feature).distinct))
+      writerFeatures = Some(
+        (ProtocolGate.impliedWriterFeatures(p) :+ feature).distinct))
     val txn = table.startTransaction()
     table.commitAndRefresh(txn, Seq(newProtocol),
       Operation("ADD FEATURE", Map("feature" -> feature)))

@@ -45,14 +45,23 @@ object DeltaStreaming {
     }
   }
 
-  /** Incremental change feed: rows committed in (afterVersion, latest],
+  /** Incremental change feed: rows committed in (afterVersion, end],
     * with the CDF columns; returns None when there is nothing new.
-    * Microbatch-source semantics (update_incremental + load_cdf). */
+    * Microbatch-source semantics (update_incremental + load_cdf).
+    * `maxVersionsPerBatch` caps how much of the backlog one batch admits
+    * (delta-spark's maxFilesPerTrigger spirit): a source that fell far
+    * behind catches up in bounded batches instead of one giant one. */
   def changesSince(spark: SparkSession, path: String,
-                   afterVersion: Long): Option[(DataFrame, Long)] = {
+                   afterVersion: Long,
+                   maxVersionsPerBatch: Option[Int] = None): Option[(DataFrame, Long)] = {
     val t = DeltaTable.forPath(spark, path)
     val latest = t.deltaLog.latestVersion()
     if (latest <= afterVersion) None
-    else Some((t.loadCdf(afterVersion + 1, Some(latest)), latest))
+    else {
+      val end = maxVersionsPerBatch
+        .map(m => math.min(latest, afterVersion + math.max(1, m)))
+        .getOrElse(latest)
+      Some((t.loadCdf(afterVersion + 1, Some(end)), end))
+    }
   }
 }

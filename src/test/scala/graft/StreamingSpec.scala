@@ -126,4 +126,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(v == 1)
     assert(changes.select("id").as[Int].collect().toSeq == Seq(2))
   }
+
+  test("changesSince rate limit bounds backlog catch-up") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((0, "a")).toDF("id", "v"), dir,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    (1 to 5).foreach(i =>
+      DeltaTable.write(spark, Seq((i, "b")).toDF("id", "v"), dir, mode = "append"))
+    // 5-version backlog drains in capped batches of 2
+    var cursor = 0L
+    var batches = 0
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var more = true
+    while (more) DeltaStreaming.changesSince(spark, dir, cursor,
+        maxVersionsPerBatch = Some(2)) match {
+      case Some((df, end)) =>
+        assert(end - cursor <= 2, s"batch spanned ${end - cursor} versions")
+        seen ++= df.select("id").as[Int].collect()
+        cursor = end; batches += 1
+      case None => more = false
+    }
+    assert(batches == 3) // 2 + 2 + 1
+    assert(seen.sorted.toSeq == (1 to 5))
+  }
 }

@@ -113,6 +113,50 @@ class LazyFileIndex(
       f.deletionVector.map(_.cardinality).getOrElse(0L)))
   }
 
+  /** Single-column ("rel") DataFrame of every path VACUUM must treat as
+    * live: data file paths plus deletion-vector blob paths, checkpoint rows
+    * overlay-corrected with the tail — never materialized on the driver. */
+  def liveRelPathsDf(tablePathStr: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val overlayB = spark.sparkContext.broadcast(tailPaths)
+    val ckpt = colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
+      val tp = new Path(tablePathStr)
+      val uri = tp.toUri
+      val overlay = overlayB.value
+      it.flatMap { row =>
+        val f = Checkpoints.decodeAdd(row.getStruct(0))
+        if (overlay.contains(f.path)) Iterator.empty
+        else Iterator(f.path) ++ f.deletionVector
+          .flatMap(dv => DeletionVectors.dvPath(tp, dv))
+          .map(p => uri.relativize(p.toUri).getPath).iterator
+      }
+    }
+    val tpUri = new Path(tablePathStr).toUri
+    val tailRels = tailAdds.flatMap { f =>
+      f.path +: f.deletionVector
+        .flatMap(dv => DeletionVectors.dvPath(new Path(tablePathStr), dv))
+        .map(p => tpUri.relativize(p.toUri).getPath).toSeq
+    }
+    spark.createDataset(ckpt).toDF("rel")
+      .union(tailRels.toDF("rel"))
+  }
+
+  /** Tombstoned paths with deletionTimestamp >= cutoff, as a ("rel") DF. */
+  def recentTombstoneRelsDf(cutoffMs: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val ckpt = colDf("remove", Checkpoints.removeType).rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val r = Checkpoints.decodeRemove(row.getStruct(0))
+        if (r.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoffMs) Some(r.path)
+        else None
+      }
+    }
+    spark.createDataset(ckpt).toDF("rel")
+      .union(tailRemoves
+        .filter(_.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoffMs)
+        .map(_.path).toDF("rel"))
+  }
+
   /** Full Add vector (checkpoint + tail overlay), cached after first pull. */
   def materializeAdds(): Vector[AddFile] = {
     if (cachedAdds == null) synchronized {

@@ -18,8 +18,34 @@ import graft.table.{DeltaTable, Scan}
  */
 object VacuumOp {
 
+  // skip hidden dirs and all `_`-prefixed dirs (delta-spark semantics)
+  // EXCEPT `_change_data`, whose CDC files are log-tracked and must age out
+  // like data files — otherwise `_symlink_format_manifest/manifest` files
+  // (no `_` prefix on the file itself) would be vacuumed away
+  private def vacuumableDir(name: String): Boolean =
+    name == Dml.CDC_DIR ||
+      (!name.startsWith("_") && !name.startsWith(".") && !name.startsWith(".tmp_"))
+
+  private def vacuumableFile(name: String): Boolean =
+    !name.startsWith(".") && !name.startsWith("_")
+
+  /** Recursive (rel, mtime) listing under `dir`; runs on the driver for
+    * small tables and inside executor tasks for the distributed path. */
+  private def walkFs(fs: org.apache.hadoop.fs.FileSystem, dir: Path, rel: String,
+                     out: mutable.ArrayBuffer[(String, Long)]): Unit = {
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      val childRel = if (rel.isEmpty) name else s"$rel/$name"
+      if (st.isDirectory) {
+        if (vacuumableDir(name)) walkFs(fs, st.getPath, childRel, out)
+      } else if (vacuumableFile(name)) out += ((childRel, st.getModificationTime))
+    }
+  }
+
   def run(table: DeltaTable, retentionHours: Double, dryRun: Boolean,
           enforceRetention: Boolean): Seq[String] = {
+    val spark = table.spark
     val snapshot = table.refresh()
     val configured = snapshot.getConf("delta.deletedFileRetentionDuration")
       .flatMap(DeltaConfig.parseDuration).getOrElse(7L * 24 * 3600 * 1000)
@@ -29,44 +55,87 @@ object VacuumOp {
         s"Retention ${retentionHours}h is below the configured minimum " +
         s"(${configured}ms); pass enforceRetention=false to override")
 
-    val fs = table.tablePath.getFileSystem(table.spark.sessionState.newHadoopConf())
+    val fs = table.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
     val now = System.currentTimeMillis()
     val cutoff = now - retentionMs
-
-    // live = current adds + their deletion-vector blobs + cdc files
-    // referenced since; keep anything tracked by a recent tombstone or
-    // newer than the cutoff
     val tableUri = table.tablePath.toUri
-    val liveDvs: Set[String] = snapshot.allFiles.flatMap(_.deletionVector)
-      .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
-      .map(p => tableUri.relativize(p.toUri).getPath).toSet
-    val live: Set[String] = snapshot.allFiles.map(_.path).toSet ++ liveDvs
-    val recentTombstones: Set[String] = snapshot.tombstones
-      .filter(_.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoff)
-      .map(_.path).toSet
 
-    val candidates = mutable.ArrayBuffer[String]()
-    def walk(dir: Path, rel: String): Unit = {
-      if (!fs.exists(dir)) return
-      fs.listStatus(dir).foreach { st =>
-        val name = st.getPath.getName
-        val childRel = if (rel.isEmpty) name else s"$rel/$name"
-        if (st.isDirectory) {
-          // skip hidden dirs and all `_`-prefixed dirs (delta-spark
-          // semantics) EXCEPT `_change_data`, whose CDC files are
-          // log-tracked and must age out like data files — otherwise
-          // `_symlink_format_manifest/manifest` files (no `_` prefix on the
-          // file itself) would be vacuumed away
-          val vacuumable = name == Dml.CDC_DIR ||
-            (!name.startsWith("_") && !name.startsWith(".") && !name.startsWith(".tmp_"))
-          if (vacuumable) walk(st.getPath, childRel)
-        } else if (!name.startsWith(".") && !name.startsWith("_")) {
-          val tracked = live.contains(childRel) || recentTombstones.contains(childRel)
-          if (!tracked && st.getModificationTime < cutoff) candidates += childRel
+    // Distributed when the snapshot is lazy (materializing 10M Adds to build
+    // a driver Set defeats the index) or the eager file count is large (the
+    // serial walk + Set become the bottleneck); overridable for tests.
+    val distThreshold = spark.conf.getOption("spark.graft.vacuum.distributedThreshold")
+      .map(_.toInt).getOrElse(100000)
+    val distributed = snapshot.lazyIndex.exists(!_.isMaterialized) ||
+      snapshot.lazyIndex.isEmpty && snapshot.allFiles.size >= distThreshold
+
+    val candidates: Seq[String] =
+      if (!distributed) {
+        // live = current adds + their deletion-vector blobs; keep anything
+        // tracked by a recent tombstone or newer than the cutoff
+        val liveDvs: Set[String] = snapshot.allFiles.flatMap(_.deletionVector)
+          .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
+          .map(p => tableUri.relativize(p.toUri).getPath).toSet
+        val live: Set[String] = snapshot.allFiles.map(_.path).toSet ++ liveDvs
+        val recentTombstones: Set[String] = snapshot.tombstones
+          .filter(_.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoff)
+          .map(_.path).toSet
+        val listed = mutable.ArrayBuffer[(String, Long)]()
+        walkFs(fs, table.tablePath, "", listed)
+        listed.collect {
+          case (rel, mtime) if mtime < cutoff &&
+            !live.contains(rel) && !recentTombstones.contains(rel) => rel
+        }.toSeq
+      } else {
+        // listing fans out one task per top-level vacuumable dir; live and
+        // recent-tombstone sets stay DataFrames (from the checkpoint parquet
+        // on lazy snapshots) and reduce candidates via anti-joins — neither
+        // the file listing nor the live set materializes on the driver
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        val liveDf = snapshot.lazyIndex match {
+          case Some(idx) if !idx.isMaterialized =>
+            idx.liveRelPathsDf(table.tablePath.toString)
+          case _ =>
+            snapshot.allFiles.flatMap(f =>
+              f.path +: f.deletionVector
+                .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
+                .map(p => tableUri.relativize(p.toUri).getPath).toSeq)
+              .toDF("rel")
         }
+        val tombDf = snapshot.lazyIndex match {
+          case Some(idx) if !idx.isMaterialized => idx.recentTombstoneRelsDf(cutoff)
+          case _ =>
+            snapshot.tombstones
+              .filter(_.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoff)
+              .map(_.path).toDF("rel")
+        }
+        val rootEntries = fs.listStatus(table.tablePath).toSeq
+        val seedDirs = rootEntries
+          .filter(st => st.isDirectory && vacuumableDir(st.getPath.getName))
+          .map(_.getPath.toString)
+        val rootFiles = rootEntries
+          .filter(st => !st.isDirectory && vacuumableFile(st.getPath.getName))
+          .map(st => (st.getPath.getName, st.getModificationTime))
+        val bcConf = spark.sparkContext.broadcast(
+          new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+        val tableStr = table.tablePath.toString
+        val listedRdd = spark.sparkContext
+          .parallelize(seedDirs, math.max(1, seedDirs.size))
+          .flatMap { d =>
+            val p = new Path(d)
+            val efs = p.getFileSystem(bcConf.value.value)
+            val buf = mutable.ArrayBuffer[(String, Long)]()
+            val rel = new Path(tableStr).toUri.relativize(p.toUri).getPath
+            walkFs(efs, p, rel, buf)
+            buf
+          }
+        spark.createDataset(listedRdd).union(rootFiles.toDS())
+          .toDF("rel", "mtime")
+          .filter(col("mtime") < cutoff)
+          .join(liveDf, Seq("rel"), "left_anti")
+          .join(tombDf, Seq("rel"), "left_anti")
+          .select("rel").as[String].collect().toSeq
       }
-    }
-    walk(table.tablePath, "")
 
     if (!dryRun) {
       val txnStart = table.startTransaction()
@@ -74,13 +143,25 @@ object VacuumOp {
         "retentionCheckEnabled" -> enforceRetention.toString,
         "specifiedRetentionMillis" -> retentionMs.toString),
         Map("numFilesToDelete" -> candidates.size.toString)))
-      candidates.foreach(rel => fs.delete(new Path(table.tablePath, rel), false))
+      if (distributed && candidates.size > 1000) {
+        // deletes are one FS round-trip each — fan out
+        val bcConf = spark.sparkContext.broadcast(
+          new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+        val tableStr = table.tablePath.toString
+        spark.sparkContext
+          .parallelize(candidates, math.max(1, candidates.size / 5000))
+          .foreachPartition { it =>
+            val tp = new Path(tableStr)
+            val efs = tp.getFileSystem(bcConf.value.value)
+            it.foreach(rel => efs.delete(new Path(tp, rel), false))
+          }
+      } else candidates.foreach(rel => fs.delete(new Path(table.tablePath, rel), false))
       val txnEnd = table.startTransaction()
       txnEnd.commit(Nil, Operation("VACUUM END", Map("status" -> "COMPLETED"),
         Map("numDeletedFiles" -> candidates.size.toString)))
       table.refresh()
     }
-    candidates.toSeq
+    candidates
   }
 }
 

@@ -45,6 +45,7 @@ class MergeBuilder(table: DeltaTable, source: DataFrame, condition: String) {
   private var clauses: Vector[MergeClause] = Vector.empty
   private var validateDuplicates = true
   private var schemaEvolution = false
+  private var appTxn: Option[(String, Long)] = None
 
   def whenMatchedUpdate(set: Map[String, String], condition: Option[String] = None): MergeBuilder = {
     clauses :+= MatchedUpdate(condition, set); this
@@ -74,8 +75,16 @@ class MergeBuilder(table: DeltaTable, source: DataFrame, condition: String) {
     * (with_merge_schema, merge/mod.rs:1047-1077). */
   def withSchemaEvolution(): MergeBuilder = { schemaEvolution = true; this }
 
+  /** Ride a `txn` action on the merge commit — idempotent replays for
+    * streaming foreachBatch sinks (the reference's CommitProperties
+    * app_transactions; delta-spark's txnAppId/txnVersion). */
+  def withAppTransaction(appId: String, version: Long): MergeBuilder = {
+    appTxn = Some((appId, version)); this
+  }
+
   def execute(): Map[String, String] =
-    MergeOp.run(table, source, condition, clauses, validateDuplicates, schemaEvolution)
+    MergeOp.run(table, source, condition, clauses, validateDuplicates,
+      schemaEvolution, appTxn)
 }
 
 object MergeOp {
@@ -100,7 +109,8 @@ object MergeOp {
       condition: String,
       clauses: Seq[MergeClause],
       validateDuplicates: Boolean,
-      schemaEvolution: Boolean = false): Map[String, String] = {
+      schemaEvolution: Boolean = false,
+      appTxn: Option[(String, Long)] = None): Map[String, String] = {
     require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
     val spark = table.spark
     val t0 = System.nanoTime()
@@ -415,8 +425,11 @@ object MergeOp {
         "num_target_files_removed" -> filesRemoved.toString,
         "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
 
+      val txnActions = appTxn.map { case (app, ver) =>
+        SetTransaction(app, ver, Some(System.currentTimeMillis()))
+      }.toSeq
       traced("commit")(table.commitAndRefresh(txn,
-        metaActions ++ removes ++ dvActions ++ adds ++ cdc,
+        metaActions ++ removes ++ dvActions ++ adds ++ cdc ++ txnActions,
         Operation("MERGE", Map("predicate" -> condition), metrics)))
       metrics
     } finally {

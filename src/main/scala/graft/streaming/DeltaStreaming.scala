@@ -45,6 +45,32 @@ object DeltaStreaming {
     }
   }
 
+  /** Exactly-once streaming MERGE (CDC apply): each microbatch upserts into
+    * the target through `buildMerge`, and the merge commit carries
+    * `txn(appId, batchId)` — a replayed batch is detected from the table's
+    * transaction versions and skipped, so at-least-once batch delivery
+    * yields exactly-once table contents. The streaming analogue of the
+    * reference's merge `with_streaming` + CommitProperties app txns
+    * (merge/mod.rs:465, actions.rs:1042).
+    *
+    * {{{
+    * df.writeStream.foreachBatch(DeltaStreaming.mergeSink(path, "cdc-app") {
+    *   (t, batch) => t.merge(batch, "target.id = source.id")
+    *     .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+    * })
+    * }}}
+    */
+  def mergeSink(path: String, appId: String)(
+      buildMerge: (DeltaTable, DataFrame) => graft.ops.MergeBuilder): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val t = DeltaTable.forPath(batch.sparkSession, path)
+      if (!t.txnVersion(appId).exists(_ >= batchId)) {
+        buildMerge(t, batch).withAppTransaction(appId, batchId).execute()
+      }
+      ()
+    }
+  }
+
   /** Incremental change feed: rows committed in (afterVersion, end],
     * with the CDF columns; returns None when there is nothing new.
     * Microbatch-source semantics (update_incremental + load_cdf).

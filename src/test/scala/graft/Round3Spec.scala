@@ -207,7 +207,36 @@ class Round3Spec extends AnyFunSuite {
         Seq(graft.table.Scan.parsePredicate(spark, "k = 777777770")), Some(spark))
       assert(pruned2.size == 1 && pruned2.head.path.startsWith("part-"))
       assert(snap2.lazyIndex.exists(!_.isMaterialized))
+      // vacuum's live set stays a DataFrame on lazy snapshots — the real
+      // data files are live so the dry run deletes nothing and the 1M-row
+      // index still never materializes
+      val t3 = DeltaTable.forPath(spark, dir)
+      val wouldDelete = t3.vacuum(retentionHours = 0, dryRun = true, enforceRetention = false)
+      assert(wouldDelete.isEmpty, s"live files misclassified: $wouldDelete")
+      assert(t3.snapshot.lazyIndex.exists(!_.isMaterialized),
+        "vacuum must not materialize a lazy snapshot")
     } finally spark.conf.unset("spark.graft.lazySnapshotThreshold")
+  }
+
+  test("distributed vacuum matches driver vacuum semantics (DV blobs stay live)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, (0 until 1000).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4), dir, configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.delete(Some("id % 10 = 0")) // masks via DV: blobs must survive vacuum
+    t.optimizeCompact() // tombstones the masked originals
+    spark.conf.set("spark.graft.vacuum.distributedThreshold", "1")
+    try {
+      val deleted = t.vacuum(retentionHours = 0, dryRun = false, enforceRetention = false)
+      assert(deleted.nonEmpty, "expected the compacted-away originals to be vacuumed")
+      val fresh = DeltaTable.forPath(spark, dir)
+      assert(fresh.toDF.count() == 900)
+      assert(fresh.toDF.select("id").as[Int].collect().toSet ==
+        (0 until 1000).filterNot(_ % 10 == 0).toSet)
+      // a second vacuum finds nothing left to delete
+      assert(t.vacuum(retentionHours = 0, dryRun = true, enforceRetention = false).isEmpty)
+    } finally spark.conf.unset("spark.graft.vacuum.distributedThreshold")
   }
 
   test("HadoopLogStore refuses non-atomic object-store commit schemes") {

@@ -127,6 +127,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(changes.select("id").as[Int].collect().toSeq == Seq(2))
   }
 
+  test("mergeSink: replayed batches are skipped (exactly-once upserts)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
+    val sink = DeltaStreaming.mergeSink(dir, "cdc-app") { (t, batch) =>
+      t.merge(batch, "target.id = source.id")
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+    }
+    sink(Seq((2, "b2"), (3, "c")).toDF("id", "v"), 0L)
+    val afterFirst = DeltaTable.forPath(spark, dir).toDF
+      .as[(Int, String)].collect().toMap
+    assert(afterFirst == Map(1 -> "a", 2 -> "b2", 3 -> "c"))
+    // replay of batch 0 with DIFFERENT content must be ignored
+    sink(Seq((3, "WRONG")).toDF("id", "v"), 0L)
+    assert(DeltaTable.forPath(spark, dir).toDF.as[(Int, String)].collect().toMap ==
+      Map(1 -> "a", 2 -> "b2", 3 -> "c"))
+    // next batch applies
+    sink(Seq((3, "c2")).toDF("id", "v"), 1L)
+    assert(DeltaTable.forPath(spark, dir).toDF.as[(Int, String)].collect().toMap ==
+      Map(1 -> "a", 2 -> "b2", 3 -> "c2"))
+  }
+
   test("changesSince rate limit bounds backlog catch-up") {
     import spark.implicits._
     val dir = tmpDir()

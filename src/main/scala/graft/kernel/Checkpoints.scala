@@ -163,10 +163,14 @@ object Checkpoints {
       r.partitionValues.orNull, r.size.map(Long.box).orNull,
       r.deletionVector.map(dvRow).orNull)
 
-  /** Write the checkpoint for `snapshot` plus the `_last_checkpoint` hint. */
+  /** Write the checkpoint for `snapshot` plus the `_last_checkpoint` hint.
+    * On a lazy (huge-table) snapshot the add/remove state streams from the
+    * PREVIOUS checkpoint's parquet with the tail overlay applied — the
+    * driver never materializes the index to re-checkpoint it. */
   def write(spark: SparkSession, logPath: Path, snapshot: Snapshot, store: LogStore): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, not}
     val m = snapshot.metadata
-    val rows: Seq[Row] =
+    val controlRows: Seq[Row] =
       Seq(Row(null, null, null,
         Row(m.id, m.name.orNull, m.description.orNull,
           Row(m.format.provider, m.format.options), m.schemaString,
@@ -177,22 +181,53 @@ object Checkpoints {
           snapshot.protocol.readerFeatures.orNull,
           snapshot.protocol.writerFeatures.orNull), null)) ++
       snapshot.txns.toSeq.map { case (app, v) => Row(Row(app, v, null), null, null, null, null, null) } ++
-      snapshot.allFiles.map(f => Row(null, addRow(f), null, null, null, null)) ++
-      snapshot.tombstones.map(r => Row(null, null, removeRow(r), null, null, null)) ++
       snapshot.domains.values.toSeq.map(d =>
         Row(null, null, null, null, null, Row(d.domain, d.configuration, d.removed)))
 
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 50000)),
-      checkpointSchema)
+    val partSize = spark.conf.getOption("spark.graft.checkpoint.partSize")
+      .map(_.toInt).filter(_ > 0).getOrElse(1000000)
+
+    val lazyIdx = snapshot.lazyIndex.filterNot(_.isMaterialized)
+    // (df to write, action count for the hint if cheaply known)
+    val (df, knownSize, nActions) = lazyIdx match {
+      case Some(idx) =>
+        val overlay = (idx.tailAdds.map(_.path) ++ idx.tailRemoves.map(_.path)).distinct
+        val tailRows = idx.tailAdds.map(f => Row(null, addRow(f), null, null, null, null)) ++
+          idx.tailRemoves.map(r => Row(null, null, removeRow(r), null, null, null))
+        val small = spark.createDataFrame(
+          spark.sparkContext.parallelize(controlRows ++ tailRows, 1), checkpointSchema)
+        // one column-pruned leg per file-action column, overlay-filtered and
+        // re-aligned to the full checkpoint layout
+        def leg(name: String, dt: StructType) = {
+          val src = spark.read.schema(StructType(Seq(StructField(name, dt))))
+            .parquet(idx.checkpointParts.map(_.toString): _*)
+            .filter(col(name).isNotNull)
+            .filter(if (overlay.isEmpty) lit(true)
+              else not(col(s"$name.path").isin(overlay: _*)))
+          src.select(checkpointSchema.fields.map { f =>
+            if (f.name == name) col(name).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toSeq: _*)
+        }
+        // hint size (and part count) need a count; one cheap add-count job
+        val approx = idx.countAdds() + controlRows.size + tailRows.size
+        (small.unionByName(leg("add", addType)).unionByName(leg("remove", removeType)),
+          None, approx)
+      case None =>
+        val rows = controlRows ++
+          snapshot.allFiles.map(f => Row(null, addRow(f), null, null, null, null)) ++
+          snapshot.tombstones.map(r => Row(null, null, removeRow(r), null, null, null))
+        (spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, math.max(1, rows.size / 50000)),
+          checkpointSchema),
+          Some(rows.size.toLong), rows.size.toLong)
+    }
 
     // classic multi-part above `spark.graft.checkpoint.partSize` actions per
     // part — a million-Add table writes N parallel parts, not one giant
     // driver-funneled parquet (delta-spark's checkpoint.partSize behavior;
     // the reader side already handles multi-part, see read())
-    val partSize = spark.conf.getOption("spark.graft.checkpoint.partSize")
-      .map(_.toInt).filter(_ > 0).getOrElse(1000000)
-    val nParts = math.min(((rows.size + partSize - 1) / partSize).toInt, 9999)
+    val nParts = math.min(((nActions + partSize - 1) / partSize).toInt, 9999)
 
     val fs = logPath.getFileSystem(store.conf)
     val tmp = new Path(logPath, s".checkpoint_tmp_${snapshot.version}")
@@ -202,21 +237,26 @@ object Checkpoints {
     val partFiles = fs.listStatus(tmp).map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     require(partFiles.nonEmpty, s"no part file in $tmp")
-    if (partFiles.length == 1) {
-      val dest = new Path(logPath, LogStore.checkpointFileName(snapshot.version))
-      if (fs.exists(dest)) fs.delete(dest, false)
-      fs.rename(partFiles.head, dest)
-    } else {
-      partFiles.zipWithIndex.foreach { case (p, i) =>
-        val dest = new Path(logPath, LogStore.multiPartCheckpointFileName(
-          snapshot.version, i + 1, partFiles.length))
+    val destFiles: Seq[Path] =
+      if (partFiles.length == 1) {
+        val dest = new Path(logPath, LogStore.checkpointFileName(snapshot.version))
         if (fs.exists(dest)) fs.delete(dest, false)
-        fs.rename(p, dest)
+        fs.rename(partFiles.head, dest)
+        Seq(dest)
+      } else {
+        partFiles.zipWithIndex.map { case (p, i) =>
+          val dest = new Path(logPath, LogStore.multiPartCheckpointFileName(
+            snapshot.version, i + 1, partFiles.length))
+          if (fs.exists(dest)) fs.delete(dest, false)
+          fs.rename(p, dest)
+          dest
+        }.toSeq
       }
-    }
     fs.delete(tmp, true)
 
-    val size = snapshot.allFiles.size + snapshot.tombstones.size + snapshot.txns.size + 2
+    // exact row count for the hint: footer metadata of the written parts
+    val size = knownSize.getOrElse(
+      destFiles.map(p => ParquetStats.collect(store.conf, p, StructType(Nil), 0)._1).sum)
     val partsField = if (partFiles.length > 1) s""","parts":${partFiles.length}""" else ""
     val hint = s"""{"version":${snapshot.version},"size":$size$partsField}"""
     val hintPath = new Path(logPath, LogStore.LAST_CHECKPOINT)

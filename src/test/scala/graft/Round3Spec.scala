@@ -215,6 +215,18 @@ class Round3Spec extends AnyFunSuite {
       assert(wouldDelete.isEmpty, s"live files misclassified: $wouldDelete")
       assert(t3.snapshot.lazyIndex.exists(!_.isMaterialized),
         "vacuum must not materialize a lazy snapshot")
+      // re-checkpointing a lazy snapshot streams from the previous
+      // checkpoint's parquet — no driver materialization — and the new
+      // checkpoint replays with the tail folded in
+      Checkpoints.write(spark, t3.deltaLog.logPath, t3.snapshot, t3.deltaLog.store)
+      assert(t3.snapshot.lazyIndex.exists(!_.isMaterialized),
+        "checkpoint write must not materialize a lazy snapshot")
+      val reloaded = DeltaTable.forPath(spark, dir).snapshot
+      assert(reloaded.lazyIndex.isDefined)
+      assert(reloaded.numFiles == 1000002L)
+      assert(graft.table.Scan.prunedFiles(reloaded,
+        Seq(graft.table.Scan.parsePredicate(spark, "k = 12345")), Some(spark))
+        .map(_.path) == Seq("part-fake-1234.parquet"))
     } finally spark.conf.unset("spark.graft.lazySnapshotThreshold")
   }
 

@@ -85,32 +85,38 @@ class LazyFileIndex(
   }
 
   /** (numFiles, totalBytes, numRecords-if-complete, dvCardinality) as one
-    * distributed pass — serves size/count accessors without materializing. */
+    * distributed pass with per-partition partial aggregation — one tuple
+    * per PARTITION reaches the driver, not one per file. */
   def statsSummary(): (Long, Long, Option[Long], Long) = {
-    val adds = materializeSummaryView()
-    val counts = adds.flatMap(_._3)
-    (adds.size.toLong, adds.map(_._2).sum,
-      if (counts.size == adds.size) Some(counts.sum) else None,
-      adds.map(_._4).sum)
-  }
-
-  // (path, size, numRecords, dvCardinality) — small tuples, not full AddFiles
-  private def materializeSummaryView(): Vector[(String, Long, Option[Long], Long)] = {
-    if (isMaterialized)
-      return cachedAdds.map(f => (f.path, f.size, f.numRecords,
-        f.deletionVector.map(_.cardinality).getOrElse(0L)))
-    val overlayB = spark.sparkContext.broadcast(tailPaths)
-    val ckpt = colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
-      val overlay = overlayB.value
-      it.flatMap { row =>
-        val f = Checkpoints.decodeAdd(row.getStruct(0))
-        if (overlay.contains(f.path)) None
-        else Some((f.path, f.size, f.numRecords,
-          f.deletionVector.map(_.cardinality).getOrElse(0L)))
+    def summarize(fs: Iterator[AddFile]): (Long, Long, Long, Boolean, Long) = {
+      var n = 0L; var size = 0L; var recs = 0L; var complete = true; var dv = 0L
+      fs.foreach { f =>
+        n += 1; size += f.size
+        f.numRecords match {
+          case Some(r) => recs += r
+          case None => complete = false
+        }
+        dv += f.deletionVector.map(_.cardinality).getOrElse(0L)
       }
-    }.collect().toVector
-    ckpt ++ tailAdds.map(f => (f.path, f.size, f.numRecords,
-      f.deletionVector.map(_.cardinality).getOrElse(0L)))
+      (n, size, recs, complete, dv)
+    }
+    val zero = (0L, 0L, 0L, true, 0L)
+    def merge(a: (Long, Long, Long, Boolean, Long), b: (Long, Long, Long, Boolean, Long)) =
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 && b._4, a._5 + b._5)
+
+    val ckpt =
+      if (isMaterialized) summarize(cachedAdds.iterator)
+      else {
+        val overlayB = spark.sparkContext.broadcast(tailPaths)
+        colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
+          val overlay = overlayB.value
+          Iterator(summarize(it.map(row => Checkpoints.decodeAdd(row.getStruct(0)))
+            .filterNot(f => overlay.contains(f.path))))
+        }.fold(zero)(merge)
+      }
+    val total = merge(ckpt,
+      if (isMaterialized) zero else summarize(tailAdds.iterator))
+    (total._1, total._2, if (total._4) Some(total._3) else None, total._5)
   }
 
   /** Single-column ("rel") DataFrame of every path VACUUM must treat as

@@ -44,6 +44,44 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
   def fileUris: Seq[String] =
     snapshot.allFiles.map(f => snapshot.absolutePath(f.path).toString)
 
+  /** Distinct partition-value assignments of the live files, optionally
+    * narrowed by a predicate (python/deltalake table.partitions(), table.py:341). */
+  def partitions(predicate: Option[String] = None): Seq[Map[String, String]] = {
+    val files = predicate match {
+      case Some(p) => Scan.prunedFiles(snapshot, Seq(Scan.parsePredicate(spark, p)), Some(spark))
+      case None => snapshot.allFiles
+    }
+    files.map(_.partitionValues).distinct
+  }
+
+  /** The live `add` actions as a DataFrame — path, partition values, size,
+    * stats fields (python/deltalake get_add_actions(flatten), table.py:1175).
+    * Flattened: numRecords plus per-column min/max/nullCount columns. */
+  def getAddActions(flatten: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val base = snapshot.allFiles.map { f =>
+      (f.path, f.partitionValues, f.size, f.modificationTime, f.dataChange,
+        f.stats.orNull)
+    }.toDF("path", "partition_values", "size_bytes", "modification_time",
+      "data_change", "stats")
+    if (!flatten) base
+    else {
+      val statsSchema = StructType(Seq(
+        StructField("numRecords", LongType),
+        StructField("minValues", MapType(StringType, StringType)),
+        StructField("maxValues", MapType(StringType, StringType)),
+        StructField("nullCount", MapType(StringType, LongType))))
+      base.withColumn("s", from_json(col("stats"), statsSchema))
+        .withColumn("num_records", col("s.numRecords"))
+        .withColumn("min_values", col("s.minValues"))
+        .withColumn("max_values", col("s.maxValues"))
+        .withColumn("null_counts", col("s.nullCount"))
+        .drop("s", "stats")
+    }
+  }
+
   // ---- read ----
 
   def toDF: DataFrame = Scan.read(spark, snapshot)

@@ -251,6 +251,22 @@ class Round3Spec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.vacuum.distributedThreshold")
   }
 
+  test("partitions() and getAddActions() parity accessors") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1, "x", "a"), (2, "y", "b"), (3, "z", "a"))
+      .toDF("id", "v", "p"), dir, partitionBy = Seq("p"))
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.partitions().toSet == Set(Map("p" -> "a"), Map("p" -> "b")))
+    assert(t.partitions(Some("p = 'a'")) == Seq(Map("p" -> "a")))
+    val adds = t.getAddActions(flatten = true)
+    assert(adds.count() == t.snapshot.numFiles)
+    val row = adds.filter("path LIKE 'p=b%'").head()
+    assert(row.getAs[Long]("num_records") == 1L)
+    assert(row.getAs[Map[String, String]]("min_values")("id") == "2")
+    assert(adds.columns.toSet.contains("null_counts"))
+  }
+
   test("HadoopLogStore refuses non-atomic object-store commit schemes") {
     val store = new graft.kernel.HadoopLogStore(spark.sessionState.newHadoopConf())
     val e = intercept[UnsupportedOperationException] {

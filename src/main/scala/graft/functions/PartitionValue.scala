@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Per-file partition values resolved from the transaction log's
+ * `partitionValues` maps (broadcast as file-path → values array) — the
+ * Delta protocol's source of truth. Hive `key=value` directory inference
+ * cannot cover column-mapped or random-prefix file layouts (e.g. the
+ * reference's `table_with_column_mapping` golden stores files under `8v/`,
+ * `BH/`), and the log wins even when directories disagree.
+ *
+ * Scan rows arrive grouped by file, so the common case is one UTF8String
+ * equality check against a thread-local memo + an array index.
+ */
+class PartitionValueLookup(values: Broadcast[Map[String, Array[String]]]) extends Serializable {
+  @transient private lazy val memo = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](2)
+  }
+
+  def value(file: UTF8String, i: Int): UTF8String = {
+    val m = memo.get()
+    var arr: Array[UTF8String] = null
+    if (m(0) != null && m(0).asInstanceOf[UTF8String].equals(file)) {
+      arr = m(1).asInstanceOf[Array[UTF8String]]
+    } else {
+      arr = values.value.getOrElse(file.toString, PartitionValueLookup.Empty)
+        .map(s => if (s == null) null else UTF8String.fromString(s))
+      m(0) = file.clone()
+      m(1) = arr
+    }
+    if (i < arr.length) arr(i) else null
+  }
+}
+
+object PartitionValueLookup {
+  val Empty: Array[String] = Array.empty[String]
+}
+
+/** The `idx`-th partition value of the file at `file` (a `_metadata.file_path`
+  * column), as a string per the log's serialization; NULL for
+  * `__HIVE_DEFAULT_PARTITION__`. Codegen'd — no join in the scan plan. */
+case class PartitionValueAt(file: Expression, idx: Int, lookup: PartitionValueLookup)
+    extends UnaryExpression {
+
+  override def child: Expression = file
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(f: Any): Any =
+    lookup.value(f.asInstanceOf[UTF8String], idx)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pvLookup", lookup, classOf[PartitionValueLookup].getName)
+    nullSafeCodeGen(ctx, ev, f =>
+      s"""${ev.value} = $ref.value($f, $idx);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(file = newChild)
+}

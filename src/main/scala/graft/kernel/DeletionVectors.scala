@@ -134,14 +134,18 @@ object DeletionVectors {
     data
   }
 
-  /** Decode magic-prefixed 64-bit RoaringBitmapArray data → sorted indexes. */
+  /** Decode magic-prefixed 64-bit RoaringBitmapArray data → sorted indexes.
+    * Portable format (delta-spark RoaringBitmapArray): i64 bitmap count,
+    * then PER BITMAP an i32 high-32 key followed by a standard-format
+    * 32-bit roaring bitmap — keys are sparse, not sequential. */
   def decodeRoaringArray(data: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
     val magic = bb.getInt
     require(magic == MAGIC, s"Bad DV magic: $magic")
     val nBitmaps = bb.getLong
     val out = Array.newBuilder[Long]
-    (0L until nBitmaps).foreach { high =>
+    (0L until nBitmaps).foreach { _ =>
+      val high = bb.getInt.toLong
       val values = decodeRoaring32(bb)
       values.foreach(v => out += (high << 32) | (v & 0xFFFFFFFFL))
     }
@@ -207,19 +211,19 @@ object DeletionVectors {
 
   // ---- writer (fixtures/tests; array + bitset containers, no runs) ----
 
-  /** Serialize sorted row indexes as magic-prefixed RoaringBitmapArray. */
+  /** Serialize sorted row indexes as magic-prefixed RoaringBitmapArray
+    * (portable format: each present high-32 key prefixes its bitmap — the
+    * layout delta-spark reads; sparse highs are simply absent). */
   def encodeRoaringArray(values: Array[Long]): Array[Byte] = {
     val byHigh = values.sorted.groupBy(_ >>> 32).toSeq.sortBy(_._1)
-    val nBitmaps = if (byHigh.isEmpty) 0L else byHigh.last._1 + 1
-    val parts = (0L until nBitmaps).map { h =>
-      serializeRoaring32(byHigh.find(_._1 == h).map(_._2.map(v => (v & 0xFFFFFFFFL).toInt))
-        .getOrElse(Array.empty[Int]))
+    val parts = byHigh.map { case (h, vs) =>
+      (h, serializeRoaring32(vs.map(v => (v & 0xFFFFFFFFL).toInt)))
     }
-    val total = 4 + 8 + parts.map(_.length).sum
+    val total = 4 + 8 + parts.map(4 + _._2.length).sum
     val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(MAGIC)
-    bb.putLong(nBitmaps)
-    parts.foreach(bb.put)
+    bb.putLong(parts.size.toLong)
+    parts.foreach { case (h, p) => bb.putInt(h.toInt); bb.put(p) }
     bb.array()
   }
 

@@ -100,25 +100,36 @@ object Scan {
     }
 
     val paths = files.map(f => snapshot.absolutePath(f.path).toString)
-    // under column mapping, files (and partition dirs) carry physical names;
-    // read physically, project back to logical (column_mapping.rs semantics)
+    // under column mapping, files carry physical names; read physically,
+    // project back to logical (column_mapping.rs semantics)
     val mapped = graft.kernel.ColumnMapping.enabled(snapshot.metadata)
     val nm = if (mapped) graft.kernel.ColumnMapping.nameMap(schema) else Map.empty[String, String]
     val logicalData = StructType(schema.filterNot(f => partCols.contains(f.name)))
     val dataSchema =
       if (mapped) graft.kernel.ColumnMapping.physicalSchema(logicalData) else logicalData
 
-    val raw =
-      if (partCols.isEmpty) spark.read.schema(dataSchema).parquet(paths: _*)
-      else spark.read.option("basePath", snapshot.tablePath)
-        .schema(dataSchema).parquet(paths: _*)
+    val raw = spark.read.schema(dataSchema).parquet(paths: _*)
 
-    // partition columns come back type-inferred from the path; cast to the
-    // declared schema types and restore schema column order
+    // partition columns come from the LOG's partitionValues (the protocol's
+    // source of truth, resolved per-file by a codegen'd broadcast lookup on
+    // _metadata.file_path) — NOT from hive `key=value` path inference, which
+    // cannot cover column-mapped / random-prefix layouts (e.g. the
+    // reference's table_with_column_mapping golden stores files under 2-char
+    // prefix dirs) and loses to the log when directories disagree.
+    lazy val pvLookup = {
+      val byFile: Map[String, Array[String]] = files.flatMap { f =>
+        val vals = partCols.map(c => f.partitionValues.getOrElse(nm.getOrElse(c, c), null)).toArray
+        graft.kernel.PathKeys.variants(snapshot.absolutePath(f.path)).map(_ -> vals)
+      }.toMap
+      new graft.functions.PartitionValueLookup(spark.sparkContext.broadcast(byFile))
+    }
+    import org.apache.spark.sql.GraftSqlBridge
     val cols: Seq[Column] = schema.map { f =>
-      val pn = nm.getOrElse(f.name, f.name)
-      if (partCols.contains(f.name)) col(pn).cast(f.dataType).as(f.name)
-      else if (mapped) col(pn).cast(f.dataType).as(f.name)
+      if (partCols.contains(f.name)) {
+        GraftSqlBridge.column(graft.functions.PartitionValueAt(
+          GraftSqlBridge.expression(col("_metadata.file_path")),
+          partCols.indexOf(f.name), pvLookup)).cast(f.dataType).as(f.name)
+      } else if (mapped) col(nm.getOrElse(f.name, f.name)).cast(f.dataType).as(f.name)
       else col(f.name)
     }
     val identity: Seq[Column] =

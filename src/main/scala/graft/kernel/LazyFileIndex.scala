@@ -132,14 +132,14 @@ class LazyFileIndex(
       it.flatMap { row =>
         val f = Checkpoints.decodeAdd(row.getStruct(0))
         if (overlay.contains(f.path)) Iterator.empty
-        else Iterator(f.path) ++ f.deletionVector
+        else Iterator(PathCodec.decode(f.path)) ++ f.deletionVector
           .flatMap(dv => DeletionVectors.dvPath(tp, dv))
           .map(p => uri.relativize(p.toUri).getPath).iterator
       }
     }
     val tpUri = new Path(tablePathStr).toUri
     val tailRels = tailAdds.flatMap { f =>
-      f.path +: f.deletionVector
+      PathCodec.decode(f.path) +: f.deletionVector
         .flatMap(dv => DeletionVectors.dvPath(new Path(tablePathStr), dv))
         .map(p => tpUri.relativize(p.toUri).getPath).toSeq
     }
@@ -153,14 +153,15 @@ class LazyFileIndex(
     val ckpt = colDf("remove", Checkpoints.removeType).rdd.mapPartitions { it =>
       it.flatMap { row =>
         val r = Checkpoints.decodeRemove(row.getStruct(0))
-        if (r.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoffMs) Some(r.path)
+        if (r.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoffMs)
+          Some(PathCodec.decode(r.path))
         else None
       }
     }
     spark.createDataset(ckpt).toDF("rel")
       .union(tailRemoves
         .filter(_.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoffMs)
-        .map(_.path).toDF("rel"))
+        .map(r => PathCodec.decode(r.path)).toDF("rel"))
   }
 
   /** Full Add vector (checkpoint + tail overlay), cached after first pull. */

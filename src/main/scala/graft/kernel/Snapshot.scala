@@ -75,9 +75,16 @@ case class Snapshot(
   def confBool(key: String, default: Boolean = false): Boolean =
     getConf(key).map(_.trim.equalsIgnoreCase("true")).getOrElse(default)
 
+  /** Resolve a log-recorded (percent-encoded relative URL) path against the
+    * table root; scheme'd absolute URIs pass through Path(URI). */
   def absolutePath(relative: String): Path = {
-    val p = new Path(relative)
-    if (p.isAbsolute) p else new Path(new Path(tablePath), relative)
+    try {
+      val uri = new java.net.URI(relative)
+      if (uri.isAbsolute) return new Path(uri)
+    } catch { case _: Exception => }
+    val rel = PathCodec.decode(relative)
+    val p = new Path(rel)
+    if (p.isAbsolute) p else new Path(new Path(tablePath), rel)
   }
 }
 

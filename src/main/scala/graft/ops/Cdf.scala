@@ -135,7 +135,7 @@ object CdfRead {
       changeType: Option[String]): Option[DataFrame] = {
     if (files.isEmpty) return None
     val abs = files.map { case (rel, v, ts) =>
-      (new Path(table.tablePath, rel), v, ts)
+      (table.snapshot.absolutePath(rel), v, ts) // rel is a percent-encoded URL
     }
 
     val mapped = ColumnMapping.enabled(table.snapshot.metadata)

@@ -71,14 +71,16 @@ object VacuumOp {
     val candidates: Seq[String] =
       if (!distributed) {
         // live = current adds + their deletion-vector blobs; keep anything
-        // tracked by a recent tombstone or newer than the cutoff
+        // tracked by a recent tombstone or newer than the cutoff. Listing
+        // yields LITERAL names, so log paths are URI-decoded before compare.
         val liveDvs: Set[String] = snapshot.allFiles.flatMap(_.deletionVector)
           .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
           .map(p => tableUri.relativize(p.toUri).getPath).toSet
-        val live: Set[String] = snapshot.allFiles.map(_.path).toSet ++ liveDvs
+        val live: Set[String] =
+          snapshot.allFiles.map(f => PathCodec.decode(f.path)).toSet ++ liveDvs
         val recentTombstones: Set[String] = snapshot.tombstones
           .filter(_.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoff)
-          .map(_.path).toSet
+          .map(r => PathCodec.decode(r.path)).toSet
         val listed = mutable.ArrayBuffer[(String, Long)]()
         walkFs(fs, table.tablePath, "", listed)
         listed.collect {
@@ -97,7 +99,7 @@ object VacuumOp {
             idx.liveRelPathsDf(table.tablePath.toString)
           case _ =>
             snapshot.allFiles.flatMap(f =>
-              f.path +: f.deletionVector
+              PathCodec.decode(f.path) +: f.deletionVector
                 .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
                 .map(p => tableUri.relativize(p.toUri).getPath).toSeq)
               .toDF("rel")
@@ -107,7 +109,7 @@ object VacuumOp {
           case _ =>
             snapshot.tombstones
               .filter(_.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoff)
-              .map(_.path).toDF("rel")
+              .map(r => PathCodec.decode(r.path)).toDF("rel")
         }
         val rootEntries = fs.listStatus(table.tablePath).toSeq
         val seedDirs = rootEntries
@@ -397,7 +399,7 @@ object ConvertToDeltaOp {
       val rel = tablePath.toUri.relativize(p.toUri).getPath
       val st = fs.getFileStatus(p)
       AddFile(
-        path = rel,
+        path = PathCodec.encode(rel),
         partitionValues = parts.map { case (k, v) =>
           k -> (if (v == PartitionCodec.HIVE_DEFAULT) null else v)
         }.toMap,

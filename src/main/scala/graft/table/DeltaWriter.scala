@@ -161,7 +161,8 @@ object DeltaWriter {
         k -> (if (v == PartitionCodec.HIVE_DEFAULT) null else v)
       }.toMap
       AddFile(
-        path = relPath,
+        // the log records paths as percent-encoded relative URLs
+        path = graft.kernel.PathCodec.encode(relPath),
         partitionValues = partValues,
         size = st.getLen,
         modificationTime = st.getModificationTime,

@@ -82,6 +82,51 @@ class GoldenTableSpec extends AnyFunSuite {
       Seq(0L, 0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
   }
 
+  test("delta-0.8.0-special-partition: percent-encoded log paths resolve") {
+    // on disk: x=A%2FA (hive-escaped "A/A") and x=B%20B; the log records
+    // them DOUBLY encoded (x=A%252FA) per the relative-URL path spec
+    val t = DeltaTable.forPath(spark, golden("delta-0.8.0-special-partition"))
+    import spark.implicits._
+    assert(t.files.exists(_.contains("%252F")), s"log paths: ${t.files}")
+    val rows = t.toDF.select("x", "y").as[(String, Long)].collect().toSet
+    assert(rows == Set(("A/A", 1L), ("B B", 2L)))
+  }
+
+  test("delta-0.8.0-numeric-partition: typed partition values from the log") {
+    val t = DeltaTable.forPath(spark, golden("delta-0.8.0-numeric-partition"))
+    import spark.implicits._
+    val rows = t.toDF.select("x", "y", "z").as[(Long, Double, String)].collect().toSet
+    assert(rows == Set((9L, 9.9, "a"), (10L, 10.0, "b")))
+    // numeric comparison pruning on a partition column
+    val pruned = t.scanWhere("x > 9")
+    assert(pruned.select("z").as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("delta-0.8.0-date: date column round-trip") {
+    val t = DeltaTable.forPath(spark, golden("delta-0.8.0-date"))
+    import spark.implicits._
+    val days = t.toDF.select("dayOfYear").as[Int].collect().sorted.toSeq
+    assert(days == Seq(1, 2, 3, 4, 5))
+    assert(t.toDF.select("date").distinct().count() == 5)
+  }
+
+  test("special characters round-trip through OUR writer (encode + decode)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_golden_rt_").toString
+    val df = Seq(("A/A", 1L), ("B B", 2L), ("C%C", 3L)).toDF("x", "y")
+    DeltaTable.write(spark, df, dir, partitionBy = Seq("x"))
+    val t = DeltaTable.forPath(spark, dir)
+    // recorded paths are percent-encoded URLs ('/'-escape %2F doubly encoded)
+    assert(t.files.exists(_.contains("%252F")), s"paths not URL-encoded: ${t.files}")
+    val rows = t.toDF.select("x", "y").as[(String, Long)].collect().toSet
+    assert(rows == Set(("A/A", 1L), ("B B", 2L), ("C%C", 3L)))
+    // DML across the special partitions
+    t.delete(Some("x = 'A/A'"))
+    assert(t.toDF.select("x").as[String].collect().toSet == Set("B B", "C%C"))
+    assert(t.vacuum(retentionHours = 0, dryRun = false, enforceRetention = false).nonEmpty)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 2)
+  }
+
   test("table_with_column_mapping: physical names map back to logical") {
     val t = DeltaTable.forPath(spark, golden("table_with_column_mapping"))
     assert(t.schema.fieldNames.toSeq == Seq("Company Very Short", "Super Name"))

@@ -140,8 +140,13 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
   val store: LogStore = new HadoopLogStore(spark.sessionState.newHadoopConf())
   val logPath = new Path(tablePath, LogStore.LOG_DIR)
 
+  /** A table exists if any commit OR checkpoint is present — a fully
+    * vacuumed log may retain only its latest checkpoint (the reference's
+    * table-with-domain-metadata fixture ships exactly that). */
   def tableExists: Boolean =
-    store.list(logPath).exists(f => LogStore.isCommitFile(f.getPath.getName))
+    store.list(logPath).exists(f =>
+      LogStore.isCommitFile(f.getPath.getName) ||
+        LogStore.isCheckpointFile(f.getPath.getName))
 
   /** All commit versions present in the log dir, ascending. */
   private def commitVersions(): Seq[(Long, Long)] = // (version, mtimeMs)
@@ -197,8 +202,12 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
 
   private def snapshotAt(target: Option[Long], withFiles: Boolean = true): Snapshot = {
     val versions = commitVersions()
-    if (versions.isEmpty) throw new DeltaTableNotFoundException(tablePath.toString)
-    val maxV = versions.map(_._1).max
+    // a fully-vacuumed log may hold only a checkpoint — state at its
+    // version is reconstructible with an empty replay tail
+    val latestCp = checkpointVersionUpTo(None)
+    if (versions.isEmpty && latestCp.isEmpty)
+      throw new DeltaTableNotFoundException(tablePath.toString)
+    val maxV = (versions.map(_._1) ++ latestCp).max
     val v = target.getOrElse(maxV)
     require(v <= maxV, s"Version $v does not exist yet (latest: $maxV)")
 

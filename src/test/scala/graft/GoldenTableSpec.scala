@@ -127,6 +127,81 @@ class GoldenTableSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 2)
   }
 
+  test("delta-0.2.0: oldest-protocol table replays") {
+    val t = DeltaTable.forPath(spark, golden("delta-0.2.0"))
+    import spark.implicits._
+    assert(t.toDF.select("value").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 1L, 2L, 2L, 3L, 3L))
+  }
+
+  test("delta-2.2.0-partitioned-types: typed partition values from the log") {
+    val t = DeltaTable.forPath(spark, golden("delta-2.2.0-partitioned-types"))
+    import spark.implicits._
+    assert(t.partitionColumns == Seq("c1", "c2"))
+    val rows = t.toDF.select("c1", "c2", "c3").as[(Int, String, Int)].collect().toSet
+    assert(rows == Set((4, "c", 5), (5, "b", 6), (6, "a", 4)))
+  }
+
+  test("COVID-19_NYT: 1.1M-row table scans and aggregates") {
+    val t = DeltaTable.forPath(spark, golden("COVID-19_NYT"))
+    import spark.implicits._
+    assert(t.toDF.count() == 1111930L)
+    assert(t.toDF.agg(org.apache.spark.sql.functions.sum("cases")).as[Long].head() ==
+      3549814734L)
+  }
+
+  test("checkpoints_vacuumed: log tail starts after the checkpoint") {
+    // versions 0-4 are vacuumed away; replay = checkpoint@5 + 6..12
+    val t = DeltaTable.forPath(spark, golden("checkpoints_vacuumed"))
+    assert(t.version == 12)
+    assert(t.snapshot.numFiles == 12)
+    assert(t.partitionColumns == Seq("date"))
+    assert(t.history(Some(3)).map(_._1) == Seq(12L, 11L, 10L))
+  }
+
+  test("table-with-domain-metadata: checkpoint-ONLY log (no commits, no data)") {
+    val t = DeltaTable.forPath(spark, golden("table-with-domain-metadata"))
+    assert(t.version == 108)
+    assert(t.snapshot.numFiles == 109)
+    val domains = t.snapshot.domains
+    assert(domains.keySet == Set("delta.clustering", "com.databricks.liquid", "delta.rowTracking"))
+    assert(domains("delta.rowTracking").configuration.contains("rowIdHighWaterMark"))
+    val p = t.protocol
+    assert(p.readerFeatures.exists(_.contains("deletionVectors")))
+  }
+
+  test("checkpoint-v2-table: real uuid-manifest + sidecar checkpoint replays") {
+    val t = DeltaTable.forPath(spark, golden("checkpoint-v2-table"))
+    assert(t.snapshot.numFiles == 8)
+    assert(t.toDF.count() == 44L)
+    assert(t.protocol.readerFeatures.exists(_.contains("v2Checkpoint")))
+  }
+
+  test("simple_table_features: unreadable protocol is refused") {
+    // the fixture carries minReaderVersion 5 AND an unknown reader feature
+    // ('blahabl') — either way the gate must refuse, never misread
+    val e = intercept[graft.kernel.DeltaProtocolException] {
+      DeltaTable.forPath(spark, golden("simple_table_features")).snapshot
+    }
+    assert(e.getMessage.contains("blahabl") || e.getMessage.contains("minReaderVersion"))
+  }
+
+  test("table_with_edge_timestamps: extreme timestamp values read") {
+    val t = DeltaTable.forPath(spark, golden("table_with_edge_timestamps"))
+    assert(t.toDF.count() == 2)
+    assert(t.toDF.select("BIG_DATE").distinct().count() == 2)
+  }
+
+  test("delta-1.2.1-only-struct-stats: nested types + structless stats tolerated") {
+    val t = DeltaTable.forPath(spark, golden("delta-1.2.1-only-struct-stats"))
+    assert(t.toDF.count() == 12)
+    assert(t.schema.fieldNames.contains("nested_struct"))
+    // stats may be absent from these adds — pruning must fail open
+    val pruned = graft.table.Scan.prunedFiles(t.snapshot,
+      Seq(graft.table.Scan.parsePredicate(spark, "integer = 3")), Some(spark))
+    assert(pruned.nonEmpty)
+  }
+
   test("table_with_column_mapping: physical names map back to logical") {
     val t = DeltaTable.forPath(spark, golden("table_with_column_mapping"))
     assert(t.schema.fieldNames.toSeq == Seq("Company Very Short", "Super Name"))

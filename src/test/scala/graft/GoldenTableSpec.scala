@@ -202,6 +202,30 @@ class GoldenTableSpec extends AnyFunSuite {
     assert(pruned.nonEmpty)
   }
 
+  test("cdf-table: change feed assembled from a foreign table's _change_data") {
+    val t = DeltaTable.forPath(spark, golden("cdf-table"))
+    import spark.implicits._
+    val cdf = t.loadCdf(1, Some(3))
+    val counts = cdf.groupBy("_commit_version", "_change_type").count()
+      .as[(Long, String, Long)].collect().toSet
+    assert(counts == Set(
+      (1L, "update_preimage", 3L), (1L, "update_postimage", 3L),
+      (2L, "update_preimage", 3L), (2L, "update_postimage", 3L),
+      (3L, "delete", 1L)))
+  }
+
+  test("checkpoint-hint robustness: stale or missing _last_checkpoint") {
+    // stale hint (points at v1 while checkpoint v3 exists), no hint at all,
+    // and a checkpoint older than the newest commits — discovery must come
+    // from the LISTING, never the hint alone
+    val stale = DeltaTable.forPath(spark, golden("table_failed_last_checkpoint_update"))
+    assert(stale.version == 3 && stale.snapshot.numFiles == 4)
+    val noHint = DeltaTable.forPath(spark, golden("with_checkpoint_no_last_checkpoint"))
+    assert(noHint.version == 3 && noHint.snapshot.numFiles == 1)
+    val tail = DeltaTable.forPath(spark, golden("latest_not_checkpointed"))
+    assert(tail.version == 3 && tail.snapshot.numFiles == 1)
+  }
+
   test("table_with_column_mapping: physical names map back to logical") {
     val t = DeltaTable.forPath(spark, golden("table_with_column_mapping"))
     assert(t.schema.fieldNames.toSeq == Seq("Company Very Short", "Super Name"))

@@ -226,6 +226,19 @@ class GoldenTableSpec extends AnyFunSuite {
     assert(tail.version == 3 && tail.snapshot.numFiles == 1)
   }
 
+  test("delta-0.8-empty: zero-file table reads as empty") {
+    val t = DeltaTable.forPath(spark, golden("delta-0.8-empty"))
+    assert(t.snapshot.numFiles == 0)
+    assert(t.toDF.count() == 0)
+  }
+
+  test("spark-variant-checkpoint: unsupported variant reader feature refused") {
+    val e = intercept[graft.kernel.DeltaProtocolException] {
+      DeltaTable.forPath(spark, golden("spark-variant-checkpoint")).snapshot
+    }
+    assert(e.getMessage.contains("variantType"))
+  }
+
   test("table_with_column_mapping: physical names map back to logical") {
     val t = DeltaTable.forPath(spark, golden("table_with_column_mapping"))
     assert(t.schema.fieldNames.toSeq == Seq("Company Very Short", "Super Name"))

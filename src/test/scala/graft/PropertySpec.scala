@@ -33,6 +33,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("roaring bitset containers (dense masks) round-trip") {
+    // >4096 values in one 16-bit container switches to the bitset encoding
+    val gen = Gen.chooseNum(4097, 20000).map(n => (0L until n).toArray)
+    check(Prop.forAll(gen) { values =>
+      DeletionVectors.decodeRoaringArray(
+        DeletionVectors.encodeRoaringArray(values)).toSeq == values.toSeq
+    })
+  }
+
+  test("PathCodec encode/decode round-trips arbitrary path fragments") {
+    val seg = Gen.nonEmptyListOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '%', '=', '-', '.', '#', '+', '&', '(', ')')))
+      .map(_.mkString)
+    val gen = Gen.nonEmptyListOf(seg).map(_.take(4).mkString("/"))
+    check(Prop.forAll(gen) { rel =>
+      PathCodec.decode(PathCodec.encode(rel)) == rel
+    })
+  }
+
   test("partition value codec round-trips ints, dates, timestamps") {
     check(Prop.forAll(Gen.chooseNum(Int.MinValue, Int.MaxValue)) { v =>
       PartitionCodec.parse(PartitionCodec.serialize(v, IntegerType), IntegerType) ==

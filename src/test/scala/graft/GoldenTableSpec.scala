@@ -239,6 +239,33 @@ class GoldenTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("variantType"))
   }
 
+  test("partition-type-primitives: 16 single-row partitions prune exactly") {
+    val t = DeltaTable.forPath(spark, golden("partition-type-primitives"))
+    import spark.implicits._
+    assert(t.partitionColumns == Seq("year", "is_active", "event_date", "category"))
+    assert(t.toDF.count() == 16)
+    // the fixture's year strings are literally '2020' and '2021.0'
+    val hit = t.scanWhere("year = '2021.0' AND category = 'A' AND is_active = 'true'")
+    assert(hit.count() == 2) // one per event_date
+    assert(graft.table.Scan.prunedFiles(t.snapshot,
+      Seq(graft.table.Scan.parsePredicate(spark,
+        "year = '2021.0' AND category = 'A' AND is_active = 'true'")), Some(spark)).size == 2)
+  }
+
+  test("checkpoint_with_partitions: log missing version 0 replays via checkpoint") {
+    val t = DeltaTable.forPath(spark, golden("checkpoint_with_partitions"))
+    assert(t.version == 2)
+    assert(t.snapshot.numFiles == 2)
+    assert(t.partitionColumns == Seq("color"))
+  }
+
+  test("python-0.25.5-checkpoint: delta-rs-python-written checkpoint replays") {
+    val t = DeltaTable.forPath(spark, golden("python-0.25.5-checkpoint"))
+    import spark.implicits._
+    assert(t.version == 1)
+    assert(t.toDF.count() == 6)
+  }
+
   test("table_with_column_mapping: physical names map back to logical") {
     val t = DeltaTable.forPath(spark, golden("table_with_column_mapping"))
     assert(t.schema.fieldNames.toSeq == Seq("Company Very Short", "Super Name"))

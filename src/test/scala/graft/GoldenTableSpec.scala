@@ -266,6 +266,18 @@ class GoldenTableSpec extends AnyFunSuite {
     assert(t.toDF.count() == 6)
   }
 
+  test("golden/data-reader-array-primitives: nested array types decode") {
+    val t = DeltaTable.forPath(spark, golden("golden/data-reader-array-primitives"))
+    import spark.implicits._
+    assert(t.schema.fieldNames.length == 10)
+    assert(t.schema("as_array_big_decimal").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DecimalType(1, 0), containsNull = true))
+    assert(t.toDF.count() == 10)
+    val ints = t.toDF.select("as_array_int").as[Seq[Int]].collect().map(_.head).sorted.toSeq
+    assert(ints == (0 until 10))
+  }
+
   test("table_with_column_mapping: physical names map back to logical") {
     val t = DeltaTable.forPath(spark, golden("table_with_column_mapping"))
     assert(t.schema.fieldNames.toSeq == Seq("Company Very Short", "Super Name"))

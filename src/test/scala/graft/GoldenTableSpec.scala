@@ -278,6 +278,37 @@ class GoldenTableSpec extends AnyFunSuite {
     assert(ints == (0 until 10))
   }
 
+  test("foreign table mutated by OUR engine: delete/optimize/vacuum on dv-small copy") {
+    // copy the delta-spark-written fixture and run our DML on it — the
+    // cross-writer direction the reference's pyspark_integration suite tests
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_golden_mut_")
+    val conf = spark.sessionState.newHadoopConf()
+    val srcP = new org.apache.hadoop.fs.Path(golden("table-with-dv-small"))
+    val dstP = new org.apache.hadoop.fs.Path(dir.toString)
+    org.apache.hadoop.fs.FileUtil.copy(
+      srcP.getFileSystem(conf), srcP, dstP.getFileSystem(conf), dstP,
+      false, true, conf)
+    // FileUtil.copy nests the source dir under dst
+    val tableDir = s"$dir/table-with-dv-small"
+    val t = DeltaTable.forPath(spark, tableDir)
+    assert(t.toDF.select("value").as[Int].collect().sorted.toSeq == (1 to 8))
+    // our DELETE on their DV-masked file (protocol 3/7 with deletionVectors)
+    t.delete(Some("value = 5"))
+    assert(t.toDF.select("value").as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 3, 4, 6, 7, 8))
+    // our OPTIMIZE + VACUUM over their layout
+    t.optimizeCompact()
+    assert(t.toDF.select("value").as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 3, 4, 6, 7, 8))
+    // time travel back to the foreign state works while its files live
+    assert(t.asOfVersion(1).count() == 8)
+    t.vacuum(retentionHours = 0, dryRun = false, enforceRetention = false)
+    val fresh = DeltaTable.forPath(spark, tableDir)
+    assert(fresh.toDF.select("value").as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 3, 4, 6, 7, 8))
+  }
+
   test("table_with_column_mapping: physical names map back to logical") {
     val t = DeltaTable.forPath(spark, golden("table_with_column_mapping"))
     assert(t.schema.fieldNames.toSeq == Seq("Company Very Short", "Super Name"))

@@ -309,6 +309,19 @@ class GoldenTableSpec extends AnyFunSuite {
       Seq(1, 2, 3, 4, 6, 7, 8))
   }
 
+  test("delta-live-table: schemaless v0 metadata tolerated, v1 schema wins") {
+    val t = DeltaTable.forPath(spark, golden("delta-live-table"))
+    assert(t.version == 1)
+    assert(t.schema.fieldNames.contains("sherpa_user_id"))
+  }
+
+  test("issue_1374: timestamp-partitioned table with checkpoint replays") {
+    val t = DeltaTable.forPath(spark, golden("issue_1374"))
+    assert(t.version == 1)
+    assert(t.partitionColumns == Seq("date"))
+    assert(t.toDF.count() > 0)
+  }
+
   test("table_with_column_mapping: physical names map back to logical") {
     val t = DeltaTable.forPath(spark, golden("table_with_column_mapping"))
     assert(t.schema.fieldNames.toSeq == Seq("Company Very Short", "Super Name"))

@@ -77,16 +77,14 @@ object CdfRead {
 
     val legs: Seq[DataFrame] = Seq(
       legDf(spark, table, schema, partCols,
-        cdc.result().map { case (f, v, t) => (f.path, v, t) },
-        basePath = Some(new Path(table.tablePath, Dml.CDC_DIR)),
+        cdc.result().map { case (f, v, t) => (f.path, f.partitionValues, v, t) },
         changeType = None),
       legDf(spark, table, schema, partCols,
-        ins.result().map { case (f, v, t) => (f.path, v, t) },
-        basePath = Some(table.tablePath),
+        ins.result().map { case (f, v, t) => (f.path, f.partitionValues, v, t) },
         changeType = Some("insert")),
       legDf(spark, table, schema, partCols,
-        del.result().map { case (f, v, t) => (f.path, v, t) },
-        basePath = Some(table.tablePath),
+        del.result().map { case (f, v, t) =>
+          (f.path, f.partitionValues.getOrElse(Map.empty), v, t) },
         changeType = Some("delete"))
     ).flatten
 
@@ -130,12 +128,11 @@ object CdfRead {
       table: DeltaTable,
       schema: StructType,
       partCols: Seq[String],
-      files: Seq[(String, Long, Long)], // (rel path, version, tsMs)
-      basePath: Option[Path],
+      files: Seq[(String, Map[String, String], Long, Long)], // (rel path, partVals, version, tsMs)
       changeType: Option[String]): Option[DataFrame] = {
     if (files.isEmpty) return None
-    val abs = files.map { case (rel, v, ts) =>
-      (table.snapshot.absolutePath(rel), v, ts) // rel is a percent-encoded URL
+    val abs = files.map { case (rel, pv, v, ts) =>
+      (table.snapshot.absolutePath(rel), pv, v, ts) // rel is a percent-encoded URL
     }
 
     val mapped = ColumnMapping.enabled(table.snapshot.metadata)
@@ -147,16 +144,13 @@ object CdfRead {
           Seq(org.apache.spark.sql.types.StructField(Dml.CDC_COL, org.apache.spark.sql.types.StringType))
         else Nil))
 
-    val reader = spark.read.schema(dataSchema)
-    val withBase = basePath.filter(_ => partCols.nonEmpty)
-      .map(b => reader.option("basePath", b.toString)).getOrElse(reader)
-    val raw = withBase.parquet(abs.map(_._1.toString): _*)
+    val raw = spark.read.schema(dataSchema).parquet(abs.map(_._1.toString): _*)
 
     // _metadata.file_path is a URI-style string ("file:/dir/p%20x/f.parquet");
     // emit every plausible encoding of each path so the equi-join is robust
     // across filesystems, then assert nothing fell through.
     import spark.implicits._
-    val keyed = abs.flatMap { case (p, v, ts) =>
+    val keyed = abs.flatMap { case (p, _, v, ts) =>
       PathKeys.variants(p).map(k => (k, v, ts))
     }.distinct.toDF("__k", "__v", "__ts")
 
@@ -164,9 +158,23 @@ object CdfRead {
       .withColumn("__fp", col("_metadata.file_path"))
       .join(broadcast(keyed), col("__fp") === col("__k"), "left")
 
+    // partition columns from the LOG's partitionValues (same codegen'd
+    // per-file lookup as the main scan — basePath hive inference cannot
+    // cover mapped / random-prefix layouts)
+    lazy val pvLookup = {
+      val byFile: Map[String, Array[String]] = abs.flatMap { case (p, pv, _, _) =>
+        val vals = partCols.map(c => pv.getOrElse(nm.getOrElse(c, c), null)).toArray
+        PathKeys.variants(p).map(_ -> vals)
+      }.toMap
+      new graft.functions.PartitionValueLookup(spark.sparkContext.broadcast(byFile))
+    }
+    import org.apache.spark.sql.GraftSqlBridge
     val cols: Seq[Column] = schema.map { f =>
-      val pn = nm.getOrElse(f.name, f.name)
-      if (partCols.contains(f.name) || mapped) col(pn).cast(f.dataType).as(f.name)
+      if (partCols.contains(f.name))
+        GraftSqlBridge.column(graft.functions.PartitionValueAt(
+          GraftSqlBridge.expression(col("__fp")),
+          partCols.indexOf(f.name), pvLookup)).cast(f.dataType).as(f.name)
+      else if (mapped) col(nm.getOrElse(f.name, f.name)).cast(f.dataType).as(f.name)
       else col(f.name)
     } ++ Seq(
       changeType.map(ct => lit(ct).as(Dml.CDC_COL)).getOrElse(col(Dml.CDC_COL)),

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.DeltaTable
+
+/**
+ * Write-side spec compliance, checked from OUTSIDE the JVM: tables written
+ * by this engine are replayed by `tools/compat_check.py` — a pure-python
+ * reimplementation of log replay, URL path decoding and deletion-vector
+ * (z85 + portable roaring) decoding from the public PROTOCOL.md — and the
+ * counts a third-party reader would derive must match what Spark sees.
+ */
+class CrossLangSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test-crosslang")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def pythonReplay(dir: String): Map[String, Any] = {
+    val out = new StringBuilder
+    val proc = new ProcessBuilder("python3", "tools/compat_check.py", dir)
+      .redirectErrorStream(true).start()
+    val r = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    var line = r.readLine()
+    while (line != null) { out.append(line).append('\n'); line = r.readLine() }
+    assert(proc.waitFor() == 0, s"compat_check failed:\n$out")
+    val json = out.toString.linesIterator.toSeq.last
+    // minimal parse of the one-line JSON
+    val fields = json.stripPrefix("{").stripSuffix("}").split(",(?=\\s*\")")
+    fields.map { f =>
+      val Array(k, v) = f.split(":", 2)
+      k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim
+    }.toMap
+  }
+
+  test("python replays our DV-masked, special-partition, checkpointed table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xlang_").toString
+    val df = (0 until 5000).map(i => (i.toLong, s"v$i", if (i % 2 == 0) "A/A" else "B B"))
+      .toDF("id", "v", "p")
+    DeltaTable.write(spark, df, dir, partitionBy = Seq("p"),
+      configuration = Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.checkpointInterval" -> "3"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.delete(Some("id < 500")) // DV masks across both partitions
+    (0 until 3).foreach { k => // push past the checkpoint interval
+      DeltaTable.write(spark, Seq((100000L + k, "x", "A/A")).toDF("id", "v", "p"),
+        dir, mode = "append")
+    }
+    val sparkRows = t.refresh().approxNumRecords.get
+    assert(sparkRows == 4503)
+    assert(t.toDF.count() == 4503)
+
+    val res = pythonReplay(dir)
+    assert(res("ok") == "true", res.toString)
+    assert(res("rows") == "4503", s"python sees ${res("rows")} rows: $res")
+    assert(res("dv_masked") == "500", res.toString)
+    assert(res("minReaderVersion") == "3", res.toString)
+  }
+}

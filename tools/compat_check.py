@@ -1,0 +1,173 @@
+#!/usr/bin/env python3
+"""Independent (non-Spark, non-JVM) replay of a graft-written Delta table:
+parses the JSON log + classic checkpoint, URL-decodes paths, decodes
+deletion-vector blobs (z85 + portable RoaringBitmapArray, reimplemented here
+from the public PROTOCOL.md spec), and prints the table's live row count —
+what a third-party reader would see. Dev tool; CrossLangSpec drives it.
+
+Usage: python3 tools/compat_check.py <tableDir>  →  one JSON line on stdout
+"""
+import json, glob, os, struct, sys, urllib.parse
+
+import pyarrow.parquet as pq
+
+Z85 = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" \
+      ".-:+=^!/*?&<>()[]{}@%$#"
+Z85D = {c: i for i, c in enumerate(Z85)}
+
+
+def z85_decode(s):
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for c in s[i:i + 5]:
+            v = v * 85 + Z85D[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def decode_roaring32(buf, off):
+    (cookie,) = struct.unpack_from("<i", buf, off)
+    off += 4
+    run_bitmap = None
+    if (cookie & 0xFFFF) == 12347:
+        n = (cookie >> 16) + 1
+        nb = (n + 7) // 8
+        run_bitmap = buf[off:off + nb]
+        off += nb
+    elif cookie == 12346:
+        (n,) = struct.unpack_from("<i", buf, off)
+        off += 4
+    else:
+        raise ValueError(f"bad roaring cookie {cookie}")
+    keys, cards = [], []
+    for _ in range(n):
+        k, c = struct.unpack_from("<HH", buf, off)
+        off += 4
+        keys.append(k)
+        cards.append(c + 1)
+    if run_bitmap is None or n >= 4:
+        off += 4 * n  # offset headers
+    vals = []
+    for i in range(n):
+        base = keys[i] << 16
+        is_run = run_bitmap is not None and (run_bitmap[i // 8] >> (i % 8)) & 1
+        if is_run:
+            (nruns,) = struct.unpack_from("<H", buf, off)
+            off += 2
+            for _ in range(nruns):
+                s, l = struct.unpack_from("<HH", buf, off)
+                off += 4
+                vals += [base | v for v in range(s, s + l + 1)]
+        elif cards[i] > 4096:
+            for w in range(1024):
+                (word,) = struct.unpack_from("<Q", buf, off)
+                off += 8
+                b = 0
+                while word:
+                    if word & 1:
+                        vals.append(base | (w * 64 + b))
+                    word >>= 1
+                    b += 1
+        else:
+            for _ in range(cards[i]):
+                (v,) = struct.unpack_from("<H", buf, off)
+                off += 2
+                vals.append(base | v)
+    return vals, off
+
+
+def decode_dv_data(data):
+    (magic,) = struct.unpack_from("<i", data, 0)
+    assert magic == 1681511377, f"bad DV magic {magic}"
+    (nbitmaps,) = struct.unpack_from("<q", data, 4)
+    off = 12
+    out = []
+    for _ in range(nbitmaps):
+        (high,) = struct.unpack_from("<i", data, off)
+        off += 4
+        vals, off = decode_roaring32(data, off)
+        out += [(high << 32) | v for v in vals]
+    return out
+
+
+def read_dv(base, dv):
+    st = dv["storageType"]
+    if st == "i":
+        return decode_dv_data(z85_decode(dv["pathOrInlineDv"]))
+    assert st == "u", f"unsupported storageType {st}"
+    s = dv["pathOrInlineDv"]
+    prefix, z = s[:-20], s[-20:]
+    raw = z85_decode(z)
+    hi, lo = struct.unpack(">qq", raw)
+    uuid = f"{hi & (2**64-1):016x}"[:8] + "-" + f"{hi & (2**64-1):016x}"[8:12] + \
+        "-" + f"{hi & (2**64-1):016x}"[12:] + "-" + f"{lo & (2**64-1):016x}"[:4] + \
+        "-" + f"{lo & (2**64-1):016x}"[4:]
+    name = f"deletion_vector_{uuid}.bin"
+    p = os.path.join(base, prefix, name) if prefix else os.path.join(base, name)
+    with open(p, "rb") as f:
+        f.seek(dv.get("offset", 1))
+        size = struct.unpack(">i", f.read(4))[0]
+        assert size == dv["sizeInBytes"], "DV size mismatch"
+        return decode_dv_data(f.read(size))
+
+
+def main(table):
+    log = os.path.join(table, "_delta_log")
+    adds, proto, meta = {}, None, None
+    ck = sorted(glob.glob(os.path.join(log, "*.checkpoint*.parquet")))
+    ckv = -1
+    if ck:
+        ckv = int(os.path.basename(ck[-1]).split(".")[0])
+        parts = [p for p in ck if os.path.basename(p).startswith(f"{ckv:020d}.")]
+        for p in parts:
+            for r in pq.read_table(p).to_pylist():
+                if r.get("add"):
+                    adds[r["add"]["path"]] = r["add"]
+                if r.get("remove"):
+                    adds.pop(r["remove"]["path"], None)
+                if r.get("protocol") and r["protocol"].get("minReaderVersion"):
+                    proto = r["protocol"]
+                if r.get("metaData") and r["metaData"].get("id"):
+                    meta = r["metaData"]
+    for f in sorted(glob.glob(os.path.join(log, "*.json"))):
+        if int(os.path.basename(f).split(".")[0]) <= ckv:
+            continue
+        for line in open(f):
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "add" in a:
+                adds[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                adds.pop(a["remove"]["path"], None)
+            elif "protocol" in a:
+                proto = a["protocol"]
+            elif "metaData" in a:
+                meta = a["metaData"]
+
+    rows = 0
+    masked = 0
+    for rel, a in adds.items():
+        fs_rel = urllib.parse.unquote(rel)  # paths are percent-encoded URLs
+        p = os.path.join(table, fs_rel)
+        assert os.path.exists(p), f"missing data file {p}"
+        n = pq.read_metadata(p).num_rows
+        dv = a.get("deletionVector")
+        if dv and dv.get("cardinality", 0) > 0:
+            positions = read_dv(table, dv)
+            assert len(positions) == dv["cardinality"], \
+                f"DV cardinality mismatch: {len(positions)} vs {dv['cardinality']}"
+            masked += len(positions)
+            n -= len(positions)
+        rows += n
+    print(json.dumps({
+        "files": len(adds), "rows": rows, "dv_masked": masked,
+        "minReaderVersion": proto.get("minReaderVersion") if proto else None,
+        "partitionColumns": meta.get("partitionColumns") if meta else None,
+        "ok": True}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1]))

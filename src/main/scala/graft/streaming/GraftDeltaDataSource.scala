@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+import graft.table.DeltaTable
+
+/**
+ * Registers `format("graft-delta")` for Structured Streaming reads and
+ * writes:
+ *
+ * {{{
+ * spark.readStream.format("graft-delta")
+ *   .option("maxFilesPerTrigger", 4)     // admission cap (default 1000)
+ *   .option("startingVersion", "latest") // or a version number
+ *   .load(tablePath)
+ *
+ * df.writeStream.format("graft-delta")
+ *   .option("checkpointLocation", ckpt)
+ *   .start(tablePath)
+ * }}}
+ *
+ * The batch-side entry points stay the library API (`DeltaTable.forPath`);
+ * this provider is the streaming bridge, discovered through the standard
+ * `DataSourceRegister` service loader.
+ */
+class GraftDeltaDataSource extends DataSourceRegister
+    with StreamSourceProvider with StreamSinkProvider {
+
+  override def shortName(): String = "graft-delta"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-delta requires a table path: .load(path) / .start(path)"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val s = schema.getOrElse(
+      DeltaTable.forPath(sqlContext.sparkSession, pathOf(parameters)).schema)
+    (shortName(), s)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftDeltaSource(sqlContext.sparkSession, pathOf(parameters), parameters)
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink =
+    new GraftDeltaSink(sqlContext, pathOf(parameters), partitionColumns,
+      outputMode, parameters)
+}

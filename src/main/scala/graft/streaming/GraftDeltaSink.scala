@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.execution.streaming.runtime.StreamExecution
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.kernel.{Operation, OptimisticTransaction, SetTransaction}
+import graft.ops.{Validation, WriteIntoDelta}
+import graft.table.{DeltaTable, DeltaWriter}
+
+/**
+ * `df.writeStream.format("graft-delta").start(path)` — exactly-once Delta
+ * sink. Every micro-batch commits with a `txn(appId, batchId)` action
+ * (`SetTransaction`, actions.rs:1042-1072); a replayed batch id is detected
+ * from the table's transaction versions and skipped, so at-least-once batch
+ * delivery yields exactly-once table contents — the delta-spark
+ * `txnAppId`/`txnVersion` recipe with the streaming query id as the default
+ * appId.
+ *
+ * Append mode appends; Complete mode replaces the table contents and the
+ * `txn` rides the same commit, keeping replacement + idempotency marker
+ * atomic. The batch plan is pinned to its physical RDD before writing so the
+ * write re-plans (partitioning, file sizing) without re-reading the
+ * streaming source.
+ */
+class GraftDeltaSink(
+    sqlContext: SQLContext,
+    path: String,
+    partitionColumns: Seq[String],
+    outputMode: OutputMode,
+    options: Map[String, String]) extends Sink {
+
+  require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
+    s"graft-delta sink supports Append and Complete output modes, got $outputMode")
+
+  private def opt(key: String): Option[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val appId = opt("txnAppId")
+      .orElse(Option(spark.sparkContext.getLocalProperty(StreamExecution.QUERY_ID_KEY)))
+      .getOrElse(s"graft-delta-sink:$path")
+    val batch = GraftSqlBridge.pinnedBatchDataFrame(data)
+
+    if (!DeltaTable.isDeltaTable(spark, path)) {
+      DeltaTable.create(spark, path, batch.schema, partitionColumns)
+    }
+    val table = DeltaTable.forPath(spark, path)
+    if (table.txnVersion(appId).exists(_ >= batchId)) return // replayed batch
+
+    val snap = table.snapshot
+    val m = snap.metadata
+    val normalized = Validation.prepareForWrite(spark,
+      DeltaWriter.normalize(graft.ops.Generated.fill(batch, m.schema), m.schema), m)
+    val adds = DeltaWriter.writeFiles(spark, table.tablePath, normalized,
+      m.partitionColumns, WriteIntoDelta.numIndexedCols(m), meta = Some(m))
+    val removes = outputMode match {
+      case m if m == OutputMode.Complete() =>
+        val ts = System.currentTimeMillis()
+        snap.allFiles.map(_.remove(ts, dataChange = true))
+      case _ => Nil
+    }
+    val txnAction = SetTransaction(appId, batchId, Some(System.currentTimeMillis()))
+    val txn = new OptimisticTransaction(table.deltaLog, Some(snap))
+    txn.commit(adds ++ removes :+ txnAction,
+      Operation("STREAMING UPDATE", Map(
+        "outputMode" -> outputMode.toString,
+        "queryId" -> appId,
+        "epochId" -> batchId.toString),
+        Map("numFiles" -> adds.size.toString,
+          "numRemovedFiles" -> removes.size.toString)))
+    ()
+  }
+
+  override def toString: String = s"GraftDeltaSink[$path]"
+}

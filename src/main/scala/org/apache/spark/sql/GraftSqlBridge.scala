@@ -12,4 +12,22 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Re-wrap a batch plan as a *streaming* DataFrame (isStreaming=true) so a
+    * v1 `Source.getBatch` result is accepted by MicroBatchExecution — the
+    * same `internalCreateDataFrame` recipe Spark's own FileStreamSource
+    * uses. The physical RDD is pinned lazily; the micro-batch executes
+    * exactly the plan the source built. */
+  def streamingDataFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
+  /** Pin a sink-side micro-batch (whose plan is an IncrementalExecution) to
+    * its physical RDD as a plain batch DataFrame, so downstream writes can
+    * re-plan without re-reading the streaming source. */
+  def pinnedBatchDataFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -1,0 +1,202 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.GraftSourceOffset
+import graft.table.DeltaTable
+
+/** `format("graft-delta")` streaming source + sink: initial snapshot,
+  * incremental commits, admission control, change-commit policies, offset
+  * recovery across restarts, exactly-once sink commits. */
+class GraftSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test-source")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmpDir(): String = Files.createTempDirectory("graft_src_").toString
+
+  private var viewId = 0
+  private def nextView(): String = { viewId += 1; s"graft_src_mem_$viewId" }
+
+  private def ints(dir: String, values: Int*): Unit = {
+    import spark.implicits._
+    DeltaTable.write(spark, values.map(i => (i, i % 3)).toDF("n", "p"),
+      dir, partitionBy = Seq("p"))
+  }
+
+  test("offset json round-trips") {
+    val o = GraftSourceOffset(7, 42, isInitialSnapshot = true)
+    assert(GraftSourceOffset.fromJson(o.json) == o)
+    val o2 = GraftSourceOffset(0, 0, isInitialSnapshot = false)
+    assert(GraftSourceOffset.fromJson(o2.json) == o2)
+  }
+
+  test("initial snapshot then live appends reach the sink") {
+    import spark.implicits._
+    val dir = tmpDir()
+    ints(dir, 1, 2, 3)
+    ints(dir, 4, 5)
+    val view = nextView()
+    val q = spark.readStream.format("graft-delta").load(dir)
+      .writeStream.format("memory").queryName(view).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(view).select("n").as[Int].collect().toSet == Set(1, 2, 3, 4, 5))
+      ints(dir, 6, 7) // lands after the stream started → incremental commit
+      q.processAllAvailable()
+      assert(spark.table(view).select("n").as[Int].collect().toSet == (1 to 7).toSet)
+      // partition column reconstructed from the log
+      assert(spark.table(view).where(col("p") =!= col("n") % 3).count() == 0)
+    } finally q.stop()
+  }
+
+  test("maxFilesPerTrigger bounds per-batch admission") {
+    import spark.implicits._
+    val dir = tmpDir()
+    ints(dir, 1)
+    ints(dir, 2)
+    ints(dir, 3)
+    val view = nextView()
+    val q = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", 1).load(dir)
+      .writeStream.format("memory").queryName(view).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(view).count() == 3)
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3, s"expected >=3 one-file batches, saw $nonEmpty")
+    } finally q.stop()
+  }
+
+  test("startingVersion tails from a given commit; latest skips history") {
+    import spark.implicits._
+    val dir = tmpDir()
+    ints(dir, 1, 2) // version 0
+    ints(dir, 3)    // version 1
+    ints(dir, 4)    // version 2
+    val view = nextView()
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", 2).load(dir)
+      .writeStream.format("memory").queryName(view).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(view).select("n").as[Int].collect().toSet == Set(4))
+    } finally q.stop()
+
+    val view2 = nextView()
+    val q2 = spark.readStream.format("graft-delta")
+      .option("startingVersion", "latest").load(dir)
+      .writeStream.format("memory").queryName(view2).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(view2).count() == 0)
+      ints(dir, 9)
+      q2.processAllAvailable()
+      assert(spark.table(view2).select("n").as[Int].collect().toSet == Set(9))
+    } finally q2.stop()
+  }
+
+  test("change commits: fail by default, skipped with skipChangeCommits") {
+    import spark.implicits._
+    val dir = tmpDir()
+    ints(dir, 1, 2, 3, 4, 5, 6)
+    val view = nextView()
+    val q = spark.readStream.format("graft-delta").load(dir)
+      .writeStream.format("memory").queryName(view).start()
+    try {
+      q.processAllAvailable()
+      DeltaTable.forPath(spark, dir).delete(Some("n = 1")) // rewrite commit
+      val ex = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(ex.getMessage.contains("skipChangeCommits") ||
+        Option(ex.getCause).exists(_.getMessage.contains("skipChangeCommits")))
+    } finally q.stop()
+
+    val view2 = nextView()
+    val q2 = spark.readStream.format("graft-delta")
+      .option("skipChangeCommits", true).load(dir)
+      .writeStream.format("memory").queryName(view2).start()
+    try {
+      q2.processAllAvailable()
+      val before = spark.table(view2).count()
+      DeltaTable.forPath(spark, dir).delete(Some("n = 2"))
+      ints(dir, 10)
+      q2.processAllAvailable()
+      // the delete commit is skipped, the append after it still arrives
+      assert(spark.table(view2).count() == before + 1)
+      assert(spark.table(view2).where("n = 10").count() == 1)
+    } finally q2.stop()
+  }
+
+  test("initial snapshot applies deletion-vector masks") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, (1 to 100).map(i => (i, s"v$i")).toDF("n", "v"), dir,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    DeltaTable.forPath(spark, dir).delete(Some("n <= 40"))
+    val view = nextView()
+    val q = spark.readStream.format("graft-delta").load(dir)
+      .writeStream.format("memory").queryName(view).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(view).select("n").as[Int].collect().toSet == (41 to 100).toSet)
+    } finally q.stop()
+  }
+
+  test("delta-to-delta pipeline restarts from its checkpoint exactly once") {
+    import spark.implicits._
+    val src = tmpDir(); val dst = tmpDir(); val ckpt = tmpDir()
+    ints(src, 1, 2, 3)
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-delta").load(src)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", ckpt)
+        .start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    run()
+    assert(DeltaTable.forPath(spark, dst).toDF
+      .select("n").as[Int].collect().toSet == Set(1, 2, 3))
+
+    ints(src, 4, 5)
+    run() // restart from checkpoint: only the new commit flows
+    val out = DeltaTable.forPath(spark, dst).toDF.select("n").as[Int].collect().toSeq
+    assert(out.sorted == Seq(1, 2, 3, 4, 5), s"duplicates or loss: $out")
+
+    run() // nothing new: no extra rows
+    assert(DeltaTable.forPath(spark, dst).toDF.count() == 5)
+  }
+
+  test("complete-mode sink replaces contents atomically with its txn") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dst = tmpDir(); val ckpt = tmpDir()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val agg = input.toDF().toDF("n").groupBy(expr("n % 2").as("bucket"))
+      .agg(count("*").as("cnt"))
+    val q = agg.writeStream.format("graft-delta")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    try {
+      input.addData(1, 2, 3)
+      q.processAllAvailable()
+      input.addData(4)
+      q.processAllAvailable()
+      val rows = DeltaTable.forPath(spark, dst).toDF
+        .select("bucket", "cnt").as[(Long, Long)].collect().toMap
+      assert(rows == Map(0L -> 2L, 1L -> 2L)) // latest aggregate only
+    } finally q.stop()
+  }
+}

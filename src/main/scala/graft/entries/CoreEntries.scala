@@ -303,6 +303,29 @@ object CoreEntries {
       DeltaTable.forPath(s, dir).toDF
     }, Some("SELECT * FROM nation")),
 
+    // structured-streaming SOURCE (§2.10): format("graft-delta") readStream —
+    // initial snapshot + a commit landing mid-stream, piped through the
+    // exactly-once graft-delta sink into a second table.
+    Entry("streaming_source", (s, d) => {
+      val src = tempDir("stsrc"); val dst = tempDir("stdst")
+      val ckpt = tempDir("stckpt")
+      val n = pq(s, d, "nation")
+      DeltaTable.write(s, n.filter("n_nationkey < 10"), src)
+      DeltaTable.write(s, n.filter("n_nationkey >= 20"), src)
+      val q = s.readStream.format("graft-delta")
+        .option("maxFilesPerTrigger", 1).load(src)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", ckpt)
+        .start(dst)
+      try {
+        q.processAllAvailable()
+        // a commit after stream start flows incrementally
+        DeltaTable.write(s, n.filter("n_nationkey >= 10 AND n_nationkey < 20"), src)
+        q.processAllAvailable()
+      } finally q.stop()
+      DeltaTable.forPath(s, dst).toDF
+    }, Some("SELECT * FROM nation")),
+
     // column mapping: physical-name files, logical-name results (§2.9 row 47)
     Entry("column_mapping", (s, d) => {
       val dir = tempDir("cm")

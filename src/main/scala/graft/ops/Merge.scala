@@ -82,9 +82,17 @@ class MergeBuilder(table: DeltaTable, source: DataFrame, condition: String) {
     appTxn = Some((appId, version)); this
   }
 
+  /** Streaming-source mode (with_streaming, merge/mod.rs:465): the source is
+    * scanned exactly ONCE — the early-filter pre-scan (source agg / distinct
+    * partition list) is skipped, trading target file pruning for
+    * single-pass source consumption. Use when the source is expensive to
+    * recompute or must not be read twice. */
+  def withStreaming(): MergeBuilder = { streaming = true; this }
+  private var streaming = false
+
   def execute(): Map[String, String] =
     MergeOp.run(table, source, condition, clauses, validateDuplicates,
-      schemaEvolution, appTxn)
+      schemaEvolution, appTxn, streaming)
 }
 
 object MergeOp {
@@ -110,7 +118,8 @@ object MergeOp {
       clauses: Seq[MergeClause],
       validateDuplicates: Boolean,
       schemaEvolution: Boolean = false,
-      appTxn: Option[(String, Long)] = None): Map[String, String] = {
+      appTxn: Option[(String, Long)] = None,
+      streaming: Boolean = false): Map[String, String] = {
     require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
     val spark = table.spark
     val t0 = System.nanoTime()
@@ -157,7 +166,9 @@ object MergeOp {
     // (merge/filter.rs: distinct-partition list path)
     val maxInList = 1000
     val earlyPreds: Seq[Expression] =
-      if (hasBySource || equiPairs.isEmpty) Nil // by-source clauses touch all files
+      // by-source clauses touch all files; streaming mode forbids the extra
+      // source pre-scan (with_streaming, merge/mod.rs:465)
+      if (streaming || hasBySource || equiPairs.isEmpty) Nil
       else {
         val (partPairs, dataPairs) =
           equiPairs.partition { case (t, _) => snapshot.partitionColumns.contains(t) }

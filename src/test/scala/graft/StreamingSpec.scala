@@ -172,4 +172,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches == 3) // 2 + 2 + 1
     assert(seen.sorted.toSeq == (1 to 5))
   }
+
+  test("merge withStreaming scans the source exactly once") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark,
+      (1 to 100).map(i => (i.toLong, i)).toDF("k", "v"), dir)
+
+    def mkSource(acc: org.apache.spark.util.LongAccumulator) =
+      spark.range(1, 51).repartition(1)
+        .mapPartitions { it => acc.add(1); it }
+        .toDF("k").withColumn("v", lit(-1))
+
+    // normal mode: the early filter pre-scans the source (agg) → 2 passes
+    val accNormal = spark.sparkContext.longAccumulator("src_scans_normal")
+    DeltaTable.forPath(spark, dir)
+      .merge(mkSource(accNormal), "target.k = source.k")
+      .whenMatchedUpdateAll().execute()
+    assert(accNormal.value >= 2, s"expected pre-scan + join, saw ${accNormal.value}")
+
+    // streaming mode: single pass (with_streaming, merge/mod.rs:465)
+    val accStream = spark.sparkContext.longAccumulator("src_scans_stream")
+    val m = DeltaTable.forPath(spark, dir)
+      .merge(mkSource(accStream), "target.k = source.k")
+      .whenMatchedUpdateAll().withStreaming().execute()
+    assert(accStream.value == 1, s"expected exactly one source scan, saw ${accStream.value}")
+    assert(m("num_target_rows_updated") == "50")
+    assert(DeltaTable.forPath(spark, dir).toDF.where("v = -1").count() == 50)
+  }
 }

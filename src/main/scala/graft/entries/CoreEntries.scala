@@ -303,6 +303,20 @@ object CoreEntries {
       DeltaTable.forPath(s, dir).toDF
     }, Some("SELECT * FROM nation")),
 
+    // batch format("graft-delta") read/write: DataFrameWriter partitionBy +
+    // reader pushdown through the same stats/partition pruning as the
+    // library scan (python/src/lib.rs open_table/write_deltalake parity)
+    Entry("format_batch", (s, d) => {
+      val dir = tempDir("fmt")
+      pq(s, d, "customer").write.format("graft-delta")
+        .partitionBy("c_mktsegment").save(dir)
+      s.read.format("graft-delta").load(dir)
+        .where("c_mktsegment = 'BUILDING' AND c_acctbal > 1000")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }, Some(
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000""".stripMargin)),
+
     // structured-streaming SOURCE (§2.10): format("graft-delta") readStream —
     // initial snapshot + a commit landing mid-stream, piped through the
     // exactly-once graft-delta sink into a second table.

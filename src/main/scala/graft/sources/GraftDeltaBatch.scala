@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualNullSafe => CEqualNullSafe, EqualTo => CEqualTo, Expression, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, IsNotNull => CIsNotNull, IsNull => CIsNull, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal, Not => CNot, Or => COr}
+import org.apache.spark.sql.execution.datasources.DataSourceUtils
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.kernel.{DeltaLog, Snapshot}
+import graft.table.{DeltaTable, Scan}
+
+/**
+ * Batch half of `format("graft-delta")`: a v1 `BaseRelation` so plain
+ * `spark.read.format("graft-delta").load(path)` and
+ * `df.write.format("graft-delta").mode(...).partitionBy(...).save(path)`
+ * work without touching the library API (python/src/lib.rs exposes the same
+ * convenience around open_table/write_deltalake).
+ *
+ * Reads translate the pushed `sources.Filter`s to Catalyst predicates and
+ * run them through the SAME stats/partition file skipping as the library
+ * scan (`StatsPruning`), then re-apply them on the pruned parquet read so
+ * row-group pushdown still happens; Spark evaluates the originals once more
+ * on top (all filters are declared unhandled), which keeps correctness
+ * independent of our translation coverage.
+ */
+class GraftDeltaRelation(
+    override val sqlContext: SQLContext,
+    snapshot: Snapshot) extends BaseRelation with PrunedFilteredScan {
+
+  private def spark: SparkSession = sqlContext.sparkSession
+
+  override def schema: StructType = snapshot.schema
+
+  // we prune with the filters but never claim them handled
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val preds = filters.flatMap(GraftDeltaRelation.toCatalyst)
+    val files = Scan.prunedFiles(snapshot, preds.toSeq, Some(spark))
+    val df0 = Scan.readFiles(spark, snapshot, files)
+    val df1 = preds.foldLeft(df0)((d, p) => d.filter(GraftSqlBridge.column(p)))
+    df1.select(requiredColumns.toSeq.map(df1.col): _*).rdd
+  }
+}
+
+object GraftDeltaRelation {
+
+  /** sources.Filter → Catalyst, for the stats pruner. Unsupported shapes
+    * return None (they are still evaluated by Spark above the scan). */
+  def toCatalyst(f: Filter): Option[Expression] = {
+    def attr(name: String): Expression = UnresolvedAttribute(Seq(name))
+    f match {
+      case EqualTo(a, v) => Some(CEqualTo(attr(a), Literal(v)))
+      case EqualNullSafe(a, v) => Some(CEqualNullSafe(attr(a), Literal(v)))
+      case GreaterThan(a, v) => Some(CGreaterThan(attr(a), Literal(v)))
+      case GreaterThanOrEqual(a, v) => Some(CGreaterThanOrEqual(attr(a), Literal(v)))
+      case LessThan(a, v) => Some(CLessThan(attr(a), Literal(v)))
+      case LessThanOrEqual(a, v) => Some(CLessThanOrEqual(attr(a), Literal(v)))
+      case In(a, vs) => Some(CIn(attr(a), vs.toSeq.map(Literal(_))))
+      case IsNull(a) => Some(CIsNull(attr(a)))
+      case IsNotNull(a) => Some(CIsNotNull(attr(a)))
+      case And(l, r) =>
+        (toCatalyst(l), toCatalyst(r)) match {
+          case (Some(cl), Some(cr)) => Some(CAnd(cl, cr))
+          case (one, other) => one.orElse(other) // conjunct halves prune alone
+        }
+      case Or(l, r) =>
+        for { cl <- toCatalyst(l); cr <- toCatalyst(r) } yield COr(cl, cr)
+      case Not(c) => toCatalyst(c).map(CNot) // pruner handles 3VL negation
+      case _ => None
+    }
+  }
+
+  /** Resolve the snapshot for read options (versionAsOf / timestampAsOf). */
+  def snapshotFor(spark: SparkSession, path: String,
+                  parameters: Map[String, String]): Snapshot = {
+    def opt(key: String): Option[String] =
+      parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+    val log = new DeltaLog(spark, new Path(path))
+    (opt("versionAsOf"), opt("timestampAsOf")) match {
+      case (Some(v), None) => log.snapshotAt(v.trim.toLong)
+      case (None, Some(ts)) =>
+        log.snapshotForTimestamp(java.sql.Timestamp.valueOf(ts.trim).getTime)
+      case (None, None) => log.snapshot()
+      case _ => throw new IllegalArgumentException(
+        "specify at most one of versionAsOf / timestampAsOf")
+    }
+  }
+
+  def writeAndReturnRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame,
+      path: String): BaseRelation = {
+    def opt(key: String): Option[String] =
+      parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+    val partitionBy = parameters.get(DataSourceUtils.PARTITIONING_COLUMNS_KEY)
+      .map(DataSourceUtils.decodePartitioningColumns)
+      .getOrElse(Nil)
+    val modeStr = mode match {
+      case SaveMode.Append => "append"
+      case SaveMode.Overwrite => "overwrite"
+      case SaveMode.ErrorIfExists => "error"
+      case SaveMode.Ignore => "ignore"
+    }
+    val t = DeltaTable.write(sqlContext.sparkSession, data, path,
+      mode = modeStr,
+      partitionBy = partitionBy,
+      replaceWhere = opt("replaceWhere"),
+      mergeSchema = opt("mergeSchema").exists(_.equalsIgnoreCase("true")),
+      overwriteSchema = opt("overwriteSchema").exists(_.equalsIgnoreCase("true")))
+    new GraftDeltaRelation(sqlContext, t.snapshot)
+  }
+}

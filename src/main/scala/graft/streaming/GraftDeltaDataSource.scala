@@ -1,11 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.streaming.{Sink, Source}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
+import graft.sources.GraftDeltaRelation
 import graft.table.DeltaTable
 
 /**
@@ -28,9 +29,29 @@ import graft.table.DeltaTable
  * `DataSourceRegister` service loader.
  */
 class GraftDeltaDataSource extends DataSourceRegister
-    with StreamSourceProvider with StreamSinkProvider {
+    with StreamSourceProvider with StreamSinkProvider
+    with RelationProvider with CreatableRelationProvider {
 
   override def shortName(): String = "graft-delta"
+
+  /** Batch read: `spark.read.format("graft-delta")` with optional
+    * versionAsOf / timestampAsOf time travel. */
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new GraftDeltaRelation(sqlContext,
+      GraftDeltaRelation.snapshotFor(sqlContext.sparkSession,
+        pathOf(parameters), parameters))
+
+  /** Batch write: `df.write.format("graft-delta").mode(...).save(path)`;
+    * honors partitionBy, replaceWhere, mergeSchema, overwriteSchema. */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation =
+    GraftDeltaRelation.writeAndReturnRelation(sqlContext, mode, parameters,
+      data, pathOf(parameters))
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }

@@ -178,6 +178,37 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, dst).toDF.count() == 5)
   }
 
+  test("batch format: write with partitionBy, read back, filters prune files") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (1 to 100).map(i => (i, s"v$i", i % 4)).toDF("n", "v", "p")
+      .write.format("graft-delta").mode("append").partitionBy("p").save(dir)
+    // overwrite of one partition via replaceWhere
+    Seq((200, "x", 1)).toDF("n", "v", "p")
+      .write.format("graft-delta").mode("overwrite")
+      .option("replaceWhere", "p = 1").save(dir)
+
+    val df = spark.read.format("graft-delta").load(dir)
+    assert(df.count() == 76) // 75 untouched + 1 replacement
+    assert(df.where("p = 1").select("n").as[Int].collect().toSeq == Seq(200))
+    // partition filter reads only that partition's file(s)
+    val scanned = df.where("p = 2").select("n")
+    assert(scanned.as[Int].collect().toSet == (1 to 100).filter(_ % 4 == 2).toSet)
+    assert(df.where("n > 90 and p = 3").select("v").as[String].collect().toSet ==
+      (91 to 100).filter(_ % 4 == 3).map(i => s"v$i").toSet)
+  }
+
+  test("batch format: versionAsOf time travel") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1, "a")).toDF("n", "v").write.format("graft-delta").save(dir) // v0
+    Seq((2, "b")).toDF("n", "v").write.format("graft-delta")
+      .mode("append").save(dir) // v1
+    assert(spark.read.format("graft-delta").option("versionAsOf", 0)
+      .load(dir).count() == 1)
+    assert(spark.read.format("graft-delta").load(dir).count() == 2)
+  }
+
   test("complete-mode sink replaces contents atomically with its txn") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

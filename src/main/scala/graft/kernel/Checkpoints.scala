@@ -187,15 +187,24 @@ object Checkpoints {
     val partSize = spark.conf.getOption("spark.graft.checkpoint.partSize")
       .map(_.toInt).filter(_ > 0).getOrElse(1000000)
 
+    // V2 (uuid manifest + sidecars) when the table opted in via
+    // delta.checkpointPolicy=v2 AND carries the v2Checkpoint reader feature
+    // (PROTOCOL.md "V2 Checkpoint Table Feature"; the reference reads these
+    // via kernel, crates/core/src/protocol/checkpoints.rs). Classic
+    // otherwise.
+    val writeV2 = snapshot.getConf("delta.checkpointPolicy").contains("v2") &&
+      snapshot.protocol.readerFeatures.exists(_.contains("v2Checkpoint"))
+
     val lazyIdx = snapshot.lazyIndex.filterNot(_.isMaterialized)
-    // (df to write, action count for the hint if cheaply known)
-    val (df, knownSize, nActions) = lazyIdx match {
+    // file-action rows (add/remove) only; control rows ride the manifest
+    // (V2) or a unioned single-partition head (classic)
+    val (fileDf, knownFileRows, nActions) = lazyIdx match {
       case Some(idx) =>
         val overlay = (idx.tailAdds.map(_.path) ++ idx.tailRemoves.map(_.path)).distinct
         val tailRows = idx.tailAdds.map(f => Row(null, addRow(f), null, null, null, null)) ++
           idx.tailRemoves.map(r => Row(null, null, removeRow(r), null, null, null))
         val small = spark.createDataFrame(
-          spark.sparkContext.parallelize(controlRows ++ tailRows, 1), checkpointSchema)
+          spark.sparkContext.parallelize(tailRows, 1), checkpointSchema)
         // one column-pruned leg per file-action column, overlay-filtered and
         // re-aligned to the full checkpoint layout
         def leg(name: String, dt: StructType) = {
@@ -214,13 +223,22 @@ object Checkpoints {
         (small.unionByName(leg("add", addType)).unionByName(leg("remove", removeType)),
           None, approx)
       case None =>
-        val rows = controlRows ++
+        val rows =
           snapshot.allFiles.map(f => Row(null, addRow(f), null, null, null, null)) ++
           snapshot.tombstones.map(r => Row(null, null, removeRow(r), null, null, null))
         (spark.createDataFrame(
           spark.sparkContext.parallelize(rows, math.max(1, rows.size / 50000)),
           checkpointSchema),
-          Some(rows.size.toLong), rows.size.toLong)
+          Some(rows.size.toLong), rows.size.toLong + controlRows.size)
+    }
+    val controlDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(controlRows, 1), checkpointSchema)
+    val df = controlDf.unionByName(fileDf)
+
+    if (writeV2) {
+      writeV2Checkpoint(spark, logPath, snapshot, store, fileDf,
+        knownFileRows, nActions, partSize)
+      return
     }
 
     // classic multi-part above `spark.graft.checkpoint.partSize` actions per
@@ -255,14 +273,66 @@ object Checkpoints {
     fs.delete(tmp, true)
 
     // exact row count for the hint: footer metadata of the written parts
-    val size = knownSize.getOrElse(
+    // (parts include the control rows, so no adjustment needed on that leg)
+    val size = knownFileRows.map(_ + controlRows.size).getOrElse(
       destFiles.map(p => ParquetStats.collect(store.conf, p, StructType(Nil), 0)._1).sum)
     val partsField = if (partFiles.length > 1) s""","parts":${partFiles.length}""" else ""
-    val hint = s"""{"version":${snapshot.version},"size":$size$partsField}"""
+    writeHint(fs, logPath,
+      s"""{"version":${snapshot.version},"size":$size$partsField}""")
+  }
+
+  private def writeHint(fs: org.apache.hadoop.fs.FileSystem, logPath: Path,
+                        hint: String): Unit = {
     val hintPath = new Path(logPath, LogStore.LAST_CHECKPOINT)
     // hint is advisory; plain overwrite is fine
     val out = fs.create(hintPath, true)
     try out.write(hint.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** V2 checkpoint: add/remove state goes to uuid-named parquet sidecars
+    * under `_delta_log/_sidecars/`; a json manifest
+    * `%020d.checkpoint.<uuid>.json` carries the control actions +
+    * `checkpointMetadata` + one `sidecar` action per part. The read side
+    * (readResolved) already speaks this layout — this writer closes the
+    * round trip for tables with `delta.checkpointPolicy=v2`. */
+  private def writeV2Checkpoint(
+      spark: SparkSession, logPath: Path, snapshot: Snapshot, store: LogStore,
+      fileDf: org.apache.spark.sql.DataFrame, knownFileRows: Option[Long],
+      nActions: Long, partSize: Int): Unit = {
+    val fs = logPath.getFileSystem(store.conf)
+    val nParts = math.min(((nActions + partSize - 1) / partSize).toInt, 9999)
+    val tmp = new Path(logPath, s".checkpoint_tmp_${snapshot.version}")
+    val written =
+      if (nParts <= 1) fileDf.coalesce(1) else fileDf.repartition(nParts)
+    written.write.mode("overwrite").parquet(tmp.toString)
+    val partFiles = fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val sidecarDir = new Path(logPath, "_sidecars")
+    fs.mkdirs(sidecarDir)
+    val sidecars: Seq[Sidecar] = partFiles.toSeq.map { p =>
+      val name = s"${java.util.UUID.randomUUID}.parquet"
+      val dest = new Path(sidecarDir, name)
+      fs.rename(p, dest)
+      val st = fs.getFileStatus(dest)
+      Sidecar(name, Some(st.getLen), Some(st.getModificationTime))
+    }
+    fs.delete(tmp, true)
+
+    val m = snapshot.metadata
+    val manifestActions: Seq[Action] =
+      Seq(CheckpointMetadata(snapshot.version), snapshot.protocol, m) ++
+      snapshot.txns.toSeq.map { case (app, v) => SetTransaction(app, v, None) } ++
+      snapshot.domains.values.toSeq ++ sidecars
+    val manifestName =
+      f"${snapshot.version}%020d.checkpoint.${java.util.UUID.randomUUID}%s.json"
+    store.writeAtomic(new Path(logPath, manifestName),
+      manifestActions.iterator.map(ActionCodec.toJson))
+
+    val size = knownFileRows.getOrElse(
+      sidecars.map(s => ParquetStats.collect(store.conf,
+        new Path(sidecarDir, s.path), StructType(Nil), 0)._1).sum) +
+      (manifestActions.size - sidecars.size)
+    writeHint(fs, logPath, s"""{"version":${snapshot.version},"size":$size}""")
   }
 
   /** Read a checkpoint parquet back into actions. With `withFiles = false`

@@ -25,18 +25,19 @@ class DeltaProtocolException(msg: String) extends RuntimeException(msg)
  */
 object ProtocolGate {
 
-  // v2Checkpoint is reader-side only: we READ uuid-manifest+sidecar
-  // checkpoints but write classic ones, so tables carrying the WRITER
-  // feature are still refused for writes (spec: such writers must emit
-  // v2 checkpoints).
   val supportedReaderFeatures: Set[String] =
     Set("timestampNtz", "deletionVectors", "vacuumProtocolCheck",
       "columnMapping", "v2Checkpoint")
 
+  // v2Checkpoint on the writer side too: with delta.checkpointPolicy=v2 the
+  // checkpoint writer emits the uuid-manifest + _sidecars layout
+  // (Checkpoints.writeV2Checkpoint), satisfying the spec requirement that
+  // writers on such tables produce v2 checkpoints.
   val supportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "generatedColumns", "timestampNtz", "domainMetadata",
-      "vacuumProtocolCheck", "deletionVectors", "columnMapping")
+      "vacuumProtocolCheck", "deletionVectors", "columnMapping",
+      "v2Checkpoint")
 
   private def columnMappingMode(m: Metadata): String =
     m.configuration.getOrElse("delta.columnMapping.mode", "none").trim.toLowerCase

@@ -67,4 +67,26 @@ class CrossLangSpec extends AnyFunSuite {
     assert(res("dv_masked") == "500", res.toString)
     assert(res("minReaderVersion") == "3", res.toString)
   }
+
+  test("python replays our v2 (manifest + sidecar) checkpoint") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xlang_v2_").toString
+    DeltaTable.write(spark,
+      (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir,
+      configuration = Map(
+        "delta.checkpointPolicy" -> "v2",
+        "delta.checkpointInterval" -> "2"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.addFeature("v2Checkpoint") // v1
+    t.delete(Some("id <= 100"))  // v2 → v2 checkpoint written here
+    // drop the pre-checkpoint commits: replay must come from the manifest
+    val logDir = new java.io.File(dir, "_delta_log")
+    (0 to 2).foreach(v => new java.io.File(logDir, f"$v%020d.json").delete())
+    DeltaTable.write(spark, Seq((2000L, "x")).toDF("id", "v"), dir, mode = "append")
+
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 901)
+    val res = pythonReplay(dir)
+    assert(res("ok") == "true", res.toString)
+    assert(res("rows") == "901", s"python sees ${res("rows")} rows: $res")
+  }
 }

@@ -275,4 +275,45 @@ class Round3Spec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("conditional-put"))
   }
+
+  test("v2 checkpoint write: uuid manifest + sidecars; replay round-trips") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark,
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir,
+      configuration = Map(
+        "delta.checkpointPolicy" -> "v2",
+        "delta.checkpointInterval" -> "2"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.addFeature("v2Checkpoint") // v1
+    DeltaTable.write(spark,
+      Seq((100L, "x")).toDF("id", "v"), dir, mode = "append") // v2 → checkpoint
+
+    val logDir = new java.io.File(dir, "_delta_log")
+    val manifests = logDir.listFiles.filter(
+      _.getName.matches("\\d{20}\\.checkpoint\\.[0-9a-f-]{36}\\.json"))
+    assert(manifests.length == 1, s"expected one v2 manifest, saw ${logDir.list.toSeq}")
+    val sidecars = new java.io.File(logDir, "_sidecars").listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(sidecars.nonEmpty)
+    // manifest carries checkpointMetadata + sidecar + full protocol features
+    val manifestText = scala.io.Source.fromFile(manifests.head).mkString
+    assert(manifestText.contains("\"checkpointMetadata\""))
+    assert(manifestText.contains("\"sidecar\""))
+    assert(manifestText.contains("v2Checkpoint"))
+
+    // replay FROM the checkpoint: delete the pre-checkpoint commits
+    (0 to 2).foreach { v =>
+      new java.io.File(logDir, f"$v%020d.json").delete()
+    }
+    val replayed = DeltaTable.forPath(spark, dir)
+    assert(replayed.version == 2)
+    assert(replayed.snapshot.protocol.readerFeatures.exists(_.contains("v2Checkpoint")))
+    assert(replayed.toDF.count() == 51)
+    assert(replayed.toDF.where("id = 100").count() == 1)
+
+    // and the table keeps working on top of the v2 checkpoint
+    DeltaTable.write(spark, Seq((101L, "y")).toDF("id", "v"), dir, mode = "append")
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 52)
+  }
 }

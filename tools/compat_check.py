@@ -112,25 +112,52 @@ def read_dv(base, dv):
         return decode_dv_data(f.read(size))
 
 
+def apply_parquet_actions(path, adds, proto, meta):
+    for r in pq.read_table(path).to_pylist():
+        if r.get("add"):
+            adds[r["add"]["path"]] = r["add"]
+        if r.get("remove"):
+            adds.pop(r["remove"]["path"], None)
+        if r.get("protocol") and r["protocol"].get("minReaderVersion"):
+            proto = r["protocol"]
+        if r.get("metaData") and r["metaData"].get("id"):
+            meta = r["metaData"]
+    return proto, meta
+
+
 def main(table):
     log = os.path.join(table, "_delta_log")
     adds, proto, meta = {}, None, None
     ck = sorted(glob.glob(os.path.join(log, "*.checkpoint*.parquet")))
+    # v2: uuid-named json manifest whose sidecar actions carry the file state
+    v2 = sorted(p for p in glob.glob(os.path.join(log, "*.checkpoint.*.json")))
     ckv = -1
     if ck:
         ckv = int(os.path.basename(ck[-1]).split(".")[0])
         parts = [p for p in ck if os.path.basename(p).startswith(f"{ckv:020d}.")]
         for p in parts:
-            for r in pq.read_table(p).to_pylist():
-                if r.get("add"):
-                    adds[r["add"]["path"]] = r["add"]
-                if r.get("remove"):
-                    adds.pop(r["remove"]["path"], None)
-                if r.get("protocol") and r["protocol"].get("minReaderVersion"):
-                    proto = r["protocol"]
-                if r.get("metaData") and r["metaData"].get("id"):
-                    meta = r["metaData"]
+            proto, meta = apply_parquet_actions(p, adds, proto, meta)
+    v2v = max((int(os.path.basename(p).split(".")[0]) for p in v2), default=-1)
+    if v2v > ckv:
+        ckv = v2v
+        manifest = [p for p in v2
+                    if os.path.basename(p).startswith(f"{ckv:020d}.")][-1]
+        for line in open(manifest):
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "protocol" in a:
+                proto = a["protocol"]
+            elif "metaData" in a:
+                meta = a["metaData"]
+            elif "add" in a:
+                adds[a["add"]["path"]] = a["add"]
+            elif "sidecar" in a:
+                sc = os.path.join(log, "_sidecars", a["sidecar"]["path"])
+                proto, meta = apply_parquet_actions(sc, adds, proto, meta)
     for f in sorted(glob.glob(os.path.join(log, "*.json"))):
+        if ".checkpoint." in os.path.basename(f):
+            continue  # v2 manifest, not a commit
         if int(os.path.basename(f).split(".")[0]) <= ckv:
             continue
         for line in open(f):

@@ -238,15 +238,23 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
             s"Incomplete multi-part checkpoint at version $cv: " +
               s"found parts ${seen.toSeq.sorted}, expected ${declared.head}")
         }
-        // lazy mode: classic (non-V2) checkpoints only — sidecar state would
-        // need manifest resolution; our writer never emits V2
+        // lazy mode backing parts: classic checkpoint parquets directly, or
+        // a V2 manifest's sidecar parquets (same add/remove column layout,
+        // so LazyFileIndex's column-pruned legs read either)
         val classic = parts.nonEmpty && parts.forall(p =>
           LogStore.multiPartInfo(p.getName).isDefined ||
             p.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
-        if (withFiles && classic &&
-            lastCheckpointSize().exists(_ >= lazyThreshold)) {
-          lazyParts = Some(parts)
-          // control plane only — columnar pruning makes this near-free
+        lazy val v2SidecarParts: Seq[Path] =
+          parts.filter(_.getName.endsWith(".json")).flatMap { manifest =>
+            store.read(manifest).flatMap(ActionCodec.fromJson).collect {
+              case s: Sidecar => new Path(new Path(logPath, "_sidecars"), s.path)
+            }
+          }
+        if (withFiles && lastCheckpointSize().exists(_ >= lazyThreshold) &&
+            (classic || v2SidecarParts.nonEmpty)) {
+          lazyParts = Some(if (classic) parts else v2SidecarParts)
+          // control plane only — columnar pruning (or the tiny manifest)
+          // makes this near-free
           Checkpoints.readResolved(spark, store, logPath, parts, withFiles = false)
         } else
           Checkpoints.readResolved(spark, store, logPath, parts, withFiles = withFiles)

@@ -276,6 +276,30 @@ class Round3Spec extends AnyFunSuite {
     assert(e.getMessage.contains("conditional-put"))
   }
 
+  test("lazy snapshot rides a v2 checkpoint's sidecar parquets") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark,
+      (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir,
+      configuration = Map(
+        "delta.checkpointPolicy" -> "v2",
+        "delta.checkpointInterval" -> "2"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.addFeature("v2Checkpoint") // v1
+    DeltaTable.write(spark, Seq((9999L, "x")).toDF("k", "v"),
+      dir, mode = "append") // v2 → v2 checkpoint
+    spark.conf.set("spark.graft.lazySnapshotThreshold", "1")
+    try {
+      val snap = DeltaTable.forPath(spark, dir).snapshot
+      assert(snap.lazyIndex.exists(!_.isMaterialized),
+        "expected the sidecar-backed lazy index")
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == 2001)
+      val pruned = graft.table.Scan.prunedFiles(snap,
+        Seq(graft.table.Scan.parsePredicate(spark, "k = 9999")), Some(spark))
+      assert(pruned.nonEmpty && pruned.size < snap.numFiles)
+    } finally spark.conf.unset("spark.graft.lazySnapshotThreshold")
+  }
+
   test("v2 checkpoint write: uuid manifest + sidecars; replay round-trips") {
     import spark.implicits._
     val dir = tmpDir()

@@ -226,6 +226,35 @@ object LlmEntries {
          |FROM s QUALIFY rnk <= 10""".stripMargin
     }),
 
+    // IVF ANN: one-shot coarse quantizer (first-8 vectors as centroids),
+    // shuffle-free cell assignment, nProbe=2 probed cells per query. DuckDB
+    // re-derives the identical quantizer relationally (cell = argmax
+    // centroid cosine, ties to the lowest centroid id on both sides).
+    Entry("llm_ann_ivf", (s, d) => {
+      val emb = embDelta(s, d)
+      Similarity.ivfTopK(emb, emb.filter("vec_id < 8"), "vec_id", "embedding",
+        k = 10, nCells = 8, nProbe = 2)
+        .select("query_id", "neighbor_id", "rnk")
+    }, Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |x AS (SELECT e.vec_id, e.v, c.cid,
+        |        list_dot_product(e.v, c.cv) /
+        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+        |      FROM e CROSS JOIN c),
+        |r AS (SELECT vec_id, v, cid,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |      FROM x),
+        |cells AS (SELECT vec_id, v, cid FROM r WHERE rn = 1),
+        |probes AS (SELECT vec_id, v, cid FROM r WHERE rn <= 2 AND vec_id < 8),
+        |s AS (SELECT p.vec_id AS qid, t.vec_id AS nid,
+        |        list_dot_product(p.v, t.v) /
+        |        (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(t.v, t.v))) AS cos
+        |      FROM probes p JOIN cells t ON p.cid = t.cid AND t.vec_id <> p.vec_id)
+        |SELECT qid AS query_id, nid AS neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rnk
+        |FROM s QUALIFY rnk <= 10""".stripMargin)),
+
     // embedding-cosine near-dup: LSH-bucketed candidate join + exact verify.
     // Doubled corpus (scaled copies, cosine exactly 1.0) provides known
     // positives; scaling by 2 is FP-exact so both engines agree bit-for-bit.

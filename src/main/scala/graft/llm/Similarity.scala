@@ -75,6 +75,58 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /**
+   * IVF (inverted-file) ANN: a coarse quantizer splits the corpus into
+   * `nCells` cells; each query probes only its `nProbe` nearest cells and
+   * ranks that slice of the corpus — |corpus| × nProbe / nCells candidate
+   * work instead of brute force. Centroids are the first `nCells` corpus
+   * vectors by id (a deterministic one-shot quantizer; production would
+   * refine them with a few distributed k-means rounds — the
+   * assignment/probe machinery below is identical either way).
+   *
+   * Scale shape: cell assignment is a shuffle-FREE projection (argmax over
+   * an array of centroid cosines, first-max tie-break = lowest cell id);
+   * the probe is an equi-join on cell id with the query side broadcast. At
+   * 100 TB, persist the corpus with `cell` as a partition column and the
+   * probed cells prune at scan time.
+   */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 8,
+      nProbe: Int = 2): DataFrame = {
+    // tiny driver collect: nCells × dim doubles (the quantizer itself)
+    val centroids: Array[Array[Double]] = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(nCells)
+      .collect().map(_.getSeq[Double](1).toArray)
+
+    def cosArr(vec: Column): Column =
+      array(centroids.map(c => cosine(vec, array(c.map(lit): _*))): _*)
+    def cellOf(vec: Column): Column =
+      (array_position(cosArr(vec), array_max(cosArr(vec))) - 1).cast("int")
+    // top-nProbe cell ids: sort (cos desc, index asc) via struct keys
+    def probesOf(vec: Column): Column =
+      slice(transform(sort_array(transform(cosArr(vec),
+        (c, i) => struct((-c).as("nc"), i.as("i")))), s => s("i")), 1, nProbe)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      cellOf(col(vecCol)).as("__cell"))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(probesOf(col(vecCol))).as("__probe")))
+    val scored = c.join(q, col("__probe") === col("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+  }
+
+  /**
    * Embedding near-duplicate pairs: all (id_a < id_b) with cosine ≥
    * `threshold`, found via sign-LSH bucketing (equi-join on bucket id — NOT
    * an all-pairs cross join) and verified exactly. Bucketing costs recall

@@ -178,6 +178,31 @@ object LlmEntries {
            |SELECT id_a, id_b FROM pairs
            |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // candidate generation via the inverted shingle index is complete (any
+    // pair with jaccard > 0 shares a shingle; df cap far above corpus df
+    // here), so brute-force all-pairs Jaccard in DuckDB is the exact
+    // expected output — including the jaccard value (IEEE division of
+    // exact integer counts agrees bit-for-bit across engines).
+    Entry("llm_ngram_jaccard", (s, d) =>
+      Dedup.ngramJaccardNearDups(corpusWithNearDups(s, d), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+        .select("id_a", "id_b", "jaccard"),
+      Some(
+        s"""WITH corpus AS ($corpusSql),
+           |sh AS (
+           |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS s
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) t
+           |),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |)
+           |SELECT id_a, id_b,
+           |       CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+           |FROM pairs
+           |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5""".stripMargin)),
+
     // full oracle: md5-derived hash lets DuckDB replay the exact
     // fingerprints; the banded join is provably lossless at hamming<=3, so
     // brute-force all-pairs in DuckDB is the precise expected output.

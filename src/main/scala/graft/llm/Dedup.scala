@@ -129,6 +129,63 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /**
+   * Direct n-gram Jaccard near-duplicate pairs via an inverted shingle
+   * index — the no-hash-approximation member of the dedup family (exact /
+   * MinHash / SimHash / n-gram Jaccard / embedding-cosine).
+   *
+   * Pipeline (shuffles marked):
+   *   1. shingle → explode                      (no shuffle)
+   *   2. posting-list cap: per-shingle document frequency via a window
+   *      count; shingles occurring in more than `maxDocFreq` docs are
+   *      dropped before the join — they are the "stopword shingles" whose
+   *      posting lists would make the self-join quadratic (shuffle on __sh)
+   *   3. candidates: self-equi-join on shingle, id_a < id_b — quadratic
+   *      only within one posting list, bounded by the cap (reuses the
+   *      step-2 shuffle partitioning)
+   *   4. exact verify: join candidates to per-doc shingle-hash sets;
+   *      Jaccard = |∩| / |∪|                    (shuffle on id)
+   *
+   * Candidate generation is COMPLETE (any pair with jaccard > 0 shares a
+   * shingle) except for pairs whose every shared shingle exceeds the df
+   * cap — at threshold 0.5 such a pair shares ≥ a third of its union, so
+   * in practice only boilerplate-only near-dups are affected; those belong
+   * to exact dedup. Same recall-not-correctness trade as the MinHash
+   * bucket-width guard.
+   */
+  def ngramJaccardNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      maxDocFreq: Int = 100000): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleSize)
+
+    val dfWindow = Window.partitionBy(col("__sh"))
+    val rare = sh
+      .withColumn("__df", count(lit(1)).over(dfWindow))
+      .filter(col("__df") <= maxDocFreq)
+      .drop("__df")
+
+    val candidates = rare.select(col("__id").as("id_a"), col("__sh"))
+      .join(rare.select(col("__id").as("id_b"), col("__sh").as("__sh2")),
+        col("__sh") === col("__sh2") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val sets = sh.groupBy("__id")
+      .agg(collect_set(xxhash64(col("__sh"))).as("__hs"))
+    val withSets = candidates
+      .join(sets.select(col("__id").as("id_a"), col("__hs").as("__hsa")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__hs").as("__hsb")), "id_b")
+    val inter = size(array_intersect(col("__hsa"), col("__hsb"))).cast("double")
+    val union = (size(col("__hsa")) + size(col("__hsb"))).cast("double") - inter
+    withSets
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** 64-bit SimHash fingerprint per document: sign-aggregate of shingle-hash
     * bits. One shuffle (groupBy id); fingerprint assembly is pure bit math.
     * `hashFn` maps the shingle column to a 64-bit hash — xxhash64 by default

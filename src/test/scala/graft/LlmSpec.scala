@@ -43,6 +43,26 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.filter(col("jaccard") < 0.5).isEmpty)
   }
 
+  test("ngram-jaccard near-dup: complete candidates, df cap bounds the join") {
+    import spark.implicits._
+    val base = docs.select("doc_id", "text")
+    val mut = base.filter("doc_id % 10 = 0")
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text", concat(col("text"), lit(" zz extra token")))
+    val corpus = base.unionByName(mut)
+    val pairs = Dedup.ngramJaccardNearDups(corpus, "doc_id", "text")
+    assertNoCartesian(pairs, "ngramJaccard")
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = base.filter("doc_id % 10 = 0").select("doc_id").as[Long]
+      .collect().map(i => (i, i + 1000000)).toSet
+    assert(expected.subsetOf(found), s"missing injected pairs: ${expected -- found}")
+    assert(pairs.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).isEmpty)
+    // a df cap of 1 drops every shared shingle of the injected pairs ⇒
+    // the recall trade is observable and bounded exactly as documented
+    val capped = Dedup.ngramJaccardNearDups(corpus, "doc_id", "text", maxDocFreq = 1)
+    assert(capped.isEmpty)
+  }
+
   test("simhash: identical docs collide, near-dups within hamming bound") {
     import spark.implicits._
     val base = docs.select("doc_id", "text").limit(20)

@@ -1,0 +1,205 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.DeltaTable
+
+/**
+ * Path-based Spark `TableCatalog` over graft Delta tables — the
+ * Spark-idiomatic counterpart of the reference's catalog crates
+ * (`/root/reference/crates/catalog-glue`, `crates/catalog-unity`): those
+ * resolve `database.table` → a table URI through an external metastore;
+ * here the metastore is a warehouse directory layout (namespace dirs,
+ * one Delta table dir per table), which is what a filesystem/object-store
+ * deployment without Glue/Unity uses.
+ *
+ * Register and use entirely through SQL:
+ * {{{
+ *   spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+ *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/warehouse")
+ *   spark.sql("CREATE TABLE graft.sales.orders (...) PARTITIONED BY (...)")
+ *   spark.sql("INSERT INTO graft.sales.orders SELECT ...")
+ *   spark.sql("DELETE FROM graft.sales.orders WHERE o_orderkey = 7")
+ *   spark.sql("SELECT * FROM graft.sales.orders VERSION AS OF 3")
+ * }}}
+ *
+ * `TBLPROPERTIES` flow into the table's Delta configuration (so
+ * `delta.enableChangeDataFeed`, `delta.enableDeletionVectors`, … work from
+ * DDL); `location` creates an external table outside the warehouse root.
+ */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fs = warehouse.getFileSystem(
+    spark.sessionState.newHadoopConf())
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = options.get("warehouse")
+    require(wh != null && wh.nonEmpty,
+      s"spark.sql.catalog.$name.warehouse must be set to the warehouse root path")
+    warehouse = new Path(wh)
+  }
+
+  override def name(): String = catalogName
+
+  private def nsPath(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)(new Path(_, _))
+
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace()), ident.name())
+
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, "_delta_log"))
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(isTableDir)
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    new GraftTable(spark, ident.toString, p)
+  }
+
+  /** `VERSION AS OF` time travel through SQL. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftTable]
+    new GraftTable(spark, ident.toString, t.path,
+      pinned = Some(t.delta.deltaLog.snapshotAt(version.trim.toLong)))
+  }
+
+  /** `TIMESTAMP AS OF` time travel (micros since epoch per the API). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftTable]
+    new GraftTable(spark, ident.toString, t.path,
+      pinned = Some(t.delta.deltaLog.snapshotForTimestamp(timestampMicros / 1000L)))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val props = properties.asScala.toMap
+    val location = props.get(TableCatalog.PROP_LOCATION)
+      .map(new Path(_)).getOrElse(tablePath(ident))
+    if (isTableDir(location)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references()(0).fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft-delta supports identity partitioning only, got: $other")
+    }
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION)
+    DeltaTable.create(spark, location.toString, schema,
+      partitionColumns = partCols,
+      configuration = props -- reserved,
+      name = Some(ident.name()),
+      description = props.get(TableCatalog.PROP_COMMENT))
+    new GraftTable(spark, ident.toString, location)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftTable]
+    val setProps = changes.collect {
+      case s: TableChange.SetProperty
+          if s.property != TableCatalog.PROP_COMMENT => s.property -> s.value
+    }
+    changes.foreach {
+      case s: TableChange.SetProperty if s.property == TableCatalog.PROP_COMMENT =>
+        t.delta.updateTableMetadata(description = Some(s.value))
+      case _: TableChange.SetProperty => // batched below
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
+        t.delta.addColumns(StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            a.fieldNames()(0), a.dataType(), a.isNullable))))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change not supported by graft-delta: $other")
+    }
+    if (setProps.nonEmpty) t.delta.setProperties(setProps.toMap)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) false
+    else fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tablePath(oldIdent)
+    val to = tablePath(newIdent)
+    if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
+    if (isTableDir(to)) throw new TableAlreadyExistsException(newIdent)
+    if (!fs.exists(to.getParent)) throw new NoSuchNamespaceException(newIdent.namespace())
+    // safe for Delta tables: add.path entries are table-root-relative
+    require(fs.rename(from, to), s"rename $from -> $to failed")
+  }
+
+  // ---- namespaces ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    fs.listStatus(warehouse).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTableDir)
+      .map(p => Array(p.getName))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = nsPath(namespace)
+    if (namespace.nonEmpty && !fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTableDir)
+      .map(p => namespace :+ p.getName)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir) || isTableDir(dir)) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> dir.toString).asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    val dir = nsPath(namespace)
+    require(!fs.exists(dir), s"namespace ${namespace.mkString(".")} already exists")
+    fs.mkdirs(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported by graft-delta")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) false
+    else {
+      if (!cascade) require(fs.listStatus(dir).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      fs.delete(dir, true)
+    }
+  }
+}

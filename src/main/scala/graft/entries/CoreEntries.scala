@@ -317,6 +317,32 @@ object CoreEntries {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000""".stripMargin)),
 
+    // SQL catalog plugin (§2.1 catalogs, Spark-idiomatic): the entire
+    // lifecycle — namespace, CTAS, INSERT, DELETE, SELECT — through
+    // spark.sql over a GraftCatalog, zero library API calls.
+    Entry("catalog_sql", (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      val wh = shared2.getOrElseUpdate(s"$d#catalog_wh", tempDir("catwh"))
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      shared2.getOrElseUpdate(s"$d#catalog_built", {
+        pq(s, d, "nation").createOrReplaceTempView("__nation_src")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.core")
+        s.sql("""CREATE TABLE graft.core.nation AS
+                 SELECT n_nationkey, n_name, n_regionkey FROM __nation_src""")
+        s.sql("""INSERT INTO graft.core.nation
+                 SELECT n_nationkey + 100, n_name || '_X', n_regionkey
+                 FROM __nation_src WHERE n_regionkey = 0""")
+        s.sql("DELETE FROM graft.core.nation WHERE n_regionkey = 2 AND n_nationkey < 100")
+        "built"
+      })
+      s.sql("SELECT n_nationkey, n_name, n_regionkey FROM graft.core.nation")
+    }, Some(
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, n_name || '_X', n_regionkey FROM nation WHERE n_regionkey = 0
+        |) t WHERE NOT (n_regionkey = 2 AND n_nationkey < 100)""".stripMargin)),
+
     // structured-streaming SOURCE (§2.10): format("graft-delta") readStream —
     // initial snapshot + a commit landing mid-stream, piped through the
     // exactly-once graft-delta sink into a second table.

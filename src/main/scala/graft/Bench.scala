@@ -160,6 +160,8 @@ object Bench {
       Similarity.lshTopK(emb, emb.filter("vec_id < 8"), "vec_id", "embedding", 10))
     results("llm_simhash") = timedRead(
       Dedup.simhash(docs.select("doc_id", "text"), "doc_id", "text"))
+    results("llm_ngram_jaccard") = timedRead(
+      Dedup.ngramJaccardNearDups(docs.select("doc_id", "text"), "doc_id", "text"))
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -317,6 +317,26 @@ object CoreEntries {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000""".stripMargin)),
 
+    // history() (table/mod.rs history; python table.py history): version +
+    // operation name over a table with a known op sequence — the
+    // deterministic projection of CommitInfo, VALUES-literal oracle.
+    Entry("history_op", (s, d) => {
+      import s.implicits._
+      val dir = shared2.getOrElseUpdate(s"$d#history", {
+        val p = tempDir("hist")
+        DeltaTable.write(s, pq(s, d, "nation"), p)
+        val t = DeltaTable.forPath(s, p)
+        t.delete(Some("n_nationkey = 1"))
+        t.optimizeCompact()
+        p
+      })
+      DeltaTable.forPath(s, dir).history()
+        .map { case (v, _, ci) => (v, ci.map(_.operation).getOrElse("?")) }
+        .toDF("version", "operation")
+    }, Some(
+      """SELECT CAST(v AS BIGINT) AS version, op AS operation FROM (VALUES
+        |  (0, 'CREATE TABLE AS SELECT'), (1, 'DELETE'), (2, 'OPTIMIZE')) t(v, op)""".stripMargin)),
+
     // SQL catalog plugin (§2.1 catalogs, Spark-idiomatic): the entire
     // lifecycle — namespace, CTAS, INSERT, DELETE, SELECT — through
     // spark.sql over a GraftCatalog, zero library API calls.

@@ -202,12 +202,16 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
 
   private def snapshotAt(target: Option[Long], withFiles: Boolean = true): Snapshot = {
     val versions = commitVersions()
+    // log-compaction files can outlive the commits they cover
+    val compacted = store.list(logPath).flatMap { f =>
+      LogCompaction.info(f.getPath.getName).map { case (s, e) => (s, e, f.getPath) }
+    }
     // a fully-vacuumed log may hold only a checkpoint — state at its
     // version is reconstructible with an empty replay tail
     val latestCp = checkpointVersionUpTo(None)
-    if (versions.isEmpty && latestCp.isEmpty)
+    if (versions.isEmpty && latestCp.isEmpty && compacted.isEmpty)
       throw new DeltaTableNotFoundException(tablePath.toString)
-    val maxV = (versions.map(_._1) ++ latestCp).max
+    val maxV = (versions.map(_._1) ++ latestCp ++ compacted.map(_._2)).max
     val v = target.getOrElse(maxV)
     require(v <= maxV, s"Version $v does not exist yet (latest: $maxV)")
 
@@ -261,11 +265,11 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
       case None => Nil
     }
     val startAfter = cpVersion.getOrElse(-1L)
-    val toReplay = versions.map(_._1).filter(cv => cv > startAfter && cv <= v).sorted
-    // contiguity check — a gap means a vacuumed/corrupt log
-    val expected = (startAfter + 1) to v
-    require(toReplay == expected,
-      s"Log is not contiguous between ${startAfter + 1} and $v: found $toReplay")
+    // replay tail: plain commits, with log-compaction files
+    // (%020d.%020d.compacted.json) substituted where they cover a full
+    // prefix of the remaining range — one read instead of many
+    val replayPlan = LogCompaction.plan(
+      versions.map(_._1).toSet, compacted, startAfter, v)
 
     val state = new ReplayState
     def applyMaybe(a: Action): Unit = a match {
@@ -273,7 +277,11 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
       case other => state.apply(other)
     }
     base.foreach(applyMaybe)
-    toReplay.foreach(cv => readCommit(cv).foreach(applyMaybe))
+    replayPlan.foreach {
+      case Left(cv) => readCommit(cv).foreach(applyMaybe)
+      case Right(p) =>
+        store.read(p).flatMap(ActionCodec.fromJson).foreach(applyMaybe)
+    }
 
     require(state.metadata != null, s"No metaData action found replaying to version $v")
     // refuse tables whose protocol/features we cannot read correctly

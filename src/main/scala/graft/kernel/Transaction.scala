@@ -192,7 +192,11 @@ class OptimisticTransaction(
       val name = f.getPath.getName
       val isOld = (LogStore.isCommitFile(name) || LogStore.isCheckpointFile(name)) &&
         LogStore.fileVersion(name) < checkpointVersion && f.getModificationTime < cutoff
-      if (isOld) log.store.delete(f.getPath)
+      // a compaction file is expired once its whole RANGE is behind the
+      // checkpoint (fileVersion reads only its start version)
+      val isOldCompaction = LogCompaction.info(name).exists(_._2 < checkpointVersion) &&
+        f.getModificationTime < cutoff
+      if (isOld || isOldCompaction) log.store.delete(f.getPath)
     }
   }
 }

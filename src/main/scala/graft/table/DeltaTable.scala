@@ -106,6 +106,33 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
   /** Stats-only row count (python/deltalake/table.py:584-604). */
   def approxCount: Option[Long] = snapshot.approxNumRecords
 
+  /** Per-file row keep-masks for files carrying deletion vectors
+    * (python `DeltaTable.deletion_vectors()`, table.py:486): one row per
+    * DV'd file — (filepath, selection_vector) where selection_vector[i] is
+    * false iff row i is deleted. Bitmaps decode in executor tasks; only
+    * files WITH DVs are returned, so the result is bounded by masked-file
+    * count, not table size. */
+  def deletionVectors: DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val root = tablePath.toString
+    val masked = snapshot.allFiles.filter(_.deletionVector.isDefined).map { f =>
+      val n = f.numRecords.getOrElse(
+        throw new IllegalStateException(s"file ${f.path} has a DV but no numRecords stat"))
+      (snapshot.absolutePath(f.path).toString, f.deletionVector.get, n)
+    }
+    spark.createDataset(masked)
+      .mapPartitions { it =>
+        val tp = new Path(root)
+        it.map { case (uri, dv, n) =>
+          val deleted = DeletionVectors.read(tp, dv, conf.value).toSet
+          (uri, (0L until n).map(i => !deleted.contains(i)))
+        }
+      }
+      .toDF("filepath", "selection_vector")
+  }
+
   /** Last recorded version for an idempotent-writer appId
     * (python/deltalake/table.py:1318-1330). */
   def txnVersion(appId: String): Option[Long] = snapshot.txns.get(appId)
@@ -161,6 +188,15 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
     MetadataOps.addColumns(this, newCols)
 
   def generateSymlinkManifest(): Unit = GenerateManifestOp.run(this)
+
+  /** Write a log-compaction file for the commit range (python
+    * `DeltaTable.compact_logs`; `protocol/log_compaction.rs:92`). Replay
+    * substitutes it for the individual commits it covers. */
+  def compactLogs(startVersion: Long, endVersion: Long): Unit = {
+    require(endVersion <= version,
+      s"endVersion $endVersion beyond latest version $version")
+    LogCompaction.write(deltaLog, startVersion, endVersion)
+  }
 
   def addFeature(feature: String, allowProtocolVersionIncrease: Boolean = true): Unit =
     MetadataOps.addFeature(this, feature, allowProtocolVersionIncrease)

@@ -340,4 +340,64 @@ class Round3Spec extends AnyFunSuite {
     DeltaTable.write(spark, Seq((101L, "y")).toDF("id", "v"), dir, mode = "append")
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 52)
   }
+
+  test("log compaction: the compacted file alone reconstructs the range") {
+    import spark.implicits._
+    import graft.kernel.LogStore
+    val dir = tmpDir()
+    DeltaTable.write(spark,
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir) // v0
+    val t = DeltaTable.forPath(spark, dir)
+    t.delete(Some("id < 10"))                                          // v1
+    DeltaTable.write(spark,
+      (100 until 110).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      dir, mode = "append")                                            // v2
+    t.setProperties(Map("graft.test.marker" -> "yes"))                 // v3
+    t.refresh()
+    val wantRows = t.toDF.as[(Long, String)].collect().sortBy(_._1).toSeq
+    val wantTombstones = t.snapshot.tombstones.map(_.path).toSet
+    assert(wantTombstones.nonEmpty)
+
+    t.compactLogs(1, 3)
+    // delete the covered commits: state must survive on the compaction file
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (1L to 3L).foreach { v =>
+      assert(fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/_delta_log/${LogStore.commitFileName(v)}"), false))
+    }
+    val t2 = DeltaTable.forPath(spark, dir)
+    assert(t2.version == 3)
+    assert(t2.toDF.as[(Long, String)].collect().sortBy(_._1).toSeq == wantRows)
+    assert(t2.metadata.configuration("graft.test.marker") == "yes")
+    // tombstones from inside the range are preserved for VACUUM
+    assert(t2.snapshot.tombstones.map(_.path).toSet == wantTombstones)
+    // a version inside the compacted range is no longer reachable — loudly
+    val e = intercept[IllegalArgumentException](t2.deltaLog.snapshotAt(2))
+    assert(e.getMessage.contains("not contiguous"))
+    // but the range START is: the compacted file replays [1..3] and v0+file
+    assert(t2.deltaLog.snapshotAt(3).version == 3)
+  }
+
+  test("deletionVectors(): per-file keep masks decode distributively") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark,
+      spark.range(1000).select(col("id"), (col("id") % 5).as("m")).coalesce(2),
+      dir, configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.delete(Some("id % 5 = 2"))
+    val dvs = t.deletionVectors.collect()
+    assert(dvs.length == t.snapshot.allFiles.count(_.deletionVector.isDefined))
+    assert(dvs.nonEmpty)
+    // keep-mask false-count per file == DV cardinality; kept rows remain
+    val cards = t.snapshot.allFiles.flatMap(f =>
+      f.deletionVector.map(d =>
+        t.snapshot.absolutePath(f.path).toString -> d.cardinality)).toMap
+    dvs.foreach { r =>
+      val mask = r.getSeq[Boolean](1)
+      assert(mask.count(!_) == cards(r.getString(0)))
+    }
+    assert(dvs.map(_.getSeq[Boolean](1).count(!_)).sum == 200)
+  }
 }

@@ -25,9 +25,16 @@ class DeltaProtocolException(msg: String) extends RuntimeException(msg)
  */
 object ProtocolGate {
 
+  // variant: Spark 4's native VariantType IS the engine the feature was
+  // designed around — schemaString "variant" parses via DataType.fromJson
+  // and the vectorized parquet reader decodes both the unshredded
+  // (value/metadata) and shredded (typed_value) physical layouts, so the
+  // scan path needs no graft-side work beyond not refusing the feature.
+  // Stats pruning fails open on variant columns (no min/max collected).
   val supportedReaderFeatures: Set[String] =
     Set("timestampNtz", "deletionVectors", "vacuumProtocolCheck",
-      "columnMapping", "v2Checkpoint")
+      "columnMapping", "v2Checkpoint",
+      "variantType", "variantType-preview", "variantShredding-preview")
 
   // v2Checkpoint on the writer side too: with delta.checkpointPolicy=v2 the
   // checkpoint writer emits the uuid-manifest + _sidecars layout
@@ -37,7 +44,7 @@ object ProtocolGate {
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "generatedColumns", "timestampNtz", "domainMetadata",
       "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "v2Checkpoint")
+      "v2Checkpoint", "variantType", "variantType-preview")
 
   private def columnMappingMode(m: Metadata): String =
     m.configuration.getOrElse("delta.columnMapping.mode", "none").trim.toLowerCase
@@ -102,7 +109,42 @@ object ProtocolGate {
     case v =>
       (if (v >= 2) Seq("appendOnly", "invariants") else Nil) ++
         (if (v >= 3) Seq("checkConstraints") else Nil) ++
-        (if (v >= 4) Seq("changeDataFeed", "generatedColumns") else Nil)
+        (if (v >= 4) Seq("changeDataFeed", "generatedColumns") else Nil) ++
+        (if (v >= 5) Seq("columnMapping") else Nil)
+  }
+
+  /** Does a schema contain VARIANT anywhere (top level or nested)? */
+  def containsVariant(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: VariantType => true
+      case s: StructType => s.fields.exists(f => containsVariant(f.dataType))
+      case a: ArrayType => containsVariant(a.elementType)
+      case m: MapType => containsVariant(m.keyType) || containsVariant(m.valueType)
+      case _ => false
+    }
+  }
+
+  /** Protocol action required before committing a schema that contains
+    * VARIANT (spec: variantType is reader+writer feature on 3/7), if not
+    * already present. Accepts the preview feature name as satisfying. */
+  def upgradeForVariant(p: Protocol): Option[Protocol] = {
+    def has(fs: Option[Seq[String]]) =
+      fs.exists(_.exists(f => f == "variantType" || f == "variantType-preview"))
+    val ok = p.minReaderVersion >= 3 && has(p.readerFeatures) &&
+      p.minWriterVersion >= 7 && has(p.writerFeatures)
+    if (ok) None
+    else {
+      // reader v2 implies column mapping — enumerate it when jumping to v3
+      val impliedReaders =
+        if (p.minReaderVersion >= 3) p.readerFeatures.getOrElse(Nil)
+        else if (p.minReaderVersion == 2) Seq("columnMapping")
+        else Nil
+      Some(Protocol(3, 7,
+        readerFeatures = Some((impliedReaders :+ "variantType").distinct),
+        writerFeatures = Some(
+          (impliedWriterFeatures(p) :+ "variantType").distinct)))
+    }
   }
 
   /** delta.appendOnly enforcement (writer feature / table property). */

@@ -111,7 +111,11 @@ object WriteIntoDelta {
       case _ => (Nil, None) // append
     }
 
-    val actions: Seq[Action] = newMetadata.toSeq ++ adds ++ extraActions
+    // schema evolution introducing a VARIANT column upgrades the protocol
+    val protocolUpgrade: Seq[Action] =
+      newMetadata.filter(m => ProtocolGate.containsVariant(m.schema))
+        .flatMap(_ => ProtocolGate.upgradeForVariant(snapshot.protocol)).toSeq
+    val actions: Seq[Action] = protocolUpgrade ++ newMetadata.toSeq ++ adds ++ extraActions
     val params = Map("mode" -> (if (m == "overwrite") "Overwrite" else "Append")) ++
       predicateParam.map("predicate" -> _)
     table.commitAndRefresh(txn, actions,
@@ -144,12 +148,19 @@ object WriteIntoDelta {
       schema: StructType,
       configuration: Map[String, String]): (StructType, Map[String, String], Protocol) = {
     val mode = configuration.getOrElse(ColumnMapping.MODE_KEY, "none").trim.toLowerCase
-    if (mode == "name" || mode == "id") {
-      val (annotated, maxId) = ColumnMapping.assignMetadata(schema)
-      (annotated,
-        configuration + (ColumnMapping.MAX_ID_KEY -> maxId.toString),
-        Protocol(2, 5))
-    } else (schema, configuration, Protocol())
+    val (schema2, conf2, base) =
+      if (mode == "name" || mode == "id") {
+        val (annotated, maxId) = ColumnMapping.assignMetadata(schema)
+        (annotated,
+          configuration + (ColumnMapping.MAX_ID_KEY -> maxId.toString),
+          Protocol(2, 5))
+      } else (schema, configuration, Protocol())
+    // a VARIANT column anywhere requires the variantType feature on 3/7
+    val withVariant =
+      if (ProtocolGate.containsVariant(schema2))
+        ProtocolGate.upgradeForVariant(base).getOrElse(base)
+      else base
+    (schema2, conf2, withVariant)
   }
 
   private[graft] def numIndexedCols(meta: Metadata): Int =

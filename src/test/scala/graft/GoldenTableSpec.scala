@@ -232,11 +232,40 @@ class GoldenTableSpec extends AnyFunSuite {
     assert(t.toDF.count() == 0)
   }
 
-  test("spark-variant-checkpoint: unsupported variant reader feature refused") {
-    val e = intercept[graft.kernel.DeltaProtocolException] {
-      DeltaTable.forPath(spark, golden("spark-variant-checkpoint")).snapshot
-    }
-    assert(e.getMessage.contains("variantType"))
+  test("spark-variant-checkpoint: VARIANT columns decode through Spark's native reader") {
+    // ground truth from pyarrow over the live file set (log replay in
+    // python): 4 files, 102 rows, v non-null on all 102
+    val t = DeltaTable.forPath(spark, golden("spark-variant-checkpoint"))
+    assert(t.snapshot.numFiles == 4)
+    val df = t.toDF
+    assert(df.schema("v").dataType == org.apache.spark.sql.types.VariantType)
+    assert(df.count() == 102)
+    assert(df.filter("v IS NOT NULL").count() == 102)
+    // every variant renders to JSON and carries the expected shape
+    val js = df.selectExpr("id", "to_json(v) AS j")
+    assert(js.filter("j IS NULL").count() == 0)
+    assert(js.select("j").distinct().count() > 1, "variant values all identical — decode suspect")
+    // nested variant containers decode too
+    assert(df.selectExpr("size(array_of_variants)").filter("size(array_of_variants) < 0").count() == 0)
+    assert(df.selectExpr("to_json(struct_of_variants.v)").count() == 102)
+  }
+
+  test("spark-shredded-variant-preview-delta: percent-prefixed paths + variant read") {
+    // file names contain literal '%' (log stores them double-encoded) —
+    // PathCodec canary AND variant decode in one fixture; pyarrow ground
+    // truth: 4 live files, 102 rows, all v non-null
+    val t = DeltaTable.forPath(spark, golden("spark-shredded-variant-preview-delta"))
+    assert(t.snapshot.numFiles == 4)
+    val df = t.toDF
+    assert(df.count() == 102)
+    assert(df.filter("v IS NOT NULL").count() == 102)
+    assert(df.selectExpr("to_json(v) AS j").filter("j IS NULL").count() == 0)
+  }
+
+  test("spark-variant-stable-feature-checkpoint: log-only fixture opens with the stable feature") {
+    val t = DeltaTable.forPath(spark, golden("spark-variant-stable-feature-checkpoint"))
+    assert(t.protocol.readerFeatures.exists(_.contains("variantType")))
+    assert(t.schema("v").dataType == org.apache.spark.sql.types.VariantType)
   }
 
   test("partition-type-primitives: 16 single-row partitions prune exactly") {

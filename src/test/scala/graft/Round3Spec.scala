@@ -379,6 +379,29 @@ class Round3Spec extends AnyFunSuite {
     assert(t2.deltaLog.snapshotAt(3).version == 3)
   }
 
+  test("writing VARIANT emits the 3/7 variantType protocol; round-trips") {
+    val dir = tmpDir()
+    val df = spark.sql(
+      """SELECT id, parse_json(concat('{"k":', id, '}')) AS v
+        |FROM range(10)""".stripMargin)
+    DeltaTable.write(spark, df, dir)
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.protocol.minReaderVersion == 3 && t.protocol.minWriterVersion == 7)
+    assert(t.protocol.readerFeatures.get.contains("variantType"))
+    assert(t.protocol.writerFeatures.get.contains("variantType"))
+    assert(t.toDF.selectExpr("variant_get(v, '$.k', 'long')")
+      .collect().map(_.getLong(0)).sorted.toSeq == (0L until 10L))
+
+    // schema evolution introducing variant upgrades an existing protocol
+    val dir2 = tmpDir()
+    DeltaTable.write(spark, spark.range(5).toDF("id"), dir2)
+    assert(DeltaTable.forPath(spark, dir2).protocol.minReaderVersion == 1)
+    DeltaTable.write(spark, df, dir2, mode = "append", mergeSchema = true)
+    val t2 = DeltaTable.forPath(spark, dir2)
+    assert(t2.protocol.readerFeatures.get.contains("variantType"))
+    assert(t2.toDF.count() == 15)
+  }
+
   test("deletionVectors(): per-file keep masks decode distributively") {
     import spark.implicits._
     val dir = tmpDir()

@@ -123,7 +123,7 @@ object CdfRead {
 
   /** One leg: a single parquet scan over `files` with commit provenance
     * recovered via a broadcast path→(version, timestamp) join. */
-  private def legDf(
+  private[graft] def legDf(
       spark: SparkSession,
       table: DeltaTable,
       schema: StructType,

@@ -63,9 +63,12 @@ class GraftDeltaDataSource extends DataSourceRegister
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val s = schema.getOrElse(
+    val cdf = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v
+    }.exists(_.trim.equalsIgnoreCase("true"))
+    val base = schema.getOrElse(
       DeltaTable.forPath(sqlContext.sparkSession, pathOf(parameters)).schema)
-    (shortName(), s)
+    (shortName(), if (cdf && schema.isEmpty) GraftDeltaSource.cdfSchema(base) else base)
   }
 
   override def createSource(

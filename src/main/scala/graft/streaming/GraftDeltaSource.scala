@@ -10,8 +10,9 @@ import org.apache.spark.sql.types.StructType
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.kernel.{Action, AddFile, DeltaLog, Metadata, Protocol, ProtocolGate, RemoveFile, Snapshot}
-import graft.table.Scan
+import graft.kernel.{Action, AddCDCFile, AddFile, CommitInfo, DeltaLog, Metadata, Protocol, ProtocolGate, RemoveFile, Snapshot}
+import graft.ops.{CdfRead, Dml}
+import graft.table.{DeltaTable, Scan}
 
 /**
  * Streaming-source offset: everything strictly before `(version, index)` has
@@ -105,13 +106,25 @@ class GraftDeltaSource(
   private val ignoreChanges = boolOpt("ignoreChanges")
   private val skipChangeCommits = boolOpt("skipChangeCommits")
 
+  /** `readChangeFeed=true`: serve the change feed instead of plain adds —
+    * per-commit CDC files (or synthesized insert/delete legs, same rules as
+    * batch [[CdfRead]]), with `_change_type`/`_commit_version`/
+    * `_commit_timestamp` columns; the initial snapshot streams as inserts.
+    * Extension beyond the reference (its CDF surface is the polling batch
+    * `load_cdf`); option name matches delta-spark. */
+  private val cdfMode = boolOpt("readChangeFeed")
+  if (cdfMode) require(Dml.cdcEnabled(initSnapshot),
+    "readChangeFeed=true requires delta.enableChangeDataFeed on the table")
+
   /** None = serve the initial snapshot first; Some(v) = tail from commit v. */
   private val startingVersion: Option[Long] = opt("startingVersion").map {
     case s if s.trim.equalsIgnoreCase("latest") => initSnapshot.version + 1
     case s => s.trim.toLong
   }
 
-  override val schema: StructType = initSnapshot.schema
+  override val schema: StructType =
+    if (cdfMode) GraftDeltaSource.cdfSchema(initSnapshot.schema)
+    else initSnapshot.schema
 
   /** Base offset: nothing admitted yet. */
   private def baseOffset: GraftSourceOffset = startingVersion match {
@@ -175,6 +188,76 @@ class GraftDeltaSource(
     result.sortBy(_.path).toIndexedSeq
   }
 
+  // ---- CDF mode: per-version change units ----------------------------------
+
+  /** One admitted change file: kind ∈ {cdc, insert, delete}. */
+  private case class ChangeUnit(kind: String, relPath: String,
+      pv: Map[String, String], version: Long, ts: Long)
+
+  private val versionChanges = mutable.Map.empty[(Long, Boolean), IndexedSeq[ChangeUnit]]
+
+  private lazy val cdfTable = new DeltaTable(spark, new Path(tablePath))
+
+  private def changesAt(version: Long, isInitial: Boolean, latest: Long): IndexedSeq[ChangeUnit] =
+    versionChanges.get((version, isInitial)) match {
+      case Some(u) => u
+      case None if !isInitial && version > latest => IndexedSeq.empty
+      case None =>
+        val u =
+          if (isInitial) {
+            val snap = if (version == initSnapshot.version) initSnapshot
+                       else log.snapshotAt(version)
+            snap.allFiles.sortBy(_.path).map { f =>
+              if (f.deletionVector.exists(_.cardinality > 0))
+                throw new IllegalStateException(
+                  s"readChangeFeed: initial-snapshot file ${f.path} carries a " +
+                  "deletion vector; start from a version after the DV write " +
+                  "(startingVersion) or OPTIMIZE first")
+              ChangeUnit("insert", f.path, f.partitionValues, version, snap.timestampMs)
+            }.toIndexedSeq
+          } else {
+            val actions = log.readCommit(version)
+            actions.collectFirst { case p: Protocol => p }
+              .foreach(p => ProtocolGate.checkRead(p, initSnapshot.metadata))
+            actions.collectFirst {
+              case m: Metadata if m.schema != initSnapshot.schema => m
+            }.foreach { _ =>
+              throw new IllegalStateException(
+                s"graft-delta source: table schema changed at version $version; " +
+                "restart the stream to pick up the new schema")
+            }
+            val ts = actions.collectFirst {
+              case ci: CommitInfo if ci.timestamp.isDefined => ci.timestamp.get
+            }.getOrElse(0L)
+            val cdc = actions.collect { case c: AddCDCFile => c }
+            val units =
+              if (cdc.nonEmpty)
+                cdc.map(c => ChangeUnit("cdc", c.path, c.partitionValues, version, ts))
+              else actions.collect {
+                case a: AddFile if a.dataChange =>
+                  if (a.deletionVector.exists(_.cardinality > 0))
+                    throw new IllegalStateException(
+                      s"CDF cannot synthesize changes for DV-masked file ${a.path} " +
+                      s"at version $version (no CDC files in that commit)")
+                  ChangeUnit("insert", a.path, a.partitionValues, version, ts)
+                case r: RemoveFile if r.dataChange =>
+                  if (r.deletionVector.exists(_.cardinality > 0))
+                    throw new IllegalStateException(
+                      s"CDF cannot synthesize changes for DV-masked file ${r.path} " +
+                      s"at version $version (no CDC files in that commit)")
+                  ChangeUnit("delete", r.path, r.partitionValues.getOrElse(Map.empty), version, ts)
+              }
+            units.sortBy(u => (u.kind, u.relPath)).toIndexedSeq
+          }
+        versionChanges.update((version, isInitial), u)
+        u
+    }
+
+  /** Unit count at a position — admission is unit-based in both modes. */
+  private def countAt(version: Long, isInitial: Boolean, latest: Long): Int =
+    if (cdfMode) changesAt(version, isInitial, latest).size
+    else filesAt(version, isInitial, latest).size
+
   // ---- admission -----------------------------------------------------------
 
   /** Consumed-up-to marker; recovered from checkpoints via latestOffset's
@@ -207,7 +290,7 @@ class GraftDeltaSource(
     var budget = budget0
     var done = false
     while (!done) {
-      val size = filesAt(v, init, latest).size
+      val size = countAt(v, init, latest)
       val avail = size - idx
       if (avail > 0 && budget > 0) {
         val take = math.min(avail, budget.toLong).toInt
@@ -244,18 +327,18 @@ class GraftDeltaSource(
 
   // ---- batch materialization ----------------------------------------------
 
-  /** Files admitted in (start, end] across the version timeline. */
-  private def filesBetween(start: GraftSourceOffset,
-                           end: GraftSourceOffset): Seq[AddFile] = {
+  /** Units admitted in (start, end] across the version timeline. */
+  private def unitsBetween[T](at: (Long, Boolean, Long) => IndexedSeq[T])(
+      start: GraftSourceOffset, end: GraftSourceOffset): Seq[T] = {
     val latest = math.max(log.latestVersion(), initSnapshot.version)
-    val out = Seq.newBuilder[AddFile]
+    val out = Seq.newBuilder[T]
     var v = start.version
     var init = start.isInitialSnapshot
     while (v <= end.version) {
-      val files = filesAt(v, init, latest)
+      val units = at(v, init, latest)
       val lo = if (v == start.version && init == start.isInitialSnapshot) start.index else 0L
-      val hi = if (v == end.version) math.min(end.index, files.size.toLong) else files.size.toLong
-      if (lo < hi) out ++= files.slice(lo.toInt, hi.toInt)
+      val hi = if (v == end.version) math.min(end.index, units.size.toLong) else units.size.toLong
+      if (lo < hi) out ++= units.slice(lo.toInt, hi.toInt)
       if (init && v == end.version && end.isInitialSnapshot) return out.result()
       if (init) init = false
       v += 1
@@ -270,16 +353,42 @@ class GraftDeltaSource(
       if (current == null || GraftSourceOffset.ordering.lt(current, endOff))
         current = endOff
     }
-    val files = filesBetween(startOff, endOff)
-    GraftSqlBridge.streamingDataFrame(Scan.readFiles(spark, initSnapshot, files))
+    val batch =
+      if (cdfMode) {
+        val units = unitsBetween(changesAt)(startOff, endOff)
+        val legs = Seq("cdc" -> None, "insert" -> Some("insert"), "delete" -> Some("delete"))
+          .flatMap { case (kind, ct) =>
+            CdfRead.legDf(spark, cdfTable, initSnapshot.schema,
+              initSnapshot.partitionColumns,
+              units.filter(_.kind == kind).map(u => (u.relPath, u.pv, u.version, u.ts)),
+              changeType = ct)
+          }
+        if (legs.isEmpty) Scan.emptyDf(spark, schema)
+        else legs.reduce(_.unionByName(_))
+      } else
+        Scan.readFiles(spark, initSnapshot, unitsBetween(filesAt)(startOff, endOff))
+    GraftSqlBridge.streamingDataFrame(batch)
   }
 
   override def commit(end: OffsetV1): Unit = synchronized {
     val e = GraftSourceOffset.from(end)
     versionFiles.keys.filter(_._1 < e.version).toSeq.foreach(versionFiles.remove)
+    versionChanges.keys.filter(_._1 < e.version).toSeq.foreach(versionChanges.remove)
   }
 
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftDeltaSource[$tablePath]"
+}
+
+object GraftDeltaSource {
+  /** Table schema + the three CDF provenance columns (same layout as batch
+    * [[graft.ops.CdfRead]]). */
+  def cdfSchema(base: StructType): StructType = {
+    import org.apache.spark.sql.types._
+    StructType(base.fields ++ Seq(
+      StructField(graft.ops.Dml.CDC_COL, StringType),
+      StructField("_commit_version", LongType),
+      StructField("_commit_timestamp", TimestampType)))
+  }
 }

@@ -174,6 +174,12 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
 
   def restore(version: Long): Map[String, String] = RestoreOp.run(this, version)
 
+  /** Restore to the last version committed at or before `tsMs`
+    * (restore.rs:89 datetime_to_restore; same resolution rule as
+    * time-travel reads). */
+  def restoreToTimestamp(tsMs: Long): Map[String, String] =
+    RestoreOp.run(this, deltaLog.snapshotForTimestamp(tsMs).version)
+
   def fsck(dryRun: Boolean = false): Seq[String] = FsckOp.run(this, dryRun)
 
   def addConstraint(name: String, expr: String): Unit =

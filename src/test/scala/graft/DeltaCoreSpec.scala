@@ -282,6 +282,10 @@ class DeltaCoreSpec extends AnyFunSuite {
     assert(t.toDF.count() == 150)
     t.restore(0)
     assert(t.toDF.count() == 100)
+    // restore by timestamp resolves "last version committed at or before ts"
+    val tsOfV1 = t.history().find(_._1 == 1L).get._2
+    t.restoreToTimestamp(tsOfV1)
+    assert(t.toDF.count() == 150)
   }
 
   test("vacuum removes orphans, keeps live data") {

@@ -230,4 +230,67 @@ class GraftSourceSpec extends AnyFunSuite {
       assert(rows == Map(0L -> 2L, 1L -> 2L)) // latest aggregate only
     } finally q.stop()
   }
+
+  test("readChangeFeed: streaming feed matches the batch CDF") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, (0 until 20).map(i => (i, s"v$i")).toDF("id", "v"),
+      dir, configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.delete(Some("id < 5"))                                        // v1: cdc files
+    val view = nextView()
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").option("maxFilesPerTrigger", 1)
+      .load(dir)
+      .writeStream.format("memory").queryName(view).start()
+    try {
+      q.processAllAvailable()
+      // a post-start commit flows incrementally
+      DeltaTable.write(spark,
+        Seq((100, "x")).toDF("id", "v"), dir, mode = "append")      // v2
+      q.processAllAvailable()
+
+      val got = spark.table(view)
+        .select("id", "v", "_change_type", "_commit_version")
+        .as[(Int, String, String, Long)].collect().sorted.toSeq
+      // expected: initial snapshot (v1 state, 15 survivors as inserts at v1)
+      // + v1's cdc deletes? No — the initial snapshot is the STARTING state:
+      // stream began after v1, so snapshot(v=1) inserts + v2's append.
+      val snapInserts = (5 until 20).map(i => (i, s"v$i", "insert", 1L))
+      val tail = Seq((100, "x", "insert", 2L))
+      assert(got == (snapInserts ++ tail).sorted)
+      // _commit_timestamp present and non-null
+      assert(spark.table(view).filter("_commit_timestamp IS NULL").count() == 0)
+    } finally q.stop()
+
+    // startingVersion=0 replays the full feed == batch loadCdf(0)
+    val view2 = nextView()
+    val q2 = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").option("startingVersion", 0)
+      .load(dir)
+      .writeStream.format("memory").queryName(view2).start()
+    try {
+      q2.processAllAvailable()
+      val streamRows = spark.table(view2)
+        .select("id", "v", "_change_type", "_commit_version")
+        .as[(Int, String, String, Long)].collect().sorted.toSeq
+      val batchRows = t.loadCdf(0)
+        .select("id", "v", "_change_type", "_commit_version")
+        .as[(Int, String, String, Long)].collect().sorted.toSeq
+      assert(streamRows == batchRows)
+    } finally q2.stop()
+  }
+
+  test("readChangeFeed refused without CDF enabled") {
+    val dir = tmpDir()
+    ints(dir, 1, 2, 3)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-delta")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.format("memory").queryName(nextView()).start()
+        .processAllAvailable()
+    }
+    assert(e.getMessage.contains("enableChangeDataFeed") ||
+      e.getCause != null && e.getCause.getMessage.contains("enableChangeDataFeed"))
+  }
 }

@@ -386,6 +386,37 @@ object CoreEntries {
       DeltaTable.forPath(s, dst).toDF
     }, Some("SELECT * FROM nation")),
 
+    // streaming CDF source (§2.10 extension): the feed streamed through a
+    // memory sink equals the batch change feed, CDC legs included
+    Entry("streaming_cdf", (s, d) => {
+      val src = tempDir("cdfsrc")
+      DeltaTable.write(s, pq(s, d, "nation"), src,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      val t = DeltaTable.forPath(s, src)
+      t.delete(Some("n_nationkey >= 20"))
+      val view = s"graft_cdf_stream_${System.nanoTime()}"
+      val q = s.readStream.format("graft-delta")
+        .option("readChangeFeed", "true").option("startingVersion", 0)
+        .load(src)
+        .writeStream.format("memory").queryName(view).start()
+      try {
+        q.processAllAvailable()
+        t.update(Map("n_name" -> expr("concat(n_name, '!')")), Some("n_nationkey < 3"))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(view).drop("_commit_timestamp")
+    }, Some(
+      """SELECT n_nationkey, n_name, n_regionkey, 'insert' AS _change_type,
+        |       CAST(0 AS BIGINT) AS _commit_version
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'delete', 1 FROM nation WHERE n_nationkey >= 20
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'update_preimage', 2 FROM nation WHERE n_nationkey < 3
+        |UNION ALL
+        |SELECT n_nationkey, concat(n_name, '!'), n_regionkey, 'update_postimage', 2
+        |FROM nation WHERE n_nationkey < 3""".stripMargin)),
+
     // column mapping: physical-name files, logical-name results (§2.9 row 47)
     Entry("column_mapping", (s, d) => {
       val dir = tempDir("cm")

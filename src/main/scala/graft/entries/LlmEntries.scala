@@ -316,6 +316,31 @@ object LlmEntries {
         |       md5(text) AS digest
         |FROM documents""".stripMargin)),
 
+    // frame sampling over the opaque payload: codegen'd explode+substr+hex;
+    // oracle slices the hex of the blob (byte [o, o+L) = hex chars
+    // [2o+1, 2o+2L]) since DuckDB cannot substring BLOBs directly.
+    Entry("llm_multimodal_frames", (s, d) => {
+      val withP = Multimodal.withPayload(docsDelta(s, d), "text")
+      Multimodal.frameSample(withP, "doc_id", "payload", nFrames = 4, frameSize = 16)
+    }, Some(
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |       substring(hex(encode(text)),
+        |                 CAST(2 * floor(f * octet_length(encode(text)) / 4) + 1 AS INT),
+        |                 32) AS frame_hex
+        |FROM documents, range(4) t(f)""".stripMargin)),
+
+    // nearest-neighbor byte resample (fixed k taps — the resize shape)
+    Entry("llm_multimodal_resize", (s, d) => {
+      val withP = Multimodal.withPayload(docsDelta(s, d), "text")
+      Multimodal.resampleHex(withP, "doc_id", "payload", k = 8)
+    }, Some {
+      val parts = (0 until 8).map(j =>
+        s"substring(hx, CAST(2 * floor($j * n / 8) + 1 AS INT), 2)").mkString(" || ")
+      s"""SELECT doc_id, $parts AS resized_hex
+         |FROM (SELECT doc_id, hex(encode(text)) AS hx,
+         |             octet_length(encode(text)) AS n FROM documents) t""".stripMargin
+    }),
+
     // mapPartitions batch transform with a stubbed codec. The entry projects
     // one double column per dim (the harness can't sort/hash array cells) and
     // carries a full oracle: fakeDecode is deterministic byte math.

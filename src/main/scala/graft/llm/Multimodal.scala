@@ -57,6 +57,44 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /**
+   * Frame sampling: `nFrames` evenly-spaced fixed-size windows over the
+   * payload (the video-keyframe / audio-clip access pattern). Pure codegen
+   * column expressions — explode + substr + hex, no UDF, so the whole
+   * operator stays inside WholeStageCodegen and scales as a narrow map.
+   * Output: (id, frame_idx, frame_hex); a real pipeline would feed each
+   * frame to the decode stage instead of hex-digesting it.
+   */
+  def frameSample(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      nFrames: Int = 4,
+      frameSize: Int = 16): DataFrame = {
+    val len = length(col(payloadCol))
+    val off = (lit(1) + floor(col("__fi") * len / lit(nFrames))).cast("int")
+    df.select(col(idCol), col(payloadCol),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("__fi"))
+      .select(col(idCol), col("__fi").cast("long").as("frame_idx"),
+        hex(col(payloadCol).substr(off, lit(frameSize))).as("frame_hex"))
+  }
+
+  /** Nearest-neighbor byte resample to a fixed budget of `k` sample
+    * points — the structural stand-in for image resize (same shape: fixed
+    * output size regardless of input size, evenly-spaced source taps).
+    * Pure column expressions, `k` unrolled at plan time. */
+  def resampleHex(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      k: Int = 8): DataFrame = {
+    val len = length(col(payloadCol))
+    val parts = (0 until k).map { j =>
+      hex(col(payloadCol).substr((lit(1) + floor(lit(j) * len / lit(k))).cast("int"), lit(1)))
+    }
+    df.select(col(idCol), concat_ws("", parts: _*).as("resized_hex"))
+  }
+
   /** Deterministic stand-in for a media codec: dim byte-histogram-ish floats.
     * Replace with the real decoder; the pipeline around it is unchanged.
     * Integer accumulation + a power-of-two divide keeps the value FP-exact

@@ -210,7 +210,57 @@ object CoreEntries {
         |                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
         |                     ELSE 0 END) AS BIGINT) AS promo_cents,
         |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
-        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin))
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin),
+
+    // Q4 shape: correlated EXISTS (plans as a left-semi join)
+    sqlEntry("tpch_q4_shape", Seq("orders", "lineitem"),
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin),
+
+    // Q7 shape: the same dimension joined twice under different roles
+    sqlEntry("tpch_q7_shape", Seq("lineitem", "supplier", "orders", "customer", "nation"),
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+        |  AND n1.n_nationkey <> n2.n_nationkey
+        |GROUP BY n1.n_name, n2.n_name""".stripMargin),
+
+    // Q13 shape: outer-join distribution (customers with zero orders count)
+    sqlEntry("tpch_q13_shape", Seq("customer", "orders"),
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin),
+
+    // Q22 shape: NOT EXISTS anti-join + scalar-subquery threshold; the
+    // threshold is an avg over integer cents (exact integer sum / count →
+    // one IEEE division, identical in both engines — a raw avg(double)
+    // would be summation-order-dependent)
+    sqlEntry("tpch_q22_shape", Seq("customer", "orders"),
+      """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM (
+        |  SELECT substring(c_name, length(c_name) - 1, 2) AS cntrycode,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer
+        |  WHERE CAST(round(c_acctbal * 100) AS BIGINT) >
+        |        (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+        |         FROM customer WHERE c_acctbal > 0.0)
+        |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |) t
+        |GROUP BY cntrycode""".stripMargin))
 
   // ---------------------------------------------------------------- writes
 

@@ -81,10 +81,18 @@ object Dedup {
 
     val sh = shingles(df, idCol, textCol, shingleSize)
 
-    // 2. signatures — numHashes min-aggs over seeded hashes of the shingle
+    // 2. signatures — numHashes min-aggs per doc. The variable-length
+    // shingle string is hashed ONCE; the numHashes family members are
+    // seeded xxhash64 over that fixed 8-byte base hash — far cheaper per
+    // member than re-hashing the string numHashes times (the hottest CPU
+    // in the whole pipeline), and a principled independent family (unlike
+    // additive double-hashing, which ANSI mode also rejects for i64
+    // wrap-around). Precision is exact regardless: step 5 verifies true
+    // Jaccard on the full shingle-hash sets.
+    val sigSrc = sh.withColumn("__h0", xxhash64(col("__sh")))
     val sigAggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("__sh"), lit(i))).as(s"__h$i"))
-    val sig = sh.groupBy("__id").agg(sigAggs.head, sigAggs.tail: _*)
+      min(xxhash64(col("__h0"), lit(i))).as(s"__h$i"))
+    val sig = sigSrc.groupBy("__id").agg(sigAggs.head, sigAggs.tail: _*)
 
     // 3. band keys
     val bandStructs = (0 until bands).map { b =>

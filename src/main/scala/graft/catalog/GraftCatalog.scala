@@ -60,11 +60,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def nsPath(namespace: Array[String]): Path =
     namespace.foldLeft(warehouse)(new Path(_, _))
 
-  private def tablePath(ident: Identifier): Path =
+  /** Warehouse-layout slot for an identifier: either the managed table dir
+    * itself, or (external tables) a stub dir holding a location pointer. */
+  private def slotPath(ident: Identifier): Path =
     new Path(nsPath(ident.namespace()), ident.name())
+
+  private val PointerFile = "_graft_location"
+
+  /** The Delta table dir an identifier resolves to: the slot itself for a
+    * managed table, or the path recorded in the slot's pointer file for a
+    * table created with LOCATION (without the pointer, external tables
+    * would be orphaned the moment createTable returned). */
+  private def tablePath(ident: Identifier): Path = {
+    val slot = slotPath(ident)
+    externalLocation(slot).getOrElse(slot)
+  }
+
+  private def externalLocation(slot: Path): Option[Path] = {
+    val ptr = new Path(slot, PointerFile)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try Some(new Path(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim))
+      finally in.close()
+    }
+  }
 
   private def isTableDir(p: Path): Boolean =
     fs.exists(new Path(p, "_delta_log"))
+
+  /** A slot is a table if it holds a Delta log (managed) or a pointer to
+    * one (external). */
+  private def isTableSlot(slot: Path): Boolean =
+    externalLocation(slot) match {
+      case Some(ext) => isTableDir(ext)
+      case None => isTableDir(slot)
+    }
 
   // ---- tables ----
 
@@ -72,12 +105,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = nsPath(namespace)
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
     fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
-      .filter(isTableDir)
+      .filter(isTableSlot)
       .map(p => Identifier.of(namespace, p.getName))
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    isTableDir(tablePath(ident))
+    isTableSlot(slotPath(ident))
 
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
@@ -105,9 +138,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val props = properties.asScala.toMap
-    val location = props.get(TableCatalog.PROP_LOCATION)
-      .map(new Path(_)).getOrElse(tablePath(ident))
-    if (isTableDir(location)) throw new TableAlreadyExistsException(ident)
+    val slot = slotPath(ident)
+    val external = props.get(TableCatalog.PROP_LOCATION).map(new Path(_))
+    val location = external.getOrElse(slot)
+    if (isTableSlot(slot) || isTableDir(location))
+      throw new TableAlreadyExistsException(ident)
     val partCols = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references()(0).fieldNames.mkString(".")
@@ -122,6 +157,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       configuration = props -- reserved,
       name = Some(ident.name()),
       description = props.get(TableCatalog.PROP_COMMENT))
+    // external tables leave a pointer in the warehouse slot so every later
+    // load/list/drop resolves the identifier back to the real location
+    external.foreach { ext =>
+      fs.mkdirs(slot)
+      val out = fs.create(new Path(slot, PointerFile), true)
+      try out.write(ext.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     new GraftTable(spark, ident.toString, location)
   }
 
@@ -146,19 +189,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** Deletes the warehouse slot: the table dir for managed tables, only
+    * the pointer stub for external ones (standard external-table DROP
+    * semantics — the data outside the warehouse is left in place). */
   override def dropTable(ident: Identifier): Boolean = {
-    val p = tablePath(ident)
-    if (!isTableDir(p)) false
-    else fs.delete(p, true)
+    val slot = slotPath(ident)
+    if (!isTableSlot(slot)) false
+    else fs.delete(slot, true)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val from = tablePath(oldIdent)
-    val to = tablePath(newIdent)
-    if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
-    if (isTableDir(to)) throw new TableAlreadyExistsException(newIdent)
+    val from = slotPath(oldIdent)
+    val to = slotPath(newIdent)
+    if (!isTableSlot(from)) throw new NoSuchTableException(oldIdent)
+    if (isTableSlot(to)) throw new TableAlreadyExistsException(newIdent)
     if (!fs.exists(to.getParent)) throw new NoSuchNamespaceException(newIdent.namespace())
-    // safe for Delta tables: add.path entries are table-root-relative
+    // safe for Delta tables: add.path entries are table-root-relative, and
+    // an external slot carries only its pointer file
     require(fs.rename(from, to), s"rename $from -> $to failed")
   }
 
@@ -166,20 +213,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listNamespaces(): Array[Array[String]] =
     fs.listStatus(warehouse).filter(_.isDirectory).map(_.getPath)
-      .filterNot(isTableDir)
+      .filterNot(isTableSlot)
       .map(p => Array(p.getName))
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     val dir = nsPath(namespace)
     if (namespace.nonEmpty && !fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
     fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
-      .filterNot(isTableDir)
+      .filterNot(isTableSlot)
       .map(p => namespace :+ p.getName)
   }
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     val dir = nsPath(namespace)
-    if (!fs.exists(dir) || isTableDir(dir)) throw new NoSuchNamespaceException(namespace)
+    if (!fs.exists(dir) || isTableSlot(dir)) throw new NoSuchNamespaceException(namespace)
     Map("location" -> dir.toString).asJava
   }
 

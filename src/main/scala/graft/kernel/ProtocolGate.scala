@@ -40,11 +40,17 @@ object ProtocolGate {
   // checkpoint writer emits the uuid-manifest + _sidecars layout
   // (Checkpoints.writeV2Checkpoint), satisfying the spec requirement that
   // writers on such tables produce v2 checkpoints.
+  // identityColumns: tolerated, not generated — the same posture as writer
+  // v6 tables (which this gate already admits without feature checks) and
+  // as the reference (schema.rs:270-273 tolerates identity metadata). A
+  // v6→v7 upgrade MUST enumerate it (impliedWriterFeatures), so it must be
+  // accepted here or our own upgraded tables would refuse further writes.
   val supportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "generatedColumns", "timestampNtz", "domainMetadata",
       "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "v2Checkpoint", "variantType", "variantType-preview")
+      "v2Checkpoint", "variantType", "variantType-preview",
+      "identityColumns")
 
   private def columnMappingMode(m: Metadata): String =
     m.configuration.getOrElse("delta.columnMapping.mode", "none").trim.toLowerCase
@@ -92,14 +98,21 @@ object ProtocolGate {
     val okWriter = p.minWriterVersion >= 7 &&
       p.writerFeatures.exists(_.contains("deletionVectors"))
     if (okReader && okWriter) None
-    else {
-      val implied = impliedWriterFeatures(p)
-      Some(Protocol(3, 7,
-        readerFeatures = Some(
-          (p.readerFeatures.getOrElse(Nil) :+ "deletionVectors").distinct),
-        writerFeatures = Some((implied :+ "deletionVectors").distinct)))
-    }
+    else Some(Protocol(3, 7,
+      readerFeatures = Some(
+        (impliedReaderFeatures(p) :+ "deletionVectors").distinct),
+      writerFeatures = Some(
+        (impliedWriterFeatures(p) :+ "deletionVectors").distinct)))
   }
+
+  /** Reader features a pre-v3 protocol implies — reader v2 IS column
+    * mapping, and an upgrade to v3 that fails to enumerate it strips the
+    * capability signal from a table whose metadata still carries
+    * delta.columnMapping.mode. */
+  def impliedReaderFeatures(p: Protocol): Seq[String] =
+    if (p.minReaderVersion >= 3) p.readerFeatures.getOrElse(Nil)
+    else if (p.minReaderVersion == 2) Seq("columnMapping")
+    else Nil
 
   /** Writer features a pre-v7 protocol version implies — upgrading to v7
     * MUST enumerate them (spec: feature lists replace version implication,
@@ -110,7 +123,8 @@ object ProtocolGate {
       (if (v >= 2) Seq("appendOnly", "invariants") else Nil) ++
         (if (v >= 3) Seq("checkConstraints") else Nil) ++
         (if (v >= 4) Seq("changeDataFeed", "generatedColumns") else Nil) ++
-        (if (v >= 5) Seq("columnMapping") else Nil)
+        (if (v >= 5) Seq("columnMapping") else Nil) ++
+        (if (v >= 6) Seq("identityColumns") else Nil)
   }
 
   /** Does a schema contain VARIANT anywhere (top level or nested)? */
@@ -134,17 +148,11 @@ object ProtocolGate {
     val ok = p.minReaderVersion >= 3 && has(p.readerFeatures) &&
       p.minWriterVersion >= 7 && has(p.writerFeatures)
     if (ok) None
-    else {
-      // reader v2 implies column mapping — enumerate it when jumping to v3
-      val impliedReaders =
-        if (p.minReaderVersion >= 3) p.readerFeatures.getOrElse(Nil)
-        else if (p.minReaderVersion == 2) Seq("columnMapping")
-        else Nil
-      Some(Protocol(3, 7,
-        readerFeatures = Some((impliedReaders :+ "variantType").distinct),
-        writerFeatures = Some(
-          (impliedWriterFeatures(p) :+ "variantType").distinct)))
-    }
+    else Some(Protocol(3, 7,
+      readerFeatures = Some(
+        (impliedReaderFeatures(p) :+ "variantType").distinct),
+      writerFeatures = Some(
+        (impliedWriterFeatures(p) :+ "variantType").distinct)))
   }
 
   /** delta.appendOnly enforcement (writer feature / table property). */

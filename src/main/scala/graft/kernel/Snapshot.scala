@@ -140,13 +140,18 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
   val store: LogStore = new HadoopLogStore(spark.sessionState.newHadoopConf())
   val logPath = new Path(tablePath, LogStore.LOG_DIR)
 
-  /** A table exists if any commit OR checkpoint is present — a fully
-    * vacuumed log may retain only its latest checkpoint (the reference's
-    * table-with-domain-metadata fixture ships exactly that). */
+  /** A table exists if any commit, checkpoint OR compaction file is
+    * present — a fully vacuumed log may retain only its latest checkpoint
+    * (the reference's table-with-domain-metadata fixture), and a compaction
+    * file can outlive the commits it covers. Missing any of these here
+    * would send a write down the CREATE path whose fresh version 0 is then
+    * silently shadowed during replay. */
   def tableExists: Boolean =
-    store.list(logPath).exists(f =>
-      LogStore.isCommitFile(f.getPath.getName) ||
-        LogStore.isCheckpointFile(f.getPath.getName))
+    store.list(logPath).exists { f =>
+      val n = f.getPath.getName
+      LogStore.isCommitFile(n) || LogStore.isCheckpointFile(n) ||
+        LogCompaction.info(n).isDefined
+    }
 
   /** All commit versions present in the log dir, ascending. */
   private def commitVersions(): Seq[(Long, Long)] = // (version, mtimeMs)
@@ -155,9 +160,14 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
         (LogStore.fileVersion(f.getPath.getName), f.getModificationTime)
     }
 
+  /** Highest version represented in the log — commit files plus the end
+    * versions of compaction files (whose covered commits may be gone).
+    * Commit allocation MUST see these, or a new commit reuses a version
+    * that replay resolves to the compaction file instead. */
   def latestVersion(): Long = {
-    val vs = commitVersions()
-    if (vs.isEmpty) -1L else vs.map(_._1).max
+    val vs = commitVersions().map(_._1) ++
+      store.list(logPath).flatMap(f => LogCompaction.info(f.getPath.getName).map(_._2))
+    if (vs.isEmpty) -1L else vs.max
   }
 
   def readCommit(version: Long): Seq[Action] =
@@ -201,21 +211,32 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
   def metadataSnapshot(): Snapshot = snapshotAt(None, withFiles = false)
 
   private def snapshotAt(target: Option[Long], withFiles: Boolean = true): Snapshot = {
-    val versions = commitVersions()
+    // ONE listing feeds commit discovery, checkpoint discovery and
+    // compaction discovery — on an object store each extra list is a
+    // billable round-trip, and snapshots are materialized per micro-batch
+    val listing = store.list(logPath)
+    val versions = listing.collect {
+      case f if LogStore.isCommitFile(f.getPath.getName) =>
+        (LogStore.fileVersion(f.getPath.getName), f.getModificationTime)
+    }
     // log-compaction files can outlive the commits they cover
-    val compacted = store.list(logPath).flatMap { f =>
+    val compacted = listing.flatMap { f =>
       LogCompaction.info(f.getPath.getName).map { case (s, e) => (s, e, f.getPath) }
+    }
+    val checkpointVersions = listing.collect {
+      case f if LogStore.isCheckpointFile(f.getPath.getName) =>
+        LogStore.fileVersion(f.getPath.getName)
     }
     // a fully-vacuumed log may hold only a checkpoint — state at its
     // version is reconstructible with an empty replay tail
-    val latestCp = checkpointVersionUpTo(None)
+    val latestCp = checkpointVersions.maxOption
     if (versions.isEmpty && latestCp.isEmpty && compacted.isEmpty)
       throw new DeltaTableNotFoundException(tablePath.toString)
     val maxV = (versions.map(_._1) ++ latestCp ++ compacted.map(_._2)).max
     val v = target.getOrElse(maxV)
     require(v <= maxV, s"Version $v does not exist yet (latest: $maxV)")
 
-    val cpVersion = checkpointVersionUpTo(Some(v))
+    val cpVersion = checkpointVersions.filter(_ <= v).maxOption
     // above this many checkpoint actions the Add index stays a distributed
     // parquet-backed view (LazyFileIndex) instead of a driver Vector
     val lazyThreshold = scala.util.Try(
@@ -226,7 +247,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
         // all parts of that version: single-file classic, multi-part
         // (%020d.checkpoint.%010d.%010d.parquet), or a V2 uuid manifest
         // whose add/remove state lives in _sidecars/ parquets
-        val parts = store.list(logPath).map(_.getPath).filter { p =>
+        val parts = listing.map(_.getPath).filter { p =>
           LogStore.isCheckpointFile(p.getName) && LogStore.fileVersion(p.getName) == cv
         }
         // multi-part completeness: an eventually-consistent listing that

@@ -44,57 +44,68 @@ object CdfRead {
     val schema = snapshot.schema
     val partCols = snapshot.partitionColumns
 
-    // gather per-commit file lists, grouped into the three legs
-    val cdc = Vector.newBuilder[(AddCDCFile, Long, Long)]
-    val ins = Vector.newBuilder[(AddFile, Long, Long)]
-    val del = Vector.newBuilder[(RemoveFile, Long, Long)]
-    (startingVersion to end).foreach { v =>
-      val actions = log.readCommit(v)
-      val ts = actions.collectFirst { case ci: CommitInfo if ci.timestamp.isDefined =>
-        ci.timestamp.get }.getOrElse(0L)
-      val cdcFiles = actions.collect { case c: AddCDCFile => c }
-      if (cdcFiles.nonEmpty) cdcFiles.foreach(f => cdc += ((f, v, ts)))
-      else {
-        actions.foreach {
-          case a: AddFile if a.dataChange =>
-            // synthesized legs read files raw; a DV'd add (e.g. RESTORE onto
-            // a masked state) would misreport masked rows as inserts
-            if (a.deletionVector.exists(_.cardinality > 0))
-              throw new IllegalStateException(
-                s"CDF cannot synthesize changes for DV-masked file ${a.path} " +
-                s"at version $v (no CDC files in that commit)")
-            ins += ((a, v, ts))
-          case r: RemoveFile if r.dataChange =>
-            if (r.deletionVector.exists(_.cardinality > 0))
-              throw new IllegalStateException(
-                s"CDF cannot synthesize changes for DV-masked file ${r.path} " +
-                s"at version $v (no CDC files in that commit)")
-            del += ((r, v, ts))
-          case _ =>
-        }
-      }
+    // gather per-commit change units via the shared classifier
+    val units = (startingVersion to end).flatMap { v =>
+      val (ts, us) = changeUnitsOf(log.readCommit(v), v)
+      us.map { case (kind, path, pv) => (kind, path, pv, v, ts) }
     }
+    legsFor(spark, table, schema, partCols, units)
+  }
 
-    val legs: Seq[DataFrame] = Seq(
-      legDf(spark, table, schema, partCols,
-        cdc.result().map { case (f, v, t) => (f.path, f.partitionValues, v, t) },
-        changeType = None),
-      legDf(spark, table, schema, partCols,
-        ins.result().map { case (f, v, t) => (f.path, f.partitionValues, v, t) },
-        changeType = Some("insert")),
-      legDf(spark, table, schema, partCols,
-        del.result().map { case (f, v, t) =>
-          (f.path, f.partitionValues.getOrElse(Map.empty), v, t) },
-        changeType = Some("delete"))
-    ).flatten
+  /** One commit's actions classified into CDF change units:
+    * (tsMs, Seq[(kind ∈ cdc|insert|delete, relPath, partitionValues)]).
+    * Single source of truth for the CDC-vs-synthesized rules — the batch
+    * load and the streaming source (`readChangeFeed`) both call this, so
+    * their feeds cannot diverge. */
+  private[graft] def changeUnitsOf(
+      actions: Seq[graft.kernel.Action],
+      version: Long): (Long, Seq[(String, String, Map[String, String])]) = {
+    val ts = actions.collectFirst { case ci: CommitInfo if ci.timestamp.isDefined =>
+      ci.timestamp.get }.getOrElse(0L)
+    val cdcFiles = actions.collect { case c: AddCDCFile => c }
+    val units =
+      if (cdcFiles.nonEmpty) cdcFiles.map(c => ("cdc", c.path, c.partitionValues))
+      else actions.collect {
+        case a: AddFile if a.dataChange =>
+          // synthesized legs read files raw; a DV'd add (e.g. RESTORE onto
+          // a masked state) would misreport masked rows as inserts
+          if (a.deletionVector.exists(_.cardinality > 0))
+            throw new IllegalStateException(
+              s"CDF cannot synthesize changes for DV-masked file ${a.path} " +
+              s"at version $version (no CDC files in that commit)")
+          ("insert", a.path, a.partitionValues)
+        case r: RemoveFile if r.dataChange =>
+          if (r.deletionVector.exists(_.cardinality > 0))
+            throw new IllegalStateException(
+              s"CDF cannot synthesize changes for DV-masked file ${r.path} " +
+              s"at version $version (no CDC files in that commit)")
+          ("delete", r.path, r.partitionValues.getOrElse(Map.empty))
+      }
+    (ts, units)
+  }
 
-    if (legs.isEmpty) {
-      val outSchema = StructType(schema.fields ++ Seq(
-        org.apache.spark.sql.types.StructField(Dml.CDC_COL, org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("_commit_timestamp", org.apache.spark.sql.types.TimestampType)))
-      Scan.emptyDf(spark, outSchema)
-    } else legs.reduce(_.unionByName(_))
+  /** The CDF output schema: table schema + provenance columns. */
+  def cdfSchema(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(Dml.CDC_COL, org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_commit_timestamp", org.apache.spark.sql.types.TimestampType)))
+
+  /** Assemble the three legs from classified change units. */
+  private[graft] def legsFor(
+      spark: SparkSession,
+      table: DeltaTable,
+      schema: StructType,
+      partCols: Seq[String],
+      units: Seq[(String, String, Map[String, String], Long, Long)]): DataFrame = {
+    val legs: Seq[DataFrame] = Seq("cdc" -> None, "insert" -> Some("insert"),
+      "delete" -> Some("delete")).flatMap { case (kind, ct) =>
+      legDf(spark, table, schema, partCols,
+        units.collect { case (k, path, pv, v, ts) if k == kind => (path, pv, v, ts) },
+        changeType = ct)
+    }
+    if (legs.isEmpty) Scan.emptyDf(spark, cdfSchema(schema))
+    else legs.reduce(_.unionByName(_))
   }
 
   /** Resolve a timestamp range to versions (load_cdf.rs:102-126 semantics:

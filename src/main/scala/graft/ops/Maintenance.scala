@@ -287,10 +287,27 @@ object MetadataOps {
       require(!existing.contains(f.name.toLowerCase), s"Column ${f.name} already exists")
       require(f.nullable, s"New column ${f.name} must be nullable")
     }
-    val merged = StructType(snapshot.schema.fields ++ newCols.fields)
-    val newMeta = snapshot.metadata.copy(schemaString = merged.json)
+    val merged0 = StructType(snapshot.schema.fields ++ newCols.fields)
+    // under column mapping the new fields need physical names/ids and a
+    // maxColumnId bump (same invariant as merge schema evolution)
+    val (merged, conf) =
+      if (ColumnMapping.enabled(snapshot.metadata)) {
+        val curMax = snapshot.metadata.configuration
+          .get(ColumnMapping.MAX_ID_KEY).map(_.toInt).getOrElse(0)
+        val (annotated, maxId) = ColumnMapping.assignMetadata(merged0, startId = curMax)
+        (annotated, snapshot.metadata.configuration +
+          (ColumnMapping.MAX_ID_KEY -> maxId.toString))
+      } else (merged0, snapshot.metadata.configuration)
+    val newMeta = snapshot.metadata.copy(schemaString = merged.json,
+      configuration = conf)
+    // a VARIANT column arriving through DDL needs the feature protocol,
+    // exactly like the write/merge schema-evolution paths
+    val protocolUpgrade: Seq[Action] =
+      if (ProtocolGate.containsVariant(merged))
+        ProtocolGate.upgradeForVariant(snapshot.protocol).toSeq
+      else Nil
     val txn = table.startTransaction()
-    table.commitAndRefresh(txn, Seq(newMeta),
+    table.commitAndRefresh(txn, protocolUpgrade :+ newMeta,
       Operation("ADD COLUMNS", Map("columns" -> newCols.fieldNames.mkString(","))))
   }
 

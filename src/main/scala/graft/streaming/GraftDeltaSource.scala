@@ -160,7 +160,9 @@ class GraftDeltaSource(
         f
     }
 
-  private def commitAdds(version: Long): IndexedSeq[AddFile] = {
+  /** Shared per-commit guards: a protocol we can't read or a schema change
+    * fails the stream loudly (restart picks up the new schema). */
+  private def guardedCommit(version: Long): Seq[Action] = {
     val actions: Seq[Action] = log.readCommit(version)
     actions.collectFirst { case p: Protocol => p }
       .foreach(p => ProtocolGate.checkRead(p, initSnapshot.metadata))
@@ -172,6 +174,11 @@ class GraftDeltaSource(
         s"(${initSnapshot.schema.simpleString} -> ${m.schema.simpleString}); " +
         "restart the stream to pick up the new schema")
     }
+    actions
+  }
+
+  private def commitAdds(version: Long): IndexedSeq[AddFile] = {
+    val actions = guardedCommit(version)
     val adds = actions.collect { case a: AddFile if a.dataChange => a }
     val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
     val result: Seq[AddFile] =
@@ -216,38 +223,10 @@ class GraftDeltaSource(
               ChangeUnit("insert", f.path, f.partitionValues, version, snap.timestampMs)
             }.toIndexedSeq
           } else {
-            val actions = log.readCommit(version)
-            actions.collectFirst { case p: Protocol => p }
-              .foreach(p => ProtocolGate.checkRead(p, initSnapshot.metadata))
-            actions.collectFirst {
-              case m: Metadata if m.schema != initSnapshot.schema => m
-            }.foreach { _ =>
-              throw new IllegalStateException(
-                s"graft-delta source: table schema changed at version $version; " +
-                "restart the stream to pick up the new schema")
-            }
-            val ts = actions.collectFirst {
-              case ci: CommitInfo if ci.timestamp.isDefined => ci.timestamp.get
-            }.getOrElse(0L)
-            val cdc = actions.collect { case c: AddCDCFile => c }
-            val units =
-              if (cdc.nonEmpty)
-                cdc.map(c => ChangeUnit("cdc", c.path, c.partitionValues, version, ts))
-              else actions.collect {
-                case a: AddFile if a.dataChange =>
-                  if (a.deletionVector.exists(_.cardinality > 0))
-                    throw new IllegalStateException(
-                      s"CDF cannot synthesize changes for DV-masked file ${a.path} " +
-                      s"at version $version (no CDC files in that commit)")
-                  ChangeUnit("insert", a.path, a.partitionValues, version, ts)
-                case r: RemoveFile if r.dataChange =>
-                  if (r.deletionVector.exists(_.cardinality > 0))
-                    throw new IllegalStateException(
-                      s"CDF cannot synthesize changes for DV-masked file ${r.path} " +
-                      s"at version $version (no CDC files in that commit)")
-                  ChangeUnit("delete", r.path, r.partitionValues.getOrElse(Map.empty), version, ts)
-              }
-            units.sortBy(u => (u.kind, u.relPath)).toIndexedSeq
+            // same classifier as batch CDF — the feeds cannot diverge
+            val (ts, us) = CdfRead.changeUnitsOf(guardedCommit(version), version)
+            us.map { case (kind, path, pv) => ChangeUnit(kind, path, pv, version, ts) }
+              .sortBy(u => (u.kind, u.relPath)).toIndexedSeq
           }
         versionChanges.update((version, isInitial), u)
         u
@@ -354,18 +333,12 @@ class GraftDeltaSource(
         current = endOff
     }
     val batch =
-      if (cdfMode) {
-        val units = unitsBetween(changesAt)(startOff, endOff)
-        val legs = Seq("cdc" -> None, "insert" -> Some("insert"), "delete" -> Some("delete"))
-          .flatMap { case (kind, ct) =>
-            CdfRead.legDf(spark, cdfTable, initSnapshot.schema,
-              initSnapshot.partitionColumns,
-              units.filter(_.kind == kind).map(u => (u.relPath, u.pv, u.version, u.ts)),
-              changeType = ct)
-          }
-        if (legs.isEmpty) Scan.emptyDf(spark, schema)
-        else legs.reduce(_.unionByName(_))
-      } else
+      if (cdfMode)
+        CdfRead.legsFor(spark, cdfTable, initSnapshot.schema,
+          initSnapshot.partitionColumns,
+          unitsBetween(changesAt)(startOff, endOff)
+            .map(u => (u.kind, u.relPath, u.pv, u.version, u.ts)))
+      else
         Scan.readFiles(spark, initSnapshot, unitsBetween(filesAt)(startOff, endOff))
     GraftSqlBridge.streamingDataFrame(batch)
   }
@@ -382,13 +355,7 @@ class GraftDeltaSource(
 }
 
 object GraftDeltaSource {
-  /** Table schema + the three CDF provenance columns (same layout as batch
-    * [[graft.ops.CdfRead]]). */
-  def cdfSchema(base: StructType): StructType = {
-    import org.apache.spark.sql.types._
-    StructType(base.fields ++ Seq(
-      StructField(graft.ops.Dml.CDC_COL, StringType),
-      StructField("_commit_version", LongType),
-      StructField("_commit_timestamp", TimestampType)))
-  }
+  /** Table schema + the three CDF provenance columns — delegated to the
+    * batch side's single definition. */
+  def cdfSchema(base: StructType): StructType = CdfRead.cdfSchema(base)
 }

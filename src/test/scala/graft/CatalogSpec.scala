@@ -103,6 +103,33 @@ class CatalogSpec extends AnyFunSuite {
     assert(scans.nonEmpty)
   }
 
+  test("external LOCATION table: reachable, droppable without data loss") {
+    val ext = Files.createTempDirectory("graft-external").toString + "/t"
+    sql(s"CREATE TABLE graft.sales.extt (id BIGINT, v STRING) LOCATION '$ext'")
+    sql("INSERT INTO graft.sales.extt VALUES (1, 'a'), (2, 'b')")
+    // resolvable through the catalog after creation
+    assert(sql("SELECT count(*) FROM graft.sales.extt").head().getLong(0) == 2)
+    assert(sql("SHOW TABLES IN graft.sales").collect().map(_.getString(1)).contains("extt"))
+    sql("DELETE FROM graft.sales.extt WHERE id = 1")
+    assert(sql("SELECT v FROM graft.sales.extt").head().getString(0) == "b")
+    // DROP removes the catalog entry but leaves the external data
+    sql("DROP TABLE graft.sales.extt")
+    assert(!sql("SHOW TABLES IN graft.sales").collect().map(_.getString(1)).contains("extt"))
+    assert(DeltaTable.isDeltaTable(spark, ext))
+    assert(DeltaTable.forPath(spark, ext).toDF.count() == 1)
+  }
+
+  test("ALTER TABLE ADD COLUMN of VARIANT upgrades the protocol") {
+    sql("CREATE TABLE graft.sales.vt (id BIGINT)")
+    val before = DeltaTable.forPath(spark, s"$warehouse/sales/vt").protocol
+    assert(before.minReaderVersion == 1)
+    sql("ALTER TABLE graft.sales.vt ADD COLUMN v VARIANT")
+    val after = DeltaTable.forPath(spark, s"$warehouse/sales/vt").protocol
+    assert(after.minReaderVersion == 3 && after.minWriterVersion == 7)
+    assert(after.readerFeatures.get.contains("variantType"))
+    assert(after.writerFeatures.get.contains("variantType"))
+  }
+
   test("untranslatable DELETE predicate is refused, not widened") {
     import graft.catalog.GraftTable
     import org.apache.spark.sql.sources._

@@ -402,6 +402,30 @@ class Round3Spec extends AnyFunSuite {
     assert(t2.toDF.count() == 15)
   }
 
+  test("compaction-only log: table opens, next commit gets a fresh version") {
+    import spark.implicits._
+    import graft.kernel.LogStore
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir)          // v0
+    DeltaTable.write(spark, Seq((2L, "b")).toDF("id", "v"), dir, "append") // v1
+    DeltaTable.forPath(spark, dir).compactLogs(0, 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0L to 1L).foreach(v => assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/_delta_log/${LogStore.commitFileName(v)}"), false)))
+    // tableExists must see the compaction file — a CREATE-branch write here
+    // would commit a version 0 that replay silently shadows
+    assert(DeltaTable.isDeltaTable(spark, dir))
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.version == 1 && t.toDF.count() == 2)
+    // and the next commit must allocate version 2, not reuse 0
+    DeltaTable.write(spark, Seq((3L, "c")).toDF("id", "v"), dir, "append")
+    val t2 = DeltaTable.forPath(spark, dir)
+    assert(t2.version == 2)
+    assert(t2.toDF.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("deletionVectors(): per-file keep masks decode distributively") {
     import spark.implicits._
     val dir = tmpDir()

@@ -86,7 +86,8 @@ object OptimizeOp {
   def zorder(
       table: DeltaTable,
       columns: Seq[String],
-      targetSize: Long): Map[String, String] = {
+      targetSize: Long,
+      predicate: Option[String] = None): Map[String, String] = {
     val spark = table.spark
     val snapshot = table.refresh()
     require(columns.nonEmpty, "Z-ORDER requires at least one column")
@@ -96,8 +97,19 @@ object OptimizeOp {
         s"Z-ORDER column $c is a partition column (optimize.rs:1287 validation)")
     }
     val txn = table.startTransaction()
-    txn.readWholeTable()
-    val files = snapshot.allFiles
+    // partition-scoped Z-ORDER (OptimizeBuilder.with_filters applies to both
+    // optimize types): cluster only the selected partitions' files
+    val files = predicate match {
+      case Some(p) =>
+        val e = Scan.parsePredicate(spark, p)
+        require(StatsPruning.isPartitionOnly(e, snapshot.partitionColumns),
+          "OPTIMIZE predicate must reference only partition columns")
+        txn.readPredicate(e)
+        Scan.prunedFiles(snapshot, Seq(e), Some(spark))
+      case None =>
+        txn.readWholeTable()
+        snapshot.allFiles
+    }
     if (files.isEmpty) return Map("num_files_added" -> "0", "num_files_removed" -> "0")
     txn.readFile(files.map(_.path))
 

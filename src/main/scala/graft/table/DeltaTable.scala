@@ -165,8 +165,9 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
     OptimizeOp.compact(this, targetSizeBytes, predicate)
 
   def optimizeZOrder(columns: Seq[String],
-                     targetSizeBytes: Long = 128L * 1024 * 1024): Map[String, String] =
-    OptimizeOp.zorder(this, columns, targetSizeBytes)
+                     targetSizeBytes: Long = 128L * 1024 * 1024,
+                     predicate: Option[String] = None): Map[String, String] =
+    OptimizeOp.zorder(this, columns, targetSizeBytes, predicate)
 
   def vacuum(retentionHours: Double = 24 * 7, dryRun: Boolean = false,
              enforceRetention: Boolean = true): Seq[String] =

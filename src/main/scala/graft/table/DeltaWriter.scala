@@ -72,7 +72,13 @@ object DeltaWriter {
       else dfPhys
 
     try withMicrosTimestamps(spark) {
-      val writer = toWrite.write.mode("overwrite")
+      // honor the table's compression property (delta-spark's knob; the
+      // reference exposes the same through WriterProperties, python
+      // writer.py) — falls back to Spark's session codec (snappy)
+      val codec = meta.flatMap(
+        _.configuration.get("delta.parquet.compression.codec")).map(_.trim)
+      val writer0 = toWrite.write.mode("overwrite")
+      val writer = codec.fold(writer0)(c => writer0.option("compression", c))
       (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
         .parquet(staging.toString)
     } catch {

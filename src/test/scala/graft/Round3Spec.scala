@@ -402,6 +402,45 @@ class Round3Spec extends AnyFunSuite {
     assert(t2.toDF.count() == 15)
   }
 
+  test("partition-scoped Z-ORDER clusters only the selected partition") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark,
+      (0 until 1000).map(i => (i.toLong, i % 4, s"v$i")).toDF("id", "p", "v")
+        .repartition(8),
+      dir, partitionBy = Seq("p"))
+    val t = DeltaTable.forPath(spark, dir)
+    val before = t.snapshot.allFiles.filterNot(_.partitionValues("p") == "2").map(_.path).toSet
+    val m = t.optimizeZOrder(Seq("id"), predicate = Some("p = 2"))
+    assert(m("num_files_removed").toInt > 0)
+    val after = DeltaTable.forPath(spark, dir)
+    // untouched partitions keep their exact files
+    assert(after.snapshot.allFiles.filterNot(_.partitionValues("p") == "2")
+      .map(_.path).toSet == before)
+    assert(after.toDF.count() == 1000)
+    // data-column predicate refused
+    val e = intercept[IllegalArgumentException](
+      t.optimizeZOrder(Seq("v"), predicate = Some("id < 5")))
+    assert(e.getMessage.contains("partition columns"))
+  }
+
+  test("delta.parquet.compression.codec reaches the data files") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark,
+      (0 until 5000).map(i => (i.toLong, s"value_$i" * 4)).toDF("id", "v"),
+      dir, configuration = Map("delta.parquet.compression.codec" -> "gzip"))
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF.count() == 5000)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = t.snapshot.allFiles.map(f => t.snapshot.absolutePath(f.path))
+    assert(dataFiles.nonEmpty)
+    // Spark encodes the codec in the part-file name
+    dataFiles.foreach(p => assert(p.getName.contains(".gz.parquet"),
+      s"expected gzip-coded file name, got ${p.getName}"))
+  }
+
   test("compaction-only log: table opens, next commit gets a fresh version") {
     import spark.implicits._
     import graft.kernel.LogStore

@@ -268,6 +268,65 @@ class GoldenTableSpec extends AnyFunSuite {
     assert(t.schema("v").dataType == org.apache.spark.sql.types.VariantType)
   }
 
+  test("table_with_liquid_clustering: readable; writes refused (rowTracking/liquid)") {
+    // protocol: readerFeatures=[deletionVectors] (we support), writerFeatures
+    // include rowTracking+liquid (we don't) — read works, write must refuse
+    val t = DeltaTable.forPath(spark, golden("table_with_liquid_clustering"))
+    assert(t.snapshot.numFiles == 10)
+    assert(t.toDF.count() == 10)
+    val e = intercept[graft.kernel.DeltaProtocolException] {
+      t.delete(Some("true"))
+    }
+    assert(e.getMessage.contains("rowTracking") || e.getMessage.contains("liquid"))
+  }
+
+  test("delta-stats-optional: stats-less files survive pruning (fail open)") {
+    val t = DeltaTable.forPath(spark, golden("delta-stats-optional"))
+    val files = t.snapshot.allFiles
+    assert(files.size == 2 && files.count(_.stats.isEmpty) == 1)
+    assert(t.toDF.count() == 2)
+    // a selective predicate may prune the stats-carrying file but NEVER the
+    // stats-less one — fail open is the correctness rule (find_files.rs:719)
+    val pruned = graft.table.Scan.prunedFiles(t.snapshot,
+      Seq(graft.table.Scan.parsePredicate(spark, "integer = -99999")), Some(spark))
+    assert(pruned.exists(_.stats.isEmpty),
+      "stats-less file must never be pruned by a stats predicate")
+    // checkpointed variant of the same table behaves identically
+    val t2 = DeltaTable.forPath(spark, golden("delta-checkpoint-stats-optional"))
+    assert(t2.toDF.count() == 2)
+  }
+
+  test("table_with_null_stats_in_notnull_struct: nested stats partially absent") {
+    val t = DeltaTable.forPath(spark, golden("table_with_null_stats_in_notnull_struct"))
+    assert(t.toDF.count() == 2)
+    // min/max exist for s.l only (s.b has none) — pruning on the covered
+    // leaf works, nothing is dropped incorrectly
+    assert(t.toDF.selectExpr("s.l").collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L))
+  }
+
+  test("issue-2152: zero-file writer-v6 table opens empty") {
+    val t = DeltaTable.forPath(spark, golden("issue-2152"))
+    assert(t.protocol.minWriterVersion == 6)
+    assert(t.snapshot.numFiles == 0)
+    assert(t.toDF.count() == 0)
+  }
+
+  test("http_requests: real-world date-partitioned table prunes by partition") {
+    val t = DeltaTable.forPath(spark, golden("http_requests"))
+    assert(t.partitionColumns == Seq("date"))
+    assert(t.toDF.count() == 1581) // 1437 + 144 per per-file stats
+    // `date` is a STRING partition column in this table's schema — a
+    // DATE-typed predicate must fail OPEN (no pruning), the string form
+    // prunes exactly
+    val typed = graft.table.Scan.prunedFiles(t.snapshot,
+      Seq(graft.table.Scan.parsePredicate(spark, "date = DATE '2023-04-13'")), Some(spark))
+    assert(typed.size == 2)
+    val pruned = graft.table.Scan.prunedFiles(t.snapshot,
+      Seq(graft.table.Scan.parsePredicate(spark, "date = '2023-04-13'")), Some(spark))
+    assert(pruned.size == 1)
+    assert(t.scanWhere("date = '2023-04-13'").count() == 144)
+  }
+
   test("partition-type-primitives: 16 single-row partitions prune exactly") {
     val t = DeltaTable.forPath(spark, golden("partition-type-primitives"))
     import spark.implicits._

@@ -130,6 +130,22 @@ class CatalogSpec extends AnyFunSuite {
     assert(after.writerFeatures.get.contains("variantType"))
   }
 
+  test("concurrent INSERT INTO through the catalog: all commits land") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.conc")
+    sql("CREATE TABLE graft.conc.t (id BIGINT, w INT)")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (0 until 6).map { w =>
+      Future { sql(s"INSERT INTO graft.conc.t SELECT id, $w FROM range(10)") }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(sql("SELECT count(*) FROM graft.conc.t").head().getLong(0) == 60)
+    assert(sql("SELECT count(DISTINCT w) FROM graft.conc.t").head().getLong(0) == 6)
+    // six append commits on top of CREATE
+    assert(DeltaTable.forPath(spark, s"$warehouse/conc/t").version == 6)
+  }
+
   test("untranslatable DELETE predicate is refused, not widened") {
     import graft.catalog.GraftTable
     import org.apache.spark.sql.sources._

@@ -91,13 +91,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def isTableDir(p: Path): Boolean =
     fs.exists(new Path(p, "_delta_log"))
 
-  /** A slot is a table if it holds a Delta log (managed) or a pointer to
-    * one (external). */
+  private def hasPointer(slot: Path): Boolean =
+    fs.exists(new Path(slot, PointerFile))
+
+  /** A slot is a table if it holds a Delta log (managed — the common case,
+    * checked first so it costs one RPC) or a pointer to one (external). */
   private def isTableSlot(slot: Path): Boolean =
-    externalLocation(slot) match {
-      case Some(ext) => isTableDir(ext)
-      case None => isTableDir(slot)
-    }
+    isTableDir(slot) || externalLocation(slot).exists(isTableDir)
+
+  /** A slot is OCCUPIED if it holds a log OR any pointer — including a
+    * stale pointer whose target died. Creation must refuse occupied slots
+    * and drop must clear them, or a dead external target wedges the
+    * identifier forever. */
+  private def slotOccupied(slot: Path): Boolean =
+    isTableDir(slot) || hasPointer(slot)
 
   // ---- tables ----
 
@@ -109,8 +116,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(p => Identifier.of(namespace, p.getName))
   }
 
+  /** OCCUPANCY, not liveness: a stale external pointer must still count as
+    * existing, or `DROP TABLE IF EXISTS` skips the drop and the identifier
+    * is wedged forever. loadTable still fails loudly for dead targets. */
   override def tableExists(ident: Identifier): Boolean =
-    isTableSlot(slotPath(ident))
+    slotOccupied(slotPath(ident))
 
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
@@ -141,22 +151,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val slot = slotPath(ident)
     val external = props.get(TableCatalog.PROP_LOCATION).map(new Path(_))
     val location = external.getOrElse(slot)
-    if (isTableSlot(slot) || isTableDir(location))
-      throw new TableAlreadyExistsException(ident)
+    if (slotOccupied(slot)) throw new TableAlreadyExistsException(ident)
     val partCols = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references()(0).fieldNames.mkString(".")
       case other => throw new UnsupportedOperationException(
         s"graft-delta supports identity partitioning only, got: $other")
     }
-    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
-      TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
-      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION)
-    DeltaTable.create(spark, location.toString, schema,
-      partitionColumns = partCols,
-      configuration = props -- reserved,
-      name = Some(ident.name()),
-      description = props.get(TableCatalog.PROP_COMMENT))
+    if (external.isDefined && isTableDir(location)) {
+      // REGISTER pre-existing external Delta data under the identifier —
+      // the primary external-table use case. The declared schema must be
+      // empty (CREATE TABLE ident LOCATION '...') or match the table's.
+      val existing = DeltaTable.forPath(spark, location.toString)
+      require(schema.isEmpty ||
+        schema.map(f => (f.name, f.dataType)) ==
+          existing.schema.map(f => (f.name, f.dataType)),
+        s"declared schema does not match the Delta table at $location")
+      require(partCols.isEmpty || partCols == existing.partitionColumns,
+        s"declared partitioning $partCols does not match ${existing.partitionColumns}")
+    } else {
+      val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+        TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
+        TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION)
+      DeltaTable.create(spark, location.toString, schema,
+        partitionColumns = partCols,
+        configuration = props -- reserved,
+        name = Some(ident.name()),
+        description = props.get(TableCatalog.PROP_COMMENT))
+    }
     // external tables leave a pointer in the warehouse slot so every later
     // load/list/drop resolves the identifier back to the real location
     external.foreach { ext =>
@@ -191,10 +213,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   /** Deletes the warehouse slot: the table dir for managed tables, only
     * the pointer stub for external ones (standard external-table DROP
-    * semantics — the data outside the warehouse is left in place). */
+    * semantics — the data outside the warehouse is left in place). Gated
+    * on OCCUPANCY, not liveness: a stale pointer to dead external data
+    * must be droppable too. */
   override def dropTable(ident: Identifier): Boolean = {
     val slot = slotPath(ident)
-    if (!isTableSlot(slot)) false
+    if (!slotOccupied(slot)) false
     else fs.delete(slot, true)
   }
 
@@ -202,7 +226,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val from = slotPath(oldIdent)
     val to = slotPath(newIdent)
     if (!isTableSlot(from)) throw new NoSuchTableException(oldIdent)
-    if (isTableSlot(to)) throw new TableAlreadyExistsException(newIdent)
+    if (slotOccupied(to)) throw new TableAlreadyExistsException(newIdent)
     if (!fs.exists(to.getParent)) throw new NoSuchNamespaceException(newIdent.namespace())
     // safe for Delta tables: add.path entries are table-root-relative, and
     // an external slot carries only its pointer file

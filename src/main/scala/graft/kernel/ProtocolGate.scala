@@ -40,17 +40,18 @@ object ProtocolGate {
   // checkpoint writer emits the uuid-manifest + _sidecars layout
   // (Checkpoints.writeV2Checkpoint), satisfying the spec requirement that
   // writers on such tables produce v2 checkpoints.
-  // identityColumns: tolerated, not generated — the same posture as writer
-  // v6 tables (which this gate already admits without feature checks) and
-  // as the reference (schema.rs:270-273 tolerates identity metadata). A
-  // v6→v7 upgrade MUST enumerate it (impliedWriterFeatures), so it must be
-  // accepted here or our own upgraded tables would refuse further writes.
+  // identityColumns is deliberately NOT here: this engine never generates
+  // identity values or maintains delta.identity.highWaterMark, and a write
+  // that ignores the watermark hands the next compliant writer duplicate
+  // identity values. The reference takes the same position
+  // (kernel/transaction/protocol.rs:325 — IdentityColumns commented out of
+  // the supported writer set). Writer v6 (which *implies* the feature) is
+  // refused in checkWrite for the same reason.
   val supportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "generatedColumns", "timestampNtz", "domainMetadata",
       "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "v2Checkpoint", "variantType", "variantType-preview",
-      "identityColumns")
+      "v2Checkpoint", "variantType", "variantType-preview")
 
   private def columnMappingMode(m: Metadata): String =
     m.configuration.getOrElse("delta.columnMapping.mode", "none").trim.toLowerCase
@@ -80,6 +81,11 @@ object ProtocolGate {
     if (protocol.minWriterVersion > 7)
       throw new DeltaProtocolException(
         s"Unsupported minWriterVersion ${protocol.minWriterVersion} (max supported: 7)")
+    if (protocol.minWriterVersion == 6)
+      throw new DeltaProtocolException(
+        "minWriterVersion 6 implies identityColumns, which this engine cannot " +
+        "honor (no identity generation / high-water-mark maintenance) — " +
+        "writing would corrupt identity sequences for other writers")
     if (protocol.minWriterVersion == 7) {
       val missing = protocol.writerFeatures.getOrElse(Nil).toSet -- supportedWriterFeatures
       if (missing.nonEmpty)
@@ -127,32 +133,50 @@ object ProtocolGate {
         (if (v >= 6) Seq("identityColumns") else Nil)
   }
 
-  /** Does a schema contain VARIANT anywhere (top level or nested)? */
-  def containsVariant(dt: org.apache.spark.sql.types.DataType): Boolean = {
+  private def containsType(dt: org.apache.spark.sql.types.DataType)(
+      pred: org.apache.spark.sql.types.DataType => Boolean): Boolean = {
     import org.apache.spark.sql.types._
-    dt match {
-      case _: VariantType => true
-      case s: StructType => s.fields.exists(f => containsVariant(f.dataType))
-      case a: ArrayType => containsVariant(a.elementType)
-      case m: MapType => containsVariant(m.keyType) || containsVariant(m.valueType)
+    def rec(d: DataType): Boolean = d match {
+      case d if pred(d) => true
+      case s: StructType => s.fields.exists(f => rec(f.dataType))
+      case a: ArrayType => rec(a.elementType)
+      case m: MapType => rec(m.keyType) || rec(m.valueType)
       case _ => false
     }
+    rec(dt)
   }
 
-  /** Protocol action required before committing a schema that contains
-    * VARIANT (spec: variantType is reader+writer feature on 3/7), if not
-    * already present. Accepts the preview feature name as satisfying. */
-  def upgradeForVariant(p: Protocol): Option[Protocol] = {
-    def has(fs: Option[Seq[String]]) =
-      fs.exists(_.exists(f => f == "variantType" || f == "variantType-preview"))
-    val ok = p.minReaderVersion >= 3 && has(p.readerFeatures) &&
-      p.minWriterVersion >= 7 && has(p.writerFeatures)
+  /** Does a schema contain VARIANT anywhere (top level or nested)? */
+  def containsVariant(dt: org.apache.spark.sql.types.DataType): Boolean =
+    containsType(dt)(_.isInstanceOf[org.apache.spark.sql.types.VariantType])
+
+  /** Protocol features a schema's TYPES demand (spec: both are
+    * reader+writer features requiring 3/7): variant and timestampNtz. */
+  def requiredSchemaFeatures(dt: org.apache.spark.sql.types.DataType): Seq[String] = {
+    (if (containsVariant(dt)) Seq("variantType") else Nil) ++
+      (if (containsType(dt)(_ == org.apache.spark.sql.types.TimestampNTZType))
+        Seq("timestampNtz") else Nil)
+  }
+
+  /** Protocol action required before committing `schema`, if its types
+    * demand features the protocol doesn't carry. The preview variant name
+    * satisfies the variantType requirement. Every path that can change a
+    * table's schema (CREATE, write mergeSchema/overwriteSchema, MERGE
+    * evolution, ADD COLUMNS) must consult this. */
+  def upgradeForSchema(
+      schema: org.apache.spark.sql.types.StructType,
+      p: Protocol): Option[Protocol] = {
+    val needed = requiredSchemaFeatures(schema)
+    if (needed.isEmpty) return None
+    def has(fs: Option[Seq[String]], f: String) = fs.exists(_.exists(x =>
+      x == f || (f == "variantType" && x == "variantType-preview")))
+    val ok = needed.forall(f =>
+      p.minReaderVersion >= 3 && has(p.readerFeatures, f) &&
+        p.minWriterVersion >= 7 && has(p.writerFeatures, f))
     if (ok) None
     else Some(Protocol(3, 7,
-      readerFeatures = Some(
-        (impliedReaderFeatures(p) :+ "variantType").distinct),
-      writerFeatures = Some(
-        (impliedWriterFeatures(p) :+ "variantType").distinct)))
+      readerFeatures = Some((impliedReaderFeatures(p) ++ needed).distinct),
+      writerFeatures = Some((impliedWriterFeatures(p) ++ needed).distinct)))
   }
 
   /** delta.appendOnly enforcement (writer feature / table property). */

@@ -163,10 +163,13 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
   /** Highest version represented in the log — commit files plus the end
     * versions of compaction files (whose covered commits may be gone).
     * Commit allocation MUST see these, or a new commit reuses a version
-    * that replay resolves to the compaction file instead. */
+    * that replay resolves to the compaction file instead. One listing. */
   def latestVersion(): Long = {
-    val vs = commitVersions().map(_._1) ++
-      store.list(logPath).flatMap(f => LogCompaction.info(f.getPath.getName).map(_._2))
+    val vs = store.list(logPath).flatMap { f =>
+      val n = f.getPath.getName
+      if (LogStore.isCommitFile(n)) Some(LogStore.fileVersion(n))
+      else LogCompaction.info(n).map(_._2)
+    }
     if (vs.isEmpty) -1L else vs.max
   }
 
@@ -190,15 +193,6 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     }
   }
 
-  /** Latest checkpoint version ≤ bound present on disk. */
-  private def checkpointVersionUpTo(bound: Option[Long]): Option[Long] = {
-    val cps = store.list(logPath).collect {
-      case f if LogStore.isCheckpointFile(f.getPath.getName) =>
-        LogStore.fileVersion(f.getPath.getName)
-    }
-    val eligible = bound.map(b => cps.filter(_ <= b)).getOrElse(cps)
-    if (eligible.isEmpty) None else Some(eligible.max)
-  }
 
   def snapshot(): Snapshot = snapshotAt(None)
 
@@ -327,17 +321,30 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     * commits), not a full log re-replay, the shape that keeps refresh cheap
     * on a table with thousands of commits. */
   def update(prev: Snapshot): Snapshot = {
-    val versions = commitVersions()
-    val latest = if (versions.isEmpty) -1L else versions.map(_._1).max
+    // one listing; `latest` must see compaction-file end versions too, or
+    // a cached handle goes permanently stale once log cleanup removes the
+    // commits a compaction file covers
+    val listing = store.list(logPath)
+    val versions = listing.collect {
+      case f if LogStore.isCommitFile(f.getPath.getName) =>
+        (LogStore.fileVersion(f.getPath.getName), f.getModificationTime)
+    }
+    val compEnds = listing.flatMap(f => LogCompaction.info(f.getPath.getName).map(_._2))
+    val latest = (versions.map(_._1) ++ compEnds ++ Seq(-1L)).max
     if (latest <= prev.version) return prev
     val newVs = versions.map(_._1).filter(_ > prev.version).sorted
     val expected = (prev.version + 1) to latest
-    if (newVs != expected) return snapshot() // gap (vacuumed log) → full replay
+    // gap (vacuumed log, or tail only reachable via a compaction file) →
+    // full replay, which knows how to substitute compaction files
+    if (newVs != expected) return snapshot()
 
     // a checkpoint written after prev supersedes the lazy index's parquet
     // backing (and resets the tail) — full reload rebinds to it
-    if (prev.lazyIndex.isDefined &&
-        checkpointVersionUpTo(Some(latest)).exists(_ > prev.version))
+    if (prev.lazyIndex.isDefined && listing.exists { f =>
+          val n = f.getPath.getName
+          LogStore.isCheckpointFile(n) && LogStore.fileVersion(n) > prev.version &&
+            LogStore.fileVersion(n) <= latest
+        })
       return snapshotAt(latest)
 
     prev.lazyIndex match {

@@ -303,9 +303,7 @@ object MetadataOps {
     // a VARIANT column arriving through DDL needs the feature protocol,
     // exactly like the write/merge schema-evolution paths
     val protocolUpgrade: Seq[Action] =
-      if (ProtocolGate.containsVariant(merged))
-        ProtocolGate.upgradeForVariant(snapshot.protocol).toSeq
-      else Nil
+      ProtocolGate.upgradeForSchema(merged, snapshot.protocol).toSeq
     val txn = table.startTransaction()
     table.commitAndRefresh(txn, protocolUpgrade :+ newMeta,
       Operation("ADD COLUMNS", Map("columns" -> newCols.fieldNames.mkString(","))))

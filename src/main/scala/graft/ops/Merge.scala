@@ -423,8 +423,8 @@ object MergeOp {
         if (dvMode) Nil // dvActions carry the remove+re-add(DV) pairs
         else removedAdds.map(_.remove(now, dataChange = true))
       val metaActions: Seq[Action] =
-        evolvedMeta.filter(m => ProtocolGate.containsVariant(m.schema))
-          .flatMap(_ => ProtocolGate.upgradeForVariant(snapshot.protocol)).toSeq ++
+        evolvedMeta
+          .flatMap(m => ProtocolGate.upgradeForSchema(m.schema, snapshot.protocol)).toSeq ++
           evolvedMeta.toSeq
       val filesRemoved =
         if (dvMode) dvActions.count(_.isInstanceOf[RemoveFile]) else removes.size

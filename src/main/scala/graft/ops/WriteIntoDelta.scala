@@ -113,8 +113,8 @@ object WriteIntoDelta {
 
     // schema evolution introducing a VARIANT column upgrades the protocol
     val protocolUpgrade: Seq[Action] =
-      newMetadata.filter(m => ProtocolGate.containsVariant(m.schema))
-        .flatMap(_ => ProtocolGate.upgradeForVariant(snapshot.protocol)).toSeq
+      newMetadata
+        .flatMap(m => ProtocolGate.upgradeForSchema(m.schema, snapshot.protocol)).toSeq
     val actions: Seq[Action] = protocolUpgrade ++ newMetadata.toSeq ++ adds ++ extraActions
     val params = Map("mode" -> (if (m == "overwrite") "Overwrite" else "Append")) ++
       predicateParam.map("predicate" -> _)
@@ -157,9 +157,7 @@ object WriteIntoDelta {
       } else (schema, configuration, Protocol())
     // a VARIANT column anywhere requires the variantType feature on 3/7
     val withVariant =
-      if (ProtocolGate.containsVariant(schema2))
-        ProtocolGate.upgradeForVariant(base).getOrElse(base)
-      else base
+      ProtocolGate.upgradeForSchema(schema2, base).getOrElse(base)
     (schema2, conf2, withVariant)
   }
 

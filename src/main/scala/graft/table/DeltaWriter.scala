@@ -71,12 +71,13 @@ object DeltaWriter {
         dfPhys.repartition(physPartCols.map(col): _*)
       else dfPhys
 
+    // honor the table's compression property (delta-spark's knob; the
+    // reference exposes the same through WriterProperties, python
+    // writer.py) — falls back to Spark's session codec (snappy). Hoisted so
+    // the targetFileSize RESPLIT rewrite below uses the same codec.
+    val codec = meta.flatMap(
+      _.configuration.get("delta.parquet.compression.codec")).map(_.trim)
     try withMicrosTimestamps(spark) {
-      // honor the table's compression property (delta-spark's knob; the
-      // reference exposes the same through WriterProperties, python
-      // writer.py) — falls back to Spark's session codec (snappy)
-      val codec = meta.flatMap(
-        _.configuration.get("delta.parquet.compression.codec")).map(_.trim)
       val writer0 = toWrite.write.mode("overwrite")
       val writer = codec.fold(writer0)(c => writer0.option("compression", c))
       (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
@@ -139,8 +140,9 @@ object DeltaWriter {
           val perFile = math.max(1L, (rows + chunks - 1) / chunks)
           val sub = new Path(staging, s"resplit_$i")
           withMicrosTimestamps(spark) {
-            spark.read.schema(dataSchema).parquet(p.toString)
+            val w0 = spark.read.schema(dataSchema).parquet(p.toString)
               .write.option("maxRecordsPerFile", perFile)
+            codec.fold(w0)(c => w0.option("compression", c))
               .mode("overwrite").parquet(sub.toString)
           }
           fs.delete(p, false)

@@ -130,6 +130,39 @@ class CatalogSpec extends AnyFunSuite {
     assert(after.writerFeatures.get.contains("variantType"))
   }
 
+  test("registering pre-existing external Delta data; stale pointers droppable") {
+    import org.apache.spark.sql.functions.lit
+    // pre-existing Delta table outside the warehouse
+    val ext = Files.createTempDirectory("graft-external2").toString + "/t"
+    DeltaTable.write(spark,
+      spark.range(7).toDF("id").withColumn("tag", lit("x")), ext)
+    sql(s"CREATE TABLE graft.sales.reg LOCATION '$ext'") // no columns: register
+    assert(sql("SELECT count(*) FROM graft.sales.reg").head().getLong(0) == 7)
+    // declared schema must match when given
+    val e = intercept[Exception](
+      sql(s"CREATE TABLE graft.sales.reg2 (wrong STRING) LOCATION '$ext'"))
+    assert(e.getMessage.contains("does not match"))
+
+    // stale pointer: drop the external data, identifier must stay droppable
+    // and the slot reusable afterwards
+    val fs = new org.apache.hadoop.fs.Path(ext)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ext), true)
+    sql("DROP TABLE IF EXISTS graft.sales.reg")
+    sql("CREATE TABLE graft.sales.reg (id BIGINT)") // managed reuse of the slot
+    sql("INSERT INTO graft.sales.reg VALUES (1)")
+    assert(sql("SELECT count(*) FROM graft.sales.reg").head().getLong(0) == 1)
+  }
+
+  test("ADD COLUMN of TIMESTAMP_NTZ upgrades the protocol like VARIANT") {
+    sql("CREATE TABLE graft.sales.ntz (id BIGINT)")
+    sql("ALTER TABLE graft.sales.ntz ADD COLUMN ts TIMESTAMP_NTZ")
+    val p = DeltaTable.forPath(spark, s"$warehouse/sales/ntz").protocol
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7)
+    assert(p.readerFeatures.get.contains("timestampNtz"))
+    assert(p.writerFeatures.get.contains("timestampNtz"))
+  }
+
   test("concurrent INSERT INTO through the catalog: all commits land") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.conc")
     sql("CREATE TABLE graft.conc.t (id BIGINT, w INT)")

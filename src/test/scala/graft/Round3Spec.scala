@@ -441,6 +441,72 @@ class Round3Spec extends AnyFunSuite {
       s"expected gzip-coded file name, got ${p.getName}"))
   }
 
+  test("cached handle refreshes across compaction-covered log cleanup") {
+    import spark.implicits._
+    import graft.kernel.LogStore
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir)          // v0
+    val cached = DeltaTable.forPath(spark, dir)
+    assert(cached.version == 0)
+    // another writer advances the table, compacts, and cleanup removes
+    // the covered commits
+    DeltaTable.write(spark, Seq((2L, "b")).toDF("id", "v"), dir, "append") // v1
+    DeltaTable.write(spark, Seq((3L, "c")).toDF("id", "v"), dir, "append") // v2
+    DeltaTable.forPath(spark, dir).compactLogs(0, 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0L to 2L).foreach(v => fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/_delta_log/${LogStore.commitFileName(v)}"), false))
+    // the cached handle must reach v2 via the compaction file — the stale
+    // path returned prev because commit listing alone showed nothing newer
+    val snap = cached.refresh()
+    assert(snap.version == 2)
+    assert(cached.toDF.count() == 3)
+  }
+
+  test("writer v6 (identityColumns implied) is refused for writes, like the reference") {
+    import spark.implicits._
+    import graft.kernel.{Protocol, Metadata, ProtocolGate, DeltaProtocolException}
+    val meta = Metadata(schemaString =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))).json)
+    // reads fine, writes refused (we cannot maintain identity watermarks;
+    // reference: kernel/transaction/protocol.rs:325 identityColumns
+    // deliberately unsupported)
+    ProtocolGate.checkRead(Protocol(1, 6), meta)
+    val e = intercept[DeltaProtocolException](
+      ProtocolGate.checkWrite(Protocol(1, 6), meta))
+    assert(e.getMessage.contains("identityColumns"))
+    val e2 = intercept[DeltaProtocolException](
+      ProtocolGate.checkWrite(Protocol(3, 7,
+        readerFeatures = Some(Nil),
+        writerFeatures = Some(Seq("identityColumns"))), meta))
+    assert(e2.getMessage.contains("identityColumns"))
+  }
+
+  test("compression codec survives the targetFileSize resplit") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // incompressible-ish payload (md5 hex chains) so the staged gzip file
+    // actually exceeds 1.5× targetFileSize and the resplit path runs
+    val src = (0 until 20000).map(i => i.toLong).toDF("id")
+      .withColumn("v", concat((0 until 4).map(j =>
+        md5(concat(col("id").cast("string"), lit(s"_$j")))): _*))
+      .coalesce(1)
+    DeltaTable.write(spark, src,
+      dir, configuration = Map(
+        "delta.parquet.compression.codec" -> "gzip",
+        "delta.targetFileSize" -> "65536"))
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF.count() == 20000)
+    assert(t.snapshot.allFiles.size > 1, "resplit should have produced multiple files")
+    t.snapshot.allFiles.foreach { f =>
+      assert(t.snapshot.absolutePath(f.path).getName.contains(".gz.parquet"),
+        s"resplit output lost the gzip codec: ${f.path}")
+    }
+  }
+
   test("compaction-only log: table opens, next commit gets a fresh version") {
     import spark.implicits._
     import graft.kernel.LogStore

@@ -168,7 +168,7 @@ object Checkpoints {
     * PREVIOUS checkpoint's parquet with the tail overlay applied — the
     * driver never materializes the index to re-checkpoint it. */
   def write(spark: SparkSession, logPath: Path, snapshot: Snapshot, store: LogStore): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val m = snapshot.metadata
     val controlRows: Seq[Row] =
       Seq(Row(null, null, null,
@@ -195,6 +195,18 @@ object Checkpoints {
     val writeV2 = snapshot.getConf("delta.checkpointPolicy").contains("v2") &&
       snapshot.protocol.readerFeatures.exists(_.contains("v2Checkpoint"))
 
+    // tombstones past delta.deletedFileRetentionDuration are dropped from
+    // the written checkpoint (reference + delta-spark behavior: once the
+    // retention window has passed, the tombstone's only consumer — VACUUM —
+    // no longer needs it, and carrying every remove forever makes the
+    // checkpoint grow monotonically). Missing deletionTimestamp counts as
+    // ancient, mirroring delta-spark's reaper.
+    val retentionMs = m.configuration.get("delta.deletedFileRetentionDuration")
+      .flatMap(DeltaConfig.parseDuration).getOrElse(7L * 24 * 3600 * 1000)
+    val tombstoneCutoff = System.currentTimeMillis() - retentionMs
+    def tombstoneLive(r: RemoveFile): Boolean =
+      r.deletionTimestamp.getOrElse(0L) >= tombstoneCutoff
+
     val lazyIdx = snapshot.lazyIndex.filterNot(_.isMaterialized)
     // file-action rows (add/remove) only; control rows ride the manifest
     // (V2) or a unioned single-partition head (classic)
@@ -202,7 +214,8 @@ object Checkpoints {
       case Some(idx) =>
         val overlay = (idx.tailAdds.map(_.path) ++ idx.tailRemoves.map(_.path)).distinct
         val tailRows = idx.tailAdds.map(f => Row(null, addRow(f), null, null, null, null)) ++
-          idx.tailRemoves.map(r => Row(null, null, removeRow(r), null, null, null))
+          idx.tailRemoves.filter(tombstoneLive)
+            .map(r => Row(null, null, removeRow(r), null, null, null))
         val small = spark.createDataFrame(
           spark.sparkContext.parallelize(tailRows, 1), checkpointSchema)
         // one column-pruned leg per file-action column, overlay-filtered and
@@ -218,14 +231,21 @@ object Checkpoints {
             else lit(null).cast(f.dataType).as(f.name)
           }.toSeq: _*)
         }
-        // hint size (and part count) need a count; one cheap add-count job
-        val approx = idx.countAdds() + controlRows.size + tailRows.size
-        (small.unionByName(leg("add", addType)).unionByName(leg("remove", removeType)),
+        val removeLeg = leg("remove", removeType)
+          .filter(coalesce(col("remove.deletionTimestamp"), lit(0L)) >= tombstoneCutoff)
+        // hint size (and part count) need counts: countAdds() already
+        // INCLUDES the tail adds (don't add them again), and the carried
+        // remove rows must be counted too or the hint under-reports and
+        // the next open wrongly materializes eagerly
+        val approx = idx.countAdds() + removeLeg.count() +
+          idx.tailRemoves.count(tombstoneLive) + controlRows.size
+        (small.unionByName(leg("add", addType)).unionByName(removeLeg),
           None, approx)
       case None =>
         val rows =
           snapshot.allFiles.map(f => Row(null, addRow(f), null, null, null, null)) ++
-          snapshot.tombstones.map(r => Row(null, null, removeRow(r), null, null, null))
+          snapshot.tombstones.filter(tombstoneLive)
+            .map(r => Row(null, null, removeRow(r), null, null, null))
         (spark.createDataFrame(
           spark.sparkContext.parallelize(rows, math.max(1, rows.size / 50000)),
           checkpointSchema),

@@ -64,6 +64,7 @@ object ParquetStats {
       val maxs = scala.collection.mutable.Map[String, Any]()
       val nulls = scala.collection.mutable.Map[String, Long]()
       val broken = scala.collection.mutable.Set[String]()
+      val nullsBroken = scala.collection.mutable.Set[String]()
 
       val indexed: Set[String] =
         if (numIndexedCols < 0) schema.fieldNames.toSet
@@ -82,7 +83,12 @@ object ParquetStats {
             val st = cc.getStatistics
             if (st == null || broken.contains(name)) { broken += name }
             else {
-              nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+              // getNumNulls returns the -1 sentinel when the writer didn't
+              // set it — accumulating that poisons the count and IS NULL
+              // pruning would skip files that DO hold nulls. Drop the
+              // nullCount for the column (min/max may still be valid).
+              if (!st.isNumNullsSet) nullsBroken += name
+              else nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
               if (st.hasNonNullValue) {
                 val prim = cc.getPrimitiveType
                 (decode(st.genericGetMin, prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation),
@@ -101,6 +107,7 @@ object ParquetStats {
       // too: a partial sum (e.g. 0) would make IsNull pruning wrongly skip
       // files that do contain nulls (ADVICE r1)
       broken.foreach { c => mins.remove(c); maxs.remove(c); nulls.remove(c) }
+      nullsBroken.foreach(nulls.remove)
 
       val minJ = JObject(mins.toList.sortBy(_._1).map { case (k, v) => k -> toJValue(v, isMax = false) }
         .collect { case (k, Some(j)) => k -> j })

@@ -17,7 +17,12 @@ object PathCodec {
     try {
       val u = new java.net.URI(rel)
       // scheme'd/absolute URIs are handled by the caller via Path(URI)
-      if (u.isAbsolute) rel else Option(u.getPath).getOrElse(rel)
+      if (u.isAbsolute) rel
+      // a parsed query/fragment means a literal legacy path containing
+      // '?'/'#' (a compliant writer would have percent-encoded them) —
+      // u.getPath would silently TRUNCATE at the separator
+      else if (u.getRawQuery != null || u.getRawFragment != null) rel
+      else Option(u.getPath).getOrElse(rel)
     } catch { case _: Exception => rel } // tolerate non-URI legacy paths
 
   /** Literal filesystem path fragment → log-recordable relative URL. */

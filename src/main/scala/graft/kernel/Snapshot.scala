@@ -137,7 +137,8 @@ private[kernel] object ReplayState {
  * (`table/mod.rs:232` load_version, `table/mod.rs:375` load_with_datetime).
  */
 class DeltaLog(val spark: SparkSession, val tablePath: Path) {
-  val store: LogStore = new HadoopLogStore(spark.sessionState.newHadoopConf())
+  val store: LogStore =
+    DeltaLog.storeFor(tablePath, spark.sessionState.newHadoopConf())
   val logPath = new Path(tablePath, LogStore.LOG_DIR)
 
   /** A table exists if any commit, checkpoint OR compaction file is
@@ -241,22 +242,38 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
         // all parts of that version: single-file classic, multi-part
         // (%020d.checkpoint.%010d.%010d.parquet), or a V2 uuid manifest
         // whose add/remove state lives in _sidecars/ parquets
-        val parts = listing.map(_.getPath).filter { p =>
+        val allAtV = listing.map(_.getPath).filter { p =>
           LogStore.isCheckpointFile(p.getName) && LogStore.fileVersion(p.getName) == cv
         }
-        // multi-part completeness: an eventually-consistent listing that
-        // misses a part would silently drop AddFiles — fail loudly instead
-        val multi = parts.flatMap(p => LogStore.multiPartInfo(p.getName))
-        if (multi.nonEmpty) {
-          val declared = multi.map(_._2).distinct
-          require(declared.size == 1,
-            s"Inconsistent multi-part checkpoint at $cv: part counts $declared")
-          val seen = multi.map(_._1).toSet
-          val want = (1 to declared.head).toSet
-          require(seen == want,
-            s"Incomplete multi-part checkpoint at version $cv: " +
-              s"found parts ${seen.toSeq.sorted}, expected ${declared.head}")
+        // the spec allows MULTIPLE coexisting checkpoints at one version
+        // (single-file + multi-part, several V2 uuid manifests). Reading
+        // them all would replay every Add N times (duplicate rows) — pick
+        // exactly ONE instance deterministically: single classic file if
+        // present, else one complete multi-part set (largest part count),
+        // else one V2 manifest (lexicographically last uuid)
+        val singleClassic = allAtV.filter(_.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
+        val byParts = allAtV.flatMap(p =>
+          LogStore.multiPartInfo(p.getName).map { case (i, n) => (n, i, p) })
+          .groupBy(_._1)
+        val completeMulti = byParts.toSeq.sortBy(-_._1).collectFirst {
+          case (n, ps) if ps.map(_._2).toSet == (1 to n).toSet => ps.map(_._3)
         }
+        val manifests = allAtV.filter(_.getName.endsWith(".json")).sortBy(_.getName)
+        val parts: Seq[Path] =
+          if (singleClassic.nonEmpty) Seq(singleClassic.head)
+          else completeMulti.getOrElse {
+            if (manifests.nonEmpty) Seq(manifests.last)
+            else {
+              // only incomplete multi-part sets: an eventually-consistent
+              // listing that misses a part would silently drop AddFiles —
+              // fail loudly instead
+              val multi = allAtV.flatMap(p => LogStore.multiPartInfo(p.getName))
+              val declared = multi.map(_._2).distinct
+              throw new IllegalArgumentException(
+                s"Incomplete multi-part checkpoint at version $cv: " +
+                  s"found parts ${multi.map(_._1).sorted}, declared counts $declared")
+            }
+          }
         // lazy mode backing parts: classic checkpoint parquets directly, or
         // a V2 manifest's sidecar parquets (same add/remove column layout,
         // so LazyFileIndex's column-pruned legs read either)
@@ -393,4 +410,27 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
       (v, ts, ci)
     }
   }
+}
+
+object DeltaLog {
+  private val registered = scala.collection.concurrent.TrieMap[String, LogStore]()
+
+  /** Register a [[LogStore]] for a URI scheme — the injection point that
+    * makes [[ObjectStoreLogStore]] reachable from real table paths: wire a
+    * [[ConditionalPutClient]] for your store and register it for "s3a"/
+    * "gs"/…; every DeltaLog whose table path carries that scheme commits
+    * through it. Without a registration, [[HadoopLogStore]] is used (and
+    * refuses non-atomic object-store schemes at commit time). */
+  def registerLogStore(scheme: String, store: LogStore): Unit =
+    registered(scheme.toLowerCase) = store
+
+  def unregisterLogStore(scheme: String): Unit =
+    registered.remove(scheme.toLowerCase)
+
+  private[kernel] def storeFor(
+      tablePath: Path,
+      conf: org.apache.hadoop.conf.Configuration): LogStore =
+    Option(tablePath.toUri.getScheme).map(_.toLowerCase)
+      .flatMap(registered.get)
+      .getOrElse(new HadoopLogStore(conf))
 }

@@ -224,9 +224,14 @@ object StatsPruning {
       partitionColumns: Seq[String],
       pred: Expression,
       file: AddFile): Boolean = {
+    // a partition value we cannot parse into the declared type (e.g. "NaN"
+    // for a double partition — legal per ScalarExt::serialize) must fail
+    // OPEN, not crash the planner: omitted columns evaluate as unknown
     val partVals: Map[String, Any] = partitionColumns.flatMap { c =>
-      schema.find(_.name == c).map { f =>
-        c -> PartitionCodec.parse(file.partitionValues.get(c).orNull, f.dataType)
+      schema.find(_.name == c).flatMap { f =>
+        scala.util.Try(
+          PartitionCodec.parse(file.partitionValues.get(c).orNull, f.dataType))
+          .toOption.map(c -> _)
       }
     }.toMap
     val stats = file.stats.flatMap(s =>

@@ -188,7 +188,8 @@ class OptimisticTransaction(
     val retentionMs = meta.flatMap(_.configuration.get("delta.logRetentionDuration"))
       .flatMap(DeltaConfig.parseDuration).getOrElse(30L * 24 * 3600 * 1000)
     val cutoff = System.currentTimeMillis() - retentionMs
-    log.store.list(log.logPath).foreach { f =>
+    val listing = log.store.list(log.logPath)
+    val expired = listing.filter { f =>
       val name = f.getPath.getName
       val isOld = (LogStore.isCommitFile(name) || LogStore.isCheckpointFile(name)) &&
         LogStore.fileVersion(name) < checkpointVersion && f.getModificationTime < cutoff
@@ -196,8 +197,31 @@ class OptimisticTransaction(
       // checkpoint (fileVersion reads only its start version)
       val isOldCompaction = LogCompaction.info(name).exists(_._2 < checkpointVersion) &&
         f.getModificationTime < cutoff
-      if (isOld || isOldCompaction) log.store.delete(f.getPath)
+      isOld || isOldCompaction
     }
+    // V2 manifests reference _sidecars/*.parquet payloads: deleting the
+    // manifest alone leaks its sidecars forever. Sidecars may be SHARED
+    // across checkpoints (the spec allows reuse), so delete only those
+    // referenced by no surviving manifest. Read BEFORE deleting.
+    def isV2Manifest(n: String) = LogStore.isCheckpointFile(n) && n.endsWith(".json")
+    def sidecarsOf(p: org.apache.hadoop.fs.Path): Seq[String] =
+      scala.util.Try(log.store.read(p).flatMap(ActionCodec.fromJson).collect {
+        case s: Sidecar => s.path
+      }).getOrElse(Nil)
+    val expiredPaths = expired.map(_.getPath).toSet
+    val expiredSidecars = expired.collect {
+      case f if isV2Manifest(f.getPath.getName) => sidecarsOf(f.getPath)
+    }.flatten.toSet
+    val liveSidecars =
+      if (expiredSidecars.isEmpty) Set.empty[String]
+      else listing.collect {
+        case f if isV2Manifest(f.getPath.getName) && !expiredPaths.contains(f.getPath) =>
+          sidecarsOf(f.getPath)
+      }.flatten.toSet
+    expired.foreach(f => log.store.delete(f.getPath))
+    val sidecarDir = new org.apache.hadoop.fs.Path(log.logPath, "_sidecars")
+    (expiredSidecars -- liveSidecars).foreach(p =>
+      log.store.delete(new org.apache.hadoop.fs.Path(sidecarDir, p)))
   }
 }
 

@@ -36,11 +36,17 @@ object CdfRead {
     // Change data is only well-defined while `delta.enableChangeDataFeed`
     // is set: without it DML rewrites carry no CDC files and synthesizing
     // legs from add/remove actions would misreport rescued rows as changes
-    // (delta-rs load_cdf errors outside enabled ranges).
-    if (!Dml.cdcEnabled(snapshot))
-      throw new IllegalStateException(
-        "Change Data Feed is not enabled on this table " +
-        "(set delta.enableChangeDataFeed=true before the requested range)")
+    // (delta-rs load_cdf errors outside enabled ranges). The gate must test
+    // the metadata in effect AT THE RANGE START, not just the current
+    // snapshot — a range predating enablement has no recorded change data.
+    def enabledError = new IllegalStateException(
+      "Change Data Feed is not enabled on this table for the requested " +
+      "range (set delta.enableChangeDataFeed=true before the range start)")
+    if (!Dml.cdcEnabled(snapshot)) throw enabledError
+    if (end >= startingVersion && startingVersion >= 0 &&
+        startingVersion <= log.latestVersion() &&
+        !Dml.cdcEnabled(log.snapshotAt(startingVersion)))
+      throw enabledError
     val schema = snapshot.schema
     val partCols = snapshot.partitionColumns
 

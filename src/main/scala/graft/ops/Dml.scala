@@ -43,7 +43,11 @@ object Dml {
       .distinct()
       .collect()
       .map(_.getString(0))
-    hits.flatMap(uri => idx.get(uriToPathKey(uri))).toSeq
+    hits.toSeq.map { uri =>
+      idx.getOrElse(uriToPathKey(uri), throw new IllegalStateException(
+        s"DML: matched file $uri does not map back to a snapshot AddFile " +
+        "(path-encoding mismatch) — refusing to silently skip it"))
+    }
   }
 
   /** Whether this table wants CDC rows (operations/cdc.rs should_write_cdc). */
@@ -88,9 +92,18 @@ object DeleteOp {
 
     predicate match {
       case None =>
-        // full-table delete: metadata-only
+        // full-table delete: metadata-only removes; with CDF enabled the
+        // deleted rows are recorded as explicit CDC files (a DV-aware scan)
+        // because synthesized remove legs cannot represent DV-masked files
+        // and would leave the change feed unreadable across this version
         txn.readWholeTable()
         val removes = snapshot.allFiles.map(_.remove(now, dataChange = true))
+        val cdc: Seq[Action] =
+          if (Dml.cdcEnabled(snapshot) && snapshot.allFiles.nonEmpty) {
+            val deleted = Scan.read(spark, snapshot)
+              .withColumn(Dml.CDC_COL, lit("delete"))
+            Dml.writeCdc(spark, table, deleted, nIdx)
+          } else Nil
         val deletedRows = snapshot.approxNumRecords.getOrElse(-1L)
         val metrics = Map(
           "num_removed_files" -> removes.size.toString,
@@ -98,7 +111,7 @@ object DeleteOp {
           "num_deleted_rows" -> deletedRows.toString,
           "num_copied_rows" -> "0",
           "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
-        table.commitAndRefresh(txn, removes,
+        table.commitAndRefresh(txn, removes ++ cdc,
           Operation("DELETE", Map("predicate" -> "true"), metrics))
         metrics
 
@@ -121,7 +134,12 @@ object DeleteOp {
             Scan.readFiles(spark, snapshot, partialCandidates)
               .filter(expr(pred))
               .select(input_file_name().as("f")).distinct().collect()
-              .flatMap(r => idx.get(Dml.uriToPathKey(r.getString(0)))).toSeq
+              .toSeq.map { r =>
+                idx.getOrElse(Dml.uriToPathKey(r.getString(0)),
+                  throw new IllegalStateException(
+                    s"DELETE: matched file ${r.getString(0)} does not map back " +
+                    "to a snapshot AddFile (path-encoding mismatch)"))
+              }
           }
 
         // With delta.enableDeletionVectors, partially-matching files keep
@@ -373,7 +391,8 @@ object UpdateOp {
     // untouched rows never move (delta-spark's DV update shape)
     val useDv = snapshot.confBool("delta.enableDeletionVectors")
     def fullRewrite(): (Seq[Action], Seq[AddFile], Seq[Action], Long) = {
-      val rewritten = src.select(updatedCols: _*)
+      val rewritten = Validation.prepareForWrite(spark,
+        src.select(updatedCols: _*), meta)
       val newAdds = DeltaWriter.writeFiles(spark, table.tablePath, rewritten,
         snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
       val now = System.currentTimeMillis()
@@ -384,7 +403,8 @@ object UpdateOp {
     val (actions, adds, removes, updatedRows): (Seq[Action], Seq[AddFile], Seq[Action], Long) =
       if (useDv) DvDelete.maskFiles(table, snapshot, files, pred) match {
         case Some((dvActions, masked)) =>
-          val updatedOnly = src.filter(predCol).select(updatedCols: _*)
+          val updatedOnly = Validation.prepareForWrite(spark,
+            src.filter(predCol).select(updatedCols: _*), meta)
           val newAdds = DeltaWriter.writeFiles(spark, table.tablePath, updatedOnly,
             snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
           val upgrade = ProtocolGate.upgradeForDv(snapshot.protocol).toSeq

@@ -1,6 +1,7 @@
 package graft.ops
 
 import scala.collection.mutable
+import scala.collection.parallel.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
@@ -78,9 +79,15 @@ object VacuumOp {
           .map(p => tableUri.relativize(p.toUri).getPath).toSet
         val live: Set[String] =
           snapshot.allFiles.map(f => PathCodec.decode(f.path)).toSet ++ liveDvs
+        // a retained tombstone protects BOTH its data file and its DV blob:
+        // time travel / RESTORE into the retention window must still be able
+        // to decode the mask
         val recentTombstones: Set[String] = snapshot.tombstones
           .filter(_.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoff)
-          .map(r => PathCodec.decode(r.path)).toSet
+          .flatMap(r => PathCodec.decode(r.path) +: r.deletionVector
+            .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
+            .map(p => tableUri.relativize(p.toUri).getPath).toSeq)
+          .toSet
         val listed = mutable.ArrayBuffer[(String, Long)]()
         walkFs(fs, table.tablePath, "", listed)
         listed.collect {
@@ -109,7 +116,10 @@ object VacuumOp {
           case _ =>
             snapshot.tombstones
               .filter(_.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoff)
-              .map(r => PathCodec.decode(r.path)).toDF("rel")
+              .flatMap(r => PathCodec.decode(r.path) +: r.deletionVector
+                .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
+                .map(p => tableUri.relativize(p.toUri).getPath).toSeq)
+              .toDF("rel")
         }
         val rootEntries = fs.listStatus(table.tablePath).toSeq
         val seedDirs = rootEntries
@@ -173,7 +183,8 @@ object VacuumOp {
  * (`crates/core/src/operations/restore.rs:1-21`).
  */
 object RestoreOp {
-  def run(table: DeltaTable, version: Long): Map[String, String] = {
+  def run(table: DeltaTable, version: Long,
+          ignoreMissingFiles: Boolean = false): Map[String, String] = {
     val current = table.refresh()
     ProtocolGate.checkAppendOnly(current, "RESTORE")
     val target = table.deltaLog.snapshotAt(version)
@@ -185,8 +196,22 @@ object RestoreOp {
     val currentKeys = current.allFiles.map(key).toSet
     val targetKeys = target.allFiles.map(key).toSet
 
-    val toAdd = target.allFiles.filterNot(f => currentKeys.contains(key(f)))
+    val toAdd0 = target.allFiles.filterNot(f => currentKeys.contains(key(f)))
       .map(_.copy(dataChange = true))
+    // VACUUM may have physically deleted files the target version needs —
+    // committing Adds for them would poison every later scan
+    // (restore.rs ignore_missing_files: error by default)
+    val fsck = table.tablePath.getFileSystem(
+      table.spark.sessionState.newHadoopConf())
+    val missing = toAdd0.par
+      .filterNot(f => fsck.exists(target.absolutePath(f.path))).seq
+    if (missing.nonEmpty && !ignoreMissingFiles)
+      throw new IllegalStateException(
+        s"RESTORE to $version needs ${missing.size} file(s) that no longer " +
+        s"exist (vacuumed?): ${missing.take(3).map(_.path)}... — pass " +
+        "ignoreMissingFiles=true to restore without them")
+    val toAdd = if (ignoreMissingFiles)
+      toAdd0.filterNot(f => missing.exists(_.path == f.path)) else toAdd0
     val now = System.currentTimeMillis()
     val toRemove = current.allFiles.filterNot(f => targetKeys.contains(key(f)))
       .map(_.remove(now, dataChange = true))
@@ -252,6 +277,10 @@ object ConstraintsOp {
     val newMeta = snapshot.metadata.copy(
       configuration = snapshot.metadata.configuration + (key -> exprStr))
     val txn = table.startTransaction()
+    // the validation scan read the WHOLE table: without recording that, a
+    // concurrent append of violating rows would not conflict and the
+    // committed constraint would advertise a guarantee the data breaks
+    txn.readWholeTable()
     table.commitAndRefresh(txn, Seq(newMeta),
       Operation("ADD CONSTRAINT", Map("name" -> name, "expr" -> exprStr)))
   }
@@ -449,6 +478,14 @@ object ConvertToDeltaOp {
 object GenerateManifestOp {
   def run(table: DeltaTable): Unit = {
     val snapshot = table.refresh()
+    // a symlink manifest lists whole files — a reader following it cannot
+    // apply deletion vectors, so masked rows would resurface. Refuse, like
+    // delta-spark's manifest generation on DV-enabled tables.
+    val masked = snapshot.allFiles.filter(_.deletionVector.exists(_.cardinality > 0))
+    require(masked.isEmpty,
+      s"Cannot generate symlink manifest: ${masked.size} file(s) carry " +
+      "deletion vectors that manifest readers cannot apply — run OPTIMIZE " +
+      "(or purge DVs via rewrite) first")
     val fs = table.tablePath.getFileSystem(table.spark.sessionState.newHadoopConf())
     val manifestRoot = new Path(table.tablePath, "_symlink_format_manifest")
     if (fs.exists(manifestRoot)) fs.delete(manifestRoot, true)

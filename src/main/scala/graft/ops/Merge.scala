@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo, Expression, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, LessThanOrEqual => CLessThanOrEqual, Literal => CLiteral}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -179,8 +179,8 @@ object MergeOp {
               source.select(col(s)).distinct().limit(maxInList + 1).collect())
             val nonNull = distinctVals.filter(!_.isNullAt(0))
             if (distinctVals.length > maxInList || nonNull.isEmpty) Left(pair)
-            else Right(Scan.parsePredicate(spark,
-              nonNull.map(r => sqlLit(r.get(0))).mkString(s"$t IN (", ", ", ")")))
+            else Right(CIn(UnresolvedAttribute(Seq(t)),
+              nonNull.toSeq.map(r => CLiteral(r.get(0)))))
           }
         val inListPreds = inListResults.collect { case Right(p) => p }
         val rangePairs = dataPairs ++ inListResults.collect { case Left(pair) => pair }
@@ -194,8 +194,9 @@ object MergeOp {
             rangePairs.zipWithIndex.flatMap { case ((t, _), i) =>
               val mn = row.get(2 * i); val mx = row.get(2 * i + 1)
               if (mn == null || mx == null) None
-              else Some(Scan.parsePredicate(spark,
-                s"$t >= ${sqlLit(mn)} AND $t <= ${sqlLit(mx)}"))
+              else Some(CAnd(
+                CGreaterThanOrEqual(UnresolvedAttribute(Seq(t)), CLiteral(mn)),
+                CLessThanOrEqual(UnresolvedAttribute(Seq(t)), CLiteral(mx))))
             }
           }
         inListPreds ++ rangePreds
@@ -290,13 +291,25 @@ object MergeOp {
           .agg(max("__nm").as("__maxnm"), max("__chg").as("__chg"))
           .collect()) // one row per candidate FILE — bounded by file count
 
-      if (validateDuplicates && perFile.exists(_.getLong(1) > 1))
+      // duplicate matches are an error ONLY when a matched clause would
+      // modify the target row (merge/validation.rs; delta-spark semantics):
+      // an insert-only merge with several source rows matching one target
+      // key is the standard dedup-append pattern and must succeed
+      val matchedModifies = indexed.exists {
+        case (_: MatchedUpdate | _: MatchedUpdateAll | _: MatchedDelete, _) => true
+        case _ => false
+      }
+      if (validateDuplicates && matchedModifies && perFile.exists(_.getLong(1) > 1))
         throw new MergeDuplicateMatchException
 
       val changedFiles = perFile.filter(_.getInt(2) == 1).map(_.getString(0)).toSet
 
       val pathIdx = Dml.filePathIndex(snapshot, candidates)
-      val removedAdds = changedFiles.toSeq.flatMap(uri => pathIdx.get(Dml.uriToPathKey(uri)))
+      val removedAdds = changedFiles.toSeq.map { uri =>
+        pathIdx.getOrElse(Dml.uriToPathKey(uri), throw new IllegalStateException(
+          s"MERGE: changed file $uri does not map back to a snapshot AddFile " +
+          "(path-encoding mismatch) — refusing to commit a duplicate-row state"))
+      }
 
       // ---- output projection ----
       val sourceHas = source.schema.fieldNames.toSet
@@ -372,7 +385,8 @@ object MergeOp {
 
       val adds = traced("output_write")(
         if (changedFiles.isEmpty && insertOps.isEmpty) Nil
-        else DeltaWriter.writeFiles(spark, table.tablePath, outputRows,
+        else DeltaWriter.writeFiles(spark, table.tablePath,
+          Validation.prepareForWrite(spark, outputRows, writeMeta),
           snapshot.partitionColumns, nIdx, meta = Some(writeMeta)))
 
       // mask actions (remove + re-add with unioned DV) for DV mode
@@ -475,12 +489,4 @@ object MergeOp {
     }.flatten
   }
 
-  private def sqlLit(v: Any): String = v match {
-    case s: String => "'" + s.replace("'", "''") + "'"
-    case ts: java.sql.Timestamp => s"TIMESTAMP '${ts.toString}'"
-    case d: java.sql.Date => s"DATE '${d.toString}'"
-    case i: java.time.Instant => s"TIMESTAMP '${java.sql.Timestamp.from(i)}'"
-    case d: java.time.LocalDate => s"DATE '$d'"
-    case other => other.toString
-  }
 }

@@ -173,7 +173,8 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
              enforceRetention: Boolean = true): Seq[String] =
     VacuumOp.run(this, retentionHours, dryRun, enforceRetention)
 
-  def restore(version: Long): Map[String, String] = RestoreOp.run(this, version)
+  def restore(version: Long, ignoreMissingFiles: Boolean = false): Map[String, String] =
+    RestoreOp.run(this, version, ignoreMissingFiles)
 
   /** Restore to the last version committed at or before `tsMs`
     * (restore.rs:89 datetime_to_restore; same resolution rule as

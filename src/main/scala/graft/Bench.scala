@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Path, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,15 +14,39 @@ import graft.table.DeltaTable
  * (default sf0.1), shapes mirroring the reference harnesses
  * (BASELINE.md: TPC-H-ish query suite, merge upsert grid per
  * crates/benchmarks/src/merge.rs:122-279, optimize 50→few files per
- * python/tests/test_benchmark.py:103-157). Table builds are untimed setup;
- * each timed entry is one operator execution forced by count()/collect.
- * Prints ONE JSON line.
+ * python/tests/test_benchmark.py:103-157).
+ *
+ * Measurement discipline: every query runs `REPS` times (default 3) after a
+ * warm-up execution, and the reported number is the MEDIAN of the timed
+ * runs (min also emitted). Mutating operators (merge/delete/optimize) get a
+ * byte-identical fresh table per repetition: the target is built once as a
+ * template and cloned per run with a filesystem copy (Delta add paths are
+ * table-relative, so a directory copy is a valid table). Query order is
+ * fixed; table builds and clones are untimed setup. Prints ONE JSON line.
  */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Recursive directory copy (template table → fresh per-rep table). */
+  private def cloneDir(src: String, dst: String): Unit = {
+    val from = Paths.get(src)
+    val to = Paths.get(dst)
+    Files.createDirectories(to.getParent)
+    Files.walk(from).forEach { p: Path =>
+      val t = to.resolve(from.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,33 +72,48 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def force(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
-    // read-only queries: warm-up run then best-of-2 (JIT/codegen warm; the
-    // mutating ops below stay single-shot on fresh tables)
-    def timedRead(df: => DataFrame): Double = { timed(force(df)); math.min(timed(force(df)), timed(force(df))) }
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def record(name: String, runs: Seq[Double]): Unit = {
+      medians(name) = median(runs); mins(name) = runs.min
+    }
+
+    // read-only query: one warm-up execution, then `reps` timed runs
+    def bench(name: String)(df: => DataFrame): Unit = {
+      force(df)
+      record(name, (1 to reps).map(_ => timed(force(df))))
+    }
+    // mutating operator: fresh clone of `template` per timed run
+    def benchMut(name: String, template: String)(op: String => Unit): Unit = {
+      record(name, (1 to reps).map { i =>
+        val dir = EntryCtx.tempDir(s"${name}_r$i")
+        cloneDir(template, dir)
+        timed(op(dir))
+      })
+    }
 
     // TPC-H Q1-shaped aggregation over the Delta lineitem
-    results("q1_agg") = timedRead(spark.sql(
+    bench("q1_agg")(spark.sql(
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |       sum(l_extendedprice) AS sum_price, avg(l_discount) AS avg_disc,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin))
 
     // file-skipping scan with residual filter
-    results("pruned_scan") = timedRead(
+    bench("pruned_scan")(
       DeltaTable.forPath(spark, liDir)
         .scanWhere("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_quantity < 5"))
 
     // 3-way join + aggregation (shuffle-heavy path, AQE picks broadcast)
-    results("join_agg") = timedRead(spark.sql(
+    bench("join_agg")(spark.sql(
       """SELECT c_mktsegment, count(*) AS cnt, sum(l_extendedprice) AS rev
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin))
 
     // window top-k per key
-    results("window_topk") = timedRead(spark.sql(
+    bench("window_topk")(spark.sql(
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey,
         |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) rn
@@ -95,48 +136,48 @@ object Bench {
     }
 
     // merge upsert: 50% of rows matched (update), ~1% inserted — the
-    // benchmarks/src/merge.rs upsert shape, fresh target per run
-    val mergeDir = EntryCtx.tempDir("bench_merge")
-    DeltaTable.write(spark, orders, mergeDir)
+    // benchmarks/src/merge.rs upsert shape, fresh target clone per run
+    val mergeTpl = EntryCtx.tempDir("bench_merge_tpl")
+    DeltaTable.write(spark, orders, mergeTpl)
     val mergeSrc = orders.filter("o_orderkey % 2 = 0")
       .unionByName(orders.filter("o_orderkey % 100 = 0")
         .withColumn("o_orderkey", col("o_orderkey") + 10000000))
       .withColumn("o_totalprice", col("o_totalprice") + 1)
-    results("merge_upsert") = timed {
-      DeltaTable.forPath(spark, mergeDir)
+    benchMut("merge_upsert", mergeTpl) { dir =>
+      DeltaTable.forPath(spark, dir)
         .merge(mergeSrc, "target.o_orderkey = source.o_orderkey")
         .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
     }
 
     // same upsert on a DV-enabled target: masks + appends, no copy rewrite
-    val mergeDvDir = EntryCtx.tempDir("bench_merge_dv")
-    DeltaTable.write(spark, orders, mergeDvDir,
+    val mergeDvTpl = EntryCtx.tempDir("bench_merge_dv_tpl")
+    DeltaTable.write(spark, orders, mergeDvTpl,
       configuration = Map("delta.enableDeletionVectors" -> "true"))
-    results("merge_upsert_dv") = timed {
-      DeltaTable.forPath(spark, mergeDvDir)
+    benchMut("merge_upsert_dv", mergeDvTpl) { dir =>
+      DeltaTable.forPath(spark, dir)
         .merge(mergeSrc, "target.o_orderkey = source.o_orderkey")
         .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
     }
 
     // delete with partial-file rewrite
-    val delDir = EntryCtx.tempDir("bench_del")
-    DeltaTable.write(spark, orders.repartition(8), delDir)
-    results("delete_rewrite") = timed {
-      DeltaTable.forPath(spark, delDir).delete(Some("o_totalprice < 50000"))
+    val delTpl = EntryCtx.tempDir("bench_del_tpl")
+    DeltaTable.write(spark, orders.repartition(8), delTpl)
+    benchMut("delete_rewrite", delTpl) { dir =>
+      DeltaTable.forPath(spark, dir).delete(Some("o_totalprice < 50000"))
     }
 
     // optimize: 50 small files → target-size bins
-    val optDir = EntryCtx.tempDir("bench_opt")
-    DeltaTable.write(spark, orders.repartition(50), optDir)
-    results("optimize_compact") = timed {
-      DeltaTable.forPath(spark, optDir).optimizeCompact()
+    val optTpl = EntryCtx.tempDir("bench_opt_tpl")
+    DeltaTable.write(spark, orders.repartition(50), optTpl)
+    benchMut("optimize_compact", optTpl) { dir =>
+      DeltaTable.forPath(spark, dir).optimizeCompact()
     }
 
     // z-order rewrite (binary Morton key + range repartition)
-    val zoDir = EntryCtx.tempDir("bench_zo")
-    DeltaTable.write(spark, orders.repartition(8), zoDir)
-    results("optimize_zorder") = timed {
-      DeltaTable.forPath(spark, zoDir).optimizeZOrder(Seq("o_custkey", "o_totalprice"))
+    val zoTpl = EntryCtx.tempDir("bench_zo_tpl")
+    DeltaTable.write(spark, orders.repartition(8), zoTpl)
+    benchMut("optimize_zorder", zoTpl) { dir =>
+      DeltaTable.forPath(spark, dir).optimizeZOrder(Seq("o_custkey", "o_totalprice"))
     }
 
     // CDF assembly over a multi-commit range (3 batched legs)
@@ -144,29 +185,27 @@ object Bench {
     DeltaTable.write(spark, orders, cdfDir,
       configuration = Map("delta.enableChangeDataFeed" -> "true"))
     DeltaTable.forPath(spark, cdfDir).delete(Some("o_totalprice < 20000"))
-    results("cdf_read") = timedRead(
-      DeltaTable.forPath(spark, cdfDir).loadCdf(0))
+    bench("cdf_read")(DeltaTable.forPath(spark, cdfDir).loadCdf(0))
 
     // LLM-pipeline operators
-    results("llm_textstats") = timedRead(
-      TextOps.textStats(docs, "doc_id", "text"))
-    results("llm_exact_dedup") = timedRead(
+    bench("llm_textstats")(TextOps.textStats(docs, "doc_id", "text"))
+    bench("llm_exact_dedup")(
       Dedup.exactKeepMin(docs.select("doc_id", "text"), "doc_id", Seq("text")))
-    results("llm_minhash_neardup") = timedRead(
+    bench("llm_minhash_neardup")(
       Dedup.minhashNearDups(docs.select("doc_id", "text"), "doc_id", "text"))
-    results("llm_ann_topk") = timedRead(
+    bench("llm_ann_topk")(
       Similarity.cosineTopK(emb, emb.filter("vec_id < 8"), "vec_id", "embedding", 10))
-    results("llm_ann_lsh") = timedRead(
+    bench("llm_ann_lsh")(
       Similarity.lshTopK(emb, emb.filter("vec_id < 8"), "vec_id", "embedding", 10))
-    results("llm_simhash") = timedRead(
+    bench("llm_simhash")(
       Dedup.simhash(docs.select("doc_id", "text"), "doc_id", "text"))
-    results("llm_ngram_jaccard") = timedRead(
+    bench("llm_ngram_jaccard")(
       Dedup.ngramJaccardNearDups(docs.select("doc_id", "text"), "doc_id", "text"))
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val total = medians.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -164,6 +164,23 @@ class LazyFileIndex(
         .map(r => PathCodec.decode(r.path)).toDF("rel"))
   }
 
+  /** Only the Adds below `maxSize` bytes (OPTIMIZE compaction candidates):
+    * the size filter runs on executors over the checkpoint parquet, so a
+    * mostly-compacted 10M-file table reduces just its small-file minority to
+    * the driver — bin planning never needs the full Add vector. */
+  def addsSmallerThan(maxSize: Long): Vector[AddFile] = {
+    if (isMaterialized) return cachedAdds.filter(_.size < maxSize)
+    val overlayB = spark.sparkContext.broadcast(tailPaths)
+    val ckpt = colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
+      val overlay = overlayB.value
+      it.flatMap { row =>
+        val f = Checkpoints.decodeAdd(row.getStruct(0))
+        if (f.size < maxSize && !overlay.contains(f.path)) Some(f) else None
+      }
+    }.collect().toVector
+    ckpt ++ tailAdds.filter(_.size < maxSize)
+  }
+
   /** Full Add vector (checkpoint + tail overlay), cached after first pull. */
   def materializeAdds(): Vector[AddFile] = {
     if (cachedAdds == null) synchronized {

@@ -53,6 +53,13 @@ case class Snapshot(
     case Some(idx) if !idx.isMaterialized => idx.countAdds()
     case _ => allFiles.size.toLong
   }
+
+  /** Live files below `maxSize` bytes (OPTIMIZE compaction candidates) —
+    * distributed filter on lazy snapshots, never a full materialization. */
+  def filesSmallerThan(maxSize: Long): Vector[AddFile] = lazyIndex match {
+    case Some(idx) if !idx.isMaterialized => idx.addsSmallerThan(maxSize)
+    case _ => allFiles.filter(_.size < maxSize)
+  }
   def sizeInBytes: Long = lazyIndex match {
     case Some(idx) if !idx.isMaterialized => idx.statsSummary()._2
     case _ => allFiles.map(_.size).sum

@@ -223,6 +223,21 @@ case class DvBlob(
   * dv-modes: positions never cross the driver. */
 object DvWriter {
 
+  /** Union of two SORTED position arrays, deduplicated — single O(n) output
+    * allocation instead of `(a ++ b).distinct.sorted`'s three copies. */
+  private[ops] def unionSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = Array.newBuilder[Long]
+    out.sizeHint(a.length + b.length)
+    var i = 0; var j = 0; var last = Long.MinValue; var has = false
+    while (i < a.length || j < b.length) {
+      val v =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+        else { val x = b(j); j += 1; x }
+      if (!has || v != last) { out += v; last = v; has = true }
+    }
+    out.result()
+  }
+
   /** Build per-file DV blobs ON EXECUTORS from a DataFrame of
     * (`__file` URI, `__pos`) hit rows: hits shuffle by file, each task
     * writes its files' roaring blobs (unioned with any existing mask) and
@@ -243,6 +258,11 @@ object DvWriter {
     val spark = table.spark
     val cap = spark.conf.getOption("spark.graft.dv.maxMaskedRows")
       .map(_.toLong).getOrElse(DvDelete.MaxMaskedRows)
+    // per-FILE cap enforced INSIDE the task, before any over-cap array is
+    // built — a single hot file near the global cap must fail fast to the
+    // rewrite path, not OOM the executor assembling its mask
+    val perFileCap = spark.conf.getOption("spark.graft.dv.maxMaskedRowsPerFile")
+      .map(_.toLong).getOrElse(DvDelete.MaxMaskedRowsPerFile)
 
     import spark.implicits._
     val tablePathStr = table.tablePath.toString
@@ -263,31 +283,49 @@ object DvWriter {
         val out = scala.collection.mutable.ArrayBuffer.empty[DvBlob]
         var cur: String = null
         var buf = Array.newBuilder[Long]
+        var bufN = 0L
+        var over = false // this file's fresh mask exceeded perFileCap
         def flush(): Unit = if (cur != null) {
           val key = Dml.uriToPathKey(cur)
-          val fresh = buf.result()
-          val existing = bcDvs.value.get(key)
-            .map(d => DeletionVectors.read(tp, d, conf))
-            .getOrElse(Array.empty[Long])
-          val union = (existing ++ fresh).distinct.sorted
-          val desc = DeletionVectors.writeDvFile(tp, union, conf)
-          out += DvBlob(key, desc.storageType, desc.pathOrInlineDv, desc.offset,
-            desc.sizeInBytes, desc.cardinality, fresh.length.toLong)
+          if (over) {
+            // sentinel: no blob written; sizeInBytes = -1 tells the driver
+            // to abandon DV mode (rewrite fallback) without any big array
+            // ever having been allocated here
+            out += DvBlob(key, "", "", None, -1, -1L, bufN)
+          } else {
+            val fresh = buf.result()
+            val existing = bcDvs.value.get(key)
+              .map(d => DeletionVectors.read(tp, d, conf))
+              .getOrElse(Array.empty[Long])
+            if (existing.length.toLong + fresh.length > perFileCap)
+              out += DvBlob(key, "", "", None, -1, -1L, bufN)
+            else {
+              val union = unionSorted(existing, fresh)
+              val desc = DeletionVectors.writeDvFile(tp, union, conf)
+              out += DvBlob(key, desc.storageType, desc.pathOrInlineDv, desc.offset,
+                desc.sizeInBytes, desc.cardinality, fresh.length.toLong)
+            }
+          }
         }
         it.foreach { case (f, p) =>
-          if (f != cur) { flush(); cur = f; buf = Array.newBuilder[Long] }
-          buf += p
+          if (f != cur) {
+            flush(); cur = f; buf = Array.newBuilder[Long]; bufN = 0L; over = false
+          }
+          bufN += 1
+          if (bufN > perFileCap) { over = true; buf = Array.newBuilder[Long] }
+          else if (!over) buf += p
         }
         flush()
         out.iterator
       }.collect()
 
     val total = blobs.map(_.newlyMasked).sum
-    if (total > cap) {
+    if (blobs.exists(_.sizeInBytes < 0) || total > cap) {
       // fall back to rewrite: the uncommitted blobs are orphans — delete
+      // (sentinel rows never wrote a blob)
       val conf = spark.sessionState.newHadoopConf()
       val fs = table.tablePath.getFileSystem(conf)
-      blobs.foreach { b =>
+      blobs.filter(_.sizeInBytes >= 0).foreach { b =>
         DeletionVectors.dvPath(table.tablePath,
           DeletionVectorDescriptor(b.storageType, b.pathOrInlineDv,
             b.offset, b.sizeInBytes, b.cardinality))
@@ -316,6 +354,12 @@ object DvDelete {
     * big defeat the purpose). Overridable for tests via the spark conf
     * `spark.graft.dv.maxMaskedRows`. */
   val MaxMaskedRows = 50000000L
+
+  /** Per-FILE mask row cap, enforced inside the executor task building that
+    * file's blob (bounded task memory: the cap is checked while positions
+    * stream in, before the union array exists). Overridable via
+    * `spark.graft.dv.maxMaskedRowsPerFile`. */
+  val MaxMaskedRowsPerFile = 10000000L
 
   /** Returns Some(remove+add actions, rows newly masked), or None when the
     * mask would exceed the cap (caller falls back to rewrite). Each file's
@@ -376,7 +420,12 @@ object UpdateOp {
       return metrics
     }
 
-    val src = Scan.readFiles(spark, snapshot, files)
+    val cdcOn = Dml.cdcEnabled(snapshot)
+    // CDC needs pre/post-image projections of the same hit rows the rewrite
+    // consumes — persist the hit-file scan so those extra passes hit the
+    // cache instead of re-reading every hit file from storage
+    val src0 = Scan.readFiles(spark, snapshot, files)
+    val src = if (cdcOn) src0.persist() else src0
     val predCol = coalesce(expr(pred), lit(false))
     val updatedCols = snapshot.schema.map { f =>
       set.get(f.name) match {
@@ -391,13 +440,22 @@ object UpdateOp {
     // untouched rows never move (delta-spark's DV update shape)
     val useDv = snapshot.confBool("delta.enableDeletionVectors")
     def fullRewrite(): (Seq[Action], Seq[AddFile], Seq[Action], Long) = {
+      // num_updated_rows observed during the write pass itself — no second
+      // scan of the hit files just for the metric (same shape as MERGE)
+      val obs = new org.apache.spark.sql.Observation(
+        s"upd_${java.util.UUID.randomUUID.toString.take(8)}")
+      val observed = src.observe(obs,
+        sum(when(predCol, 1L).otherwise(0L)).as("n"))
       val rewritten = Validation.prepareForWrite(spark,
-        src.select(updatedCols: _*), meta)
+        observed.select(updatedCols: _*), meta)
       val newAdds = DeltaWriter.writeFiles(spark, table.tablePath, rewritten,
         snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
       val now = System.currentTimeMillis()
       val rem = files.map(_.remove(now, dataChange = true))
-      val matched = src.filter(predCol).count()
+      val matched = obs.get("n") match {
+        case null => 0L // sum() over a zero-row scan observes NULL
+        case n: java.lang.Number => n.longValue
+      }
       (rem ++ newAdds, newAdds, rem, matched)
     }
     val (actions, adds, removes, updatedRows): (Seq[Action], Seq[AddFile], Seq[Action], Long) =
@@ -414,12 +472,13 @@ object UpdateOp {
       else fullRewrite()
 
     val cdc: Seq[Action] =
-      if (Dml.cdcEnabled(snapshot)) {
+      if (cdcOn) {
         val pre = src.filter(predCol).withColumn(Dml.CDC_COL, lit("update_preimage"))
         val post = src.filter(predCol).select(updatedCols: _*)
           .withColumn(Dml.CDC_COL, lit("update_postimage"))
         Dml.writeCdc(spark, table, pre.unionByName(post), nIdx)
       } else Nil
+    if (cdcOn) src.unpersist()
 
     val totalRows = adds.flatMap(_.numRecords).sum
     val metrics = Map(

@@ -25,18 +25,20 @@ object OptimizeOp {
     val snapshot = table.refresh()
     val txn = table.startTransaction()
 
+    // bin planning needs only the below-target files: on a lazy (huge-table)
+    // snapshot the size filter runs distributed over the checkpoint parquet,
+    // so a mostly-compacted table never materializes its full Add index here
     val candidates = predicate match {
       case Some(p) =>
         val e = Scan.parsePredicate(spark, p)
         require(StatsPruning.isPartitionOnly(e, snapshot.partitionColumns),
           "OPTIMIZE predicate must reference only partition columns")
-        Scan.prunedFiles(snapshot, Seq(e), Some(table.spark))
-      case None => snapshot.allFiles
+        Scan.prunedFiles(snapshot, Seq(e), Some(table.spark)).filter(_.size < targetSize)
+      case None => snapshot.filesSmallerThan(targetSize)
     }
 
-    // bin-pack per partition: only files below target participate
-    val byPartition = candidates.filter(_.size < targetSize)
-      .groupBy(_.partitionValues)
+    // bin-pack per partition
+    val byPartition = candidates.groupBy(_.partitionValues)
     val bins: Seq[Seq[AddFile]] = byPartition.values.flatMap { files =>
       val sorted = files.sortBy(-_.size)
       val acc = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[AddFile]]()

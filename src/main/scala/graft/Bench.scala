@@ -79,9 +79,41 @@ object Bench {
       medians(name) = median(runs); mins(name) = runs.min
     }
 
+    // Plan capture (perf triage + regression guard): after the warm-up run
+    // the DataFrame's queryExecution holds the FINAL AQE-adapted plan. The
+    // join-strategy census goes into the output JSON ("plans" key) on every
+    // run, so a broadcast→sort-merge flap is visible in BENCH_r{N}.json
+    // without rerunning; full plan text lands in bench_plans.txt when
+    // SPARK_GRAFT_PLANS=1.
+    val dumpPlans = sys.env.get("SPARK_GRAFT_PLANS").contains("1")
+    lazy val planOut = new java.io.PrintWriter("bench_plans.txt")
+    val planShapes = scala.collection.mutable.LinkedHashMap[String, String]()
+    def planShape(plan: org.apache.spark.sql.execution.SparkPlan): String = {
+      var bhj, smj, shj = 0
+      def visit(p: org.apache.spark.sql.execution.SparkPlan): Unit = p.foreach {
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => bhj += 1
+        case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => smj += 1
+        case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => shj += 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          if (a.executedPlan ne p) visit(a.executedPlan)
+        case _ =>
+      }
+      visit(plan)
+      s"BHJ=$bhj SMJ=$smj SHJ=$shj"
+    }
+
     // read-only query: one warm-up execution, then `reps` timed runs
     def bench(name: String)(df: => DataFrame): Unit = {
-      force(df)
+      val warm = df
+      force(warm)
+      val p = warm.queryExecution.executedPlan
+      planShapes(name) = planShape(p)
+      if (dumpPlans) {
+        System.err.println(s"[bench-plan] $name: ${planShapes(name)}")
+        planOut.println(s"===== $name [${planShapes(name)}] =====")
+        planOut.println(p.toString)
+        planOut.flush()
+      }
       record(name, (1 to reps).map(_ => timed(force(df))))
     }
     // mutating operator: fresh clone of `template` per timed run
@@ -204,8 +236,10 @@ object Bench {
 
     def jmap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val shapes = planShapes
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = medians.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"reps":$reps,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"plans":$shapes,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

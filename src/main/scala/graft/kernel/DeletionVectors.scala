@@ -144,10 +144,22 @@ object DeletionVectors {
     require(magic == MAGIC, s"Bad DV magic: $magic")
     val nBitmaps = bb.getLong
     val out = Array.newBuilder[Long]
+    // downstream consumers (DvWriter.unionSorted, mask binary search) rely
+    // on ascending order; the spec guarantees ascending high-keys and
+    // in-container order, so a foreign blob violating it must fail loudly
+    // here rather than silently corrupt a union
+    var last = Long.MinValue
     (0L until nBitmaps).foreach { _ =>
       val high = bb.getInt.toLong
       val values = decodeRoaring32(bb)
-      values.foreach(v => out += (high << 32) | (v & 0xFFFFFFFFL))
+      values.foreach { v =>
+        val pos = (high << 32) | (v & 0xFFFFFFFFL)
+        require(pos > last,
+          s"DV blob positions not strictly ascending: $pos after $last " +
+            "(non-conformant RoaringBitmapArray serialization)")
+        last = pos
+        out += pos
+      }
     }
     out.result()
   }

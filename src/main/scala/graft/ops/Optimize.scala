@@ -1,7 +1,5 @@
 package graft.ops
 
-import scala.collection.parallel.CollectionConverters._
-
 import org.apache.spark.sql.functions._
 
 import graft.kernel._
@@ -16,6 +14,16 @@ import graft.table.{DeltaTable, DeltaWriter, Scan}
  * remove+add pairs so streams/CDF see no logical change.
  */
 object OptimizeOp {
+
+  /** Concurrency probe: tracks simultaneous bin rewrites so a spec can
+    * assert the maxConcurrentTasks bound actually holds. */
+  private val active = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val maxObservedConcurrentBins = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def binProbe(): Unit = {
+    val n = active.incrementAndGet()
+    maxObservedConcurrentBins.updateAndGet(m => math.max(m, n))
+  }
+  private def binDone(): Unit = active.decrementAndGet()
 
   def compact(
       table: DeltaTable,
@@ -61,15 +69,36 @@ object OptimizeOp {
 
     txn.readFile(bins.flatten.map(_.path))
 
-    // each bin rewrites independently; bins run as parallel Spark jobs like
-    // the reference's max_concurrent_tasks
-    val results: Seq[(Seq[AddFile], Seq[AddFile])] = bins.par.map { bin =>
-      val df = Scan.readFiles(spark, snapshot, bin).coalesce(1)
-      val adds = DeltaWriter.writeFiles(spark, table.tablePath, df,
-        snapshot.partitionColumns, WriteIntoDelta.numIndexedCols(snapshot.metadata),
-        meta = Some(snapshot.metadata))
-      (bin, adds.map(_.copy(dataChange = false)))
-    }.seq
+    // each bin rewrites independently as its own Spark job, with concurrency
+    // bounded by spark.graft.optimize.maxConcurrentTasks (the reference's
+    // optimize.rs `max_concurrent_tasks`, default num_cpus) — an unbounded
+    // .par over hundreds of bins would flood a busy scheduler with
+    // one-task jobs
+    val maxTasks = spark.conf.getOption("spark.graft.optimize.maxConcurrentTasks")
+      .map(_.toInt).getOrElse(Runtime.getRuntime.availableProcessors())
+    require(maxTasks >= 1, s"maxConcurrentTasks must be >= 1, got $maxTasks")
+    // a fixed thread pool, NOT a ForkJoinPool: the bin body blocks on Spark
+    // job completion, and FJ compensation threads would silently exceed the
+    // parallelism bound (observed 6 concurrent bins at parallelism 2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(maxTasks)
+    val results: Seq[(Seq[AddFile], Seq[AddFile])] =
+      try {
+        val futures = bins.map { bin =>
+          pool.submit(new java.util.concurrent.Callable[(Seq[AddFile], Seq[AddFile])] {
+            def call(): (Seq[AddFile], Seq[AddFile]) = {
+              OptimizeOp.binProbe()
+              try {
+                val df = Scan.readFiles(spark, snapshot, bin).coalesce(1)
+                val adds = DeltaWriter.writeFiles(spark, table.tablePath, df,
+                  snapshot.partitionColumns, WriteIntoDelta.numIndexedCols(snapshot.metadata),
+                  meta = Some(snapshot.metadata))
+                (bin, adds.map(_.copy(dataChange = false)))
+              } finally OptimizeOp.binDone()
+            }
+          })
+        }
+        futures.map(_.get())
+      } finally pool.shutdown()
 
     val now = System.currentTimeMillis()
     val removes = results.flatMap(_._1).map(_.remove(now, dataChange = false))

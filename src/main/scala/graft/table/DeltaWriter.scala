@@ -77,7 +77,7 @@ object DeltaWriter {
     // the targetFileSize RESPLIT rewrite below uses the same codec.
     val codec = meta.flatMap(
       _.configuration.get("delta.parquet.compression.codec")).map(_.trim)
-    try withMicrosTimestamps(spark) {
+    try withMicrosTimestamps(spark, toWrite.schema) {
       val writer0 = toWrite.write.mode("overwrite")
       val writer = codec.fold(writer0)(c => writer0.option("compression", c))
       (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
@@ -139,7 +139,7 @@ object DeltaWriter {
           val chunks = math.max(2L, (len + tgt - 1) / tgt)
           val perFile = math.max(1L, (rows + chunks - 1) / chunks)
           val sub = new Path(staging, s"resplit_$i")
-          withMicrosTimestamps(spark) {
+          withMicrosTimestamps(spark, dataSchema) {
             val w0 = spark.read.schema(dataSchema).parquet(p.toString)
               .write.option("maxRecordsPerFile", perFile)
             codec.fold(w0)(c => w0.option("compression", c))
@@ -184,15 +184,29 @@ object DeltaWriter {
 
   /** Delta requires µs timestamps in parquet (normalize_for_delta,
     * kernel/schema/cast/mod.rs:325); INT96 would also break footer stats.
-    * The knob is session-level (no per-write parquet option exists), so
-    * scope the override to each write and restore the user's value after. */
-  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try body finally prev match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
+    * VARIANT columns must land as the PLAIN spec layout
+    * struct<value, metadata> — Spark 4's default shredded + logical-type
+    * annotated output is the separate variantShredding-preview feature, and
+    * under our 3/7 `variantType` protocol it is unreadable by plain-variant
+    * readers (pyarrow 16 rejects the footer's unknown LogicalType outright;
+    * CrossLangSpec guards this). These knobs are session-level (no per-write
+    * parquet option exists), so scope the overrides to each write and
+    * restore the user's values after. */
+  private def withMicrosTimestamps[T](spark: SparkSession, schema: StructType = null)(
+      body: => T): T = {
+    val hasVariant = schema != null && graft.kernel.ProtocolGate.containsVariant(schema)
+    val overrides =
+      Seq("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") ++
+        (if (hasVariant) Seq(
+          "spark.sql.variant.writeShredding.enabled" -> "false",
+          "spark.sql.variant.inferShreddingSchema" -> "false",
+          "spark.sql.parquet.variant.annotateLogicalType.enabled" -> "false")
+        else Nil)
+    val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 

@@ -24,9 +24,10 @@ class CrossLangSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private def pythonReplay(dir: String): Map[String, Any] = {
+  private def pythonReplay(dir: String, sumCol: String = null): Map[String, Any] = {
+    val args = Seq("python3", "tools/compat_check.py", dir) ++ Option(sumCol)
     val out = new StringBuilder
-    val proc = new ProcessBuilder("python3", "tools/compat_check.py", dir)
+    val proc = new ProcessBuilder(args: _*)
       .redirectErrorStream(true).start()
     val r = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream))
@@ -85,8 +86,49 @@ class CrossLangSpec extends AnyFunSuite {
     DeltaTable.write(spark, Seq((2000L, "x")).toDF("id", "v"), dir, mode = "append")
 
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 901)
-    val res = pythonReplay(dir)
+    val res = pythonReplay(dir, sumCol = "id")
     assert(res("ok") == "true", res.toString)
     assert(res("rows") == "901", s"python sees ${res("rows")} rows: $res")
+    // content check through the v2 manifest + sidecars, not just a count:
+    // ids 101..1000 survive the delete, plus the appended id=2000 row
+    assert(res("sum_id") == ((101L to 1000L).sum + 2000L).toString, res.toString)
+  }
+
+  test("python content-checksums our DV table (positions, not just counts)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xlang_sum_").toString
+    DeltaTable.write(spark,
+      (0 until 4000).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(3),
+      dir, configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.delete(Some("id % 7 = 0")) // masks scattered across all 3 files
+    t.update(Map("v" -> org.apache.spark.sql.functions.lit("u")), Some("id % 11 = 3"))
+    t.refresh()
+    val expect = t.toDF.agg(org.apache.spark.sql.functions.sum("id"))
+      .collect()(0).getLong(0)
+
+    val res = pythonReplay(dir, sumCol = "id")
+    assert(res("ok") == "true", res.toString)
+    // a DV blob with right cardinality but wrong POSITIONS would pass the
+    // count check and fail this one
+    assert(res("sum_id") == expect.toString,
+      s"python live-row sum ${res("sum_id")} != spark $expect: $res")
+    assert(res("readerFeatures").toString.contains("deletionVectors"), res.toString)
+  }
+
+  test("python validates our VARIANT table's physical layout and features") {
+    val dir = Files.createTempDirectory("graft_xlang_var_").toString
+    val df = spark.sql(
+      """SELECT id, parse_json(concat('{"k":', id, ',"s":"x"}')) AS payload
+        |FROM range(100)""".stripMargin)
+    DeltaTable.write(spark, df, dir)
+    val res = pythonReplay(dir, sumCol = "id")
+    assert(res("ok") == "true", res.toString)
+    assert(res("rows") == "100", res.toString)
+    assert(res("variantCols") == "1", res.toString)
+    // spec shape: variant columns stored as struct<metadata: binary, value: binary>
+    assert(res("variantLayoutOk") == "true", res.toString)
+    assert(res("readerFeatures").toString.contains("variantType"), res.toString)
+    assert(res("sum_id") == (0L until 100L).sum.toString, res.toString)
   }
 }

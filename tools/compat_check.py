@@ -5,7 +5,11 @@ deletion-vector blobs (z85 + portable RoaringBitmapArray, reimplemented here
 from the public PROTOCOL.md spec), and prints the table's live row count —
 what a third-party reader would see. Dev tool; CrossLangSpec drives it.
 
-Usage: python3 tools/compat_check.py <tableDir>  →  one JSON line on stdout
+Usage: python3 tools/compat_check.py <tableDir> [sumCol]  →  one JSON line
+With sumCol, also sums that int column over LIVE rows only (deletion-vector
+positions excluded) — a content-level check, not just a row count. Tables
+whose schema carries VARIANT columns get their physical parquet layout
+validated (struct<metadata: binary, value: binary> per the spec).
 """
 import json, glob, os, struct, sys, urllib.parse
 
@@ -125,7 +129,27 @@ def apply_parquet_actions(path, adds, proto, meta):
     return proto, meta
 
 
-def main(table):
+def variant_cols(schema_str):
+    """Top-level VARIANT column names from the metaData schemaString."""
+    sch = json.loads(schema_str)
+    return [f["name"] for f in sch.get("fields", []) if f.get("type") == "variant"]
+
+
+def check_variant_layout(path, cols):
+    """Each VARIANT column must be physically struct<metadata,value binary>."""
+    arrow = pq.read_schema(path)
+    for c in cols:
+        f = arrow.field(c)
+        names = sorted(sf.name for sf in f.type)
+        assert names == ["metadata", "value"], \
+            f"variant col {c} physical children {names}, want [metadata, value]"
+        for sf in f.type:
+            assert str(sf.type) == "binary", \
+                f"variant {c}.{sf.name} is {sf.type}, want binary"
+    return True
+
+
+def main(table, sum_col=None):
     log = os.path.join(table, "_delta_log")
     adds, proto, meta = {}, None, None
     ck = sorted(glob.glob(os.path.join(log, "*.checkpoint*.parquet")))
@@ -175,12 +199,16 @@ def main(table):
 
     rows = 0
     masked = 0
+    col_sum = 0 if sum_col else None
+    vcols = variant_cols(meta["schemaString"]) if meta else []
+    variant_ok = None
     for rel, a in adds.items():
         fs_rel = urllib.parse.unquote(rel)  # paths are percent-encoded URLs
         p = os.path.join(table, fs_rel)
         assert os.path.exists(p), f"missing data file {p}"
         n = pq.read_metadata(p).num_rows
         dv = a.get("deletionVector")
+        positions = []
         if dv and dv.get("cardinality", 0) > 0:
             positions = read_dv(table, dv)
             assert len(positions) == dv["cardinality"], \
@@ -188,13 +216,29 @@ def main(table):
             masked += len(positions)
             n -= len(positions)
         rows += n
-    print(json.dumps({
+        if sum_col is not None:
+            vals = pq.read_table(p, columns=[sum_col])[sum_col].to_pylist()
+            dead = set(positions)
+            col_sum += sum(v for i, v in enumerate(vals)
+                           if i not in dead and v is not None)
+        if vcols:
+            variant_ok = check_variant_layout(p, vcols)
+    out = {
         "files": len(adds), "rows": rows, "dv_masked": masked,
         "minReaderVersion": proto.get("minReaderVersion") if proto else None,
+        # joined, not a JSON list: CrossLangSpec's one-line parser is flat
+        "readerFeatures": "|".join(sorted(proto.get("readerFeatures") or []))
+        if proto else None,
         "partitionColumns": meta.get("partitionColumns") if meta else None,
-        "ok": True}))
+        "variantCols": len(vcols),
+        "ok": True}
+    if variant_ok is not None:
+        out["variantLayoutOk"] = variant_ok
+    if sum_col is not None:
+        out[f"sum_{sum_col}"] = col_sum
+    print(json.dumps(out))
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1]))
+    sys.exit(main(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else None))

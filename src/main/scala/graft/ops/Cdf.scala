@@ -53,24 +53,25 @@ object CdfRead {
     // gather per-commit change units via the shared classifier
     val units = (startingVersion to end).flatMap { v =>
       val (ts, us) = changeUnitsOf(log.readCommit(v), v)
-      us.map { case (kind, path, pv) => (kind, path, pv, v, ts) }
+      us.map { case (kind, path, pv, _) => (kind, path, pv, v, ts) }
     }
     legsFor(spark, table, schema, partCols, units)
   }
 
   /** One commit's actions classified into CDF change units:
-    * (tsMs, Seq[(kind ∈ cdc|insert|delete, relPath, partitionValues)]).
+    * (tsMs, Seq[(kind ∈ cdc|insert|delete, relPath, partitionValues,
+    * sizeBytes)]) — size feeds the streaming source's byte-based admission.
     * Single source of truth for the CDC-vs-synthesized rules — the batch
     * load and the streaming source (`readChangeFeed`) both call this, so
     * their feeds cannot diverge. */
   private[graft] def changeUnitsOf(
       actions: Seq[graft.kernel.Action],
-      version: Long): (Long, Seq[(String, String, Map[String, String])]) = {
+      version: Long): (Long, Seq[(String, String, Map[String, String], Long)]) = {
     val ts = actions.collectFirst { case ci: CommitInfo if ci.timestamp.isDefined =>
       ci.timestamp.get }.getOrElse(0L)
     val cdcFiles = actions.collect { case c: AddCDCFile => c }
     val units =
-      if (cdcFiles.nonEmpty) cdcFiles.map(c => ("cdc", c.path, c.partitionValues))
+      if (cdcFiles.nonEmpty) cdcFiles.map(c => ("cdc", c.path, c.partitionValues, c.size))
       else actions.collect {
         case a: AddFile if a.dataChange =>
           // synthesized legs read files raw; a DV'd add (e.g. RESTORE onto
@@ -79,13 +80,14 @@ object CdfRead {
             throw new IllegalStateException(
               s"CDF cannot synthesize changes for DV-masked file ${a.path} " +
               s"at version $version (no CDC files in that commit)")
-          ("insert", a.path, a.partitionValues)
+          ("insert", a.path, a.partitionValues, a.size)
         case r: RemoveFile if r.dataChange =>
           if (r.deletionVector.exists(_.cardinality > 0))
             throw new IllegalStateException(
               s"CDF cannot synthesize changes for DV-masked file ${r.path} " +
               s"at version $version (no CDC files in that commit)")
-          ("delete", r.path, r.partitionValues.getOrElse(Map.empty))
+          ("delete", r.path, r.partitionValues.getOrElse(Map.empty),
+            r.size.getOrElse(0L))
       }
     (ts, units)
   }

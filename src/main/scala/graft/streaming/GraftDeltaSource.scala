@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
-import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => OffsetV2, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.types.StructType
 import org.json4s._
@@ -102,6 +102,11 @@ class GraftDeltaSource(
 
   private val maxFilesPerTrigger: Int =
     opt("maxFilesPerTrigger").map(_.trim.toInt).getOrElse(1000)
+  /** Byte-based admission cap (delta-spark `maxBytesPerTrigger`): admit
+    * files until the next one would exceed the budget — a soft cap, since
+    * at least one file is always admitted per trigger. */
+  private val maxBytesPerTrigger: Option[Long] =
+    opt("maxBytesPerTrigger").map(GraftDeltaSource.parseBytes)
   private val ignoreDeletes = boolOpt("ignoreDeletes")
   private val ignoreChanges = boolOpt("ignoreChanges")
   private val skipChangeCommits = boolOpt("skipChangeCommits")
@@ -199,7 +204,7 @@ class GraftDeltaSource(
 
   /** One admitted change file: kind ∈ {cdc, insert, delete}. */
   private case class ChangeUnit(kind: String, relPath: String,
-      pv: Map[String, String], version: Long, ts: Long)
+      pv: Map[String, String], version: Long, ts: Long, size: Long)
 
   private val versionChanges = mutable.Map.empty[(Long, Boolean), IndexedSeq[ChangeUnit]]
 
@@ -220,22 +225,19 @@ class GraftDeltaSource(
                   s"readChangeFeed: initial-snapshot file ${f.path} carries a " +
                   "deletion vector; start from a version after the DV write " +
                   "(startingVersion) or OPTIMIZE first")
-              ChangeUnit("insert", f.path, f.partitionValues, version, snap.timestampMs)
+              ChangeUnit("insert", f.path, f.partitionValues, version,
+                snap.timestampMs, f.size)
             }.toIndexedSeq
           } else {
             // same classifier as batch CDF — the feeds cannot diverge
             val (ts, us) = CdfRead.changeUnitsOf(guardedCommit(version), version)
-            us.map { case (kind, path, pv) => ChangeUnit(kind, path, pv, version, ts) }
+            us.map { case (kind, path, pv, sz) =>
+                ChangeUnit(kind, path, pv, version, ts, sz) }
               .sortBy(u => (u.kind, u.relPath)).toIndexedSeq
           }
         versionChanges.update((version, isInitial), u)
         u
     }
-
-  /** Unit count at a position — admission is unit-based in both modes. */
-  private def countAt(version: Long, isInitial: Boolean, latest: Long): Int =
-    if (cdfMode) changesAt(version, isInitial, latest).size
-    else filesAt(version, isInitial, latest).size
 
   // ---- admission -----------------------------------------------------------
 
@@ -244,41 +246,61 @@ class GraftDeltaSource(
   private var current: GraftSourceOffset = _
   private var availableNowCap: Option[GraftSourceOffset] = None
 
-  private def maxFiles(limit: ReadLimit): Int = limit match {
-    case m: ReadMaxFiles => m.maxFiles()
-    case _: ReadAllAvailable => Int.MaxValue
-    case composite: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
-      composite.getReadLimits.collectFirst { case m: ReadMaxFiles => m.maxFiles() }
-        .getOrElse(Int.MaxValue)
-    case _ => Int.MaxValue
+  /** (file budget, byte budget) extracted from a ReadLimit. */
+  private def budgets(limit: ReadLimit): (Int, Long) = limit match {
+    case m: ReadMaxFiles => (m.maxFiles(), Long.MaxValue)
+    case b: ReadMaxBytes => (Int.MaxValue, b.maxBytes())
+    case _: ReadAllAvailable => (Int.MaxValue, Long.MaxValue)
+    case composite: CompositeReadLimit =>
+      val ls = composite.getReadLimits.toSeq
+      (ls.collectFirst { case m: ReadMaxFiles => m.maxFiles() }.getOrElse(Int.MaxValue),
+        ls.collectFirst { case b: ReadMaxBytes => b.maxBytes() }.getOrElse(Long.MaxValue))
+    case _ => (Int.MaxValue, Long.MaxValue)
   }
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(maxFilesPerTrigger)
+  override def getDefaultReadLimit: ReadLimit = maxBytesPerTrigger match {
+    case Some(bytes) if opt("maxFilesPerTrigger").isDefined =>
+      ReadLimit.compositeLimit(
+        Array(ReadLimit.maxFiles(maxFilesPerTrigger), ReadLimit.maxBytes(bytes)))
+    case Some(bytes) => ReadLimit.maxBytes(bytes)
+    case None => ReadLimit.maxFiles(maxFilesPerTrigger)
+  }
 
   override def prepareForTriggerAvailableNow(): Unit = synchronized {
-    availableNowCap = Some(advance(Option(current).getOrElse(baseOffset), Int.MaxValue))
+    availableNowCap =
+      Some(advance(Option(current).getOrElse(baseOffset), Int.MaxValue, Long.MaxValue))
   }
 
-  /** Walk forward from `from`, admitting at most `budget` files; empty and
-    * skipped commits are passed over for free. */
-  private def advance(from: GraftSourceOffset, budget0: Int): GraftSourceOffset = {
+  /** Admission-unit sizes at a position (AddFile.size / change-file size). */
+  private def sizesAt(version: Long, isInitial: Boolean, latest: Long): IndexedSeq[Long] =
+    if (cdfMode) changesAt(version, isInitial, latest).map(_.size)
+    else filesAt(version, isInitial, latest).map(_.size)
+
+  /** Walk forward from `from`, admitting at most `fileBudget` units and
+    * (softly) `byteBudget` bytes — the first unit is always admitted so a
+    * single file larger than the byte budget cannot stall the stream; empty
+    * and skipped commits are passed over for free. */
+  private def advance(from: GraftSourceOffset, fileBudget: Int,
+      byteBudget: Long): GraftSourceOffset = {
     val latest = math.max(log.latestVersion(), initSnapshot.version)
     var v = from.version
     var idx = from.index
     var init = from.isInitialSnapshot
-    var budget = budget0
+    var filesUsed = 0
+    var bytesUsed = 0L
     var done = false
     while (!done) {
-      val size = countAt(v, init, latest)
-      val avail = size - idx
-      if (avail > 0 && budget > 0) {
-        val take = math.min(avail, budget.toLong).toInt
-        idx += take
-        budget -= take
+      val sizes = sizesAt(v, init, latest)
+      var stopped = false
+      while (!stopped && idx < sizes.size) {
+        val sz = sizes(idx.toInt)
+        if (filesUsed < fileBudget &&
+            (filesUsed == 0 || bytesUsed + sz <= byteBudget)) {
+          filesUsed += 1; bytesUsed += sz; idx += 1
+        } else stopped = true
       }
-      val exhausted = size - idx <= 0
-      if (budget == 0 && !exhausted) done = true
-      else if (exhausted && v < latest) { v += 1; idx = 0; init = false }
+      if (stopped) done = true
+      else if (v < latest) { v += 1; idx = 0; init = false }
       else done = true
     }
     GraftSourceOffset(v, idx, init)
@@ -289,7 +311,8 @@ class GraftDeltaSource(
     if (current == null) current = start.getOrElse(baseOffset)
     else start.filter(s => GraftSourceOffset.ordering.gt(s, current))
       .foreach(current = _)
-    var next = advance(current, maxFiles(limit))
+    val (fileBudget, byteBudget) = budgets(limit)
+    var next = advance(current, fileBudget, byteBudget)
     availableNowCap.filter(c => GraftSourceOffset.ordering.gt(next, c))
       .foreach(next = _)
     current = next
@@ -358,4 +381,19 @@ object GraftDeltaSource {
   /** Table schema + the three CDF provenance columns — delegated to the
     * batch side's single definition. */
   def cdfSchema(base: StructType): StructType = CdfRead.cdfSchema(base)
+
+  /** Parse a byte-size option: plain bytes or a k/m/g suffix (optionally
+    * followed by 'b'), e.g. "10485760", "64k", "10mb", "1g". */
+  private[graft] def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase.stripSuffix("b")
+    val (digits, mult) = t.lastOption match {
+      case Some('k') => (t.dropRight(1), 1L << 10)
+      case Some('m') => (t.dropRight(1), 1L << 20)
+      case Some('g') => (t.dropRight(1), 1L << 30)
+      case _ => (t, 1L)
+    }
+    val n = digits.trim.toLong
+    require(n > 0, s"maxBytesPerTrigger must be positive: '$s'")
+    n * mult
+  }
 }

@@ -78,6 +78,79 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger bounds per-batch admission by file size") {
+    import spark.implicits._
+    val dir = tmpDir()
+    ints(dir, 1)
+    ints(dir, 2)
+    ints(dir, 3)
+    // each commit writes ~1 KB parquet files; a 1-byte budget forces the
+    // soft-cap floor of one file per batch — same observable as maxFiles=1
+    val view = nextView()
+    val q = spark.readStream.format("graft-delta")
+      .option("maxBytesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName(view).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(view).count() == 3)
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3, s"expected >=3 one-file batches, saw $nonEmpty")
+    } finally q.stop()
+
+    // a budget comfortably above the whole table admits everything at once
+    val view2 = nextView()
+    val q2 = spark.readStream.format("graft-delta")
+      .option("maxBytesPerTrigger", "64m").load(dir)
+      .writeStream.format("memory").queryName(view2).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(view2).count() == 3)
+      val nonEmpty = q2.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty == 1, s"expected a single batch under a 64m budget, saw $nonEmpty")
+    } finally q2.stop()
+  }
+
+  test("maxBytesPerTrigger option parses size suffixes") {
+    import graft.streaming.GraftDeltaSource.parseBytes
+    assert(parseBytes("1024") == 1024L)
+    assert(parseBytes("64k") == 64L * 1024)
+    assert(parseBytes("10mb") == 10L * 1024 * 1024)
+    assert(parseBytes(" 1G ") == 1L << 30)
+    intercept[IllegalArgumentException](parseBytes("0"))
+    intercept[NumberFormatException](parseBytes("abc"))
+  }
+
+  test("Trigger.AvailableNow drains then stops; restart admits only new commits") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmpDir(); val dst = tmpDir(); val ckpt = tmpDir()
+    ints(src, 1, 2, 3)
+    ints(src, 4)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("maxFilesPerTrigger", 1).load(src)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      try assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+      finally q.stop()
+    }
+
+    def dstRows: Seq[Int] =
+      DeltaTable.forPath(spark, dst).toDF.select("n").as[Int].collect().toSeq
+
+    runOnce() // drains the whole backlog in 1-file slices, then terminates
+    assert(dstRows.toSet == Set(1, 2, 3, 4))
+
+    runOnce() // nothing new: terminates without admitting anything
+    assert(dstRows.size == 4)
+
+    ints(src, 5, 6)
+    runOnce() // restart from the checkpoint: exactly the new commit, once
+    assert(dstRows.sorted == Seq(1, 2, 3, 4, 5, 6), s"duplicates or loss: $dstRows")
+  }
+
   test("startingVersion tails from a given commit; latest skips history") {
     import spark.implicits._
     val dir = tmpDir()

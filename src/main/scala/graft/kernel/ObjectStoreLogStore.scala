@@ -65,6 +65,65 @@ class InMemoryPutClient extends ConditionalPutClient {
   override def delete(key: String): Boolean = blobs.remove(key) != null
 }
 
+/**
+ * Filesystem-backed [[ConditionalPutClient]]: keys map to files under
+ * `root`; put-if-absent is write-to-temp + hard-link (`link(2)` fails with
+ * EEXIST when the target exists — atomic on POSIX), so exclusivity holds
+ * across threads AND processes, unlike a naive exists-then-write. Serves as
+ * the durable local conditional-put backend and as the conformance target
+ * that de-risks a future cloud client (the reference's S3/GCS/Azure
+ * backends, crates/{aws,gcp,azure}, implement this same contract over
+ * HTTP preconditions).
+ */
+class FsPutClient(root: java.nio.file.Path) extends ConditionalPutClient {
+  import java.nio.file.{FileAlreadyExistsException, Files}
+
+  private def fileFor(key: String): java.nio.file.Path =
+    root.resolve(key.stripPrefix("/"))
+
+  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
+    val target = fileFor(key)
+    Files.createDirectories(target.getParent)
+    val tmp = Files.createTempFile(target.getParent, ".put", ".tmp")
+    try {
+      Files.write(tmp, bytes)
+      try { Files.createLink(target, tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  override def get(key: String): Option[Array[Byte]] = {
+    val f = fileFor(key)
+    if (Files.isRegularFile(f)) Some(Files.readAllBytes(f)) else None
+  }
+
+  override def listPrefix(prefix: String): Seq[ObjectMeta] = {
+    import java.nio.file.{FileVisitResult, SimpleFileVisitor}
+    import java.nio.file.attribute.BasicFileAttributes
+    if (!Files.isDirectory(root)) return Nil
+    val out = Seq.newBuilder[ObjectMeta]
+    // walkFileTree with a tolerant visitor: concurrent writers create and
+    // delete .put temp files mid-listing — a vanished entry must not abort
+    // the walk (Files.walk throws UncheckedIOException there)
+    Files.walkFileTree(root, new SimpleFileVisitor[java.nio.file.Path] {
+      override def visitFile(p: java.nio.file.Path,
+          attrs: BasicFileAttributes): FileVisitResult = {
+        if (attrs.isRegularFile && !p.getFileName.toString.startsWith(".put")) {
+          val key = "/" + root.relativize(p).toString
+          if (key.startsWith(prefix))
+            out += ObjectMeta(key, attrs.size, attrs.lastModifiedTime.toMillis)
+        }
+        FileVisitResult.CONTINUE
+      }
+      override def visitFileFailed(p: java.nio.file.Path,
+          e: java.io.IOException): FileVisitResult = FileVisitResult.CONTINUE
+    })
+    out.result().sortBy(_.key)
+  }
+
+  override def delete(key: String): Boolean = Files.deleteIfExists(fileFor(key))
+}
+
 class ObjectStoreLogStore(val conf: Configuration, client: ConditionalPutClient)
     extends LogStore {
 

@@ -86,16 +86,41 @@ class OptimisticTransaction(
         return attempt
       } catch {
         case _: VersionAlreadyExistsException =>
+          // Ghost-commit recovery: an object-store put can time out AFTER
+          // landing server-side; the retry then sees "already exists" for a
+          // commit that is OURS. Detect via the commit's txnId and treat as
+          // success — re-committing at the next version would duplicate the
+          // transaction (the reference repairs the same ambiguity in its
+          // S3+DynamoDB path, crates/aws/src/logstore/*).
+          val winnerIsUs = scala.util.Try(log.readCommit(attempt)).toOption
+            .flatMap(_.collectFirst { case ci: CommitInfo => ci })
+            .exists(_.txnId == commitInfo.txnId)
+          if (winnerIsUs) {
+            postCommit(attempt, effectiveMeta)
+            return attempt
+          }
           retries += 1
           if (retries > maxRetries)
             throw new CommitConflictException("MaxCommitRetries",
               s"gave up after $maxRetries attempts at version $attempt")
-          // replay winners and check for conflicts before retrying at next version
+          // replay winners and check for conflicts before retrying at next
+          // version; a lagging listing (eventual consistency) may report
+          // latest < attempt — never move the attempt cursor backward, every
+          // version below it has already been conflict-checked
           val latest = log.latestVersion()
           ((attempt to latest)).foreach { winner =>
             checkConflicts(log.readCommit(winner), actions, winner)
           }
-          attempt = latest + 1
+          attempt = math.max(latest + 1, attempt)
+        case e: java.io.IOException =>
+          // Transient store failure (timeout, 5xx): retry the SAME version —
+          // if the put actually landed, the next round's already-exists path
+          // resolves it via the txnId check above.
+          retries += 1
+          if (retries > maxRetries)
+            throw new CommitConflictException("MaxCommitRetries",
+              s"gave up after $maxRetries attempts at version $attempt " +
+                s"(last store error: ${e.getMessage})")
       }
     }
     throw new IllegalStateException("unreachable")

@@ -57,7 +57,12 @@ case class DeletionVectorDescriptor(
     offset: Option[Int],
     sizeInBytes: Int,
     cardinality: Long
-)
+) {
+  /** PROTOCOL.md's deletion-vector uniqueId: the DV part of a file action's
+    * reconciliation identity. */
+  def uniqueId: String =
+    storageType + pathOrInlineDv + offset.map(o => s"@$o").getOrElse("")
+}
 
 case class AddFile(
     path: String,
@@ -73,6 +78,14 @@ case class AddFile(
     clusteringProvider: Option[String] = None
 ) extends Action {
   override def wrapperKey: String = "add"
+  /** Log-replay identity (PROTOCOL.md Action Reconciliation): a file action
+    * is keyed by (path, deletionVector.uniqueId), NOT path alone — a
+    * DV-rewritten file leaves a remove tombstone under the same path as the
+    * live add, and path-keyed replay would drop the live file (delta-rs
+    * writes exactly that shape into checkpoints: fixture
+    * table_with_deletion_logs, checkpoint v20). */
+  def reconcileKey: String =
+    path + "\u0000" + deletionVector.map(_.uniqueId).getOrElse("")
   def remove(deletionTimestamp: Long, dataChange: Boolean): RemoveFile =
     RemoveFile(path, Some(deletionTimestamp), dataChange,
       extendedFileMetadata = Some(true), partitionValues = Some(partitionValues),
@@ -97,6 +110,10 @@ case class RemoveFile(
     deletionVector: Option[DeletionVectorDescriptor] = None
 ) extends Action {
   override def wrapperKey: String = "remove"
+  /** See [[AddFile.reconcileKey]] — removes cancel only the matching
+    * (path, dvId) add. */
+  def reconcileKey: String =
+    path + "\u0000" + deletionVector.map(_.uniqueId).getOrElse("")
 }
 
 /** Change-data file under `_change_data/` (actions.rs:1018). */

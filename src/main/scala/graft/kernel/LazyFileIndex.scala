@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
  *
  * The JSON tail after the checkpoint (bounded by delta.checkpointInterval
  * commits) is replayed eagerly on the driver and overlays the checkpoint:
- * tail adds/removes win over checkpoint rows for the same path.
+ * tail adds/removes win over checkpoint rows for the same (path, dvId).
  *
  * Full materialization stays available ([[materializeAdds]]) for operators
  * that genuinely need every file (VACUUM, RESTORE, FSCK) and is cached.
@@ -34,8 +34,11 @@ class LazyFileIndex(
   /** True once the full Add vector has been pulled to the driver. */
   def isMaterialized: Boolean = cachedAdds != null
 
-  private def tailPaths: Set[String] =
-    (tailAdds.map(_.path) ++ tailRemoves.map(_.path)).toSet
+  // overlay identity is (path, dvUniqueId) — AddFile.reconcileKey — so a
+  // tail tombstone for an old DV state shadows exactly that checkpoint row,
+  // never a same-path row with a different (live) deletion vector
+  private def tailKeys: Set[String] =
+    (tailAdds.map(_.reconcileKey) ++ tailRemoves.map(_.reconcileKey)).toSet
 
   private def colDf(name: String, dt: StructType) = spark.read
     .schema(StructType(Seq(StructField(name, dt))))
@@ -56,14 +59,14 @@ class LazyFileIndex(
     val schemaJson = schema.json
     val pc = partitionColumns
     val predsB = spark.sparkContext.broadcast(preds.toVector)
-    val overlayB = spark.sparkContext.broadcast(tailPaths)
+    val overlayB = spark.sparkContext.broadcast(tailKeys)
     val survivors = colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
       val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
       val ps = predsB.value
       val overlay = overlayB.value
       it.flatMap { row =>
         val f = Checkpoints.decodeAdd(row.getStruct(0))
-        if (!overlay.contains(f.path) &&
+        if (!overlay.contains(f.reconcileKey) &&
             ps.forall(p => StatsPruning.fileMayMatch(sch, pc, p, f))) Some(f)
         else None
       }
@@ -76,10 +79,10 @@ class LazyFileIndex(
     * plus the tail). */
   def countAdds(): Long = {
     if (isMaterialized) return cachedAdds.size.toLong
-    val overlayB = spark.sparkContext.broadcast(tailPaths)
+    val overlayB = spark.sparkContext.broadcast(tailKeys)
     val ckpt = colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
       val overlay = overlayB.value
-      it.filter(row => !overlay.contains(row.getStruct(0).getString(0)))
+      it.filter(row => !overlay.contains(Checkpoints.decodeAdd(row.getStruct(0)).reconcileKey))
     }.count()
     ckpt + tailAdds.size
   }
@@ -107,11 +110,11 @@ class LazyFileIndex(
     val ckpt =
       if (isMaterialized) summarize(cachedAdds.iterator)
       else {
-        val overlayB = spark.sparkContext.broadcast(tailPaths)
+        val overlayB = spark.sparkContext.broadcast(tailKeys)
         colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
           val overlay = overlayB.value
           Iterator(summarize(it.map(row => Checkpoints.decodeAdd(row.getStruct(0)))
-            .filterNot(f => overlay.contains(f.path))))
+            .filterNot(f => overlay.contains(f.reconcileKey))))
         }.fold(zero)(merge)
       }
     val total = merge(ckpt,
@@ -124,14 +127,14 @@ class LazyFileIndex(
     * overlay-corrected with the tail — never materialized on the driver. */
   def liveRelPathsDf(tablePathStr: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val overlayB = spark.sparkContext.broadcast(tailPaths)
+    val overlayB = spark.sparkContext.broadcast(tailKeys)
     val ckpt = colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
       val tp = new Path(tablePathStr)
       val uri = tp.toUri
       val overlay = overlayB.value
       it.flatMap { row =>
         val f = Checkpoints.decodeAdd(row.getStruct(0))
-        if (overlay.contains(f.path)) Iterator.empty
+        if (overlay.contains(f.reconcileKey)) Iterator.empty
         else Iterator(PathCodec.decode(f.path)) ++ f.deletionVector
           .flatMap(dv => DeletionVectors.dvPath(tp, dv))
           .map(p => uri.relativize(p.toUri).getPath).iterator
@@ -170,12 +173,12 @@ class LazyFileIndex(
     * the driver — bin planning never needs the full Add vector. */
   def addsSmallerThan(maxSize: Long): Vector[AddFile] = {
     if (isMaterialized) return cachedAdds.filter(_.size < maxSize)
-    val overlayB = spark.sparkContext.broadcast(tailPaths)
+    val overlayB = spark.sparkContext.broadcast(tailKeys)
     val ckpt = colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
       val overlay = overlayB.value
       it.flatMap { row =>
         val f = Checkpoints.decodeAdd(row.getStruct(0))
-        if (f.size < maxSize && !overlay.contains(f.path)) Some(f) else None
+        if (f.size < maxSize && !overlay.contains(f.reconcileKey)) Some(f) else None
       }
     }.collect().toVector
     ckpt ++ tailAdds.filter(_.size < maxSize)
@@ -185,12 +188,12 @@ class LazyFileIndex(
   def materializeAdds(): Vector[AddFile] = {
     if (cachedAdds == null) synchronized {
       if (cachedAdds == null) {
-        val overlayB = spark.sparkContext.broadcast(tailPaths)
+        val overlayB = spark.sparkContext.broadcast(tailKeys)
         val ckpt = colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
           val overlay = overlayB.value
           it.flatMap { row =>
             val f = Checkpoints.decodeAdd(row.getStruct(0))
-            if (overlay.contains(f.path)) None else Some(f)
+            if (overlay.contains(f.reconcileKey)) None else Some(f)
           }
         }.collect().toVector
         cachedAdds = ckpt ++ tailAdds
@@ -204,12 +207,12 @@ class LazyFileIndex(
   def materializeTombstones(): Vector[RemoveFile] = {
     if (cachedRemoves == null) synchronized {
       if (cachedRemoves == null) {
-        val overlayB = spark.sparkContext.broadcast(tailPaths)
+        val overlayB = spark.sparkContext.broadcast(tailKeys)
         val ckpt = colDf("remove", Checkpoints.removeType).rdd.mapPartitions { it =>
           val overlay = overlayB.value
           it.flatMap { row =>
             val r = Checkpoints.decodeRemove(row.getStruct(0))
-            if (overlay.contains(r.path)) None else Some(r)
+            if (overlay.contains(r.reconcileKey)) None else Some(r)
           }
         }.collect().toVector
         cachedRemoves = ckpt ++ tailRemoves

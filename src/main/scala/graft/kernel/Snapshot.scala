@@ -107,9 +107,13 @@ private[kernel] class ReplayState {
   var protocol: Protocol = Protocol()
   var metadata: Metadata = null
 
+  // file actions are keyed by (path, dvUniqueId) — see AddFile.reconcileKey:
+  // a DV rewrite leaves a same-path tombstone beside the live add, and
+  // path-keyed replay would drop the live file when the tombstone is
+  // encountered after it (e.g. in checkpoint row order)
   def apply(a: Action): Unit = a match {
-    case f: AddFile => adds(f.path) = f; removes.remove(f.path)
-    case r: RemoveFile => adds.remove(r.path); removes(r.path) = r
+    case f: AddFile => adds(f.reconcileKey) = f; removes.remove(f.reconcileKey)
+    case r: RemoveFile => adds.remove(r.reconcileKey); removes(r.reconcileKey) = r
     case m: Metadata => metadata = m
     case p: Protocol => protocol = p
     case t: SetTransaction => txns(t.appId) = t.version
@@ -127,8 +131,8 @@ private[kernel] class ReplayState {
 private[kernel] object ReplayState {
   def from(prev: Snapshot): ReplayState = {
     val s = new ReplayState
-    prev.allFiles.foreach(f => s.adds(f.path) = f)
-    prev.tombstones.foreach(r => s.removes(r.path) = r)
+    prev.allFiles.foreach(f => s.adds(f.reconcileKey) = f)
+    prev.tombstones.foreach(r => s.removes(r.reconcileKey) = r)
     s.txns ++= prev.txns
     s.domains ++= prev.domains
     s.protocol = prev.protocol
@@ -375,8 +379,8 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
       case Some(idx) if !idx.isMaterialized =>
         // extend the TAIL overlay only — the checkpoint rows stay parquet
         val state = new ReplayState
-        idx.tailAdds.foreach(f => state.adds(f.path) = f)
-        idx.tailRemoves.foreach(r => state.removes(r.path) = r)
+        idx.tailAdds.foreach(f => state.adds(f.reconcileKey) = f)
+        idx.tailRemoves.foreach(r => state.removes(r.reconcileKey) = r)
         state.txns ++= prev.txns
         state.domains ++= prev.domains
         state.protocol = prev.protocol

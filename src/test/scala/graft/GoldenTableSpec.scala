@@ -417,4 +417,107 @@ class GoldenTableSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byPart == Map("BMS" -> 4L, "BME" -> 1L))
   }
+
+  // ---- round-5 DAT-corpus extension (ground truth: python/duckdb replay) ----
+
+  test("table_with_deletion_logs: same-path tombstones in the checkpoint do " +
+      "not cancel the live DV add") {
+    // checkpoint v20 holds ONE live add plus two remove tombstones for the
+    // SAME path (earlier DV states of the file) — path-keyed replay reads 0
+    // files here; (path, dvUniqueId)-keyed replay reads 98 live rows
+    val t = DeltaTable.forPath(spark, golden("table_with_deletion_logs"))
+    assert(t.version == 20)
+    assert(t.snapshot.numFiles == 1,
+      s"live add dropped by tombstone mis-keying: ${t.snapshot.numFiles} files")
+    assert(t.snapshot.allFiles.head.deletionVector.exists(_.cardinality == 2))
+    assert(t.toDF.count() == 98)
+    // DV states over time: v2 unmasked, v3 masks 1 row, v4 masks 2
+    assert(t.asOfVersion(2).count() == 100)
+    assert(t.asOfVersion(3).count() == 99)
+    assert(t.asOfVersion(4).count() == 98)
+  }
+
+  test("cdf-table-non-partitioned: full change feed from recorded CDC files") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, golden("cdf-table-non-partitioned"))
+    assert(t.toDF.select("id").as[Int].collect().sorted.toSeq ==
+      Seq(1, 1, 2, 2, 3, 4, 5, 6, 8, 9, 10))
+    val byType = t.loadCdf(0, Some(4))
+      .groupBy("_change_type").agg(
+        org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.sum("id").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byType == Map(
+      "insert" -> ((12L, 58L)), // v0 initial 10 (sum 55) + v4 inserts {1,2}
+      "update_preimage" -> ((6L, 27L)),
+      "update_postimage" -> ((6L, 27L)),
+      "delete" -> ((1L, 7L))), s"got $byType")
+  }
+
+  test("checkpoint-cdf-table: checkpoint replay + change feed after it") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, golden("checkpoint-cdf-table"))
+    assert(t.partitionColumns == Seq("birthday"))
+    assert(t.toDF.select("id").as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 3, 4, 5, 6, 8, 9, 10, 12, 13, 14, 15))
+    val byType = t.loadCdf(5, Some(5)).groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 4L, "update_postimage" -> 4L),
+      s"got $byType")
+  }
+
+  test("simple_table_with_cdc: update CDC round-trips") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, golden("simple_table_with_cdc"))
+    assert(t.toDF.select("id", "name").as[(Int, String)].collect().toSeq ==
+      Seq((0, "Mino")))
+    val changes = t.loadCdf(2, Some(2))
+      .select("id", "name", "_change_type").as[(Int, String, String)]
+      .collect().sortBy(_._3).toSeq
+    assert(changes == Seq((0, "Mino", "update_postimage"), (0, "Mario", "update_preimage")))
+  }
+
+  test("checkpoints: 13-commit log-only fixture replays to 12 live adds") {
+    // the fixture ships no data files — this proves pure log replay across
+    // a commit chain with struct/timestamp schema, no data read
+    val t = DeltaTable.forPath(spark, golden("checkpoints"))
+    assert(t.version == 12)
+    assert(t.snapshot.numFiles == 12)
+    assert(t.schema.fieldNames.contains("some_struct"))
+  }
+
+  test("delta-0.8.0: remove-then-optimize state reads the right 2 files") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, golden("delta-0.8.0"))
+    assert(t.snapshot.numFiles == 2)
+    assert(t.toDF.select("value").as[Int].collect().sorted.toSeq == Seq(0, 1, 2, 4))
+  }
+
+  test("table-without-dv-small: companion fixture reads all 10 rows") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, golden("table-without-dv-small"))
+    assert(t.toDF.select("value").as[Long].collect().sorted.toSeq ==
+      (0L to 9L).toSeq)
+  }
+
+  test("table_with_partitioning_mapping: mapped partition column recovers " +
+      "logical name and values") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, golden("table_with_partitioning_mapping"))
+    assert(t.partitionColumns == Seq("newid"))
+    assert(t.schema.fieldNames.toSeq == Seq("newid", "description"))
+    assert(t.toDF.select("newid", "description").as[(Int, String)]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1, "Initial data"), (2, "Additional data")))
+  }
+
+  test("simple_commit / concurrent_workers: empty CREATE-only tables open") {
+    Seq("simple_commit", "concurrent_workers").foreach { name =>
+      val t = DeltaTable.forPath(spark, golden(name))
+      assert(t.version == 0, name)
+      assert(t.snapshot.numFiles == 0, name)
+      assert(t.schema.fieldNames.toSeq == Seq("value"), name)
+      assert(t.toDF.count() == 0, name)
+    }
+  }
 }

@@ -116,12 +116,30 @@ def read_dv(base, dv):
         return decode_dv_data(f.read(size))
 
 
+
+def dv_uid(action):
+    dv = action.get("deletionVector")
+    if not dv:
+        return ""
+    uid = dv.get("storageType", "") + dv.get("pathOrInlineDv", "")
+    if dv.get("offset") is not None:
+        uid += f"@{dv['offset']}"
+    return uid
+
+
+def file_key(action):
+    # PROTOCOL.md action reconciliation: file identity is
+    # (path, deletionVector uniqueId), NOT path alone — a DV rewrite leaves a
+    # same-path tombstone beside the live add (delta-rs checkpoints do this)
+    return (action["path"], dv_uid(action))
+
+
 def apply_parquet_actions(path, adds, proto, meta):
     for r in pq.read_table(path).to_pylist():
         if r.get("add"):
-            adds[r["add"]["path"]] = r["add"]
+            adds[file_key(r["add"])] = r["add"]
         if r.get("remove"):
-            adds.pop(r["remove"]["path"], None)
+            adds.pop(file_key(r["remove"]), None)
         if r.get("protocol") and r["protocol"].get("minReaderVersion"):
             proto = r["protocol"]
         if r.get("metaData") and r["metaData"].get("id"):
@@ -175,7 +193,7 @@ def main(table, sum_col=None):
             elif "metaData" in a:
                 meta = a["metaData"]
             elif "add" in a:
-                adds[a["add"]["path"]] = a["add"]
+                adds[file_key(a["add"])] = a["add"]
             elif "sidecar" in a:
                 sc = os.path.join(log, "_sidecars", a["sidecar"]["path"])
                 proto, meta = apply_parquet_actions(sc, adds, proto, meta)
@@ -189,9 +207,9 @@ def main(table, sum_col=None):
                 continue
             a = json.loads(line)
             if "add" in a:
-                adds[a["add"]["path"]] = a["add"]
+                adds[file_key(a["add"])] = a["add"]
             elif "remove" in a:
-                adds.pop(a["remove"]["path"], None)
+                adds.pop(file_key(a["remove"]), None)
             elif "protocol" in a:
                 proto = a["protocol"]
             elif "metaData" in a:
@@ -202,7 +220,7 @@ def main(table, sum_col=None):
     col_sum = 0 if sum_col else None
     vcols = variant_cols(meta["schemaString"]) if meta else []
     variant_ok = None
-    for rel, a in adds.items():
+    for (rel, _dvid), a in adds.items():
         fs_rel = urllib.parse.unquote(rel)  # paths are percent-encoded URLs
         p = os.path.join(table, fs_rel)
         assert os.path.exists(p), f"missing data file {p}"

@@ -71,7 +71,12 @@ object Bench {
       body
       (System.nanoTime() - t0) / 1e9
     }
-    def force(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+    // Executes the DataFrame's OWN QueryExecution (rows stay on executors) —
+    // a noop write would build a separate QE, leaving df.queryExecution
+    // never-executed and its "executedPlan" the pre-adaptive initial plan,
+    // which is exactly what the plan census must not report.
+    def force(df: DataFrame): Unit =
+      df.queryExecution.executedPlan.execute().foreach(_ => ())
 
     val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -96,6 +101,10 @@ object Bench {
         case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => shj += 1
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           if (a.executedPlan ne p) visit(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          // executed AQE stages have no `children`; the subtree (where the
+          // join operators live) hangs off `plan`
+          visit(qs.plan)
         case _ =>
       }
       visit(plan)

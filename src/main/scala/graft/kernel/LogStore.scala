@@ -76,31 +76,43 @@ class HadoopLogStore(val conf: Configuration) extends LogStore {
           "exists-then-create is not atomic on object stores. Use a " +
           "conditional-put LogStore (ObjectStoreLogStore) or an external " +
           "commit coordinator for this scheme.")
+    // All-or-nothing publish: the commit content is fully written to a temp
+    // file first, then published atomically (link(2) locally, rename on
+    // HDFS — both fail if the target exists). A direct create-then-write
+    // could persist a PARTIAL commit on mid-write failure (ENOSPC, network),
+    // and the transaction retry loop's ghost-commit check (Transaction.scala)
+    // would then bless a truncated commit as our own successful one.
     val f = fs(path)
     if (scheme == "file") {
-      // java.nio CREATE_NEW is atomic on POSIX: open(O_CREAT|O_EXCL).
       val local = Paths.get(path.toUri.getPath)
       Files.createDirectories(local.getParent)
-      val ch = try {
-        Files.newByteChannel(local, StandardOpenOption.WRITE, StandardOpenOption.CREATE_NEW)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new VersionAlreadyExistsException(path.toString)
-      }
+      val tmp = Files.createTempFile(local.getParent, ".tmp_commit_", ".json")
       try {
         val sb = new StringBuilder
         lines.foreach { l => sb.append(l); sb.append('\n') }
-        ch.write(java.nio.ByteBuffer.wrap(sb.toString.getBytes(StandardCharsets.UTF_8)))
-      } finally ch.close()
+        Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
+        try Files.createLink(local, tmp)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new VersionAlreadyExistsException(path.toString)
+        }
+      } finally Files.deleteIfExists(tmp)
     } else {
-      // HDFS: create(overwrite=false) is atomic.
+      // HDFS rename is atomic and refuses an existing destination
       if (f.exists(path)) throw new VersionAlreadyExistsException(path.toString)
-      val out = f.create(path, false)
+      val tmp = new Path(path.getParent,
+        s".tmp_commit_${java.util.UUID.randomUUID.toString.take(12)}.json")
+      val out = f.create(tmp, false)
       try {
         lines.foreach { l =>
           out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
         }
       } finally out.close()
+      if (!f.rename(tmp, path)) {
+        f.delete(tmp, false)
+        if (f.exists(path)) throw new VersionAlreadyExistsException(path.toString)
+        throw new java.io.IOException(s"atomic publish failed for $path")
+      }
     }
   }
 

@@ -12,9 +12,11 @@ import org.json4s.jackson.JsonMethods
  * equivalent to delta-rs `EagerSnapshot`
  * (`crates/core/src/kernel/snapshot/mod.rs:156,1168`).
  *
- * Replay reconciliation is last-writer-wins per file path: a later `add` of
- * the same path replaces the earlier one, a `remove` tombstones it, and a
- * subsequent `add` resurrects it. Tombstones are retained for VACUUM.
+ * Replay reconciliation is last-writer-wins per (path, dvUniqueId) — see
+ * `AddFile.reconcileKey`: a later `add` of the same key replaces the
+ * earlier one, a `remove` tombstones it, and a subsequent `add` resurrects
+ * it. A remove never cancels a same-path add carrying a DIFFERENT deletion
+ * vector (the DV-rewrite shape). Tombstones are retained for VACUUM.
  *
  * Scale note: the file index lives on the driver (same as delta-rs, whose
  * snapshot caches log data in Arrow batches in-process). Checkpoint parquet

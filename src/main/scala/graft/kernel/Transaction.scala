@@ -92,7 +92,8 @@ class OptimisticTransaction(
           // success — re-committing at the next version would duplicate the
           // transaction (the reference repairs the same ambiguity in its
           // S3+DynamoDB path, crates/aws/src/logstore/*).
-          val winnerIsUs = scala.util.Try(log.readCommit(attempt)).toOption
+          val winnerAtAttempt = scala.util.Try(log.readCommit(attempt)).toOption
+          val winnerIsUs = winnerAtAttempt
             .flatMap(_.collectFirst { case ci: CommitInfo => ci })
             .exists(_.txnId == commitInfo.txnId)
           if (winnerIsUs) {
@@ -109,7 +110,11 @@ class OptimisticTransaction(
           // version below it has already been conflict-checked
           val latest = log.latestVersion()
           ((attempt to latest)).foreach { winner =>
-            checkConflicts(log.readCommit(winner), actions, winner)
+            // the ghost check already read the commit at `attempt`
+            val winnerActions =
+              if (winner == attempt && winnerAtAttempt.isDefined) winnerAtAttempt.get
+              else log.readCommit(winner)
+            checkConflicts(winnerActions, actions, winner)
           }
           attempt = math.max(latest + 1, attempt)
         case e: java.io.IOException =>

@@ -97,8 +97,15 @@ object OptimizeOp {
             }
           })
         }
-        futures.map(_.get())
-      } finally pool.shutdown()
+        try futures.map(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            // surface the bin's own failure (matching the .par behavior this
+            // pool replaced) and stop burning cluster time on the other bins
+            futures.foreach(_.cancel(true))
+            throw Option(e.getCause).getOrElse(e)
+        }
+      } finally pool.shutdownNow()
 
     val now = System.currentTimeMillis()
     val removes = results.flatMap(_._1).map(_.remove(now, dataChange = false))

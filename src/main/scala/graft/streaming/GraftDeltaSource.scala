@@ -394,6 +394,8 @@ object GraftDeltaSource {
     }
     val n = digits.trim.toLong
     require(n > 0, s"maxBytesPerTrigger must be positive: '$s'")
+    require(n <= Long.MaxValue / mult,
+      s"maxBytesPerTrigger overflows a 64-bit byte count: '$s'")
     n * mult
   }
 }

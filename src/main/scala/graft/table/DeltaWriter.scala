@@ -77,7 +77,7 @@ object DeltaWriter {
     // the targetFileSize RESPLIT rewrite below uses the same codec.
     val codec = meta.flatMap(
       _.configuration.get("delta.parquet.compression.codec")).map(_.trim)
-    try withMicrosTimestamps(spark, toWrite.schema) {
+    try withMicrosTimestamps(spark) {
       val writer0 = toWrite.write.mode("overwrite")
       val writer = codec.fold(writer0)(c => writer0.option("compression", c))
       (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
@@ -139,7 +139,7 @@ object DeltaWriter {
           val chunks = math.max(2L, (len + tgt - 1) / tgt)
           val perFile = math.max(1L, (rows + chunks - 1) / chunks)
           val sub = new Path(staging, s"resplit_$i")
-          withMicrosTimestamps(spark, dataSchema) {
+          withMicrosTimestamps(spark) {
             val w0 = spark.read.schema(dataSchema).parquet(p.toString)
               .write.option("maxRecordsPerFile", perFile)
             codec.fold(w0)(c => w0.option("compression", c))
@@ -192,21 +192,44 @@ object DeltaWriter {
     * CrossLangSpec guards this). These knobs are session-level (no per-write
     * parquet option exists), so scope the overrides to each write and
     * restore the user's values after. */
-  private def withMicrosTimestamps[T](spark: SparkSession, schema: StructType = null)(
-      body: => T): T = {
-    val hasVariant = schema != null && graft.kernel.ProtocolGate.containsVariant(schema)
-    val overrides =
-      Seq("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") ++
-        (if (hasVariant) Seq(
-          "spark.sql.variant.writeShredding.enabled" -> "false",
-          "spark.sql.variant.inferShreddingSchema" -> "false",
-          "spark.sql.parquet.variant.annotateLogicalType.enabled" -> "false")
-        else Nil)
-    val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
-    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+  private val confScopeLock = new Object
+  private val confScopes =
+    scala.collection.mutable.Map.empty[SparkSession, (Int, Seq[(String, Option[String])])]
+  private val ConfOverrides = Seq(
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+    // pinned for every write (not just variant schemas): shredding-off is
+    // the spec-plain output and a no-op for non-variant data, and a single
+    // constant override set makes the scope safely reference-countable
+    "spark.sql.variant.writeShredding.enabled" -> "false",
+    "spark.sql.variant.inferShreddingSchema" -> "false",
+    "spark.sql.parquet.variant.annotateLogicalType.enabled" -> "false")
+
+  /** Reference-counted per-session conf scope: concurrent writers (e.g.
+    * OPTIMIZE's bounded bin pool, racing DML threads) share one pinned
+    * scope; the user's values are saved by the FIRST entrant and restored
+    * by the LAST exit — a per-write save/restore raced, letting one
+    * writer's restore strip the overrides while another was still
+    * planning its parquet job. */
+  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    confScopeLock.synchronized {
+      confScopes.get(spark) match {
+        case Some((depth, saved)) => confScopes(spark) = (depth + 1, saved)
+        case None =>
+          val saved = ConfOverrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+          ConfOverrides.foreach { case (k, v) => spark.conf.set(k, v) }
+          confScopes(spark) = (1, saved)
+      }
+    }
+    try body finally confScopeLock.synchronized {
+      val (depth, saved) = confScopes(spark)
+      if (depth > 1) confScopes(spark) = (depth - 1, saved)
+      else {
+        confScopes.remove(spark)
+        saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
     }
   }
 

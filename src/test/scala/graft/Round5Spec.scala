@@ -46,12 +46,17 @@ class Round5Spec extends AnyFunSuite {
         |FROM r5_lineitem JOIN r5_orders ON l_orderkey = o_orderkey
         |JOIN r5_customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin)
-    assert(df.count() > 0)
+    // execute the df's OWN QueryExecution so AQE adapts the very plan we
+    // inspect (count() builds a separate QE; inspecting this one unexecuted
+    // would read the pre-adaptive initial plan)
+    df.queryExecution.executedPlan.execute().foreach(_ => ())
     var bhj = 0; var smj = 0
     def visit(p: SparkPlan): Unit = p.foreach {
       case _: BroadcastHashJoinExec => bhj += 1
       case _: SortMergeJoinExec => smj += 1
       case a: AdaptiveSparkPlanExec => if (a.executedPlan ne p) visit(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        visit(qs.plan) // executed stages hide their subtree from `children`
       case _ =>
     }
     visit(df.queryExecution.executedPlan)

@@ -50,7 +50,14 @@ object GraftDeltaRelation {
 
   /** sources.Filter → Catalyst, for the stats pruner. Unsupported shapes
     * return None (they are still evaluated by Spark above the scan). */
-  def toCatalyst(f: Filter): Option[Expression] = {
+  def toCatalyst(f: Filter): Option[Expression] = translate(f, partialAnd = true)
+
+  /** `partialAnd`: whether a half-translated And may prune alone. TRUE only
+    * outside any Not — Not(And(l, r)) over just one translated conjunct
+    * widens the negation and prunes files the original predicate keeps
+    * (Spark's own translateFilter has the same canPartialPushDownConjuncts
+    * guard). */
+  private def translate(f: Filter, partialAnd: Boolean): Option[Expression] = {
     def attr(name: String): Expression = UnresolvedAttribute(Seq(name))
     f match {
       case EqualTo(a, v) => Some(CEqualTo(attr(a), Literal(v)))
@@ -63,13 +70,18 @@ object GraftDeltaRelation {
       case IsNull(a) => Some(CIsNull(attr(a)))
       case IsNotNull(a) => Some(CIsNotNull(attr(a)))
       case And(l, r) =>
-        (toCatalyst(l), toCatalyst(r)) match {
+        (translate(l, partialAnd), translate(r, partialAnd)) match {
           case (Some(cl), Some(cr)) => Some(CAnd(cl, cr))
-          case (one, other) => one.orElse(other) // conjunct halves prune alone
+          case (one, other) if partialAnd => one.orElse(other) // halves prune alone
+          case _ => None
         }
       case Or(l, r) =>
-        for { cl <- toCatalyst(l); cr <- toCatalyst(r) } yield COr(cl, cr)
-      case Not(c) => toCatalyst(c).map(CNot) // pruner handles 3VL negation
+        // a partial And inside Or only WIDENS the predicate — safe for
+        // pruning — so the flag passes through (it is already false when
+        // this Or sits under a Not)
+        for { cl <- translate(l, partialAnd); cr <- translate(r, partialAnd) }
+          yield COr(cl, cr)
+      case Not(c) => translate(c, partialAnd = false).map(CNot) // 3VL-safe negation
       case _ => None
     }
   }

@@ -58,17 +58,26 @@ class GraftDeltaDataSource extends DataSourceRegister
       .getOrElse(throw new IllegalArgumentException(
         "graft-delta requires a table path: .load(path) / .start(path)"))
 
+  /** The table's log is the only schema authority: a user-specified stream
+    * schema would be echoed into the plan while every batch materializes
+    * with the snapshot schema — a guaranteed mismatch (delta-spark rejects
+    * it for the same reason). */
+  private def refuseUserSchema(schema: Option[StructType]): Unit =
+    require(schema.isEmpty,
+      "graft-delta does not support a user-specified schema for streaming " +
+        "reads; the table's own schema is used (drop .schema(...))")
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
+    refuseUserSchema(schema)
     val cdf = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v
     }.exists(_.trim.equalsIgnoreCase("true"))
-    val base = schema.getOrElse(
-      DeltaTable.forPath(sqlContext.sparkSession, pathOf(parameters)).schema)
-    (shortName(), if (cdf && schema.isEmpty) GraftDeltaSource.cdfSchema(base) else base)
+    val base = DeltaTable.forPath(sqlContext.sparkSession, pathOf(parameters)).schema
+    (shortName(), if (cdf) GraftDeltaSource.cdfSchema(base) else base)
   }
 
   override def createSource(
@@ -76,8 +85,10 @@ class GraftDeltaDataSource extends DataSourceRegister
       metadataPath: String,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    refuseUserSchema(schema)
     new GraftDeltaSource(sqlContext.sparkSession, pathOf(parameters), parameters)
+  }
 
   override def createSink(
       sqlContext: SQLContext,

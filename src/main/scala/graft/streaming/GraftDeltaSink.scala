@@ -44,10 +44,16 @@ class GraftDeltaSink(
       .getOrElse(s"graft-delta-sink:$path")
     val batch = GraftSqlBridge.pinnedBatchDataFrame(data)
 
-    if (!DeltaTable.isDeltaTable(spark, path)) {
-      DeltaTable.create(spark, path, batch.schema, partitionColumns)
-    }
-    val table = DeltaTable.forPath(spark, path)
+    // one log handle / one listing per micro-batch: forPath + create-on-miss
+    // (isDeltaTable + forPath + snapshot each re-listed the log dir — three
+    // billable round-trips per batch on an object store)
+    val table =
+      try DeltaTable.forPath(spark, path)
+      catch {
+        case _: graft.kernel.DeltaTableNotFoundException =>
+          DeltaTable.create(spark, path, batch.schema, partitionColumns)
+          DeltaTable.forPath(spark, path)
+      }
     if (table.txnVersion(appId).exists(_ >= batchId)) return // replayed batch
 
     val snap = table.snapshot
@@ -64,6 +70,11 @@ class GraftDeltaSink(
     }
     val txnAction = SetTransaction(appId, batchId, Some(System.currentTimeMillis()))
     val txn = new OptimisticTransaction(table.deltaLog, Some(snap))
+    // Complete mode replaces the WHOLE table — declare the full read set so
+    // a concurrent writer's interleaved files conflict instead of silently
+    // surviving the replacement (same discipline as batch overwrite,
+    // WriteIntoDelta's readWholeTable before whole-table removes)
+    if (outputMode == OutputMode.Complete()) txn.readWholeTable()
     txn.commit(adds ++ removes :+ txnAction,
       Operation("STREAMING UPDATE", Map(
         "outputMode" -> outputMode.toString,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.StructType
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.kernel.{Action, AddCDCFile, AddFile, CommitInfo, DeltaLog, Metadata, Protocol, ProtocolGate, RemoveFile, Snapshot}
+import graft.kernel.{Action, AddFile, DeltaLog, Metadata, Protocol, ProtocolGate, RemoveFile, Snapshot}
 import graft.ops.{CdfRead, Dml}
 import graft.table.{DeltaTable, Scan}
 
@@ -100,8 +100,12 @@ class GraftDeltaSource(
   private def boolOpt(key: String): Boolean =
     opt(key).exists(_.trim.equalsIgnoreCase("true"))
 
-  private val maxFilesPerTrigger: Int =
-    opt("maxFilesPerTrigger").map(_.trim.toInt).getOrElse(1000)
+  private val maxFilesPerTrigger: Int = {
+    val n = opt("maxFilesPerTrigger").map(_.trim.toInt).getOrElse(1000)
+    require(n > 0,
+      s"maxFilesPerTrigger must be positive, got $n (a 0 budget idles the stream forever)")
+    n
+  }
   /** Byte-based admission cap (delta-spark `maxBytesPerTrigger`): admit
     * files until the next one would exceed the budget — a soft cap, since
     * at least one file is always admitted per trigger. */
@@ -332,7 +336,15 @@ class GraftDeltaSource(
   /** Units admitted in (start, end] across the version timeline. */
   private def unitsBetween[T](at: (Long, Boolean, Long) => IndexedSeq[T])(
       start: GraftSourceOffset, end: GraftSourceOffset): Seq[T] = {
-    val latest = math.max(log.latestVersion(), initSnapshot.version)
+    // `end` was ADMITTED, so everything strictly before it provably exists —
+    // a lagging (eventually-consistent) listing must not re-bound the range
+    // and silently drop admitted files. end.version itself is only proven
+    // when units were admitted AT it (index > 0); with index 0 the version
+    // may not have been committed at all (e.g. a startingVersion=latest
+    // base offset pointing one past the log)
+    val provenLatest = if (end.index > 0) end.version else end.version - 1
+    val latest = math.max(math.max(log.latestVersion(), initSnapshot.version),
+      provenLatest)
     val out = Seq.newBuilder[T]
     var v = start.version
     var init = start.isInitialSnapshot
@@ -350,7 +362,20 @@ class GraftDeltaSource(
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endOff = GraftSourceOffset.from(end)
-    val startOff = start.map(o => GraftSourceOffset.from(o)).getOrElse(baseOffset)
+    // start=None replays batch 0 after a checkpoint restart. The ORIGINAL
+    // stream start must be reconstructed from the PINNED end offset, never
+    // from this (new) source instance's baseOffset: the table may have
+    // advanced, and a baseOffset beyond `end` would materialize batch 0 as
+    // empty while its offset commits — permanent data loss. For the
+    // initial-snapshot and numeric-startingVersion shapes the pinned
+    // derivation is exact; for startingVersion=latest it recovers
+    // end.version (the re-resolved base could only overshoot further).
+    val startOff = start.map(o => GraftSourceOffset.from(o)).getOrElse {
+      val base = baseOffset
+      if (GraftSourceOffset.ordering.gt(base, endOff))
+        GraftSourceOffset(endOff.version, 0, endOff.isInitialSnapshot)
+      else base
+    }
     synchronized {
       if (current == null || GraftSourceOffset.ordering.lt(current, endOff))
         current = endOff

@@ -151,6 +151,69 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(dstRows.sorted == Seq(1, 2, 3, 4, 5, 6), s"duplicates or loss: $dstRows")
   }
 
+  test("restart replay of batch 0 reconstructs its start from the END offset") {
+    import spark.implicits._
+    import graft.streaming.{GraftDeltaSource, GraftSourceOffset}
+    val dir = tmpDir()
+    ints(dir, 1, 2, 3) // version 0: three files (one per partition p)
+    // original run admitted 2 of the 3 initial-snapshot files, then "crashed"
+    // after writing the offset log but before committing batch 0
+    val end = GraftSourceOffset(0, 2, isInitialSnapshot = true)
+    ints(dir, 4) // the table advances before the restart
+    // a fresh source (new initSnapshot at v1) replays batch 0: start=None.
+    // Deriving start from the NEW baseOffset (v1) would return an empty
+    // batch — permanent loss of the two admitted files' rows
+    val src = new GraftDeltaSource(spark, dir, Map.empty)
+    // count the replayed batch outside a streaming query (Spark's own
+    // source tests use the same escape hatch)
+    spark.conf.set("spark.sql.streaming.unsupportedOperationCheck", "false")
+    val n =
+      try src.getBatch(None, end).count()
+      finally spark.conf.unset("spark.sql.streaming.unsupportedOperationCheck")
+    assert(n == 2, s"batch-0 replay lost rows: got $n of 2 admitted files")
+  }
+
+  test("user-specified stream schema is refused") {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val dir = tmpDir()
+    ints(dir, 1)
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-delta")
+        .schema(StructType(Seq(StructField("bogus", IntegerType))))
+        .load(dir)
+    }
+    assert(e.getMessage.contains("user-specified schema"))
+  }
+
+  test("non-positive maxFilesPerTrigger is rejected at the source") {
+    val dir = tmpDir()
+    ints(dir, 1)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-delta")
+        .option("maxFilesPerTrigger", 0).load(dir)
+        .writeStream.format("memory").queryName(nextView()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getCause.getMessage.contains("maxFilesPerTrigger must be positive"))
+  }
+
+  test("filter translation: partial And is refused under Not, allowed elsewhere") {
+    import org.apache.spark.sql.sources._
+    import graft.sources.GraftDeltaRelation.toCatalyst
+    // supported ∧ unsupported: partial translation fine at top level
+    assert(toCatalyst(And(EqualTo("a", 1), StringStartsWith("b", "x"))).isDefined)
+    // under Not a partial And would WIDEN the negation → must refuse
+    assert(toCatalyst(Not(And(EqualTo("a", 1), StringStartsWith("b", "x")))).isEmpty)
+    // fully-translatable Not(And) still prunes
+    assert(toCatalyst(Not(And(EqualTo("a", 1), EqualTo("b", 2)))).isDefined)
+    // partial And inside a top-level Or only widens → allowed
+    assert(toCatalyst(Or(And(EqualTo("a", 1), StringStartsWith("b", "x")),
+      EqualTo("c", 3))).isDefined)
+    // ...but not when that Or sits under a Not
+    assert(toCatalyst(Not(Or(And(EqualTo("a", 1), StringStartsWith("b", "x")),
+      EqualTo("c", 3)))).isEmpty)
+  }
+
   test("startingVersion tails from a given commit; latest skips history") {
     import spark.implicits._
     val dir = tmpDir()

@@ -151,6 +151,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val slot = slotPath(ident)
     val external = props.get(TableCatalog.PROP_LOCATION).map(new Path(_))
     val location = external.getOrElse(slot)
+    // a typo'd namespace must fail like every other entry point does, not
+    // be silently materialized by the table write
+    if (ident.namespace().nonEmpty && !fs.exists(nsPath(ident.namespace())))
+      throw new NoSuchNamespaceException(ident.namespace())
     if (slotOccupied(slot)) throw new TableAlreadyExistsException(ident)
     val partCols = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
@@ -158,6 +162,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case other => throw new UnsupportedOperationException(
         s"graft-delta supports identity partitioning only, got: $other")
     }
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION)
     if (external.isDefined && isTableDir(location)) {
       // REGISTER pre-existing external Delta data under the identifier —
       // the primary external-table use case. The declared schema must be
@@ -169,10 +176,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"declared schema does not match the Delta table at $location")
       require(partCols.isEmpty || partCols == existing.partitionColumns,
         s"declared partitioning $partCols does not match ${existing.partitionColumns}")
+      // TBLPROPERTIES on a register must still land in the table's Delta
+      // configuration (class contract) — silently dropping them would e.g.
+      // leave CDF unenabled while the statement succeeded
+      val cfg = props -- reserved
+      if (cfg.nonEmpty) existing.setProperties(cfg)
     } else {
-      val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
-        TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
-        TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION)
+      // CREATE ... LOCATION on a location with no Delta table and no
+      // declared columns is a registration typo, not a zero-column table
+      require(schema.nonEmpty,
+        s"no Delta table found at $location and no columns declared — " +
+          "check the LOCATION, or declare a schema to create a new table")
       DeltaTable.create(spark, location.toString, schema,
         partitionColumns = partCols,
         configuration = props -- reserved,
@@ -196,17 +210,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case s: TableChange.SetProperty
           if s.property != TableCatalog.PROP_COMMENT => s.property -> s.value
     }
+    // ADD COLUMNS lands as ONE commit — one commit per column would leave a
+    // half-applied DDL statement if a later column's commit conflicts
+    val addCols = changes.collect {
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), a.isNullable)
+    }
     changes.foreach {
       case s: TableChange.SetProperty if s.property == TableCatalog.PROP_COMMENT =>
         t.delta.updateTableMetadata(description = Some(s.value))
       case _: TableChange.SetProperty => // batched below
-      case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
-        t.delta.addColumns(StructType(Seq(
-          org.apache.spark.sql.types.StructField(
-            a.fieldNames()(0), a.dataType(), a.isNullable))))
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 => // batched above
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported by graft-delta: $other")
     }
+    if (addCols.nonEmpty) t.delta.addColumns(StructType(addCols))
     if (setProps.nonEmpty) t.delta.setProperties(setProps.toMap)
     loadTable(ident)
   }
@@ -235,22 +254,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   // ---- namespaces ----
 
+  // namespace classification filters on OCCUPANCY (slotOccupied), matching
+  // tableExists — a stale external-pointer slot must not be reported as a
+  // namespace while simultaneously counting as an existing table
   override def listNamespaces(): Array[Array[String]] =
-    fs.listStatus(warehouse).filter(_.isDirectory).map(_.getPath)
-      .filterNot(isTableSlot)
+    if (!fs.exists(warehouse)) Array.empty
+    else fs.listStatus(warehouse).filter(_.isDirectory).map(_.getPath)
+      .filterNot(slotOccupied)
       .map(p => Array(p.getName))
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     val dir = nsPath(namespace)
-    if (namespace.nonEmpty && !fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    if (!fs.exists(dir)) {
+      if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+      return Array.empty // fresh warehouse root: no namespaces yet
+    }
     fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
-      .filterNot(isTableSlot)
+      .filterNot(slotOccupied)
       .map(p => namespace :+ p.getName)
   }
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     val dir = nsPath(namespace)
-    if (!fs.exists(dir) || isTableSlot(dir)) throw new NoSuchNamespaceException(namespace)
+    if (!fs.exists(dir) || slotOccupied(dir)) throw new NoSuchNamespaceException(namespace)
     Map("location" -> dir.toString).asJava
   }
 

@@ -99,6 +99,10 @@ object DeltaWriter {
         throw e
     }
 
+    // Everything from here to the commit-ready Adds must clean the staging
+    // dir on failure — a throw mid-walk/stats/resplit/move would otherwise
+    // leak a full staged copy of the data inside the table path
+    try {
     // Collect written part-files (recursive; partition dirs in between)
     val files = scala.collection.mutable.ArrayBuffer[(Path, Seq[(String, String)])]()
     def walk(dir: Path, parts: Seq[(String, String)]): Unit = {
@@ -131,10 +135,13 @@ object DeltaWriter {
     val finalFiles: Seq[(Path, Seq[(String, String)])] = targetSize match {
       case None => files.toSeq
       case Some(tgt) =>
-        val (over, ok) = files.toSeq.partition { case (p, _) =>
-          fs.getFileStatus(p).getLen > tgt * 3 / 2 }
-        val resplit = over.zipWithIndex.flatMap { case ((p, parts), i) =>
-          val len = fs.getFileStatus(p).getLen
+        // one getFileStatus per staged file (each is a billable HEAD on an
+        // object store); the length feeds both the split decision and sizing
+        val withLen = files.toSeq.map { case (p, parts) =>
+          (p, parts, fs.getFileStatus(p).getLen) }
+        val (overL, okL) = withLen.partition(_._3 > tgt * 3 / 2)
+        val ok = okL.map { case (p, parts, _) => (p, parts) }
+        val resplit = overL.zipWithIndex.flatMap { case ((p, parts, len), i) =>
           val (rows, _) = ParquetStats.collect(conf, p, dataSchema, 0)
           val chunks = math.max(2L, (len + tgt - 1) / tgt)
           val perFile = math.max(1L, (rows + chunks - 1) / chunks)
@@ -180,6 +187,11 @@ object DeltaWriter {
 
     fs.delete(staging, true)
     adds
+    } catch {
+      case e: Throwable =>
+        try fs.delete(staging, true) catch { case _: Exception => }
+        throw e
+    }
   }
 
   /** Delta requires µs timestamps in parquet (normalize_for_delta,

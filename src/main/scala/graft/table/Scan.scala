@@ -2,7 +2,7 @@ package graft.table
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 import graft.kernel.{AddFile, DeletionVectors, PathKeys, Snapshot, StatsPruning}
@@ -49,7 +49,6 @@ object Scan {
       snapshot: Snapshot,
       files: Seq[AddFile],
       withFileIdentity: Boolean = false): DataFrame = {
-    val schema = snapshot.schema
     val (dvFiles, plainFiles) = files.partition(_.deletionVector.exists(_.cardinality > 0))
     if (files.isEmpty || dvFiles.isEmpty) {
       val plain = readRaw(spark, snapshot, files, withIdentity = withFileIdentity)

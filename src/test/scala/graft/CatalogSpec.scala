@@ -188,4 +188,75 @@ class CatalogSpec extends AnyFunSuite {
     val good = GraftTable.filtersToSql(Array(And(EqualTo("a", 1), Not(In("b", Array("x", "y"))))))
     assert(good.isDefined)
   }
+
+  test("CREATE LOCATION with no columns at a non-Delta path is a loud error") {
+    val empty = Files.createTempDirectory("graft-ext-empty").toString
+    val e = intercept[Exception] {
+      sql(s"CREATE TABLE graft.badloc LOCATION '$empty'")
+    }
+    assert(e.getMessage.contains("no Delta table found"),
+      s"expected a registration-typo error, got: ${e.getMessage}")
+    // nothing was created: no zero-column log at the location, no pointer
+    assert(!new java.io.File(s"$empty/_delta_log").exists())
+    assert(!sql("SHOW TABLES IN graft").collect().map(_.getString(1)).contains("badloc"))
+  }
+
+  test("CREATE TABLE into a missing namespace raises, not materializes") {
+    val e = intercept[Exception] {
+      sql("CREATE TABLE graft.no_such_ns.t (id BIGINT)")
+    }
+    // Spark surfaces NoSuchNamespaceException as SCHEMA_NOT_FOUND
+    assert(e.getMessage.toLowerCase.contains("cannot be found"),
+      s"expected a schema-not-found error, got: ${e.getMessage}")
+    assert(!sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("no_such_ns"))
+  }
+
+  test("stale external pointer is not reported as a namespace") {
+    val extDir = Files.createTempDirectory("graft-ext-stale").toString + "/t"
+    import spark.implicits._
+    DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "v"), extDir)
+    sql(s"CREATE TABLE graft.stale_ext LOCATION '$extDir'")
+    // kill the external target: slot keeps its pointer (occupancy) but the
+    // table is dead
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(extDir))
+    // occupancy: the identifier still EXISTS (so DROP works, CREATE refuses)
+    // but a stale slot must appear NEITHER as a live table NOR as a namespace
+    assert(!sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("stale_ext"),
+      "a stale table slot leaked into the namespace listing")
+    intercept[Exception](sql(s"CREATE TABLE graft.stale_ext (id BIGINT)"))
+    sql("DROP TABLE graft.stale_ext") // still droppable (occupancy gate)
+  }
+
+  test("registering external Delta data applies TBLPROPERTIES") {
+    val extDir = Files.createTempDirectory("graft-ext-props").toString + "/t"
+    import spark.implicits._
+    DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "v"), extDir)
+    sql(s"CREATE TABLE graft.ext_props LOCATION '$extDir' " +
+      "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')")
+    assert(DeltaTable.forPath(spark, extDir)
+      .metadata.configuration.get("delta.enableChangeDataFeed").contains("true"),
+      "TBLPROPERTIES silently dropped on external registration")
+    sql("DROP TABLE graft.ext_props")
+  }
+
+  test("SHOW NAMESPACES on a fresh warehouse returns empty, not an error") {
+    val fresh = Files.createTempDirectory("graft-wh-fresh").toString + "/not_yet"
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft2", "graft.catalog.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft2.warehouse", fresh)
+    assert(s2.sql("SHOW NAMESPACES IN graft2").collect().isEmpty)
+  }
+
+  test("ALTER TABLE ADD COLUMNS lands as a single commit") {
+    sql("CREATE NAMESPACE graft.alterns")
+    sql("CREATE TABLE graft.alterns.t (id BIGINT)")
+    val before = DeltaTable.forPath(spark, s"$warehouse/alterns/t").version
+    sql("ALTER TABLE graft.alterns.t ADD COLUMNS (a INT, b INT)")
+    val t = DeltaTable.forPath(spark, s"$warehouse/alterns/t")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "a", "b"))
+    assert(t.version == before + 1,
+      s"ADD COLUMNS split into ${t.version - before} commits — must be atomic")
+  }
 }

@@ -109,9 +109,12 @@ object LlmEntries {
       TextOps.textStats(docsDelta(s, d), "doc_id", "text"),
       Some(
         """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-          |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-          |       CAST(list_sum([CAST(ceil(length(w) / 4.0) AS BIGINT) FOR w IN string_split(text, ' ')]) AS BIGINT) AS n_tokens
-          |FROM documents""".stripMargin)),
+          |       CAST(len(ws) AS BIGINT) AS n_words,
+          |       CAST(coalesce(list_sum([CAST(ceil(length(w) / 4.0) AS BIGINT) FOR w IN ws]), 0) AS BIGINT) AS n_tokens
+          |FROM (SELECT doc_id, text,
+          |        CASE WHEN length(trim(text)) = 0 THEN []
+          |             ELSE string_split_regex(trim(text), '\s+') END AS ws
+          |      FROM documents)""".stripMargin)),
 
     Entry("llm_quality", (s, d) => {
       val t = col("text")
@@ -120,11 +123,16 @@ object LlmEntries {
         TextOps.digitRatio(t).as("digit_ratio"))
     }, Some(
       """SELECT doc_id,
-        |       list_sum([CAST(length(w) AS DOUBLE) FOR w IN string_split(text, ' ')])
-        |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
-        |       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-        |         / CAST(length(text) AS DOUBLE) AS digit_ratio
-        |FROM documents""".stripMargin)),
+        |       CASE WHEN len(ws) = 0 THEN 0.0
+        |            ELSE list_sum([CAST(length(w) AS DOUBLE) FOR w IN ws])
+        |                   / CAST(len(ws) AS DOUBLE) END AS mean_word_len,
+        |       CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |                   / CAST(length(text) AS DOUBLE) END AS digit_ratio
+        |FROM (SELECT doc_id, text,
+        |        CASE WHEN length(trim(text)) = 0 THEN []
+        |             ELSE string_split_regex(trim(text), '\s+') END AS ws
+        |      FROM documents)""".stripMargin)),
 
     Entry("llm_fingerprint", (s, d) =>
       docsDelta(s, d).select(col("doc_id"),

@@ -89,10 +89,20 @@ object Dedup {
     // additive double-hashing, which ANSI mode also rejects for i64
     // wrap-around). Precision is exact regardless: step 5 verifies true
     // Jaccard on the full shingle-hash sets.
-    val sigSrc = sh.withColumn("__h0", xxhash64(col("__sh")))
+    // ONE aggregation computes BOTH the 128 signature min-aggs and the
+    // verification shingle-hash set: the expensive side (scan + shingle
+    // explode + map-side partial aggregation) runs once and its exchange is
+    // shared by the banding and verification consumers via ReuseExchange.
+    // (Two earlier shapes both lost: separate sig/sets aggregations scanned
+    // the corpus twice; deriving signatures from the collected set as
+    // 128 array_min(transform(...)) traded the second scan for per-doc
+    // array materialization and measured ~25% slower.)
     val sigAggs = (0 until numHashes).map(i =>
       min(xxhash64(col("__h0"), lit(i))).as(s"__h$i"))
-    val sig = sigSrc.groupBy("__id").agg(sigAggs.head, sigAggs.tail: _*)
+    val agg = sh.withColumn("__h0", xxhash64(col("__sh")))
+      .groupBy("__id")
+      .agg(collect_set(col("__h0")).as("__hs"), sigAggs: _*)
+    val sig = agg.drop("__hs")
 
     // 3. band keys
     val bandStructs = (0 until bands).map { b =>
@@ -123,9 +133,14 @@ object Dedup {
           col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    // 5. exact verification on shingle-hash sets
-    val sets = sh.groupBy("__id")
-      .agg(collect_set(xxhash64(col("__sh"))).as("__hs"))
+    // 5. exact verification against the SAME aggregation's set column
+    verifyJaccard(candidates, agg.select(col("__id"), col("__hs")), threshold)
+  }
+
+  /** Exact Jaccard verification: join candidate (id_a, id_b) pairs to the
+    * per-doc shingle-hash sets (`__id`, `__hs`) and keep pairs ≥ threshold. */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
     val withSets = candidates
       .join(sets.select(col("__id").as("id_a"), col("__hs").as("__hsa")), "id_a")
       .join(sets.select(col("__id").as("id_b"), col("__hs").as("__hsb")), "id_b")
@@ -183,15 +198,7 @@ object Dedup {
 
     val sets = sh.groupBy("__id")
       .agg(collect_set(xxhash64(col("__sh"))).as("__hs"))
-    val withSets = candidates
-      .join(sets.select(col("__id").as("id_a"), col("__hs").as("__hsa")), "id_a")
-      .join(sets.select(col("__id").as("id_b"), col("__hs").as("__hsb")), "id_b")
-    val inter = size(array_intersect(col("__hsa"), col("__hsb"))).cast("double")
-    val union = (size(col("__hsa")) + size(col("__hsb"))).cast("double") - inter
-    withSets
-      .withColumn("jaccard", inter / union)
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(candidates, sets, threshold)
   }
 
   /** 64-bit SimHash fingerprint per document: sign-aggregate of shingle-hash
@@ -224,6 +231,11 @@ object Dedup {
       maxHamming: Int = 3,
       shingleSize: Int = 3,
       hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    // 4 fixed 16-bit chunks pigeonhole-guarantee a collision only for
+    // hamming <= 3; a larger budget would silently miss pairs whose
+    // differing bits spread across all four chunks
+    require(maxHamming <= 3,
+      s"simhashNearDups: 4-chunk banding is complete only for maxHamming <= 3, got $maxHamming")
     val fps = simhash(df, idCol, textCol, shingleSize, hashFn)
       .withColumnRenamed(idCol, "__id")
     val chunks = (0 until 4).map { c =>

@@ -71,8 +71,10 @@ object Multimodal {
       payloadCol: String,
       nFrames: Int = 4,
       frameSize: Int = 16): DataFrame = {
-    val len = length(col(payloadCol))
-    val off = (lit(1) + floor(col("__fi") * len / lit(nFrames))).cast("int")
+    val len = length(col(payloadCol)).cast("long")
+    // long math: int*int offset arithmetic overflows (and throws under
+    // ANSI) for payloads over ~715 MB at the default nFrames
+    val off = (lit(1L) + floor(col("__fi").cast("long") * len / lit(nFrames))).cast("int")
     df.select(col(idCol), col(payloadCol),
         explode(sequence(lit(0), lit(nFrames - 1))).as("__fi"))
       .select(col(idCol), col("__fi").cast("long").as("frame_idx"),
@@ -88,9 +90,10 @@ object Multimodal {
       idCol: String,
       payloadCol: String,
       k: Int = 8): DataFrame = {
-    val len = length(col(payloadCol))
+    val len = length(col(payloadCol)).cast("long")
     val parts = (0 until k).map { j =>
-      hex(col(payloadCol).substr((lit(1) + floor(lit(j) * len / lit(k))).cast("int"), lit(1)))
+      hex(col(payloadCol).substr(
+        (lit(1L) + floor(lit(j.toLong) * len / lit(k))).cast("int"), lit(1)))
     }
     df.select(col(idCol), concat_ws("", parts: _*).as("resized_hex"))
   }

@@ -34,6 +34,40 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Degenerate-safe ranking cosine: a zero-norm (all-zero / padding)
+    * embedding makes the plain cosine 0/0 — under Spark 4's default ANSI
+    * mode that THROWS DIVIDE_BY_ZERO and kills the whole query (and with
+    * ANSI off it yields NaN, which ranks ABOVE every real score and
+    * satisfies `>= threshold`). Guard the norms and map degenerate inputs
+    * to -1: ranked last, never passing a positive threshold. */
+  def rankCosine(a: Column, b: Column): Column = {
+    val na = norm(a)
+    val nb = norm(b)
+    val c = dot(a, b) / (na * nb)
+    when(na === 0.0 || nb === 0.0, lit(-1.0))
+      .otherwise(when(isnan(c), lit(-1.0)).otherwise(c))
+  }
+
+  /** Per-query top-k by cosine over a scored (query_id, neighbor_id, cos)
+    * set — shared by the brute-force, IVF, and LSH paths. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+  }
+
+  /** The LSH paths hash against `dim`-length hyperplanes; a mismatched
+    * vector width makes every plane dot NULL (zip_with null-pads), every
+    * bit 0, and every row bucket 0 — silently degrading the equi-join to
+    * the all-pairs comparison it exists to avoid. One-row sanity check. */
+  private def requireDim(df: DataFrame, vecCol: String, dim: Int, op: String): Unit =
+    df.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == dim,
+        s"$op: dim=$dim does not match embedding width ${r.getInt(0)} — " +
+          "every LSH bucket would collapse to 0 (all-pairs join)")
+    }
+
   /**
    * Exact cosine top-k: for each row of `queries` (small — it is broadcast),
    * the `k` nearest corpus rows by cosine, ties broken by ascending id.
@@ -47,13 +81,9 @@ object Similarity {
       k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val scored = c.crossJoin(q)
+    topK(c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "rnk", "cos")
+      .withColumn("cos", rankCosine(col("__qv"), col("__cv"))), k)
   }
 
   /** Deterministic pseudo-random hyperplanes: `nBits` rows × `dim` values in
@@ -103,27 +133,29 @@ object Similarity {
       .orderBy(col(idCol)).limit(nCells)
       .collect().map(_.getSeq[Double](1).toArray)
 
+    // the nCells-cosine array is MATERIALIZED as its own column before the
+    // argmax/probe expressions consume it: lambda-bearing expressions are
+    // excluded from Spark's subexpression elimination, so inlining cosArr
+    // into both array_position and array_max would recompute all
+    // nCells x dim cosine arithmetic per reference
     def cosArr(vec: Column): Column =
-      array(centroids.map(c => cosine(vec, array(c.map(lit): _*))): _*)
-    def cellOf(vec: Column): Column =
-      (array_position(cosArr(vec), array_max(cosArr(vec))) - 1).cast("int")
-    // top-nProbe cell ids: sort (cos desc, index asc) via struct keys
-    def probesOf(vec: Column): Column =
-      slice(transform(sort_array(transform(cosArr(vec),
-        (c, i) => struct((-c).as("nc"), i.as("i")))), s => s("i")), 1, nProbe)
+      array(centroids.map(c => rankCosine(vec, array(c.map(lit): _*))): _*)
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      cellOf(col(vecCol)).as("__cell"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__ca", cosArr(col("__cv")))
+      .withColumn("__cell",
+        (array_position(col("__ca"), array_max(col("__ca"))) - 1).cast("int"))
+      .drop("__ca")
+    // top-nProbe cell ids: sort (cos desc, index asc) via struct keys
     val q = broadcast(queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-        explode(probesOf(col(vecCol))).as("__probe")))
-    val scored = c.join(q, col("__probe") === col("__cell"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__ca", cosArr(col("__qv")))
+      .withColumn("__probe", explode(slice(transform(sort_array(transform(col("__ca"),
+        (cc, i) => struct((-cc).as("nc"), i.as("i")))), st => st("i")), 1, nProbe)))
+      .drop("__ca"))
+    topK(c.join(q, col("__probe") === col("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "rnk", "cos")
+      .withColumn("cos", rankCosine(col("__qv"), col("__cv"))), k)
   }
 
   /**
@@ -140,13 +172,14 @@ object Similarity {
       threshold: Double,
       nBits: Int = 4,
       dim: Int = 64): DataFrame = {
+    requireDim(corpus, vecCol, dim, "cosineNearDups")
     val planes = hyperplanes(nBits, dim)
     val b = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       bucketId(col(vecCol), planes).as("__bucket"))
     val l = b.select(col("__id").as("id_a"), col("__v").as("__va"), col("__bucket"))
     val r = b.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__bucket").as("__bucket2"))
     l.join(r, col("__bucket") === col("__bucket2") && col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .withColumn("cos", rankCosine(col("__va"), col("__vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -163,17 +196,14 @@ object Similarity {
       k: Int,
       nBits: Int = 4,
       dim: Int = 64): DataFrame = {
+    requireDim(corpus, vecCol, dim, "lshTopK")
     val planes = hyperplanes(nBits, dim)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       bucketId(col(vecCol), planes).as("__bucket"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       bucketId(col(vecCol), planes).as("__qbucket")))
-    val scored = c.join(q, col("__bucket") === col("__qbucket"))
+    topK(c.join(q, col("__bucket") === col("__qbucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "rnk", "cos")
+      .withColumn("cos", rankCosine(col("__qv"), col("__cv"))), k)
   }
 }

@@ -25,8 +25,15 @@ object TextOps {
     * with the same fingerprint are duplicates modulo case/punct/whitespace. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
-  /** Whitespace word split (single-space tokenizer). */
-  def words(text: Column): Column = split(text, " ")
+  /** Whitespace tokenizer: trims, then splits on whitespace RUNS (space,
+    * tab, newline). A single-space split miscounts real documents — "a  b"
+    * yields an empty token and "a\nb" never splits — skewing every stat
+    * built on it. Empty/blank text yields an EMPTY array, not [""]. */
+  def words(text: Column): Column = {
+    val t = trim(text)
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
 
   /** Exact whitespace token count. */
   def wordCount(text: Column): Column = size(words(text)).cast("long")
@@ -45,13 +52,17 @@ object TextOps {
     * Returned as separate columns by [[qualityColumns]]. */
   def meanWordLen(text: Column): Column = {
     val w = words(text)
-    aggregate(transform(w, s => length(s).cast("double")), lit(0.0), (a, x) => a + x) /
-      size(w).cast("double")
+    // blank text has zero words: 0/0 would be NaN, which defeats threshold
+    // filters (NaN compares greater than every number)
+    when(size(w) === 0, lit(0.0)).otherwise(
+      aggregate(transform(w, s => length(s).cast("double")), lit(0.0), (a, x) => a + x) /
+        size(w).cast("double"))
   }
 
   def digitRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
-      length(text).cast("double")
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+        length(text).cast("double"))
 
   /** Marker-word language scoring: counts occurrences of per-language
     * stopwords and picks the argmax (ties → 'und'). Pure column expressions;

@@ -125,4 +125,65 @@ class LlmSpec extends AnyFunSuite {
     val again = Multimodal.extractFeatures(withP, "doc_id", "payload", dim = 8).collect()
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
+
+  test("wordCount handles whitespace runs, tabs, newlines, and blank text") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "one two"), ("b", "one  two"), ("c", "one\ttwo\nthree"),
+      ("d", ""), ("e", "   "), ("f", " padded ")
+    ).toDF("id", "t")
+    val got = df.select($"id", TextOps.wordCount($"t").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 3L, "d" -> 0L, "e" -> 0L, "f" -> 1L),
+      s"got $got")
+  }
+
+  test("quality ratios are 0.0 (not NaN) for empty text") {
+    import spark.implicits._
+    val df = Seq(("a", ""), ("b", "x1")).toDF("id", "t")
+    val rows = df.select($"id", TextOps.meanWordLen($"t").as("mwl"),
+      TextOps.digitRatio($"t").as("dr")).as[(String, Double, Double)].collect()
+      .map { case (id, mwl, dr) => id -> ((mwl, dr)) }.toMap
+    assert(rows("a") == ((0.0, 0.0)), s"empty text must score 0.0/0.0, got ${rows("a")}")
+    assert(rows("b")._2 == 0.5)
+    // a threshold filter must therefore exclude empty docs deterministically
+    assert(df.filter(TextOps.digitRatio($"t") > 0.2).count() == 1)
+  }
+
+  test("zero-norm embeddings never win top-k and never pass near-dup thresholds") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)) // degenerate: zero vector, cosine NaN
+    ).toDF("id", "vec")
+    val queries = Seq((10L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    val top = Similarity.cosineTopK(corpus, queries, "id", "vec", k = 2)
+      .select("neighbor_id", "rnk").as[(Long, Long)].collect().toMap
+    assert(top.keySet == Set(1L, 2L), s"zero vector polluted top-k: $top")
+    assert(top(1L) == 1L, "the true nearest neighbor must rank first")
+    val dups = Similarity.cosineNearDups(corpus, "id", "vec",
+      threshold = 0.5, dim = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!dups.exists(p => p._1 == 3L || p._2 == 3L),
+      s"zero vector passed the near-dup threshold: $dups")
+  }
+
+  test("LSH dim mismatch fails loudly instead of collapsing buckets") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array.fill(128)(0.5f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(corpus, corpus, "id", "vec", k = 1, dim = 64)
+    }
+    assert(e.getMessage.contains("does not match the embedding width") ||
+      e.getMessage.contains("does not match embedding width"), e.getMessage)
+  }
+
+  test("simhashNearDups refuses a hamming budget its banding cannot honor") {
+    import spark.implicits._
+    val df = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 5)
+    }
+    assert(e.getMessage.contains("maxHamming"))
+  }
 }

@@ -212,7 +212,11 @@ object Checkpoints {
     // (V2) or a unioned single-partition head (classic)
     val (fileDf, knownFileRows, nActions) = lazyIdx match {
       case Some(idx) =>
-        val overlay = (idx.tailAdds.map(_.path) ++ idx.tailRemoves.map(_.path)).distinct
+        // overlay identity is (path, dvUniqueId) — mirroring ReplayState /
+        // LazyFileIndex — so a tail tombstone for one DV state of a path
+        // cannot drop a checkpoint row carrying a DIFFERENT (live) DV
+        val overlay = (idx.tailAdds.map(_.reconcileKey) ++
+          idx.tailRemoves.map(_.reconcileKey)).distinct
         val tailRows = idx.tailAdds.map(f => Row(null, addRow(f), null, null, null, null)) ++
           idx.tailRemoves.filter(tombstoneLive)
             .map(r => Row(null, null, removeRow(r), null, null, null))
@@ -220,12 +224,23 @@ object Checkpoints {
           spark.sparkContext.parallelize(tailRows, 1), checkpointSchema)
         // one column-pruned leg per file-action column, overlay-filtered and
         // re-aligned to the full checkpoint layout
+        // the SQL mirror of AddFile.reconcileKey / DvDescriptor.uniqueId
+        def keyOf(action: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val dv = action("deletionVector")
+          org.apache.spark.sql.functions.concat(action("path"), lit("\u0000"),
+            org.apache.spark.sql.functions.when(dv.isNotNull,
+              org.apache.spark.sql.functions.concat(dv("storageType"), dv("pathOrInlineDv"),
+                org.apache.spark.sql.functions.when(dv("offset").isNotNull,
+                  org.apache.spark.sql.functions.concat(lit("@"), dv("offset").cast("string")))
+                  .otherwise(lit(""))))
+              .otherwise(lit("")))
+        }
         def leg(name: String, dt: StructType) = {
           val src = spark.read.schema(StructType(Seq(StructField(name, dt))))
             .parquet(idx.checkpointParts.map(_.toString): _*)
             .filter(col(name).isNotNull)
             .filter(if (overlay.isEmpty) lit(true)
-              else not(col(s"$name.path").isin(overlay: _*)))
+              else not(keyOf(col(name)).isin(overlay: _*)))
           src.select(checkpointSchema.fields.map { f =>
             if (f.name == name) col(name).as(f.name)
             else lit(null).cast(f.dataType).as(f.name)
@@ -233,11 +248,21 @@ object Checkpoints {
         }
         val removeLeg = leg("remove", removeType)
           .filter(coalesce(col("remove.deletionTimestamp"), lit(0L)) >= tombstoneCutoff)
-        // hint size (and part count) need counts: countAdds() already
-        // INCLUDES the tail adds (don't add them again), and the carried
-        // remove rows must be counted too or the hint under-reports and
-        // the next open wrongly materializes eagerly
-        val approx = idx.countAdds() + removeLeg.count() +
+        // nActions only sizes the part split (the hint's `size` is taken
+        // EXACTLY from the written parts' footers on this branch), so an
+        // estimate from the previous hint + the tail avoids two extra full
+        // scans of the old checkpoint that countAdds()/count() cost
+        val prevHint = scala.util.Try {
+          store.read(new Path(logPath, LogStore.LAST_CHECKPOINT)).headOption
+            .flatMap { line =>
+              org.json4s.jackson.JsonMethods.parse(line) \ "size" match {
+                case org.json4s.JInt(n) => Some(n.toLong)
+                case org.json4s.JLong(n) => Some(n)
+                case _ => None
+              }
+            }.getOrElse(0L)
+        }.getOrElse(0L)
+        val approx = prevHint + idx.tailAdds.size +
           idx.tailRemoves.count(tombstoneLive) + controlRows.size
         (small.unionByName(leg("add", addType)).unionByName(removeLeg),
           None, approx)
@@ -279,14 +304,16 @@ object Checkpoints {
       if (partFiles.length == 1) {
         val dest = new Path(logPath, LogStore.checkpointFileName(snapshot.version))
         if (fs.exists(dest)) fs.delete(dest, false)
-        fs.rename(partFiles.head, dest)
+        require(fs.rename(partFiles.head, dest), s"checkpoint publish failed: $dest")
         Seq(dest)
       } else {
         partFiles.zipWithIndex.map { case (p, i) =>
           val dest = new Path(logPath, LogStore.multiPartCheckpointFileName(
             snapshot.version, i + 1, partFiles.length))
           if (fs.exists(dest)) fs.delete(dest, false)
-          fs.rename(p, dest)
+          // an unchecked false here would publish an incomplete part set —
+          // permanently unreadable until manually repaired
+          require(fs.rename(p, dest), s"checkpoint part publish failed: $dest")
           dest
         }.toSeq
       }

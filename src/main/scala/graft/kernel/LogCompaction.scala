@@ -46,8 +46,12 @@ object LogCompaction {
     var metadata: Option[Metadata] = None
     (start to end).foreach { v =>
       log.readCommit(v).foreach {
-        case f: AddFile => adds(f.path) = f; removes.remove(f.path)
-        case r: RemoveFile => adds.remove(r.path); removes(r.path) = r
+        // file-action identity is (path, dvUniqueId) — a DV rewrite commits
+        // remove(P, dvOld) + add(P, dvNew); path-keyed reconciliation here
+        // would erase the dvOld tombstone, and a later checkpoint-substituted
+        // replay would keep BOTH DV states of P live (rows resurface)
+        case f: AddFile => adds(f.reconcileKey) = f; removes.remove(f.reconcileKey)
+        case r: RemoveFile => adds.remove(r.reconcileKey); removes(r.reconcileKey) = r
         case m: Metadata => metadata = Some(m)
         case p: Protocol => protocol = Some(p)
         case t: SetTransaction => txns(t.appId) = t

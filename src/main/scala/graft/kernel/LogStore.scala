@@ -136,7 +136,8 @@ object LogStore {
     f"$version%020d.checkpoint.$part%010d.$total%010d.parquet"
 
   def isCommitFile(name: String): Boolean = name.matches("\\d{20}\\.json")
-  /** Classic single-file, classic multi-part, and V2 uuid-named manifests. */
+  /** Classic single-file, classic multi-part, and V2 uuid-named manifests
+    * (json lines or parquet — PROTOCOL.md allows both). */
   def isCheckpointFile(name: String): Boolean =
     name.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet") ||
       name.matches("\\d{20}\\.checkpoint\\.[0-9a-fA-F-]{32,36}\\.(json|parquet)")

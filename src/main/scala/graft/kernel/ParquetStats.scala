@@ -98,6 +98,13 @@ object ParquetStats {
                     maxs(name) = maxs.get(name).map(combine(_, mx, keepMin = false)).getOrElse(mx)
                   case _ => broken += name
                 }
+              } else if (cc.getValueCount - math.max(0L, st.getNumNulls) > 0) {
+                // stats object present but min/max OMITTED while the group
+                // still holds non-null values — parquet-mr drops min/max for
+                // values over its 4KB stats cap. Publishing bounds from the
+                // OTHER row groups would prune queries matching only the
+                // uncovered values (silent missing rows); mark broken.
+                broken += name
               }
             }
           }

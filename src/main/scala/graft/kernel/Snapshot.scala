@@ -271,7 +271,13 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
         val completeMulti = byParts.toSeq.sortBy(-_._1).collectFirst {
           case (n, ps) if ps.map(_._2).toSet == (1 to n).toSet => ps.map(_._3)
         }
-        val manifests = allAtV.filter(_.getName.endsWith(".json")).sortBy(_.getName)
+        // V2 uuid manifests are json lines OR parquet (PROTOCOL.md): any
+        // checkpoint file here that is neither the single-classic name nor
+        // a multi-part member is a manifest
+        val manifests = allAtV.filter { p =>
+          !p.getName.matches("\\d{20}\\.checkpoint\\.parquet") &&
+            LogStore.multiPartInfo(p.getName).isEmpty
+        }.sortBy(_.getName)
         val parts: Seq[Path] =
           if (singleClassic.nonEmpty) Seq(singleClassic.head)
           else completeMulti.getOrElse {
@@ -294,8 +300,12 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
           LogStore.multiPartInfo(p.getName).isDefined ||
             p.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
         lazy val v2SidecarParts: Seq[Path] =
-          parts.filter(_.getName.endsWith(".json")).flatMap { manifest =>
-            store.read(manifest).flatMap(ActionCodec.fromJson).collect {
+          parts.flatMap { manifest =>
+            val actions: Seq[Action] =
+              if (manifest.getName.endsWith(".json"))
+                store.read(manifest).flatMap(ActionCodec.fromJson)
+              else Checkpoints.read(spark, Seq(manifest), withFiles = false)
+            actions.collect {
               case s: Sidecar => new Path(new Path(logPath, "_sidecars"), s.path)
             }
           }

@@ -72,6 +72,41 @@ class ReconcileKeySpec extends AnyFunSuite {
       r.deletionVector.exists(_.cardinality == 3)), "dv1 tombstone lost in checkpoint")
   }
 
+  test("log compaction preserves both DV states of one path") {
+    val (t0, dir) = dvTable()
+    t0.delete(Some("id < 3"))   // v1: dv1 on the file
+    t0.delete(Some("id >= 97")) // v2: remove(P, dv1) + add(P, dv2)
+    val t1 = DeltaTable.forPath(spark, dir)
+    t1.compactLogs(1, 2)
+    // replay must survive on the compaction file alone: path-keyed
+    // compaction erased the dv1 tombstone, so a checkpoint-substituted
+    // replay could keep BOTH DV states live (deleted rows resurface)
+    val log = t1.deltaLog
+    (1L to 2L).foreach(v => log.store.delete(
+      new org.apache.hadoop.fs.Path(log.logPath, graft.kernel.LogStore.commitFileName(v))))
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.snapshot.numFiles == 1,
+      s"compaction kept ${t.snapshot.numFiles} file states for one path")
+    assert(t.toDF.count() == 94)
+    assert(t.snapshot.tombstones.exists(_.deletionVector.exists(_.cardinality == 3)),
+      "dv1 tombstone lost through compaction")
+  }
+
+  test("parquet stats omitted for oversized values cannot mis-prune") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bigstats_").toString + "/t"
+    val big = "Z" * 5000 + "_tail" // beyond parquet-mr's 4KB stats cap
+    DeltaTable.write(spark,
+      Seq((1L, "short"), (2L, big)).toDF("id", "v").coalesce(1), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    // whether the writer truncated or omitted the min/max, an equality
+    // lookup for the oversized value must return its row — bounds derived
+    // only from the covered values would prune it away
+    assert(t.scanWhere(s"id = 2").count() == 1)
+    val hit = t.toDF.filter($"v" === big).count()
+    assert(hit == 1, "oversized-value row lost (stats-based mis-prune)")
+  }
+
   test("VACUUM inside retention keeps the superseded DV blob decodable") {
     val (t0, dir) = dvTable()
     t0.delete(Some("id < 3"))

@@ -50,9 +50,23 @@ object CdfRead {
     val schema = snapshot.schema
     val partCols = snapshot.partitionColumns
 
-    // gather per-commit change units via the shared classifier
+    // gather per-commit change units via the shared classifier, tracking
+    // enablement THROUGH the range: a mid-range disable window carries no
+    // recorded change data, and synthesizing legs for its data-changing
+    // commits would misreport copied rows as changes
+    var cdcOn = true // proven enabled at range start by the gate above
     val units = (startingVersion to end).flatMap { v =>
-      val (ts, us) = changeUnitsOf(log.readCommit(v), v)
+      val actions = log.readCommit(v)
+      actions.collectFirst { case m: graft.kernel.Metadata => m }.foreach { m =>
+        cdcOn = m.configuration.get("delta.enableChangeDataFeed")
+          .exists(_.trim.equalsIgnoreCase("true"))
+      }
+      val (ts, us) = changeUnitsOf(actions, v)
+      if (!cdcOn && us.nonEmpty)
+        throw new IllegalStateException(
+          s"Change Data Feed was disabled at or before version $v inside " +
+          s"the requested range [$startingVersion, $end] — changes in the " +
+          "disabled window were not recorded")
       us.map { case (kind, path, pv, _) => (kind, path, pv, v, ts) }
     }
     legsFor(spark, table, schema, partCols, units)
@@ -125,7 +139,11 @@ object CdfRead {
       startTsMs: Long,
       endTsMs: Option[Long],
       allowOutOfRange: Boolean = false): DataFrame = {
-    val versionsTs = table.history().map(h => (h._1, h._2)).sortBy(_._1)
+    // resolve the range with the SAME per-commit timestamp the feed emits
+    // (CommitInfo.timestamp, file mtime as fallback) — mixing sources lets
+    // a mtime-skewed commit fall outside a window its rows claim to be in
+    val versionsTs = table.history()
+      .map(h => (h._1, h._3.flatMap(_.timestamp).getOrElse(h._2))).sortBy(_._1)
     val startV = versionsTs.find(_._2 >= startTsMs).map(_._1)
     val endV = endTsMs.map(e => versionsTs.filter(_._2 <= e).map(_._1))
       .map(vs => if (vs.isEmpty) -1L else vs.max)

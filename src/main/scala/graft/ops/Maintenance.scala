@@ -203,12 +203,20 @@ object RestoreOp {
     // (restore.rs ignore_missing_files: error by default)
     val fsck = table.tablePath.getFileSystem(
       table.spark.sessionState.newHadoopConf())
-    val missing = toAdd0.par
-      .filterNot(f => fsck.exists(target.absolutePath(f.path))).seq
+    // a restored AddFile needs BOTH its data file and (when masked) its
+    // deletion-vector blob — VACUUM may have deleted a superseded DV blob
+    // while the shared data file stayed live; re-adding such a descriptor
+    // would make every later scan fail decoding the mask
+    def allPresent(f: AddFile): Boolean =
+      fsck.exists(target.absolutePath(f.path)) &&
+        f.deletionVector.forall(dv =>
+          DeletionVectors.dvPath(table.tablePath, dv).forall(fsck.exists))
+    val missing = toAdd0.par.filterNot(allPresent).seq
     if (missing.nonEmpty && !ignoreMissingFiles)
       throw new IllegalStateException(
-        s"RESTORE to $version needs ${missing.size} file(s) that no longer " +
-        s"exist (vacuumed?): ${missing.take(3).map(_.path)}... — pass " +
+        s"RESTORE to $version needs ${missing.size} file(s) (or their " +
+        s"deletion-vector blobs) that no longer exist (vacuumed?): " +
+        s"${missing.take(3).map(_.path)}... — pass " +
         "ignoreMissingFiles=true to restore without them")
     val toAdd = if (ignoreMissingFiles)
       toAdd0.filterNot(f => missing.exists(_.path == f.path)) else toAdd0
@@ -357,7 +365,10 @@ object MetadataOps {
       minReaderVersion = if (isReaderFeature) 3 else p.minReaderVersion,
       minWriterVersion = 7,
       readerFeatures = Some(
-        (p.readerFeatures.getOrElse(Nil) ++ (if (isReaderFeature) Seq(feature) else Nil)).distinct),
+        // a v2 reader implied columnMapping; the v3 feature LIST must
+        // enumerate it or mapping-aware readers refuse/misread the table
+        (ProtocolGate.impliedReaderFeatures(p) ++
+          (if (isReaderFeature) Seq(feature) else Nil)).distinct),
       writerFeatures = Some(
         (ProtocolGate.impliedWriterFeatures(p) :+ feature).distinct))
     val txn = table.startTransaction()
@@ -489,9 +500,13 @@ object GenerateManifestOp {
     val fs = table.tablePath.getFileSystem(table.spark.sessionState.newHadoopConf())
     val manifestRoot = new Path(table.tablePath, "_symlink_format_manifest")
     if (fs.exists(manifestRoot)) fs.delete(manifestRoot, true)
+    // under column mapping AddFile.partitionValues is keyed by PHYSICAL
+    // column names; a logical-name lookup would find nothing and collapse
+    // every partition group onto one overwritten manifest file
+    val nameMap = graft.kernel.ColumnMapping.nameMap(snapshot.metadata.schema)
     snapshot.allFiles.groupBy(_.partitionValues).foreach { case (parts, files) =>
       val sub = snapshot.partitionColumns.flatMap { c =>
-        parts.get(c).map { v =>
+        parts.get(nameMap.getOrElse(c, c)).map { v =>
           val enc = if (v == null) PartitionCodec.HIVE_DEFAULT
             else graft.table.DeltaWriter.escapePathName(v)
           s"${graft.table.DeltaWriter.escapePathName(c)}=$enc"

@@ -117,7 +117,8 @@ object OptimizeOp {
       "total_considered_files" -> candidates.size.toString,
       "total_files_skipped" -> (candidates.size - removes.size).toString)
     table.commitAndRefresh(txn, removes ++ adds,
-      Operation("OPTIMIZE", Map("targetSize" -> targetSize.toString, "predicate" -> "[]"), metrics))
+      Operation("OPTIMIZE", Map("targetSize" -> targetSize.toString,
+        "predicate" -> predicate.map(p => s"[$p]").getOrElse("[]")), metrics))
     metrics
   }
 

@@ -33,6 +33,16 @@ object WriteIntoDelta {
     val exists = log.tableExists
     val m = mode.toLowerCase
 
+    // validate up front: an unknown mode (or an invalid option combination)
+    // must never take the CREATE path just because the table is missing
+    m match {
+      case "error" | "errorifexists" | "ignore" | "append" | "overwrite" =>
+      case other => throw new IllegalArgumentException(s"Unknown save mode: $other")
+    }
+    require(replaceWhere.isEmpty || m == "overwrite",
+      s"replaceWhere requires mode=overwrite (got mode=$m) — an append would " +
+        "neither replace the region nor enforce the predicate")
+
     if (!exists) {
       return createAndWrite(spark, df, tablePath, partitionBy, configuration)
     }
@@ -41,8 +51,7 @@ object WriteIntoDelta {
       case "error" | "errorifexists" =>
         throw new IllegalArgumentException(s"Delta table already exists at $path (mode=error)")
       case "ignore" => return DeltaTable.forPath(spark, path)
-      case "append" | "overwrite" => // continue
-      case other => throw new IllegalArgumentException(s"Unknown save mode: $other")
+      case _ => // continue
     }
 
     val table = DeltaTable.forPath(spark, path)
@@ -53,14 +62,28 @@ object WriteIntoDelta {
     require(partitionBy.isEmpty || partitionBy == partCols,
       s"partitionBy $partitionBy does not match table partitioning $partCols")
 
-    // schema evolution
+    // schema evolution; under column mapping evolved fields need physical
+    // names/ids and a maxColumnId bump (same discipline as MERGE evolution,
+    // Merge.scala) — committing unannotated fields makes mapping-aware
+    // readers reject the table, and a LATER annotation assigns a fresh
+    // physical name under which no historical file holds the data
+    def evolved(newSchema: StructType): (StructType, Option[Metadata]) =
+      if (ColumnMapping.enabled(meta)) {
+        val curMax = meta.configuration
+          .get(ColumnMapping.MAX_ID_KEY).map(_.toInt).getOrElse(0)
+        val (annotated, maxId) = ColumnMapping.assignMetadata(newSchema, startId = curMax)
+        (annotated, Some(meta.copy(schemaString = annotated.json,
+          configuration = meta.configuration +
+            (ColumnMapping.MAX_ID_KEY -> maxId.toString))))
+      } else (newSchema, Some(meta.copy(schemaString = newSchema.json)))
+
     val (targetSchema, newMetadata): (StructType, Option[Metadata]) =
       if (m == "overwrite" && overwriteSchema) {
-        (df.schema, Some(meta.copy(schemaString = df.schema.json)))
+        evolved(df.schema)
       } else if (mergeSchema) {
         val merged = DeltaWriter.mergeSchemas(meta.schema, df.schema)
         if (merged == meta.schema) (meta.schema, None)
-        else (merged, Some(meta.copy(schemaString = merged.json)))
+        else evolved(merged)
       } else {
         val incoming = df.schema.fieldNames.map(_.toLowerCase).toSet
         val tableCols = meta.schema.fieldNames.map(_.toLowerCase).toSet
@@ -70,8 +93,9 @@ object WriteIntoDelta {
         (meta.schema, None)
       }
 
+    val writeMeta = newMetadata.getOrElse(meta)
     val normalized0 = Validation.prepareForWrite(spark,
-      DeltaWriter.normalize(Generated.fill(df, targetSchema), targetSchema), meta)
+      DeltaWriter.normalize(Generated.fill(df, targetSchema), targetSchema), writeMeta)
     // replaceWhere: every written row must satisfy the predicate — enforced
     // inline during the write (no separate pre-write scan of the input)
     val normalized = replaceWhere.filter(_ => m == "overwrite") match {
@@ -83,13 +107,26 @@ object WriteIntoDelta {
 
     val txn = table.startTransaction()
     val adds = DeltaWriter.writeFiles(spark, tablePath, normalized, partCols,
-      numIndexedCols(meta), meta = Some(meta))
+      numIndexedCols(meta), meta = Some(writeMeta))
 
     val now = System.currentTimeMillis()
     val (extraActions, predicateParam): (Seq[Action], Option[String]) = (m, replaceWhere) match {
       case ("overwrite", None) =>
         txn.readWholeTable()
-        (snapshot.allFiles.map(_.remove(now, dataChange = true)), None)
+        val removes: Seq[Action] = snapshot.allFiles.map(_.remove(now, dataChange = true))
+        // synthesized CDF legs cannot represent DV-masked removes (the raw
+        // file misreports masked rows) — when any removed file carries a DV,
+        // record the feed explicitly: old live rows as deletes, written rows
+        // as inserts. Plain overwrites keep synthesis (accurate there).
+        val cdc: Seq[Action] =
+          if (Dml.cdcEnabled(snapshot) &&
+              snapshot.allFiles.exists(_.deletionVector.exists(_.cardinality > 0))) {
+            val deleted = DeltaWriter.normalize(Scan.read(spark, snapshot), targetSchema)
+              .withColumn(Dml.CDC_COL, lit("delete"))
+            val inserted = normalized.withColumn(Dml.CDC_COL, lit("insert"))
+            Dml.writeCdc(spark, table, deleted.unionByName(inserted), numIndexedCols(meta))
+          } else Nil
+        (removes ++ cdc, None)
       case ("overwrite", Some(pred)) =>
         val predExpr = Scan.parsePredicate(spark, pred)
         txn.readPredicate(predExpr)
@@ -103,11 +140,26 @@ object WriteIntoDelta {
           else {
             val keep = Scan.readFiles(spark, snapshot, rewrites)
               .filter(not(coalesce(expr(pred), lit(false))))
-            DeltaWriter.writeFiles(spark, tablePath, keep, partCols, numIndexedCols(meta), meta = Some(meta))
+            DeltaWriter.writeFiles(spark, tablePath,
+              DeltaWriter.normalize(keep, targetSchema), partCols,
+              numIndexedCols(meta), meta = Some(writeMeta))
           }
         val removes: Seq[Action] =
           (fullRemoves ++ rewrites).map(_.remove(now, dataChange = true))
-        (removes ++ rewriteAdds, Some(pred))
+        // replaceWhere's logical change is rows-matching-pred out, written
+        // rows in; synthesized legs would also misreport the REWRITTEN kept
+        // rows as delete+insert (and break on DV-masked files) — with CDF
+        // on, record the feed explicitly
+        val cdc: Seq[Action] =
+          if (Dml.cdcEnabled(snapshot) && (fullRemoves.nonEmpty || rewrites.nonEmpty)) {
+            val removedLive = Scan.readFiles(spark, snapshot, fullRemoves ++ rewrites)
+              .filter(coalesce(expr(pred), lit(false)))
+            val deleted = DeltaWriter.normalize(removedLive, targetSchema)
+              .withColumn(Dml.CDC_COL, lit("delete"))
+            val inserted = normalized.withColumn(Dml.CDC_COL, lit("insert"))
+            Dml.writeCdc(spark, table, deleted.unionByName(inserted), numIndexedCols(meta))
+          } else Nil
+        (removes ++ rewriteAdds ++ cdc, Some(pred))
       case _ => (Nil, None) // append
     }
 

@@ -171,4 +171,135 @@ class OpsFixesSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](t.generateSymlinkManifest())
     assert(e.getMessage.contains("deletion vectors"))
   }
+
+  // ---- round-5 ops review regressions ----
+
+  test("mergeSchema under column mapping annotates the evolved field") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir,
+      configuration = Map("delta.columnMapping.mode" -> "name"))
+    DeltaTable.write(spark, Seq((2L, "b", 9.5)).toDF("id", "v", "score"), dir,
+      mode = "append", mergeSchema = true)
+    val t = DeltaTable.forPath(spark, dir)
+    val f = t.schema.fields.find(_.name == "score").get
+    assert(f.metadata.contains("delta.columnMapping.physicalName"),
+      "evolved field committed without a physical name — mapping-aware " +
+        "readers reject the table and a later annotation orphans the data")
+    assert(f.metadata.contains("delta.columnMapping.id"))
+    assert(t.metadata.configuration("delta.columnMapping.maxColumnId").toInt >= 3)
+    val rows = t.toDF.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some(9.5)),
+      s"evolved column values lost under mapping: $rows")
+  }
+
+  test("addFeature v3 upgrade enumerates implied reader features") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir,
+      configuration = Map("delta.columnMapping.mode" -> "name")) // reader v2
+    val t = DeltaTable.forPath(spark, dir)
+    t.addFeature("deletionVectors")
+    val p = DeltaTable.forPath(spark, dir).protocol
+    assert(p.minReaderVersion == 3)
+    val rf = p.readerFeatures.getOrElse(Nil)
+    assert(rf.contains("deletionVectors"), rf.toString)
+    assert(rf.contains("columnMapping"),
+      s"v2-implied columnMapping dropped from the v3 feature list: $rf")
+  }
+
+  test("replaceWhere with a non-overwrite mode is refused") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.write(spark, Seq((2L, "b")).toDF("id", "v"), dir,
+        mode = "append", replaceWhere = Some("v = 'a'"))
+    }
+    assert(e.getMessage.contains("replaceWhere requires mode=overwrite"))
+  }
+
+  test("an unknown save mode never takes the CREATE path") {
+    import spark.implicits._
+    val dir = tmpDir()
+    intercept[IllegalArgumentException] {
+      DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir, mode = "overwrit")
+    }
+    assert(!new java.io.File(dir, "_delta_log").exists(),
+      "a typo'd mode silently created a table")
+  }
+
+  test("overwrite of a DV-masked table keeps the change feed readable") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      dir, configuration = Map(
+        "delta.enableChangeDataFeed" -> "true",
+        "delta.enableDeletionVectors" -> "true"))
+    val t0 = DeltaTable.forPath(spark, dir)
+    t0.delete(Some("id < 5")) // v1: DV on the file
+    DeltaTable.write(spark, Seq((100L, "new")).toDF("id", "v"), dir,
+      mode = "overwrite") // v2: removes the DV-masked file
+    val t = DeltaTable.forPath(spark, dir)
+    // the feed must span the overwrite commit (previously threw on the
+    // DV-masked remove) and report the LIVE rows deleted, not the masked ones
+    val feed = t.loadCdf(2, Some(2)).groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed == Map("delete" -> 15L, "insert" -> 1L), s"got $feed")
+  }
+
+  test("CDF range crossing a disable window is refused") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.setProperties(Map("delta.enableChangeDataFeed" -> "false")) // v1
+    DeltaTable.write(spark, Seq((2L, "b")).toDF("id", "v"), dir, mode = "append") // v2
+    t.setProperties(Map("delta.enableChangeDataFeed" -> "true")) // v3
+    val e = intercept[IllegalStateException](
+      DeltaTable.forPath(spark, dir).loadCdf(0, Some(3)).collect())
+    assert(e.getMessage.contains("disabled"), e.getMessage)
+  }
+
+  test("symlink manifest groups by partition under column mapping") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark,
+      Seq((1L, "x", "p1"), (2L, "y", "p2"), (3L, "z", "p1")).toDF("id", "v", "part"),
+      dir, partitionBy = Seq("part"),
+      configuration = Map("delta.columnMapping.mode" -> "name"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.generateSymlinkManifest()
+    val root = new java.io.File(dir, "_symlink_format_manifest")
+    val manifests = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+    // physical partition keys must still group into per-partition manifest
+    // dirs — a logical-name lookup collapsed everything onto one file
+    assert(manifests.length == 2,
+      s"expected 2 partition manifest dirs, got ${manifests.map(_.getName).toSeq}")
+  }
+
+  test("RESTORE refuses when a needed DV blob was deleted") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, (0L until 50L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      dir, configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val t0 = DeltaTable.forPath(spark, dir)
+    t0.delete(Some("id < 3"))  // v1: dv1
+    val dv1 = DeltaTable.forPath(spark, dir).snapshot.allFiles.head.deletionVector.get
+    t0.delete(Some("id >= 47")) // v2: dv2 replaces dv1
+    // simulate a vacuumed superseded blob
+    val blob = graft.kernel.DeletionVectors.dvPath(
+      new Path(dir), dv1).get
+    val fs = blob.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(blob, false))
+    val t = DeltaTable.forPath(spark, dir)
+    val e = intercept[IllegalStateException](t.restore(1))
+    assert(e.getMessage.contains("deletion-vector") || e.getMessage.contains("vacuumed"),
+      e.getMessage)
+    // the escape hatch restores without the un-decodable file
+    t.restore(1, ignoreMissingFiles = true)
+  }
 }

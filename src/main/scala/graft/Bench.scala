@@ -111,8 +111,14 @@ object Bench {
       s"BHJ=$bhj SMJ=$smj SHJ=$shj"
     }
 
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to the named queries (local
+    // iteration aid; the driver sets nothing and runs the full suite)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    def enabled(name: String): Boolean = only.forall(_.contains(name))
+
     // read-only query: one warm-up execution, then `reps` timed runs
-    def bench(name: String)(df: => DataFrame): Unit = {
+    def bench(name: String)(df: => DataFrame): Unit = if (enabled(name)) {
       val warm = df
       force(warm)
       val p = warm.queryExecution.executedPlan
@@ -125,14 +131,30 @@ object Bench {
       }
       record(name, (1 to reps).map(_ => timed(force(df))))
     }
+    // Per-phase wall times for the merge rows, one vector per rep — the
+    // bench record itself then shows WHERE a slow median went (join vs
+    // write vs commit), distinguishing host contention (all phases
+    // inflated) from a plan regression (one phase inflated every rep).
+    val phaseRecords =
+      scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[String, Vector[Double]]]()
     // mutating operator: fresh clone of `template` per timed run
-    def benchMut(name: String, template: String)(op: String => Unit): Unit = {
-      record(name, (1 to reps).map { i =>
-        val dir = EntryCtx.tempDir(s"${name}_r$i")
-        cloneDir(template, dir)
-        timed(op(dir))
-      })
-    }
+    def benchMut(name: String, template: String,
+        phasesOf: Option[() => Map[String, Double]] = None)(op: String => Unit): Unit =
+      if (enabled(name)) {
+        record(name, (1 to reps).map { i =>
+          val dir = EntryCtx.tempDir(s"${name}_r$i")
+          cloneDir(template, dir)
+          val t = timed(op(dir))
+          phasesOf.foreach { f =>
+            val slot = phaseRecords.getOrElseUpdate(name,
+              scala.collection.mutable.LinkedHashMap[String, Vector[Double]]())
+            f().foreach { case (k, v) =>
+              slot(k) = slot.getOrElse(k, Vector.empty) :+ v
+            }
+          }
+          t
+        })
+      }
 
     // TPC-H Q1-shaped aggregation over the Delta lineitem
     bench("q1_agg")(spark.sql(
@@ -184,7 +206,8 @@ object Bench {
       .unionByName(orders.filter("o_orderkey % 100 = 0")
         .withColumn("o_orderkey", col("o_orderkey") + 10000000))
       .withColumn("o_totalprice", col("o_totalprice") + 1)
-    benchMut("merge_upsert", mergeTpl) { dir =>
+    benchMut("merge_upsert", mergeTpl,
+        phasesOf = Some(() => graft.ops.MergeOp.lastPhases)) { dir =>
       DeltaTable.forPath(spark, dir)
         .merge(mergeSrc, "target.o_orderkey = source.o_orderkey")
         .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
@@ -194,7 +217,8 @@ object Bench {
     val mergeDvTpl = EntryCtx.tempDir("bench_merge_dv_tpl")
     DeltaTable.write(spark, orders, mergeDvTpl,
       configuration = Map("delta.enableDeletionVectors" -> "true"))
-    benchMut("merge_upsert_dv", mergeDvTpl) { dir =>
+    benchMut("merge_upsert_dv", mergeDvTpl,
+        phasesOf = Some(() => graft.ops.MergeOp.lastPhases)) { dir =>
       DeltaTable.forPath(spark, dir)
         .merge(mergeSrc, "target.o_orderkey = source.o_orderkey")
         .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
@@ -247,8 +271,13 @@ object Bench {
       m.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val shapes = planShapes
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val phasesJson = phaseRecords.map { case (q, m) =>
+      "\"" + q + "\":" + m.map { case (ph, vs) =>
+        "\"" + ph + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val total = medians.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"plans":$shapes,"reps":$reps,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"plans":$shapes,"phases":$phasesJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

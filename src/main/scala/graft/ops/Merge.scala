@@ -99,14 +99,21 @@ object MergeOp {
 
   private val COPY = -1
 
-  /** Phase timings on stderr when SPARK_GRAFT_TRACE=1 (perf triage aid). */
+  /** Per-phase wall times of the most recent MERGE on this JVM, seconds.
+    * Always recorded (a nanoTime pair per phase); Bench emits them into the
+    * benchmark JSON so a slow driver run adjudicates contention vs
+    * regression from the record itself. Stderr print under
+    * SPARK_GRAFT_TRACE=1. */
+  @volatile var lastPhases: Map[String, Double] = Map.empty
   private val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
-  private def traced[T](name: String)(body: => T): T = {
-    if (!trace) body
-    else {
+  private final class PhaseRecorder {
+    val acc = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def apply[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body
-      System.err.println(f"[merge-trace] $name%-22s ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      val dt = (System.nanoTime() - t0) / 1e9
+      acc(name) = acc.getOrElse(name, 0.0) + dt
+      if (trace) System.err.println(f"[merge-trace] $name%-22s $dt%.3fs")
       r
     }
   }
@@ -123,7 +130,8 @@ object MergeOp {
     require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
     val spark = table.spark
     val t0 = System.nanoTime()
-    val snapshot = table.refresh()
+    val phases = new PhaseRecorder
+    val snapshot = phases("snapshot_refresh")(table.refresh())
     if (clauses.exists(c => !(c.isInstanceOf[NotMatchedInsert] || c.isInstanceOf[NotMatchedInsertAll])))
       ProtocolGate.checkAppendOnly(snapshot, "MERGE with update/delete clauses")
     val schema = snapshot.schema
@@ -175,7 +183,7 @@ object MergeOp {
         // Left = pair whose IN-list was too wide (falls back to range)
         val inListResults: Seq[Either[(String, String), Expression]] =
           partPairs.map { case pair @ (t, s) =>
-            val distinctVals = traced("early_filter_distinct")(
+            val distinctVals = phases("early_filter_distinct")(
               source.select(col(s)).distinct().limit(maxInList + 1).collect())
             val nonNull = distinctVals.filter(!_.isNullAt(0))
             if (distinctVals.length > maxInList || nonNull.isEmpty) Left(pair)
@@ -190,7 +198,7 @@ object MergeOp {
             val aggs = rangePairs.flatMap { case (_, s) =>
               Seq(min(col(s)).as(s + "__mn"), max(col(s)).as(s + "__mx"))
             }
-            val row = traced("early_filter_agg")(source.agg(aggs.head, aggs.tail: _*).collect()(0))
+            val row = phases("early_filter_agg")(source.agg(aggs.head, aggs.tail: _*).collect()(0))
             rangePairs.zipWithIndex.flatMap { case ((t, _), i) =>
               val mn = row.get(2 * i); val mx = row.get(2 * i + 1)
               if (mn == null || mx == null) None
@@ -258,6 +266,10 @@ object MergeOp {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
+      // materialize the join into the cache as its own phase (fires both
+      // observations); later passes are cache reads, so phase attribution
+      // in lastPhases separates join cost from bookkeeping/write cost
+      phases("join_persist")(withOp.count())
       val deleteOps = indexed.collect {
         case (_: MatchedDelete, i) => i
         case (_: NotMatchedBySourceDelete, i) => i
@@ -277,29 +289,38 @@ object MergeOp {
       // ---- ONE bookkeeping pass over the cached join: duplicate-match
       // validation (merge/validation.rs: any target row with >1 matched
       // source rows) AND the changed-file barrier (merge/barrier.rs:42) fold
-      // into a per-(file,row) aggregation reduced to one row per file ----
+      // into a per-(file,row) aggregation reduced to one row per file.
+      // The input is projected down to (file, pos, matched, changed) BEFORE
+      // the groupBy so only four narrow columns leave the cache and enter
+      // the shuffle — never the full joined rows.
+      //
+      // Duplicate matches are an error ONLY when a matched clause would
+      // modify the target row (merge/validation.rs; delta-spark semantics):
+      // an insert-only merge with several source rows matching one target
+      // key is the standard dedup-append pattern and must succeed. When no
+      // clause can change an existing row (insert-only merge) the pass is
+      // skipped entirely: no changed files to find, no dup error possible.
       val changedCond =
         if (changeOps.isEmpty) lit(false)
         else col("__op").isin(changeOps.toSeq.map(Int.box): _*)
-      val perFile = traced("bookkeeping_pass")(
-        if (!validateDuplicates && changeOps.isEmpty) Array.empty[org.apache.spark.sql.Row]
-        else withOp.filter(col("__tgt").isNotNull)
-          .groupBy(col("target.__file").as("__f"), col("target.__pos"))
-          .agg(sum(when(matchedC, 1L).otherwise(0L)).as("__nm"),
-            max(when(changedCond, 1).otherwise(0)).as("__chg"))
-          .groupBy(col("__f"))
-          .agg(max("__nm").as("__maxnm"), max("__chg").as("__chg"))
-          .collect()) // one row per candidate FILE — bounded by file count
-
-      // duplicate matches are an error ONLY when a matched clause would
-      // modify the target row (merge/validation.rs; delta-spark semantics):
-      // an insert-only merge with several source rows matching one target
-      // key is the standard dedup-append pattern and must succeed
       val matchedModifies = indexed.exists {
         case (_: MatchedUpdate | _: MatchedUpdateAll | _: MatchedDelete, _) => true
         case _ => false
       }
-      if (validateDuplicates && matchedModifies && perFile.exists(_.getLong(1) > 1))
+      val needDupCheck = validateDuplicates && matchedModifies
+      val perFile = phases("bookkeeping_pass")(
+        if (changeOps.isEmpty && !needDupCheck) Array.empty[org.apache.spark.sql.Row]
+        else withOp.filter(col("__tgt").isNotNull)
+          .select(col("target.__file").as("__f"), col("target.__pos").as("__p"),
+            matchedC.as("__m"), changedCond.as("__c"))
+          .groupBy(col("__f"), col("__p"))
+          .agg(sum(when(col("__m"), 1L).otherwise(0L)).as("__nm"),
+            max(when(col("__c"), 1).otherwise(0)).as("__chg"))
+          .groupBy(col("__f"))
+          .agg(max("__nm").as("__maxnm"), max("__chg").as("__chg"))
+          .collect()) // one row per candidate FILE — bounded by file count
+
+      if (needDupCheck && perFile.exists(_.getLong(1) > 1))
         throw new MergeDuplicateMatchException
 
       val changedFiles = perFile.filter(_.getInt(2) == 1).map(_.getString(0)).toSet
@@ -373,9 +394,9 @@ object MergeOp {
       val useDv = snapshot.confBool("delta.enableDeletionVectors")
       val dvMaskResult: Option[(Seq[Action], Long)] =
         if (useDv && changedFiles.nonEmpty)
-          DvWriter.maskDistributed(table, pathIdx,
+          phases("dv_mask")(DvWriter.maskDistributed(table, pathIdx,
             withOp.filter(changedCond && col("__tgt").isNotNull)
-              .select(col("target.__file").as("__file"), col("target.__pos").as("__pos")))
+              .select(col("target.__file").as("__file"), col("target.__pos").as("__pos"))))
         else None
       val dvMode = dvMaskResult.isDefined
 
@@ -383,7 +404,7 @@ object MergeOp {
         if (dvMode) withOp.filter(isUpdated || isInsert).select(outCols: _*)
         else withOpCf.filter((fromChangedFiles && !isDeleted) || isInsert).select(outCols: _*)
 
-      val adds = traced("output_write")(
+      val adds = phases("output_write")(
         if (changedFiles.isEmpty && insertOps.isEmpty) Nil
         else DeltaWriter.writeFiles(spark, table.tablePath,
           Validation.prepareForWrite(spark, outputRows, writeMeta),
@@ -414,7 +435,7 @@ object MergeOp {
       val rowsCopied = math.max(0L, outputTotal - rowsUpdated - rowsInserted)
 
       // ---- CDC ----
-      val cdc: Seq[Action] =
+      val cdc: Seq[Action] = phases("cdc")(
         if (Dml.cdcEnabled(snapshot) &&
             (rowsUpdated + rowsDeleted + rowsInserted) > 0) {
           val updCond = if (updateOps.isEmpty) lit(false)
@@ -430,7 +451,7 @@ object MergeOp {
             .withColumn(Dml.CDC_COL, lit("insert"))
           val all = preImages.unionByName(postImages).unionByName(deletes).unionByName(inserts)
           Dml.writeCdc(spark, table, all, nIdx)
-        } else Nil
+        } else Nil)
 
       val now = System.currentTimeMillis()
       val removes: Seq[Action] =
@@ -456,12 +477,13 @@ object MergeOp {
       val txnActions = appTxn.map { case (app, ver) =>
         SetTransaction(app, ver, Some(System.currentTimeMillis()))
       }.toSeq
-      traced("commit")(table.commitAndRefresh(txn,
+      phases("commit")(table.commitAndRefresh(txn,
         metaActions ++ removes ++ dvActions ++ adds ++ cdc ++ txnActions,
         Operation("MERGE", Map("predicate" -> condition), metrics)))
       metrics
     } finally {
       withOp.unpersist()
+      lastPhases = phases.acc.toMap
     }
   }
 

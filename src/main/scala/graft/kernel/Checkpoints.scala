@@ -262,8 +262,12 @@ object Checkpoints {
               }
             }.getOrElse(0L)
         }.getOrElse(0L)
-        val approx = prevHint + idx.tailAdds.size +
-          idx.tailRemoves.count(tombstoneLive) + controlRows.size
+        // overlaid keys are filtered OUT of the old legs and re-enter via the
+        // tail, and the old checkpoint's control rows are replaced by ours —
+        // subtract both or the estimate ratchets upward every checkpoint
+        // (it only feeds nParts, but drifting part counts fragment the log)
+        val approx = math.max(prevHint - overlay.size - controlRows.size, 0L) +
+          idx.tailAdds.size + idx.tailRemoves.count(tombstoneLive) + controlRows.size
         (small.unionByName(leg("add", addType)).unionByName(removeLeg),
           None, approx)
       case None =>

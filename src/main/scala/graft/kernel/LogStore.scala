@@ -87,6 +87,7 @@ class HadoopLogStore(val conf: Configuration) extends LogStore {
       val local = Paths.get(path.toUri.getPath)
       Files.createDirectories(local.getParent)
       val tmp = Files.createTempFile(local.getParent, ".tmp_commit_", ".json")
+      LogStore.umaskDefaultPerms(tmp)
       try {
         val sb = new StringBuilder
         lines.foreach { l => sb.append(l); sb.append('\n') }
@@ -129,6 +130,17 @@ object HadoopLogStore {
 object LogStore {
   val LOG_DIR = "_delta_log" // kernel/transaction/mod.rs:119 DELTA_LOG_FOLDER
   val LAST_CHECKPOINT = "_last_checkpoint"
+
+  /** createTempFile makes 0600 files; publishing that inode via link(2)
+    * would leave commit files owner-only readable — a regression from
+    * CREATE_NEW for multi-user local tables. Widen to the umask-022 default
+    * (rw-r--r--) before linking; non-POSIX stores keep their defaults. */
+  def umaskDefaultPerms(p: java.nio.file.Path): Unit =
+    try {
+      import java.nio.file.attribute.PosixFilePermission._
+      java.nio.file.Files.setPosixFilePermissions(p,
+        java.util.EnumSet.of(OWNER_READ, OWNER_WRITE, GROUP_READ, OTHERS_READ))
+    } catch { case _: UnsupportedOperationException => () }
 
   def commitFileName(version: Long): String = f"$version%020d.json"
   def checkpointFileName(version: Long): String = f"$version%020d.checkpoint.parquet"

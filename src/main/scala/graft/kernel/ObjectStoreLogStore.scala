@@ -85,6 +85,7 @@ class FsPutClient(root: java.nio.file.Path) extends ConditionalPutClient {
     val target = fileFor(key)
     Files.createDirectories(target.getParent)
     val tmp = Files.createTempFile(target.getParent, ".put", ".tmp")
+    LogStore.umaskDefaultPerms(tmp) // link(2) publishes this inode's perms
     try {
       Files.write(tmp, bytes)
       try { Files.createLink(target, tmp); true }

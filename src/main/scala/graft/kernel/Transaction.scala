@@ -80,52 +80,64 @@ class OptimisticTransaction(
     var retries = 0
     while (true) {
       val path = new Path(log.logPath, LogStore.commitFileName(attempt))
-      try {
-        log.store.writeAtomic(path, fullActions.iterator.map(ActionCodec.toJson))
+      // The catches are scoped to the writeAtomic call ONLY: a postCommit
+      // (checkpoint) failure after the commit file landed must surface as
+      // its own error, not re-enter the loop and re-attempt an
+      // already-durable version until MaxCommitRetries claims the commit
+      // failed.
+      val committed: Boolean =
+        try {
+          log.store.writeAtomic(path, fullActions.iterator.map(ActionCodec.toJson))
+          true
+        } catch {
+          case _: VersionAlreadyExistsException =>
+            // Ghost-commit recovery: an object-store put can time out AFTER
+            // landing server-side; the retry then sees "already exists" for a
+            // commit that is OURS. Detect via the commit's txnId and treat as
+            // success — re-committing at the next version would duplicate the
+            // transaction (the reference repairs the same ambiguity in its
+            // S3+DynamoDB path, crates/aws/src/logstore/*).
+            val winnerAtAttempt = scala.util.Try(log.readCommit(attempt)).toOption
+            val winnerIsUs = winnerAtAttempt
+              .flatMap(_.collectFirst { case ci: CommitInfo => ci })
+              .exists(_.txnId == commitInfo.txnId)
+            if (winnerIsUs) true
+            else {
+              retries += 1
+              if (retries > maxRetries)
+                throw new CommitConflictException("MaxCommitRetries",
+                  s"gave up after $maxRetries attempts at version $attempt")
+              // replay winners and check for conflicts before retrying at next
+              // version; a lagging listing (eventual consistency) may report
+              // latest < attempt — never move the attempt cursor backward, every
+              // version below it has already been conflict-checked
+              val latest = log.latestVersion()
+              ((attempt to latest)).foreach { winner =>
+                // the ghost check already read the commit at `attempt`
+                val winnerActions =
+                  if (winner == attempt && winnerAtAttempt.isDefined) winnerAtAttempt.get
+                  else log.readCommit(winner)
+                checkConflicts(winnerActions, actions, winner)
+              }
+              attempt = math.max(latest + 1, attempt)
+              false
+            }
+          case e: java.io.IOException =>
+            // Transient store failure (timeout, 5xx): retry the SAME version —
+            // if the put actually landed, the next round's already-exists path
+            // resolves it via the txnId check above. Brief backoff so a store
+            // outage isn't hammered at full speed.
+            retries += 1
+            if (retries > maxRetries)
+              throw new CommitConflictException("MaxCommitRetries",
+                s"gave up after $maxRetries attempts at version $attempt " +
+                  s"(last store error: ${e.getMessage})")
+            Thread.sleep(math.min(50L << math.min(retries - 1, 5), 1000L))
+            false
+        }
+      if (committed) {
         postCommit(attempt, effectiveMeta)
         return attempt
-      } catch {
-        case _: VersionAlreadyExistsException =>
-          // Ghost-commit recovery: an object-store put can time out AFTER
-          // landing server-side; the retry then sees "already exists" for a
-          // commit that is OURS. Detect via the commit's txnId and treat as
-          // success — re-committing at the next version would duplicate the
-          // transaction (the reference repairs the same ambiguity in its
-          // S3+DynamoDB path, crates/aws/src/logstore/*).
-          val winnerAtAttempt = scala.util.Try(log.readCommit(attempt)).toOption
-          val winnerIsUs = winnerAtAttempt
-            .flatMap(_.collectFirst { case ci: CommitInfo => ci })
-            .exists(_.txnId == commitInfo.txnId)
-          if (winnerIsUs) {
-            postCommit(attempt, effectiveMeta)
-            return attempt
-          }
-          retries += 1
-          if (retries > maxRetries)
-            throw new CommitConflictException("MaxCommitRetries",
-              s"gave up after $maxRetries attempts at version $attempt")
-          // replay winners and check for conflicts before retrying at next
-          // version; a lagging listing (eventual consistency) may report
-          // latest < attempt — never move the attempt cursor backward, every
-          // version below it has already been conflict-checked
-          val latest = log.latestVersion()
-          ((attempt to latest)).foreach { winner =>
-            // the ghost check already read the commit at `attempt`
-            val winnerActions =
-              if (winner == attempt && winnerAtAttempt.isDefined) winnerAtAttempt.get
-              else log.readCommit(winner)
-            checkConflicts(winnerActions, actions, winner)
-          }
-          attempt = math.max(latest + 1, attempt)
-        case e: java.io.IOException =>
-          // Transient store failure (timeout, 5xx): retry the SAME version —
-          // if the put actually landed, the next round's already-exists path
-          // resolves it via the txnId check above.
-          retries += 1
-          if (retries > maxRetries)
-            throw new CommitConflictException("MaxCommitRetries",
-              s"gave up after $maxRetries attempts at version $attempt " +
-                s"(last store error: ${e.getMessage})")
       }
     }
     throw new IllegalStateException("unreachable")

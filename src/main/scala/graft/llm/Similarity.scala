@@ -60,13 +60,17 @@ object Similarity {
   /** The LSH paths hash against `dim`-length hyperplanes; a mismatched
     * vector width makes every plane dot NULL (zip_with null-pads), every
     * bit 0, and every row bucket 0 — silently degrading the equi-join to
-    * the all-pairs comparison it exists to avoid. One-row sanity check. */
+    * the all-pairs comparison it exists to avoid. One-row sanity check
+    * (note: runs an eager one-row Spark job at call time). Sampled over
+    * non-null vectors so a leading null embedding raises the real
+    * diagnostic, not a NullPointerException on getInt. */
   private def requireDim(df: DataFrame, vecCol: String, dim: Int, op: String): Unit =
-    df.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
-      require(r.getInt(0) == dim,
-        s"$op: dim=$dim does not match embedding width ${r.getInt(0)} — " +
-          "every LSH bucket would collapse to 0 (all-pairs join)")
-    }
+    df.select(size(col(vecCol)).as("__w")).filter(col("__w").isNotNull)
+      .limit(1).collect().headOption.foreach { r =>
+        require(r.getInt(0) == dim,
+          s"$op: dim=$dim does not match embedding width ${r.getInt(0)} — " +
+            "every LSH bucket would collapse to 0 (all-pairs join)")
+      }
 
   /**
    * Exact cosine top-k: for each row of `queries` (small — it is broadcast),

@@ -87,7 +87,8 @@ class GraftDeltaDataSource extends DataSourceRegister
       providerName: String,
       parameters: Map[String, String]): Source = {
     refuseUserSchema(schema)
-    new GraftDeltaSource(sqlContext.sparkSession, pathOf(parameters), parameters)
+    new GraftDeltaSource(sqlContext.sparkSession, pathOf(parameters), parameters,
+      metadataPath = Some(metadataPath))
   }
 
   override def createSink(

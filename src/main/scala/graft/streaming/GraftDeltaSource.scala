@@ -86,7 +86,8 @@ object GraftSourceOffset {
 class GraftDeltaSource(
     spark: SparkSession,
     tablePath: String,
-    options: Map[String, String])
+    options: Map[String, String],
+    metadataPath: Option[String] = None)
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val log = new DeltaLog(spark, new Path(tablePath))
@@ -135,11 +136,55 @@ class GraftDeltaSource(
     if (cdfMode) GraftDeltaSource.cdfSchema(initSnapshot.schema)
     else initSnapshot.schema
 
-  /** Base offset: nothing admitted yet. */
+  /** Base offset: nothing admitted yet — resolved against THIS instance's
+    * snapshot (fresh-stream semantics only; see [[startBase]]). */
   private def baseOffset: GraftSourceOffset = startingVersion match {
     case Some(v) => GraftSourceOffset(v, 0, isInitialSnapshot = false)
     case None => GraftSourceOffset(initSnapshot.version, 0, isInitialSnapshot = true)
   }
+
+  // ---- stream-start persistence --------------------------------------------
+  // The resolved start offset is written once, under the source's checkpoint
+  // metadata dir, when the engine begins a FRESH stream. On a crash-restart
+  // where batch 0's end offset is WAL-committed but the batch never ran,
+  // getBatch(None, end) reads it back and recovers the EXACT original start —
+  // re-resolving against a moved-on table (startingVersion=latest resolves to
+  // latest+1) would silently drop rows the WAL already admitted.
+
+  private val startFile: Option[Path] =
+    metadataPath.map(p => new Path(p, "graftSourceStart"))
+
+  private def readPersistedStart(): Option[GraftSourceOffset] =
+    startFile.flatMap { p =>
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(GraftSourceOffset.fromJson(
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString))
+        finally in.close()
+      }
+    }
+
+  private def persistStart(b: GraftSourceOffset): Unit = startFile.foreach { p =>
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) {
+      fs.mkdirs(p.getParent)
+      val tmp = new Path(p.getParent,
+        s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(b.json.getBytes("UTF-8")) finally out.close()
+      // a lost rename race means a concurrent start already persisted the
+      // same resolution — theirs is authoritative, ours is redundant
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    }
+  }
+
+  /** The stream's durable start: the persisted resolution when present,
+    * otherwise resolve-now and persist. Only fresh-stream paths (engine
+    * initialOffset / a null start) reach the resolve branch. */
+  private lazy val startBase: GraftSourceOffset =
+    readPersistedStart().getOrElse { val b = baseOffset; persistStart(b); b }
 
   // ---- per-version file listings ------------------------------------------
 
@@ -272,7 +317,7 @@ class GraftDeltaSource(
 
   override def prepareForTriggerAvailableNow(): Unit = synchronized {
     availableNowCap =
-      Some(advance(Option(current).getOrElse(baseOffset), Int.MaxValue, Long.MaxValue))
+      Some(advance(Option(current).getOrElse(startBase), Int.MaxValue, Long.MaxValue))
   }
 
   /** Admission-unit sizes at a position (AddFile.size / change-file size). */
@@ -312,7 +357,7 @@ class GraftDeltaSource(
 
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = synchronized {
     val start = Option(startOffset).map(GraftSourceOffset.from)
-    if (current == null) current = start.getOrElse(baseOffset)
+    if (current == null) current = start.getOrElse(startBase)
     else start.filter(s => GraftSourceOffset.ordering.gt(s, current))
       .foreach(current = _)
     val (fileBudget, byteBudget) = budgets(limit)
@@ -327,7 +372,7 @@ class GraftDeltaSource(
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
-  override def initialOffset(): OffsetV2 = baseOffset
+  override def initialOffset(): OffsetV2 = startBase
 
   override def deserializeOffset(json: String): OffsetV2 = GraftSourceOffset.fromJson(json)
 
@@ -363,19 +408,25 @@ class GraftDeltaSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endOff = GraftSourceOffset.from(end)
     // start=None replays batch 0 after a checkpoint restart. The ORIGINAL
-    // stream start must be reconstructed from the PINNED end offset, never
-    // from this (new) source instance's baseOffset: the table may have
-    // advanced, and a baseOffset beyond `end` would materialize batch 0 as
-    // empty while its offset commits — permanent data loss. For the
-    // initial-snapshot and numeric-startingVersion shapes the pinned
-    // derivation is exact; for startingVersion=latest it recovers
-    // end.version (the re-resolved base could only overshoot further).
-    val startOff = start.map(o => GraftSourceOffset.from(o)).getOrElse {
-      val base = baseOffset
-      if (GraftSourceOffset.ordering.gt(base, endOff))
-        GraftSourceOffset(endOff.version, 0, endOff.isInitialSnapshot)
-      else base
-    }
+    // stream start is read back from the persisted resolution under the
+    // checkpoint metadata dir — exact for every startingVersion shape,
+    // including "latest". Checkpoints from before the start was persisted
+    // fall back to reconstructing from the PINNED end offset (never from
+    // this new instance's baseOffset: the table may have advanced, and a
+    // base beyond `end` would materialize batch 0 as empty while its offset
+    // commits — permanent data loss). The fallback is exact for the
+    // initial-snapshot and numeric-startingVersion shapes; for
+    // startingVersion=latest it recovers end.version, which can still drop
+    // units from versions in (originalBase, end.version) — hence the
+    // persisted file.
+    val startOff = start.map(o => GraftSourceOffset.from(o))
+      .orElse(readPersistedStart().filterNot(GraftSourceOffset.ordering.gt(_, endOff)))
+      .getOrElse {
+        val base = baseOffset
+        if (GraftSourceOffset.ordering.gt(base, endOff))
+          GraftSourceOffset(endOff.version, 0, endOff.isInitialSnapshot)
+        else base
+      }
     synchronized {
       if (current == null || GraftSourceOffset.ordering.lt(current, endOff))
         current = endOff

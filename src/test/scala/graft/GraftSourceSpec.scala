@@ -173,6 +173,33 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(n == 2, s"batch-0 replay lost rows: got $n of 2 admitted files")
   }
 
+  test("batch-0 replay with startingVersion=latest recovers the persisted start") {
+    import graft.streaming.{GraftDeltaSource, GraftSourceOffset}
+    val dir = tmpDir()
+    val meta = tmpDir() // stands in for the checkpoint's source metadata dir
+    ints(dir, 1, 2) // version 0
+    // fresh stream resolved at v0: startingVersion=latest → base (1, 0)
+    val opts = Map("startingVersion" -> "latest")
+    val srcA = new GraftDeltaSource(spark, dir, opts, metadataPath = Some(meta))
+    assert(GraftSourceOffset.from(srcA.initialOffset()) ==
+      GraftSourceOffset(1, 0, isInitialSnapshot = false))
+    // batch 0 spans TWO later versions; its end offset was WAL-committed,
+    // then the query crashed before the batch materialized
+    ints(dir, 3) // version 1
+    ints(dir, 4) // version 2
+    val end = GraftSourceOffset(2, 1, isInitialSnapshot = false)
+    ints(dir, 5) // table advances again before the restart
+    // restart: a new source re-resolves "latest" to v4 — but the persisted
+    // start under metadataPath must win, or version 1's rows are dropped
+    // (end-offset reconstruction alone can only recover end.version)
+    val srcB = new GraftDeltaSource(spark, dir, opts, metadataPath = Some(meta))
+    spark.conf.set("spark.sql.streaming.unsupportedOperationCheck", "false")
+    val rows =
+      try srcB.getBatch(None, end).select("n").collect().map(_.getInt(0)).toSet
+      finally spark.conf.unset("spark.sql.streaming.unsupportedOperationCheck")
+    assert(rows == Set(3, 4), s"batch-0 replay lost admitted rows: $rows")
+  }
+
   test("user-specified stream schema is refused") {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val dir = tmpDir()

@@ -26,6 +26,20 @@ class KernelFixesSpec extends AnyFunSuite {
 
   def tmpDir(): String = Files.createTempDirectory("graft_kf_").toString + "/t"
 
+  test("local commit files are world-readable (not temp-file 0600)") {
+    import java.nio.file.attribute.PosixFilePermission._
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq(1, 2).toDF("n"), dir)
+    val commit = java.nio.file.Paths.get(dir, "_delta_log",
+      LogStore.commitFileName(0))
+    val perms = Files.getPosixFilePermissions(commit)
+    // createTempFile makes 0600; the linked commit must carry the
+    // umask-default read bits or other local users cannot read the table
+    assert(perms.contains(GROUP_READ) && perms.contains(OTHERS_READ),
+      s"commit file published with restrictive perms: $perms")
+  }
+
   test("NaN double partition value: pruning fails open, never crashes") {
     import spark.implicits._
     val dir = tmpDir()

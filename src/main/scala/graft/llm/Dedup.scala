@@ -23,10 +23,15 @@ object Dedup {
 
   /** Exact dedup on `keyCols` keeping the smallest `idCol` per group —
     * deterministic (unlike dropDuplicates' arbitrary row) so results are
-    * reproducible run-to-run and auditable. One hash shuffle. */
+    * reproducible run-to-run and auditable. A `min_by(struct(*), id)`
+    * aggregation: one hash shuffle with map-side partial aggregation and no
+    * per-partition sort — at billion-row scale the sort a window variant
+    * needs dominates, while the agg buffer is one row per key. */
   def exactKeepMin(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val cols = df.columns.toSeq
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__keep"))
+      .select(cols.map(c => col("__keep")(c).as(c)): _*)
   }
 
   /** Word n-gram shingle array (distinct), from a single-space-tokenized

@@ -41,12 +41,9 @@ object TextOps {
   /** BPE-ish token estimate: word-piece count where each word contributes
     * ceil(len/4) pieces plus standalone punctuation; a cheap deterministic
     * stand-in for a real tokenizer, computed per-row without UDFs. */
-  def tokenEstimate(text: Column): Column = {
-    val w = words(text)
-    aggregate(
-      transform(w, s => ceil(length(s).cast("double") / lit(4.0)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def tokenEstimate(text: Column): Column =
+    aggregate(words(text), lit(0L),
+      (acc, s) => acc + ((length(s) + lit(3)) / lit(4)).cast("long"))
 
   /** Quality heuristics: mean word length, alpha ratio, digit ratio.
     * Returned as separate columns by [[qualityColumns]]. */
@@ -92,13 +89,21 @@ object TextOps {
     }
   }
 
-  /** Per-document text statistics in one narrow projection. */
+  /** Per-document text statistics. The token array is materialized ONCE in
+    * a lower projection and both word stats derive from that alias — inlining
+    * `words(t)` into each stat would run the whitespace-run split per
+    * expression (CollapseProject keeps multi-referenced non-cheap aliases,
+    * so the two projections stay split in the optimized plan). */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.select(
-      col(idCol),
-      length(t).cast("long").as("n_chars"),
-      wordCount(t).as("n_words"),
-      tokenEstimate(t).as("n_tokens"))
+    df.select(col(idCol), length(t).cast("long").as("n_chars"), words(t).as("__w"))
+      .select(
+        col(idCol),
+        col("n_chars"),
+        size(col("__w")).cast("long").as("n_words"),
+        // ceil(len/4) == (len+3) div 4 for non-negative lengths: one
+        // aggregate lambda in integer math, no intermediate per-word array
+        aggregate(col("__w"), lit(0L),
+          (acc, s) => acc + ((length(s) + lit(3)) / lit(4)).cast("long")).as("n_tokens"))
   }
 }

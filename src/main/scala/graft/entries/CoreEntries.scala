@@ -331,6 +331,19 @@ object CoreEntries {
         |       CASE WHEN n_nationkey >= 20 THEN concat('note-', n_nationkey) ELSE NULL END AS n_note
         |FROM nation""".stripMargin)),
 
+    // delta.dataSkippingStatsColumns: stats restricted to a named column
+    // list (operations/mod.rs:556-592); pruning on a listed column still
+    // skips files, predicates on unlisted columns fail open to a full scan —
+    // results identical either way (§2.2 row 17 variant)
+    Entry("stats_columns", (s, d) => {
+      val dir = tempDir("statscols")
+      val o = pq(s, d, "orders").repartitionByRange(8, col("o_orderkey"))
+      DeltaTable.write(s, o, dir,
+        configuration = Map("delta.dataSkippingStatsColumns" -> "o_orderkey"))
+      DeltaTable.forPath(s, dir)
+        .scanWhere("o_orderkey <= 7500 AND o_totalprice > 100000")
+    }, Some("SELECT * FROM orders WHERE o_orderkey <= 7500 AND o_totalprice > 100000")),
+
     // blind append fast path (§2.1 row 10, table/blind.rs)
     Entry("blind_append", (s, d) => {
       val dir = tempDir("blind")

@@ -48,12 +48,18 @@ object ParquetStats {
     None
   }
 
-  /** Row count + stats JSON for one parquet data file. */
+  /** Row count + stats JSON for one parquet data file. `statsCols`, when
+    * set, is the exact (physical-name) column set to collect stats for —
+    * the table's `delta.dataSkippingStatsColumns` list — and takes
+    * precedence over the positional `numIndexedCols` prefix (reference:
+    * crates/core/src/operations/mod.rs:556-592). Columns outside the set
+    * simply have no stats entries; pruning fails open on them. */
   def collect(
       conf: Configuration,
       file: Path,
       schema: StructType,
-      numIndexedCols: Int = 32): (Long, String) = {
+      numIndexedCols: Int = 32,
+      statsCols: Option[Set[String]] = None): (Long, String) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val footer = reader.getFooter
@@ -66,9 +72,9 @@ object ParquetStats {
       val broken = scala.collection.mutable.Set[String]()
       val nullsBroken = scala.collection.mutable.Set[String]()
 
-      val indexed: Set[String] =
+      val indexed: Set[String] = statsCols.getOrElse(
         if (numIndexedCols < 0) schema.fieldNames.toSet
-        else schema.fieldNames.take(numIndexedCols).toSet
+        else schema.fieldNames.take(numIndexedCols).toSet)
 
       val it = blocks.iterator()
       while (it.hasNext) {

@@ -125,6 +125,23 @@ object DeltaWriter {
     val conf = spark.sessionState.newHadoopConf()
     val dataSchema = StructType(dfPhys.schema.filterNot(f => physPartCols.contains(f.name)))
 
+    // delta.dataSkippingStatsColumns: an explicit stats-column list that
+    // overrides the positional numIndexedCols prefix. Names are LOGICAL in
+    // the table property; stats keys are physical under column mapping.
+    val statsCols: Option[Set[String]] = meta.flatMap { m =>
+      m.configuration.get("delta.dataSkippingStatsColumns").map { s =>
+        val logical = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val known = m.schema.fieldNames.toSet
+        val unknown = logical.filterNot(known.contains)
+        require(unknown.isEmpty,
+          s"delta.dataSkippingStatsColumns names unknown column(s): " +
+            s"${unknown.mkString(", ")} (schema: ${known.mkString(", ")})")
+        val nm = if (graft.kernel.ColumnMapping.enabled(m))
+          graft.kernel.ColumnMapping.nameMap(m.schema) else Map.empty[String, String]
+        logical.map(c => nm.getOrElse(c, c)).toSet
+      }
+    }
+
     // delta.targetFileSize: resplit staged files that came out oversized.
     // Only the oversized data pays the extra read/write, and bytes-per-row
     // is exact (taken from the staged file itself) rather than a pre-write
@@ -161,7 +178,7 @@ object DeltaWriter {
     }
 
     val adds = finalFiles.par.map { case (src, parts) =>
-      val (_, statsJson) = ParquetStats.collect(conf, src, dataSchema, numIndexedCols)
+      val (_, statsJson) = ParquetStats.collect(conf, src, dataSchema, numIndexedCols, statsCols)
       val partDirs = parts.map { case (k, v) =>
         s"${escapePathName(k)}=${escapePathName(v)}"
       }

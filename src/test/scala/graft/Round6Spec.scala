@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kernel._
+import graft.table.{DeltaTable, Scan}
+
+/** Round-6 regression specs: delta.dataSkippingStatsColumns (named stats
+  * list overrides the positional prefix; pruning skips on listed columns and
+  * fails open on unlisted ones), the insert-only MERGE fast path, and the
+  * snapshot-load scale bound for large checkpoints. */
+class Round6Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test-r6")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmpDir(): String = Files.createTempDirectory("graft_r6_").toString + "/t"
+
+  // ------------------------------------------- dataSkippingStatsColumns
+
+  test("dataSkippingStatsColumns restricts stats to the named list") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = (1 to 100).map(i => (i, s"s$i", i * 2.0)).toDF("a", "b", "c")
+    DeltaTable.write(spark, df.repartition(4), dir,
+      configuration = Map("delta.dataSkippingStatsColumns" -> "a, c"))
+    val snap = DeltaTable.forPath(spark, dir).snapshot
+    snap.allFiles.foreach { f =>
+      val stats = org.json4s.jackson.JsonMethods.parse(f.stats.get)
+      val minKeys = (stats \ "minValues") match {
+        case org.json4s.JObject(fields) => fields.map(_._1).toSet
+        case _ => Set.empty[String]
+      }
+      assert(minKeys == Set("a", "c"),
+        s"stats collected for $minKeys, expected exactly {a, c}")
+      // numRecords is always present regardless of the column list
+      assert((stats \ "numRecords") != org.json4s.JNothing)
+    }
+  }
+
+  test("pruning: listed column skips files, unlisted column fails open") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // 4 range-disjoint files on `a`; `b` is equally range-disjoint but has
+    // NO stats, so a predicate on it must scan everything (and stay correct)
+    val df = (1 to 400).map(i => (i, i)).toDF("a", "b")
+    DeltaTable.write(spark, df.repartitionByRange(4, col("a")), dir,
+      configuration = Map("delta.dataSkippingStatsColumns" -> "a"))
+    val t = DeltaTable.forPath(spark, dir)
+    val snap = t.snapshot
+    assert(snap.allFiles.size == 4)
+
+    val onA = Scan.prunedFiles(snap,
+      Seq(Scan.parsePredicate(spark, "a <= 100")), Some(spark))
+    assert(onA.size < 4, s"predicate on stats column did not prune: ${onA.size} files")
+
+    val onB = Scan.prunedFiles(snap,
+      Seq(Scan.parsePredicate(spark, "b <= 100")), Some(spark))
+    assert(onB.size == 4, s"predicate on no-stats column must fail open, got ${onB.size}")
+    assert(t.scanWhere("b <= 100").count() == 100)
+  }
+
+  test("dataSkippingStatsColumns with an unknown column is refused at write") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.write(spark, Seq(1).toDF("a"), dir,
+        configuration = Map("delta.dataSkippingStatsColumns" -> "a, nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("dataSkippingStatsColumns under column mapping keys stats physically") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = (1 to 50).map(i => (i, s"s$i")).toDF("a", "b")
+    DeltaTable.write(spark, df, dir,
+      configuration = Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.dataSkippingStatsColumns" -> "a"))
+    val snap = DeltaTable.forPath(spark, dir).snapshot
+    val physA = ColumnMapping.nameMap(snap.schema)("a")
+    snap.allFiles.foreach { f =>
+      val stats = org.json4s.jackson.JsonMethods.parse(f.stats.get)
+      val minKeys = (stats \ "minValues") match {
+        case org.json4s.JObject(fields) => fields.map(_._1).toSet
+        case _ => Set.empty[String]
+      }
+      assert(minKeys == Set(physA), s"expected physical key $physA, got $minKeys")
+    }
+    // pruning translates the logical predicate to the physical stats key
+    val pruned = Scan.prunedFiles(snap,
+      Seq(Scan.parsePredicate(spark, "a > 9999")), Some(spark))
+    assert(pruned.isEmpty, "mapped stats column should prune an impossible range")
+  }
+
+  // ------------------------------------------------ insert-only MERGE path
+
+  test("insert-only MERGE rewrites nothing and copies no rows") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, (1 to 100).map(i => (i, i)).toDF("k", "v"), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    val src = (90 to 120).map(i => (i, -i)).toDF("k", "v")
+    val m = t.merge(src, "target.k = source.k")
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(m("num_target_rows_inserted") == "20")
+    assert(m("num_target_rows_updated") == "0")
+    assert(m("num_target_files_removed") == "0", "insert-only merge must not rewrite files")
+    assert(m("num_target_rows_copied") == "0", "insert-only merge must not copy rows")
+    assert(t.toDF.count() == 120)
+    // duplicate source matches on one target key must NOT error (dedup-append)
+    val dup = Seq((1, 5), (1, 6), (200, 7)).toDF("k", "v")
+    val m2 = t.merge(dup, "target.k = source.k").whenNotMatchedInsertAll().execute()
+    assert(m2("num_target_rows_inserted") == "1")
+  }
+}

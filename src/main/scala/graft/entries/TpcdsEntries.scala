@@ -1,0 +1,172 @@
+package graft.entries
+
+import EntryCtx._
+
+/**
+ * Hard-SQL breadth entries: TPC-DS query *shapes* (correlated scalar
+ * subqueries, EXISTS/NOT EXISTS combinations, ROLLUP/CUBE, multi-CTE,
+ * INTERSECT, window deviation, top/bottom-N) adapted from the reference's
+ * vendored benchmark suite (crates/benchmarks/queries/tpcds/q*.sql) to the
+ * driver's TPC-H-ish testdata. One SQL text runs over our Delta-backed temp
+ * views in Spark AND verbatim in the DuckDB oracle.
+ *
+ * Oracle-parity rules (see SURVEY verification notes): money aggregates go
+ * through integer cents (`round(x*100)` → BIGINT — exact and
+ * summation-order-independent in both engines), counts are CAST to BIGINT,
+ * thresholds multiply exact integers or dyadic constants (1.5) so
+ * borderline-row selection cannot diverge between engines.
+ */
+object TpcdsEntries {
+
+  val entries: Seq[Entry] = Seq(
+
+    // q1 shape: aggregate CTE + correlated scalar subquery threshold
+    // (spend > 1.2 * the priority-group average)
+    sqlEntry("tpcds_q1_shape", Seq("orders", "customer"),
+      """WITH customer_total AS (
+        |  SELECT o_custkey AS ct_custkey, o_orderpriority AS ct_prio,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS ct_cents
+        |  FROM orders GROUP BY o_custkey, o_orderpriority)
+        |SELECT c_name, ct_prio, ct_cents
+        |FROM customer_total ct1 JOIN customer ON ct1.ct_custkey = c_custkey
+        |WHERE ct1.ct_cents > (SELECT avg(ct_cents) * 1.2 FROM customer_total ct2
+        |                      WHERE ct2.ct_prio = ct1.ct_prio)""".stripMargin),
+
+    // q2/q11 shape: two aggregate CTEs joined with an exact integer
+    // growth-ratio comparison (year-over-year spend up by >20%)
+    sqlEntry("tpcds_q11_shape", Seq("orders", "customer"),
+      """WITH y1996 AS (
+        |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey),
+        |y1997 AS (
+        |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey)
+        |SELECT c_name, y1996.cents AS cents_1996, y1997.cents AS cents_1997
+        |FROM y1996 JOIN y1997 ON y1996.o_custkey = y1997.o_custkey
+        |JOIN customer ON c_custkey = y1996.o_custkey
+        |WHERE y1997.cents * 10 > y1996.cents * 12""".stripMargin),
+
+    // q18/q22 shape: ROLLUP with the NULL super-aggregate rows
+    sqlEntry("tpcds_rollup", Seq("customer", "nation"),
+      """SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)""".stripMargin),
+
+    // q67 shape: CUBE over two dimensions
+    sqlEntry("tpcds_cube", Seq("orders"),
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin),
+
+    // q10 shape: EXISTS conjunct with a disjunction of two more correlated
+    // EXISTS over different tables
+    sqlEntry("tpcds_q10_shape", Seq("customer", "orders", "lineitem"),
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |  AND (EXISTS (SELECT 1 FROM orders o2
+        |               WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 250000)
+        |    OR EXISTS (SELECT 1 FROM orders o3 JOIN lineitem l ON l.l_orderkey = o3.o_orderkey
+        |               WHERE o3.o_custkey = c.c_custkey AND l.l_returnflag = 'R'))
+        |GROUP BY c_mktsegment""".stripMargin),
+
+    // q23 shape: HAVING-filtered CTE feeding an IN subquery
+    sqlEntry("tpcds_q23_shape", Seq("lineitem"),
+      """WITH frequent_parts AS (
+        |  SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING count(*) > 30)
+        |SELECT l_returnflag,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM frequent_parts)
+        |GROUP BY l_returnflag""".stripMargin),
+
+    // q44 shape: best-5 and worst-5 by ranked aggregate, unioned, with
+    // unique tiebreaks so the rank sets are deterministic
+    sqlEntry("tpcds_q44_shape", Seq("lineitem", "supplier"),
+      """WITH perf AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY l_suppkey),
+        |ranked AS (
+        |  SELECT l_suppkey, rev,
+        |         rank() OVER (ORDER BY rev DESC, l_suppkey ASC) AS best,
+        |         rank() OVER (ORDER BY rev ASC, l_suppkey ASC) AS worst
+        |  FROM perf)
+        |SELECT s_name, CAST(best AS BIGINT) AS rnk, 'top' AS side
+        |FROM ranked JOIN supplier ON s_suppkey = l_suppkey WHERE best <= 5
+        |UNION ALL
+        |SELECT s_name, CAST(worst AS BIGINT) AS rnk, 'bottom' AS side
+        |FROM ranked JOIN supplier ON s_suppkey = l_suppkey WHERE worst <= 5""".stripMargin),
+
+    // q34/q73 shape: inner per-key count with HAVING band, joined back out
+    sqlEntry("tpcds_q34_shape", Seq("orders", "customer"),
+      """WITH busy AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY o_custkey HAVING count(*) BETWEEN 15 AND 20)
+        |SELECT c_name, cnt FROM busy JOIN customer ON o_custkey = c_custkey""".stripMargin),
+
+    // q5/q77 shape: per-channel UNION ALL re-aggregated with ROLLUP
+    sqlEntry("tpcds_q5_shape", Seq("orders"),
+      """WITH channels AS (
+        |  SELECT 'high' AS channel, o_orderpriority AS prio,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice >= 150000
+        |  UNION ALL
+        |  SELECT 'low' AS channel, o_orderpriority AS prio,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice < 150000)
+        |SELECT channel, prio, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(cents) AS BIGINT) AS cents
+        |FROM channels GROUP BY ROLLUP(channel, prio)""".stripMargin),
+
+    // q35 shape: IN-subquery gate + conditional aggregation
+    sqlEntry("tpcds_q35_shape", Seq("customer", "nation", "orders"),
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS rich
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY n_name""".stripMargin),
+
+    // q47/q57 shape: per-group window average, keep months that deviate
+    // >1.5x (a dyadic constant — the comparison is IEEE-identical)
+    sqlEntry("tpcds_q47_shape", Seq("lineitem"),
+      """WITH monthly AS (
+        |  SELECT l_suppkey, year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+        |         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |  FROM lineitem GROUP BY l_suppkey, year(l_shipdate), month(l_shipdate))
+        |SELECT l_suppkey, CAST(yr AS BIGINT) AS yr, CAST(mo AS BIGINT) AS mo, qty_cents
+        |FROM (SELECT l_suppkey, yr, mo, qty_cents,
+        |             avg(qty_cents) OVER (PARTITION BY l_suppkey) AS avg_cents
+        |      FROM monthly) t
+        |WHERE qty_cents > avg_cents * 1.5""".stripMargin),
+
+    // q16 shape: NOT EXISTS + count(DISTINCT)
+    sqlEntry("tpcds_q16_shape", Seq("orders", "lineitem"),
+      """SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs
+        |FROM orders o
+        |WHERE o_totalprice > 100000 AND NOT EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin),
+
+    // q8/q14 shape: INTERSECT feeding an IN gate
+    sqlEntry("tpcds_intersect", Seq("customer", "orders"),
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer WHERE c_custkey IN (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY c_mktsegment""".stripMargin),
+
+    // q6 shape: uncorrelated scalar-subquery threshold in the WHERE clause
+    // (the threshold double is computed from exact integers identically in
+    // both engines)
+    sqlEntry("tpcds_q6_shape", Seq("customer", "nation"),
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0
+        |                   FROM customer)
+        |GROUP BY n_name""".stripMargin))
+}

@@ -224,6 +224,19 @@ object Bench {
         .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
     }
 
+    // the reference's 16-case MERGE scenario grid (insert-only/delete-only/
+    // upsert fractions) with its operationMetrics validators — one run per
+    // case on a fresh clone, reported under a separate JSON key so the
+    // headline "queries" total stays comparable to BASELINE.md
+    val mergeGrid = scala.collection.mutable.LinkedHashMap[String, (Double, Boolean)]()
+    if (enabled("merge_grid")) {
+      graft.tools.MergeGrid.runAll(spark, mergeTpl, cloneDir, EntryCtx.tempDir)
+        .foreach { case (c, sec, violations) =>
+          violations.foreach(v => System.err.println(s"[merge-grid] VIOLATION $v"))
+          mergeGrid(c.name) = (sec, violations.isEmpty)
+        }
+    }
+
     // delete with partial-file rewrite
     val delTpl = EntryCtx.tempDir("bench_del_tpl")
     DeltaTable.write(spark, orders.repartition(8), delTpl)
@@ -276,8 +289,11 @@ object Bench {
         "\"" + ph + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
       }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
+    val gridJson = mergeGrid.map { case (k, (sec, ok)) =>
+      "\"" + k + f"""\":{"sec":$sec%.3f,"ok":$ok}"""
+    }.mkString("{", ",", "}")
     val total = medians.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"plans":$shapes,"phases":$phasesJson,"reps":$reps,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"plans":$shapes,"phases":$phasesJson,"merge_grid":$gridJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

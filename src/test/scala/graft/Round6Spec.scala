@@ -103,6 +103,80 @@ class Round6Spec extends AnyFunSuite {
     assert(pruned.isEmpty, "mapped stats column should prune an impossible range")
   }
 
+  // ------------------------------------------- snapshot-load scale bound
+
+  test("snapshot load over a 5M-Add checkpoint stays lazy, bounded, prunable") {
+    val dir = tmpDir()
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    DeltaTable.write(spark, orders.limit(100), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.snapshot.lazyIndex.isEmpty, "a tiny table must stay eager")
+    Checkpoints.write(spark, t.deltaLog.logPath, t.snapshot, t.deltaLog.store)
+
+    // Inflate the version-0 checkpoint to 5M synthetic Adds (multi-part) —
+    // the shape of a 100 TB table's log — keeping the real control rows.
+    // Each Add carries a disjoint o_orderkey range in its stats so a point
+    // predicate selects exactly one file.
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val classic = new org.apache.hadoop.fs.Path(logDir, LogStore.checkpointFileName(0))
+    val full = spark.read.parquet(classic.toString)
+    val controls = full.filter("add IS NULL AND remove IS NULL")
+    val tmplAdd = full.filter("add IS NOT NULL").select("add").limit(1)
+    val n = 5000000L
+    val synth = spark.range(n).crossJoin(broadcast(tmplAdd))
+      .select(col("add")
+        .withField("path", concat(lit("synth/part-"),
+          lpad(col("id").cast("string"), 10, "0"), lit(".parquet")))
+        .withField("stats", concat(
+          lit("{\"numRecords\":100,\"minValues\":{\"o_orderkey\":"),
+          (col("id") * 100).cast("string"),
+          lit("},\"maxValues\":{\"o_orderkey\":"),
+          (col("id") * 100 + 99).cast("string"),
+          lit("},\"nullCount\":{\"o_orderkey\":0}}")))
+        .as("add"))
+    val aligned = synth.select(full.schema.fieldNames.map { f =>
+      if (f == "add") col("add") else lit(null).cast(full.schema(f).dataType).as(f)
+    }.toSeq: _*)
+    val staged = Files.createTempDirectory("graft_r6_ckpt_").toString + "/p"
+    controls.unionByName(aligned.repartition(8)).write.parquet(staged)
+
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(classic, false)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(staged))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      fs.rename(p, new org.apache.hadoop.fs.Path(logDir,
+        LogStore.multiPartCheckpointFileName(0, i + 1, parts.length)))
+    }
+    val hint = fs.create(new org.apache.hadoop.fs.Path(logDir, LogStore.LAST_CHECKPOINT), true)
+    try hint.write(
+      s"""{"version":0,"size":${n + 2},"parts":${parts.length}}""".getBytes("UTF-8"))
+    finally hint.close()
+
+    // load: control-plane only — the 5M Adds must NOT reach the driver
+    val t0 = System.nanoTime()
+    val snap = DeltaTable.forPath(spark, dir).snapshot
+    val loadSec = (System.nanoTime() - t0) / 1e9
+    assert(snap.lazyIndex.isDefined,
+      "5M-Add checkpoint must load behind LazyFileIndex at the default threshold")
+    assert(!snap.lazyIndex.get.isMaterialized)
+    assert(loadSec < 60.0, f"snapshot load took $loadSec%.1fs")
+
+    assert(snap.lazyIndex.get.countAdds() == n)
+
+    // distributed point prune: one surviving file, still not materialized
+    val t1 = System.nanoTime()
+    val pruned = graft.table.Scan.prunedFiles(snap,
+      Seq(graft.table.Scan.parsePredicate(spark, "o_orderkey = 123456")), Some(spark))
+    val pruneSec = (System.nanoTime() - t1) / 1e9
+    assert(pruned.size == 1, s"expected 1 surviving file, got ${pruned.size}")
+    assert(pruned.head.path.contains("part-0000001234"))
+    assert(!snap.lazyIndex.get.isMaterialized,
+      "pruning must not materialize the Add vector on the driver")
+    assert(pruneSec < 90.0, f"distributed prune took $pruneSec%.1fs")
+    System.err.println(f"[r6] 5M-Add load=$loadSec%.1fs prune=$pruneSec%.1fs")
+  }
+
   // ------------------------------------------------ insert-only MERGE path
 
   test("insert-only MERGE rewrites nothing and copies no rows") {

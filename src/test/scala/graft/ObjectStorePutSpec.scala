@@ -39,7 +39,11 @@ class ObjectStorePutSpec extends AnyFunSuite {
 
   private def freshClients(): Seq[(String, ConditionalPutClient)] = Seq(
     "in-memory" -> new InMemoryPutClient,
-    "filesystem" -> new FsPutClient(Files.createTempDirectory("graft_fsput_")))
+    "filesystem" -> new FsPutClient(Files.createTempDirectory("graft_fsput_")),
+    // S3-shaped wire protocol (PUT + If-None-Match: * → 412) against an
+    // in-process HTTP server — the integration-readiness proof that the
+    // ConditionalPutClient boundary suffices for a real cloud backend
+    "http-mock" -> new graft.kernel.HttpPutClient(new MockObjectStoreServer().endpoint))
 
   // ---- conformance ---------------------------------------------------------
 
@@ -224,9 +228,18 @@ class ObjectStorePutSpec extends AnyFunSuite {
   }
 
   test("end-to-end: 8 racing blind appends through FsPutClient all land") {
-    val store = new ObjectStoreLogStore(spark.sessionState.newHadoopConf(),
+    racingAppends("graftrace",
       new FsPutClient(Files.createTempDirectory("graft_race_")))
-    withScheme("graftrace", store) { log =>
+  }
+
+  test("end-to-end: 8 racing blind appends through the HTTP mock all land") {
+    racingAppends("grafthttp",
+      new graft.kernel.HttpPutClient(new MockObjectStoreServer().endpoint))
+  }
+
+  private def racingAppends(scheme: String, client: ConditionalPutClient): Unit = {
+    val store = new ObjectStoreLogStore(spark.sessionState.newHadoopConf(), client)
+    withScheme(scheme, store) { log =>
       createTable(log)
       val start = new CountDownLatch(1)
       val pool = Executors.newFixedThreadPool(8)

@@ -11,55 +11,83 @@ import java.time.Instant
  * is exercised against a mock server in ObjectStorePutSpec):
  *
  *  - put-if-absent = `PUT` with `If-None-Match: *`; `412 Precondition
- *    Failed` (S3, GCS XML API) or `409 Conflict` (Azure Blob) = key exists
- *    (S3 supports this natively since 2024-08; reference backends:
- *    crates/{aws,gcp,azure});
+ *    Failed` = key exists (S3 since 2024-08, GCS XML API). `409 Conflict`
+ *    is ambiguous across providers: Azure's BlobAlreadyExists means
+ *    key-exists, S3's ConditionalRequestConflict means the put did NOT land
+ *    and should be retried — disambiguated by the error body's <Code>;
  *  - list = `GET ?list-type=2&prefix=` returning ListObjectsV2-shaped XML
- *    (`Contents/Key|Size|LastModified`);
- *  - any 5xx / transport error surfaces as IOException, which the commit
- *    loop treats as a transient same-version retry, and a timeout AFTER the
- *    put landed resolves via the ghost-commit txnId check — the exact
- *    ambiguity matrix the fault suite pins.
+ *    (`Contents/Key|Size|LastModified`), following `IsTruncated` /
+ *    `NextContinuationToken` pagination — a >1000-object _delta_log must
+ *    not silently truncate (stale latestVersion = blessed data loss);
+ *  - any 5xx / transport error / timeout surfaces as IOException, which the
+ *    commit loop treats as a transient same-version retry, and a timeout
+ *    AFTER the put landed resolves via the ghost-commit txnId check — the
+ *    exact ambiguity matrix the fault suite pins. Explicit connect/request
+ *    timeouts guarantee a hung connection becomes that IOException instead
+ *    of blocking the writer forever.
  *
- * `endpoint` is the bucket root (e.g. `http://localhost:9000/bucket`); keys
- * are slash-prefixed object keys under it.
+ * Key space: the trait uses slash-prefixed keys (`/tbl/_delta_log/0.json`);
+ * object stores name keys WITHOUT the leading slash. The adapter strips it
+ * on the wire (URL path and list prefix) and re-adds it on returned keys,
+ * so ObjectStoreLogStore's path handling is identical across backends.
+ *
+ * `endpoint` is the bucket root (e.g. `http://localhost:9000/bucket`).
  */
-class HttpPutClient(endpoint: String) extends ConditionalPutClient {
+class HttpPutClient(
+    endpoint: String,
+    requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(30)) extends ConditionalPutClient {
 
   private val base = endpoint.stripSuffix("/")
-  private val http = HttpClient.newHttpClient()
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .build()
 
-  private def uri(key: String): URI = URI.create(base + encodeKey(key))
+  private def uri(key: String): URI = URI.create(base + "/" + encodeKey(objectKey(key)))
+
+  /** Trait key (slash-prefixed) → object key (bare). */
+  private def objectKey(key: String): String = key.stripPrefix("/")
 
   /** Percent-encode each path segment, keeping the '/' separators. */
   private def encodeKey(key: String): String =
     key.split("/", -1).map(seg =>
       java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20")).mkString("/")
 
+  private def request(u: URI): HttpRequest.Builder =
+    HttpRequest.newBuilder(u).timeout(requestTimeout)
+
   private def send[T](req: HttpRequest, handler: HttpResponse.BodyHandler[T]): HttpResponse[T] =
     try http.send(req, handler)
     catch {
-      case e: java.io.IOException => throw e
       case e: InterruptedException =>
         Thread.currentThread().interrupt()
         throw new java.io.IOException("interrupted during object-store call", e)
     }
 
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
-    val req = HttpRequest.newBuilder(uri(key))
+    val req = request(uri(key))
       .header("If-None-Match", "*")
       .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes))
       .build()
-    send(req, HttpResponse.BodyHandlers.discarding()).statusCode() match {
+    val resp = send(req, HttpResponse.BodyHandlers.ofByteArray())
+    resp.statusCode() match {
       case 200 | 201 => true
-      case 412 | 409 => false // S3/GCS 412; Azure 409
+      case 412 => false
+      case 409 =>
+        // Azure BlobAlreadyExists = exists; S3 ConditionalRequestConflict =
+        // the put did NOT land (concurrent conditional writes) — retryable,
+        // so it must surface as IOException, not as a lost commit race
+        val body = new String(resp.body(), "UTF-8")
+        if (body.contains("ConditionalRequestConflict"))
+          throw new java.io.IOException(
+            s"conditional put of $key hit concurrent-write contention (S3 409); retry")
+        else false
       case other => throw new java.io.IOException(
         s"conditional put of $key failed: HTTP $other")
     }
   }
 
   override def get(key: String): Option[Array[Byte]] = {
-    val req = HttpRequest.newBuilder(uri(key)).GET().build()
+    val req = request(uri(key)).GET().build()
     val resp = send(req, HttpResponse.BodyHandlers.ofByteArray())
     resp.statusCode() match {
       case 200 => Some(resp.body())
@@ -69,28 +97,49 @@ class HttpPutClient(endpoint: String) extends ConditionalPutClient {
   }
 
   override def listPrefix(prefix: String): Seq[ObjectMeta] = {
-    val q = java.net.URLEncoder.encode(prefix, "UTF-8")
-    val req = HttpRequest.newBuilder(
-      URI.create(s"$base/?list-type=2&prefix=$q")).GET().build()
-    val resp = send(req, HttpResponse.BodyHandlers.ofByteArray())
-    if (resp.statusCode() != 200)
-      throw new java.io.IOException(s"list of $prefix failed: HTTP ${resp.statusCode()}")
-    // ListObjectsV2-shaped XML via the JDK parser (no SDK dependency)
-    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      .newDocumentBuilder()
-      .parse(new java.io.ByteArrayInputStream(resp.body()))
-    val contents = doc.getElementsByTagName("Contents")
-    (0 until contents.getLength).map { i =>
-      val el = contents.item(i).asInstanceOf[org.w3c.dom.Element]
-      def text(tag: String): String =
-        el.getElementsByTagName(tag).item(0).getTextContent
-      ObjectMeta(text("Key"), text("Size").toLong,
-        Instant.parse(text("LastModified")).toEpochMilli)
-    }.sortBy(_.key)
+    val q = java.net.URLEncoder.encode(objectKey(prefix), "UTF-8")
+    val out = Seq.newBuilder[ObjectMeta]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val cont = token.fold("")(t =>
+        "&continuation-token=" + java.net.URLEncoder.encode(t, "UTF-8"))
+      val req = request(URI.create(s"$base/?list-type=2&prefix=$q$cont")).GET().build()
+      val resp = send(req, HttpResponse.BodyHandlers.ofByteArray())
+      if (resp.statusCode() != 200)
+        throw new java.io.IOException(s"list of $prefix failed: HTTP ${resp.statusCode()}")
+      val doc = secureParser().parse(new java.io.ByteArrayInputStream(resp.body()))
+      val contents = doc.getElementsByTagName("Contents")
+      (0 until contents.getLength).foreach { i =>
+        val el = contents.item(i).asInstanceOf[org.w3c.dom.Element]
+        def text(tag: String): String =
+          el.getElementsByTagName(tag).item(0).getTextContent
+        out += ObjectMeta("/" + text("Key").stripPrefix("/"), text("Size").toLong,
+          Instant.parse(text("LastModified")).toEpochMilli)
+      }
+      def top(tag: String): Option[String] = {
+        val ns = doc.getElementsByTagName(tag)
+        if (ns.getLength == 0) None else Some(ns.item(0).getTextContent)
+      }
+      more = top("IsTruncated").contains("true")
+      token = top("NextContinuationToken")
+      if (more && token.isEmpty)
+        throw new java.io.IOException(
+          s"list of $prefix claims IsTruncated without a NextContinuationToken")
+    }
+    out.result().sortBy(_.key)
+  }
+
+  /** JDK XML parser hardened against XXE — list bodies come off the wire. */
+  private def secureParser(): javax.xml.parsers.DocumentBuilder = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setExpandEntityReferences(false)
+    f.newDocumentBuilder()
   }
 
   override def delete(key: String): Boolean = {
-    val req = HttpRequest.newBuilder(uri(key)).DELETE().build()
+    val req = request(uri(key)).DELETE().build()
     send(req, HttpResponse.BodyHandlers.discarding()).statusCode() match {
       case 200 | 204 => true
       case 404 => false

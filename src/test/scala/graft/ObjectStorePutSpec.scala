@@ -7,6 +7,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.kernel._
@@ -28,7 +29,7 @@ import graft.kernel._
  * or duplicate versions), and a crash between data-blob write and commit
  * (log must be untouched, next committer unaffected).
  */
-class ObjectStorePutSpec extends AnyFunSuite {
+class ObjectStorePutSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -37,13 +38,24 @@ class ObjectStorePutSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  private val servers = scala.collection.mutable.ListBuffer[MockObjectStoreServer]()
+  private def newHttpClient(pageSize: Int = 1000): HttpPutClient = {
+    val s = new MockObjectStoreServer(pageSize)
+    servers.synchronized { servers += s }
+    new HttpPutClient(s.endpoint)
+  }
+  override def afterAll(): Unit = {
+    servers.foreach(_.stop())
+    super.afterAll()
+  }
+
   private def freshClients(): Seq[(String, ConditionalPutClient)] = Seq(
     "in-memory" -> new InMemoryPutClient,
     "filesystem" -> new FsPutClient(Files.createTempDirectory("graft_fsput_")),
     // S3-shaped wire protocol (PUT + If-None-Match: * → 412) against an
     // in-process HTTP server — the integration-readiness proof that the
     // ConditionalPutClient boundary suffices for a real cloud backend
-    "http-mock" -> new graft.kernel.HttpPutClient(new MockObjectStoreServer().endpoint))
+    "http-mock" -> newHttpClient())
 
   // ---- conformance ---------------------------------------------------------
 
@@ -233,8 +245,17 @@ class ObjectStorePutSpec extends AnyFunSuite {
   }
 
   test("end-to-end: 8 racing blind appends through the HTTP mock all land") {
-    racingAppends("grafthttp",
-      new graft.kernel.HttpPutClient(new MockObjectStoreServer().endpoint))
+    racingAppends("grafthttp", newHttpClient())
+  }
+
+  test("conformance: HTTP list follows pagination across truncated pages") {
+    val c = newHttpClient(pageSize = 7)
+    val keys = (0 until 23).map(i => f"/t/_delta_log/$i%020d.json")
+    keys.foreach(k => assert(c.putIfAbsent(k, "x".getBytes)))
+    c.putIfAbsent("/u/other", "y".getBytes)
+    val listed = c.listPrefix("/t/_delta_log/")
+    assert(listed.map(_.key) == keys,
+      s"paginated list must return every key in order, got ${listed.size} of ${keys.size}")
   }
 
   private def racingAppends(scheme: String, client: ConditionalPutClient): Unit = {

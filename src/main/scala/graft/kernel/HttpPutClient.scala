@@ -108,14 +108,35 @@ class HttpPutClient(
       val resp = send(req, HttpResponse.BodyHandlers.ofByteArray())
       if (resp.statusCode() != 200)
         throw new java.io.IOException(s"list of $prefix failed: HTTP ${resp.statusCode()}")
-      val doc = secureParser().parse(new java.io.ByteArrayInputStream(resp.body()))
+      // malformed bodies (missing fields, provider timestamp dialects) must
+      // surface as IOException — the commit loop's retry classification —
+      // never as a raw NPE/DateTimeParseException mid-conflict-check
+      val doc =
+        try secureParser().parse(new java.io.ByteArrayInputStream(resp.body()))
+        catch {
+          case e: org.xml.sax.SAXException =>
+            throw new java.io.IOException(s"unparseable list response for $prefix", e)
+        }
       val contents = doc.getElementsByTagName("Contents")
       (0 until contents.getLength).foreach { i =>
         val el = contents.item(i).asInstanceOf[org.w3c.dom.Element]
-        def text(tag: String): String =
-          el.getElementsByTagName(tag).item(0).getTextContent
-        out += ObjectMeta("/" + text("Key").stripPrefix("/"), text("Size").toLong,
-          Instant.parse(text("LastModified")).toEpochMilli)
+        def text(tag: String): Option[String] = {
+          val ns = el.getElementsByTagName(tag)
+          if (ns.getLength == 0) None else Some(ns.item(0).getTextContent)
+        }
+        val key = text("Key").getOrElse(throw new java.io.IOException(
+          s"list response entry without <Key> for prefix $prefix"))
+        val size = text("Size").flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+          .getOrElse(0L)
+        // ISO instant ("...Z") per S3; tolerate offset dialects some
+        // S3-compatible gateways emit; absent/odd timestamps degrade to 0
+        // (only history/time-travel precision suffers, not correctness)
+        val mtime = text("LastModified").flatMap { ts =>
+          scala.util.Try(Instant.parse(ts).toEpochMilli).toOption
+            .orElse(scala.util.Try(
+              java.time.OffsetDateTime.parse(ts).toInstant.toEpochMilli).toOption)
+        }.getOrElse(0L)
+        out += ObjectMeta("/" + key.stripPrefix("/"), size, mtime)
       }
       def top(tag: String): Option[String] = {
         val ns = doc.getElementsByTagName(tag)

@@ -133,14 +133,26 @@ object LogStore {
 
   /** createTempFile makes 0600 files; publishing that inode via link(2)
     * would leave commit files owner-only readable — a regression from
-    * CREATE_NEW for multi-user local tables. Widen to the umask-022 default
-    * (rw-r--r--) before linking; non-POSIX stores keep their defaults. */
-  def umaskDefaultPerms(p: java.nio.file.Path): Unit =
+    * CREATE_NEW for multi-user local tables. The target permissions come
+    * from the PROCESS UMASK, probed once by creating a plain file (which,
+    * unlike createTempFile, honors the umask): a 077-umask user keeps 0600
+    * commits, a 022 user gets rw-r--r--. Any failure leaves the temp's
+    * perms alone — permissions must never abort a commit. */
+  private lazy val probedDefaultPerms: Option[java.util.Set[java.nio.file.attribute.PosixFilePermission]] =
     try {
-      import java.nio.file.attribute.PosixFilePermission._
-      java.nio.file.Files.setPosixFilePermissions(p,
-        java.util.EnumSet.of(OWNER_READ, OWNER_WRITE, GROUP_READ, OTHERS_READ))
-    } catch { case _: UnsupportedOperationException => () }
+      val probe = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s".graft_perm_probe_${java.util.UUID.randomUUID.toString.take(12)}")
+      java.nio.file.Files.createFile(probe)
+      try Some(java.nio.file.Files.getPosixFilePermissions(probe))
+      finally java.nio.file.Files.deleteIfExists(probe)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def umaskDefaultPerms(p: java.nio.file.Path): Unit =
+    probedDefaultPerms.foreach { perms =>
+      try java.nio.file.Files.setPosixFilePermissions(p, perms)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   def commitFileName(version: Long): String = f"$version%020d.json"
   def checkpointFileName(version: Long): String = f"$version%020d.checkpoint.parquet"

@@ -132,7 +132,15 @@ class OptimisticTransaction(
               throw new CommitConflictException("MaxCommitRetries",
                 s"gave up after $maxRetries attempts at version $attempt " +
                   s"(last store error: ${e.getMessage})")
-            Thread.sleep(math.min(50L << math.min(retries - 1, 5), 1000L))
+            try Thread.sleep(math.min(50L << math.min(retries - 1, 5), 1000L))
+            catch {
+              case _: InterruptedException =>
+                // preserve the interrupt for cooperative cancellation and
+                // surface a commit-domain error, not an undeclared throw
+                Thread.currentThread().interrupt()
+                throw new CommitConflictException("Interrupted",
+                  s"interrupted while backing off before retrying version $attempt")
+            }
             false
         }
       if (committed) {

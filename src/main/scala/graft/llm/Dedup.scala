@@ -29,8 +29,15 @@ object Dedup {
     * needs dominates, while the agg buffer is one row per key. */
   def exactKeepMin(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
     val cols = df.columns.toSeq
+    // min_by skips rows whose ordering value is NULL — a group of all-NULL
+    // ids would aggregate to one all-NULL row (keys included). The ordering
+    // key is therefore a never-NULL struct with a null flag first: NULL ids
+    // sort before every real id (the window version's asc_nulls_first), and
+    // the struct itself is always comparable.
+    val ord = struct(when(col(idCol).isNull, 0).otherwise(1).as("__nn"),
+      col(idCol).as("__id"))
     df.groupBy(keyCols.map(col): _*)
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__keep"))
+      .agg(min_by(struct(cols.map(col): _*), ord).as("__keep"))
       .select(cols.map(c => col("__keep")(c).as(c)): _*)
   }
 

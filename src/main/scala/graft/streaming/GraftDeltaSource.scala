@@ -181,10 +181,14 @@ class GraftDeltaSource(
   }
 
   /** The stream's durable start: the persisted resolution when present,
-    * otherwise resolve-now and persist. Only fresh-stream paths (engine
-    * initialOffset / a null start) reach the resolve branch. */
-  private lazy val startBase: GraftSourceOffset =
-    readPersistedStart().getOrElse { val b = baseOffset; persistStart(b); b }
+    * otherwise this instance's resolution — WITHOUT persisting. Only
+    * [[initialOffset]] (which the engine calls exclusively on a genuinely
+    * fresh stream) writes the file: latestOffset/prepareForTriggerAvailableNow
+    * also run on restarts from pre-persistence checkpoints, and persisting
+    * their re-resolved base would poison getBatch(None, end)'s recovery with
+    * a start the WAL never admitted from. */
+  private def startBase: GraftSourceOffset =
+    readPersistedStart().getOrElse(baseOffset)
 
   // ---- per-version file listings ------------------------------------------
 
@@ -372,7 +376,8 @@ class GraftDeltaSource(
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
-  override def initialOffset(): OffsetV2 = startBase
+  override def initialOffset(): OffsetV2 =
+    readPersistedStart().getOrElse { val b = baseOffset; persistStart(b); b }
 
   override def deserializeOffset(json: String): OffsetV2 = GraftSourceOffset.fromJson(json)
 

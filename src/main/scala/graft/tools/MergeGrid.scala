@@ -18,6 +18,13 @@ import graft.table.DeltaTable
  *    identical inputs;
  *  - the validators are a superset: insert-only cases also assert the
  *    no-rewrite fast path (zero files removed, zero rows copied).
+ *
+ * Case names mirror the reference grid verbatim, INCLUDING the
+ * `filesMatchedFraction` label — which the reference's own MergePerfParams
+ * does not implement either (merge.rs:19-22 carries only the two row
+ * fractions; its last two upsert cases differ from case 9 in name only).
+ * The label is kept for row-by-row comparability with published reference
+ * results, not as a knob.
  */
 object MergeGrid {
 

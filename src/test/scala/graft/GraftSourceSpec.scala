@@ -200,6 +200,28 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(rows == Set(3, 4), s"batch-0 replay lost admitted rows: $rows")
   }
 
+  test("restart paths never persist a re-resolved start (poisoned recovery)") {
+    import graft.streaming.GraftDeltaSource
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmpDir()
+    val meta = tmpDir()
+    ints(dir, 1, 2)
+    // a RESTARTED stream (pre-persistence checkpoint: no graftSourceStart
+    // file) goes through latestOffset/prepareForTriggerAvailableNow but
+    // never initialOffset — neither call may write the start file, or a
+    // later getBatch(None, end) would recover from a base the WAL never
+    // admitted from
+    val src = new GraftDeltaSource(spark, dir, Map.empty, metadataPath = Some(meta))
+    src.prepareForTriggerAvailableNow()
+    src.latestOffset(src.deserializeOffset(
+      """{"version":0,"index":1,"isInitialSnapshot":true}"""), ReadLimit.allAvailable())
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(meta, "graftSourceStart")),
+      "restart-path calls must not persist a start offset")
+    // the genuinely-fresh path (initialOffset) does persist
+    src.initialOffset()
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(meta, "graftSourceStart")))
+  }
+
   test("user-specified stream schema is refused") {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val dir = tmpDir()

@@ -26,18 +26,21 @@ class KernelFixesSpec extends AnyFunSuite {
 
   def tmpDir(): String = Files.createTempDirectory("graft_kf_").toString + "/t"
 
-  test("local commit files are world-readable (not temp-file 0600)") {
-    import java.nio.file.attribute.PosixFilePermission._
+  test("local commit files carry umask-default perms (not temp-file 0600)") {
     import spark.implicits._
     val dir = tmpDir()
     DeltaTable.write(spark, Seq(1, 2).toDF("n"), dir)
     val commit = java.nio.file.Paths.get(dir, "_delta_log",
       LogStore.commitFileName(0))
+    // createTempFile makes 0600; the linked commit must match what a PLAIN
+    // file creation under the current umask yields (world-readable under
+    // 022, still private under 077 — the umask decides, not us)
+    val probe = java.nio.file.Paths.get(dir, "_perm_probe")
+    Files.createFile(probe)
+    val expected = Files.getPosixFilePermissions(probe)
     val perms = Files.getPosixFilePermissions(commit)
-    // createTempFile makes 0600; the linked commit must carry the
-    // umask-default read bits or other local users cannot read the table
-    assert(perms.contains(GROUP_READ) && perms.contains(OTHERS_READ),
-      s"commit file published with restrictive perms: $perms")
+    assert(perms == expected,
+      s"commit file perms $perms differ from umask-default $expected")
   }
 
   test("NaN double partition value: pruning fails open, never crashes") {

@@ -87,6 +87,18 @@ class LlmSpec extends AnyFunSuite {
     assert(out == Set(1L, 2L))
   }
 
+  test("exact dedup survives NULL ids: nulls-first, never an all-NULL row") {
+    import spark.implicits._
+    // min_by skips NULL ordering values — a group of all-NULL ids must not
+    // collapse to an all-NULL row (key column included = corrupted output)
+    val df = Seq((Some(5L), "a"), (None, "a"), (None, "b"), (None, "b"))
+      .toDF("id", "k")
+    val out = Dedup.exactKeepMin(df, "id", Seq("k"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toSet
+    // nulls sort first (the window implementation's asc_nulls_first)
+    assert(out == Set((-1L, "a"), (-1L, "b")), s"got $out")
+  }
+
   test("lsh ann recall vs brute force on shared buckets") {
     val exact = Similarity.cosineTopK(emb, emb.filter("vec_id < 4"), "vec_id", "embedding", 5)
     val lsh = Similarity.lshTopK(emb, emb.filter("vec_id < 4"), "vec_id", "embedding", 5)

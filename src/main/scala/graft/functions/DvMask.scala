@@ -33,18 +33,22 @@ class DvMaskLookup(masks: Broadcast[Map[String, Array[Byte]]]) extends Serializa
     if (m(0) != null && m(0).asInstanceOf[UTF8String].equals(file)) {
       arr = m(1).asInstanceOf[Array[Long]]
     } else {
+      // every file this predicate scans carries a DV by construction
+      // (Scan.readFiles masks only the dvFiles leg) — a lookup miss is a
+      // path-variant mismatch between _metadata.file_path and
+      // PathKeys.variants, and failing open would silently resurrect
+      // deleted rows. Fail loudly (same contract as Cdf's unmapped-path
+      // raise_error).
       arr = decoded.computeIfAbsent(file.toString, k =>
         masks.value.get(k).map(DeletionVectors.decodeRoaringArray)
-          .getOrElse(DvMaskLookup.Empty))
+          .getOrElse(throw new IllegalStateException(
+            s"deletion-vector mask lookup missed file '$k' (path-variant " +
+              "mismatch) — refusing to return masked rows unfiltered")))
       m(0) = file.clone()
       m(1) = arr
     }
     java.util.Arrays.binarySearch(arr, pos) >= 0
   }
-}
-
-object DvMaskLookup {
-  val Empty: Array[Long] = Array.empty[Long]
 }
 
 /** TRUE when the row at (`file`, `pos`) is NOT masked by its file's

@@ -28,17 +28,21 @@ class PartitionValueLookup(values: Broadcast[Map[String, Array[String]]]) extend
     if (m(0) != null && m(0).asInstanceOf[UTF8String].equals(file)) {
       arr = m(1).asInstanceOf[Array[UTF8String]]
     } else {
-      arr = values.value.getOrElse(file.toString, PartitionValueLookup.Empty)
+      // every scanned file was inserted under its PathKeys.variants keys —
+      // a miss is a path-form mismatch with _metadata.file_path, and
+      // failing open would read every partition column of the file as NULL
+      // (silently wrong rows, silently dropped by partition predicates).
+      // Fail loudly instead (same contract as Cdf's unmapped-path error).
+      arr = values.value.getOrElse(file.toString,
+          throw new IllegalStateException(
+            s"partition-value lookup missed file '$file' (path-variant " +
+              "mismatch) — refusing to emit NULL partition values"))
         .map(s => if (s == null) null else UTF8String.fromString(s))
       m(0) = file.clone()
       m(1) = arr
     }
     if (i < arr.length) arr(i) else null
   }
-}
-
-object PartitionValueLookup {
-  val Empty: Array[String] = Array.empty[String]
 }
 
 /** The `idx`-th partition value of the file at `file` (a `_metadata.file_path`

@@ -31,6 +31,18 @@ case class ZOrderKey(children: Seq[Expression]) extends Expression {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
 
+  /** Unsupported types (map/struct/array/...) would hit the encoder's 0L
+    * fallback — a CONSTANT per row, silently degrading the z-order to the
+    * remaining columns. Reject at analysis instead. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val bad = children.map(_.dataType).filterNot(ZOrderKey.encodable)
+    if (bad.isEmpty) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"zorder_key cannot encode type(s) ${bad.map(_.simpleString).mkString(", ")}: " +
+        "supported are integral, float/double, decimal, date/timestamp, " +
+        "boolean, string, binary")
+  }
+
   override def eval(input: InternalRow): Any = {
     val n = children.length
     val longs = new Array[Long](n)
@@ -75,6 +87,14 @@ case class ZOrderKey(children: Seq[Expression]) extends Expression {
 }
 
 object ZOrderKey {
+
+  def encodable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType |
+         BooleanType | StringType | BinaryType => true
+    case _: DecimalType => true
+    case _ => false
+  }
 
   def encode(value: Any, dt: DataType): Long = {
     if (value == null) return 0L

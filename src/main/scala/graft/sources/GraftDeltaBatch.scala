@@ -42,7 +42,11 @@ class GraftDeltaRelation(
     val files = Scan.prunedFiles(snapshot, preds.toSeq, Some(spark))
     val df0 = Scan.readFiles(spark, snapshot, files)
     val df1 = preds.foldLeft(df0)((d, p) => d.filter(GraftSqlBridge.column(p)))
-    df1.select(requiredColumns.toSeq.map(df1.col): _*).rdd
+    // single-part attribute resolution: df.col(name) dot-parses, which
+    // breaks top-level columns whose (column-mapped) logical names contain
+    // dots — same construction the filter path uses
+    df1.select(requiredColumns.toSeq.map(c =>
+      GraftSqlBridge.column(UnresolvedAttribute(Seq(c)))): _*).rdd
   }
 }
 
@@ -94,12 +98,32 @@ object GraftDeltaRelation {
     val log = new DeltaLog(spark, new Path(path))
     (opt("versionAsOf"), opt("timestampAsOf")) match {
       case (Some(v), None) => log.snapshotAt(v.trim.toLong)
-      case (None, Some(ts)) =>
-        log.snapshotForTimestamp(java.sql.Timestamp.valueOf(ts.trim).getTime)
+      case (None, Some(ts)) => log.snapshotForTimestamp(parseTsMillis(spark, ts))
       case (None, None) => log.snapshot()
       case _ => throw new IllegalArgumentException(
         "specify at most one of versionAsOf / timestampAsOf")
     }
+  }
+
+  /** timestampAsOf parsing: interpreted in the SPARK SESSION timezone (not
+    * the JVM default, which java.sql.Timestamp.valueOf would use — a
+    * session/JVM mismatch silently time-travels to the wrong version), and
+    * date-only strings are accepted like delta-spark. */
+  private[graft] def parseTsMillis(spark: SparkSession, ts: String): Long = {
+    val t = ts.trim
+    val local =
+      try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDate.parse(t).atStartOfDay()
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"timestampAsOf '$ts' is not 'yyyy-MM-dd[ HH:mm:ss[.S]]'")
+          }
+      }
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    local.atZone(zone).toInstant.toEpochMilli
   }
 
   def writeAndReturnRelation(

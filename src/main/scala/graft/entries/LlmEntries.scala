@@ -357,5 +357,40 @@ object LlmEntries {
       val feats = Multimodal.extractFeatures(withP, "doc_id", "payload", dim = 8)
       feats.select(col("doc_id") +: (0 until 8).map(j =>
         element_at(col("features"), j + 1).cast("double").as(s"f$j")): _*)
-    }, Some(multimodalFeaturesOracle(8))))
+    }, Some(multimodalFeaturesOracle(8))),
+
+    // deterministic stratified sampling (data-mixing ratios): salted-md5
+    // hex-threshold selection, reproducible on any cluster layout; the
+    // oracle replays the identical md5 prefix comparison
+    Entry("llm_stratified_sample", (s, d) =>
+      graft.llm.Curation.stratifiedSample(docsDelta(s, d), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25), default = 0.1, salt = "mix1")
+        .select("doc_id", "lang"),
+      Some {
+        def sel(frac: Double) =
+          s"substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8) < '${graft.llm.Curation.hexThreshold(frac)}'"
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE CASE WHEN lang = 'en' THEN ${sel(0.5)}
+           |           WHEN lang = 'de' THEN ${sel(0.25)}
+           |           ELSE ${sel(0.1)} END""".stripMargin
+      }),
+
+    // benchmark contamination: corpus docs sharing >= 5 trigram shingles
+    // with an eval-set doc (broadcast bench side, shingle equi-join); the
+    // benchmark here is a verbatim subset, so self-hits are guaranteed
+    Entry("llm_contamination", (s, d) => {
+      val docs = docsDelta(s, d).select("doc_id", "text")
+      val bench = docs.filter("doc_id % 37 = 0")
+        .select(col("doc_id").as("bench_id"), col("text"))
+      graft.llm.Curation.contamination(docs, "doc_id", "text",
+        bench, "bench_id", "text", shingleSize = 3, minShared = 5)
+        .select(col("doc_id"), col("bench_id"), col("shared").cast("long").as("shared"))
+    }, Some(
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+        |),
+        |bench AS (SELECT doc_id AS bench_id, s AS bs FROM sh WHERE doc_id % 37 = 0)
+        |SELECT a.doc_id, b.bench_id, CAST(len(list_intersect(a.s, b.bs)) AS BIGINT) AS shared
+        |FROM sh a JOIN bench b ON len(list_intersect(a.s, b.bs)) >= 5""".stripMargin)))
 }

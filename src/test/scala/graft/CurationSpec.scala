@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Curation
+
+/** Curation operators: deterministic stratified sampling (fraction
+  * accuracy, reproducibility, salt independence) and benchmark
+  * contamination (exact shared-shingle threshold). */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test-curation")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("stratified sample: per-stratum fractions, deterministic, salt-independent") {
+    import spark.implicits._
+    val df = (1 to 30000).map(i => (i.toLong, if (i % 3 == 0) "a" else "b")).toDF("id", "s")
+    val fracs = Map("a" -> 0.5, "b" -> 0.1)
+    val out = Curation.stratifiedSample(df, "id", "s", fracs).cache()
+    val byStratum = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 10k 'a' rows at 0.5, 20k 'b' rows at 0.1 — md5 is uniform, so ±10%
+    assert(math.abs(byStratum("a") - 5000) < 500, s"a: ${byStratum("a")}")
+    assert(math.abs(byStratum("b") - 2000) < 300, s"b: ${byStratum("b")}")
+
+    // deterministic: the same call selects the same ids
+    val again = Curation.stratifiedSample(df, "id", "s", fracs)
+    assert(out.select("id").except(again.select("id")).count() == 0)
+    assert(again.select("id").except(out.select("id")).count() == 0)
+
+    // a different salt draws an independent sample (overlap ≈ frac², not 1)
+    val other = Curation.stratifiedSample(df, "id", "s", fracs, salt = "other")
+    val overlap = out.select("id").intersect(other.select("id")).count()
+    assert(overlap < out.count(), "different salts must not select identically")
+    out.unpersist()
+  }
+
+  test("stratified sample: default fraction and 0/1 edges") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, "x")).toDF("id", "s")
+    assert(Curation.stratifiedSample(df, "id", "s", Map("x" -> 1.0)).count() == 1000)
+    assert(Curation.stratifiedSample(df, "id", "s", Map("x" -> 0.0)).count() == 0)
+    // stratum not listed → default (0.0 unless given)
+    assert(Curation.stratifiedSample(df, "id", "s", Map("y" -> 1.0)).count() == 0)
+    val d = Curation.stratifiedSample(df, "id", "s", Map("y" -> 1.0), default = 0.2).count()
+    assert(d > 100 && d < 300, s"default-fraction stratum kept $d of 1000")
+  }
+
+  test("contamination: exact shared-shingle threshold, no self-noise") {
+    import spark.implicits._
+    val base = "w1 w2 w3 w4 w5 w6 w7" // 5 trigram shingles
+    val corpus = Seq(
+      (1L, base),                           // verbatim benchmark copy: 5 shared
+      (2L, "w1 w2 w3 w4 w5 w6 zz"),         // 4 shared trigrams — below threshold
+      (3L, "a b c d e f g")                 // disjoint
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, base)).toDF("bench_id", "text")
+    val out = Curation.contamination(corpus, "doc_id", "text",
+        bench, "bench_id", "text", shingleSize = 3, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 100L, 5L)), s"got ${out.toSeq}")
+  }
+}

@@ -168,5 +168,66 @@ object TpcdsEntries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0
         |                   FROM customer)
-        |GROUP BY n_name""".stripMargin))
+        |GROUP BY n_name""".stripMargin),
+
+    // EXCEPT set difference feeding an IN gate
+    sqlEntry("tpcds_except", Seq("customer", "orders"),
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer WHERE c_custkey IN (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY c_mktsegment""".stripMargin),
+
+    // GROUPING() labels distinguishing super-aggregate NULLs from data NULLs
+    sqlEntry("tpcds_grouping_fn", Seq("customer", "nation"),
+      """SELECT n_name, c_mktsegment,
+        |       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+        |       CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)""".stripMargin),
+
+    // numeric RANGE window frame (value-based, not row-based)
+    sqlEntry("tpcds_window_range", Seq("orders"),
+      """SELECT o_orderkey,
+        |       CAST(count(*) OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+        |                           RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS near_cheaper
+        |FROM orders""".stripMargin),
+
+    // ntile quintiles over per-customer spend (unique tiebreak → stable)
+    sqlEntry("tpcds_ntile", Seq("orders"),
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi
+        |FROM (SELECT cents,
+        |             CAST(ntile(5) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS bucket
+        |      FROM spend) t
+        |GROUP BY bucket""".stripMargin),
+
+    // NOT IN subquery (non-null key domain — both engines' 3VL agrees)
+    sqlEntry("tpcds_not_in", Seq("customer", "orders"),
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin),
+
+    // chained CTEs: each referencing the previous (q4/q74 multi-stage shape)
+    sqlEntry("tpcds_chained_cte", Seq("orders", "customer"),
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT o_custkey, cents,
+        |         rank() OVER (ORDER BY cents DESC, o_custkey ASC) AS rnk
+        |  FROM spend),
+        |top AS (SELECT o_custkey, cents, CAST(rnk AS BIGINT) AS rnk
+        |        FROM ranked WHERE rnk <= 50)
+        |SELECT c_name, cents, rnk
+        |FROM top JOIN customer ON c_custkey = o_custkey""".stripMargin))
 }

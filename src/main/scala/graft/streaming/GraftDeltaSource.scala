@@ -180,13 +180,35 @@ class GraftDeltaSource(
     }
   }
 
+  /** True when this source belongs to a GENUINELY FRESH stream: the
+    * checkpoint's offsets WAL (sibling of metadataPath = <ckpt>/sources/N)
+    * has no entries yet. A restarted stream always has at least batch 0's
+    * offsets — and must never persist a re-resolved start, which would
+    * poison getBatch(None, end)'s recovery with a base the WAL never
+    * admitted from. */
+  private def freshStream: Boolean = metadataPath.exists { mp =>
+    val ckptRoot = new Path(mp).getParent.getParent
+    if (ckptRoot == null) false
+    else {
+      val offsets = new Path(ckptRoot, "offsets")
+      val fs = offsets.getFileSystem(spark.sessionState.newHadoopConf())
+      !fs.exists(offsets) || fs.listStatus(offsets).isEmpty
+    }
+  }
+
+  // Persist the resolution at CONSTRUCTION on fresh streams: with
+  // startingVersion=latest and an idle table, the engine may run zero
+  // batches (never calling initialOffset) — the stream still "started"
+  // here, and a later restart must tail from THIS point, not re-resolve
+  // "latest" past commits that arrived in between.
+  locally {
+    if (readPersistedStart().isEmpty && freshStream) persistStart(baseOffset)
+  }
+
   /** The stream's durable start: the persisted resolution when present,
-    * otherwise this instance's resolution — WITHOUT persisting. Only
-    * [[initialOffset]] (which the engine calls exclusively on a genuinely
-    * fresh stream) writes the file: latestOffset/prepareForTriggerAvailableNow
-    * also run on restarts from pre-persistence checkpoints, and persisting
-    * their re-resolved base would poison getBatch(None, end)'s recovery with
-    * a start the WAL never admitted from. */
+    * otherwise this instance's resolution — WITHOUT persisting (restart
+    * from a pre-persistence checkpoint; getBatch falls back to pinned-end
+    * reconstruction). */
   private def startBase: GraftSourceOffset =
     readPersistedStart().getOrElse(baseOffset)
 
@@ -377,7 +399,7 @@ class GraftDeltaSource(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
   override def initialOffset(): OffsetV2 =
-    readPersistedStart().getOrElse { val b = baseOffset; persistStart(b); b }
+    readPersistedStart().getOrElse { val b = baseOffset; persistStart(b); b } // fresh by contract
 
   override def deserializeOffset(json: String): OffsetV2 = GraftSourceOffset.fromJson(json)
 

@@ -200,26 +200,64 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(rows == Set(3, 4), s"batch-0 replay lost admitted rows: $rows")
   }
 
+  test("startingVersion=latest: a real query persists its start in the checkpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmpDir(); val dst = tmpDir(); val ckpt = tmpDir()
+    ints(src, 1, 2) // v0 — must be skipped by startingVersion=latest
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("startingVersion", "latest").load(src)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      try assert(q.awaitTermination(120000)) finally q.stop()
+    }
+    runOnce() // resolves latest→v1 and persists it under sources/0
+    val startFile = java.nio.file.Paths.get(ckpt, "sources", "0", "graftSourceStart")
+    assert(java.nio.file.Files.exists(startFile),
+      "createSource must wire metadataPath so the start persists")
+    assert(new String(java.nio.file.Files.readAllBytes(startFile), "UTF-8")
+      .contains("\"version\":1"))
+
+    ints(src, 3) // v1
+    ints(src, 4) // v2
+    runOnce() // restart tails exactly v1..v2; v0 stays excluded
+    val rows = DeltaTable.forPath(spark, dst).toDF.select("n").as[Int].collect().toSeq
+    assert(rows.sorted == Seq(3, 4), s"expected only post-start commits, got $rows")
+  }
+
   test("restart paths never persist a re-resolved start (poisoned recovery)") {
     import graft.streaming.GraftDeltaSource
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val dir = tmpDir()
-    val meta = tmpDir()
+    // checkpoint layout: <ckpt>/sources/0 is the source metadata dir and
+    // <ckpt>/offsets holds the WAL — a RESTARTED stream always has entries
+    // there (pre-persistence checkpoint: entries but no graftSourceStart)
+    val ckpt = java.nio.file.Paths.get(tmpDir())
+    val meta = ckpt.resolve("sources").resolve("0")
+    java.nio.file.Files.createDirectories(meta)
+    java.nio.file.Files.createDirectories(ckpt.resolve("offsets"))
+    java.nio.file.Files.write(ckpt.resolve("offsets").resolve("0"), "v1".getBytes)
     ints(dir, 1, 2)
-    // a RESTARTED stream (pre-persistence checkpoint: no graftSourceStart
-    // file) goes through latestOffset/prepareForTriggerAvailableNow but
-    // never initialOffset — neither call may write the start file, or a
-    // later getBatch(None, end) would recover from a base the WAL never
-    // admitted from
-    val src = new GraftDeltaSource(spark, dir, Map.empty, metadataPath = Some(meta))
+    // construction, latestOffset and prepareForTriggerAvailableNow on the
+    // restarted stream must NOT write the start file, or a later
+    // getBatch(None, end) would recover from a base the WAL never admitted
+    val src = new GraftDeltaSource(spark, dir, Map.empty,
+      metadataPath = Some(meta.toString))
     src.prepareForTriggerAvailableNow()
     src.latestOffset(src.deserializeOffset(
       """{"version":0,"index":1,"isInitialSnapshot":true}"""), ReadLimit.allAvailable())
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(meta, "graftSourceStart")),
+    assert(!java.nio.file.Files.exists(meta.resolve("graftSourceStart")),
       "restart-path calls must not persist a start offset")
-    // the genuinely-fresh path (initialOffset) does persist
-    src.initialOffset()
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(meta, "graftSourceStart")))
+
+    // a genuinely FRESH stream (empty offsets WAL) persists at construction
+    val ckpt2 = java.nio.file.Paths.get(tmpDir())
+    val meta2 = ckpt2.resolve("sources").resolve("0")
+    java.nio.file.Files.createDirectories(meta2)
+    new GraftDeltaSource(spark, dir, Map.empty, metadataPath = Some(meta2.toString))
+    assert(java.nio.file.Files.exists(meta2.resolve("graftSourceStart")))
   }
 
   test("user-specified stream schema is refused") {

@@ -368,7 +368,7 @@ object LlmEntries {
         .select("doc_id", "lang"),
       Some {
         def sel(frac: Double) =
-          s"substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8) < '${graft.llm.Curation.hexThreshold(frac)}'"
+          s"substr(md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':mix1'), 1, 8) < '${graft.llm.Curation.hexThreshold(frac)}'"
         s"""SELECT doc_id, lang FROM documents
            |WHERE CASE WHEN lang = 'en' THEN ${sel(0.5)}
            |           WHEN lang = 'de' THEN ${sel(0.25)}

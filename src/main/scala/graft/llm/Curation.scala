@@ -20,12 +20,15 @@ object Curation {
     f"${math.min((frac * 4294967296.0).toLong, 4294967295L)}%08x"
 
   /** Deterministic keep-condition: fraction `frac` of keys, selected by
-    * salted md5. Changing `salt` draws an independent sample. */
+    * salted md5. Changing `salt` draws an independent sample. NULL keys
+    * hash as the empty string (all NULL-key rows share one draw) — without
+    * the coalesce they would be silently dropped for 0 < frac < 1 but kept
+    * at frac >= 1, a discontinuity. */
   def sampleCond(key: Column, frac: Double, salt: String): Column =
     if (frac <= 0) lit(false)
     else if (frac >= 1) lit(true)
-    else substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 8) <
-      lit(hexThreshold(frac))
+    else substring(md5(concat(coalesce(key.cast("string"), lit("")),
+      lit(":" + salt))), 1, 8) < lit(hexThreshold(frac))
 
   /**
    * Stratified sample: per-stratum fractions (data-mixing ratios), rows in

@@ -154,43 +154,72 @@ class GraftDeltaSource(
   private val startFile: Option[Path] =
     metadataPath.map(p => new Path(p, "graftSourceStart"))
 
+  /** The startingVersion spec this source was configured with — recorded
+    * next to the persisted offset so a restart with a CORRECTED option
+    * (e.g. latest → 0 to backfill after a failed first run) is honored
+    * instead of silently pinned to the old resolution. */
+  private def startSpec: String =
+    opt("startingVersion").map(_.trim.toLowerCase).getOrElse("none")
+
   private def readPersistedStart(): Option[GraftSourceOffset] =
     startFile.flatMap { p =>
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
-        try Some(GraftSourceOffset.fromJson(
-          scala.io.Source.fromInputStream(in, "UTF-8").mkString))
-        finally in.close()
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val j = JsonMethods.parse(body)
+        (j \ "offset") match {
+          case org.json4s.JNothing =>
+            // legacy plain-offset form (no option recorded): trust it
+            Some(GraftSourceOffset.fromJson(body))
+          case off =>
+            val spec = (j \ "startingVersion") match {
+              case JString(s) => s
+              case _ => "none"
+            }
+            // a changed option invalidates the pin — resolution falls back
+            // to this instance (startBase) / pinned-end reconstruction
+            if (spec == startSpec)
+              Some(GraftSourceOffset.fromJson(JsonMethods.compact(off)))
+            else None
+        }
       }
     }
 
-  private def persistStart(b: GraftSourceOffset): Unit = startFile.foreach { p =>
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) {
-      fs.mkdirs(p.getParent)
-      val tmp = new Path(p.getParent,
-        s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      val out = fs.create(tmp, false)
-      try out.write(b.json.getBytes("UTF-8")) finally out.close()
-      // a lost rename race means a concurrent start already persisted the
-      // same resolution — theirs is authoritative, ours is redundant
-      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+  private def persistStart(b: GraftSourceOffset, overwrite: Boolean = false): Unit =
+    startFile.foreach { p =>
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (overwrite || !fs.exists(p)) {
+        fs.mkdirs(p.getParent)
+        val tmp = new Path(p.getParent,
+          s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        val out = fs.create(tmp, false)
+        try out.write(
+          s"""{"offset":${b.json},"startingVersion":"$startSpec"}""".getBytes("UTF-8"))
+        finally out.close()
+        if (overwrite) fs.delete(p, false)
+        // a lost rename race means a concurrent start already persisted the
+        // same resolution — theirs is authoritative, ours is redundant
+        if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+      }
     }
-  }
 
   /** True when this source belongs to a GENUINELY FRESH stream: the
     * checkpoint's offsets WAL (sibling of metadataPath = <ckpt>/sources/N)
     * has no entries yet. A restarted stream always has at least batch 0's
     * offsets — and must never persist a re-resolved start, which would
     * poison getBatch(None, end)'s recovery with a base the WAL never
-    * admitted from. */
+    * admitted from. ONLY decidable for the engine's <ckpt>/sources/N
+    * layout; any other metadataPath shape conservatively reports false
+    * (persistence then happens in initialOffset, the pre-existing path). */
   private def freshStream: Boolean = metadataPath.exists { mp =>
-    val ckptRoot = new Path(mp).getParent.getParent
-    if (ckptRoot == null) false
+    val sourcesDir = new Path(mp).getParent
+    if (sourcesDir == null || sourcesDir.getName != "sources" ||
+        sourcesDir.getParent == null) false
     else {
-      val offsets = new Path(ckptRoot, "offsets")
+      val offsets = new Path(sourcesDir.getParent, "offsets")
       val fs = offsets.getFileSystem(spark.sessionState.newHadoopConf())
       !fs.exists(offsets) || fs.listStatus(offsets).isEmpty
     }
@@ -200,9 +229,18 @@ class GraftDeltaSource(
   // startingVersion=latest and an idle table, the engine may run zero
   // batches (never calling initialOffset) — the stream still "started"
   // here, and a later restart must tail from THIS point, not re-resolve
-  // "latest" past commits that arrived in between.
+  // "latest" past commits that arrived in between. Overwrite a stale pin
+  // from a DIFFERENT startingVersion spec (fresh stream = no WAL = the old
+  // pin never admitted anything). Best-effort: a checkpoint-store hiccup
+  // here must not kill query startup — initialOffset persists later.
   locally {
-    if (readPersistedStart().isEmpty && freshStream) persistStart(baseOffset)
+    try {
+      if (readPersistedStart().isEmpty && freshStream)
+        persistStart(baseOffset, overwrite = true)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft-delta] could not persist stream start at construction: $e")
+    }
   }
 
   /** The stream's durable start: the persisted resolution when present,

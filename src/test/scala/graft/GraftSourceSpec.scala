@@ -258,6 +258,17 @@ class GraftSourceSpec extends AnyFunSuite {
     java.nio.file.Files.createDirectories(meta2)
     new GraftDeltaSource(spark, dir, Map.empty, metadataPath = Some(meta2.toString))
     assert(java.nio.file.Files.exists(meta2.resolve("graftSourceStart")))
+
+    // the pin records its startingVersion spec: a restart with a CORRECTED
+    // option ignores the old resolution (backfill after a failed first run)
+    val pinned = new String(java.nio.file.Files.readAllBytes(
+      meta2.resolve("graftSourceStart")), "UTF-8")
+    assert(pinned.contains("\"startingVersion\":\"none\""), pinned)
+    val corrected = new GraftDeltaSource(spark, dir,
+      Map("startingVersion" -> "0"), metadataPath = Some(meta2.toString))
+    assert(GraftSourceOffset.from(corrected.initialOffset()) ==
+      GraftSourceOffset(0, 0, isInitialSnapshot = false),
+      "a changed startingVersion must invalidate the old pin")
   }
 
   test("user-specified stream schema is refused") {

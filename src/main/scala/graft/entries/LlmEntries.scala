@@ -375,6 +375,30 @@ object LlmEntries {
            |           ELSE ${sel(0.1)} END""".stripMargin
       }),
 
+    // GPT-style sequence packing: documents laid out in id order into a
+    // continuous token stream cut into 2048-token chunks; distributed
+    // two-phase cumsum (range partition + per-partition window + P-row
+    // offset join), oracle = DuckDB's global window over the same stream
+    Entry("llm_token_pack", (s, d) => {
+      val toks = TextOps.textStats(docsDelta(s, d), "doc_id", "text")
+        .select("doc_id", "n_tokens")
+      graft.llm.Curation.packChunks(toks, "doc_id", "n_tokens", budget = 2048, nParts = 8)
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         CAST(coalesce(list_sum([CAST(ceil(length(w) / 4.0) AS BIGINT) FOR w IN ws]), 0) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN length(trim(text)) = 0 THEN []
+        |               ELSE string_split_regex(trim(text), '\s+') END AS ws
+        |        FROM documents)),
+        |cum AS (SELECT doc_id, n_tokens,
+        |               sum(n_tokens) OVER (ORDER BY doc_id) AS gcum FROM toks)
+        |SELECT doc_id, n_tokens,
+        |       CAST(gcum - n_tokens AS BIGINT) AS token_offset,
+        |       CAST(floor((gcum - n_tokens) / 2048) AS BIGINT) AS first_chunk,
+        |       CAST(greatest(floor((gcum - n_tokens) / 2048), floor((gcum - 1) / 2048)) AS BIGINT) AS last_chunk
+        |FROM cum""".stripMargin)),
+
     // benchmark contamination: corpus docs sharing >= 5 trigram shingles
     // with an eval-set doc (broadcast bench side, shingle equi-join); the
     // benchmark here is a verbatim subset, so self-hits are guaranteed

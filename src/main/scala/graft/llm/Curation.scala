@@ -52,6 +52,59 @@ object Curation {
   }
 
   /**
+   * GPT-style sequence packing (concat-and-chunk): documents are laid out
+   * in `idCol` order into a continuous token stream cut into fixed
+   * `budget`-token training chunks; returns each document's global token
+   * offset and the first/last chunk it lands in (documents may straddle a
+   * boundary — the standard pretraining packing).
+   *
+   * Scale shape: a naive global window (`Window.orderBy`) collapses to ONE
+   * partition. Instead: range-repartition on the id (a distributed sort),
+   * cumulative-sum WITHIN each partition, then one tiny aggregation (one
+   * row per partition) whose running totals broadcast back as per-partition
+   * offsets — the classic two-phase scan. Only P partial sums cross the
+   * driver.
+   */
+  def packChunks(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Long,
+      nParts: Int = 32): DataFrame = {
+    require(budget > 0, "packChunks: budget must be positive")
+    val parts = df.select(col(idCol), col(tokensCol))
+      .repartitionByRange(nParts, col(idCol))
+      .withColumn("__p", spark_partition_id())
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__p")).orderBy(col(idCol))
+    // repartitionByRange picks boundaries by SAMPLING — nondeterministic
+    // across jobs — so the per-partition cumsums MUST be computed once and
+    // reused by both the offsets pass and the result, or the offsets would
+    // describe a different partitioning than the rows they're joined to.
+    val cum = parts.withColumn("__cum", sum(col(tokensCol)).over(wp))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one row per partition; running offsets computed on the driver
+      val totals = cum.groupBy("__p").agg(max("__cum").as("__t"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
+        .init.map(_._2).zip(totals.map(_._1)).map { case (off, p) => (p, off) }.toMap
+      val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+        when(col("__p") === p, lit(off)).otherwise(acc)
+      }
+      val result = cum.withColumn("__gcum", col("__cum") + offCol)
+        .select(col(idCol), col(tokensCol),
+          (col("__gcum") - col(tokensCol)).as("token_offset"),
+          floor((col("__gcum") - col(tokensCol)) / budget).cast("long").as("first_chunk"),
+          // greatest(): a zero-token document never reports last < first
+          greatest(floor((col("__gcum") - col(tokensCol)) / budget),
+            floor((col("__gcum") - 1) / budget)).cast("long").as("last_chunk"))
+      // pin the result rows before dropping the cache the plan depends on
+      result.localCheckpoint()
+    } finally cum.unpersist()
+  }
+
+  /**
    * Benchmark contamination: corpus documents sharing at least `minShared`
    * distinct word n-gram shingles with a benchmark document — the standard
    * decontamination pass before training. Returns (idCol, bench_id, shared).

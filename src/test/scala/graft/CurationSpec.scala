@@ -52,6 +52,26 @@ class CurationSpec extends AnyFunSuite {
     assert(d > 100 && d < 300, s"default-fraction stratum kept $d of 1000")
   }
 
+  test("packChunks: distributed two-phase cumsum equals the global layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // irregular token counts; many partitions so the offset join matters
+    val df = (1 to 5000).map(i => (i.toLong, (i % 97 + 1).toLong)).toDF("id", "tok")
+    val out = graft.llm.Curation.packChunks(df, "id", "tok", budget = 1000, nParts = 16)
+      .orderBy("id").collect()
+    var cum = 0L
+    out.foreach { r =>
+      val (id, tok, off, first, last) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(off == cum, s"doc $id: offset $off != expected $cum")
+      assert(first == off / 1000)
+      assert(last == math.max(first, (off + tok - 1) / 1000), s"doc $id")
+      cum += tok
+    }
+    // straddlers exist (a 1000-budget with ~49-token docs crosses bounds)
+    assert(out.exists(r => r.getLong(3) != r.getLong(4)))
+  }
+
   test("contamination: exact shared-shingle threshold, no self-noise") {
     import spark.implicits._
     val base = "w1 w2 w3 w4 w5 w6 w7" // 5 trigram shingles

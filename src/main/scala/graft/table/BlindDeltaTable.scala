@@ -34,12 +34,23 @@ class BlindDeltaTable private (val spark: SparkSession, val tablePath: Path) {
     * (appId, appVersion) pair was already recorded (idempotent replay). */
   def append(df: DataFrame, appId: Option[String] = None,
              appVersion: Option[Long] = None): Option[Long] = {
+    // one-sided idempotency options would SILENTLY disable replay
+    // protection — a retried batch would append twice (delta-spark errors
+    // for a lone txnAppId/txnVersion the same way)
+    require(appId.isDefined == appVersion.isDefined,
+      "blind append: appId and appVersion must be set together (or neither)")
     refresh()
     (appId, appVersion) match {
       case (Some(a), Some(v)) if txnVersion(a).exists(_ >= v) => return None
       case _ =>
     }
     val m = meta.metadata
+    // same guard as WriteIntoDelta: a column absent from the table schema
+    // must fail, not silently vanish in normalize's projection
+    val extra = df.schema.fieldNames.toSet -- m.schema.fieldNames.toSet
+    require(extra.isEmpty,
+      s"Schema mismatch: columns $extra not in table schema (blind append " +
+        "does not evolve schemas; use DeltaTable.write with mergeSchema)")
     val normalized = Validation.prepareForWrite(spark,
       DeltaWriter.normalize(Generated.fill(df, m.schema), m.schema), m)
     val adds = DeltaWriter.writeFiles(spark, tablePath, normalized,

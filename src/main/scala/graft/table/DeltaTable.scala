@@ -201,8 +201,11 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
     * `DeltaTable.compact_logs`; `protocol/log_compaction.rs:92`). Replay
     * substitutes it for the individual commits it covers. */
   def compactLogs(startVersion: Long, endVersion: Long): Unit = {
-    require(endVersion <= version,
-      s"endVersion $endVersion beyond latest version $version")
+    // validate against the LOG, not this handle's possibly-stale cached
+    // snapshot — concurrent commits make higher versions perfectly valid
+    val latest = deltaLog.latestVersion()
+    require(endVersion <= latest,
+      s"endVersion $endVersion beyond latest version $latest")
     LogCompaction.write(deltaLog, startVersion, endVersion)
   }
 
@@ -274,7 +277,11 @@ object DeltaTable {
     txn.commit(Seq(protocol, metadata),
       Operation("CREATE TABLE", Map(
         "mode" -> "ErrorIfExists",
-        "partitionBy" -> partitionColumns.mkString("[\"", "\",\"", "\"]"))))
+        // proper JSON: [] for unpartitioned (mkString would yield [""]),
+        // names escaped
+        "partitionBy" -> partitionColumns
+          .map(c => "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+          .mkString("[", ",", "]"))))
     new DeltaTable(spark, tablePath)
   }
 

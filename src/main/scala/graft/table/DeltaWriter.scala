@@ -21,24 +21,13 @@ import graft.kernel.{AddFile, ParquetStats, PartitionCodec}
  */
 object DeltaWriter {
 
-  /** Hive path-name escaping (inverse of what Spark's FileFormatWriter does). */
-  def unescapePathName(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 <= s.length - 1) {
-        val hex = s.substring(i + 1, i + 3)
-        try {
-          sb.append(Integer.parseInt(hex, 16).toChar)
-          i += 3
-        } catch {
-          case _: NumberFormatException => sb.append(c); i += 1
-        }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  /** Hive path-name escaping — delegated to Spark's own implementation so
+    * the unescape is the EXACT inverse of what FileFormatWriter wrote into
+    * the staging dirs (a hand-maintained copy could silently diverge on an
+    * edge character; partition VALUES always come from the log on read, so
+    * only staged-dir parsing and dest-dir naming flow through here). */
+  def unescapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 
   /** Write `df` as parquet data files of the table; returns Add actions with
     * relative paths, partition values, and footer-derived stats. Does NOT
@@ -84,13 +73,16 @@ object DeltaWriter {
         .parquet(staging.toString)
     } catch {
       case e: Throwable =>
-        // surface inline-validation failures (Validation.MARKER raise_error
-        // guards evaluated during this write) with the library's exception
+        // ANY write failure must reclaim the staging dir (a partial staged
+        // copy of the data would otherwise accumulate inside the table path
+        // — VACUUM skips hidden dirs). Constraint-marker failures
+        // (Validation.MARKER raise_error guards evaluated during this
+        // write) additionally surface as the library's exception.
+        fs.delete(staging, true)
         var t: Throwable = e
         while (t != null) {
           val m = t.getMessage
           if (m != null && m.contains(graft.ops.Validation.MARKER)) {
-            fs.delete(staging, true)
             throw new graft.ops.ConstraintViolationException(
               m.substring(m.indexOf(graft.ops.Validation.MARKER)))
           }
@@ -103,8 +95,10 @@ object DeltaWriter {
     // dir on failure — a throw mid-walk/stats/resplit/move would otherwise
     // leak a full staged copy of the data inside the table path
     try {
-    // Collect written part-files (recursive; partition dirs in between)
-    val files = scala.collection.mutable.ArrayBuffer[(Path, Seq[(String, String)])]()
+    // Collect written part-files (recursive; partition dirs in between).
+    // The listing's FileStatus already carries each file's length — keep it
+    // so the targetFileSize split decision below costs zero extra HEADs.
+    val files = scala.collection.mutable.ArrayBuffer[(Path, Seq[(String, String)], Long)]()
     def walk(dir: Path, parts: Seq[(String, String)]): Unit = {
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
@@ -116,7 +110,7 @@ object DeltaWriter {
             walk(st.getPath, parts :+ (k -> v))
           } else walk(st.getPath, parts)
         } else if (name.startsWith("part-") && name.endsWith(".parquet")) {
-          files += ((st.getPath, parts))
+          files += ((st.getPath, parts, st.getLen))
         }
       }
     }
@@ -132,7 +126,12 @@ object DeltaWriter {
       m.configuration.get("delta.dataSkippingStatsColumns").map { s =>
         val logical = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val known = m.schema.fieldNames.toSet
-        val unknown = logical.filterNot(known.contains)
+        // the property allows dotted NESTED paths (delta-spark dialect);
+        // validate only the head segment so a table configured by another
+        // engine stays writable — we collect stats for top-level leaves
+        // only, so a nested name simply gets no stats (pruning fails open)
+        val unknown = logical.filterNot(c =>
+          known.contains(c) || known.contains(c.split('.').head))
         require(unknown.isEmpty,
           s"delta.dataSkippingStatsColumns names unknown column(s): " +
             s"${unknown.mkString(", ")} (schema: ${known.mkString(", ")})")
@@ -150,13 +149,9 @@ object DeltaWriter {
     val targetSize = meta.flatMap(_.configuration.get("delta.targetFileSize"))
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption).filter(_ > 0)
     val finalFiles: Seq[(Path, Seq[(String, String)])] = targetSize match {
-      case None => files.toSeq
+      case None => files.toSeq.map { case (p, parts, _) => (p, parts) }
       case Some(tgt) =>
-        // one getFileStatus per staged file (each is a billable HEAD on an
-        // object store); the length feeds both the split decision and sizing
-        val withLen = files.toSeq.map { case (p, parts) =>
-          (p, parts, fs.getFileStatus(p).getLen) }
-        val (overL, okL) = withLen.partition(_._3 > tgt * 3 / 2)
+        val (overL, okL) = files.toSeq.partition(_._3 > tgt * 3 / 2)
         val ok = okL.map { case (p, parts, _) => (p, parts) }
         val resplit = overL.zipWithIndex.flatMap { case ((p, parts, len), i) =>
           val (rows, _) = ParquetStats.collect(conf, p, dataSchema, 0)
@@ -264,15 +259,8 @@ object DeltaWriter {
 
   /** Hive-style escaping for partition path segments (ASCII control and
     * filesystem-special chars → %XX), matching Spark/Hive behavior. */
-  def escapePathName(s: String): String = {
-    def needsEscape(c: Char): Boolean =
-      c < ' ' || c == '\u007F' || "\"#%'*/:=?\\{[]^".indexOf(c.toInt) >= 0
-    val sb = new StringBuilder
-    s.foreach { c =>
-      if (needsEscape(c)) sb.append(f"%%${c.toInt}%02X") else sb.append(c)
-    }
-    sb.toString
-  }
+  def escapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
 
   /** Align `df` to the target schema: reorder columns, cast where needed.
     * Missing nullable columns are filled with nulls. */
@@ -329,16 +317,33 @@ object DeltaWriter {
     val merged = table.map { tf =>
       incoming.find(_.name.equalsIgnoreCase(tf.name)) match {
         case Some(inF) if tf.dataType != inF.dataType =>
-          if (safelyCastable(inF.dataType, tf.dataType)) tf
-          else if (safelyCastable(tf.dataType, inF.dataType))
-            tf.copy(dataType = inF.dataType)
-          else throw new IllegalArgumentException(
-            s"Cannot merge schemas: column ${tf.name} has incompatible types " +
-            s"${tf.dataType.simpleString} (table) vs ${inF.dataType.simpleString} (data)")
+          tf.copy(dataType = mergeTypes(tf.name, tf.dataType, inF.dataType))
         case _ => tf
       }
     } ++ incoming.filterNot(f => existing.contains(f.name.toLowerCase))
       .map(f => StructField(f.name, f.dataType, nullable = true, f.metadata))
     StructType(merged)
+  }
+
+  /** Field-level type merge: structs recurse (new NESTED fields evolve the
+    * schema just like top-level ones — merge_schema.rs merges structs
+    * field-wise); scalars follow the safe-cast lattice in both directions;
+    * anything else errors rather than silently truncating. */
+  private def mergeTypes(
+      path: String,
+      table: org.apache.spark.sql.types.DataType,
+      incoming: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    (table, incoming) match {
+      case (a, b) if a == b => a
+      case (a: StructType, b: StructType) => mergeSchemas(a, b)
+      case (ArrayType(ae, an), ArrayType(be, bn)) =>
+        ArrayType(mergeTypes(path + ".element", ae, be), an || bn)
+      case (a, b) if safelyCastable(b, a) => a
+      case (a, b) if safelyCastable(a, b) => b
+      case (a, b) => throw new IllegalArgumentException(
+        s"Cannot merge schemas: column $path has incompatible types " +
+        s"${a.simpleString} (table) vs ${b.simpleString} (data)")
+    }
   }
 }

@@ -177,6 +177,55 @@ class Round6Spec extends AnyFunSuite {
     System.err.println(f"[r6] 5M-Add load=$loadSec%.1fs prune=$pruneSec%.1fs")
   }
 
+  // --------------------------------------------- table-review regressions
+
+  test("mergeSchema evolves NESTED struct fields") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val v1 = Seq((1L, (10, "x"))).toDF("id", "s")
+    DeltaTable.write(spark, v1, dir)
+    // incoming widens the nested struct with a new field `b`
+    val v2b = Seq((2L, 20, "y", 7.5)).toDF("id", "a1", "a2", "b")
+      .selectExpr("id", "struct(a1 AS _1, a2 AS _2, b AS b) AS s")
+    DeltaTable.write(spark, v2b, dir, mode = "append", mergeSchema = true)
+    val t = DeltaTable.forPath(spark, dir)
+    val fields = t.schema("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(fields.fieldNames.toSeq == Seq("_1", "_2", "b"))
+    val rows = t.toDF.selectExpr("id", "s._1", "s.b").collect()
+      .map(r => (r.getLong(0), r.getInt(1), if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+      .toSet
+    // old rows read NULL for the new nested field
+    assert(rows == Set((1L, 10, -1.0), (2L, 20, 7.5)), s"got $rows")
+  }
+
+  test("blind append refuses extra columns and one-sided idempotency options") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val blind = graft.table.BlindDeltaTable.forPath(spark, dir)
+    val extra = intercept[IllegalArgumentException] {
+      blind.append(Seq((2L, "b", 9)).toDF("id", "v", "extra"))
+    }
+    assert(extra.getMessage.contains("extra"))
+    val oneSided = intercept[IllegalArgumentException] {
+      blind.append(Seq((2L, "b")).toDF("id", "v"), appId = Some("job"), appVersion = None)
+    }
+    assert(oneSided.getMessage.contains("together"))
+  }
+
+  test("failed staged write leaves no .tmp_write_ dir behind") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq(1L).toDF("n"), dir,
+      configuration = Map("delta.constraints.pos" -> "n > 0"))
+    intercept[graft.ops.ConstraintViolationException] {
+      DeltaTable.write(spark, Seq(-5L).toDF("n"), dir, mode = "append")
+    }
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith(".tmp_write_"))
+    assert(leftovers.isEmpty, s"staging leaked: ${leftovers.mkString(", ")}")
+  }
+
   // ------------------------------------------------ insert-only MERGE path
 
   test("insert-only MERGE rewrites nothing and copies no rows") {

@@ -235,12 +235,26 @@ object Checkpoints {
                   .otherwise(lit(""))))
               .otherwise(lit("")))
         }
+        // a big tail commit (OPTIMIZE/DELETE touching 100k+ files) makes a
+        // literal IN-list a 100k-child Catalyst expression — the overlay
+        // filter switches to a broadcast anti-join above a small threshold
+        // (the same key set LazyFileIndex broadcasts for its overlays)
+        val maxOverlayInList = 1000
+        lazy val overlayDf = {
+          import spark.implicits._
+          org.apache.spark.sql.functions.broadcast(
+            overlay.toDF("__overlay_key"))
+        }
         def leg(name: String, dt: StructType) = {
-          val src = spark.read.schema(StructType(Seq(StructField(name, dt))))
+          val base = spark.read.schema(StructType(Seq(StructField(name, dt))))
             .parquet(idx.checkpointParts.map(_.toString): _*)
             .filter(col(name).isNotNull)
-            .filter(if (overlay.isEmpty) lit(true)
-              else not(keyOf(col(name)).isin(overlay: _*)))
+          val src =
+            if (overlay.isEmpty) base
+            else if (overlay.size <= maxOverlayInList)
+              base.filter(not(keyOf(col(name)).isin(overlay: _*)))
+            else base.join(overlayDf,
+              keyOf(col(name)) === col("__overlay_key"), "left_anti")
           src.select(checkpointSchema.fields.map { f =>
             if (f.name == name) col(name).as(f.name)
             else lit(null).cast(f.dataType).as(f.name)
@@ -298,13 +312,15 @@ object Checkpoints {
 
     val fs = logPath.getFileSystem(store.conf)
     val tmp = new Path(logPath, s".checkpoint_tmp_${snapshot.version}")
-    val written =
-      if (nParts <= 1) df.coalesce(1) else df.repartition(nParts)
-    written.write.mode("overwrite").parquet(tmp.toString)
-    val partFiles = fs.listStatus(tmp).map(_.getPath)
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    require(partFiles.nonEmpty, s"no part file in $tmp")
-    val destFiles: Seq[Path] =
+    // the finally reclaims the staging dir on ANY failure (a rename require,
+    // a write error) — debris in _delta_log inflates every listing forever
+    val destFiles: Seq[Path] = try {
+      val written =
+        if (nParts <= 1) df.coalesce(1) else df.repartition(nParts)
+      written.write.mode("overwrite").parquet(tmp.toString)
+      val partFiles = fs.listStatus(tmp).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      require(partFiles.nonEmpty, s"no part file in $tmp")
       if (partFiles.length == 1) {
         val dest = new Path(logPath, LogStore.checkpointFileName(snapshot.version))
         if (fs.exists(dest)) fs.delete(dest, false)
@@ -321,13 +337,13 @@ object Checkpoints {
           dest
         }.toSeq
       }
-    fs.delete(tmp, true)
+    } finally fs.delete(tmp, true)
 
     // exact row count for the hint: footer metadata of the written parts
     // (parts include the control rows, so no adjustment needed on that leg)
     val size = knownFileRows.map(_ + controlRows.size).getOrElse(
       destFiles.map(p => ParquetStats.collect(store.conf, p, StructType(Nil), 0)._1).sum)
-    val partsField = if (partFiles.length > 1) s""","parts":${partFiles.length}""" else ""
+    val partsField = if (destFiles.length > 1) s""","parts":${destFiles.length}""" else ""
     writeHint(fs, logPath,
       s"""{"version":${snapshot.version},"size":$size$partsField}""")
   }
@@ -335,9 +351,19 @@ object Checkpoints {
   private def writeHint(fs: org.apache.hadoop.fs.FileSystem, logPath: Path,
                         hint: String): Unit = {
     val hintPath = new Path(logPath, LogStore.LAST_CHECKPOINT)
-    // hint is advisory; plain overwrite is fine
-    val out = fs.create(hintPath, true)
+    // the hint is advisory, but a truncating in-place overwrite exposes
+    // torn reads to concurrent loaders — write a temp and rename over
+    // (atomic replace on local/HDFS; readers also tolerate a corrupt hint)
+    val tmp = new Path(logPath,
+      s".${LogStore.LAST_CHECKPOINT}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(hint.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, hintPath)) {
+      // rename-over-existing refused (posix-strict stores): fall back to
+      // delete + rename; a racing reader sees a missing (not torn) hint
+      fs.delete(hintPath, false)
+      if (!fs.rename(tmp, hintPath)) fs.delete(tmp, false)
+    }
   }
 
   /** V2 checkpoint: add/remove state goes to uuid-named parquet sidecars
@@ -353,21 +379,22 @@ object Checkpoints {
     val fs = logPath.getFileSystem(store.conf)
     val nParts = math.min(((nActions + partSize - 1) / partSize).toInt, 9999)
     val tmp = new Path(logPath, s".checkpoint_tmp_${snapshot.version}")
-    val written =
-      if (nParts <= 1) fileDf.coalesce(1) else fileDf.repartition(nParts)
-    written.write.mode("overwrite").parquet(tmp.toString)
-    val partFiles = fs.listStatus(tmp).map(_.getPath)
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val sidecarDir = new Path(logPath, "_sidecars")
-    fs.mkdirs(sidecarDir)
-    val sidecars: Seq[Sidecar] = partFiles.toSeq.map { p =>
-      val name = s"${java.util.UUID.randomUUID}.parquet"
-      val dest = new Path(sidecarDir, name)
-      fs.rename(p, dest)
-      val st = fs.getFileStatus(dest)
-      Sidecar(name, Some(st.getLen), Some(st.getModificationTime))
-    }
-    fs.delete(tmp, true)
+    val sidecars: Seq[Sidecar] = try {
+      val written =
+        if (nParts <= 1) fileDf.coalesce(1) else fileDf.repartition(nParts)
+      written.write.mode("overwrite").parquet(tmp.toString)
+      val partFiles = fs.listStatus(tmp).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val sidecarDir = new Path(logPath, "_sidecars")
+      fs.mkdirs(sidecarDir)
+      partFiles.toSeq.map { p =>
+        val name = s"${java.util.UUID.randomUUID}.parquet"
+        val dest = new Path(sidecarDir, name)
+        fs.rename(p, dest)
+        val st = fs.getFileStatus(dest)
+        Sidecar(name, Some(st.getLen), Some(st.getModificationTime))
+      }
+    } finally fs.delete(tmp, true)
 
     val m = snapshot.metadata
     val manifestActions: Seq[Action] =
@@ -381,7 +408,7 @@ object Checkpoints {
 
     val size = knownFileRows.getOrElse(
       sidecars.map(s => ParquetStats.collect(store.conf,
-        new Path(sidecarDir, s.path), StructType(Nil), 0)._1).sum) +
+        new Path(new Path(logPath, "_sidecars"), s.path), StructType(Nil), 0)._1).sum) +
       (manifestActions.size - sidecars.size)
     writeHint(fs, logPath, s"""{"version":${snapshot.version},"size":$size}""")
   }

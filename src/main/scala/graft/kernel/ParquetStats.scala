@@ -30,18 +30,42 @@ object ParquetStats {
 
   val STRING_PREFIX_LEN = 32
 
-  def truncateMin(s: String): String =
-    if (s.length <= STRING_PREFIX_LEN) s else s.take(STRING_PREFIX_LEN)
+  /** Prefix length that never splits a surrogate pair (a lone high
+    * surrogate is invalid UTF-16 — it corrupts the stats JSON and compares
+    * unpredictably). */
+  private def safePrefixLen(s: String): Int =
+    if (s.length <= STRING_PREFIX_LEN) s.length
+    else if (Character.isHighSurrogate(s.charAt(STRING_PREFIX_LEN - 1)) &&
+      Character.isLowSurrogate(s.charAt(STRING_PREFIX_LEN))) STRING_PREFIX_LEN - 1
+    else STRING_PREFIX_LEN
 
-  /** Truncate a max bound upward: take prefix and bump the last char. */
+  def truncateMin(s: String): String =
+    if (s.length <= STRING_PREFIX_LEN) s else s.take(safePrefixLen(s))
+
+  /** Truncate a max bound upward: take prefix and bump the last char.
+    * A bump landing in the surrogate range jumps to U+E000 (still strictly
+    * greater in code-point order, and valid UTF-16). */
   def truncateMax(s: String): Option[String] = {
     if (s.length <= STRING_PREFIX_LEN) return Some(s)
-    val p = s.take(STRING_PREFIX_LEN).toCharArray
+    val p = s.take(safePrefixLen(s)).toCharArray
     var i = p.length - 1
     while (i >= 0) {
       if (p(i) < Char.MaxValue) {
-        p(i) = (p(i) + 1).toChar
-        return Some(new String(p, 0, i + 1))
+        val orig = p(i)
+        val bumped = (orig + 1).toChar
+        if (!Character.isSurrogate(bumped)) {
+          p(i) = bumped
+          return Some(new String(p, 0, i + 1))
+        } else if (Character.isLowSurrogate(orig) && Character.isLowSurrogate(bumped)) {
+          // still the low half of a valid pair — a strictly larger codepoint
+          p(i) = bumped
+          return Some(new String(p, 0, i + 1))
+        } else if (!Character.isSurrogate(orig)) {
+          // bumped from BMP into the surrogate block: skip past it
+          p(i) = '\uE000'
+          return Some(new String(p, 0, i + 1))
+        }
+        // else: bumping would orphan a surrogate — carry to the previous char
       }
       i -= 1
     }
@@ -97,8 +121,8 @@ object ParquetStats {
               else nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
               if (st.hasNonNullValue) {
                 val prim = cc.getPrimitiveType
-                (decode(st.genericGetMin, prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation),
-                 decode(st.genericGetMax, prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation)) match {
+                (decode(st.genericGetMin, prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation, roundUp = false),
+                 decode(st.genericGetMax, prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation, roundUp = true)) match {
                   case (Some(mn), Some(mx)) =>
                     mins(name) = mins.get(name).map(combine(_, mn, keepMin = true)).getOrElse(mn)
                     maxs(name) = maxs.get(name).map(combine(_, mx, keepMin = false)).getOrElse(mx)
@@ -142,7 +166,7 @@ object ParquetStats {
   private case class TsVal(micros: Long)
 
   private def decode(v: Any, prim: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
-                     logical: LogicalTypeAnnotation): Option[Any] = {
+                     logical: LogicalTypeAnnotation, roundUp: Boolean): Option[Any] = {
     prim match {
       case INT32 => logical match {
         case _: DateLogicalTypeAnnotation => Some(DateVal(v.asInstanceOf[Number].intValue()))
@@ -156,7 +180,12 @@ object ParquetStats {
           val micros = t.getUnit match {
             case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
             case LogicalTypeAnnotation.TimeUnit.MICROS => raw
-            case LogicalTypeAnnotation.TimeUnit.NANOS => raw / 1000L
+            case LogicalTypeAnnotation.TimeUnit.NANOS =>
+              // floor for mins, ceil for maxes — truncation toward zero
+              // would EXCLUDE real pre-epoch values from the bound range
+              // (raw/1000 of -1500ns is -1µs, above the true -2µs floor)
+              val q = Math.floorDiv(raw, 1000L)
+              if (roundUp && Math.floorMod(raw, 1000L) != 0) q + 1 else q
           }
           Some(TsVal(micros))
         case d: DecimalLogicalTypeAnnotation =>
@@ -190,7 +219,10 @@ object ParquetStats {
     case (x: Long, y: Long) => if ((x < y) == keepMin) x else y
     case (x: Double, y: Double) => if ((x < y) == keepMin) x else y
     case (x: BigDecimal, y: BigDecimal) => if ((x < y) == keepMin) x else y
-    case (x: String, y: String) => if ((x < y) == keepMin) x else y
+    // code-point order, matching parquet's UTF-8-byte row-group bounds and
+    // the pruner's comparison (UTF-16 order misranks supplementary chars)
+    case (x: String, y: String) =>
+      if ((StatsPruning.codePointCompare(x, y) < 0) == keepMin) x else y
     case (x: Boolean, y: Boolean) => if ((!x) == keepMin) x else y // false < true
     case (DateVal(x), DateVal(y)) => if ((x < y) == keepMin) DateVal(x) else DateVal(y)
     case (TsVal(x), TsVal(y)) => if ((x < y) == keepMin) TsVal(x) else TsVal(y)

@@ -198,13 +198,18 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
   def lastCheckpointSize(): Option[Long] = lastCheckpointField("size")
 
   private def lastCheckpointField(field: String): Option[Long] = {
-    val p = new Path(logPath, LogStore.LAST_CHECKPOINT)
-    if (!store.exists(p)) None
-    else store.read(p).headOption.flatMap { line =>
-      JsonMethods.parse(line) \ field match {
-        case JInt(n) => Some(n.toLong); case JLong(n) => Some(n); case _ => None
+    // the hint is ADVISORY (delta-spark semantics): a torn/corrupt read —
+    // e.g. racing the non-atomic overwrite another engine performs — must
+    // degrade to "no hint", never fail the snapshot load
+    scala.util.Try {
+      val p = new Path(logPath, LogStore.LAST_CHECKPOINT)
+      if (!store.exists(p)) None
+      else store.read(p).headOption.flatMap { line =>
+        JsonMethods.parse(line) \ field match {
+          case JInt(n) => Some(n.toLong); case JLong(n) => Some(n); case _ => None
+        }
       }
-    }
+    }.toOption.flatten
   }
 
 
@@ -244,55 +249,56 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     val v = target.getOrElse(maxV)
     require(v <= maxV, s"Version $v does not exist yet (latest: $maxV)")
 
-    val cpVersion = checkpointVersions.filter(_ <= v).maxOption
     // above this many checkpoint actions the Add index stays a distributed
     // parquet-backed view (LazyFileIndex) instead of a driver Vector
     val lazyThreshold = scala.util.Try(
       spark.conf.get("spark.graft.lazySnapshotThreshold").toLong).getOrElse(500000L)
     var lazyParts: Option[Seq[Path]] = None
-    val base: Seq[Action] = cpVersion match {
-      case Some(cv) =>
-        // all parts of that version: single-file classic, multi-part
-        // (%020d.checkpoint.%010d.%010d.parquet), or a V2 uuid manifest
-        // whose add/remove state lives in _sidecars/ parquets
-        val allAtV = listing.map(_.getPath).filter { p =>
-          LogStore.isCheckpointFile(p.getName) && LogStore.fileVersion(p.getName) == cv
-        }
-        // the spec allows MULTIPLE coexisting checkpoints at one version
-        // (single-file + multi-part, several V2 uuid manifests). Reading
-        // them all would replay every Add N times (duplicate rows) — pick
-        // exactly ONE instance deterministically: single classic file if
-        // present, else one complete multi-part set (largest part count),
-        // else one V2 manifest (lexicographically last uuid)
-        val singleClassic = allAtV.filter(_.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
-        val byParts = allAtV.flatMap(p =>
-          LogStore.multiPartInfo(p.getName).map { case (i, n) => (n, i, p) })
-          .groupBy(_._1)
-        val completeMulti = byParts.toSeq.sortBy(-_._1).collectFirst {
-          case (n, ps) if ps.map(_._2).toSet == (1 to n).toSet => ps.map(_._3)
-        }
-        // V2 uuid manifests are json lines OR parquet (PROTOCOL.md): any
-        // checkpoint file here that is neither the single-classic name nor
-        // a multi-part member is a manifest
-        val manifests = allAtV.filter { p =>
-          !p.getName.matches("\\d{20}\\.checkpoint\\.parquet") &&
-            LogStore.multiPartInfo(p.getName).isEmpty
-        }.sortBy(_.getName)
-        val parts: Seq[Path] =
-          if (singleClassic.nonEmpty) Seq(singleClassic.head)
-          else completeMulti.getOrElse {
-            if (manifests.nonEmpty) Seq(manifests.last)
-            else {
-              // only incomplete multi-part sets: an eventually-consistent
-              // listing that misses a part would silently drop AddFiles —
-              // fail loudly instead
-              val multi = allAtV.flatMap(p => LogStore.multiPartInfo(p.getName))
-              val declared = multi.map(_._2).distinct
-              throw new IllegalArgumentException(
-                s"Incomplete multi-part checkpoint at version $cv: " +
-                  s"found parts ${multi.map(_._1).sorted}, declared counts $declared")
-            }
-          }
+
+    /** One USABLE checkpoint instance at `cv`, or None when only an
+      * incomplete multi-part set is visible (a racing publication or an
+      * eventually-consistent listing). The spec allows MULTIPLE coexisting
+      * checkpoints at one version (single-file + multi-part, several V2
+      * uuid manifests); reading them all would replay every Add N times —
+      * pick exactly ONE deterministically: single classic file if present,
+      * else one complete multi-part set (largest part count), else one V2
+      * manifest (lexicographically last uuid). */
+    def usableCheckpoint(cv: Long): Option[Seq[Path]] = {
+      val allAtV = listing.map(_.getPath).filter { p =>
+        LogStore.isCheckpointFile(p.getName) && LogStore.fileVersion(p.getName) == cv
+      }
+      val singleClassic = allAtV.filter(_.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
+      val byParts = allAtV.flatMap(p =>
+        LogStore.multiPartInfo(p.getName).map { case (i, n) => (n, i, p) })
+        .groupBy(_._1)
+      val completeMulti = byParts.toSeq.sortBy(-_._1).collectFirst {
+        case (n, ps) if ps.map(_._2).toSet == (1 to n).toSet => ps.map(_._3)
+      }
+      // V2 uuid manifests are json lines OR parquet (PROTOCOL.md): any
+      // checkpoint file here that is neither the single-classic name nor
+      // a multi-part member is a manifest
+      val manifests = allAtV.filter { p =>
+        !p.getName.matches("\\d{20}\\.checkpoint\\.parquet") &&
+          LogStore.multiPartInfo(p.getName).isEmpty
+      }.sortBy(_.getName)
+      if (singleClassic.nonEmpty) Some(Seq(singleClassic.head))
+      else completeMulti.orElse(manifests.lastOption.map(Seq(_)))
+    }
+
+    // newest usable checkpoint ≤ v; a version with ONLY an incomplete
+    // multi-part set (mid-publication) falls back to the next older
+    // checkpoint — replaying the longer commit tail from there reaches the
+    // identical state, whereas failing would break every reader racing a
+    // large checkpoint publication. (If cleanup already removed the older
+    // tail commits, the replay below fails loudly on the missing commit —
+    // never silently short.)
+    val cpCandidates = checkpointVersions.filter(_ <= v).distinct.sorted.reverse
+    val resolved: Option[(Long, Seq[Path])] =
+      cpCandidates.iterator.map(cv => cv -> usableCheckpoint(cv))
+        .collectFirst { case (cv, Some(ps)) => (cv, ps) }
+    val cpVersion = resolved.map(_._1)
+    val base: Seq[Action] = resolved match {
+      case Some((cv, parts)) =>
         // lazy mode backing parts: classic checkpoint parquets directly, or
         // a V2 manifest's sidecar parquets (same add/remove column layout,
         // so LazyFileIndex's column-pruned legs read either)

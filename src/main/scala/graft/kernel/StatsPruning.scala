@@ -143,9 +143,27 @@ object StatsPruning {
     }
   }
 
+  /** Code-POINT string comparison — matches Spark's UTF8String binary
+    * ordering (UTF-8 byte order == code-point order). Java's compareTo is
+    * UTF-16 code-UNIT order, which ranks U+E000..U+FFFF ABOVE supplementary
+    * characters; pruning with it against byte-ordered parquet bounds can
+    * skip files whose rows the query's own filter would match. */
+  def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   def compare(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) => Some(codePointCompare(x, y))
     case (x: Int, y: Int) => Some(x.compareTo(y))
     case (x: Long, y: Long) => Some(x.compareTo(y))
     case (x: Int, y: Long) => Some(x.toLong.compareTo(y))

@@ -96,8 +96,29 @@ class OptimisticTransaction(
             // commit that is OURS. Detect via the commit's txnId and treat as
             // success — re-committing at the next version would duplicate the
             // transaction (the reference repairs the same ambiguity in its
-            // S3+DynamoDB path, crates/aws/src/logstore/*).
-            val winnerAtAttempt = scala.util.Try(log.readCommit(attempt)).toOption
+            // S3+DynamoDB path, crates/aws/src/logstore/*). The read MUST
+            // succeed: swallowing a transient failure here would classify
+            // our own ghost as "someone else's commit" and re-commit the
+            // same files at the next version — silent duplicate data. Retry
+            // the read a few times, then fail the commit loudly as
+            // ambiguous rather than guess.
+            val winnerAtAttempt: Option[Seq[Action]] = {
+              var result: Option[Seq[Action]] = None
+              var readTries = 0
+              while (result.isEmpty) {
+                try result = Some(log.readCommit(attempt))
+                catch {
+                  case scala.util.control.NonFatal(e) =>
+                    readTries += 1
+                    if (readTries >= 3)
+                      throw new CommitConflictException("CommitAmbiguous",
+                        s"version $attempt exists but could not be read to " +
+                          s"disambiguate a possible ghost commit: $e")
+                    Thread.sleep(50L * readTries)
+                }
+              }
+              result
+            }
             val winnerIsUs = winnerAtAttempt
               .flatMap(_.collectFirst { case ci: CommitInfo => ci })
               .exists(_.txnId == commitInfo.txnId)
@@ -252,44 +273,78 @@ class OptimisticTransaction(
     // V2 manifests reference _sidecars/*.parquet payloads: deleting the
     // manifest alone leaks its sidecars forever. Sidecars may be SHARED
     // across checkpoints (the spec allows reuse), so delete only those
-    // referenced by no surviving manifest. Read BEFORE deleting.
-    def isV2Manifest(n: String) = LogStore.isCheckpointFile(n) && n.endsWith(".json")
-    def sidecarsOf(p: org.apache.hadoop.fs.Path): Seq[String] =
-      scala.util.Try(log.store.read(p).flatMap(ActionCodec.fromJson).collect {
-        case s: Sidecar => s.path
-      }).getOrElse(Nil)
+    // referenced by no surviving manifest — and manifests come in BOTH
+    // json-lines and parquet forms (PROTOCOL.md; another engine may have
+    // written either). Read BEFORE deleting.
+    def isV2Manifest(n: String) =
+      n.matches("\\d{20}\\.checkpoint\\.[0-9a-fA-F-]{32,36}\\.(json|parquet)")
+    def sidecarsOf(p: org.apache.hadoop.fs.Path): scala.util.Try[Seq[String]] =
+      scala.util.Try {
+        val actions: Seq[Action] =
+          if (p.getName.endsWith(".json"))
+            log.store.read(p).flatMap(ActionCodec.fromJson)
+          else Checkpoints.read(log.spark, Seq(p), withFiles = false)
+        actions.collect { case s: Sidecar => s.path }
+      }
     val expiredPaths = expired.map(_.getPath).toSet
+    // an unreadable EXPIRED manifest: skip its sidecars (leak beats corrupt)
     val expiredSidecars = expired.collect {
-      case f if isV2Manifest(f.getPath.getName) => sidecarsOf(f.getPath)
+      case f if isV2Manifest(f.getPath.getName) =>
+        sidecarsOf(f.getPath).getOrElse(Nil)
     }.flatten.toSet
+    // an unreadable LIVE manifest: we cannot prove any sidecar unreferenced
+    // — abort sidecar deletion entirely for this cycle
+    var liveUnknown = false
     val liveSidecars =
       if (expiredSidecars.isEmpty) Set.empty[String]
       else listing.collect {
         case f if isV2Manifest(f.getPath.getName) && !expiredPaths.contains(f.getPath) =>
-          sidecarsOf(f.getPath)
+          sidecarsOf(f.getPath) match {
+            case scala.util.Success(s) => s
+            case scala.util.Failure(_) => liveUnknown = true; Nil
+          }
       }.flatten.toSet
     expired.foreach(f => log.store.delete(f.getPath))
-    val sidecarDir = new org.apache.hadoop.fs.Path(log.logPath, "_sidecars")
-    (expiredSidecars -- liveSidecars).foreach(p =>
-      log.store.delete(new org.apache.hadoop.fs.Path(sidecarDir, p)))
+    if (!liveUnknown) {
+      val sidecarDir = new org.apache.hadoop.fs.Path(log.logPath, "_sidecars")
+      (expiredSidecars -- liveSidecars).foreach(p =>
+        log.store.delete(new org.apache.hadoop.fs.Path(sidecarDir, p)))
+    }
+    // reap aged write debris: crashed checkpoint stagings / commit temps
+    // (their writers are long gone once they're past the retention window);
+    // recursive delete via the fs — staging entries are directories
+    val debris = listing.filter { f =>
+      val n = f.getPath.getName
+      (n.startsWith(".checkpoint_tmp_") || n.startsWith(".tmp_commit_") ||
+        n.startsWith("." + LogStore.LAST_CHECKPOINT + ".")) &&
+        f.getModificationTime < cutoff
+    }
+    if (debris.nonEmpty) {
+      val fs = log.logPath.getFileSystem(log.store.conf)
+      debris.foreach(f => scala.util.Try(fs.delete(f.getPath, true)))
+    }
   }
 }
 
 object DeltaConfig {
-  /** Parse `interval N unit` / `N unit` duration strings (delta-style). */
+  /** Parse `interval N unit` / `N unit` duration strings (delta-style).
+    * An UNRECOGNIZED unit yields None (callers fall back to their safe
+    * default) — treating e.g. "interval 1 month" as 1 millisecond would
+    * silently collapse a retention window and let cleanup destroy time
+    * travel / VACUUM reap files still being read. */
   def parseDuration(s: String): Option[Long] = {
     val t = s.trim.toLowerCase.stripPrefix("interval").trim
     val parts = t.split("\\s+")
     if (parts.length != 2) return None
-    scala.util.Try(parts(0).toLong).toOption.map { n =>
+    scala.util.Try(parts(0).toLong).toOption.flatMap { n =>
       parts(1) match {
-        case u if u.startsWith("millisecond") => n
-        case u if u.startsWith("second") => n * 1000
-        case u if u.startsWith("minute") => n * 60000
-        case u if u.startsWith("hour") => n * 3600000
-        case u if u.startsWith("day") => n * 86400000
-        case u if u.startsWith("week") => n * 7 * 86400000
-        case _ => n
+        case u if u.startsWith("millisecond") => Some(n)
+        case u if u.startsWith("second") => Some(n * 1000)
+        case u if u.startsWith("minute") => Some(n * 60000)
+        case u if u.startsWith("hour") => Some(n * 3600000)
+        case u if u.startsWith("day") => Some(n * 86400000)
+        case u if u.startsWith("week") => Some(n * 7 * 86400000)
+        case _ => None
       }
     }
   }

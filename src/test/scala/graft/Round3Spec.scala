@@ -109,15 +109,24 @@ class Round3Spec extends AnyFunSuite {
       val fresh = DeltaTable.forPath(spark, dir)
       assert(fresh.toDF.count() == 13)
       assert(fresh.toDF.select("id").as[Int].collect().toSet == (0 until 13).toSet)
-      // incomplete checkpoint (missing part) fails loudly, not silently
+      // incomplete checkpoint (missing part, e.g. racing a publication or
+      // an EC listing): falls back to replaying the commits — identical
+      // state, never a silent short read
       val victim = multiParts.head
       val backup = new java.io.File(victim.getPath + ".bak")
       assert(victim.renameTo(backup))
       try {
-        val e = intercept[IllegalArgumentException] {
-          DeltaTable.forPath(spark, dir).snapshot // snapshot build is lazy
-        }
-        assert(e.getMessage.contains("Incomplete multi-part checkpoint"))
+        val t2 = DeltaTable.forPath(spark, dir)
+        assert(t2.toDF.count() == 13,
+          "incomplete multi-part checkpoint must fall back to commit replay")
+        // but when the covering commits are ALSO gone (cleaned log), the
+        // gap must fail loudly — never a partial state
+        val commit0 = new java.io.File(logDir,
+          graft.kernel.LogStore.commitFileName(0))
+        val commit0bak = new java.io.File(commit0.getPath + ".bak")
+        assert(commit0.renameTo(commit0bak))
+        try intercept[Exception] { DeltaTable.forPath(spark, dir).snapshot }
+        finally { assert(commit0bak.renameTo(commit0)) }
       } finally backup.renameTo(victim)
     } finally spark.conf.unset("spark.graft.checkpoint.partSize")
   }

@@ -413,6 +413,24 @@ object Checkpoints {
     writeHint(fs, logPath, s"""{"version":${snapshot.version},"size":$size}""")
   }
 
+  /** Footer-only row count of one checkpoint part (KBs of IO). */
+  def partRowCount(store: LogStore, part: Path): Long =
+    ParquetStats.collect(store.conf, part, StructType(Nil), 0)._1
+
+  /** Sidecar parquet paths referenced by a V2 manifest — the ONE place that
+    * knows manifests come as json lines or parquet (PROTOCOL.md allows
+    * both); snapshot loading and log cleanup both resolve through here so
+    * they can never disagree about a manifest's references. */
+  def manifestSidecars(spark: SparkSession, store: LogStore, logPath: Path,
+      manifest: Path): Seq[Path] = {
+    val actions: Seq[Action] =
+      if (manifest.getName.endsWith(".json"))
+        store.read(manifest).flatMap(ActionCodec.fromJson)
+      else read(spark, Seq(manifest), withFiles = false)
+    val sidecarDir = new Path(logPath, "_sidecars")
+    actions.collect { case s: Sidecar => new Path(sidecarDir, s.path) }
+  }
+
   /** Read a checkpoint parquet back into actions. With `withFiles = false`
     * only the control-plane columns are scanned (columnar pruning makes this
     * near-free even on a huge checkpoint). */

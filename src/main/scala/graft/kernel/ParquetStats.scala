@@ -53,7 +53,7 @@ object ParquetStats {
       if (p(i) < Char.MaxValue) {
         val orig = p(i)
         val bumped = (orig + 1).toChar
-        if (!Character.isSurrogate(bumped)) {
+        if (!Character.isSurrogate(orig) && !Character.isSurrogate(bumped)) {
           p(i) = bumped
           return Some(new String(p, 0, i + 1))
         } else if (Character.isLowSurrogate(orig) && Character.isLowSurrogate(bumped)) {
@@ -65,7 +65,10 @@ object ParquetStats {
           p(i) = '\uE000'
           return Some(new String(p, 0, i + 1))
         }
-        // else: bumping would orphan a surrogate — carry to the previous char
+        // else: bumping would orphan half of a surrogate pair (a low
+        // surrogate \uDFFF bumping to \uE000 would strand its preceding
+        // high surrogate) — carry to the previous char; dropping the
+        // pair keeps the bound strictly greater
       }
       i -= 1
     }

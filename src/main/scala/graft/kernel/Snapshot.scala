@@ -306,16 +306,19 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
           LogStore.multiPartInfo(p.getName).isDefined ||
             p.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
         lazy val v2SidecarParts: Seq[Path] =
-          parts.flatMap { manifest =>
-            val actions: Seq[Action] =
-              if (manifest.getName.endsWith(".json"))
-                store.read(manifest).flatMap(ActionCodec.fromJson)
-              else Checkpoints.read(spark, Seq(manifest), withFiles = false)
-            actions.collect {
-              case s: Sidecar => new Path(new Path(logPath, "_sidecars"), s.path)
-            }
-          }
-        if (withFiles && lastCheckpointSize().exists(_ >= lazyThreshold) &&
+          parts.flatMap(Checkpoints.manifestSidecars(spark, store, logPath, _))
+        // eager-vs-lazy decides by the RESOLVED checkpoint's row count: the
+        // _last_checkpoint hint describes the NEWEST checkpoint, which may
+        // not be the one the incomplete-set fallback picked — sizing a 5M-row
+        // older checkpoint by a 40k-row hint would materialize it eagerly
+        // onto the driver. Off-hint sizes come from part footers (KBs of IO).
+        val cpRows: Option[Long] =
+          if (lastCheckpointHint().contains(cv)) lastCheckpointSize()
+          else scala.util.Try {
+            val ps = if (classic) parts else v2SidecarParts
+            ps.map(p => Checkpoints.partRowCount(store, p)).sum
+          }.toOption
+        if (withFiles && cpRows.exists(_ >= lazyThreshold) &&
             (classic || v2SidecarParts.nonEmpty)) {
           lazyParts = Some(if (classic) parts else v2SidecarParts)
           // control plane only — columnar pruning (or the tiny manifest)

@@ -279,13 +279,8 @@ class OptimisticTransaction(
     def isV2Manifest(n: String) =
       n.matches("\\d{20}\\.checkpoint\\.[0-9a-fA-F-]{32,36}\\.(json|parquet)")
     def sidecarsOf(p: org.apache.hadoop.fs.Path): scala.util.Try[Seq[String]] =
-      scala.util.Try {
-        val actions: Seq[Action] =
-          if (p.getName.endsWith(".json"))
-            log.store.read(p).flatMap(ActionCodec.fromJson)
-          else Checkpoints.read(log.spark, Seq(p), withFiles = false)
-        actions.collect { case s: Sidecar => s.path }
-      }
+      scala.util.Try(Checkpoints
+        .manifestSidecars(log.spark, log.store, log.logPath, p).map(_.getName))
     val expiredPaths = expired.map(_.getPath).toSet
     // an unreadable EXPIRED manifest: skip its sidecars (leak beats corrupt)
     val expiredSidecars = expired.collect {

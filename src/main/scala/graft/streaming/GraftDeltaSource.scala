@@ -436,8 +436,14 @@ class GraftDeltaSource(
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
+  // fresh-by-engine-contract: overwrite replaces a stale different-spec pin
+  // that the construction-time persist could not (e.g. its best-effort write
+  // failed) — persistStart(overwrite=false) would silently no-op on the
+  // existing file and leave the poisoned resolution in place
   override def initialOffset(): OffsetV2 =
-    readPersistedStart().getOrElse { val b = baseOffset; persistStart(b); b } // fresh by contract
+    readPersistedStart().getOrElse {
+      val b = baseOffset; persistStart(b, overwrite = true); b
+    }
 
   override def deserializeOffset(json: String): OffsetV2 = GraftSourceOffset.fromJson(json)
 

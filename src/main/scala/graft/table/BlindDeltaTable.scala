@@ -45,12 +45,14 @@ class BlindDeltaTable private (val spark: SparkSession, val tablePath: Path) {
       case _ =>
     }
     val m = meta.metadata
-    // same guard as WriteIntoDelta: a column absent from the table schema
-    // must fail, not silently vanish in normalize's projection
-    val extra = df.schema.fieldNames.toSet -- m.schema.fieldNames.toSet
+    // same guard as WriteIntoDelta (case-insensitive, like normalize's own
+    // matching): a column absent from the table schema must fail, not
+    // silently vanish in normalize's projection
+    val known = m.schema.fieldNames.map(_.toLowerCase).toSet
+    val extra = df.schema.fieldNames.filterNot(c => known.contains(c.toLowerCase))
     require(extra.isEmpty,
-      s"Schema mismatch: columns $extra not in table schema (blind append " +
-        "does not evolve schemas; use DeltaTable.write with mergeSchema)")
+      s"Schema mismatch: columns ${extra.toSet} not in table schema (blind " +
+        "append does not evolve schemas; use DeltaTable.write with mergeSchema)")
     val normalized = Validation.prepareForWrite(spark,
       DeltaWriter.normalize(Generated.fill(df, m.schema), m.schema), m)
     val adds = DeltaWriter.writeFiles(spark, tablePath, normalized,

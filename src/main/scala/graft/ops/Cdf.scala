@@ -42,7 +42,11 @@ object CdfRead {
     def enabledError = new IllegalStateException(
       "Change Data Feed is not enabled on this table for the requested " +
       "range (set delta.enableChangeDataFeed=true before the range start)")
-    if (!Dml.cdcEnabled(snapshot)) throw enabledError
+    // The gate tests enablement AT THE RANGE START (and the unit loop below
+    // tracks it through the range) — NOT the current snapshot: a historical
+    // range whose change data is fully recorded stays readable after CDC is
+    // later disabled (delta-spark semantics), and an out-of-range request
+    // (allowOutOfRange) yields the promised empty feed instead of throwing.
     if (end >= startingVersion && startingVersion >= 0 &&
         startingVersion <= log.latestVersion() &&
         !Dml.cdcEnabled(log.snapshotAt(startingVersion)))

@@ -177,7 +177,12 @@ object DeleteOp {
 
         val rewrittenFiles = if (masked) fullFiles else fullFiles ++ partialFiles
         val removes = rewrittenFiles.map(_.remove(now, dataChange = true))
-        val removedRows = rewrittenFiles.flatMap(_.numRecords).sum
+        // numRecords is the PHYSICAL parquet row count — rows already masked
+        // by a pre-existing DV were deleted by an earlier commit and must not
+        // be re-counted (the full-table path subtracts the same way via
+        // approxNumRecords)
+        val removedRows = rewrittenFiles.flatMap(_.numRecords).sum -
+          rewrittenFiles.flatMap(_.deletionVector).map(_.cardinality).sum
         val keptRows = rewriteAdds.flatMap(_.numRecords).sum
         val metrics = Map(
           "num_removed_files" -> removes.size.toString,

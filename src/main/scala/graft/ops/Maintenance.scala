@@ -448,21 +448,37 @@ object ConvertToDeltaOp {
     }
     walk(tablePath, Nil)
 
-    val conf = spark.sessionState.newHadoopConf()
-    val adds = files.toSeq.map { case (p, parts) =>
-      val (_, stats) = ParquetStats.collect(conf, p, dataSchema)
-      val rel = tablePath.toUri.relativize(p.toUri).getPath
-      val st = fs.getFileStatus(p)
-      AddFile(
-        path = PathCodec.encode(rel),
-        partitionValues = parts.map { case (k, v) =>
-          k -> (if (v == PartitionCodec.HIVE_DEFAULT) null else v)
-        }.toMap,
-        size = st.getLen,
-        modificationTime = st.getModificationTime,
-        dataChange = true,
-        stats = Some(stats))
-    }
+    // footer stats read DISTRIBUTED: one task per batch of files, only the
+    // small AddFile rows return to the driver — a 100k-file conversion is a
+    // single fan-out, not 100k sequential driver round-trips
+    val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val dataSchemaJson = dataSchema.json
+    val tableUri = tablePath.toUri
+    val fileList = files.toSeq.map { case (p, parts) => (p.toString, parts) }
+    val adds: Seq[AddFile] =
+      if (fileList.isEmpty) Nil
+      else spark.sparkContext
+        .parallelize(fileList, math.min(
+          math.max(1, fileList.size / 64), 256))
+        .mapPartitions { it =>
+          val conf = serConf.value
+          val ds = org.apache.spark.sql.types.DataType.fromJson(dataSchemaJson)
+            .asInstanceOf[StructType]
+          it.map { case (pStr, parts) =>
+            val p = new Path(pStr)
+            val (_, stats) = ParquetStats.collect(conf, p, ds)
+            val st = p.getFileSystem(conf).getFileStatus(p)
+            AddFile(
+              path = PathCodec.encode(tableUri.relativize(p.toUri).getPath),
+              partitionValues = parts.map { case (k, v) =>
+                k -> (if (v == PartitionCodec.HIVE_DEFAULT) null else v)
+              }.toMap,
+              size = st.getLen,
+              modificationTime = st.getModificationTime,
+              dataChange = true,
+              stats = Some(stats))
+          }
+        }.collect().toSeq
 
     val metadata = Metadata(
       schemaString = fullSchema.json,

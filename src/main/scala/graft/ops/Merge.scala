@@ -308,8 +308,10 @@ object MergeOp {
         case _ => false
       }
       val needDupCheck = validateDuplicates && matchedModifies
+      // changeOps.isEmpty implies !matchedModifies (every matched-modify
+      // clause is a changeOp), hence !needDupCheck — one condition suffices
       val perFile = phases("bookkeeping_pass")(
-        if (changeOps.isEmpty && !needDupCheck) Array.empty[org.apache.spark.sql.Row]
+        if (changeOps.isEmpty) Array.empty[org.apache.spark.sql.Row]
         else withOp.filter(col("__tgt").isNotNull)
           .select(col("target.__file").as("__f"), col("target.__pos").as("__p"),
             matchedC.as("__m"), changedCond.as("__c"))
@@ -499,7 +501,18 @@ object MergeOp {
         Some(("", a.nameParts.head))
       case _ => None
     }
-    cond.collect {
+    // ONLY top-level AND conjuncts may feed the early filter: an EqualTo
+    // harvested from inside an OR (or under a NOT) is not a necessary
+    // condition of the match, and applying it conjunctively would prune
+    // target files whose rows match via the other disjunct — their matches
+    // would then be re-INSERTED as duplicates (committed corruption).
+    // delta-rs's generalize_filter walks conjuncts the same way
+    // (merge/filter.rs).
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).flatMap {
       case EqualTo(l, r) =>
         (attr(l), attr(r)) match {
           case (Some(("target", t)), Some(("source", s))) => Some((t, s))
@@ -508,7 +521,8 @@ object MergeOp {
               if targetCols.contains(a) && sourceCols.contains(b) => Some((a, b))
           case _ => None
         }
-    }.flatten
+      case _ => None
+    }
   }
 
 }

@@ -226,6 +226,60 @@ class Round6Spec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"staging leaked: ${leftovers.mkString(", ")}")
   }
 
+  // ----------------------------------------------- ops-review regressions
+
+  test("MERGE with an OR condition must not early-prune either disjunct") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // k1-disjoint files: file A holds k1 1..100, file B holds k1 1000..1100
+    val target = (1 to 100).map(i => (i.toLong, (i + 5000).toLong, 0)) ++
+      (1000 to 1100).map(i => (i.toLong, (i + 9000).toLong, 0))
+    DeltaTable.write(spark, target.toDF("k1", "k2", "v")
+      .repartitionByRange(2, org.apache.spark.sql.functions.col("k1")), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    // source matches file B rows ONLY via the k2 disjunct; its k1 range
+    // (1..50) covers file A — conjunctive harvesting of both equalities
+    // would prune file B, skip its updates, and re-insert duplicates
+    val src = (1 to 50).map(i => (i.toLong, (i + 1040 + 9000).toLong, 7)).toDF("k1", "k2", "v")
+    val m = t.merge(src, "target.k1 = source.k1 OR target.k2 = source.k2")
+      .whenMatchedUpdate(Map("v" -> "source.v"))
+      .whenNotMatchedInsertAll()
+      .withoutDuplicateValidation() // k1 AND k2 disjuncts can double-match
+      .execute()
+    assert(t.toDF.count() == 201, "OR-matched rows must not be re-inserted")
+    assert(m("num_target_rows_updated").toLong >= 50,
+      s"disjunct matches were pruned away: $m")
+  }
+
+  test("CDF historical range stays readable after CDC is later disabled") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, (1 to 10).map(i => (i, i)).toDF("k", "v"), dir,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.delete(Some("k <= 3")) // v1: recorded change data
+    t.setProperties(Map("delta.enableChangeDataFeed" -> "false")) // v2: disable
+    // the range 0..1 is fully recorded — must load, not throw
+    val feed = t.loadCdf(0, Some(1))
+    assert(feed.filter("_change_type = 'delete'").count() == 3)
+  }
+
+  test("DELETE metrics do not recount rows a prior DV already deleted") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, (1 to 100).map(i => (i, i)).toDF("k", "v"), dir,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    val m1 = t.delete(Some("k <= 10")) // masks 10 rows via DV
+    assert(m1("num_deleted_rows") == "10", m1.toString)
+    // second DELETE removes every remaining live row (whole-file predicate
+    // falls into the full-file path); only 90 rows are still live
+    val m2 = t.delete(Some("k <= 100"))
+    assert(m2("num_deleted_rows") == "90",
+      s"physical-row metric recounted DV-masked rows: $m2")
+    assert(t.toDF.count() == 0)
+  }
+
   // ------------------------------------------------ insert-only MERGE path
 
   test("insert-only MERGE rewrites nothing and copies no rows") {

@@ -280,20 +280,53 @@ object Bench {
     bench("llm_ngram_jaccard")(
       Dedup.ngramJaccardNearDups(docs.select("doc_id", "text"), "doc_id", "text"))
 
+    // ---- output. The driver's bench record keeps only the LAST ~2000
+    // characters of the run's output, so the stdout contract is: ONE
+    // compact JSON line (headline medians/mins/plans/phase-medians/grid
+    // vector), printed as the very last thing after spark.stop() so no
+    // shutdown logging can push it out of the tail. The full detail
+    // (per-rep phase vectors, full reference-verbatim grid case names)
+    // goes to bench_detail.json in the cwd and to stderr.
+    // All numbers format under Locale.ROOT — f"" interpolators use the JVM
+    // default locale, which under e.g. de_DE would emit decimal COMMAS
+    // (invalid JSON).
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val shapes = planShapes
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-    val phasesJson = phaseRecords.map { case (q, m) =>
+    // headline: per-phase MEDIANS; detail file: full per-rep vectors
+    val phaseMedJson = phaseRecords.map { case (q, m) =>
       "\"" + q + "\":" + m.map { case (ph, vs) =>
-        "\"" + ph + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
+        "\"" + ph + "\":" + fmt(median(vs))
       }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
+    val phaseRepJson = phaseRecords.map { case (q, m) =>
+      "\"" + q + "\":" + m.map { case (ph, vs) =>
+        "\"" + ph + "\":[" + vs.map(fmt).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    // headline: seconds vector in MergeGrid.cases order + green count;
+    // detail file: the reference-verbatim case names
+    val gridSecs = "[" + mergeGrid.valuesIterator.map(t => fmt(t._1)).mkString(",") + "]"
+    val gridOk = mergeGrid.valuesIterator.count(_._2)
     val gridJson = mergeGrid.map { case (k, (sec, ok)) =>
-      "\"" + k + f"""\":{"sec":$sec%.3f,"ok":$ok}"""
+      "\"" + k + s"""\":{"sec":${fmt(sec)},"ok":$ok}"""
     }.mkString("{", ",", "}")
     val total = medians.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"plans":$shapes,"phases":$phasesJson,"merge_grid":$gridJson,"reps":$reps,"sf":"$sfDir"}""")
+    val headline =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"plans":$shapes,"phases":$phaseMedJson,"merge_grid_sec":$gridSecs,"merge_grid_ok":$gridOk,"reps":$reps,"sf":"$sfDir"}"""
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"plans":$shapes,"phases":$phaseRepJson,"merge_grid":$gridJson,"reps":$reps,"sf":"$sfDir"}"""
+    locally {
+      val w = new java.io.PrintWriter("bench_detail.json", "UTF-8")
+      try w.println(detail) finally w.close()
+    }
+    System.err.println(s"[bench-detail] $detail")
+    spark.sparkContext.setLogLevel("ERROR") // keep shutdown chatter off the tail
     spark.stop()
+    println(headline)
+    System.out.flush()
   }
 }

@@ -312,12 +312,18 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
         // not be the one the incomplete-set fallback picked — sizing a 5M-row
         // older checkpoint by a 40k-row hint would materialize it eagerly
         // onto the driver. Off-hint sizes come from part footers (KBs of IO).
+        // A transient footer-read failure must NOT fail open to the eager
+        // path (that would collect a possibly multi-million-row Add vector
+        // onto the driver): size-unknown ⇒ assume over-threshold. The lazy
+        // path is correct at any size; if lazy isn't available the eager
+        // read below surfaces the underlying IO error loudly.
         val cpRows: Option[Long] =
           if (lastCheckpointHint().contains(cv)) lastCheckpointSize()
           else scala.util.Try {
             val ps = if (classic) parts else v2SidecarParts
             ps.map(p => Checkpoints.partRowCount(store, p)).sum
-          }.toOption
+          }.recover { case scala.util.control.NonFatal(_) => Long.MaxValue }
+            .toOption
         if (withFiles && cpRows.exists(_ >= lazyThreshold) &&
             (classic || v2SidecarParts.nonEmpty)) {
           lazyParts = Some(if (classic) parts else v2SidecarParts)

@@ -114,7 +114,17 @@ class OptimisticTransaction(
                       throw new CommitConflictException("CommitAmbiguous",
                         s"version $attempt exists but could not be read to " +
                           s"disambiguate a possible ghost commit: $e")
-                    Thread.sleep(50L * readTries)
+                    try Thread.sleep(50L * readTries)
+                    catch {
+                      case _: InterruptedException =>
+                        // same contract as the IOException backoff below:
+                        // preserve the interrupt, surface a commit-domain
+                        // error instead of a raw InterruptedException
+                        Thread.currentThread().interrupt()
+                        throw new CommitConflictException("Interrupted",
+                          "interrupted while re-reading a possible ghost " +
+                            s"commit at version $attempt")
+                    }
                 }
               }
               result

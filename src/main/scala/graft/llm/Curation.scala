@@ -72,16 +72,26 @@ object Curation {
       budget: Long,
       nParts: Int = 32): DataFrame = {
     require(budget > 0, "packChunks: budget must be positive")
-    val parts = df.select(col(idCol), col(tokensCol))
+    // NULL token counts contribute 0 (sum() would skip them, and an
+    // all-NULL partition would return a NULL total → driver NPE)
+    val parts = df.select(col(idCol),
+        coalesce(col(tokensCol), lit(0L)).cast("long").as("__tok"))
       .repartitionByRange(nParts, col(idCol))
       .withColumn("__p", spark_partition_id())
+    // ROWS frame, not the default RANGE frame: RANGE gives every row tied
+    // on idCol the SAME cumulative sum → overlapping token_offsets. With
+    // ROWS each row gets its own running total; ties on idCol pack in an
+    // arbitrary but internally consistent order (the cumsum is persisted
+    // and reused below, so offsets and rows always agree).
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__p")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     // repartitionByRange picks boundaries by SAMPLING — nondeterministic
     // across jobs — so the per-partition cumsums MUST be computed once and
     // reused by both the offsets pass and the result, or the offsets would
     // describe a different partitioning than the rows they're joined to.
-    val cum = parts.withColumn("__cum", sum(col(tokensCol)).over(wp))
+    val cum = parts.withColumn("__cum", sum(col("__tok")).over(wp))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // one row per partition; running offsets computed on the driver
@@ -93,11 +103,11 @@ object Curation {
         when(col("__p") === p, lit(off)).otherwise(acc)
       }
       val result = cum.withColumn("__gcum", col("__cum") + offCol)
-        .select(col(idCol), col(tokensCol),
-          (col("__gcum") - col(tokensCol)).as("token_offset"),
-          floor((col("__gcum") - col(tokensCol)) / budget).cast("long").as("first_chunk"),
+        .select(col(idCol), col("__tok").as(tokensCol),
+          (col("__gcum") - col("__tok")).as("token_offset"),
+          floor((col("__gcum") - col("__tok")) / budget).cast("long").as("first_chunk"),
           // greatest(): a zero-token document never reports last < first
-          greatest(floor((col("__gcum") - col(tokensCol)) / budget),
+          greatest(floor((col("__gcum") - col("__tok")) / budget),
             floor((col("__gcum") - 1) / budget)).cast("long").as("last_chunk"))
       // pin the result rows before dropping the cache the plan depends on
       result.localCheckpoint()

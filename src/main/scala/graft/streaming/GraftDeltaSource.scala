@@ -169,24 +169,31 @@ class GraftDeltaSource(
         val in = fs.open(p)
         val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        val j = JsonMethods.parse(body)
-        (j \ "offset") match {
-          case org.json4s.JNothing =>
-            // legacy plain-offset form (no option recorded): trust it
-            Some(GraftSourceOffset.fromJson(body))
-          case off =>
-            val spec = (j \ "startingVersion") match {
-              case JString(s) => s
-              case _ => "none"
-            }
-            // a changed option invalidates the pin — resolution falls back
-            // to this instance (startBase) / pinned-end reconstruction
-            if (spec == startSpec)
-              Some(GraftSourceOffset.fromJson(JsonMethods.compact(off)))
-            else None
-        }
+        // a corrupt pin (torn write, pre-fix unescaped option value) must
+        // degrade to "no pin" — resolution falls back to this instance's
+        // base — rather than fail the query from initialOffset/getBatch
+        scala.util.Try(parsedStart(body)).toOption.flatten
       }
     }
+
+  private def parsedStart(body: String): Option[GraftSourceOffset] = {
+    val j = JsonMethods.parse(body)
+    (j \ "offset") match {
+      case org.json4s.JNothing =>
+        // legacy plain-offset form (no option recorded): trust it
+        Some(GraftSourceOffset.fromJson(body))
+      case off =>
+        val spec = (j \ "startingVersion") match {
+          case JString(s) => s
+          case _ => "none"
+        }
+        // a changed option invalidates the pin — resolution falls back
+        // to this instance (startBase) / pinned-end reconstruction
+        if (spec == startSpec)
+          Some(GraftSourceOffset.fromJson(JsonMethods.compact(off)))
+        else None
+    }
+  }
 
   private def persistStart(b: GraftSourceOffset, overwrite: Boolean = false): Unit =
     startFile.foreach { p =>
@@ -196,8 +203,13 @@ class GraftDeltaSource(
         val tmp = new Path(p.getParent,
           s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
         val out = fs.create(tmp, false)
+        // render via json4s so a quote/backslash in the user-supplied
+        // startingVersion option can't produce a corrupt pin file
+        val doc = org.json4s.JObject(
+          "offset" -> JsonMethods.parse(b.json),
+          "startingVersion" -> JString(startSpec))
         try out.write(
-          s"""{"offset":${b.json},"startingVersion":"$startSpec"}""".getBytes("UTF-8"))
+          JsonMethods.compact(JsonMethods.render(doc)).getBytes("UTF-8"))
         finally out.close()
         if (overwrite) fs.delete(p, false)
         // a lost rename race means a concurrent start already persisted the

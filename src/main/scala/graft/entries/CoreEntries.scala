@@ -889,7 +889,124 @@ object CoreEntries {
         |         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
         |                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS newsess
-        |  FROM events) g GROUP BY user_id""".stripMargin)))
+        |  FROM events) g GROUP BY user_id""".stripMargin)),
+
+    // full session assembly via the Sessionize operator (bounds + sizes,
+    // not just counts): one shuffle on user_id, the (user, session) rollup
+    // reuses the window's hash partitioning (prefix satisfies clustering)
+    Entry("events_session_bounds", (s, d) => {
+      eventsDeltaView(s, d)
+      graft.streaming.Sessionize.sessions(
+          s.table("events_delta"), "user_id", "ts", Seq("event_id"), gapMinutes = 30)
+        .select(col("user_id"), col("session_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+    }, Some(
+      """WITH g AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+        |         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+        |                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS newsess
+        |  FROM events),
+        |se AS (
+        |  SELECT user_id, t,
+        |         sum(newsess) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g)
+        |SELECT user_id, CAST(sess + 1 AS BIGINT) AS session_id,
+        |       min(t) AS session_start, max(t) AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM se GROUP BY user_id, sess""".stripMargin)),
+
+    // Structured Streaming watermark + event-time windowed aggregation over
+    // the graft-delta source (§2.10): append mode emits each hourly window
+    // exactly once when the watermark closes it; far-future sentinel commits
+    // advance the watermark past every real window, making the final memory
+    // sink equal the batch aggregation regardless of batch splits
+    Entry("streaming_windowed_agg", (s, d) => {
+      val dir = tempDir("stwin")
+      val ev = pq(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      DeltaTable.write(s, ev.repartition(4), dir)
+      val view = s"graft_win_stream_${System.nanoTime()}"
+      val q = s.readStream.format("graft-delta").load(dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(expr("CAST(round(value * 100) AS BIGINT)")).cast("double") / 100)
+            .as("total"))
+        .select(col("window.start").cast("timestamp_ntz").as("hr"),
+          col("event_type"), col("cnt"), col("total"))
+        .writeStream.format("memory").outputMode("append").queryName(view).start()
+      try {
+        q.processAllAvailable()
+        // two sentinel commits: the first carries the watermark forward, the
+        // second guarantees a subsequent batch runs WITH that watermark in
+        // effect (window eviction uses the previous batch's watermark)
+        Seq("2031-01-01 00:00:00", "2031-01-02 00:00:00").foreach { t =>
+          import s.implicits._
+          val sent = Seq((-1L, java.sql.Timestamp.valueOf(t), -1L,
+            "__sentinel", 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          DeltaTable.write(s, sent, dir, mode = "append")
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(view).filter(col("hr") < lit("2030-01-01"))
+    }, Some(
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Structured Streaming gap sessionization (§2.10 custom state):
+    // flatMapGroupsWithState + event-time timeout through the graft-delta
+    // source; sentinel commits advance the watermark so every real session
+    // closes via the timeout path — the streamed result then equals batch
+    // sessionization exactly
+    Entry("streaming_sessions", (s, d) => {
+      val dir = tempDir("stsess")
+      val ev = pq(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      DeltaTable.write(s, ev.repartition(4), dir)
+      val view = s"graft_sess_stream_${System.nanoTime()}"
+      val q = graft.streaming.Sessionize.sessionsStream(
+          s.readStream.format("graft-delta").load(dir),
+          "user_id", "ts", gapMinutes = 30)
+        .toDF()
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+        .writeStream.format("memory").outputMode("append").queryName(view).start()
+      try {
+        q.processAllAvailable()
+        Seq("2031-01-01 00:00:00", "2031-01-02 00:00:00").foreach { t =>
+          import s.implicits._
+          val sent = Seq((-1L, java.sql.Timestamp.valueOf(t), -1L,
+            "__sentinel", 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          DeltaTable.write(s, sent, dir, mode = "append")
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(view).filter("user_id >= 0")
+    }, Some(
+      """WITH g AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+        |         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+        |                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS newsess
+        |  FROM events),
+        |se AS (
+        |  SELECT user_id, t,
+        |         sum(newsess) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g)
+        |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM se GROUP BY user_id, sess""".stripMargin)))
 
   /** As-of join (an extension op the reference lacks, SURVEY §2.3): each
     * event matched to the latest order of its user at-or-before event time,

@@ -416,5 +416,46 @@ object LlmEntries {
         |),
         |bench AS (SELECT doc_id AS bench_id, s AS bs FROM sh WHERE doc_id % 37 = 0)
         |SELECT a.doc_id, b.bench_id, CAST(len(list_intersect(a.s, b.bs)) AS BIGINT) AS shared
-        |FROM sh a JOIN bench b ON len(list_intersect(a.s, b.bs)) >= 5""".stripMargin)))
+        |FROM sh a JOIN bench b ON len(list_intersect(a.s, b.bs)) >= 5""".stripMargin)),
+
+    // Gopher-style repetition signals: distinct-word ratio + top word /
+    // bigram / trigram mass fraction, all computed per-row (array_sort +
+    // aggregate lambda — no explode, no shuffle); the oracle recomputes the
+    // same multiplicities via unnest + two-level grouping
+    Entry("llm_repetition", (s, d) =>
+      TextOps.repetitionStats(docsDelta(s, d), "doc_id", "text"),
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+          |                      ELSE string_split_regex(trim(text), '\s+') END AS wl
+          |  FROM documents),
+          |words AS (SELECT doc_id, unnest(wl) AS g FROM base),
+          |bigrams AS (SELECT doc_id, unnest(list_transform(range(1, len(wl)), i -> wl[i] || ' ' || wl[i+1])) AS g FROM base),
+          |trigrams AS (SELECT doc_id, unnest(list_transform(range(1, len(wl) - 1), i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS g FROM base),
+          |wstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS w, count(*) AS d, max(c) AS mx
+          |          FROM (SELECT doc_id, g, count(*) AS c FROM words GROUP BY 1, 2) GROUP BY 1),
+          |bstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, max(c) AS bmx
+          |          FROM (SELECT doc_id, g, count(*) AS c FROM bigrams GROUP BY 1, 2) GROUP BY 1),
+          |tstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nt, max(c) AS tmx
+          |          FROM (SELECT doc_id, g, count(*) AS c FROM trigrams GROUP BY 1, 2) GROUP BY 1)
+          |SELECT b.doc_id, coalesce(wstat.w, 0) AS n_words,
+          |       CASE WHEN coalesce(wstat.w, 0) = 0 THEN 0.0 ELSE wstat.d / wstat.w END AS distinct_word_ratio,
+          |       CASE WHEN coalesce(wstat.w, 0) = 0 THEN 0.0 ELSE wstat.mx / wstat.w END AS top_word_frac,
+          |       CASE WHEN coalesce(bstat.nb, 0) = 0 THEN 0.0 ELSE bstat.bmx / bstat.nb END AS top_bigram_frac,
+          |       CASE WHEN coalesce(tstat.nt, 0) = 0 THEN 0.0 ELSE tstat.tmx / tstat.nt END AS top_trigram_frac
+          |FROM base b LEFT JOIN wstat USING (doc_id) LEFT JOIN bstat USING (doc_id)
+          |            LEFT JOIN tstat USING (doc_id)""".stripMargin)),
+
+    // corpus-level top-k bigrams (filter-list construction): one explode +
+    // map-side-combined count + deterministic top-k (count desc, gram asc)
+    Entry("llm_top_ngrams", (s, d) =>
+      TextOps.topNgrams(docsDelta(s, d), "text", n = 2, k = 20),
+      Some(
+        """SELECT g AS gram, CAST(count(*) AS BIGINT) AS cnt
+          |FROM (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(wl)), i -> wl[i] || ' ' || wl[i+1])) AS g
+          |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+          |                            ELSE string_split_regex(trim(text), '\s+') END AS wl
+          |        FROM documents) b)
+          |GROUP BY g ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin)))
 }

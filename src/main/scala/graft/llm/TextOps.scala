@@ -89,6 +89,74 @@ object TextOps {
     }
   }
 
+  /** Word n-grams of `w` (a string array) joined with single spaces; fewer
+    * than `n` words yields an empty array. Pure per-row array construction —
+    * no explode, no shuffle. */
+  def ngrams(w: Column, n: Int): Column = {
+    require(n >= 1, "ngrams: n must be >= 1")
+    if (n == 1) w
+    else when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+  }
+
+  /** Highest multiplicity of any element of `arr`, computed per-row as the
+    * longest run of equal adjacent values after an array_sort — a single
+    * aggregate lambda over the sorted array, so the whole computation stays
+    * inside the row (no explode + two-level groupBy, no shuffle). Empty
+    * arrays yield 0. */
+  def maxMultiplicity(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc("prev").isNotNull && acc("prev") === x,
+          acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+
+  /** Gopher-style repetition signals, per document and shuffle-free:
+    * distinct-word ratio and the fraction of mass taken by the single most
+    * frequent word / bigram / trigram. High top-fraction or low distinct
+    * ratio flags boilerplate and degenerate repetition. Ratios are 0.0 (not
+    * NULL/NaN) when the document is too short to have the n-gram at all, so
+    * threshold filters behave. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.select(col(idCol), words(col(textCol)).as("__w"))
+      .select(col(idCol), col("__w"),
+        size(col("__w")).cast("long").as("n_words"),
+        ngrams(col("__w"), 2).as("__bg"),
+        ngrams(col("__w"), 3).as("__tg"))
+      .select(col(idCol), col("n_words"),
+        size(array_distinct(col("__w"))).cast("long").as("__d"),
+        maxMultiplicity(col("__w")).as("__mw"),
+        size(col("__bg")).cast("long").as("__nb"),
+        maxMultiplicity(col("__bg")).as("__mb"),
+        size(col("__tg")).cast("long").as("__nt"),
+        maxMultiplicity(col("__tg")).as("__mt"))
+      .select(col(idCol), col("n_words"),
+        when(col("n_words") === 0, 0.0)
+          .otherwise(col("__d") / col("n_words")).as("distinct_word_ratio"),
+        when(col("n_words") === 0, 0.0)
+          .otherwise(col("__mw") / col("n_words")).as("top_word_frac"),
+        when(col("__nb") === 0, 0.0)
+          .otherwise(col("__mb") / col("__nb")).as("top_bigram_frac"),
+        when(col("__nt") === 0, 0.0)
+          .otherwise(col("__mt") / col("__nt")).as("top_trigram_frac"))
+  }
+
+  /** Corpus-level top-k most frequent word n-grams — the building block for
+    * boilerplate/filter lists. One explode + one aggregation (map-side
+    * partial combine) + a TakeOrderedAndProject top-k; ties break on the
+    * gram text so the result is deterministic. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(ngrams(words(col(textCol)), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+
   /** Per-document text statistics. The token array is materialized ONCE in
     * a lower projection and both word stats derive from that alias — inlining
     * `words(t)` into each stat would run the whitespace-run split per

@@ -198,4 +198,59 @@ class LlmSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxHamming"))
   }
+
+  test("repetitionStats: known multiplicities, degenerate docs are 0.0 not NaN") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"),     // 5 words, top word 'a'×3; top bigram 'a b'×2 of 4; trigram max 1… no: 'a b a'×2 of 3
+      (2L, "x x x x"),       // fully degenerate: every fraction 1.0
+      (3L, "one"),           // single word: no bigrams/trigrams → 0.0
+      (4L, "   "),           // blank: everything 0.0
+      (5L, "u v w")          // all distinct
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def row(i: Int) = out(i)
+    // doc 1: W=5 D=2 topw=3/5; bigrams [a b, b a, a b, b a] → 2/4; trigrams
+    // [a b a, b a b, a b a] → 2/3
+    assert(row(0).getLong(1) == 5L)
+    assert(row(0).getDouble(2) == 2.0 / 5)
+    assert(row(0).getDouble(3) == 3.0 / 5)
+    assert(row(0).getDouble(4) == 2.0 / 4)
+    assert(row(0).getDouble(5) == 2.0 / 3)
+    // doc 2: everything maximally repeated
+    assert(row(1).getDouble(3) == 1.0 && row(1).getDouble(4) == 1.0 &&
+      row(1).getDouble(5) == 1.0)
+    // doc 3: single word — n-gram fractions 0.0, not NaN/NULL
+    assert(row(2).getLong(1) == 1L && row(2).getDouble(4) == 0.0 &&
+      row(2).getDouble(5) == 0.0)
+    // doc 4: blank
+    assert(row(3).getLong(1) == 0L && row(3).getDouble(2) == 0.0 &&
+      row(3).getDouble(3) == 0.0)
+    // doc 5: all distinct
+    assert(row(4).getDouble(2) == 1.0 && row(4).getDouble(3) == 1.0 / 3)
+  }
+
+  test("topNgrams: deterministic count-desc gram-asc ordering with ties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "b c"), (2L, "a c"), (3L, "a c"), (4L, "b c"), (5L, "a a")
+    ).toDF("doc_id", "text")
+    val out = TextOps.topNgrams(df, "text", n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 'a c'×2 and 'b c'×2 tie on count → gram order breaks it; 'a a'×1 last
+    assert(out == Seq(("a c", 2L), ("b c", 2L), ("a a", 1L)), out.toString)
+  }
+
+  test("maxMultiplicity: empty array and NULL-safe adjacency") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq("q")),
+      (3L, Seq("q", "r", "q", "q"))
+    ).toDF("id", "arr")
+    val out = df.select(col("id"), TextOps.maxMultiplicity(col("arr")).as("m"))
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(out == Seq(0L, 1L, 3L))
+  }
 }

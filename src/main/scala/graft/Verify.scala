@@ -23,6 +23,13 @@ object Verify {
     // iteration aid; the driver sets nothing and dumps the full set)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
+    // typo'd / empty filters silently producing an empty dump would read as
+    // a green-but-vacuous round — fail loudly instead
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names unknown entries: ${unknown.mkString(",")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

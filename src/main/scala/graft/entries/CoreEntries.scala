@@ -925,12 +925,9 @@ object CoreEntries {
     // advance the watermark past every real window, making the final memory
     // sink equal the batch aggregation regardless of batch splits
     Entry("streaming_windowed_agg", (s, d) => {
-      val dir = tempDir("stwin")
-      val ev = pq(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      DeltaTable.write(s, ev.repartition(4), dir)
+      val dir = eventsCopy(s, d, "stwin")
       val view = s"graft_win_stream_${System.nanoTime()}"
-      val q = s.readStream.format("graft-delta").load(dir)
+      val q = eventsStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
@@ -941,17 +938,7 @@ object CoreEntries {
         .writeStream.format("memory").outputMode("append").queryName(view).start()
       try {
         q.processAllAvailable()
-        // two sentinel commits: the first carries the watermark forward, the
-        // second guarantees a subsequent batch runs WITH that watermark in
-        // effect (window eviction uses the previous batch's watermark)
-        Seq("2031-01-01 00:00:00", "2031-01-02 00:00:00").foreach { t =>
-          import s.implicits._
-          val sent = Seq((-1L, java.sql.Timestamp.valueOf(t), -1L,
-            "__sentinel", 0.0, "{}"))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          DeltaTable.write(s, sent, dir, mode = "append")
-          q.processAllAvailable()
-        }
+        advanceWatermark(s, q, dir)
       } finally q.stop()
       s.table(view).filter(col("hr") < lit("2030-01-01"))
     }, Some(
@@ -966,14 +953,10 @@ object CoreEntries {
     // closes via the timeout path — the streamed result then equals batch
     // sessionization exactly
     Entry("streaming_sessions", (s, d) => {
-      val dir = tempDir("stsess")
-      val ev = pq(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      DeltaTable.write(s, ev.repartition(4), dir)
+      val dir = eventsCopy(s, d, "stsess")
       val view = s"graft_sess_stream_${System.nanoTime()}"
       val q = graft.streaming.Sessionize.sessionsStream(
-          s.readStream.format("graft-delta").load(dir),
-          "user_id", "ts", gapMinutes = 30)
+          eventsStream(s, dir), "user_id", "ts", gapMinutes = 30)
         .toDF()
         .select(col("user_id"),
           col("session_start").cast("timestamp_ntz").as("session_start"),
@@ -982,14 +965,7 @@ object CoreEntries {
         .writeStream.format("memory").outputMode("append").queryName(view).start()
       try {
         q.processAllAvailable()
-        Seq("2031-01-01 00:00:00", "2031-01-02 00:00:00").foreach { t =>
-          import s.implicits._
-          val sent = Seq((-1L, java.sql.Timestamp.valueOf(t), -1L,
-            "__sentinel", 0.0, "{}"))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          DeltaTable.write(s, sent, dir, mode = "append")
-          q.processAllAvailable()
-        }
+        advanceWatermark(s, q, dir)
       } finally q.stop()
       s.table(view).filter("user_id >= 0")
     }, Some(
@@ -1033,6 +1009,40 @@ object CoreEntries {
 
   /** Delta copy of `events` with the nanosecond epoch converted to a proper
     * timestamp column (Spark has no nanosecond timestamp type). */
+  /** Private Delta copy of `events` (micros ts) for streaming entries that
+    * append sentinel commits to it. */
+  private def eventsCopy(s: SparkSession, d: String, tag: String): String = {
+    val dir = tempDir(tag)
+    val ev = pq(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    DeltaTable.write(s, ev.repartition(4), dir)
+    dir
+  }
+
+  /** readStream over an events copy. The explicit file cap keeps the whole
+    * initial snapshot in ONE batch: with a 0s watermark, a snapshot served
+    * in slices would treat slice-2 rows older than slice-1's max event time
+    * as late and DROP them (file order is not time order). */
+  private def eventsStream(s: SparkSession, dir: String) =
+    s.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "1000000").load(dir)
+
+  /** Advance the stream's event-time watermark past every real event: two
+    * far-future sentinel commits, each followed by processAllAvailable —
+    * the first carries the watermark forward, the second guarantees a
+    * subsequent batch runs WITH it in effect (state eviction/timeouts use
+    * the PREVIOUS batch's watermark). */
+  private def advanceWatermark(s: SparkSession,
+      q: org.apache.spark.sql.streaming.StreamingQuery, dir: String): Unit =
+    Seq("2031-01-01 00:00:00", "2031-01-02 00:00:00").foreach { t =>
+      import s.implicits._
+      val sent = Seq((-1L, java.sql.Timestamp.valueOf(t), -1L,
+        "__sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      DeltaTable.write(s, sent, dir, mode = "append")
+      q.processAllAvailable()
+    }
+
   private def eventsDeltaView(s: SparkSession, d: String): Unit = {
     val dir = EntryCtx.shared2.getOrElseUpdate(s"$d#events_delta", {
       val dd = tempDir("events")

@@ -312,18 +312,21 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
         // not be the one the incomplete-set fallback picked — sizing a 5M-row
         // older checkpoint by a 40k-row hint would materialize it eagerly
         // onto the driver. Off-hint sizes come from part footers (KBs of IO).
-        // A transient footer-read failure must NOT fail open to the eager
-        // path (that would collect a possibly multi-million-row Add vector
-        // onto the driver): size-unknown ⇒ assume over-threshold. The lazy
-        // path is correct at any size; if lazy isn't available the eager
-        // read below surfaces the underlying IO error loudly.
+        // Size-unknown must NOT fail open to the eager path (that would
+        // collect a possibly multi-million-row Add vector onto the driver):
+        // a hint without a usable size field falls back to part footers,
+        // and a footer-read failure assumes over-threshold. The lazy path
+        // is correct at any size; if lazy isn't available the eager read
+        // below surfaces the underlying IO error loudly.
+        def footerRows(): Option[Long] = scala.util.Try {
+          val ps = if (classic) parts else v2SidecarParts
+          ps.map(p => Checkpoints.partRowCount(store, p)).sum
+        }.recover { case scala.util.control.NonFatal(_) => Long.MaxValue }
+          .toOption
         val cpRows: Option[Long] =
-          if (lastCheckpointHint().contains(cv)) lastCheckpointSize()
-          else scala.util.Try {
-            val ps = if (classic) parts else v2SidecarParts
-            ps.map(p => Checkpoints.partRowCount(store, p)).sum
-          }.recover { case scala.util.control.NonFatal(_) => Long.MaxValue }
-            .toOption
+          if (lastCheckpointHint().contains(cv))
+            lastCheckpointSize().orElse(footerRows())
+          else footerRows()
         if (withFiles && cpRows.exists(_ >= lazyThreshold) &&
             (classic || v2SidecarParts.nonEmpty)) {
           lazyParts = Some(if (classic) parts else v2SidecarParts)

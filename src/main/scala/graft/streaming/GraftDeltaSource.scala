@@ -169,10 +169,22 @@ class GraftDeltaSource(
         val in = fs.open(p)
         val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        // a corrupt pin (torn write, pre-fix unescaped option value) must
-        // degrade to "no pin" — resolution falls back to this instance's
-        // base — rather than fail the query from initialOffset/getBatch
-        scala.util.Try(parsedStart(body)).toOption.flatten
+        // A corrupt pin (torn write, pre-fix unescaped option value):
+        // on a FRESH stream (no WAL batches yet) nothing was admitted under
+        // the old pin, so degrading to "no pin" and re-resolving is safe.
+        // On a RESTARTED stream, silently re-resolving against a moved-on
+        // table would skip rows the WAL already admitted — data loss — so
+        // fail loudly with the remediation in the message.
+        scala.util.Try(parsedStart(body)) match {
+          case scala.util.Success(v) => v
+          case scala.util.Failure(scala.util.control.NonFatal(_)) if freshStream =>
+            None // nothing admitted yet — re-resolving is safe
+          case scala.util.Failure(e) =>
+            throw new IllegalStateException(
+              s"corrupt stream-start pin at $p; restarting from this " +
+                "checkpoint cannot safely re-resolve the start. Restore the " +
+                "pin or delete the checkpoint to start a new stream.", e)
+        }
       }
     }
 

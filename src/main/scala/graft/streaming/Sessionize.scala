@@ -99,8 +99,11 @@ object Sessionize {
 
     // project/cast BEFORE withWatermark: a cast builds a fresh attribute
     // without the event-time tag, silently discarding a watermark declared
-    // upstream of it
+    // upstream of it. NULL user keys are dropped (the non-nullable key
+    // encoder would otherwise kill the query); batch sessions() keeps the
+    // NULL group — callers that care must pre-map NULL to a sentinel key.
     val typed = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).cast("long").as("user_id"),
         col(tsCol).cast("timestamp").as("ts"))
       .withWatermark("ts", watermarkDelay)
@@ -119,24 +122,41 @@ object Sessionize {
             // batch events may arrive unordered within the group; sessions
             // are order-sensitive, so sort (bounded by per-user-per-batch
             // volume, not total state)
-            val sorted = evs.map(e => micros(e.ts)).toArray.sorted
+            // single-linkage fold over the time-ordered intervals: the open
+            // session from state is one composite interval, each event a
+            // point interval. Late cross-batch events (watermarkDelay > 0)
+            // may precede the open session — they extend it downward or form
+            // their own earlier sessions, merging among themselves; they
+            // never inherit the open session's old start. Sessions closed
+            // before the final interval are sealed and emitted (a yet-later
+            // arrival near one would start a fresh session — the price of
+            // bounded per-user state; the watermark bounds how late that
+            // can happen).
+            val items: Seq[OpenSession] =
+              (state.getOption.toSeq ++
+                evs.map(e => { val t = micros(e.ts); OpenSession(t, t, 1) }))
+                .sortBy(s => (s.start, s.end))
             val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
-            var open = state.getOption
-            sorted.foreach { t =>
+            var open: Option[OpenSession] = None
+            items.foreach { it =>
               open match {
-                case Some(s) if t <= s.end + gapMicros =>
-                  open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) if it.start <= s.end + gapMicros =>
+                  open = Some(OpenSession(s.start,
+                    math.max(s.end, it.end), s.n + it.n))
                 case Some(s) =>
                   closed += SessionOut(user, toTs(s.start), toTs(s.end), s.n)
-                  open = Some(OpenSession(t, t, 1))
+                  open = Some(it)
                 case None =>
-                  open = Some(OpenSession(t, t, 1))
+                  open = Some(it)
               }
             }
             open.foreach { s =>
               state.update(s)
-              // fires once the event-time watermark exceeds this instant
-              state.setTimeoutTimestamp(Math.floorDiv(s.end, 1000L) + gapMs)
+              // fires once the event-time watermark exceeds this instant;
+              // CEILING ms division — flooring would fire up to 1ms before
+              // end + gap, closing a session a mergeable successor at
+              // exactly end + gap should have extended
+              state.setTimeoutTimestamp(Math.floorDiv(s.end + 999L, 1000L) + gapMs)
             }
             closed.iterator
           }

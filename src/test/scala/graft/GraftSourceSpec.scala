@@ -271,6 +271,36 @@ class GraftSourceSpec extends AnyFunSuite {
       "a changed startingVersion must invalidate the old pin")
   }
 
+  test("corrupt start pin: ignored on fresh streams, loud on restarts") {
+    import graft.streaming.GraftDeltaSource
+    val dir = tmpDir()
+    ints(dir, 1, 2)
+    // fresh stream (empty offsets WAL): nothing was admitted under the old
+    // pin, so a corrupt pin is replaced by a re-resolution
+    val ckpt = java.nio.file.Paths.get(tmpDir())
+    val meta = ckpt.resolve("sources").resolve("0")
+    java.nio.file.Files.createDirectories(meta)
+    java.nio.file.Files.createDirectories(ckpt.resolve("offsets"))
+    java.nio.file.Files.write(meta.resolve("graftSourceStart"),
+      """{"offset":{"version":0,"index""".getBytes) // torn write
+    val fresh = new GraftDeltaSource(spark, dir, Map.empty,
+      metadataPath = Some(meta.toString))
+    fresh.initialOffset() // must not throw
+    // restarted stream (WAL has entries): re-resolving would skip
+    // WAL-admitted rows — must fail loudly instead
+    val ckpt2 = java.nio.file.Paths.get(tmpDir())
+    val meta2 = ckpt2.resolve("sources").resolve("0")
+    java.nio.file.Files.createDirectories(meta2)
+    java.nio.file.Files.createDirectories(ckpt2.resolve("offsets"))
+    java.nio.file.Files.write(ckpt2.resolve("offsets").resolve("0"), "v1".getBytes)
+    java.nio.file.Files.write(meta2.resolve("graftSourceStart"),
+      """{"offset":{"version":0,"index""".getBytes)
+    val restarted = new GraftDeltaSource(spark, dir, Map.empty,
+      metadataPath = Some(meta2.toString))
+    val e = intercept[IllegalStateException] { restarted.initialOffset() }
+    assert(e.getMessage.contains("corrupt stream-start pin"), e.getMessage)
+  }
+
   test("user-specified stream schema is refused") {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val dir = tmpDir()

@@ -102,6 +102,42 @@ class SessionizeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: late cross-batch events extend start down or form earlier sessions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess3").toString + "/t"
+    DeltaTable.write(spark, events((1L, "2024-01-01 10:00:00")), dir)
+    val view = s"sess_spec3_${System.nanoTime()}"
+    // 1h out-of-orderness tolerance: late rows above the watermark are fed
+    // to the state function and must behave like batch single-linkage
+    val q = Sessionize.sessionsStream(
+        spark.readStream.format("graft-delta").load(dir), "user_id", "ts", 30,
+        watermarkDelay = "1 hour")
+      .toDF()
+      .writeStream.format("memory").outputMode("append").queryName(view).start()
+    try {
+      q.processAllAvailable() // watermark now 09:00
+      // within gap of the open session's START: extends it downward
+      DeltaTable.write(spark, events((1L, "2024-01-01 09:45:00")), dir,
+        mode = "append")
+      q.processAllAvailable()
+      // more than a gap before the (extended) start: its own session
+      DeltaTable.write(spark, events((1L, "2024-01-01 09:05:00")), dir,
+        mode = "append")
+      q.processAllAvailable()
+      Seq("2031-01-01 00:00:00", "2031-01-02 00:00:00").foreach { t =>
+        DeltaTable.write(spark, events((-1L, t)), dir, mode = "append")
+        q.processAllAvailable()
+      }
+      val fin = spark.table(view).filter("user_id >= 0")
+        .orderBy("session_start").collect()
+      assert(fin.length == 2, fin.mkString(";"))
+      assert(fin(0).getTimestamp(1) == ts("2024-01-01 09:05:00") &&
+        fin(0).getLong(3) == 1L)
+      assert(fin(1).getTimestamp(1) == ts("2024-01-01 09:45:00") &&
+        fin(1).getTimestamp(2) == ts("2024-01-01 10:00:00") &&
+        fin(1).getLong(3) == 2L)
+    } finally q.stop()
+  }
+
   test("streaming equals batch on a shuffled multi-user corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

@@ -44,6 +44,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -228,12 +229,13 @@ object Bench {
     // upsert fractions) with its operationMetrics validators — one run per
     // case on a fresh clone, reported under a separate JSON key so the
     // headline "queries" total stays comparable to BASELINE.md
-    val mergeGrid = scala.collection.mutable.LinkedHashMap[String, (Double, Boolean)]()
+    val mergeGrid =
+      scala.collection.mutable.LinkedHashMap[String, graft.tools.MergeGrid.CellResult]()
     if (enabled("merge_grid")) {
       graft.tools.MergeGrid.runAll(spark, mergeTpl, cloneDir, EntryCtx.tempDir)
-        .foreach { case (c, sec, violations) =>
-          violations.foreach(v => System.err.println(s"[merge-grid] VIOLATION $v"))
-          mergeGrid(c.name) = (sec, violations.isEmpty)
+        .foreach { r =>
+          r.violations.foreach(v => System.err.println(s"[merge-grid] VIOLATION $v"))
+          mergeGrid(r.c.name) = r
         }
     }
 
@@ -294,7 +296,12 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val shapes = planShapes
+    // headline plans: only queries with at least one join (the census
+    // exists to catch broadcast→sort-merge flaps; joinless entries just pad
+    // the tail budget). Full census in the detail file.
+    val shapesAll = planShapes
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val shapes = planShapes.filterNot(_._2 == "BHJ=0 SMJ=0 SHJ=0")
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     // headline: per-phase MEDIANS; detail file: full per-rep vectors
     val phaseMedJson = phaseRecords.map { case (q, m) =>
@@ -308,22 +315,60 @@ object Bench {
       }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     // headline: seconds vector in MergeGrid.cases order + green count;
-    // detail file: the reference-verbatim case names
-    val gridSecs = "[" + mergeGrid.valuesIterator.map(t => fmt(t._1)).mkString(",") + "]"
-    val gridOk = mergeGrid.valuesIterator.count(_._2)
-    val gridJson = mergeGrid.map { case (k, (sec, ok)) =>
-      "\"" + k + s"""\":{"sec":${fmt(sec)},"ok":$ok}"""
+    // detail file: the reference-verbatim case names + per-cell phase/GC/CPU
+    // diagnostics (cells run once — no median absorbs a stall on a shared
+    // host, so each cell records whether its wall time was compute or noise)
+    val gridSecs = "[" + mergeGrid.valuesIterator.map(r => fmt(r.sec)).mkString(",") + "]"
+    val gridOk = mergeGrid.valuesIterator.count(_.violations.isEmpty)
+    val gridJson = mergeGrid.map { case (k, r) =>
+      val ph = r.phases.map { case (p, v) => "\"" + p + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      "\"" + k + s"""\":{"sec":${fmt(r.sec)},"ok":${r.violations.isEmpty},"gc":${fmt(r.gcSec)},"cpu":${fmt(r.cpuSec)},"phases":$ph}"""
     }.mkString("{", ",", "}")
+    // whole-run JVM load: GC wall and process CPU over the entire bench.
+    // wall >> cpu/32 on a 32-thread host = starved; gc comparable to wall =
+    // heap thrash. Lets the record adjudicate contention without a re-run.
+    val wallSec = (System.nanoTime() - benchT0) / 1e9
+    val loadJson = {
+      import scala.jdk.CollectionConverters._
+      val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ >= 0L).sum / 1e3
+      val cpu = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+      s""""wall":${fmt(wallSec)},"gc":${fmt(gc)},"cpu":${fmt(cpu)}"""
+    }
     val total = medians.values.sum
-    val headline =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"plans":$shapes,"phases":$phaseMedJson,"merge_grid_sec":$gridSecs,"merge_grid_ok":$gridOk,"reps":$reps,"sf":"$sfDir"}"""
+    // The driver keeps only the LAST ~2000 chars of merged output, so the
+    // headline must fit with margin. Optional sections drop lowest-value
+    // first until it does ("queries" + run-load always survive).
+    val core =
+      s""""metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},$loadJson,"reps":$reps,"sf":"$sfDir""""
+    val optional = Seq( // kept in this order, dropped from the END
+      s""""mins":${jmap(mins)}""",
+      s""""phases":$phaseMedJson""",
+      s""""plans":$shapes""",
+      s""""merge_grid_sec":$gridSecs,"merge_grid_ok":$gridOk""")
+    val headline = (optional.length to 0 by -1).iterator
+      .map(n => "{" + (core +: optional.take(n)).mkString(",") + "}")
+      .find(_.length <= 1800)
+      .getOrElse("{" + core + "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"plans":$shapes,"phases":$phaseRepJson,"merge_grid":$gridJson,"reps":$reps,"sf":"$sfDir"}"""
-    locally {
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"plans":$shapesAll,"phases":$phaseRepJson,"merge_grid":$gridJson,$loadJson,"reps":$reps,"sf":"$sfDir"}"""
+    // best-effort: a detail-write failure (read-only cwd) must never block
+    // the headline line — that's the round's only bench record
+    scala.util.Try {
       val w = new java.io.PrintWriter("bench_detail.json", "UTF-8")
       try w.println(detail) finally w.close()
-    }
-    System.err.println(s"[bench-detail] $detail")
+    }.failed.foreach(e =>
+      System.err.println(s"[bench-detail] write failed: $e"))
+    // Round-6 lesson: a large stderr line emitted "before" the headline
+    // interleaved AFTER it in the driver's merged stdout+stderr capture and
+    // pushed the headline out of the ~2000-char tail — BENCH_r06 recorded
+    // parsed:null. The detail JSON therefore goes ONLY to the file, never
+    // to a stream; nothing may print after the headline.
     spark.sparkContext.setLogLevel("ERROR") // keep shutdown chatter off the tail
     spark.stop()
     println(headline)

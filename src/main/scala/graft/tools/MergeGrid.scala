@@ -105,20 +105,42 @@ object MergeGrid {
     }).flatten
   }
 
-  /** Run every case on a fresh clone of `templateDir`; returns
-    * (case, seconds, violations). */
+  /** One grid cell's outcome. Cells run ONCE (no median to absorb a stall
+    * on a shared host), so each carries its own contention diagnostics:
+    * per-phase merge wall times plus the JVM's GC-time and process-CPU-time
+    * deltas across the cell. A stalled cell shows wall >> cpu (starved) or
+    * gc ≈ wall (heap thrash); a plan regression shows one inflated phase
+    * with cpu ≈ wall. */
+  case class CellResult(c: Case, sec: Double, violations: Seq[String],
+      phases: Map[String, Double], gcSec: Double, cpuSec: Double)
+
+  private def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0L).sum
+  }
+  private def cpuMs: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1000000L
+      case _ => -1L
+    }
+
+  /** Run every case on a fresh clone of `templateDir`. */
   def runAll(spark: SparkSession, templateDir: String,
       cloneDir: (String, String) => Unit,
-      tempDir: String => String): Seq[(Case, Double, Seq[String])] = {
+      tempDir: String => String): Seq[CellResult] = {
     val ordersDf = DeltaTable.forPath(spark, templateDir).toDF
     cases.map { c =>
       val dir = tempDir(s"grid_${cases.indexOf(c)}")
       cloneDir(templateDir, dir)
       val src = source(ordersDf, c)
+      val (gc0, cpu0) = (gcMs, cpuMs)
       val t0 = System.nanoTime()
       val metrics = run(DeltaTable.forPath(spark, dir), src, c)
       val sec = (System.nanoTime() - t0) / 1e9
-      (c, sec, validate(c, metrics))
+      CellResult(c, sec, validate(c, metrics), graft.ops.MergeOp.lastPhases,
+        (gcMs - gc0) / 1e3, (cpuMs - cpu0) / 1e3)
     }
   }
 }

@@ -457,5 +457,98 @@ object LlmEntries {
           |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
           |                            ELSE string_split_regex(trim(text), '\s+') END AS wl
           |        FROM documents) b)
-          |GROUP BY g ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin)))
+          |GROUP BY g ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin)),
+
+    // ---- end-to-end corpus curation ---------------------------------------
+    // The whole training-data assembly line composed from the library's own
+    // operators: language ID -> quality gate -> exact dedup (fingerprint,
+    // keep-min) -> near-dup removal (inverted-index Jaccard, larger id
+    // dropped) -> deterministic stratified mix. Every stage is
+    // deterministic, so the oracle replays the full pipeline as DuckDB CTEs
+    // and the surviving rows hash-match end to end. Scale shape: two hash
+    // shuffles (dedup groupBy, shingle index) + one narrow filter chain —
+    // no stage is driver-side or all-pairs.
+    Entry("llm_curation_pipeline", (s, d) => {
+      val docs = docsDelta(s, d).select("doc_id", "text")
+      // seed the corpus with exact copies and near-copies so both dedup
+      // stages have real positives whose expected fate DuckDB can recompute
+      val exactCopies = docs.filter("doc_id % 7 = 0")
+        .withColumn("doc_id", col("doc_id") + 2000000)
+      val nearCopies = docs.filter("doc_id % 10 = 0")
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" zz extra token")))
+      val corpus = docs.unionByName(exactCopies).unionByName(nearCopies)
+
+      val t = col("text")
+      val scored = corpus.select(col("doc_id"), t,
+          TextOps.langId(t).as("lang_pred"),
+          TextOps.wordCount(t).as("n_words"),
+          TextOps.meanWordLen(t).as("mwl"),
+          TextOps.digitRatio(t).as("dr"))
+        .filter(col("lang_pred") =!= "und" && col("n_words") >= 5 &&
+          col("mwl") >= 3.0 && col("mwl") <= 12.0 && col("dr") < 0.3)
+
+      val withFp = scored.withColumn("fp", TextOps.fingerprint(t))
+      val exactDeduped = Dedup.exactKeepMin(withFp, "doc_id", Seq("fp"))
+
+      val pairs = Dedup.ngramJaccardNearDups(
+        exactDeduped.select("doc_id", "text"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      val nearDeduped = exactDeduped.join(
+        pairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+
+      graft.llm.Curation.stratifiedSample(nearDeduped, "doc_id", "lang_pred",
+          Map("en" -> 0.6, "de" -> 0.8), default = 0.5, salt = "cur7")
+        .select("doc_id", "lang_pred", "n_words")
+    }, Some {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+      val scores = TextOps.langMarkers.map { case (lang, ms) =>
+        val list = ms.map(m => s"'$m'").mkString("(", ", ", ")")
+        lang -> s"len(list_filter(string_split($norm, ' '), w -> w IN $list))"
+      }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (lang, sc) =>
+        s"WHEN $sc = __best AND __best > 0 THEN '$lang'"
+      }.mkString(" ")
+      def sel(frac: Double) =
+        s"substr(md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':cur7'), 1, 8) < '${graft.llm.Curation.hexThreshold(frac)}'"
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' zz extra token' FROM documents WHERE doc_id % 10 = 0),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |         CASE $cases ELSE 'und' END AS lang_pred,
+         |         CAST(len(ws) AS BIGINT) AS n_words,
+         |         CASE WHEN len(ws) = 0 THEN 0.0
+         |              ELSE list_sum([CAST(length(w) AS DOUBLE) FOR w IN ws])
+         |                     / CAST(len(ws) AS DOUBLE) END AS mwl,
+         |         CASE WHEN length(text) = 0 THEN 0.0
+         |              ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |                     / CAST(length(text) AS DOUBLE) END AS dr
+         |  FROM (SELECT doc_id, text, $best AS __best,
+         |          CASE WHEN length(trim(text)) = 0 THEN []
+         |               ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |        FROM corpus) t),
+         |qual AS (SELECT * FROM scored
+         |         WHERE lang_pred <> 'und' AND n_words >= 5
+         |           AND mwl >= 3.0 AND mwl <= 12.0 AND dr < 0.3),
+         |fp AS (SELECT *, md5($norm) AS f FROM qual),
+         |ex AS (SELECT * FROM fp WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
+         |sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS s
+         |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ex) t),
+         |dropped AS (
+         |  SELECT DISTINCT b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+         |nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT id_b FROM dropped))
+         |SELECT doc_id, lang_pred, n_words FROM nd
+         |WHERE CASE WHEN lang_pred = 'en' THEN ${sel(0.6)}
+         |           WHEN lang_pred = 'de' THEN ${sel(0.8)}
+         |           ELSE ${sel(0.5)} END""".stripMargin
+    }))
 }

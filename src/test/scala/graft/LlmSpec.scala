@@ -242,6 +242,22 @@ class LlmSpec extends AnyFunSuite {
     assert(out == Seq(("a c", 2L), ("b c", 2L), ("a a", 1L)), out.toString)
   }
 
+  test("curation pipeline: unique ids, exact copies never survive, plan stays equi-join") {
+    val df = graft.SparkEntry.queries("llm_curation_pipeline")(
+      spark, "/root/testdata/sf0.001")
+    assertNoCartesian(df, "curation pipeline")
+    val rows = df.collect()
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "duplicate doc_ids in pipeline output")
+    // an exact copy (+2000000) has the same text as its original, so both
+    // pass or fail every gate together and keep-min always drops the copy
+    assert(!ids.exists(id => id >= 2000000 && id < 3000000),
+      "an exact duplicate survived exact dedup")
+    assert(rows.nonEmpty, "pipeline filtered everything out")
+    // every surviving row passed the language gate
+    assert(rows.forall(_.getString(1) != "und"))
+  }
+
   test("maxMultiplicity: empty array and NULL-safe adjacency") {
     import spark.implicits._
     val df = Seq(

@@ -2,16 +2,18 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.entries.{CoreEntries, EntryCtx, LlmEntries, TpcdsEntries}
+import graft.entries.{CoreEntries, EntryCtx, LlmEntries, TpcdsEntries, TpchEntries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * One entry per implemented SURVEY §2 operator (plus the LLM-pipeline
   * operators); definitions live in [[graft.entries.CoreEntries]],
-  * [[graft.entries.LlmEntries]] and [[graft.entries.TpcdsEntries]]. */
+  * [[graft.entries.LlmEntries]], [[graft.entries.TpcdsEntries]] and
+  * [[graft.entries.TpchEntries]]. */
 object SparkEntry {
 
   private lazy val all =
-    CoreEntries.entries ++ LlmEntries.entries ++ TpcdsEntries.entries
+    CoreEntries.entries ++ LlmEntries.entries ++ TpcdsEntries.entries ++
+      TpchEntries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -982,7 +982,72 @@ object CoreEntries {
         |  FROM g)
         |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
         |       CAST(count(*) AS BIGINT) AS n_events
-        |FROM se GROUP BY user_id, sess""".stripMargin)))
+        |FROM se GROUP BY user_id, sess""".stripMargin)),
+
+    // streaming exact dedup: dropDuplicatesWithinWatermark over the
+    // graft-delta source — the table carries every event twice (a replayed
+    // ingest commit), the stream emits each exactly once. The 90-day delay
+    // covers the whole 30-day event span, so no duplicate can outlive its
+    // state and the result equals batch DISTINCT.
+    Entry("streaming_dedup", (s, d) => {
+      val dir = tempDir("stdedup")
+      val ev = pq(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type")
+      DeltaTable.write(s, ev.repartition(4), dir)
+      DeltaTable.write(s, ev.repartition(2), dir, mode = "append") // replay
+      val view = s"graft_dedup_stream_${System.nanoTime()}"
+      val q = eventsStream(s, dir)
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("memory").outputMode("append").queryName(view).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(view).select("event_id", "user_id", "event_type")
+    }, Some("SELECT event_id, user_id, event_type FROM events")),
+
+    // streaming upsert (CDC apply): readStream over a change table,
+    // foreachBatch reduces each microbatch to latest-per-key (max_by on a
+    // monotonic seq) and MERGEs it into the target — the canonical
+    // "apply a change stream to a Delta table" pattern. Batch splits don't
+    // change the outcome: within a batch max_by picks the newest, across
+    // batches the later merge overwrites.
+    Entry("streaming_upsert", (s, d) => {
+      val ord = pq(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val src = tempDir("stups_src")
+      DeltaTable.write(s, ord.withColumn("seq", lit(0L)), src)
+      val changes = ord.filter("o_orderkey % 2 = 0")
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .unionByName(ord.filter("o_orderkey % 100 = 0")
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000))
+        .withColumn("seq", lit(1L))
+      DeltaTable.write(s, changes, src, mode = "append")
+      val tgt = tempDir("stups_tgt")
+      DeltaTable.write(s, ord.withColumn("seq", lit(0L)), tgt)
+      val q = s.readStream.format("graft-delta").load(src)
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          val cols = batch.columns.toSeq
+          val latest = batch.groupBy("o_orderkey")
+            .agg(max_by(struct(cols.map(col): _*), col("seq")).as("__r"))
+            .select(cols.map(c => col("__r")(c).as(c)): _*)
+          DeltaTable.forPath(s, tgt)
+            .merge(latest, "target.o_orderkey = source.o_orderkey")
+            .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      DeltaTable.forPath(s, tgt).toDF
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }, Some(
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |       COALESCE(c.o_custkey, b.o_custkey) AS o_custkey,
+        |       COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice
+        |FROM orders b FULL JOIN changes c ON b.o_orderkey = c.o_orderkey""".stripMargin)))
 
   /** As-of join (an extension op the reference lacks, SURVEY §2.3): each
     * event matched to the latest order of its user at-or-before event time,

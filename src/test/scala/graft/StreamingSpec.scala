@@ -173,6 +173,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.sorted.toSeq == (1 to 5))
   }
 
+  test("foreachBatch CDC apply: one-file batches reach the same final state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // base (seq 0) then two change commits (seq 1, 2) touching the same key:
+    // with maxFilesPerTrigger=1 every commit lands in its own microbatch, so
+    // the merge applies them sequentially; latest-per-key (max_by on seq)
+    // must make the final state identical to applying them all at once
+    val src = tmpDir() + "/src"
+    val tgt = tmpDir() + "/tgt"
+    val base = Seq((1L, 10.0, 0L), (2L, 20.0, 0L), (3L, 30.0, 0L))
+      .toDF("k", "v", "seq")
+    DeltaTable.write(spark, base.repartition(1), src)
+    DeltaTable.write(spark, Seq((2L, 21.0, 1L), (4L, 40.0, 1L))
+      .toDF("k", "v", "seq").repartition(1), src, mode = "append")
+    DeltaTable.write(spark, Seq((2L, 22.0, 2L)).toDF("k", "v", "seq")
+      .repartition(1), src, mode = "append")
+    DeltaTable.write(spark, base, tgt)
+    val q = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "1").load(src)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val cols = batch.columns.toSeq
+          val latest = batch.groupBy("k")
+            .agg(max_by(struct(cols.map(col): _*), col("seq")).as("__r"))
+            .select(cols.map(c => col("__r")(c).as(c)): _*)
+          DeltaTable.forPath(spark, tgt).merge(latest, "target.k = source.k")
+            .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+          ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val fin = DeltaTable.forPath(spark, tgt).toDF
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(fin == Map(1L -> 10.0, 2L -> 22.0, 3L -> 30.0, 4L -> 40.0), fin)
+  }
+
   test("merge withStreaming scans the source exactly once") {
     import spark.implicits._
     val dir = tmpDir()

@@ -1008,9 +1008,13 @@ object CoreEntries {
     // streaming upsert (CDC apply): readStream over a change table,
     // foreachBatch reduces each microbatch to latest-per-key (max_by on a
     // monotonic seq) and MERGEs it into the target — the canonical
-    // "apply a change stream to a Delta table" pattern. Batch splits don't
-    // change the outcome: within a batch max_by picks the newest, across
-    // batches the later merge overwrites.
+    // "apply a change stream to a Delta table" pattern. startingVersion=0
+    // is load-bearing: it tails the log in COMMIT order, so a key's later
+    // change is always applied at-or-after its earlier one no matter how
+    // admission slices batches (within a batch max_by picks the newest,
+    // across batches the later merge overwrites). The initial-snapshot path
+    // serves files in PATH order — fine for the stateless entries above,
+    // wrong for order-sensitive application like this.
     Entry("streaming_upsert", (s, d) => {
       val ord = pq(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
       val src = tempDir("stups_src")
@@ -1023,7 +1027,8 @@ object CoreEntries {
       DeltaTable.write(s, changes, src, mode = "append")
       val tgt = tempDir("stups_tgt")
       DeltaTable.write(s, ord.withColumn("seq", lit(0L)), tgt)
-      val q = s.readStream.format("graft-delta").load(src)
+      val q = s.readStream.format("graft-delta")
+        .option("startingVersion", "0").load(src)
         .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
           val cols = batch.columns.toSeq
           val latest = batch.groupBy("o_orderkey")
@@ -1072,8 +1077,6 @@ object CoreEntries {
       |    ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)) t
       |WHERE rn = 1""".stripMargin))
 
-  /** Delta copy of `events` with the nanosecond epoch converted to a proper
-    * timestamp column (Spark has no nanosecond timestamp type). */
   /** Private Delta copy of `events` (micros ts) for streaming entries that
     * append sentinel commits to it. */
   private def eventsCopy(s: SparkSession, d: String, tag: String): String = {
@@ -1108,6 +1111,9 @@ object CoreEntries {
       q.processAllAvailable()
     }
 
+  /** Delta copy of `events` with the nanosecond epoch converted to a proper
+    * timestamp column (Spark has no nanosecond timestamp type), registered
+    * as the `events_delta` temp view. */
   private def eventsDeltaView(s: SparkSession, d: String): Unit = {
     val dir = EntryCtx.shared2.getOrElseUpdate(s"$d#events_delta", {
       val dd = tempDir("events")

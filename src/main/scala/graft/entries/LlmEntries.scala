@@ -66,7 +66,7 @@ object LlmEntries {
       .mkString("[", ", ", "]")
     s"""WITH corpus AS ($corpusSql),
        |sh AS (
-       |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) AS s
+       |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END) AS s
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) t
        |),
        |hs AS (SELECT doc_id, md5(s) AS m FROM sh),
@@ -175,7 +175,7 @@ object LlmEntries {
       Some(
         s"""WITH corpus AS ($corpusSql),
            |sh AS (
-           |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS s
+           |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
            |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) t
            |),
            |pairs AS (
@@ -198,7 +198,7 @@ object LlmEntries {
       Some(
         s"""WITH corpus AS ($corpusSql),
            |sh AS (
-           |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS s
+           |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
            |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) t
            |),
            |pairs AS (
@@ -411,7 +411,7 @@ object LlmEntries {
         .select(col("doc_id"), col("bench_id"), col("shared").cast("long").as("shared"))
     }, Some(
       """WITH sh AS (
-        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS s
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
         |),
         |bench AS (SELECT doc_id AS bench_id, s AS bs FROM sh WHERE doc_id % 37 = 0)
@@ -538,7 +538,7 @@ object LlmEntries {
          |           AND mwl >= 3.0 AND mwl <= 12.0 AND dr < 0.3),
          |fp AS (SELECT *, md5($norm) AS f FROM qual),
          |ex AS (SELECT * FROM fp WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
-         |sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS s
+         |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
          |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ex) t),
          |dropped AS (
          |  SELECT DISTINCT b.doc_id AS id_b

@@ -139,8 +139,12 @@ object MergeGrid {
       val t0 = System.nanoTime()
       val metrics = run(DeltaTable.forPath(spark, dir), src, c)
       val sec = (System.nanoTime() - t0) / 1e9
+      val cpu1 = cpuMs
+      // -1.0 = cpu unavailable on this JVM (same sentinel as Bench's
+      // whole-run load) — 0.0 would read as a fully-starved cell
+      val cpuSec = if (cpu0 < 0 || cpu1 < 0) -1.0 else (cpu1 - cpu0) / 1e3
       CellResult(c, sec, validate(c, metrics), graft.ops.MergeOp.lastPhases,
-        (gcMs - gc0) / 1e3, (cpuMs - cpu0) / 1e3)
+        (gcMs - gc0) / 1e3, cpuSec)
     }
   }
 }

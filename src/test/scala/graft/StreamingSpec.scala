@@ -179,7 +179,10 @@ class StreamingSpec extends AnyFunSuite {
     // base (seq 0) then two change commits (seq 1, 2) touching the same key:
     // with maxFilesPerTrigger=1 every commit lands in its own microbatch, so
     // the merge applies them sequentially; latest-per-key (max_by on seq)
-    // must make the final state identical to applying them all at once
+    // must make the final state identical to applying them all at once.
+    // startingVersion=0 tails commits in LOG order — the initial-snapshot
+    // path serves files in path order (random part UUIDs), which would
+    // apply the seq=2 change before seq=1 on ~half the runs
     val src = tmpDir() + "/src"
     val tgt = tmpDir() + "/tgt"
     val base = Seq((1L, 10.0, 0L), (2L, 20.0, 0L), (3L, 30.0, 0L))
@@ -191,6 +194,7 @@ class StreamingSpec extends AnyFunSuite {
       .repartition(1), src, mode = "append")
     DeltaTable.write(spark, base, tgt)
     val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", "0")
       .option("maxFilesPerTrigger", "1").load(src)
       .writeStream.foreachBatch {
         (batch: org.apache.spark.sql.DataFrame, _: Long) =>

@@ -186,6 +186,45 @@ object LlmEntries {
            |SELECT id_a, id_b FROM pairs
            |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // dedup clustering: verified near-dup pairs → connected components
+    // (alternating large-star/small-star) → canonical = min id per cluster.
+    // Oracle: the same exact all-pairs Jaccard pair list as the minhash
+    // entry, clustered by a recursive min-label CTE — reachability with a
+    // UNION (set) recursion terminates, and min over all reachable labels
+    // is exactly the component minimum.
+    Entry("llm_dedup_clusters", (s, d) => {
+      val corpus = corpusWithNearDups(s, d)
+      val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 64, threshold = 0.5)
+      Dedup.dedupClusters(corpus.select("doc_id"), "doc_id", pairs)
+        .select(col("doc_id"), col("cluster"), col("is_canonical"))
+    },
+      Some(
+        s"""WITH RECURSIVE corpus AS ($corpusSql),
+           |sh AS (
+           |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) t
+           |),
+           |pairs AS (
+           |  SELECT id_a, id_b FROM (
+           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |           len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
+           |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+           |  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5
+           |),
+           |edges AS (
+           |  SELECT id_a AS u, id_b AS v FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs
+           |),
+           |reach(node, lbl) AS (
+           |  SELECT doc_id, doc_id FROM corpus
+           |  UNION
+           |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+           |)
+           |SELECT node AS doc_id, min(lbl) AS cluster,
+           |       node = min(lbl) AS is_canonical
+           |FROM reach GROUP BY node""".stripMargin)),
+
     // candidate generation via the inverted shingle index is complete (any
     // pair with jaccard > 0 shares a shingle; df cap far above corpus df
     // here), so brute-force all-pairs Jaccard in DuckDB is the exact

@@ -234,6 +234,110 @@ object Dedup {
     agg.select(col("__id").as(idCol), fp.as("simhash"))
   }
 
+  /**
+   * Connected components over an undirected edge list via the alternating
+   * large-star / small-star contraction (Kiveris et al., "Connected
+   * Components in MapReduce and Beyond", SoCC'14) — the shuffle-friendly
+   * formulation whose round count is O(log² n) regardless of component
+   * DIAMETER. Plain min-label propagation needs O(diameter) rounds: a
+   * million-document chain of pairwise near-dups (common with templated
+   * boilerplate) would need a million shuffles; the star contraction
+   * collapses it in a handful.
+   *
+   * Per round (shuffles marked):
+   *   large-star: every node u connects its strictly-larger neighbors to
+   *     m(u) = min(Γ(u) ∪ {u})      (groupBy(u) mins + emission join)
+   *   small-star: every node u connects its strictly-smaller neighbors
+   *     and itself to m = min of those  (same two shuffles)
+   *
+   * The edge set never exceeds the symmetric closure of the input, and
+   * lineage is cut per round with localCheckpoint (at cluster scale set a
+   * reliable checkpoint dir and swap in .checkpoint() for executor-loss
+   * resilience — the algorithm is unchanged). Convergence is detected by a
+   * cheap (count, xor-hash) signature and then CONFIRMED with an exact
+   * set-difference check before the loop exits; `maxIter` bounds the loop
+   * and non-convergence is loud, never a silently partial clustering.
+   *
+   * Returns (node, component) for every node appearing in `pairs`, where
+   * component = the smallest id in the node's component. Self-loop pairs
+   * (a = b) carry no connectivity and are dropped; their nodes may
+   * therefore be absent (callers treat absent as singleton).
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val mins = s.groupBy("u").agg(min("v").as("__mn"))
+        .select(col("u").as("__x"), least(col("u"), col("__mn")).as("__m"))
+      canon(s.join(mins, col("u") === col("__x"))
+        .filter(col("v") > col("u"))
+        .select(col("__m").as("u"), col("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e).filter(col("v") < col("u"))
+      val mins = s.groupBy("u").agg(min("v").as("__m"))
+      val linked = s.join(mins, "u").select(col("__m").as("u"), col("v"))
+      val self = mins.select(col("__m").as("u"), col("u").as("v"))
+      canon(linked.union(self))
+    }
+    // order-independent, overflow-free edge-set signature (ANSI sum(long)
+    // would throw on overflow; xor cannot). Equal signatures are confirmed
+    // with an exact exceptAll before declaring convergence.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edges = canon(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .filter(col(aCol).isNotNull && col(bCol).isNotNull))
+      .localCheckpoint()
+    var curSig = signature(edges)
+    var it = 0
+    var converged = curSig._1 == 0L
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == curSig &&
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      val prev = edges
+      edges = next
+      curSig = nextSig
+      prev.unpersist()
+      it += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds " +
+        s"(edge signature $curSig) — raise maxIter or pre-filter the pair graph")
+    // fixpoint = forest of stars centered on each component's minimum
+    edges.select(col("v").as("node"), col("u").as("component"))
+      .union(edges.select(col("u").as("node"), col("u").as("component")).distinct())
+  }
+
+  /** Cluster near-duplicate documents from a verified pair list and pick a
+    * deterministic canonical representative (the smallest id) per cluster.
+    * Documents in no pair form singleton clusters of themselves. Output =
+    * the input columns + `cluster` (component min id) + `is_canonical`.
+    * One component computation + one (typically broadcast — only near-dup
+    * members appear in it) join against the corpus. */
+  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 30): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol, maxIter)
+      .select(col("node").as("__node"), col("component").as("__component"))
+    docs.join(comps, docs(idCol) === comps("__node"), "left")
+      .select(docs.columns.map(docs(_)) :+
+        coalesce(col("__component"), docs(idCol)).as("cluster"): _*)
+      .withColumn("is_canonical", col(idCol) === col("cluster"))
+  }
+
   /** Near-dup pairs by SimHash: hamming(fp_a, fp_b) ≤ maxHamming, found by
     * pigeonhole banding on four 16-bit chunks (equi-join per chunk). */
   def simhashNearDups(

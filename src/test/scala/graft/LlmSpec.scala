@@ -258,6 +258,65 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.forall(_.getString(1) != "und"))
   }
 
+  test("connectedComponents matches driver union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 400
+    val edges = (1 to 300).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val pairs = edges.toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    // driver-side union-find oracle
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).flatMap { x =>
+      val root = find(x)
+      // component label = min member; union-by-min keeps root = min
+      if (edges.exists(e => e._1 == x || e._2 == x) &&
+          edges.exists(e => e._1 != e._2 && (e._1 == x || e._2 == x)))
+        Some(x.toLong -> root.toLong)
+      else None
+    }.toMap
+    // nodes with only self-loop edges are absent from got; compare on got's domain
+    assert(got.nonEmpty)
+    got.foreach { case (node, comp) =>
+      assert(expected(node) == comp, s"node $node: got $comp expected ${expected(node)}")
+    }
+    assert(expected.keySet == got.keySet,
+      s"missing nodes: ${(expected.keySet -- got.keySet).take(5)}")
+  }
+
+  test("connectedComponents collapses a long chain (diameter >> rounds)") {
+    import spark.implicits._
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(got.length == 200 && got.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents: empty and self-loop-only input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
+    val selfOnly = Seq((7L, 7L)).toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(selfOnly, "id_a", "id_b").count() == 0)
+  }
+
+  test("dedupClusters: singleton fallback and canonical flags") {
+    import spark.implicits._
+    val corpus = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (5L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(corpus, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, true), (2L, 2L, true), (3L, 2L, false),
+      (4L, 4L, true), (5L, 4L, false)))
+  }
+
   test("maxMultiplicity: empty array and NULL-safe adjacency") {
     import spark.implicits._
     val df = Seq(

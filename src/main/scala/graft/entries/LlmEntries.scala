@@ -116,6 +116,42 @@ object LlmEntries {
           |             ELSE string_split_regex(trim(text), '\s+') END AS ws
           |      FROM documents)""".stripMargin)),
 
+    // PII redaction over documents with deterministically seeded PII (the
+    // corpus itself is synthetic prose; the seeds give every category real
+    // positives whose redacted text DuckDB reproduces byte-for-byte). The
+    // patterns live in the Java/RE2 common dialect subset and are applied
+    // in a defined order, so the sequential CTE chain is an exact replay.
+    Entry("llm_pii_redact", (s, d) => {
+      val seeded = docsDelta(s, d).select(col("doc_id"), col("text"))
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"),
+            lit(" reach me at jane.doe+spam@mail-host.example.com or 555-867-5309")))
+          .when(col("doc_id") % 11 === 0, concat(col("text"),
+            lit(" card 4111 1111 1111 1111 ssn 219-09-9999 ip 10.0.0.254")))
+          .otherwise(col("text")))
+      TextOps.redactPii(seeded, "text")
+        .select(col("doc_id"), col("n_email"), col("n_card"), col("n_ssn"),
+          col("n_phone"), col("n_ipv4"), col("text").as("text_redacted"))
+    },
+      Some(
+        """WITH seeded AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 7 = 0 THEN text || ' reach me at jane.doe+spam@mail-host.example.com or 555-867-5309'
+          |              WHEN doc_id % 11 = 0 THEN text || ' card 4111 1111 1111 1111 ssn 219-09-9999 ip 10.0.0.254'
+          |              ELSE text END AS t
+          |  FROM documents),
+          |s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+          |              regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t FROM seeded),
+          |s2 AS (SELECT doc_id, n_email, CAST(len(regexp_extract_all(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS BIGINT) AS n_card,
+          |              regexp_replace(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CARD>', 'g') AS t FROM s1),
+          |s3 AS (SELECT doc_id, n_email, n_card, CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+          |              regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t FROM s2),
+          |s4 AS (SELECT doc_id, n_email, n_card, n_ssn, CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+          |              regexp_replace(t, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS t FROM s3),
+          |s5 AS (SELECT doc_id, n_email, n_card, n_ssn, n_phone, CAST(len(regexp_extract_all(t, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ipv4,
+          |              regexp_replace(t, '\b\d{1,3}(\.\d{1,3}){3}\b', '<IPV4>', 'g') AS t FROM s4)
+          |SELECT doc_id, n_email, n_card, n_ssn, n_phone, n_ipv4, t AS text_redacted FROM s5""".stripMargin)),
+
     Entry("llm_quality", (s, d) => {
       val t = col("text")
       docsDelta(s, d).select(col("doc_id"),

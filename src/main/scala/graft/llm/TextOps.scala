@@ -45,6 +45,42 @@ object TextOps {
     aggregate(words(text), lit(0L),
       (acc, s) => acc + ((length(s) + lit(3)) / lit(4)).cast("long"))
 
+  /** One PII category: a regex (kept to the Java/RE2 COMMON dialect subset —
+    * char classes, bounded/unbounded repetition, \b, \d; no lookaround, no
+    * backrefs — so external engines can replay redaction exactly) and its
+    * replacement token. */
+  case class PiiPattern(name: String, regex: String, replacement: String)
+
+  /** Default redaction set. ORDER MATTERS and is part of the contract:
+    * categories are applied sequentially, each counting + replacing on the
+    * text as left by the previous one (email before the digit patterns so
+    * a phone inside an address-like string can't double-count; SSN's 3-2-4
+    * shape before phone's 3-3-4; cards require separators so 16-digit ids
+    * don't trip them). */
+  val defaultPiiPatterns: Seq[PiiPattern] = Seq(
+    PiiPattern("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    PiiPattern("card", "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b", "<CARD>"),
+    PiiPattern("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    PiiPattern("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    PiiPattern("ipv4", "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IPV4>"))
+
+  /** PII scrubbing for corpus curation: returns the input columns with
+    * `textCol` replaced by its redacted form plus one `n_<category>` count
+    * per pattern (matches found at that category's turn in the sequence).
+    * Pure per-row map of codegen'd regexp expressions — no shuffle, no UDF;
+    * at 100 TB this is scan-bound like every other per-document op. */
+  def redactPii(df: DataFrame, textCol: String,
+      patterns: Seq[PiiPattern] = defaultPiiPatterns): DataFrame = {
+    val redacted = patterns.foldLeft(df) { (acc, p) =>
+      acc
+        .withColumn(s"n_${p.name}",
+          size(regexp_extract_all(col(textCol), lit(p.regex), lit(0))).cast("long"))
+        .withColumn(textCol,
+          regexp_replace(col(textCol), p.regex, p.replacement))
+    }
+    redacted
+  }
+
   /** Quality heuristics: mean word length, alpha ratio, digit ratio.
     * Returned as separate columns by [[qualityColumns]]. */
   def meanWordLen(text: Column): Column = {

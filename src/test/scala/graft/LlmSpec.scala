@@ -317,6 +317,25 @@ class LlmSpec extends AnyFunSuite {
       (4L, 4L, true), (5L, 4L, false)))
   }
 
+  test("redactPii: per-category counts, replacement, and category order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a@b.co card 4111-1111-1111-1111 ssn 123-45-6789 tel 555-123-4567 ip 10.0.0.1"),
+      (2L, "nothing here 12345")).toDF("doc_id", "text")
+    val out = TextOps.redactPii(df, "text")
+      .select("doc_id", "n_email", "n_card", "n_ssn", "n_phone", "n_ipv4", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert((1 to 5).map(r1.getLong) == Seq(1L, 1L, 1L, 1L, 1L))
+    assert(r1.getString(6) ==
+      "mail <EMAIL> card <CARD> ssn <SSN> tel <PHONE> ip <IPV4>")
+    // card is consumed BEFORE the ssn/phone passes — its 3-2-4 / 3-3-4
+    // substrings must not leak into those counts
+    val r2 = out(2L)
+    assert((1 to 5).map(r2.getLong).forall(_ == 0L))
+    assert(r2.getString(6) == "nothing here 12345")
+  }
+
   test("maxMultiplicity: empty array and NULL-safe adjacency") {
     import spark.implicits._
     val df = Seq(

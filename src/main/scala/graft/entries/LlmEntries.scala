@@ -450,6 +450,38 @@ object LlmEntries {
            |           ELSE ${sel(0.1)} END""".stripMargin
       }),
 
+    // domain-mixture sampling to a token budget: per-domain keep rates are
+    // DATA-DEPENDENT (budget × weight / domain token total), so the oracle
+    // recomputes them in SQL. Weights are dyadic rationals summing to
+    // exactly 1.0, so the Scala-side weight sum and the SQL literals are
+    // IEEE-identical no matter the map iteration order, and the md5-draw
+    // threshold (floor(r·2³²) as 8 hex chars) matches digit-for-digit.
+    Entry("llm_mixture_sample", (s, d) => {
+      val docs = docsDelta(s, d).select(col("doc_id"), col("source"), col("text"))
+        .withColumn("n_tokens", TextOps.tokenEstimate(col("text")))
+      graft.llm.Curation.mixtureSample(docs, "doc_id", "source", col("n_tokens"),
+        Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.125, "src4" -> 0.125),
+        tokenBudget = 3000, salt = "mix")
+        .select("doc_id", "source", "n_tokens")
+    },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, source,
+          |         CAST(coalesce(list_sum([CAST(ceil(length(w) / 4.0) AS BIGINT) FOR w IN ws]), 0) AS BIGINT) AS n_tokens
+          |  FROM (SELECT doc_id, source,
+          |          CASE WHEN length(trim(text)) = 0 THEN []
+          |               ELSE string_split_regex(trim(text), '\s+') END AS ws
+          |        FROM documents WHERE source IN ('src1', 'src2', 'src3', 'src4'))
+          |),
+          |tot AS (SELECT source, SUM(n_tokens) AS t FROM tok GROUP BY source),
+          |rates AS (
+          |  SELECT source,
+          |         LEAST(1.0, CAST(3000 AS DOUBLE) * (CASE source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.125 ELSE 0.125 END / 1.0) / CAST(t AS DOUBLE)) AS r
+          |  FROM tot)
+          |SELECT k.doc_id, k.source, k.n_tokens
+          |FROM tok k JOIN rates USING (source)
+          |WHERE r >= 1.0 OR substr(md5(CAST(k.doc_id AS VARCHAR) || ':mix'), 1, 8) < printf('%08x', CAST(floor(r * 4294967296.0) AS BIGINT))""".stripMargin)),
+
     // GPT-style sequence packing: documents laid out in id order into a
     // continuous token stream cut into 2048-token chunks; distributed
     // two-phase cumsum (range partition + per-partition window + P-row

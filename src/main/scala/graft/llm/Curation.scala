@@ -52,6 +52,53 @@ object Curation {
   }
 
   /**
+   * Domain-mixture sampling to a token budget — the data-mixing step that
+   * turns "train on 60% web / 30% books / 10% code, N tokens total" into a
+   * concrete document sample. For each domain d with target weight w_d the
+   * per-document keep rate is
+   *   r_d = min(1, tokenBudget * (w_d / Σw) / tokens_d)
+   * and documents are kept by the same deterministic salted-md5 draw as
+   * [[sampleCond]] (reproducible on any cluster layout; a new salt draws an
+   * independent mix). Domains not in `weights` are dropped. A domain whose
+   * corpus is smaller than its target keeps everything (r = 1) — the
+   * shortfall is reported rather than silently re-balanced; callers decide
+   * whether to upweight elsewhere or epoch-repeat that domain.
+   *
+   * Scale shape: one tiny aggregation (one row per DOMAIN, not per row)
+   * collected to the driver to compute rates, then one narrow filter over
+   * the corpus. Sampling is per-document, so the realized token count
+   * concentrates around the target (documents ≪ budget); exact-to-the-token
+   * packing belongs to [[packChunks]] downstream.
+   */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      tokensCol: Column,
+      weights: Map[String, Double],
+      tokenBudget: Long,
+      salt: String = "graft"): DataFrame = {
+    require(tokenBudget > 0, "mixtureSample: tokenBudget must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.sum > 0, "mixtureSample: weights must be non-negative, not all zero")
+    val wsum = weights.values.sum
+    val totals = df.filter(col(domainCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(domainCol).as("__d"))
+      .agg(sum(coalesce(tokensCol, lit(0L)).cast("long")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates: Map[String, Double] = weights.flatMap { case (d, w) =>
+      totals.get(d).map { t =>
+        val target = tokenBudget.toDouble * (w / wsum)
+        d -> (if (t <= 0) 1.0 else math.min(1.0, target / t))
+      }
+    }
+    val cond = rates.foldRight(lit(false)) { case ((d, r), acc) =>
+      when(col(domainCol) === d, sampleCond(col(idCol), r, salt)).otherwise(acc)
+    }
+    df.filter(cond)
+  }
+
+  /**
    * GPT-style sequence packing (concat-and-chunk): documents are laid out
    * in `idCol` order into a continuous token stream cut into fixed
    * `budget`-token training chunks; returns each document's global token

@@ -86,4 +86,26 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 100L, 5L)), s"got ${out.toSeq}")
   }
+
+  test("mixtureSample: rates track weights; undersized domain keeps all; deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // domain a: 1000 docs × 10 tokens = 10000; domain b: 10 docs × 10 = 100;
+    // domain c unlisted (must be dropped entirely)
+    val rows = (1 to 1000).map(i => (i.toLong, "a", 10L)) ++
+      (2001 to 2010).map(i => (i.toLong, "b", 10L)) ++
+      (3001 to 3010).map(i => (i.toLong, "c", 10L))
+    val df = rows.toDF("id", "dom", "tok")
+    def run() = Curation.mixtureSample(df, "id", "dom", col("tok"),
+      Map("a" -> 0.5, "b" -> 0.5), tokenBudget = 2000, salt = "t")
+    val out = run().collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDom = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // per-domain target = 1000 tokens: a rate 0.1 → ~100 of 1000 docs;
+    // b total (100) under target → rate capped at 1, ALL kept
+    assert(byDom("b") == 10, s"b: $byDom")
+    assert(byDom("a") > 50 && byDom("a") < 200, s"a: $byDom")
+    assert(!byDom.contains("c"), s"unlisted domain kept: $byDom")
+    assert(run().collect().map(_.getLong(0)).toSet == out.map(_._1).toSet,
+      "mixtureSample not deterministic")
+  }
 }

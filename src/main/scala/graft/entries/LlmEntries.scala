@@ -389,6 +389,43 @@ object LlmEntries {
          |SELECT id_a, id_b FROM p WHERE cos >= 0.95""".stripMargin
     }),
 
+    // SemDeDup (semantic dedup over embeddings): sign-LSH-bucketed cosine
+    // pairs at a high threshold -> connected components -> smallest id per
+    // semantic cluster is canonical. The scaled mutants (2·v) are exact
+    // cosine-1 duplicates in BOTH engines (scaling by a power of two
+    // commutes with IEEE rounding), so the expected clusters are exact.
+    Entry("llm_semdedup", (s, d) => {
+      val emb = embDelta(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val mut = emb.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("v"), x => x * lit(2.0)).as("v"))
+      val corpus = emb.unionByName(mut)
+      val pairs = Similarity.cosineNearDups(corpus, "vec_id", "v",
+        threshold = 0.95, nBits = 4, dim = 64)
+      Dedup.dedupClusters(corpus.select("vec_id"), "vec_id", pairs)
+        .select(col("vec_id"), col("cluster"), col("is_canonical"))
+    }, Some {
+      val bucket = duckBucketExpr("v", planes)
+      s"""WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |corpus AS (
+         |  SELECT vec_id, v FROM base
+         |  UNION ALL SELECT vec_id + 1000000, [x * 2 FOR x IN v] FROM base),
+         |b AS (SELECT vec_id, v, $bucket AS bucket FROM corpus),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |  WHERE list_dot_product(a.v, c.v) /
+         |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.95),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT vec_id, vec_id FROM corpus
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v)
+         |SELECT node AS vec_id, min(lbl) AS cluster,
+         |       node = min(lbl) AS is_canonical
+         |FROM reach GROUP BY node""".stripMargin
+    }),
+
     // ---- multimodal binary columns ----------------------------------------
 
     Entry("llm_multimodal_meta", (s, d) => {
@@ -552,6 +589,62 @@ object LlmEntries {
           |       CASE WHEN coalesce(tstat.nt, 0) = 0 THEN 0.0 ELSE tstat.tmx / tstat.nt END AS top_trigram_frac
           |FROM base b LEFT JOIN wstat USING (doc_id) LEFT JOIN bstat USING (doc_id)
           |            LEFT JOIN tstat USING (doc_id)""".stripMargin)),
+
+    // CCNet-style boilerplate line removal: lines seeded into 1/5 (banner)
+    // and 1/3 (footer) of docs cross the corpus-frequency threshold and are
+    // stripped from every copy; document text is reassembled in line order.
+    // The oracle replays the exact split/count/join/rebuild in DuckDB.
+    Entry("llm_line_dedup", (s, d) => {
+      val docs = docsDelta(s, d).select("doc_id", "text")
+      val corpus = docs.select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0, lit("ACCEPT COOKIES TO CONTINUE\n"))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 === 0, lit("\nSubscribe to our newsletter"))
+            .otherwise(lit(""))).as("text"))
+      Dedup.removeRepeatedLines(corpus, "doc_id", "text", minRepeat = 50)
+    }, Some(
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         coalesce(
+        |           (CASE WHEN doc_id % 5 = 0 THEN 'ACCEPT COOKIES TO CONTINUE' || chr(10) ELSE '' END)
+        |           || text ||
+        |           (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Subscribe to our newsletter' ELSE '' END),
+        |           '') AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+        |e AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1), i -> {'p': i, 'ln': ls[i]})) AS u FROM l),
+        |f AS (SELECT doc_id, u.p AS p, u.ln AS ln FROM e),
+        |c AS (SELECT ln, count(*) AS cnt FROM f GROUP BY ln),
+        |g AS (SELECT f.doc_id, f.p, f.ln, (c.cnt >= 50) AS rm FROM f JOIN c USING (ln))
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed,
+        |       coalesce(string_agg(CASE WHEN rm THEN NULL ELSE ln END, chr(10) ORDER BY p), '') AS text
+        |FROM g GROUP BY doc_id""".stripMargin)),
+
+    // LM-lite familiarity: fraction of each doc's bigrams (with
+    // multiplicity) seen fewer than minCount times corpus-wide — integer
+    // counts + one exact division, so the oracle is bit-exact
+    Entry("llm_bigram_novelty", (s, d) =>
+      TextOps.rareBigramRatio(docsDelta(s, d), "doc_id", "text", minCount = 3),
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+          |                      ELSE string_split_regex(trim(text), '\s+') END AS wl
+          |  FROM documents),
+          |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(wl)), i -> wl[i] || ' ' || wl[i+1])) AS g FROM base),
+          |c AS (SELECT g, count(*) AS cnt FROM bg GROUP BY g),
+          |j AS (SELECT bg.doc_id, bg.g, c.cnt FROM bg JOIN c USING (g)),
+          |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |               CAST(sum(CASE WHEN cnt < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+          |        FROM j GROUP BY doc_id)
+          |SELECT b.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+          |       coalesce(a.n_rare, 0) AS n_rare,
+          |       CASE WHEN coalesce(a.n_bigrams, 0) = 0 THEN 0.0
+          |            ELSE a.n_rare / a.n_bigrams END AS rare_bigram_ratio
+          |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin)),
 
     // corpus-level top-k bigrams (filter-list construction): one explode +
     // map-side-combined count + deterministic top-k (count desc, gram asc)

@@ -92,10 +92,9 @@ object Curation {
         d -> (if (t <= 0) 1.0 else math.min(1.0, target / t))
       }
     }
-    val cond = rates.foldRight(lit(false)) { case ((d, r), acc) =>
-      when(col(domainCol) === d, sampleCond(col(idCol), r, salt)).otherwise(acc)
-    }
-    df.filter(cond)
+    // default = 0.0: domains without a weight (or absent from the corpus)
+    // are dropped — same fold as stratifiedSample, kept in one place
+    stratifiedSample(df, idCol, domainCol, rates, default = 0.0, salt = salt)
   }
 
   /**

@@ -41,6 +41,49 @@ object Dedup {
       .select(cols.map(c => col("__keep")(c).as(c)): _*)
   }
 
+  /**
+   * CCNet-style boilerplate removal: drop every copy of any LINE whose
+   * corpus-wide occurrence count reaches `minRepeat` (cookie banners,
+   * nav menus, subscribe footers — text repeated across many pages), and
+   * reassemble each document from its surviving lines in order.
+   *
+   * Lines are exact `\n` splits (no trimming — normalization is the
+   * caller's choice, and exact lines keep the op replayable by any
+   * engine). Every input document comes back (a fully-boilerplate doc
+   * returns text "") with its original line count and the number removed.
+   *
+   * Scale shape: explode to (doc, pos, line) → one hash aggregation for
+   * corpus line counts → an equi-join back on the line (the count side is
+   * DISTINCT lines, so a million-fold repeated banner is ONE row on the
+   * build side — frequency skew lands on the probe side where it
+   * parallelizes) → one per-doc regroup. Three linear shuffles, nothing
+   * driver-side, no all-pairs anywhere.
+   */
+  def removeRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+      minRepeat: Long): DataFrame = {
+    require(minRepeat >= 2, s"removeRepeatedLines: minRepeat=$minRepeat would drop every line")
+    // NULL text reads as "" (one empty line): posexplode of a NULL array
+    // emits no rows, which would silently DROP the document from the output
+    val lines = df.select(col(idCol),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        .as(Seq("__pos", "__line")))
+    val counts = lines.groupBy("__line").agg(count(lit(1)).as("__cnt"))
+    lines.join(counts, Seq("__line"))
+      .select(col(idCol), col("__pos"), col("__line"),
+        (col("__cnt") >= minRepeat).as("__rm"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("__rm").cast("long")).as("n_lines_removed"),
+        // when() without otherwise is NULL for removed lines and
+        // collect_list skips NULLs; array_sort on (pos, line) structs
+        // restores document order deterministically
+        array_join(transform(
+          array_sort(collect_list(when(!col("__rm"),
+            struct(col("__pos"), col("__line"))))),
+          s => s("__line")), "\n").as(textCol))
+  }
+
   /** Word n-gram shingle array (distinct), from a single-space-tokenized
     * text column. Documents shorter than `n` words become one shingle. */
   def shingleArray(text: Column, n: Int): Column = {

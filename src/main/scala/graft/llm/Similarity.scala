@@ -39,14 +39,30 @@ object Similarity {
     * mode that THROWS DIVIDE_BY_ZERO and kills the whole query (and with
     * ANSI off it yields NaN, which ranks ABOVE every real score and
     * satisfies `>= threshold`). Guard the norms and map degenerate inputs
-    * to -1: ranked last, never passing a positive threshold. */
+    * to -1: ranked last, never passing a positive threshold.
+    *
+    * Three array passes per call (dot + the two squared norms): the NaN
+    * fallback is `nanvl`, not `when(isnan(c), …).otherwise(c)` — a
+    * conditional references the cosine twice, and lambda-bearing
+    * expressions are excluded from subexpression elimination, so the
+    * two-branch form recomputes the whole dot per reference. The join
+    * paths below go further and precompute each SIDE's squared norm before
+    * the join (one array pass per joined pair instead of three). */
   def rankCosine(a: Column, b: Column): Column = {
-    val na = norm(a)
-    val nb = norm(b)
-    val c = dot(a, b) / (na * nb)
-    when(na === 0.0 || nb === 0.0, lit(-1.0))
-      .otherwise(when(isnan(c), lit(-1.0)).otherwise(c))
+    val na2 = dot(a, a)
+    val nb2 = dot(b, b)
+    when(na2 === 0.0 || nb2 === 0.0, lit(-1.0))
+      .otherwise(nanvl(dot(a, b) / (sqrt(na2) * sqrt(nb2)), lit(-1.0)))
   }
+
+  /** [[rankCosine]] over a joined pair whose squared norms were computed
+    * per SIDE before the join — the per-pair cost is the single dot pass.
+    * `sqrt(n2a) * sqrt(n2b)` (not `sqrt(n2a * n2b)`): per-side square
+    * roots keep the result bit-identical to `norm(a) * norm(b)`, which is
+    * what the DuckDB oracles replay. */
+  private def pairCos(d: Column, n2a: Column, n2b: Column): Column =
+    when(n2a === 0.0 || n2b === 0.0, lit(-1.0))
+      .otherwise(nanvl(d / (sqrt(n2a) * sqrt(n2b)), lit(-1.0)))
 
   /** Per-query top-k by cosine over a scored (query_id, neighbor_id, cos)
     * set — shared by the brute-force, IVF, and LSH paths. */
@@ -83,11 +99,14 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      dot(col(vecCol), col(vecCol)).as("__qn2")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      dot(col(vecCol), col(vecCol)).as("__cn2"))
     topK(c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", rankCosine(col("__qv"), col("__cv"))), k)
+      .withColumn("cos",
+        pairCos(dot(col("__qv"), col("__cv")), col("__qn2"), col("__cn2"))), k)
   }
 
   /** Deterministic pseudo-random hyperplanes: `nBits` rows × `dim` values in
@@ -141,25 +160,38 @@ object Similarity {
     // argmax/probe expressions consume it: lambda-bearing expressions are
     // excluded from Spark's subexpression elimination, so inlining cosArr
     // into both array_position and array_max would recompute all
-    // nCells x dim cosine arithmetic per reference
-    def cosArr(vec: Column): Column =
-      array(centroids.map(c => rankCosine(vec, array(c.map(lit): _*))): _*)
+    // nCells x dim cosine arithmetic per reference. The row's squared norm
+    // (`nv2`) is likewise a materialized column, and each centroid's norm
+    // is a compile-time Scala constant (same left-to-right summation order
+    // as the `dot` aggregate, so the value is bit-identical) — per row the
+    // array does nCells dot passes, not 3 × nCells.
+    def cosArr(vec: Column, nv2: Column): Column =
+      array(centroids.map { c =>
+        val cn = math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
+        if (cn == 0.0) lit(-1.0)
+        else when(nv2 === 0.0, lit(-1.0))
+          .otherwise(nanvl(dot(vec, array(c.map(lit): _*)) / (sqrt(nv2) * lit(cn)),
+            lit(-1.0)))
+      }: _*)
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__ca", cosArr(col("__cv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        dot(col(vecCol), col(vecCol)).as("__cn2"))
+      .withColumn("__ca", cosArr(col("__cv"), col("__cn2")))
       .withColumn("__cell",
         (array_position(col("__ca"), array_max(col("__ca"))) - 1).cast("int"))
       .drop("__ca")
     // top-nProbe cell ids: sort (cos desc, index asc) via struct keys
     val q = broadcast(queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__ca", cosArr(col("__qv")))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        dot(col(vecCol), col(vecCol)).as("__qn2"))
+      .withColumn("__ca", cosArr(col("__qv"), col("__qn2")))
       .withColumn("__probe", explode(slice(transform(sort_array(transform(col("__ca"),
         (cc, i) => struct((-cc).as("nc"), i.as("i")))), st => st("i")), 1, nProbe)))
       .drop("__ca"))
     topK(c.join(q, col("__probe") === col("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", rankCosine(col("__qv"), col("__cv"))), k)
+      .withColumn("cos",
+        pairCos(dot(col("__qv"), col("__cv")), col("__qn2"), col("__cn2"))), k)
   }
 
   /**
@@ -179,11 +211,15 @@ object Similarity {
     requireDim(corpus, vecCol, dim, "cosineNearDups")
     val planes = hyperplanes(nBits, dim)
     val b = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      dot(col(vecCol), col(vecCol)).as("__n2"),
       bucketId(col(vecCol), planes).as("__bucket"))
-    val l = b.select(col("__id").as("id_a"), col("__v").as("__va"), col("__bucket"))
-    val r = b.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__bucket").as("__bucket2"))
+    val l = b.select(col("__id").as("id_a"), col("__v").as("__va"),
+      col("__n2").as("__na2"), col("__bucket"))
+    val r = b.select(col("__id").as("id_b"), col("__v").as("__vb"),
+      col("__n2").as("__nb2"), col("__bucket").as("__bucket2"))
     l.join(r, col("__bucket") === col("__bucket2") && col("id_a") < col("id_b"))
-      .withColumn("cos", rankCosine(col("__va"), col("__vb")))
+      .withColumn("cos",
+        pairCos(dot(col("__va"), col("__vb")), col("__na2"), col("__nb2")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -203,11 +239,14 @@ object Similarity {
     requireDim(corpus, vecCol, dim, "lshTopK")
     val planes = hyperplanes(nBits, dim)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      dot(col(vecCol), col(vecCol)).as("__cn2"),
       bucketId(col(vecCol), planes).as("__bucket"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      dot(col(vecCol), col(vecCol)).as("__qn2"),
       bucketId(col(vecCol), planes).as("__qbucket")))
     topK(c.join(q, col("__bucket") === col("__qbucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", rankCosine(col("__qv"), col("__cv"))), k)
+      .withColumn("cos",
+        pairCos(dot(col("__qv"), col("__cv")), col("__qn2"), col("__cn2"))), k)
   }
 }

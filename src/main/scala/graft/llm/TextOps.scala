@@ -183,6 +183,38 @@ object TextOps {
           .otherwise(col("__mt") / col("__nt")).as("top_trigram_frac"))
   }
 
+  /**
+   * Language-model-lite familiarity scoring: the fraction of a document's
+   * word bigrams (with multiplicity) whose corpus-wide occurrence count is
+   * below `minCount`. A high rare-bigram ratio flags the same documents a
+   * KenLM perplexity filter would — OCR noise, gibberish, boilerplate-free
+   * but incoherent text — with integer counts and one exact division per
+   * doc, so any engine replays it bit-for-bit (no log-prob float-summation
+   * order to disagree on).
+   *
+   * Scale shape: explode bigrams → one hash aggregation for corpus counts
+   * → equi-join back (build side is DISTINCT bigrams; frequency skew sits
+   * on the probe side) → per-doc regroup. Documents with no bigram
+   * (< 2 words) return ratio 0.0 — they are POOR evidence of rarity, and
+   * 0.0-not-NULL keeps threshold filters total.
+   */
+  def rareBigramRatio(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode_outer(ngrams(words(col(textCol)), 2)).as("__g"))
+    val counts = grams.filter(col("__g").isNotNull)
+      .groupBy("__g").agg(count(lit(1)).as("__cnt"))
+    // left join: bigram-less docs (NULL __g from explode_outer) survive
+    grams.join(counts, Seq("__g"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(col("__g")).as("n_bigrams"),
+        sum(when(col("__cnt") < minCount, 1L).otherwise(0L)).as("n_rare"))
+      .select(col(idCol), col("n_bigrams"), col("n_rare"),
+        when(col("n_bigrams") === 0, 0.0)
+          .otherwise(col("n_rare") / col("n_bigrams")).as("rare_bigram_ratio"))
+  }
+
   /** Corpus-level top-k most frequent word n-grams — the building block for
     * boilerplate/filter lists. One explode + one aggregation (map-side
     * partial combine) + a TakeOrderedAndProject top-k; ties break on the

@@ -347,4 +347,51 @@ class LlmSpec extends AnyFunSuite {
       .orderBy("id").collect().map(_.getLong(1)).toSeq
     assert(out == Seq(0L, 1L, 3L))
   }
+
+  test("removeRepeatedLines: strips frequent lines, keeps order, never drops docs") {
+    import spark.implicits._
+    // "BANNER" appears 3 times corpus-wide, everything else < 3
+    val df = Seq(
+      (1L, "BANNER\nunique one\nmiddle\nBANNER"),
+      (2L, "unique two\nBANNER"),
+      (3L, "only original text"),
+      (4L, null.asInstanceOf[String]), // NULL text must not vanish
+      (5L, "BANNERISH\nBANNER-NOT")    // substrings are NOT matches
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedLines(df, "doc_id", "text", minRepeat = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(1L) == ((4L, 2L, "unique one\nmiddle")))
+    assert(out(2L) == ((2L, 1L, "unique two")))
+    assert(out(3L) == ((1L, 0L, "only original text")))
+    assert(out(4L) == ((1L, 0L, ""))) // NULL text = one empty line, kept
+    assert(out(5L) == ((2L, 0L, "BANNERISH\nBANNER-NOT")))
+    // a doc that is ALL boilerplate returns empty text, not a missing row
+    val allBp = Seq((1L, "X"), (2L, "X"), (3L, "X")).toDF("doc_id", "text")
+    val gone = Dedup.removeRepeatedLines(allBp, "doc_id", "text", minRepeat = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(gone.toSet == Set((1L, 1L, ""), (2L, 1L, ""), (3L, 1L, "")))
+  }
+
+  test("rareBigramRatio: multiplicity counting, short docs are 0.0 not NULL") {
+    import spark.implicits._
+    // corpus bigrams: "a b" x3 (docs 1,2 + repeat in 1), "b a" x1, "c d" x1
+    val df = Seq(
+      (1L, "a b a b"),   // bigrams: "a b","b a","a b"
+      (2L, "a b"),
+      (3L, "c d"),
+      (4L, "single"),    // no bigram
+      (5L, "")           // no words at all
+    ).toDF("doc_id", "text")
+    val out = TextOps.rareBigramRatio(df, "doc_id", "text", minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // "a b" count=3 (not rare at minCount=2); "b a","c d" count=1 (rare)
+    assert(out(1L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(2L) == ((1L, 0L, 0.0)))
+    assert(out(3L) == ((1L, 1L, 1.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    assert(out(5L) == ((0L, 0L, 0.0)))
+  }
 }

@@ -229,5 +229,33 @@ object TpcdsEntries {
         |top AS (SELECT o_custkey, cents, CAST(rnk AS BIGINT) AS rnk
         |        FROM ranked WHERE rnk <= 50)
         |SELECT c_name, cents, rnk
-        |FROM top JOIN customer ON c_custkey = o_custkey""".stripMargin))
+        |FROM top JOIN customer ON c_custkey = o_custkey""".stripMargin),
+
+    // exact per-group median over integer cents: the even-count midpoint is
+    // the average of two BIGINTs — a dyadic-exact double in both engines
+    sqlEntry("tpcds_median", Seq("orders"),
+      """SELECT o_orderpriority,
+        |       CAST(median(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) AS med_cents,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY o_orderpriority""".stripMargin),
+
+    // q51/q64 shape: lag/lead over a named WINDOW clause with an explicit
+    // lag default — per-customer order sequence deltas in exact cents
+    sqlEntry("tpcds_lag_lead", Seq("orders"),
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_orderkey) OVER w AS prev_ok,
+        |       lead(o_orderkey) OVER w AS next_ok,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) -
+        |         lag(CAST(round(o_totalprice * 100) AS BIGINT), 1, 0) OVER w AS delta_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin),
+
+    // correlated LATERAL subquery in FROM (scalar aggregate per outer row);
+    // customers without orders produce a NULL max and are filtered
+    sqlEntry("tpcds_lateral", Seq("customer", "orders"),
+      """SELECT c_custkey, c_name, t.max_cents
+        |FROM customer, LATERAL (
+        |  SELECT CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        |  FROM orders WHERE o_custkey = c_custkey) t
+        |WHERE t.max_cents IS NOT NULL""".stripMargin))
 }

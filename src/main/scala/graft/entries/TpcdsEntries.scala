@@ -250,8 +250,12 @@ object TpcdsEntries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin),
 
-    // correlated LATERAL subquery in FROM (scalar aggregate per outer row);
-    // customers without orders produce a NULL max and are filtered
+    // correlated LATERAL subquery in FROM (scalar aggregate per outer row).
+    // The IS NOT NULL filter is LOAD-BEARING for parity: for a customer
+    // with no orders, Spark emits a (c, NULL) row from the scalar
+    // aggregate while DuckDB's comma-LATERAL drops the outer row entirely
+    // — the filter is what makes both engines agree. Do not remove it as
+    // "redundant".
     sqlEntry("tpcds_lateral", Seq("customer", "orders"),
       """SELECT c_custkey, c_name, t.max_cents
         |FROM customer, LATERAL (

@@ -330,14 +330,9 @@ object Bench {
     // heap thrash. Lets the record adjudicate contention without a re-run.
     val wallSec = (System.nanoTime() - benchT0) / 1e9
     val loadJson = {
-      import scala.jdk.CollectionConverters._
-      val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).filter(_ >= 0L).sum / 1e3
-      val cpu = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case os: com.sun.management.OperatingSystemMXBean =>
-          os.getProcessCpuTime / 1e9
-        case _ => -1.0
-      }
+      val gc = graft.tools.MergeGrid.gcMs / 1e3
+      val cpuMs = graft.tools.MergeGrid.cpuMs
+      val cpu = if (cpuMs < 0L) -1.0 else cpuMs / 1e3
       s""""wall":${fmt(wallSec)},"gc":${fmt(gc)},"cpu":${fmt(cpu)}"""
     }
     val total = medians.values.sum

@@ -991,8 +991,7 @@ object CoreEntries {
     // state and the result equals batch DISTINCT.
     Entry("streaming_dedup", (s, d) => {
       val dir = tempDir("stdedup")
-      val ev = pq(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = tsToTimestamp(pq(s, d, "events"))
         .select("event_id", "ts", "user_id", "event_type")
       DeltaTable.write(s, ev.repartition(4), dir)
       DeltaTable.write(s, ev.repartition(2), dir, mode = "append") // replay
@@ -1077,12 +1076,28 @@ object CoreEntries {
       |    ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)) t
       |WHERE rn = 1""".stripMargin))
 
+  /** Normalize `events.ts` to a session-tz (UTC) TIMESTAMP across testdata
+    * generations: earlier drops carried int64 epoch NANOS (read as LONG via
+    * nanosAsLong), current drops carry parquet TIMESTAMP(MICROS, tz-naive)
+    * which Spark reads as TIMESTAMP_NTZ. DuckDB reads both as a naive
+    * TIMESTAMP, so the UTC-session cast keeps oracle parity in either case. */
+  private def tsToTimestamp(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    ev.schema("ts").dataType match {
+      case LongType => ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => ev.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => ev
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
+  }
+
   /** Private Delta copy of `events` (micros ts) for streaming entries that
     * append sentinel commits to it. */
   private def eventsCopy(s: SparkSession, d: String, tag: String): String = {
     val dir = tempDir(tag)
-    val ev = pq(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = tsToTimestamp(pq(s, d, "events"))
     DeltaTable.write(s, ev.repartition(4), dir)
     dir
   }
@@ -1111,14 +1126,12 @@ object CoreEntries {
       q.processAllAvailable()
     }
 
-  /** Delta copy of `events` with the nanosecond epoch converted to a proper
-    * timestamp column (Spark has no nanosecond timestamp type), registered
-    * as the `events_delta` temp view. */
+  /** Delta copy of `events` with `ts` normalized to a session-tz TIMESTAMP
+    * (see [[tsToTimestamp]]), registered as the `events_delta` temp view. */
   private def eventsDeltaView(s: SparkSession, d: String): Unit = {
     val dir = EntryCtx.shared2.getOrElseUpdate(s"$d#events_delta", {
       val dd = tempDir("events")
-      val ev = pq(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = tsToTimestamp(pq(s, d, "events"))
       DeltaTable.write(s, ev.repartition(4), dd)
       dd
     })

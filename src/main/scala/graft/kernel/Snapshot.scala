@@ -318,16 +318,15 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
         // and a footer-read failure assumes over-threshold. The lazy path
         // is correct at any size; if lazy isn't available the eager read
         // below surfaces the underlying IO error loudly.
-        def footerRows(): Option[Long] = scala.util.Try {
+        def footerRows(): Long = scala.util.Try {
           val ps = if (classic) parts else v2SidecarParts
           ps.map(p => Checkpoints.partRowCount(store, p)).sum
-        }.recover { case scala.util.control.NonFatal(_) => Long.MaxValue }
-          .toOption
-        val cpRows: Option[Long] =
+        }.getOrElse(Long.MaxValue) // read failure = assume over threshold
+        val cpRows: Long =
           if (lastCheckpointHint().contains(cv))
-            lastCheckpointSize().orElse(footerRows())
+            lastCheckpointSize().getOrElse(footerRows())
           else footerRows()
-        if (withFiles && cpRows.exists(_ >= lazyThreshold) &&
+        if (withFiles && cpRows >= lazyThreshold &&
             (classic || v2SidecarParts.nonEmpty)) {
           lazyParts = Some(if (classic) parts else v2SidecarParts)
           // control plane only — columnar pruning (or the tiny manifest)

@@ -151,12 +151,23 @@ object Sessionize {
               }
             }
             open.foreach { s =>
-              state.update(s)
               // fires once the event-time watermark exceeds this instant;
               // CEILING ms division — flooring would fire up to 1ms before
               // end + gap, closing a session a mergeable successor at
               // exactly end + gap should have extended
-              state.setTimeoutTimestamp(Math.floorDiv(s.end + 999L, 1000L) + gapMs)
+              val timeoutMs = Math.floorDiv(s.end + 999L, 1000L) + gapMs
+              if (timeoutMs <= state.getCurrentWatermarkMs()) {
+                // the gap already elapsed relative to the watermark (a batch
+                // delivered only very-late events for this user): no future
+                // event can merge — Spark drops anything older than the
+                // watermark — and setTimeoutTimestamp REJECTS sub-watermark
+                // instants, so close and emit now instead of crashing
+                if (state.exists) state.remove()
+                closed += SessionOut(user, toTs(s.start), toTs(s.end), s.n)
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(timeoutMs)
+              }
             }
             closed.iterator
           }

@@ -114,15 +114,23 @@ object MergeGrid {
   case class CellResult(c: Case, sec: Double, violations: Seq[String],
       phases: Map[String, Double], gcSec: Double, cpuSec: Double)
 
-  private def gcMs: Long = {
+  /** Cumulative JVM GC wall time; shared with Bench's whole-run load block
+    * so the two records can't diverge. */
+  private[graft] def gcMs: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).filter(_ >= 0L).sum
   }
-  private def cpuMs: Long =
+  /** Cumulative process CPU time, or -1 when the JVM can't report it —
+    * including the bean-present-but-unsupported case where
+    * getProcessCpuTime itself returns -1 ns (which a bare /1000000
+    * would truncate to 0 = "fully starved", the exact misread the
+    * sentinel exists to prevent). */
+  private[graft] def cpuMs: Long =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case os: com.sun.management.OperatingSystemMXBean =>
-        os.getProcessCpuTime / 1000000L
+        val ns = os.getProcessCpuTime
+        if (ns < 0L) -1L else ns / 1000000L
       case _ => -1L
     }
 

@@ -157,11 +157,12 @@ object Sessionize {
               // exactly end + gap should have extended
               val timeoutMs = Math.floorDiv(s.end + 999L, 1000L) + gapMs
               if (timeoutMs <= state.getCurrentWatermarkMs()) {
-                // the gap already elapsed relative to the watermark (a batch
-                // delivered only very-late events for this user): no future
-                // event can merge — Spark drops anything older than the
-                // watermark — and setTimeoutTimestamp REJECTS sub-watermark
-                // instants, so close and emit now instead of crashing
+                // defense-in-depth: Spark 4 filters sub-watermark rows
+                // before this function runs (pinned by SessionizeSpec), so
+                // end + gap currently can't trail the watermark — but
+                // setTimeoutTimestamp REJECTS sub-watermark instants, so if
+                // Spark's late-row handling ever changes, close and emit
+                // rather than kill the query with its IllegalArgumentException
                 if (state.exists) state.remove()
                 closed += SessionOut(user, toTs(s.start), toTs(s.end), s.n)
               } else {

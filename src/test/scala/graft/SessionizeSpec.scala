@@ -138,6 +138,43 @@ class SessionizeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: fully-late rows are dropped by Spark, never kill the query") {
+    // With watermarkDelay=0, batch 1's 12:00 event pushes the watermark to
+    // 12:00. Batch 2 then delivers a different user at 10:00 — below the
+    // watermark. Spark 4's FlatMapGroupsWithStateExec with EventTimeTimeout
+    // FILTERS sub-watermark rows before the state function (verified here:
+    // user 2 produces no session at all), so the state function only ever
+    // sees events >= watermark and the open session's end can't fall more
+    // than a gap behind it. The sub-watermark-timeout clamp in
+    // sessionsStream is therefore defense-in-depth (a Spark semantics
+    // change would otherwise turn into IllegalArgumentException from
+    // setTimeoutTimestamp); this test pins today's drop semantics and
+    // that the query keeps running either way.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess4").toString + "/t"
+    DeltaTable.write(spark, events((1L, "2024-01-01 12:00:00")), dir)
+    val view = s"sess_spec4_${System.nanoTime()}"
+    val q = Sessionize.sessionsStream(
+        spark.readStream.format("graft-delta").load(dir), "user_id", "ts", 30)
+      .toDF()
+      .writeStream.format("memory").outputMode("append").queryName(view).start()
+    try {
+      q.processAllAvailable() // watermark now 12:00
+      DeltaTable.write(spark, events((2L, "2024-01-01 10:00:00")), dir,
+        mode = "append")
+      q.processAllAvailable() // must not throw
+      assert(spark.table(view).filter("user_id = 2").count() == 0)
+      // user 1's session is still open (12:00 + gap is ahead of the
+      // watermark); close it via sentinels and check it was kept intact
+      Seq("2031-01-01 00:00:00", "2031-01-02 00:00:00").foreach { t =>
+        DeltaTable.write(spark, events((-1L, t)), dir, mode = "append")
+        q.processAllAvailable()
+      }
+      val fin = spark.table(view).filter("user_id >= 0").collect()
+      assert(fin.length == 1 && fin(0).getLong(0) == 1L &&
+        fin(0).getLong(3) == 1L, fin.mkString(";"))
+    } finally q.stop()
+  }
+
   test("streaming equals batch on a shuffled multi-user corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

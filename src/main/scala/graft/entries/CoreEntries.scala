@@ -344,6 +344,25 @@ object CoreEntries {
         .scanWhere("o_orderkey <= 7500 AND o_totalprice > 100000")
     }, Some("SELECT * FROM orders WHERE o_orderkey <= 7500 AND o_totalprice > 100000")),
 
+    // add-action introspection (python get_add_actions, python/src/lib.rs):
+    // the flattened per-file action frame — partition values, decoded stats
+    // JSON — rolled up by partition must equal the data itself, proving the
+    // listing against ground truth the oracle can recompute (file counts
+    // are layout-dependent and stay out of the comparison).
+    Entry("add_actions_stats", (s, d) => {
+      val dir = sharedDelta(s, d, "orders", partitionBy = Seq("o_orderstatus"))
+      DeltaTable.forPath(s, dir).getAddActions(flatten = true)
+        .groupBy(col("partition_values")("o_orderstatus").as("o_orderstatus"))
+        .agg(sum("num_records").cast("long").as("n_rows"),
+          min(element_at(col("min_values"), "o_orderkey").cast("long"))
+            .as("min_orderkey"),
+          max(element_at(col("max_values"), "o_orderkey").cast("long"))
+            .as("max_orderkey"))
+    }, Some(
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(o_orderkey) AS min_orderkey, max(o_orderkey) AS max_orderkey
+        |FROM orders GROUP BY 1""".stripMargin)),
+
     // blind append fast path (§2.1 row 10, table/blind.rs)
     Entry("blind_append", (s, d) => {
       val dir = tempDir("blind")
@@ -946,6 +965,39 @@ object CoreEntries {
         |       CAST(count(*) AS BIGINT) AS cnt,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
         |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // stream-static join (§2.10): streaming events joined to the static
+    // customer dimension — the static side is a bounded Delta scan, so
+    // Spark broadcasts it into every microbatch (no stream-side shuffle;
+    // at scale the dimension is re-read per batch but never re-shuffled) —
+    // then event-time windowed aggregation closed out by the sentinels.
+    // Sentinel rows (user_id = -1) advance the watermark at the watermark
+    // node and are dropped by the inner join afterwards, so they never
+    // surface a window.
+    Entry("streaming_join_agg", (s, d) => {
+      val dir = eventsCopy(s, d, "stjoin")
+      val cust = DeltaTable.forPath(s, EntryCtx.sharedDelta(s, d, "customer"))
+        .toDF.select(col("c_custkey"), col("c_mktsegment"))
+      val view = s"graft_join_stream_${System.nanoTime()}"
+      val q = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 day"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        // DATE on both sides: DuckDB's date_trunc('day') yields a DATE
+        .select(col("window.start").cast("date").as("day"),
+          col("c_mktsegment"), col("cnt"))
+        .writeStream.format("memory").outputMode("append").queryName(view).start()
+      try {
+        q.processAllAvailable()
+        advanceWatermark(s, q, dir)
+      } finally q.stop()
+      s.table(view).filter(col("day") < lit("2030-01-01"))
+    }, Some(
+      """SELECT CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS DATE) AS day,
+        |       c.c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin)),
 
     // Structured Streaming gap sessionization (§2.10 custom state):
     // flatMapGroupsWithState + event-time timeout through the graft-delta

@@ -116,6 +116,27 @@ object LlmEntries {
           |             ELSE string_split_regex(trim(text), '\s+') END AS ws
           |      FROM documents)""".stripMargin)),
 
+    // Unicode normalization (corpus cleaning stage 1) via the native
+    // TextNormalize expression. documents.text is ASCII, so a fixed
+    // unicode suffix (precomposed accents, an en-dash, the ﬁ ligature, and
+    // an o + COMBINING DIAERESIS pair) is appended to give NFC composition
+    // and accent folding real work; DuckDB's utf8proc-backed
+    // nfc_normalize/strip_accents replay it byte-for-byte (accented chars
+    // in play all fold to ASCII, sidestepping the engines' differing
+    // treatment of non-decomposable compatibility characters).
+    Entry("llm_normalize", (s, d) => {
+      val suffix = " Çafé–ﬁ Nöel"
+      val txt = concat(col("text"), lit(suffix))
+      docsDelta(s, d).select(col("doc_id"),
+        graft.functions.TextNormalize.normalizeText(txt, "nfc").as("norm_nfc"),
+        lower(graft.functions.TextNormalize.normalizeText(txt, "strip_accents"))
+          .as("norm_folded"))
+    }, Some(
+      """SELECT doc_id,
+        |       nfc_normalize(text || ' Çafé–ﬁ No' || chr(776) || 'el') AS norm_nfc,
+        |       lower(strip_accents(nfc_normalize(text || ' Çafé–ﬁ No' || chr(776) || 'el'))) AS norm_folded
+        |FROM documents""".stripMargin)),
+
     // PII redaction over documents with deterministically seeded PII (the
     // corpus itself is synthetic prose; the seeds give every category real
     // positives whose redacted text DuckDB reproduces byte-for-byte). The

@@ -261,5 +261,80 @@ object TpcdsEntries {
         |FROM customer, LATERAL (
         |  SELECT CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
         |  FROM orders WHERE o_custkey = c_custkey) t
-        |WHERE t.max_cents IS NOT NULL""".stripMargin))
+        |WHERE t.max_cents IS NOT NULL""".stripMargin),
+
+    // q88 shape: one row assembled from independent scalar-aggregate
+    // derived tables via comma cross join — each subquery is its own scan
+    // bucket, the planner must recognize all are single-row
+    sqlEntry("tpcds_q88_shape", Seq("lineitem"),
+      """SELECT b1, b2, b3, b4 FROM
+        |  (SELECT CAST(count(*) AS BIGINT) AS b1 FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) s1,
+        |  (SELECT CAST(count(*) AS BIGINT) AS b2 FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) s2,
+        |  (SELECT CAST(count(*) AS BIGINT) AS b3 FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) s3,
+        |  (SELECT CAST(count(*) AS BIGINT) AS b4 FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) s4""".stripMargin),
+
+    // q90 shape: ratio of two filtered counts (BIGINT / BIGINT widened to
+    // DOUBLE — a single IEEE division is bit-identical across engines; the
+    // denominator bucket is never empty in this data)
+    sqlEntry("tpcds_q90_shape", Seq("lineitem"),
+      """SELECT CAST(lo AS DOUBLE) / hi AS qty_ratio, lo, hi FROM
+        |  (SELECT CAST(count(*) AS BIGINT) AS lo FROM lineitem WHERE l_quantity <= 25) a,
+        |  (SELECT CAST(count(*) AS BIGINT) AS hi FROM lineitem WHERE l_quantity > 25) b""".stripMargin),
+
+    // q51 shape: two per-customer daily cumulative-revenue channels FULL
+    // OUTER joined on (customer, day), then running maxima OVER the joined
+    // frame and a cross-channel dominance filter — windows stacked on an
+    // outer join, the hardest shape in the reference's window family.
+    // Daily pre-aggregation makes the cumulative sums tie-free; max()
+    // ignores the NULLs the outer join introduces in both engines.
+    sqlEntry("tpcds_q51_shape", Seq("orders"),
+      """WITH o1 AS (
+        |  SELECT o_custkey AS k, o_orderdate AS dt,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1, 2),
+        |f1 AS (
+        |  SELECT o_custkey AS k, o_orderdate AS dt,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1, 2),
+        |o2 AS (SELECT k, dt, sum(c) OVER (PARTITION BY k ORDER BY dt
+        |                                  ROWS UNBOUNDED PRECEDING) AS cum_o FROM o1),
+        |f2 AS (SELECT k, dt, sum(c) OVER (PARTITION BY k ORDER BY dt
+        |                                  ROWS UNBOUNDED PRECEDING) AS cum_f FROM f1),
+        |j AS (
+        |  SELECT coalesce(o2.k, f2.k) AS k, coalesce(o2.dt, f2.dt) AS dt,
+        |         cum_o, cum_f
+        |  FROM o2 FULL OUTER JOIN f2 ON o2.k = f2.k AND o2.dt = f2.dt)
+        |SELECT k, dt, mx_o, mx_f FROM (
+        |  SELECT k, dt,
+        |         max(cum_o) OVER (PARTITION BY k ORDER BY dt
+        |                          ROWS UNBOUNDED PRECEDING) AS mx_o,
+        |         max(cum_f) OVER (PARTITION BY k ORDER BY dt
+        |                          ROWS UNBOUNDED PRECEDING) AS mx_f
+        |  FROM j) t
+        |WHERE mx_o > mx_f""".stripMargin),
+
+    // q67 shape: ROLLUP feeding a partitioned rank with an explicit
+    // NULLS FIRST tiebreak (Spark's ASC default is NULLS FIRST, DuckDB's
+    // is NULLS LAST — the explicit clause is what makes them agree on the
+    // rollup's NULL subtotal rows)
+    sqlEntry("tpcds_q67_shape", Seq("orders"),
+      """SELECT o_orderpriority, o_orderstatus, cents, rk FROM (
+        |  SELECT o_orderpriority, o_orderstatus, cents,
+        |         rank() OVER (PARTITION BY o_orderpriority
+        |                      ORDER BY cents DESC, o_orderstatus ASC NULLS FIRST) AS rk
+        |  FROM (
+        |    SELECT o_orderpriority, o_orderstatus,
+        |           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)) agg) r
+        |WHERE rk <= 2""".stripMargin),
+
+    // q97 shape: channel-overlap census — two DISTINCT key sets FULL OUTER
+    // joined, categorized by null pattern into both/left-only/right-only
+    sqlEntry("tpcds_q97_shape", Seq("orders"),
+      """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+        |b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+        |SELECT CAST(sum(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_ch,
+        |       CAST(sum(CASE WHEN a.k IS NOT NULL AND b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+        |       CAST(sum(CASE WHEN a.k IS NULL AND b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_b
+        |FROM a FULL OUTER JOIN b ON a.k = b.k""".stripMargin))
 }

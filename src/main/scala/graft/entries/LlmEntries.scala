@@ -67,7 +67,7 @@ object LlmEntries {
     s"""WITH corpus AS ($corpusSql),
        |sh AS (
        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END) AS s
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) t
+       |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM corpus) t
        |),
        |hs AS (SELECT doc_id, md5(s) AS m FROM sh),
        |bits AS (SELECT doc_id, $sums FROM hs GROUP BY doc_id),
@@ -196,14 +196,14 @@ object LlmEntries {
         TextOps.fingerprint(col("text")).as("fp")),
       Some(
         """SELECT doc_id,
-          |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+          |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
           |FROM documents""".stripMargin)),
 
     Entry("llm_langid", (s, d) =>
-      docsDelta(s, d).select(col("doc_id"),
-        TextOps.langId(col("text")).as("lang_pred")),
+      TextOps.withLangId(docsDelta(s, d).select("doc_id", "text"),
+        "text", "lang_pred").select("doc_id", "lang_pred"),
       Some {
-        val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+        val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
         val scores = TextOps.langMarkers.map { case (lang, ms) =>
           val list = ms.map(m => s"'$m'").mkString("(", ", ", ")")
           lang -> s"len(list_filter(string_split($norm, ' '), w -> w IN $list))"
@@ -233,7 +233,7 @@ object LlmEntries {
         s"""WITH corpus AS ($corpusSql),
            |sh AS (
            |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
-           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) t
+           |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM corpus) t
            |),
            |pairs AS (
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -260,7 +260,7 @@ object LlmEntries {
         s"""WITH RECURSIVE corpus AS ($corpusSql),
            |sh AS (
            |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
-           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) t
+           |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM corpus) t
            |),
            |pairs AS (
            |  SELECT id_a, id_b FROM (
@@ -295,7 +295,7 @@ object LlmEntries {
         s"""WITH corpus AS ($corpusSql),
            |sh AS (
            |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
-           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) t
+           |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM corpus) t
            |),
            |pairs AS (
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -577,7 +577,7 @@ object LlmEntries {
     }, Some(
       """WITH sh AS (
         |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+        |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS w FROM documents) t
         |),
         |bench AS (SELECT doc_id AS bench_id, s AS bs FROM sh WHERE doc_id % 37 = 0)
         |SELECT a.doc_id, b.bench_id, CAST(len(list_intersect(a.s, b.bs)) AS BIGINT) AS shared
@@ -701,8 +701,8 @@ object LlmEntries {
       val corpus = docs.unionByName(exactCopies).unionByName(nearCopies)
 
       val t = col("text")
-      val scored = corpus.select(col("doc_id"), t,
-          TextOps.langId(t).as("lang_pred"),
+      val scored = TextOps.withLangId(corpus, "text", "lang_pred")
+        .select(col("doc_id"), t, col("lang_pred"),
           TextOps.wordCount(t).as("n_words"),
           TextOps.meanWordLen(t).as("mwl"),
           TextOps.digitRatio(t).as("dr"))
@@ -723,7 +723,7 @@ object LlmEntries {
           Map("en" -> 0.6, "de" -> 0.8), default = 0.5, salt = "cur7")
         .select("doc_id", "lang_pred", "n_words")
     }, Some {
-      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
       val scores = TextOps.langMarkers.map { case (lang, ms) =>
         val list = ms.map(m => s"'$m'").mkString("(", ", ", ")")
         lang -> s"len(list_filter(string_split($norm, ' '), w -> w IN $list))"
@@ -760,7 +760,7 @@ object LlmEntries {
          |fp AS (SELECT *, md5($norm) AS f FROM qual),
          |ex AS (SELECT * FROM fp WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
          |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
-         |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ex) t),
+         |       FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM ex) t),
          |dropped AS (
          |  SELECT DISTINCT b.doc_id AS id_b
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id

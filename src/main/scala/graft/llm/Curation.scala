@@ -81,6 +81,12 @@ object Curation {
     require(tokenBudget > 0, "mixtureSample: tokenBudget must be positive")
     require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
       weights.values.sum > 0, "mixtureSample: weights must be non-negative, not all zero")
+    // string-keyed contract, checked up front: a non-string domain column
+    // would pass the isin filter via implicit casts and then die on the
+    // driver with a bare ClassCastException at getString
+    require(df.schema(domainCol).dataType == org.apache.spark.sql.types.StringType,
+      s"mixtureSample: domain column '$domainCol' must be STRING (weights are " +
+        s"string-keyed), got ${df.schema(domainCol).dataType.simpleString}")
     val wsum = weights.values.sum
     val totals = df.filter(col(domainCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(domainCol).as("__d"))

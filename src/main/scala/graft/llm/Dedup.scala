@@ -84,10 +84,15 @@ object Dedup {
           s => s("__line")), "\n").as(textCol))
   }
 
-  /** Word n-gram shingle array (distinct), from a single-space-tokenized
-    * text column. Documents shorter than `n` words become one shingle. */
+  /** Word n-gram shingle array (distinct). Tokenization is whitespace-RUN
+    * splitting ([[TextOps.words]]): a literal single-space split embeds
+    * empty tokens on double spaces and glues words across newlines, so a
+    * benchmark doc (eval sets are whitespace-normalized) would share zero
+    * shingles with the same content line-wrapped — silently defeating
+    * near-dup detection and decontamination. Documents shorter than `n`
+    * words become one shingle. */
   def shingleArray(text: Column, n: Int): Column = {
-    val w = split(text, " ")
+    val w = TextOps.words(text)
     when(size(w) >= n,
       array_distinct(transform(sequence(lit(0), size(w) - n),
         i => concat_ws(" ", slice(w, i + 1, lit(n))))))
@@ -412,7 +417,12 @@ object Dedup {
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("__fa").bitwiseXOR(col("__fb"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct shuffle: hamming is functionally
+      // determined by the pair, so the reorder is result-identical, and the
+      // overwhelming majority of chunk collisions (random 16-bit chunks
+      // collide at 4/2^16; skewed sign patterns collide far more) exceed
+      // maxHamming — they should die in the map stage, not cross the wire
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

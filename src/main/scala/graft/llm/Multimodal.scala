@@ -71,6 +71,10 @@ object Multimodal {
       payloadCol: String,
       nFrames: Int = 4,
       frameSize: Int = 16): DataFrame = {
+    // sequence(0, nFrames-1) with nFrames = 0 would auto-step BACKWARDS to
+    // [0, -1] and emit bogus frames instead of failing
+    require(nFrames >= 1, s"frameSample: nFrames must be >= 1, got $nFrames")
+    require(frameSize >= 1, s"frameSample: frameSize must be >= 1, got $frameSize")
     val len = length(col(payloadCol)).cast("long")
     // long math: int*int offset arithmetic overflows (and throws under
     // ANSI) for payloads over ~715 MB at the default nFrames
@@ -90,6 +94,7 @@ object Multimodal {
       idCol: String,
       payloadCol: String,
       k: Int = 8): DataFrame = {
+    require(k >= 1, s"resampleHex: k must be >= 1, got $k")
     val len = length(col(payloadCol)).cast("long")
     val parts = (0 until k).map { j =>
       hex(col(payloadCol).substr(
@@ -100,15 +105,17 @@ object Multimodal {
 
   /** Deterministic stand-in for a media codec: dim byte-histogram-ish floats.
     * Replace with the real decoder; the pipeline around it is unchanged.
-    * Integer accumulation + a power-of-two divide keeps the value FP-exact
-    * (no fp32 rounding), so an external oracle can reproduce it bit-for-bit. */
+    * LONG accumulation (an Int slot would wrap past ~8 MB/slot of payload)
+    * with the exact sum divided in DOUBLE before the single fp32 rounding
+    * step, so an external oracle summing in int64/fp64 reproduces the float
+    * bit-for-bit at any payload size. */
   private def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val acc = new Array[Int](dim)
+    val acc = new Array[Long](dim)
     var i = 0
     while (i < bytes.length) {
       acc(i % dim) += bytes(i) & 0xFF
       i += 1
     }
-    acc.map(_ / 256.0f)
+    acc.map(s => (s.toDouble / 256.0).toFloat)
   }
 }

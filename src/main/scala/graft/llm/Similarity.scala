@@ -85,7 +85,8 @@ object Similarity {
       .limit(1).collect().headOption.foreach { r =>
         require(r.getInt(0) == dim,
           s"$op: dim=$dim does not match embedding width ${r.getInt(0)} — " +
-            "every LSH bucket would collapse to 0 (all-pairs join)")
+            "LSH buckets would collapse to 0 (all-pairs join) / IVF cell " +
+            "assignment would go NULL (empty probe join)")
       }
 
   /**
@@ -150,11 +151,19 @@ object Similarity {
       k: Int,
       nCells: Int = 8,
       nProbe: Int = 2): DataFrame = {
-    // tiny driver collect: nCells × dim doubles (the quantizer itself)
+    // tiny driver collect: nCells × dim doubles (the quantizer itself).
+    // NULL embeddings are excluded (a null among the first nCells ids would
+    // NPE on the driver) and the centroid width anchors a one-row width
+    // check below — a width-mismatched corpus otherwise yields NULL cosine
+    // arrays, NULL cells, and a silently empty probe join.
     val centroids: Array[Array[Double]] = corpus
       .select(col(idCol), col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull)
       .orderBy(col(idCol)).limit(nCells)
       .collect().map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, "ivfTopK: corpus has no non-null embeddings")
+    requireDim(corpus, vecCol, centroids(0).length, "ivfTopK corpus")
+    requireDim(queries, vecCol, centroids(0).length, "ivfTopK queries")
 
     // the nCells-cosine array is MATERIALIZED as its own column before the
     // argmax/probe expressions consume it: lambda-bearing expressions are

@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
  */
 object TextOps {
 
-  /** Lowercase, strip non-alphanumerics, collapse runs of spaces.
-    * Deterministic normalization used by [[fingerprint]] and dedup. */
+  /** Lowercase, strip non-alphanumerics, collapse whitespace runs to one
+    * space. Newlines/tabs are WHITESPACE, not punctuation: deleting them
+    * (the old `[^a-z0-9 ]` class) glued words across line breaks, so two
+    * documents identical modulo line-wrapping — ubiquitous in web text —
+    * got different fingerprints. Deterministic normalization used by
+    * [[fingerprint]] and dedup. */
   def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
 
   /** Stable document fingerprint: md5 of the normalized text. Two documents
     * with the same fingerprint are duplicates modulo case/punct/whitespace. */
@@ -123,6 +127,34 @@ object TextOps {
     scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
       when(s === best && best > 0, lit(lang)).otherwise(acc)
     }
+  }
+
+  /** Two-projection language ID: materializes the per-language marker-count
+    * struct ONCE (a single aggregate pass over the normalized word array)
+    * and derives the argmax from cheap struct-field references. Inlining
+    * [[langId]] as one expression re-runs the normalize+split+filter lambda
+    * per WHEN/greatest reference — lambda-bearing expressions are excluded
+    * from Spark's subexpression elimination, so a single-column langId
+    * costs up to ~9 normalization passes per language; this helper does
+    * exactly one (CollapseProject keeps the multi-referenced non-cheap
+    * alias in its own projection, same pattern as [[textStats]]). Prefer
+    * this in pipelines; [[langId]] remains for single-expression contexts. */
+  def withLangId(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val zero = struct(langMarkers.map { case (l, _) => lit(0L).as(l) }: _*)
+    val counts = aggregate(words(normalize(col(textCol))), zero,
+      (acc, s) => struct(langMarkers.map { case (l, ms) =>
+        (acc(l) + when(ms.map(m => s === lit(m)).reduce(_ || _), 1L)
+          .otherwise(0L)).as(l)
+      }: _*))
+    val sc = col("__lang_counts")
+    val best = langMarkers.map { case (l, _) => sc(l) }
+      .reduce((a, b) => greatest(a, b))
+    val pick = langMarkers.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(sc(l) === best && best > 0, lit(l)).otherwise(acc)
+    }
+    df.withColumn("__lang_counts", counts)
+      .withColumn(outCol, pick)
+      .drop("__lang_counts")
   }
 
   /** Word n-grams of `w` (a string array) joined with single spaces; fewer

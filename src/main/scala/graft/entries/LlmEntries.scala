@@ -307,6 +307,28 @@ object LlmEntries {
            |FROM pairs
            |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // winnowing (MOSS) fingerprint near-dups: min-of-window over ordered
+    // k-gram md5s. The hash IS the md5 hex string, so DuckDB's list_min
+    // replays fingerprint selection byte-for-byte — the oracle is the
+    // exact brute-force expected output, including the shared counts.
+    Entry("llm_winnow", (s, d) =>
+      Dedup.winnowNearDups(corpusWithNearDups(s, d), "doc_id", "text",
+        k = 4, window = 4, minShared = 5),
+      Some(
+        s"""WITH corpus AS ($corpusSql),
+           |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS ws FROM corpus),
+           |g AS (SELECT doc_id, CASE WHEN len(ws) < 4 THEN [] ELSE [md5(array_to_string(ws[i:i+3], ' ')) FOR i IN range(1, len(ws) - 2)] END AS hs FROM w),
+           |f0 AS (SELECT doc_id, unnest(
+           |         CASE WHEN len(hs) = 0 THEN []
+           |              WHEN len(hs) < 4 THEN [list_min(hs)]
+           |              ELSE list_distinct([list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 2)]) END) AS fp
+           |       FROM g),
+           |f AS (SELECT DISTINCT doc_id, fp FROM f0)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+           |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2
+           |HAVING count(*) >= 5""".stripMargin)),
+
     // full oracle: md5-derived hash lets DuckDB replay the exact
     // fingerprints; the banded join is provably lossless at hamming<=3, so
     // brute-force all-pairs in DuckDB is the precise expected output.

@@ -261,6 +261,76 @@ object Dedup {
     verifyJaccard(candidates, sets, threshold)
   }
 
+  /**
+   * Winnowing fingerprints (the MOSS document-fingerprinting scheme,
+   * Schleimer/Wilkerson/Aiken SIGMOD'03): hash the ORDERED word k-grams,
+   * slide a `window`-wide frame over the hash sequence, keep each frame's
+   * minimum — any shared substring of at least k + window - 1 words is
+   * GUARANTEED to contribute a shared fingerprint, while storage shrinks
+   * by ~window×. The between-the-hash-families member of the dedup set:
+   * position-aware like n-gram Jaccard, sublinear in stored grams like
+   * MinHash.
+   *
+   * Per-document work is pure codegen array expressions (transform /
+   * slice / array_min — no UDF, no explode until the final fingerprint
+   * set), so the fingerprint stage is a narrow map. The hash is the md5
+   * HEX STRING (min by byte order): [0-9a-f] ASCII compares identically
+   * in Spark, DuckDB, or any byte-ordered engine, so external oracles
+   * replay fingerprint selection exactly with no 64-bit signedness games.
+   *
+   * Documents shorter than k words emit NO fingerprints (nothing to
+   * guarantee); k..k+window-2 words yield the single global minimum.
+   * Returns (idCol, fp) distinct.
+   */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      window: Int = 4): DataFrame = {
+    require(k >= 1, s"winnowFingerprints: k must be >= 1, got $k")
+    require(window >= 1, s"winnowFingerprints: window must be >= 1, got $window")
+    val grams = TextOps.ngrams(TextOps.words(col(textCol)), k)
+    val hashes = transform(grams, g => md5(g))
+    val fps = when(size(hashes) === 0, array().cast("array<string>"))
+      .when(size(hashes) < window, array(array_min(hashes)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(hashes) - window + 1),
+        i => array_min(slice(hashes, i, lit(window))))))
+    df.select(col(idCol), explode(fps).as("fp")).distinct()
+  }
+
+  /**
+   * Near-duplicate pairs by shared winnowing fingerprints: pairs sharing
+   * at least `minShared` selected fingerprints. Same inverted-index shape
+   * as [[ngramJaccardNearDups]] — explode is already done (fingerprints
+   * ARE the posting entries), one self-equi-join on fp quadratic only
+   * within a posting list, with the same document-frequency cap killing
+   * boilerplate fingerprints before the join. Returns (id_a, id_b,
+   * shared) with shared = the exact count of co-selected fingerprints.
+   */
+  def winnowNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      window: Int = 4,
+      minShared: Int = 5,
+      maxDocFreq: Int = 100000): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, window)
+    val dfWindow = Window.partitionBy(col("fp"))
+    val rare = fps
+      .withColumn("__df", count(lit(1)).over(dfWindow))
+      .filter(col("__df") <= maxDocFreq)
+      .drop("__df")
+    rare.select(col(idCol).as("id_a"), col("fp"))
+      .join(rare.select(col(idCol).as("id_b"), col("fp").as("__fp2")),
+        col("fp") === col("__fp2") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** 64-bit SimHash fingerprint per document: sign-aggregate of shingle-hash
     * bits. One shuffle (groupBy id); fingerprint assembly is pure bit math.
     * `hashFn` maps the shingle column to a 64-bit hash — xxhash64 by default

@@ -163,7 +163,7 @@ object Sessionize {
                 // setTimeoutTimestamp REJECTS sub-watermark instants, so if
                 // Spark's late-row handling ever changes, close and emit
                 // rather than kill the query with its IllegalArgumentException
-                if (state.exists) state.remove()
+                state.remove() // unconditionally safe on absent state
                 closed += SessionOut(user, toTs(s.start), toTs(s.end), s.n)
               } else {
                 state.update(s)

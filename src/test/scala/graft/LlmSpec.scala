@@ -394,4 +394,36 @@ class LlmSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L, 0.0)))
     assert(out(5L) == ((0L, 0L, 0.0)))
   }
+
+  test("winnowing: shared-run guarantee, short-doc fallback, whitespace invariance") {
+    import spark.implicits._
+    val run = (1 to 12).map(i => s"w$i").mkString(" ") // 12 shared words
+    val df = Seq(
+      (1L, s"alpha beta $run gamma delta"),
+      (2L, s"one two three four five $run six seven"),
+      (3L, "tiny doc here now"),         // k=4 words → 1 gram → 1 fingerprint
+      (4L, "tiny doc here now extra"),   // shares doc 3's full 4-gram run
+      (5L, "unrelated totally different words entirely here"),
+      (6L, "")                           // no words → no fingerprints
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "doc_id", "text", k = 4, window = 4)
+    assert(fps.filter("doc_id = 6").count() == 0)
+    assert(fps.filter("doc_id = 3").count() == 1)
+    // winnowing guarantee: a shared word run of >= k + window - 1 (= 7)
+    // words forces at least one co-selected fingerprint
+    val pairs = Dedup.winnowNearDups(df, "doc_id", "text",
+      k = 4, window = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"12-word shared run must pair: $pairs")
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+    // whitespace-run tokenization: line-wrapped text fingerprints identically
+    val wrapped = Seq((7L, s"alpha beta ${run.replace(" w7 ", "\nw7\t")} gamma delta"))
+      .toDF("doc_id", "text")
+    val a = Dedup.winnowFingerprints(df.filter("doc_id = 1"), "doc_id", "text", 4, 4)
+      .select("fp").collect().map(_.getString(0)).toSet
+    val b = Dedup.winnowFingerprints(wrapped, "doc_id", "text", 4, 4)
+      .select("fp").collect().map(_.getString(0)).toSet
+    assert(a == b)
+  }
 }

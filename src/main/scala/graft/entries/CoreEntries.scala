@@ -419,6 +419,39 @@ object CoreEntries {
       """SELECT CAST(v AS BIGINT) AS version, op AS operation FROM (VALUES
         |  (0, 'CREATE TABLE AS SELECT'), (1, 'DELETE'), (2, 'OPTIMIZE')) t(v, op)""".stripMargin)),
 
+    // per-commit custom metadata (reference CommitProperties /
+    // commitInfo.userMetadata + flattened extras): the session-conf surface
+    // carries provenance through a plain write, the transaction-level
+    // fields through a DML op; history replays all of it
+    Entry("commit_metadata", (s, d) => {
+      import s.implicits._
+      val dir = tempDir("umeta")
+      s.conf.set("spark.graft.commitInfo.userMetadata", "ingest-batch-0")
+      try DeltaTable.write(s, pq(s, d, "nation"), dir)
+      finally s.conf.unset("spark.graft.commitInfo.userMetadata")
+      val t = DeltaTable.forPath(s, dir)
+      val txn = t.startTransaction()
+      txn.commitUserMetadata = Some("manual-fixup")
+      txn.commitAppMetadata = Map("pipelineRun" -> "r7", "team" -> "data-eng")
+      txn.readWholeTable()
+      val snap = t.snapshot
+      val rm = snap.allFiles.head
+      txn.commit(
+        Seq(rm.copy(dataChange = false)), // no-op re-add, metadata-only
+        graft.kernel.Operation("COMPUTE STATS", Map.empty, Map.empty))
+      DeltaTable.forPath(s, dir).history()
+        .map { case (v, _, ci) =>
+          (v, ci.map(_.operation).getOrElse("?"),
+            ci.flatMap(_.userMetadata).getOrElse(""),
+            ci.map(_.info.toSeq.sorted.map { case (k, x) => s"$k=$x" }
+              .mkString(";")).getOrElse(""))
+        }
+        .toDF("version", "operation", "user_metadata", "extra")
+    }, Some(
+      """SELECT CAST(v AS BIGINT) AS version, op AS operation, um AS user_metadata, ex AS extra FROM (VALUES
+        |  (0, 'CREATE TABLE AS SELECT', 'ingest-batch-0', ''),
+        |  (1, 'COMPUTE STATS', 'manual-fixup', 'pipelineRun=r7;team=data-eng')) t(v, op, um, ex)""".stripMargin)),
+
     // SQL catalog plugin (§2.1 catalogs, Spark-idiomatic): the entire
     // lifecycle — namespace, CTAS, INSERT, DELETE, SELECT — through
     // spark.sql over a GraftCatalog, zero library API calls.

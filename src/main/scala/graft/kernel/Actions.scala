@@ -141,9 +141,27 @@ case class CommitInfo(
     isBlindAppend: Option[Boolean] = None,
     operationMetrics: Map[String, String] = Map.empty,
     engineInfo: Option[String] = Some("graft-spark/0.1.0"),
-    txnId: Option[String] = None
+    txnId: Option[String] = None,
+    /** User-supplied provenance string (the protocol's `userMetadata`
+      * commitInfo field — reference `kernel/models/actions.rs:1121`,
+      * CommitProperties custom metadata). */
+    userMetadata: Option[String] = None,
+    /** Additional flattened commitInfo keys (reference CommitInfo.info,
+      * serde-flattened — actions.rs:1118). String-valued entries only:
+      * foreign commits' non-string extras are ignored on read, and writes
+      * refuse reserved keys upstream (Transaction filters them). */
+    info: Map[String, String] = Map.empty
 ) extends Action {
   override def wrapperKey: String = "commitInfo"
+}
+
+object CommitInfo {
+  /** commitInfo keys owned by typed fields — custom metadata must not
+    * shadow them (reference normalize_reserved_commit_metadata). */
+  val reservedKeys: Set[String] = Set(
+    "timestamp", "operation", "operationParameters", "readVersion",
+    "isolationLevel", "isBlindAppend", "operationMetrics", "engineInfo",
+    "txnId", "userMetadata")
 }
 
 case class DomainMetadata(domain: String, configuration: String, removed: Boolean = false)
@@ -254,7 +272,12 @@ object ActionCodec {
         opt("isBlindAppend", ci.isBlindAppend.map(JBool(_))) ++
         List("operationMetrics" -> jmap(ci.operationMetrics)) ++
         opt("engineInfo", ci.engineInfo.map(JString(_))) ++
-        opt("txnId", ci.txnId.map(JString(_))))
+        opt("txnId", ci.txnId.map(JString(_))) ++
+        opt("userMetadata", ci.userMetadata.map(JString(_))) ++
+        // flattened extras, reserved keys defensively excluded; sorted so
+        // the serialized form is deterministic
+        ci.info.view.filterKeys(!CommitInfo.reservedKeys.contains(_))
+          .toList.sortBy(_._1).map { case (k, v) => k -> JString(v) })
       case d: DomainMetadata => JObject(
         "domain" -> JString(d.domain),
         "configuration" -> JString(d.configuration),
@@ -393,7 +416,13 @@ object ActionCodec {
         isBlindAppend = boolOpt(o \ "isBlindAppend"),
         operationMetrics = smap(o \ "operationMetrics"),
         engineInfo = strOpt(o \ "engineInfo"),
-        txnId = strOpt(o \ "txnId")))
+        txnId = strOpt(o \ "txnId"),
+        userMetadata = strOpt(o \ "userMetadata"),
+        // flattened provenance extras: leftover STRING-valued keys (other
+        // engines may write arbitrary JSON there; non-strings are dropped)
+        info = o.obj.collect {
+          case (k, JString(v)) if !CommitInfo.reservedKeys.contains(k) => k -> v
+        }.toMap))
       case _ =>
     }
     (j \ "domainMetadata") match {

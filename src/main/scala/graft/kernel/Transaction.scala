@@ -42,6 +42,15 @@ class OptimisticTransaction(
   def readFile(paths: Iterable[String]): Unit = readFiles ++= paths
   def readWholeTable(): Unit = didReadWholeTable = true
 
+  /** Per-commit provenance (reference CommitProperties custom metadata):
+    * `commitUserMetadata` lands in commitInfo.userMetadata, `commitAppMetadata`
+    * entries become flattened commitInfo keys. When unset, userMetadata
+    * falls back to the session conf `spark.graft.commitInfo.userMetadata`
+    * — the Spark-first surface: every operation in the session (SQL,
+    * format writes, DML) picks it up without API plumbing. */
+  var commitUserMetadata: Option[String] = None
+  var commitAppMetadata: Map[String, String] = Map.empty
+
   private def readVersion: Long = snapshot.map(_.version).getOrElse(-1L)
 
   /** Commit `actions` as the next version; returns the committed version. */
@@ -64,6 +73,9 @@ class OptimisticTransaction(
         case _ => false
       }
 
+    val reserved = commitAppMetadata.keySet.intersect(CommitInfo.reservedKeys)
+    require(reserved.isEmpty,
+      s"commitAppMetadata must not shadow reserved commitInfo keys: ${reserved.mkString(", ")}")
     val commitInfo = CommitInfo(
       timestamp = Some(System.currentTimeMillis()),
       operation = op.name,
@@ -72,7 +84,11 @@ class OptimisticTransaction(
       isolationLevel = Some(isolationLevel.name),
       isBlindAppend = Some(isBlindAppend),
       operationMetrics = op.metrics,
-      txnId = Some(java.util.UUID.randomUUID.toString))
+      txnId = Some(java.util.UUID.randomUUID.toString),
+      userMetadata = commitUserMetadata.orElse(
+        Option(log.spark.conf.get("spark.graft.commitInfo.userMetadata", null))
+          .filter(_.nonEmpty)),
+      info = commitAppMetadata)
 
     val fullActions: Seq[Action] = commitInfo +: actions
 

@@ -79,4 +79,44 @@ class Round7Spec extends AnyFunSuite {
     System.err.println(f"[r7] 2M-row merge=$mergeSec%.1fs phases=" +
       phases.map { case (k, v) => f"$k=$v%.2f" }.mkString(","))
   }
+
+  test("commit metadata: txn fields, conf fallback, reserved keys, foreign extras") {
+    import graft.kernel.{ActionCodec, CommitInfo, Operation}
+    val dir = tmpDir()
+    spark.conf.set("spark.graft.commitInfo.userMetadata", "conf-level")
+    try DeltaTable.write(spark,
+      spark.range(5).select(col("id")), dir)
+    finally spark.conf.unset("spark.graft.commitInfo.userMetadata")
+    val t = DeltaTable.forPath(spark, dir)
+    val ci0 = t.history().find(_._1 == 0L).get._3.get
+    assert(ci0.userMetadata.contains("conf-level"))
+
+    // explicit txn metadata wins over conf; extras roundtrip via the log
+    val txn = t.startTransaction()
+    txn.commitUserMetadata = Some("explicit")
+    txn.commitAppMetadata = Map("runId" -> "abc")
+    txn.readWholeTable()
+    spark.conf.set("spark.graft.commitInfo.userMetadata", "conf-ignored")
+    try txn.commit(Seq(t.snapshot.allFiles.head.copy(dataChange = false)),
+      Operation("COMPUTE STATS", Map.empty, Map.empty))
+    finally spark.conf.unset("spark.graft.commitInfo.userMetadata")
+    val ci1 = DeltaTable.forPath(spark, dir).history().find(_._1 == 1L).get._3.get
+    assert(ci1.userMetadata.contains("explicit") && ci1.info == Map("runId" -> "abc"))
+
+    // reserved keys are refused, not silently shadowed
+    val bad = DeltaTable.forPath(spark, dir).startTransaction()
+    bad.commitAppMetadata = Map("operation" -> "FAKE")
+    bad.readWholeTable()
+    val e = intercept[IllegalArgumentException](
+      bad.commit(Nil, Operation("NOOP", Map.empty, Map.empty)))
+    assert(e.getMessage.contains("reserved"))
+
+    // foreign commitInfo: string extras captured, non-string extras dropped
+    val parsed = ActionCodec.fromJson(
+      """{"commitInfo":{"operation":"WRITE","userId":"u1","userMetadata":"m",
+        |"stats":{"n":1},"count":3}}""".stripMargin.replace("\n", "")).get
+      .asInstanceOf[CommitInfo]
+    assert(parsed.userMetadata.contains("m"))
+    assert(parsed.info == Map("userId" -> "u1"))
+  }
 }

@@ -1089,6 +1089,43 @@ object CoreEntries {
       s.table(view).select("event_id", "user_id", "event_type")
     }, Some("SELECT event_id, user_id, event_type FROM events")),
 
+    // stream-stream inner join (§2.10): click events joined to purchase
+    // events of the same user within one hour — BOTH sides are unbounded
+    // streams over the graft-delta source, so Spark keeps watermark-bounded
+    // join state for each; the time-range condition is what lets that state
+    // age out (without it, stream-stream state grows forever). Inner joins
+    // emit eagerly per microbatch, so no sentinel commits are needed —
+    // watermarks here only bound state. Filters sit AFTER withWatermark so
+    // the event-time column is anchored on the raw source.
+    Entry("streaming_stream_join", (s, d) => {
+      val dir = eventsCopy(s, d, "ststj")
+      val view = s"graft_stjoin2_${System.nanoTime()}"
+      val clicks = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val purchases = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val q = clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+        .writeStream.format("memory").outputMode("append").queryName(view).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(view)
+    }, Some(
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |       CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS lag_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin)),
+
     // streaming upsert (CDC apply): readStream over a change table,
     // foreachBatch reduces each microbatch to latest-per-key (max_by on a
     // monotonic seq) and MERGEs it into the target — the canonical

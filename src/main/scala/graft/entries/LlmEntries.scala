@@ -702,6 +702,93 @@ object LlmEntries {
           |        FROM documents) b)
           |GROUP BY g ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin)),
 
+    // BM25 keyword retrieval: queries are the first five normalized words
+    // of every 97th document (guaranteed self-hit). rational idf mode (the
+    // BM25 fraction without the ln) keeps every arithmetic step an exact
+    // IEEE op from integer inputs, and contributions are summed in
+    // ascending-term order on BOTH engines — so the full double score
+    // hash-matches, not just the ranking.
+    Entry("llm_bm25", (s, d) => {
+      val docs = docsDelta(s, d).select("doc_id", "text")
+      val queries = docs.filter("doc_id % 97 = 3")
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextOps.words(TextOps.normalize(col("text"))), 1, 5), " ")
+            .as("qtext"))
+      graft.llm.Search.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 10, idfMode = "rational")
+    }, Some {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+      s"""WITH d AS (
+         |  SELECT doc_id, CASE WHEN length(nt) = 0 THEN [] ELSE string_split(nt, ' ') END AS ws
+         |  FROM (SELECT doc_id, $norm AS nt FROM documents) n),
+         |dl AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM d),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS toks FROM dl),
+         |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:5])) AS term
+         |       FROM dl WHERE doc_id % 97 = 3),
+         |vocab AS (SELECT DISTINCT term FROM qt),
+         |post AS (SELECT doc_id, dl, unnest(ws) AS term FROM dl),
+         |postf AS (SELECT p.doc_id, p.dl, p.term FROM post p JOIN vocab v USING (term)),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, min(dl) AS dl
+         |       FROM postf GROUP BY 1, 2),
+         |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT q.query_id, t.doc_id, t.term,
+         |         ((CAST(st.n AS DOUBLE) - f.df + 0.5) / (f.df + 0.5) + 1.0)
+         |           * (t.tf * 2.25)
+         |           / (t.tf + 1.25 * (1.0 - 0.75 + 0.75 * t.dl / (CAST(st.toks AS DOUBLE) / CAST(st.n AS DOUBLE)))) AS w
+         |       FROM tf t JOIN dfx f USING (term) JOIN qt q USING (term), st),
+         |g AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |        list_sum(list(w ORDER BY term)) AS score
+         |      FROM sc GROUP BY 1, 2)
+         |SELECT query_id, doc_id,
+         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+         |       n_terms, score
+         |FROM g QUALIFY rnk <= 10""".stripMargin
+    }),
+
+    // scalar-quantized ANN: int8-style codes against corpus-wide per-dim
+    // min/max, ranking on the exact integer code dot product — codes and
+    // scores replay bit-for-bit in any engine (no FP summation anywhere)
+    Entry("llm_ann_quantized", (s, d) => {
+      val emb = embDelta(s, d)
+      Similarity.quantizedTopK(emb, emb.filter("vec_id < 8"), "vec_id",
+        "embedding", k = 10, dim = 64)
+    }, Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |st AS (SELECT u.i AS i, min(e.v[u.i]) AS mn, max(e.v[u.i]) AS mx
+        |       FROM e, range(1, 65) AS u(i) GROUP BY u.i),
+        |c AS (SELECT e.vec_id, s.i,
+        |        CASE WHEN s.mx = s.mn THEN 0
+        |             ELSE CAST(round((e.v[s.i] - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT)
+        |        END AS code
+        |      FROM e, st s),
+        |p AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
+        |        CAST(SUM(q.code * t.code) AS BIGINT) AS score
+        |      FROM c q JOIN c t ON q.i = t.i AND t.vec_id <> q.vec_id
+        |      WHERE q.vec_id < 8 GROUP BY 1, 2)
+        |SELECT qid AS query_id, nid AS neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rnk,
+        |       score
+        |FROM p QUALIFY rnk <= 10""".stripMargin)),
+
+    // RAG-style sliding-window chunking: 40-word windows advancing by 30
+    // (10-word overlap); shuffle-free explode, exact string reassembly
+    Entry("llm_chunks", (s, d) =>
+      graft.llm.Curation.chunkOverlap(docsDelta(s, d).select("doc_id", "text"),
+        "doc_id", "text", chunkSize = 40, step = 30),
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+          |                      ELSE string_split_regex(trim(text), '\s+') END AS ws
+          |  FROM documents),
+          |n AS (SELECT doc_id, ws, len(ws) AS n FROM d),
+          |c AS (SELECT doc_id, ws,
+          |        unnest(range(0, CASE WHEN n <= 40 THEN 1 ELSE (n - 40 + 29) // 30 + 1 END)) AS ci
+          |      FROM n)
+          |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+          |       array_to_string(list_slice(ws, ci * 30 + 1, ci * 30 + 40), ' ') AS chunk_text,
+          |       CAST(len(list_slice(ws, ci * 30 + 1, ci * 30 + 40)) AS BIGINT) AS n_chunk_words
+          |FROM c""".stripMargin)),
+
     // ---- end-to-end corpus curation ---------------------------------------
     // The whole training-data assembly line composed from the library's own
     // operators: language ID -> quality gate -> exact dedup (fingerprint,

@@ -336,5 +336,74 @@ object TpcdsEntries {
         |SELECT CAST(sum(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_ch,
         |       CAST(sum(CASE WHEN a.k IS NOT NULL AND b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
         |       CAST(sum(CASE WHEN a.k IS NULL AND b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_b
-        |FROM a FULL OUTER JOIN b ON a.k = b.k""".stripMargin))
+        |FROM a FULL OUTER JOIN b ON a.k = b.k""".stripMargin),
+
+    // q78 shape: anti-join expressed as LEFT JOIN … IS NULL (the classic
+    // hand-written anti form — the planner must recognize it; distinct from
+    // the NOT IN / NOT EXISTS entries which parse to anti joins directly)
+    sqlEntry("tpcds_q78_shape", Seq("orders"),
+      """WITH a AS (SELECT o_custkey AS k,
+        |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_a
+        |           FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+        |b AS (SELECT o_custkey AS k,
+        |             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_b
+        |      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+        |SELECT a.k, a.cents_a
+        |FROM a LEFT JOIN b ON a.k = b.k
+        |WHERE b.k IS NULL""".stripMargin),
+
+    // q75 shape: year-over-year decline — one aggregated CTE self-joined on
+    // consecutive years (prev.yr + 1), filtered to shrinking cells
+    sqlEntry("tpcds_q75_shape", Seq("orders"),
+      """WITH y AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+        |         o_orderpriority AS p,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT cur.p, cur.yr, prev.cents AS prev_cents, cur.cents AS cur_cents
+        |FROM y cur JOIN y prev ON cur.p = prev.p AND cur.yr = prev.yr + 1
+        |WHERE cur.cents < prev.cents""".stripMargin),
+
+    // q38 shape: three-way INTERSECT (set semantics chained twice) reduced
+    // to a single count
+    sqlEntry("tpcds_q38_shape", Seq("orders"),
+      """SELECT CAST(count(*) AS BIGINT) AS hot
+        |FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t""".stripMargin),
+
+    // scalar subqueries inside HAVING: customers ordering more often than
+    // the global mean — the threshold is computed by two uncorrelated
+    // scalar subqueries right in the HAVING clause (one exact IEEE division
+    // of two integer counts, so the cutoff is bit-identical cross-engine)
+    sqlEntry("tpcds_having_subquery", Seq("orders"),
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) > (SELECT count(*) FROM orders) /
+        |                  (SELECT count(DISTINCT o_custkey) FROM orders)""".stripMargin),
+
+    // distribution windows: percent_rank/cume_dist over a tie-free global
+    // order — both are single exact IEEE divisions of rank integers
+    sqlEntry("tpcds_percentile", Seq("orders"),
+      """SELECT o_orderkey, cents, pr, cd FROM (
+        |  SELECT o_orderkey, cents,
+        |         percent_rank() OVER (ORDER BY cents, o_orderkey) AS pr,
+        |         cume_dist() OVER (ORDER BY cents, o_orderkey) AS cd
+        |  FROM (SELECT o_orderkey,
+        |               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |        FROM orders) t) w
+        |WHERE pr <= 0.01""".stripMargin),
+
+    // recursive CTE (Spark 4 + DuckDB share the WITH RECURSIVE syntax):
+    // a generated month spine LEFT JOINed to the fact table — months with
+    // no orders still appear with cnt = 0
+    sqlEntry("sql_recursive_cte", Seq("orders"),
+      """WITH RECURSIVE m(x) AS (
+        |  SELECT 1 UNION ALL SELECT x + 1 FROM m WHERE x < 12)
+        |SELECT CAST(m.x AS BIGINT) AS mon, CAST(count(o_orderkey) AS BIGINT) AS cnt
+        |FROM m LEFT JOIN orders ON EXTRACT(month FROM o_orderdate) = m.x
+        |GROUP BY m.x""".stripMargin))
 }

@@ -167,6 +167,47 @@ object Curation {
   }
 
   /**
+   * RAG-style sliding-window chunking: each document's whitespace tokens
+   * are cut into windows of `chunkSize` words advancing by `step` words
+   * (overlap = chunkSize - step), the standard retrieval-corpus chunker.
+   * Returns one row per (document, chunk): (idCol, chunk_idx, chunk_text,
+   * n_chunk_words). A document with at most `chunkSize` words (including
+   * an empty one) yields exactly one chunk.
+   *
+   * Scale shape: pure per-row explode of a computed sequence — shuffle-free
+   * and codegen'd end to end; output size is input size × (1/step overlap
+   * factor), the intrinsic cost of overlapped chunking.
+   *
+   * The chunk-count sequence is guarded to start at a non-negative length:
+   * `sequence(0, n)` REVERSES when n < 0 (Spark auto-descends), so the
+   * count is clamped to ≥ 1 rather than letting an empty doc produce a
+   * descending sequence.
+   */
+  def chunkOverlap(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      step: Int): DataFrame = {
+    require(chunkSize >= 1, "chunkOverlap: chunkSize must be >= 1")
+    require(step >= 1 && step <= chunkSize,
+      "chunkOverlap: step must be in [1, chunkSize]")
+    val n = size(col("__ws"))
+    // ceil((n - chunkSize) / step) + 1 via double floor (exact: quotient of
+    // longs < 2^52); docs that fit in one window take the constant branch
+    val nChunks = when(n <= chunkSize, lit(1))
+      .otherwise(floor((n - chunkSize + step - 1).cast("double") / step)
+        .cast("int") + 1)
+    df.select(col(idCol), TextOps.words(col(textCol)).as("__ws"))
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("__chunk",
+        slice(col("__ws"), col("chunk_idx") * step + 1, lit(chunkSize)))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        size(col("__chunk")).cast("long").as("n_chunk_words"))
+  }
+
+  /**
    * Benchmark contamination: corpus documents sharing at least `minShared`
    * distinct word n-gram shingles with a benchmark document — the standard
    * decontamination pass before training. Returns (idCol, bench_id, shared).

@@ -426,4 +426,86 @@ class LlmSpec extends AnyFunSuite {
       .select("fp").collect().map(_.getString(0)).toSet
     assert(a == b)
   }
+
+  test("bm25: self-retrieval, idf ordering, lucene mode, unmatched query") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "quantum physics explains particle behavior at small scales"),
+      (2L, "classical physics describes everyday motion and forces"),
+      (3L, "the stock market closed higher on strong earnings"),
+      (4L, "particle accelerators probe quantum physics experimentally"),
+      (5L, "cooking pasta requires boiling water and salt")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "quantum physics particle"), (200L, "zzz qqq"))
+      .toDF("query_id", "qtext")
+    for (mode <- Seq("lucene", "rational")) {
+      val out = graft.llm.Search.bm25TopK(corpus, "doc_id", "text",
+          queries, "query_id", "qtext", k = 3, idfMode = mode)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // the unmatched query has no postings at all → zero rows for it
+      assert(!out.exists(_._1 == 200L), s"$mode: unmatched query must vanish")
+      val ranked = out.filter(_._1 == 100L).sortBy(_._3)
+      // docs 1 and 4 match all three query terms; both must outrank doc 2
+      // (one term). 'physics' (df=3) is worth less than 'quantum'/'particle'
+      // (df=2) under any monotone idf.
+      assert(ranked.map(_._2).take(2).toSet == Set(1L, 4L),
+        s"$mode: expected docs 1,4 on top, got ${ranked.mkString(",")}")
+      assert(ranked.map(_._4).take(2).forall(_ == 3L)) // n_terms
+      assert(ranked(2)._2 == 2L && ranked(2)._4 == 1L)
+    }
+    // bad idf mode refused
+    intercept[IllegalArgumentException] {
+      graft.llm.Search.bm25TopK(corpus, "doc_id", "text",
+        queries, "query_id", "qtext", k = 3, idfMode = "tfidf")
+    }
+  }
+
+  test("quantized ANN: exact duplicate ranks first, constant dims are inert") {
+    import spark.implicits._
+    // 4-dim corpus; dim 4 is constant (mx = mn → code 0, contributes 0)
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 7.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 7.0f)),  // exact dup of 1
+      (3L, Seq(0.9f, 0.1f, 0.0f, 7.0f)),
+      (4L, Seq(0.0f, 1.0f, 0.0f, 7.0f)),
+      (5L, Seq(0.0f, 0.0f, 1.0f, 7.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizedTopK(corpus, corpus.filter("vec_id = 1"),
+        "vec_id", "embedding", k = 4, dim = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byRank = out.sortBy(_._2).map(_._1)
+    assert(byRank.head == 2L, s"exact duplicate must rank 1: ${out.mkString(",")}")
+    assert(byRank(1) == 3L)
+    // codes are bounded: max possible score = 255*255 per varying dim
+    assert(out.forall(_._3 <= 3L * 255 * 255))
+    // width mismatch is refused, not silently mis-bucketed
+    intercept[IllegalArgumentException] {
+      Similarity.quantizedTopK(corpus, corpus, "vec_id", "embedding", 2, dim = 8)
+    }
+  }
+
+  test("chunkOverlap: coverage, overlap, boundary and empty-doc cases") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words, c=4 s=3 → 3 chunks
+      (2L, "a b c"),                                   // fits one chunk
+      (3L, ""),                                        // empty → one empty chunk
+      (4L, (1 to 7).map(i => s"w$i").mkString(" "))    // exactly c + s → 2 chunks
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Curation.chunkOverlap(df, "doc_id", "text",
+      chunkSize = 4, step = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b c", 3L)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "", 0L)))
+    val d4 = out.filter(_._1 == 4L).sortBy(_._2)
+    assert(d4.map(_._3).toSeq == Seq("w1 w2 w3 w4", "w4 w5 w6 w7"))
+    // every word index is covered by at least one chunk (no gaps)
+    intercept[IllegalArgumentException] {
+      graft.llm.Curation.chunkOverlap(df, "doc_id", "text", chunkSize = 4, step = 5)
+    }
+  }
 }

@@ -770,6 +770,47 @@ object LlmEntries {
         |       score
         |FROM p QUALIFY rnk <= 10""".stripMargin)),
 
+    // distributed k-means (one Lloyd iteration + final assignment) in the
+    // exact summation mode: init = first-8 vectors by id, assignment
+    // tie-break toward the lowest cluster id, centroid update folds member
+    // values in ascending row-id order — every arithmetic step is a
+    // well-defined IEEE value, so DuckDB replays clusters AND distances
+    // bit-for-bit. (fast mode — plain sum/count — is the production path
+    // and is covered by LlmSpec.)
+    Entry("llm_kmeans", (s, d) => {
+      val emb = embDelta(s, d)
+      graft.llm.Clustering.kmeans(emb, "vec_id", "embedding",
+        k = 8, iters = 1, exact = true)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("dist2"))
+    }, Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8) t),
+        |d1 AS (SELECT e.vec_id, e.v, c.cid,
+        |         list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]) FOR i IN range(1, 65)]) AS d
+        |       FROM e CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, v, cid FROM (
+        |         SELECT vec_id, v, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |         FROM d1) r
+        |       WHERE rn = 1),
+        |u1 AS (SELECT a1.cid, u.i AS i,
+        |         list_sum(list(a1.v[u.i] ORDER BY a1.vec_id)) / CAST(count(*) AS DOUBLE) AS m
+        |       FROM a1, range(1, 65) AS u(i)
+        |       GROUP BY a1.cid, u.i),
+        |cm AS (SELECT cid, list(m ORDER BY i) AS cv FROM u1 GROUP BY cid),
+        |c1 AS (SELECT c0.cid, coalesce(cm.cv, c0.cv) AS cv
+        |       FROM c0 LEFT JOIN cm USING (cid)),
+        |d2 AS (SELECT e.vec_id, c.cid,
+        |         list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]) FOR i IN range(1, 65)]) AS d
+        |       FROM e CROSS JOIN c1 c)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d AS dist2 FROM (
+        |  SELECT vec_id, cid, d,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM d2) r
+        |WHERE rn = 1""".stripMargin)),
+
     // RAG-style sliding-window chunking: 40-word windows advancing by 30
     // (10-word overlap); shuffle-free explode, exact string reassembly
     Entry("llm_chunks", (s, d) =>

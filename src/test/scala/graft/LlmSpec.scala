@@ -484,6 +484,38 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans: converges on separated clusters, deterministic ties, empty-cluster fallback") {
+    import spark.implicits._
+    // two tight groups far apart in 3-d; ids interleaved so init (first k
+    // by id) starts with one seed in each group
+    val pts = Seq(
+      (1L, Seq(0.0f, 0.1f, 0.0f)), (2L, Seq(10.0f, 9.9f, 10.0f)),
+      (3L, Seq(0.1f, 0.0f, 0.1f)), (4L, Seq(9.9f, 10.0f, 9.9f)),
+      (5L, Seq(0.0f, 0.0f, 0.2f)), (6L, Seq(10.1f, 10.0f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    for (exact <- Seq(false, true)) {
+      val out = graft.llm.Clustering.kmeans(pts, "vec_id", "embedding",
+          k = 2, iters = 3, exact = exact)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(Set(1L, 3L, 5L).map(out) == Set(0), s"exact=$exact: $out")
+      assert(Set(2L, 4L, 6L).map(out) == Set(1), s"exact=$exact: $out")
+    }
+    // k greater than distinct points: extra clusters keep their init
+    // centroid (empty-cluster fallback), assignment still total
+    val cs = graft.llm.Clustering.kmeansCentroids(pts, "vec_id", "embedding",
+      k = 2, iters = 2)
+    assert(cs.length == 2)
+    // centroid of the low group is the member mean
+    assert(math.abs(cs(0)(1) - (0.1 + 0.0 + 0.0) / 3) < 1e-6)
+    // equidistant point ties toward the lowest cluster id
+    val tied = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val a = graft.llm.Clustering.kmeansAssign(tied, "vec_id", "embedding",
+      Array(Array(0.0, 0.0), Array(2.0, 0.0)))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(a(3L) == 0, s"tie must go to lowest cluster id: $a")
+  }
+
   test("chunkOverlap: coverage, overlap, boundary and empty-doc cases") {
     import spark.implicits._
     val df = Seq(

@@ -1124,7 +1124,8 @@ object CoreEntries {
         |       CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS lag_us
         |FROM events c JOIN events p
         |  ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
-        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin)),
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR""".stripMargin)),
 
     // streaming upsert (CDC apply): readStream over a change table,
     // foreachBatch reduces each microbatch to latest-per-key (max_by on a

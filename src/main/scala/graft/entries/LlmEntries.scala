@@ -703,7 +703,9 @@ object LlmEntries {
           |GROUP BY g ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin)),
 
     // BM25 keyword retrieval: queries are the first five normalized words
-    // of every 97th document (guaranteed self-hit). rational idf mode (the
+    // of every 97th document (guaranteed non-empty match set — NOT a
+    // guaranteed top-10 self-hit: length normalization can rank shorter
+    // unrelated docs above the long source doc). rational idf mode (the
     // BM25 fraction without the ln) keeps every arithmetic step an exact
     // IEEE op from integer inputs, and contributions are summed in
     // ascending-term order on BOTH engines — so the full double score

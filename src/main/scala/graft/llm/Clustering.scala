@@ -37,13 +37,19 @@ object Clustering {
     aggregate(zip_with(vec, array(c.map(lit): _*),
       (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
-  /** Argmin cluster id over literal centroids: the distance array is
-    * materialized once (lambda expressions are excluded from subexpression
-    * elimination), then argmin with first-match (= lowest id) tie-break. */
-  private def assignExpr(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val darr = array(centroids.map(c => dist2(vec, c)): _*)
+  /** The k distances of a vector to literal centroids, as one array
+    * column. Callers MUST bind this to its own column (withColumn) before
+    * referencing it twice: lambda-bearing expressions are excluded from
+    * Spark's subexpression elimination, so inlining it into both
+    * array_position and array_min would run the whole k×dim arithmetic
+    * twice per row. */
+  private def distArr(vec: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.map(c => dist2(vec, c)): _*)
+
+  /** Argmin over a bound distance-array column, first-match (= lowest
+    * cluster id) tie-break. */
+  private def argminCluster(darr: Column): Column =
     (array_position(darr, array_min(darr)) - 1).cast("int")
-  }
 
   /**
    * Train `k` centroids with `iters` Lloyd iterations. Returns the final
@@ -72,7 +78,10 @@ object Clustering {
     val dim = centroids(0).length
 
     for (_ <- 0 until iters) {
-      val assigned = base.withColumn("__c", assignExpr(col("__v"), centroids))
+      val assigned = base
+        .withColumn("__d", distArr(col("__v"), centroids))
+        .withColumn("__c", argminCluster(col("__d")))
+        .drop("__d")
       val exploded = assigned.select(col("__id"), col("__c"),
         posexplode(col("__v")).as(Seq("__i", "__x")))
       val sums =
@@ -97,7 +106,10 @@ object Clustering {
   }
 
   /** Assign every vector to its nearest centroid (shuffle-free projection).
-    * Returns the input plus (cluster, dist2). */
+    * Returns the input plus (cluster, dist2). NULL embeddings are DROPPED
+    * — they have no nearest centroid, and passing them through would emit
+    * half-null (cluster=NULL, dist2=NULL) rows that silently poison any
+    * downstream group-by (and diverge from training, which excludes them). */
   def kmeansAssign(
       corpus: DataFrame,
       idCol: String,
@@ -105,10 +117,10 @@ object Clustering {
       centroids: Array[Array[Double]]): DataFrame = {
     require(centroids.nonEmpty, "kmeansAssign: no centroids")
     val v = col(vecCol).cast("array<double>")
-    val darr = array(centroids.map(c => dist2(v, c)): _*)
     corpus
-      .withColumn("__d", darr)
-      .withColumn("cluster", (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+      .filter(col(vecCol).isNotNull)
+      .withColumn("__d", distArr(v, centroids))
+      .withColumn("cluster", argminCluster(col("__d")))
       .withColumn("dist2", element_at(col("__d"), col("cluster") + 1))
       .drop("__d")
   }

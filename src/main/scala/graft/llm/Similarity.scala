@@ -231,7 +231,11 @@ object Similarity {
       vecCol: String,
       k: Int,
       dim: Int): DataFrame = {
-    requireDim(corpus, vecCol, dim, "quantizedTopK")
+    requireDim(corpus, vecCol, dim, "quantizedTopK corpus")
+    // a width-mismatched QUERY side would zip_with-null-pad every code
+    // product into NULL scores while the top-k window still emits k rows —
+    // silent garbage, so both sides are checked
+    requireDim(queries, vecCol, dim, "quantizedTopK queries")
     val v = col(vecCol).cast("array<double>")
 
     // one broadcastable row of per-dimension [min, max] over the corpus

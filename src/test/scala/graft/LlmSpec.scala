@@ -500,13 +500,25 @@ class LlmSpec extends AnyFunSuite {
       assert(Set(1L, 3L, 5L).map(out) == Set(0), s"exact=$exact: $out")
       assert(Set(2L, 4L, 6L).map(out) == Set(1), s"exact=$exact: $out")
     }
-    // k greater than distinct points: extra clusters keep their init
-    // centroid (empty-cluster fallback), assignment still total
     val cs = graft.llm.Clustering.kmeansCentroids(pts, "vec_id", "embedding",
       k = 2, iters = 2)
     assert(cs.length == 2)
     // centroid of the low group is the member mean
     assert(math.abs(cs(0)(1) - (0.1 + 0.0 + 0.0) / 3) < 1e-6)
+    // empty-cluster fallback: seed 3 (dup of seed 1) wins no members —
+    // ties go to the lowest cluster id — so it must KEEP its init centroid
+    // while cluster 0 moves to its members' mean
+    val dup = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f)), (4L, Seq(0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val cs3 = graft.llm.Clustering.kmeansCentroids(dup, "vec_id", "embedding",
+      k = 3, iters = 1)
+    assert(cs3(2).toSeq == Seq(0.0, 0.0), s"empty cluster must keep init: ${cs3.map(_.toSeq).toSeq}")
+    assert(math.abs(cs3(0)(0) - 0.5 / 3) < 1e-9, s"cluster 0 must move to member mean")
+    // null embeddings are dropped by assignment, not emitted half-null
+    val withNull = dup.unionByName(
+      Seq((9L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val asg = graft.llm.Clustering.kmeansAssign(withNull, "vec_id", "embedding", cs3)
+    assert(asg.count() == 4 && asg.filter("vec_id = 9").count() == 0)
     // equidistant point ties toward the lowest cluster id
     val tied = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)),
       (3L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")

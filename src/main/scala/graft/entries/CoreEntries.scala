@@ -737,6 +737,28 @@ object CoreEntries {
       DeltaTable.forPath(s, dir).toDF
     }, Some("SELECT * FROM orders WHERE NOT (o_totalprice < 50000)")),
 
+    // explicit checkpoint + expired-log cleanup (python create_checkpoint /
+    // cleanup_metadata): after aging every pre-checkpoint commit past the
+    // 1ms retention and cleaning, replay reconstructs the FULL table from
+    // the checkpoint alone
+    Entry("checkpoint_cleanup", (s, d) => {
+      val dir = tempDir("ckclean")
+      val ord = pq(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      DeltaTable.write(s, ord.filter("o_orderkey % 3 = 0"), dir,
+        configuration = Map(
+          "delta.logRetentionDuration" -> "interval 1 millisecond",
+          "delta.checkpointInterval" -> "1000"))
+      DeltaTable.write(s, ord.filter("o_orderkey % 3 = 1"), dir, mode = "append")
+      DeltaTable.write(s, ord.filter("o_orderkey % 3 = 2"), dir, mode = "append")
+      val t = DeltaTable.forPath(s, dir)
+      t.createCheckpoint()
+      val fs = t.tablePath.getFileSystem(s.sessionState.newHadoopConf())
+      val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+      fs.listStatus(logDir).foreach(f => fs.setTimes(f.getPath, 1000L, 1000L))
+      t.cleanupMetadata()
+      DeltaTable.forPath(s, dir).toDF
+    }, Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders")),
+
     // RESTORE to an earlier version (§2.6 row 34)
     Entry("restore_op", (s, d) => {
       val dir = tempDir("rst")

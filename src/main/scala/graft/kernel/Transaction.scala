@@ -278,7 +278,17 @@ class OptimisticTransaction(
     }
   }
 
-  private def cleanupExpiredLogs(checkpointVersion: Long, meta: Option[Metadata]): Unit = {
+  private def cleanupExpiredLogs(checkpointVersion: Long, meta: Option[Metadata]): Unit =
+    LogCleanup.run(log, checkpointVersion, meta)
+}
+
+/** Expired-log cleanup, shared by the post-commit path above and the
+  * explicit `DeltaTable.cleanupMetadata()` surface (python
+  * `cleanup_metadata`; `protocol/checkpoints.rs` cleanup). Deletes only
+  * files strictly behind `checkpointVersion` — state at and after the
+  * checkpoint stays reconstructible. */
+private[graft] object LogCleanup {
+  def run(log: DeltaLog, checkpointVersion: Long, meta: Option[Metadata]): Unit = {
     val enabled = meta.flatMap(_.configuration.get("delta.enableExpiredLogCleanup"))
       .forall(_.trim.equalsIgnoreCase("true"))
     if (!enabled) return
@@ -345,6 +355,14 @@ class OptimisticTransaction(
       debris.foreach(f => scala.util.Try(fs.delete(f.getPath, true)))
     }
   }
+
+  /** Latest version carrying any checkpoint file — the only safe cleanup
+    * cutoff (commits not covered by a checkpoint are required for replay). */
+  def latestCheckpointVersion(log: DeltaLog): Option[Long] =
+    log.store.list(log.logPath).collect {
+      case f if LogStore.isCheckpointFile(f.getPath.getName) =>
+        LogStore.fileVersion(f.getPath.getName)
+    }.maxOption
 }
 
 object DeltaConfig {

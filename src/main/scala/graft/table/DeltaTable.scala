@@ -197,6 +197,27 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
 
   def generateSymlinkManifest(): Unit = GenerateManifestOp.run(this)
 
+  /** Force a checkpoint of the current table state (python
+    * `create_checkpoint`, table.py:1141; `protocol/checkpoints.rs`).
+    * Auto-checkpointing (`delta.checkpointInterval`, post-commit) uses the
+    * same writer; this is the explicit maintenance surface. */
+  def createCheckpoint(): Unit = {
+    val snap = refresh()
+    Checkpoints.write(spark, deltaLog.logPath, snap, deltaLog.store)
+  }
+
+  /** Delete expired log files (commits/checkpoints/compactions older than
+    * `delta.logRetentionDuration` and behind the newest checkpoint) —
+    * python `cleanup_metadata`, table.py:1153. No-op while no checkpoint
+    * exists: every commit is still required for replay. Honors
+    * `delta.enableExpiredLogCleanup` like the post-commit path. */
+  def cleanupMetadata(): Unit = {
+    val snap = refresh()
+    LogCleanup.latestCheckpointVersion(deltaLog).foreach { cp =>
+      LogCleanup.run(deltaLog, cp, Some(snap.metadata))
+    }
+  }
+
   /** Write a log-compaction file for the commit range (python
     * `DeltaTable.compact_logs`; `protocol/log_compaction.rs:92`). Replay
     * substitutes it for the individual commits it covers. */

@@ -119,4 +119,43 @@ class Round7Spec extends AnyFunSuite {
     assert(parsed.userMetadata.contains("m"))
     assert(parsed.info == Map("userId" -> "u1"))
   }
+
+  test("createCheckpoint + cleanupMetadata: explicit maintenance surface") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "s"), dir,
+      configuration = Map("delta.logRetentionDuration" -> "interval 1 millisecond",
+        // keep auto-checkpointing out of the way so the explicit calls act
+        "delta.checkpointInterval" -> "1000"))
+    for (i <- 2 to 5)
+      DeltaTable.write(spark, Seq((i.toLong, s"v$i")).toDF("id", "s"), dir,
+        mode = "append")
+
+    val t = DeltaTable.forPath(spark, dir)
+    // no checkpoint yet: cleanup must be a NO-OP (commits are still needed)
+    t.cleanupMetadata()
+    val logDir = new java.io.File(dir, "_delta_log")
+    def logNames = logDir.listFiles().map(_.getName).toSet
+    assert((0 to 4).forall(v => logNames.contains(f"$v%020d.json")),
+      s"cleanup before any checkpoint must delete nothing: $logNames")
+
+    t.createCheckpoint()
+    assert(logNames.exists(_.matches("0{16}0004\\.checkpoint.*")),
+      s"explicit checkpoint missing: $logNames")
+
+    // age every log file past the 1ms retention, then clean
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    logDir.listFiles().foreach(f => fs.setTimes(
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath), 1000L, 1000L))
+    DeltaTable.forPath(spark, dir).cleanupMetadata()
+    assert((0 to 3).forall(v => !logNames.contains(f"$v%020d.json")),
+      s"expired commits behind the checkpoint must be gone: $logNames")
+    assert(logNames.contains(f"${4}%020d.json"),
+      "the checkpoint-version commit itself survives")
+    // table still fully readable from the checkpoint
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 5)
+    // time travel behind the checkpoint is gone (loud, not wrong)
+    intercept[Exception](DeltaTable.forPath(spark, dir).asOfVersion(0).count())
+  }
 }

@@ -150,17 +150,21 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCells: Int = 8,
-      nProbe: Int = 2): DataFrame = {
-    // tiny driver collect: nCells × dim doubles (the quantizer itself).
+      nProbe: Int = 2,
+      trainedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    // quantizer: either externally trained centroids (e.g.
+    // [[Clustering.kmeansCentroids]] — the production path: train once,
+    // reuse across queries) or the first-nCells one-shot fallback.
+    // The fallback is a tiny driver collect: nCells × dim doubles.
     // NULL embeddings are excluded (a null among the first nCells ids would
     // NPE on the driver) and the centroid width anchors a one-row width
     // check below — a width-mismatched corpus otherwise yields NULL cosine
     // arrays, NULL cells, and a silently empty probe join.
-    val centroids: Array[Array[Double]] = corpus
+    val centroids: Array[Array[Double]] = trainedCentroids.getOrElse(corpus
       .select(col(idCol), col(vecCol).cast("array<double>"))
       .filter(col(vecCol).isNotNull)
       .orderBy(col(idCol)).limit(nCells)
-      .collect().map(_.getSeq[Double](1).toArray)
+      .collect().map(_.getSeq[Double](1).toArray))
     require(centroids.nonEmpty, "ivfTopK: corpus has no non-null embeddings")
     requireDim(corpus, vecCol, centroids(0).length, "ivfTopK corpus")
     requireDim(queries, vecCol, centroids(0).length, "ivfTopK queries")

@@ -528,6 +528,49 @@ class LlmSpec extends AnyFunSuite {
     assert(a(3L) == 0, s"tie must go to lowest cluster id: $a")
   }
 
+  test("ivfTopK with kmeans-trained centroids: valid results, better quantizer") {
+    import spark.implicits._
+    // clustered corpus: 4 tight groups of 8 around distinct directions
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(Seq(1.0, 0, 0, 0), Seq(0, 1.0, 0, 0),
+      Seq(0, 0, 1.0, 0), Seq(0, 0, 0, 1.0))
+    val rows = for (g <- 0 until 4; i <- 0 until 8) yield
+      ((g * 8 + i).toLong,
+        centers(g).map(c => (c + rnd.nextGaussian() * 0.05).toFloat))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cs = graft.llm.Clustering.kmeansCentroids(corpus, "vec_id", "embedding",
+      k = 4, iters = 3)
+    val q = corpus.filter("vec_id IN (0, 8, 16, 24)")
+    val trained = Similarity.ivfTopK(corpus, q, "vec_id", "embedding",
+      k = 5, nCells = 4, nProbe = 1, trainedCentroids = Some(cs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    // with a trained quantizer and nProbe=1, every query probes exactly its
+    // own tight cluster: all 5 neighbors come from the query's group
+    for ((qid, ns) <- trained) {
+      val grp = qid / 8
+      assert(ns.forall(_._2 / 8 == grp),
+        s"trained IVF: query $qid neighbors ${ns.map(_._2).toSeq} left group $grp")
+      assert(ns.length == 5)
+    }
+  }
+
+  test("new-op plan shapes: bm25 joins broadcast, chunkOverlap shuffle-free") {
+    val corpus = docs.select("doc_id", "text")
+    val queries = corpus.filter("doc_id % 97 = 3")
+      .select(col("doc_id").as("query_id"),
+        substring(col("text"), 1, 40).as("qtext"))
+    val scored = graft.llm.Search.bm25TopK(corpus, "doc_id", "text",
+      queries, "query_id", "qtext", k = 5)
+    val plan = scored.queryExecution.sparkPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"bm25 joins must broadcast (vocab/idf/qterms are small):\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    val chunks = graft.llm.Curation.chunkOverlap(corpus, "doc_id", "text", 40, 30)
+    val cplan = chunks.queryExecution.sparkPlan.toString
+    assert(!cplan.contains("Exchange"),
+      s"chunkOverlap must be shuffle-free:\n$cplan")
+  }
+
   test("chunkOverlap: coverage, overlap, boundary and empty-doc cases") {
     import spark.implicits._
     val df = Seq(

@@ -772,6 +772,40 @@ object LlmEntries {
         |       score
         |FROM p QUALIFY rnk <= 10""".stripMargin)),
 
+    // product-quantization ANN (PQ + asymmetric distance): 64-dim vectors
+    // → 8 subspace codes against first-16 one-shot codebooks; corpus
+    // distances are pure table lookups. Every step (encoding argmin, ADC
+    // fold in subspace order) is an exact IEEE expression, so DuckDB
+    // replays codes, distances and ranks bit-for-bit.
+    Entry("llm_ann_pq", (s, d) => {
+      val emb = embDelta(s, d)
+      Similarity.pqTopK(emb, emb.filter("vec_id < 8"), "vec_id", "embedding",
+        k = 10, dim = 64, m = 8, codebookSize = 16)
+    }, Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16) t),
+        |enc AS (
+        |  SELECT e.vec_id, sx.s, cb.c,
+        |         list_sum([(e.v[8 * sx.s + j] - cb.cv[8 * sx.s + j]) * (e.v[8 * sx.s + j] - cb.cv[8 * sx.s + j]) FOR j IN range(1, 9)]) AS d
+        |  FROM e, range(0, 8) AS sx(s), cb),
+        |code AS (
+        |  SELECT vec_id, s, c FROM (
+        |    SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+        |    FROM enc) r
+        |  WHERE rn = 1),
+        |sc AS (
+        |  SELECT qd.vec_id AS qid, tc.vec_id AS nid,
+        |         list_sum(list(qd.d ORDER BY qd.s)) AS dist2
+        |  FROM code tc
+        |  JOIN enc qd ON qd.s = tc.s AND qd.c = tc.c
+        |  WHERE qd.vec_id < 8 AND tc.vec_id <> qd.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT qid AS query_id, nid AS neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY dist2 ASC, nid ASC) AS BIGINT) AS rnk,
+        |       dist2
+        |FROM sc QUALIFY rnk <= 10""".stripMargin)),
+
     // distributed k-means (one Lloyd iteration + final assignment) in the
     // exact summation mode: init = first-8 vectors by id, assignment
     // tie-break toward the lowest cluster id, centroid update folds member

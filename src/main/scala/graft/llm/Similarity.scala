@@ -278,6 +278,108 @@ object Similarity {
   }
 
   /**
+   * Product-quantization ANN (PQ with asymmetric distance computation —
+   * Jégou et al., "Product Quantization for Nearest Neighbor Search"):
+   * vectors are split into `m` subspaces; each subvector is replaced by the
+   * id of its nearest codebook entry, compressing dim fp32 values to `m`
+   * small integers (64-dim fp32 → 8 bytes at m=8: 32× smaller). Queries
+   * stay full-precision: each query precomputes an m×codebookSize distance
+   * table once, and every corpus distance is then `m` table lookups — no
+   * per-pair floating arithmetic at all.
+   *
+   * Scale shape: encoding is a shuffle-free projection (the codebooks are
+   * literal expressions); the distance table rides the broadcast query
+   * side; scoring is lookups + a short fold. At 100 TB you persist the
+   * codes column once (train-once codebooks via `trainIters > 0` /
+   * [[Clustering.kmeansCentroids]]) and put IVF bucketing in front —
+   * encoding composes with cell assignment because both are per-row.
+   *
+   * Determinism: codebook init is the first `codebookSize` vectors by id;
+   * encoding ties break toward the lowest code; the ADC sum folds
+   * subspaces in ascending order. With `trainIters = 0` every value is an
+   * exact replayable IEEE expression (the oracle path); with training the
+   * codebooks inherit [[Clustering]]'s exact-mode guarantees if requested.
+   *
+   * @return (query_id, neighbor_id, rnk, dist2) — dist2 = ADC distance,
+   *         rank 1 = nearest
+   */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      m: Int = 8,
+      codebookSize: Int = 16,
+      trainIters: Int = 0,
+      exactTrain: Boolean = false): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"pqTopK: dim=$dim not divisible by m=$m")
+    require(codebookSize >= 1, "pqTopK: codebookSize must be >= 1")
+    requireDim(corpus, vecCol, dim, "pqTopK corpus")
+    requireDim(queries, vecCol, dim, "pqTopK queries")
+    val sub = dim / m
+    val v = col(vecCol).cast("array<double>")
+
+    // codebooks[s][c][j]: trainIters=0 slices the first codebookSize
+    // vectors (one-shot, exactly replayable); otherwise per-subspace
+    // k-means over the subvectors (m small training jobs, train-once)
+    val codebooks: Array[Array[Array[Double]]] =
+      if (trainIters == 0) {
+        val seeds = corpus.select(col(idCol), v.as("__v"))
+          .filter(col("__v").isNotNull)
+          .orderBy(col(idCol)).limit(codebookSize)
+          .collect().map(_.getSeq[Double](1).toArray)
+        require(seeds.nonEmpty, "pqTopK: corpus has no non-null embeddings")
+        Array.tabulate(m)(s => seeds.map(_.slice(s * sub, (s + 1) * sub)))
+      } else Array.tabulate(m) { s =>
+        Clustering.kmeansCentroids(
+          corpus.select(col(idCol), slice(v, s * sub + 1, sub).as("__sv")),
+          idCol, "__sv", codebookSize, trainIters, exactTrain)
+      }
+
+    // squared distance of subspace s of a vector to codebook entry cb,
+    // folded in ascending in-subspace order
+    def subDist2(vc: Column, s: Int, cb: Array[Double]): Column =
+      aggregate(zip_with(slice(vc, s * sub + 1, sub), array(cb.map(lit): _*),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+    // corpus encoding: per subspace, bind the distance array then argmin
+    // (ties → lowest code id); codes assembled into one array<int> column
+    var c = corpus.select(col(idCol).as("neighbor_id"), v.as("__cv"))
+    for (s <- 0 until m) {
+      val darr = array(codebooks(s).map(cb => subDist2(col("__cv"), s, cb)): _*)
+      c = c.withColumn(s"__pqd$s", darr)
+        .withColumn(s"__pqc$s",
+          (array_position(col(s"__pqd$s"), array_min(col(s"__pqd$s"))) - 1).cast("int"))
+        .drop(s"__pqd$s")
+    }
+    val coded = c.select(col("neighbor_id"),
+      array((0 until m).map(s => col(s"__pqc$s")): _*).as("__codes"))
+
+    // query side: flattened ADC table [s * codebookSize + c] bound once
+    val dt = array((for (s <- 0 until m; cb <- codebooks(s))
+      yield subDist2(col("__qv"), s, cb)): _*)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), v.as("__qv"))
+      .withColumn("__dt", dt)
+      .drop("__qv"))
+
+    // ADC score: m table lookups folded in subspace order
+    val scored = coded.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist2",
+        aggregate(
+          transform(col("__codes"), (code, s) =>
+            element_at(col("__dt"), s * codebookSize + code + 1)),
+          lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist2").asc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "dist2")
+  }
+
+  /**
    * Embedding near-duplicate pairs: all (id_a < id_b) with cosine ≥
    * `threshold`, found via sign-LSH bucketing (equi-join on bucket id — NOT
    * an all-pairs cross join) and verified exactly. Bucketing costs recall

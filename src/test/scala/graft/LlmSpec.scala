@@ -554,6 +554,40 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ANN: exact duplicate achieves minimal ADC distance, trained codebooks group") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Seq(Seq(1.0, 0, 0, 0), Seq(0, 1.0, 0, 0),
+      Seq(0, 0, 1.0, 0), Seq(0, 0, 0, 1.0))
+    val rows = for (g <- 0 until 4; i <- 0 until 8) yield
+      ((g * 8 + i).toLong,
+        centers(g).map(c => (c + rnd.nextGaussian() * 0.05).toFloat))
+    // id 100 = exact duplicate of id 0
+    val corpus = (rows :+ (100L, rows.head._2)).toDF("vec_id", "embedding")
+    val q = corpus.filter("vec_id = 0")
+    val out = Similarity.pqTopK(corpus, q, "vec_id", "embedding",
+        k = 8, dim = 4, m = 2, codebookSize = 4, trainIters = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byRank = out.sortBy(_._2)
+    // ADC distance of an exact dup equals the query's own quantization
+    // error — the provable minimum. Cluster-mates quantized to the SAME
+    // codes tie at that distance (PQ cannot separate same-code vectors),
+    // so the invariant is minimal distance, not rank 1.
+    val dupDist = out.find(_._1 == 100L)
+      .getOrElse(fail(s"dup missing from top-k: ${byRank.toSeq}"))._3
+    assert(byRank.head._3 == dupDist,
+      s"exact dup must achieve the minimal ADC distance: ${byRank.toSeq}")
+    // with trained codebooks the group's members dominate the top ranks
+    assert(byRank.take(5).count(x => x._1 / 8 == 0 || x._1 == 100L) >= 4,
+      s"own-cluster members should dominate: ${byRank.toSeq}")
+    // ADC distances are non-decreasing in rank by construction
+    assert(byRank.sliding(2).forall(p => p(0)._3 <= p(1)._3))
+    // indivisible subspace split refused
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(corpus, q, "vec_id", "embedding", 2, dim = 4, m = 3)
+    }
+  }
+
   test("new-op plan shapes: bm25 joins broadcast, chunkOverlap shuffle-free") {
     val corpus = docs.select("doc_id", "text")
     val queries = corpus.filter("doc_id % 97 = 3")

@@ -1149,6 +1149,52 @@ object CoreEntries {
         | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
         | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR""".stripMargin)),
 
+    // stream-stream LEFT OUTER join: unmatched clicks must be emitted with
+    // a NULL purchase — but only once the watermark proves no future
+    // purchase can still match, so the sentinel commits that advance the
+    // watermark are what flush them (a pure inner join needs no flush; this
+    // entry pins the harder outer-emission semantics)
+    Entry("streaming_stream_outer", (s, d) => {
+      val dir = eventsCopy(s, d, "ststo")
+      val view = s"graft_stouter_${System.nanoTime()}"
+      // the per-side event_type filters MUST let the sentinel rows through:
+      // Catalyst pushes deterministic filters BELOW the EventTimeWatermark
+      // node, so a side whose filter drops the sentinels never advances its
+      // watermark — and the global watermark (min across both sides) then
+      // freezes at that side's last real event, permanently holding back
+      // the null-emission of every click whose join window closes later.
+      // (Diagnosed live: the watermark stuck at the last PURCHASE ts.)
+      // Sentinel rows (user_id = -1) are dropped after the join instead.
+      val clicks = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .filter(col("event_type") === "click" || col("user_id") < 0)
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val purchases = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .filter(col("event_type") === "purchase" || col("user_id") < 0)
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val q = clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+        .writeStream.format("memory").outputMode("append").queryName(view).start()
+      try {
+        q.processAllAvailable()
+        advanceWatermark(s, q, dir)
+      } finally q.stop()
+      s.table(view).filter("user_id >= 0")
+    }, Some(
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR""".stripMargin)),
+
     // streaming upsert (CDC apply): readStream over a change table,
     // foreachBatch reduces each microbatch to latest-per-key (max_by on a
     // monotonic seq) and MERGEs it into the target — the canonical

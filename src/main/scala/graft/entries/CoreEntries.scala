@@ -993,6 +993,48 @@ object CoreEntries {
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM se GROUP BY user_id, sess""".stripMargin)),
 
+    // funnel analysis (ordered-step conversion): first view → first click
+    // at-or-after it → first purchase at-or-after that, per user; the
+    // classic product-analytics shape (each stage is one aggregate + one
+    // equi-join with a time bound — no window over the whole event stream)
+    Entry("events_funnel", (s, d) => {
+      eventsDeltaView(s, d)
+      s.sql(
+        """WITH v AS (SELECT user_id, min(ts) AS v_ts
+          |           FROM events_delta WHERE event_type = 'view' GROUP BY 1),
+          |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+          |      FROM events_delta e JOIN v ON e.user_id = v.user_id AND e.ts >= v.v_ts
+          |      WHERE e.event_type = 'click' GROUP BY 1),
+          |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+          |      FROM events_delta e JOIN c ON e.user_id = c.user_id AND e.ts >= c.c_ts
+          |      WHERE e.event_type = 'purchase' GROUP BY 1),
+          |u AS (SELECT DISTINCT user_id FROM events_delta)
+          |SELECT u.user_id,
+          |       CAST(v.v_ts AS TIMESTAMP_NTZ) AS view_ts,
+          |       CAST(c.c_ts AS TIMESTAMP_NTZ) AS click_ts,
+          |       CAST(p.p_ts AS TIMESTAMP_NTZ) AS purchase_ts,
+          |       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+          |                 WHEN c.user_id IS NOT NULL THEN 2
+          |                 WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps
+          |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+          |       LEFT JOIN p USING (user_id)""".stripMargin)
+    }, Some(
+      """WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS v_ts
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS c_ts
+        |      FROM events e JOIN v ON e.user_id = v.user_id AND CAST(e.ts AS TIMESTAMP) >= v.v_ts
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id AND CAST(e.ts AS TIMESTAMP) >= c.c_ts
+        |      WHERE e.event_type = 'purchase' GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id, v.v_ts AS view_ts, c.c_ts AS click_ts, p.p_ts AS purchase_ts,
+        |       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+        |                 WHEN c.user_id IS NOT NULL THEN 2
+        |                 WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |       LEFT JOIN p USING (user_id)""".stripMargin)),
+
     // Structured Streaming watermark + event-time windowed aggregation over
     // the graft-delta source (§2.10): append mode emits each hourly window
     // exactly once when the watermark closes it; far-future sentinel commits

@@ -866,6 +866,58 @@ object LlmEntries {
           |       CAST(len(list_slice(ws, ci * 30 + 1, ci * 30 + 40)) AS BIGINT) AS n_chunk_words
           |FROM c""".stripMargin)),
 
+    // Gopher-style composite quality gate over a corpus seeded with rule
+    // violations (bullet-heavy docs, symbol/ellipsis spam) so every rule
+    // fires both ways; each ratio is one IEEE division of exact integer
+    // counts and the DuckDB oracle replays the whole gate including the
+    // pass/fail conjunction
+    Entry("llm_gopher_quality", (s, d) => {
+      val seeded = docsDelta(s, d).select(col("doc_id"), col("text"))
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0,
+            concat(lit("- bullet one\n- bullet two\n"), col("text")))
+          .when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit(" ### ### ### more…\ntrailing line...")))
+          .otherwise(col("text")))
+      TextOps.gopherQuality(seeded, "doc_id", "text")
+    }, Some {
+      val stopList = TextOps.gopherStopwords.map(sw => s"'$sw'").mkString("(", ", ", ")")
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN '- bullet one' || chr(10) || '- bullet two' || chr(10) || text
+         |         WHEN doc_id % 17 = 0 THEN text || ' ### ### ### more…' || chr(10) || 'trailing line...'
+         |         ELSE text END AS t
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, t,
+         |         CASE WHEN length(trim(t)) = 0 THEN [] ELSE string_split_regex(trim(t), '\\s+') END AS w,
+         |         string_split(t, chr(10)) AS l
+         |  FROM seeded),
+         |m AS (
+         |  SELECT doc_id,
+         |         CAST(len(w) AS BIGINT) AS n_words,
+         |         CASE WHEN len(w) = 0 THEN 0.0
+         |              ELSE list_sum([CAST(length(x) AS DOUBLE) FOR x IN w]) / CAST(len(w) AS DOUBLE) END AS mean_word_len,
+         |         CASE WHEN len(w) = 0 THEN 0.0
+         |              ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS frac_alpha_words,
+         |         CASE WHEN len(w) = 0 THEN 0.0
+         |              ELSE CAST(len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS symbol_word_ratio,
+         |         CASE WHEN len(l) = 0 THEN 0.0
+         |              ELSE CAST(len(list_filter(l, x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE) / CAST(len(l) AS DOUBLE) END AS frac_bullet_lines,
+         |         CASE WHEN len(l) = 0 THEN 0.0
+         |              ELSE CAST(len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE) / CAST(len(l) AS DOUBLE) END AS frac_ellipsis_lines,
+         |         CAST(len(list_filter(w, x -> lower(x) IN $stopList)) AS BIGINT) AS n_stopwords
+         |  FROM base)
+         |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, symbol_word_ratio,
+         |       frac_bullet_lines, frac_ellipsis_lines, n_stopwords,
+         |       (n_words >= 50 AND n_words <= 100000
+         |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |        AND frac_alpha_words >= 0.8 AND symbol_word_ratio <= 0.1
+         |        AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+         |        AND n_stopwords >= 2) AS quality_pass
+         |FROM m""".stripMargin
+    }),
+
     // ---- end-to-end corpus curation ---------------------------------------
     // The whole training-data assembly line composed from the library's own
     // operators: language ID -> quality gate -> exact dedup (fingerprint,

@@ -157,6 +157,64 @@ object TextOps {
       .drop("__lang_counts")
   }
 
+  /** English stopword set used by the Gopher-style quality gate (a
+    * "contains at least k of these" rule, not a full stopword list). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-style composite quality rules (Rae et al. 2021 §A1.1), the
+   * standard pre-training document gate, as one shuffle-free projection:
+   *
+   *  - `n_words`, `mean_word_len` — length family
+   *  - `frac_alpha_words` — fraction of words containing an alphabetic char
+   *  - `symbol_word_ratio` — '#' and ellipsis ('...'/'…') hits per word
+   *  - `frac_bullet_lines` / `frac_ellipsis_lines` — lines starting with a
+   *    bullet ('-', '*', '•') / ending with an ellipsis
+   *  - `n_stopwords` — hits from [[gopherStopwords]]
+   *  - `quality_pass` — the conjunction with Gopher's thresholds
+   *
+   * Tokenization is the raw whitespace-run split (punctuation KEPT — the
+   * symbol rules need it), lowercased only for the stopword test. Every
+   * ratio is a single IEEE division of exact integer counts, so external
+   * engines can replay the gate bit-for-bit.
+   */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val w = col("__gw")
+    val lines = col("__gl")
+    val nw = size(w).cast("long")
+    val nl = size(lines).cast("long")
+    val alphaWords = size(filter(w, s => s.rlike("[A-Za-z]"))).cast("long")
+    val symbolHits = size(regexp_extract_all(t, lit("#|\\.\\.\\.|…"), lit(0))).cast("long")
+    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    val stopHits = size(filter(transform(w, s => lower(s)),
+      s => gopherStopwords.map(m => s === lit(m)).reduce(_ || _))).cast("long")
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+    val mwl = meanWordLen(t)
+    df.select(col(idCol), t,
+        words(t).as("__gw"),
+        split(t, "\n", -1).as("__gl"))
+      .select(col(idCol),
+        nw.as("n_words"),
+        mwl.as("mean_word_len"),
+        ratio(alphaWords, nw).as("frac_alpha_words"),
+        ratio(symbolHits, nw).as("symbol_word_ratio"),
+        ratio(bulletLines, nl).as("frac_bullet_lines"),
+        ratio(ellipsisLines, nl).as("frac_ellipsis_lines"),
+        stopHits.as("n_stopwords"))
+      .withColumn("quality_pass",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("frac_alpha_words") >= 0.8 &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("frac_bullet_lines") <= 0.9 &&
+          col("frac_ellipsis_lines") <= 0.3 &&
+          col("n_stopwords") >= 2)
+  }
+
   /** Word n-grams of `w` (a string array) joined with single spaces; fewer
     * than `n` words yields an empty array. Pure per-row array construction —
     * no explode, no shuffle. */

@@ -427,6 +427,33 @@ class LlmSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("gopher quality gate: each rule fires, clean prose passes") {
+    import spark.implicits._
+    val longClean = ("the quick brown fox jumps over the lazy dog and " * 8).trim
+    val df = Seq(
+      (1L, longClean),                                  // passes everything
+      (2L, "short text"),                               // n_words < 50
+      (3L, ("#### " * 60).trim + " the of and to be that have with"), // symbol spam
+      (4L, (1 to 60).map(_ => "- item").mkString("\n") +
+        "\nthe of and to be that have with"),           // bullet lines
+      (5L, ("the… and… of… to… be… that… " * 12).trim), // ellipsis + short words
+      (6L, "")                                          // empty
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherQuality(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("quality_pass"), s"clean prose must pass: ${out(1L)}")
+    assert(!out(2L).getAs[Boolean]("quality_pass"))
+    assert(out(3L).getAs[Double]("symbol_word_ratio") > 0.1 &&
+      !out(3L).getAs[Boolean]("quality_pass"))
+    assert(out(4L).getAs[Double]("frac_bullet_lines") > 0.9 &&
+      !out(4L).getAs[Boolean]("quality_pass"))
+    assert(!out(5L).getAs[Boolean]("quality_pass"))
+    assert(out(6L).getAs[Long]("n_words") == 0L &&
+      !out(6L).getAs[Boolean]("quality_pass"))
+    assert(out(1L).getAs[Long]("n_stopwords") >= 2)
+    assert(out(1L).getAs[Double]("frac_alpha_words") == 1.0)
+  }
+
   test("bm25: self-retrieval, idf ordering, lucene mode, unmatched query") {
     import spark.implicits._
     val corpus = Seq(

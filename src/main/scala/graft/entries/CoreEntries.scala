@@ -993,6 +993,23 @@ object CoreEntries {
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM se GROUP BY user_id, sess""".stripMargin)),
 
+    // semi-structured query over the JSON props column through Spark 4's
+    // VARIANT type (parse_json + variant_get — the same decode path the
+    // variant golden tables exercise), aggregated per event_type; DuckDB
+    // replays via its JSON extraction
+    Entry("events_json_props", (s, d) => {
+      eventsDeltaView(s, d)
+      s.sql(
+        """SELECT event_type,
+          |       CAST(sum(variant_get(parse_json(props), '$.k', 'bigint')) AS BIGINT) AS k_sum,
+          |       CAST(count(CASE WHEN variant_get(parse_json(props), '$.k', 'bigint') > 50 THEN 1 END) AS BIGINT) AS k_hi
+          |FROM events_delta GROUP BY 1""".stripMargin)
+    }, Some(
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |       CAST(count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS BIGINT) AS k_hi
+        |FROM events GROUP BY 1""".stripMargin)),
+
     // funnel analysis (ordered-step conversion): first view → first click
     // at-or-after it → first purchase at-or-after that, per user; the
     // classic product-analytics shape (each stage is one aggregate + one

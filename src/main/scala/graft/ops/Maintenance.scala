@@ -45,7 +45,10 @@ object VacuumOp {
   }
 
   def run(table: DeltaTable, retentionHours: Double, dryRun: Boolean,
-          enforceRetention: Boolean): Seq[String] = {
+          enforceRetention: Boolean, mode: String = "full",
+          keepVersions: Seq[Long] = Nil): Seq[String] = {
+    require(mode == "full" || mode == "lite",
+      s"VACUUM: unknown mode '$mode' (full | lite)")
     val spark = table.spark
     val snapshot = table.refresh()
     val configured = snapshot.getConf("delta.deletedFileRetentionDuration")
@@ -69,7 +72,7 @@ object VacuumOp {
     val distributed = snapshot.lazyIndex.exists(!_.isMaterialized) ||
       snapshot.lazyIndex.isEmpty && snapshot.allFiles.size >= distThreshold
 
-    val candidates: Seq[String] =
+    val candidates0: Seq[String] =
       if (!distributed) {
         // live = current adds + their deletion-vector blobs; keep anything
         // tracked by a recent tombstone or newer than the cutoff. Listing
@@ -149,11 +152,45 @@ object VacuumOp {
           .select("rel").as[String].collect().toSeq
       }
 
+    // Mode split (vacuum.rs:82 VacuumMode): the base candidate set above
+    // equals the reference's FULL mode — expired tombstoned files AND
+    // untracked orphans past the retention window (delta-spark semantics
+    // too). LITE (the reference default) restricts deletion to files a
+    // tombstone actually records as expired — untracked debris survives.
+    val liteFiltered: Seq[String] =
+      if (mode == "lite") {
+        val expiredTombRels: Set[String] = snapshot.tombstones
+          .filter(_.deletionTimestamp.getOrElse(Long.MaxValue) < cutoff)
+          .flatMap(r => PathCodec.decode(r.path) +: r.deletionVector
+            .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
+            .map(p => tableUri.relativize(p.toUri).getPath).toSeq)
+          .toSet
+        candidates0.filter(expiredTombRels.contains)
+      } else candidates0
+
+    // keep_versions (vacuum.rs:182, experimental in the reference): every
+    // file a listed version references — data AND deletion-vector blobs —
+    // is protected, so time travel to those versions keeps working.
+    val candidates: Seq[String] =
+      if (keepVersions.isEmpty) liteFiltered
+      else {
+        val protectedRels: Set[String] = keepVersions.distinct.flatMap { v =>
+          table.deltaLog.snapshotAt(v).allFiles.flatMap(f =>
+            PathCodec.decode(f.path) +: f.deletionVector
+              .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
+              .map(p => tableUri.relativize(p.toUri).getPath).toSeq)
+        }.toSet
+        liteFiltered.filterNot(protectedRels.contains)
+      }
+
     if (!dryRun) {
       val txnStart = table.startTransaction()
       txnStart.commit(Nil, Operation("VACUUM START", Map(
         "retentionCheckEnabled" -> enforceRetention.toString,
-        "specifiedRetentionMillis" -> retentionMs.toString),
+        "specifiedRetentionMillis" -> retentionMs.toString,
+        "mode" -> mode) ++
+        (if (keepVersions.nonEmpty)
+          Map("keepVersions" -> keepVersions.sorted.mkString(",")) else Map.empty),
         Map("numFilesToDelete" -> candidates.size.toString)))
       if (distributed && candidates.size > 1000) {
         // deletes are one FS round-trip each — fan out

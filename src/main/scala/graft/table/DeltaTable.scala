@@ -169,9 +169,15 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
                      predicate: Option[String] = None): Map[String, String] =
     OptimizeOp.zorder(this, columns, targetSizeBytes, predicate)
 
+  /** VACUUM (vacuum.rs VacuumBuilder). `mode` = "full" (default —
+    * delta-spark semantics: expired tombstoned files AND untracked orphans
+    * past retention) or "lite" (reference default: only files an expired
+    * tombstone records). `keepVersions` protects every file those versions
+    * reference (with_keep_versions, vacuum.rs:182). */
   def vacuum(retentionHours: Double = 24 * 7, dryRun: Boolean = false,
-             enforceRetention: Boolean = true): Seq[String] =
-    VacuumOp.run(this, retentionHours, dryRun, enforceRetention)
+             enforceRetention: Boolean = true, mode: String = "full",
+             keepVersions: Seq[Long] = Nil): Seq[String] =
+    VacuumOp.run(this, retentionHours, dryRun, enforceRetention, mode, keepVersions)
 
   def restore(version: Long, ignoreMissingFiles: Boolean = false): Map[String, String] =
     RestoreOp.run(this, version, ignoreMissingFiles)

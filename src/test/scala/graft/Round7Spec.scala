@@ -158,4 +158,40 @@ class Round7Spec extends AnyFunSuite {
     // time travel behind the checkpoint is gone (loud, not wrong)
     intercept[Exception](DeltaTable.forPath(spark, dir).asOfVersion(0).count())
   }
+
+  test("vacuum modes: lite only touches tombstoned files, keepVersions protects") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "s").repartition(2), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    t.delete(Some("id <= 50"))                 // v1: tombstones + rewrites
+    // untracked orphan in the table dir
+    val fs = t.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFile = t.snapshot.allFiles.head.path
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(dir, dataFile), fs,
+      new org.apache.hadoop.fs.Path(dir, "part-orphan.snappy.parquet"),
+      false, spark.sessionState.newHadoopConf())
+
+    def names(l: Seq[String]) = l.map(_.split("/").last).toSet
+    val lite = t.vacuum(0, dryRun = true, enforceRetention = false, mode = "lite")
+    val full = t.vacuum(0, dryRun = true, enforceRetention = false)
+    assert(lite.nonEmpty, "expired tombstoned files expected")
+    assert(names(lite).subsetOf(names(full)))
+    assert(!names(lite).contains("part-orphan.snappy.parquet"),
+      s"lite must not touch untracked files: $lite")
+    assert(names(full).contains("part-orphan.snappy.parquet"),
+      s"full must reap stale orphans: $full")
+    // protecting every referenced version leaves only the orphan
+    val kept = t.vacuum(0, dryRun = true, enforceRetention = false,
+      keepVersions = Seq(0L, 1L))
+    assert(names(kept) == Set("part-orphan.snappy.parquet"), s"kept: $kept")
+    // bad mode refused
+    intercept[IllegalArgumentException](t.vacuum(0, mode = "both"))
+    // real lite delete: orphan and live data survive, table still reads
+    t.vacuum(0, dryRun = false, enforceRetention = false, mode = "lite")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "part-orphan.snappy.parquet")))
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 50)
+  }
 }

@@ -918,6 +918,37 @@ object LlmEntries {
          |FROM m""".stripMargin
     }),
 
+    // per-source corpus rollup (the pipeline-health dashboard query):
+    // doc/token totals, exact mean length, language mix — one partial-agg
+    // groupBy on source, every ratio a single IEEE division
+    Entry("llm_corpus_stats", (s, d) => {
+      val t = col("text")
+      docsDelta(s, d)
+        .select(col("source"), col("lang"),
+          TextOps.wordCount(t).as("__nw"), TextOps.tokenEstimate(t).as("__nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("__nw")).as("total_words"),
+          sum(col("__nt")).as("total_tokens"),
+          (sum(col("__nw")).cast("double") / count(lit(1)).cast("double"))
+            .as("mean_words"),
+          countDistinct(col("lang")).cast("long").as("n_langs"))
+    }, Some(
+      """WITH w AS (
+        |  SELECT source, lang,
+        |         CAST(len(ws) AS BIGINT) AS nw,
+        |         CAST(coalesce(list_sum([CAST(ceil(length(x) / 4.0) AS BIGINT) FOR x IN ws]), 0) AS BIGINT) AS nt
+        |  FROM (SELECT source, lang,
+        |          CASE WHEN length(trim(text)) = 0 THEN []
+        |               ELSE string_split_regex(trim(text), '\s+') END AS ws
+        |        FROM documents) t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nw) AS BIGINT) AS total_words,
+        |       CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |       CAST(sum(nw) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_words,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM w GROUP BY source""".stripMargin)),
+
     // ---- end-to-end corpus curation ---------------------------------------
     // The whole training-data assembly line composed from the library's own
     // operators: language ID -> quality gate -> exact dedup (fingerprint,

@@ -150,22 +150,40 @@ class LazyFileIndex(
       .union(tailRels.toDF("rel"))
   }
 
-  /** Tombstoned paths with deletionTimestamp >= cutoff, as a ("rel") DF. */
-  def recentTombstoneRelsDf(cutoffMs: Long): org.apache.spark.sql.DataFrame = {
+  /** Tombstoned paths with deletionTimestamp >= cutoff (recent = true) or
+    * < cutoff (recent = false), as a ("rel") DF — data file paths AND their
+    * deletion-vector blob paths. A retained tombstone protects BOTH (time
+    * travel / RESTORE into the retention window must still decode the
+    * mask), so omitting the DV rel here would let a lazy-snapshot VACUUM
+    * delete a blob the eager path protects. */
+  def tombstoneRelsDf(cutoffMs: Long, recent: Boolean,
+      tablePathStr: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
+    // function VALUES, not local defs: defs lift to methods that can drag
+    // `this` (non-serializable index) into the task closure
+    val keep: Option[Long] => Boolean = ts => {
+      val t = ts.getOrElse(Long.MaxValue)
+      if (recent) t >= cutoffMs else t < cutoffMs
+    }
+    val rels: (RemoveFile, Path) => Seq[String] = (r, tp) =>
+      PathCodec.decode(r.path) +: r.deletionVector
+        .flatMap(dv => DeletionVectors.dvPath(tp, dv))
+        .map(p => tp.toUri.relativize(p.toUri).getPath).toSeq
     val ckpt = colDf("remove", Checkpoints.removeType).rdd.mapPartitions { it =>
+      val tp = new Path(tablePathStr)
       it.flatMap { row =>
         val r = Checkpoints.decodeRemove(row.getStruct(0))
-        if (r.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoffMs)
-          Some(PathCodec.decode(r.path))
-        else None
+        if (keep(r.deletionTimestamp)) rels(r, tp) else Nil
       }
     }
     spark.createDataset(ckpt).toDF("rel")
-      .union(tailRemoves
-        .filter(_.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoffMs)
-        .map(r => PathCodec.decode(r.path)).toDF("rel"))
+      .union(tailRemoves.filter(r => keep(r.deletionTimestamp))
+        .flatMap(r => rels(r, new Path(tablePathStr))).toDF("rel"))
   }
+
+  /** Back-compat alias: tombstoned DATA+DV rels with ts >= cutoff. */
+  def recentTombstoneRelsDf(cutoffMs: Long, tablePathStr: String): org.apache.spark.sql.DataFrame =
+    tombstoneRelsDf(cutoffMs, recent = true, tablePathStr)
 
   /** Only the Adds below `maxSize` bytes (OPTIMIZE compaction candidates):
     * the size filter runs on executors over the checkpoint parquet, so a

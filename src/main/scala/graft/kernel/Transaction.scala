@@ -356,13 +356,30 @@ private[graft] object LogCleanup {
     }
   }
 
-  /** Latest version carrying any checkpoint file — the only safe cleanup
-    * cutoff (commits not covered by a checkpoint are required for replay). */
-  def latestCheckpointVersion(log: DeltaLog): Option[Long] =
-    log.store.list(log.logPath).collect {
-      case f if LogStore.isCheckpointFile(f.getPath.getName) =>
-        LogStore.fileVersion(f.getPath.getName)
-    }.maxOption
+  /** Latest version carrying a USABLE checkpoint — the only safe cleanup
+    * cutoff (commits not covered by a checkpoint are required for replay).
+    * "Usable" mirrors Snapshot.usableCheckpoint: a bare multi-part FRAGMENT
+    * (a writer crashed mid-publication) must NOT count — snapshot loading
+    * would fall back to an older checkpoint plus the commit tail, and
+    * cleaning that tail against the fragment's version would permanently
+    * break replay. */
+  def latestCheckpointVersion(log: DeltaLog): Option[Long] = {
+    val cpPaths = log.store.list(log.logPath).map(_.getPath)
+      .filter(p => LogStore.isCheckpointFile(p.getName))
+    def usable(names: Seq[String]): Boolean = {
+      val singleClassic = names.exists(_.matches("\\d{20}\\.checkpoint\\.parquet"))
+      val completeMulti = names
+        .flatMap(n => LogStore.multiPartInfo(n).map { case (i, np) => (np, i) })
+        .groupBy(_._1)
+        .exists { case (np, l) => l.map(_._2).toSet == (1 to np).toSet }
+      val v2Manifest = names.exists(n =>
+        !n.matches("\\d{20}\\.checkpoint\\.parquet") && LogStore.multiPartInfo(n).isEmpty)
+      singleClassic || completeMulti || v2Manifest
+    }
+    cpPaths.groupBy(p => LogStore.fileVersion(p.getName))
+      .collect { case (v, ps) if usable(ps.map(_.getName)) => v }
+      .maxOption
+  }
 }
 
 object DeltaConfig {

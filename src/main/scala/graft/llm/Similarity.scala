@@ -320,23 +320,32 @@ object Similarity {
     requireDim(queries, vecCol, dim, "pqTopK queries")
     val sub = dim / m
     val v = col(vecCol).cast("array<double>")
+    // NULL embeddings are dropped on BOTH sides: a null corpus vector
+    // encodes to null codes → NULL ADC distance, and Spark's ASC window
+    // order is NULLS FIRST — the null row would take rank 1 of every query
+    val corpusNN = corpus.filter(col(vecCol).isNotNull)
+    val queriesNN = queries.filter(col(vecCol).isNotNull)
 
     // codebooks[s][c][j]: trainIters=0 slices the first codebookSize
     // vectors (one-shot, exactly replayable); otherwise per-subspace
     // k-means over the subvectors (m small training jobs, train-once)
     val codebooks: Array[Array[Array[Double]]] =
       if (trainIters == 0) {
-        val seeds = corpus.select(col(idCol), v.as("__v"))
-          .filter(col("__v").isNotNull)
+        val seeds = corpusNN.select(col(idCol), v.as("__v"))
           .orderBy(col(idCol)).limit(codebookSize)
           .collect().map(_.getSeq[Double](1).toArray)
         require(seeds.nonEmpty, "pqTopK: corpus has no non-null embeddings")
         Array.tabulate(m)(s => seeds.map(_.slice(s * sub, (s + 1) * sub)))
       } else Array.tabulate(m) { s =>
         Clustering.kmeansCentroids(
-          corpus.select(col(idCol), slice(v, s * sub + 1, sub).as("__sv")),
+          corpusNN.select(col(idCol), slice(v, s * sub + 1, sub).as("__sv")),
           idCol, "__sv", codebookSize, trainIters, exactTrain)
       }
+    // the ACTUAL codebook length — a corpus smaller than codebookSize
+    // yields fewer entries, and the flattened ADC table below is laid out
+    // with this stride (striding by the REQUESTED size would read another
+    // subspace's distances, or index past the table under ANSI)
+    val cbLen = codebooks(0).length
 
     // squared distance of subspace s of a vector to codebook entry cb,
     // folded in ascending in-subspace order
@@ -346,7 +355,7 @@ object Similarity {
 
     // corpus encoding: per subspace, bind the distance array then argmin
     // (ties → lowest code id); codes assembled into one array<int> column
-    var c = corpus.select(col(idCol).as("neighbor_id"), v.as("__cv"))
+    var c = corpusNN.select(col(idCol).as("neighbor_id"), v.as("__cv"))
     for (s <- 0 until m) {
       val darr = array(codebooks(s).map(cb => subDist2(col("__cv"), s, cb)): _*)
       c = c.withColumn(s"__pqd$s", darr)
@@ -357,10 +366,10 @@ object Similarity {
     val coded = c.select(col("neighbor_id"),
       array((0 until m).map(s => col(s"__pqc$s")): _*).as("__codes"))
 
-    // query side: flattened ADC table [s * codebookSize + c] bound once
+    // query side: flattened ADC table [s * cbLen + c] bound once
     val dt = array((for (s <- 0 until m; cb <- codebooks(s))
       yield subDist2(col("__qv"), s, cb)): _*)
-    val q = broadcast(queries.select(col(idCol).as("query_id"), v.as("__qv"))
+    val q = broadcast(queriesNN.select(col(idCol).as("query_id"), v.as("__qv"))
       .withColumn("__dt", dt)
       .drop("__qv"))
 
@@ -370,7 +379,7 @@ object Similarity {
       .withColumn("dist2",
         aggregate(
           transform(col("__codes"), (code, s) =>
-            element_at(col("__dt"), s * codebookSize + code + 1)),
+            element_at(col("__dt"), s * cbLen + code + 1)),
           lit(0.0), (acc, x) => acc + x))
     val w = Window.partitionBy("query_id")
       .orderBy(col("dist2").asc, col("neighbor_id").asc)

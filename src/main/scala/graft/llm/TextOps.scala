@@ -193,7 +193,12 @@ object TextOps {
       s => gopherStopwords.map(m => s === lit(m)).reduce(_ || _))).cast("long")
     def ratio(num: Column, den: Column): Column =
       when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
-    val mwl = meanWordLen(t)
+    // mean word length from the BOUND token array — meanWordLen(t) would
+    // re-run the trim+regex split three more times per row (size guard,
+    // aggregate, divisor); same expression shape, so values are identical
+    val mwl = when(size(w) === 0, lit(0.0)).otherwise(
+      aggregate(transform(w, s => length(s).cast("double")), lit(0.0),
+        (a, x) => a + x) / size(w).cast("double"))
     df.select(col(idCol), t,
         words(t).as("__gw"),
         split(t, "\n", -1).as("__gl"))

@@ -72,57 +72,76 @@ object VacuumOp {
     val distributed = snapshot.lazyIndex.exists(!_.isMaterialized) ||
       snapshot.lazyIndex.isEmpty && snapshot.allFiles.size >= distThreshold
 
-    val candidates0: Seq[String] =
+    // one place maps a logged (path, dv) pair to its LITERAL on-disk rel
+    // paths (data file + optional DV blob); listing yields literal names,
+    // so log paths are URI-decoded before compare
+    def relPaths(path: String, dv: Option[DeletionVectorDescriptor]): Seq[String] =
+      PathCodec.decode(path) +: dv
+        .flatMap(d => DeletionVectors.dvPath(table.tablePath, d))
+        .map(p => tableUri.relativize(p.toUri).getPath).toSeq
+
+    // files referenced by keep_versions snapshots (vacuum.rs:182,
+    // with_keep_versions): protected so time travel to them keeps working
+    def keepRelsSeq(): Seq[String] = keepVersions.distinct.flatMap { kv =>
+      table.deltaLog.snapshotAt(kv).allFiles
+        .flatMap(f => relPaths(f.path, f.deletionVector))
+    }
+
+    val candidates: Seq[String] =
       if (!distributed) {
         // live = current adds + their deletion-vector blobs; keep anything
-        // tracked by a recent tombstone or newer than the cutoff. Listing
-        // yields LITERAL names, so log paths are URI-decoded before compare.
-        val liveDvs: Set[String] = snapshot.allFiles.flatMap(_.deletionVector)
-          .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
-          .map(p => tableUri.relativize(p.toUri).getPath).toSet
+        // tracked by a recent tombstone or newer than the cutoff.
         val live: Set[String] =
-          snapshot.allFiles.map(f => PathCodec.decode(f.path)).toSet ++ liveDvs
+          snapshot.allFiles.flatMap(f => relPaths(f.path, f.deletionVector)).toSet
         // a retained tombstone protects BOTH its data file and its DV blob:
         // time travel / RESTORE into the retention window must still be able
         // to decode the mask
         val recentTombstones: Set[String] = snapshot.tombstones
           .filter(_.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoff)
-          .flatMap(r => PathCodec.decode(r.path) +: r.deletionVector
-            .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
-            .map(p => tableUri.relativize(p.toUri).getPath).toSeq)
-          .toSet
+          .flatMap(r => relPaths(r.path, r.deletionVector)).toSet
+        // lite mode (vacuum.rs:82 VacuumMode): only files an EXPIRED
+        // tombstone records are deletable — untracked debris survives.
+        // The unrestricted set equals the reference's FULL mode (and
+        // delta-spark): expired tombstoned files + stale orphans.
+        val expiredTombs: Option[Set[String]] =
+          if (mode == "lite") Some(snapshot.tombstones
+            .filter(_.deletionTimestamp.getOrElse(Long.MaxValue) < cutoff)
+            .flatMap(r => relPaths(r.path, r.deletionVector)).toSet)
+          else None
+        val keepRels: Set[String] = keepRelsSeq().toSet
         val listed = mutable.ArrayBuffer[(String, Long)]()
         walkFs(fs, table.tablePath, "", listed)
         listed.collect {
           case (rel, mtime) if mtime < cutoff &&
-            !live.contains(rel) && !recentTombstones.contains(rel) => rel
+            !live.contains(rel) && !recentTombstones.contains(rel) &&
+            expiredTombs.forall(_.contains(rel)) &&
+            !keepRels.contains(rel) => rel
         }.toSeq
       } else {
-        // listing fans out one task per top-level vacuumable dir; live and
-        // recent-tombstone sets stay DataFrames (from the checkpoint parquet
-        // on lazy snapshots) and reduce candidates via anti-joins — neither
-        // the file listing nor the live set materializes on the driver
+        // listing fans out one task per top-level vacuumable dir; live,
+        // tombstone, and keep-version sets stay DataFrames (from the
+        // checkpoint parquet on lazy snapshots) and reduce candidates via
+        // anti/semi-joins — nothing materializes on the driver except the
+        // final deletable set
         import spark.implicits._
         import org.apache.spark.sql.functions.col
-        val liveDf = snapshot.lazyIndex match {
-          case Some(idx) if !idx.isMaterialized =>
-            idx.liveRelPathsDf(table.tablePath.toString)
-          case _ =>
-            snapshot.allFiles.flatMap(f =>
-              PathCodec.decode(f.path) +: f.deletionVector
-                .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
-                .map(p => tableUri.relativize(p.toUri).getPath).toSeq)
-              .toDF("rel")
+        val tableStr = table.tablePath.toString
+        def snapRelsDf(s: graft.kernel.Snapshot) = s.lazyIndex match {
+          case Some(idx) if !idx.isMaterialized => idx.liveRelPathsDf(tableStr)
+          case _ => s.allFiles
+            .flatMap(f => relPaths(f.path, f.deletionVector)).toDF("rel")
         }
-        val tombDf = snapshot.lazyIndex match {
-          case Some(idx) if !idx.isMaterialized => idx.recentTombstoneRelsDf(cutoff)
+        val liveDf = snapRelsDf(snapshot)
+        def tombDf(recent: Boolean) = snapshot.lazyIndex match {
+          case Some(idx) if !idx.isMaterialized =>
+            idx.tombstoneRelsDf(cutoff, recent, tableStr)
           case _ =>
             snapshot.tombstones
-              .filter(_.deletionTimestamp.getOrElse(Long.MaxValue) >= cutoff)
-              .flatMap(r => PathCodec.decode(r.path) +: r.deletionVector
-                .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
-                .map(p => tableUri.relativize(p.toUri).getPath).toSeq)
-              .toDF("rel")
+              .filter { r =>
+                val t = r.deletionTimestamp.getOrElse(Long.MaxValue)
+                if (recent) t >= cutoff else t < cutoff
+              }
+              .flatMap(r => relPaths(r.path, r.deletionVector)).toDF("rel")
         }
         val rootEntries = fs.listStatus(table.tablePath).toSeq
         val seedDirs = rootEntries
@@ -133,7 +152,6 @@ object VacuumOp {
           .map(st => (st.getPath.getName, st.getModificationTime))
         val bcConf = spark.sparkContext.broadcast(
           new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
-        val tableStr = table.tablePath.toString
         val listedRdd = spark.sparkContext
           .parallelize(seedDirs, math.max(1, seedDirs.size))
           .flatMap { d =>
@@ -144,43 +162,20 @@ object VacuumOp {
             walkFs(efs, p, rel, buf)
             buf
           }
-        spark.createDataset(listedRdd).union(rootFiles.toDS())
+        var candDf = spark.createDataset(listedRdd).union(rootFiles.toDS())
           .toDF("rel", "mtime")
           .filter(col("mtime") < cutoff)
           .join(liveDf, Seq("rel"), "left_anti")
-          .join(tombDf, Seq("rel"), "left_anti")
-          .select("rel").as[String].collect().toSeq
-      }
-
-    // Mode split (vacuum.rs:82 VacuumMode): the base candidate set above
-    // equals the reference's FULL mode — expired tombstoned files AND
-    // untracked orphans past the retention window (delta-spark semantics
-    // too). LITE (the reference default) restricts deletion to files a
-    // tombstone actually records as expired — untracked debris survives.
-    val liteFiltered: Seq[String] =
-      if (mode == "lite") {
-        val expiredTombRels: Set[String] = snapshot.tombstones
-          .filter(_.deletionTimestamp.getOrElse(Long.MaxValue) < cutoff)
-          .flatMap(r => PathCodec.decode(r.path) +: r.deletionVector
-            .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
-            .map(p => tableUri.relativize(p.toUri).getPath).toSeq)
-          .toSet
-        candidates0.filter(expiredTombRels.contains)
-      } else candidates0
-
-    // keep_versions (vacuum.rs:182, experimental in the reference): every
-    // file a listed version references — data AND deletion-vector blobs —
-    // is protected, so time travel to those versions keeps working.
-    val candidates: Seq[String] =
-      if (keepVersions.isEmpty) liteFiltered
-      else {
-        val protectedRels: Set[String] = keepVersions.distinct.flatMap { v =>
-          table.deltaLog.snapshotAt(v).allFiles.flatMap(f =>
-            PathCodec.decode(f.path) +: f.deletionVector
-              .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
-              .map(p => tableUri.relativize(p.toUri).getPath).toSeq)
-        }.toSet
-        liteFiltered.filterNot(protectedRels.contains)
+          .join(tombDf(recent = true), Seq("rel"), "left_anti")
+        if (mode == "lite")
+          candDf = candDf.join(tombDf(recent = false), Seq("rel"), "left_semi")
+        if (keepVersions.nonEmpty) {
+          val keepDf = keepVersions.distinct
+            .map(kv => snapRelsDf(table.deltaLog.snapshotAt(kv)))
+            .reduce(_ unionByName _)
+          candDf = candDf.join(keepDf, Seq("rel"), "left_anti")
+        }
+        candDf.select("rel").as[String].collect().toSeq
       }
 
     if (!dryRun) {

@@ -139,6 +139,21 @@ class Round7Spec extends AnyFunSuite {
     assert((0 to 4).forall(v => logNames.contains(f"$v%020d.json")),
       s"cleanup before any checkpoint must delete nothing: $logNames")
 
+    // a multi-part checkpoint FRAGMENT (crashed mid-publication: part 1 of
+    // 3 only) must NOT become the cleanup cutoff — with no usable
+    // checkpoint at all, cleaning against it would destroy the only replay
+    // source. Age everything first so retention can't mask the guard.
+    val frag = new java.io.File(logDir,
+      f"${3}%020d.checkpoint.${1}%010d.${3}%010d.parquet")
+    java.nio.file.Files.write(frag.toPath, Array[Byte](1, 2, 3))
+    val fsPre = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    logDir.listFiles().foreach(f => fsPre.setTimes(
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath), 1000L, 1000L))
+    DeltaTable.forPath(spark, dir).cleanupMetadata()
+    assert((0 to 4).forall(v => logNames.contains(f"$v%020d.json")),
+      s"a checkpoint fragment must not move the cleanup cutoff: $logNames")
+
     t.createCheckpoint()
     assert(logNames.exists(_.matches("0{16}0004\\.checkpoint.*")),
       s"explicit checkpoint missing: $logNames")
@@ -187,8 +202,11 @@ class Round7Spec extends AnyFunSuite {
     val kept = t.vacuum(0, dryRun = true, enforceRetention = false,
       keepVersions = Seq(0L, 1L))
     assert(names(kept) == Set("part-orphan.snappy.parquet"), s"kept: $kept")
-    // bad mode refused
-    intercept[IllegalArgumentException](t.vacuum(0, mode = "both"))
+    // bad mode refused (enforceRetention=false so the retention guard's
+    // IllegalArgumentException can't mask a missing mode check)
+    val badMode = intercept[IllegalArgumentException](
+      t.vacuum(0, enforceRetention = false, mode = "both"))
+    assert(badMode.getMessage.contains("unknown mode"))
     // real lite delete: orphan and live data survive, table still reads
     t.vacuum(0, dryRun = false, enforceRetention = false, mode = "lite")
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "part-orphan.snappy.parquet")))

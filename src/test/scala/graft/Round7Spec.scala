@@ -212,4 +212,45 @@ class Round7Spec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "part-orphan.snappy.parquet")))
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 50)
   }
+
+  test("lazy-snapshot vacuum protects DV blobs of RETAINED tombstones") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val prevThreshold = spark.conf.getOption("spark.graft.lazySnapshotThreshold")
+    try {
+      DeltaTable.write(spark,
+        (1L to 100L).map(i => (i, s"v$i")).toDF("id", "s").repartition(2), dir,
+        configuration = Map("delta.enableDeletionVectors" -> "true"))
+      val t0 = DeltaTable.forPath(spark, dir)
+      t0.delete(Some("id % 10 = 0"))  // v1: DV mask #1
+      t0.delete(Some("id % 10 = 1"))  // v2: DV mask #2 supersedes #1 —
+                                      // blob #1 now held only by a RECENT tombstone
+      t0.createCheckpoint()
+      val blobs = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.startsWith("deletion_vector_")).toSet
+      assert(blobs.size >= 2, s"expected superseded + live DV blobs: $blobs")
+
+      // age every FILE far past any retention while the tombstones'
+      // deletionTimestamps (in the log) stay NOW-recent — protection, not
+      // file age, is what must keep the superseded blobs alive
+      val fsA = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      new java.io.File(dir).listFiles().filterNot(_.isDirectory)
+        .foreach(f => fsA.setTimes(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), 1000L, 1000L))
+
+      // force the lazy index so vacuum takes the DataFrame (anti-join) path
+      spark.conf.set("spark.graft.lazySnapshotThreshold", "1")
+      val t = DeltaTable.forPath(spark, dir)
+      assert(t.snapshot.lazyIndex.exists(!_.isMaterialized),
+        "test setup: snapshot must be lazy")
+      val cand = t.vacuum(1.0, dryRun = true, enforceRetention = false)
+      val candBlobs = cand.map(_.split("/").last).filter(_.startsWith("deletion_vector_"))
+      assert(candBlobs.isEmpty,
+        s"retained-tombstone DV blobs must be protected on the lazy path: $cand")
+    } finally prevThreshold match {
+      case Some(v) => spark.conf.set("spark.graft.lazySnapshotThreshold", v)
+      case None => spark.conf.unset("spark.graft.lazySnapshotThreshold")
+    }
+  }
 }

@@ -467,12 +467,40 @@ object Checkpoints {
     * read as one distributed scan. */
   def read(spark: SparkSession, files: Seq[Path], withFiles: Boolean): Seq[Action] = {
     require(files.nonEmpty, "no checkpoint files to read")
-    val readSchema = StructType(checkpointSchema.fields :+
-      StructField("sidecar", sidecarType))
+    // delta-spark checkpoints written with delta.checkpoint.writeStatsAsJson
+    // =false carry stats ONLY as the `add.stats_parsed` STRUCT (the
+    // reference reads it with a raw-stats fallback, scan_row.rs:225-310).
+    // Peek the footer schema: when stats_parsed exists, read it too (its
+    // struct type is table-specific) and synthesize the JSON form for any
+    // add missing raw stats — pruning/approxCount survive either layout.
+    val statsParsedType: Option[org.apache.spark.sql.types.DataType] =
+      if (!withFiles) None
+      else scala.util.Try(spark.read.parquet(files.map(_.toString): _*).schema)
+        .toOption
+        .flatMap(_.find(_.name == "add")).map(_.dataType)
+        .collect { case s: StructType => s }
+        .flatMap(_.find(_.name == "stats_parsed")).map(_.dataType)
+    val addReadType = statsParsedType match {
+      case Some(t) => StructType(addType.fields :+ StructField("stats_parsed", t))
+      case None => addType
+    }
+    val readSchema = StructType(checkpointSchema.fields.map {
+      case f if f.name == "add" => StructField("add", addReadType)
+      case f => f
+    } :+ StructField("sidecar", sidecarType))
     val schema0 =
       if (withFiles) readSchema
       else StructType(readSchema.filterNot(f => f.name == "add" || f.name == "remove"))
-    val df0 = spark.read.schema(schema0).parquet(files.map(_.toString): _*)
+    val df0raw = spark.read.schema(schema0).parquet(files.map(_.toString): _*)
+    val df0 = statsParsedType match {
+      case Some(_) =>
+        import org.apache.spark.sql.functions.{coalesce, to_json, when => whenF, col => colF}
+        df0raw.withColumn("add",
+          whenF(colF("add").isNotNull, colF("add").withField("stats",
+            coalesce(colF("add.stats"), to_json(colF("add.stats_parsed")))))
+            .otherwise(colF("add")))
+      case None => df0raw
+    }
     // re-align to the full positional layout expected below
     val df = if (withFiles) df0 else df0
       .withColumn("add", org.apache.spark.sql.functions.lit(null).cast(addType))

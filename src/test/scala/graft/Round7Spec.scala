@@ -213,6 +213,51 @@ class Round7Spec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 50)
   }
 
+  test("checkpoint stats_parsed-only layout: stats survive the read") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    DeltaTable.write(spark,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "s").repartition(2), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    t.createCheckpoint()
+    assert(t.approxCount.contains(100L))
+
+    // rewrite the checkpoint the way delta-spark's writeStatsAsJson=false /
+    // writeStatsAsStruct=true lays it out: stats STRUCT, no raw JSON
+    val cpFile = new java.io.File(dir, "_delta_log").listFiles()
+      .map(_.getName).filter(_.matches("\\d{20}\\.checkpoint\\.parquet")).head
+    val cpPath = s"$dir/_delta_log/$cpFile"
+    val cp = spark.read.parquet(cpPath)
+    // withField is null-safe (null add stays null), and a when/otherwise
+    // would fail analysis: the branches differ in shape once a field is added
+    val rewritten = cp.withColumn("add",
+      col("add")
+        .withField("stats_parsed",
+          struct(get_json_object(col("add.stats"), "$.numRecords")
+            .cast("long").as("numRecords")))
+        .withField("stats", lit(null).cast("string")))
+    val tmpOut = tmpDir()
+    rewritten.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpOut))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.delete(new org.apache.hadoop.fs.Path(cpPath), false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+      new org.apache.hadoop.fs.Path(cpPath), false,
+      spark.sessionState.newHadoopConf())
+    // delete the commits so replay MUST come from the rewritten checkpoint
+    new java.io.File(dir, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .filterNot(_.getName.startsWith("_")).foreach(_.delete())
+
+    val t2 = DeltaTable.forPath(spark, dir)
+    assert(t2.toDF.count() == 100L)
+    assert(t2.approxCount.contains(100L),
+      "numRecords must be recovered from stats_parsed when raw stats are absent")
+  }
+
   test("lazy-snapshot vacuum protects DV blobs of RETAINED tombstones") {
     import spark.implicits._
     val dir = tmpDir()

@@ -1040,5 +1040,111 @@ object LlmEntries {
          |WHERE CASE WHEN lang_pred = 'en' THEN ${sel(0.6)}
          |           WHEN lang_pred = 'de' THEN ${sel(0.8)}
          |           ELSE ${sel(0.5)} END""".stripMargin
-    }))
+    }),
+
+    // ---- incremental / fuzzy dedup and featurization ----------------------
+
+    // cross-corpus (incremental-ingestion) dedup: a new shard is admitted
+    // against the accumulated corpus by normalized fingerprint (anti-join)
+    // and then exact-deduped against itself (keep-min). The shard carries
+    // planted corpus copies (must be dropped) and planted intra-shard
+    // copies (keep-min keeps the original); the oracle replays fingerprint,
+    // anti-join and keep-min relationally.
+    Entry("llm_cross_dedup", (s, d) => {
+      val docs = docsDelta(s, d).select("doc_id", "text", "source")
+      val corpus = docs.filter("doc_id % 3 != 0")
+      val shard = docs.filter("doc_id % 3 = 0")
+        .unionByName(corpus.filter("doc_id % 6 = 1")
+          .withColumn("doc_id", col("doc_id") + 500000))
+        .unionByName(docs.filter("doc_id % 3 = 0 AND doc_id % 9 = 0")
+          .withColumn("doc_id", col("doc_id") + 600000))
+      Dedup.crossDedup(corpus, shard, "doc_id", "text")
+        .select("doc_id", "source")
+    }, Some {
+      val fp = "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))"
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |shard AS (
+         |  SELECT doc_id, text, source FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id + 500000, text, source FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 6 = 1
+         |  UNION ALL SELECT doc_id + 600000, text, source FROM documents WHERE doc_id % 3 = 0 AND doc_id % 9 = 0),
+         |cf AS (SELECT DISTINCT $fp AS f FROM corpus),
+         |sf AS (SELECT doc_id, source, $fp AS f FROM shard),
+         |kept AS (SELECT sf.* FROM sf LEFT JOIN cf USING (f) WHERE cf.f IS NULL)
+         |SELECT min(doc_id) AS doc_id, min_by(source, doc_id) AS source
+         |FROM kept GROUP BY f""".stripMargin
+    }),
+
+    // fuzzy near-dup via blocking + bounded edit distance: block key = the
+    // first 16 chars of the normalized text (equi-join, no all-pairs), pair
+    // when levenshtein <= 10. Planted mutants append ' typoq xq' (9 edits,
+    // prefix intact); the oracle replays block + unbounded levenshtein —
+    // Spark's thresholded banded DP returns the same distances under the
+    // cutoff.
+    Entry("llm_fuzzy_dedup", (s, d) => {
+      val docs = docsDelta(s, d).select("doc_id", "text")
+      val mut = docs.filter("doc_id % 7 = 0")
+        .withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("text", concat(col("text"), lit(" typoq xq")))
+      Dedup.fuzzyNearDups(docs.unionByName(mut), "doc_id", "text",
+        maxDist = 10, prefixLen = 16)
+    }, Some {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 2000000, text || ' typoq xq' FROM documents WHERE doc_id % 7 = 0),
+         |n AS (SELECT doc_id, $norm AS nm FROM corpus),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.nm, b.nm) AS dd
+         |  FROM n a JOIN n b
+         |    ON substr(a.nm, 1, 16) = substr(b.nm, 1, 16)
+         |   AND a.doc_id < b.doc_id
+         |   AND abs(length(a.nm) - length(b.nm)) <= 10)
+         |SELECT id_a, id_b, CAST(dd AS BIGINT) AS edit_dist FROM p WHERE dd <= 10""".stripMargin
+    }),
+
+    // Johnson–Lindenstrauss random projection 64 → 16 dims (±1 signs,
+    // power-of-two scale so the projected doubles replay bit-for-bit in any
+    // engine); long-format output, DuckDB folds the same products in the
+    // same order
+    Entry("llm_random_projection", (s, d) => {
+      Similarity.randomProjection(embDelta(s, d), "embedding", "proj",
+          dim = 64, outDim = 16)
+        .select(col("vec_id"),
+          posexplode(col("proj")).as(Seq("dim_idx", "value")))
+        .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
+          col("value"))
+    }, Some {
+      val rows = Similarity.signMatrix(16, 64).zipWithIndex.map { case (r, j) =>
+        r.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString(s"($j, [", ", ", "])")
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s(j, sv) AS (VALUES $rows)
+         |SELECT vec_id, CAST(j AS BIGINT) AS dim_idx,
+         |       list_sum([v[i] * sv[i] FOR i IN range(1, 65)]) * 0.25 AS value
+         |FROM e CROSS JOIN s""".stripMargin
+    }),
+
+    // feature hashing (hashing trick): signed md5-bucketed bag-of-words in
+    // a fixed 256-dim space, sparse long-format output; no vocabulary pass
+    // anywhere, so the featurization is replayable engine-independently
+    Entry("llm_hash_features", (s, d) =>
+      TextOps.hashedFeatures(docsDelta(s, d).select("doc_id", "text"),
+        "doc_id", "text", numBuckets = 256),
+      Some {
+        val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+        def dig(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(CASE WHEN length(nm) = 0 THEN []
+           |                             ELSE string_split(nm, ' ') END) AS w
+           |  FROM (SELECT doc_id, $norm AS nm FROM documents) t),
+           |h AS (SELECT doc_id, md5(w) AS m FROM toks),
+           |f AS (SELECT doc_id,
+           |        ((((${dig(1)} * 16 + ${dig(2)}) * 16 + ${dig(3)}) * 16 + ${dig(4)}) % 256) AS bucket,
+           |        CASE WHEN ${dig(5)} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+           |      FROM h)
+           |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           |       CAST(sum(sgn) AS BIGINT) AS weight
+           |FROM f GROUP BY doc_id, bucket""".stripMargin
+      }))
 }

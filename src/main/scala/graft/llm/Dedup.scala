@@ -502,4 +502,69 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /**
+   * Incremental-ingestion dedup: admit only `shard` rows whose normalized
+   * content does not already exist in `corpus`, then exact-dedup the shard
+   * against itself (deterministic keep-min id). The shape every recurring
+   * crawl/refresh pipeline needs — new data is deduped against the
+   * accumulated corpus WITHOUT rereading corpus text: only its
+   * fingerprints flow into the join.
+   *
+   * Scale shape: corpus side reduces to DISTINCT fingerprints (one
+   * hash-aggregation, map-side partial — a billion-row corpus with heavy
+   * duplication shrinks before the wire), then a LEFT ANTI equi-join on
+   * the fingerprint (both sides hash-partitioned on it; no all-pairs, no
+   * driver materialization), then [[exactKeepMin]]'s single aggregation
+   * for intra-shard dups. In steady state the corpus fingerprint set
+   * would be persisted as its own Delta table and only the anti-join
+   * re-runs per shard.
+   */
+  def crossDedup(corpus: DataFrame, shard: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val fp = TextOps.fingerprint(col(textCol)).as("__fp")
+    val corpusFps = corpus.select(fp).distinct()
+    shard.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .join(corpusFps, Seq("__fp"), "left_anti")
+      .transform(s => exactKeepMin(s, idCol, Seq("__fp")))
+      .drop("__fp")
+  }
+
+  /**
+   * Fuzzy near-dup pairs via blocking + bounded edit distance: candidate
+   * pairs share a BLOCK KEY (the first `prefixLen` chars of the normalized
+   * text), and a pair is emitted when `levenshtein(norm_a, norm_b) <=
+   * maxDist`. Classic entity-resolution blocking: the join is an equi-join
+   * on the block key — linear in colliding pairs, no all-pairs — at the
+   * documented cost of missing pairs whose edits fall inside the first
+   * `prefixLen` characters (standard recall trade-off; run a second pass
+   * blocked on a suffix key if that matters).
+   *
+   * The |len_a - len_b| <= maxDist filter is a necessary condition of the
+   * edit distance and prunes candidates before the DP runs; the DP itself
+   * uses Spark's thresholded levenshtein (banded, O(maxDist * n) not
+   * O(n^2)) — on kilobyte documents the unbounded DP is the difference
+   * between a scan and a stall.
+   */
+  def fuzzyNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, prefixLen: Int = 16): DataFrame = {
+    require(maxDist >= 1, s"fuzzyNearDups: maxDist=$maxDist")
+    require(prefixLen >= 1, s"fuzzyNearDups: prefixLen=$prefixLen")
+    val norm = df.select(col(idCol).as("__id"),
+      TextOps.normalize(col(textCol)).as("__norm"))
+      .withColumn("__blk", substring(col("__norm"), 1, prefixLen))
+      .withColumn("__len", length(col("__norm")))
+    val a = norm.select(col("__id").as("id_a"), col("__norm").as("__na"),
+      col("__blk"), col("__len").as("__la"))
+    val b = norm.select(col("__id").as("id_b"), col("__norm").as("__nb"),
+      col("__blk").as("__blk2"), col("__len").as("__lb"))
+    a.join(b, col("__blk") === col("__blk2") && col("id_a") < col("id_b") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      // thresholded levenshtein returns -1 when the distance exceeds the
+      // threshold — the banded DP abandons early instead of filling the
+      // full matrix
+      .withColumn("__d", levenshtein(col("__na"), col("__nb"), maxDist))
+      .filter(col("__d") >= 0 && col("__d") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("__d").cast("long").as("edit_dist"))
+  }
 }

@@ -128,6 +128,41 @@ object Similarity {
       when(dot(vec, lits) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Deterministic ±1 sign matrix for [[randomProjection]] (same LCG family
+    * as [[hyperplanes]] — stable across JVMs, literal-replayable in SQL). */
+  def signMatrix(outDim: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] =
+    Array.tabulate(outDim, dim) { (p, j) =>
+      val x = (seed + p.toLong * dim + j) * 6364136223846793005L + 1442695040888963407L
+      if (((x >>> 33) & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /**
+   * Johnson–Lindenstrauss random projection to `outDim` dimensions with a
+   * dense ±1 sign matrix (Achlioptas' database-friendly construction),
+   * scaled by 1/sqrt(outDim). Distances and inner products are preserved in
+   * expectation — project once, then run the exact/LSH/IVF rankers in the
+   * cheap space; at 100 TB this divides every downstream vector pass (and
+   * the memory the ANN joins move) by dim/outDim.
+   *
+   * Shape: a pure projection — outDim literal-array dot products per row
+   * inside codegen, no shuffle, no UDF, no driver state beyond the
+   * outDim × dim sign literals. Keep outDim a perfect square of a power of
+   * two (default 16 → scale 1/4): the final scaling is then a
+   * power-of-two division, fp-exact in any engine, so external systems
+   * can replay projected vectors bit-for-bit.
+   */
+  def randomProjection(df: DataFrame, vecCol: String, outCol: String,
+      dim: Int, outDim: Int = 16, seed: Long = 7L): DataFrame = {
+    require(outDim >= 1, s"randomProjection: outDim=$outDim")
+    requireDim(df, vecCol, dim, "randomProjection")
+    val signs = signMatrix(outDim, dim, seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val comps = signs.map { row =>
+      dot(col(vecCol), array(row.map(lit): _*)) * lit(scale)
+    }
+    df.withColumn(outCol, array(comps: _*))
+  }
+
   /**
    * IVF (inverted-file) ANN: a coarse quantizer splits the corpus into
    * `nCells` cells; each query probes only its `nProbe` nearest cells and

@@ -337,4 +337,36 @@ object TextOps {
         aggregate(col("__w"), lit(0L),
           (acc, s) => acc + ((length(s) + lit(3)) / lit(4)).cast("long")).as("n_tokens"))
   }
+
+  /**
+   * Feature hashing (the "hashing trick", Weinberger et al. 2009): sparse
+   * signed bag-of-words features in a fixed `numBuckets`-dim space with NO
+   * vocabulary pass — bucket and sign both derive from md5 of the token, so
+   * the featurization is stateless, embarrassingly parallel, and any engine
+   * can replay it. Output is the sparse long format (id, bucket, weight):
+   * weight = Σ ±1 over the document's tokens landing in the bucket (the
+   * signed sum makes collisions cancel in expectation instead of biasing
+   * counts upward). Documents with no tokens emit no rows.
+   *
+   * Scale shape: one explode + one (id, bucket) hash aggregation with
+   * map-side partial combine — the same cost as a word count; no
+   * vocabulary broadcast, no driver state, dimensionality fixed up front
+   * regardless of corpus vocabulary growth (the point of the trick at
+   * 100 TB: a real vocabulary pass over web text is billions of terms).
+   */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets >= 2, s"hashedFeatures: numBuckets=$numBuckets")
+    df.select(col(idCol), explode(words(normalize(col(textCol)))).as("__w"))
+      .withColumn("__m", md5(col("__w")))
+      // bucket = first 16 md5 bits mod numBuckets; sign = md5 bit 17 —
+      // independent hex ranges so bucket and sign stay uncorrelated
+      .select(col(idCol),
+        (conv(substring(col("__m"), 1, 4), 16, 10).cast("long") % numBuckets)
+          .as("bucket"),
+        when(conv(substring(col("__m"), 5, 1), 16, 10).cast("long") % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)).as("__sign"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__sign")).as("weight"))
+  }
 }

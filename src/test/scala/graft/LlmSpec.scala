@@ -656,4 +656,90 @@ class LlmSpec extends AnyFunSuite {
       graft.llm.Curation.chunkOverlap(df, "doc_id", "text", chunkSize = 4, step = 5)
     }
   }
+
+  test("crossDedup: corpus copies dropped, intra-shard dups keep-min, novel rows survive") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, "Alpha  beta, GAMMA"),   // normalizes to a corpus doc → dropped
+      (11L, "zeta eta theta"),       // novel → kept
+      (12L, "zeta eta theta"),       // intra-shard dup of 11 → dropped (keep-min)
+      (13L, "iota kappa")            // novel → kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossDedup(corpus, shard, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L, 13L))
+    assertNoCartesian(Dedup.crossDedup(corpus, shard, "doc_id", "text"), "crossDedup")
+  }
+
+  test("fuzzyNearDups: bounded edit distance within blocks, prefix blocking is honest") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " x"),             // distance 2 from 1 → pair
+      (3L, base.replace("dog", "cat")), // distance 3 from 1 (same prefix) → pair
+      (4L, "zz " + base),            // edit in prefix → blocked apart, MISSED by design
+      (5L, "completely different text with no relation whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Dedup.fuzzyNearDups(df, "doc_id", "text", maxDist = 5, prefixLen = 16)
+      .select("id_a", "id_b", "edit_dist").as[(Long, Long, Long)].collect().toSet
+    assert(out.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(out.forall(_._3 <= 5))
+    assert(out.collect { case (1L, 2L, d) => d }.head == 2L)
+    assertNoCartesian(
+      Dedup.fuzzyNearDups(df, "doc_id", "text", maxDist = 5), "fuzzyNearDups")
+    intercept[IllegalArgumentException] {
+      Dedup.fuzzyNearDups(df, "doc_id", "text", maxDist = 0)
+    }
+  }
+
+  test("randomProjection: deterministic, linear, dim-checked, scale fp-exact") {
+    import spark.implicits._
+    val a = Array.tabulate(64)(i => (i % 7).toFloat - 3f)
+    val b = Array.tabulate(64)(i => ((i * 3) % 5).toFloat)
+    val df = Seq((1L, a), (2L, b),
+      (3L, a.zip(b).map { case (x, y) => x + y })).toDF("vec_id", "vec")
+    val out = Similarity.randomProjection(df, "vec", "proj", dim = 64, outDim = 16)
+      .select("vec_id", "proj").as[(Long, Array[Double])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out(1L).length == 16)
+    // deterministic across invocations
+    val again = Similarity.randomProjection(df, "vec", "proj", dim = 64, outDim = 16)
+      .select("vec_id", "proj").as[(Long, Array[Double])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out(1L).sameElements(again(1L)))
+    // linearity: proj(a + b) ≈ proj(a) + proj(b) (floats sum exactly here:
+    // small integers, no rounding)
+    val sum = out(1L).zip(out(2L)).map { case (x, y) => x + y }
+    out(3L).zip(sum).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    // wrong declared dim fails loudly (would zero-pad silently otherwise)
+    intercept[IllegalArgumentException] {
+      Similarity.randomProjection(df, "vec", "proj", dim = 32, outDim = 16)
+        .collect()
+    }
+  }
+
+  test("hashedFeatures: signed counts, fixed space, empty docs emit nothing") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "cat cat dog"),
+      (2L, "cat"),
+      (3L, ""),           // no tokens → no rows
+      (4L, "...!!!")      // normalizes empty → no rows
+    ).toDF("doc_id", "text")
+    val out = TextOps.hashedFeatures(df, "doc_id", "text", numBuckets = 64)
+      .select("doc_id", "bucket", "weight").as[(Long, Long, Long)].collect()
+    assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
+    assert(out.forall(r => r._2 >= 0 && r._2 < 64))
+    // doc 1's 'cat' bucket weight is exactly 2× doc 2's (same token, same sign)
+    val catBucket = out.filter(_._1 == 2L)
+    assert(catBucket.length == 1)
+    val (c2bucket, c2w) = (catBucket.head._2, catBucket.head._3)
+    val d1cat = out.filter(r => r._1 == 1L && r._2 == c2bucket).head
+    assert(d1cat._3 == 2 * c2w)
+    intercept[IllegalArgumentException] {
+      TextOps.hashedFeatures(df, "doc_id", "text", numBuckets = 1)
+    }
+  }
 }

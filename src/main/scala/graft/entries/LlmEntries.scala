@@ -1146,5 +1146,48 @@ object LlmEntries {
            |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
            |       CAST(sum(sgn) AS BIGINT) AS weight
            |FROM f GROUP BY doc_id, bucket""".stripMargin
-      }))
+      }),
+
+    // streaming corpus ingestion with cross-batch dedup: a graft-delta
+    // STREAM of incoming shards is admitted batch-by-batch against the
+    // accumulated output corpus (crossDedup: fingerprint anti-join +
+    // intra-batch keep-min) and appended. Constructed so the result is
+    // identical whichever way the source batches the two commits (each
+    // commit is one file; planted copies carry HIGHER ids than their
+    // originals and novel texts are globally unique via an id suffix), so
+    // the oracle is the global fingerprint keep-min.
+    Entry("streaming_ingest_dedup", (s, d) => {
+      val docs = docsDelta(s, d).select("doc_id", "text", "source")
+      val src = tempDir("st_ingest_src")
+      DeltaTable.write(s, docs.repartition(1), src)
+      val additions = docs.filter("doc_id % 4 = 0")
+          .withColumn("doc_id", col("doc_id") + 700000)
+        .unionByName(docs.filter("doc_id % 5 = 0")
+          .withColumn("text",
+            concat(col("text"), lit(" novel "), col("doc_id").cast("string")))
+          .withColumn("doc_id", col("doc_id") + 800000))
+      DeltaTable.write(s, additions.repartition(1), src, mode = "append")
+      val tgt = tempDir("st_ingest_tgt")
+      val q = s.readStream.format("graft-delta")
+        .option("startingVersion", "0").load(src)
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          val corpus =
+            if (DeltaTable.isDeltaTable(s, tgt)) DeltaTable.forPath(s, tgt).toDF
+            else batch.limit(0)
+          DeltaTable.write(s, Dedup.crossDedup(corpus, batch, "doc_id", "text"),
+            tgt, mode = "append")
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      DeltaTable.forPath(s, tgt).toDF.select("doc_id", "source")
+    }, Some {
+      val fp = "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))"
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL SELECT doc_id + 700000, text, source FROM documents WHERE doc_id % 4 = 0
+         |  UNION ALL SELECT doc_id + 800000, text || ' novel ' || CAST(doc_id AS VARCHAR), source
+         |    FROM documents WHERE doc_id % 5 = 0)
+         |SELECT min(doc_id) AS doc_id, min_by(source, doc_id) AS source
+         |FROM (SELECT doc_id, source, $fp AS f FROM all_docs) t GROUP BY f""".stripMargin
+    }))
 }

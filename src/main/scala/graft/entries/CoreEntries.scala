@@ -718,6 +718,24 @@ object CoreEntries {
       t.toDF
     }, Some("SELECT * FROM lineitem")),
 
+    // incremental-commit OPTIMIZE (optimize.rs min_commit_interval): the
+    // compaction banks progress across MULTIPLE commits (interval 0 ⇒ a
+    // commit per completed-bin batch); data must be byte-identical and the
+    // log must show >1 OPTIMIZE commit (asserted here — the oracle proves
+    // the data plane)
+    Entry("optimize_incremental", (s, d) => {
+      val dir = tempDir("opti")
+      val ord = pq(s, d, "orders")
+      DeltaTable.write(s, ord.repartition(12), dir,
+        partitionBy = Seq("o_orderpriority"))
+      val t = DeltaTable.forPath(s, dir)
+      val v0 = t.version
+      val m = t.optimizeCompact(minCommitInterval = Some(0L))
+      require(m("num_commits").toInt >= 2 && t.version == v0 + m("num_commits").toInt,
+        s"expected multiple incremental OPTIMIZE commits, got $m")
+      t.toDF
+    }, Some("SELECT * FROM orders")),
+
     // OPTIMIZE Z-ORDER: clustering rewrite, data unchanged (§2.6 row 32)
     Entry("optimize_zorder", (s, d) => {
       val dir = tempDir("zo")

@@ -28,7 +28,8 @@ object OptimizeOp {
   def compact(
       table: DeltaTable,
       targetSize: Long,
-      predicate: Option[String]): Map[String, String] = {
+      predicate: Option[String],
+      minCommitInterval: Option[Long] = None): Map[String, String] = {
     val spark = table.spark
     val snapshot = table.refresh()
     val txn = table.startTransaction()
@@ -81,45 +82,111 @@ object OptimizeOp {
     // job completion, and FJ compensation threads would silently exceed the
     // parallelism bound (observed 6 concurrent bins at parallelism 2)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(maxTasks)
-    val results: Seq[(Seq[AddFile], Seq[AddFile])] =
+    def rewriteBin(bin: Seq[AddFile]): (Seq[AddFile], Seq[AddFile]) = {
+      OptimizeOp.binProbe()
       try {
-        val futures = bins.map { bin =>
-          pool.submit(new java.util.concurrent.Callable[(Seq[AddFile], Seq[AddFile])] {
-            def call(): (Seq[AddFile], Seq[AddFile]) = {
-              OptimizeOp.binProbe()
-              try {
-                val df = Scan.readFiles(spark, snapshot, bin).coalesce(1)
-                val adds = DeltaWriter.writeFiles(spark, table.tablePath, df,
-                  snapshot.partitionColumns, WriteIntoDelta.numIndexedCols(snapshot.metadata),
-                  meta = Some(snapshot.metadata))
-                (bin, adds.map(_.copy(dataChange = false)))
-              } finally OptimizeOp.binDone()
-            }
-          })
-        }
-        try futures.map(_.get())
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            // surface the bin's own failure (matching the .par behavior this
-            // pool replaced) and stop burning cluster time on the other bins
-            futures.foreach(_.cancel(true))
-            throw Option(e.getCause).getOrElse(e)
-        }
-      } finally pool.shutdownNow()
-
-    val now = System.currentTimeMillis()
-    val removes = results.flatMap(_._1).map(_.remove(now, dataChange = false))
-    val adds = results.flatMap(_._2)
-    val metrics = Map(
-      "num_files_added" -> adds.size.toString,
-      "num_files_removed" -> removes.size.toString,
-      "partitions_optimized" -> bins.map(_.head.partitionValues).distinct.size.toString,
+        val df = Scan.readFiles(spark, snapshot, bin).coalesce(1)
+        val adds = DeltaWriter.writeFiles(spark, table.tablePath, df,
+          snapshot.partitionColumns, WriteIntoDelta.numIndexedCols(snapshot.metadata),
+          meta = Some(snapshot.metadata))
+        (bin, adds.map(_.copy(dataChange = false)))
+      } finally OptimizeOp.binDone()
+    }
+    def opParams = Map("targetSize" -> targetSize.toString,
+      "predicate" -> predicate.map(p => s"[$p]").getOrElse("[]")) ++
+      minCommitInterval.map(ms => "minCommitInterval" -> s"${ms}ms")
+    def chunkMetrics(removed: Int, added: Int, parts: Int) = Map(
+      "num_files_added" -> added.toString,
+      "num_files_removed" -> removed.toString,
+      "partitions_optimized" -> parts.toString,
       "total_considered_files" -> candidates.size.toString,
-      "total_files_skipped" -> (candidates.size - removes.size).toString)
-    table.commitAndRefresh(txn, removes ++ adds,
-      Operation("OPTIMIZE", Map("targetSize" -> targetSize.toString,
-        "predicate" -> predicate.map(p => s"[$p]").getOrElse("[]")), metrics))
-    metrics
+      "total_files_skipped" -> (candidates.size - removed).toString)
+
+    minCommitInterval match {
+      case None =>
+        val results: Seq[(Seq[AddFile], Seq[AddFile])] =
+          try {
+            val futures = bins.map { bin =>
+              pool.submit(new java.util.concurrent.Callable[(Seq[AddFile], Seq[AddFile])] {
+                def call(): (Seq[AddFile], Seq[AddFile]) = rewriteBin(bin)
+              })
+            }
+            try futures.map(_.get())
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                // surface the bin's own failure (matching the .par behavior this
+                // pool replaced) and stop burning cluster time on the other bins
+                futures.foreach(_.cancel(true))
+                throw Option(e.getCause).getOrElse(e)
+            }
+          } finally pool.shutdownNow()
+
+        val now = System.currentTimeMillis()
+        val removes = results.flatMap(_._1).map(_.remove(now, dataChange = false))
+        val adds = results.flatMap(_._2)
+        val metrics = chunkMetrics(removes.size, adds.size,
+          bins.map(_.head.partitionValues).distinct.size)
+        table.commitAndRefresh(txn, removes ++ adds,
+          Operation("OPTIMIZE", opParams, metrics))
+        metrics
+
+      case Some(intervalMs) =>
+        // Incremental-commit mode (optimize.rs `min_commit_interval`,
+        // :388-437): completed bins are committed whenever `intervalMs` has
+        // elapsed since the last commit, so on a 100 TB table a days-long
+        // compaction durably banks its progress — a crash loses at most one
+        // interval of rewrites (the uncommitted parquet debris is reclaimed
+        // by VACUUM/write-failure hygiene), and concurrent readers see
+        // files shrink commit by commit instead of one giant swap. Each
+        // chunk is its own transaction over disjoint bins, dataChange=false
+        // throughout, so streams/CDF still see no logical change.
+        require(intervalMs >= 0, s"minCommitInterval must be >= 0, got $intervalMs")
+        val ecs = new java.util.concurrent.ExecutorCompletionService[
+          (Seq[AddFile], Seq[AddFile])](pool)
+        var totalRemoved, totalAdded, nCommits = 0
+        val partsDone = scala.collection.mutable.Set[Map[String, String]]()
+        try {
+          val futures = bins.map(bin =>
+            ecs.submit(new java.util.concurrent.Callable[(Seq[AddFile], Seq[AddFile])] {
+              def call(): (Seq[AddFile], Seq[AddFile]) = rewriteBin(bin)
+            }))
+          val pending = scala.collection.mutable.ArrayBuffer[(Seq[AddFile], Seq[AddFile])]()
+          def commitChunk(): Unit = {
+            val now = System.currentTimeMillis()
+            val removes = pending.toSeq.flatMap(_._1).map(_.remove(now, dataChange = false))
+            val adds = pending.toSeq.flatMap(_._2)
+            val chunkParts = pending.map(_._1.head.partitionValues).toSet
+            partsDone ++= chunkParts
+            totalRemoved += removes.size; totalAdded += adds.size; nCommits += 1
+            // fresh transaction per chunk: the previous chunk's commit moved
+            // the table version, and the conflict checker must validate THIS
+            // chunk's read files against the current snapshot
+            val chunkTxn = table.startTransaction()
+            chunkTxn.readFile(pending.toSeq.flatMap(_._1).map(_.path))
+            table.commitAndRefresh(chunkTxn, removes ++ adds,
+              Operation("OPTIMIZE", opParams,
+                chunkMetrics(removes.size, adds.size, chunkParts.size)))
+            pending.clear()
+          }
+          var lastCommit = System.currentTimeMillis()
+          try {
+            bins.indices.foreach { _ =>
+              pending += ecs.take().get()
+              if (System.currentTimeMillis() - lastCommit >= intervalMs) {
+                commitChunk()
+                lastCommit = System.currentTimeMillis()
+              }
+            }
+          } catch {
+            case e: java.util.concurrent.ExecutionException =>
+              futures.foreach(_.cancel(true))
+              throw Option(e.getCause).getOrElse(e)
+          }
+          if (pending.nonEmpty) commitChunk()
+        } finally pool.shutdownNow()
+        chunkMetrics(totalRemoved, totalAdded, partsDone.size) +
+          ("num_commits" -> nCommits.toString)
+    }
   }
 
   def zorder(

@@ -161,8 +161,9 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
   // ---- maintenance ----
 
   def optimizeCompact(targetSizeBytes: Long = 128L * 1024 * 1024,
-                      predicate: Option[String] = None): Map[String, String] =
-    OptimizeOp.compact(this, targetSizeBytes, predicate)
+                      predicate: Option[String] = None,
+                      minCommitInterval: Option[Long] = None): Map[String, String] =
+    OptimizeOp.compact(this, targetSizeBytes, predicate, minCommitInterval)
 
   def optimizeZOrder(columns: Seq[String],
                      targetSizeBytes: Long = 128L * 1024 * 1024,

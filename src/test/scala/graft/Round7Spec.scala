@@ -298,4 +298,47 @@ class Round7Spec extends AnyFunSuite {
       case None => spark.conf.unset("spark.graft.lazySnapshotThreshold")
     }
   }
+
+  test("optimize minCommitInterval: progress banked across multiple commits") {
+    val dir = tmpDir()
+    // 3 partitions × 6 small files — several bins, each well under target
+    val df = spark.range(1800).select(
+      col("id"), (col("id") % 3).cast("string").as("p"),
+      concat(lit("v"), col("id").cast("string")).as("s"))
+    DeltaTable.write(spark, df.repartition(6), dir, partitionBy = Seq("p"))
+    val t = DeltaTable.forPath(spark, dir)
+    val v0 = t.version
+    val before = t.toDF.select("id", "p", "s").collect().map(_.toString).sorted
+
+    // interval 0 → every completed-bin batch commits immediately; serial
+    // bin execution (maxConcurrentTasks=1) makes the chunking deterministic
+    spark.conf.set("spark.graft.optimize.maxConcurrentTasks", "1")
+    val metrics =
+      try t.optimizeCompact(targetSizeBytes = 512L * 1024 * 1024,
+        minCommitInterval = Some(0L))
+      finally spark.conf.unset("spark.graft.optimize.maxConcurrentTasks")
+
+    val nCommits = metrics("num_commits").toInt
+    assert(nCommits >= 2, s"expected multiple incremental commits, got $metrics")
+    assert(t.version == v0 + nCommits)
+    assert(metrics("num_files_removed").toInt >= 6)
+    assert(metrics("partitions_optimized").toInt == 3)
+    // every incremental commit is an OPTIMIZE with dataChange=false actions
+    val hist = t.history(Some(nCommits))
+    assert(hist.forall(_._3.exists(_.operation == "OPTIMIZE")))
+    val log = new graft.kernel.DeltaLog(spark, new org.apache.hadoop.fs.Path(dir))
+    (v0 + 1 to t.version).foreach { v =>
+      val acts = log.readCommit(v)
+      val changed = acts.exists {
+        case a: graft.kernel.AddFile => a.dataChange
+        case r: graft.kernel.RemoveFile => r.dataChange
+        case _ => false
+      }
+      assert(!changed, s"commit $v must be dataChange=false")
+    }
+    // data identical, and the file count actually shrank
+    val after = t.toDF.select("id", "p", "s").collect().map(_.toString).sorted
+    assert(after.sameElements(before))
+    assert(t.snapshot.allFiles.size == 3)
+  }
 }

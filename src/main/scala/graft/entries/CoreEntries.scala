@@ -135,6 +135,41 @@ object CoreEntries {
         |  SELECT DISTINCT c_nationkey AS k FROM customer
         |  INTERSECT SELECT DISTINCT s_nationkey AS k FROM supplier) t2""".stripMargin),
 
+    // SQL PIVOT (Spark PIVOT clause; the oracle replays it as conditional
+    // aggregation — same relational content, dialect-independent). count()
+    // over an absent (status, priority) combination is NULL under PIVOT
+    // but 0 under sum(CASE…), so the Spark side coalesces.
+    Entry("sql_pivot", (s, d) => {
+      deltaView(s, d, "orders")
+      s.sql(
+        """SELECT status, coalesce(urgent, 0L) AS urgent,
+          |       coalesce(high, 0L) AS high, coalesce(medium, 0L) AS medium
+          |FROM (SELECT o_orderstatus AS status, o_orderpriority AS prio FROM orders)
+          |PIVOT (CAST(count(*) AS BIGINT)
+          |       FOR prio IN ('1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium))""".stripMargin)
+    }, Some(
+      """SELECT o_orderstatus AS status,
+        |       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+        |       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+        |       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // ordered string aggregation: deterministic per-group concatenation
+    // (Spark array_sort+array_join ≡ DuckDB string_agg ORDER BY — ASCII
+    // names, binary collation both sides)
+    Entry("sql_string_agg", (s, d) => {
+      Seq("nation", "region").foreach(deltaView(s, d, _))
+      s.sql(
+        """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+          |       array_join(array_sort(collect_list(n_name)), ',') AS nations
+          |FROM nation JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name""".stripMargin)
+    }, Some(
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin)),
+
     sqlEntry("scalar_fns", Seq("part"),
       """SELECT p_partkey, upper(p_name) AS uname,
         |       CAST(length(p_name) AS INT) AS len, p_size % 7 AS size_mod,

@@ -1189,5 +1189,27 @@ object LlmEntries {
          |    FROM documents WHERE doc_id % 5 = 0)
          |SELECT min(doc_id) AS doc_id, min_by(source, doc_id) AS source
          |FROM (SELECT doc_id, source, $fp AS f FROM all_docs) t GROUP BY f""".stripMargin
-    }))
+    }),
+
+    // deterministic global shuffle into training shards: md5 bucket +
+    // within-shard md5 rank — a reproducible uniform permutation any
+    // engine can replay (new epoch = new salt, no stored state)
+    Entry("llm_shuffle_shards", (s, d) =>
+      graft.llm.Curation.shuffleShards(
+        docsDelta(s, d).select("doc_id", "source"), "doc_id",
+        nShards = 8, salt = "shuf7")
+        .select("doc_id", "source", "shard", "pos"),
+      Some {
+        def dig(i: Int) = s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+        s"""WITH b AS (
+           |  SELECT doc_id, source,
+           |         md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':shuf7') AS h
+           |  FROM documents)
+           |SELECT doc_id, source,
+           |       CAST(((((${dig(1)} * 16 + ${dig(2)}) * 16 + ${dig(3)}) * 16 + ${dig(4)}) % 8) AS BIGINT) AS shard,
+           |       CAST(row_number() OVER (
+           |         PARTITION BY (((${dig(1)} * 16 + ${dig(2)}) * 16 + ${dig(3)}) * 16 + ${dig(4)}) % 8
+           |         ORDER BY h, doc_id) AS BIGINT) AS pos
+           |FROM b""".stripMargin
+      }))
 }

@@ -237,4 +237,33 @@ object Curation {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /**
+   * Deterministic global shuffle + shard assignment for training export:
+   * shard = md5(id:salt) bucket, position within shard = rank of the md5
+   * hex (ties to the id). The training loader reads shard files in pos
+   * order and sees a reproducible uniform permutation of the corpus —
+   * reshuffling between epochs is just a new salt, with no state to store.
+   *
+   * Scale shape: one hash projection + one shuffle on the shard key with a
+   * per-shard sort (the row_number window). Shards are the parallelism
+   * unit: size `nShards` so a shard fits an executor's sort budget
+   * (corpus_bytes / nShards ≲ 1 GB) and the window never sees more than
+   * one shard per task. NULL ids hash as '' (like [[stratifiedSample]])
+   * so no row is silently dropped.
+   */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      salt: String): DataFrame = {
+    require(nShards >= 1, s"shuffleShards: nShards=$nShards")
+    val h = md5(concat(coalesce(col(idCol).cast("string"), lit("")),
+      lit(":" + salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long") % nShards)
+          .as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

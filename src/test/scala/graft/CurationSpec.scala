@@ -108,4 +108,29 @@ class CurationSpec extends AnyFunSuite {
     assert(run().collect().map(_.getLong(0)).toSet == out.map(_._1).toSet,
       "mixtureSample not deterministic")
   }
+
+  test("shuffleShards: exact permutation, deterministic, salt reshuffles, null-safe") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i: java.lang.Long, s"d$i")).toDF("id", "v")
+    def run(salt: String) =
+      graft.llm.Curation.shuffleShards(df, "id", nShards = 8, salt)
+        .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    val a = run("e0")
+    // every row present exactly once; positions within each shard are 1..n
+    assert(a.length == 500 && a.map(_._1).toSet.size == 500)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    // deterministic per salt; a new salt actually reshuffles
+    assert(run("e0").sortBy(_._1).sameElements(a.sortBy(_._1)))
+    val b = run("e1")
+    assert(a.sortBy(_._1).map(r => (r._2, r._3)).toSeq !=
+      b.sortBy(_._1).map(r => (r._2, r._3)).toSeq)
+    // rough balance: no shard holds more than half the corpus
+    assert(a.groupBy(_._2).values.map(_.length).max < 250)
+    // NULL id is kept, not dropped
+    val withNull = df.unionByName(Seq((null: java.lang.Long, "dnull")).toDF("id", "v"))
+    assert(graft.llm.Curation.shuffleShards(withNull, "id", 8, "e0").count() == 501)
+  }
 }

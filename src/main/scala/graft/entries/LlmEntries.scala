@@ -1211,5 +1211,16 @@ object LlmEntries {
            |         PARTITION BY (((${dig(1)} * 16 + ${dig(2)}) * 16 + ${dig(3)}) * 16 + ${dig(4)}) % 8
            |         ORDER BY h, doc_id) AS BIGINT) AS pos
            |FROM b""".stripMargin
-      }))
+      }),
+
+    // distributed BPE tokenizer training (Sennrich'16 as a Spark
+    // aggregation loop): 30 merges over the documents corpus. Iterative
+    // argmax-dependent rewriting is not expressible as one SQL statement,
+    // so this is a rows-only driver check; LlmSpec pins exact equality
+    // with a naive single-machine reference (incl. tie-breaks and early
+    // stop), which is the stronger oracle.
+    Entry("llm_bpe_merges", (s, d) =>
+      graft.llm.Bpe.trainMerges(docsDelta(s, d).select("text"), "text",
+        numMerges = 30),
+      None))
 }

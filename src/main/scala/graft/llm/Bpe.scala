@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed byte-pair-encoding (BPE) merge training — the classic
+ * Sennrich et al. 2016 corpus-tokenizer construction as a Spark
+ * aggregation loop (the reference engine has no tokenizer training; this
+ * is the standard map-reduce formulation SentencePiece-style trainers use
+ * at corpus scale).
+ *
+ * Shape: the corpus collapses ONCE to a (word, count) table — at 100 TB
+ * the distinct-word table is orders of magnitude smaller than the corpus
+ * and is the only thing the loop ever touches again. Each merge iteration
+ * is one explode-pairs + sum aggregation over that table (map-side
+ * partial agg), a driver collect of exactly ONE row (the argmax pair,
+ * ties broken lexicographically so training is deterministic), and a
+ * narrow per-word array rewrite. No UDFs — pair extraction and the
+ * greedy merge fold are codegen column expressions; driver state is the
+ * merge list itself (numMerges rows), never data.
+ *
+ * Lineage control: the symbol table is re-persisted per iteration and
+ * localCheckpoint'd every [[checkpointEvery]] merges — an unbounded
+ * iteration chain otherwise accretes a plan Catalyst re-analyzes
+ * quadratically (the k-means loop pins the same lesson).
+ */
+object Bpe {
+
+  /** Adjacent symbol pairs of an array column as (l, r) structs. */
+  private def adjacentPairs(s: Column): Column =
+    when(size(s) < 2, array().cast("array<struct<l:string,r:string>>"))
+      .otherwise(transform(sequence(lit(0), size(s) - 2),
+        i => struct(element_at(s, i + 1).as("l"), element_at(s, i + 2).as("r"))))
+
+  /** Greedy left-to-right non-overlapping merge of the (l, r) pair inside a
+    * symbol array: a left fold where a trailing `l` followed by `r` becomes
+    * the fused symbol ("aaa" + (a,a) → [aa, a], the standard BPE rewrite). */
+  private def mergeFold(s: Column, l: String, r: String): Column =
+    aggregate(s, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /**
+   * Train `numMerges` BPE merges over the corpus text column. Returns the
+   * ordered merge table (rank, left, right, pair_count) — rank 0 is the
+   * first (highest-count) merge. Stops early when no pair reaches
+   * `minPairCount`.
+   */
+  def trainMerges(df: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L, checkpointEvery: Int = 10): DataFrame = {
+    require(numMerges >= 1, s"trainMerges: numMerges=$numMerges")
+    require(minPairCount >= 1, s"trainMerges: minPairCount=$minPairCount")
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel
+
+    // corpus → (count, symbols); split("") yields per-character symbols
+    // (an empty word cannot occur: words() never emits empty tokens)
+    var words = df
+      .select(explode(TextOps.words(TextOps.normalize(col(textCol)))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .select(col("__c"), split(col("__w"), "").as("__s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    var i = 0
+    while (i < numMerges && !done) {
+      val top = words
+        .select(col("__c"), explode(adjacentPairs(col("__s"))).as("__p"))
+        .groupBy(col("__p.l").as("__l"), col("__p.r").as("__r"))
+        .agg(sum(col("__c")).as("__pc"))
+        .orderBy(col("__pc").desc, col("__l").asc, col("__r").asc)
+        .limit(1).collect()
+      top.headOption.filter(_.getLong(2) >= minPairCount) match {
+        case None => done = true
+        case Some(row) =>
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((l, r, c))
+          var next = words.select(col("__c"), mergeFold(col("__s"), l, r).as("__s"))
+          if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint()
+          next = next.persist(StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          words.unpersist()
+          words = next
+          i += 1
+      }
+    }
+    words.unpersist()
+    import spark.implicits._
+    merges.toSeq.zipWithIndex
+      .map { case ((l, r, c), rank) => (rank.toLong, l, r, c) }
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Encode each document's words with a trained merge list: token count
+    * per document after applying every merge in rank order. The merge
+    * list is a driver-side array (it IS small — that's the point of BPE);
+    * application is the same codegen fold, numMerges passes over each
+    * word's symbol array. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val syms0 = transform(TextOps.words(TextOps.normalize(col(textCol))),
+      w => split(w, ""))
+    val symsMerged = merges.foldLeft(syms0) { case (s, (l, r)) =>
+      transform(s, w => mergeFold(w, l, r))
+    }
+    df.select(col(idCol),
+      aggregate(symsMerged, lit(0L), (acc, w) => acc + size(w).cast("long"))
+        .as("n_bpe_tokens"))
+  }
+}

@@ -742,4 +742,74 @@ class LlmSpec extends AnyFunSuite {
       TextOps.hashedFeatures(df, "doc_id", "text", numBuckets = 1)
     }
   }
+
+  /** Naive single-machine BPE reference: identical semantics (pair counts
+    * weighted by word frequency, argmax with (count desc, l asc, r asc)
+    * ties, greedy left-to-right non-overlapping merge). */
+  private def refBpe(wordCounts: Map[String, Long], n: Int,
+      minC: Long): List[(String, String, Long)] = {
+    var words = wordCounts.toList.map { case (w, c) =>
+      (w.map(_.toString).toList, c)
+    }
+    val out = scala.collection.mutable.ListBuffer[(String, String, Long)]()
+    var stop = false
+    while (out.size < n && !stop) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (s, c) =>
+        s.zip(s.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      val best = counts.toList
+        .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+        .filter(_._2 >= minC)
+      best match {
+        case None => stop = true
+        case Some(((l, r), c)) =>
+          out += ((l, r, c))
+          words = words.map { case (s, wc) =>
+            val acc = scala.collection.mutable.ListBuffer[String]()
+            s.foreach { x =>
+              if (acc.nonEmpty && acc.last == l && x == r)
+                acc(acc.size - 1) = l + r
+              else acc += x
+            }
+            (acc.toList, wc)
+          }
+      }
+    }
+    out.toList
+  }
+
+  test("BPE trainMerges matches a naive reference exactly, incl. ties and early stop") {
+    import spark.implicits._
+    val corpus = Seq(
+      "low low low low low lower lower newest newest newest newest newest newest",
+      "widest widest widest wide wide new new new",
+      "Low, LOWER!  newest\twidest"   // normalization folds these in
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    // the reference sees the same normalized word multiset
+    val wc = corpus
+      .select(explode(TextOps.words(TextOps.normalize(col("text")))).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+
+    val got = graft.llm.Bpe.trainMerges(corpus, "text", numMerges = 12,
+        minPairCount = 2, checkpointEvery = 4)
+      .orderBy("rank").as[(Long, String, String, Long)].collect()
+      .map(r => (r._2, r._3, r._4)).toList
+    val want = refBpe(wc, 12, 2L)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+
+    // early stop: an absurd min count stops immediately
+    assert(graft.llm.Bpe.trainMerges(corpus, "text", 5,
+      minPairCount = 1000000).count() == 0)
+
+    // encoding with more merges never increases token counts, and with the
+    // full merge list compresses below the character count
+    val merges = got.map(m => (m._1, m._2))
+    val chars = graft.llm.Bpe.tokenCounts(corpus, "doc_id", "text", Nil)
+      .as[(Long, Long)].collect().toMap
+    val full = graft.llm.Bpe.tokenCounts(corpus, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    assert(full.forall { case (id, n) => n < chars(id) })
+  }
 }

@@ -49,6 +49,12 @@ object LlmEntries {
     shiftleft(hi, 32).bitwiseOR(lo)
   }
 
+  /** DuckDB mirror of [[graft.llm.TextOps.normalize]] — ONE definition so
+    * the eight oracle call sites cannot drift from the Spark side. */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+  private val fpSql = s"md5($normSql)"
+
   /** DuckDB replay of the md5Hash64-based SimHash pipeline as a brute-force
     * oracle: same shingles, same md5-derived bits, same sign-aggregate; the
     * pigeonhole banding in Dedup.simhashNearDups is lossless for
@@ -194,16 +200,13 @@ object LlmEntries {
     Entry("llm_fingerprint", (s, d) =>
       docsDelta(s, d).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp")),
-      Some(
-        """SELECT doc_id,
-          |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
-          |FROM documents""".stripMargin)),
+      Some(s"SELECT doc_id, $fpSql AS fp FROM documents")),
 
     Entry("llm_langid", (s, d) =>
       TextOps.withLangId(docsDelta(s, d).select("doc_id", "text"),
         "text", "lang_pred").select("doc_id", "lang_pred"),
       Some {
-        val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+        val norm = normSql
         val scores = TextOps.langMarkers.map { case (lang, ms) =>
           val list = ms.map(m => s"'$m'").mkString("(", ", ", ")")
           lang -> s"len(list_filter(string_split($norm, ' '), w -> w IN $list))"
@@ -719,7 +722,7 @@ object LlmEntries {
       graft.llm.Search.bm25TopK(docs, "doc_id", "text",
         queries, "query_id", "qtext", k = 10, idfMode = "rational")
     }, Some {
-      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+      val norm = normSql
       s"""WITH d AS (
          |  SELECT doc_id, CASE WHEN length(nt) = 0 THEN [] ELSE string_split(nt, ' ') END AS ws
          |  FROM (SELECT doc_id, $norm AS nt FROM documents) n),
@@ -992,7 +995,7 @@ object LlmEntries {
           Map("en" -> 0.6, "de" -> 0.8), default = 0.5, salt = "cur7")
         .select("doc_id", "lang_pred", "n_words")
     }, Some {
-      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+      val norm = normSql
       val scores = TextOps.langMarkers.map { case (lang, ms) =>
         val list = ms.map(m => s"'$m'").mkString("(", ", ", ")")
         lang -> s"len(list_filter(string_split($norm, ' '), w -> w IN $list))"
@@ -1061,7 +1064,7 @@ object LlmEntries {
       Dedup.crossDedup(corpus, shard, "doc_id", "text")
         .select("doc_id", "source")
     }, Some {
-      val fp = "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))"
+      val fp = fpSql
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
          |shard AS (
          |  SELECT doc_id, text, source FROM documents WHERE doc_id % 3 = 0
@@ -1088,7 +1091,7 @@ object LlmEntries {
       Dedup.fuzzyNearDups(docs.unionByName(mut), "doc_id", "text",
         maxDist = 10, prefixLen = 16)
     }, Some {
-      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+      val norm = normSql
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 2000000, text || ' typoq xq' FROM documents WHERE doc_id % 7 = 0),
@@ -1132,7 +1135,7 @@ object LlmEntries {
       TextOps.hashedFeatures(docsDelta(s, d).select("doc_id", "text"),
         "doc_id", "text", numBuckets = 256),
       Some {
-        val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+        val norm = normSql
         def dig(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
         s"""WITH toks AS (
            |  SELECT doc_id, unnest(CASE WHEN length(nm) = 0 THEN []
@@ -1181,7 +1184,7 @@ object LlmEntries {
       try q.processAllAvailable() finally q.stop()
       DeltaTable.forPath(s, tgt).toDF.select("doc_id", "source")
     }, Some {
-      val fp = "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))"
+      val fp = fpSql
       s"""WITH all_docs AS (
          |  SELECT doc_id, text, source FROM documents
          |  UNION ALL SELECT doc_id + 700000, text, source FROM documents WHERE doc_id % 4 = 0

@@ -52,6 +52,7 @@ object Bpe {
       minPairCount: Long = 2L, checkpointEvery: Int = 10): DataFrame = {
     require(numMerges >= 1, s"trainMerges: numMerges=$numMerges")
     require(minPairCount >= 1, s"trainMerges: minPairCount=$minPairCount")
+    require(checkpointEvery >= 1, s"trainMerges: checkpointEvery=$checkpointEvery")
     val spark = df.sparkSession
     import org.apache.spark.storage.StorageLevel
 

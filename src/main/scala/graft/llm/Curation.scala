@@ -251,6 +251,12 @@ object Curation {
    * (corpus_bytes / nShards ≲ 1 GB) and the window never sees more than
    * one shard per task. NULL ids hash as '' (like [[stratifiedSample]])
    * so no row is silently dropped.
+   *
+   * Determinism contract: positions are fully reproducible iff `idCol`
+   * values are unique — rows sharing an id (including two or more NULL
+   * ids) tie on BOTH window sort keys and their relative positions follow
+   * partition arrival order. Run [[graft.llm.Dedup.exactKeepMin]] (or any
+   * id-dedup) first if the corpus can carry duplicate ids.
    */
   def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
       salt: String): DataFrame = {

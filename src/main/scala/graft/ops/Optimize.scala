@@ -25,6 +25,11 @@ object OptimizeOp {
   }
   private def binDone(): Unit = active.decrementAndGet()
 
+  /** Test seam: runs immediately before each incremental-commit chunk
+    * transaction is created — lets a spec land a CONCURRENT commit between
+    * bin planning and the chunk commit deterministically. */
+  private[graft] var onBeforeChunkCommit: () => Unit = () => ()
+
   def compact(
       table: DeltaTable,
       targetSize: Long,
@@ -62,7 +67,10 @@ object OptimizeOp {
 
     if (bins.isEmpty) {
       val metrics = Map("num_files_added" -> "0", "num_files_removed" -> "0",
-        "partitions_optimized" -> "0", "total_considered_files" -> candidates.size.toString)
+        "partitions_optimized" -> "0", "total_considered_files" -> candidates.size.toString) ++
+        // incremental mode promises a num_commits key — the empty path
+        // commits exactly the one no-op OPTIMIZE record below
+        minCommitInterval.map(_ => "num_commits" -> "1")
       table.commitAndRefresh(txn, Nil, Operation("OPTIMIZE",
         Map("targetSize" -> targetSize.toString), metrics))
       return metrics
@@ -158,14 +166,26 @@ object OptimizeOp {
             val chunkParts = pending.map(_._1.head.partitionValues).toSet
             partsDone ++= chunkParts
             totalRemoved += removes.size; totalAdded += adds.size; nCommits += 1
-            // fresh transaction per chunk: the previous chunk's commit moved
-            // the table version, and the conflict checker must validate THIS
-            // chunk's read files against the current snapshot
-            val chunkTxn = table.startTransaction()
+            // fresh transaction per chunk, PINNED TO THE PLANNING SNAPSHOT:
+            // bins were read at `snapshot`, so the conflict checker must
+            // replay every commit landed since then against this chunk's
+            // read set — a transaction started from the post-refresh
+            // snapshot would skip an external DELETE of a bin file and
+            // silently resurrect its rows. Our own earlier chunks replay
+            // clean (disjoint bins, no read predicates).
+            OptimizeOp.onBeforeChunkCommit()
+            val chunkTxn = new OptimisticTransaction(table.deltaLog, Some(snapshot))
             chunkTxn.readFile(pending.toSeq.flatMap(_._1).map(_.path))
+            // per-commit metrics describe THIS commit only (the durable
+            // history must not repeat global totals per chunk): considered =
+            // the chunk's own files, nothing skipped within a chunk
             table.commitAndRefresh(chunkTxn, removes ++ adds,
-              Operation("OPTIMIZE", opParams,
-                chunkMetrics(removes.size, adds.size, chunkParts.size)))
+              Operation("OPTIMIZE", opParams, Map(
+                "num_files_added" -> adds.size.toString,
+                "num_files_removed" -> removes.size.toString,
+                "partitions_optimized" -> chunkParts.size.toString,
+                "total_considered_files" -> removes.size.toString,
+                "total_files_skipped" -> "0")))
             pending.clear()
           }
           var lastCommit = System.currentTimeMillis()

@@ -341,4 +341,36 @@ class Round7Spec extends AnyFunSuite {
     assert(after.sameElements(before))
     assert(t.snapshot.allFiles.size == 3)
   }
+
+  test("incremental optimize conflict-checks commits landed since PLANNING") {
+    val dir = tmpDir()
+    val df = spark.range(600).select(
+      col("id"), (col("id") % 2).cast("string").as("p"))
+    DeltaTable.write(spark, df.repartition(4), dir, partitionBy = Seq("p"))
+    val t = DeltaTable.forPath(spark, dir)
+    val before = t.toDF.count()
+
+    // between bin planning and the FIRST chunk commit, an external writer
+    // deletes rows living in the planned bins — a chunk transaction pinned
+    // to the current (post-delete) snapshot would skip the conflict and
+    // resurrect them; pinned to the planning snapshot it must abort
+    @volatile var fired = false
+    graft.ops.OptimizeOp.onBeforeChunkCommit = () => {
+      if (!fired) {
+        fired = true
+        DeltaTable.forPath(spark, dir).delete(Some("id % 3 = 0"))
+      }
+    }
+    try {
+      val e = intercept[graft.kernel.CommitConflictException] {
+        spark.conf.set("spark.graft.optimize.maxConcurrentTasks", "1")
+        try t.optimizeCompact(targetSizeBytes = 512L * 1024 * 1024,
+          minCommitInterval = Some(0L))
+        finally spark.conf.unset("spark.graft.optimize.maxConcurrentTasks")
+      }
+      assert(fired, s"hook never fired; got ${e.getMessage}")
+      // the delete survived — no resurrection
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == before - 200)
+    } finally graft.ops.OptimizeOp.onBeforeChunkCommit = () => ()
+  }
 }

@@ -1225,5 +1225,34 @@ object LlmEntries {
     Entry("llm_bpe_merges", (s, d) =>
       graft.llm.Bpe.trainMerges(docsDelta(s, d).select("text"), "text",
         numMerges = 30),
-      None))
+      None),
+
+    // self-trained bigram LM fluency score (CCNet/KenLM filter shape):
+    // every probability is one IEEE division of exact counts, the per-doc
+    // sum folds in position order, so DuckDB replays the doubles exactly
+    Entry("llm_bigram_lm", (s, d) =>
+      TextOps.bigramLmScore(docsDelta(s, d).select("doc_id", "text"),
+        "doc_id", "text"),
+      Some(
+        s"""WITH d AS (
+           |  SELECT doc_id, CASE WHEN length(nm) = 0 THEN []
+           |                      ELSE string_split(nm, ' ') END AS ws
+           |  FROM (SELECT doc_id, $normSql AS nm FROM documents) t),
+           |b AS (
+           |  SELECT doc_id, unnest([{'pos': i, 'w1': ws[i], 'w2': ws[i+1]}
+           |                         FOR i IN range(1, len(ws))], recursive := true)
+           |  FROM d WHERE len(ws) >= 2),
+           |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY w1, w2),
+           |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+           |p AS (
+           |  SELECT b.doc_id, b.pos,
+           |         CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS p
+           |  FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+           |s AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |         list_sum(list(p ORDER BY pos)) / CAST(count(*) AS DOUBLE) AS lm_score
+           |  FROM p GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+           |       coalesce(s.lm_score, 0.0) AS lm_score
+           |FROM d LEFT JOIN s USING (doc_id)""".stripMargin)))
 }

@@ -354,6 +354,54 @@ object TextOps {
    * regardless of corpus vocabulary growth (the point of the trick at
    * 100 TB: a real vocabulary pass over web text is billions of terms).
    */
+  /**
+   * Self-trained bigram language-model fluency score (the CCNet/KenLM
+   * quality-filter shape with the corpus itself as the model): per
+   * document, the mean conditional probability of its word bigrams,
+   * P(w2|w1) = corpusCount(w1 w2) / corpusCount(w1-as-prefix). Documents
+   * full of corpus-typical word transitions score high; gibberish and
+   * boilerplate-free noise score near 1/|V|. Because the model is trained
+   * on the same corpus it scores, every document bigram has count >= 1 —
+   * no smoothing decision leaks into the contract.
+   *
+   * Cross-engine exactness: every probability is ONE IEEE division of two
+   * exact integer counts, the per-document sum folds in POSITION order
+   * (collect_list -> array_sort by the unique position, then an ordered
+   * fold), and the final mean is one more division — any engine replays
+   * the doubles bit-for-bit.
+   *
+   * Scale shape: one bigram explode feeding two hash aggregations (the
+   * model), two equi-joins back (the count sides are DISTINCT bigrams /
+   * prefixes, so a billion-fold-repeated stopword pair is ONE build row
+   * and its frequency skew parallelizes on the probe side), one per-doc
+   * regroup. Nothing driver-side; the trained model never leaves the
+   * executors.
+   */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(normalize(col(textCol)))
+    val bigrams = when(size(w) < 2,
+        array().cast("array<struct<pos:int,w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(0), size(w) - 2), i =>
+        struct(i.cast("int").as("pos"),
+          element_at(w, i + 1).as("w1"), element_at(w, i + 2).as("w2"))))
+    val bi = df.select(col(idCol), explode(bigrams).as("__b"))
+      .select(col(idCol), col("__b.pos").as("__pos"),
+        col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+    val c2 = bi.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))
+    val c1 = bi.groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    val scored = bi.join(c2, Seq("__w1", "__w2")).join(c1, Seq("__w1"))
+      .select(col(idCol), col("__pos"),
+        (col("__c2").cast("double") / col("__c1").cast("double")).as("__p"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        (aggregate(array_sort(collect_list(struct(col("__pos"), col("__p")))),
+          lit(0.0), (acc, x) => acc + x("__p")) /
+          count(lit(1)).cast("double")).as("lm_score"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+  }
+
   def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
       numBuckets: Int = 1024): DataFrame = {
     require(numBuckets >= 2, s"hashedFeatures: numBuckets=$numBuckets")

@@ -779,6 +779,38 @@ class LlmSpec extends AnyFunSuite {
     out.toList
   }
 
+  test("bigramLmScore: hand-computed probabilities, fluent beats gibberish, empty-safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat"),   // bigrams: (the,cat) (cat,sat)
+      (2L, "the cat ran"),   // bigrams: (the,cat) (cat,ran)
+      (3L, "the dog"),       // bigram:  (the,dog)
+      (4L, "x"),             // no bigrams
+      (5L, "")               // no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // corpus counts: the→cat ×2, the→dog ×1 (c1(the)=3); cat→sat, cat→ran
+    // (c1(cat)=2). doc1 = ((2/3) + (1/2)) / 2
+    assert(out(1L) == ((2L, (2.0 / 3.0 + 0.5) / 2.0)))
+    assert(out(2L) == out(1L))
+    assert(out(3L) == ((1L, 1.0 / 3.0)))
+    assert(out(4L) == ((0L, 0.0)) && out(5L) == ((0L, 0.0)))
+
+    // discrimination: a doc pairing COMMON prefixes with the wrong
+    // continuation scores below the fluent majority. (Note the
+    // self-trained-LM caveat this encodes: a UNIQUE prefix makes its one
+    // continuation "perfectly predictable" (P=1) — the filter catches
+    // improbable transitions from common words, which is the CCNet use.)
+    val fluent = (10L to 109L).map(i => (i, "alpha beta gamma"))
+    val scrambled = Seq((500L, "alpha gamma beta"))
+    val all = (fluent ++ scrambled).toDF("doc_id", "text")
+    val sc = TextOps.bigramLmScore(all, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(sc(500L) < 0.6 && sc(10L) > 0.9,
+      s"scrambled=${sc(500L)} fluent=${sc(10L)}")
+  }
+
   test("BPE trainMerges matches a naive reference exactly, incl. ties and early stop") {
     import spark.implicits._
     val corpus = Seq(

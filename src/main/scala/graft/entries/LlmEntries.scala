@@ -1227,6 +1227,40 @@ object LlmEntries {
         numMerges = 30),
       None),
 
+    // cross-corpus near-dup decontamination: incoming shard vs accumulated
+    // corpus via MinHash bands + exact Jaccard verify (candidates complete
+    // at this threshold as in llm_neardup_minhash, so DuckDB's brute-force
+    // corpus×shard Jaccard incl. the jaccard doubles is the exact answer)
+    Entry("llm_cross_neardup", (s, d) => {
+      val docs = docsDelta(s, d).select("doc_id", "text")
+      val corpus = docs.filter("doc_id % 3 != 0")
+      val shard = docs.filter("doc_id % 3 = 0")
+        .unionByName(corpus.filter("doc_id % 6 = 1")
+          .withColumn("doc_id", col("doc_id") + 900000)
+          .withColumn("text", concat(col("text"), lit(" zz extra token"))))
+      Dedup.crossNearDups(corpus, shard, "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 64, threshold = 0.5)
+    }, Some(
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |shard AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id + 900000, text || ' zz extra token'
+         |    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 6 = 1),
+         |shc AS (
+         |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
+         |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM corpus) t),
+         |shs AS (
+         |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
+         |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM shard) t),
+         |pairs AS (
+         |  SELECT b.doc_id AS shard_id, a.doc_id AS corpus_id,
+         |         len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
+         |  FROM shc a CROSS JOIN shs b)
+         |SELECT shard_id, corpus_id,
+         |       CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+         |FROM pairs
+         |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5""".stripMargin)),
+
     // self-trained bigram LM fluency score (CCNet/KenLM filter shape):
     // every probability is one IEEE division of exact counts, the per-doc
     // sum folds in position order, so DuckDB replays the doubles exactly

@@ -164,33 +164,8 @@ object Dedup {
     // the corpus twice; deriving signatures from the collected set as
     // 128 array_min(transform(...)) traded the second scan for per-doc
     // array materialization and measured ~25% slower.)
-    val sigAggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("__h0"), lit(i))).as(s"__h$i"))
-    val agg = sh.withColumn("__h0", xxhash64(col("__sh")))
-      .groupBy("__id")
-      .agg(collect_set(col("__h0")).as("__hs"), sigAggs: _*)
-    val sig = agg.drop("__hs")
-
-    // 3. band keys
-    val bandStructs = (0 until bands).map { b =>
-      val slice = (b * r until (b + 1) * r).map(i => col(s"__h$i"))
-      struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
-    }
-    val banded0 = sig
-      .select(col("__id"), explode(array(bandStructs: _*)).as("__bk"))
-      .select(col("__id"), col("__bk.band").as("__band"), col("__bk.bh").as("__bh"))
-
-    // skew guard: discard pathologically wide buckets before self-joining.
-    // Deliberately a WINDOW count, not a groupBy + anti-join: the window
-    // consumes the banded set in one pass, while an aggregate + join would
-    // recompute the expensive signature pipeline (128 min-aggs over every
-    // shingle) once per branch — measured ~20% slower end-to-end.
-    val bucketWidth = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__band"), col("__bh"))
-    val banded = banded0
-      .withColumn("__bw", count(lit(1)).over(bucketWidth))
-      .filter(col("__bw") <= maxBucketWidth)
-      .drop("__bw")
+    val agg = minhashAgg(sh, numHashes)
+    val banded = bandedKeys(agg.drop("__hs"), bands, r, maxBucketWidth)
 
     // 4. candidate pairs (equi-join on band bucket — NOT all-pairs)
     val a = banded.select(col("__id").as("id_a"), col("__band"), col("__bh"))
@@ -202,6 +177,93 @@ object Dedup {
 
     // 5. exact verification against the SAME aggregation's set column
     verifyJaccard(candidates, agg.select(col("__id"), col("__hs")), threshold)
+  }
+
+  /** The signature/set aggregation of [[minhashNearDups]] step 2: ONE
+    * groupBy computes the `numHashes` min-aggs AND the verification
+    * shingle-hash set, so the expensive side (scan + shingle explode +
+    * map-side partial agg) runs once and its exchange is shared by the
+    * banding and verification consumers via ReuseExchange. Extracted so
+    * the cross-corpus variant builds each side with identical machinery. */
+  private def minhashAgg(sh: DataFrame, numHashes: Int): DataFrame = {
+    val sigAggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("__h0"), lit(i))).as(s"__h$i"))
+    sh.withColumn("__h0", xxhash64(col("__sh")))
+      .groupBy("__id")
+      .agg(collect_set(col("__h0")).as("__hs"), sigAggs: _*)
+  }
+
+  /** Band keys (step 3) + skew guard: each signature row → `bands` rows
+    * keyed by a hash of its r-wide slice, with pathologically wide buckets
+    * discarded by a WINDOW count (not a groupBy + anti-join: the window
+    * consumes the banded set in one pass, while an aggregate + join would
+    * recompute the expensive signature pipeline once per branch —
+    * measured ~20% slower end-to-end). */
+  private def bandedKeys(sig: DataFrame, bands: Int, r: Int,
+      maxBucketWidth: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (b * r until (b + 1) * r).map(i => col(s"__h$i"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
+    }
+    val banded0 = sig
+      .select(col("__id"), explode(array(bandStructs: _*)).as("__bk"))
+      .select(col("__id"), col("__bk.band").as("__band"), col("__bk.bh").as("__bh"))
+    val bucketWidth = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__band"), col("__bh"))
+    banded0
+      .withColumn("__bw", count(lit(1)).over(bucketWidth))
+      .filter(col("__bw") <= maxBucketWidth)
+      .drop("__bw")
+  }
+
+  /**
+   * Cross-corpus NEAR-duplicate detection (the fuzzy member of
+   * [[crossDedup]]'s family): MinHash-banded candidate pairs between an
+   * accumulated `corpus` and an incoming `shard`, verified by exact
+   * Jaccard on the full shingle-hash sets. Returns
+   * (shard_id, corpus_id, jaccard) for verified pairs ≥ `threshold` — the
+   * incremental-ingestion decontamination join ("is this new document a
+   * near-copy of ANYTHING we already hold?") without ever comparing
+   * shard docs to each other.
+   *
+   * Scale shape mirrors [[minhashNearDups]]: each side is one
+   * signature/set aggregation; the candidate join is corpus-bands ⋈
+   * shard-bands on (band, bandHash) — linear in colliding pairs, skew
+   * capped per side, no all-pairs. In steady state the corpus side's
+   * signatures/sets would persist as their own table so only the shard
+   * side recomputes per ingest.
+   */
+  def crossNearDups(
+      corpus: DataFrame,
+      shard: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 64,
+      threshold: Double = 0.5,
+      maxBucketWidth: Int = 100000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be a multiple of bands")
+    val r = numHashes / bands
+    val cAgg = minhashAgg(shingles(corpus, idCol, textCol, shingleSize), numHashes)
+    val sAgg = minhashAgg(shingles(shard, idCol, textCol, shingleSize), numHashes)
+    val cB = bandedKeys(cAgg.drop("__hs"), bands, r, maxBucketWidth)
+      .select(col("__id").as("corpus_id"), col("__band"), col("__bh"))
+    val sB = bandedKeys(sAgg.drop("__hs"), bands, r, maxBucketWidth)
+      .select(col("__id").as("shard_id"), col("__band").as("__band2"),
+        col("__bh").as("__bh2"))
+    val candidates = sB.join(cB,
+        col("__band") === col("__band2") && col("__bh") === col("__bh2"))
+      .select("shard_id", "corpus_id").distinct()
+    val withSets = candidates
+      .join(sAgg.select(col("__id").as("shard_id"), col("__hs").as("__hsa")), "shard_id")
+      .join(cAgg.select(col("__id").as("corpus_id"), col("__hs").as("__hsb")), "corpus_id")
+    val inter = size(array_intersect(col("__hsa"), col("__hsb"))).cast("double")
+    val union = (size(col("__hsa")) + size(col("__hsb"))).cast("double") - inter
+    withSets
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select("shard_id", "corpus_id", "jaccard")
   }
 
   /** Exact Jaccard verification: join candidate (id_a, id_b) pairs to the

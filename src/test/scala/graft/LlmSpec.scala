@@ -694,6 +694,27 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("crossNearDups: planted mutants found against corpus, equi-join plan") {
+    import spark.implicits._
+    val base = docs.select("doc_id", "text")
+    val corpus = base.filter("doc_id % 3 != 0")
+    val mut = corpus.filter("doc_id % 6 = 1")
+      .withColumn("doc_id", col("doc_id") + 900000)
+      .withColumn("text", concat(col("text"), lit(" zz extra token")))
+    val shard = base.filter("doc_id % 3 = 0").unionByName(mut)
+    val pairs = Dedup.crossNearDups(corpus, shard, "doc_id", "text")
+    assertNoCartesian(pairs, "crossNearDups")
+    val found = pairs.select("shard_id", "corpus_id").as[(Long, Long)]
+      .collect().toSet
+    val expected = corpus.filter("doc_id % 6 = 1").select("doc_id").as[Long]
+      .collect().map(i => (i + 900000, i)).toSet
+    assert(expected.subsetOf(found),
+      s"missing planted cross pairs: ${expected -- found}")
+    // shard-vs-shard pairs never appear: every corpus_id is a corpus doc
+    val corpusIds = corpus.select("doc_id").as[Long].collect().toSet
+    assert(found.forall(p => corpusIds.contains(p._2)))
+  }
+
   test("randomProjection: deterministic, linear, dim-checked, scale fp-exact") {
     import spark.implicits._
     val a = Array.tabulate(64)(i => (i % 7).toFloat - 3f)

@@ -1105,6 +1105,33 @@ object CoreEntries {
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |       LEFT JOIN p USING (user_id)""".stripMargin)),
 
+    // cohort retention matrix: users bucketed by first-active week ×
+    // week offset of each later active week (both engines' date_trunc
+    // 'week' is Monday-start; offsets are exact day-diff div 7 since both
+    // ends are week starts)
+    Entry("events_cohort_retention", (s, d) => {
+      eventsDeltaView(s, d)
+      s.sql(
+        """WITH wk AS (SELECT DISTINCT user_id,
+          |                   CAST(date_trunc('week', ts) AS DATE) AS w
+          |            FROM events_delta),
+          |coh AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY 1)
+          |SELECT coh.cw AS cohort_week,
+          |       CAST((datediff(wk.w, coh.cw) div 7) AS BIGINT) AS week_offset,
+          |       CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users
+          |FROM wk JOIN coh ON wk.user_id = coh.user_id
+          |GROUP BY 1, 2""".stripMargin)
+    }, Some(
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |                   CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w
+        |            FROM events),
+        |coh AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY 1)
+        |SELECT coh.cw AS cohort_week,
+        |       CAST(date_diff('day', coh.cw, wk.w) // 7 AS BIGINT) AS week_offset,
+        |       CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users
+        |FROM wk JOIN coh ON wk.user_id = coh.user_id
+        |GROUP BY 1, 2""".stripMargin)),
+
     // Structured Streaming watermark + event-time windowed aggregation over
     // the graft-delta source (§2.10): append mode emits each hourly window
     // exactly once when the watermark closes it; far-future sentinel commits

@@ -107,6 +107,23 @@ object LlmEntries {
 
   private val planes = Similarity.hyperplanes(nBits = 4, dim = 64)
 
+  /** Shared expected answer for the LSH-bucketed ANN entries (on-the-fly
+    * buckets and Delta-partition-pruned buckets MUST agree). */
+  private lazy val lshOracleSql: String = {
+    val bucket = duckBucketExpr("v", planes)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 8),
+       |s AS (
+       |  SELECT q.qid, b.vec_id,
+       |         list_dot_product(q.qv, b.v) /
+       |         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+       |  FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.qid)
+       |SELECT qid AS query_id, vec_id AS neighbor_id,
+       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+       |FROM s QUALIFY rnk <= 10""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
 
     // ---- text analysis ----------------------------------------------------
@@ -365,20 +382,30 @@ object LlmEntries {
       Similarity.lshTopK(emb, emb.filter("vec_id < 8"), "vec_id", "embedding",
         k = 10, nBits = 4, dim = 64)
         .select("query_id", "neighbor_id", "rnk")
-    }, Some {
-      val bucket = duckBucketExpr("v", planes)
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
-         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 8),
-         |s AS (
-         |  SELECT q.qid, b.vec_id,
-         |         list_dot_product(q.qv, b.v) /
-         |         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-         |  FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.qid)
-         |SELECT qid AS query_id, vec_id AS neighbor_id,
-         |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
-         |FROM s QUALIFY rnk <= 10""".stripMargin
-    }),
+    }, Some(lshOracleSql)),
+
+    // the "persist the buckets" deployment of sign-LSH ANN: embeddings
+    // written ONCE as a Delta table PARTITIONED BY bucket; each query
+    // batch reads only its buckets' partitions (the engine's partition
+    // pruning composed with the LSH math — corpus-linear → touched-
+    // partitions-linear). Same expected answer as llm_ann_lsh.
+    Entry("llm_ann_delta_pruned", (s, d) => {
+      val emb = embDelta(s, d)
+      val dir = tempDir("annp")
+      DeltaTable.write(s,
+        emb.withColumn("bucket", Similarity.bucketId(col("embedding"), planes)),
+        dir, partitionBy = Seq("bucket"))
+      val t = DeltaTable.forPath(s, dir)
+      val queries = emb.filter("vec_id < 8")
+      val qb = queries
+        .select(Similarity.bucketId(col("embedding"), planes).as("b"))
+        .distinct().collect().map(_.getLong(0))
+      require(qb.nonEmpty && qb.length < 16, s"query buckets: ${qb.toSeq}")
+      val slice = t.scanWhere(s"bucket IN (${qb.mkString(",")})")
+      Similarity.bucketedTopK(slice, queries, "vec_id", "embedding",
+        "bucket", planes, k = 10)
+        .select("query_id", "neighbor_id", "rnk")
+    }, Some(lshOracleSql)),
 
     // IVF ANN: one-shot coarse quantizer (first-8 vectors as centroids),
     // shuffle-free cell assignment, nProbe=2 probed cells per query. DuckDB

@@ -128,6 +128,36 @@ object Similarity {
       when(dot(vec, lits) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /**
+   * Sign-LSH top-k over a corpus whose bucket id is ALREADY a column —
+   * the "persist the buckets" deployment of [[lshTopK]]: write the corpus
+   * as a Delta table `PARTITIONED BY (bucket)` once, and each query batch
+   * reads only its buckets' partitions (partition pruning at the scan, no
+   * per-query bucket recompute over the corpus). At 100 TB this turns ANN
+   * lookup cost from corpus-linear into |touched partitions|-linear — the
+   * composition of the engine's partition pruning with the LSH math.
+   * `corpus` is typically `table.scanWhere("bucket IN (…)")`.
+   */
+  def bucketedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bucketCol: String,
+      planes: Array[Array[Double]],
+      k: Int): DataFrame = {
+    requireDim(queries, vecCol, planes.head.length, "bucketedTopK")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), dot(col(vecCol), col(vecCol)).as("__qn2"),
+      bucketId(col(vecCol), planes).as("__qb")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      col(bucketCol).as("__cb"), dot(col(vecCol), col(vecCol)).as("__cn2"))
+    topK(c.join(q, col("__cb") === col("__qb") &&
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        pairCos(dot(col("__qv"), col("__cv")), col("__qn2"), col("__cn2"))), k)
+  }
+
   /** Deterministic ±1 sign matrix for [[randomProjection]] (same LCG family
     * as [[hyperplanes]] — stable across JVMs, literal-replayable in SQL). */
   def signMatrix(outDim: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] =

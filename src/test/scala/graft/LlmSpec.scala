@@ -715,6 +715,33 @@ class LlmSpec extends AnyFunSuite {
     assert(found.forall(p => corpusIds.contains(p._2)))
   }
 
+  test("bucketedTopK over a bucket-partitioned Delta table: pruned scan, lsh-equal") {
+    import spark.implicits._
+    val planes = Similarity.hyperplanes(nBits = 4, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annp_").toString + "/t"
+    graft.table.DeltaTable.write(spark,
+      emb.withColumn("bucket", Similarity.bucketId(col("embedding"), planes)),
+      dir, partitionBy = Seq("bucket"))
+    val t = graft.table.DeltaTable.forPath(spark, dir)
+    val totalFiles = t.files.size
+    val queries = emb.filter("vec_id < 4")
+    val qb = queries.select(Similarity.bucketId(col("embedding"), planes).as("b"))
+      .distinct().as[Long].collect()
+    val slice = t.scanWhere(s"bucket IN (${qb.mkString(",")})")
+    // partition pruning actually happened at the scan
+    assert(slice.inputFiles.length < totalFiles,
+      s"no pruning: ${slice.inputFiles.length} of $totalFiles files read")
+    val got = Similarity.bucketedTopK(slice, queries, "vec_id", "embedding",
+        "bucket", planes, k = 5)
+      .select("query_id", "neighbor_id", "rnk").as[(Long, Long, Long)]
+      .collect().toSet
+    val want = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nBits = 4, dim = 64)
+      .select("query_id", "neighbor_id", "rnk").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == want, "partition-pruned ANN must equal on-the-fly LSH ANN")
+  }
+
   test("randomProjection: deterministic, linear, dim-checked, scale fp-exact") {
     import spark.implicits._
     val a = Array.tabulate(64)(i => (i % 7).toFloat - 3f)

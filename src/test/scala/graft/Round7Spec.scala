@@ -373,4 +373,45 @@ class Round7Spec extends AnyFunSuite {
       assert(DeltaTable.forPath(spark, dir).toDF.count() == before - 200)
     } finally graft.ops.OptimizeOp.onBeforeChunkCommit = () => ()
   }
+
+  test("ingestion ops at 2M rows: crossDedup + shuffleShards bounded and exact") {
+    import spark.implicits._
+    val n = 2000000L
+    // corpus: 2M short docs; shard: 200k rows of which half are corpus
+    // copies (same text) and half novel
+    def text(idc: org.apache.spark.sql.Column) =
+      concat(lit("tok"), (idc % 99991).cast("string"), lit(" word "),
+        (idc % 1013).cast("string"), lit(" tail "), idc.cast("string"))
+    val corpus = spark.range(n).select(col("id").as("doc_id"),
+      text(col("id")).as("text"))
+    val shard = spark.range(100000)
+      .select((col("id") + n).as("doc_id"), text(col("id") * 17).as("text"))
+      .unionByName(spark.range(100000).select(
+        (col("id") + 2 * n).as("doc_id"),
+        concat(lit("novel "), col("id").cast("string")).as("text")))
+
+    val t0 = System.nanoTime()
+    val admitted = graft.llm.Dedup.crossDedup(corpus, shard, "doc_id", "text")
+      .count()
+    val dedupSec = (System.nanoTime() - t0) / 1e9
+    // copies: text(id*17) for id<100000 equals a corpus text (id*17 < 2M)
+    // → all dropped; novel texts admitted (self-deduped: all unique)
+    assert(admitted == 100000L, s"admitted=$admitted")
+    assert(dedupSec < 120.0, s"crossDedup at 2M took ${dedupSec}s")
+
+    val t1 = System.nanoTime()
+    val sh = graft.llm.Curation.shuffleShards(corpus, "doc_id",
+      nShards = 64, salt = "scale")
+    val agg = sh.groupBy("shard")
+      .agg(count(lit(1)).as("c"), max("pos").as("m"))
+      .collect()
+    val shufSec = (System.nanoTime() - t1) / 1e9
+    assert(agg.length == 64)
+    // positions are exactly 1..count per shard and shards are balanced
+    assert(agg.forall(r => r.getLong(2) == r.getLong(1)))
+    val sizes = agg.map(_.getLong(1))
+    assert(sizes.max < 2 * sizes.min,
+      s"shard skew: min=${sizes.min} max=${sizes.max}")
+    assert(shufSec < 90.0, s"shuffleShards at 2M took ${shufSec}s")
+  }
 }

@@ -391,17 +391,27 @@ object LlmEntries {
     // partitions-linear). Same expected answer as llm_ann_lsh.
     Entry("llm_ann_delta_pruned", (s, d) => {
       val emb = embDelta(s, d)
-      val dir = tempDir("annp")
-      DeltaTable.write(s,
-        emb.withColumn("bucket", Similarity.bucketId(col("embedding"), planes)),
-        dir, partitionBy = Seq("bucket"))
+      // bucketed table built once per (sfDir) and reused across
+      // invocations — same shared-table pattern as events_delta
+      val dir = EntryCtx.shared2.getOrElseUpdate(s"$d#emb_bucketed", {
+        val dd = tempDir("annp")
+        DeltaTable.write(s,
+          emb.withColumn("bucket", Similarity.bucketId(col("embedding"), planes)),
+          dd, partitionBy = Seq("bucket"))
+        dd
+      })
       val t = DeltaTable.forPath(s, dir)
       val queries = emb.filter("vec_id < 8")
       val qb = queries
         .select(Similarity.bucketId(col("embedding"), planes).as("b"))
         .distinct().collect().map(_.getLong(0))
-      require(qb.nonEmpty && qb.length < 16, s"query buckets: ${qb.toSeq}")
+      require(qb.nonEmpty, "no query buckets")
       val slice = t.scanWhere(s"bucket IN (${qb.mkString(",")})")
+      // the entry's claim IS the pruning: the scan must read strictly
+      // fewer files than the table holds
+      require(slice.inputFiles.length < t.files.size,
+        s"partition pruning did not occur: ${slice.inputFiles.length} of " +
+          s"${t.files.size} files read for buckets ${qb.toSeq.sorted}")
       Similarity.bucketedTopK(slice, queries, "vec_id", "embedding",
         "bucket", planes, k = 10)
         .select("query_id", "neighbor_id", "rnk")

@@ -146,7 +146,23 @@ object Similarity {
       bucketCol: String,
       planes: Array[Array[Double]],
       k: Int): DataFrame = {
-    requireDim(queries, vecCol, planes.head.length, "bucketedTopK")
+    val dim = planes.head.length
+    requireDim(queries, vecCol, dim, "bucketedTopK")
+    // the CORPUS side is the one most likely to drift — it was persisted
+    // separately: check its width AND that the persisted bucket column was
+    // computed with THESE planes (one sampled row; stale planes would make
+    // the equi-join match semantically different buckets and silently
+    // drop true neighbors)
+    requireDim(corpus, vecCol, dim, "bucketedTopK")
+    corpus.select(col(bucketCol).cast("long").as("__b0"),
+        bucketId(col(vecCol), planes).as("__b1"))
+      .filter(col("__b0").isNotNull && col("__b1").isNotNull)
+      .limit(1).collect().headOption.foreach { r =>
+        require(r.getLong(0) == r.getLong(1),
+          s"bucketedTopK: persisted $bucketCol=${r.getLong(0)} does not match " +
+            s"bucketId recomputed from the supplied planes (${r.getLong(1)}) — " +
+            "the corpus was bucketed with different planes")
+      }
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), dot(col(vecCol), col(vecCol)).as("__qn2"),
       bucketId(col(vecCol), planes).as("__qb")))
@@ -497,15 +513,11 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     requireDim(corpus, vecCol, dim, "lshTopK")
     val planes = hyperplanes(nBits, dim)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      dot(col(vecCol), col(vecCol)).as("__cn2"),
-      bucketId(col(vecCol), planes).as("__bucket"))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      dot(col(vecCol), col(vecCol)).as("__qn2"),
-      bucketId(col(vecCol), planes).as("__qbucket")))
-    topK(c.join(q, col("__bucket") === col("__qbucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos",
-        pairCos(dot(col("__qv"), col("__cv")), col("__qn2"), col("__cn2"))), k)
+    // one pipeline, two deployments: on-the-fly buckets here, persisted
+    // (Delta-partition) buckets in bucketedTopK — delegating keeps the
+    // join/score/rank semantics a single definition
+    bucketedTopK(
+      corpus.withColumn("__bucket", bucketId(col(vecCol), planes)),
+      queries, idCol, vecCol, "__bucket", planes, k)
   }
 }

@@ -1298,6 +1298,81 @@ object LlmEntries {
          |FROM pairs
          |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // markup stripping over a deterministically-wrapped corpus: script/
+    // style payload removal, tag drop, ordered entity decode (&amp; last
+    // so double escapes resolve one level), whitespace collapse — the
+    // exact regexp chain is the contract and DuckDB (RE2) replays it
+    Entry("llm_strip_markup", (s, d) => {
+      val noisy = docsDelta(s, d).select(col("doc_id"),
+        concat(lit("<div id=x><p>"), col("text"),
+          lit("</p><style>p{color:red}</style><script>if (1<2) x=3;</script>" +
+            "<!-- c --> &amp;lt;tag&gt; &nbsp;done")).as("text"))
+      noisy.select(col("doc_id"), TextOps.stripMarkup(col("text")).as("cleaned"))
+    }, Some(
+      """WITH noisy AS (
+        |  SELECT doc_id,
+        |         '<div id=x><p>' || text || '</p><style>p{color:red}</style><script>if (1<2) x=3;</script><!-- c --> &amp;lt;tag&gt; &nbsp;done' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |       trim(regexp_replace(
+        |         replace(replace(replace(replace(replace(replace(
+        |           regexp_replace(
+        |             regexp_replace(
+        |               regexp_replace(
+        |                 regexp_replace(t, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |                 '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |               '(?s)<!--.*?-->', ' ', 'g'),
+        |             '<[^>]+>', ' ', 'g'),
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |         '\s+', ' ', 'g')) AS cleaned
+        |FROM noisy""".stripMargin)),
+
+    // ANN quality evaluation: recall@10 of sign-LSH vs the exact
+    // brute-force ranking, per query — the measurement harness a real ANN
+    // deployment tunes nBits against; both rankers and the recall itself
+    // replay in DuckDB
+    Entry("llm_ann_recall", (s, d) => {
+      val emb = embDelta(s, d)
+      val q = emb.filter("vec_id < 8")
+      val brute = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding",
+        k = 10, nBits = 4, dim = 64).select(
+        col("query_id"), col("neighbor_id").as("__ln"))
+      brute.join(lsh,
+          brute("query_id") === lsh("query_id") &&
+            col("neighbor_id") === col("__ln"), "left")
+        .groupBy(brute("query_id").as("query_id"))
+        .agg((count(col("__ln")).cast("double") / lit(10.0)).as("recall_at_10"))
+    }, Some {
+      val bucket = duckBucketExpr("v", planes)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+         |bf AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id FROM (
+         |    SELECT q.qid, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             list_dot_product(q.qv, e.v) /
+         |             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) DESC,
+         |             e.vec_id) AS rnk
+         |    FROM q, e WHERE e.vec_id <> q.qid) t WHERE rnk <= 10),
+         |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+         |qb AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 8),
+         |lh AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id FROM (
+         |    SELECT qb.qid, b.vec_id,
+         |           row_number() OVER (PARTITION BY qb.qid ORDER BY
+         |             list_dot_product(qb.qv, b.v) /
+         |             (sqrt(list_dot_product(qb.qv, qb.qv)) * sqrt(list_dot_product(b.v, b.v))) DESC,
+         |             b.vec_id) AS rnk
+         |    FROM qb JOIN b ON qb.bucket = b.bucket AND b.vec_id <> qb.qid) t
+         |  WHERE rnk <= 10)
+         |SELECT bf.query_id,
+         |       CAST(count(lh.neighbor_id) AS DOUBLE) / 10.0 AS recall_at_10
+         |FROM bf LEFT JOIN lh USING (query_id, neighbor_id)
+         |GROUP BY bf.query_id""".stripMargin
+    }),
+
     // self-trained bigram LM fluency score (CCNet/KenLM filter shape):
     // every probability is one IEEE division of exact counts, the per-doc
     // sum folds in position order, so DuckDB replays the doubles exactly

@@ -355,6 +355,28 @@ object TextOps {
    * 100 TB: a real vocabulary pass over web text is billions of terms).
    */
   /**
+   * Markup stripping for web-scraped corpora: remove script/style blocks
+   * WITH their payload (executable/styling text is never prose), drop all
+   * remaining tags, decode the five XML entities + numeric escapes'
+   * common subset, collapse the whitespace the removals leave behind.
+   * Pure regexp/replace column expressions — the exact chain is the
+   * contract, replayable by any engine with POSIX regexps (no HTML5
+   * parser semantics promised; malformed-markup edge cases degrade to
+   * leaving text in place, never dropping prose).
+   */
+  def stripMarkup(text: Column): Column = {
+    // (?is): case-insensitive, dot-matches-newline for multi-line blocks
+    val noScript = regexp_replace(text, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST: it may encode the others
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  /**
    * Self-trained bigram language-model fluency score (the CCNet/KenLM
    * quality-filter shape with the corpus itself as the model): per
    * document, the mean conditional probability of its word bigrams,

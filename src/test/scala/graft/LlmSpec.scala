@@ -791,6 +791,22 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("stripMarkup: payload blocks gone, tags gone, ordered entity decode") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "<p>hello <b>world</b></p>", "hello world"),
+      (2L, "a<script>if (1<2) drop();</script>b", "a b"),       // payload incl. '<'
+      (3L, "x<style>p { color: red }</style>y<!-- note -->z", "x y z"),
+      (4L, "&amp;lt;tag&gt; &quot;q&quot; &#39;s&#39;", "&lt;tag> \"q\" 's'"), // one decode level
+      (5L, "no markup at all", "no markup at all"),
+      (6L, "<SCRIPT>upper</SCRIPT>ok", "ok"),                   // case-insensitive
+      (7L, "a &nbsp; b", "a b")
+    ).toDF("id", "html", "want")
+    val got = cases.select(col("id"), TextOps.stripMarkup(col("html")).as("got"),
+      col("want")).as[(Long, String, String)].collect()
+    got.foreach { case (id, g, w) => assert(g == w, s"case $id: got '$g' want '$w'") }
+  }
+
   /** Naive single-machine BPE reference: identical semantics (pair counts
     * weighted by word frequency, argmax with (count desc, l asc, r asc)
     * ties, greedy left-to-right non-overlapping merge). */
@@ -891,5 +907,23 @@ class LlmSpec extends AnyFunSuite {
     val full = graft.llm.Bpe.tokenCounts(corpus, "doc_id", "text", merges)
       .as[(Long, Long)].collect().toMap
     assert(full.forall { case (id, n) => n < chars(id) })
+
+    // randomized property: small alphabets force heavy count ties, the
+    // exact tie-break order must still match the reference
+    val rnd = new scala.util.Random(7)
+    (0 until 2).foreach { trial =>
+      val rdocs = (0 until 30).map { i =>
+        (i.toLong, (0 until 15).map(_ =>
+          ("" + "abcde" (rnd.nextInt(5))) * (1 + rnd.nextInt(3))).mkString(" "))
+      }
+      val rdf = rdocs.toDF("doc_id", "text")
+      val rwc = rdf.select(explode(TextOps.words(TextOps.normalize(col("text")))).as("w"))
+        .groupBy("w").count().as[(String, Long)].collect().toMap
+      val rgot = graft.llm.Bpe.trainMerges(rdf, "text", numMerges = 6,
+          minPairCount = 2, checkpointEvery = 3)
+        .orderBy("rank").as[(Long, String, String, Long)].collect()
+        .map(r => (r._2, r._3, r._4)).toList
+      assert(rgot == refBpe(rwc, 6, 2L), s"trial $trial diverged")
+    }
   }
 }

@@ -405,5 +405,61 @@ object TpcdsEntries {
         |  SELECT 1 UNION ALL SELECT x + 1 FROM m WHERE x < 12)
         |SELECT CAST(m.x AS BIGINT) AS mon, CAST(count(o_orderkey) AS BIGINT) AS cnt
         |FROM m LEFT JOIN orders ON EXTRACT(month FROM o_orderdate) = m.x
-        |GROUP BY m.x""".stripMargin))
+        |GROUP BY m.x""".stripMargin),
+
+    // gap-fill via LAST_VALUE ... IGNORE NULLS (the classic forward-fill):
+    // dialects place the modifier differently (Spark: after the call;
+    // DuckDB: inside the argument list), so this is a dual-text entry
+    Entry("sql_ignore_nulls_fill", (s, d) => {
+      deltaView(s, d, "orders")
+      s.sql(
+        """SELECT o_orderkey,
+          |       last_value(v) IGNORE NULLS OVER (
+          |         PARTITION BY o_custkey ORDER BY o_orderkey
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+          |FROM (SELECT o_orderkey, o_custkey,
+          |             CASE WHEN o_orderstatus = 'O' THEN NULL
+          |                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS v
+          |      FROM orders) t""".stripMargin)
+    }, Some(
+      """SELECT o_orderkey,
+        |       last_value(v IGNORE NULLS) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM (SELECT o_orderkey, o_custkey,
+        |             CASE WHEN o_orderstatus = 'O' THEN NULL
+        |                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS v
+        |      FROM orders) t""".stripMargin)),
+
+    // sample standard deviation via EXPLICIT exact integer sums (never the
+    // engines' stddev aggregate — their streaming algorithms differ in
+    // rounding): n·Σx² − (Σx)² over exact BIGINTs, one division, one
+    // correctly-rounded sqrt ⇒ bit-identical cross-engine
+    sqlEntry("tpcds_stddev_exact", Seq("lineitem"),
+      """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |       sqrt(CAST(n * sq - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS sd
+        |FROM (SELECT l_returnflag, count(*) AS n,
+        |             sum(q) AS s, sum(q * q) AS sq
+        |      FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+        |            FROM lineitem) t
+        |      GROUP BY l_returnflag) g""".stripMargin),
+
+    // NTH_VALUE over a full-frame window: each customer's third-largest
+    // order (NULL when fewer than three — both engines agree)
+    sqlEntry("tpcds_nth_value", Seq("orders"),
+      """SELECT DISTINCT o_custkey,
+        |       nth_value(cents, 3) OVER (
+        |         PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_cents
+        |FROM (SELECT o_custkey, o_orderkey,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders) t""".stripMargin),
+
+    // inline VALUES derived table joined to a fact scan (shared dialect)
+    sqlEntry("sql_values_join", Seq("orders"),
+      """SELECT t.label, CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+        |                         ('5-LOW', 'cold')) AS t(prio, label)
+        |  ON o_orderpriority = t.prio
+        |GROUP BY t.label""".stripMargin))
 }

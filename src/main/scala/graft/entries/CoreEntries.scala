@@ -1230,6 +1230,39 @@ object CoreEntries {
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM se GROUP BY user_id, sess""".stripMargin)),
 
+    // Spark 4 transformWithState (arbitrary typed state, RocksDB-backed):
+    // per-user running count emitting a row at every 5th event. Milestone
+    // emission is batch-split-invariant (each crossing fires exactly once
+    // whichever microbatch it lands in), so the oracle is the milestones
+    // of the final per-user totals.
+    Entry("streaming_transform_state", (s, d) => {
+      val dir = eventsCopy(s, d, "tws")
+      val view = s"graft_tws_${System.nanoTime()}"
+      import s.implicits._
+      val prevProvider =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = eventsStream(s, dir)
+          .select(col("user_id").cast("long")).as[Long]
+          .groupByKey(identity)
+          .transformWithState(new graft.streaming.MilestoneProcessor(5L),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF("user_id", "milestone")
+          .writeStream.format("memory").outputMode("append")
+          .queryName(view).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally prevProvider match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      s.table(view)
+    }, Some(
+      """SELECT user_id, CAST(unnest(range(5, cnt + 1, 5)) AS BIGINT) AS milestone
+        |FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id) t""".stripMargin)),
+
     // streaming exact dedup: dropDuplicatesWithinWatermark over the
     // graft-delta source — the table carries every event twice (a replayed
     // ingest commit), the stream emits each exactly once. The 90-day delay

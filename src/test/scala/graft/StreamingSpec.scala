@@ -239,4 +239,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(m("num_target_rows_updated") == "50")
     assert(DeltaTable.forPath(spark, dir).toDF.where("v = -1").count() == 50)
   }
+
+  test("transformWithState milestones: exactly one emission per crossing across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Long]
+      val view = s"tws_spec_${System.nanoTime()}"
+      val q = input.toDS().groupByKey(identity)
+        .transformWithState(new graft.streaming.MilestoneProcessor(3L),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("key", "milestone")
+        .writeStream.format("memory").outputMode("append").queryName(view).start()
+      try {
+        // key 7: 2 events, then 2 more (crosses 3), then 5 (crosses 6, hits 9)
+        input.addData(7L, 7L); q.processAllAvailable()
+        input.addData(7L, 7L); q.processAllAvailable()
+        input.addData(7L, 7L, 7L, 7L, 7L); q.processAllAvailable()
+        // key 8: exactly 3 in one batch → one milestone
+        input.addData(8L, 8L, 8L); q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table(view).as[(Long, Long)].collect().toSeq.sorted
+      assert(rows == Seq((7L, 3L), (7L, 6L), (7L, 9L), (8L, 3L)), rows.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }

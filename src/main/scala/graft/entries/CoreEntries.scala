@@ -1236,7 +1236,9 @@ object CoreEntries {
     // whichever microbatch it lands in), so the oracle is the milestones
     // of the final per-user totals.
     Entry("streaming_transform_state", (s, d) => {
-      val dir = eventsCopy(s, d, "tws")
+      // appends nothing (TimeMode.None, no sentinels) → the shared
+      // read-only events table serves every invocation
+      val dir = eventsDeltaView(s, d)
       val view = s"graft_tws_${System.nanoTime()}"
       import s.implicits._
       val prevProvider =
@@ -1490,8 +1492,10 @@ object CoreEntries {
     }
 
   /** Delta copy of `events` with `ts` normalized to a session-tz TIMESTAMP
-    * (see [[tsToTimestamp]]), registered as the `events_delta` temp view. */
-  private def eventsDeltaView(s: SparkSession, d: String): Unit = {
+    * (see [[tsToTimestamp]]), registered as the `events_delta` temp view.
+    * Returns the shared table dir (read-only — entries that APPEND, e.g.
+    * sentinel commits, must use [[eventsCopy]] instead). */
+  private def eventsDeltaView(s: SparkSession, d: String): String = {
     val dir = EntryCtx.shared2.getOrElseUpdate(s"$d#events_delta", {
       val dd = tempDir("events")
       val ev = tsToTimestamp(pq(s, d, "events"))
@@ -1499,6 +1503,7 @@ object CoreEntries {
       dd
     })
     DeltaTable.forPath(s, dir).toDF.createOrReplaceTempView("events_delta")
+    dir
   }
 
   val entries: Seq[Entry] =

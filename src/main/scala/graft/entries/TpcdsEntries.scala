@@ -431,15 +431,18 @@ object TpcdsEntries {
         |                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS v
         |      FROM orders) t""".stripMargin)),
 
-    // sample standard deviation via EXPLICIT exact integer sums (never the
+    // sample standard deviation via EXPLICIT exact sums (never the
     // engines' stddev aggregate — their streaming algorithms differ in
-    // rounding): n·Σx² − (Σx)² over exact BIGINTs, one division, one
-    // correctly-rounded sqrt ⇒ bit-identical cross-engine
+    // rounding): n·Σx² − (Σx)² over DECIMAL sums (exact to 38 digits in
+    // BOTH engines — BIGINT sums would make Spark's s·s overflow around
+    // SF 240 while DuckDB silently promotes to HUGEINT), one division,
+    // one correctly-rounded sqrt ⇒ bit-identical cross-engine
     sqlEntry("tpcds_stddev_exact", Seq("lineitem"),
       """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
         |       sqrt(CAST(n * sq - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS sd
         |FROM (SELECT l_returnflag, count(*) AS n,
-        |             sum(q) AS s, sum(q * q) AS sq
+        |             sum(CAST(q AS DECIMAL(18, 0))) AS s,
+        |             sum(CAST(q * q AS DECIMAL(18, 0))) AS sq
         |      FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
         |            FROM lineitem) t
         |      GROUP BY l_returnflag) g""".stripMargin),

@@ -147,7 +147,6 @@ object Similarity {
       planes: Array[Array[Double]],
       k: Int): DataFrame = {
     val dim = planes.head.length
-    requireDim(queries, vecCol, dim, "bucketedTopK")
     // the CORPUS side is the one most likely to drift — it was persisted
     // separately: check its width AND that the persisted bucket column was
     // computed with THESE planes (one sampled row; stale planes would make
@@ -163,6 +162,22 @@ object Similarity {
             s"bucketId recomputed from the supplied planes (${r.getLong(1)}) — " +
             "the corpus was bucketed with different planes")
       }
+    bucketedTopKUnchecked(corpus, queries, idCol, vecCol, bucketCol, planes, k)
+  }
+
+  /** [[bucketedTopK]] minus the corpus-side probes — for callers that just
+    * computed the bucket column themselves (lshTopK), where the probes are
+    * tautological and their eager one-row jobs pure overhead. */
+  private def bucketedTopKUnchecked(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bucketCol: String,
+      planes: Array[Array[Double]],
+      k: Int): DataFrame = {
+    val dim = planes.head.length
+    requireDim(queries, vecCol, dim, "bucketedTopK")
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), dot(col(vecCol), col(vecCol)).as("__qn2"),
       bucketId(col(vecCol), planes).as("__qb")))
@@ -515,8 +530,10 @@ object Similarity {
     val planes = hyperplanes(nBits, dim)
     // one pipeline, two deployments: on-the-fly buckets here, persisted
     // (Delta-partition) buckets in bucketedTopK — delegating keeps the
-    // join/score/rank semantics a single definition
-    bucketedTopK(
+    // join/score/rank semantics a single definition. Unchecked variant:
+    // the bucket column was computed HERE with THESE planes, so the
+    // persisted-bucket probes would be tautological eager jobs.
+    bucketedTopKUnchecked(
       corpus.withColumn("__bucket", bucketId(col(vecCol), planes)),
       queries, idCol, vecCol, "__bucket", planes, k)
   }

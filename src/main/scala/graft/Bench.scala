@@ -59,13 +59,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- untimed setup: Delta copies of the bench tables ----
+    // documents/embeddings feed CPU-bound per-row map stages (shingling,
+    // dot products): write them as one file per core or the map stage runs
+    // `nFiles`-wide on a 32-thread host (the shared-table default of 4
+    // files measured the shingle family ~2x slower than the same code at
+    // full width — parallelism, not compute). Create BEFORE deltaView's
+    // defaulted copies: first caller of sharedDelta pins the layout.
     val liDir = EntryCtx.sharedDelta(spark, sfDir, "lineitem", nFiles = 8)
+    val docs = DeltaTable.forPath(spark,
+      EntryCtx.sharedDelta(spark, sfDir, "documents", nFiles = 16)).toDF
+    val emb = DeltaTable.forPath(spark,
+      EntryCtx.sharedDelta(spark, sfDir, "embeddings", nFiles = 8)).toDF
     Seq("orders", "customer", "lineitem", "documents").foreach(
       EntryCtx.deltaView(spark, sfDir, _))
-    val docs = DeltaTable.forPath(spark,
-      EntryCtx.sharedDelta(spark, sfDir, "documents")).toDF
-    val emb = DeltaTable.forPath(spark,
-      EntryCtx.sharedDelta(spark, sfDir, "embeddings")).toDF
 
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()

@@ -1169,6 +1169,38 @@ object LlmEntries {
          |FROM e CROSS JOIN s""".stripMargin
     }),
 
+    // the JL scale path end-to-end: project 64 → 16 dims once, then rank
+    // by cosine IN THE PROJECTED SPACE — every downstream vector pass (and
+    // the memory ANN joins move) shrinks by 4×; projection and ranking
+    // both replay exactly in DuckDB
+    Entry("llm_ann_projected", (s, d) => {
+      val proj = Similarity.randomProjection(embDelta(s, d), "embedding",
+        "proj", dim = 64, outDim = 16).select(col("vec_id"), col("proj"))
+      Similarity.cosineTopK(proj, proj.filter("vec_id < 8"), "vec_id", "proj",
+        k = 10).select("query_id", "neighbor_id", "rnk")
+    }, Some {
+      val rows = Similarity.signMatrix(16, 64).zipWithIndex.map { case (r, j) =>
+        r.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString(s"($j, [", ", ", "])")
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s(j, sv) AS (VALUES $rows),
+         |pr AS (
+         |  SELECT vec_id, list(p ORDER BY j) AS pv FROM (
+         |    SELECT vec_id, j,
+         |           list_sum([v[i] * sv[i] FOR i IN range(1, 65)]) * 0.25 AS p
+         |    FROM e CROSS JOIN s) t GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, pv AS qv FROM pr WHERE vec_id < 8),
+         |sc AS (
+         |  SELECT q.qid, pr.vec_id,
+         |         list_dot_product(q.qv, pr.pv) /
+         |         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(pr.pv, pr.pv))) AS cos
+         |  FROM q, pr WHERE pr.vec_id <> q.qid)
+         |SELECT qid AS query_id, vec_id AS neighbor_id,
+         |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+         |FROM sc QUALIFY rnk <= 10""".stripMargin
+    }),
+
     // feature hashing (hashing trick): signed md5-bucketed bag-of-words in
     // a fixed 256-dim space, sparse long-format output; no vocabulary pass
     // anywhere, so the featurization is replayable engine-independently

@@ -1169,6 +1169,48 @@ object LlmEntries {
          |FROM e CROSS JOIN s""".stripMargin
     }),
 
+    // leakage-free splits: assignment hashes the NEAR-DUP CLUSTER, so a
+    // test doc's near-copy can never sit in train; oracle = the
+    // dedup_clusters recursive-CTE components + the same md5 threshold rule
+    Entry("llm_leakfree_split", (s, d) => {
+      val corpus = corpusWithNearDups(s, d)
+      val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 64, threshold = 0.5)
+      graft.llm.Curation.leakFreeSplit(corpus.select("doc_id"), "doc_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split7")
+        .select("doc_id", "cluster", "split")
+    }, Some {
+      def sel(cum: Double) =
+        s"substr(md5(CAST(cluster AS VARCHAR) || ':split7'), 1, 8) < '${graft.llm.Curation.hexThreshold(cum)}'"
+      s"""WITH RECURSIVE corpus AS ($corpusSql),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
+         |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM corpus) t
+         |),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |           len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+         |  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5
+         |),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+         |),
+         |clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node)
+         |SELECT doc_id, cluster,
+         |       CASE WHEN ${sel(0.8)} THEN 'train'
+         |            WHEN ${sel(0.9)} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM clusters""".stripMargin
+    }),
+
     // the JL scale path end-to-end: project 64 → 16 dims once, then rank
     // by cosine IN THE PROJECTED SPACE — every downstream vector pass (and
     // the memory ANN joins move) shrinks by 4×; projection and ranking

@@ -239,6 +239,38 @@ object Curation {
   }
 
   /**
+   * Leakage-free train/validation/test splitting: assignment hashes the
+   * NEAR-DUP CLUSTER id, not the document id, so every member of a
+   * near-duplicate cluster lands in the same split — the eval-contamination
+   * mode where a test document's near-copy sits in train simply cannot
+   * occur. `splits` are (name, fraction) in order; fractions must sum to 1.
+   * Selection is the salted-md5 hex-threshold rule of [[stratifiedSample]]
+   * (deterministic in (cluster, salt), layout-independent, replayable).
+   *
+   * Scale shape: one connected-components pass over the pair graph
+   * ([[Dedup.dedupClusters]] — alternating large-star/small-star, edges
+   * only for actual near-dups) + a broadcast-sized join of components back
+   * to the corpus + a pure projection for the split. Nothing driver-side.
+   */
+  def leakFreeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)], salt: String): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._1).distinct.size == splits.size,
+      s"leakFreeSplit: split names must be unique: $splits")
+    require(splits.forall(_._2 > 0) && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"leakFreeSplit: fractions must be positive and sum to 1: $splits")
+    val clustered = Dedup.dedupClusters(docs, idCol, pairs)
+    val h = substring(md5(concat(col("cluster").cast("string"),
+      lit(":" + salt))), 1, 8)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val assigned = splits.init.zip(cum.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cumFrac)) =>
+        val cond = h < lit(hexThreshold(cumFrac))
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }.fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    clustered.withColumn("split", assigned)
+  }
+
+  /**
    * Deterministic global shuffle + shard assignment for training export:
    * shard = md5(id:salt) bucket, position within shard = rank of the md5
    * hex (ties to the id). The training loader reads shard files in pos

@@ -109,6 +109,36 @@ class CurationSpec extends AnyFunSuite {
       "mixtureSample not deterministic")
   }
 
+  test("leakFreeSplit: clusters never span splits, fractions honored, deterministic") {
+    import spark.implicits._
+    // 600 docs, every 3rd has a near-dup pair partner (id+10000)
+    val docs = (1L to 600L).map(i => Tuple1(i)).toDF("id")
+      .unionByName((3L to 600L by 3).map(i => Tuple1(i + 10000)).toDF("id"))
+    val pairs = (3L to 600L by 3).map(i => (i, i + 10000)).toDF("id_a", "id_b")
+    def run() = graft.llm.Curation.leakFreeSplit(docs, "id", pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s1")
+      .select("id", "cluster", "split").as[(Long, Long, String)].collect()
+    val out = run()
+    assert(out.length == 800)
+    // leakage freedom: every cluster maps to exactly one split
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $c spans splits")
+    }
+    // paired docs share their partner's split
+    val byId = out.map(r => r._1 -> r._3).toMap
+    (3L to 600L by 3).foreach(i => assert(byId(i) == byId(i + 10000)))
+    // fractions roughly honored at the CLUSTER level (600 clusters)
+    val clusterSplits = out.groupBy(_._2).map(_._2.head._3)
+    val train = clusterSplits.count(_ == "train").toDouble / clusterSplits.size
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+    assert(clusterSplits.exists(_ == "val") && clusterSplits.exists(_ == "test"))
+    assert(run().sortBy(_._1).sameElements(out.sortBy(_._1)), "not deterministic")
+    intercept[IllegalArgumentException] {
+      graft.llm.Curation.leakFreeSplit(docs, "id", pairs,
+        Seq("a" -> 0.5, "b" -> 0.4), "s")
+    }
+  }
+
   test("shuffleShards: exact permutation, deterministic, salt reshuffles, null-safe") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i: java.lang.Long, s"d$i")).toDF("id", "v")

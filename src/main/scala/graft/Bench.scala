@@ -68,8 +68,11 @@ object Bench {
     val liDir = EntryCtx.sharedDelta(spark, sfDir, "lineitem", nFiles = 8)
     val docs = DeltaTable.forPath(spark,
       EntryCtx.sharedDelta(spark, sfDir, "documents", nFiles = 16)).toDF
+    // embeddings ops measured NO gain from wider layouts (the vector rows
+    // are not shingle-level CPU-bound) and the extra files cost the
+    // sub-second rows per-task overhead — default layout
     val emb = DeltaTable.forPath(spark,
-      EntryCtx.sharedDelta(spark, sfDir, "embeddings", nFiles = 8)).toDF
+      EntryCtx.sharedDelta(spark, sfDir, "embeddings")).toDF
     Seq("orders", "customer", "lineitem", "documents").foreach(
       EntryCtx.deltaView(spark, sfDir, _))
 

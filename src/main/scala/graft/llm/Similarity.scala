@@ -162,12 +162,13 @@ object Similarity {
             s"bucketId recomputed from the supplied planes (${r.getLong(1)}) — " +
             "the corpus was bucketed with different planes")
       }
+    requireDim(queries, vecCol, dim, "bucketedTopK")
     bucketedTopKUnchecked(corpus, queries, idCol, vecCol, bucketCol, planes, k)
   }
 
-  /** [[bucketedTopK]] minus the corpus-side probes — for callers that just
-    * computed the bucket column themselves (lshTopK), where the probes are
-    * tautological and their eager one-row jobs pure overhead. */
+  /** [[bucketedTopK]] minus every eager probe — for callers that already
+    * validated their sides (lshTopK checks the corpus once; the public
+    * wrapper checks both), so the hot path schedules zero extra jobs. */
   private def bucketedTopKUnchecked(
       corpus: DataFrame,
       queries: DataFrame,
@@ -176,8 +177,6 @@ object Similarity {
       bucketCol: String,
       planes: Array[Array[Double]],
       k: Int): DataFrame = {
-    val dim = planes.head.length
-    requireDim(queries, vecCol, dim, "bucketedTopK")
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), dot(col(vecCol), col(vecCol)).as("__qn2"),
       bucketId(col(vecCol), planes).as("__qb")))

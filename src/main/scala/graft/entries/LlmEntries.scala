@@ -1211,6 +1211,83 @@ object LlmEntries {
          |FROM clusters""".stripMargin
     }),
 
+    // the dataset card: per-(split, lang) doc/word totals with ROLLUP
+    // margins over the leak-free splits — the end-of-pipeline report a
+    // training run ships with its data. Composition of leakFreeSplit +
+    // corpus stats + grouping sets, all replayed relationally.
+    Entry("llm_dataset_card", (s, d) => {
+      // two FRESH scans (distinct expression ids): the pair graph and the
+      // split input sharing one lineage trips Spark's ambiguous-self-join
+      // analyzer on the carried lang/split attributes
+      def mkCorpus() = {
+        val base = docsDelta(s, d).select("doc_id", "text", "lang")
+        base.unionByName(base.filter("doc_id % 10 = 0")
+          .withColumn("doc_id", col("doc_id") + 1000000)
+          .withColumn("text", concat(col("text"), lit(" zz extra token"))))
+      }
+      val pairs = Dedup.minhashNearDups(mkCorpus().select("doc_id", "text"),
+        "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 64,
+        threshold = 0.5)
+      val assigned = graft.llm.Curation.leakFreeSplit(mkCorpus(), "doc_id",
+        pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        salt = "split7")
+      val sel = assigned.select(assigned("split"), assigned("lang"),
+        TextOps.wordCount(assigned("text")).as("__nw"))
+      // Spark quirk: DataFrame rollup-BY-NAME over any plan containing a
+      // self-join (the minhash band join) trips the ambiguous-self-join
+      // analyzer even on a clean 3-column projection; the SQL ROLLUP over
+      // a temp view resolves by name without the dataset-id tagging
+      val view = s"graft_card_${System.nanoTime()}"
+      sel.createOrReplaceTempView(view)
+      s.sql(
+        s"""SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(__nw) AS BIGINT) AS total_words
+           |FROM $view GROUP BY ROLLUP (split, lang)""".stripMargin)
+    }, Some {
+      def sel(cum: Double) =
+        s"substr(md5(CAST(cluster AS VARCHAR) || ':split7'), 1, 8) < '${graft.llm.Curation.hexThreshold(cum)}'"
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' zz extra token', lang
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
+         |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM corpus) t
+         |),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |           len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+         |  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5
+         |),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+         |),
+         |clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node),
+         |assigned AS (
+         |  SELECT doc_id,
+         |         CASE WHEN ${sel(0.8)} THEN 'train'
+         |              WHEN ${sel(0.9)} THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM clusters),
+         |w AS (
+         |  SELECT a.split, c.lang,
+         |         CAST(len(CASE WHEN length(trim(c.text)) = 0 THEN []
+         |                       ELSE string_split_regex(trim(c.text), '\\s+') END) AS BIGINT) AS nw
+         |  FROM corpus c JOIN assigned a USING (doc_id))
+         |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nw) AS BIGINT) AS total_words
+         |FROM w GROUP BY ROLLUP (split, lang)""".stripMargin
+    }),
+
     // the JL scale path end-to-end: project 64 → 16 dims once, then rank
     // by cosine IN THE PROJECTED SPACE — every downstream vector pass (and
     // the memory ANN joins move) shrinks by 4×; projection and ranking

@@ -1211,6 +1211,44 @@ object LlmEntries {
          |FROM clusters""".stripMargin
     }),
 
+    // exact substring-span dedup (Lee et al. 2022 shape): tokens covered
+    // by any corpus-repeated 8-gram are removed mid-document; a planted
+    // 12-word boilerplate prefix on every 5th doc is excised EXACTLY
+    // (grams crossing into unique text stay under the threshold) and the
+    // oracle replays gram counts, coverage expansion, and reassembly
+    Entry("llm_span_dedup", (s, d) => {
+      val boiler = "subscribe to our newsletter now for free daily updates and offers today"
+      val docs = docsDelta(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(lit(boiler + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.removeRepeatedSpans(docs, "doc_id", "text", n = 8, minRepeat = 5)
+    }, Some(
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN 'subscribe to our newsletter now for free daily updates and offers today ' || text
+        |              ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |                          ELSE string_split_regex(trim(text), '\s+') END AS ws
+        |      FROM d),
+        |g AS (SELECT doc_id, unnest([{'gpos': i - 1, 'gh': md5(array_to_string(ws[i:i+7], ' '))}
+        |                             FOR i IN range(1, len(ws) - 6)], recursive := true)
+        |      FROM w WHERE len(ws) >= 8),
+        |c AS (SELECT gh, count(*) AS f FROM g GROUP BY gh),
+        |fl AS (SELECT doc_id, list(gpos) AS starts
+        |       FROM g JOIN c USING (gh) WHERE f >= 5 GROUP BY doc_id),
+        |k AS (SELECT w.doc_id, w.ws, coalesce(fl.starts, []) AS st
+        |      FROM w LEFT JOIN fl ON w.doc_id = fl.doc_id),
+        |r AS (SELECT doc_id, ws,
+        |        [ws[p + 1] FOR p IN range(len(ws))
+        |         IF len(list_filter(st, s -> s <= p AND p <= s + 7)) = 0] AS kept
+        |      FROM k)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |       CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+        |       array_to_string(kept, ' ') AS cleaned
+        |FROM r""".stripMargin)),
+
     // the dataset card: per-(split, lang) doc/word totals with ROLLUP
     // margins over the leak-free splits — the end-of-pipeline report a
     // training run ships with its data. Composition of leakFreeSplit +

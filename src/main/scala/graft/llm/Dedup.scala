@@ -84,6 +84,57 @@ object Dedup {
           s => s("__line")), "\n").as(textCol))
   }
 
+  /**
+   * Exact substring-span dedup (the Lee et al. 2022 "Deduplicating
+   * Training Data" operation at n-gram granularity): remove every token
+   * covered by an n-gram whose corpus-wide occurrence count reaches
+   * `minRepeat`. Unlike document/line dedup this catches boilerplate
+   * embedded MID-DOCUMENT (license headers, navigation sentences, quoted
+   * chain letters) — each document keeps its unique remainder.
+   *
+   * A token at position p is removed iff some flagged gram starts in
+   * [p-n+1, p]; the cleaned text is the kept tokens in order. Documents
+   * shorter than n words have no grams and pass through intact; NULL
+   * text cleans to "".
+   *
+   * Scale shape: one gram explode → one corpus count aggregation (the
+   * flagged side is DISTINCT grams, so a million-fold-repeated banner is
+   * one build row) → an equi-join back → one per-doc regroup of flagged
+   * START POSITIONS only (bounded by doc length); coverage expansion is
+   * a per-row array expression, not a join. No all-pairs anywhere.
+   */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minRepeat: Long): DataFrame = {
+    require(n >= 2, s"removeRepeatedSpans: n=$n")
+    require(minRepeat >= 2,
+      s"removeRepeatedSpans: minRepeat=$minRepeat would drop every token")
+    val base = df.select(col(idCol), TextOps.words(col(textCol)).as("__ws"))
+    val grams = base.filter(size(col("__ws")) >= n)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__ws")) - n),
+        i => md5(concat_ws(" ", slice(col("__ws"), i + 1, lit(n))))))
+        .as(Seq("__gpos", "__gh")))
+    val counts = grams.groupBy("__gh").agg(count(lit(1)).as("__f"))
+    val flagged = grams.join(counts, Seq("__gh"))
+      .filter(col("__f") >= minRepeat)
+      .groupBy(idCol).agg(collect_list(col("__gpos")).as("__starts"))
+    base.join(flagged, Seq(idCol), "left")
+      .select(col(idCol), col("__ws"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__st"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        // sequence(0, -1) REVERSES instead of being empty — guard the
+        // empty-document case explicitly
+        transform(filter(
+          when(size(col("__ws")) === 0, array().cast("array<int>"))
+            .otherwise(sequence(lit(0), size(col("__ws")) - 1)),
+          p => !exists(col("__st"), s => s <= p && p <= s + (n - 1))),
+          p => element_at(col("__ws"), p + 1)).as("__kept"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("__kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("__kept")).as("cleaned"))
+  }
+
   /** Word n-gram shingle array (distinct). Tokenization is whitespace-RUN
     * splitting ([[TextOps.words]]): a literal single-space split embeds
     * empty tokens on double spaces and glues words across newlines, so a

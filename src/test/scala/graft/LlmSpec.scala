@@ -791,6 +791,37 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("removeRepeatedSpans: exact span excision, boundary grams spared, edge docs") {
+    import spark.implicits._
+    val boiler = (1 to 5).map(i => s"b$i").mkString(" ")   // 5-token boilerplate
+    val df = Seq(
+      (1L, s"$boiler alpha beta gamma"),
+      (2L, s"$boiler delta epsilon"),
+      (3L, s"$boiler zeta eta theta iota"),
+      (4L, s"prefix words here $boiler tail"),   // mid-document occurrence
+      (5L, "totally unique text with nothing repeated anywhere"),
+      (6L, "tiny"),                              // shorter than n → intact
+      (7L, "")                                   // empty → intact
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(df, "doc_id", "text", n = 3, minRepeat = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // the 3 pure-boilerplate grams (b1 b2 b3), (b2 b3 b4), (b3 b4 b5) each
+    // occur 4x → flagged; grams crossing into unique text occur once each.
+    // Coverage of starts {0,1,2} (docs 1-3) = tokens 0..4 exactly.
+    assert(out(1L) == ((8L, 5L, "alpha beta gamma")))
+    assert(out(2L) == ((7L, 5L, "delta epsilon")))
+    assert(out(3L) == ((9L, 5L, "zeta eta theta iota")))
+    // doc 4: starts {3,4,5} → tokens 3..7 removed, prefix + tail kept
+    assert(out(4L) == ((9L, 5L, "prefix words here tail")))
+    assert(out(5L) == ((7L, 0L, "totally unique text with nothing repeated anywhere")))
+    assert(out(6L) == ((1L, 0L, "tiny")))
+    assert(out(7L) == ((0L, 0L, "")))
+    intercept[IllegalArgumentException] {
+      Dedup.removeRepeatedSpans(df, "doc_id", "text", n = 3, minRepeat = 1)
+    }
+  }
+
   test("stripMarkup: payload blocks gone, tags gone, ordered entity decode") {
     import spark.implicits._
     val cases = Seq(

@@ -84,8 +84,11 @@ object DeltaStreaming {
     val latest = t.deltaLog.latestVersion()
     if (latest <= afterVersion) None
     else {
+      maxVersionsPerBatch.foreach(m => require(m > 0,
+        s"maxVersionsPerBatch must be positive, got $m (a 0 budget idles " +
+          "the poll loop forever)"))
       val end = maxVersionsPerBatch
-        .map(m => math.min(latest, afterVersion + math.max(1, m)))
+        .map(m => math.min(latest, afterVersion + m.toLong))
         .getOrElse(latest)
       Some((t.loadCdf(afterVersion + 1, Some(end)), end))
     }

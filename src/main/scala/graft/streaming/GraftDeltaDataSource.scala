@@ -53,8 +53,11 @@ class GraftDeltaDataSource extends DataSourceRegister
     GraftDeltaRelation.writeAndReturnRelation(sqlContext, mode, parameters,
       data, pathOf(parameters))
 
+  private def ci(parameters: Map[String, String]) =
+    org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters)
+
   private def pathOf(parameters: Map[String, String]): String =
-    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+    ci(parameters).get("path")
       .getOrElse(throw new IllegalArgumentException(
         "graft-delta requires a table path: .load(path) / .start(path)"))
 
@@ -73,9 +76,8 @@ class GraftDeltaDataSource extends DataSourceRegister
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     refuseUserSchema(schema)
-    val cdf = parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v
-    }.exists(_.trim.equalsIgnoreCase("true"))
+    val cdf = ci(parameters).get("readChangeFeed")
+      .exists(_.trim.equalsIgnoreCase("true"))
     val base = DeltaTable.forPath(sqlContext.sparkSession, pathOf(parameters)).schema
     (shortName(), if (cdf) GraftDeltaSource.cdfSchema(base) else base)
   }

@@ -34,14 +34,19 @@ class GraftDeltaSink(
   require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
     s"graft-delta sink supports Append and Complete output modes, got $outputMode")
 
-  private def opt(key: String): Option[String] =
-    options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+  private val ciOptions =
+    org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(options)
+  private def opt(key: String): Option[String] = ciOptions.get(key)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
     val appId = opt("txnAppId")
       .orElse(Option(spark.sparkContext.getLocalProperty(StreamExecution.QUERY_ID_KEY)))
-      .getOrElse(s"graft-delta-sink:$path")
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-delta sink: no streaming query id on this thread and no " +
+        "'txnAppId' option — a path-derived fallback id would be SHARED by " +
+        "every writer to this table, so one pipeline's batch ids would " +
+        "suppress another's as replays; pass .option(\"txnAppId\", ...)"))
     val batch = GraftSqlBridge.pinnedBatchDataFrame(data)
 
     // one log handle / one listing per micro-batch: forPath + create-on-miss
@@ -58,6 +63,14 @@ class GraftDeltaSink(
 
     val snap = table.snapshot
     val m = snap.metadata
+    // an existing table's partitioning wins over .partitionBy(...) — but a
+    // MISMATCH must fail fast (delta-spark parity), not silently write the
+    // table's layout against the user's declaration
+    if (partitionColumns.nonEmpty && m.partitionColumns != partitionColumns)
+      throw new IllegalArgumentException(
+        s"graft-delta sink: partitionBy(${partitionColumns.mkString(",")}) does " +
+        s"not match the existing table's partitioning " +
+        s"(${m.partitionColumns.mkString(",")}) at $path")
     val normalized = Validation.prepareForWrite(spark,
       DeltaWriter.normalize(graft.ops.Generated.fill(batch, m.schema), m.schema), m)
     val adds = DeltaWriter.writeFiles(spark, table.tablePath, normalized,

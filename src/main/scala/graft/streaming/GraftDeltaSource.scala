@@ -96,8 +96,9 @@ class GraftDeltaSource(
     * file set. */
   private val initSnapshot: Snapshot = log.snapshot()
 
-  private def opt(key: String): Option[String] =
-    options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+  private val ciOptions =
+    org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(options)
+  private def opt(key: String): Option[String] = ciOptions.get(key)
   private def boolOpt(key: String): Boolean =
     opt(key).exists(_.trim.equalsIgnoreCase("true"))
 
@@ -207,10 +208,13 @@ class GraftDeltaSource(
     }
   }
 
-  private def persistStart(b: GraftSourceOffset, overwrite: Boolean = false): Unit =
+  // (both call sites overwrite unconditionally — the delete-then-rename
+  // below IS the semantics; a no-overwrite mode would silently keep a
+  // stale pin)
+  private def persistStart(b: GraftSourceOffset): Unit =
     startFile.foreach { p =>
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (overwrite || !fs.exists(p)) {
+      locally {
         fs.mkdirs(p.getParent)
         val tmp = new Path(p.getParent,
           s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
@@ -223,7 +227,7 @@ class GraftDeltaSource(
         try out.write(
           JsonMethods.compact(JsonMethods.render(doc)).getBytes("UTF-8"))
         finally out.close()
-        if (overwrite) fs.delete(p, false)
+        fs.delete(p, false) // replace any stale pin (delete-then-rename)
         // a lost rename race means a concurrent start already persisted the
         // same resolution — theirs is authoritative, ours is redundant
         if (!fs.rename(tmp, p)) fs.delete(tmp, false)
@@ -260,7 +264,7 @@ class GraftDeltaSource(
   locally {
     try {
       if (readPersistedStart().isEmpty && freshStream)
-        persistStart(baseOffset, overwrite = true)
+        persistStart(baseOffset)
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft-delta] could not persist stream start at construction: $e")
@@ -283,23 +287,34 @@ class GraftDeltaSource(
     * files exist; a version beyond it is empty (and not cached — the commit
     * may land later). */
   private def filesAt(version: Long, isInitial: Boolean, latest: Long): IndexedSeq[AddFile] =
-    versionFiles.get((version, isInitial)) match {
-      case Some(f) => f
+    cachedUnitsAt(versionFiles, version, isInitial, latest)(
+      // The initial-snapshot file set must be reproducible from the
+      // OFFSET's version, not from whenever this source instance was
+      // constructed — after a checkpoint restart the table may have
+      // moved on, and re-deriving "the first N files" from a newer
+      // snapshot would duplicate and drop rows.
+      snap => snap.allFiles.sortBy(_.path).toIndexedSeq,
+      commitAdds)
+
+  /** Shared cache/initial-snapshot/beyond-latest skeleton of [[filesAt]]
+    * and [[changesAt]] — one definition so a fix to the restart
+    * reproducibility logic cannot silently apply to only one feed. */
+  private def cachedUnitsAt[T](cache: mutable.Map[(Long, Boolean), IndexedSeq[T]],
+      version: Long, isInitial: Boolean, latest: Long)(
+      fromInitialSnapshot: Snapshot => IndexedSeq[T],
+      fromCommit: Long => IndexedSeq[T]): IndexedSeq[T] =
+    cache.get((version, isInitial)) match {
+      case Some(v) => v
       case None if !isInitial && version > latest => IndexedSeq.empty
       case None =>
-        val f =
+        val v =
           if (isInitial) {
-            // The initial-snapshot file set must be reproducible from the
-            // OFFSET's version, not from whenever this source instance was
-            // constructed — after a checkpoint restart the table may have
-            // moved on, and re-deriving "the first N files" from a newer
-            // snapshot would duplicate and drop rows.
             val snap = if (version == initSnapshot.version) initSnapshot
                        else log.snapshotAt(version)
-            snap.allFiles.sortBy(_.path).toIndexedSeq
-          } else commitAdds(version)
-        versionFiles.update((version, isInitial), f)
-        f
+            fromInitialSnapshot(snap)
+          } else fromCommit(version)
+        cache.update((version, isInitial), v)
+        v
     }
 
   /** Shared per-commit guards: a protocol we can't read or a schema change
@@ -309,12 +324,17 @@ class GraftDeltaSource(
     actions.collectFirst { case p: Protocol => p }
       .foreach(p => ProtocolGate.checkRead(p, initSnapshot.metadata))
     actions.collectFirst {
-      case m: Metadata if m.schema != initSnapshot.schema => m
+      // partitionColumns change with an identical schema is just as fatal:
+      // later AddFiles' partitionValues would be decoded against the OLD
+      // partition columns, silently yielding null/wrong partition values
+      case m: Metadata if m.schema != initSnapshot.schema ||
+          m.partitionColumns != initSnapshot.partitionColumns => m
     }.foreach { m =>
       throw new IllegalStateException(
-        s"graft-delta source: table schema changed at version $version " +
-        s"(${initSnapshot.schema.simpleString} -> ${m.schema.simpleString}); " +
-        "restart the stream to pick up the new schema")
+        s"graft-delta source: table schema or partitioning changed at version $version " +
+        s"(${initSnapshot.schema.simpleString} partitioned by ${initSnapshot.partitionColumns} -> " +
+        s"${m.schema.simpleString} partitioned by ${m.partitionColumns}); " +
+        "restart the stream to pick up the new layout")
     }
     actions
   }
@@ -348,33 +368,23 @@ class GraftDeltaSource(
   private lazy val cdfTable = new DeltaTable(spark, new Path(tablePath))
 
   private def changesAt(version: Long, isInitial: Boolean, latest: Long): IndexedSeq[ChangeUnit] =
-    versionChanges.get((version, isInitial)) match {
-      case Some(u) => u
-      case None if !isInitial && version > latest => IndexedSeq.empty
-      case None =>
-        val u =
-          if (isInitial) {
-            val snap = if (version == initSnapshot.version) initSnapshot
-                       else log.snapshotAt(version)
-            snap.allFiles.sortBy(_.path).map { f =>
-              if (f.deletionVector.exists(_.cardinality > 0))
-                throw new IllegalStateException(
-                  s"readChangeFeed: initial-snapshot file ${f.path} carries a " +
-                  "deletion vector; start from a version after the DV write " +
-                  "(startingVersion) or OPTIMIZE first")
-              ChangeUnit("insert", f.path, f.partitionValues, version,
-                snap.timestampMs, f.size)
-            }.toIndexedSeq
-          } else {
-            // same classifier as batch CDF — the feeds cannot diverge
-            val (ts, us) = CdfRead.changeUnitsOf(guardedCommit(version), version)
-            us.map { case (kind, path, pv, sz) =>
-                ChangeUnit(kind, path, pv, version, ts, sz) }
-              .sortBy(u => (u.kind, u.relPath)).toIndexedSeq
-          }
-        versionChanges.update((version, isInitial), u)
-        u
-    }
+    cachedUnitsAt(versionChanges, version, isInitial, latest)(
+      snap => snap.allFiles.sortBy(_.path).map { f =>
+        if (f.deletionVector.exists(_.cardinality > 0))
+          throw new IllegalStateException(
+            s"readChangeFeed: initial-snapshot file ${f.path} carries a " +
+            "deletion vector; start from a version after the DV write " +
+            "(startingVersion) or OPTIMIZE first")
+        ChangeUnit("insert", f.path, f.partitionValues, version,
+          snap.timestampMs, f.size)
+      }.toIndexedSeq,
+      v => {
+        // same classifier as batch CDF — the feeds cannot diverge
+        val (ts, us) = CdfRead.changeUnitsOf(guardedCommit(v), v)
+        us.map { case (kind, path, pv, sz) =>
+            ChangeUnit(kind, path, pv, v, ts, sz) }
+          .sortBy(u => (u.kind, u.relPath)).toIndexedSeq
+      })
 
   // ---- admission -----------------------------------------------------------
 
@@ -462,11 +472,11 @@ class GraftDeltaSource(
 
   // fresh-by-engine-contract: overwrite replaces a stale different-spec pin
   // that the construction-time persist could not (e.g. its best-effort write
-  // failed) — persistStart(overwrite=false) would silently no-op on the
+  // failed) — a no-overwrite persist would silently no-op on the
   // existing file and leave the poisoned resolution in place
   override def initialOffset(): OffsetV2 =
     readPersistedStart().getOrElse {
-      val b = baseOffset; persistStart(b, overwrite = true); b
+      val b = baseOffset; persistStart(b); b
     }
 
   override def deserializeOffset(json: String): OffsetV2 = GraftSourceOffset.fromJson(json)

@@ -99,13 +99,16 @@ object Sessionize {
 
     // project/cast BEFORE withWatermark: a cast builds a fresh attribute
     // without the event-time tag, silently discarding a watermark declared
-    // upstream of it. NULL user keys are dropped (the non-nullable key
-    // encoder would otherwise kill the query); batch sessions() keeps the
-    // NULL group — callers that care must pre-map NULL to a sentinel key.
+    // upstream of it. The null filter runs AFTER the casts: a lossy cast
+    // (non-numeric user string, unparseable timestamp) produces NULL, and
+    // filtering the original columns would let those rows through to kill
+    // the query at the non-nullable encoder / micros() instead. NULL keys
+    // are dropped; batch sessions() keeps the NULL group — callers that
+    // care must pre-map NULL to a sentinel key.
     val typed = events
-      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).cast("long").as("user_id"),
         col(tsCol).cast("timestamp").as("ts"))
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .as[SessionEvent]
 

@@ -694,6 +694,37 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("crossDedup invariants on random collision-heavy corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (0 until 2).foreach { trial =>
+      // tiny vocabulary → many exact-duplicate texts within and across sides
+      def doc() = (0 until 1 + rnd.nextInt(4))
+        .map(_ => Seq("aa", "bb", "cc")(rnd.nextInt(3))).mkString(" ")
+      val corpus = (1L to 40L).map(i => (i, doc())).toDF("doc_id", "text")
+      val shard = (100L to 160L).map(i => (i, doc())).toDF("doc_id", "text")
+      val admitted = Dedup.crossDedup(corpus, shard, "doc_id", "text")
+      val admRows = admitted.select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp")).as[(Long, String)].collect()
+      val shardIds = (100L to 160L).toSet
+      val corpusFps = corpus.select(TextOps.fingerprint(col("text")))
+        .as[String].collect().toSet
+      // admitted ⊆ shard; no admitted fingerprint exists in the corpus;
+      // admitted fingerprints are unique (intra-shard dedup held)
+      assert(admRows.forall(r => shardIds.contains(r._1)), s"trial $trial")
+      assert(admRows.forall(r => !corpusFps.contains(r._2)), s"trial $trial")
+      assert(admRows.map(_._2).distinct.length == admRows.length, s"trial $trial")
+      // keep-min: each admitted id is the smallest shard id of its fp group
+      val shardFps = shard.select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp")).as[(Long, String)].collect()
+      val minByFp = shardFps.groupBy(_._2).map { case (fp, rs) => fp -> rs.map(_._1).min }
+      assert(admRows.forall(r => minByFp(r._2) == r._1), s"trial $trial")
+      // idempotence: re-admitting the admitted set against the corpus keeps all
+      assert(Dedup.crossDedup(corpus, admitted, "doc_id", "text").count() ==
+        admRows.length, s"trial $trial")
+    }
+  }
+
   test("crossNearDups: planted mutants found against corpus, equi-join plan") {
     import spark.implicits._
     val base = docs.select("doc_id", "text")

@@ -1086,6 +1086,29 @@ object LlmEntries {
          |           ELSE ${sel(0.5)} END""".stripMargin
     }),
 
+    // audio-style windowed energy (VAD/silence-trim precursor): payload
+    // bytes as centered 8-bit samples, 64-sample frames hopping 32, exact
+    // INTEGER per-frame energies — DuckDB recomputes from the hex form
+    Entry("llm_multimodal_audio", (s, d) => {
+      val withP = Multimodal.withPayload(
+        docsDelta(s, d).select("doc_id", "text"), "text")
+      Multimodal.windowEnergy(withP, "doc_id", "payload",
+        window = 64, hop = 32)
+    }, Some {
+      def dig(e: String) = s"(strpos('0123456789ABCDEF', substr(hx, $e, 1)) - 1)"
+      val byteC = s"(${dig("2 * (w * 32 + i) + 1")} * 16 + ${dig("2 * (w * 32 + i) + 2")} - 128)"
+      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+         |n AS (SELECT doc_id, hx, length(hx) // 2 AS nb FROM h),
+         |f AS (SELECT doc_id,
+         |        unnest([{'frame_idx': w,
+         |                 'energy': list_sum([v * v FOR v IN [$byteC FOR i IN range(64)]])}
+         |                FOR w IN range((nb - 64) // 32 + 1)], recursive := true)
+         |      FROM n WHERE nb >= 64)
+         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |       CAST(energy AS BIGINT) AS energy
+         |FROM f""".stripMargin
+    }),
+
     // ---- incremental / fuzzy dedup and featurization ----------------------
 
     // cross-corpus (incremental-ingestion) dedup: a new shard is admitted

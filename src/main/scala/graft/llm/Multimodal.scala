@@ -103,6 +103,43 @@ object Multimodal {
     df.select(col(idCol), concat_ws("", parts: _*).as("resized_hex"))
   }
 
+  /**
+   * Audio-style windowed energy over a binary payload: bytes read as
+   * centered 8-bit PCM samples (b − 128), framed into `window`-sample
+   * frames advancing by `hop`, per-frame energy = Σ s² — the
+   * voice-activity / silence-trim precursor every audio pipeline runs
+   * before a codec ever loads. Exact INTEGER energies (no division, no
+   * floats), so any engine replays them bit-for-bit from the hex form.
+   * Only COMPLETE frames are emitted; payloads shorter than `window`
+   * produce no rows (documented, like frameSample's contract).
+   *
+   * Pure column expressions over hex(payload): one per-row transform +
+   * posexplode — no UDF, no shuffle; at 100 TB this is a narrow map over
+   * the payload scan.
+   */
+  def windowEnergy(df: DataFrame, idCol: String, payloadCol: String,
+      window: Int = 64, hop: Int = 32): DataFrame = {
+    require(window >= 1, s"windowEnergy: window=$window")
+    require(hop >= 1, s"windowEnergy: hop=$hop")
+    val hx = hex(col(payloadCol))
+    val nBytes = (length(hx) / 2).cast("int")
+    val nWin = when(nBytes < window, lit(0))
+      .otherwise((nBytes - window) / hop + 1).cast("int")
+    def byteAt(pos: org.apache.spark.sql.Column) =
+      conv(substring(hx, pos * 2 + 1, lit(2)), 16, 10).cast("long")
+    val energies =
+      when(nWin === 0, array().cast("array<long>"))
+        .otherwise(transform(sequence(lit(0), nWin - 1), w =>
+          aggregate(sequence(lit(0), lit(window - 1)), lit(0L),
+            (acc, i) => {
+              val s = byteAt(w * hop + i) - 128L
+              acc + s * s
+            })))
+    df.select(col(idCol), posexplode(energies).as(Seq("frame_idx", "energy")))
+      .select(col(idCol), col("frame_idx").cast("long").as("frame_idx"),
+        col("energy"))
+  }
+
   /** Deterministic stand-in for a media codec: dim byte-histogram-ish floats.
     * Replace with the real decoder; the pipeline around it is unchanged.
     * LONG accumulation (an Int slot would wrap past ~8 MB/slot of payload)

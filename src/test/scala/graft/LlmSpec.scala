@@ -694,6 +694,29 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("windowEnergy: exact integer energies, frame layout, short payloads") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A" * 96),   // bytes 65 → centered -63; frames at 0 and 32
+      (2L, "A" * 63),   // shorter than one window → no frames
+      (3L, "A" * 32 + "B" * 32 + "A" * 32) // mixed: B=66 → centered -62
+    ).toDF("doc_id", "text")
+    val out = Multimodal.windowEnergy(
+      Multimodal.withPayload(df, "text"), "doc_id", "payload",
+      window = 64, hop = 32)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val eA = 63L * 63L
+    val eB = 62L * 62L
+    assert(out(1L).sortBy(_._2).map(_._3).toSeq == Seq(64 * eA, 64 * eA))
+    assert(!out.contains(2L))
+    // doc 3 frame 0 = 32 A + 32 B; frame 1 = 32 B + 32 A
+    assert(out(3L).sortBy(_._2).map(_._3).toSeq ==
+      Seq(32 * eA + 32 * eB, 32 * eB + 32 * eA))
+    intercept[IllegalArgumentException] {
+      Multimodal.windowEnergy(df, "doc_id", "text", window = 0)
+    }
+  }
+
   test("crossDedup invariants on random collision-heavy corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

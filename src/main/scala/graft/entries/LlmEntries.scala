@@ -1086,6 +1086,28 @@ object LlmEntries {
          |           ELSE ${sel(0.5)} END""".stripMargin
     }),
 
+    // TF-IDF keyword extraction (rational idf — one exact integer
+    // division per score, replayed bit-for-bit; ties alphabetical)
+    Entry("llm_tfidf_terms", (s, d) =>
+      TextOps.tfidfTerms(docsDelta(s, d).select("doc_id", "text"),
+        "doc_id", "text", k = 5),
+      Some {
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(CASE WHEN length(nm) = 0 THEN []
+           |                             ELSE string_split(nm, ' ') END) AS w
+           |  FROM (SELECT doc_id, $normSql AS nm FROM documents) t),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+           |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+           |sc AS (
+           |  SELECT tf.doc_id, tf.w, CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+           |  FROM tf JOIN df USING (w) CROSS JOIN n)
+           |SELECT doc_id, w AS term,
+           |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS BIGINT) AS rnk,
+           |       score
+           |FROM sc QUALIFY rnk <= 5""".stripMargin
+      }),
+
     // audio-style windowed energy (VAD/silence-trim precursor): payload
     // bytes as centered 8-bit samples, 64-sample frames hopping 32, exact
     // INTEGER per-frame energies — DuckDB recomputes from the hex form

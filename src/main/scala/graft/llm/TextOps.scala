@@ -424,6 +424,39 @@ object TextOps {
         coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
   }
 
+  /**
+   * TF-IDF keyword extraction: each document's top-`k` terms by
+   * tf × (N / df) — the document-side complement of [[Search.bm25TopK]]
+   * (query retrieval). The "rational idf" form (a plain count ratio, no
+   * logarithm) keeps every score ONE IEEE division of exact integers —
+   * (tf · N) / df — so external engines replay scores bit-for-bit; the
+   * ln() shape differs only monotonically and would cost cross-engine
+   * libm parity. Ties break alphabetically for a deterministic keyword
+   * list.
+   *
+   * Scale shape: one token explode → per-(doc, term) tf aggregation →
+   * DISTINCT-term document frequencies (the million-fold stopword is one
+   * build row; skew parallelizes on the probe side) → equi-join → one
+   * per-doc top-k window. No driver state, no vocabulary collect.
+   */
+  def tfidfTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"tfidfTerms: k=$k")
+    val n = df.count() // one count job; N is part of the score contract
+    val toks = df.select(col(idCol), explode(words(normalize(col(textCol)))).as("__w"))
+    val tf = toks.groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("__w").agg(count(lit(1)).as("__df"))
+    val scored = tf.join(dfreq, Seq("__w"))
+      .withColumn("score",
+        (col("__tf") * lit(n)).cast("double") / col("__df").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("__w").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("__w").as("term"), col("rnk"), col("score"))
+  }
+
   def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
       numBuckets: Int = 1024): DataFrame = {
     require(numBuckets >= 2, s"hashedFeatures: numBuckets=$numBuckets")

@@ -98,6 +98,34 @@ object LlmEntries {
        |FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents) t""".stripMargin
   }
 
+  /** Shared recursive-CTE near-dup clustering pipeline over a CTE named
+    * `corpus(doc_id, text, …)` — ONE definition (the normSql precedent) so
+    * the split/dataset-card oracles cannot drift from each other. Ends with
+    * `clusters(doc_id, cluster)`. Interpolated AFTER stripMargin-style
+    * margins: these lines carry no margin character on purpose. */
+  private val shingleClusterCtes =
+    """sh AS (
+  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS w FROM corpus) t
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+),
+clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node)"""
+
   /** DuckDB-side LSH bucket id: same hyperplanes, same sign rule. */
   private def duckBucketExpr(vecExpr: String, planes: Array[Array[Double]]): String =
     planes.zipWithIndex.map { case (h, p) =>
@@ -1228,27 +1256,7 @@ object LlmEntries {
       def sel(cum: Double) =
         s"substr(md5(CAST(cluster AS VARCHAR) || ':split7'), 1, 8) < '${graft.llm.Curation.hexThreshold(cum)}'"
       s"""WITH RECURSIVE corpus AS ($corpusSql),
-         |sh AS (
-         |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
-         |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM corpus) t
-         |),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM (
-         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |           len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
-         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
-         |  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5
-         |),
-         |edges AS (
-         |  SELECT id_a AS u, id_b AS v FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs
-         |),
-         |reach(node, lbl) AS (
-         |  SELECT doc_id, doc_id FROM corpus
-         |  UNION
-         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
-         |),
-         |clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node)
+         |$shingleClusterCtes
          |SELECT doc_id, cluster,
          |       CASE WHEN ${sel(0.8)} THEN 'train'
          |            WHEN ${sel(0.9)} THEN 'val'
@@ -1320,7 +1328,7 @@ object LlmEntries {
       // self-join (the minhash band join) trips the ambiguous-self-join
       // analyzer even on a clean 3-column projection; the SQL ROLLUP over
       // a temp view resolves by name without the dataset-id tagging
-      val view = s"graft_card_${System.nanoTime()}"
+      val view = "graft_card_view" // fixed name: replaced per run, no catalog growth
       sel.createOrReplaceTempView(view)
       s.sql(
         s"""SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1334,27 +1342,7 @@ object LlmEntries {
          |  UNION ALL
          |  SELECT doc_id + 1000000, text || ' zz extra token', lang
          |  FROM documents WHERE doc_id % 10 = 0),
-         |sh AS (
-         |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
-         |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM corpus) t
-         |),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM (
-         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |           len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
-         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
-         |  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5
-         |),
-         |edges AS (
-         |  SELECT id_a AS u, id_b AS v FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs
-         |),
-         |reach(node, lbl) AS (
-         |  SELECT doc_id, doc_id FROM corpus
-         |  UNION
-         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
-         |),
-         |clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node),
+         |$shingleClusterCtes,
          |assigned AS (
          |  SELECT doc_id,
          |         CASE WHEN ${sel(0.8)} THEN 'train'

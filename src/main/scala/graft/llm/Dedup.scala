@@ -108,7 +108,10 @@ object Dedup {
     require(n >= 2, s"removeRepeatedSpans: n=$n")
     require(minRepeat >= 2,
       s"removeRepeatedSpans: minRepeat=$minRepeat would drop every token")
-    val base = df.select(col(idCol), TextOps.words(col(textCol)).as("__ws"))
+    // NULL text reads as "" (words(NULL) is NULL, which would NULL-poison
+    // n_tokens/n_removed instead of honoring the cleans-to-"" contract)
+    val base = df.select(col(idCol),
+      TextOps.words(coalesce(col(textCol), lit(""))).as("__ws"))
     val grams = base.filter(size(col("__ws")) >= n)
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), size(col("__ws")) - n),

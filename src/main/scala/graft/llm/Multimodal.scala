@@ -127,14 +127,17 @@ object Multimodal {
       .otherwise((nBytes - window) / hop + 1).cast("int")
     def byteAt(pos: org.apache.spark.sql.Column) =
       conv(substring(hx, pos * 2 + 1, lit(2)), 16, 10).cast("long")
+    // decode each byte ONCE into a centered-sample array, then square-sum
+    // SLICES of it per frame — with hop < window the naive per-frame decode
+    // runs every overlapped byte's substring+conv window/hop times
+    val samples =
+      when(nBytes === 0, array().cast("array<long>"))
+        .otherwise(transform(sequence(lit(0), nBytes - 1), p => byteAt(p) - 128L))
     val energies =
       when(nWin === 0, array().cast("array<long>"))
         .otherwise(transform(sequence(lit(0), nWin - 1), w =>
-          aggregate(sequence(lit(0), lit(window - 1)), lit(0L),
-            (acc, i) => {
-              val s = byteAt(w * hop + i) - 128L
-              acc + s * s
-            })))
+          aggregate(slice(samples, w * hop + 1, lit(window)), lit(0L),
+            (acc, x) => acc + x * x)))
     df.select(col(idCol), posexplode(energies).as(Seq("frame_idx", "energy")))
       .select(col(idCol), col("frame_idx").cast("long").as("frame_idx"),
         col("energy"))

@@ -526,6 +526,7 @@ object Similarity {
       nBits: Int = 4,
       dim: Int = 64): DataFrame = {
     requireDim(corpus, vecCol, dim, "lshTopK")
+    requireDim(queries, vecCol, dim, "lshTopK")
     val planes = hyperplanes(nBits, dim)
     // one pipeline, two deployments: on-the-fly buckets here, persisted
     // (Delta-partition) buckets in bucketedTopK — delegating keeps the

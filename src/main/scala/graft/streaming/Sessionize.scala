@@ -102,12 +102,14 @@ object Sessionize {
     // upstream of it. The null filter runs AFTER the casts: a lossy cast
     // (non-numeric user string, unparseable timestamp) produces NULL, and
     // filtering the original columns would let those rows through to kill
-    // the query at the non-nullable encoder / micros() instead. NULL keys
+    // the query at the non-nullable encoder / micros() instead. try_cast,
+    // not cast: under Spark 4's default ANSI mode a plain cast THROWS on
+    // unparseable input before the filter ever runs. NULL keys
     // are dropped; batch sessions() keeps the NULL group — callers that
     // care must pre-map NULL to a sentinel key.
     val typed = events
-      .select(col(userCol).cast("long").as("user_id"),
-        col(tsCol).cast("timestamp").as("ts"))
+      .select(col(userCol).try_cast("long").as("user_id"),
+        col(tsCol).try_cast("timestamp").as("ts"))
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .as[SessionEvent]

@@ -1132,6 +1132,49 @@ object CoreEntries {
         |FROM wk JOIN coh ON wk.user_id = coh.user_id
         |GROUP BY 1, 2""".stripMargin)),
 
+    // z-score anomaly detection per event type: mean/σ from EXPLICIT exact
+    // integer-cents sums (the tpcds_stddev_exact recipe — native stddev
+    // aggregates round differently across engines), every z one chain of
+    // identical IEEE ops ⇒ the flagged set and the z doubles replay exactly
+    Entry("events_anomaly", (s, d) => {
+      eventsDeltaView(s, d)
+      def q(table: String) =
+        s"""WITH c AS (SELECT event_id, event_type,
+           |             CAST(round(value * 100) AS BIGINT) AS cents
+           |           FROM $table),
+           |g AS (SELECT event_type, count(*) AS n,
+           |             sum(CAST(cents AS DECIMAL(18, 0))) AS sm,
+           |             sum(CAST(cents * cents AS DECIMAL(18, 0))) AS sq
+           |      FROM c GROUP BY event_type),
+           |st AS (SELECT event_type,
+           |              CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           |              sqrt(CAST(n * sq - sm * sm AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS sd
+           |       FROM g)
+           |SELECT c.event_id, c.event_type,
+           |       (CAST(c.cents AS DOUBLE) - st.mean) / st.sd AS z
+           |FROM c JOIN st ON c.event_type = st.event_type
+           |WHERE abs((CAST(c.cents AS DOUBLE) - st.mean) / st.sd) > 3.0""".stripMargin
+      s.sql(q("events_delta"))
+    }, Some {
+      val q =
+        """WITH c AS (SELECT event_id, event_type,
+          |             CAST(round(value * 100) AS BIGINT) AS cents
+          |           FROM events),
+          |g AS (SELECT event_type, count(*) AS n,
+          |             sum(CAST(cents AS DECIMAL(18, 0))) AS sm,
+          |             sum(CAST(cents * cents AS DECIMAL(18, 0))) AS sq
+          |      FROM c GROUP BY event_type),
+          |st AS (SELECT event_type,
+          |              CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+          |              sqrt(CAST(n * sq - sm * sm AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS sd
+          |       FROM g)
+          |SELECT c.event_id, c.event_type,
+          |       (CAST(c.cents AS DOUBLE) - st.mean) / st.sd AS z
+          |FROM c JOIN st ON c.event_type = st.event_type
+          |WHERE abs((CAST(c.cents AS DOUBLE) - st.mean) / st.sd) > 3.0""".stripMargin
+      q
+    }),
+
     // Structured Streaming watermark + event-time windowed aggregation over
     // the graft-delta source (§2.10): append mode emits each hourly window
     // exactly once when the watermark closes it; far-future sentinel commits

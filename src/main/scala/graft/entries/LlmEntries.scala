@@ -878,6 +878,51 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         |       dist2
         |FROM sc QUALIFY rnk <= 10""".stripMargin)),
 
+    // the FAISS-style IVF-PQ composition: coarse cells route candidates
+    // (equi-join, |corpus| × nProbe / nCells), PQ ADC scores them — one
+    // ADC pipeline shared with llm_ann_pq, one cell pipeline shared with
+    // llm_ann_ivf; the oracle composes both replays
+    Entry("llm_ann_ivf_pq", (s, d) => {
+      val emb = embDelta(s, d)
+      Similarity.pqTopK(emb, emb.filter("vec_id < 8"), "vec_id", "embedding",
+        k = 10, dim = 64, m = 8, codebookSize = 16, nCells = 8, nProbe = 2)
+    }, Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cen AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |x AS (SELECT e.vec_id, e.v, cen.cid,
+        |        list_dot_product(e.v, cen.cv) /
+        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cen.cv, cen.cv))) AS cos
+        |      FROM e CROSS JOIN cen),
+        |r AS (SELECT vec_id, cid,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |      FROM x),
+        |cells AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+        |probes AS (SELECT vec_id, cid FROM r WHERE rn <= 2 AND vec_id < 8),
+        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16) t),
+        |enc AS (
+        |  SELECT e.vec_id, sx.s, cb.c,
+        |         list_sum([(e.v[8 * sx.s + j] - cb.cv[8 * sx.s + j]) * (e.v[8 * sx.s + j] - cb.cv[8 * sx.s + j]) FOR j IN range(1, 9)]) AS d
+        |  FROM e, range(0, 8) AS sx(s), cb),
+        |code AS (
+        |  SELECT vec_id, s, c FROM (
+        |    SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+        |    FROM enc) r
+        |  WHERE rn = 1),
+        |sc AS (
+        |  SELECT qd.vec_id AS qid, tc.vec_id AS nid,
+        |         list_sum(list(qd.d ORDER BY qd.s)) AS dist2
+        |  FROM code tc
+        |  JOIN cells ce ON ce.vec_id = tc.vec_id
+        |  JOIN probes p ON p.cid = ce.cid
+        |  JOIN enc qd ON qd.s = tc.s AND qd.c = tc.c AND qd.vec_id = p.vec_id
+        |  WHERE tc.vec_id <> qd.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT qid AS query_id, nid AS neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY dist2 ASC, nid ASC) AS BIGINT) AS rnk,
+        |       dist2
+        |FROM sc QUALIFY rnk <= 10""".stripMargin)),
+
     // distributed k-means (one Lloyd iteration + final assignment) in the
     // exact summation mode: init = first-8 vectors by id, assignment
     // tie-break toward the lowest cluster id, centroid update folds member

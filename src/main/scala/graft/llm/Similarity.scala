@@ -223,6 +223,21 @@ object Similarity {
     df.withColumn(outCol, array(comps: _*))
   }
 
+  /** Array of cosines of `vec` against literal `centroids` (zero-norm and
+    * NaN guarded to -1; each centroid's norm a compile-time constant with
+    * the same left-to-right summation order as `dot`, so values are
+    * bit-identical to norm(c)). Shared by [[ivfTopK]] and the IVF routing
+    * inside [[pqTopK]]. */
+  private def centroidCosArr(centroids: Array[Array[Double]])(
+      vec: Column, nv2: Column): Column =
+    array(centroids.map { c =>
+      val cn = math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
+      if (cn == 0.0) lit(-1.0)
+      else when(nv2 === 0.0, lit(-1.0))
+        .otherwise(nanvl(dot(vec, array(c.map(lit): _*)) / (sqrt(nv2) * lit(cn)),
+          lit(-1.0)))
+    }: _*)
+
   /**
    * IVF (inverted-file) ANN: a coarse quantizer splits the corpus into
    * `nCells` cells; each query probes only its `nProbe` nearest cells and
@@ -274,13 +289,7 @@ object Similarity {
     // as the `dot` aggregate, so the value is bit-identical) — per row the
     // array does nCells dot passes, not 3 × nCells.
     def cosArr(vec: Column, nv2: Column): Column =
-      array(centroids.map { c =>
-        val cn = math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
-        if (cn == 0.0) lit(-1.0)
-        else when(nv2 === 0.0, lit(-1.0))
-          .otherwise(nanvl(dot(vec, array(c.map(lit): _*)) / (sqrt(nv2) * lit(cn)),
-            lit(-1.0)))
-      }: _*)
+      centroidCosArr(centroids)(vec, nv2)
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         dot(col(vecCol), col(vecCol)).as("__cn2"))
@@ -408,9 +417,13 @@ object Similarity {
       m: Int = 8,
       codebookSize: Int = 16,
       trainIters: Int = 0,
-      exactTrain: Boolean = false): DataFrame = {
+      exactTrain: Boolean = false,
+      nCells: Int = 0,
+      nProbe: Int = 2): DataFrame = {
     require(m >= 1 && dim % m == 0, s"pqTopK: dim=$dim not divisible by m=$m")
     require(codebookSize >= 1, "pqTopK: codebookSize must be >= 1")
+    require(nCells >= 0 && (nCells == 0 || nProbe >= 1),
+      s"pqTopK: nCells=$nCells nProbe=$nProbe")
     requireDim(corpus, vecCol, dim, "pqTopK corpus")
     requireDim(queries, vecCol, dim, "pqTopK queries")
     val sub = dim / m
@@ -448,9 +461,31 @@ object Similarity {
       aggregate(zip_with(slice(vc, s * sub + 1, sub), array(cb.map(lit): _*),
         (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
+    // IVF routing (nCells > 0, the FAISS IVF-PQ composition): a one-shot
+    // coarse quantizer assigns every corpus row a cell from its FULL
+    // vector before coding; queries probe their nProbe nearest cells and
+    // the candidate join becomes the cell equi-join instead of the
+    // brute-force cross join — |corpus| × nProbe / nCells ADC work.
+    val ivfCentroids: Array[Array[Double]] =
+      if (nCells == 0) Array.empty
+      else {
+        val cs = corpusNN.select(col(idCol), v.as("__v0"))
+          .orderBy(col(idCol)).limit(nCells)
+          .collect().map(_.getSeq[Double](1).toArray)
+        require(cs.nonEmpty, "pqTopK: corpus has no non-null embeddings")
+        cs
+      }
+
     // corpus encoding: per subspace, bind the distance array then argmin
     // (ties → lowest code id); codes assembled into one array<int> column
     var c = corpusNN.select(col(idCol).as("neighbor_id"), v.as("__cv"))
+    if (nCells > 0) {
+      c = c.withColumn("__cn2", dot(col("__cv"), col("__cv")))
+        .withColumn("__ca", centroidCosArr(ivfCentroids)(col("__cv"), col("__cn2")))
+        .withColumn("__cell",
+          (array_position(col("__ca"), array_max(col("__ca"))) - 1).cast("int"))
+        .drop("__ca", "__cn2")
+    }
     for (s <- 0 until m) {
       val darr = array(codebooks(s).map(cb => subDist2(col("__cv"), s, cb)): _*)
       c = c.withColumn(s"__pqd$s", darr)
@@ -458,18 +493,31 @@ object Similarity {
           (array_position(col(s"__pqd$s"), array_min(col(s"__pqd$s"))) - 1).cast("int"))
         .drop(s"__pqd$s")
     }
-    val coded = c.select(col("neighbor_id"),
-      array((0 until m).map(s => col(s"__pqc$s")): _*).as("__codes"))
+    val codedCols = col("neighbor_id") +:
+      (if (nCells > 0) Seq(col("__cell")) else Nil) :+
+      array((0 until m).map(s => col(s"__pqc$s")): _*).as("__codes")
+    val coded = c.select(codedCols: _*)
 
     // query side: flattened ADC table [s * cbLen + c] bound once
     val dt = array((for (s <- 0 until m; cb <- codebooks(s))
       yield subDist2(col("__qv"), s, cb)): _*)
-    val q = broadcast(queriesNN.select(col(idCol).as("query_id"), v.as("__qv"))
+    val q0 = queriesNN.select(col(idCol).as("query_id"), v.as("__qv"))
       .withColumn("__dt", dt)
-      .drop("__qv"))
+    val q = broadcast(
+      if (nCells > 0)
+        q0.withColumn("__qn2", dot(col("__qv"), col("__qv")))
+          .withColumn("__qa", centroidCosArr(ivfCentroids)(col("__qv"), col("__qn2")))
+          .withColumn("__probe", explode(slice(transform(sort_array(
+            transform(col("__qa"), (cc, i) => struct((-cc).as("nc"), i.as("i")))),
+            st => st("i")), 1, nProbe)))
+          .drop("__qa", "__qn2", "__qv")
+      else q0.drop("__qv"))
 
     // ADC score: m table lookups folded in subspace order
-    val scored = coded.crossJoin(q)
+    val joined =
+      if (nCells > 0) coded.join(q, col("__probe") === col("__cell"))
+      else coded.crossJoin(q)
+    val scored = joined
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("dist2",
         aggregate(

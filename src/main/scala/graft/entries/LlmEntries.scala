@@ -152,6 +152,29 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
        |FROM s QUALIFY rnk <= 10""".stripMargin
   }
 
+  /** Expected answer for BOTH cross-corpus near-dup deployments (live
+    * recompute and persisted-signature table) — they must agree. */
+  private val crossNearDupOracleSql: String =
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |shard AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id + 900000, text || ' zz extra token'
+         |    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 6 = 1),
+         |shc AS (
+         |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
+         |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM corpus) t),
+         |shs AS (
+         |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
+         |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM shard) t),
+         |pairs AS (
+         |  SELECT b.doc_id AS shard_id, a.doc_id AS corpus_id,
+         |         len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
+         |  FROM shc a CROSS JOIN shs b)
+         |SELECT shard_id, corpus_id,
+         |       CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+         |FROM pairs
+         |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5""".stripMargin
+
   val entries: Seq[Entry] = Seq(
 
     // ---- text analysis ----------------------------------------------------
@@ -1548,26 +1571,31 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
           .withColumn("text", concat(col("text"), lit(" zz extra token"))))
       Dedup.crossNearDups(corpus, shard, "doc_id", "text",
         shingleSize = 3, numHashes = 128, bands = 64, threshold = 0.5)
-    }, Some(
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
-         |shard AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
-         |  UNION ALL SELECT doc_id + 900000, text || ' zz extra token'
-         |    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 6 = 1),
-         |shc AS (
-         |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
-         |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM corpus) t),
-         |shs AS (
-         |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
-         |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM shard) t),
-         |pairs AS (
-         |  SELECT b.doc_id AS shard_id, a.doc_id AS corpus_id,
-         |         len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
-         |  FROM shc a CROSS JOIN shs b)
-         |SELECT shard_id, corpus_id,
-         |       CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
-         |FROM pairs
-         |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5""".stripMargin)),
+    }, Some(crossNearDupOracleSql)),
+
+    // the steady-state deployment of the same op: corpus signatures are
+    // computed ONCE, persisted as their own Delta table, and the shard
+    // joins against the STORED sig/hset columns — corpus text never
+    // rereads. Shares llm_cross_neardup's oracle: the cache must be
+    // semantically invisible.
+    Entry("llm_neardup_persisted", (s, d) => {
+      val docs = docsDelta(s, d).select("doc_id", "text")
+      val corpus = docs.filter("doc_id % 3 != 0")
+      val shard = docs.filter("doc_id % 3 = 0")
+        .unionByName(corpus.filter("doc_id % 6 = 1")
+          .withColumn("doc_id", col("doc_id") + 900000)
+          .withColumn("text", concat(col("text"), lit(" zz extra token"))))
+      val sigDir = EntryCtx.shared2.getOrElseUpdate(s"$d#corpus_sigs", {
+        val dd = tempDir("sigs")
+        DeltaTable.write(s,
+          Dedup.signatures(corpus, "doc_id", "text",
+            shingleSize = 3, numHashes = 128), dd)
+        dd
+      })
+      Dedup.crossNearDupsAgainstSignatures(
+        DeltaTable.forPath(s, sigDir).toDF, shard, "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 64, threshold = 0.5)
+    }, Some(crossNearDupOracleSql)),
 
     // markup stripping over a deterministically-wrapped corpus: script/
     // style payload removal, tag drop, ordered entity decode (&amp; last

@@ -320,6 +320,67 @@ object Dedup {
       .select("shard_id", "corpus_id", "jaccard")
   }
 
+  /**
+   * Corpus MinHash signature/set table for PERSISTED incremental dedup —
+   * the steady-state deployment [[crossNearDups]] documents: compute this
+   * ONCE per corpus (or incrementally per ingest), write it as its own
+   * Delta table, and each new shard joins against the stored signatures
+   * without ever rereading corpus text. Columns: the id (named `idCol`),
+   * `sig` (array<long>, the numHashes min-hashes in order) and `hset`
+   * (array<long>, the distinct shingle hashes for exact verification).
+   */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128): DataFrame =
+    minhashAgg(shingles(df, idCol, textCol, shingleSize), numHashes)
+      .select(col("__id").as(idCol),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"),
+        col("__hs").as("hset"))
+
+  /**
+   * [[crossNearDups]] against a PERSISTED signature table (the output of
+   * [[signatures]], typically read back from Delta): only the shard side
+   * computes shingles; the corpus side is banding + join over the stored
+   * `sig`/`hset` columns. Must return exactly what [[crossNearDups]]
+   * returns for the same corpus — the persistence is a cache, not a
+   * semantic change.
+   */
+  def crossNearDupsAgainstSignatures(
+      corpusSigs: DataFrame,
+      shard: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 64,
+      threshold: Double = 0.5,
+      maxBucketWidth: Int = 100000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be a multiple of bands")
+    val r = numHashes / bands
+    // re-spread the stored signature vector into the positional columns
+    // bandedKeys expects — the band hashing is IDENTICAL to the live path
+    val cAgg = corpusSigs.select(
+      (col(idCol).as("__id") +: col("hset").as("__hs") +:
+        (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"__h$i"))): _*)
+    val sAgg = minhashAgg(shingles(shard, idCol, textCol, shingleSize), numHashes)
+    val cB = bandedKeys(cAgg.drop("__hs"), bands, r, maxBucketWidth)
+      .select(col("__id").as("corpus_id"), col("__band"), col("__bh"))
+    val sB = bandedKeys(sAgg.drop("__hs"), bands, r, maxBucketWidth)
+      .select(col("__id").as("shard_id"), col("__band").as("__band2"),
+        col("__bh").as("__bh2"))
+    val candidates = sB.join(cB,
+        col("__band") === col("__band2") && col("__bh") === col("__bh2"))
+      .select("shard_id", "corpus_id").distinct()
+    val withSets = candidates
+      .join(sAgg.select(col("__id").as("shard_id"), col("__hs").as("__hsa")), "shard_id")
+      .join(cAgg.select(col("__id").as("corpus_id"), col("__hs").as("__hsb")), "corpus_id")
+    val inter = size(array_intersect(col("__hsa"), col("__hsb"))).cast("double")
+    val union = (size(col("__hsa")) + size(col("__hsb"))).cast("double") - inter
+    withSets
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select("shard_id", "corpus_id", "jaccard")
+  }
+
   /** Exact Jaccard verification: join candidate (id_a, id_b) pairs to the
     * per-doc shingle-hash sets (`__id`, `__hs`) and keep pairs ≥ threshold. */
   private def verifyJaccard(candidates: DataFrame, sets: DataFrame,

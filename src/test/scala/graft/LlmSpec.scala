@@ -748,6 +748,27 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted-signature cross near-dup equals the live recompute path") {
+    import spark.implicits._
+    val base = docs.select("doc_id", "text")
+    val corpus = base.filter("doc_id % 3 != 0")
+    val shard = base.filter("doc_id % 3 = 0").unionByName(
+      corpus.filter("doc_id % 6 = 1")
+        .withColumn("doc_id", col("doc_id") + 900000)
+        .withColumn("text", concat(col("text"), lit(" zz extra token"))))
+    val live = Dedup.crossNearDups(corpus, shard, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigs_").toString + "/t"
+    graft.table.DeltaTable.write(spark,
+      Dedup.signatures(corpus, "doc_id", "text"), dir)
+    val persisted = Dedup.crossNearDupsAgainstSignatures(
+      graft.table.DeltaTable.forPath(spark, dir).toDF, shard, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(live == persisted,
+      s"cache changed semantics: only-live=${live -- persisted} only-persisted=${persisted -- live}")
+    assert(live.nonEmpty)
+  }
+
   test("crossNearDups: planted mutants found against corpus, equi-join plan") {
     import spark.implicits._
     val base = docs.select("doc_id", "text")

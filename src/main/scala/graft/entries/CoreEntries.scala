@@ -1132,6 +1132,38 @@ object CoreEntries {
         |FROM wk JOIN coh ON wk.user_id = coh.user_id
         |GROUP BY 1, 2""".stripMargin)),
 
+    // DAU/WAU engagement: daily actives joined to their week's actives,
+    // stickiness = one IEEE division of exact distinct counts (DATE-typed
+    // day/week per the date_trunc parity lesson)
+    Entry("events_dau_wau", (s, d) => {
+      eventsDeltaView(s, d)
+      s.sql(
+        """WITH dau AS (
+          |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+          |         CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+          |  FROM events_delta GROUP BY 1),
+          |wau AS (
+          |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+          |         CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+          |  FROM events_delta GROUP BY 1)
+          |SELECT dau.day, dau.dau, wau.wau,
+          |       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+          |FROM dau JOIN wau
+          |  ON CAST(date_trunc('week', CAST(dau.day AS TIMESTAMP)) AS DATE) = wau.week""".stripMargin)
+    }, Some(
+      """WITH dau AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM events GROUP BY 1),
+        |wau AS (
+        |  SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM events GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau
+        |  ON CAST(date_trunc('week', CAST(dau.day AS TIMESTAMP)) AS DATE) = wau.week""".stripMargin)),
+
     // z-score anomaly detection per event type: mean/σ from EXPLICIT exact
     // integer-cents sums (the tpcds_stddev_exact recipe — native stddev
     // aggregates round differently across engines), every z one chain of

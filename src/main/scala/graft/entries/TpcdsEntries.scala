@@ -458,6 +458,18 @@ object TpcdsEntries {
         |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |      FROM orders) t""".stripMargin),
 
+    // correlated scalar COUNT subqueries in the SELECT list (the classic
+    // per-row lookup shape Catalyst decorrelates into left joins)
+    sqlEntry("sql_correlated_count", Seq("customer", "orders"),
+      """SELECT c_custkey,
+        |       CAST((SELECT count(*) FROM orders
+        |             WHERE o_custkey = c_custkey) AS BIGINT) AS n_orders,
+        |       CAST((SELECT count(*) FROM orders
+        |             WHERE o_custkey = c_custkey
+        |               AND o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
+        |FROM customer
+        |WHERE c_custkey <= 300""".stripMargin),
+
     // inline VALUES derived table joined to a fact scan (shared dialect)
     sqlEntry("sql_values_join", Seq("orders"),
       """SELECT t.label, CAST(count(*) AS BIGINT) AS cnt

@@ -817,6 +817,39 @@ class LlmSpec extends AnyFunSuite {
     assert(got == want, "partition-pruned ANN must equal on-the-fly LSH ANN")
   }
 
+  test("fuzzyNearDups matches a driver-side brute-force replay on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // short random strings over a tiny alphabet: many shared prefixes and
+    // small distances, exercising block boundaries and the threshold
+    val docs = (1L to 80L).map { i =>
+      (i, (0 until 4 + rnd.nextInt(8)).map(_ => "abc" (rnd.nextInt(3))).mkString(" "))
+    }
+    def norm(t: String) =
+      t.toLowerCase.replaceAll("[^a-z0-9\\s]", "").replaceAll("\\s+", " ").trim
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val maxDist = 3; val prefixLen = 4
+    val want = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      na = norm(ta); nb = norm(tb)
+      if na.take(prefixLen) == nb.take(prefixLen)
+      if math.abs(na.length - nb.length) <= maxDist
+      dd = lev(na, nb) if dd <= maxDist
+    } yield (ia, ib, dd.toLong)).toSet
+    val got = Dedup.fuzzyNearDups(docs.toDF("doc_id", "text"), "doc_id", "text",
+        maxDist = maxDist, prefixLen = prefixLen)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"only-spark=${got -- want} only-ref=${want -- got}")
+    assert(want.nonEmpty, "test corpus produced no pairs — regenerate")
+  }
+
   test("randomProjection: deterministic, linear, dim-checked, scale fp-exact") {
     import spark.implicits._
     val a = Array.tabulate(64)(i => (i % 7).toFloat - 3f)

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench contract is ONE bare JSON line on stdout; sbt's default logged
+// output strategy prefixes every forked-process line with "[info] ", which
+// defeated a line-oriented JSON parse of the bench record four rounds
+// running. StdoutOutput passes the child's stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -59,22 +59,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- untimed setup: Delta copies of the bench tables ----
-    // documents/embeddings feed CPU-bound per-row map stages (shingling,
-    // dot products): write them as one file per core or the map stage runs
-    // `nFiles`-wide on a 32-thread host (the shared-table default of 4
-    // files measured the shingle family ~2x slower than the same code at
-    // full width — parallelism, not compute). Create BEFORE deltaView's
-    // defaulted copies: first caller of sharedDelta pins the layout.
+    // documents feeds CPU-bound per-row map stages (shingling): the shingle
+    // family gets a 16-file copy — one file per two cores — or the map
+    // stage runs `nFiles`-wide on a 32-thread host (the shared-table
+    // default of 4 files measured the shingle family ~2x slower than the
+    // same code at full width — parallelism, not compute). The layout is
+    // per-CONSUMER, not global: exact dedup is a tiny hash aggregation
+    // where 16 files cost per-task overhead ~2x the baseline, so it reads
+    // the default 4-file copy (sharedDelta keys on nFiles; both coexist).
     val liDir = EntryCtx.sharedDelta(spark, sfDir, "lineitem", nFiles = 8)
-    val docs = DeltaTable.forPath(spark,
+    val docsWide = DeltaTable.forPath(spark,
       EntryCtx.sharedDelta(spark, sfDir, "documents", nFiles = 16)).toDF
+    val docs = DeltaTable.forPath(spark,
+      EntryCtx.sharedDelta(spark, sfDir, "documents")).toDF
     // embeddings ops measured NO gain from wider layouts (the vector rows
     // are not shingle-level CPU-bound) and the extra files cost the
     // sub-second rows per-task overhead — default layout
     val emb = DeltaTable.forPath(spark,
       EntryCtx.sharedDelta(spark, sfDir, "embeddings")).toDF
-    Seq("orders", "customer", "lineitem", "documents").foreach(
+    Seq("orders", "customer", "documents").foreach(
       EntryCtx.deltaView(spark, sfDir, _))
+    EntryCtx.deltaView(spark, sfDir, "lineitem", nFiles = 8)
 
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -276,20 +281,21 @@ object Bench {
     DeltaTable.forPath(spark, cdfDir).delete(Some("o_totalprice < 20000"))
     bench("cdf_read")(DeltaTable.forPath(spark, cdfDir).loadCdf(0))
 
-    // LLM-pipeline operators
-    bench("llm_textstats")(TextOps.textStats(docs, "doc_id", "text"))
+    // LLM-pipeline operators (docsWide = 16-file layout for the
+    // map-CPU-bound shingle family; docs = default layout for the rest)
+    bench("llm_textstats")(TextOps.textStats(docsWide, "doc_id", "text"))
     bench("llm_exact_dedup")(
       Dedup.exactKeepMin(docs.select("doc_id", "text"), "doc_id", Seq("text")))
     bench("llm_minhash_neardup")(
-      Dedup.minhashNearDups(docs.select("doc_id", "text"), "doc_id", "text"))
+      Dedup.minhashNearDups(docsWide.select("doc_id", "text"), "doc_id", "text"))
     bench("llm_ann_topk")(
       Similarity.cosineTopK(emb, emb.filter("vec_id < 8"), "vec_id", "embedding", 10))
     bench("llm_ann_lsh")(
       Similarity.lshTopK(emb, emb.filter("vec_id < 8"), "vec_id", "embedding", 10))
     bench("llm_simhash")(
-      Dedup.simhash(docs.select("doc_id", "text"), "doc_id", "text"))
+      Dedup.simhash(docsWide.select("doc_id", "text"), "doc_id", "text"))
     bench("llm_ngram_jaccard")(
-      Dedup.ngramJaccardNearDups(docs.select("doc_id", "text"), "doc_id", "text"))
+      Dedup.ngramJaccardNearDups(docsWide.select("doc_id", "text"), "doc_id", "text"))
 
     // ---- output. The driver's bench record keeps only the LAST ~2000
     // characters of the run's output, so the stdout contract is: ONE

@@ -38,10 +38,15 @@ object EntryCtx {
   }
 
   /** Path of a shared read-only Delta copy of `table` (built on first use,
-    * split into `nFiles` data files so pruning/compaction have structure). */
+    * split into `nFiles` data files so pruning/compaction have structure).
+    * The layout is part of the cache key: a map-CPU-bound consumer (the
+    * shingle family benches at one file per core) and a tiny-aggregation
+    * consumer (exact dedup, where per-task overhead dominates) can each get
+    * the layout that suits them instead of the first caller pinning one
+    * global choice. */
   def sharedDelta(spark: SparkSession, sfDir: String, table: String,
                   partitionBy: Seq[String] = Nil, nFiles: Int = 4): String =
-    shared.getOrElseUpdate(s"$sfDir#$table#${partitionBy.mkString(",")}", {
+    shared.getOrElseUpdate(s"$sfDir#$table#${partitionBy.mkString(",")}#$nFiles", {
       val dir = tempDir(table)
       val df0 = pq(spark, sfDir, table)
       val df = if (nFiles > 1 && partitionBy.isEmpty) df0.repartition(nFiles) else df0
@@ -51,8 +56,9 @@ object EntryCtx {
 
   /** Register the shared Delta copy of `table` as a temp view named exactly
     * like the oracle-side table, so one SQL text serves both engines. */
-  def deltaView(spark: SparkSession, sfDir: String, table: String): Unit = {
-    val t = DeltaTable.forPath(spark, sharedDelta(spark, sfDir, table))
+  def deltaView(spark: SparkSession, sfDir: String, table: String,
+                nFiles: Int = 4): Unit = {
+    val t = DeltaTable.forPath(spark, sharedDelta(spark, sfDir, table, nFiles = nFiles))
     t.toDF.createOrReplaceTempView(table)
   }
 

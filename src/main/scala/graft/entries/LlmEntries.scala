@@ -1396,12 +1396,18 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       // self-join (the minhash band join) trips the ambiguous-self-join
       // analyzer even on a clean 3-column projection; the SQL ROLLUP over
       // a temp view resolves by name without the dataset-id tagging
-      val view = "graft_card_view" // fixed name: replaced per run, no catalog growth
+      // per-run unique name: two concurrent invocations on one session must
+      // not clobber each other's view between registration and the SQL read
+      val view = s"graft_card_view_${java.lang.Long.toHexString(System.nanoTime())}"
       sel.createOrReplaceTempView(view)
-      s.sql(
+      // spark.sql analyzes eagerly — the view is inlined into the returned
+      // plan, so dropping it immediately is safe and leaves no catalog debris
+      val out = s.sql(
         s"""SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
            |       CAST(sum(__nw) AS BIGINT) AS total_words
            |FROM $view GROUP BY ROLLUP (split, lang)""".stripMargin)
+      s.catalog.dropTempView(view)
+      out
     }, Some {
       def sel(cum: Double) =
         s"substr(md5(CAST(cluster AS VARCHAR) || ':split7'), 1, 8) < '${graft.llm.Curation.hexThreshold(cum)}'"
@@ -1548,15 +1554,123 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       }),
 
     // distributed BPE tokenizer training (Sennrich'16 as a Spark
-    // aggregation loop): 30 merges over the documents corpus. Iterative
-    // argmax-dependent rewriting is not expressible as one SQL statement,
-    // so this is a rows-only driver check; LlmSpec pins exact equality
-    // with a naive single-machine reference (incl. tie-breaks and early
-    // stop), which is the stronger oracle.
+    // aggregation loop). The full 30-merge loop's argmax-dependent
+    // rewriting is not one SQL statement (LlmSpec pins exact equality
+    // with a naive single-machine reference, incl. tie-breaks and early
+    // stop) — but ONE training iteration IS: the driver entry runs the
+    // real trainMerges machinery for a single merge and DuckDB replays
+    // the pair-count argmax (adjacent char pairs of the distinct-word
+    // table, count-desc then lexicographic tie-break) exactly.
     Entry("llm_bpe_merges", (s, d) =>
       graft.llm.Bpe.trainMerges(docsDelta(s, d).select("text"), "text",
-        numMerges = 30),
-      None),
+        numMerges = 1),
+      Some(
+        s"""WITH wc AS (
+           |  SELECT w, count(*) AS c FROM (
+           |    SELECT unnest(string_split(norm, ' ')) AS w
+           |    FROM (SELECT $normSql AS norm FROM documents) n
+           |    WHERE norm <> '') t
+           |  WHERE w <> '' GROUP BY w),
+           |pr AS (
+           |  SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, c
+           |  FROM (SELECT w, c, unnest(range(1, length(w))) AS i FROM wc) s)
+           |SELECT CAST(0 AS BIGINT) AS rank, l AS "left", r AS "right",
+           |       CAST(sum(c) AS BIGINT) AS pair_count
+           |FROM pr GROUP BY l, r
+           |ORDER BY pair_count DESC, l, r LIMIT 1""".stripMargin)),
+
+    // BPE encoding under a FIXED merge list whose character sets are
+    // pairwise disjoint (t+h, e+r, a+n, o+u): with single-char sides and
+    // l != r, Bpe.mergeFold's greedy left-to-right non-overlapping fusion
+    // per word equals non-overlapping substring counting on the
+    // space-joined normalized text (occurrences cannot span the space,
+    // cannot overlap, and disjoint alphabets mean merges cannot interact)
+    // — so DuckDB replays the token counts exactly with replace().
+    Entry("llm_bpe_encode", (s, d) =>
+      graft.llm.Bpe.tokenCounts(docsDelta(s, d).select("doc_id", "text"),
+        "doc_id", "text",
+        Seq(("t", "h"), ("e", "r"), ("a", "n"), ("o", "u"))),
+      Some {
+        val fused = Seq("th", "er", "an", "ou").map(p =>
+          s"(length(norm) - length(replace(norm, '$p', ''))) // 2")
+          .mkString(" - ")
+        s"""SELECT doc_id,
+           |       CAST(length(replace(norm, ' ', '')) - $fused AS BIGINT)
+           |         AS n_bpe_tokens
+           |FROM (SELECT doc_id, $normSql AS norm FROM documents) t""".stripMargin
+      }),
+
+    // DSIR importance weighting (Xie'23): every document scored by how
+    // target-like (lang='en') its hashed-unigram distribution is — the
+    // cheap pretraining-data selection signal; rational ratio form (no ln)
+    // + position-ordered fold make the double weights replay bit-for-bit
+    Entry("llm_dsir_weights", (s, d) =>
+      graft.llm.Curation.dsirWeights(
+        docsDelta(s, d).select("doc_id", "text", "lang"),
+        "doc_id", "text", col("lang") === "en", numBuckets = 256),
+      Some {
+        def dig(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+        s"""WITH ws AS (
+           |  SELECT doc_id, lang = 'en' AS t,
+           |         CASE WHEN length(nm) = 0 THEN [] ELSE string_split(nm, ' ') END AS ws
+           |  FROM (SELECT doc_id, lang, $normSql AS nm FROM documents) n),
+           |toks AS (
+           |  SELECT doc_id, t,
+           |         unnest([{'pos': i, 'w': ws[i + 1]} FOR i IN range(len(ws))],
+           |                recursive := true)
+           |  FROM ws),
+           |h AS (SELECT doc_id, t, pos,
+           |        ((((${dig(1)} * 16 + ${dig(2)}) * 16 + ${dig(3)}) * 16 + ${dig(4)}) % 256) AS f
+           |      FROM (SELECT doc_id, t, pos, md5(w) AS m FROM toks) x),
+           |cr AS (SELECT f, count(*) AS cr FROM h GROUP BY f),
+           |ct AS (SELECT f, count(*) AS ct FROM h WHERE t GROUP BY f),
+           |tot AS (SELECT count(*) AS nr, count(*) FILTER (WHERE t) AS nt FROM h),
+           |feats AS (SELECT cr.f,
+           |            (CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) * CAST(nr + 256 AS DOUBLE)) /
+           |            (CAST(nt + 256 AS DOUBLE) * CAST(cr.cr + 1 AS DOUBLE)) AS wf
+           |          FROM cr LEFT JOIN ct ON cr.f = ct.f, tot),
+           |sc AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |         list_sum(list_transform(list_sort(list({'pos': pos, 'wf': wf})),
+           |                                 x -> x.wf)) AS dsir_weight
+           |       FROM h JOIN feats ON h.f = feats.f GROUP BY h.doc_id)
+           |SELECT d.doc_id, d.lang = 'en' AS is_target,
+           |       coalesce(sc.n_tokens, 0) AS n_tokens,
+           |       coalesce(sc.dsir_weight, 0.0) AS dsir_weight
+           |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+      }),
+
+    // corpus diversity census: per-source distinct-trigram ratio (the
+    // Self-BLEU-style repetitiveness signal corpus QA dashboards track);
+    // exact integer counts + one IEEE division
+    Entry("llm_ngram_diversity", (s, d) => {
+      val ws = docsDelta(s, d).select(col("source"),
+        TextOps.words(TextOps.normalize(col("text"))).as("__ws"))
+      val grams = ws.select(col("source"), explode(
+        when(size(col("__ws")) < 3, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("__ws")) - 3), i =>
+            concat_ws(" ", element_at(col("__ws"), i + 1),
+              element_at(col("__ws"), i + 2),
+              element_at(col("__ws"), i + 3))))).as("__g"))
+      grams.groupBy("source").agg(
+        count(lit(1)).as("total_ngrams"),
+        countDistinct(col("__g")).as("distinct_ngrams"))
+        .withColumn("diversity",
+          col("distinct_ngrams").cast("double") / col("total_ngrams").cast("double"))
+    }, Some {
+      s"""WITH ws AS (
+         |  SELECT source, CASE WHEN length(nm) = 0 THEN []
+         |                      ELSE string_split(nm, ' ') END AS ws
+         |  FROM (SELECT source, $normSql AS nm FROM documents) n),
+         |g AS (SELECT source,
+         |        unnest(CASE WHEN len(ws) < 3 THEN []
+         |               ELSE [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]
+         |               END) AS g
+         |      FROM ws)
+         |SELECT source, CAST(count(*) AS BIGINT) AS total_ngrams,
+         |       CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+         |       CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS diversity
+         |FROM g GROUP BY source""".stripMargin
+    }),
 
     // cross-corpus near-dup decontamination: incoming shard vs accumulated
     // corpus via MinHash bands + exact Jaccard verify (candidates complete

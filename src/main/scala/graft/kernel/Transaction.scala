@@ -42,6 +42,17 @@ class OptimisticTransaction(
   def readFile(paths: Iterable[String]): Unit = readFiles ++= paths
   def readWholeTable(): Unit = didReadWholeTable = true
 
+  // Versions committed by THIS logical operation against the same pinned
+  // snapshot (e.g. the earlier chunks of one incremental OPTIMIZE): their
+  // actions are known-disjoint with this transaction's read set by
+  // construction, so conflict replay skips them — and the attempt cursor
+  // can start above them instead of colliding at snapshot.version+1 and
+  // re-reading every own chunk (O(chunks^2) commit reads over a long
+  // compaction). Foreign commits interleaved below the cursor start are
+  // still conflict-checked, once, before the first attempt.
+  private var ownSafeVersions: Set[Long] = Set.empty
+  def assumeOwnCommits(versions: Set[Long]): Unit = ownSafeVersions ++= versions
+
   /** Per-commit provenance (reference CommitProperties custom metadata):
     * `commitUserMetadata` lands in commitInfo.userMetadata, `commitAppMetadata`
     * entries become flattened commitInfo keys. When unset, userMetadata
@@ -93,6 +104,17 @@ class OptimisticTransaction(
     val fullActions: Seq[Action] = commitInfo +: actions
 
     var attempt = readVersion + 1
+    if (ownSafeVersions.nonEmpty) {
+      // pre-check the span below the highest own commit exactly once:
+      // foreign winners there get the normal conflict replay; own chunk
+      // commits are skipped without a read. The cursor then starts above
+      // the span — no guaranteed collision, no ghost-path walk per chunk.
+      val known = ownSafeVersions.max
+      (attempt to known).filterNot(ownSafeVersions.contains).foreach { v =>
+        checkConflicts(log.readCommit(v), actions, v)
+      }
+      attempt = known + 1
+    }
     var retries = 0
     while (true) {
       val path = new Path(log.logPath, LogStore.commitFileName(attempt))

@@ -304,4 +304,65 @@ object Curation {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h")
   }
+
+  /**
+   * DSIR-shape importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): score every document by
+   * how target-like its hashed-unigram distribution is — the standard
+   * cheap pretraining-data selection signal (a raw web corpus reweighted
+   * toward a high-quality target domain, then resampled by weight, e.g.
+   * via [[mixtureSample]]/[[sampleCond]] on a weight threshold).
+   *
+   * Features are md5-hashed unigram buckets (the [[TextOps.hashedFeatures]]
+   * bucket function). Bucket counts over the target slice (`targetPred`)
+   * and the whole corpus are Laplace-smoothed into probabilities, and each
+   * token contributes ONE importance ratio
+   * `((cT_f + 1) * (NR + D)) / ((NT + D) * (cR_f + 1))` — the rational
+   * form of DSIR's log-likelihood-ratio feature. The ln is monotone per
+   * term and would cost cross-engine libm parity; the ratio form is IEEE
+   * ops over exact integers and the per-document sum folds in token
+   * POSITION order, so external engines replay the doubles bit-for-bit
+   * (the bm25/bigramLm precedent).
+   *
+   * Scale shape: one token explode, two D-row feature aggregations joined
+   * back (broadcast-sized), one per-document ordered fold. No vocabulary
+   * collect; driver state is the two scalar totals.
+   */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, numBuckets: Int = 256): DataFrame = {
+    require(numBuckets >= 2, s"dsirWeights: numBuckets=$numBuckets")
+    import org.apache.spark.storage.StorageLevel
+    val toks = df
+      .select(col(idCol), targetPred.as("__t"),
+        posexplode(TextOps.words(TextOps.normalize(col(textCol)))).as(Seq("__pos", "__w")))
+      .select(col(idCol), col("__t"), col("__pos"),
+        (conv(substring(md5(col("__w")), 1, 4), 16, 10).cast("long")
+          % numBuckets).as("__f"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tot = toks.agg(count(lit(1)).as("nr"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("nt")).collect()(0)
+      val (nr, nt) = (tot.getLong(0), tot.getLong(1))
+      val cR = toks.groupBy("__f").agg(count(lit(1)).as("__cR"))
+      val cT = toks.filter(col("__t")).groupBy("__f")
+        .agg(count(lit(1)).as("__cT"))
+      val feats = cR.join(cT, Seq("__f"), "left").select(col("__f"),
+        ((coalesce(col("__cT"), lit(0L)) + 1L).cast("double") *
+          lit(nr + numBuckets).cast("double") /
+          (lit(nt + numBuckets).cast("double") *
+            (col("__cR") + 1L).cast("double"))).as("__wf"))
+      val scored = toks.join(feats, Seq("__f"))
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_tokens"),
+          aggregate(array_sort(collect_list(struct(col("__pos"), col("__wf")))),
+            lit(0.0), (acc, x) => acc + x("__wf")).as("dsir_weight"))
+      val out = df.select(col(idCol), targetPred.as("is_target"))
+        .join(scored, Seq(idCol), "left")
+        .select(col(idCol), col("is_target"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("dsir_weight"), lit(0.0)).as("dsir_weight"))
+      out.cache().count() // materialize before unpersisting the token table
+      out
+    } finally toks.unpersist()
+  }
 }

@@ -44,6 +44,11 @@ object VacuumOp {
     }
   }
 
+  /** Returns the deletable rel paths. On the distributed branch the full
+    * set never materializes on the driver: when it exceeds
+    * `spark.graft.vacuum.collectThreshold` (default 100k) the returned Seq
+    * is a capped sample and the exact count lives in the VACUUM START/END
+    * commit metrics (`numFilesToDelete`/`numDeletedFiles`). */
   def run(table: DeltaTable, retentionHours: Double, dryRun: Boolean,
           enforceRetention: Boolean, mode: String = "full",
           keepVersions: Seq[Long] = Nil): Seq[String] = {
@@ -87,7 +92,15 @@ object VacuumOp {
         .flatMap(f => relPaths(f.path, f.deletionVector))
     }
 
-    val candidates: Seq[String] =
+    // Distributed branch: the candidate set stays a DataFrame end-to-end.
+    // At 100x scale (tens of millions of expired files) the driver never
+    // holds the full path array — the commit metrics come from count(),
+    // deletes fan out via foreachPartition directly off the dataset, and
+    // the returned Seq is the complete list only while the count is under
+    // spark.graft.vacuum.collectThreshold (above it: a capped sample;
+    // exact totals are in the VACUUM START/END commit metrics).
+    var candDfPersisted: Option[org.apache.spark.sql.Dataset[String]] = None
+    val (candidates: Seq[String], candCount: Long) =
       if (!distributed) {
         // live = current adds + their deletion-vector blobs; keep anything
         // tracked by a recent tombstone or newer than the cutoff.
@@ -111,12 +124,13 @@ object VacuumOp {
         val keepRels: Set[String] = keepRelsSeq().toSet
         val listed = mutable.ArrayBuffer[(String, Long)]()
         walkFs(fs, table.tablePath, "", listed)
-        listed.collect {
+        val c = listed.collect {
           case (rel, mtime) if mtime < cutoff &&
             !live.contains(rel) && !recentTombstones.contains(rel) &&
             expiredTombs.forall(_.contains(rel)) &&
             !keepRels.contains(rel) => rel
         }.toSeq
+        (c, c.size.toLong)
       } else {
         // listing fans out one task per top-level vacuumable dir; live,
         // tombstone, and keep-version sets stay DataFrames (from the
@@ -158,7 +172,17 @@ object VacuumOp {
             val p = new Path(d)
             val efs = p.getFileSystem(bcConf.value.value)
             val buf = mutable.ArrayBuffer[(String, Long)]()
-            val rel = new Path(tableStr).toUri.relativize(p.toUri).getPath
+            // seed dirs come from listStatus FULLY QUALIFIED (scheme +
+            // authority); the raw table string may not be. Relativize
+            // qualified-against-qualified — a scheme mismatch makes
+            // URI.relativize return the input unchanged, i.e. an ABSOLUTE
+            // "rel" that the live/tombstone anti-joins can never match,
+            // which would strip live partition-dir files of protection.
+            val rel = efs.makeQualified(new Path(tableStr)).toUri
+              .relativize(p.toUri).getPath
+            require(!rel.startsWith("/"),
+              s"VACUUM: could not relativize listing dir $d against table " +
+                s"$tableStr — refusing to build an unmatchable candidate set")
             walkFs(efs, p, rel, buf)
             buf
           }
@@ -175,7 +199,17 @@ object VacuumOp {
             .reduce(_ unionByName _)
           candDf = candDf.join(keepDf, Seq("rel"), "left_anti")
         }
-        candDf.select("rel").as[String].collect().toSeq
+        val ds = candDf.select("rel").as[String]
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        candDfPersisted = Some(ds)
+        val n = ds.count()
+        val collectThreshold =
+          spark.conf.getOption("spark.graft.vacuum.collectThreshold")
+            .map(_.toLong).getOrElse(100000L)
+        val rels =
+          if (n <= collectThreshold) ds.collect().toSeq
+          else ds.take(collectThreshold.toInt).toSeq // sample, never the full set
+        (rels, n)
       }
 
     if (!dryRun) {
@@ -186,25 +220,32 @@ object VacuumOp {
         "mode" -> mode) ++
         (if (keepVersions.nonEmpty)
           Map("keepVersions" -> keepVersions.sorted.mkString(",")) else Map.empty),
-        Map("numFilesToDelete" -> candidates.size.toString)))
-      if (distributed && candidates.size > 1000) {
-        // deletes are one FS round-trip each — fan out
-        val bcConf = spark.sparkContext.broadcast(
-          new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
-        val tableStr = table.tablePath.toString
-        spark.sparkContext
-          .parallelize(candidates, math.max(1, candidates.size / 5000))
-          .foreachPartition { it =>
+        Map("numFilesToDelete" -> candCount.toString)))
+      candDfPersisted match {
+        case Some(ds) if candCount > 1000 =>
+          // deletes are one FS round-trip each — fan out directly off the
+          // persisted candidate dataset (the driver never sees the paths)
+          val bcConf = spark.sparkContext.broadcast(
+            new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+          val tableStr = table.tablePath.toString
+          ds.foreachPartition { it: Iterator[String] =>
             val tp = new Path(tableStr)
             val efs = tp.getFileSystem(bcConf.value.value)
             it.foreach(rel => efs.delete(new Path(tp, rel), false))
           }
-      } else candidates.foreach(rel => fs.delete(new Path(table.tablePath, rel), false))
+        case Some(ds) =>
+          ds.collect().foreach(rel =>
+            fs.delete(new Path(table.tablePath, rel), false))
+        case None =>
+          candidates.foreach(rel =>
+            fs.delete(new Path(table.tablePath, rel), false))
+      }
       val txnEnd = table.startTransaction()
       txnEnd.commit(Nil, Operation("VACUUM END", Map("status" -> "COMPLETED"),
-        Map("numDeletedFiles" -> candidates.size.toString)))
+        Map("numDeletedFiles" -> candCount.toString)))
       table.refresh()
     }
+    candDfPersisted.foreach(_.unpersist())
     candidates
   }
 }

@@ -152,6 +152,7 @@ object OptimizeOp {
         val ecs = new java.util.concurrent.ExecutorCompletionService[
           (Seq[AddFile], Seq[AddFile])](pool)
         var totalRemoved, totalAdded, nCommits = 0
+        val ownCommitted = scala.collection.mutable.Set[Long]()
         val partsDone = scala.collection.mutable.Set[Map[String, String]]()
         try {
           val futures = bins.map(bin =>
@@ -171,15 +172,21 @@ object OptimizeOp {
             // replay every commit landed since then against this chunk's
             // read set — a transaction started from the post-refresh
             // snapshot would skip an external DELETE of a bin file and
-            // silently resurrect its rows. Our own earlier chunks replay
-            // clean (disjoint bins, no read predicates).
+            // silently resurrect its rows. Our own earlier chunks are
+            // known-disjoint (each bin commits once), so they're declared
+            // via assumeOwnCommits: the commit loop skips re-reading them
+            // and starts its attempt cursor above them — without that, chunk
+            // k replayed all k-1 earlier own commits (O(chunks^2) commit
+            // reads over a long compaction) and walked the ghost-commit
+            // path on a guaranteed version collision every chunk.
             OptimizeOp.onBeforeChunkCommit()
             val chunkTxn = new OptimisticTransaction(table.deltaLog, Some(snapshot))
+            chunkTxn.assumeOwnCommits(ownCommitted.toSet)
             chunkTxn.readFile(pending.toSeq.flatMap(_._1).map(_.path))
             // per-commit metrics describe THIS commit only (the durable
             // history must not repeat global totals per chunk): considered =
             // the chunk's own files, nothing skipped within a chunk
-            table.commitAndRefresh(chunkTxn, removes ++ adds,
+            ownCommitted += table.commitAndRefresh(chunkTxn, removes ++ adds,
               Operation("OPTIMIZE", opParams, Map(
                 "num_files_added" -> adds.size.toString,
                 "num_files_removed" -> removes.size.toString,

@@ -46,7 +46,11 @@ class GraftDeltaSink(
         "graft-delta sink: no streaming query id on this thread and no " +
         "'txnAppId' option — a path-derived fallback id would be SHARED by " +
         "every writer to this table, so one pipeline's batch ids would " +
-        "suppress another's as replays; pass .option(\"txnAppId\", ...)"))
+        "suppress another's as replays; pass .option(\"txnAppId\", ...). " +
+        "MIGRATION: checkpoints created before this fail-fast recorded " +
+        "their SetTransaction lineage under the old path-derived id " +
+        "('graft-delta-sink:' + table path) — pass THAT string as txnAppId " +
+        "to preserve replay suppression for an existing checkpoint"))
     val batch = GraftSqlBridge.pinnedBatchDataFrame(data)
 
     // one log handle / one listing per micro-batch: forPath + create-on-miss

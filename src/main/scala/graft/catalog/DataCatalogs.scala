@@ -1,0 +1,182 @@
+package graft.catalog
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.kernel.SigV4Signer
+
+/**
+ * Name→location data catalogs — the reference's `DataCatalog` trait
+ * (`/root/reference/crates/core/src/data_catalog/mod.rs:50`,
+ * `get_table_storage_location`) re-expressed over the JDK HTTP client so
+ * the network clients are deployable without SDK jars, exactly like the
+ * [[graft.kernel.S3CompatibleStore]] storage boundary:
+ *
+ *  - [[UnityCatalogClient]] speaks the published Unity Catalog REST API
+ *    (`GET /api/2.1/unity-catalog/tables/{cat}.{schema}.{tbl}` with a
+ *    bearer token — `crates/catalog-unity/src/lib.rs:692,1064`);
+ *  - [[GlueCatalogClient]] speaks AWS Glue's JSON-1.1 protocol
+ *    (`X-Amz-Target: AWSGlue.GetTable`, SigV4 service "glue" — the same
+ *    resolution `crates/catalog-glue/src/lib.rs:66-110` performs through
+ *    the Rust SDK), including its quirks: `s3a://` → `s3://` rewrite and
+ *    the Spark `-__PLACEHOLDER__` location suffix strip.
+ *
+ * Both return a table URI for [[graft.table.DeltaTable.forPath]]; pair
+ * with an [[graft.kernel.S3CompatibleStore]] registration for the commit
+ * plane when the location is an object store.
+ */
+trait DataCatalog {
+  /** Storage location (a `DeltaTable.forPath`-able URI) of `database.table`. */
+  def resolveTableUri(database: String, table: String): String
+}
+
+class DataCatalogException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
+private[catalog] object CatalogHttp {
+  val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+  def send(req: HttpRequest): HttpResponse[String] =
+    try client.send(req, HttpResponse.BodyHandlers.ofString())
+    catch {
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        throw new DataCatalogException("interrupted during catalog call", e)
+      case e: java.io.IOException =>
+        throw new DataCatalogException(s"catalog request failed: ${e.getMessage}", e)
+    }
+
+  def strField(json: JValue, name: String, ctx: String): String =
+    json \ name match {
+      case JString(s) if s.nonEmpty => s
+      case _ => throw new DataCatalogException(s"$ctx: missing '$name' in response")
+    }
+}
+
+/**
+ * Unity Catalog REST client. `catalogName` is the UC catalog the
+ * `database` (schema) names resolve under; `token` is a bearer token
+ * (PAT / OAuth — empty string = unauthenticated local server).
+ */
+class UnityCatalogClient(
+    workspaceUrl: String,
+    catalogName: String,
+    token: String,
+    requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(30))
+    extends DataCatalog {
+
+  private val base = s"${workspaceUrl.stripSuffix("/")}/api/2.1/unity-catalog"
+
+  private def get(pathAndQuery: String): JValue = {
+    val b = HttpRequest.newBuilder(URI.create(s"$base/$pathAndQuery"))
+      .timeout(requestTimeout).GET()
+    if (token.nonEmpty) b.header("Authorization", s"Bearer $token")
+    val resp = CatalogHttp.send(b.build())
+    resp.statusCode() match {
+      case 200 => JsonMethods.parse(resp.body())
+      case 404 => throw new DataCatalogException(
+        s"Unity Catalog: not found: $pathAndQuery")
+      case 401 | 403 => throw new DataCatalogException(
+        s"Unity Catalog: authentication failed (HTTP ${resp.statusCode()})")
+      case other => throw new DataCatalogException(
+        s"Unity Catalog: HTTP $other for $pathAndQuery: ${resp.body().take(200)}")
+    }
+  }
+
+  override def resolveTableUri(database: String, table: String): String = {
+    val full = s"$catalogName.$database.$table"
+    val json = get(s"tables/$full")
+    val fmt = json \ "data_source_format" match {
+      case JString(s) => s
+      case _ => "DELTA" // servers may omit for external tables
+    }
+    if (!fmt.equalsIgnoreCase("DELTA"))
+      throw new DataCatalogException(
+        s"Unity Catalog: table $full has data_source_format=$fmt, not DELTA")
+    CatalogHttp.strField(json, "storage_location", s"table $full")
+  }
+
+  /** Table names under `database`, following `next_page_token` pagination. */
+  def listTables(database: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var token0: Option[String] = None
+    var more = true
+    while (more) {
+      val page = token0.fold("")(t => s"&page_token=${java.net.URLEncoder.encode(t, "UTF-8")}")
+      val json = get(s"tables?catalog_name=$catalogName&schema_name=$database$page")
+      json \ "tables" match {
+        case JArray(ts) => ts.foreach(t => out += CatalogHttp.strField(t, "name", "tables list"))
+        case _ =>
+      }
+      json \ "next_page_token" match {
+        case JString(t) if t.nonEmpty => token0 = Some(t)
+        case _ => more = false
+      }
+    }
+    out.result()
+  }
+}
+
+/**
+ * AWS Glue Data Catalog client over the public JSON-1.1 wire protocol
+ * (`POST / ` + `X-Amz-Target: AWSGlue.GetTable`), signed with
+ * [[SigV4Signer]] (service "glue"). Credentials/region come from the
+ * standard AWS env vars; `endpoint` defaults to the regional Glue
+ * endpoint and is overridable for gateways/mocks.
+ */
+class GlueCatalogClient(
+    env: Map[String, String] = sys.env,
+    endpointOverride: Option[String] = None,
+    catalogId: Option[String] = None,
+    requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(30))
+    extends DataCatalog {
+
+  private val region = env.getOrElse("AWS_REGION", "us-east-1")
+  private val endpoint =
+    endpointOverride.getOrElse(s"https://glue.$region.amazonaws.com")
+  private val signer = new SigV4Signer(
+    accessKey = env.getOrElse("AWS_ACCESS_KEY_ID", throw
+      new DataCatalogException("Glue catalog: AWS_ACCESS_KEY_ID not set")),
+    secretKey = env.getOrElse("AWS_SECRET_ACCESS_KEY", throw
+      new DataCatalogException("Glue catalog: AWS_SECRET_ACCESS_KEY not set")),
+    region = region, service = "glue",
+    sessionToken = env.get("AWS_SESSION_TOKEN"))
+
+  // reference lib.rs:59 — Spark writes Glue locations with this suffix
+  private val PlaceholderSuffix = "-__PLACEHOLDER__"
+
+  private def call(target: String, body: String): JValue = {
+    val uri = URI.create(endpoint + "/")
+    val payload = body.getBytes("UTF-8")
+    val extra = Map(
+      "Content-Type" -> "application/x-amz-json-1.1",
+      "X-Amz-Target" -> target)
+    val b = HttpRequest.newBuilder(uri).timeout(requestTimeout)
+      .POST(HttpRequest.BodyPublishers.ofByteArray(payload))
+    extra.foreach { case (k, v) => b.header(k, v) }
+    signer.sign("POST", uri, payload, extra)
+      .foreach { case (k, v) => b.header(k, v) }
+    val resp = CatalogHttp.send(b.build())
+    if (resp.statusCode() != 200)
+      throw new DataCatalogException(
+        s"Glue $target: HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+    JsonMethods.parse(resp.body())
+  }
+
+  override def resolveTableUri(database: String, table: String): String = {
+    val idPart = catalogId.fold("")(id => s""""CatalogId":"$id",""")
+    val json = call("AWSGlue.GetTable",
+      s"""{$idPart"DatabaseName":"$database","Name":"$table"}""")
+    val loc = CatalogHttp.strField(
+      json \ "Table" \ "StorageDescriptor", "Location",
+      s"Glue table $database.$table")
+    // reference lib.rs:101-110: s3a → s3, strip the Spark placeholder
+    val s3 = loc.replace("s3a://", "s3://")
+    if (s3.endsWith(PlaceholderSuffix)) s3.dropRight(PlaceholderSuffix.length)
+    else s3
+  }
+}

@@ -35,7 +35,8 @@ import java.time.Instant
  */
 class HttpPutClient(
     endpoint: String,
-    requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(30)) extends ConditionalPutClient {
+    requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(30),
+    signer: Option[SigV4Signer] = None) extends ConditionalPutClient {
 
   private val base = endpoint.stripSuffix("/")
   private val http = HttpClient.newBuilder()
@@ -55,6 +56,18 @@ class HttpPutClient(
   private def request(u: URI): HttpRequest.Builder =
     HttpRequest.newBuilder(u).timeout(requestTimeout)
 
+  /** Apply SigV4 headers when a signer is configured (real S3-compatible
+    * endpoints; the unsigned form serves anonymous/mock stores). The JDK
+    * HttpClient sets Host itself from the URI — identical to the signed
+    * value. `extra` headers are both SENT and SIGNED. */
+  private def withAuth(b: HttpRequest.Builder, method: String, u: URI,
+      payload: Array[Byte], extra: Map[String, String]): HttpRequest.Builder = {
+    extra.foreach { case (k, v) => b.header(k, v) }
+    signer.foreach(_.sign(method, u, payload, extra)
+      .foreach { case (k, v) => b.header(k, v) })
+    b
+  }
+
   private def send[T](req: HttpRequest, handler: HttpResponse.BodyHandler[T]): HttpResponse[T] =
     try http.send(req, handler)
     catch {
@@ -64,8 +77,9 @@ class HttpPutClient(
     }
 
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
-    val req = request(uri(key))
-      .header("If-None-Match", "*")
+    val u = uri(key)
+    val req = withAuth(request(u), "PUT", u, bytes,
+      Map("If-None-Match" -> "*"))
       .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes))
       .build()
     val resp = send(req, HttpResponse.BodyHandlers.ofByteArray())
@@ -87,7 +101,8 @@ class HttpPutClient(
   }
 
   override def get(key: String): Option[Array[Byte]] = {
-    val req = request(uri(key)).GET().build()
+    val u = uri(key)
+    val req = withAuth(request(u), "GET", u, Array.empty, Map.empty).GET().build()
     val resp = send(req, HttpResponse.BodyHandlers.ofByteArray())
     resp.statusCode() match {
       case 200 => Some(resp.body())
@@ -97,14 +112,20 @@ class HttpPutClient(
   }
 
   override def listPrefix(prefix: String): Seq[ObjectMeta] = {
-    val q = java.net.URLEncoder.encode(objectKey(prefix), "UTF-8")
+    // unreserved-set percent form (%20, never '+'): the canonical query a
+    // SigV4 server reconstructs from the wire uses %XX encoding, so the
+    // emitted form must match what the signer signed
+    def qEnc(s: String): String =
+      java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+    val q = qEnc(objectKey(prefix))
     val out = Seq.newBuilder[ObjectMeta]
     var token: Option[String] = None
     var more = true
     while (more) {
-      val cont = token.fold("")(t =>
-        "&continuation-token=" + java.net.URLEncoder.encode(t, "UTF-8"))
-      val req = request(URI.create(s"$base/?list-type=2&prefix=$q$cont")).GET().build()
+      val cont = token.fold("")(t => "&continuation-token=" + qEnc(t))
+      val listUri = URI.create(s"$base/?list-type=2&prefix=$q$cont")
+      val req = withAuth(request(listUri), "GET", listUri, Array.empty,
+        Map.empty).GET().build()
       val resp = send(req, HttpResponse.BodyHandlers.ofByteArray())
       if (resp.statusCode() != 200)
         throw new java.io.IOException(s"list of $prefix failed: HTTP ${resp.statusCode()}")
@@ -160,7 +181,9 @@ class HttpPutClient(
   }
 
   override def delete(key: String): Boolean = {
-    val req = request(uri(key)).DELETE().build()
+    val u = uri(key)
+    val req = withAuth(request(u), "DELETE", u, Array.empty, Map.empty)
+      .DELETE().build()
     send(req, HttpResponse.BodyHandlers.discarding()).statusCode() match {
       case 200 | 204 => true
       case 404 => false

@@ -278,6 +278,14 @@ object DeltaTable {
     t
   }
 
+  /** Open `database.table` through a name→location catalog (Unity / Glue —
+    * `graft.catalog.DataCatalogs`); the reference's catalog-resolution
+    * entry point (`crates/core/src/lib.rs` open_table_with_* via
+    * `data_catalog/mod.rs:50`). */
+  def forName(spark: SparkSession, catalog: graft.catalog.DataCatalog,
+              database: String, table: String): DeltaTable =
+    forPath(spark, catalog.resolveTableUri(database, table))
+
   def isDeltaTable(spark: SparkSession, path: String): Boolean =
     new DeltaLog(spark, new Path(path)).tableExists
 

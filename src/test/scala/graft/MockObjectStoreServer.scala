@@ -19,7 +19,8 @@ import graft.kernel.InMemoryPutClient
  * Used by ObjectStorePutSpec to prove the ConditionalPutClient boundary is
  * sufficient for a real HTTP backend.
  */
-class MockObjectStoreServer(pageSize: Int = 1000) {
+class MockObjectStoreServer(pageSize: Int = 1000,
+    requireSigV4: Option[(String, String)] = None) {
 
   private val store = new InMemoryPutClient
 
@@ -62,16 +63,39 @@ class MockObjectStoreServer(pageSize: Int = 1000) {
   private def handle(ex: HttpExchange): Unit = try {
     val rawPath = ex.getRequestURI.getRawPath
     val params = queryParams(ex)
+    val body =
+      if (ex.getRequestMethod == "PUT") ex.getRequestBody.readAllBytes()
+      else Array.empty[Byte]
+    // no `return` in here: a non-local return would unwind as a
+    // ControlThrowable through handle's catch-all and double-respond
+    val rejected = requireSigV4.exists { case (a, sec) =>
+      SigV4Verify.check(ex, body, a, sec) match {
+        case Some(reason) =>
+          System.err.println(s"[mock-object-store] SigV4 reject: $reason")
+          respond(ex, 403, reason.getBytes("UTF-8"))
+          true
+        case None => false
+      }
+    }
+    if (rejected) return
     (ex.getRequestMethod, rawPath) match {
-      case ("GET", "/") if params.get("list-type").contains("2") =>
+      // bucket-root form `/bucket?list-type=2` is S3 path-style addressing
+      // (what S3CompatibleStore's per-bucket clients emit); the bare-root
+      // form serves the original endpoint-is-the-bucket clients. Returned
+      // <Key>s are bucket-relative, as real S3 returns them.
+      case ("GET", p) if params.get("list-type").contains("2") =>
+        val bucketSeg = decodeKey(p).stripSuffix("/")
         val prefix = params.getOrElse("prefix", "")
+        val full = if (bucketSeg.isEmpty) prefix else s"$bucketSeg/$prefix"
         // InMemoryPutClient returns keys sorted; page after the token
-        val all = store.listPrefix(prefix)
+        val all = store.listPrefix(full)
         val after = params.get("continuation-token")
           .map(t => all.dropWhile(_.key <= t)).getOrElse(all)
         val (page, rest) = after.splitAt(pageSize)
+        def rel(k: String): String =
+          if (bucketSeg.isEmpty) k else k.stripPrefix(s"$bucketSeg/")
         val items = page.map { m =>
-          s"<Contents><Key>${xmlEscape(m.key)}</Key><Size>${m.size}</Size>" +
+          s"<Contents><Key>${xmlEscape(rel(m.key))}</Key><Size>${m.size}</Size>" +
             s"<LastModified>${Instant.ofEpochMilli(m.mtimeMs)}</LastModified></Contents>"
         }
         val trunc =
@@ -82,7 +106,6 @@ class MockObjectStoreServer(pageSize: Int = 1000) {
         respond(ex, 200, xml.getBytes("UTF-8"))
       case ("PUT", p) =>
         val key = decodeKey(p)
-        val body = ex.getRequestBody.readAllBytes()
         val conditional = Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains("*")
         if (conditional) respond(ex, if (store.putIfAbsent(key, body)) 200 else 412)
         else { store.delete(key); store.putIfAbsent(key, body); respond(ex, 200) }
@@ -99,5 +122,57 @@ class MockObjectStoreServer(pageSize: Int = 1000) {
     case e: Throwable =>
       System.err.println(s"[mock-object-store] handler error: $e")
       respond(ex, 500)
+  }
+}
+
+/** Shared by every mock AWS-protocol server in the suite. */
+object SigV4Verify {
+  /** Independent server-side SigV4 verification (what MinIO does):
+    * reconstruct the canonical request from the WIRE — method, raw path,
+    * sorted raw query pairs, the signed headers as received, the body hash
+    * — and recompute the signature with straight-line HMAC code (no reuse
+    * of the client's signer, so a shared canonicalization bug cannot
+    * self-validate). Returns None when valid, Some(reason) otherwise. */
+  def check(ex: HttpExchange, body: Array[Byte],
+      access: String, secret: String): Option[String] = {
+    def sha256Hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b)
+        .map("%02x".format(_)).mkString
+    def hmac(k: Array[Byte], d: String): Array[Byte] = {
+      val m = javax.crypto.Mac.getInstance("HmacSHA256")
+      m.init(new javax.crypto.spec.SecretKeySpec(k, "HmacSHA256"))
+      m.doFinal(d.getBytes("UTF-8"))
+    }
+    val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .getOrElse(return Some("missing Authorization"))
+    val re = """AWS4-HMAC-SHA256 Credential=([^/]+)/(\d{8})/([^/]+)/([^/]+)/aws4_request, SignedHeaders=([^,]+), Signature=([0-9a-f]+)""".r
+    val (acc, date, region, service, signedHeaders, sig) = auth match {
+      case re(a, d, r, sv, sh, sg) => (a, d, r, sv, sh, sg)
+      case _ => return Some(s"unparseable Authorization: $auth")
+    }
+    if (acc != access) return Some(s"unknown access key $acc")
+    val headerLines = signedHeaders.split(";").map { h =>
+      val v = Option(ex.getRequestHeaders.getFirst(h))
+        .getOrElse(return Some(s"signed header $h absent"))
+      s"$h:${v.trim}\n"
+    }.mkString
+    val rawQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val canonicalQuery = rawQuery.split("&").filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+    }.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+    val payloadHash = sha256Hex(body)
+    val canonical = Seq(ex.getRequestMethod, ex.getRequestURI.getRawPath,
+      canonicalQuery, headerLines, signedHeaders, payloadHash).mkString("\n")
+    val amzDate = Option(ex.getRequestHeaders.getFirst("x-amz-date"))
+      .getOrElse(return Some("missing x-amz-date"))
+    val scope = s"$date/$region/$service/aws4_request"
+    val sts = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+      sha256Hex(canonical.getBytes("UTF-8"))).mkString("\n")
+    var k = hmac(s"AWS4$secret".getBytes("UTF-8"), date)
+    k = hmac(k, region); k = hmac(k, service); k = hmac(k, "aws4_request")
+    val expected = hmac(k, sts).map("%02x".format(_)).mkString
+    if (expected != sig) Some(s"signature mismatch (expected $expected got $sig)")
+    else None
   }
 }

@@ -87,4 +87,77 @@ class Round8Spec extends AnyFunSuite {
       spark.conf.unset("spark.graft.vacuum.collectThreshold")
     }
   }
+
+  test("incremental OPTIMIZE never re-reads its own chunk commits (O(chunks) not O(chunks^2))") {
+    // counting LogStore around the real one, reachable via the file: scheme
+    val reads = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val inner = new graft.kernel.HadoopLogStore(
+      spark.sessionState.newHadoopConf())
+    val counting = new graft.kernel.LogStore {
+      def conf = inner.conf
+      def list(dir: org.apache.hadoop.fs.Path) = inner.list(dir)
+      def read(path: org.apache.hadoop.fs.Path) = {
+        reads.merge(path.getName, 1, (a: Integer, b: Integer) => a + b)
+        inner.read(path)
+      }
+      def writeAtomic(path: org.apache.hadoop.fs.Path, lines: Iterator[String]) =
+        inner.writeAtomic(path, lines)
+      def exists(path: org.apache.hadoop.fs.Path) = inner.exists(path)
+      def delete(path: org.apache.hadoop.fs.Path) = inner.delete(path)
+    }
+    graft.kernel.DeltaLog.registerLogStore("file", counting)
+    try {
+      val dir = "file:" + tmpDir()
+      // 8 tiny files -> with a huge target size they bin-pack into ONE bin
+      // per partition; 4 partitions, interval 0 => a commit per completed
+      // bin = 4 incremental chunks
+      DeltaTable.write(spark,
+        spark.range(4000).select(col("id"), (col("id") % 4).cast("string").as("p"))
+          .repartition(8),
+        dir, partitionBy = Seq("p"))
+      val baseVersion = DeltaTable.forPath(spark, dir).version
+      reads.clear()
+      val metrics = DeltaTable.forPath(spark, dir)
+        .optimizeCompact(minCommitInterval = Some(0L))
+      val nCommits = metrics("num_commits").toInt
+      assert(nCommits >= 3, s"expected multiple incremental chunks, got $nCommits")
+      // chunk commits are versions base+1 .. base+n. Each is read ONCE by
+      // its own post-commit snapshot refresh (O(chunks) total). Without
+      // assumeOwnCommits, chunk k's conflict replay re-read commits
+      // 1..k-1 as well — a descending Vector(n, n-1, ..., 1) pattern,
+      // O(chunks^2) total. Assert the O(chunks) shape: at most one read
+      // per own commit.
+      val ownReads = (1 to nCommits).map { i =>
+        val name = graft.kernel.LogStore.commitFileName(baseVersion + i)
+        Option(reads.get(name)).fold(0)(_.intValue)
+      }
+      assert(ownReads.forall(_ <= 1),
+        s"own chunk commit files were re-read during the compaction: $ownReads")
+      // and the table is intact
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == 4000L)
+    } finally graft.kernel.DeltaLog.unregisterLogStore("file")
+  }
+
+  test("dsirWeights discriminates target-like documents (rational DSIR)") {
+    import spark.implicits._
+    // target docs share a vocabulary; raw docs split between that
+    // vocabulary and a disjoint one — target-like raw docs must outscore
+    // off-domain raw docs, and weights must be layout-independent
+    val target = (1 to 20).map(i => (i.toLong, "alpha beta gamma delta", true))
+    val rawLike = (21 to 30).map(i => (i.toLong, "alpha beta gamma delta", false))
+    val rawOff = (31 to 40).map(i => (i.toLong, "omega psi chi phi", false))
+    val df = (target ++ rawLike ++ rawOff).toDF("doc_id", "text", "is_t")
+    val w = graft.llm.Curation.dsirWeights(df, "doc_id", "text",
+      col("is_t"), numBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val like = (21 to 30).map(i => w(i.toLong))
+    val off = (31 to 40).map(i => w(i.toLong))
+    assert(like.min > off.max,
+      s"target-like raw docs must outscore off-domain: ${like.min} vs ${off.max}")
+    // deterministic under a different layout
+    val w2 = graft.llm.Curation.dsirWeights(df.repartition(7), "doc_id",
+      "text", col("is_t"), numBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(w == w2, "weights must be layout-independent")
+  }
 }

@@ -50,6 +50,24 @@ private[catalog] object CatalogHttp {
         throw new DataCatalogException(s"catalog request failed: ${e.getMessage}", e)
     }
 
+  /** Percent-encode one URL path segment (RFC 3986 unreserved set). */
+  def encSeg(s: String): String =
+    s.getBytes("UTF-8").map { b =>
+      val c = (b & 0xff).toChar
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' || c == '~')
+        c.toString
+      else f"%%${b & 0xff}%02X"
+    }.mkString
+
+  /** JSON string-literal escape for builder-side request bodies. */
+  def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def strField(json: JValue, name: String, ctx: String): String =
     json \ name match {
       case JString(s) if s.nonEmpty => s
@@ -89,7 +107,10 @@ class UnityCatalogClient(
 
   override def resolveTableUri(database: String, table: String): String = {
     val full = s"$catalogName.$database.$table"
-    val json = get(s"tables/$full")
+    // the three-part name is ONE path segment in the UC API; encode it so
+    // names with spaces/reserved chars neither break URI.create nor
+    // address a different resource
+    val json = get(s"tables/${CatalogHttp.encSeg(full)}")
     val fmt = json \ "data_source_format" match {
       case JString(s) => s
       case _ => "DELTA" // servers may omit for external tables
@@ -107,7 +128,8 @@ class UnityCatalogClient(
     var more = true
     while (more) {
       val page = token0.fold("")(t => s"&page_token=${java.net.URLEncoder.encode(t, "UTF-8")}")
-      val json = get(s"tables?catalog_name=$catalogName&schema_name=$database$page")
+      val json = get(s"tables?catalog_name=${CatalogHttp.encSeg(catalogName)}" +
+        s"&schema_name=${CatalogHttp.encSeg(database)}$page")
       json \ "tables" match {
         case JArray(ts) => ts.foreach(t => out += CatalogHttp.strField(t, "name", "tables list"))
         case _ =>
@@ -168,9 +190,12 @@ class GlueCatalogClient(
   }
 
   override def resolveTableUri(database: String, table: String): String = {
-    val idPart = catalogId.fold("")(id => s""""CatalogId":"$id",""")
+    import CatalogHttp.jstr
+    // names are JSON-escaped: a quote/backslash in a table name must not
+    // produce malformed JSON or address a different entity
+    val idPart = catalogId.fold("")(id => s""""CatalogId":${jstr(id)},""")
     val json = call("AWSGlue.GetTable",
-      s"""{$idPart"DatabaseName":"$database","Name":"$table"}""")
+      s"""{$idPart"DatabaseName":${jstr(database)},"Name":${jstr(table)}}""")
     val loc = CatalogHttp.strField(
       json \ "Table" \ "StorageDescriptor", "Location",
       s"Glue table $database.$table")

@@ -1577,6 +1577,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
            |SELECT CAST(0 AS BIGINT) AS rank, l AS "left", r AS "right",
            |       CAST(sum(c) AS BIGINT) AS pair_count
            |FROM pr GROUP BY l, r
+           |HAVING sum(c) >= 2
            |ORDER BY pair_count DESC, l, r LIMIT 1""".stripMargin)),
 
     // BPE encoding under a FIXED merge list whose character sets are

@@ -48,10 +48,25 @@ class HttpPutClient(
   /** Trait key (slash-prefixed) → object key (bare). */
   private def objectKey(key: String): String = key.stripPrefix("/")
 
+  /** Strict RFC 3986 percent-encoding over the SigV4 unreserved set
+    * (A-Z a-z 0-9 - _ . ~), uppercase hex. URLEncoder is the WRONG tool
+    * here: it percent-encodes '~' and leaves '*' bare, while real
+    * S3-compatible verifiers (AWS, MinIO) canonicalize by re-encoding the
+    * decoded value with the unreserved set — a path containing either
+    * character would sign one form and be verified against the other
+    * (SignatureDoesNotMatch on every request). */
+  private def rfc3986(s: String): String =
+    s.getBytes("UTF-8").map { b =>
+      val c = (b & 0xff).toChar
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' || c == '~')
+        c.toString
+      else f"%%${b & 0xff}%02X"
+    }.mkString
+
   /** Percent-encode each path segment, keeping the '/' separators. */
   private def encodeKey(key: String): String =
-    key.split("/", -1).map(seg =>
-      java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20")).mkString("/")
+    key.split("/", -1).map(rfc3986).mkString("/")
 
   private def request(u: URI): HttpRequest.Builder =
     HttpRequest.newBuilder(u).timeout(requestTimeout)
@@ -112,11 +127,10 @@ class HttpPutClient(
   }
 
   override def listPrefix(prefix: String): Seq[ObjectMeta] = {
-    // unreserved-set percent form (%20, never '+'): the canonical query a
-    // SigV4 server reconstructs from the wire uses %XX encoding, so the
-    // emitted form must match what the signer signed
-    def qEnc(s: String): String =
-      java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+    // strict unreserved-set percent form ('/' encoded too — query values):
+    // the canonical query a SigV4 server reconstructs re-encodes with the
+    // RFC 3986 unreserved set, so the emitted form must match exactly
+    def qEnc(s: String): String = rfc3986(s)
     val q = qEnc(objectKey(prefix))
     val out = Seq.newBuilder[ObjectMeta]
     var token: Option[String] = None

@@ -110,10 +110,16 @@ class OptimisticTransaction(
       // commits are skipped without a read. The cursor then starts above
       // the span — no guaranteed collision, no ghost-path walk per chunk.
       val known = ownSafeVersions.max
+      require(ownSafeVersions.forall(_ > readVersion),
+        s"assumeOwnCommits: versions ${ownSafeVersions.filter(_ <= readVersion)} " +
+          s"are at or below the pinned snapshot version $readVersion — they are " +
+          "part of this transaction's base state, not own commits above it")
       (attempt to known).filterNot(ownSafeVersions.contains).foreach { v =>
         checkConflicts(log.readCommit(v), actions, v)
       }
-      attempt = known + 1
+      // max(): never move the cursor backward — versions below attempt are
+      // already reflected in the snapshot and must not be re-attempted
+      attempt = math.max(attempt, known + 1)
     }
     var retries = 0
     while (true) {

@@ -341,7 +341,11 @@ object Curation {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val tot = toks.agg(count(lit(1)).as("nr"),
-        sum(when(col("__t"), 1L).otherwise(0L)).as("nt")).collect()(0)
+        // coalesce: sum() over an EMPTY token table is NULL, and getLong
+        // on a null cell throws — an all-blank corpus must yield zero
+        // weights, not an NPE
+        coalesce(sum(when(col("__t"), 1L).otherwise(0L)), lit(0L)).as("nt"))
+        .collect()(0)
       val (nr, nt) = (tot.getLong(0), tot.getLong(1))
       val cR = toks.groupBy("__f").agg(count(lit(1)).as("__cR"))
       val cT = toks.filter(col("__t")).groupBy("__f")
@@ -361,8 +365,12 @@ object Curation {
         .select(col(idCol), col("is_target"),
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
           coalesce(col("dsir_weight"), lit(0.0)).as("dsir_weight"))
-      out.cache().count() // materialize before unpersisting the token table
-      out
+      // localCheckpoint (eager), not cache(): materializes before the
+      // token table unpersists below, and the checkpoint blocks are freed
+      // by the ContextCleaner when the result is garbage-collected — a
+      // cache() entry would leak in the cache manager for the session
+      // lifetime on every invocation
+      out.localCheckpoint(true)
     } finally toks.unpersist()
   }
 }

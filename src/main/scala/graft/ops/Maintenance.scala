@@ -44,16 +44,25 @@ object VacuumOp {
     }
   }
 
+  /** Exact candidate count of the most recent run on THIS driver whose
+    * returned Seq was a truncated sample (dry-run has no commit metrics to
+    * carry it); -1 when the last run returned the complete list. */
+  val lastCandidateCount = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private def lastRunCount = lastCandidateCount
+
   /** Returns the deletable rel paths. On the distributed branch the full
     * set never materializes on the driver: when it exceeds
     * `spark.graft.vacuum.collectThreshold` (default 100k) the returned Seq
-    * is a capped sample and the exact count lives in the VACUUM START/END
-    * commit metrics (`numFilesToDelete`/`numDeletedFiles`). */
+    * is a capped sample, a loud stderr line records the truncation, the
+    * exact count lives in the VACUUM START/END commit metrics
+    * (`numFilesToDelete`/`numDeletedFiles`) and — for dry-run, which
+    * writes no commits — in [[lastCandidateCount]]. */
   def run(table: DeltaTable, retentionHours: Double, dryRun: Boolean,
           enforceRetention: Boolean, mode: String = "full",
           keepVersions: Seq[Long] = Nil): Seq[String] = {
     require(mode == "full" || mode == "lite",
       s"VACUUM: unknown mode '$mode' (full | lite)")
+    lastCandidateCount.set(-1L)
     val spark = table.spark
     val snapshot = table.refresh()
     val configured = snapshot.getConf("delta.deletedFileRetentionDuration")
@@ -208,7 +217,17 @@ object VacuumOp {
             .map(_.toLong).getOrElse(100000L)
         val rels =
           if (n <= collectThreshold) ds.collect().toSeq
-          else ds.take(collectThreshold.toInt).toSeq // sample, never the full set
+          else {
+            // NEVER a silent cap: dry-run writes no commits, so without
+            // this the operator previewing reclaim could not distinguish
+            // a truncated 100k sample from a genuine 100k candidate set
+            lastRunCount.set(n)
+            System.err.println(s"[graft-vacuum] candidate set has $n files; " +
+              s"returning a $collectThreshold-path sample (exact count in " +
+              "VacuumOp.lastCandidateCount" +
+              (if (dryRun) "" else " and the VACUUM commit metrics") + ")")
+            ds.take(collectThreshold.toInt).toSeq
+          }
         (rels, n)
       }
 

@@ -99,7 +99,12 @@ class DmlTortureSpec extends AnyFunSuite {
           history += model
           "restore"
         case 7 =>
-          t.optimizeCompact()
+          // alternate whole-commit and incremental-chunk compaction: the
+          // chunked path commits several dataChange=false versions per op
+          // (the history-alignment loops pad with the unchanged model) and
+          // exercises assumeOwnCommits inside a randomized op sequence
+          if (rnd.nextBoolean()) t.optimizeCompact(minCommitInterval = Some(0L))
+          else t.optimizeCompact()
           history += model
           "optimize"
         case 8 =>

@@ -83,6 +83,25 @@ class SigV4Spec extends AnyFunSuite {
     assert(client.get("/t/_delta_log/00000000000000000007.json").isEmpty)
   }
 
+  test("adversarial keys round-trip signed (encoding = what the server verifies)") {
+    val server = new MockObjectStoreServer(
+      requireSigV4 = Some(("ak", "sk")))
+    servers += server
+    val client = S3CompatibleStore.clientFor(server.endpoint, "b", Map(
+      "AWS_ACCESS_KEY_ID" -> "ak", "AWS_SECRET_ACCESS_KEY" -> "sk"))
+    // every character class that has burned a signer: space, tilde and
+    // star (URLEncoder's two unreserved-set deviations), plus, literal
+    // percent, multi-byte unicode, hash and question mark (URI-reserved)
+    val keys = Seq(
+      "/t/a b/x.json", "/t/tilde~star*/p+q.json", "/t/percent%25/f.json",
+      "/t/uni-é😀/g.json", "/t/hash#q?.json")
+    keys.foreach(k => assert(client.putIfAbsent(k, k.getBytes("UTF-8")), k))
+    keys.foreach(k =>
+      assert(new String(client.get(k).get, "UTF-8") == k, s"round-trip $k"))
+    assert(client.listPrefix("/t/").map(_.key).sorted == keys.sorted)
+    keys.foreach(k => assert(client.delete(k), s"delete $k"))
+  }
+
   test("a wrong secret is rejected by the server (proves verification bites)") {
     val server = new MockObjectStoreServer(
       requireSigV4 = Some(("minioadmin", "miniosecret")))

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.table.DeltaTable
+
+/**
+ * Incremental aggregate maintenance — the lakehouse materialized-view
+ * pattern composed from three primitives this engine already ships: the
+ * change feed (`crates/core/src/operations/load_cdf.rs`), application
+ * transactions (`kernel/models/actions.rs:1042` `txn`), and MERGE
+ * (`operations/merge/mod.rs`). The reference exposes the primitives but
+ * not the composition; at 100 TB this is how a downstream rollup table
+ * stays fresh without re-aggregating the world.
+ *
+ * `target` is maintained as `upstream GROUP BY keyCols` with `cnt =
+ * count(*)` and `sum_<c> = sum(<c>)` per sum column. Each refresh:
+ *
+ *  1. reads the target's `txn` version for this pipeline's appId — the
+ *     upstream version already folded in (exactly-once bookkeeping rides
+ *     the same commit as the data, so a crashed refresh replays cleanly
+ *     and a concurrent duplicate refresh conflicts instead of
+ *     double-applying);
+ *  2. first refresh aggregates the pinned upstream snapshot directly
+ *     (cheaper than CDF legs and requires nothing of table history);
+ *     later refreshes read ONLY the change feed of the new commits:
+ *     inserts/update_postimages count +1, deletes/update_preimages −1,
+ *     so the signed partial aggregate per key is the exact group delta;
+ *  3. MERGEs the deltas into the target: groups whose count reaches zero
+ *     are deleted, existing groups updated in place, new groups inserted.
+ *
+ * Scale shape: one CDF scan of the NEW commits only (partition-pruned
+ * legs), one signed partial aggregation (map-side combine, |keys| rows),
+ * one MERGE whose source is the tiny delta table — broadcast side of the
+ * join at any realistic group cardinality. No driver state beyond the
+ * version scalar.
+ *
+ * Sum columns must be integral (the maintained sums are exact LONGs;
+ * floating sums would drift under incremental re-ordering).
+ */
+object IncrementalAgg {
+
+  /** appId recording the last-folded upstream version on the TARGET. */
+  def appIdFor(upstream: DeltaTable): String =
+    s"graft-incr-agg:${upstream.tablePath}"
+
+  /**
+   * Refresh `targetPath` from `upstream`'s changes. Creates the target on
+   * first use. Returns merge metrics plus `refreshed_from`/`refreshed_to`
+   * (or `no_op=true` when the upstream has no new commits).
+   */
+  def refresh(upstream: DeltaTable, targetPath: String,
+              keyCols: Seq[String], sumCols: Seq[String]): Map[String, String] = {
+    require(keyCols.nonEmpty, "IncrementalAgg: at least one key column")
+    val spark = upstream.spark
+    val upSnap = upstream.refresh()
+    val endV = upSnap.version
+    sumCols.foreach { c =>
+      val dt = upSnap.schema(c).dataType
+      require(Seq("tinyint", "smallint", "int", "bigint").contains(dt.simpleString),
+        s"IncrementalAgg: sum column '$c' must be integral, got ${dt.simpleString}")
+    }
+
+    val appId = appIdFor(upstream)
+    val target =
+      if (DeltaTable.isDeltaTable(spark, targetPath)) DeltaTable.forPath(spark, targetPath)
+      else {
+        val schema = org.apache.spark.sql.types.StructType(
+          keyCols.map(k => upSnap.schema(k)) ++
+            Seq(org.apache.spark.sql.types.StructField("cnt",
+              org.apache.spark.sql.types.LongType)) ++
+            sumCols.map(c => org.apache.spark.sql.types.StructField(s"sum_$c",
+              org.apache.spark.sql.types.LongType)))
+        DeltaTable.create(spark, targetPath, schema, Nil)
+        DeltaTable.forPath(spark, targetPath)
+      }
+
+    val lastV = target.txnVersion(appId)
+    if (lastV.exists(_ >= endV))
+      return Map("no_op" -> "true", "at_version" -> endV.toString)
+
+    // signed change rows: +1 rows entering the aggregate, -1 rows leaving
+    val signed: DataFrame = lastV match {
+      case None =>
+        upstream.asOfVersion(endV).withColumn("__sign", lit(1L))
+      case Some(v) =>
+        upstream.loadCdf(v + 1, Some(endV)).withColumn("__sign",
+          when(col("_change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L))
+    }
+    val delta = signed.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__sign")).as("__dcnt"),
+        sumCols.map(c =>
+          sum(col("__sign") * col(c).cast("long")).as(s"__d_$c")): _*)
+
+    val cond = keyCols
+      .map(k => s"target.`$k` <=> source.`$k`").mkString(" AND ")
+    val updates = Map("cnt" -> "target.cnt + source.__dcnt") ++
+      sumCols.map(c => s"sum_$c" -> s"target.sum_$c + source.__d_$c")
+    val inserts = keyCols.map(k => k -> s"source.`$k`").toMap ++
+      Map("cnt" -> "source.__dcnt") ++
+      sumCols.map(c => s"sum_$c" -> s"source.__d_$c")
+    val metrics = target.merge(delta, cond)
+      .whenMatchedDelete(Some("target.cnt + source.__dcnt = 0"))
+      .whenMatchedUpdate(updates)
+      .whenNotMatchedInsert(inserts)
+      .withAppTransaction(appId, endV)
+      .execute()
+    metrics ++ Map(
+      "refreshed_from" -> lastV.map(v => (v + 1).toString).getOrElse("snapshot"),
+      "refreshed_to" -> endV.toString)
+  }
+}

@@ -138,6 +138,37 @@ class Round8Spec extends AnyFunSuite {
     } finally graft.kernel.DeltaLog.unregisterLogStore("file")
   }
 
+  test("IncrementalAgg: group-to-zero delete, CDF maintenance == full recompute") {
+    val dir = tmpDir(); val tgt = tmpDir()
+    val base = spark.range(1000).select(col("id"),
+      (col("id") % 5).as("grp"), (col("id") * 3).as("v"))
+    DeltaTable.write(spark, base.repartition(4), dir,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val up = DeltaTable.forPath(spark, dir)
+    graft.ops.IncrementalAgg.refresh(up, tgt, Seq("grp"), Seq("v"))
+
+    up.delete(Some("grp = 3"))                      // entire group vanishes
+    up.update(Map("v" -> expr("v + 1")), Some("id % 2 = 0"))
+    DeltaTable.write(spark,
+      base.filter("id < 10 AND id % 5 != 3").withColumn("id", col("id") + 5000),
+      dir, mode = "append")
+    graft.ops.IncrementalAgg.refresh(up, tgt, Seq("grp"), Seq("v"))
+
+    val got = DeltaTable.forPath(spark, tgt).toDF
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = up.toDF.groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"incremental != full recompute: $got vs $want")
+    assert(!got.contains(3L), "emptied group must be DELETED from the target")
+
+    // non-integral sum column refused up front
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.IncrementalAgg.refresh(up, tmpDir(), Seq("grp"), Seq("bad"))
+    }
+    assert(e.getMessage.contains("integral") || e.getMessage.contains("bad"))
+  }
+
   test("dsirWeights discriminates target-like documents (rational DSIR)") {
     import spark.implicits._
     // target docs share a vocabulary; raw docs split between that

@@ -169,6 +169,44 @@ class Round8Spec extends AnyFunSuite {
     assert(e.getMessage.contains("integral") || e.getMessage.contains("bad"))
   }
 
+  test("IncrementalAgg: racing refreshes never double-apply (txn conflict or no-op)") {
+    val dir = tmpDir(); val tgt = tmpDir()
+    val base = spark.range(500).select(col("id"), (col("id") % 3).as("grp"),
+      col("id").as("v"))
+    DeltaTable.write(spark, base, dir,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val up = DeltaTable.forPath(spark, dir)
+    graft.ops.IncrementalAgg.refresh(up, tgt, Seq("grp"), Seq("v"))
+    DeltaTable.write(spark, base.withColumn("id", col("id") + 1000), dir,
+      mode = "append")
+
+    // two racing refreshes of the same new commit: each must either apply
+    // once, observe the other's txn and no-op, or CONFLICT on the shared
+    // appId — never fold the delta twice
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String =
+            try graft.ops.IncrementalAgg.refresh(
+              DeltaTable.forPath(spark, dir), tgt, Seq("grp"), Seq("v"))
+              .getOrElse("no_op", "applied")
+            catch { case _: graft.kernel.CommitConflictException => "conflict" }
+        })
+      }
+      val outcomes = futures.map(_.get())
+      info(s"racing refresh outcomes: $outcomes")
+    } finally pool.shutdownNow()
+
+    val got = DeltaTable.forPath(spark, tgt).toDF
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    up.refresh()
+    val full = up.toDF.groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == full, s"double-applied or lost delta: $got vs $full")
+  }
+
   test("dsirWeights discriminates target-like documents (rational DSIR)") {
     import spark.implicits._
     // target docs share a vocabulary; raw docs split between that

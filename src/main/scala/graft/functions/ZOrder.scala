@@ -35,6 +35,10 @@ case class ZOrderKey(children: Seq[Expression]) extends Expression {
     * fallback — a CONSTANT per row, silently degrading the z-order to the
     * remaining columns. Reject at analysis instead. */
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (children.isEmpty)
+      return org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "zorder_key requires at least one column (an empty key would be a " +
+          "constant — silent no-op clustering)")
     val bad = children.map(_.dataType).filterNot(ZOrderKey.encodable)
     if (bad.isEmpty) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

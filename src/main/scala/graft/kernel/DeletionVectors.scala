@@ -33,6 +33,33 @@ object PathKeys {
     Seq(p.toString, uri.toString, decoded, encoded,
       "file:" + encoded, "file://" + encoded, "file:" + decoded).distinct
   }
+
+  /** Build a per-file variant-key lookup, failing LOUDLY on a collision:
+    * two files whose names differ only by percent-encoding ('x y.parquet'
+    * vs 'x%20y.parquet' — both legal) share variant keys, and a silent
+    * .toMap would hand one file the other's payload (DV mask / partition
+    * values) — exactly the corruption the fail-loud lookups exist to
+    * prevent. Collisions are refused, never resolved by last-writer-wins. */
+  def variantMap[T](entries: Seq[(Path, T)]): Map[String, T] = {
+    val owner = scala.collection.mutable.HashMap[String, Path]()
+    val out = scala.collection.mutable.HashMap[String, T]()
+    entries.foreach { case (p, v) =>
+      variants(p).foreach { k =>
+        owner.get(k) match {
+          case Some(p0) if p0 != p =>
+            throw new IllegalStateException(
+              s"path-variant collision: '$k' resolves to both '$p0' and " +
+                s"'$p' — refusing to build an ambiguous per-file lookup " +
+                "(rename one of the files; percent-encoded and literal " +
+                "forms of the same name cannot coexist in one table)")
+          case _ =>
+            owner(k) = p
+            out(k) = v
+        }
+      }
+    }
+    out.toMap
+  }
 }
 
 object DeletionVectors {

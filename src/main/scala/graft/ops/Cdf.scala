@@ -191,9 +191,8 @@ object CdfRead {
     // emit every plausible encoding of each path so the equi-join is robust
     // across filesystems, then assert nothing fell through.
     import spark.implicits._
-    val keyed = abs.flatMap { case (p, _, v, ts) =>
-      PathKeys.variants(p).map(k => (k, v, ts))
-    }.distinct.toDF("__k", "__v", "__ts")
+    val keyed = PathKeys.variantMap(abs.map { case (p, _, v, ts) => p -> ((v, ts)) })
+      .toSeq.map { case (k, (v, ts)) => (k, v, ts) }.toDF("__k", "__v", "__ts")
 
     val joined = raw
       .withColumn("__fp", col("_metadata.file_path"))
@@ -203,10 +202,10 @@ object CdfRead {
     // per-file lookup as the main scan — basePath hive inference cannot
     // cover mapped / random-prefix layouts)
     lazy val pvLookup = {
-      val byFile: Map[String, Array[String]] = abs.flatMap { case (p, pv, _, _) =>
-        val vals = partCols.map(c => pv.getOrElse(nm.getOrElse(c, c), null)).toArray
-        PathKeys.variants(p).map(_ -> vals)
-      }.toMap
+      val byFile: Map[String, Array[String]] = PathKeys.variantMap(
+        abs.map { case (p, pv, _, _) =>
+          p -> partCols.map(c => pv.getOrElse(nm.getOrElse(c, c), null)).toArray
+        })
       new graft.functions.PartitionValueLookup(spark.sparkContext.broadcast(byFile))
     }
     import org.apache.spark.sql.GraftSqlBridge

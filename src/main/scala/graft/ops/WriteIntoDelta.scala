@@ -196,6 +196,29 @@ object WriteIntoDelta {
   /** CREATE-time schema handling: when `delta.columnMapping.mode` is
     * requested, assign physical names/ids and bump the protocol to the
     * mapping-capable versions. */
+  /** Proper JSON for the commitInfo partitionBy parameter: `[]` for
+    * unpartitioned (mkString would yield `[""]`), names escaped. ONE
+    * definition shared by every CREATE path. */
+  private[graft] def partitionByJson(cols: Seq[String]): String =
+    cols.map(c => "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+
+  /** Partition columns must name schema fields EXACTLY (the scan resolves
+    * them case-sensitively against the log schema): a case mismatch would
+    * commit protocol-invalid metadata whose partition columns later read
+    * as all-NULL data columns; an absent name bricks the table. Mirrors
+    * delta-rs create.rs / delta-spark validation. */
+  private[graft] def validatePartitionColumns(
+      schema: StructType, partitionBy: Seq[String]): Unit = {
+    val fields = schema.fieldNames.toSet
+    val missing = partitionBy.filterNot(fields.contains)
+    require(missing.isEmpty,
+      s"Partition column(s) ${missing.mkString(", ")} not found in schema " +
+        s"(case-sensitive; schema fields: ${schema.fieldNames.mkString(", ")})")
+    val dup = partitionBy.diff(partitionBy.distinct)
+    require(dup.isEmpty, s"Duplicate partition column(s): ${dup.distinct.mkString(", ")}")
+  }
+
   private[graft] def prepareCreateSchema(
       schema: StructType,
       configuration: Map[String, String]): (StructType, Map[String, String], Protocol) = {
@@ -224,6 +247,7 @@ object WriteIntoDelta {
       partitionBy: Seq[String],
       configuration: Map[String, String]): DeltaTable = {
     val log = new DeltaLog(spark, tablePath)
+    validatePartitionColumns(df.schema, partitionBy)
     val (schema, conf, protocol) =
       prepareCreateSchema(df.schema, configuration)
     val metadata = Metadata(
@@ -238,7 +262,7 @@ object WriteIntoDelta {
     txn.commit(Seq(protocol, metadata) ++ adds,
       Operation("CREATE TABLE AS SELECT",
         Map("mode" -> "ErrorIfExists",
-            "partitionBy" -> partitionBy.mkString("[\"", "\",\"", "\"]")),
+            "partitionBy" -> partitionByJson(partitionBy)),
         Map("numFiles" -> adds.size.toString,
             "numOutputBytes" -> adds.map(_.size).sum.toString)))
     new DeltaTable(spark, tablePath)

@@ -126,8 +126,21 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
       .mapPartitions { it =>
         val tp = new Path(root)
         it.map { case (uri, dv, n) =>
-          val deleted = DeletionVectors.read(tp, dv, conf.value).toSet
-          (uri, (0L until n).map(i => !deleted.contains(i)))
+          require(n <= Int.MaxValue, s"selection vector of $n rows for $uri")
+          // the decoder returns STRICTLY ASCENDING positions — one linear
+          // merge walk builds the vector with zero boxing (a Set[Long]
+          // would allocate a boxed entry per deleted row and hash-probe
+          // once per table row)
+          val deleted = DeletionVectors.read(tp, dv, conf.value)
+          val sel = new Array[Boolean](n.toInt)
+          var i = 0
+          var j = 0
+          while (i < sel.length) {
+            if (j < deleted.length && deleted(j) == i.toLong) j += 1
+            else sel(i) = true
+            i += 1
+          }
+          (uri, scala.collection.immutable.ArraySeq.unsafeWrapArray(sel))
         }
       }
       .toDF("filepath", "selection_vector")
@@ -301,6 +314,7 @@ object DeltaTable {
     val tablePath = new Path(path)
     val log = new DeltaLog(spark, tablePath)
     require(!log.tableExists, s"Delta table already exists at $path")
+    graft.ops.WriteIntoDelta.validatePartitionColumns(schema, partitionColumns)
     val (schema2, conf2, protocol) =
       graft.ops.WriteIntoDelta.prepareCreateSchema(schema, configuration)
     val metadata = Metadata(
@@ -313,11 +327,7 @@ object DeltaTable {
     txn.commit(Seq(protocol, metadata),
       Operation("CREATE TABLE", Map(
         "mode" -> "ErrorIfExists",
-        // proper JSON: [] for unpartitioned (mkString would yield [""]),
-        // names escaped
-        "partitionBy" -> partitionColumns
-          .map(c => "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-          .mkString("[", ",", "]"))))
+        "partitionBy" -> graft.ops.WriteIntoDelta.partitionByJson(partitionColumns))))
     new DeltaTable(spark, tablePath)
   }
 

@@ -339,6 +339,10 @@ object DeltaWriter {
       case (a: StructType, b: StructType) => mergeSchemas(a, b)
       case (ArrayType(ae, an), ArrayType(be, bn)) =>
         ArrayType(mergeTypes(path + ".element", ae, be), an || bn)
+      case (MapType(ak, av, an), MapType(bk, bv, bn)) =>
+        // merge_schema.rs recurses into map key/value like struct fields
+        MapType(mergeTypes(path + ".key", ak, bk),
+          mergeTypes(path + ".value", av, bv), an || bn)
       case (a, b) if safelyCastable(b, a) => a
       case (a, b) if safelyCastable(a, b) => b
       case (a, b) => throw new IllegalArgumentException(

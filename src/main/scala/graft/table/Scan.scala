@@ -66,10 +66,11 @@ object Scan {
       val withId = readRaw(spark, snapshot, dvFiles, withIdentity = true)
       val conf = spark.sessionState.newHadoopConf()
       val tp = new org.apache.hadoop.fs.Path(snapshot.tablePath)
-      val masks: Map[String, Array[Byte]] = dvFiles.flatMap { f =>
-        val bytes = DeletionVectors.readBytes(tp, f.deletionVector.get, conf)
-        PathKeys.variants(snapshot.absolutePath(f.path)).map(_ -> bytes)
-      }.toMap
+      val masks: Map[String, Array[Byte]] = PathKeys.variantMap(
+        dvFiles.map { f =>
+          snapshot.absolutePath(f.path) ->
+            DeletionVectors.readBytes(tp, f.deletionVector.get, conf)
+        })
       val lookup = new graft.functions.DvMaskLookup(spark.sparkContext.broadcast(masks))
       import org.apache.spark.sql.GraftSqlBridge
       withId.filter(GraftSqlBridge.column(graft.functions.DvMaskKeep(
@@ -116,10 +117,11 @@ object Scan {
     // reference's table_with_column_mapping golden stores files under 2-char
     // prefix dirs) and loses to the log when directories disagree.
     lazy val pvLookup = {
-      val byFile: Map[String, Array[String]] = files.flatMap { f =>
-        val vals = partCols.map(c => f.partitionValues.getOrElse(nm.getOrElse(c, c), null)).toArray
-        graft.kernel.PathKeys.variants(snapshot.absolutePath(f.path)).map(_ -> vals)
-      }.toMap
+      val byFile: Map[String, Array[String]] = graft.kernel.PathKeys.variantMap(
+        files.map { f =>
+          snapshot.absolutePath(f.path) ->
+            partCols.map(c => f.partitionValues.getOrElse(nm.getOrElse(c, c), null)).toArray
+        })
       new graft.functions.PartitionValueLookup(spark.sparkContext.broadcast(byFile))
     }
     import org.apache.spark.sql.GraftSqlBridge

@@ -207,6 +207,47 @@ class Round8Spec extends AnyFunSuite {
     assert(got == full, s"double-applied or lost delta: $got vs $full")
   }
 
+  test("table-dir review regressions: create validation, map merge, collisions, zorder_key()") {
+    import org.apache.spark.sql.types._
+    // CREATE refuses partition columns that miss the schema (case-sensitive)
+    val schema = StructType(Seq(StructField("P", StringType), StructField("v", LongType)))
+    val eCase = intercept[IllegalArgumentException](
+      DeltaTable.create(spark, tmpDir(), schema, Seq("p")))
+    assert(eCase.getMessage.contains("not found"))
+    val eDup = intercept[IllegalArgumentException](
+      DeltaTable.create(spark, tmpDir(), schema, Seq("P", "P")))
+    assert(eDup.getMessage.contains("Duplicate"))
+    // CTAS path validates too
+    val eCtas = intercept[IllegalArgumentException](
+      DeltaTable.write(spark, spark.range(3).toDF("id"), tmpDir(),
+        partitionBy = Seq("ghost")))
+    assert(eCtas.getMessage.contains("not found"))
+
+    // mergeSchema widens map VALUE types like struct fields
+    val dir = tmpDir()
+    import spark.implicits._
+    DeltaTable.write(spark,
+      Seq((1L, Map("a" -> 1L))).toDF("id", "m"), dir)
+    DeltaTable.write(spark,
+      Seq((2L, Map("b" -> 2))).toDF("id", "m"), dir,
+      mode = "append", mergeSchema = true)
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.schema("m").dataType == MapType(StringType, LongType, false))
+    assert(t.toDF.count() == 2L)
+
+    // variant-key collisions are refused, never last-writer-wins
+    val e = intercept[IllegalStateException](graft.kernel.PathKeys.variantMap(Seq(
+      new org.apache.hadoop.fs.Path("/t/x y.parquet") -> 1,
+      new org.apache.hadoop.fs.Path("/t/x%20y.parquet") -> 2)))
+    assert(e.getMessage.contains("collision"))
+
+    // zero-arg zorder_key is an analysis error, not a constant-key no-op
+    graft.functions.ZOrder.register(spark)
+    val eZ = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT zorder_key()").collect())
+    assert(eZ.getMessage.contains("zorder_key") || eZ.getMessage.contains("DATATYPE"))
+  }
+
   test("dsirWeights discriminates target-like documents (rational DSIR)") {
     import spark.implicits._
     // target docs share a vocabulary; raw docs split between that

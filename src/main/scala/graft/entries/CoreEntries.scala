@@ -890,6 +890,35 @@ object CoreEntries {
         |SELECT n_nationkey, concat(n_name, '?'), n_regionkey, 'update_postimage', 2
         |FROM nation WHERE n_nationkey < 3""".stripMargin)),
 
+    // the same maintenance under CONTINUOUS ingestion: a stream of order
+    // batches lands in a CDF-enabled upstream (append per micro-batch) and
+    // every batch refreshes the rollup through the change feed — the
+    // streaming-ETL + materialized-view pipeline as one composition. The
+    // rollup after the stream drains must equal the full aggregation
+    // whatever the batch split was.
+    Entry("streaming_incremental_agg", (s, d) => {
+      val srcDir = EntryCtx.sharedDelta(s, d, "orders")
+      val up = tempDir("stincr_up"); val tgt = tempDir("stincr_tgt")
+      val keys = Seq("o_orderstatus", "o_orderpriority")
+      val q = s.readStream.format("graft-delta")
+        .option("maxFilesPerTrigger", 1).option("startingVersion", "0")
+        .load(srcDir)
+        .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val slim = batch.select(col("o_orderstatus"), col("o_orderpriority"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          DeltaTable.write(s, slim, up, mode = "append",
+            configuration = Map("delta.enableChangeDataFeed" -> "true"))
+          graft.ops.IncrementalAgg.refresh(
+            DeltaTable.forPath(s, up), tgt, keys, Seq("cents"))
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      DeltaTable.forPath(s, tgt).toDF
+    }, Some(
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1, 2""".stripMargin)),
+
     // incremental aggregate maintenance (CDF × app-txn × MERGE — the
     // materialized-view composition, ops/IncrementalAgg.scala): target
     // rollup built by a snapshot refresh, then maintained through delete/

@@ -297,6 +297,31 @@ object Bench {
     bench("llm_ngram_jaccard")(
       Dedup.ngramJaccardNearDups(docsWide.select("doc_id", "text"), "doc_id", "text"))
 
+    // ---- reference IO-throughput shapes (python/tests/test_benchmark.py:
+    // 23-100): one ~128 MiB 21-column table written as Delta, then read
+    // back in full. Reported under a separate "io" key (and the detail
+    // file) so the headline "queries" total stays comparable to BASELINE.
+    val io = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (only.isEmpty) {
+      val n = 840000L
+      val wide = spark.range(n).select(
+        (col("id") +: (0 until 20).map(i =>
+          (rand(seed = i) * 1000).as(s"c$i"))): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      wide.count() // materialize outside the timed write
+      val ioDir = EntryCtx.tempDir("bench_io")
+      io("write_128mib") = timed {
+        DeltaTable.write(spark, wide.repartition(8), ioDir)
+      }
+      wide.unpersist()
+      io("read_128mib") = timed {
+        force(DeltaTable.forPath(spark, ioDir).toDF)
+      }
+    }
+    val ioJson = io.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
+
     // ---- output. The driver's bench record keeps only the LAST ~2000
     // characters of the run's output, so the stdout contract is: ONE
     // compact JSON line (headline medians/mins/plans/phase-medians/grid
@@ -360,13 +385,14 @@ object Bench {
       s""""mins":${jmap(mins)}""",
       s""""phases":$phaseMedJson""",
       s""""plans":$shapes""",
-      s""""merge_grid_sec":$gridSecs,"merge_grid_ok":$gridOk""")
+      s""""merge_grid_sec":$gridSecs,"merge_grid_ok":$gridOk""",
+      s""""io":$ioJson""")
     val headline = (optional.length to 0 by -1).iterator
       .map(n => "{" + (core +: optional.take(n)).mkString(",") + "}")
       .find(_.length <= 1800)
       .getOrElse("{" + core + "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"plans":$shapesAll,"phases":$phaseRepJson,"merge_grid":$gridJson,$loadJson,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"plans":$shapesAll,"phases":$phaseRepJson,"merge_grid":$gridJson,"io":$ioJson,$loadJson,"reps":$reps,"sf":"$sfDir"}"""
     // best-effort: a detail-write failure (read-only cwd) must never block
     // the headline line — that's the round's only bench record
     scala.util.Try {

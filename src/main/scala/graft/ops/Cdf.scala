@@ -29,6 +29,8 @@ import graft.table.{DeltaTable, Scan}
 object CdfRead {
 
   def load(table: DeltaTable, startingVersion: Long, endingVersion: Option[Long]): DataFrame = {
+    require(startingVersion >= 0,
+      s"loadCdf: startingVersion must be >= 0, got $startingVersion")
     val spark = table.spark
     val log = table.deltaLog
     val end = endingVersion.getOrElse(log.latestVersion())
@@ -59,13 +61,20 @@ object CdfRead {
     // recorded change data, and synthesizing legs for its data-changing
     // commits would misreport copied rows as changes
     var cdcOn = true // proven enabled at range start by the gate above
+    // commit-file mtimes, resolved lazily ONLY when a commit lacks
+    // CommitInfo.timestamp: loadBetweenTimestamps resolves the range with
+    // the same mtime fallback, so the emitted _commit_timestamp must use
+    // it too — a 0 (epoch-1970) fallback put rows inside the requested
+    // window with a timestamp outside it
+    lazy val mtimes: Map[Long, Long] = log.history(None).map(h => h._1 -> h._2).toMap
     val units = (startingVersion to end).flatMap { v =>
       val actions = log.readCommit(v)
       actions.collectFirst { case m: graft.kernel.Metadata => m }.foreach { m =>
         cdcOn = m.configuration.get("delta.enableChangeDataFeed")
           .exists(_.trim.equalsIgnoreCase("true"))
       }
-      val (ts, us) = changeUnitsOf(actions, v)
+      val (ts0, us) = changeUnitsOf(actions, v)
+      val ts = if (ts0 != 0L || us.isEmpty) ts0 else mtimes.getOrElse(v, 0L)
       if (!cdcOn && us.nonEmpty)
         throw new IllegalStateException(
           s"Change Data Feed was disabled at or before version $v inside " +
@@ -172,7 +181,21 @@ object CdfRead {
       files: Seq[(String, Map[String, String], Long, Long)], // (rel path, partVals, version, tsMs)
       changeType: Option[String]): Option[DataFrame] = {
     if (files.isEmpty) return None
-    val abs = files.map { case (rel, pv, v, ts) =>
+    // one rel path can appear at SEVERAL versions in one leg (RESTORE
+    // re-adds a file removed earlier in the range, dataChange=true, no
+    // CDC): a single batched scan cannot disambiguate those rows by
+    // _metadata.file_path, and the variant map would keep one version's
+    // provenance for both. Split into per-version sub-legs (paths are
+    // unique within a commit) and union — the common no-duplicate case
+    // stays one batched scan.
+    val distinctFiles = files.distinct
+    if (distinctFiles.groupBy(_._1).exists(_._2.map(_._3).distinct.size > 1)) {
+      val subs = distinctFiles.groupBy(_._3).toSeq.sortBy(_._1).flatMap {
+        case (_, fs) => legDf(spark, table, schema, partCols, fs, changeType)
+      }
+      return if (subs.isEmpty) None else Some(subs.reduce(_.unionByName(_)))
+    }
+    val abs = distinctFiles.map { case (rel, pv, v, ts) =>
       (table.snapshot.absolutePath(rel), pv, v, ts) // rel is a percent-encoded URL
     }
 

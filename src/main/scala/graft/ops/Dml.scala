@@ -92,14 +92,18 @@ object DeleteOp {
 
     predicate match {
       case None =>
-        // full-table delete: metadata-only removes; with CDF enabled the
-        // deleted rows are recorded as explicit CDC files (a DV-aware scan)
-        // because synthesized remove legs cannot represent DV-masked files
-        // and would leave the change feed unreadable across this version
+        // full-table delete: metadata-only removes. Explicit CDC is written
+        // ONLY when a removed file carries a DV mask — synthesized remove
+        // legs cannot represent those (the raw file misreports masked rows
+        // as deleted). DV-free tables keep synthesis: the change feed reads
+        // the removes directly and the O(metadata) delete stays O(metadata)
+        // instead of a full-table CDC rewrite (same gate as the overwrite
+        // path in WriteIntoDelta).
         txn.readWholeTable()
         val removes = snapshot.allFiles.map(_.remove(now, dataChange = true))
         val cdc: Seq[Action] =
-          if (Dml.cdcEnabled(snapshot) && snapshot.allFiles.nonEmpty) {
+          if (Dml.cdcEnabled(snapshot) &&
+              snapshot.allFiles.exists(_.deletionVector.exists(_.cardinality > 0))) {
             val deleted = Scan.read(spark, snapshot)
               .withColumn(Dml.CDC_COL, lit("delete"))
             Dml.writeCdc(spark, table, deleted, nIdx)
@@ -184,8 +188,11 @@ object DeleteOp {
         val removedRows = rewrittenFiles.flatMap(_.numRecords).sum -
           rewrittenFiles.flatMap(_.deletionVector).map(_.cardinality).sum
         val keptRows = rewriteAdds.flatMap(_.numRecords).sum
+        // DV-masked files commit Remove+re-Add pairs — count those removes
+        // like MERGE does (consistent cross-op accounting)
+        val dvRemoves = dvActions.count(_.isInstanceOf[RemoveFile])
         val metrics = Map(
-          "num_removed_files" -> removes.size.toString,
+          "num_removed_files" -> (removes.size + dvRemoves).toString,
           "num_added_files" -> rewriteAdds.size.toString,
           "num_deleted_rows" -> (removedRows - keptRows + dvDeletedRows).toString,
           "num_copied_rows" -> keptRows.toString,
@@ -471,7 +478,11 @@ object UpdateOp {
           val newAdds = DeltaWriter.writeFiles(spark, table.tablePath, updatedOnly,
             snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
           val upgrade = ProtocolGate.upgradeForDv(snapshot.protocol).toSeq
-          (upgrade ++ dvActions ++ newAdds, newAdds, Nil, masked)
+          // the DV path commits Remove+re-Add pairs for each masked file —
+          // count them in num_removed_files like MERGE does, or the history
+          // shows contradictory accounting for identical physical ops
+          (upgrade ++ dvActions ++ newAdds, newAdds,
+            dvActions.filter(_.isInstanceOf[RemoveFile]), masked)
         case None => fullRewrite() // mask over cap: DV defeats its purpose
       }
       else fullRewrite()

@@ -89,10 +89,14 @@ object IncrementalAgg {
           when(col("_change_type").isin("insert", "update_postimage"), 1L)
             .otherwise(-1L))
     }
+    // NULL sum values contribute 0 (SQL sum() skips NULLs in the full
+    // aggregation, so the increment must too — a bare sign*NULL product
+    // would make the group delta NULL and poison the maintained sum)
     val delta = signed.groupBy(keyCols.map(col): _*)
       .agg(sum(col("__sign")).as("__dcnt"),
         sumCols.map(c =>
-          sum(col("__sign") * col(c).cast("long")).as(s"__d_$c")): _*)
+          sum(col("__sign") * coalesce(col(c).cast("long"), lit(0L)))
+            .as(s"__d_$c")): _*)
 
     val cond = keyCols
       .map(k => s"target.`$k` <=> source.`$k`").mkString(" AND ")
@@ -104,7 +108,10 @@ object IncrementalAgg {
     val metrics = target.merge(delta, cond)
       .whenMatchedDelete(Some("target.cnt + source.__dcnt = 0"))
       .whenMatchedUpdate(updates)
-      .whenNotMatchedInsert(inserts)
+      // a key created AND fully deleted inside one refresh window nets to
+      // __dcnt = 0 with no target row — inserting it would commit a
+      // phantom cnt=0 group absent from `upstream GROUP BY keyCols`
+      .whenNotMatchedInsert(inserts, Some("source.__dcnt > 0"))
       .withAppTransaction(appId, endV)
       .execute()
     metrics ++ Map(

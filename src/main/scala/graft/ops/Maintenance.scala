@@ -342,8 +342,14 @@ object FsckOp {
   def run(table: DeltaTable, dryRun: Boolean): Seq[String] = {
     val snapshot = table.refresh()
     val fs = table.tablePath.getFileSystem(table.spark.sessionState.newHadoopConf())
+    // an add is unreadable when EITHER backing file vanished: the data
+    // file, or the deletion-vector blob (without the mask the visible row
+    // set is undefined — every scan of that file fails decoding)
     val missing = snapshot.allFiles.filterNot { f =>
-      fs.exists(snapshot.absolutePath(f.path))
+      fs.exists(snapshot.absolutePath(f.path)) &&
+        f.deletionVector
+          .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
+          .forall(fs.exists)
     }
     if (missing.nonEmpty && !dryRun) {
       val now = System.currentTimeMillis()

@@ -35,8 +35,12 @@ object OptimizeOp {
       targetSize: Long,
       predicate: Option[String],
       minCommitInterval: Option[Long] = None): Map[String, String] = {
+    require(targetSize > 0, s"OPTIMIZE: targetSize must be > 0, got $targetSize")
     val spark = table.spark
     val snapshot = table.refresh()
+    // NOTE: created here but USED only by the empty-bins and whole-commit
+    // paths — incremental-commit mode builds its own per-chunk transactions
+    // pinned to this planning snapshot (see below)
     val txn = table.startTransaction()
 
     // bin planning needs only the below-target files: on a lazy (huge-table)
@@ -76,7 +80,13 @@ object OptimizeOp {
       return metrics
     }
 
-    txn.readFile(bins.flatten.map(_.path))
+    // the outer transaction's read set feeds ONLY the whole-commit path;
+    // incremental chunks record their own per-chunk read sets on their own
+    // pinned transactions (the outer txn is never committed there)
+    minCommitInterval match {
+      case None => txn.readFile(bins.flatten.map(_.path))
+      case Some(_) =>
+    }
 
     // each bin rewrites independently as its own Spark job, with concurrency
     // bounded by spark.graft.optimize.maxConcurrentTasks (the reference's
@@ -221,6 +231,7 @@ object OptimizeOp {
       columns: Seq[String],
       targetSize: Long,
       predicate: Option[String] = None): Map[String, String] = {
+    require(targetSize > 0, s"Z-ORDER: targetSize must be > 0, got $targetSize")
     val spark = table.spark
     val snapshot = table.refresh()
     require(columns.nonEmpty, "Z-ORDER requires at least one column")

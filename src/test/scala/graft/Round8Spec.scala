@@ -248,6 +248,52 @@ class Round8Spec extends AnyFunSuite {
     assert(eZ.getMessage.contains("zorder_key") || eZ.getMessage.contains("DATATYPE"))
   }
 
+  test("CDF: RESTORE re-add of a removed file keeps per-version provenance") {
+    val dir = tmpDir()
+    import spark.implicits._
+    DeltaTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1),
+      dir, configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.delete(None) // v1: full-table delete -> metadata-only removes
+    t.restore(0)   // v2: re-ADDS the same file path, dataChange, no CDC
+    val feed = t.loadCdf(0).select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // the same path sits in the insert leg at v0 AND v2 — each version's
+    // rows must carry THEIR version (one batched scan mislabeled both as
+    // the later one and dropped the v0 insert from the feed)
+    val want = Set(
+      (1L, "insert", 0L), (2L, "insert", 0L),
+      (1L, "delete", 1L), (2L, "delete", 1L),
+      (1L, "insert", 2L), (2L, "insert", 2L))
+    assert(feed == want, s"got $feed")
+  }
+
+  test("CDF: a commit without CommitInfo.timestamp gets the mtime, not epoch 0") {
+    val dir = tmpDir()
+    import spark.implicits._
+    DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "s").coalesce(1), dir,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    // simulate a FOREIGN writer: copy v0's add action into a raw v1 commit
+    // with no commitInfo at all
+    val addJson = t.deltaLog.store
+      .read(new org.apache.hadoop.fs.Path(t.deltaLog.logPath,
+        graft.kernel.LogStore.commitFileName(0)))
+      .find(_.contains("\"add\""))
+      .get
+    t.deltaLog.store.writeAtomic(
+      new org.apache.hadoop.fs.Path(t.deltaLog.logPath,
+        graft.kernel.LogStore.commitFileName(1)),
+      Iterator(addJson))
+    val ts = DeltaTable.forPath(spark, dir).loadCdf(1)
+      .select("_commit_timestamp").collect().map(_.getTimestamp(0)).toSeq
+    assert(ts.nonEmpty)
+    // the commit file was just written — its mtime is "now", not 1970
+    assert(ts.forall(_.getTime > 1000000000000L),
+      s"_commit_timestamp fell back to epoch: $ts")
+    intercept[IllegalArgumentException](DeltaTable.forPath(spark, dir).loadCdf(-1))
+  }
+
   test("dsirWeights discriminates target-like documents (rational DSIR)") {
     import spark.implicits._
     // target docs share a vocabulary; raw docs split between that

@@ -15,8 +15,10 @@ run / fork := true
 // output strategy prefixes every forked-process line with "[info] ", which
 // defeated a line-oriented JSON parse of the bench record four rounds
 // running. StdoutOutput passes the child's stdout/stderr through verbatim.
+// (covers `runMain` too via task-axis delegation — verified by a bare
+// headline from `sbt "runMain graft.Bench"`; a runMain-scoped copy is
+// flagged unused by sbt's lint)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

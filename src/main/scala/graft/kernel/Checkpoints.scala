@@ -245,10 +245,12 @@ object Checkpoints {
           org.apache.spark.sql.functions.broadcast(
             overlay.toDF("__overlay_key"))
         }
-        def leg(name: String, dt: StructType) = {
-          val base = spark.read.schema(StructType(Seq(StructField(name, dt))))
-            .parquet(idx.checkpointParts.map(_.toString): _*)
-            .filter(col(name).isNotNull)
+        def leg(name: String, dt: StructType,
+                baseOverride: Option[org.apache.spark.sql.DataFrame] = None) = {
+          val base = baseOverride.getOrElse(
+            spark.read.schema(StructType(Seq(StructField(name, dt))))
+              .parquet(idx.checkpointParts.map(_.toString): _*)
+              .filter(col(name).isNotNull))
           val src =
             if (overlay.isEmpty) base
             else if (overlay.size <= maxOverlayInList)
@@ -282,7 +284,10 @@ object Checkpoints {
         // (it only feeds nParts, but drifting part counts fragment the log)
         val approx = math.max(prevHint - overlay.size - controlRows.size, 0L) +
           idx.tailAdds.size + idx.tailRemoves.count(tombstoneLive) + controlRows.size
-        (small.unionByName(leg("add", addType)).unionByName(removeLeg),
+        // the add leg streams through addColumnDf so stats_parsed-only
+        // checkpoints keep their stats in the checkpoint we WRITE
+        (small.unionByName(leg("add", addType,
+            Some(addColumnDf(spark, idx.checkpointParts)))).unionByName(removeLeg),
           None, approx)
       case None =>
         val rows =
@@ -460,6 +465,37 @@ object Checkpoints {
           .filter(a => a.isInstanceOf[AddFile] || a.isInstanceOf[RemoveFile])
       }
     resolved.filterNot(a => a.isInstanceOf[Sidecar] || a.isInstanceOf[CheckpointMetadata])
+  }
+
+  /** The `add` column of checkpoint parts with raw JSON `stats` GUARANTEED
+    * populated: parts written with `delta.checkpoint.writeStatsAsJson=false`
+    * (delta-spark) carry stats only as the table-specific `stats_parsed`
+    * struct — reading them through the bare addType silently nulls stats,
+    * degrading the lazy path's data skipping to full scans and PERSISTING
+    * the loss when a lazy re-checkpoint streams the old parts. One footer
+    * peek decides; the synthesized column matches the eager read's
+    * fallback (reference scan_row.rs:225-310). */
+  def addColumnDf(spark: SparkSession, parts: Seq[Path]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, to_json}
+    val statsParsedType: Option[StructType] =
+      scala.util.Try(spark.read.parquet(parts.map(_.toString): _*).schema).toOption
+        .flatMap(_.find(_.name == "add")).map(_.dataType)
+        .collect { case s: StructType => s }
+        .flatMap(_.find(_.name == "stats_parsed")).map(_.dataType)
+        .collect { case s: StructType => s }
+    statsParsedType match {
+      case None =>
+        spark.read.schema(StructType(Seq(StructField("add", addType))))
+          .parquet(parts.map(_.toString): _*).filter(col("add").isNotNull)
+      case Some(t) =>
+        val readType = StructType(addType.fields :+ StructField("stats_parsed", t))
+        spark.read.schema(StructType(Seq(StructField("add", readType))))
+          .parquet(parts.map(_.toString): _*).filter(col("add").isNotNull)
+          .withColumn("add", col("add")
+            .withField("stats",
+              coalesce(col("add.stats"), to_json(col("add.stats_parsed"))))
+            .dropFields("stats_parsed"))
+    }
   }
 
   /** Multi-file variant: all parts of one checkpoint version (classic

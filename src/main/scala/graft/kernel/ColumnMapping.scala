@@ -55,13 +55,19 @@ object ColumnMapping {
     * Columns not in `schema` (e.g. `_change_type`) pass through unchanged. */
   def toPhysical(df: DataFrame, schema: StructType): DataFrame = {
     val byName = schema.fields.map(f => f.name -> f).toMap
+    // df(name), never functions.col(name): col() PARSES its argument, so a
+    // logical name containing '.' or '`' (special-char names are the main
+    // use of column mapping) resolves as a nested-field path and every
+    // write fails or binds the wrong column — the same trap
+    // toPhysicalPredicate's Seq-constructor comment pins
     val cols: Seq[Column] = df.schema.fieldNames.toSeq.map { n =>
       byName.get(n) match {
         case Some(f) =>
           val pt = physicalType(f.dataType)
-          val c = if (pt == f.dataType) col(f.name) else col(f.name).cast(pt)
+          val c = if (pt == f.dataType) df(s"`${f.name.replace("`", "``")}`")
+                  else df(s"`${f.name.replace("`", "``")}`").cast(pt)
           c.as(physicalName(f))
-        case None => col(n)
+        case None => df(s"`${n.replace("`", "``")}`")
       }
     }
     df.select(cols: _*)

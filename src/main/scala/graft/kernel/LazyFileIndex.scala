@@ -45,6 +45,12 @@ class LazyFileIndex(
     .parquet(checkpointParts.map(_.toString): _*)
     .filter(col(name).isNotNull)
 
+  // add-column reads go through the stats_parsed-aware reader (ONE footer
+  // peek per index instance): a writeStatsAsJson=false checkpoint read
+  // through the bare addType nulls every stat — data skipping silently
+  // degrades to full scans exactly on the huge tables lazy mode serves
+  private lazy val addDf = Checkpoints.addColumnDf(spark, checkpointParts)
+
   /** Distributed prune: file-skipping predicates evaluate on executors over
     * the checkpoint parquet; only survivors cross to the driver. `schema`/
     * `partitionColumns`/`preds` must already be in the physical domain when
@@ -60,7 +66,7 @@ class LazyFileIndex(
     val pc = partitionColumns
     val predsB = spark.sparkContext.broadcast(preds.toVector)
     val overlayB = spark.sparkContext.broadcast(tailKeys)
-    val survivors = colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
+    val survivors = addDf.rdd.mapPartitions { it =>
       val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
       val ps = predsB.value
       val overlay = overlayB.value
@@ -80,7 +86,7 @@ class LazyFileIndex(
   def countAdds(): Long = {
     if (isMaterialized) return cachedAdds.size.toLong
     val overlayB = spark.sparkContext.broadcast(tailKeys)
-    val ckpt = colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
+    val ckpt = addDf.rdd.mapPartitions { it =>
       val overlay = overlayB.value
       it.filter(row => !overlay.contains(Checkpoints.decodeAdd(row.getStruct(0)).reconcileKey))
     }.count()
@@ -111,7 +117,7 @@ class LazyFileIndex(
       if (isMaterialized) summarize(cachedAdds.iterator)
       else {
         val overlayB = spark.sparkContext.broadcast(tailKeys)
-        colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
+        addDf.rdd.mapPartitions { it =>
           val overlay = overlayB.value
           Iterator(summarize(it.map(row => Checkpoints.decodeAdd(row.getStruct(0)))
             .filterNot(f => overlay.contains(f.reconcileKey))))
@@ -128,7 +134,7 @@ class LazyFileIndex(
   def liveRelPathsDf(tablePathStr: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val overlayB = spark.sparkContext.broadcast(tailKeys)
-    val ckpt = colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
+    val ckpt = addDf.rdd.mapPartitions { it =>
       val tp = new Path(tablePathStr)
       val uri = tp.toUri
       val overlay = overlayB.value
@@ -192,7 +198,7 @@ class LazyFileIndex(
   def addsSmallerThan(maxSize: Long): Vector[AddFile] = {
     if (isMaterialized) return cachedAdds.filter(_.size < maxSize)
     val overlayB = spark.sparkContext.broadcast(tailKeys)
-    val ckpt = colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
+    val ckpt = addDf.rdd.mapPartitions { it =>
       val overlay = overlayB.value
       it.flatMap { row =>
         val f = Checkpoints.decodeAdd(row.getStruct(0))
@@ -207,7 +213,7 @@ class LazyFileIndex(
     if (cachedAdds == null) synchronized {
       if (cachedAdds == null) {
         val overlayB = spark.sparkContext.broadcast(tailKeys)
-        val ckpt = colDf("add", Checkpoints.addType).rdd.mapPartitions { it =>
+        val ckpt = addDf.rdd.mapPartitions { it =>
           val overlay = overlayB.value
           it.flatMap { row =>
             val f = Checkpoints.decodeAdd(row.getStruct(0))

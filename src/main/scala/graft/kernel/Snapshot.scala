@@ -192,6 +192,23 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
       .flatMap(ActionCodec.fromJson)
 
   /** The `_last_checkpoint` hint, if present. */
+  /** Both hint fields from ONE read of `_delta_log/_last_checkpoint` —
+    * separate per-field reads doubled the billable round-trips on object
+    * stores for every snapshot load (one per streaming micro-batch). */
+  def lastCheckpointVersionAndSize(): (Option[Long], Option[Long]) = {
+    scala.util.Try {
+      val p = new Path(logPath, LogStore.LAST_CHECKPOINT)
+      if (!store.exists(p)) (None, None)
+      else store.read(p).headOption.map { line =>
+        val j = JsonMethods.parse(line)
+        def f(field: String): Option[Long] = j \ field match {
+          case JInt(n) => Some(n.toLong); case JLong(n) => Some(n); case _ => None
+        }
+        (f("version"), f("size"))
+      }.getOrElse((None, None))
+    }.getOrElse((None, None))
+  }
+
   def lastCheckpointHint(): Option[Long] = lastCheckpointField("version")
 
   /** The hint's declared action count — decides eager vs lazy file index. */
@@ -322,10 +339,11 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
           val ps = if (classic) parts else v2SidecarParts
           ps.map(p => Checkpoints.partRowCount(store, p)).sum
         }.getOrElse(Long.MaxValue) // read failure = assume over threshold
-        val cpRows: Long =
-          if (lastCheckpointHint().contains(cv))
-            lastCheckpointSize().getOrElse(footerRows())
+        val cpRows: Long = {
+          val (hintV, hintSize) = lastCheckpointVersionAndSize()
+          if (hintV.contains(cv)) hintSize.getOrElse(footerRows())
           else footerRows()
+        }
         if (withFiles && cpRows >= lazyThreshold &&
             (classic || v2SidecarParts.nonEmpty)) {
           lazyParts = Some(if (classic) parts else v2SidecarParts)

@@ -161,6 +161,17 @@ object StatsPruning {
     Integer.compare(a.length - i, b.length - j)
   }
 
+  /** First `nCp` CODE POINTS of `s` — never splits a surrogate pair. */
+  def codePointTake(s: String, nCp: Int): String = {
+    var i = 0
+    var cp = 0
+    while (i < s.length && cp < nCp) {
+      i += Character.charCount(s.codePointAt(i))
+      cp += 1
+    }
+    s.substring(0, i)
+  }
+
   def compare(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
     case (x: String, y: String) => Some(codePointCompare(x, y))
@@ -332,8 +343,12 @@ object StatsPruning {
               case None => None
               case Some(lv) =>
                 statRange(c) match {
-                  case Some((mn, mx, _, _)) =>
-                    if (flipped) statKeepFlipped(statKeep)(mn, mx, lv) else statKeep(mn, mx, lv)
+                  // cmpNode serves EqualTo ONLY — a symmetric comparison,
+                  // so a flipped (lit = col) form needs no stat rewrite.
+                  // Asymmetric comparisons go through cmpKeep with explicit
+                  // per-direction flip handling; reusing cmpNode for one
+                  // would need a REAL flipped-stat rewrite here.
+                  case Some((mn, mx, _, _)) => statKeep(mn, mx, lv)
                   case None => None
                 }
             }
@@ -341,9 +356,6 @@ object StatsPruning {
         case None => None
       }
     }
-
-    // For flipped comparisons (lit OP col), rewrite in terms of col OP' lit
-    def statKeepFlipped(f: (Option[Any], Option[Any], Any) => Option[Boolean]) = f
 
     def le(a: Any, b: Any): Option[Boolean] = compare(a, b).map(_ <= 0)
     def lt(a: Any, b: Any): Option[Boolean] = compare(a, b).map(_ < 0)
@@ -497,8 +509,17 @@ object StatsPruning {
           } else fv.stats.flatMap { s =>
             (s.min.get(c), s.max.get(c)) match {
               case (Some(mn: String), Some(mx: String)) =>
-                val mnp = mn.take(p.length); val mxp = mx.take(p.length)
-                Some(mnp <= p && p <= mxp)
+                // CODE-POINT order (parquet's byte order), like every other
+                // string bound in this file — UTF-16 String <= misranks
+                // supplementary chars vs BMP privates and char-count take()
+                // splits surrogate pairs, both of which wrongly pruned
+                // files (silent missing rows). Sound rule: a p-prefixed
+                // string exists in [min, max] only if p <= max (prefixed
+                // strings are >= p) and min's |p|-code-point prefix <= p
+                // (else every file string exceeds all p-prefixed ones).
+                val nCp = p.codePointCount(0, p.length)
+                val mnp = codePointTake(mn, nCp)
+                Some(codePointCompare(mnp, p) <= 0 && codePointCompare(p, mx) <= 0)
               case _ => None
             }
           }

@@ -182,19 +182,23 @@ class OptimisticTransaction(
               if (retries > maxRetries)
                 throw new CommitConflictException("MaxCommitRetries",
                   s"gave up after $maxRetries attempts at version $attempt")
-              // replay winners and check for conflicts before retrying at next
-              // version; a lagging listing (eventual consistency) may report
-              // latest < attempt — never move the attempt cursor backward, every
-              // version below it has already been conflict-checked
-              val latest = log.latestVersion()
-              ((attempt to latest)).foreach { winner =>
+              // replay winners and check for conflicts before retrying at
+              // the next version. A lagging listing (eventual consistency)
+              // may report latest < attempt — but `attempt` is KNOWN
+              // occupied (we just read its commit), so the replay range
+              // must include it and the cursor must advance past it; the
+              // old max(latest + 1, attempt) left the cursor ON the
+              // occupied version, deterministically re-colliding until
+              // MaxCommitRetries failed a conflict-free commit.
+              val top = math.max(log.latestVersion(), attempt)
+              (attempt to top).foreach { winner =>
                 // the ghost check already read the commit at `attempt`
                 val winnerActions =
                   if (winner == attempt && winnerAtAttempt.isDefined) winnerAtAttempt.get
                   else log.readCommit(winner)
                 checkConflicts(winnerActions, actions, winner)
               }
-              attempt = math.max(latest + 1, attempt)
+              attempt = top + 1
               false
             }
           case e: java.io.IOException =>

@@ -294,6 +294,68 @@ class Round8Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](DeltaTable.forPath(spark, dir).loadCdf(-1))
   }
 
+  test("LAZY snapshot over a stats_parsed-only checkpoint keeps skipping + re-checkpoint keeps stats") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "s")
+        .repartitionByRange(2, col("id")), dir)
+    DeltaTable.forPath(spark, dir).createCheckpoint()
+
+    // rewrite the checkpoint delta-spark writeStatsAsJson=false style:
+    // stats STRUCT (numRecords + min/max id), raw JSON nulled
+    val cpFile = new java.io.File(dir, "_delta_log").listFiles()
+      .map(_.getName).filter(_.matches("\\d{20}\\.checkpoint\\.parquet")).head
+    val cpPath = s"$dir/_delta_log/$cpFile"
+    val cp = spark.read.parquet(cpPath)
+    val rewritten = cp.withColumn("add",
+      col("add")
+        .withField("stats_parsed", struct(
+          get_json_object(col("add.stats"), "$.numRecords").cast("long").as("numRecords"),
+          struct(get_json_object(col("add.stats"), "$.minValues.id").cast("long").as("id")).as("minValues"),
+          struct(get_json_object(col("add.stats"), "$.maxValues.id").cast("long").as("id")).as("maxValues")))
+        .withField("stats", lit(null).cast("string")))
+    val tmpOut = tmpDir()
+    rewritten.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpOut))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.delete(new org.apache.hadoop.fs.Path(cpPath), false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+      new org.apache.hadoop.fs.Path(cpPath), false,
+      spark.sessionState.newHadoopConf())
+    new java.io.File(dir, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .filterNot(_.getName.startsWith("_")).foreach(_.delete())
+
+    spark.conf.set("spark.graft.lazySnapshotThreshold", "1")
+    try {
+      val t = DeltaTable.forPath(spark, dir)
+      assert(t.snapshot.lazyIndex.exists(!_.isMaterialized), "index must stay lazy")
+      assert(t.approxCount.contains(100L),
+        "lazy numRecords must be recovered from stats_parsed")
+      val pruned = graft.table.Scan.prunedFiles(t.snapshot,
+        Seq(graft.table.Scan.parsePredicate(spark, "id <= 1")), Some(spark))
+      assert(pruned.size == 1,
+        s"lazy skipping must prune on stats_parsed-derived bounds, kept ${pruned.size}")
+
+      // a re-checkpoint streamed from the lazy parts must PRESERVE stats
+      DeltaTable.write(spark, Seq((1000L, "x")).toDF("id", "s"), dir, mode = "append")
+      val t2 = DeltaTable.forPath(spark, dir)
+      t2.createCheckpoint()
+      new java.io.File(dir, "_delta_log").listFiles()
+        .filter(_.getName.endsWith(".json"))
+        .filterNot(_.getName.startsWith("_")).foreach(_.delete())
+      val t3 = DeltaTable.forPath(spark, dir)
+      assert(t3.approxCount.contains(101L))
+      val pruned3 = graft.table.Scan.prunedFiles(t3.snapshot,
+        Seq(graft.table.Scan.parsePredicate(spark, "id <= 1")), Some(spark))
+      assert(pruned3.size == 1,
+        s"re-checkpoint dropped stats_parsed-derived stats (kept ${pruned3.size} files)")
+    } finally spark.conf.unset("spark.graft.lazySnapshotThreshold")
+  }
+
   test("dsirWeights discriminates target-like documents (rational DSIR)") {
     import spark.implicits._
     // target docs share a vocabulary; raw docs split between that

@@ -1673,6 +1673,39 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
          |FROM g GROUP BY source""".stripMargin
     }),
 
+    // pretrained linear classifier applied at corpus scale (the fastText
+    // quality-filter deployment shape): score = bias + Σ count_b · w_b over
+    // hashed unigram buckets. The weight table is exact binary fractions
+    // (multiples of 0.125) derived arithmetically from the bucket id, so
+    // DuckDB reproduces products, fold order, and the pass threshold
+    // bit-for-bit.
+    Entry("llm_linear_quality", (s, d) =>
+      TextOps.linearScore(docsDelta(s, d).select("doc_id", "text"),
+        "doc_id", "text",
+        weights = Array.tabulate(256)(i => ((i % 7) - 3) * 0.125),
+        bias = 0.25),
+      Some {
+        def dig(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(CASE WHEN length(nm) = 0 THEN []
+           |                             ELSE string_split(nm, ' ') END) AS w
+           |  FROM (SELECT doc_id, $normSql AS nm FROM documents) t),
+           |h AS (SELECT doc_id,
+           |        ((((${dig(1)} * 16 + ${dig(2)}) * 16 + ${dig(3)}) * 16 + ${dig(4)}) % 256) AS b
+           |      FROM (SELECT doc_id, md5(w) AS m FROM toks) x),
+           |c AS (SELECT doc_id, b, count(*) AS cnt FROM h GROUP BY 1, 2),
+           |sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           |         0.25 + list_sum(list_transform(
+           |           list_sort(list({'b': b,
+           |                           'v': CAST(cnt AS DOUBLE) * ((b % 7) - 3) * 0.125})),
+           |           x -> x.v)) AS score
+           |       FROM c GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+           |       coalesce(sc.score, 0.25) AS score,
+           |       coalesce(sc.score, 0.25) > 0 AS pass
+           |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+      }),
+
     // cross-corpus near-dup decontamination: incoming shard vs accumulated
     // corpus via MinHash bands + exact Jaccard verify (candidates complete
     // at this threshold as in llm_neardup_minhash, so DuckDB's brute-force

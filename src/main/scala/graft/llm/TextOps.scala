@@ -457,6 +457,44 @@ object TextOps {
       .select(col(idCol), col("__w").as("term"), col("rnk"), col("score"))
   }
 
+  /**
+   * Apply a PRETRAINED linear text classifier at corpus scale — the
+   * fastText/quality-classifier deployment shape (training happens
+   * offline on a small labeled set; what the 100 TB pipeline actually
+   * runs is this dot product): `score = bias + Σ_b count_b · weights(b)`
+   * over md5-hashed unigram buckets (the [[hashedFeatures]] bucket
+   * function; `weights.length` fixes the bucket count). The per-document
+   * fold runs in ascending-bucket order, so the double score replays
+   * bit-for-bit in any engine given the same weights.
+   *
+   * Scale shape: one token explode + one (doc, bucket) count aggregation
+   * + a codegen fold against a literal weight array — no joins, no
+   * vocabulary, no driver state.
+   */
+  def linearScore(df: DataFrame, idCol: String, textCol: String,
+      weights: Array[Double], bias: Double = 0.0): DataFrame = {
+    require(weights.length >= 2, s"linearScore: ${weights.length} weights")
+    val n = weights.length
+    val toks = df.select(col(idCol), explode(words(normalize(col(textCol)))).as("__w"))
+      .select(col(idCol),
+        (conv(substring(md5(col("__w")), 1, 4), 16, 10).cast("long") % n).as("__b"))
+    val wArr = typedlit(weights.toSeq)
+    val scored = toks.groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(idCol)
+      .agg(sum(col("__c")).as("n_tokens"),
+        (lit(bias) + aggregate(
+          array_sort(collect_list(struct(col("__b"), col("__c")))),
+          lit(0.0),
+          (acc, x) => acc + x("__c").cast("double") *
+            element_at(wArr, x("__b").cast("int") + 1))).as("score"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score"), lit(bias)).as("score"))
+      .withColumn("pass", col("score") > 0.0)
+  }
+
   def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
       numBuckets: Int = 1024): DataFrame = {
     require(numBuckets >= 2, s"hashedFeatures: numBuckets=$numBuckets")

@@ -17,6 +17,35 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("codePointCompare == UTF-8 byte order; codePointTake never splits pairs") {
+    // include supplementary chars (the exact class UTF-16 compareTo
+    // misranks vs U+E000..U+FFFF) and BMP privates
+    val cpGen = Gen.frequency(
+      6 -> Gen.chooseNum(0x20, 0x7e),
+      2 -> Gen.chooseNum(0xe000, 0xfffd),
+      2 -> Gen.chooseNum(0x10000, 0x10ffff))
+    val strGen = Gen.listOf(cpGen).map(cps =>
+      new String(cps.toArray, 0, cps.size))
+    check(Prop.forAll(strGen, strGen) { (a, b) =>
+      val byteCmp = {
+        val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        val n = math.min(x.length, y.length)
+        var i = 0
+        var r = 0
+        while (i < n && r == 0) { r = Integer.compare(x(i) & 0xff, y(i) & 0xff); i += 1 }
+        if (r != 0) r else Integer.compare(x.length, y.length)
+      }
+      Integer.signum(StatsPruning.codePointCompare(a, b)) == Integer.signum(byteCmp)
+    })
+    check(Prop.forAll(strGen, Gen.chooseNum(0, 8)) { (s, n) =>
+      val t = StatsPruning.codePointTake(s, n)
+      val wholePairs = t.isEmpty ||
+        !Character.isHighSurrogate(t.charAt(t.length - 1))
+      wholePairs && s.startsWith(t) &&
+        t.codePointCount(0, t.length) == math.min(n, s.codePointCount(0, s.length))
+    })
+  }
+
   test("z85 round-trips arbitrary 4k-byte blocks") {
     val gen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
       .map(l => l.take(l.size / 4 * 4).toArray)

@@ -356,6 +356,23 @@ class Round8Spec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.lazySnapshotThreshold")
   }
 
+  test("linearScore: bias on empty text, additive in token counts") {
+    import spark.implicits._
+    val w = Array.tabulate(64)(i => ((i % 5) - 2) * 0.25)
+    val df = Seq((1L, ""), (2L, "alpha"), (3L, "alpha alpha"), (4L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.TextOps.linearScore(df, "doc_id", "text", w, bias = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((0L, 0.5, true)), s"empty doc must score the bias: ${out(1L)}")
+    val sAlpha = out(2L)._2 - 0.5
+    assert(out(3L)._1 == 2L && math.abs((out(3L)._2 - 0.5) - 2 * sAlpha) < 1e-12,
+      "same-token repetition must scale the contribution linearly")
+    val sBeta = out(4L)._2 - 0.5 - sAlpha
+    assert(math.abs((out(2L)._2 - 0.5) + sBeta - (out(4L)._2 - 0.5)) < 1e-12)
+    intercept[IllegalArgumentException](
+      graft.llm.TextOps.linearScore(df, "doc_id", "text", Array(1.0)))
+  }
+
   test("dsirWeights discriminates target-like documents (rational DSIR)") {
     import spark.implicits._
     // target docs share a vocabulary; raw docs split between that

@@ -52,7 +52,7 @@ object LlmEntries {
   /** DuckDB mirror of [[graft.llm.TextOps.normalize]] — ONE definition so
     * the eight oracle call sites cannot drift from the Spark side. */
   private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))"
   private val fpSql = s"md5($normSql)"
 
   /** DuckDB replay of the md5Hash64-based SimHash pipeline as a brute-force
@@ -1541,14 +1541,17 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         .select("doc_id", "source", "shard", "pos"),
       Some {
         def dig(i: Int) = s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+        // 8 hex digits (32 hash bits), folded like the Spark side's
+        // conv(substring(h, 1, 8), 16, 10)
+        val h32 = (2 to 8).foldLeft(dig(1))((acc, i) => s"($acc * 16 + ${dig(i)})")
         s"""WITH b AS (
            |  SELECT doc_id, source,
            |         md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':shuf7') AS h
            |  FROM documents)
            |SELECT doc_id, source,
-           |       CAST(((((${dig(1)} * 16 + ${dig(2)}) * 16 + ${dig(3)}) * 16 + ${dig(4)}) % 8) AS BIGINT) AS shard,
+           |       CAST(($h32 % 8) AS BIGINT) AS shard,
            |       CAST(row_number() OVER (
-           |         PARTITION BY (((${dig(1)} * 16 + ${dig(2)}) * 16 + ${dig(3)}) * 16 + ${dig(4)}) % 8
+           |         PARTITION BY $h32 % 8
            |         ORDER BY h, doc_id) AS BIGINT) AS pos
            |FROM b""".stripMargin
       }),

@@ -76,6 +76,10 @@ object Clustering {
       .collect().map(_.getSeq[Double](1).toArray)
     require(centroids.nonEmpty, "kmeans: corpus has no non-null embeddings")
     val dim = centroids(0).length
+    require(centroids.forall(_.length == dim),
+      s"kmeans: mixed embedding widths in the init sample " +
+        s"(${centroids.map(_.length).distinct.mkString(", ")})")
+    requireWidth(corpus, vecCol, dim, "kmeansCentroids")
 
     for (_ <- 0 until iters) {
       val assigned = base
@@ -116,6 +120,7 @@ object Clustering {
       vecCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
     require(centroids.nonEmpty, "kmeansAssign: no centroids")
+    requireWidth(corpus, vecCol, centroids(0).length, "kmeansAssign")
     val v = col(vecCol).cast("array<double>")
     corpus
       .filter(col(vecCol).isNotNull)
@@ -124,6 +129,19 @@ object Clustering {
       .withColumn("dist2", element_at(col("__d"), col("cluster") + 1))
       .drop("__d")
   }
+
+  /** A vector whose width differs from the centroid dim zip_with-null-pads
+    * every distance to NULL: training crashes mid-job on a NULL cluster id
+    * and assignment emits the half-null rows its contract forbids. Probe
+    * one non-null row (the Similarity.requireDim discipline) and fail with
+    * an actionable message instead. */
+  private def requireWidth(df: DataFrame, vecCol: String, dim: Int,
+      op: String): Unit =
+    df.select(org.apache.spark.sql.functions.size(col(vecCol)).as("__w"))
+      .filter(col("__w").isNotNull).limit(1).collect().headOption.foreach { r =>
+        require(r.getInt(0) == dim,
+          s"$op: centroid dim=$dim does not match embedding width ${r.getInt(0)}")
+      }
 
   /** Train + assign in one call: (idCol, cluster, dist2). */
   def kmeans(

@@ -198,7 +198,12 @@ object Curation {
     val nChunks = when(n <= chunkSize, lit(1))
       .otherwise(floor((n - chunkSize + step - 1).cast("double") / step)
         .cast("int") + 1)
-    df.select(col(idCol), TextOps.words(col(textCol)).as("__ws"))
+    // NULL text coalesces to "" (the removeRepeatedLines/Spans discipline):
+    // words(NULL) is NULL, sequence(0, NULL) is NULL, and explode(NULL)
+    // would silently DROP the document instead of yielding its one empty
+    // chunk as the contract promises
+    df.select(col(idCol),
+        TextOps.words(coalesce(col(textCol), lit(""))).as("__ws"))
       .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
       .withColumn("__chunk",
         slice(col("__ws"), col("chunk_idx") * step + 1, lit(chunkSize)))
@@ -298,8 +303,13 @@ object Curation {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("__h"), col(idCol))
     df.withColumn("__h", h)
+      // 8 hex chars = 32 hash bits: the old 4-char (16-bit) prefix capped
+      // distinct shard keys at 65,536 — shards beyond that stayed
+      // permanently EMPTY and counts near it skewed 2:1, breaking the
+      // uniform-permutation contract exactly at the 100k-shard scale the
+      // sizing rule above implies
       .withColumn("shard",
-        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long") % nShards)
+        (conv(substring(col("__h"), 1, 8), 16, 10).cast("long") % nShards)
           .as("shard"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h")

@@ -301,23 +301,7 @@ object Dedup {
     val r = numHashes / bands
     val cAgg = minhashAgg(shingles(corpus, idCol, textCol, shingleSize), numHashes)
     val sAgg = minhashAgg(shingles(shard, idCol, textCol, shingleSize), numHashes)
-    val cB = bandedKeys(cAgg.drop("__hs"), bands, r, maxBucketWidth)
-      .select(col("__id").as("corpus_id"), col("__band"), col("__bh"))
-    val sB = bandedKeys(sAgg.drop("__hs"), bands, r, maxBucketWidth)
-      .select(col("__id").as("shard_id"), col("__band").as("__band2"),
-        col("__bh").as("__bh2"))
-    val candidates = sB.join(cB,
-        col("__band") === col("__band2") && col("__bh") === col("__bh2"))
-      .select("shard_id", "corpus_id").distinct()
-    val withSets = candidates
-      .join(sAgg.select(col("__id").as("shard_id"), col("__hs").as("__hsa")), "shard_id")
-      .join(cAgg.select(col("__id").as("corpus_id"), col("__hs").as("__hsb")), "corpus_id")
-    val inter = size(array_intersect(col("__hsa"), col("__hsb"))).cast("double")
-    val union = (size(col("__hsa")) + size(col("__hsb"))).cast("double") - inter
-    withSets
-      .withColumn("jaccard", inter / union)
-      .filter(col("jaccard") >= threshold)
-      .select("shard_id", "corpus_id", "jaccard")
+    crossCandidatesVerified(cAgg, sAgg, bands, r, threshold, maxBucketWidth)
   }
 
   /**
@@ -362,6 +346,19 @@ object Dedup {
       (col(idCol).as("__id") +: col("hset").as("__hs") +:
         (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"__h$i"))): _*)
     val sAgg = minhashAgg(shingles(shard, idCol, textCol, shingleSize), numHashes)
+    crossCandidatesVerified(cAgg, sAgg, bands, r, threshold, maxBucketWidth)
+  }
+
+  /** The shared tail of [[crossNearDups]] and
+    * [[crossNearDupsAgainstSignatures]]: banded corpus×shard candidate
+    * join + exact Jaccard verification over the (__id, __h*, __hs)
+    * aggregate frames. ONE definition — the persisted-signature path must
+    * return exactly what the live path returns, and a threshold or
+    * union-formula tweak applied to one copy would silently diverge them.
+    */
+  private def crossCandidatesVerified(
+      cAgg: DataFrame, sAgg: DataFrame, bands: Int, r: Int,
+      threshold: Double, maxBucketWidth: Int): DataFrame = {
     val cB = bandedKeys(cAgg.drop("__hs"), bands, r, maxBucketWidth)
       .select(col("__id").as("corpus_id"), col("__band"), col("__bh"))
     val sB = bandedKeys(sAgg.drop("__hs"), bands, r, maxBucketWidth)

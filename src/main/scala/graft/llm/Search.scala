@@ -71,7 +71,11 @@ object Search {
     // Corpus-wide constants: N and avgdl. One 1-row aggregate; the division
     // is a single IEEE op so an external engine recomputing
     // sum(dl)/count(*) lands on the identical double.
-    val statsRow = docs.agg(count(lit(1)), sum(col("__dl"))).head()
+    // coalesce: sum() over all-NULL doc lengths (every text NULL) is NULL
+    // and getLong throws a bare NPE — degrade to avgdl 0 like an empty
+    // corpus of words instead (the dsirWeights/packChunks discipline)
+    val statsRow = docs.agg(count(lit(1)),
+      coalesce(sum(col("__dl")), lit(0L))).head()
     val nDocs = statsRow.getLong(0)
     require(nDocs > 0, "bm25TopK: empty corpus")
     val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble

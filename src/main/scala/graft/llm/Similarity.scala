@@ -352,20 +352,29 @@ object Similarity {
       array((0 until dim).map(i => max(element_at(col("__v"), i + 1))): _*).as("__mx")))
 
     // code_i = round((x_i - mn_i) * 255 / (mx_i - mn_i)); constant
-    // dimensions encode as 0. x ∈ [mn, mx] so the value is non-negative and
-    // HALF_UP rounding == round-half-away-from-zero (the common SQL round).
+    // dimensions encode as 0. Codes SATURATE to [0, 255] like a real int8
+    // quantizer: corpus rows are in [mn, mx] by construction (clamp is a
+    // no-op there) but QUERY values are not — an out-of-range query
+    // dimension previously produced a negative/overflowing code whose
+    // products silently corrupted the ranking. HALF_UP rounding ==
+    // round-half-away-from-zero (the common SQL round).
     def codes(vc: Column): Column =
       transform(vc, (x, i) => {
         val mn = element_at(col("__mn"), i + 1)
         val mx = element_at(col("__mx"), i + 1)
         when(mx === mn, lit(0L))
-          .otherwise(round((x - mn) * lit(255.0) / (mx - mn)).cast("long"))
+          .otherwise(greatest(lit(0L), least(lit(255L),
+            round((x - mn) * lit(255.0) / (mx - mn)).cast("long"))))
       })
 
+    // NULL embeddings drop on BOTH sides (the pqTopK discipline): a NULL
+    // query otherwise "ranks" the k lowest-id docs with NULL scores
     val c = corpus.select(col(idCol).as("neighbor_id"), v.as("__cv"))
+      .filter(col("__cv").isNotNull)
       .crossJoin(stats)
       .select(col("neighbor_id"), codes(col("__cv")).as("__cc"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), v.as("__qv"))
+      .filter(col("__qv").isNotNull)
       .crossJoin(stats)
       .select(col("query_id"), codes(col("__qv")).as("__qc")))
 

@@ -17,13 +17,18 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Lowercase, strip non-alphanumerics, collapse whitespace runs to one
-    * space. Newlines/tabs are WHITESPACE, not punctuation: deleting them
-    * (the old `[^a-z0-9 ]` class) glued words across line breaks, so two
+    * space. Unicode letters/digits of EVERY script survive — the old
+    * ASCII-only `[^a-z0-9\s]` class normalized every fully non-Latin
+    * document (all of Chinese, Russian, ...) to the EMPTY STRING, giving
+    * them one shared fingerprint: exact dedup then kept one document out
+    * of an entire language's corpus (silent mass data loss on multilingual
+    * data). Newlines/tabs are WHITESPACE, not punctuation: deleting them
+    * (an even older class) glued words across line breaks, so two
     * documents identical modulo line-wrapping — ubiquitous in web text —
     * got different fingerprints. Deterministic normalization used by
     * [[fingerprint]] and dedup. */
   def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    trim(regexp_replace(regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", ""), "\\s+", " "))
 
   /** Stable document fingerprint: md5 of the normalized text. Two documents
     * with the same fingerprint are duplicates modulo case/punct/whitespace. */
@@ -339,22 +344,6 @@ object TextOps {
   }
 
   /**
-   * Feature hashing (the "hashing trick", Weinberger et al. 2009): sparse
-   * signed bag-of-words features in a fixed `numBuckets`-dim space with NO
-   * vocabulary pass — bucket and sign both derive from md5 of the token, so
-   * the featurization is stateless, embarrassingly parallel, and any engine
-   * can replay it. Output is the sparse long format (id, bucket, weight):
-   * weight = Σ ±1 over the document's tokens landing in the bucket (the
-   * signed sum makes collisions cancel in expectation instead of biasing
-   * counts upward). Documents with no tokens emit no rows.
-   *
-   * Scale shape: one explode + one (id, bucket) hash aggregation with
-   * map-side partial combine — the same cost as a word count; no
-   * vocabulary broadcast, no driver state, dimensionality fixed up front
-   * regardless of corpus vocabulary growth (the point of the trick at
-   * 100 TB: a real vocabulary pass over web text is billions of terms).
-   */
-  /**
    * Markup stripping for web-scraped corpora: remove script/style blocks
    * WITH their payload (executable/styling text is never prose), drop all
    * remaining tags, decode the five XML entities + numeric escapes'
@@ -495,6 +484,22 @@ object TextOps {
       .withColumn("pass", col("score") > 0.0)
   }
 
+  /**
+   * Feature hashing (the "hashing trick", Weinberger et al. 2009): sparse
+   * signed bag-of-words features in a fixed `numBuckets`-dim space with NO
+   * vocabulary pass — bucket and sign both derive from md5 of the token, so
+   * the featurization is stateless, embarrassingly parallel, and any engine
+   * can replay it. Output is the sparse long format (id, bucket, weight):
+   * weight = Σ ±1 over the document's tokens landing in the bucket (the
+   * signed sum makes collisions cancel in expectation instead of biasing
+   * counts upward). Documents with no tokens emit no rows.
+   *
+   * Scale shape: one explode + one (id, bucket) hash aggregation with
+   * map-side partial combine — the same cost as a word count; no
+   * vocabulary broadcast, no driver state, dimensionality fixed up front
+   * regardless of corpus vocabulary growth (the point of the trick at
+   * 100 TB: a real vocabulary pass over web text is billions of terms).
+   */
   def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
       numBuckets: Int = 1024): DataFrame = {
     require(numBuckets >= 2, s"hashedFeatures: numBuckets=$numBuckets")

@@ -826,7 +826,7 @@ class LlmSpec extends AnyFunSuite {
       (i, (0 until 4 + rnd.nextInt(8)).map(_ => "abc" (rnd.nextInt(3))).mkString(" "))
     }
     def norm(t: String) =
-      t.toLowerCase.replaceAll("[^a-z0-9\\s]", "").replaceAll("\\s+", " ").trim
+      t.toLowerCase.replaceAll("[^\\p{L}\\p{N}\\s]", "").replaceAll("\\s+", " ").trim
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
       for (i <- 1 to a.length; j <- 1 to b.length)

@@ -60,13 +60,10 @@ private[catalog] object CatalogHttp {
       else f"%%${b & 0xff}%02X"
     }.mkString
 
-  /** JSON string-literal escape for builder-side request bodies. */
-  def jstr(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  /** JSON string-literal escape for builder-side request bodies —
+    * delegated to json4s (already the file's JSON library) rather than a
+    * hand-rolled escaper that must stay correct by itself. */
+  def jstr(s: String): String = JsonMethods.compact(JsonMethods.render(JString(s)))
 
   def strField(json: JValue, name: String, ctx: String): String =
     json \ name match {
@@ -157,7 +154,11 @@ class GlueCatalogClient(
     requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(30))
     extends DataCatalog {
 
-  private val region = env.getOrElse("AWS_REGION", "us-east-1")
+  // AWS_REGION, then AWS_DEFAULT_REGION (the SDK/CLI resolution order) —
+  // honoring only the former signed for the wrong region in common
+  // CLI-configured environments
+  private val region = env.get("AWS_REGION")
+    .orElse(env.get("AWS_DEFAULT_REGION")).getOrElse("us-east-1")
   private val endpoint =
     endpointOverride.getOrElse(s"https://glue.$region.amazonaws.com")
   private val signer = new SigV4Signer(

@@ -44,8 +44,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def spark: SparkSession = SparkSession.active
 
-  private def fs = warehouse.getFileSystem(
-    spark.sessionState.newHadoopConf())
+  // cache the FileSystem handle: newHadoopConf() CLONES the whole Hadoop
+  // configuration, and list/exists paths touch fs several times per slot —
+  // SHOW TABLES over N slots was O(N) conf clones
+  @volatile private var cachedFs: org.apache.hadoop.fs.FileSystem = _
+  private def fs = {
+    if (cachedFs == null)
+      cachedFs = warehouse.getFileSystem(spark.sessionState.newHadoopConf())
+    cachedFs
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -181,6 +188,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // leave CDF unenabled while the statement succeeded
       val cfg = props -- reserved
       if (cfg.nonEmpty) existing.setProperties(cfg)
+      // COMMENT must land like the create branch records description —
+      // the register path silently dropped it
+      props.get(TableCatalog.PROP_COMMENT).foreach(c =>
+        existing.updateTableMetadata(name = None, description = Some(c)))
     } else {
       // CREATE ... LOCATION on a location with no Delta table and no
       // declared columns is a registration typo, not a zero-column table
@@ -246,6 +257,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val to = slotPath(newIdent)
     if (!isTableSlot(from)) throw new NoSuchTableException(oldIdent)
     if (slotOccupied(to)) throw new TableAlreadyExistsException(newIdent)
+    // an existing EMPTY directory at the destination (e.g. a namespace of
+    // that name) would make fs.rename move the table INSIDE it — the slot
+    // must be wholly absent, not merely unoccupied
+    if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
     if (!fs.exists(to.getParent)) throw new NoSuchNamespaceException(newIdent.namespace())
     // safe for Delta tables: add.path entries are table-root-relative, and
     // an external slot carries only its pointer file
@@ -294,6 +309,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = nsPath(namespace)
     if (!fs.exists(dir)) false
     else {
+      // same occupancy rule as loadNamespaceMetadata: a TABLE slot is not
+      // a namespace — DROP NAMESPACE ... CASCADE on a table identifier
+      // would otherwise delete the table and report a namespace drop
+      if (slotOccupied(dir)) throw new NoSuchNamespaceException(namespace)
       if (!cascade) require(fs.listStatus(dir).isEmpty,
         s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
       fs.delete(dir, true)

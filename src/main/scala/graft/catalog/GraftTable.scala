@@ -82,8 +82,15 @@ class GraftTable(
     }
     override def pushedFilters(): Array[Filter] = pushed
 
-    override def pruneColumns(requiredSchema: StructType): Unit =
-      required = requiredSchema
+    override def pruneColumns(requiredSchema: StructType): Unit = {
+      // the V1 bridge reads whole TOP-LEVEL columns: keep the requested
+      // top-level set but restore each column's full table type — Spark's
+      // nested schema pruning may request s:struct<y> only, and declaring
+      // that schema over a scan that produces the full struct fails row
+      // encoding (EXPRESSION_ENCODING_FAILED) on every struct-field query
+      required = StructType(
+        requiredSchema.fieldNames.flatMap(n => snap.schema.find(_.name == n)))
+    }
 
     override def build(): V2Scan = new V1Scan {
       override def readSchema(): StructType = required

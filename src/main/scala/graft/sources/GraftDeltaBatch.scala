@@ -62,7 +62,15 @@ object GraftDeltaRelation {
     * (Spark's own translateFilter has the same canPartialPushDownConjuncts
     * guard). */
   private def translate(f: Filter, partialAnd: Boolean): Option[Expression] = {
-    def attr(name: String): Expression = UnresolvedAttribute(Seq(name))
+    // DSv2 filter attribute strings are MULTI-PART when nested pushdown is
+    // on: `s.x = 1` on a struct arrives as the name "s.x" and a top-level
+    // column literally named a.b arrives backtick-quoted as "`a.b`".
+    // parseAttributeName handles both ("s.x" -> Seq(s, x); "`a.b`" ->
+    // Seq(a.b)); a bare Seq(name) made every nested-field predicate an
+    // unresolvable single-part identifier (AnalysisException on SELECT,
+    // broken DELETE WHERE)
+    def attr(name: String): Expression =
+      UnresolvedAttribute(UnresolvedAttribute.parseAttributeName(name))
     f match {
       case EqualTo(a, v) => Some(CEqualTo(attr(a), Literal(v)))
       case EqualNullSafe(a, v) => Some(CEqualNullSafe(attr(a), Literal(v)))

@@ -75,16 +75,25 @@ class GraftDeltaSink(
         s"graft-delta sink: partitionBy(${partitionColumns.mkString(",")}) does " +
         s"not match the existing table's partitioning " +
         s"(${m.partitionColumns.mkString(",")}) at $path")
+    // fail fast on columns the table doesn't know (the WriteIntoDelta /
+    // BlindDeltaTable guard): normalize() below selects by name, so an
+    // unknown stream column would otherwise vanish from every batch —
+    // silent data loss, not an error
+    val extra = batch.schema.fieldNames.toSet -- m.schema.fieldNames.toSet
+    require(extra.isEmpty,
+      s"graft-delta sink: stream columns ${extra.mkString(", ")} are not in " +
+        s"the table schema at $path")
     val normalized = Validation.prepareForWrite(spark,
       DeltaWriter.normalize(graft.ops.Generated.fill(batch, m.schema), m.schema), m)
     val adds = DeltaWriter.writeFiles(spark, table.tablePath, normalized,
       m.partitionColumns, WriteIntoDelta.numIndexedCols(m), meta = Some(m))
-    val removes = outputMode match {
-      case m if m == OutputMode.Complete() =>
+    // plain if, same form as the readWholeTable gate below (a match binder
+    // named `m` shadowed the Metadata val above)
+    val removes =
+      if (outputMode == OutputMode.Complete()) {
         val ts = System.currentTimeMillis()
         snap.allFiles.map(_.remove(ts, dataChange = true))
-      case _ => Nil
-    }
+      } else Nil
     val txnAction = SetTransaction(appId, batchId, Some(System.currentTimeMillis()))
     val txn = new OptimisticTransaction(table.deltaLog, Some(snap))
     // Complete mode replaces the WHOLE table — declare the full read set so

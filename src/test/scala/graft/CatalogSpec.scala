@@ -259,4 +259,40 @@ class CatalogSpec extends AnyFunSuite {
     assert(t.version == before + 1,
       s"ADD COLUMNS split into ${t.version - before} commits — must be atomic")
   }
+
+  test("round-8 guards: rename onto namespace dir, DROP NAMESPACE on a table, register COMMENT") {
+    sql("CREATE NAMESPACE graft.r8g")
+    sql("CREATE TABLE graft.r8g.t (id BIGINT)")
+    sql("INSERT INTO graft.r8g.t VALUES (1), (2)")
+
+    // destination exists as an (empty) NAMESPACE directory: rename must
+    // refuse — fs.rename onto an existing dir would nest the table INSIDE
+    sql("CREATE NAMESPACE graft.r8g.sub")
+    intercept[Exception](sql("ALTER TABLE graft.r8g.t RENAME TO r8g.sub"))
+    assert(sql("SELECT count(*) FROM graft.r8g.t").head().getLong(0) == 2,
+      "refused rename must leave the table intact")
+
+    // DROP NAMESPACE CASCADE aimed at a TABLE identifier must not delete it
+    intercept[Exception](sql("DROP NAMESPACE graft.r8g.t CASCADE"))
+    assert(sql("SELECT count(*) FROM graft.r8g.t").head().getLong(0) == 2,
+      "DROP NAMESPACE on a table slot must not destroy the table")
+
+    // registering EXISTING Delta data records the COMMENT like create does
+    val extDir = java.nio.file.Files.createTempDirectory("graft_extreg_").toString + "/t"
+    DeltaTable.write(spark, spark.range(3).toDF("id"), extDir)
+    sql(s"CREATE TABLE graft.r8g.ext (id BIGINT) LOCATION '$extDir' COMMENT 'registered docs'")
+    assert(DeltaTable.forPath(spark, extDir).metadata.description.contains("registered docs"),
+      "register branch must record the COMMENT")
+  }
+
+  test("round-8: nested-field predicate pushes through the DSv2 filter translation") {
+    sql("CREATE NAMESPACE graft.r8n")
+    sql("CREATE TABLE graft.r8n.ev (id BIGINT, s STRUCT<x: BIGINT, y: STRING>)")
+    sql("INSERT INTO graft.r8n.ev VALUES (1, named_struct('x', 1L, 'y', 'a')), " +
+      "(2, named_struct('x', 2L, 'y', 'b'))")
+    // previously: the pushed filter name "s.x" became a single-part
+    // UnresolvedAttribute and the whole SELECT died with AnalysisException
+    assert(sql("SELECT id FROM graft.r8n.ev WHERE s.x = 2").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(sql("SELECT count(*) FROM graft.r8n.ev WHERE s.y = 'a'").head().getLong(0) == 1L)
+  }
 }

@@ -681,6 +681,48 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         |       CAST(greatest(floor((gcum - n_tokens) / 2048), floor((gcum - 1) / 2048)) AS BIGINT) AS last_chunk
         |FROM cum""".stripMargin)),
 
+    // domain balancing: at most 10 docs per source, longest-first with a
+    // doc_id tiebreak; the rank filter compiles to WindowGroupLimit (a
+    // partial map-side top-k before the exchange), so a skewed mega-domain
+    // ships only its 10 best rows per task
+    Entry("llm_source_cap", (s, d) =>
+      graft.llm.Curation.capPerGroup(
+        docsDelta(s, d).select("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars", maxPerGroup = 10),
+      Some(
+        """SELECT doc_id, source, n_chars, group_rank FROM (
+          |  SELECT doc_id, source, n_chars,
+          |         CAST(row_number() OVER (PARTITION BY source
+          |           ORDER BY n_chars DESC NULLS LAST, doc_id) AS BIGINT) AS group_rank
+          |  FROM documents) t
+          |WHERE group_rank <= 10""".stripMargin)),
+
+    // corpus selection under a token budget (FineWeb/DataComp assembly):
+    // quality-ordered (n_chars DESC) maximal prefix whose cumulative token
+    // cost fits 20k — roughly half this corpus; same two-phase distributed
+    // cumsum as llm_token_pack, ordered by quality instead of id
+    Entry("llm_budget_select", (s, d) => {
+      val toks = TextOps.textStats(docsDelta(s, d), "doc_id", "text")
+        .select("doc_id", "n_tokens")
+      val docs = docsDelta(s, d).select("doc_id", "n_chars")
+        .join(toks, Seq("doc_id"))
+      graft.llm.Curation.budgetSelect(docs, "doc_id", "n_tokens", "n_chars",
+        budget = 20000, nParts = 8)
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(coalesce(list_sum([CAST(ceil(length(w) / 4.0) AS BIGINT) FOR w IN ws]), 0) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, n_chars,
+        |          CASE WHEN length(trim(text)) = 0 THEN []
+        |               ELSE string_split_regex(trim(text), '\s+') END AS ws
+        |        FROM documents)),
+        |cum AS (SELECT doc_id, n_chars, n_tokens,
+        |               sum(n_tokens) OVER (ORDER BY n_chars DESC NULLS LAST, doc_id
+        |                                   ROWS UNBOUNDED PRECEDING) AS cum_cost
+        |        FROM toks)
+        |SELECT doc_id, n_chars, n_tokens, CAST(cum_cost AS BIGINT) AS cum_cost
+        |FROM cum WHERE cum_cost <= 20000""".stripMargin)),
+
     // benchmark contamination: corpus docs sharing >= 5 trigram shingles
     // with an eval-set doc (broadcast bench side, shingle equi-join); the
     // benchmark here is a verbatim subset, so self-hits are guaranteed

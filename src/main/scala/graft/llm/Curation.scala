@@ -383,4 +383,84 @@ object Curation {
       out.localCheckpoint(true)
     } finally toks.unpersist()
   }
+
+  /**
+   * Per-group cap (domain balancing, the Common-Crawl "max N pages per
+   * host" rule): keep at most `maxPerGroup` rows of each `groupCol` value,
+   * best-first by `orderCol` descending with `idCol` ascending as the
+   * deterministic tiebreak. Output rows carry their 1-based `group_rank`.
+   *
+   * Scale shape: one shuffle on the group key. The `row_number() <= k`
+   * filter is recognized by Catalyst's WindowGroupLimit rule, which
+   * inserts a PARTIAL top-k pass before the exchange — a
+   * million-document domain ships only its k best rows per map task, so
+   * domain skew never lands on a single reducer's sort. NULL order values
+   * rank last on both engines only when pinned explicitly
+   * (`desc_nulls_last` here, `DESC NULLS LAST` in SQL oracles): Spark's
+   * DESC default is NULLS LAST but DuckDB's is NULLS FIRST.
+   */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      orderCol: String, maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup >= 1, s"capPerGroup: maxPerGroup=$maxPerGroup")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc_nulls_last, col(idCol).asc)
+    df.withColumn("group_rank", row_number().over(w).cast("long"))
+      .filter(col("group_rank") <= maxPerGroup)
+  }
+
+  /**
+   * Quality-budget selection (the FineWeb / DataComp corpus-assembly
+   * step): order the corpus by `qualityCol` descending (tiebreak `idCol`
+   * ascending) and keep the maximal PREFIX whose cumulative `costCol`
+   * (token count) stays within `budget` — "take the best documents until
+   * the token budget is spent". Kept rows return with their running
+   * `cum_cost` (cost of the row itself included). Strict-prefix
+   * semantics: the first document that overflows the budget ends the
+   * selection (no knapsack backfill with smaller later documents), which
+   * keeps the result a pure function of the ordering and replayable by
+   * any engine's window cumsum.
+   *
+   * Scale shape: the [[packChunks]] two-phase cumulative sum, ordered by
+   * quality instead of id — `repartitionByRange` on (quality DESC, id) so
+   * ranges are globally ordered, a per-partition window cumsum, then a
+   * P-row driver pass turns per-partition totals into range offsets. The
+   * driver holds one long per partition; rows never leave executors. NULL
+   * quality sorts last (selected only if budget remains), NULL cost
+   * counts 0.
+   */
+  def budgetSelect(df: DataFrame, idCol: String, costCol: String,
+      qualityCol: String, budget: Long, nParts: Int = 32): DataFrame = {
+    require(budget > 0, s"budgetSelect: budget=$budget must be positive")
+    val ord = Seq(col(qualityCol).desc_nulls_last, col(idCol).asc)
+    val parts = df.select(col(idCol), col(qualityCol),
+        coalesce(col(costCol), lit(0L)).cast("long").as("__cost"))
+      .repartitionByRange(nParts, ord: _*)
+      .withColumn("__p", spark_partition_id())
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__p")).orderBy(ord: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // as in packChunks: range boundaries are picked by sampling, so the
+    // cumsum must be computed ONCE and reused by the offsets pass and the
+    // filtered result, or they would describe different partitionings
+    val cum = parts.withColumn("__cum", sum(col("__cost")).over(wp))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = cum.groupBy("__p").agg(max("__cum").as("__t"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
+        .init.map(_._2).zip(totals.map(_._1)).map { case (off, p) => (p, off) }.toMap
+      val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+        when(col("__p") === p, lit(off)).otherwise(acc)
+      }
+      val result = cum
+        .withColumn("cum_cost", col("__cum") + offCol)
+        .filter(col("cum_cost") <= budget)
+        .select(col(idCol), col(qualityCol), col("__cost").as(costCol),
+          col("cum_cost"))
+      // pin the rows before dropping the cache the plan depends on
+      result.localCheckpoint()
+    } finally cum.unpersist()
+  }
 }

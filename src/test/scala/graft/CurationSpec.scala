@@ -163,4 +163,68 @@ class CurationSpec extends AnyFunSuite {
     val withNull = df.unionByName(Seq((null: java.lang.Long, "dnull")).toDF("id", "v"))
     assert(graft.llm.Curation.shuffleShards(withNull, "id", 8, "e0").count() == 501)
   }
+
+  test("capPerGroup: best-N per group, deterministic tiebreak, NULLs last") {
+    import spark.implicits._
+    // group g0 has 30 rows, quality = id % 7 (heavy ties); g1 has 2 rows
+    // (below the cap); one row carries a NULL quality
+    val rows = (1 to 30).map(i => (i.toLong, "g0", java.lang.Long.valueOf(i % 7L))) ++
+      Seq((31L, "g1", java.lang.Long.valueOf(9L)), (32L, "g1", null: java.lang.Long),
+        (33L, "g0", null: java.lang.Long))
+    val df = rows.toDF("id", "grp", "q")
+    val out = Curation.capPerGroup(df, "id", "grp", "q", maxPerGroup = 5)
+      .select("id", "grp", "q", "group_rank")
+      .as[(Long, String, Option[Long], Long)].collect().sortBy(r => (r._2, r._4))
+    // g1 keeps both rows (cap not reached), NULL quality ranked last
+    assert(out.filter(_._2 == "g1").map(r => (r._1, r._4)).toSeq == Seq((31L, 1L), (32L, 2L)))
+    val g0 = out.filter(_._2 == "g0")
+    assert(g0.length == 5 && g0.map(_._4).toSeq == (1L to 5L))
+    // expected order: quality desc, id asc — q=6 at ids 6,13,20,27 then q=5 at id 5
+    assert(g0.map(_._1).toSeq == Seq(6L, 13L, 20L, 27L, 5L))
+    // deterministic across runs
+    val again = Curation.capPerGroup(df, "id", "grp", "q", 5)
+      .select("id", "grp", "q", "group_rank")
+      .as[(Long, String, Option[Long], Long)].collect().sortBy(r => (r._2, r._4))
+    assert(again.sameElements(out))
+    // the rank filter must compile to a WindowGroupLimit (partial top-k
+    // before the exchange) — the 100 TB skew story depends on it
+    val plan = Curation.capPerGroup(df, "id", "grp", "q", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
+  test("budgetSelect: maximal quality-ordered prefix under the budget") {
+    import spark.implicits._
+    // quality == id for a transparent expected order: 100 docs, cost 10
+    // each → budget 255 keeps the best 25 (cum 250), the 26th would hit 260
+    val df = (1 to 100).map(i => (i.toLong, 10L, i.toLong)).toDF("id", "cost", "q")
+    val out = Curation.budgetSelect(df, "id", "cost", "q", budget = 255, nParts = 7)
+      .select("id", "q", "cost", "cum_cost")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    assert(out.length == 25)
+    assert(out.map(_._1).toSeq == (100L to 76L by -1L))
+    assert(out.head._4 == 10L && out.last._4 == 250L)
+    // distributed two-phase cumsum equals the single global window
+    val expected = df.withColumn("cum",
+      org.apache.spark.sql.functions.sum($"cost")
+        .over(org.apache.spark.sql.expressions.Window
+        .orderBy($"q".desc_nulls_last, $"id".asc)
+        .rowsBetween(Long.MinValue, 0)))
+      .filter($"cum" <= 255).select("id", "cum")
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(out.map(r => (r._1, r._4)).sameElements(expected))
+    // budget below the best doc's cost → empty, not an error
+    assert(Curation.budgetSelect(df, "id", "cost", "q", budget = 5).count() == 0)
+    // NULL cost counts 0; NULL quality sorts last but is admitted when
+    // budget remains
+    val withNulls = Seq((1L, java.lang.Long.valueOf(10L), java.lang.Long.valueOf(5L)),
+      (2L, null: java.lang.Long, java.lang.Long.valueOf(4L)),
+      (3L, java.lang.Long.valueOf(10L), null: java.lang.Long))
+      .toDF("id", "cost", "q")
+    val nOut = Curation.budgetSelect(withNulls, "id", "cost", "q", budget = 20)
+      .select("id", "cum_cost").as[(Long, Long)].collect().sortBy(_._2).toSeq
+    assert(nOut == Seq((2L, 10L), (1L, 10L), (3L, 20L)) ||
+      nOut == Seq((1L, 10L), (2L, 10L), (3L, 20L)),
+      s"got $nOut") // id=2 costs 0 so shares cum 10 with id=1; id=3 (NULL q) last
+  }
 }

@@ -693,7 +693,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         """SELECT doc_id, source, n_chars, group_rank FROM (
           |  SELECT doc_id, source, n_chars,
           |         CAST(row_number() OVER (PARTITION BY source
-          |           ORDER BY n_chars DESC NULLS LAST, doc_id) AS BIGINT) AS group_rank
+          |           ORDER BY n_chars DESC NULLS LAST, doc_id ASC NULLS FIRST) AS BIGINT) AS group_rank
           |  FROM documents) t
           |WHERE group_rank <= 10""".stripMargin)),
 
@@ -717,7 +717,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         |               ELSE string_split_regex(trim(text), '\s+') END AS ws
         |        FROM documents)),
         |cum AS (SELECT doc_id, n_chars, n_tokens,
-        |               sum(n_tokens) OVER (ORDER BY n_chars DESC NULLS LAST, doc_id
+        |               sum(n_tokens) OVER (ORDER BY n_chars DESC NULLS LAST, doc_id ASC NULLS FIRST
         |                                   ROWS UNBOUNDED PRECEDING) AS cum_cost
         |        FROM toks)
         |SELECT doc_id, n_chars, n_tokens, CAST(cum_cost AS BIGINT) AS cum_cost

@@ -126,28 +126,51 @@ object Curation {
     require(budget > 0, "packChunks: budget must be positive")
     // NULL token counts contribute 0 (sum() would skip them, and an
     // all-NULL partition would return a NULL total → driver NPE)
-    val parts = df.select(col(idCol),
-        coalesce(col(tokensCol), lit(0L)).cast("long").as("__tok"))
-      .repartitionByRange(nParts, col(idCol))
+    val base = df.select(col(idCol),
+      coalesce(col(tokensCol), lit(0L)).cast("long").as("__tok"))
+    globalCumsum(base, Seq(col(idCol)), "__tok", nParts)
+      .select(col(idCol), col("__tok").as(tokensCol),
+        (col("__gcum") - col("__tok")).as("token_offset"),
+        floor((col("__gcum") - col("__tok")) / budget).cast("long").as("first_chunk"),
+        // greatest(): a zero-token document never reports last < first
+        greatest(floor((col("__gcum") - col("__tok")) / budget),
+          floor((col("__gcum") - 1) / budget)).cast("long").as("last_chunk"))
+  }
+
+  /**
+   * Two-phase distributed cumulative sum — the scalable form of a GLOBAL
+   * `sum(value) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING)` (which would
+   * otherwise collapse to one partition): range-repartition on `ord` (a
+   * distributed sort), cumulative-sum WITHIN each partition (ROWS frame —
+   * the default RANGE frame gives rows tied on `ord` the same running
+   * total), then one tiny aggregation whose P running totals broadcast
+   * back as per-partition offsets. Only P longs cross the driver.
+   *
+   * Returns `df`'s columns plus `__gcum` (the value column's global
+   * running total, own row included), eagerly pinned via localCheckpoint.
+   * Per-partition totals come from `sum(value)`, not `max` of the running
+   * cumsum, so NEGATIVE values are totaled correctly (a partition ending
+   * below its peak would otherwise inflate every later offset).
+   *
+   * `repartitionByRange` picks boundaries by SAMPLING — nondeterministic
+   * across jobs — so the per-partition cumsums are computed once, persisted
+   * and reused by both the offsets pass and the result, and the returned
+   * frame is checkpointed before the cache drops; two jobs re-deriving the
+   * partitioning independently would disagree on offsets.
+   */
+  private def globalCumsum(df: DataFrame, ord: Seq[Column], valueCol: String,
+      nParts: Int): DataFrame = {
+    val parts = df.repartitionByRange(nParts, ord: _*)
       .withColumn("__p", spark_partition_id())
-    // ROWS frame, not the default RANGE frame: RANGE gives every row tied
-    // on idCol the SAME cumulative sum → overlapping token_offsets. With
-    // ROWS each row gets its own running total; ties on idCol pack in an
-    // arbitrary but internally consistent order (the cumsum is persisted
-    // and reused below, so offsets and rows always agree).
     val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__p")).orderBy(col(idCol))
+      .partitionBy(col("__p")).orderBy(ord: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    // repartitionByRange picks boundaries by SAMPLING — nondeterministic
-    // across jobs — so the per-partition cumsums MUST be computed once and
-    // reused by both the offsets pass and the result, or the offsets would
-    // describe a different partitioning than the rows they're joined to.
-    val cum = parts.withColumn("__cum", sum(col("__tok")).over(wp))
+    val cum = parts.withColumn("__cum", sum(col(valueCol)).over(wp))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // one row per partition; running offsets computed on the driver
-      val totals = cum.groupBy("__p").agg(max("__cum").as("__t"))
+      // one row per non-empty partition; running offsets on the driver
+      val totals = cum.groupBy("__p").agg(sum(col(valueCol)).as("__t"))
         .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
       val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
         .init.map(_._2).zip(totals.map(_._1)).map { case (off, p) => (p, off) }.toMap
@@ -155,13 +178,8 @@ object Curation {
         when(col("__p") === p, lit(off)).otherwise(acc)
       }
       val result = cum.withColumn("__gcum", col("__cum") + offCol)
-        .select(col(idCol), col("__tok").as(tokensCol),
-          (col("__gcum") - col("__tok")).as("token_offset"),
-          floor((col("__gcum") - col("__tok")) / budget).cast("long").as("first_chunk"),
-          // greatest(): a zero-token document never reports last < first
-          greatest(floor((col("__gcum") - col("__tok")) / budget),
-            floor((col("__gcum") - 1) / budget)).cast("long").as("last_chunk"))
-      // pin the result rows before dropping the cache the plan depends on
+        .drop("__p", "__cum")
+      // pin the rows before dropping the cache the plan depends on
       result.localCheckpoint()
     } finally cum.unpersist()
   }
@@ -397,14 +415,17 @@ object Curation {
    * domain skew never lands on a single reducer's sort. NULL order values
    * rank last on both engines only when pinned explicitly
    * (`desc_nulls_last` here, `DESC NULLS LAST` in SQL oracles): Spark's
-   * DESC default is NULLS LAST but DuckDB's is NULLS FIRST.
+   * DESC default is NULLS LAST but DuckDB's is NULLS FIRST. The id
+   * tiebreak is pinned ASC NULLS FIRST for the same reason (there the
+   * defaults diverge the other way: Spark ASC = NULLS FIRST, DuckDB ASC =
+   * NULLS LAST).
    */
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
       orderCol: String, maxPerGroup: Int): DataFrame = {
     require(maxPerGroup >= 1, s"capPerGroup: maxPerGroup=$maxPerGroup")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
-      .orderBy(col(orderCol).desc_nulls_last, col(idCol).asc)
+      .orderBy(col(orderCol).desc_nulls_last, col(idCol).asc_nulls_first)
     df.withColumn("group_rank", row_number().over(w).cast("long"))
       .filter(col("group_rank") <= maxPerGroup)
   }
@@ -421,46 +442,23 @@ object Curation {
    * keeps the result a pure function of the ordering and replayable by
    * any engine's window cumsum.
    *
-   * Scale shape: the [[packChunks]] two-phase cumulative sum, ordered by
-   * quality instead of id — `repartitionByRange` on (quality DESC, id) so
-   * ranges are globally ordered, a per-partition window cumsum, then a
-   * P-row driver pass turns per-partition totals into range offsets. The
-   * driver holds one long per partition; rows never leave executors. NULL
-   * quality sorts last (selected only if budget remains), NULL cost
-   * counts 0.
+   * Scale shape: the [[globalCumsum]] two-phase cumulative sum, ordered
+   * by quality instead of id. The driver holds one long per partition;
+   * rows never leave executors. NULL quality sorts last (selected only if
+   * budget remains), NULL cost counts 0, and the id tiebreak is pinned
+   * ASC NULLS FIRST explicitly (Spark's ASC default; DuckDB's is NULLS
+   * LAST — oracle SQL must pin it too if ids can be NULL).
    */
   def budgetSelect(df: DataFrame, idCol: String, costCol: String,
       qualityCol: String, budget: Long, nParts: Int = 32): DataFrame = {
     require(budget > 0, s"budgetSelect: budget=$budget must be positive")
-    val ord = Seq(col(qualityCol).desc_nulls_last, col(idCol).asc)
-    val parts = df.select(col(idCol), col(qualityCol),
-        coalesce(col(costCol), lit(0L)).cast("long").as("__cost"))
-      .repartitionByRange(nParts, ord: _*)
-      .withColumn("__p", spark_partition_id())
-    val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__p")).orderBy(ord: _*)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    // as in packChunks: range boundaries are picked by sampling, so the
-    // cumsum must be computed ONCE and reused by the offsets pass and the
-    // filtered result, or they would describe different partitionings
-    val cum = parts.withColumn("__cum", sum(col("__cost")).over(wp))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val totals = cum.groupBy("__p").agg(max("__cum").as("__t"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
-        .init.map(_._2).zip(totals.map(_._1)).map { case (off, p) => (p, off) }.toMap
-      val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
-        when(col("__p") === p, lit(off)).otherwise(acc)
-      }
-      val result = cum
-        .withColumn("cum_cost", col("__cum") + offCol)
-        .filter(col("cum_cost") <= budget)
-        .select(col(idCol), col(qualityCol), col("__cost").as(costCol),
-          col("cum_cost"))
-      // pin the rows before dropping the cache the plan depends on
-      result.localCheckpoint()
-    } finally cum.unpersist()
+    val ord = Seq(col(qualityCol).desc_nulls_last, col(idCol).asc_nulls_first)
+    val base = df.select(col(idCol), col(qualityCol),
+      coalesce(col(costCol), lit(0L)).cast("long").as("__cost"))
+    globalCumsum(base, ord, "__cost", nParts)
+      .withColumnRenamed("__gcum", "cum_cost")
+      .filter(col("cum_cost") <= budget)
+      .select(col(idCol), col(qualityCol), col("__cost").as(costCol),
+        col("cum_cost"))
   }
 }

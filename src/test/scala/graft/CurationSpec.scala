@@ -227,4 +227,24 @@ class CurationSpec extends AnyFunSuite {
       nOut == Seq((1L, 10L), (2L, 10L), (3L, 20L)),
       s"got $nOut") // id=2 costs 0 so shares cum 10 with id=1; id=3 (NULL q) last
   }
+
+  test("budgetSelect: negative costs total per-partition as sum, not running max") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{sum => fsum}
+    // every third cost is negative, so partition cumsums peak mid-stream:
+    // a max(__cum)-based partition total would inflate later offsets and
+    // drop in-budget rows
+    val df = (1 to 60)
+      .map(i => (i.toLong, if (i % 3 == 0) -7L else 10L, (100 - i).toLong))
+      .toDF("id", "cost", "q")
+    val got = Curation.budgetSelect(df, "id", "cost", "q", budget = 150, nParts = 5)
+      .select("id", "cum_cost").as[(Long, Long)].collect().sortBy(_._1)
+    val ref = df.withColumn("cum",
+      fsum($"cost").over(org.apache.spark.sql.expressions.Window
+        .orderBy($"q".desc_nulls_last, $"id".asc_nulls_first)
+        .rowsBetween(Long.MinValue, 0)))
+      .filter($"cum" <= 150).select("id", "cum")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty && got.sameElements(ref))
+  }
 }

@@ -657,6 +657,42 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
           |FROM tok k JOIN rates USING (source)
           |WHERE r >= 1.0 OR substr(md5(CAST(k.doc_id AS VARCHAR) || ':mix'), 1, 8) < printf('%08x', CAST(floor(r * 4294967296.0) AS BIGINT))""".stripMargin)),
 
+    // epoch-repeating mixture (the upsampling half of data mixing):
+    // src1 at 4/6 of an 8000-token budget lands near 2.6 epochs — two
+    // guaranteed copies of every doc plus a 0.6-probability third —
+    // while src2/src3 downsample below one epoch; the oracle replays the
+    // driver's rate arithmetic (budget * weight-share / tokens) and the
+    // per-doc fractional md5 draw
+    Entry("llm_epoch_mixture", (s, d) => {
+      val docs = docsDelta(s, d).select(col("doc_id"), col("source"), col("text"))
+        .withColumn("n_tokens", TextOps.tokenEstimate(col("text")))
+      graft.llm.Curation.epochMixture(docs, "doc_id", "source", col("n_tokens"),
+        Map("src1" -> 4.0, "src2" -> 1.0, "src3" -> 1.0),
+        tokenBudget = 8000, salt = "mix8")
+    }, Some(
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |         CAST(coalesce(list_sum([CAST(ceil(length(w) / 4.0) AS BIGINT) FOR w IN ws]), 0) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, source,
+        |          CASE WHEN length(trim(text)) = 0 THEN []
+        |               ELSE string_split_regex(trim(text), '\s+') END AS ws
+        |        FROM documents WHERE source IN ('src1', 'src2', 'src3'))
+        |),
+        |tot AS (SELECT source, SUM(n_tokens) AS t FROM tok GROUP BY source),
+        |rates AS (
+        |  SELECT source,
+        |         CAST(8000 AS DOUBLE) * (CASE source WHEN 'src1' THEN 4.0 ELSE 1.0 END / 6.0) / CAST(t AS DOUBLE) AS r
+        |  FROM tot),
+        |ep AS (
+        |  SELECT k.doc_id, k.source,
+        |         CAST(floor(r.r) AS BIGINT) AS f,
+        |         printf('%08x', CAST(floor((r.r - floor(r.r)) * 4294967296.0) AS BIGINT)) AS thr
+        |  FROM tok k JOIN rates r USING (source)),
+        |expl AS (SELECT doc_id, source, f, thr, unnest(range(0, f + 1)) AS e FROM ep)
+        |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+        |FROM expl
+        |WHERE e < f OR substr(md5(CAST(doc_id AS VARCHAR) || ':mix8'), 1, 8) < thr""".stripMargin)),
+
     // GPT-style sequence packing: documents laid out in id order into a
     // continuous token stream cut into 2048-token chunks; distributed
     // two-phase cumsum (range partition + per-partition window + P-row

@@ -104,6 +104,81 @@ object Curation {
   }
 
   /**
+   * Epoch-repeating domain mixture — the UPSAMPLING half of data mixing
+   * that [[mixtureSample]] deliberately leaves to the caller: a domain
+   * whose target token share exceeds its corpus size is REPEATED across
+   * training epochs (the LLaMA-style "books ×2.4" mixture). For domain d
+   * the uncapped rate r_d = tokenBudget * (w_d / Σw) / tokens_d becomes
+   * floor(r_d) guaranteed epochs of every document plus one further epoch
+   * kept by the deterministic salted-md5 draw at probability r_d −
+   * floor(r_d). Output is one row per (document, epoch) with a 0-based
+   * `epoch` column (epoch numbering lets [[shuffleShards]] interleave
+   * repeats instead of concatenating them). Rates ≤ 1 degrade to exactly
+   * [[mixtureSample]]'s behavior (0 guaranteed epochs + fractional draw);
+   * an empty domain keeps one epoch, like mixtureSample's shortfall rule.
+   *
+   * `maxEpochs` fails loudly when a tiny domain × large budget would
+   * explode (a 100-token domain against a 1B-token target is a
+   * configuration error, not a 10-million-fold replication request).
+   *
+   * Scale shape: one tiny per-DOMAIN aggregation to the driver for rates,
+   * then a narrow per-row `sequence`/`explode` — no shuffle, no join;
+   * output size is exactly the mixture's epoch multiple. Rate arithmetic
+   * is ordered `budget * (w/Σw) / tokens` so external engines replay the
+   * doubles bit-for-bit (the mixtureSample oracle precedent).
+   */
+  def epochMixture(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      tokensCol: Column,
+      weights: Map[String, Double],
+      tokenBudget: Long,
+      maxEpochs: Int = 16,
+      salt: String = "graft"): DataFrame = {
+    require(tokenBudget > 0, "epochMixture: tokenBudget must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.sum > 0, "epochMixture: weights must be non-negative, not all zero")
+    require(maxEpochs >= 1, s"epochMixture: maxEpochs=$maxEpochs")
+    require(df.schema(domainCol).dataType == org.apache.spark.sql.types.StringType,
+      s"epochMixture: domain column '$domainCol' must be STRING (weights are " +
+        s"string-keyed), got ${df.schema(domainCol).dataType.simpleString}")
+    val wsum = weights.values.sum
+    val totals = df.filter(col(domainCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(domainCol).as("__d"))
+      .agg(sum(coalesce(tokensCol, lit(0L)).cast("long")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates: Map[String, Double] = weights.flatMap { case (d, w) =>
+      totals.get(d).map { t =>
+        d -> (if (t <= 0) 1.0 else tokenBudget.toDouble * (w / wsum) / t.toDouble)
+      }
+    }
+    val over = rates.filter(_._2 > maxEpochs)
+    require(over.isEmpty,
+      s"epochMixture: rate exceeds maxEpochs=$maxEpochs for ${over.keys.mkString(",")} " +
+        s"(${over.values.map(r => f"$r%.1f").mkString(",")} epochs) — " +
+        "shrink the budget or upweight larger domains")
+    // per-domain full-epoch count and fractional-epoch threshold as
+    // when-chains (bounded by the domain count, all driver-held)
+    val fullCol = rates.foldLeft(lit(0)) { case (acc, (d, r)) =>
+      when(col(domainCol) === d, lit(r.toInt)).otherwise(acc)
+    }
+    val thrCol = rates.foldLeft(lit("00000000")) { case (acc, (d, r)) =>
+      when(col(domainCol) === d, lit(hexThreshold(r - r.toInt))).otherwise(acc)
+    }
+    val drawn = substring(md5(concat(coalesce(col(idCol).cast("string"), lit("")),
+      lit(":" + salt))), 1, 8)
+    df.filter(col(domainCol).isin(rates.keys.toSeq: _*))
+      .withColumn("__full", fullCol)
+      // __full + 1 candidate epochs; the last one is the fractional draw
+      // (generators can't nest inside cast — epoch is cast a step later)
+      .select(col(idCol), col(domainCol), col("__full"), thrCol.as("__thr"),
+        explode(sequence(lit(0), col("__full"))).as("__e"))
+      .filter(col("__e") < col("__full") || drawn < col("__thr"))
+      .select(col(idCol), col(domainCol), col("__e").cast("long").as("epoch"))
+  }
+
+  /**
    * GPT-style sequence packing (concat-and-chunk): documents are laid out
    * in `idCol` order into a continuous token stream cut into fixed
    * `budget`-token training chunks; returns each document's global token

@@ -247,4 +247,38 @@ class CurationSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().sortBy(_._1)
     assert(got.nonEmpty && got.sameElements(ref))
   }
+
+  test("epochMixture: upsampled domains repeat whole epochs + fractional draw") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // domain a: 5 docs × 10 tokens = 50; domain b: 20 docs × 10 = 200.
+    // equal weights, budget 250 → share 125 each → r_a = 2.5, r_b = 0.625
+    val docs = ((1 to 5).map(i => (i.toLong, "a", 10L)) ++
+      (101 to 120).map(i => (i.toLong, "b", 10L))).toDF("id", "dom", "tok")
+    def run() = Curation.epochMixture(docs, "id", "dom", col("tok"),
+      Map("a" -> 1.0, "b" -> 1.0), tokenBudget = 250, salt = "e")
+      .select("id", "dom", "epoch").as[(Long, String, Long)].collect().sortBy(r => (r._1, r._3))
+    val out = run()
+    // every a-doc gets epochs 0 and 1; epoch 2 only via the fractional draw,
+    // so per-doc epoch sets are contiguous prefixes {0,1} or {0,1,2}
+    val aEpochs = out.filter(_._2 == "a").groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq)
+    assert(aEpochs.keySet == (1L to 5L).toSet)
+    aEpochs.values.foreach(es => assert(es == Seq(0L, 1L) || es == Seq(0L, 1L, 2L), s"epochs $es"))
+    // b-docs appear at most once (epoch 0) and the kept set is EXACTLY what
+    // mixtureSample selects at the same rate/salt (shared draw function)
+    val bRows = out.filter(_._2 == "b")
+    assert(bRows.forall(_._3 == 0L) && bRows.map(_._1).distinct.length == bRows.length)
+    val viaSample = Curation.mixtureSample(docs, "id", "dom", col("tok"),
+      Map("a" -> 1.0, "b" -> 1.0), tokenBudget = 250, salt = "e")
+      .filter(col("dom") === lit("b")).select("id").as[Long].collect().sorted.toSeq
+    assert(bRows.map(_._1).toSeq == viaSample)
+    // deterministic
+    assert(run().sameElements(out))
+    // a tiny domain against a huge budget fails loudly instead of exploding
+    val ex = intercept[IllegalArgumentException] {
+      Curation.epochMixture(docs, "id", "dom", col("tok"),
+        Map("a" -> 1.0), tokenBudget = 100000)
+    }
+    assert(ex.getMessage.contains("maxEpochs"))
+  }
 }

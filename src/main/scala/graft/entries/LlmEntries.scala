@@ -655,14 +655,15 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
           |  FROM tot)
           |SELECT k.doc_id, k.source, k.n_tokens
           |FROM tok k JOIN rates USING (source)
-          |WHERE r >= 1.0 OR substr(md5(CAST(k.doc_id AS VARCHAR) || ':mix'), 1, 8) < printf('%08x', CAST(floor(r * 4294967296.0) AS BIGINT))""".stripMargin)),
+          |WHERE r >= 1.0 OR substr(md5(coalesce(CAST(k.doc_id AS VARCHAR), '') || ':mix'), 1, 8) < printf('%08x', LEAST(CAST(floor(r * 4294967296.0) AS BIGINT), 4294967295))""".stripMargin)),
 
     // epoch-repeating mixture (the upsampling half of data mixing):
-    // src1 at 4/6 of an 8000-token budget lands near 2.6 epochs — two
-    // guaranteed copies of every doc plus a 0.6-probability third —
-    // while src2/src3 downsample below one epoch; the oracle replays the
-    // driver's rate arithmetic (budget * weight-share / tokens) and the
-    // per-doc fractional md5 draw
+    // src1 at 4/6 of an 8000-token budget lands at ~2.3 epochs at the
+    // sf0.01 gate — two guaranteed copies of every doc plus a ~0.26-
+    // probability third — while src2/src3 downsample below one epoch;
+    // the oracle replays the driver's rate arithmetic (budget *
+    // weight-share / tokens, LEAST-clamped threshold like hexThreshold)
+    // and the per-doc fractional md5 draw
     Entry("llm_epoch_mixture", (s, d) => {
       val docs = docsDelta(s, d).select(col("doc_id"), col("source"), col("text"))
         .withColumn("n_tokens", TextOps.tokenEstimate(col("text")))
@@ -686,12 +687,12 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         |ep AS (
         |  SELECT k.doc_id, k.source,
         |         CAST(floor(r.r) AS BIGINT) AS f,
-        |         printf('%08x', CAST(floor((r.r - floor(r.r)) * 4294967296.0) AS BIGINT)) AS thr
+        |         printf('%08x', LEAST(CAST(floor((r.r - floor(r.r)) * 4294967296.0) AS BIGINT), 4294967295)) AS thr
         |  FROM tok k JOIN rates r USING (source)),
         |expl AS (SELECT doc_id, source, f, thr, unnest(range(0, f + 1)) AS e FROM ep)
         |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
         |FROM expl
-        |WHERE e < f OR substr(md5(CAST(doc_id AS VARCHAR) || ':mix8'), 1, 8) < thr""".stripMargin)),
+        |WHERE e < f OR substr(md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':mix8'), 1, 8) < thr""".stripMargin)),
 
     // GPT-style sequence packing: documents laid out in id order into a
     // continuous token stream cut into 2048-token chunks; distributed

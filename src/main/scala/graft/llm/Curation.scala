@@ -78,29 +78,44 @@ object Curation {
       weights: Map[String, Double],
       tokenBudget: Long,
       salt: String = "graft"): DataFrame = {
-    require(tokenBudget > 0, "mixtureSample: tokenBudget must be positive")
+    val rates = mixtureRates(df, domainCol, tokensCol, weights, tokenBudget,
+      "mixtureSample").map { case (d, r) => d -> math.min(1.0, r) }
+    // default = 0.0: domains without a weight (or absent from the corpus)
+    // are dropped — same fold as stratifiedSample, kept in one place
+    stratifiedSample(df, idCol, domainCol, rates, default = 0.0, salt = salt)
+  }
+
+  /**
+   * Uncapped per-domain mixture rates r_d = tokenBudget·(w_d/Σw)/tokens_d
+   * (a domain with no tokens rates 1.0 — the shortfall rule) — the shared
+   * preamble of [[mixtureSample]] (which caps at 1) and [[epochMixture]]
+   * (which doesn't). The arithmetic ORDER (`budget * share`, then `/ t`)
+   * is part of the oracle contract: external engines replay these doubles
+   * bit-for-bit. One row per domain crosses the driver.
+   */
+  private def mixtureRates(df: DataFrame, domainCol: String, tokensCol: Column,
+      weights: Map[String, Double], tokenBudget: Long,
+      opName: String): Map[String, Double] = {
+    require(tokenBudget > 0, s"$opName: tokenBudget must be positive")
     require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
-      weights.values.sum > 0, "mixtureSample: weights must be non-negative, not all zero")
+      weights.values.sum > 0, s"$opName: weights must be non-negative, not all zero")
     // string-keyed contract, checked up front: a non-string domain column
     // would pass the isin filter via implicit casts and then die on the
     // driver with a bare ClassCastException at getString
     require(df.schema(domainCol).dataType == org.apache.spark.sql.types.StringType,
-      s"mixtureSample: domain column '$domainCol' must be STRING (weights are " +
+      s"$opName: domain column '$domainCol' must be STRING (weights are " +
         s"string-keyed), got ${df.schema(domainCol).dataType.simpleString}")
     val wsum = weights.values.sum
     val totals = df.filter(col(domainCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(domainCol).as("__d"))
       .agg(sum(coalesce(tokensCol, lit(0L)).cast("long")).as("__t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val rates: Map[String, Double] = weights.flatMap { case (d, w) =>
+    weights.flatMap { case (d, w) =>
       totals.get(d).map { t =>
         val target = tokenBudget.toDouble * (w / wsum)
-        d -> (if (t <= 0) 1.0 else math.min(1.0, target / t))
+        d -> (if (t <= 0) 1.0 else target / t)
       }
     }
-    // default = 0.0: domains without a weight (or absent from the corpus)
-    // are dropped — same fold as stratifiedSample, kept in one place
-    stratifiedSample(df, idCol, domainCol, rates, default = 0.0, salt = salt)
   }
 
   /**
@@ -136,23 +151,9 @@ object Curation {
       tokenBudget: Long,
       maxEpochs: Int = 16,
       salt: String = "graft"): DataFrame = {
-    require(tokenBudget > 0, "epochMixture: tokenBudget must be positive")
-    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
-      weights.values.sum > 0, "epochMixture: weights must be non-negative, not all zero")
     require(maxEpochs >= 1, s"epochMixture: maxEpochs=$maxEpochs")
-    require(df.schema(domainCol).dataType == org.apache.spark.sql.types.StringType,
-      s"epochMixture: domain column '$domainCol' must be STRING (weights are " +
-        s"string-keyed), got ${df.schema(domainCol).dataType.simpleString}")
-    val wsum = weights.values.sum
-    val totals = df.filter(col(domainCol).isin(weights.keys.toSeq: _*))
-      .groupBy(col(domainCol).as("__d"))
-      .agg(sum(coalesce(tokensCol, lit(0L)).cast("long")).as("__t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val rates: Map[String, Double] = weights.flatMap { case (d, w) =>
-      totals.get(d).map { t =>
-        d -> (if (t <= 0) 1.0 else tokenBudget.toDouble * (w / wsum) / t.toDouble)
-      }
-    }
+    val rates = mixtureRates(df, domainCol, tokensCol, weights, tokenBudget,
+      "epochMixture")
     val over = rates.filter(_._2 > maxEpochs)
     require(over.isEmpty,
       s"epochMixture: rate exceeds maxEpochs=$maxEpochs for ${over.keys.mkString(",")} " +

@@ -49,6 +49,36 @@ object LlmEntries {
     shiftleft(hi, 32).bitwiseOR(lo)
   }
 
+  /** Shared DuckDB preamble of the mixture oracles (llm_mixture_sample /
+    * llm_epoch_mixture): per-doc token estimates + per-source totals over
+    * the listed sources — ONE definition so the two oracles cannot drift
+    * (this block already needed the same coalesce/clamp fix applied twice). */
+  private def mixTokTotSql(srcs: Seq[String]): String = {
+    val in = srcs.map(s => s"'$s'").mkString(", ")
+    raw"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |         CAST(coalesce(list_sum([CAST(ceil(length(w) / 4.0) AS BIGINT) FOR w IN ws]), 0) AS BIGINT) AS n_tokens
+         |  FROM (SELECT doc_id, source,
+         |          CASE WHEN length(trim(text)) = 0 THEN []
+         |               ELSE string_split_regex(trim(text), '\s+') END AS ws
+         |        FROM documents WHERE source IN ($in))
+         |),
+         |tot AS (SELECT source, SUM(n_tokens) AS t FROM tok GROUP BY source)""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.llm.Curation.sampleCond]]'s salted md5 draw
+    * key (NULL ids hash as '', like the Spark side). `qual` prefixes the
+    * doc_id when the surrounding query aliases the table. */
+  private def mdDrawSql(qual: String, salt: String): String =
+    s"substr(md5(coalesce(CAST(${qual}doc_id AS VARCHAR), '') || ':$salt'), 1, 8)"
+
+  /** DuckDB replay of [[graft.llm.Curation.hexThreshold]] for a [0,1)
+    * fraction expression — including the 4294967295 clamp (a fraction
+    * whose product rounds to 2^32 would otherwise print NINE hex chars
+    * and collapse the keep set). */
+  private def thrSql(fracExpr: String): String =
+    s"printf('%08x', LEAST(CAST(floor(($fracExpr) * 4294967296.0) AS BIGINT), 4294967295))"
+
   /** DuckDB mirror of [[graft.llm.TextOps.normalize]] — ONE definition so
     * the eight oracle call sites cannot drift from the Spark side. */
   private val normSql =
@@ -640,22 +670,14 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         .select("doc_id", "source", "n_tokens")
     },
       Some(
-        """WITH tok AS (
-          |  SELECT doc_id, source,
-          |         CAST(coalesce(list_sum([CAST(ceil(length(w) / 4.0) AS BIGINT) FOR w IN ws]), 0) AS BIGINT) AS n_tokens
-          |  FROM (SELECT doc_id, source,
-          |          CASE WHEN length(trim(text)) = 0 THEN []
-          |               ELSE string_split_regex(trim(text), '\s+') END AS ws
-          |        FROM documents WHERE source IN ('src1', 'src2', 'src3', 'src4'))
-          |),
-          |tot AS (SELECT source, SUM(n_tokens) AS t FROM tok GROUP BY source),
-          |rates AS (
-          |  SELECT source,
-          |         LEAST(1.0, CAST(3000 AS DOUBLE) * (CASE source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.125 ELSE 0.125 END / 1.0) / CAST(t AS DOUBLE)) AS r
-          |  FROM tot)
-          |SELECT k.doc_id, k.source, k.n_tokens
-          |FROM tok k JOIN rates USING (source)
-          |WHERE r >= 1.0 OR substr(md5(coalesce(CAST(k.doc_id AS VARCHAR), '') || ':mix'), 1, 8) < printf('%08x', LEAST(CAST(floor(r * 4294967296.0) AS BIGINT), 4294967295))""".stripMargin)),
+        s"""${mixTokTotSql(Seq("src1", "src2", "src3", "src4"))},
+           |rates AS (
+           |  SELECT source,
+           |         CASE WHEN t <= 0 THEN 1.0 ELSE LEAST(1.0, CAST(3000 AS DOUBLE) * (CASE source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.125 ELSE 0.125 END / 1.0) / CAST(t AS DOUBLE)) END AS r
+           |  FROM tot)
+           |SELECT k.doc_id, k.source, k.n_tokens
+           |FROM tok k JOIN rates USING (source)
+           |WHERE r >= 1.0 OR ${mdDrawSql("k.", "mix")} < ${thrSql("r")}""".stripMargin)),
 
     // epoch-repeating mixture (the upsampling half of data mixing):
     // src1 at 4/6 of an 8000-token budget lands at ~2.3 epochs at the
@@ -671,28 +693,20 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         Map("src1" -> 4.0, "src2" -> 1.0, "src3" -> 1.0),
         tokenBudget = 8000, salt = "mix8")
     }, Some(
-      """WITH tok AS (
-        |  SELECT doc_id, source,
-        |         CAST(coalesce(list_sum([CAST(ceil(length(w) / 4.0) AS BIGINT) FOR w IN ws]), 0) AS BIGINT) AS n_tokens
-        |  FROM (SELECT doc_id, source,
-        |          CASE WHEN length(trim(text)) = 0 THEN []
-        |               ELSE string_split_regex(trim(text), '\s+') END AS ws
-        |        FROM documents WHERE source IN ('src1', 'src2', 'src3'))
-        |),
-        |tot AS (SELECT source, SUM(n_tokens) AS t FROM tok GROUP BY source),
-        |rates AS (
-        |  SELECT source,
-        |         CAST(8000 AS DOUBLE) * (CASE source WHEN 'src1' THEN 4.0 ELSE 1.0 END / 6.0) / CAST(t AS DOUBLE) AS r
-        |  FROM tot),
-        |ep AS (
-        |  SELECT k.doc_id, k.source,
-        |         CAST(floor(r.r) AS BIGINT) AS f,
-        |         printf('%08x', LEAST(CAST(floor((r.r - floor(r.r)) * 4294967296.0) AS BIGINT), 4294967295)) AS thr
-        |  FROM tok k JOIN rates r USING (source)),
-        |expl AS (SELECT doc_id, source, f, thr, unnest(range(0, f + 1)) AS e FROM ep)
-        |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
-        |FROM expl
-        |WHERE e < f OR substr(md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':mix8'), 1, 8) < thr""".stripMargin)),
+      s"""${mixTokTotSql(Seq("src1", "src2", "src3"))},
+         |rates AS (
+         |  SELECT source,
+         |         CASE WHEN t <= 0 THEN 1.0 ELSE CAST(8000 AS DOUBLE) * (CASE source WHEN 'src1' THEN 4.0 ELSE 1.0 END / 6.0) / CAST(t AS DOUBLE) END AS r
+         |  FROM tot),
+         |ep AS (
+         |  SELECT k.doc_id, k.source,
+         |         CAST(floor(r.r) AS BIGINT) AS f,
+         |         ${thrSql("r.r - floor(r.r)")} AS thr
+         |  FROM tok k JOIN rates r USING (source)),
+         |expl AS (SELECT doc_id, source, f, thr, unnest(range(0, f + 1)) AS e FROM ep)
+         |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+         |FROM expl
+         |WHERE e < f OR ${mdDrawSql("", "mix8")} < thr""".stripMargin)),
 
     // GPT-style sequence packing: documents laid out in id order into a
     // continuous token stream cut into 2048-token chunks; distributed

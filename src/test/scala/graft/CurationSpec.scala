@@ -281,4 +281,32 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("maxEpochs"))
   }
+
+  test("mixture ops: zero-token domain keeps everything; NULL ids share one draw") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // domain z has docs but 0 total tokens (all-NULL token counts): the
+    // shortfall rule rates it 1.0 — every doc kept, exactly one epoch
+    val docs = ((1 to 10).map(i => (java.lang.Long.valueOf(i.toLong), "z", null: java.lang.Long)) ++
+      (11 to 20).map(i => (java.lang.Long.valueOf(i.toLong), "w", java.lang.Long.valueOf(10L))))
+      .toDF("id", "dom", "tok")
+    val em = Curation.epochMixture(docs, "id", "dom", col("tok"),
+      Map("z" -> 1.0, "w" -> 1.0), tokenBudget = 50)
+      .select("id", "dom", "epoch").as[(Long, String, Long)].collect()
+    assert(em.count(_._2 == "z") == 10 && em.filter(_._2 == "z").forall(_._3 == 0L))
+    val ms = Curation.mixtureSample(docs, "id", "dom", col("tok"),
+      Map("z" -> 1.0, "w" -> 1.0), tokenBudget = 50)
+    assert(ms.filter(col("dom") === "z").count() == 10)
+    // NULL ids are not silently dropped: they share the ''-keyed draw, so
+    // a sub-1 rate keeps either all of them or none — never a crash, and
+    // at rate 1 (epoch floor) they are all present
+    val withNullIds = ((1 to 10).map(_ => (null: java.lang.Long, "n", java.lang.Long.valueOf(10L))))
+      .toDF("id", "dom", "tok")
+    val ne = Curation.epochMixture(withNullIds, "id", "dom", col("tok"),
+      Map("n" -> 1.0), tokenBudget = 150) // r = 1.5: epoch 0 for all + one shared draw
+      .select("dom", "epoch").as[(String, Long)].collect()
+    assert(ne.count(_._2 == 0L) == 10)
+    assert(ne.count(_._2 == 1L) == 0 || ne.count(_._2 == 1L) == 10,
+      s"NULL ids must share one fractional draw, got ${ne.count(_._2 == 1L)}")
+  }
 }

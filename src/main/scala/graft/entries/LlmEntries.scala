@@ -708,6 +708,21 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
          |FROM expl
          |WHERE e < f OR ${mdDrawSql("", "mix8")} < thr""".stripMargin)),
 
+    // CCNet-style per-source quality terciles: bucket 1 = shortest
+    // (stand-in for best perplexity) — exact within-group ntile with the
+    // deterministic (score, id) order pinned NULLS-explicitly on both
+    // engines; Spark and DuckDB ntile share the standard SQL split
+    // (ceil-sized leading buckets)
+    Entry("llm_quantile_buckets", (s, d) =>
+      graft.llm.Curation.quantileBuckets(
+        docsDelta(s, d).select("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars", nBuckets = 3),
+      Some(
+        """SELECT doc_id, source, n_chars,
+          |       CAST(ntile(3) OVER (PARTITION BY source
+          |         ORDER BY n_chars ASC NULLS LAST, doc_id ASC NULLS FIRST) AS BIGINT) AS bucket
+          |FROM documents""".stripMargin)),
+
     // GPT-style sequence packing: documents laid out in id order into a
     // continuous token stream cut into 2048-token chunks; distributed
     // two-phase cumsum (range partition + per-partition window + P-row

@@ -507,6 +507,31 @@ object Curation {
   }
 
   /**
+   * Per-group quantile bucketing (the CCNet head/middle/tail step): each
+   * row gets its within-group quantile bucket of `scoreCol` — bucket 1 =
+   * best scores — the standard per-language perplexity-tercile assignment
+   * that downstream mixing then samples from. Deterministic total order
+   * (score ASC = better first, `idCol` tiebreak, NULLs pinned last) makes
+   * the buckets replayable by any engine's `ntile`.
+   *
+   * Scale shape: one shuffle on the group key and a per-group sort —
+   * inherent to EXACT quantiles (every row's bucket depends on the full
+   * group distribution). ntile carries no partial top-k shortcut, so a
+   * mega-group lands on one reducer's sort: that sort spills rather than
+   * OOMs, and when group cardinality is very low vs data (3 languages ×
+   * 10 TB) pre-aggregate approximate thresholds instead and bucket by
+   * comparison — this operator is the exact form.
+   */
+  def quantileBuckets(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"quantileBuckets: nBuckets=$nBuckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc_nulls_last, col(idCol).asc_nulls_first)
+    df.withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+  }
+
+  /**
    * Quality-budget selection (the FineWeb / DataComp corpus-assembly
    * step): order the corpus by `qualityCol` descending (tiebreak `idCol`
    * ascending) and keep the maximal PREFIX whose cumulative `costCol`

@@ -309,4 +309,27 @@ class CurationSpec extends AnyFunSuite {
     assert(ne.count(_._2 == 1L) == 0 || ne.count(_._2 == 1L) == 10,
       s"NULL ids must share one fractional draw, got ${ne.count(_._2 == 1L)}")
   }
+
+  test("quantileBuckets: exact ntile split, deterministic, NULL scores last") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // group g: 10 rows scored by id → terciles split 4/3/3 (SQL ntile:
+    // ceil-sized leading buckets); one NULL score lands in the LAST bucket
+    val rows = (1 to 10).map(i => (i.toLong, "g", java.lang.Long.valueOf(i.toLong))) :+
+      ((11L, "g", null: java.lang.Long)) :+ ((12L, "h", java.lang.Long.valueOf(1L)))
+    val df = rows.toDF("id", "grp", "score")
+    val out = Curation.quantileBuckets(df, "id", "grp", "score", nBuckets = 3)
+      .select("id", "grp", "bucket").as[(Long, String, Long)].collect()
+    val g = out.filter(_._2 == "g").map(r => (r._1, r._3)).sortBy(_._1)
+    // 11 rows in g → buckets sized 4/4/3; ids sorted by score asc, NULL last
+    assert(g.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 2L,
+      9L -> 3L, 10L -> 3L, 11L -> 3L), s"got ${g.toSeq}")
+    // a single-row group is bucket 1, not an error
+    assert(out.find(_._2 == "h").map(_._3).contains(1L))
+    // deterministic across runs
+    val again = Curation.quantileBuckets(df, "id", "grp", "score", 3)
+      .select("id", "grp", "bucket").as[(Long, String, Long)].collect()
+    assert(again.sortBy(_._1).sameElements(out.sortBy(_._1)))
+  }
 }

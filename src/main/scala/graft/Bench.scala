@@ -36,11 +36,14 @@ object Bench {
     val from = Paths.get(src)
     val to = Paths.get(dst)
     Files.createDirectories(to.getParent)
-    Files.walk(from).forEach { p: Path =>
+    // walk() holds a directory stream until closed — leaked per clone
+    // (3 mutating benches × reps + 16 grid cells) it can exhaust fds
+    val walk = Files.walk(from)
+    try walk.forEach { p: Path =>
       val t = to.resolve(from.relativize(p).toString)
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else Files.copy(p, t)
-    }
+    } finally walk.close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -48,13 +51,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // reps=0 would run warm-ups then die on empty.min deep in record()
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS=$reps: need at least 1 timed rep")
+    // NOTE: driver heap is fixed by build.sbt's forked -Xmx (SPARK_DRIVER_MEM
+    // env) — spark.driver.memory set here would be a silent no-op in local
+    // mode (the driver JVM is already running)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -106,7 +113,12 @@ object Bench {
     // without rerunning; full plan text lands in bench_plans.txt when
     // SPARK_GRAFT_PLANS=1.
     val dumpPlans = sys.env.get("SPARK_GRAFT_PLANS").contains("1")
-    lazy val planOut = new java.io.PrintWriter("bench_plans.txt")
+    // best-effort like bench_detail.json: an unwritable cwd must degrade
+    // plan capture, never kill the run before the headline
+    lazy val planOut: Option[java.io.PrintWriter] =
+      scala.util.Try(new java.io.PrintWriter("bench_plans.txt")).fold(
+        e => { System.err.println(s"[bench-plan] open failed: $e"); None },
+        w => Some(w))
     val planShapes = scala.collection.mutable.LinkedHashMap[String, String]()
     def planShape(plan: org.apache.spark.sql.execution.SparkPlan): String = {
       var bhj, smj, shj = 0
@@ -127,10 +139,18 @@ object Bench {
     }
 
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to the named queries (local
-    // iteration aid; the driver sets nothing and runs the full suite)
+    // iteration aid; the driver sets nothing and runs the full suite).
+    // Every bench registers its name through enabled(), and the set is
+    // checked against the filter after the suite: a typo'd name fails
+    // loudly instead of recording a vacuous all-skipped green headline
+    // (the Verify.scala SPARK_GRAFT_VERIFY_ONLY guard, self-maintaining).
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
-    def enabled(name: String): Boolean = only.forall(_.contains(name))
+    val knownBench = scala.collection.mutable.LinkedHashSet[String]()
+    def enabled(name: String): Boolean = {
+      knownBench += name
+      only.forall(_.contains(name))
+    }
 
     // read-only query: one warm-up execution, then `reps` timed runs
     def bench(name: String)(df: => DataFrame): Unit = if (enabled(name)) {
@@ -140,9 +160,11 @@ object Bench {
       planShapes(name) = planShape(p)
       if (dumpPlans) {
         System.err.println(s"[bench-plan] $name: ${planShapes(name)}")
-        planOut.println(s"===== $name [${planShapes(name)}] =====")
-        planOut.println(p.toString)
-        planOut.flush()
+        planOut.foreach { w =>
+          w.println(s"===== $name [${planShapes(name)}] =====")
+          w.println(p.toString)
+          w.flush()
+        }
       }
       record(name, (1 to reps).map(_ => timed(force(df))))
     }
@@ -152,8 +174,9 @@ object Bench {
     // inflated) from a plan regression (one phase inflated every rep).
     val phaseRecords =
       scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[String, Vector[Double]]]()
-    // mutating operator: fresh clone of `template` per timed run
-    def benchMut(name: String, template: String,
+    // mutating operator: fresh clone of `template` per timed run (template
+    // by name: a disabled bench must not force its lazy table build)
+    def benchMut(name: String, template: => String,
         phasesOf: Option[() => Map[String, Double]] = None)(op: String => Unit): Unit =
       if (enabled(name)) {
         record(name, (1 to reps).map { i =>
@@ -198,9 +221,13 @@ object Bench {
         |  FROM orders) t WHERE rn <= 3""".stripMargin))
 
     // warm the DML code paths (join/persist/write codegen + JIT) on a tiny
-    // throwaway table so the timed mutations measure steady-state cost
+    // throwaway table so the timed mutations measure steady-state cost —
+    // only when some mutating bench actually runs (SPARK_GRAFT_BENCH_ONLY
+    // on a read-only query must not pay six Delta writes of setup)
     val orders = EntryCtx.pq(spark, sfDir, "orders")
-    locally {
+    val mutNames = Seq("merge_upsert", "merge_upsert_dv", "merge_grid",
+      "delete_rewrite", "optimize_compact", "optimize_zorder")
+    if (mutNames.exists(n => only.forall(_.contains(n)))) {
       val w = EntryCtx.tempDir("bench_warm")
       val small = orders.limit(2000)
       DeltaTable.write(spark, small, w)
@@ -214,9 +241,14 @@ object Bench {
     }
 
     // merge upsert: 50% of rows matched (update), ~1% inserted — the
-    // benchmarks/src/merge.rs upsert shape, fresh target clone per run
-    val mergeTpl = EntryCtx.tempDir("bench_merge_tpl")
-    DeltaTable.write(spark, orders, mergeTpl)
+    // benchmarks/src/merge.rs upsert shape, fresh target clone per run.
+    // Templates are LAZY: a restricted run only builds the tables its
+    // benches clone (benchMut takes the template by name).
+    lazy val mergeTpl = {
+      val d = EntryCtx.tempDir("bench_merge_tpl")
+      DeltaTable.write(spark, orders, d)
+      d
+    }
     val mergeSrc = orders.filter("o_orderkey % 2 = 0")
       .unionByName(orders.filter("o_orderkey % 100 = 0")
         .withColumn("o_orderkey", col("o_orderkey") + 10000000))
@@ -229,9 +261,12 @@ object Bench {
     }
 
     // same upsert on a DV-enabled target: masks + appends, no copy rewrite
-    val mergeDvTpl = EntryCtx.tempDir("bench_merge_dv_tpl")
-    DeltaTable.write(spark, orders, mergeDvTpl,
-      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    lazy val mergeDvTpl = {
+      val d = EntryCtx.tempDir("bench_merge_dv_tpl")
+      DeltaTable.write(spark, orders, d,
+        configuration = Map("delta.enableDeletionVectors" -> "true"))
+      d
+    }
     benchMut("merge_upsert_dv", mergeDvTpl,
         phasesOf = Some(() => graft.ops.MergeOp.lastPhases)) { dir =>
       DeltaTable.forPath(spark, dir)
@@ -254,31 +289,43 @@ object Bench {
     }
 
     // delete with partial-file rewrite
-    val delTpl = EntryCtx.tempDir("bench_del_tpl")
-    DeltaTable.write(spark, orders.repartition(8), delTpl)
+    lazy val delTpl = {
+      val d = EntryCtx.tempDir("bench_del_tpl")
+      DeltaTable.write(spark, orders.repartition(8), d)
+      d
+    }
     benchMut("delete_rewrite", delTpl) { dir =>
       DeltaTable.forPath(spark, dir).delete(Some("o_totalprice < 50000"))
     }
 
     // optimize: 50 small files → target-size bins
-    val optTpl = EntryCtx.tempDir("bench_opt_tpl")
-    DeltaTable.write(spark, orders.repartition(50), optTpl)
+    lazy val optTpl = {
+      val d = EntryCtx.tempDir("bench_opt_tpl")
+      DeltaTable.write(spark, orders.repartition(50), d)
+      d
+    }
     benchMut("optimize_compact", optTpl) { dir =>
       DeltaTable.forPath(spark, dir).optimizeCompact()
     }
 
     // z-order rewrite (binary Morton key + range repartition)
-    val zoTpl = EntryCtx.tempDir("bench_zo_tpl")
-    DeltaTable.write(spark, orders.repartition(8), zoTpl)
+    lazy val zoTpl = {
+      val d = EntryCtx.tempDir("bench_zo_tpl")
+      DeltaTable.write(spark, orders.repartition(8), d)
+      d
+    }
     benchMut("optimize_zorder", zoTpl) { dir =>
       DeltaTable.forPath(spark, dir).optimizeZOrder(Seq("o_custkey", "o_totalprice"))
     }
 
     // CDF assembly over a multi-commit range (3 batched legs)
-    val cdfDir = EntryCtx.tempDir("bench_cdf")
-    DeltaTable.write(spark, orders, cdfDir,
-      configuration = Map("delta.enableChangeDataFeed" -> "true"))
-    DeltaTable.forPath(spark, cdfDir).delete(Some("o_totalprice < 20000"))
+    lazy val cdfDir = {
+      val d = EntryCtx.tempDir("bench_cdf")
+      DeltaTable.write(spark, orders, d,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaTable.forPath(spark, d).delete(Some("o_totalprice < 20000"))
+      d
+    }
     bench("cdf_read")(DeltaTable.forPath(spark, cdfDir).loadCdf(0))
 
     // LLM-pipeline operators (docsWide = 16-file layout for the
@@ -322,6 +369,15 @@ object Bench {
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     }.mkString("{", ",", "}")
 
+    // every bench name has now passed through enabled(): reject filter
+    // typos loudly rather than record an empty-suite headline
+    only.foreach { names =>
+      val unknown = names -- knownBench
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown benches: ${unknown.mkString(",")} " +
+          s"(known: ${knownBench.mkString(",")})")
+    }
+
     // ---- output. The driver's bench record keeps only the LAST ~2000
     // characters of the run's output, so the stdout contract is: ONE
     // compact JSON line (headline medians/mins/plans/phase-medians/grid
@@ -334,6 +390,10 @@ object Bench {
     // (invalid JSON).
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // sfDir is environment-controlled: a quote/backslash in the path must
+    // not corrupt the round's only bench record
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def jmap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // headline plans: only queries with at least one join (the census
@@ -380,7 +440,7 @@ object Bench {
     // headline must fit with margin. Optional sections drop lowest-value
     // first until it does ("queries" + run-load always survive).
     val core =
-      s""""metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},$loadJson,"reps":$reps,"sf":"$sfDir""""
+      s""""metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},$loadJson,"reps":$reps,"sf":${jstr(sfDir)}"""
     val optional = Seq( // kept in this order, dropped from the END
       s""""mins":${jmap(mins)}""",
       s""""phases":$phaseMedJson""",
@@ -392,7 +452,7 @@ object Bench {
       .find(_.length <= 1800)
       .getOrElse("{" + core + "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"plans":$shapesAll,"phases":$phaseRepJson,"merge_grid":$gridJson,"io":$ioJson,$loadJson,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"plans":$shapesAll,"phases":$phaseRepJson,"merge_grid":$gridJson,"io":$ioJson,$loadJson,"reps":$reps,"sf":${jstr(sfDir)}}"""
     // best-effort: a detail-write failure (read-only cwd) must never block
     // the headline line — that's the round's only bench record
     scala.util.Try {

@@ -36,7 +36,9 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // e.toString, not getMessage: an NPE's message is null and this
+          // line is the only trace of why the entry's dump is missing
+          System.err.println(s"[verify] $name failed: $e")
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -249,10 +249,7 @@ object Bench {
       DeltaTable.write(spark, orders, d)
       d
     }
-    val mergeSrc = orders.filter("o_orderkey % 2 = 0")
-      .unionByName(orders.filter("o_orderkey % 100 = 0")
-        .withColumn("o_orderkey", col("o_orderkey") + 10000000))
-      .withColumn("o_totalprice", col("o_totalprice") + 1)
+    val mergeSrc = graft.tools.MergeGrid.benchUpsertSource(orders)
     benchMut("merge_upsert", mergeTpl,
         phasesOf = Some(() => graft.ops.MergeOp.lastPhases)) { dir =>
       DeltaTable.forPath(spark, dir)

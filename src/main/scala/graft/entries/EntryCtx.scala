@@ -21,9 +21,10 @@ case class Entry(
  */
 object EntryCtx {
 
-  private val shared = scala.collection.concurrent.TrieMap[String, String]()
-
-  /** Generic once-per-key cache for entry-built table paths. */
+  /** Once-per-key cache for entry-built table paths — one map for both
+    * the sharedDelta copies (keys "sfDir#table#partitionBy#nFiles") and
+    * ad-hoc entry tables (keys "sfDir#tag"); the '#'-separated sfDir
+    * prefix keeps the namespaces from colliding. */
   val shared2 = scala.collection.concurrent.TrieMap[String, String]()
 
   def tempDir(tag: String): String =
@@ -46,7 +47,7 @@ object EntryCtx {
     * global choice. */
   def sharedDelta(spark: SparkSession, sfDir: String, table: String,
                   partitionBy: Seq[String] = Nil, nFiles: Int = 4): String =
-    shared.getOrElseUpdate(s"$sfDir#$table#${partitionBy.mkString(",")}#$nFiles", {
+    shared2.getOrElseUpdate(s"$sfDir#$table#${partitionBy.mkString(",")}#$nFiles", {
       val dir = tempDir(table)
       val df0 = pq(spark, sfDir, table)
       val df = if (nFiles > 1 && partitionBy.isEmpty) df0.repartition(nFiles) else df0

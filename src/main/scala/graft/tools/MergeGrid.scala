@@ -55,11 +55,25 @@ object MergeGrid {
       n("upsert", 0.01, 0.001, "upsert", filesFrac = 1.0))
   }
 
+  /** Merge source of Bench's merge_upsert/merge_upsert_dv rows: 50%
+    * matched (updates), ~1% inserted — ONE definition shared with
+    * MergeProfile so profiler timings always explain the bench row. */
+  def benchUpsertSource(orders: DataFrame): DataFrame =
+    orders.filter("o_orderkey % 2 = 0")
+      .unionByName(orders.filter("o_orderkey % 100 = 0")
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000))
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+
   /** Deterministic fraction sample: stable across runs/engines. */
-  private def sampled(df: DataFrame, key: String, frac: Double, salt: Int): DataFrame =
+  private def sampled(df: DataFrame, key: String, frac: Double, salt: Int): DataFrame = {
+    // the 1000-bucket hash floor truncates any 0 < frac < 0.001 to an
+    // EMPTY sample — refuse rather than silently benchmark a no-op side
+    require(frac <= 0.0 || frac >= 0.001,
+      s"sampled: frac=$frac below 1/1000 bucket resolution")
     if (frac <= 0.0) df.limit(0)
     else if (frac >= 1.0) df
     else df.filter(pmod(xxhash64(col(key), lit(salt)), lit(1000)) < (frac * 1000).toLong)
+  }
 
   /** Merge source for a case over the `orders`-shaped target: matched rows
     * keep their keys; not-matched rows get keys shifted out of the target's
@@ -139,8 +153,8 @@ object MergeGrid {
       cloneDir: (String, String) => Unit,
       tempDir: String => String): Seq[CellResult] = {
     val ordersDf = DeltaTable.forPath(spark, templateDir).toDF
-    cases.map { c =>
-      val dir = tempDir(s"grid_${cases.indexOf(c)}")
+    cases.zipWithIndex.map { case (c, ci) =>
+      val dir = tempDir(s"grid_$ci")
       cloneDir(templateDir, dir)
       val src = source(ordersDf, c)
       val (gc0, cpu0) = (gcMs, cpuMs)

@@ -18,12 +18,10 @@ object MergeProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val orders = EntryCtx.pq(spark, sfDir, "orders")
-    val dir = EntryCtx.tempDir("merge_profile")
-    DeltaTable.write(spark, orders, dir)
-    val src = orders.filter("o_orderkey % 2 = 0")
-      .unionByName(orders.filter("o_orderkey % 100 = 0")
-        .withColumn("o_orderkey", col("o_orderkey") + 10000000))
-      .withColumn("o_totalprice", col("o_totalprice") + 1)
+    // SAME source shape as Bench's merge_upsert row (one definition — a
+    // bench scenario tune must not leave this profiler measuring the old
+    // shape with no error to reveal the drift)
+    val src = MergeGrid.benchUpsertSource(orders)
     (1 to 3).foreach { i =>
       val d = EntryCtx.tempDir(s"merge_profile_$i")
       DeltaTable.write(spark, orders, d)

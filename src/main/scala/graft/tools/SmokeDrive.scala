@@ -18,8 +18,12 @@ object SmokeDrive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val sf = sys.env.getOrElse("SF_DIR", "/root/testdata/sf0.001")
-    val dir = java.nio.file.Files.createTempDirectory("graft_smoke_").toString
+    // SPARK_GRAFT_SF_DIR is the repo-standard override (Bench/MergeProfile);
+    // SF_DIR stays as the documented legacy alias for this tool
+    val sf = sys.env.get("SPARK_GRAFT_SF_DIR")
+      .orElse(sys.env.get("SF_DIR"))
+      .getOrElse("/root/testdata/sf0.001")
+    val dir = graft.entries.EntryCtx.tempDir("smoke")
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     println(s"== table dir: $dir, source rows: ${orders.count()}")
 
@@ -69,7 +73,10 @@ object SmokeDrive {
     def probe(name: String)(f: => Any): Unit =
       try { val r = f; println(s"PROBE $name: NO ERROR -> $r") }
       catch { case e: Exception =>
-        println(s"PROBE $name: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}") }
+        // null/empty messages (NPEs) must not crash the reporter itself
+        val first = Option(e.getMessage).getOrElse("")
+          .linesIterator.nextOption().getOrElse("")
+        println(s"PROBE $name: ${e.getClass.getSimpleName}: $first") }
 
     probe("forPath on non-delta dir") { DeltaTable.forPath(spark, "/tmp") }
     probe("append unknown column") {

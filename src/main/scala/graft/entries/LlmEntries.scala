@@ -708,6 +708,25 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
          |FROM expl
          |WHERE e < f OR ${mdDrawSql("", "mix8")} < thr""".stripMargin)),
 
+    // C4-style blocklist filter: normalized-word membership against a
+    // literal list ("slow"/"error" occur in this corpus, "spamx" never) —
+    // count, ratio (one IEEE division, engine-identical), any-hit flag
+    Entry("llm_blocklist", (s, d) =>
+      TextOps.blocklistStats(docsDelta(s, d), "doc_id", "text",
+        Seq("slow", "error", "broken", "spamx")),
+      Some(
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |         CASE WHEN length($normSql) = 0 THEN [] ELSE string_split($normSql, ' ') END AS ws
+           |  FROM documents),
+           |st AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+           |              CAST(len(list_filter(ws, w -> w IN ('slow', 'error', 'broken', 'spamx'))) AS BIGINT) AS n_hits
+           |       FROM base)
+           |SELECT doc_id, n_words, n_hits,
+           |       CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_hits AS DOUBLE) / CAST(n_words AS DOUBLE) END AS hit_ratio,
+           |       n_hits > 0 AS flagged
+           |FROM st""".stripMargin)),
+
     // CCNet-style per-source quality terciles: bucket 1 = shortest
     // (stand-in for best perplexity) — exact within-group ntile with the
     // deterministic (score, id) order pinned NULLS-explicitly on both

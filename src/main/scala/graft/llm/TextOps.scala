@@ -54,6 +54,27 @@ object TextOps {
     aggregate(words(text), lit(0L),
       (acc, s) => acc + ((length(s) + lit(3)) / lit(4)).cast("long"))
 
+  /** C4-style blocklist signals: per-document count/ratio of NORMALIZED
+    * words appearing in `blocklist`, plus the any-hit flag the C4 cleaning
+    * recipe drops documents on ("bad words" filter). Matching is on
+    * [[normalize]]d word tokens — case/punctuation variants of a listed
+    * word all hit — and the list rides into codegen as one literal array
+    * (no join, no shuffle; a real deployment's list is a few thousand
+    * entries, well inside literal/broadcast territory). NULL text reads
+    * as empty (0 words, 0 hits, ratio 0.0, not flagged). */
+  def blocklistStats(df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklistStats: empty blocklist")
+    val w = words(normalize(coalesce(col(textCol), lit(""))))
+    val hits = size(filter(w, x => array_contains(typedLit(blocklist), x))).cast("long")
+    df.select(col(idCol),
+      size(w).cast("long").as("n_words"),
+      hits.as("n_hits"),
+      when(size(w) === 0, lit(0.0))
+        .otherwise(hits.cast("double") / size(w).cast("double")).as("hit_ratio"),
+      (hits > 0).as("flagged"))
+  }
+
   /** One PII category: a regex (kept to the Java/RE2 COMMON dialect subset —
     * char classes, bounded/unbounded repetition, \b, \d; no lookaround, no
     * backrefs — so external engines can replay redaction exactly) and its

@@ -1065,4 +1065,23 @@ class LlmSpec extends AnyFunSuite {
       assert(rgot == refBpe(rwc, 6, 2L), s"trial $trial diverged")
     }
   }
+
+  test("blocklistStats: normalized hits, ratio, NULL/empty text safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Bad! WORD and bad again"),       // "bad" hits twice post-normalize
+      (2L, "all clean words here"),
+      (3L, ""),                              // empty → 0/0/0.0/false
+      (4L, null: String)                     // NULL → same as empty
+    ).toDF("doc_id", "text")
+    val out = TextOps.blocklistStats(df, "doc_id", "text", Seq("bad", "nope"))
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 5L, 2L, 0.4, true)))
+    assert(out(1) == ((2L, 4L, 0L, 0.0, false)))
+    assert(out(2) == ((3L, 0L, 0L, 0.0, false)))
+    assert(out(3) == ((4L, 0L, 0L, 0.0, false)))
+    intercept[IllegalArgumentException] {
+      TextOps.blocklistStats(df, "doc_id", "text", Nil)
+    }
+  }
 }

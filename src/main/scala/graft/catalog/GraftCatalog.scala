@@ -44,14 +44,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def spark: SparkSession = SparkSession.active
 
-  // cache the FileSystem handle: newHadoopConf() CLONES the whole Hadoop
-  // configuration, and list/exists paths touch fs several times per slot —
-  // SHOW TABLES over N slots was O(N) conf clones
-  @volatile private var cachedFs: org.apache.hadoop.fs.FileSystem = _
+  // cache the cloned Configuration, not the FileSystem: newHadoopConf()
+  // CLONES the whole Hadoop configuration (the expensive part — SHOW TABLES
+  // over N slots was O(N) conf clones), while FileSystem.get is already
+  // cached by Hadoop per (scheme, authority, ugi) and recovers if a handle
+  // is closed out from under us (FileSystem.closeAll)
+  @volatile private var cachedConf: org.apache.hadoop.conf.Configuration = _
   private def fs = {
-    if (cachedFs == null)
-      cachedFs = warehouse.getFileSystem(spark.sessionState.newHadoopConf())
-    cachedFs
+    var conf = cachedConf
+    if (conf == null) {
+      conf = spark.sessionState.newHadoopConf()
+      cachedConf = conf
+    }
+    warehouse.getFileSystem(conf)
   }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {

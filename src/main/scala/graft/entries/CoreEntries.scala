@@ -916,7 +916,8 @@ object CoreEntries {
       DeltaTable.forPath(s, tgt).toDF
     }, Some(
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
-        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       CAST(count(round(o_totalprice * 100)) AS BIGINT) AS nn_cents
         |FROM orders GROUP BY 1, 2""".stripMargin)),
 
     // incremental aggregate maintenance (CDF × app-txn × MERGE — the
@@ -959,7 +960,8 @@ object CoreEntries {
         |  FROM base WHERE o_orderkey % 1000 = 1),
         |allr AS (SELECT * FROM kept UNION ALL SELECT * FROM appended)
         |SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
-        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       CAST(count(cents) AS BIGINT) AS nn_cents
         |FROM allr GROUP BY 1, 2""".stripMargin)))
 
   // ------------------------------------------- round-3 driver-proof entries

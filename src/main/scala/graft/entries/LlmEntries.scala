@@ -1601,14 +1601,17 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       Some {
         val norm = normSql
         def dig(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+        // 8 hex digits (32 hash bits) folded like the Spark side's
+        // conv(substring(m, 1, 8), 16, 10); sign from hex digit 9
+        val h32 = (2 to 8).foldLeft(dig(1))((acc, i) => s"($acc * 16 + ${dig(i)})")
         s"""WITH toks AS (
            |  SELECT doc_id, unnest(CASE WHEN length(nm) = 0 THEN []
            |                             ELSE string_split(nm, ' ') END) AS w
            |  FROM (SELECT doc_id, $norm AS nm FROM documents) t),
            |h AS (SELECT doc_id, md5(w) AS m FROM toks),
            |f AS (SELECT doc_id,
-           |        ((((${dig(1)} * 16 + ${dig(2)}) * 16 + ${dig(3)}) * 16 + ${dig(4)}) % 256) AS bucket,
-           |        CASE WHEN ${dig(5)} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+           |        ($h32 % 256) AS bucket,
+           |        CASE WHEN ${dig(9)} % 2 = 0 THEN 1 ELSE -1 END AS sgn
            |      FROM h)
            |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
            |       CAST(sum(sgn) AS BIGINT) AS weight
@@ -1741,6 +1744,8 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         "doc_id", "text", col("lang") === "en", numBuckets = 256),
       Some {
         def dig(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+        // 8 hex digits (32 hash bits), matching conv(substring(m,1,8),16,10)
+        val h32 = (2 to 8).foldLeft(dig(1))((acc, i) => s"($acc * 16 + ${dig(i)})")
         s"""WITH ws AS (
            |  SELECT doc_id, lang = 'en' AS t,
            |         CASE WHEN length(nm) = 0 THEN [] ELSE string_split(nm, ' ') END AS ws
@@ -1751,7 +1756,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
            |                recursive := true)
            |  FROM ws),
            |h AS (SELECT doc_id, t, pos,
-           |        ((((${dig(1)} * 16 + ${dig(2)}) * 16 + ${dig(3)}) * 16 + ${dig(4)}) % 256) AS f
+           |        ($h32 % 256) AS f
            |      FROM (SELECT doc_id, t, pos, md5(w) AS m FROM toks) x),
            |cr AS (SELECT f, count(*) AS cr FROM h GROUP BY f),
            |ct AS (SELECT f, count(*) AS ct FROM h WHERE t GROUP BY f),
@@ -1816,12 +1821,14 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         bias = 0.25),
       Some {
         def dig(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+        // 8 hex digits (32 hash bits), matching conv(substring(m,1,8),16,10)
+        val h32 = (2 to 8).foldLeft(dig(1))((acc, i) => s"($acc * 16 + ${dig(i)})")
         s"""WITH toks AS (
            |  SELECT doc_id, unnest(CASE WHEN length(nm) = 0 THEN []
            |                             ELSE string_split(nm, ' ') END) AS w
            |  FROM (SELECT doc_id, $normSql AS nm FROM documents) t),
            |h AS (SELECT doc_id,
-           |        ((((${dig(1)} * 16 + ${dig(2)}) * 16 + ${dig(3)}) * 16 + ${dig(4)}) % 256) AS b
+           |        ($h32 % 256) AS b
            |      FROM (SELECT doc_id, md5(w) AS m FROM toks) x),
            |c AS (SELECT doc_id, b, count(*) AS cnt FROM h GROUP BY 1, 2),
            |sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,

@@ -87,7 +87,12 @@ class SigV4Signer(
     val payloadHash = sha256Hex(payload)
 
     val toSign: Map[String, String] =
-      extraHeaders.map { case (k, v) => k.toLowerCase -> v.trim } ++
+      // SigV4 canonicalization: trim AND collapse sequential internal
+      // whitespace — a strict verifier (AWS, MinIO) reconstructs the
+      // collapsed form, so signing the uncollapsed one yields
+      // SignatureDoesNotMatch
+      extraHeaders.map { case (k, v) =>
+        k.toLowerCase -> v.trim.replaceAll("\\s+", " ") } ++
         Map("host" -> hostHeader(uri), "x-amz-date" -> amzDate) ++
         (if (service == "s3") Map("x-amz-content-sha256" -> payloadHash) else Map.empty) ++
         sessionToken.map("x-amz-security-token" -> _)

@@ -440,7 +440,9 @@ object Curation {
       .select(col(idCol), targetPred.as("__t"),
         posexplode(TextOps.words(TextOps.normalize(col(textCol)))).as(Seq("__pos", "__w")))
       .select(col(idCol), col("__t"), col("__pos"),
-        (conv(substring(md5(col("__w")), 1, 4), 16, 10).cast("long")
+        // 32 hash bits (see linearScore): numBuckets > 65536 must not
+        // leave the tail buckets permanently empty
+        (conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long")
           % numBuckets).as("__f"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {

@@ -485,9 +485,12 @@ object TextOps {
       weights: Array[Double], bias: Double = 0.0): DataFrame = {
     require(weights.length >= 2, s"linearScore: ${weights.length} weights")
     val n = weights.length
+    // 8 hex chars = 32 hash bits: a 16-bit prefix would leave every bucket
+    // >= 2^16 permanently empty for large weight tables (same defect class
+    // as the shuffleShards 4→8 widening)
     val toks = df.select(col(idCol), explode(words(normalize(col(textCol)))).as("__w"))
       .select(col(idCol),
-        (conv(substring(md5(col("__w")), 1, 4), 16, 10).cast("long") % n).as("__b"))
+        (conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long") % n).as("__b"))
     val wArr = typedlit(weights.toSeq)
     val scored = toks.groupBy(col(idCol), col("__b"))
       .agg(count(lit(1)).as("__c"))
@@ -526,12 +529,13 @@ object TextOps {
     require(numBuckets >= 2, s"hashedFeatures: numBuckets=$numBuckets")
     df.select(col(idCol), explode(words(normalize(col(textCol)))).as("__w"))
       .withColumn("__m", md5(col("__w")))
-      // bucket = first 16 md5 bits mod numBuckets; sign = md5 bit 17 —
-      // independent hex ranges so bucket and sign stay uncorrelated
+      // bucket = first 32 md5 bits mod numBuckets (16 bits would cap the
+      // usable feature space at 65536); sign = md5 bit 33 — independent
+      // hex ranges so bucket and sign stay uncorrelated
       .select(col(idCol),
-        (conv(substring(col("__m"), 1, 4), 16, 10).cast("long") % numBuckets)
+        (conv(substring(col("__m"), 1, 8), 16, 10).cast("long") % numBuckets)
           .as("bucket"),
-        when(conv(substring(col("__m"), 5, 1), 16, 10).cast("long") % 2 === 0,
+        when(conv(substring(col("__m"), 9, 1), 16, 10).cast("long") % 2 === 0,
           lit(1L)).otherwise(lit(-1L)).as("__sign"))
       .groupBy(col(idCol), col("bucket"))
       .agg(sum(col("__sign")).as("weight"))

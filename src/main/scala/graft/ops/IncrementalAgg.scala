@@ -15,7 +15,11 @@ import graft.table.DeltaTable
  * stays fresh without re-aggregating the world.
  *
  * `target` is maintained as `upstream GROUP BY keyCols` with `cnt =
- * count(*)` and `sum_<c> = sum(<c>)` per sum column. Each refresh:
+ * count(*)`, `sum_<c> = sum(<c>)` and `nn_<c> = count(<c>)` per sum
+ * column. The non-null count is what reproduces SQL `sum()` NULL
+ * semantics exactly: a group whose `<c>` values are all NULL carries
+ * `sum_<c> = NULL` (not 0), flipping to/from NULL as non-null rows
+ * enter and leave the group. Each refresh:
  *
  *  1. reads the target's `txn` version for this pipeline's appId — the
  *     upstream version already folded in (exactly-once bookkeeping rides
@@ -70,8 +74,11 @@ object IncrementalAgg {
           keyCols.map(k => upSnap.schema(k)) ++
             Seq(org.apache.spark.sql.types.StructField("cnt",
               org.apache.spark.sql.types.LongType)) ++
-            sumCols.map(c => org.apache.spark.sql.types.StructField(s"sum_$c",
-              org.apache.spark.sql.types.LongType)))
+            sumCols.flatMap(c => Seq(
+              org.apache.spark.sql.types.StructField(s"sum_$c",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField(s"nn_$c",
+                org.apache.spark.sql.types.LongType))))
         DeltaTable.create(spark, targetPath, schema, Nil)
         DeltaTable.forPath(spark, targetPath)
       }
@@ -89,22 +96,37 @@ object IncrementalAgg {
           when(col("_change_type").isin("insert", "update_postimage"), 1L)
             .otherwise(-1L))
     }
-    // NULL sum values contribute 0 (SQL sum() skips NULLs in the full
-    // aggregation, so the increment must too — a bare sign*NULL product
-    // would make the group delta NULL and poison the maintained sum)
-    val delta = signed.groupBy(keyCols.map(col): _*)
-      .agg(sum(col("__sign")).as("__dcnt"),
-        sumCols.map(c =>
+    // NULL sum values contribute 0 to the value delta (SQL sum() skips
+    // NULLs, so the increment must too — a bare sign*NULL product would
+    // make the group delta NULL and poison the maintained sum); the
+    // signed NON-NULL count delta is tracked alongside so a group whose
+    // values are all NULL is maintained as sum = NULL, exactly like the
+    // full `upstream GROUP BY` recompute
+    val aggExprs =
+      Seq(sum(col("__sign")).as("__dcnt")) ++
+        sumCols.flatMap(c => Seq(
           sum(col("__sign") * coalesce(col(c).cast("long"), lit(0L)))
-            .as(s"__d_$c")): _*)
+            .as(s"__d_$c"),
+          sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L)))
+            .as(s"__dnn_$c")))
+    val delta = signed.groupBy(keyCols.map(col): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
 
     val cond = keyCols
       .map(k => s"target.`$k` <=> source.`$k`").mkString(" AND ")
     val updates = Map("cnt" -> "target.cnt + source.__dcnt") ++
-      sumCols.map(c => s"sum_$c" -> s"target.sum_$c + source.__d_$c")
+      sumCols.flatMap(c => Seq(
+        s"sum_$c" ->
+          (s"CASE WHEN target.nn_$c + source.__dnn_$c = 0 THEN CAST(NULL AS BIGINT) " +
+            s"ELSE coalesce(target.sum_$c, CAST(0 AS BIGINT)) + source.__d_$c END"),
+        s"nn_$c" -> s"target.nn_$c + source.__dnn_$c"))
     val inserts = keyCols.map(k => k -> s"source.`$k`").toMap ++
       Map("cnt" -> "source.__dcnt") ++
-      sumCols.map(c => s"sum_$c" -> s"source.__d_$c")
+      sumCols.flatMap(c => Seq(
+        s"sum_$c" ->
+          (s"CASE WHEN source.__dnn_$c = 0 THEN CAST(NULL AS BIGINT) " +
+            s"ELSE source.__d_$c END"),
+        s"nn_$c" -> s"source.__dnn_$c"))
     val metrics = target.merge(delta, cond)
       .whenMatchedDelete(Some("target.cnt + source.__dcnt = 0"))
       .whenMatchedUpdate(updates)

@@ -44,25 +44,29 @@ object VacuumOp {
     }
   }
 
-  /** Exact candidate count of the most recent run on THIS driver whose
-    * returned Seq was a truncated sample (dry-run has no commit metrics to
-    * carry it); -1 when the last run returned the complete list. */
-  val lastCandidateCount = new java.util.concurrent.atomic.AtomicLong(-1L)
-  private def lastRunCount = lastCandidateCount
+  /** Outcome of one VACUUM run: `count` is always the EXACT candidate
+    * total; `paths` is the complete list when `truncated` is false and a
+    * `collectThreshold`-capped sample otherwise (the distributed branch
+    * never materializes tens of millions of paths on the driver). The
+    * exact count also rides the VACUUM START/END commit metrics on
+    * non-dry runs — this result object is what carries it for dry-run,
+    * per-run and race-free (a process-global side channel would let two
+    * concurrent VACUUMs on one driver read each other's counts). */
+  final case class VacuumResult(count: Long, paths: Seq[String],
+                                truncated: Boolean)
 
-  /** Returns the deletable rel paths. On the distributed branch the full
-    * set never materializes on the driver: when it exceeds
-    * `spark.graft.vacuum.collectThreshold` (default 100k) the returned Seq
-    * is a capped sample, a loud stderr line records the truncation, the
-    * exact count lives in the VACUUM START/END commit metrics
-    * (`numFilesToDelete`/`numDeletedFiles`) and — for dry-run, which
-    * writes no commits — in [[lastCandidateCount]]. */
+  /** Returns the deletable rel paths with their exact count. On the
+    * distributed branch the full set never materializes on the driver:
+    * when it exceeds `spark.graft.vacuum.collectThreshold` (default 100k)
+    * `paths` is a capped sample, a loud stderr line records the
+    * truncation, and the exact count lives in [[VacuumResult.count]] and
+    * the VACUUM START/END commit metrics
+    * (`numFilesToDelete`/`numDeletedFiles`). */
   def run(table: DeltaTable, retentionHours: Double, dryRun: Boolean,
           enforceRetention: Boolean, mode: String = "full",
-          keepVersions: Seq[Long] = Nil): Seq[String] = {
+          keepVersions: Seq[Long] = Nil): VacuumResult = {
     require(mode == "full" || mode == "lite",
       s"VACUUM: unknown mode '$mode' (full | lite)")
-    lastCandidateCount.set(-1L)
     val spark = table.spark
     val snapshot = table.refresh()
     val configured = snapshot.getConf("delta.deletedFileRetentionDuration")
@@ -218,13 +222,12 @@ object VacuumOp {
         val rels =
           if (n <= collectThreshold) ds.collect().toSeq
           else {
-            // NEVER a silent cap: dry-run writes no commits, so without
-            // this the operator previewing reclaim could not distinguish
-            // a truncated 100k sample from a genuine 100k candidate set
-            lastRunCount.set(n)
+            // NEVER a silent cap: the exact total always lands in
+            // VacuumResult.count, so a truncated sample can't masquerade
+            // as a genuine collectThreshold-sized candidate set
             System.err.println(s"[graft-vacuum] candidate set has $n files; " +
               s"returning a $collectThreshold-path sample (exact count in " +
-              "VacuumOp.lastCandidateCount" +
+              "VacuumResult.count" +
               (if (dryRun) "" else " and the VACUUM commit metrics") + ")")
             ds.take(collectThreshold.toInt).toSeq
           }
@@ -265,7 +268,7 @@ object VacuumOp {
       table.refresh()
     }
     candDfPersisted.foreach(_.unpersist())
-    candidates
+    VacuumResult(candCount, candidates, truncated = candidates.size < candCount)
   }
 }
 

@@ -191,6 +191,16 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
   def vacuum(retentionHours: Double = 24 * 7, dryRun: Boolean = false,
              enforceRetention: Boolean = true, mode: String = "full",
              keepVersions: Seq[Long] = Nil): Seq[String] =
+    vacuumDetailed(retentionHours, dryRun, enforceRetention, mode,
+      keepVersions).paths
+
+  /** [[vacuum]] with the exact candidate count and truncation flag —
+    * above `spark.graft.vacuum.collectThreshold` the path list is a
+    * capped sample and [[VacuumOp.VacuumResult.count]] is the only
+    * driver-side carrier of the true total on dry runs. */
+  def vacuumDetailed(retentionHours: Double = 24 * 7, dryRun: Boolean = false,
+                     enforceRetention: Boolean = true, mode: String = "full",
+                     keepVersions: Seq[Long] = Nil): VacuumOp.VacuumResult =
     VacuumOp.run(this, retentionHours, dryRun, enforceRetention, mode, keepVersions)
 
   def restore(version: Long, ignoreMissingFiles: Boolean = false): Map[String, String] =

@@ -154,7 +154,8 @@ object SigV4Verify {
     val headerLines = signedHeaders.split(";").map { h =>
       val v = Option(ex.getRequestHeaders.getFirst(h))
         .getOrElse(return Some(s"signed header $h absent"))
-      s"$h:${v.trim}\n"
+      // published SigV4 rule: trim AND collapse sequential inner spaces
+      s"$h:${v.trim.replaceAll("\\s+", " ")}\n"
     }.mkString
     val rawQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     val canonicalQuery = rawQuery.split("&").filter(_.nonEmpty).map { kv =>

@@ -59,12 +59,16 @@ class Round8Spec extends AnyFunSuite {
     try {
       val t = DeltaTable.forPath(spark, dir)
       val t0 = System.nanoTime()
-      val returned = t.vacuum(0, dryRun = false, enforceRetention = false)
+      val result = t.vacuumDetailed(0, dryRun = false, enforceRetention = false)
+      val returned = result.paths
       val sec = (System.nanoTime() - t0) / 1e9
       info(f"vacuum of $nDebris%d debris files took $sec%.1f s")
 
-      // the driver got a capped sample, never the 1M-path array
+      // the driver got a capped sample, never the 1M-path array — and the
+      // result itself carries the exact total (no global side channel)
       assert(returned.size == 1000, s"expected the 1000-row sample, got ${returned.size}")
+      assert(result.count == nDebris.toLong && result.truncated,
+        s"VacuumResult must carry the exact count: $result")
       val nonDebris = returned.filterNot(_.startsWith("debris"))
       assert(nonDebris.isEmpty, s"non-debris candidates: ${nonDebris.take(5).mkString(", ")}")
 

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.DeltaTable
+
+/** Round-9 regressions for the r8 advisor findings: SQL NULL semantics in
+  * incremental aggregate maintenance, 32-bit feature-hash bucket space,
+  * and SigV4 header-value space collapsing (verified by straight-line
+  * reconstruction, not by reusing the signer). */
+class Round9Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-test-r9")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmpDir(): String = Files.createTempDirectory("graft_r9_").toString + "/t"
+
+  test("IncrementalAgg: all-NULL groups maintain sum = NULL exactly like full recompute") {
+    val dir = tmpDir(); val tgt = tmpDir()
+    // grp 9's values are ALL NULL; every other group fully populated
+    val base = spark.range(100).select(col("id"), (col("id") % 10).as("grp"),
+      when(col("id") % 10 === 9, lit(null).cast("long"))
+        .otherwise(col("id") * 2).as("v"))
+    DeltaTable.write(spark, base, dir,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val up = DeltaTable.forPath(spark, dir)
+
+    def targetRows() = DeltaTable.forPath(spark, tgt).toDF
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3)))).toMap
+    def fullRows() = up.toDF.groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"),
+        count(col("v")).as("nn_v"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3)))).toMap
+
+    graft.ops.IncrementalAgg.refresh(up, tgt, Seq("grp"), Seq("v"))
+    assert(targetRows() == fullRows(), "snapshot build diverged")
+    assert(targetRows()(9L)._2.isEmpty,
+      s"all-NULL group must carry sum = NULL, got ${targetRows()(9L)}")
+
+    // a non-null value enters the all-NULL group -> sum flips to it
+    up.update(Map("v" -> expr("CAST(55 AS BIGINT)")), Some("id = 9"))
+    graft.ops.IncrementalAgg.refresh(up, tgt, Seq("grp"), Seq("v"))
+    assert(targetRows() == fullRows(), "NULL->non-NULL transition diverged")
+    assert(targetRows()(9L)._2.contains(55L))
+
+    // and leaves again -> sum flips back to NULL, not 0
+    up.update(Map("v" -> expr("CAST(NULL AS BIGINT)")), Some("id = 9"))
+    graft.ops.IncrementalAgg.refresh(up, tgt, Seq("grp"), Seq("v"))
+    assert(targetRows() == fullRows(), "non-NULL->NULL transition diverged")
+    assert(targetRows()(9L)._2.isEmpty,
+      s"group back to all-NULL must return to sum = NULL: ${targetRows()(9L)}")
+  }
+
+  test("hashedFeatures buckets span the full 32-bit-hash space above 2^16") {
+    import spark.implicits._
+    // ~3000 distinct tokens; with a 16-bit bucket hash every bucket
+    // >= 65536 would be PERMANENTLY empty (P[all below 65536 under the
+    // 32-bit hash] = 16^-3000)
+    val text = (1 to 3000).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val out = graft.llm.TextOps.hashedFeatures(df, "doc_id", "text",
+      numBuckets = 1 << 20)
+    val maxBucket = out.agg(max("bucket")).collect()(0).getLong(0)
+    assert(maxBucket >= 65536L,
+      s"bucket hash is still 16-bit: max bucket $maxBucket of ${1 << 20}")
+    val score = graft.llm.TextOps.linearScore(df, "doc_id", "text",
+      Array.tabulate(1 << 17)(i => if (i >= 65536) 1.0 else 0.0))
+      .collect()(0).getDouble(2)
+    assert(score > 0.0,
+      "linearScore never consults weights above index 65536 — 16-bit bucket hash")
+  }
+
+  test("SigV4 signs the space-collapsed canonical header form") {
+    import java.net.URI
+    import java.time.Instant
+    val signer = new graft.kernel.SigV4Signer("AK", "SK", "us-east-1",
+      clock = () => Instant.parse("2026-01-02T03:04:05Z"))
+    val payload = "body".getBytes("UTF-8")
+    val h = signer.sign("PUT", URI.create("http://host:9000/b/k"), payload,
+      Map("x-meta" -> "a  b \t c"))
+    // straight-line reconstruction with the PUBLISHED canonicalization
+    // (trim + collapse runs of whitespace), as a strict verifier would
+    def sha256Hex(b: Array[Byte]) =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b)
+        .map("%02x".format(_)).mkString
+    def hmac(k: Array[Byte], d: String) = {
+      val m = javax.crypto.Mac.getInstance("HmacSHA256")
+      m.init(new javax.crypto.spec.SecretKeySpec(k, "HmacSHA256"))
+      m.doFinal(d.getBytes("UTF-8"))
+    }
+    val headerLines = Seq(
+      "host" -> "host:9000",
+      "x-amz-content-sha256" -> h("x-amz-content-sha256"),
+      "x-amz-date" -> h("x-amz-date"),
+      "x-meta" -> "a b c").map { case (k, v) => s"$k:$v\n" }.mkString
+    val canonical = Seq("PUT", "/b/k", "", headerLines,
+      "host;x-amz-content-sha256;x-amz-date;x-meta",
+      sha256Hex(payload)).mkString("\n")
+    val sts = Seq("AWS4-HMAC-SHA256", h("x-amz-date"),
+      "20260102/us-east-1/s3/aws4_request",
+      sha256Hex(canonical.getBytes("UTF-8"))).mkString("\n")
+    var k = hmac("AWS4SK".getBytes("UTF-8"), "20260102")
+    k = hmac(k, "us-east-1"); k = hmac(k, "s3"); k = hmac(k, "aws4_request")
+    val expected = hmac(k, sts).map("%02x".format(_)).mkString
+    assert(h("authorization").endsWith(s"Signature=$expected"),
+      s"signer did not sign the collapsed canonical form: ${h("authorization")}")
+  }
+}

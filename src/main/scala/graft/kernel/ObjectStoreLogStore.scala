@@ -19,9 +19,12 @@ import org.apache.hadoop.fs.{FileStatus, Path}
  * [[VersionAlreadyExistsException]] exactly as with the file backend.
  * [[InMemoryPutClient]] provides CAS semantics for tests and in-process use.
  */
-/* Wiring a REAL store (no cloud SDKs ship in this environment, so the
- * in-memory CAS client is the only bundled implementation; the mapping for
- * each provider, mirroring the reference's backends in
+/* Wiring a REAL store (no cloud SDKs ship in this environment; the bundled
+ * DEPLOYABLE clients are pure-JDK wire implementations: [[HttpPutClient]] +
+ * [[SigV4Signer]] for S3-compatible stores incl. GCS S3-interop and lakeFS
+ * — see [[S3CompatibleStore]] — and [[AzureBlobClient]] +
+ * [[AzureSharedKeySigner]] for Azure Blob — see [[AzureBlobStore]]. The
+ * mapping for each provider, mirroring the reference's backends in
  * /root/reference/crates/{aws,gcp,azure}):
  *
  *  - S3: `PutObject` with `If-None-Match: *` (supported since 2024-08) —

@@ -48,15 +48,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // CLONES the whole Hadoop configuration (the expensive part — SHOW TABLES
   // over N slots was O(N) conf clones), while FileSystem.get is already
   // cached by Hadoop per (scheme, authority, ugi) and recovers if a handle
-  // is closed out from under us (FileSystem.closeAll)
+  // is closed out from under us (FileSystem.closeAll). Exception: when the
+  // deployment DISABLES Hadoop's cache for the warehouse scheme
+  // (fs.<scheme>.impl.disable.cache=true, common for credential rotation),
+  // every get would construct a fresh never-closed FileSystem — hold one
+  // instance ourselves in that case (closeAll doesn't touch uncached
+  // handles, so the stale-handle hazard doesn't apply to it).
   @volatile private var cachedConf: org.apache.hadoop.conf.Configuration = _
+  @volatile private var uncachedFs: org.apache.hadoop.fs.FileSystem = _
   private def fs = {
     var conf = cachedConf
     if (conf == null) {
       conf = spark.sessionState.newHadoopConf()
       cachedConf = conf
     }
-    warehouse.getFileSystem(conf)
+    val scheme = Option(warehouse.toUri.getScheme).getOrElse("file")
+    if (conf.getBoolean(s"fs.$scheme.impl.disable.cache", false)) {
+      if (uncachedFs == null) uncachedFs = warehouse.getFileSystem(conf)
+      uncachedFs
+    } else warehouse.getFileSystem(conf)
   }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {

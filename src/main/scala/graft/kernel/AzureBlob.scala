@@ -4,8 +4,7 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.time.{Instant, ZoneOffset}
 import java.time.format.DateTimeFormatter
-
-import scala.collection.concurrent.TrieMap
+import java.util.Locale
 
 import org.apache.hadoop.conf.Configuration
 
@@ -41,10 +40,16 @@ class AzureSharedKeySigner(
     val account: String,
     base64Key: String,
     clock: () => Instant = () => Instant.now(),
-    apiVersion: String = "2021-08-06") {
+    apiVersion: String = AzureBlobClient.ApiVersion) {
 
   private val key: Array[Byte] = java.util.Base64.getDecoder.decode(base64Key)
-  private val rfc1123 = DateTimeFormatter.RFC_1123_DATE_TIME
+  // NOT DateTimeFormatter.RFC_1123_DATE_TIME: that formatter emits a
+  // single-digit day-of-month for days 1-9 (its documented quirk), which
+  // real Azure rejects as an invalid x-ms-date — the header needs the
+  // fixed-width 2-digit day. Locale pinned so day/month names never
+  // localize.
+  private val rfc1123 = DateTimeFormatter
+    .ofPattern("EEE, dd MMM yyyy HH:mm:ss 'GMT'", Locale.US)
     .withZone(ZoneOffset.UTC)
 
   /** Headers to attach: `x-ms-date`, `x-ms-version`, `authorization`.
@@ -112,6 +117,11 @@ class AzureSharedKeySigner(
  * `http://127.0.0.1:10000/devstoreaccount1/mycontainer` (Azurite) or
  * `https://account.blob.core.windows.net/mycontainer`.
  */
+object AzureBlobClient {
+  /** One protocol version for signed AND anonymous requests. */
+  val ApiVersion = "2021-08-06"
+}
+
 class AzureBlobClient(
     endpoint: String,
     requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(30),
@@ -124,19 +134,10 @@ class AzureBlobClient(
 
   private def objectKey(key: String): String = key.stripPrefix("/")
 
-  /** RFC 3986 unreserved-set percent-encoding per path segment (Azure
-    * canonicalizes the ENCODED path, so emitted form = signed form). */
-  private def rfc3986(s: String): String =
-    s.getBytes("UTF-8").map { b =>
-      val c = (b & 0xff).toChar
-      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
-          (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' || c == '~')
-        c.toString
-      else f"%%${b & 0xff}%02X"
-    }.mkString
-
-  private def encodeKey(key: String): String =
-    key.split("/", -1).map(rfc3986).mkString("/")
+  // shared strict RFC 3986 form (Azure canonicalizes the ENCODED path, so
+  // emitted form = signed form) — one implementation across all clients
+  private def rfc3986(s: String): String = PathCodec.rfc3986(s)
+  private def encodeKey(key: String): String = PathCodec.rfc3986Key(key)
 
   private def uri(key: String): URI =
     URI.create(base + "/" + encodeKey(objectKey(key)))
@@ -152,7 +153,7 @@ class AzureBlobClient(
         .foreach { case (k, v) => b.header(k, v) }
       case None =>
         // even anonymous requests need the protocol version header
-        b.header("x-ms-version", "2021-08-06")
+        b.header("x-ms-version", AzureBlobClient.ApiVersion)
     }
     b
   }

@@ -48,25 +48,10 @@ class HttpPutClient(
   /** Trait key (slash-prefixed) → object key (bare). */
   private def objectKey(key: String): String = key.stripPrefix("/")
 
-  /** Strict RFC 3986 percent-encoding over the SigV4 unreserved set
-    * (A-Z a-z 0-9 - _ . ~), uppercase hex. URLEncoder is the WRONG tool
-    * here: it percent-encodes '~' and leaves '*' bare, while real
-    * S3-compatible verifiers (AWS, MinIO) canonicalize by re-encoding the
-    * decoded value with the unreserved set — a path containing either
-    * character would sign one form and be verified against the other
-    * (SignatureDoesNotMatch on every request). */
-  private def rfc3986(s: String): String =
-    s.getBytes("UTF-8").map { b =>
-      val c = (b & 0xff).toChar
-      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
-          (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' || c == '~')
-        c.toString
-      else f"%%${b & 0xff}%02X"
-    }.mkString
-
-  /** Percent-encode each path segment, keeping the '/' separators. */
-  private def encodeKey(key: String): String =
-    key.split("/", -1).map(rfc3986).mkString("/")
+  // strict RFC 3986 unreserved-set form — see PathCodec.rfc3986 for why
+  // URLEncoder would break SigV4 verification
+  private def rfc3986(s: String): String = PathCodec.rfc3986(s)
+  private def encodeKey(key: String): String = PathCodec.rfc3986Key(key)
 
   private def request(u: URI): HttpRequest.Builder =
     HttpRequest.newBuilder(u).timeout(requestTimeout)

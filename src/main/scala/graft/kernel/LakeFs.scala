@@ -59,14 +59,8 @@ class LakeFsClient(
   private val basic = "Basic " + java.util.Base64.getEncoder.encodeToString(
     s"$accessKey:$secretKey".getBytes("UTF-8"))
 
-  private def enc(s: String): String =
-    s.getBytes("UTF-8").map { b =>
-      val c = (b & 0xff).toChar
-      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
-          (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' || c == '~')
-        c.toString
-      else f"%%${b & 0xff}%02X"
-    }.mkString
+  // shared strict RFC 3986 form — one implementation across all clients
+  private def enc(s: String): String = PathCodec.rfc3986(s)
 
   private def jstr(s: String): String =
     JsonMethods.compact(JsonMethods.render(JString(s)))
@@ -140,6 +134,20 @@ class LakeFsClient(
     val resp = send(r, HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 201 && resp.statusCode() != 200)
       fail(s"put object $path", resp)
+  }
+
+  /** Metadata-only existence check (`objects/stat`) — the commit-path
+    * pre-check and `exists` must not download whole checkpoint-sized
+    * bodies just to test presence. */
+  def statObject(repo: String, ref: String, path: String): Boolean = {
+    val r = req(s"$base/api/v1/repositories/${enc(repo)}/refs/${enc(ref)}/objects/stat?path=${enc(path)}")
+      .GET().build()
+    val resp = send(r, HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() match {
+      case 200 => true
+      case 404 => false
+      case _ => fail(s"stat object $path", resp)
+    }
   }
 
   def getObject(repo: String, ref: String, path: String): Option[Array[Byte]] = {
@@ -240,10 +248,16 @@ class LakeFsLogStore(val conf: Configuration,
 
   override def list(dir: Path): Seq[FileStatus] = {
     val (repo, branch, key) = split(dir)
-    client.listObjects(repo, branch, key.stripSuffix("/") + "/").map { m =>
-      new FileStatus(m.size, false, 1, 0, m.mtimeMs,
-        qualify(dir, repo, branch, m.key.stripPrefix("/")))
-    }
+    val prefix = key.stripSuffix("/") + "/"
+    client.listObjects(repo, branch, prefix)
+      // LogStore contract: DIRECT children only — a prefix listing also
+      // surfaces nested layouts like _delta_log/_sidecars/*.parquet,
+      // which must not masquerade as log entries
+      .filter(m => !m.key.stripPrefix("/").stripPrefix(prefix).contains('/'))
+      .map { m =>
+        new FileStatus(m.size, false, 1, 0, m.mtimeMs,
+          qualify(dir, repo, branch, m.key.stripPrefix("/")))
+      }
   }
 
   override def read(path: Path): Seq[String] = {
@@ -264,7 +278,7 @@ class LakeFsLogStore(val conf: Configuration,
     try {
       // fast refusal: the branch snapshot (= the table branch at branch
       // point) already carries this version
-      if (client.getObject(repo, txn, key).isDefined)
+      if (client.statObject(repo, txn, key))
         throw new VersionAlreadyExistsException(path.toString)
       client.putObject(repo, txn, key, bytes)
       client.commit(repo, txn, s"graft commit $key", allowEmpty = false)
@@ -284,7 +298,7 @@ class LakeFsLogStore(val conf: Configuration,
 
   override def exists(path: Path): Boolean = {
     val (repo, branch, key) = split(path)
-    client.getObject(repo, branch, key).isDefined
+    client.statObject(repo, branch, key)
   }
 
   override def delete(path: Path): Boolean = {
@@ -310,8 +324,15 @@ object LakeFsStore {
 
   def routing(endpoint: String,
               env: Map[String, String] = sys.env,
-              conf: Configuration = new Configuration()): LogStore =
-    new LakeFsLogStore(conf, new LakeFsClient(endpoint,
-      env.getOrElse("LAKEFS_ACCESS_KEY_ID", ""),
-      env.getOrElse("LAKEFS_SECRET_ACCESS_KEY", "")))
+              conf: Configuration = new Configuration()): LogStore = {
+    // fail at registration, not as opaque 401s the commit loop would
+    // retry: lakeFS has no anonymous mode
+    val access = env.getOrElse("LAKEFS_ACCESS_KEY_ID", throw
+      new IllegalArgumentException(
+        "LAKEFS_ACCESS_KEY_ID must be set to register a lakeFS store"))
+    val secret = env.getOrElse("LAKEFS_SECRET_ACCESS_KEY", throw
+      new IllegalArgumentException(
+        "LAKEFS_ACCESS_KEY_ID is set but LAKEFS_SECRET_ACCESS_KEY is not"))
+    new LakeFsLogStore(conf, new LakeFsClient(endpoint, access, secret))
+  }
 }

@@ -29,4 +29,24 @@ object PathCodec {
   def encode(relFsPath: String): String =
     try new java.net.URI(null, null, relFsPath, null).getRawPath
     catch { case _: Exception => relFsPath }
+
+  /** Strict RFC 3986 percent-encoding over the unreserved set
+    * (A-Z a-z 0-9 - _ . ~), uppercase hex — the canonical form every
+    * signing object-store verifier (AWS/MinIO SigV4, Azure Shared Key,
+    * lakeFS) reconstructs. URLEncoder is the WRONG tool: it encodes '~'
+    * and leaves '*' bare, so a path containing either signs one form and
+    * verifies against another. ONE shared implementation — the HTTP
+    * clients must never drift apart on the signed form. */
+  def rfc3986(s: String): String =
+    s.getBytes("UTF-8").map { b =>
+      val c = (b & 0xff).toChar
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' || c == '~')
+        c.toString
+      else f"%%${b & 0xff}%02X"
+    }.mkString
+
+  /** [[rfc3986]] per path segment, keeping the '/' separators. */
+  def rfc3986Key(key: String): String =
+    key.split("/", -1).map(rfc3986).mkString("/")
 }

@@ -84,6 +84,35 @@ object IncrementalAgg {
       }
 
     val lastV = target.txnVersion(appId)
+
+    // migration: a target created before nn_ bookkeeping gains the columns
+    // plus an EXACT backfill — count(<c>) per group over the pinned
+    // already-folded upstream version, and sums of groups that turn out
+    // all-NULL flip from the legacy 0 to NULL. Without this, the merge
+    // below would fail analysis on target.nn_<c> with no recovery path
+    // short of rebuilding the rollup.
+    val tgtSchema = target.refresh().schema
+    val missingNn = sumCols.filter(c => !tgtSchema.fieldNames.contains(s"nn_$c"))
+    if (missingNn.nonEmpty) {
+      val v = lastV.getOrElse(throw new IllegalStateException(
+        s"IncrementalAgg: target $targetPath lacks ${missingNn.map("nn_" + _).mkString(",")} " +
+          "but records no folded upstream version to backfill from — rebuild it"))
+      target.addColumns(org.apache.spark.sql.types.StructType(
+        missingNn.map(c => org.apache.spark.sql.types.StructField(s"nn_$c",
+          org.apache.spark.sql.types.LongType))))
+      val backfillAggs = missingNn.map(c => count(col(c)).as(s"__bf_$c"))
+      val backfill = upstream.asOfVersion(v).groupBy(keyCols.map(col): _*)
+        .agg(backfillAggs.head, backfillAggs.tail: _*)
+      val bfCond = keyCols.map(k => s"target.`$k` <=> source.`$k`").mkString(" AND ")
+      target.merge(backfill, bfCond)
+        .whenMatchedUpdate(missingNn.flatMap(c => Seq(
+          s"nn_$c" -> s"source.__bf_$c",
+          s"sum_$c" ->
+            s"CASE WHEN source.__bf_$c = 0 THEN CAST(NULL AS BIGINT) ELSE target.sum_$c END"))
+          .toMap)
+        .execute()
+    }
+
     if (lastV.exists(_ >= endV))
       return Map("no_op" -> "true", "at_version" -> endV.toString)
 

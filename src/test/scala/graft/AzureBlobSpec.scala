@@ -34,7 +34,9 @@ class AzureBlobSpec extends AnyFunSuite {
       URI.create(s"http://127.0.0.1:10000/$account/c/t/_delta_log/0.json"),
       payload.length.toLong,
       Map("x-ms-blob-type" -> "BlockBlob", "If-None-Match" -> "*"))
-    assert(h("x-ms-date") == "Fri, 2 Jan 2026 03:04:05 GMT")
+    // fixed-width 2-digit day: Java's RFC_1123_DATE_TIME would emit
+    // "Fri, 2 Jan" which real Azure rejects — the pad is load-bearing
+    assert(h("x-ms-date") == "Fri, 02 Jan 2026 03:04:05 GMT")
     // straight-line reconstruction of the published rule — no signer reuse
     val canonicalHeaders =
       s"x-ms-blob-type:BlockBlob\nx-ms-date:${h("x-ms-date")}\nx-ms-version:2021-08-06\n"

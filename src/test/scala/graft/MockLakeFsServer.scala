@@ -161,6 +161,17 @@ class MockLakeFsServer(user: String, pass: String, pageSize: Int = 1000) {
               case None => respond(ex, 404)
             }
           }
+        case ("GET", Seq("refs", ref, "objects", "stat")) =>
+          branches.get(ref) match {
+            case None => respond(ex, 404)
+            case Some(br) =>
+              val p = params(ex).getOrElse("path", "")
+              br.data.get(p) match {
+                case Some(bl) => jsonResp(ex, 200,
+                  s"""{"path":${jstr(p)},"size_bytes":${bl.bytes.length},"mtime":${bl.mtimeMs / 1000}}""")
+                case None => respond(ex, 404)
+              }
+          }
         case ("GET", Seq("refs", ref, "objects", "ls")) =>
           branches.get(ref) match {
             case None => respond(ex, 404)

@@ -64,6 +64,55 @@ class Round9Spec extends AnyFunSuite {
       s"group back to all-NULL must return to sum = NULL: ${targetRows()(9L)}")
   }
 
+  test("IncrementalAgg: a pre-nn target is migrated in place (exact backfill), not wedged") {
+    val dir = tmpDir(); val tgt = tmpDir()
+    val base = spark.range(60).select(col("id"), (col("id") % 3).as("grp"),
+      when(col("id") % 3 === 2, lit(null).cast("long"))
+        .otherwise(col("id") * 5).as("v"))
+    DeltaTable.write(spark, base, dir,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val up = DeltaTable.forPath(spark, dir)
+    val appId = graft.ops.IncrementalAgg.appIdFor(up)
+
+    // hand-build the LEGACY target shape: keys + cnt + sum_v only (sum as
+    // coalesce-to-0, the old semantics), txn recording version 0 folded
+    val legacySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_v",
+        org.apache.spark.sql.types.LongType)))
+    DeltaTable.create(spark, tgt, legacySchema, Nil)
+    val legacyRows = up.toDF.groupBy("grp")
+      .agg(count(lit(1)).as("cnt"),
+        sum(coalesce(col("v"), lit(0L))).as("sum_v"))
+    DeltaTable.forPath(spark, tgt)
+      .merge(legacyRows, "target.grp <=> source.grp")
+      .whenNotMatchedInsert(Map("grp" -> "source.grp", "cnt" -> "source.cnt",
+        "sum_v" -> "source.sum_v"))
+      .withAppTransaction(appId, 0L)
+      .execute()
+
+    // new upstream commit, then a refresh with the nn-aware code
+    up.delete(Some("id < 6"))
+    graft.ops.IncrementalAgg.refresh(up, tgt, Seq("grp"), Seq("v"))
+
+    val got = DeltaTable.forPath(spark, tgt).toDF
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3)))).toMap
+    val want = up.toDF.groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"),
+        count(col("v")).as("nn_v"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3)))).toMap
+    assert(got == want, s"migrated refresh != full recompute: $got vs $want")
+    assert(got(2L)._2.isEmpty,
+      s"legacy 0-sum of the all-NULL group must flip to NULL: ${got(2L)}")
+  }
+
   test("hashedFeatures buckets span the full 32-bit-hash space above 2^16") {
     import spark.implicits._
     // ~3000 distinct tokens; with a 16-bit bucket hash every bucket

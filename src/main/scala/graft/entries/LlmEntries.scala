@@ -85,6 +85,21 @@ object LlmEntries {
     "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))"
   private val fpSql = s"md5($normSql)"
 
+  /** DuckDB value of hex digit `i` (1-indexed) of the md5-hex column
+    * `hexVar` — ONE definition for every bucket-hash oracle. */
+  private def md5Dig(hexVar: String, i: Int): String =
+    s"(strpos('0123456789abcdef', substr($hexVar, $i, 1)) - 1)"
+
+  /** DuckDB fold of the first 32 md5 bits (8 hex digits), matching the
+    * Spark side's `conv(substring(<hex>, 1, 8), 16, 10)`. The four
+    * bucket-hash oracles (hash features, shuffle shards, DSIR, linear
+    * quality) share THIS definition so a hash-contract change cannot
+    * desynchronize one of them from its Spark implementation — the exact
+    * drift class the 16→32-bit widening had to fix in three places. */
+  private def md5Fold32(hexVar: String): String =
+    (2 to 8).foldLeft(md5Dig(hexVar, 1))(
+      (acc, i) => s"($acc * 16 + ${md5Dig(hexVar, i)})")
+
   /** DuckDB replay of the md5Hash64-based SimHash pipeline as a brute-force
     * oracle: same shingles, same md5-derived bits, same sign-aggregate; the
     * pigeonhole banding in Dedup.simhashNearDups is lossless for
@@ -1600,10 +1615,8 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         "doc_id", "text", numBuckets = 256),
       Some {
         val norm = normSql
-        def dig(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
-        // 8 hex digits (32 hash bits) folded like the Spark side's
-        // conv(substring(m, 1, 8), 16, 10); sign from hex digit 9
-        val h32 = (2 to 8).foldLeft(dig(1))((acc, i) => s"($acc * 16 + ${dig(i)})")
+        // shared 32-bit md5 fold; sign from hex digit 9
+        val h32 = md5Fold32("m")
         s"""WITH toks AS (
            |  SELECT doc_id, unnest(CASE WHEN length(nm) = 0 THEN []
            |                             ELSE string_split(nm, ' ') END) AS w
@@ -1611,7 +1624,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
            |h AS (SELECT doc_id, md5(w) AS m FROM toks),
            |f AS (SELECT doc_id,
            |        ($h32 % 256) AS bucket,
-           |        CASE WHEN ${dig(9)} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+           |        CASE WHEN ${md5Dig("m", 9)} % 2 = 0 THEN 1 ELSE -1 END AS sgn
            |      FROM h)
            |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
            |       CAST(sum(sgn) AS BIGINT) AS weight
@@ -1670,10 +1683,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         nShards = 8, salt = "shuf7")
         .select("doc_id", "source", "shard", "pos"),
       Some {
-        def dig(i: Int) = s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
-        // 8 hex digits (32 hash bits), folded like the Spark side's
-        // conv(substring(h, 1, 8), 16, 10)
-        val h32 = (2 to 8).foldLeft(dig(1))((acc, i) => s"($acc * 16 + ${dig(i)})")
+        val h32 = md5Fold32("h") // shared 32-bit md5 fold
         s"""WITH b AS (
            |  SELECT doc_id, source,
            |         md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':shuf7') AS h
@@ -1743,9 +1753,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         docsDelta(s, d).select("doc_id", "text", "lang"),
         "doc_id", "text", col("lang") === "en", numBuckets = 256),
       Some {
-        def dig(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
-        // 8 hex digits (32 hash bits), matching conv(substring(m,1,8),16,10)
-        val h32 = (2 to 8).foldLeft(dig(1))((acc, i) => s"($acc * 16 + ${dig(i)})")
+        val h32 = md5Fold32("m") // shared 32-bit md5 fold
         s"""WITH ws AS (
            |  SELECT doc_id, lang = 'en' AS t,
            |         CASE WHEN length(nm) = 0 THEN [] ELSE string_split(nm, ' ') END AS ws
@@ -1820,9 +1828,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         weights = Array.tabulate(256)(i => ((i % 7) - 3) * 0.125),
         bias = 0.25),
       Some {
-        def dig(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
-        // 8 hex digits (32 hash bits), matching conv(substring(m,1,8),16,10)
-        val h32 = (2 to 8).foldLeft(dig(1))((acc, i) => s"($acc * 16 + ${dig(i)})")
+        val h32 = md5Fold32("m") // shared 32-bit md5 fold
         s"""WITH toks AS (
            |  SELECT doc_id, unnest(CASE WHEN length(nm) = 0 THEN []
            |                             ELSE string_split(nm, ' ') END) AS w

@@ -1655,7 +1655,26 @@ object CoreEntries {
     dir
   }
 
+  // corpus-level column profiling (ops/Profile.scala): one wide
+  // aggregation unpivoted to a row per column; exact distinct counts so
+  // the numbers are decision-grade and engine-independent. Columns chosen
+  // integral/string — float min/max render engine-dependently by design.
+  private val profileEntry = Entry("corpus_profile", (s, d) =>
+    graft.ops.Profile.profile(
+      pq(s, d, "orders"), Seq("o_orderkey", "o_custkey", "o_orderstatus")),
+    Some {
+      def row(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus")
+        .map(row).mkString("\nUNION ALL\n")
+    })
+
   val entries: Seq[Entry] =
     scanEntries ++ sqlEntries ++ writeEntries ++ dmlEntries ++
-      maintenanceEntries ++ round3Entries ++ eventEntries :+ asofEntry
+      maintenanceEntries ++ round3Entries ++ eventEntries :+ asofEntry :+ profileEntry
 }

@@ -1990,5 +1990,39 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
            |  FROM p GROUP BY doc_id)
            |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
            |       coalesce(s.lm_score, 0.0) AS lm_score
-           |FROM d LEFT JOIN s USING (doc_id)""".stripMargin)))
+           |FROM d LEFT JOIN s USING (doc_id)""".stripMargin)),
+
+    // C4-style GLOBAL paragraph dedup (Dedup.dedupParagraphs): every
+    // distinct normalized paragraph survives only at its first
+    // (doc_id, position) occurrence corpus-wide. Two boilerplate
+    // paragraphs appended to EVERY document must each survive exactly
+    // once (in the minimal doc_id); whole-document duplicates already in
+    // the corpus lose all their paragraphs and clean to ''.
+    Entry("llm_paragraph_dedup", (s, d) => {
+      val noisy = docsDelta(s, d).select(col("doc_id"),
+        concat(col("text"), lit("\nSubscribe to our newsletter today" +
+          "\nAll rights reserved worldwide")).as("text"))
+      graft.llm.Dedup.dedupParagraphs(noisy, "doc_id", "text")
+    }, Some {
+      val normP =
+        "trim(regexp_replace(regexp_replace(lower(p), '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         text || chr(10) || 'Subscribe to our newsletter today' || chr(10) || 'All rights reserved worldwide' AS t
+         |  FROM documents),
+         |ls AS (SELECT doc_id, string_split(t, chr(10)) AS ps FROM base),
+         |px AS (SELECT doc_id,
+         |         unnest([{'pos': i, 'p': ps[i + 1]} FOR i IN range(len(ps))],
+         |                recursive := true)
+         |       FROM ls),
+         |f AS (SELECT doc_id, pos, p, md5($normP) AS fp
+         |      FROM px WHERE trim(p) != ''),
+         |w AS (SELECT doc_id, pos, p,
+         |        row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+         |      FROM f),
+         |agg AS (SELECT doc_id, string_agg(p, chr(10) ORDER BY pos) AS cleaned
+         |        FROM w WHERE rn = 1 GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.cleaned, '') AS cleaned
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+    }))
 }

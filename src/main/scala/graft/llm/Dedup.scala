@@ -85,6 +85,47 @@ object Dedup {
   }
 
   /**
+   * GLOBAL first-occurrence paragraph dedup (the C4 pipeline's cross-
+   * document span rule, Raffel et al. 2020 §2.2 — distinct from
+   * [[removeRepeatedLines]], which only drops lines repeated above a
+   * corpus threshold): every distinct paragraph survives in exactly ONE
+   * place — its first occurrence by (docId, position) — and is excised
+   * everywhere else, so shared boilerplate (subscription footers, license
+   * blocks, navigation) remains represented once corpus-wide instead of
+   * once per crawl hit. Identity is the md5 of the NORMALIZED paragraph
+   * ([[TextOps.normalize]]: case/punct/whitespace-insensitive), so
+   * trivially reformatted copies dedup too; paragraphs that are blank
+   * after trim are dropped outright (blank-line runs collapse); NULL text
+   * reads as "" and yields "". Output is (idCol, cleaned) for every input
+   * document — a document losing all paragraphs keeps an empty string.
+   *
+   * Scale shape: paragraph explode → one fingerprint aggregation keeping
+   * min(struct(id, pos)) per fingerprint (map-side combine; a million-fold
+   * repeated footer is ONE build row) → an equi-join back on the
+   * fingerprint → one per-doc regroup. Three linear shuffles, no
+   * all-pairs, no window over the full corpus.
+   */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = df.select(col(idCol),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        .as(Seq("__pos", "__p")))
+      .filter(trim(col("__p")) =!= "")
+      .withColumn("__fp", md5(TextOps.normalize(col("__p"))))
+    // first occurrence = lexicographic min of (id, pos); ids are required
+    // non-null so the struct ordering is total and deterministic
+    val winners = paras.groupBy("__fp")
+      .agg(min(struct(col(idCol).as("__wid"), col("__pos").as("__wpos"))).as("__w"))
+    val kept = paras.join(winners, Seq("__fp"))
+      .filter(col(idCol) === col("__w.__wid") && col("__pos") === col("__w.__wpos"))
+    val agg = kept.groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__p")))),
+        s => s("__p")), "\n").as("cleaned"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
+  /**
    * Exact substring-span dedup (the Lee et al. 2022 "Deduplicating
    * Training Data" operation at n-gram granularity): remove every token
    * covered by an n-gram whose corpus-wide occurrence count reaches

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Column-level corpus profiling — the data-QA pass every new 100 TB drop
+ * gets before anything trains on it: per column the row count, NULL
+ * count, exact distinct count, and min/max rendered as strings. The
+ * reference exposes per-FILE stats via `get_add_actions`
+ * (`crates/core/src/operations/mod.rs` add_actions table); this is the
+ * corpus-level synthesis of the same question over arbitrary columns.
+ *
+ * One wide aggregation computes every metric, then a generator unpivots
+ * the single row into one output row per column — one job, one shuffle.
+ * `count(DISTINCT)` over k columns expands to a k-way grouping internally
+ * (Spark's Expand), so profile the columns you care about, not all 500;
+ * exact distinct (not approx) is deliberate: profile numbers feed
+ * go/no-go decisions and approx sketches differ across engines and runs.
+ *
+ * min/max render via CAST AS STRING, bit-stable for integral and string
+ * columns; floating columns render engine-dependently — prefer profiling
+ * the integral/string/date identity columns this is meant for.
+ */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "Profile.profile: at least one column")
+    cols.foreach(c => require(df.columns.contains(c),
+      s"Profile.profile: no such column '$c' (have ${df.columns.mkString(", ")})"))
+    val aggs = Seq(count(lit(1)).as("__rows")) ++ cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map(c => struct(
+      lit(c).as("column"),
+      col("__rows").as("n_rows"),
+      col(s"__nn_$c").as("n_nulls"),
+      col(s"__nd_$c").as("n_distinct"),
+      col(s"__mn_$c").as("min_value"),
+      col(s"__mx_$c").as("max_value"))): _*)
+    one.select(explode(rows).as("p")).select("p.*")
+  }
+}

@@ -132,6 +132,37 @@ class Round9Spec extends AnyFunSuite {
       "linearScore never consults weights above index 65536 — 16-bit bucket hash")
   }
 
+  test("dedupParagraphs: global first-occurrence, intra-doc repeats, blank collapse") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "unique one\nShared Footer!\nunique two"),
+      (2L, "shared footer\nonly mine"),            // normalized == doc 1's footer
+      (3L, "gone\n\n  \ngone"),                    // intra-doc repeat + blanks
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Dedup.dedupParagraphs(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique one\nShared Footer!\nunique two")
+    assert(out(2L) == "only mine",
+      s"doc 2 must lose the footer doc 1 already carries: '${out(2L)}'")
+    assert(out(3L) == "gone", s"intra-doc repeat + blanks must collapse: '${out(3L)}'")
+    assert(out(4L) == "", "NULL text must clean to empty, not vanish")
+    assert(out.size == 4)
+  }
+
+  test("Profile: nulls, exact distinct, min/max; unknown column refused") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")), (4L, Some("z")))
+      .toDF("id", "s")
+    val p = graft.ops.Profile.profile(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(p("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(p("s") == ((4L, 1L, 2L, "a", "z")))
+    intercept[IllegalArgumentException](
+      graft.ops.Profile.profile(df, Seq("nope")))
+  }
+
   test("SigV4 signs the space-collapsed canonical header form") {
     import java.net.URI
     import java.time.Instant

@@ -80,9 +80,14 @@ object Bpe {
           val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
           merges += ((l, r, c))
           var next = words.select(col("__c"), mergeFold(col("__s"), l, r).as("__s"))
+          // localCheckpoint() already materializes AND caches eagerly —
+          // layering persist+count on top stored the symbol table twice
+          // and ran a redundant job on every checkpointEvery-th iteration
           if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint()
-          next = next.persist(StorageLevel.MEMORY_AND_DISK)
-          next.count()
+          else {
+            next = next.persist(StorageLevel.MEMORY_AND_DISK)
+            next.count()
+          }
           words.unpersist()
           words = next
           i += 1

@@ -65,9 +65,13 @@ object Clustering {
       exact: Boolean = false): Array[Array[Double]] = {
     require(k >= 1, "kmeans: k must be >= 1")
     require(iters >= 0, "kmeans: iters must be >= 0")
+    // persisted for the loop: without it every Lloyd iteration (plus the
+    // init collect) re-scans and re-projects the full corpus from source
     val base = corpus.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
       .filter(col("__v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // deterministic init: the first k vectors by id (same quantizer seed
     // rule as ivfTopK — production would kmeans||-sample instead; the
@@ -107,6 +111,7 @@ object Clustering {
       centroids = Array.tabulate(centroids.length)(c => next.getOrElse(c, centroids(c)))
     }
     centroids
+    } finally base.unpersist()
   }
 
   /** Assign every vector to its nearest centroid (shuffle-free projection).
@@ -137,11 +142,10 @@ object Clustering {
     * an actionable message instead. */
   private def requireWidth(df: DataFrame, vecCol: String, dim: Int,
       op: String): Unit =
-    df.select(org.apache.spark.sql.functions.size(col(vecCol)).as("__w"))
-      .filter(col("__w").isNotNull).limit(1).collect().headOption.foreach { r =>
-        require(r.getInt(0) == dim,
-          s"$op: centroid dim=$dim does not match embedding width ${r.getInt(0)}")
-      }
+    Similarity.probeWidth(df, vecCol).foreach { w =>
+      require(w == dim,
+        s"$op: centroid dim=$dim does not match embedding width $w")
+    }
 
   /** Train + assign in one call: (idCol, cluster, dist2). */
   def kmeans(

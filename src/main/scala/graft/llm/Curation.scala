@@ -24,11 +24,22 @@ object Curation {
     * hash as the empty string (all NULL-key rows share one draw) — without
     * the coalesce they would be silently dropped for 0 < frac < 1 but kept
     * at frac >= 1, a discontinuity. */
+  /** THE salted draw every sampler/splitter/shuffler shares: md5 of
+    * "key:salt" with NULL keys hashing as '' so no row silently routes to
+    * a default branch. One definition — leakFreeSplit once hand-rolled
+    * this and dropped the coalesce, sending every NULL-key row to the
+    * last split. */
+  private[llm] def saltedHash(key: Column, salt: String): Column =
+    md5(concat(coalesce(key.cast("string"), lit("")), lit(":" + salt)))
+
+  /** First 8 hex chars (32 bits) of [[saltedHash]] — the comparable draw. */
+  private[llm] def draw8(key: Column, salt: String): Column =
+    substring(saltedHash(key, salt), 1, 8)
+
   def sampleCond(key: Column, frac: Double, salt: String): Column =
     if (frac <= 0) lit(false)
     else if (frac >= 1) lit(true)
-    else substring(md5(concat(coalesce(key.cast("string"), lit("")),
-      lit(":" + salt))), 1, 8) < lit(hexThreshold(frac))
+    else draw8(key, salt) < lit(hexThreshold(frac))
 
   /**
    * Stratified sample: per-stratum fractions (data-mixing ratios), rows in
@@ -167,8 +178,7 @@ object Curation {
     val thrCol = rates.foldLeft(lit("00000000")) { case (acc, (d, r)) =>
       when(col(domainCol) === d, lit(hexThreshold(r - r.toInt))).otherwise(acc)
     }
-    val drawn = substring(md5(concat(coalesce(col(idCol).cast("string"), lit("")),
-      lit(":" + salt))), 1, 8)
+    val drawn = draw8(col(idCol), salt)
     df.filter(col(domainCol).isin(rates.keys.toSeq: _*))
       .withColumn("__full", fullCol)
       // __full + 1 candidate epochs; the last one is the fractional draw
@@ -358,8 +368,10 @@ object Curation {
     require(splits.forall(_._2 > 0) && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"leakFreeSplit: fractions must be positive and sum to 1: $splits")
     val clustered = Dedup.dedupClusters(docs, idCol, pairs)
-    val h = substring(md5(concat(col("cluster").cast("string"),
-      lit(":" + salt))), 1, 8)
+    // draw8 coalesces a NULL cluster to '' — a hand-rolled hash here once
+    // made every NULL-cluster row's when-conditions NULL, deterministically
+    // routing them ALL to the last split instead of distributing them
+    val h = draw8(col("cluster"), salt)
     val cum = splits.scanLeft(0.0)(_ + _._2).tail
     val assigned = splits.init.zip(cum.init).foldLeft(Option.empty[Column]) {
       case (acc, ((name, _), cumFrac)) =>
@@ -392,8 +404,7 @@ object Curation {
   def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
       salt: String): DataFrame = {
     require(nShards >= 1, s"shuffleShards: nShards=$nShards")
-    val h = md5(concat(coalesce(col(idCol).cast("string"), lit("")),
-      lit(":" + salt)))
+    val h = saltedHash(col(idCol), salt)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("__h"), col(idCol))
     df.withColumn("__h", h)
@@ -440,10 +451,7 @@ object Curation {
       .select(col(idCol), targetPred.as("__t"),
         posexplode(TextOps.words(TextOps.normalize(col(textCol)))).as(Seq("__pos", "__w")))
       .select(col(idCol), col("__t"), col("__pos"),
-        // 32 hash bits (see linearScore): numBuckets > 65536 must not
-        // leave the tail buckets permanently empty
-        (conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long")
-          % numBuckets).as("__f"))
+        TextOps.md5Bucket(col("__w"), numBuckets).as("__f"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val tot = toks.agg(count(lit(1)).as("nr"),

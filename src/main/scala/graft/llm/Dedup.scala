@@ -381,6 +381,17 @@ object Dedup {
       maxBucketWidth: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be a multiple of bands")
     val r = numHashes / bands
+    // one-row probe (the package's requireDim discipline): a signature
+    // table persisted under a different numHashes would otherwise die
+    // mid-job on ANSI element_at — or worse, silently band a truncated
+    // signature when MORE hashes are stored than requested
+    corpusSigs.select(size(col("sig")).as("n")).limit(1).collect()
+      .headOption.foreach { row =>
+        require(row.getInt(0) == numHashes,
+          s"crossNearDupsAgainstSignatures: stored signatures carry " +
+            s"${row.getInt(0)} hashes but numHashes=$numHashes was requested " +
+            "— recompute the signature table or match the parameter")
+      }
     // re-spread the stored signature vector into the positional columns
     // bandedKeys expects — the band hashing is IDENTICAL to the live path
     val cAgg = corpusSigs.select(

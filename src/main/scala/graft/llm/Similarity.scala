@@ -80,14 +80,21 @@ object Similarity {
     * (note: runs an eager one-row Spark job at call time). Sampled over
     * non-null vectors so a leading null embedding raises the real
     * diagnostic, not a NullPointerException on getInt. */
-  private def requireDim(df: DataFrame, vecCol: String, dim: Int, op: String): Unit =
+  /** One-row embedding-width probe over non-null vectors (a leading NULL
+    * must raise the real diagnostic, not an NPE on getInt) — THE shared
+    * mechanics for every dim check in the package; callers supply their
+    * own consequence message. */
+  private[llm] def probeWidth(df: DataFrame, vecCol: String): Option[Int] =
     df.select(size(col(vecCol)).as("__w")).filter(col("__w").isNotNull)
-      .limit(1).collect().headOption.foreach { r =>
-        require(r.getInt(0) == dim,
-          s"$op: dim=$dim does not match embedding width ${r.getInt(0)} — " +
-            "LSH buckets would collapse to 0 (all-pairs join) / IVF cell " +
-            "assignment would go NULL (empty probe join)")
-      }
+      .limit(1).collect().headOption.map(_.getInt(0))
+
+  private def requireDim(df: DataFrame, vecCol: String, dim: Int, op: String): Unit =
+    probeWidth(df, vecCol).foreach { w =>
+      require(w == dim,
+        s"$op: dim=$dim does not match embedding width $w — " +
+          "LSH buckets would collapse to 0 (all-pairs join) / IVF cell " +
+          "assignment would go NULL (empty probe join)")
+    }
 
   /**
    * Exact cosine top-k: for each row of `queries` (small — it is broadcast),

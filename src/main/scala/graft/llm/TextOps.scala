@@ -47,6 +47,19 @@ object TextOps {
   /** Exact whitespace token count. */
   def wordCount(text: Column): Column = size(words(text)).cast("long")
 
+  /** First 32 md5 bits of a token, mod `n` — THE hashed-feature bucket
+    * function shared by [[linearScore]], [[hashedFeatures]] and
+    * [[graft.llm.Curation.dsirWeights]]. One definition: a 16-bit prefix
+    * here once left every bucket >= 2^16 permanently empty, and the three
+    * inline copies had to be found and fixed one by one. */
+  private[llm] def md5Bucket(token: Column, n: Int): Column =
+    md5BucketOfHex(md5(token), n)
+
+  /** [[md5Bucket]] over an already-computed md5 hex column (callers that
+    * also derive other bits from the same digest bind it once). */
+  private[llm] def md5BucketOfHex(hex: Column, n: Int): Column =
+    conv(substring(hex, 1, 8), 16, 10).cast("long") % n
+
   /** BPE-ish token estimate: word-piece count where each word contributes
     * ceil(len/4) pieces plus standalone punctuation; a cheap deterministic
     * stand-in for a real tokenizer, computed per-row without UDFs. */
@@ -65,14 +78,31 @@ object TextOps {
   def blocklistStats(df: DataFrame, idCol: String, textCol: String,
       blocklist: Seq[String]): DataFrame = {
     require(blocklist.nonEmpty, "blocklistStats: empty blocklist")
-    val w = words(normalize(coalesce(col(textCol), lit(""))))
-    val hits = size(filter(w, x => array_contains(typedLit(blocklist), x))).cast("long")
+    // tokens are matched NORMALIZED, so the entries must be too — a raw
+    // 'Viagra' would otherwise never hit the normalized token 'viagra'.
+    // An entry that normalizes to empty or to multiple words can never
+    // match a single token: refuse loudly instead of silently never firing
+    val normed = blocklist.map(e => e.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^\\p{L}\\p{N}\\s]", "").replaceAll("\\s+", " ").trim)
+    normed.zip(blocklist).foreach { case (n, raw) =>
+      require(n.nonEmpty && !n.contains(' '),
+        s"blocklistStats: entry '$raw' normalizes to '$n' and can never " +
+          "match a single normalized token")
+    }
+    val list = normed.distinct
+    // bind the tokenization ONCE: the lambda-bearing filter excludes this
+    // expression tree from subexpression elimination, so inlining it into
+    // all five outputs re-ran the normalize+split per reference
     df.select(col(idCol),
-      size(w).cast("long").as("n_words"),
-      hits.as("n_hits"),
-      when(size(w) === 0, lit(0.0))
-        .otherwise(hits.cast("double") / size(w).cast("double")).as("hit_ratio"),
-      (hits > 0).as("flagged"))
+      words(normalize(coalesce(col(textCol), lit("")))).as("__w"))
+      .select(col(idCol), size(col("__w")).cast("long").as("n_words"),
+        size(filter(col("__w"), x => array_contains(typedLit(list), x)))
+          .cast("long").as("n_hits"))
+      .select(col(idCol), col("n_words"), col("n_hits"),
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(col("n_hits").cast("double") / col("n_words").cast("double"))
+          .as("hit_ratio"),
+        (col("n_hits") > 0).as("flagged"))
   }
 
   /** One PII category: a regex (kept to the Java/RE2 COMMON dialect subset —
@@ -485,12 +515,8 @@ object TextOps {
       weights: Array[Double], bias: Double = 0.0): DataFrame = {
     require(weights.length >= 2, s"linearScore: ${weights.length} weights")
     val n = weights.length
-    // 8 hex chars = 32 hash bits: a 16-bit prefix would leave every bucket
-    // >= 2^16 permanently empty for large weight tables (same defect class
-    // as the shuffleShards 4→8 widening)
     val toks = df.select(col(idCol), explode(words(normalize(col(textCol)))).as("__w"))
-      .select(col(idCol),
-        (conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long") % n).as("__b"))
+      .select(col(idCol), md5Bucket(col("__w"), n).as("__b"))
     val wArr = typedlit(weights.toSeq)
     val scored = toks.groupBy(col(idCol), col("__b"))
       .agg(count(lit(1)).as("__c"))
@@ -529,12 +555,10 @@ object TextOps {
     require(numBuckets >= 2, s"hashedFeatures: numBuckets=$numBuckets")
     df.select(col(idCol), explode(words(normalize(col(textCol)))).as("__w"))
       .withColumn("__m", md5(col("__w")))
-      // bucket = first 32 md5 bits mod numBuckets (16 bits would cap the
-      // usable feature space at 65536); sign = md5 bit 33 — independent
-      // hex ranges so bucket and sign stay uncorrelated
+      // bucket = md5Bucket (first 32 md5 bits); sign = md5 bit 33 —
+      // independent hex ranges so bucket and sign stay uncorrelated
       .select(col(idCol),
-        (conv(substring(col("__m"), 1, 8), 16, 10).cast("long") % numBuckets)
-          .as("bucket"),
+        md5BucketOfHex(col("__m"), numBuckets).as("bucket"),
         when(conv(substring(col("__m"), 9, 1), 16, 10).cast("long") % 2 === 0,
           lit(1L)).otherwise(lit(-1L)).as("__sign"))
       .groupBy(col(idCol), col("bucket"))

@@ -150,6 +150,51 @@ class Round9Spec extends AnyFunSuite {
     assert(out.size == 4)
   }
 
+  test("llm review regressions: blocklist entry normalization, NULL routing, probes") {
+    import spark.implicits._
+    // un-normalized entries must hit their normalized token forms
+    val df = Seq((1L, "VIAGRA!! and viagra"), (2L, "clean prose")).toDF("doc_id", "text")
+    val out = graft.llm.TextOps.blocklistStats(df, "doc_id", "text", Seq("Viagra!"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 2L, s"entry 'Viagra!' must hit both token variants: $out")
+    assert(out(2L) == 0L)
+    // an entry that can never match a token is refused, not silently inert
+    intercept[IllegalArgumentException](
+      graft.llm.TextOps.blocklistStats(df, "doc_id", "text", Seq("two words")))
+    intercept[IllegalArgumentException](
+      graft.llm.TextOps.blocklistStats(df, "doc_id", "text", Seq("!!!")))
+
+    // NULL-cluster rows must hash-distribute across splits, not all land
+    // in the LAST split via NULL when-conditions
+    val docs = Seq((Some(1L), "a"), (None: Option[Long], "b")).toDF("doc_id", "text")
+    val noPairs = spark.emptyDataFrame.select(lit(0L).as("id_a"), lit(0L).as("id_b"))
+      .filter(lit(false))
+    val splits = (1 to 6).map { i =>
+      graft.llm.Curation.leakFreeSplit(docs, "doc_id", noPairs,
+        Seq("train" -> 0.5, "test" -> 0.5), salt = s"s$i")
+        .filter(col("doc_id").isNull).select("split").collect()(0).getString(0)
+    }
+    assert(splits.toSet.size > 1,
+      s"NULL-cluster rows always routed to one split across salts: $splits")
+
+    // NULL payloads emit no phantom frames
+    val frames = graft.llm.Multimodal.frameSample(
+      Seq((1L, Array[Byte](1, 2, 3, 4)), (2L, null.asInstanceOf[Array[Byte]]))
+        .toDF("id", "payload"), "id", "payload", nFrames = 2, frameSize = 2)
+    assert(frames.filter(col("id") === 2L).count() == 0L,
+      "NULL payload fabricated frames")
+    assert(frames.filter(col("id") === 1L).count() == 2L)
+
+    // persisted signatures with the wrong hash count are refused up front
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val sigs = graft.llm.Dedup.signatures(corpus, "doc_id", "text",
+      shingleSize = 2, numHashes = 8)
+    val e = intercept[IllegalArgumentException](
+      graft.llm.Dedup.crossNearDupsAgainstSignatures(sigs, corpus,
+        "doc_id", "text", shingleSize = 2, numHashes = 16, bands = 8))
+    assert(e.getMessage.contains("8 hashes"), e.getMessage)
+  }
+
   test("Profile: nulls, exact distinct, min/max; unknown column refused") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")), (4L, Some("z")))

@@ -74,6 +74,36 @@ class LakeFsSpec extends AnyFunSuite {
     intercept[java.io.IOException](c.commit("repo", "graft-tx-leak", "x", true))
   }
 
+  test("adversarial object paths round-trip through the query-param encoding") {
+    val server = newServer()
+    val c = new LakeFsClient(server.endpoint, "AKIA", "SECRET")
+    val keys = Seq("t/a b/x.json", "t/tilde~star*/p+q.json",
+      "t/percent%25/f.json", "t/uni-é😀/g.json", "t/hash#q?.json")
+    keys.foreach(k => c.putObject("repo", "main", k, k.getBytes("UTF-8")))
+    keys.foreach { k =>
+      assert(c.statObject("repo", "main", k), s"stat $k")
+      assert(new String(c.getObject("repo", "main", k).get, "UTF-8") == k,
+        s"round-trip $k")
+    }
+    assert(c.listObjects("repo", "main", "t/").map(_.key.stripPrefix("/")).sorted
+      == keys.sorted)
+    keys.foreach(k => assert(c.deleteObject("repo", "main", k), s"delete $k"))
+    assert(c.listObjects("repo", "main", "t/").isEmpty)
+  }
+
+  test("store delete removes the committed object from the table branch") {
+    val server = newServer()
+    val store = new LakeFsLogStore(
+      new org.apache.hadoop.conf.Configuration(),
+      new LakeFsClient(server.endpoint, "AKIA", "SECRET"))
+    val p = new Path("lakefsmock://repo/main/wh/t/_delta_log/00000000000000000000.json")
+    store.writeAtomic(p, Iterator("x"))
+    assert(store.exists(p))
+    assert(store.delete(p))
+    assert(!store.exists(p))
+    assert(!store.delete(p), "second delete must report absence")
+  }
+
   test("two writers racing one version: the loser fails via MERGE conflict") {
     val server = newServer()
     // a client whose branch creation is immediately followed by a competing

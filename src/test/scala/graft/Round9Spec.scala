@@ -195,6 +195,33 @@ class Round9Spec extends AnyFunSuite {
     assert(e.getMessage.contains("8 hashes"), e.getMessage)
   }
 
+  test("dedupParagraphs invariants on a randomized corpus") {
+    import spark.implicits._
+    // small vocabulary forces heavy cross-document paragraph collisions
+    val rnd = new scala.util.Random(9)
+    val vocab = Vector("alpha beta", "gamma", "delta eps", "zeta!", "ETA theta")
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString("\n")))
+    val in = docs.toDF("doc_id", "text")
+    val out = graft.llm.Dedup.dedupParagraphs(in, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == docs.map(_._1).toSet, "every doc id must survive")
+    def norm(s: String) = s.toLowerCase
+      .replaceAll("[^\\p{L}\\p{N}\\s]", "").replaceAll("\\s+", " ").trim
+    // each distinct normalized paragraph appears EXACTLY once corpus-wide
+    val allOut = out.toSeq.flatMap { case (id, t) =>
+      t.split("\n").filter(_.trim.nonEmpty).map(p => (id, norm(p))) }
+    assert(allOut.map(_._2).distinct.size == allOut.size,
+      "a normalized paragraph survived twice")
+    // and exactly the set of distinct input paragraphs survives, each at
+    // its first-occurrence document
+    val firstByNorm = docs.flatMap { case (id, t) =>
+      t.split("\n").zipWithIndex.map { case (p, pos) => (norm(p), id, pos) } }
+      .groupBy(_._1).map { case (n, occ) => n -> occ.minBy(o => (o._2, o._3))._2 }
+    assert(allOut.map { case (id, n) => n -> id }.toMap == firstByNorm,
+      "a paragraph survived somewhere other than its first occurrence")
+  }
+
   test("Profile: nulls, exact distinct, min/max; unknown column refused") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")), (4L, Some("z")))

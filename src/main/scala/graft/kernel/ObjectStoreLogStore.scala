@@ -21,11 +21,13 @@ import org.apache.hadoop.fs.{FileStatus, Path}
  */
 /* Wiring a REAL store (no cloud SDKs ship in this environment; the bundled
  * DEPLOYABLE clients are pure-JDK wire implementations: [[HttpPutClient]] +
- * [[SigV4Signer]] for S3-compatible stores incl. GCS S3-interop and lakeFS
- * — see [[S3CompatibleStore]] — and [[AzureBlobClient]] +
- * [[AzureSharedKeySigner]] for Azure Blob — see [[AzureBlobStore]]. The
- * mapping for each provider, mirroring the reference's backends in
- * /root/reference/crates/{aws,gcp,azure}):
+ * [[SigV4Signer]] for S3-compatible stores incl. GCS S3-interop — see
+ * [[S3CompatibleStore]]; [[AzureBlobClient]] + [[AzureSharedKeySigner]] for
+ * Azure Blob — see [[AzureBlobStore]]; [[GcsClient]] +
+ * [[ServiceAccountTokenProvider]] for native GCS OAuth — see [[GcsStore]];
+ * and the branch-transactional [[LakeFsLogStore]] — see [[LakeFsStore]].
+ * The mapping for each provider, mirroring the reference's backends in
+ * /root/reference/crates/{aws,gcp,azure,lakefs}):
  *
  *  - S3: `PutObject` with `If-None-Match: *` (supported since 2024-08) —
  *    putIfAbsent returns false on HTTP 412. Pre-conditional-put S3 needs an

@@ -723,6 +723,38 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
          |FROM expl
          |WHERE e < f OR ${mdDrawSql("", "mix8")} < thr""".stripMargin)),
 
+    // temperature-smoothed mixture (XLM-R/mT5 multinomial sampling):
+    // per-source weights are sqrt(token total) — alpha = 0.5 rides the
+    // IEEE-exact sqrt so the oracle replays weight, ordered weight-sum
+    // fold ((w1+w2)+w3)+w4 (the ListMap insertion-order contract), rate
+    // arithmetic and md5 draw bit-for-bit; absent sources weigh 0.0 but
+    // still participate in the fold, like the Scala side
+    Entry("llm_temperature_mixture", (s, d) => {
+      val docs = docsDelta(s, d).select(col("doc_id"), col("source"), col("text"))
+        .withColumn("n_tokens", TextOps.tokenEstimate(col("text")))
+      val w = graft.llm.Curation.temperatureWeights(docs, "source",
+        col("n_tokens"), Seq("src1", "src2", "src3", "src4"), alpha = 0.5)
+      graft.llm.Curation.mixtureSample(docs, "doc_id", "source", col("n_tokens"),
+        w, tokenBudget = 3000, salt = "temp")
+        .select("doc_id", "source", "n_tokens")
+    },
+      Some {
+        val wsumSql = Seq("src1", "src2", "src3", "src4")
+          .map(s => s"coalesce((SELECT w FROM w WHERE source = '$s'), 0.0)")
+          .reduce((a, b) => s"($a + $b)")
+        s"""${mixTokTotSql(Seq("src1", "src2", "src3", "src4"))},
+           |w AS (SELECT source, t, sqrt(CAST(t AS DOUBLE)) AS w FROM tot),
+           |ws AS (SELECT $wsumSql AS s),
+           |rates AS (
+           |  SELECT source,
+           |         CASE WHEN t <= 0 THEN 1.0
+           |              ELSE LEAST(1.0, CAST(3000 AS DOUBLE) * (w / (SELECT s FROM ws)) / CAST(t AS DOUBLE)) END AS r
+           |  FROM w)
+           |SELECT k.doc_id, k.source, k.n_tokens
+           |FROM tok k JOIN rates USING (source)
+           |WHERE r >= 1.0 OR ${mdDrawSql("k.", "temp")} < ${thrSql("r")}""".stripMargin
+      }),
+
     // C4-style blocklist filter: normalized-word membership against a
     // literal list ("slow"/"error" occur in this corpus, "spamx" never) —
     // count, ratio (one IEEE division, engine-identical), any-hit flag

@@ -130,6 +130,60 @@ object Curation {
   }
 
   /**
+   * Temperature-smoothed domain weights — the multinomial sampling rule of
+   * the XLM-R/mT5 pipelines ("sample language l with probability ∝
+   * p_l^α"): from each domain's token total t_d the unnormalized weight is
+   * t_d^α, which equals p_d^α up to the constant (Σt)^α that
+   * [[mixtureSample]]/[[epochMixture]]'s own w/Σw normalization cancels.
+   * α < 1 flattens the mixture toward uniform (upweights low-resource
+   * domains); α = 1 is natural proportional sampling. Feed the result
+   * straight into the mixture samplers:
+   * {{{
+   * val w = Curation.temperatureWeights(docs, "lang", col("n_tokens"),
+   *   Seq("en", "fr", "sw"), alpha = 0.5)
+   * Curation.mixtureSample(docs, "doc_id", "lang", col("n_tokens"), w, budget)
+   * }}}
+   *
+   * Determinism contract: α = 0.5 and α = 1.0 route through sqrt/identity —
+   * both IEEE-exact, so an external engine replays the weights (and the
+   * downstream keep rates) bit-for-bit, which is what the mixture oracles
+   * require; any other α uses pow (correct, but last-ULP libm-dependent —
+   * fine for training, not for a hash-equality oracle). The returned map
+   * preserves `domains` order (a ListMap): the weight-sum fold downstream
+   * is order-sensitive in the last ULP, so iteration order is part of the
+   * replay contract. A domain absent from the corpus weighs 0 (it still
+   * participates in the Σw fold, matching the samplers' arithmetic).
+   *
+   * Scale shape: one row per domain crosses the driver, like the samplers'
+   * own rate aggregation.
+   */
+  def temperatureWeights(
+      df: DataFrame,
+      domainCol: String,
+      tokensCol: Column,
+      domains: Seq[String],
+      alpha: Double = 0.5): scala.collection.immutable.ListMap[String, Double] = {
+    require(alpha > 0, s"temperatureWeights: alpha must be positive, got $alpha")
+    require(domains.nonEmpty && domains.distinct == domains,
+      "temperatureWeights: domains must be non-empty and distinct")
+    require(df.schema(domainCol).dataType == org.apache.spark.sql.types.StringType,
+      s"temperatureWeights: domain column '$domainCol' must be STRING, " +
+        s"got ${df.schema(domainCol).dataType.simpleString}")
+    val totals = df.filter(col(domainCol).isin(domains: _*))
+      .groupBy(col(domainCol).as("__d"))
+      .agg(sum(coalesce(tokensCol, lit(0L)).cast("long")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    scala.collection.immutable.ListMap(domains.map { d =>
+      val t = math.max(totals.getOrElse(d, 0L), 0L).toDouble
+      val w =
+        if (alpha == 1.0) t
+        else if (alpha == 0.5) math.sqrt(t)
+        else math.pow(t, alpha)
+      d -> w
+    }: _*)
+  }
+
+  /**
    * Epoch-repeating domain mixture — the UPSAMPLING half of data mixing
    * that [[mixtureSample]] deliberately leaves to the caller: a domain
    * whose target token share exceeds its corpus size is REPEATED across

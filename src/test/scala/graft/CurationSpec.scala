@@ -310,6 +310,49 @@ class CurationSpec extends AnyFunSuite {
       s"NULL ids must share one fractional draw, got ${ne.count(_._2 == 1L)}")
   }
 
+  test("temperatureWeights: sqrt smoothing flattens, alpha=1 is proportional, order pinned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // high-resource a: 9 docs × 1600 = 14400 tokens; low-resource b: 100
+    val rows = (1 to 9).map(i => (i.toLong, "a", 1600L)) ++
+      Seq((100L, "b", 100L), (200L, "c", 50L))
+    val df = rows.toDF("id", "dom", "tok")
+
+    val w1 = Curation.temperatureWeights(df, "dom", col("tok"), Seq("a", "b"), alpha = 1.0)
+    assert(w1 == Map("a" -> 14400.0, "b" -> 100.0), s"alpha=1 must be raw totals: $w1")
+
+    val w5 = Curation.temperatureWeights(df, "dom", col("tok"), Seq("a", "b"))
+    assert(w5("a") == 120.0 && w5("b") == 10.0, s"sqrt weights: $w5")
+    // smoothing: b's share rises from 100/14500 (~0.7%) to 10/130 (~7.7%)
+    assert(w5("b") / (w5("a") + w5("b")) > 10 * (100.0 / 14500.0))
+    // iteration order = domains order (the weight-sum fold contract)
+    assert(Curation.temperatureWeights(df, "dom", col("tok"),
+      Seq("b", "a")).keys.toSeq == Seq("b", "a"))
+    // absent domain weighs 0 but stays in the map (participates in the fold)
+    val wAbs = Curation.temperatureWeights(df, "dom", col("tok"), Seq("a", "zz"))
+    assert(wAbs("zz") == 0.0 && wAbs.keys.toSeq == Seq("a", "zz"))
+    // NULL token counts contribute 0, not NULL-poisoned totals
+    val wNull = Curation.temperatureWeights(
+      Seq((1L, "a", java.lang.Long.valueOf(100L)), (2L, "a", null: java.lang.Long))
+        .toDF("id", "dom", "tok"), "dom", col("tok"), Seq("a"))
+    assert(wNull("a") == 10.0, s"NULL tokens must coalesce to 0: $wNull")
+    intercept[IllegalArgumentException](
+      Curation.temperatureWeights(df, "dom", col("tok"), Seq("a", "a")))
+    intercept[IllegalArgumentException](
+      Curation.temperatureWeights(df, "dom", col("tok"), Seq("a"), alpha = 0.0))
+
+    // composition: smoothed weights feed mixtureSample; the low-resource
+    // domain is kept whole (its smoothed target exceeds its 100 tokens)
+    // while the high-resource one downsamples
+    val mixed = Curation.mixtureSample(df, "id", "dom", col("tok"),
+      w5, tokenBudget = 2000, salt = "t5")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDom = mixed.groupBy(_._2).view.mapValues(_.length).toMap
+    // b target = 2000·(10/130) ≈ 154 tokens > 100 → rate 1, all kept
+    assert(byDom("b") == 1, s"low-resource domain must keep all: $byDom")
+    assert(!byDom.contains("c"), "unlisted domain must drop")
+  }
+
   test("quantileBuckets: exact ntile split, deterministic, NULL scores last") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

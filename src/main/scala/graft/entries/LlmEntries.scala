@@ -50,9 +50,10 @@ object LlmEntries {
   }
 
   /** Shared DuckDB preamble of the mixture oracles (llm_mixture_sample /
-    * llm_epoch_mixture): per-doc token estimates + per-source totals over
-    * the listed sources — ONE definition so the two oracles cannot drift
-    * (this block already needed the same coalesce/clamp fix applied twice). */
+    * llm_epoch_mixture / llm_temperature_mixture): per-doc token estimates
+    * + per-source totals over the listed sources — ONE definition so the
+    * three oracles cannot drift (this block already needed the same
+    * coalesce/clamp fix applied twice). */
   private def mixTokTotSql(srcs: Seq[String]): String = {
     val in = srcs.map(s => s"'$s'").mkString(", ")
     raw"""WITH tok AS (
@@ -732,10 +733,9 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
     Entry("llm_temperature_mixture", (s, d) => {
       val docs = docsDelta(s, d).select(col("doc_id"), col("source"), col("text"))
         .withColumn("n_tokens", TextOps.tokenEstimate(col("text")))
-      val w = graft.llm.Curation.temperatureWeights(docs, "source",
-        col("n_tokens"), Seq("src1", "src2", "src3", "src4"), alpha = 0.5)
-      graft.llm.Curation.mixtureSample(docs, "doc_id", "source", col("n_tokens"),
-        w, tokenBudget = 3000, salt = "temp")
+      graft.llm.Curation.temperatureMixture(docs, "doc_id", "source",
+        col("n_tokens"), Seq("src1", "src2", "src3", "src4"),
+        tokenBudget = 3000, alpha = 0.5, salt = "temp")
         .select("doc_id", "source", "n_tokens")
     },
       Some {

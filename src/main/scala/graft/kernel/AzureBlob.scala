@@ -160,12 +160,7 @@ class AzureBlobClient(
 
   private def send[T](req: HttpRequest,
       handler: HttpResponse.BodyHandler[T]): HttpResponse[T] =
-    try http.send(req, handler)
-    catch {
-      case e: InterruptedException =>
-        Thread.currentThread().interrupt()
-        throw new java.io.IOException("interrupted during blob-store call", e)
-    }
+    HttpWire.send(http, req, handler, "blob-store")
 
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
     val u = uri(key)

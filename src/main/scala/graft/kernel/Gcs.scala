@@ -72,6 +72,18 @@ object ServiceAccountCredentials {
       try JsonMethods.parse(json)
       catch { case e: Exception =>
         throw new IllegalArgumentException("unparseable service-account JSON", e) }
+    // GOOGLE_APPLICATION_CREDENTIALS often points at the authorized_user
+    // file `gcloud auth application-default login` writes — that flow needs
+    // a refresh-token exchange this client deliberately doesn't implement;
+    // say so instead of "lacks client_email"
+    j \ "type" match {
+      case JString(t) if t != "service_account" =>
+        throw new IllegalArgumentException(
+          s"""credentials file has type "$t" — only service_account keys are """ +
+            "supported (for authorized_user ADC, pass a pre-acquired token " +
+            "via GCS_BEARER_TOKEN instead)")
+      case _ =>
+    }
     def str(field: String): String = j \ field match {
       case JString(s) if s.nonEmpty => s
       case _ => throw new IllegalArgumentException(
@@ -114,8 +126,11 @@ class ServiceAccountTokenProvider(
   private val http = HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 
-  // (token, hard expiry) — refreshed under the lock
-  private var cached: Option[(String, Instant)] = None
+  // (token, hard expiry, refresh margin) — refreshed under the lock. The
+  // margin is min(60s, ttl/2): a fixed 60 s against a short-lived token
+  // (expires_in <= 60, e.g. a proxy) would expire the cache instantly and
+  // serialize every storage call behind a blocking token POST.
+  private var cached: Option[(String, Instant, Long)] = None
 
   private def b64url(bytes: Array[Byte]): String =
     java.util.Base64.getUrlEncoder.withoutPadding().encodeToString(bytes)
@@ -140,7 +155,7 @@ class ServiceAccountTokenProvider(
   override def token(): String = synchronized {
     val now = clock()
     cached match {
-      case Some((tok, exp)) if now.isBefore(exp.minusSeconds(60)) => tok
+      case Some((tok, exp, margin)) if now.isBefore(exp.minusSeconds(margin)) => tok
       case _ =>
         val form = "grant_type=" +
           PathCodec.rfc3986("urn:ietf:params:oauth:grant-type:jwt-bearer") +
@@ -149,13 +164,8 @@ class ServiceAccountTokenProvider(
           .timeout(requestTimeout)
           .header("Content-Type", "application/x-www-form-urlencoded")
           .POST(HttpRequest.BodyPublishers.ofString(form)).build()
-        val resp =
-          try http.send(req, HttpResponse.BodyHandlers.ofString())
-          catch {
-            case e: InterruptedException =>
-              Thread.currentThread().interrupt()
-              throw new java.io.IOException("interrupted during token exchange", e)
-          }
+        val resp = HttpWire.send(http, req, HttpResponse.BodyHandlers.ofString(),
+          "token exchange")
         if (resp.statusCode() != 200)
           throw new java.io.IOException(
             s"OAuth token exchange failed: HTTP ${resp.statusCode()}")
@@ -167,12 +177,12 @@ class ServiceAccountTokenProvider(
           case JString(t) if t.nonEmpty => t
           case _ => throw new java.io.IOException("token response lacks access_token")
         }
-        val ttl = j \ "expires_in" match {
+        val ttl = math.max(j \ "expires_in" match {
           case JInt(n) => n.toLong
           case JLong(n) => n
           case _ => 3600L
-        }
-        cached = Some((tok, now.plusSeconds(ttl)))
+        }, 1L)
+        cached = Some((tok, now.plusSeconds(ttl), math.min(60L, ttl / 2)))
         tok
     }
   }
@@ -212,12 +222,7 @@ class GcsClient(
 
   private def send[T](req: HttpRequest,
       handler: HttpResponse.BodyHandler[T]): HttpResponse[T] =
-    try http.send(req, handler)
-    catch {
-      case e: InterruptedException =>
-        Thread.currentThread().interrupt()
-        throw new java.io.IOException("interrupted during GCS call", e)
-    }
+    HttpWire.send(http, req, handler, "GCS")
 
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
     val req = request(uri(key))
@@ -280,10 +285,7 @@ class GcsClient(
             case _ => 0L
           }
           val mtime = it \ "updated" match {
-            case JString(ts) =>
-              scala.util.Try(Instant.parse(ts).toEpochMilli).toOption
-                .orElse(scala.util.Try(java.time.OffsetDateTime.parse(ts)
-                  .toInstant.toEpochMilli).toOption).getOrElse(0L)
+            case JString(ts) => HttpWire.isoMtimeMs(ts)
             case _ => 0L
           }
           out += ObjectMeta("/" + name.stripPrefix("/"), size, mtime)

@@ -69,12 +69,7 @@ class HttpPutClient(
   }
 
   private def send[T](req: HttpRequest, handler: HttpResponse.BodyHandler[T]): HttpResponse[T] =
-    try http.send(req, handler)
-    catch {
-      case e: InterruptedException =>
-        Thread.currentThread().interrupt()
-        throw new java.io.IOException("interrupted during object-store call", e)
-    }
+    HttpWire.send(http, req, handler, "object-store")
 
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
     val u = uri(key)
@@ -148,14 +143,7 @@ class HttpPutClient(
           s"list response entry without <Key> for prefix $prefix"))
         val size = text("Size").flatMap(s => scala.util.Try(s.trim.toLong).toOption)
           .getOrElse(0L)
-        // ISO instant ("...Z") per S3; tolerate offset dialects some
-        // S3-compatible gateways emit; absent/odd timestamps degrade to 0
-        // (only history/time-travel precision suffers, not correctness)
-        val mtime = text("LastModified").flatMap { ts =>
-          scala.util.Try(Instant.parse(ts).toEpochMilli).toOption
-            .orElse(scala.util.Try(
-              java.time.OffsetDateTime.parse(ts).toInstant.toEpochMilli).toOption)
-        }.getOrElse(0L)
+        val mtime = text("LastModified").map(HttpWire.isoMtimeMs).getOrElse(0L)
         out += ObjectMeta("/" + key.stripPrefix("/"), size, mtime)
       }
       def top(tag: String): Option[String] = {

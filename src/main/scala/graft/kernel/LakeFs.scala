@@ -71,12 +71,7 @@ class LakeFsClient(
       .header("Authorization", basic)
 
   private def send[T](r: HttpRequest, h: HttpResponse.BodyHandler[T]): HttpResponse[T] =
-    try http.send(r, h)
-    catch {
-      case e: InterruptedException =>
-        Thread.currentThread().interrupt()
-        throw new java.io.IOException("interrupted during lakeFS call", e)
-    }
+    HttpWire.send(http, r, h, "lakeFS")
 
   private def fail(what: String, resp: HttpResponse[_]): Nothing =
     throw new java.io.IOException(s"lakeFS $what failed: HTTP ${resp.statusCode()}")

@@ -55,6 +55,33 @@ trait ConditionalPutClient {
   def delete(key: String): Boolean
 }
 
+/** Shared wire helpers for the pure-JDK store clients — ONE implementation
+  * of the interrupt→IOException mapping (the commit loop's transient-retry
+  * classification) and the ISO object-timestamp parse, so the clients
+  * cannot drift apart on these details (the PathCodec lesson: per-client
+  * copies of shared wire rules are how encoding bugs happened). */
+private[kernel] object HttpWire {
+
+  def send[T](http: java.net.http.HttpClient, req: java.net.http.HttpRequest,
+      handler: java.net.http.HttpResponse.BodyHandler[T],
+      what: String): java.net.http.HttpResponse[T] =
+    try http.send(req, handler)
+    catch {
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        throw new java.io.IOException(s"interrupted during $what call", e)
+    }
+
+  /** ISO instant ("...Z") per S3/GCS; tolerate offset dialects some
+    * gateways emit; absent/odd timestamps degrade to 0 (only
+    * history/time-travel precision suffers, not correctness). */
+  def isoMtimeMs(ts: String): Long =
+    scala.util.Try(java.time.Instant.parse(ts).toEpochMilli).toOption
+      .orElse(scala.util.Try(
+        java.time.OffsetDateTime.parse(ts).toInstant.toEpochMilli).toOption)
+      .getOrElse(0L)
+}
+
 class InMemoryPutClient extends ConditionalPutClient {
   private case class Blob(bytes: Array[Byte], createdMs: Long)
   private val blobs = new ConcurrentHashMap[String, Blob]()

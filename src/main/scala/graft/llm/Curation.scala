@@ -106,27 +106,46 @@ object Curation {
    */
   private def mixtureRates(df: DataFrame, domainCol: String, tokensCol: Column,
       weights: Map[String, Double], tokenBudget: Long,
+      opName: String): Map[String, Double] =
+    mixtureRatesFromTotals(
+      domainTokenTotals(df, domainCol, tokensCol, weights.keys.toSeq, opName),
+      weights, tokenBudget, opName)
+
+  /** The rate arithmetic of [[mixtureRates]] over ALREADY-aggregated
+    * totals — shared so [[temperatureMixture]] can derive weights and
+    * rates from one corpus scan without drifting from this formula. */
+  private def mixtureRatesFromTotals(totals: Map[String, Long],
+      weights: Map[String, Double], tokenBudget: Long,
       opName: String): Map[String, Double] = {
     require(tokenBudget > 0, s"$opName: tokenBudget must be positive")
     require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
       weights.values.sum > 0, s"$opName: weights must be non-negative, not all zero")
-    // string-keyed contract, checked up front: a non-string domain column
-    // would pass the isin filter via implicit casts and then die on the
-    // driver with a bare ClassCastException at getString
-    require(df.schema(domainCol).dataType == org.apache.spark.sql.types.StringType,
-      s"$opName: domain column '$domainCol' must be STRING (weights are " +
-        s"string-keyed), got ${df.schema(domainCol).dataType.simpleString}")
     val wsum = weights.values.sum
-    val totals = df.filter(col(domainCol).isin(weights.keys.toSeq: _*))
-      .groupBy(col(domainCol).as("__d"))
-      .agg(sum(coalesce(tokensCol, lit(0L)).cast("long")).as("__t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     weights.flatMap { case (d, w) =>
       totals.get(d).map { t =>
         val target = tokenBudget.toDouble * (w / wsum)
         d -> (if (t <= 0) 1.0 else target / t)
       }
     }
+  }
+
+  /** ONE per-domain token-total aggregation (one output row per domain)
+    * serving [[mixtureRates]], [[temperatureWeights]] and
+    * [[temperatureMixture]] — previously duplicated, and the two copies
+    * could drift on the coalesce/cast/type-check details. */
+  private def domainTokenTotals(df: DataFrame, domainCol: String,
+      tokensCol: Column, domains: Seq[String],
+      opName: String): Map[String, Long] = {
+    // string-keyed contract, checked up front: a non-string domain column
+    // would pass the isin filter via implicit casts and then die on the
+    // driver with a bare ClassCastException at getString
+    require(df.schema(domainCol).dataType == org.apache.spark.sql.types.StringType,
+      s"$opName: domain column '$domainCol' must be STRING (weights are " +
+        s"string-keyed), got ${df.schema(domainCol).dataType.simpleString}")
+    df.filter(col(domainCol).isin(domains: _*))
+      .groupBy(col(domainCol).as("__d"))
+      .agg(sum(coalesce(tokensCol, lit(0L)).cast("long")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   /**
@@ -162,17 +181,16 @@ object Curation {
       domainCol: String,
       tokensCol: Column,
       domains: Seq[String],
-      alpha: Double = 0.5): scala.collection.immutable.ListMap[String, Double] = {
+      alpha: Double = 0.5): scala.collection.immutable.ListMap[String, Double] =
+    weightsFromTotals(
+      domainTokenTotals(df, domainCol, tokensCol, domains, "temperatureWeights"),
+      domains, alpha)
+
+  private def weightsFromTotals(totals: Map[String, Long], domains: Seq[String],
+      alpha: Double): scala.collection.immutable.ListMap[String, Double] = {
     require(alpha > 0, s"temperatureWeights: alpha must be positive, got $alpha")
     require(domains.nonEmpty && domains.distinct == domains,
       "temperatureWeights: domains must be non-empty and distinct")
-    require(df.schema(domainCol).dataType == org.apache.spark.sql.types.StringType,
-      s"temperatureWeights: domain column '$domainCol' must be STRING, " +
-        s"got ${df.schema(domainCol).dataType.simpleString}")
-    val totals = df.filter(col(domainCol).isin(domains: _*))
-      .groupBy(col(domainCol).as("__d"))
-      .agg(sum(coalesce(tokensCol, lit(0L)).cast("long")).as("__t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     scala.collection.immutable.ListMap(domains.map { d =>
       val t = math.max(totals.getOrElse(d, 0L), 0L).toDouble
       val w =
@@ -181,6 +199,31 @@ object Curation {
         else math.pow(t, alpha)
       d -> w
     }: _*)
+  }
+
+  /**
+   * One-scan temperature mixture: [[temperatureWeights]] composed with
+   * [[mixtureSample]] but aggregating the per-domain token totals ONCE —
+   * the separate compose path scans the corpus twice for identical totals,
+   * which at 100 TB is a doubled full pass. Output and arithmetic are
+   * exactly the compose path's (same totals feed both the weight and rate
+   * formulas; spec-asserted set equality).
+   */
+  def temperatureMixture(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      tokensCol: Column,
+      domains: Seq[String],
+      tokenBudget: Long,
+      alpha: Double = 0.5,
+      salt: String = "graft"): DataFrame = {
+    val totals = domainTokenTotals(df, domainCol, tokensCol, domains,
+      "temperatureMixture")
+    val weights = weightsFromTotals(totals, domains, alpha)
+    val rates = mixtureRatesFromTotals(totals, weights, tokenBudget,
+      "temperatureMixture").map { case (d, r) => d -> math.min(1.0, r) }
+    stratifiedSample(df, idCol, domainCol, rates, default = 0.0, salt = salt)
   }
 
   /**

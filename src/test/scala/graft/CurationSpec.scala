@@ -351,6 +351,12 @@ class CurationSpec extends AnyFunSuite {
     // b target = 2000·(10/130) ≈ 154 tokens > 100 → rate 1, all kept
     assert(byDom("b") == 1, s"low-resource domain must keep all: $byDom")
     assert(!byDom.contains("c"), "unlisted domain must drop")
+
+    // the one-scan temperatureMixture is exactly the compose path
+    val oneScan = Curation.temperatureMixture(df, "id", "dom", col("tok"),
+      Seq("a", "b"), tokenBudget = 2000, alpha = 0.5, salt = "t5")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(oneScan == mixed.toSet, "temperatureMixture must equal temperatureWeights∘mixtureSample")
   }
 
   test("quantileBuckets: exact ntile split, deterministic, NULL scores last") {

@@ -67,6 +67,13 @@ object LlmEntries {
          |tot AS (SELECT source, SUM(n_tokens) AS t FROM tok GROUP BY source)""".stripMargin
   }
 
+  /** ONE source list for the llm_temperature_mixture entry, shared by the
+    * Scala call, the oracle's wsum fold and its totals preamble — editing
+    * one of the three sites without the others would silently desync the
+    * Spark side from its oracle (the fold order over exactly these sources
+    * is part of the replay contract). */
+  private val tempMixSrcs = Seq("src1", "src2", "src3", "src4")
+
   /** DuckDB replay of [[graft.llm.Curation.sampleCond]]'s salted md5 draw
     * key (NULL ids hash as '', like the Spark side). `qual` prefixes the
     * doc_id when the surrounding query aliases the table. */
@@ -734,15 +741,15 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       val docs = docsDelta(s, d).select(col("doc_id"), col("source"), col("text"))
         .withColumn("n_tokens", TextOps.tokenEstimate(col("text")))
       graft.llm.Curation.temperatureMixture(docs, "doc_id", "source",
-        col("n_tokens"), Seq("src1", "src2", "src3", "src4"),
-        tokenBudget = 3000, alpha = 0.5, salt = "temp")
+        col("n_tokens"), tempMixSrcs, tokenBudget = 3000, alpha = 0.5,
+        salt = "temp")
         .select("doc_id", "source", "n_tokens")
     },
       Some {
-        val wsumSql = Seq("src1", "src2", "src3", "src4")
+        val wsumSql = tempMixSrcs
           .map(s => s"coalesce((SELECT w FROM w WHERE source = '$s'), 0.0)")
           .reduce((a, b) => s"($a + $b)")
-        s"""${mixTokTotSql(Seq("src1", "src2", "src3", "src4"))},
+        s"""${mixTokTotSql(tempMixSrcs)},
            |w AS (SELECT source, t, sqrt(CAST(t AS DOUBLE)) AS w FROM tot),
            |ws AS (SELECT $wsumSql AS s),
            |rates AS (

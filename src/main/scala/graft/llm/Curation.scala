@@ -106,10 +106,21 @@ object Curation {
    */
   private def mixtureRates(df: DataFrame, domainCol: String, tokensCol: Column,
       weights: Map[String, Double], tokenBudget: Long,
-      opName: String): Map[String, Double] =
+      opName: String): Map[String, Double] = {
+    // cheap config checks BEFORE the corpus scan: a bad budget/weight map
+    // must not cost a full aggregation job first
+    validateMixtureArgs(weights, tokenBudget, opName)
     mixtureRatesFromTotals(
       domainTokenTotals(df, domainCol, tokensCol, weights.keys.toSeq, opName),
       weights, tokenBudget, opName)
+  }
+
+  private def validateMixtureArgs(weights: Map[String, Double],
+      tokenBudget: Long, opName: String): Unit = {
+    require(tokenBudget > 0, s"$opName: tokenBudget must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.sum > 0, s"$opName: weights must be non-negative, not all zero")
+  }
 
   /** The rate arithmetic of [[mixtureRates]] over ALREADY-aggregated
     * totals — shared so [[temperatureMixture]] can derive weights and
@@ -117,9 +128,7 @@ object Curation {
   private def mixtureRatesFromTotals(totals: Map[String, Long],
       weights: Map[String, Double], tokenBudget: Long,
       opName: String): Map[String, Double] = {
-    require(tokenBudget > 0, s"$opName: tokenBudget must be positive")
-    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
-      weights.values.sum > 0, s"$opName: weights must be non-negative, not all zero")
+    validateMixtureArgs(weights, tokenBudget, opName)
     val wsum = weights.values.sum
     weights.flatMap { case (d, w) =>
       totals.get(d).map { t =>
@@ -181,16 +190,23 @@ object Curation {
       domainCol: String,
       tokensCol: Column,
       domains: Seq[String],
-      alpha: Double = 0.5): scala.collection.immutable.ListMap[String, Double] =
+      alpha: Double = 0.5): scala.collection.immutable.ListMap[String, Double] = {
+    validateTemperatureArgs(domains, alpha, "temperatureWeights")
     weightsFromTotals(
       domainTokenTotals(df, domainCol, tokensCol, domains, "temperatureWeights"),
-      domains, alpha)
+      domains, alpha, "temperatureWeights")
+  }
+
+  private def validateTemperatureArgs(domains: Seq[String], alpha: Double,
+      opName: String): Unit = {
+    require(alpha > 0, s"$opName: alpha must be positive, got $alpha")
+    require(domains.nonEmpty && domains.distinct == domains,
+      s"$opName: domains must be non-empty and distinct")
+  }
 
   private def weightsFromTotals(totals: Map[String, Long], domains: Seq[String],
-      alpha: Double): scala.collection.immutable.ListMap[String, Double] = {
-    require(alpha > 0, s"temperatureWeights: alpha must be positive, got $alpha")
-    require(domains.nonEmpty && domains.distinct == domains,
-      "temperatureWeights: domains must be non-empty and distinct")
+      alpha: Double, opName: String): scala.collection.immutable.ListMap[String, Double] = {
+    validateTemperatureArgs(domains, alpha, opName)
     scala.collection.immutable.ListMap(domains.map { d =>
       val t = math.max(totals.getOrElse(d, 0L), 0L).toDouble
       val w =
@@ -218,9 +234,13 @@ object Curation {
       tokenBudget: Long,
       alpha: Double = 0.5,
       salt: String = "graft"): DataFrame = {
+    // cheap config checks BEFORE the corpus scan (the budget check repeats
+    // inside mixtureRatesFromTotals; here it must precede the aggregation)
+    validateTemperatureArgs(domains, alpha, "temperatureMixture")
+    require(tokenBudget > 0, "temperatureMixture: tokenBudget must be positive")
     val totals = domainTokenTotals(df, domainCol, tokensCol, domains,
       "temperatureMixture")
-    val weights = weightsFromTotals(totals, domains, alpha)
+    val weights = weightsFromTotals(totals, domains, alpha, "temperatureMixture")
     val rates = mixtureRatesFromTotals(totals, weights, tokenBudget,
       "temperatureMixture").map { case (d, r) => d -> math.min(1.0, r) }
     stratifiedSample(df, idCol, domainCol, rates, default = 0.0, salt = salt)

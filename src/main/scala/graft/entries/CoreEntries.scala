@@ -68,6 +68,14 @@ object CoreEntries {
       (0 until 13).foreach { k =>
         DeltaTable.write(s, n.filter(s"n_nationkey % 13 = $k"), dir, mode = "append")
       }
+      // the entry's NAME is "replay from a checkpoint": pin that one was
+      // actually written (13 appends cross the interval-10 auto-checkpoint)
+      // — without this, an auto-checkpointing regression leaves a pure-JSON
+      // replay that returns identical rows and passes silently
+      val fs = new org.apache.hadoop.fs.Path(dir, "_delta_log/_last_checkpoint")
+        .getFileSystem(s.sessionState.newHadoopConf())
+      require(fs.exists(new org.apache.hadoop.fs.Path(dir, "_delta_log/_last_checkpoint")),
+        s"checkpoint_replay: no _last_checkpoint after 13 appends in $dir")
       DeltaTable.forPath(s, dir).toDF // fresh handle: checkpoint + tail replay
     }, Some("SELECT * FROM nation")))
 
@@ -375,6 +383,16 @@ object CoreEntries {
       val o = pq(s, d, "orders").repartitionByRange(8, col("o_orderkey"))
       DeltaTable.write(s, o, dir,
         configuration = Map("delta.dataSkippingStatsColumns" -> "o_orderkey"))
+      // prove the restriction actually bit: every file's stats maps carry
+      // EXACTLY the listed column (results alone are identical whether the
+      // config is honored, over-collected, or dropped)
+      val statKeys = DeltaTable.forPath(s, dir).getAddActions(flatten = true)
+        .select(map_keys(col("min_values")).as("mk"), map_keys(col("max_values")).as("xk"))
+        .collect()
+      require(statKeys.nonEmpty && statKeys.forall { r =>
+        r.getSeq[String](0).toSet == Set("o_orderkey") &&
+          r.getSeq[String](1).toSet == Set("o_orderkey")
+      }, "stats_columns: per-file stats must restrict to o_orderkey")
       DeltaTable.forPath(s, dir)
         .scanWhere("o_orderkey <= 7500 AND o_totalprice > 100000")
     }, Some("SELECT * FROM orders WHERE o_orderkey <= 7500 AND o_totalprice > 100000")),
@@ -618,6 +636,11 @@ object CoreEntries {
       DeltaTable.write(s, pq(s, d, "orders"), dir, partitionBy = Seq("o_orderstatus"))
       val t = DeltaTable.forPath(s, dir)
       t.delete(Some("o_orderstatus = 'O'"))
+      // the claim is the METADATA-ONLY path: whole files removed, nothing
+      // rewritten — a regression to copy-on-write returns identical rows
+      val m = t.history(Some(1)).head._3.get.operationMetrics
+      require(m("num_added_files") == "0" && m("num_removed_files").toLong > 0,
+        s"delete_partition: expected metadata-only delete, got $m")
       t.toDF
     }, Some("SELECT * FROM orders WHERE o_orderstatus <> 'O'")),
 
@@ -629,6 +652,10 @@ object CoreEntries {
         configuration = Map("delta.enableDeletionVectors" -> "true"))
       val t = DeltaTable.forPath(s, dir)
       t.delete(Some("p_size > 25"))
+      // "mask instead of rewrite" must be observable: at least one live
+      // file carries a DV (identical rows come back either way)
+      require(t.deletionVectors.limit(1).count() > 0,
+        "delete_via_dv: DELETE on a DV-enabled table must write deletion vectors")
       t.toDF
     }, Some("SELECT * FROM part WHERE NOT (p_size > 25)")),
 
@@ -651,6 +678,8 @@ object CoreEntries {
         configuration = Map("delta.enableDeletionVectors" -> "true"))
       val t = DeltaTable.forPath(s, dir)
       t.update(Map("s_acctbal" -> expr("s_acctbal + 100")), Some("s_suppkey <= 20"))
+      require(t.deletionVectors.limit(1).count() > 0,
+        "update_via_dv: UPDATE on a DV-enabled table must mask via deletion vectors")
       t.toDF
     }, Some(
       """SELECT s_suppkey, s_name, s_nationkey,
@@ -694,6 +723,8 @@ object CoreEntries {
       val t = DeltaTable.forPath(s, dir)
       t.merge(src, "target.s_suppkey = source.s_suppkey")
         .whenMatchedUpdateAll().execute()
+      require(t.deletionVectors.limit(1).count() > 0,
+        "merge_via_dv: MERGE on a DV-enabled table must mask via deletion vectors")
       t.toDF
     }, Some(
       """SELECT s_suppkey, s_name, s_nationkey,
@@ -749,7 +780,12 @@ object CoreEntries {
       DeltaTable.write(s, li.filter("l_orderkey % 2 = 0").repartition(16), dir)
       DeltaTable.write(s, li.filter("l_orderkey % 2 <> 0").repartition(16), dir, mode = "append")
       val t = DeltaTable.forPath(s, dir)
-      t.optimizeCompact()
+      val m = t.optimizeCompact()
+      // "many small files → few" must be observable: a no-op bin-packer
+      // returns identical data (the optimize_incremental pattern)
+      require(m("num_files_removed").toInt > m("num_files_added").toInt &&
+        m("num_files_added").toInt > 0,
+        s"optimize_compact: expected a compacting rewrite of 32 small files, got $m")
       t.toDF
     }, Some("SELECT * FROM lineitem")),
 
@@ -776,7 +812,11 @@ object CoreEntries {
       val dir = tempDir("zo")
       DeltaTable.write(s, pq(s, d, "lineitem").repartition(8), dir)
       val t = DeltaTable.forPath(s, dir)
-      t.optimizeZOrder(Seq("l_partkey", "l_suppkey"))
+      val m = t.optimizeZOrder(Seq("l_partkey", "l_suppkey"))
+      // the clustering REWRITE must actually happen — a Z-ORDER that skips
+      // every file returns identical data and would pass silently
+      require(m("num_files_removed").toInt > 0 && m("num_files_added").toInt > 0,
+        s"optimize_zorder: expected a clustering rewrite, got $m")
       t.toDF
     }, Some("SELECT * FROM lineitem")),
 
@@ -785,8 +825,20 @@ object CoreEntries {
       val dir = tempDir("vac")
       DeltaTable.write(s, pq(s, d, "orders").repartition(8), dir)
       val t = DeltaTable.forPath(s, dir)
+      // "physically drops tombstoned files" needs physical proof: the files
+      // the delete tombstones (pre-delete live set minus post-delete live
+      // set) must be GONE afterwards — a no-op vacuum leaves live data
+      // intact and would pass the oracle
+      val before = t.snapshot.allFiles.map(_.path).toSet
       t.delete(Some("o_totalprice < 50000"))
+      val tombstoned = (before -- t.snapshot.allFiles.map(_.path).toSet)
+        .toSeq.map(t.snapshot.absolutePath)
+      val fs = t.tablePath.getFileSystem(s.sessionState.newHadoopConf())
+      require(tombstoned.nonEmpty && tombstoned.forall(fs.exists),
+        "vacuum_op: the delete rewrite left no on-disk debris?")
       t.vacuum(retentionHours = 0, dryRun = false, enforceRetention = false)
+      require(tombstoned.forall(p => !fs.exists(p)),
+        s"vacuum_op: tombstoned files survived VACUUM: ${tombstoned.filter(fs.exists).take(3).mkString(",")}")
       DeltaTable.forPath(s, dir).toDF
     }, Some("SELECT * FROM orders WHERE NOT (o_totalprice < 50000)")),
 
@@ -809,6 +861,14 @@ object CoreEntries {
       val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
       fs.listStatus(logDir).foreach(f => fs.setTimes(f.getPath, 1000L, 1000L))
       t.cleanupMetadata()
+      // "replay reconstructs from the checkpoint ALONE" requires the aged
+      // commits to be gone — a no-op cleanup replays the intact JSON log
+      // to the same rows and would pass silently
+      val leftover = fs.listStatus(logDir).map(_.getPath.getName)
+        .filter(n => n.matches("\\d{20}\\.json") &&
+          n.stripSuffix(".json").toLong < t.version)
+      require(leftover.isEmpty,
+        s"checkpoint_cleanup: aged pre-checkpoint commits survived: ${leftover.mkString(",")}")
       DeltaTable.forPath(s, dir).toDF
     }, Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders")),
 
@@ -1056,12 +1116,35 @@ object CoreEntries {
       DeltaTable.write(s,
         r.withColumn("r_regionkey", col("r_regionkey") + 100), dir, mode = "append")
       t.refresh() // incremental: replays only commit 1 on the cached state
+      // a silent fall-back to full replay returns the same rows — require
+      // the update actually took the incremental path
+      require(t.deltaLog.lastUpdateIncremental,
+        "incremental_refresh: update(prev) fell back to a full replay")
       t.toDF
     }, Some(
       """SELECT * FROM region
         |UNION ALL SELECT r_regionkey + 100, r_name FROM region""".stripMargin)))
 
   // -------------------------------------------------------- events / time
+
+  /** Per-event-type z-scores from exact integer-cents sums — one text for
+    * the Spark view and the DuckDB oracle (only the table name varies). */
+  private def anomalySql(table: String) =
+    s"""WITH c AS (SELECT event_id, event_type,
+       |             CAST(round(value * 100) AS BIGINT) AS cents
+       |           FROM $table),
+       |g AS (SELECT event_type, count(*) AS n,
+       |             sum(CAST(cents AS DECIMAL(18, 0))) AS sm,
+       |             sum(CAST(cents * cents AS DECIMAL(18, 0))) AS sq
+       |      FROM c GROUP BY event_type),
+       |st AS (SELECT event_type,
+       |              CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       |              sqrt(CAST(n * sq - sm * sm AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS sd
+       |       FROM g)
+       |SELECT c.event_id, c.event_type,
+       |       (CAST(c.cents AS DOUBLE) - st.mean) / st.sd AS z
+       |FROM c JOIN st ON c.event_type = st.event_type
+       |WHERE abs((CAST(c.cents AS DOUBLE) - st.mean) / st.sd) > 3.0""".stripMargin
 
   private val eventEntries = Seq(
     Entry("events_hourly", (s, d) => {
@@ -1241,45 +1324,13 @@ object CoreEntries {
     // z-score anomaly detection per event type: mean/σ from EXPLICIT exact
     // integer-cents sums (the tpcds_stddev_exact recipe — native stddev
     // aggregates round differently across engines), every z one chain of
-    // identical IEEE ops ⇒ the flagged set and the z doubles replay exactly
+    // identical IEEE ops ⇒ the flagged set and the z doubles replay exactly.
+    // ONE SQL builder serves both engines (the texts differed only in the
+    // table name; two pasted copies could drift on a future threshold edit)
     Entry("events_anomaly", (s, d) => {
       eventsDeltaView(s, d)
-      def q(table: String) =
-        s"""WITH c AS (SELECT event_id, event_type,
-           |             CAST(round(value * 100) AS BIGINT) AS cents
-           |           FROM $table),
-           |g AS (SELECT event_type, count(*) AS n,
-           |             sum(CAST(cents AS DECIMAL(18, 0))) AS sm,
-           |             sum(CAST(cents * cents AS DECIMAL(18, 0))) AS sq
-           |      FROM c GROUP BY event_type),
-           |st AS (SELECT event_type,
-           |              CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-           |              sqrt(CAST(n * sq - sm * sm AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS sd
-           |       FROM g)
-           |SELECT c.event_id, c.event_type,
-           |       (CAST(c.cents AS DOUBLE) - st.mean) / st.sd AS z
-           |FROM c JOIN st ON c.event_type = st.event_type
-           |WHERE abs((CAST(c.cents AS DOUBLE) - st.mean) / st.sd) > 3.0""".stripMargin
-      s.sql(q("events_delta"))
-    }, Some {
-      val q =
-        """WITH c AS (SELECT event_id, event_type,
-          |             CAST(round(value * 100) AS BIGINT) AS cents
-          |           FROM events),
-          |g AS (SELECT event_type, count(*) AS n,
-          |             sum(CAST(cents AS DECIMAL(18, 0))) AS sm,
-          |             sum(CAST(cents * cents AS DECIMAL(18, 0))) AS sq
-          |      FROM c GROUP BY event_type),
-          |st AS (SELECT event_type,
-          |              CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-          |              sqrt(CAST(n * sq - sm * sm AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS sd
-          |       FROM g)
-          |SELECT c.event_id, c.event_type,
-          |       (CAST(c.cents AS DOUBLE) - st.mean) / st.sd AS z
-          |FROM c JOIN st ON c.event_type = st.event_type
-          |WHERE abs((CAST(c.cents AS DOUBLE) - st.mean) / st.sd) > 3.0""".stripMargin
-      q
-    }),
+      s.sql(anomalySql("events_delta"))
+    }, Some(anomalySql("events"))),
 
     // Structured Streaming watermark + event-time windowed aggregation over
     // the graft-delta source (§2.10): append mode emits each hourly window
@@ -1395,7 +1446,14 @@ object CoreEntries {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val q = eventsStream(s, dir)
+        // ONE FILE PER BATCH (not the single-batch eventsStream): typed
+        // state must survive ACROSS microbatches for the milestone counts
+        // to come out right — a single batch cannot catch state-store
+        // loss/double-count between batches. TimeMode.None needs no
+        // watermark, so the single-batch constraint documented on
+        // eventsStream does not apply here.
+        val q = s.readStream.format("graft-delta")
+          .option("maxFilesPerTrigger", "1").load(dir)
           .select(col("user_id").cast("long")).as[Long]
           .groupByKey(identity)
           .transformWithState(new graft.streaming.MilestoneProcessor(5L),
@@ -1404,7 +1462,12 @@ object CoreEntries {
           .toDF("user_id", "milestone")
           .writeStream.format("memory").outputMode("append")
           .queryName(view).start()
-        try q.processAllAvailable() finally q.stop()
+        try {
+          q.processAllAvailable()
+          require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+            "streaming_transform_state: the 4-file snapshot must arrive in " +
+              "multiple batches to exercise cross-batch state")
+        } finally q.stop()
       } finally prevProvider match {
         case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
         case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -1568,8 +1631,13 @@ object CoreEntries {
         |FROM orders b FULL JOIN changes c ON b.o_orderkey = c.o_orderkey""".stripMargin)))
 
   /** As-of join (an extension op the reference lacks, SURVEY §2.3): each
-    * event matched to the latest order of its user at-or-before event time,
-    * composed from a range join + per-event top-1 window. */
+    * event matched to the latest order of its user at-or-before the
+    * event's as-of cutoff, composed from a range join + per-event top-1
+    * window. The cutoff is a deterministic per-event date INSIDE the order
+    * range (1995-06 .. 2001-12): the raw `e.ts` values (2024) all
+    * postdate every order (1995-2001), which made the temporal bound
+    * vacuously true — the as-of cut must actually discard late orders, and
+    * events whose cutoff precedes a user's first order must drop out. */
   private val asofEntry = Entry("asof_join", (s, d) => {
     eventsDeltaView(s, d)
     deltaView(s, d, "orders")
@@ -1579,7 +1647,8 @@ object CoreEntries {
         |         row_number() OVER (PARTITION BY e.event_id
         |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events_delta e JOIN orders o
-        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+        |    ON o.o_custkey = e.user_id
+        |   AND o.o_orderdate <= date_add(DATE '1995-06-01', CAST(e.event_id % 2400 AS INT))) t
         |WHERE rn = 1""".stripMargin)
   }, Some(
     """SELECT event_id, o_orderkey FROM (
@@ -1587,7 +1656,8 @@ object CoreEntries {
       |         row_number() OVER (PARTITION BY e.event_id
       |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
       |  FROM events e JOIN orders o
-      |    ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)) t
+      |    ON o.o_custkey = e.user_id
+      |   AND o.o_orderdate <= (DATE '1995-06-01' + CAST(e.event_id % 2400 AS INTEGER))) t
       |WHERE rn = 1""".stripMargin))
 
   /** Normalize `events.ts` to a session-tz (UTC) TIMESTAMP across testdata

@@ -395,7 +395,15 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     * the commits after `prev.version` on top of the cached state — O(new
     * commits), not a full log re-replay, the shape that keeps refresh cheap
     * on a table with thousands of commits. */
+  /** Diagnostic: whether the last [[update]] EXTENDED the cached state
+    * (true — incremental, or already-current) or fell back to a full
+    * replay (false). Result rows alone cannot distinguish the two paths,
+    * so the `incremental_refresh` entry and specs pin the row-48 behavior
+    * through this (the MergeOp.lastPhases precedent). */
+  @volatile private[graft] var lastUpdateIncremental: Boolean = false
+
   def update(prev: Snapshot): Snapshot = {
+    lastUpdateIncremental = false
     // one listing; `latest` must see compaction-file end versions too, or
     // a cached handle goes permanently stale once log cleanup removes the
     // commits a compaction file covers
@@ -406,7 +414,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     }
     val compEnds = listing.flatMap(f => LogCompaction.info(f.getPath.getName).map(_._2))
     val latest = (versions.map(_._1) ++ compEnds ++ Seq(-1L)).max
-    if (latest <= prev.version) return prev
+    if (latest <= prev.version) { lastUpdateIncremental = true; return prev }
     val newVs = versions.map(_._1).filter(_ > prev.version).sorted
     val expected = (prev.version + 1) to latest
     // gap (vacuumed log, or tail only reachable via a compaction file) →
@@ -422,6 +430,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
         })
       return snapshotAt(latest)
 
+    lastUpdateIncremental = true
     prev.lazyIndex match {
       case Some(idx) if !idx.isMaterialized =>
         // extend the TAIL overlay only — the checkpoint rows stay parquet

@@ -562,7 +562,7 @@ object CoreEntries {
         configuration = Map("delta.enableChangeDataFeed" -> "true"))
       val t = DeltaTable.forPath(s, src)
       t.delete(Some("n_nationkey >= 20"))
-      val view = s"graft_cdf_stream_${System.nanoTime()}"
+      val view = s"graft_cdf_stream_${EntryCtx.uniqueSuffix()}"
       val q = s.readStream.format("graft-delta")
         .option("readChangeFeed", "true").option("startingVersion", 0)
         .load(src)
@@ -1339,7 +1339,7 @@ object CoreEntries {
     // sink equal the batch aggregation regardless of batch splits
     Entry("streaming_windowed_agg", (s, d) => {
       val dir = eventsCopy(s, d, "stwin")
-      val view = s"graft_win_stream_${System.nanoTime()}"
+      val view = s"graft_win_stream_${EntryCtx.uniqueSuffix()}"
       val q = eventsStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -1372,7 +1372,7 @@ object CoreEntries {
       val dir = eventsCopy(s, d, "stjoin")
       val cust = DeltaTable.forPath(s, EntryCtx.sharedDelta(s, d, "customer"))
         .toDF.select(col("c_custkey"), col("c_mktsegment"))
-      val view = s"graft_join_stream_${System.nanoTime()}"
+      val view = s"graft_join_stream_${EntryCtx.uniqueSuffix()}"
       val q = eventsStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .join(broadcast(cust), col("user_id") === col("c_custkey"))
@@ -1400,7 +1400,7 @@ object CoreEntries {
     // sessionization exactly
     Entry("streaming_sessions", (s, d) => {
       val dir = eventsCopy(s, d, "stsess")
-      val view = s"graft_sess_stream_${System.nanoTime()}"
+      val view = s"graft_sess_stream_${EntryCtx.uniqueSuffix()}"
       val q = graft.streaming.Sessionize.sessionsStream(
           eventsStream(s, dir), "user_id", "ts", gapMinutes = 30)
         .toDF()
@@ -1439,7 +1439,7 @@ object CoreEntries {
       // appends nothing (TimeMode.None, no sentinels) → the shared
       // read-only events table serves every invocation
       val dir = eventsDeltaView(s, d)
-      val view = s"graft_tws_${System.nanoTime()}"
+      val view = s"graft_tws_${EntryCtx.uniqueSuffix()}"
       import s.implicits._
       val prevProvider =
         s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
@@ -1488,7 +1488,7 @@ object CoreEntries {
         .select("event_id", "ts", "user_id", "event_type")
       DeltaTable.write(s, ev.repartition(4), dir)
       DeltaTable.write(s, ev.repartition(2), dir, mode = "append") // replay
-      val view = s"graft_dedup_stream_${System.nanoTime()}"
+      val view = s"graft_dedup_stream_${EntryCtx.uniqueSuffix()}"
       val q = eventsStream(s, dir)
         .withWatermark("ts", "90 days")
         .dropDuplicatesWithinWatermark("event_id")
@@ -1507,7 +1507,7 @@ object CoreEntries {
     // the event-time column is anchored on the raw source.
     Entry("streaming_stream_join", (s, d) => {
       val dir = eventsCopy(s, d, "ststj")
-      val view = s"graft_stjoin2_${System.nanoTime()}"
+      val view = s"graft_stjoin2_${EntryCtx.uniqueSuffix()}"
       val clicks = eventsStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .filter(col("event_type") === "click")
@@ -1542,7 +1542,7 @@ object CoreEntries {
     // entry pins the harder outer-emission semantics)
     Entry("streaming_stream_outer", (s, d) => {
       val dir = eventsCopy(s, d, "ststo")
-      val view = s"graft_stouter_${System.nanoTime()}"
+      val view = s"graft_stouter_${EntryCtx.uniqueSuffix()}"
       // the per-side event_type filters MUST let the sentinel rows through:
       // Catalyst pushes deterministic filters BELOW the EventTimeWatermark
       // node, so a side whose filter drops the sentinels never advances its

@@ -27,6 +27,14 @@ object EntryCtx {
     * prefix keeps the namespaces from colliding. */
   val shared2 = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Collision-free suffix for per-invocation temp-view names: nanoTime
+    * can tick identically across concurrent threads (same-tick / per-CPU
+    * counters), so a "unique" view name built from it could clobber a
+    * concurrent invocation's view — UUIDs actually guarantee the
+    * must-not-clobber contract the entries claim. */
+  def uniqueSuffix(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "")
+
   def tempDir(tag: String): String =
     Files.createTempDirectory(s"graft_$tag").toString + "/t"
 

@@ -24,8 +24,20 @@ object LlmEntries {
     val mut = docs.filter("doc_id % 10 = 0")
       .withColumn("doc_id", col("doc_id") + 1000000)
       .withColumn("text", concat(col("text"), lit(" zz extra token")))
+    // no planted positives ⇒ every near-dup entry degenerates to "found
+    // nothing" on both engines — green with the detectors never exercised
+    require(mut.limit(1).count() == 1,
+      "corpusWithNearDups: planted near-duplicate set is empty at this SF")
     docs.unionByName(mut)
   }
+
+  /** One shingle-set CTE body (trigram shingles with the short-document
+    * fallback) over `src`'s (doc_id, text) — ONE definition for the seven
+    * oracle copies that previously pasted it verbatim; a shingling-contract
+    * change now edits one place (the mixTokTotSql/md5Fold32 lesson). */
+  private def shingleSelect(src: String): String =
+    "SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s " +
+      s"FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM $src) t"
 
   private val corpusSql =
     """SELECT doc_id, text FROM documents
@@ -78,7 +90,24 @@ object LlmEntries {
     * key (NULL ids hash as '', like the Spark side). `qual` prefixes the
     * doc_id when the surrounding query aliases the table. */
   private def mdDrawSql(qual: String, salt: String): String =
-    s"substr(md5(coalesce(CAST(${qual}doc_id AS VARCHAR), '') || ':$salt'), 1, 8)"
+    s"substr(${md5KeySql(qual, salt)}, 1, 8)"
+
+  /** The un-truncated salted md5 draw key (shuffle-shards needs the full
+    * hash as a sort key; everything else compares the 8-char prefix). */
+  private def md5KeySql(qual: String, salt: String): String =
+    s"md5(coalesce(CAST(${qual}doc_id AS VARCHAR), '') || ':$salt')"
+
+  /** DuckDB keep-condition of [[graft.llm.Curation.sampleCond]] — ONE
+    * definition for every doc-keyed fractional draw (the stratified-sample
+    * and curation-pipeline oracles previously inlined their own copies of
+    * the draw key, hidden from a future contract change). */
+  private def docDrawCond(salt: String, frac: Double): String =
+    s"${mdDrawSql("", salt)} < '${graft.llm.Curation.hexThreshold(frac)}'"
+
+  /** Same rule keyed by the near-dup CLUSTER column (the leak-free split
+    * sites; clusters are never NULL in the recursive-CTE output). */
+  private def clusterDrawCond(salt: String, cum: Double): String =
+    s"substr(md5(CAST(cluster AS VARCHAR) || ':$salt'), 1, 8) < '${graft.llm.Curation.hexThreshold(cum)}'"
 
   /** DuckDB replay of [[graft.llm.Curation.hexThreshold]] for a [0,1)
     * fraction expression — including the 4294967295 clamp (a fraction
@@ -157,9 +186,8 @@ object LlmEntries {
     * `clusters(doc_id, cluster)`. Interpolated AFTER stripMargin-style
     * margins: these lines carry no margin character on purpose. */
   private val shingleClusterCtes =
-    """sh AS (
-  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
-  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS w FROM corpus) t
+    s"""sh AS (
+  ${shingleSelect("corpus")}
 ),
 pairs AS (
   SELECT id_a, id_b FROM (
@@ -214,11 +242,9 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
          |  UNION ALL SELECT doc_id + 900000, text || ' zz extra token'
          |    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 6 = 1),
          |shc AS (
-         |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
-         |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM corpus) t),
+         |  ${shingleSelect("corpus")}),
          |shs AS (
-         |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
-         |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM shard) t),
+         |  ${shingleSelect("shard")}),
          |pairs AS (
          |  SELECT b.doc_id AS shard_id, a.doc_id AS corpus_id,
          |         len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
@@ -356,8 +382,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       Some(
         s"""WITH corpus AS ($corpusSql),
            |sh AS (
-           |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
-           |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM corpus) t
+           |  ${shingleSelect("corpus")}
            |),
            |pairs AS (
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -383,8 +408,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       Some(
         s"""WITH RECURSIVE corpus AS ($corpusSql),
            |sh AS (
-           |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
-           |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM corpus) t
+           |  ${shingleSelect("corpus")}
            |),
            |pairs AS (
            |  SELECT id_a, id_b FROM (
@@ -411,15 +435,25 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
     // here), so brute-force all-pairs Jaccard in DuckDB is the exact
     // expected output — including the jaccard value (IEEE division of
     // exact integer counts agrees bit-for-bit across engines).
-    Entry("llm_ngram_jaccard", (s, d) =>
-      Dedup.ngramJaccardNearDups(corpusWithNearDups(s, d), "doc_id", "text",
+    Entry("llm_ngram_jaccard", (s, d) => {
+      val out = Dedup.ngramJaccardNearDups(corpusWithNearDups(s, d), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)
-        .select("id_a", "id_b", "jaccard"),
+        .select("id_a", "id_b", "jaccard")
+      // "inverted index, no all-pairs" is invisible to the oracle (the
+      // brute-force DuckDB answer is identical by construction): pin the
+      // physical shape — a regression to crossJoin+filter shows up as a
+      // nested-loop/cartesian join in the plan
+      val plan = out.queryExecution.sparkPlan.toString
+      require(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        "llm_ngram_jaccard: candidate generation must be an equi-join over " +
+          "the inverted shingle index, not an all-pairs join")
+      out
+    },
       Some(
         s"""WITH corpus AS ($corpusSql),
            |sh AS (
-           |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
-           |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM corpus) t
+           |  ${shingleSelect("corpus")}
            |),
            |pairs AS (
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -511,12 +545,16 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         .distinct().collect().map(_.getLong(0))
       require(qb.nonEmpty, "no query buckets")
       val slice = t.scanWhere(s"bucket IN (${qb.mkString(",")})")
-      // the entry's claim IS the pruning: when any populated bucket lies
-      // outside the query set, the scan must read strictly fewer files
-      // than the table holds (if the queries happen to cover every
-      // populated partition, full reads are legitimate, not a miss)
+      // the entry's claim IS the pruning, so the fixture must make it
+      // checkable: queries come from the corpus (qb ⊆ populated buckets),
+      // so nParts > qb.length ⟺ a populated bucket lies outside the query
+      // set — without this guard the pruning require could short-circuit
+      // vacuous forever on a fixture whose queries cover every partition
       val nParts = t.partitions().size
-      require(nParts <= qb.length || slice.inputFiles.length < t.files.size,
+      require(nParts > qb.length,
+        s"fixture must leave a populated bucket outside the query set " +
+          s"($nParts populated, ${qb.length} queried) or pruning is unprovable")
+      require(slice.inputFiles.length < t.files.size,
         s"partition pruning did not occur: ${slice.inputFiles.length} of " +
           s"${t.files.size} files read for buckets ${qb.toSeq.sorted} " +
           s"($nParts populated partitions)")
@@ -669,14 +707,11 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       graft.llm.Curation.stratifiedSample(docsDelta(s, d), "doc_id", "lang",
         Map("en" -> 0.5, "de" -> 0.25), default = 0.1, salt = "mix1")
         .select("doc_id", "lang"),
-      Some {
-        def sel(frac: Double) =
-          s"substr(md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':mix1'), 1, 8) < '${graft.llm.Curation.hexThreshold(frac)}'"
+      Some(
         s"""SELECT doc_id, lang FROM documents
-           |WHERE CASE WHEN lang = 'en' THEN ${sel(0.5)}
-           |           WHEN lang = 'de' THEN ${sel(0.25)}
-           |           ELSE ${sel(0.1)} END""".stripMargin
-      }),
+           |WHERE CASE WHEN lang = 'en' THEN ${docDrawCond("mix1", 0.5)}
+           |           WHEN lang = 'de' THEN ${docDrawCond("mix1", 0.25)}
+           |           ELSE ${docDrawCond("mix1", 0.1)} END""".stripMargin)),
 
     // domain-mixture sampling to a token budget: per-domain keep rates are
     // DATA-DEPENDENT (budget × weight / domain token total), so the oracle
@@ -712,9 +747,17 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
     Entry("llm_epoch_mixture", (s, d) => {
       val docs = docsDelta(s, d).select(col("doc_id"), col("source"), col("text"))
         .withColumn("n_tokens", TextOps.tokenEstimate(col("text")))
-      graft.llm.Curation.epochMixture(docs, "doc_id", "source", col("n_tokens"),
-        Map("src1" -> 4.0, "src2" -> 1.0, "src3" -> 1.0),
+      val out = graft.llm.Curation.epochMixture(docs, "doc_id", "source",
+        col("n_tokens"), Map("src1" -> 4.0, "src2" -> 1.0, "src3" -> 1.0),
         tokenBudget = 8000, salt = "mix8")
+      // the entry's NAME is upsampling: some source must land at rate >= 1
+      // (a guaranteed second epoch) or the floor(r) replication branch is
+      // degenerate downsampling at this SF and silently untested
+      require(out.where("epoch >= 1").limit(1).count() == 1,
+        "llm_epoch_mixture: no source reached a full second epoch at this " +
+          "SF — the upsampling branch is untested; shrink src1's corpus " +
+          "share or raise the budget")
+      out
     }, Some(
       s"""${mixTokTotSql(Seq("src1", "src2", "src3"))},
          |rates AS (
@@ -869,17 +912,20 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       val docs = docsDelta(s, d).select("doc_id", "text")
       val bench = docs.filter("doc_id % 37 = 0")
         .select(col("doc_id").as("bench_id"), col("text"))
+      // an empty planted benchmark would leave both engines at zero rows —
+      // green forever with the detector never exercised
+      require(bench.limit(1).count() == 1,
+        "llm_contamination: planted benchmark subset is empty at this SF")
       graft.llm.Curation.contamination(docs, "doc_id", "text",
         bench, "bench_id", "text", shingleSize = 3, minShared = 5)
         .select(col("doc_id"), col("bench_id"), col("shared").cast("long").as("shared"))
     }, Some(
-      """WITH sh AS (
-        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
-        |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS w FROM documents) t
-        |),
-        |bench AS (SELECT doc_id AS bench_id, s AS bs FROM sh WHERE doc_id % 37 = 0)
-        |SELECT a.doc_id, b.bench_id, CAST(len(list_intersect(a.s, b.bs)) AS BIGINT) AS shared
-        |FROM sh a JOIN bench b ON len(list_intersect(a.s, b.bs)) >= 5""".stripMargin)),
+      s"""WITH sh AS (
+         |  ${shingleSelect("documents")}
+         |),
+         |bench AS (SELECT doc_id AS bench_id, s AS bs FROM sh WHERE doc_id % 37 = 0)
+         |SELECT a.doc_id, b.bench_id, CAST(len(list_intersect(a.s, b.bs)) AS BIGINT) AS shared
+         |FROM sh a JOIN bench b ON len(list_intersect(a.s, b.bs)) >= 5""".stripMargin)),
 
     // Gopher-style repetition signals: distinct-word ratio + top word /
     // bigram / trigram mass fraction, all computed per-row (array_sort +
@@ -1322,8 +1368,6 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       val cases = scores.map { case (lang, sc) =>
         s"WHEN $sc = __best AND __best > 0 THEN '$lang'"
       }.mkString(" ")
-      def sel(frac: Double) =
-        s"substr(md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':cur7'), 1, 8) < '${graft.llm.Curation.hexThreshold(frac)}'"
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
@@ -1349,8 +1393,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
          |           AND mwl >= 3.0 AND mwl <= 12.0 AND dr < 0.3),
          |fp AS (SELECT *, md5($norm) AS f FROM qual),
          |ex AS (SELECT * FROM fp WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
-         |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
-         |       FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM ex) t),
+         |sh AS (${shingleSelect("ex")}),
          |dropped AS (
          |  SELECT DISTINCT b.doc_id AS id_b
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1358,9 +1401,9 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
          |          / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
          |nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT id_b FROM dropped))
          |SELECT doc_id, lang_pred, n_words FROM nd
-         |WHERE CASE WHEN lang_pred = 'en' THEN ${sel(0.6)}
-         |           WHEN lang_pred = 'de' THEN ${sel(0.8)}
-         |           ELSE ${sel(0.5)} END""".stripMargin
+         |WHERE CASE WHEN lang_pred = 'en' THEN ${docDrawCond("cur7", 0.6)}
+         |           WHEN lang_pred = 'de' THEN ${docDrawCond("cur7", 0.8)}
+         |           ELSE ${docDrawCond("cur7", 0.5)} END""".stripMargin
     }),
 
     // TF-IDF keyword extraction (rational idf — one exact integer
@@ -1502,13 +1545,11 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split7")
         .select("doc_id", "cluster", "split")
     }, Some {
-      def sel(cum: Double) =
-        s"substr(md5(CAST(cluster AS VARCHAR) || ':split7'), 1, 8) < '${graft.llm.Curation.hexThreshold(cum)}'"
       s"""WITH RECURSIVE corpus AS ($corpusSql),
          |$shingleClusterCtes
          |SELECT doc_id, cluster,
-         |       CASE WHEN ${sel(0.8)} THEN 'train'
-         |            WHEN ${sel(0.9)} THEN 'val'
+         |       CASE WHEN ${clusterDrawCond("split7", 0.8)} THEN 'train'
+         |            WHEN ${clusterDrawCond("split7", 0.9)} THEN 'val'
          |            ELSE 'test' END AS split
          |FROM clusters""".stripMargin
     }),
@@ -1579,7 +1620,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       // a temp view resolves by name without the dataset-id tagging
       // per-run unique name: two concurrent invocations on one session must
       // not clobber each other's view between registration and the SQL read
-      val view = s"graft_card_view_${java.lang.Long.toHexString(System.nanoTime())}"
+      val view = s"graft_card_view_${EntryCtx.uniqueSuffix()}"
       sel.createOrReplaceTempView(view)
       // spark.sql analyzes eagerly — the view is inlined into the returned
       // plan, so dropping it immediately is safe and leaves no catalog debris
@@ -1590,8 +1631,6 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       s.catalog.dropTempView(view)
       out
     }, Some {
-      def sel(cum: Double) =
-        s"substr(md5(CAST(cluster AS VARCHAR) || ':split7'), 1, 8) < '${graft.llm.Curation.hexThreshold(cum)}'"
       s"""WITH RECURSIVE corpus AS (
          |  SELECT doc_id, text, lang FROM documents
          |  UNION ALL
@@ -1600,8 +1639,8 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
          |$shingleClusterCtes,
          |assigned AS (
          |  SELECT doc_id,
-         |         CASE WHEN ${sel(0.8)} THEN 'train'
-         |              WHEN ${sel(0.9)} THEN 'val'
+         |         CASE WHEN ${clusterDrawCond("split7", 0.8)} THEN 'train'
+         |              WHEN ${clusterDrawCond("split7", 0.9)} THEN 'val'
          |              ELSE 'test' END AS split
          |  FROM clusters),
          |w AS (
@@ -1690,8 +1729,13 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
           .withColumn("doc_id", col("doc_id") + 800000))
       DeltaTable.write(s, additions.repartition(1), src, mode = "append")
       val tgt = tempDir("st_ingest_tgt")
+      // ONE FILE PER BATCH: the entry's NAME is cross-batch dedup — with
+      // the source's default file budget both commits land in a single
+      // batch and the accumulated-target anti-join branch is dead code
+      // (the batching-invariant fixture means the oracle can't tell)
       val q = s.readStream.format("graft-delta")
-        .option("startingVersion", "0").load(src)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1").load(src)
         .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
           val corpus =
             if (DeltaTable.isDeltaTable(s, tgt)) DeltaTable.forPath(s, tgt).toDF
@@ -1700,7 +1744,12 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
             tgt, mode = "append")
           ()
         }.start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          "streaming_ingest_dedup: the two commits must arrive in separate " +
+            "batches to exercise the cross-batch admission path")
+      } finally q.stop()
       DeltaTable.forPath(s, tgt).toDF.select("doc_id", "source")
     }, Some {
       val fp = fpSql
@@ -1725,7 +1774,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         val h32 = md5Fold32("h") // shared 32-bit md5 fold
         s"""WITH b AS (
            |  SELECT doc_id, source,
-           |         md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':shuf7') AS h
+           |         ${md5KeySql("", "shuf7")} AS h
            |  FROM documents)
            |SELECT doc_id, source,
            |       CAST(($h32 % 8) AS BIGINT) AS shard,

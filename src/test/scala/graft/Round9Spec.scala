@@ -270,4 +270,39 @@ class Round9Spec extends AnyFunSuite {
     assert(h("authorization").endsWith(s"Signature=$expected"),
       s"signer did not sign the collapsed canonical form: ${h("authorization")}")
   }
+
+  test("lastUpdateIncremental: true on tail extension, false on the gap fallback") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val base = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    DeltaTable.write(spark, base, dir)
+    val t = DeltaTable.forPath(spark, dir)
+    t.snapshot // cache v0
+
+    // plain tail append → incremental
+    DeltaTable.write(spark, base.withColumn("id", col("id") + 100), dir, mode = "append")
+    t.refresh()
+    assert(t.deltaLog.lastUpdateIncremental, "tail extension must report incremental")
+
+    // nothing new → trivially incremental (cached state returned)
+    t.refresh()
+    assert(t.deltaLog.lastUpdateIncremental)
+
+    // gap ABOVE the cached version (a vacuumed/cleaned log whose tail is
+    // only reachable via the checkpoint): t is cached at v1; remove v2's
+    // commit after checkpointing v3 — newVs {3} != expected (2..3), so
+    // update() must take the full-replay fallback AND say so
+    DeltaTable.write(spark, base.withColumn("id", col("id") + 200), dir, mode = "append") // v2
+    DeltaTable.write(spark, base.withColumn("id", col("id") + 300), dir, mode = "append") // v3
+    DeltaTable.forPath(spark, dir).createCheckpoint() // fresh handle: checkpoint AT v3
+    val fs = t.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    assert(fs.delete(new org.apache.hadoop.fs.Path(logDir, f"${2L}%020d.json"), false))
+    t.deltaLog.lastUpdateIncremental = true // prove update() resets it
+    t.refresh()
+    assert(!t.deltaLog.lastUpdateIncremental,
+      "refresh across a log gap must report the full-replay fallback")
+    assert(t.version == 3L && t.toDF.count() == 40,
+      "the fallback still reconstructs the full table from the checkpoint")
+  }
 }

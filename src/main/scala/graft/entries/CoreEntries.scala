@@ -390,8 +390,10 @@ object CoreEntries {
         .select(map_keys(col("min_values")).as("mk"), map_keys(col("max_values")).as("xk"))
         .collect()
       require(statKeys.nonEmpty && statKeys.forall { r =>
-        r.getSeq[String](0).toSet == Set("o_orderkey") &&
-          r.getSeq[String](1).toSet == Set("o_orderkey")
+        // null-safe: stats dropped entirely must hit THIS diagnostic, not
+        // an NPE inside the forall
+        Option(r.getSeq[String](0)).exists(_.toSet == Set("o_orderkey")) &&
+          Option(r.getSeq[String](1)).exists(_.toSet == Set("o_orderkey"))
       }, "stats_columns: per-file stats must restrict to o_orderkey")
       DeltaTable.forPath(s, dir)
         .scanWhere("o_orderkey <= 7500 AND o_totalprice > 100000")
@@ -620,6 +622,13 @@ object CoreEntries {
 
   // ------------------------------------------------------------------- DML
 
+  /** "Mask instead of rewrite" must be observable: at least one live file
+    * carries a DV after the DML (identical rows come back either way) —
+    * ONE definition for the three *_via_dv entries. */
+  private def requireDvMask(t: DeltaTable, entry: String): Unit =
+    require(t.deletionVectors.limit(1).count() > 0,
+      s"$entry: DML on a DV-enabled table must mask via deletion vectors")
+
   private val dmlEntries = Seq(
     // DELETE with rewrite of partially-matching files (§2.6 row 28)
     Entry("delete_partial", (s, d) => {
@@ -635,10 +644,9 @@ object CoreEntries {
       val dir = tempDir("delp")
       DeltaTable.write(s, pq(s, d, "orders"), dir, partitionBy = Seq("o_orderstatus"))
       val t = DeltaTable.forPath(s, dir)
-      t.delete(Some("o_orderstatus = 'O'"))
       // the claim is the METADATA-ONLY path: whole files removed, nothing
       // rewritten — a regression to copy-on-write returns identical rows
-      val m = t.history(Some(1)).head._3.get.operationMetrics
+      val m = t.delete(Some("o_orderstatus = 'O'"))
       require(m("num_added_files") == "0" && m("num_removed_files").toLong > 0,
         s"delete_partition: expected metadata-only delete, got $m")
       t.toDF
@@ -652,10 +660,7 @@ object CoreEntries {
         configuration = Map("delta.enableDeletionVectors" -> "true"))
       val t = DeltaTable.forPath(s, dir)
       t.delete(Some("p_size > 25"))
-      // "mask instead of rewrite" must be observable: at least one live
-      // file carries a DV (identical rows come back either way)
-      require(t.deletionVectors.limit(1).count() > 0,
-        "delete_via_dv: DELETE on a DV-enabled table must write deletion vectors")
+      requireDvMask(t, "delete_via_dv")
       t.toDF
     }, Some("SELECT * FROM part WHERE NOT (p_size > 25)")),
 
@@ -678,8 +683,7 @@ object CoreEntries {
         configuration = Map("delta.enableDeletionVectors" -> "true"))
       val t = DeltaTable.forPath(s, dir)
       t.update(Map("s_acctbal" -> expr("s_acctbal + 100")), Some("s_suppkey <= 20"))
-      require(t.deletionVectors.limit(1).count() > 0,
-        "update_via_dv: UPDATE on a DV-enabled table must mask via deletion vectors")
+      requireDvMask(t, "update_via_dv")
       t.toDF
     }, Some(
       """SELECT s_suppkey, s_name, s_nationkey,
@@ -723,8 +727,7 @@ object CoreEntries {
       val t = DeltaTable.forPath(s, dir)
       t.merge(src, "target.s_suppkey = source.s_suppkey")
         .whenMatchedUpdateAll().execute()
-      require(t.deletionVectors.limit(1).count() > 0,
-        "merge_via_dv: MERGE on a DV-enabled table must mask via deletion vectors")
+      requireDvMask(t, "merge_via_dv")
       t.toDF
     }, Some(
       """SELECT s_suppkey, s_name, s_nationkey,

@@ -19,15 +19,25 @@ object LlmEntries {
   /** documents with injected near-duplicates: every 10th doc reappears with
     * a shifted id and three extra words — gives MinHash verification real
     * positives whose expected answer DuckDB can recompute exactly. */
+  /** Once-per-dataset planted-fixture guards: the non-emptiness of a
+    * planted subset is invariant per sfDir, so each check runs ONE Spark
+    * job per gate run, not one per consuming entry. */
+  private val fixtureChecked =
+    scala.collection.concurrent.TrieMap[String, Unit]()
+  private def requirePlanted(key: String, df: => DataFrame, what: String): Unit =
+    fixtureChecked.getOrElseUpdate(key, {
+      // no planted positives ⇒ the consuming entries degenerate to "found
+      // nothing" on both engines — green with the detectors never exercised
+      require(df.limit(1).count() == 1, s"$what is empty at this SF")
+    })
+
   private def corpusWithNearDups(s: SparkSession, d: String): DataFrame = {
     val docs = docsDelta(s, d).select("doc_id", "text")
     val mut = docs.filter("doc_id % 10 = 0")
       .withColumn("doc_id", col("doc_id") + 1000000)
       .withColumn("text", concat(col("text"), lit(" zz extra token")))
-    // no planted positives ⇒ every near-dup entry degenerates to "found
-    // nothing" on both engines — green with the detectors never exercised
-    require(mut.limit(1).count() == 1,
-      "corpusWithNearDups: planted near-duplicate set is empty at this SF")
+    requirePlanted(s"$d#neardups", mut,
+      "corpusWithNearDups: planted near-duplicate set")
     docs.unionByName(mut)
   }
 
@@ -533,9 +543,19 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       // invocations — same shared-table pattern as events_delta
       val dir = EntryCtx.shared2.getOrElseUpdate(s"$d#emb_bucketed", {
         val dd = tempDir("annp")
-        DeltaTable.write(s,
-          emb.withColumn("bucket", Similarity.bucketId(col("embedding"), planes)),
-          dd, partitionBy = Seq("bucket"))
+        // one SEEDED sentinel partition (bucket 999 — outside the 4-bit
+        // hash range, so no query can ever select it): guarantees a
+        // populated partition outside every query set, which keeps the
+        // pruning assertion below live at EVERY scale factor instead of
+        // hard-failing fixtures whose queries happen to cover all real
+        // buckets. Never joined (bucket-equality against real hashes) and
+        // absent from the oracle's raw embeddings table.
+        val bucketed = emb
+          .withColumn("bucket", Similarity.bucketId(col("embedding"), planes))
+          .unionByName(emb.limit(1)
+            .withColumn("vec_id", lit(-1L))
+            .withColumn("bucket", lit(999L)))
+        DeltaTable.write(s, bucketed, dd, partitionBy = Seq("bucket"))
         dd
       })
       val t = DeltaTable.forPath(s, dir)
@@ -545,19 +565,12 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         .distinct().collect().map(_.getLong(0))
       require(qb.nonEmpty, "no query buckets")
       val slice = t.scanWhere(s"bucket IN (${qb.mkString(",")})")
-      // the entry's claim IS the pruning, so the fixture must make it
-      // checkable: queries come from the corpus (qb ⊆ populated buckets),
-      // so nParts > qb.length ⟺ a populated bucket lies outside the query
-      // set — without this guard the pruning require could short-circuit
-      // vacuous forever on a fixture whose queries cover every partition
-      val nParts = t.partitions().size
-      require(nParts > qb.length,
-        s"fixture must leave a populated bucket outside the query set " +
-          s"($nParts populated, ${qb.length} queried) or pruning is unprovable")
+      // the entry's claim IS the pruning: the seeded sentinel partition
+      // lies outside every possible query set, so the scan must always
+      // read strictly fewer files than the table holds
       require(slice.inputFiles.length < t.files.size,
         s"partition pruning did not occur: ${slice.inputFiles.length} of " +
-          s"${t.files.size} files read for buckets ${qb.toSeq.sorted} " +
-          s"($nParts populated partitions)")
+          s"${t.files.size} files read for buckets ${qb.toSeq.sorted}")
       Similarity.bucketedTopK(slice, queries, "vec_id", "embedding",
         "bucket", planes, k = 10)
         .select("query_id", "neighbor_id", "rnk")
@@ -912,10 +925,8 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       val docs = docsDelta(s, d).select("doc_id", "text")
       val bench = docs.filter("doc_id % 37 = 0")
         .select(col("doc_id").as("bench_id"), col("text"))
-      // an empty planted benchmark would leave both engines at zero rows —
-      // green forever with the detector never exercised
-      require(bench.limit(1).count() == 1,
-        "llm_contamination: planted benchmark subset is empty at this SF")
+      requirePlanted(s"$d#contam_bench", bench,
+        "llm_contamination: planted benchmark subset")
       graft.llm.Curation.contamination(docs, "doc_id", "text",
         bench, "bench_id", "text", shingleSize = 3, minShared = 5)
         .select(col("doc_id"), col("bench_id"), col("shared").cast("long").as("shared"))

@@ -391,10 +391,6 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     }
   }
 
-  /** Incremental refresh (update_incremental, table/mod.rs:206): replay only
-    * the commits after `prev.version` on top of the cached state — O(new
-    * commits), not a full log re-replay, the shape that keeps refresh cheap
-    * on a table with thousands of commits. */
   /** Diagnostic: whether the last [[update]] EXTENDED the cached state
     * (true — incremental, or already-current) or fell back to a full
     * replay (false). Result rows alone cannot distinguish the two paths,
@@ -402,6 +398,10 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     * through this (the MergeOp.lastPhases precedent). */
   @volatile private[graft] var lastUpdateIncremental: Boolean = false
 
+  /** Incremental refresh (update_incremental, table/mod.rs:206): replay only
+    * the commits after `prev.version` on top of the cached state — O(new
+    * commits), not a full log re-replay, the shape that keeps refresh cheap
+    * on a table with thousands of commits. */
   def update(prev: Snapshot): Snapshot = {
     lastUpdateIncremental = false
     // one listing; `latest` must see compaction-file end versions too, or

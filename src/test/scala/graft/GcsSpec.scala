@@ -152,6 +152,24 @@ class GcsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("401"))
   }
 
+  test("credential resolution: bearer beats SA key, authorized_user refused loudly") {
+    val server = new MockGcsServer(verifyJwtWith = Some(keyPair.getPublic))
+    servers += server
+    // precedence: a pre-acquired bearer wins over the SA key
+    val p = GcsStore.providerFrom(Map(
+      "GCS_BEARER_TOKEN" -> "tok-x",
+      "GOOGLE_SERVICE_ACCOUNT_KEY" -> saJson(server))).get
+    assert(p.isInstanceOf[StaticTokenProvider] && p.token() == "tok-x")
+    // no credentials → anonymous
+    assert(GcsStore.providerFrom(Map.empty).isEmpty)
+    // an authorized_user ADC file (gcloud auth application-default login)
+    // must be refused with an explicit message, not "lacks client_email"
+    val e = intercept[IllegalArgumentException](GcsStore.providerFrom(
+      Map("GOOGLE_SERVICE_ACCOUNT_KEY" -> """{"type":"authorized_user","refresh_token":"r"}""")))
+    assert(e.getMessage.contains("authorized_user") ||
+      e.getMessage.contains("service_account"), e.getMessage)
+  }
+
   test("whole commit protocol through the registered gs store (paginated)") {
     val server = new MockGcsServer(pageSize = 3,
       verifyJwtWith = Some(keyPair.getPublic))

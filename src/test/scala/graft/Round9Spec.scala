@@ -271,6 +271,30 @@ class Round9Spec extends AnyFunSuite {
       s"signer did not sign the collapsed canonical form: ${h("authorization")}")
   }
 
+  test("convertToDelta on a hive-partitioned layout: inference, escaping, null partition") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // special-char value (space) + a NULL partition value → Spark writes
+    // p=x%20y/ and p=__HIVE_DEFAULT_PARTITION__/ dirs — both must survive
+    // conversion: escaped dir names decoded, hive-default read back as NULL
+    val src = Seq((1L, "a b", 10L), (2L, "a b", 20L), (3L, "plain", 30L),
+      (4L, null: String, 40L)).toDF("id", "p", "v")
+    src.write.partitionBy("p").parquet(dir)
+    val t = DeltaTable.convertToDelta(spark, dir)
+    assert(t.partitionColumns == Seq("p"), s"inferred: ${t.partitionColumns}")
+    val got = t.toDF.select("id", "p", "v").as[(Long, String, Long)]
+      .collect().toSet
+    assert(got == Set((1L, "a b", 10L), (2L, "a b", 20L), (3L, "plain", 30L),
+      (4L, null, 40L)), s"got $got")
+    // partition pruning works on the converted table (escaped value)
+    val pruned = t.scanWhere("p = 'a b'")
+    assert(pruned.count() == 2)
+    assert(pruned.inputFiles.length < t.files.size,
+      "conversion must yield per-partition files the scan can prune")
+    // IS NULL routes to the hive-default partition
+    assert(t.scanWhere("p IS NULL").select("id").as[Long].collect().toSeq == Seq(4L))
+  }
+
   test("lastUpdateIncremental: true on tail extension, false on the gap fallback") {
     import spark.implicits._
     val dir = tmpDir()

@@ -18,30 +18,33 @@ import org.apache.spark.unsafe.types.UTF8String
  * equality check against a thread-local memo + an array index.
  */
 class PartitionValueLookup(values: Broadcast[Map[String, Array[String]]]) extends Serializable {
-  @transient private lazy val memo = new ThreadLocal[Array[AnyRef]] {
-    override def initialValue(): Array[AnyRef] = new Array[AnyRef](2)
-  }
+  @transient private lazy val memo = new PerFileMemo
 
   def value(file: UTF8String, i: Int): UTF8String = {
-    val m = memo.get()
-    var arr: Array[UTF8String] = null
-    if (m(0) != null && m(0).asInstanceOf[UTF8String].equals(file)) {
-      arr = m(1).asInstanceOf[Array[UTF8String]]
-    } else {
-      // every scanned file was inserted under its PathKeys.variants keys —
-      // a miss is a path-form mismatch with _metadata.file_path, and
-      // failing open would read every partition column of the file as NULL
-      // (silently wrong rows, silently dropped by partition predicates).
-      // Fail loudly instead (same contract as Cdf's unmapped-path error).
-      arr = values.value.getOrElse(file.toString,
-          throw new IllegalStateException(
-            s"partition-value lookup missed file '$file' (path-variant " +
-              "mismatch) — refusing to emit NULL partition values"))
-        .map(s => if (s == null) null else UTF8String.fromString(s))
-      m(0) = file.clone()
-      m(1) = arr
-    }
-    if (i < arr.length) arr(i) else null
+    val cached = memo.get(file)
+    val arr =
+      if (cached != null) cached.asInstanceOf[Array[UTF8String]]
+      else {
+        // every scanned file was inserted under its PathKeys.variants keys —
+        // a miss is a path-form mismatch with _metadata.file_path, and
+        // failing open would read every partition column of the file as NULL
+        // (silently wrong rows, silently dropped by partition predicates).
+        // Fail loudly instead (same contract as Cdf's unmapped-path error).
+        val a = values.value.getOrElse(file.toString,
+            throw new IllegalStateException(
+              s"partition-value lookup missed file '$file' (path-variant " +
+                "mismatch) — refusing to emit NULL partition values"))
+          .map(s => if (s == null) null else UTF8String.fromString(s))
+        memo.put(file, a)
+        a
+      }
+    if (i < arr.length) arr(i)
+    else throw new IllegalStateException(
+      // same fail-loud contract as the path-variant miss above: an index
+      // past the partition-column count means schema bookkeeping broke,
+      // and NULL here is silently-wrong-rows corruption
+      s"partition-value index $i out of range (${arr.length} partition " +
+        s"columns) for file '$file'")
   }
 }
 

@@ -22,10 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
  *
  * Modes:
  *  - "nfc" / "nfd" / "nfkc" / "nfkd": java.text.Normalizer forms;
- *  - "strip_accents": NFD-decompose, drop combining marks (Mn), recompose —
- *    matches DuckDB's utf8proc-based `strip_accents` on precomposed and
- *    combining accents alike (compatibility characters like the ﬁ ligature
- *    are preserved by both, since NFD is canonical-only).
+ *  - "strip_accents": NFD-decompose, drop combining marks (Mn AND the
+ *    spacing/enclosing mark classes Mc/Me — utf8proc's STRIPMARK strips
+ *    all three, verified empirically: DuckDB strip_accents('का') = 'क'
+ *    drops the Mc vowel sign), recompose — matches DuckDB's
+ *    utf8proc-based `strip_accents` on precomposed and combining accents
+ *    alike (compatibility characters like the ﬁ ligature are preserved by
+ *    both, since NFD is canonical-only; Hangul recomposes identically).
  *
  * Reference has no counterpart (its engine normalizes nothing); parity
  * target is DuckDB's nfc_normalize/strip_accents for the oracle gate.
@@ -37,7 +40,10 @@ case class TextNormalize(child: Expression, mode: String)
   override def nullable: Boolean = child.nullable
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType != StringType)
+    // NullType accepted for parity with DuckDB's nfc_normalize(NULL) = NULL
+    // (a templated query with a null literal must not abort analysis)
+    if (child.dataType != StringType &&
+        child.dataType != org.apache.spark.sql.types.NullType)
       TypeCheckResult.TypeCheckFailure(
         s"normalize_text expects a string column, got ${child.dataType.simpleString}")
     else if (!TextNormalize.modes.contains(mode))
@@ -62,30 +68,58 @@ object TextNormalize {
 
   val modes: Set[String] = Set("nfc", "nfd", "nfkc", "nfkd", "strip_accents")
 
+  private def isMark(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    // utf8proc STRIPMARK semantics: Mn + Mc + Me all strip (Mn alone kept
+    // Devanagari vowel signs and enclosing marks DuckDB removes)
+    t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
+      t == Character.ENCLOSING_MARK
+  }
+
   /** Static per-row kernel (called from generated code and eval). */
   def apply(s: UTF8String, mode: String): UTF8String = {
     val in = s.toString
-    val out = mode match {
-      case "nfc"  => Normalizer.normalize(in, Normalizer.Form.NFC)
-      case "nfd"  => Normalizer.normalize(in, Normalizer.Form.NFD)
-      case "nfkc" => Normalizer.normalize(in, Normalizer.Form.NFKC)
-      case "nfkd" => Normalizer.normalize(in, Normalizer.Form.NFKD)
+    def form(f: Normalizer.Form): UTF8String =
+      // already-normalized fast path (true for virtually all ASCII corpus
+      // rows): skip the normalize pass and the String→UTF8String copy;
+      // clone() because the input may alias a reused row buffer
+      if (Normalizer.isNormalized(in, f)) s.clone()
+      else UTF8String.fromString(Normalizer.normalize(in, f))
+    mode match {
+      case "nfc"  => form(Normalizer.Form.NFC)
+      case "nfd"  => form(Normalizer.Form.NFD)
+      case "nfkc" => form(Normalizer.Form.NFKC)
+      case "nfkd" => form(Normalizer.Form.NFKD)
       case "strip_accents" =>
         // canonical-decompose, drop combining marks, recompose what's left
         val decomposed = Normalizer.normalize(in, Normalizer.Form.NFD)
-        val sb = new java.lang.StringBuilder(decomposed.length)
+        var hasMark = false
         var i = 0
-        while (i < decomposed.length) {
+        while (i < decomposed.length && !hasMark) {
           val cp = decomposed.codePointAt(i)
-          if (Character.getType(cp) != Character.NON_SPACING_MARK)
-            sb.appendCodePoint(cp)
+          if (isMark(cp)) hasMark = true
           i += Character.charCount(cp)
         }
-        Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
+        if (!hasMark) {
+          // nothing to strip: degenerates to plain NFC (NFD∘NFC ≡ NFC) —
+          // the isNormalized check still matters (already-decomposed jamo
+          // input must recompose even with zero marks)
+          if (Normalizer.isNormalized(in, Normalizer.Form.NFC)) s.clone()
+          else UTF8String.fromString(Normalizer.normalize(in, Normalizer.Form.NFC))
+        } else {
+          val sb = new java.lang.StringBuilder(decomposed.length)
+          i = 0
+          while (i < decomposed.length) {
+            val cp = decomposed.codePointAt(i)
+            if (!isMark(cp)) sb.appendCodePoint(cp)
+            i += Character.charCount(cp)
+          }
+          UTF8String.fromString(
+            Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
+        }
       case other =>
         throw new IllegalArgumentException(s"normalize_text: unknown mode '$other'")
     }
-    UTF8String.fromString(out)
   }
 
   /** Column-level entry point: `normalizeText($"text", "nfc")`. */

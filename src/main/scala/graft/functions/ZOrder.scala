@@ -60,7 +60,11 @@ case class ZOrderKey(children: Seq[Expression]) extends Expression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val zk = "graft.functions.ZOrderKey"
-    val arr = ctx.freshName("zkeys")
+    // scratch array hoisted to instance state: the generated class is
+    // per-task-thread, so reuse is safe and a 1B-row sort does not allocate
+    // 1B short-lived long[n] (only the byte[] result is per-row)
+    val arr = ctx.addMutableState("long[]", "zkeys",
+      v => s"$v = new long[${children.length}];", forceInline = true)
     val evals = children.map(_.genCode(ctx))
     val encodes = children.zip(evals).zipWithIndex.map { case ((c, e), i) =>
       val enc = c.dataType match {
@@ -80,8 +84,7 @@ case class ZOrderKey(children: Seq[Expression]) extends Expression {
          |$arr[$i] = ${e.isNull} ? 0L : $enc;""".stripMargin
     }.mkString("\n")
     val resultCode =
-      s"""long[] $arr = new long[${children.length}];
-         |$encodes
+      s"""$encodes
          |byte[] ${ev.value} = $zk.interleave($arr);""".stripMargin
     ev.copy(code = code"$resultCode", isNull = FalseLiteral)
   }

@@ -195,9 +195,13 @@ object DeletionVectors {
   private val SERIAL_COOKIE = 12347
   private val NO_OFFSET_THRESHOLD = 4
 
-  /** Decode one standard-format 32-bit roaring bitmap from `bb` (LE),
-    * advancing the buffer. Returns unsigned int values as Ints. */
-  private def decodeRoaring32(bb: ByteBuffer): Array[Int] = {
+  /** One 32-bit roaring bitmap in CONTAINER form: `keys16(i)` is the
+    * container key, `containers(i)` one of
+    *  - `Array[Char]`  — sorted array container (chars = unsigned 16-bit),
+    *  - `Array[Long]`  — 1024-word bitset container,
+    *  - `Array[Int]`   — run container, each `(start << 16) | len`, sorted.
+    * Kept compressed so membership never materializes positions. */
+  private def decodeContainers32(bb: ByteBuffer): (Array[Int], Array[AnyRef]) = {
     val cookie = bb.getInt
     val (nContainers, runBitmap): (Int, Array[Byte]) =
       if ((cookie & 0xFFFF) == SERIAL_COOKIE) {
@@ -222,30 +226,114 @@ object DeletionVectors {
     if (runBitmap == null || nContainers >= NO_OFFSET_THRESHOLD)
       (0 until nContainers).foreach(_ => bb.getInt)
 
-    val out = Array.newBuilder[Int]
+    val containers = new Array[AnyRef](nContainers)
     (0 until nContainers).foreach { i =>
-      val base = keys(i) << 16
       if (isRun(i)) {
         val nRuns = bb.getShort & 0xFFFF
-        (0 until nRuns).foreach { _ =>
+        val runs = new Array[Int](nRuns)
+        var j = 0
+        while (j < nRuns) {
           val start = bb.getShort & 0xFFFF
           val len = bb.getShort & 0xFFFF
+          runs(j) = (start << 16) | len
+          j += 1
+        }
+        containers(i) = runs
+      } else if (cards(i) > 4096) { // bitset container: 1024 × int64
+        val words = new Array[Long](1024)
+        var w = 0
+        while (w < 1024) { words(w) = bb.getLong; w += 1 }
+        containers(i) = words
+      } else {
+        val arr = new Array[Char](cards(i))
+        var j = 0
+        while (j < arr.length) { arr(j) = (bb.getShort & 0xFFFF).toChar; j += 1 }
+        containers(i) = arr
+      }
+    }
+    (keys, containers)
+  }
+
+  /** Decode one standard-format 32-bit roaring bitmap from `bb` (LE),
+    * advancing the buffer. Returns unsigned int values as Ints. */
+  private def decodeRoaring32(bb: ByteBuffer): Array[Int] = {
+    val (keys, containers) = decodeContainers32(bb)
+    val out = Array.newBuilder[Int]
+    keys.indices.foreach { i =>
+      val base = keys(i) << 16
+      containers(i) match {
+        case runs: Array[Int] => runs.foreach { r =>
+          val start = r >>> 16; val len = r & 0xFFFF
           (start to start + len).foreach(v => out += (base | v))
         }
-      } else if (cards(i) > 4096) { // bitset container: 1024 × int64
-        (0 until 1024).foreach { w =>
-          var word = bb.getLong
+        case words: Array[Long] => words.indices.foreach { w =>
+          var word = words(w)
           while (word != 0) {
             val bit = java.lang.Long.numberOfTrailingZeros(word)
             out += (base | (w * 64 + bit))
             word &= word - 1
           }
         }
-      } else {
-        (0 until cards(i)).foreach(_ => out += (base | (bb.getShort & 0xFFFF)))
+        case arr: Array[Char] => arr.foreach(v => out += (base | v.toInt))
       }
     }
     out.result()
+  }
+
+  /** Membership over the CONTAINER form — the scan-predicate working set
+    * stays roaring-compressed (an array container costs 2 bytes/position
+    * instead of the 8 of a flattened Array[Long]; bitset containers 8 KB
+    * per dense 65 536-range; run containers O(runs)). A 50M-row mask that
+    * flattened to 400 MB of long[] PER TASK stays at its compressed size. */
+  final class RoaringMembership private[DeletionVectors] (
+      containerKeys: Array[Long], // (high32 << 16) | key16, sorted == pos >>> 16
+      containers: Array[AnyRef]) extends Serializable {
+
+    def contains(pos: Long): Boolean = {
+      val idx = java.util.Arrays.binarySearch(containerKeys, pos >>> 16)
+      if (idx < 0) return false
+      val low = (pos & 0xFFFFL).toInt
+      containers(idx) match {
+        case arr: Array[Char] =>
+          java.util.Arrays.binarySearch(arr, low.toChar) >= 0
+        case words: Array[Long] =>
+          ((words(low >>> 6) >>> (low & 63)) & 1L) == 1L
+        case runs: Array[Int] =>
+          // find the last run with start <= low
+          var lo = 0; var hi = runs.length - 1; var cand = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if ((runs(mid) >>> 16) <= low) { cand = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          cand >= 0 && low <= (runs(cand) >>> 16) + (runs(cand) & 0xFFFF)
+      }
+    }
+  }
+
+  /** Decode a portable RoaringBitmapArray blob into its membership form
+    * (container keys validated ascending — binary search relies on it). */
+  def decodeRoaringMembership(data: Array[Byte]): RoaringMembership = {
+    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt
+    require(magic == MAGIC, s"Bad DV magic: $magic")
+    val nBitmaps = bb.getLong
+    val keyB = Array.newBuilder[Long]
+    val conB = Array.newBuilder[AnyRef]
+    var lastKey = Long.MinValue
+    (0L until nBitmaps).foreach { _ =>
+      val high = bb.getInt.toLong
+      val (keys, containers) = decodeContainers32(bb)
+      keys.indices.foreach { i =>
+        val gk = (high << 16) | keys(i).toLong
+        require(gk > lastKey,
+          s"DV blob container keys not strictly ascending: $gk after $lastKey")
+        lastKey = gk
+        keyB += gk
+        conB += containers(i)
+      }
+    }
+    new RoaringMembership(keyB.result(), conB.result())
   }
 
   // ---- writer (fixtures/tests; array + bitset containers, no runs) ----

@@ -34,6 +34,18 @@ class GraftDeltaRelation(
 
   override def schema: StructType = snapshot.schema
 
+  // real table size from the log's per-file sizes: BaseRelation's default
+  // is spark.sql.defaultSizeInBytes (≈ Long.MaxValue), which makes every
+  // graft-delta side of a join "too big to broadcast" — a 2 MB dimension
+  // table would shuffle-join instead of broadcast (delta-spark overrides
+  // this the same way)
+  override def sizeInBytes: Long = {
+    // Snapshot.sizeInBytes is lazy-index-aware (distributed stats summary
+    // above the threshold — no driver materialization at planning time)
+    val s = snapshot.sizeInBytes
+    if (s > 0) s else super.sizeInBytes
+  }
+
   // we prune with the filters but never claim them handled
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
@@ -98,11 +110,16 @@ object GraftDeltaRelation {
     }
   }
 
+  /** Case-insensitive option lookup — ONE implementation for the read and
+    * write paths (two local copies had already diverged in name only). */
+  private def opt(parameters: Map[String, String], key: String): Option[String] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
   /** Resolve the snapshot for read options (versionAsOf / timestampAsOf). */
   def snapshotFor(spark: SparkSession, path: String,
                   parameters: Map[String, String]): Snapshot = {
     def opt(key: String): Option[String] =
-      parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+      GraftDeltaRelation.opt(parameters, key)
     val log = new DeltaLog(spark, new Path(path))
     (opt("versionAsOf"), opt("timestampAsOf")) match {
       case (Some(v), None) => log.snapshotAt(v.trim.toLong)
@@ -119,6 +136,12 @@ object GraftDeltaRelation {
     * date-only strings are accepted like delta-spark. */
   private[graft] def parseTsMillis(spark: SparkSession, ts: String): Long = {
     val t = ts.trim
+    // explicit zone/offset wins over the session zone ('...Z', '...+02:00'
+    // — forms delta-spark accepts via session-timestamp casting; rejecting
+    // them breaks existing job configs on migration)
+    try return java.time.OffsetDateTime.parse(t.replace(' ', 'T'))
+      .toInstant.toEpochMilli
+    catch { case _: java.time.format.DateTimeParseException => }
     val local =
       try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
       catch {
@@ -127,7 +150,7 @@ object GraftDeltaRelation {
           catch {
             case _: java.time.format.DateTimeParseException =>
               throw new IllegalArgumentException(
-                s"timestampAsOf '$ts' is not 'yyyy-MM-dd[ HH:mm:ss[.S]]'")
+                s"timestampAsOf '$ts' is not 'yyyy-MM-dd[ HH:mm:ss[.S]][+zone]'")
           }
       }
     val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
@@ -141,7 +164,7 @@ object GraftDeltaRelation {
       data: DataFrame,
       path: String): BaseRelation = {
     def opt(key: String): Option[String] =
-      parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+      GraftDeltaRelation.opt(parameters, key)
     val partitionBy = parameters.get(DataSourceUtils.PARTITIONING_COLUMNS_KEY)
       .map(DataSourceUtils.decodePartitioningColumns)
       .getOrElse(Nil)

@@ -271,6 +271,42 @@ class Round9Spec extends AnyFunSuite {
       s"signer did not sign the collapsed canonical form: ${h("authorization")}")
   }
 
+  test("RoaringMembership agrees with the flattened decode on every container kind") {
+    import graft.kernel.DeletionVectors
+    val rnd = new scala.util.Random(97)
+    // sparse array containers + a dense 65k range (bitset container) + a
+    // second high-32 bitmap — the shapes encodeRoaringArray emits
+    val positions = (
+      Seq.fill(2000)(rnd.nextInt(1 << 20).toLong) ++
+        (200000L until 260000L) ++ // dense → bitset container
+        Seq.fill(100)((1L << 32) + rnd.nextInt(10000))
+      ).distinct.sorted.toArray
+    val blob = DeletionVectors.encodeRoaringArray(positions)
+    val flat = DeletionVectors.decodeRoaringArray(blob)
+    assert(flat.toSeq == positions.toSeq)
+    val mem = DeletionVectors.decodeRoaringMembership(blob)
+    positions.foreach(p => assert(mem.contains(p), s"member $p"))
+    val nonMembers = Seq(0L, (1L << 21) + 1, 199999L, 260000L, (1L << 32) + 10001,
+      (2L << 32) + 5) ++ Seq.fill(500)(rnd.nextLong().abs % (1L << 33))
+    nonMembers.filterNot(positions.contains).foreach(p =>
+      assert(!mem.contains(p), s"non-member $p"))
+
+    // run container (delta-spark emits these; our writer doesn't): a
+    // hand-built blob per the portable format — run [10, 15] at high 0
+    val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(DeletionVectors.MAGIC).putLong(1L).putInt(0) // magic, 1 bitmap, high=0
+    bb.putInt(12347 | (0 << 16)) // SERIAL_COOKIE, nContainers-1 = 0
+    bb.put(1.toByte) // run bitmap: container 0 is a run container
+    bb.putShort(0.toShort).putShort(5.toShort) // key 0, cardinality-1 (unused for runs)
+    bb.putShort(1.toShort) // one run
+    bb.putShort(10.toShort).putShort(5.toShort) // start 10, len 5 → 10..15
+    val runBlob = java.util.Arrays.copyOf(bb.array(), bb.position())
+    assert(DeletionVectors.decodeRoaringArray(runBlob).toSeq == (10L to 15L))
+    val runMem = DeletionVectors.decodeRoaringMembership(runBlob)
+    (10L to 15L).foreach(p => assert(runMem.contains(p)))
+    Seq(9L, 16L, 0L, 65536L).foreach(p => assert(!runMem.contains(p)))
+  }
+
   test("convertToDelta on a hive-partitioned layout: inference, escaping, null partition") {
     import spark.implicits._
     val dir = tmpDir()

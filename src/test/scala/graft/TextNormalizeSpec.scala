@@ -69,4 +69,25 @@ class TextNormalizeSpec extends AnyFunSuite {
     assert(err.getMessage.contains("mode must be one of") ||
       err.getMessage.contains("bogus"))
   }
+
+  test("strip_accents drops Mc/Me marks like utf8proc STRIPMARK; NULL literal analyzes") {
+    import spark.implicits._
+    // empirically pinned against DuckDB 'strip_accents' on this host:
+    //   'का' (Devanagari KA + Mc vowel sign) -> 'क'
+    //   'x⃝' (x + U+20DD enclosing circle, Me) -> 'x'
+    //   '한' (precomposed Hangul) -> '한'; decomposed jamo recompose
+    val rows = Seq("का", "x⃝", "한", "한", "Çafé").toDF("t")
+      .select(TextNormalize.normalizeText(col("t"), "strip_accents").as("n"))
+      .as[String].collect().toSeq
+    assert(rows == Seq("क", "x", "한", "한", "Cafe"), s"got $rows")
+    // NULL literal must analyze and return NULL (DuckDB nfc_normalize(NULL))
+    TextNormalize.register(spark)
+    val nul = spark.sql("SELECT normalize_text(NULL, 'nfc') AS n").collect()(0)
+    assert(nul.isNullAt(0))
+    // fast path returns an independent copy, not an aliased buffer
+    val ascii = Seq("plain ascii", "plain ascii").toDF("t")
+      .select(TextNormalize.normalizeText(col("t"), "nfc").as("n"))
+      .as[String].collect().toSeq
+    assert(ascii == Seq("plain ascii", "plain ascii"))
+  }
 }

@@ -750,32 +750,38 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
            |FROM tok k JOIN rates USING (source)
            |WHERE r >= 1.0 OR ${mdDrawSql("k.", "mix")} < ${thrSql("r")}""".stripMargin)),
 
-    // epoch-repeating mixture (the upsampling half of data mixing):
-    // src1 at 4/6 of an 8000-token budget lands at ~2.3 epochs at the
-    // sf0.01 gate — two guaranteed copies of every doc plus a ~0.26-
-    // probability third — while src2/src3 downsample below one epoch;
-    // the oracle replays the driver's rate arithmetic (budget *
-    // weight-share / tokens, LEAST-clamped threshold like hexThreshold)
-    // and the per-doc fractional md5 draw
+    // epoch-repeating mixture (the upsampling half of data mixing): the
+    // budget is DERIVED from src1's token total (7·t1/2, integer floor
+    // division replayed identically in SQL) so src1's rate is ~2.33 at
+    // EVERY scale factor — two guaranteed copies of every doc plus a ~1/3-
+    // probability third (a fixed literal budget upsampled at sf0.01 but
+    // silently degenerated to downsampling at sf0.1, leaving the floor(r)
+    // replication branch untested); the oracle replays the budget
+    // derivation, the rate arithmetic (budget * weight-share / tokens,
+    // LEAST-clamped threshold like hexThreshold) and the per-doc
+    // fractional md5 draw
     Entry("llm_epoch_mixture", (s, d) => {
       val docs = docsDelta(s, d).select(col("doc_id"), col("source"), col("text"))
         .withColumn("n_tokens", TextOps.tokenEstimate(col("text")))
+      val t1 = docs.filter(col("source") === "src1")
+        .agg(sum(coalesce(col("n_tokens"), lit(0L))).cast("long")).head.getLong(0)
+      require(t1 > 0, "llm_epoch_mixture: src1 has no tokens at this SF")
       val out = graft.llm.Curation.epochMixture(docs, "doc_id", "source",
         col("n_tokens"), Map("src1" -> 4.0, "src2" -> 1.0, "src3" -> 1.0),
-        tokenBudget = 8000, salt = "mix8")
+        tokenBudget = 7L * t1 / 2L, salt = "mix8")
       // the entry's NAME is upsampling: some source must land at rate >= 1
       // (a guaranteed second epoch) or the floor(r) replication branch is
-      // degenerate downsampling at this SF and silently untested
+      // degenerate downsampling and silently untested
       require(out.where("epoch >= 1").limit(1).count() == 1,
-        "llm_epoch_mixture: no source reached a full second epoch at this " +
-          "SF — the upsampling branch is untested; shrink src1's corpus " +
-          "share or raise the budget")
+        "llm_epoch_mixture: no source reached a full second epoch — the " +
+          "upsampling branch is untested (budget derivation broken?)")
       out
     }, Some(
       s"""${mixTokTotSql(Seq("src1", "src2", "src3"))},
+         |b AS (SELECT (7 * t) // 2 AS budget FROM tot WHERE source = 'src1'),
          |rates AS (
          |  SELECT source,
-         |         CASE WHEN t <= 0 THEN 1.0 ELSE CAST(8000 AS DOUBLE) * (CASE source WHEN 'src1' THEN 4.0 ELSE 1.0 END / 6.0) / CAST(t AS DOUBLE) END AS r
+         |         CASE WHEN t <= 0 THEN 1.0 ELSE CAST((SELECT budget FROM b) AS DOUBLE) * (CASE source WHEN 'src1' THEN 4.0 ELSE 1.0 END / 6.0) / CAST(t AS DOUBLE) END AS r
          |  FROM tot),
          |ep AS (
          |  SELECT k.doc_id, k.source,

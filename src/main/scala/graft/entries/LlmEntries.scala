@@ -763,8 +763,11 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
     Entry("llm_epoch_mixture", (s, d) => {
       val docs = docsDelta(s, d).select(col("doc_id"), col("source"), col("text"))
         .withColumn("n_tokens", TextOps.tokenEstimate(col("text")))
+      // outer coalesce: sum() over ZERO src1 rows is NULL and getLong
+      // would NPE past the require below that exists for exactly this case
       val t1 = docs.filter(col("source") === "src1")
-        .agg(sum(coalesce(col("n_tokens"), lit(0L))).cast("long")).head.getLong(0)
+        .agg(coalesce(sum(coalesce(col("n_tokens"), lit(0L))), lit(0L))
+          .cast("long")).head.getLong(0)
       require(t1 > 0, "llm_epoch_mixture: src1 has no tokens at this SF")
       val out = graft.llm.Curation.epochMixture(docs, "doc_id", "source",
         col("n_tokens"), Map("src1" -> 4.0, "src2" -> 1.0, "src3" -> 1.0),

@@ -251,6 +251,34 @@ object DeletionVectors {
         containers(i) = arr
       }
     }
+    // within-container conformance, validated HERE so the membership path
+    // inherits the same refusal the flatten path gets from its ascending-
+    // positions require: binary search over an unsorted array container or
+    // unsorted/overlapping runs would silently answer false for genuinely
+    // deleted positions — resurrected rows, the exact fail-open this
+    // module's contract forbids
+    (0 until nContainers).foreach { i =>
+      containers(i) match {
+        case arr: Array[Char] =>
+          var j = 1
+          while (j < arr.length) {
+            require(arr(j) > arr(j - 1),
+              s"DV blob array container ${keys(i)} not strictly ascending " +
+                s"(non-conformant RoaringBitmapArray serialization)")
+            j += 1
+          }
+        case runs: Array[Int] =>
+          var prevEnd = -1
+          runs.foreach { r =>
+            val start = r >>> 16; val end = start + (r & 0xFFFF)
+            require(start > prevEnd && end <= 0xFFFF,
+              s"DV blob run container ${keys(i)} unsorted/overlapping/" +
+                s"overflowing (run $start..$end after $prevEnd)")
+            prevEnd = end
+          }
+        case _ => // bitset containers carry no ordering to violate
+      }
+    }
     (keys, containers)
   }
 

@@ -39,12 +39,15 @@ class GraftDeltaRelation(
   // graft-delta side of a join "too big to broadcast" — a 2 MB dimension
   // table would shuffle-join instead of broadcast (delta-spark overrides
   // this the same way)
-  override def sizeInBytes: Long = {
-    // Snapshot.sizeInBytes is lazy-index-aware (distributed stats summary
-    // above the threshold — no driver materialization at planning time)
-    val s = snapshot.sizeInBytes
-    if (s > 0) s else super.sizeInBytes
-  }
+  // cached: on lazy-index snapshots Snapshot.sizeInBytes runs a
+  // distributed stats summary, and the planner asks for relation stats
+  // repeatedly per query (per plan-node copy) — one job, not one per ask.
+  // A truly empty table floors to 1 byte (0 would fall back to the
+  // un-broadcastable default — the exact regression this override fixes);
+  // per-file sizes are required by the protocol, so 0 means empty, not
+  // unknown. Snapshot.sizeInBytes is lazy-index-aware (no driver
+  // materialization at planning time).
+  override lazy val sizeInBytes: Long = math.max(snapshot.sizeInBytes, 1L)
 
   // we prune with the filters but never claim them handled
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters

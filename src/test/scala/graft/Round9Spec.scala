@@ -305,6 +305,20 @@ class Round9Spec extends AnyFunSuite {
     val runMem = DeletionVectors.decodeRoaringMembership(runBlob)
     (10L to 15L).foreach(p => assert(runMem.contains(p)))
     Seq(9L, 16L, 0L, 65536L).foreach(p => assert(!runMem.contains(p)))
+
+    // non-conformant blob (descending array container): BOTH decoders must
+    // refuse — a membership binary search over unsorted data would silently
+    // answer false for deleted positions (resurrected rows)
+    val bad = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.putInt(DeletionVectors.MAGIC).putLong(1L).putInt(0)
+    bad.putInt(12346) // SERIAL_COOKIE_NO_RUN
+    bad.putInt(1) // one container
+    bad.putShort(0.toShort).putShort(1.toShort) // key 0, cardinality 2
+    bad.putInt(0) // offset header entry (value unused by the decoder)
+    bad.putShort(5.toShort).putShort(3.toShort) // DESCENDING values
+    val badBlob = java.util.Arrays.copyOf(bad.array(), bad.position())
+    intercept[IllegalArgumentException](DeletionVectors.decodeRoaringArray(badBlob))
+    intercept[IllegalArgumentException](DeletionVectors.decodeRoaringMembership(badBlob))
   }
 
   test("convertToDelta on a hive-partitioned layout: inference, escaping, null partition") {

@@ -92,7 +92,10 @@ class UnityCatalogClient(
     if (token.nonEmpty) b.header("Authorization", s"Bearer $token")
     val resp = CatalogHttp.send(b.build())
     resp.statusCode() match {
-      case 200 => JsonMethods.parse(resp.body())
+      case 200 =>
+        try JsonMethods.parse(resp.body())
+        catch { case e: Exception => throw new DataCatalogException(
+          s"Unity Catalog: unparseable 200 response for $pathAndQuery", e) }
       case 404 => throw new DataCatalogException(
         s"Unity Catalog: not found: $pathAndQuery")
       case 401 | 403 => throw new DataCatalogException(
@@ -184,10 +187,25 @@ class GlueCatalogClient(
     signer.sign("POST", uri, payload, extra)
       .foreach { case (k, v) => b.header(k, v) }
     val resp = CatalogHttp.send(b.build())
-    if (resp.statusCode() != 200)
-      throw new DataCatalogException(
-        s"Glue $target: HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
-    JsonMethods.parse(resp.body())
+    if (resp.statusCode() != 200) {
+      // surface the JSON-1.1 error code: a 400 EntityNotFoundException
+      // (missing table/database) must be distinguishable from
+      // AccessDenied/Validation errors, like the Unity client's 404/403
+      // mapping
+      val errType = scala.util.Try(JsonMethods.parse(resp.body()) \ "__type")
+        .toOption.collect { case org.json4s.JString(t) => t.split('#').last }
+      throw new DataCatalogException(errType match {
+        case Some("EntityNotFoundException") =>
+          s"Glue $target: entity not found (${resp.body().take(200)})"
+        case Some(t) =>
+          s"Glue $target: $t (HTTP ${resp.statusCode()}): ${resp.body().take(200)}"
+        case None =>
+          s"Glue $target: HTTP ${resp.statusCode()}: ${resp.body().take(200)}"
+      })
+    }
+    try JsonMethods.parse(resp.body())
+    catch { case e: Exception =>
+      throw new DataCatalogException(s"Glue $target: unparseable 200 response", e) }
   }
 
   override def resolveTableUri(database: String, table: String): String = {
@@ -200,8 +218,11 @@ class GlueCatalogClient(
     val loc = CatalogHttp.strField(
       json \ "Table" \ "StorageDescriptor", "Location",
       s"Glue table $database.$table")
-    // reference lib.rs:101-110: s3a → s3, strip the Spark placeholder
-    val s3 = loc.replace("s3a://", "s3://")
+    // the reference rewrites s3a→s3 for Rust object_store (lib.rs:101-110);
+    // this stack reads through Hadoop, where only s3a has a connector — so
+    // the USABLE direction here is the inverse (s3→s3a), keeping the
+    // forPath-able-URI contract. The Spark placeholder strip is shared.
+    val s3 = loc.replace("s3://", "s3a://")
     if (s3.endsWith(PlaceholderSuffix)) s3.dropRight(PlaceholderSuffix.length)
     else s3
   }

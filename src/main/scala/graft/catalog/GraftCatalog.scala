@@ -36,6 +36,12 @@ import graft.table.DeltaTable
  * `TBLPROPERTIES` flow into the table's Delta configuration (so
  * `delta.enableChangeDataFeed`, `delta.enableDeletionVectors`, … work from
  * DDL); `location` creates an external table outside the warehouse root.
+ *
+ * Identifier case: names map byte-for-byte to filesystem paths, so this
+ * catalog is case-SENSITIVE (and inherits the underlying filesystem's
+ * case behavior), unlike Spark's default case-insensitive analysis —
+ * the standard trade of every path-backed catalog. Use consistent casing
+ * in DDL and queries.
  */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -56,17 +62,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // handles, so the stale-handle hazard doesn't apply to it).
   @volatile private var cachedConf: org.apache.hadoop.conf.Configuration = _
   @volatile private var uncachedFs: org.apache.hadoop.fs.FileSystem = _
-  private def fs = {
+  private def conf0: org.apache.hadoop.conf.Configuration = {
     var conf = cachedConf
     if (conf == null) {
       conf = spark.sessionState.newHadoopConf()
       cachedConf = conf
     }
+    conf
+  }
+  private def fs = {
+    val conf = conf0
     val scheme = Option(warehouse.toUri.getScheme).getOrElse("file")
     if (conf.getBoolean(s"fs.$scheme.impl.disable.cache", false)) {
       if (uncachedFs == null) uncachedFs = warehouse.getFileSystem(conf)
       uncachedFs
     } else warehouse.getFileSystem(conf)
+  }
+
+  /** FileSystem for an ARBITRARY path: an external table's LOCATION may
+    * live on a different scheme/bucket than the warehouse, and probing it
+    * with the warehouse FileSystem throws Hadoop's "Wrong FS". Warehouse-
+    * resident paths reuse the (possibly uncached-FS) `fs` path above. */
+  private def fsFor(p: Path): org.apache.hadoop.fs.FileSystem = {
+    val u = p.toUri; val w = warehouse.toUri
+    val sameScheme = u.getScheme == null || w.getScheme == null ||
+      u.getScheme == w.getScheme
+    if (sameScheme && Option(u.getAuthority) == Option(w.getAuthority)) fs
+    else p.getFileSystem(conf0)
   }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -111,7 +133,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   private def isTableDir(p: Path): Boolean =
-    fs.exists(new Path(p, "_delta_log"))
+    fsFor(p).exists(new Path(p, "_delta_log"))
 
   private def hasPointer(slot: Path): Boolean =
     fs.exists(new Path(slot, PointerFile))
@@ -133,9 +155,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsPath(namespace)
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
-    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
-      .filter(isTableSlot)
-      .map(p => Identifier.of(namespace, p.getName))
+    // a TABLE slot is not a namespace (same rule as loadNamespaceMetadata/
+    // dropNamespace): listing "inside" a table would expose its partition
+    // directories as phantom members
+    if (namespace.nonEmpty && slotOccupied(dir))
+      throw new NoSuchNamespaceException(namespace)
+    // probes run CONCURRENTLY (common ForkJoin pool): each slot costs 1-2
+    // driver-side RPCs, and sequential exists() made SHOW TABLES O(N)
+    // round-trip WAVES on object stores
+    val dirs = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+    java.util.Arrays.stream(dirs).parallel()
+      .filter(p => isTableSlot(p))
+      .map[Identifier](p => Identifier.of(namespace, p.getName))
+      .toArray(n => new Array[Identifier](n))
   }
 
   /** OCCUPANCY, not liveness: a stale external pointer must still count as
@@ -178,6 +210,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (ident.namespace().nonEmpty && !fs.exists(nsPath(ident.namespace())))
       throw new NoSuchNamespaceException(ident.namespace())
     if (slotOccupied(slot)) throw new TableAlreadyExistsException(ident)
+    // an existing directory at the slot that is NOT an occupied table slot
+    // is a NAMESPACE (or leftover) — writing a _delta_log/pointer into it
+    // would silently convert it into a table (its children vanish from the
+    // namespace listings; DROP TABLE would delete the whole tree). Same
+    // wholly-absent rule renameTable enforces for its destination.
+    if (fs.exists(slot)) throw new TableAlreadyExistsException(ident)
     val partCols = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references()(0).fieldNames.mkString(".")
@@ -223,7 +261,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // load/list/drop resolves the identifier back to the real location
     external.foreach { ext =>
       fs.mkdirs(slot)
-      val out = fs.create(new Path(slot, PointerFile), true)
+      // overwrite = false: two concurrent CREATEs of the same identifier
+      // must not resolve by silent last-writer-wins pointer loss — the
+      // loser fails atomically on create-exclusive filesystems
+      val out =
+        try fs.create(new Path(slot, PointerFile), false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            throw new TableAlreadyExistsException(ident)
+        }
       try out.write(ext.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
@@ -240,8 +286,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // half-applied DDL statement if a later column's commit conflicts
     val addCols = changes.collect {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
-        org.apache.spark.sql.types.StructField(
+        // COMMENT rides into field metadata; a position clause must fail
+        // loudly like every other unsupported change, not be silently
+        // ignored while the statement reports success
+        if (a.position() != null) throw new UnsupportedOperationException(
+          "ADD COLUMN ... FIRST/AFTER is not supported by graft-delta " +
+            "(columns append at the end)")
+        val base = org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), a.isNullable)
+        Option(a.comment()).fold(base)(base.withComment)
     }
     changes.foreach {
       case s: TableChange.SetProperty if s.property == TableCatalog.PROP_COMMENT =>
@@ -299,6 +352,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
       return Array.empty // fresh warehouse root: no namespaces yet
     }
+    if (namespace.nonEmpty && slotOccupied(dir))
+      throw new NoSuchNamespaceException(namespace) // a table is not a namespace
     fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
       .filterNot(slotOccupied)
       .map(p => namespace :+ p.getName)
@@ -313,7 +368,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createNamespace(
       namespace: Array[String], metadata: util.Map[String, String]): Unit = {
     val dir = nsPath(namespace)
-    require(!fs.exists(dir), s"namespace ${namespace.mkString(".")} already exists")
+    if (fs.exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(namespace)
+    // a typo'd parent must fail like createTable's namespace check does —
+    // mkdirs would otherwise silently materialize the whole wrong chain
+    if (namespace.length > 1) {
+      val parent = nsPath(namespace.dropRight(1))
+      if (!fs.exists(parent) || slotOccupied(parent))
+        throw new NoSuchNamespaceException(namespace.dropRight(1))
+    }
     fs.mkdirs(dir)
   }
 

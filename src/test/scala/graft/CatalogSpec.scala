@@ -295,4 +295,41 @@ class CatalogSpec extends AnyFunSuite {
     assert(sql("SELECT id FROM graft.r8n.ev WHERE s.x = 2").collect().map(_.getLong(0)).toSeq == Seq(2L))
     assert(sql("SELECT count(*) FROM graft.r8n.ev WHERE s.y = 'a'").head().getLong(0) == 1L)
   }
+
+  test("round-9 guards: namespace not convertible to table, listings refuse table slots") {
+    sql("CREATE NAMESPACE graft.r9g")
+    sql("CREATE NAMESPACE graft.r9g.inner")
+    sql("CREATE TABLE graft.r9g.inner.t (id BIGINT)")
+    sql("INSERT INTO graft.r9g.inner.t VALUES (1)")
+
+    // CREATE TABLE over an existing namespace dir must refuse, not
+    // silently convert it (children would vanish; DROP TABLE would
+    // delete the whole tree)
+    val e1 = intercept[Exception](sql("CREATE TABLE graft.r9g.inner (id INT)"))
+    assert(e1.getMessage.toLowerCase.contains("already exists"), e1.getMessage)
+    assert(sql("SHOW NAMESPACES IN graft.r9g").collect()
+      .map(_.getString(0)).contains("r9g.inner"),
+      "the namespace must survive the refused create")
+    assert(sql("SELECT count(*) FROM graft.r9g.inner.t").head().getLong(0) == 1L)
+
+    // listing "inside" a table identifier errors like the other namespace
+    // entry points, instead of exposing partition dirs as namespaces
+    intercept[Exception](sql("SHOW NAMESPACES IN graft.r9g.inner.t"))
+    intercept[Exception](sql("SHOW TABLES IN graft.r9g.inner.t"))
+
+    // a typo'd parent namespace is not silently materialized
+    val e2 = intercept[Exception](sql("CREATE NAMESPACE graft.r9gTYPO.sub"))
+    assert(e2.getMessage.toLowerCase.contains("not found") ||
+      e2.getMessage.toLowerCase.contains("r9gtypo"), e2.getMessage)
+    assert(!sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("r9gTYPO"))
+
+    // ADD COLUMN carries its COMMENT; FIRST/AFTER fails loudly
+    sql("ALTER TABLE graft.r9g.inner.t ADD COLUMNS (c STRING COMMENT 'note')")
+    val t = DeltaTable.forPath(spark, s"$warehouse/r9g/inner/t")
+    assert(t.schema.fields.find(_.name == "c")
+      .exists(_.getComment().contains("note")), "ADD COLUMN comment dropped")
+    intercept[Exception](
+      sql("ALTER TABLE graft.r9g.inner.t ADD COLUMNS (d INT AFTER id)"))
+  }
 }

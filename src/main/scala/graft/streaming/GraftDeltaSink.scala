@@ -70,7 +70,14 @@ class GraftDeltaSink(
     // an existing table's partitioning wins over .partitionBy(...) — but a
     // MISMATCH must fail fast (delta-spark parity), not silently write the
     // table's layout against the user's declaration
-    if (partitionColumns.nonEmpty && m.partitionColumns != partitionColumns)
+    // name comparisons follow the session's resolver: under the default
+    // spark.sql.caseSensitive=false, partitionBy("Date") against partition
+    // column "date" (and stream column "Value" vs table "value") must
+    // resolve like the by-name select below will, not kill the stream
+    val resolver = spark.sessionState.conf.resolver
+    if (partitionColumns.nonEmpty &&
+        !(partitionColumns.length == m.partitionColumns.length &&
+          partitionColumns.zip(m.partitionColumns).forall((resolver.apply _).tupled)))
       throw new IllegalArgumentException(
         s"graft-delta sink: partitionBy(${partitionColumns.mkString(",")}) does " +
         s"not match the existing table's partitioning " +
@@ -79,7 +86,8 @@ class GraftDeltaSink(
     // BlindDeltaTable guard): normalize() below selects by name, so an
     // unknown stream column would otherwise vanish from every batch —
     // silent data loss, not an error
-    val extra = batch.schema.fieldNames.toSet -- m.schema.fieldNames.toSet
+    val extra = batch.schema.fieldNames
+      .filterNot(c => m.schema.fieldNames.exists(resolver(_, c)))
     require(extra.isEmpty,
       s"graft-delta sink: stream columns ${extra.mkString(", ")} are not in " +
         s"the table schema at $path")

@@ -132,6 +132,12 @@ class GraftDeltaSource(
     case s if s.trim.equalsIgnoreCase("latest") => initSnapshot.version + 1
     case s => s.trim.toLong
   }
+  // a version beyond latest+1 (a typo) would idle the stream FOREVER with
+  // no data and no error — fail fast like an out-of-range time travel
+  startingVersion.filter(_ > initSnapshot.version + 1).foreach(v =>
+    throw new IllegalArgumentException(
+      s"startingVersion $v is beyond the table's latest version " +
+        s"${initSnapshot.version} (max allowed is latest + 1)"))
 
   override val schema: StructType =
     if (cdfMode) GraftDeltaSource.cdfSchema(initSnapshot.schema)
@@ -380,11 +386,50 @@ class GraftDeltaSource(
       }.toIndexedSeq,
       v => {
         // same classifier as batch CDF — the feeds cannot diverge
-        val (ts, us) = CdfRead.changeUnitsOf(guardedCommit(v), v)
+        val actions = guardedCommit(v)
+        // batch-path parity #1 (Cdf.scala enablement window): a commit
+        // inside a CDF-disabled window carries no recorded change data —
+        // synthesizing legs for it would misreport copied rows as changes
+        actions.collectFirst { case m: Metadata => m }.foreach { m =>
+          cdcTransitions(v) = m.configuration.get("delta.enableChangeDataFeed")
+            .exists(_.trim.equalsIgnoreCase("true"))
+        }
+        val (ts0, us) = CdfRead.changeUnitsOf(actions, v)
+        if (us.nonEmpty && !cdfEnabledAt(v))
+          throw new IllegalStateException(
+            s"readChangeFeed: Change Data Feed was disabled at or before " +
+              s"version $v — changes in the disabled window were not recorded")
+        // batch-path parity #2: commits lacking CommitInfo.timestamp
+        // (optional per the protocol) fall back to the commit-file mtime,
+        // not epoch-1970 — the two feeds must agree on _commit_timestamp
+        val ts = if (ts0 != 0L || us.isEmpty) ts0 else commitMtime(v)
         us.map { case (kind, path, pv, sz) =>
             ChangeUnit(kind, path, pv, v, ts, sz) }
           .sortBy(u => (u.kind, u.relPath)).toIndexedSeq
       })
+
+  /** CDF-enablement transitions observed while scanning commits (version →
+    * enabled-after). Versions are scanned in admission order, so the
+    * prevailing state at `v` is the nearest recorded transition at or
+    * below it; the first access (stream start / checkpoint restart, where
+    * earlier commits are never rescanned) derives a baseline from ONE
+    * control-plane snapshot replay. */
+  private val cdcTransitions = mutable.TreeMap.empty[Long, Boolean]
+  private def cdfEnabledAt(v: Long): Boolean =
+    cdcTransitions.rangeTo(v).lastOption.map(_._2).getOrElse {
+      val on = Dml.cdcEnabled(log.snapshotAt(v))
+      cdcTransitions(v) = on
+      on
+    }
+
+  /** Commit-file mtimes, resolved lazily ONLY when a commit lacks
+    * CommitInfo.timestamp (the batch path's rule, Cdf.scala). */
+  @volatile private var mtimeCache: Map[Long, Long] = Map.empty
+  private def commitMtime(v: Long): Long = {
+    if (!mtimeCache.contains(v))
+      mtimeCache = log.history(None).map(h => h._1 -> h._2).toMap
+    mtimeCache.getOrElse(v, 0L)
+  }
 
   // ---- admission -----------------------------------------------------------
 
@@ -413,9 +458,19 @@ class GraftDeltaSource(
     case None => ReadLimit.maxFiles(maxFilesPerTrigger)
   }
 
+  private var availableNowPending = false
+
   override def prepareForTriggerAvailableNow(): Unit = synchronized {
-    availableNowCap =
-      Some(advance(Option(current).getOrElse(startBase), Int.MaxValue, Long.MaxValue))
+    // the engine calls this BEFORE restoring checkpointed offsets: with
+    // `current` still null, advancing from the ORIGINAL stream start would
+    // re-walk the entire processed history on every AvailableNow restart
+    // (O(all commits) reads, and a FileNotFound crash once log cleanup
+    // removed commits behind the committed offset). Defer the cap to the
+    // first latestOffset call, where the restart offset is known — same
+    // "everything available at query start" semantics.
+    if (current != null)
+      availableNowCap = Some(advance(current, Int.MaxValue, Long.MaxValue))
+    else availableNowPending = true
   }
 
   /** Admission-unit sizes at a position (AddFile.size / change-file size). */
@@ -458,6 +513,10 @@ class GraftDeltaSource(
     if (current == null) current = start.getOrElse(startBase)
     else start.filter(s => GraftSourceOffset.ordering.gt(s, current))
       .foreach(current = _)
+    if (availableNowPending) {
+      availableNowCap = Some(advance(current, Int.MaxValue, Long.MaxValue))
+      availableNowPending = false
+    }
     val (fileBudget, byteBudget) = budgets(limit)
     var next = advance(current, fileBudget, byteBudget)
     availableNowCap.filter(c => GraftSourceOffset.ordering.gt(next, c))

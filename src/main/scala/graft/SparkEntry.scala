@@ -15,8 +15,16 @@ object SparkEntry {
     CoreEntries.entries ++ LlmEntries.entries ++ TpcdsEntries.entries ++
       TpchEntries.entries
 
+  /** Entries run on the DRIVER's session, which may not share Verify/Bench's
+    * UTC pin — date-cast groupings (q51/q67/events) would silently flap on a
+    * non-UTC host, so every invocation pins the session timezone itself. */
+  private def pinUtc[A](spark: SparkSession)(body: => A): A = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    body
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame = {
+  def entry(spark: SparkSession): DataFrame = pinUtc(spark) {
     val d = "/root/testdata/sf0.001"
     Seq("orders", "customer").foreach(EntryCtx.deltaView(spark, d, _))
     spark.sql(
@@ -28,7 +36,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(e => e.name -> e.fn).toMap
+    all.map { e =>
+      e.name -> ((s: SparkSession, d: String) => pinUtc(s)(e.fn(s, d)))
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

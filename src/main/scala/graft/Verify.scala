@@ -41,22 +41,39 @@ object Verify {
           System.err.println(s"[verify] $name failed: $e")
         }
       }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val json = Verify.oracleJson(
+      SparkEntry.oracleSql.filter { case (k, _) => only.forall(_.contains(k)) })
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def oracleJson(m: Map[String, String]): String =
+    m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+}
+
+/** Dev tool: dump SparkEntry.oracleSql as JSON WITHOUT executing any entry
+  * (no SparkSession) — input for tools/oracle_audit.py's DuckDB DESCRIBE
+  * sweep that flags HUGEINT-typed output cells (the q51 class: DuckDB types
+  * sum(BIGINT) as HUGEINT, which the driver's pandas fetch renders as
+  * float64 while Spark emits int64 → hash mismatch on identical values). */
+object DumpOracleSql {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("target/oracle_sql.json")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out), Verify.oracleJson(SparkEntry.oracleSql))
+    println(s"wrote ${SparkEntry.oracleSql.size} oracle SQL texts to $out")
   }
 }

@@ -311,7 +311,7 @@ object TpcdsEntries {
         |         cum_o, cum_f
         |  FROM o2 FULL OUTER JOIN f2 ON o2.k = f2.k AND o2.dt = f2.dt)
         |SELECT k, CAST(year(dt) * 10000 + month(dt) * 100 + day(dt) AS BIGINT) AS dt_key,
-        |       mx_o, mx_f FROM (
+        |       CAST(mx_o AS BIGINT) AS mx_o, CAST(mx_f AS BIGINT) AS mx_f FROM (
         |  SELECT k, dt,
         |         max(cum_o) OVER (PARTITION BY k ORDER BY dt
         |                          ROWS UNBOUNDED PRECEDING) AS mx_o,

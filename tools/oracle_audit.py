@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Static oracle-SQL type audit (the q51 HUGEINT class).
+
+DuckDB types sum(BIGINT) — including window sums — as HUGEINT. The driver's
+correctness harness fetches DuckDB results via pandas, which renders HUGEINT
+cells as float64 ("47211234.0") while Spark emits int64 ("47211234"): a hash
+mismatch on value-identical rows. The builder-side check (tools/check.py)
+fetches via Arrow, which masks the class. This tool closes the gap statically:
+it runs `DESCRIBE <sql>` for every oracle entry and fails if any OUTPUT column
+has a type the two fetch paths normalize differently (HUGEINT/UHUGEINT).
+
+Usage:
+  sbt 'runMain graft.DumpOracleSql target/oracle_sql.json'
+  python3 tools/oracle_audit.py /root/testdata/sf0.001 target/oracle_sql.json
+
+Dev tool only — not part of the library. Rule for new entries: any output
+cell fed by a DuckDB sum()/window-sum over integers must be wrapped
+CAST(... AS BIGINT) (or CAST AS DOUBLE if fractional) in the final SELECT.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+BAD_TYPES = {"HUGEINT", "UHUGEINT"}
+
+
+def main(sf_dir, oracle_json):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(oracle_json))
+    n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            cols = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            print(f"SKIP {name}: DESCRIBE failed: {str(e)[:200]}")
+            continue
+        bad = [(c[0], c[1]) for c in cols
+               if any(b in c[1].upper() for b in BAD_TYPES)]
+        if bad:
+            n_bad += 1
+            print(f"BAD  {name}: un-cast widened output cells: {bad}")
+    if n_bad:
+        print(f"\n{n_bad}/{len(oracle)} entries carry HUGEINT output cells — "
+              "wrap them CAST(... AS BIGINT) in the final SELECT.")
+        sys.exit(1)
+    print(f"clean: {len(oracle)} oracle entries, no HUGEINT/UHUGEINT output cells")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

@@ -210,12 +210,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (ident.namespace().nonEmpty && !fs.exists(nsPath(ident.namespace())))
       throw new NoSuchNamespaceException(ident.namespace())
     if (slotOccupied(slot)) throw new TableAlreadyExistsException(ident)
-    // an existing directory at the slot that is NOT an occupied table slot
-    // is a NAMESPACE (or leftover) — writing a _delta_log/pointer into it
-    // would silently convert it into a table (its children vanish from the
-    // namespace listings; DROP TABLE would delete the whole tree). Same
-    // wholly-absent rule renameTable enforces for its destination.
-    if (fs.exists(slot)) throw new TableAlreadyExistsException(ident)
+    // an existing POPULATED directory at the slot that is NOT an occupied
+    // table slot is a NAMESPACE (or foreign data) — writing a _delta_log/
+    // pointer into it would silently convert it into a table (its children
+    // vanish from the namespace listings; DROP TABLE would delete the whole
+    // tree). That case gets a dedicated error naming the path, NOT
+    // TableAlreadyExists (no table exists — the misleading message wedged
+    // recovery). An EMPTY directory is adoptable debris (a crashed earlier
+    // CREATE that made the dir but never committed) and must not block
+    // re-creation forever.
+    if (fs.exists(slot) && fs.listStatus(slot).nonEmpty)
+      throw new IllegalStateException(
+        s"cannot create table $ident: $slot exists and is a populated " +
+          "non-table directory (a namespace or foreign data) — creating " +
+          "here would swallow its contents into the table; drop or move " +
+          "the directory, or choose another identifier")
     val partCols = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references()(0).fieldNames.mkString(".")

@@ -468,6 +468,12 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     snapshotAt(eligible.map(_._1).max)
   }
 
+  /** (version → commit-file mtimeMs) from ONE log listing — no per-commit
+    * CommitInfo reads; the cheap input for timestamp fallbacks (a commit
+    * whose CommitInfo lacks the optional `timestamp` field is stamped with
+    * its file's mtime, `table/state.rs`-style). */
+  def commitMtimes(): Map[Long, Long] = commitVersions().toMap
+
   /** Commit history, newest first: (version, timestampMs, commitInfo). */
   def history(limit: Option[Int] = None): Seq[(Long, Long, Option[CommitInfo])] = {
     val versions = commitVersions().sortBy(-_._1)

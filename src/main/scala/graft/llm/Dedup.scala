@@ -106,13 +106,20 @@ object Dedup {
    * all-pairs, no window over the full corpus.
    */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val paras = df.select(col(idCol),
+    // ids must be NON-NULL: a NULL id would make the min(struct) winner
+    // ordering indeterminate AND the final equi-join back on idCol silently
+    // emit cleaned="" for that document (NULL never equi-joins). Enforced
+    // in-plan — coalesce short-circuits, so the error fires only if a NULL
+    // id actually flows through; no extra validation pass over the corpus.
+    val src = df.withColumn(idCol, coalesce(col(idCol), raise_error(lit(
+      s"dedupParagraphs: NULL $idCol — document identity must be non-null"))))
+    val paras = src.select(col(idCol),
       posexplode(split(coalesce(col(textCol), lit("")), "\n"))
         .as(Seq("__pos", "__p")))
       .filter(trim(col("__p")) =!= "")
       .withColumn("__fp", md5(TextOps.normalize(col("__p"))))
-    // first occurrence = lexicographic min of (id, pos); ids are required
-    // non-null so the struct ordering is total and deterministic
+    // first occurrence = lexicographic min of (id, pos); ids are enforced
+    // non-null above so the struct ordering is total and deterministic
     val winners = paras.groupBy("__fp")
       .agg(min(struct(col(idCol).as("__wid"), col("__pos").as("__wpos"))).as("__w"))
     val kept = paras.join(winners, Seq("__fp"))
@@ -121,7 +128,7 @@ object Dedup {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__pos"), col("__p")))),
         s => s("__p")), "\n").as("cleaned"))
-    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+    src.select(col(idCol)).join(agg, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 

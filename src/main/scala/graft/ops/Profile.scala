@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
  * One wide aggregation computes every metric, then a generator unpivots
  * the single row into one output row per column — one job, one shuffle.
  * `count(DISTINCT)` over k columns expands to a k-way grouping internally
- * (Spark's Expand), so profile the columns you care about, not all 500;
- * exact distinct (not approx) is deliberate: profile numbers feed
- * go/no-go decisions and approx sketches differ across engines and runs.
+ * (Spark's Expand) — the SCAN is effectively multiplied k-fold — so the
+ * exact default is for the handful of identity columns a go/no-go
+ * decision needs (exact, not approx, deliberately: profile numbers feed
+ * decisions and approx sketches differ across engines and runs). For a
+ * WIDE profile at 100 TB pass `approxDistinct = true`: HyperLogLog++
+ * (`approx_count_distinct`, default rsd 5%) is a plain partial-mergeable
+ * aggregate, so the whole profile stays ONE linear scan with map-side
+ * combine, no Expand, at any column count.
  *
  * min/max render via CAST AS STRING, bit-stable for integral and string
  * columns; floating columns render engine-dependently — prefer profiling
@@ -24,14 +29,16 @@ import org.apache.spark.sql.functions._
  */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "Profile.profile: at least one column")
     cols.foreach(c => require(df.columns.contains(c),
       s"Profile.profile: no such column '$c' (have ${df.columns.mkString(", ")})"))
     val aggs = Seq(count(lit(1)).as("__rows")) ++ cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
+        (if (approxDistinct) approx_count_distinct(col(c))
+         else count_distinct(col(c))).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     }

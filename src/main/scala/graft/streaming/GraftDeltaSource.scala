@@ -423,12 +423,25 @@ class GraftDeltaSource(
     }
 
   /** Commit-file mtimes, resolved lazily ONLY when a commit lacks
-    * CommitInfo.timestamp (the batch path's rule, Cdf.scala). */
-  @volatile private var mtimeCache: Map[Long, Long] = Map.empty
-  private def commitMtime(v: Long): Long = {
-    if (!mtimeCache.contains(v))
-      mtimeCache = log.history(None).map(h => h._1 -> h._2).toMap
-    mtimeCache.getOrElse(v, 0L)
+    * CommitInfo.timestamp (the batch path's rule, Cdf.scala). One log
+    * LISTING per refresh (commitMtimes — no per-commit CommitInfo reads,
+    * unlike the history() replay this used to trigger), negative lookups
+    * cached so a version absent from the listing doesn't re-list on every
+    * call, and a truly unresolvable version — commit reachable only through
+    * a compaction file after log cleanup, its own file gone — fails loudly
+    * instead of silently stamping _commit_timestamp epoch-1970. */
+  private var mtimeCache: Map[Long, Long] = Map.empty
+  private val mtimeMisses = mutable.Set.empty[Long]
+  private def commitMtime(v: Long): Long = synchronized {
+    if (!mtimeCache.contains(v) && !mtimeMisses.contains(v))
+      mtimeCache = log.commitMtimes()
+    mtimeCache.getOrElse(v, {
+      mtimeMisses += v
+      throw new IllegalStateException(
+        s"streaming CDF: commit $v has no CommitInfo.timestamp and its " +
+          "commit file is no longer listable (log cleanup after compaction?)" +
+          " — cannot derive _commit_timestamp for its change rows")
+    })
   }
 
   // ---- admission -----------------------------------------------------------

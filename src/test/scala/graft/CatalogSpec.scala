@@ -302,11 +302,12 @@ class CatalogSpec extends AnyFunSuite {
     sql("CREATE TABLE graft.r9g.inner.t (id BIGINT)")
     sql("INSERT INTO graft.r9g.inner.t VALUES (1)")
 
-    // CREATE TABLE over an existing namespace dir must refuse, not
-    // silently convert it (children would vanish; DROP TABLE would
-    // delete the whole tree)
+    // CREATE TABLE over a POPULATED namespace dir must refuse, not
+    // silently convert it (children would vanish; DROP TABLE would delete
+    // the whole tree) — with the r10 dedicated error naming the path, not
+    // a misleading "already exists" (no table exists there)
     val e1 = intercept[Exception](sql("CREATE TABLE graft.r9g.inner (id INT)"))
-    assert(e1.getMessage.toLowerCase.contains("already exists"), e1.getMessage)
+    assert(e1.getMessage.contains("populated non-table directory"), e1.getMessage)
     assert(sql("SHOW NAMESPACES IN graft.r9g").collect()
       .map(_.getString(0)).contains("r9g.inner"),
       "the namespace must survive the refused create")

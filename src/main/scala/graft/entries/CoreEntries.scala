@@ -77,7 +77,35 @@ object CoreEntries {
       require(fs.exists(new org.apache.hadoop.fs.Path(dir, "_delta_log/_last_checkpoint")),
         s"checkpoint_replay: no _last_checkpoint after 13 appends in $dir")
       DeltaTable.forPath(s, dir).toDF // fresh handle: checkpoint + tail replay
-    }, Some("SELECT * FROM nation")))
+    }, Some("SELECT * FROM nation")),
+
+    // crates/mount passthrough (§2 storage-backend row): a dbfs:/ table
+    // path resolves through a local mount root for write, log replay, scan
+    // AND a DV-less delete; commits go through MountLogStore's gated
+    // unsafe-rename. The require() pins the named behavior the output hash
+    // cannot see: the bytes physically live under the mount root and the
+    // snapshot's files carry the dbfs scheme.
+    Entry("mount_scan", (s, d) => {
+      val root = EntryCtx.shared2.getOrElseUpdate(s"$d#mountRoot", {
+        val r = java.nio.file.Files.createTempDirectory("graft_mount").toString
+        Mount.register(s, "dbfs", r, allowUnsafeRename = true)
+        DeltaTable.write(s, pq(s, d, "nation"), "dbfs:/wh/nation")
+        DeltaTable.forPath(s, "dbfs:/wh/nation").delete(Some("n_nationkey >= 20"))
+        r
+      })
+      // idempotent re-pin: a later entry invocation on a fresh session must
+      // still resolve the scheme (registration is session/global state)
+      Mount.register(s, "dbfs", root, allowUnsafeRename = true)
+      require(new java.io.File(s"$root/wh/nation/_delta_log").isDirectory,
+        s"mount_scan: table bytes did not land under the mount root $root")
+      // the handle itself resolves via the dbfs scheme (log replay + the
+      // delete's commit both already went through MountFileSystem /
+      // MountLogStore — no other FileSystem serves dbfs:)
+      val t = DeltaTable.forPath(s, "dbfs:/wh/nation")
+      require(t.tablePath.toString.startsWith("dbfs:"),
+        s"mount_scan: handle path ${t.tablePath}")
+      t.toDF
+    }, Some("SELECT * FROM nation WHERE n_nationkey < 20")))
 
   // ------------------------------------------------- SQL surface over Delta
   // One SQL text, two engines: Spark runs it over Delta-backed temp views

@@ -210,21 +210,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (ident.namespace().nonEmpty && !fs.exists(nsPath(ident.namespace())))
       throw new NoSuchNamespaceException(ident.namespace())
     if (slotOccupied(slot)) throw new TableAlreadyExistsException(ident)
-    // an existing POPULATED directory at the slot that is NOT an occupied
-    // table slot is a NAMESPACE (or foreign data) — writing a _delta_log/
-    // pointer into it would silently convert it into a table (its children
-    // vanish from the namespace listings; DROP TABLE would delete the whole
-    // tree). That case gets a dedicated error naming the path, NOT
-    // TableAlreadyExists (no table exists — the misleading message wedged
-    // recovery). An EMPTY directory is adoptable debris (a crashed earlier
-    // CREATE that made the dir but never committed) and must not block
-    // re-creation forever.
-    if (fs.exists(slot) && fs.listStatus(slot).nonEmpty)
+    // an existing directory at the slot that is NOT an occupied table slot
+    // is a NAMESPACE (or foreign data / crashed-CREATE debris) — writing a
+    // _delta_log/pointer into it would silently convert it into a table
+    // (its children vanish from the namespace listings; DROP TABLE would
+    // delete the whole tree, and a namespace-turned-table lets a later
+    // CREATE TABLE nest one table INSIDE another, where VACUUM deletes the
+    // inner table's files). Namespaces are bare directories with no marker,
+    // so an empty dir is indistinguishable from debris — BOTH cases are
+    // refused with a dedicated error naming the path and the recovery, NOT
+    // TableAlreadyExists (no table exists; the misleading message wedged
+    // recovery). Same wholly-absent rule renameTable enforces for its
+    // destination.
+    if (fs.exists(slot)) {
+      val what =
+        if (fs.listStatus(slot).nonEmpty)
+          "a populated non-table directory (a namespace or foreign data) " +
+            "— creating here would swallow its contents into the table; " +
+            "drop or move the directory, or choose another identifier"
+        else
+          "an empty non-table directory (an empty namespace, or debris " +
+            "from a crashed earlier CREATE) — if it is debris, remove it " +
+            s"(DROP NAMESPACE ${ident.toString}) and retry"
       throw new IllegalStateException(
-        s"cannot create table $ident: $slot exists and is a populated " +
-          "non-table directory (a namespace or foreign data) — creating " +
-          "here would swallow its contents into the table; drop or move " +
-          "the directory, or choose another identifier")
+        s"cannot create table $ident: $slot exists and is $what")
+    }
     val partCols = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references()(0).fieldNames.mkString(".")

@@ -57,26 +57,10 @@ class AzureSharedKeySigner(
     * (x-ms-* ones are canonicalized; the standard conditional headers are
     * picked up by name); `contentLength` must equal the wire value the
     * HTTP client will emit (0 for bodyless verbs). */
-  /** Strict RFC 3986 percent-decoder for query canonicalization: only %XX
-    * escapes decode; '+' stays a literal plus. URLDecoder applies the
-    * form-encoding '+'→space rule, so a query carrying a literal '+'
-    * (self-generated queries never do — rfc3986 encodes '+' as %2B — but a
-    * future call path might) would canonicalize to a different form than
-    * Azure verifies: SignatureDoesNotMatch. Malformed escapes pass through
-    * literally rather than throwing mid-signature. */
-  private def pctDecode(s: String): String = {
-    val out = new java.io.ByteArrayOutputStream(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      val hi = if (c == '%' && i + 2 < s.length)
-        Character.digit(s.charAt(i + 1), 16) else -1
-      val lo = if (hi >= 0) Character.digit(s.charAt(i + 2), 16) else -1
-      if (lo >= 0) { out.write(hi * 16 + lo); i += 3 }
-      else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
-    }
-    new String(out.toByteArray, "UTF-8")
-  }
+  // query canonicalization decodes via PathCodec.pctDecode (strict RFC
+  // 3986, '+' stays literal) — the shared codec home, so clients can't
+  // drift apart on the signed form
+  private def pctDecode(s: String): String = PathCodec.pctDecode(s)
 
   def sign(method: String, uri: URI, contentLength: Long,
            extraHeaders: Map[String, String] = Map.empty): Map[String, String] = {

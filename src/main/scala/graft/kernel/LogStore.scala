@@ -76,6 +76,18 @@ class HadoopLogStore(val conf: Configuration) extends LogStore {
           "exists-then-create is not atomic on object stores. Use a " +
           "conditional-put LogStore (ObjectStoreLogStore) or an external " +
           "commit coordinator for this scheme.")
+    // a mount scheme reaching this store means the MountLogStore
+    // registration is gone (e.g. Mount.register was never called on this
+    // session) while fs.<scheme>.impl survived: the HDFS branch below
+    // assumes rename refuses an existing destination, which POSIX rename
+    // under a mount does NOT — two racing writers would silently clobber
+    // a committed version. Refuse loudly; commits on mounts must go
+    // through MountLogStore's explicit single-writer opt-in.
+    if (fs(path).isInstanceOf[MountFileSystem])
+      throw new UnsupportedOperationException(
+        s"HadoopLogStore cannot commit safely on mounted scheme " +
+          s"'$scheme://' - register the mount's log store first " +
+          "(Mount.register(spark, scheme, mountRoot, allowUnsafeRename))")
     // All-or-nothing publish: the commit content is fully written to a temp
     // file first, then published atomically (link(2) locally, rename on
     // HDFS — both fail if the target exists). A direct create-then-write

@@ -61,7 +61,20 @@ object Mount {
     DeltaLog.registerLogStore(scheme, new MountLogStore(conf, allowUnsafeRename))
   }
 
-  def unregister(scheme: String): Unit = DeltaLog.unregisterLogStore(scheme)
+  /** Remove BOTH halves of a [[register]]: log store AND the fs.impl
+    * wiring. Leaving `fs.<scheme>.impl` set while dropping the log store
+    * would let later writes fall through to [[HadoopLogStore]], whose
+    * local-rename publish on a mount is last-writer-wins with NO opt-in
+    * gate — exactly the lost-update the gate exists to prevent
+    * (HadoopLogStore also refuses [[MountFileSystem]]-backed paths as
+    * defense-in-depth, so the failure is loud either way). */
+  def unregister(spark: org.apache.spark.sql.SparkSession, scheme: String): Unit = {
+    DeltaLog.unregisterLogStore(scheme)
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.unset(s"fs.$scheme.impl")
+    conf.unset(s"fs.$scheme.impl.disable.cache")
+    conf.unset(rootKey(scheme))
+  }
 }
 
 /**

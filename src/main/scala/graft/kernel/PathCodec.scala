@@ -49,4 +49,25 @@ object PathCodec {
   /** [[rfc3986]] per path segment, keeping the '/' separators. */
   def rfc3986Key(key: String): String =
     key.split("/", -1).map(rfc3986).mkString("/")
+
+  /** Strict RFC 3986 percent-DECODER — the decode-side counterpart of
+    * [[rfc3986]], and the same single-implementation rule: only %XX
+    * escapes decode; '+' stays a literal plus. URLDecoder applies the
+    * form-encoding '+'→space rule, so canonicalizing a signed query with
+    * it would sign a different form than the service verifies
+    * (SignatureDoesNotMatch on any literal '+'). Malformed escapes pass
+    * through literally rather than throwing mid-signature. */
+  def pctDecode(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val hi = if (c == '%' && i + 2 < s.length)
+        Character.digit(s.charAt(i + 1), 16) else -1
+      val lo = if (hi >= 0) Character.digit(s.charAt(i + 2), 16) else -1
+      if (lo >= 0) { out.write(hi * 16 + lo); i += 3 }
+      else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
+    }
+    new String(out.toByteArray, "UTF-8")
+  }
 }

@@ -65,8 +65,10 @@ object CdfRead {
     // CommitInfo.timestamp: loadBetweenTimestamps resolves the range with
     // the same mtime fallback, so the emitted _commit_timestamp must use
     // it too — a 0 (epoch-1970) fallback put rows inside the requested
-    // window with a timestamp outside it
-    lazy val mtimes: Map[Long, Long] = log.history(None).map(h => h._1 -> h._2).toMap
+    // window with a timestamp outside it. One log LISTING (no per-commit
+    // CommitInfo reads), same rule as the streaming feed's commitMtime:
+    // the two feeds must agree, including on the failure mode
+    lazy val mtimes: Map[Long, Long] = log.commitMtimes()
     val units = (startingVersion to end).flatMap { v =>
       val actions = log.readCommit(v)
       actions.collectFirst { case m: graft.kernel.Metadata => m }.foreach { m =>
@@ -74,7 +76,11 @@ object CdfRead {
           .exists(_.trim.equalsIgnoreCase("true"))
       }
       val (ts0, us) = changeUnitsOf(actions, v)
-      val ts = if (ts0 != 0L || us.isEmpty) ts0 else mtimes.getOrElse(v, 0L)
+      val ts = if (ts0 != 0L || us.isEmpty) ts0 else mtimes.getOrElse(v,
+        throw new IllegalStateException(
+          s"CDF: commit $v has no CommitInfo.timestamp and its commit file " +
+            "is no longer listable (log cleanup after compaction?) — " +
+            "cannot derive _commit_timestamp for its change rows"))
       if (!cdcOn && us.nonEmpty)
         throw new IllegalStateException(
           s"Change Data Feed was disabled at or before version $v inside " +

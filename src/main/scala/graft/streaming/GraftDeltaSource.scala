@@ -423,25 +423,26 @@ class GraftDeltaSource(
     }
 
   /** Commit-file mtimes, resolved lazily ONLY when a commit lacks
-    * CommitInfo.timestamp (the batch path's rule, Cdf.scala). One log
-    * LISTING per refresh (commitMtimes — no per-commit CommitInfo reads,
-    * unlike the history() replay this used to trigger), negative lookups
-    * cached so a version absent from the listing doesn't re-list on every
-    * call, and a truly unresolvable version — commit reachable only through
-    * a compaction file after log cleanup, its own file gone — fails loudly
-    * instead of silently stamping _commit_timestamp epoch-1970. */
+    * CommitInfo.timestamp (the batch path's rule, Cdf.scala). Hits are
+    * cached; a MISS re-lists the log exactly once per call — one cheap
+    * LISTING (commitMtimes does no per-commit CommitInfo reads, unlike the
+    * history() replay this used to trigger), never permanently cached as
+    * negative: on an eventually-consistent store a commit readable by GET
+    * can be momentarily absent from LIST, and a sticky negative entry
+    * would wedge the stream past the point where a re-list succeeds. A
+    * version still absent after the fresh listing — commit reachable only
+    * through a compaction file after log cleanup, its own file gone —
+    * fails loudly instead of silently stamping _commit_timestamp
+    * epoch-1970. The failing path costs one listing per batch retry; the
+    * common (hit) path costs zero. */
   private var mtimeCache: Map[Long, Long] = Map.empty
-  private val mtimeMisses = mutable.Set.empty[Long]
   private def commitMtime(v: Long): Long = synchronized {
-    if (!mtimeCache.contains(v) && !mtimeMisses.contains(v))
-      mtimeCache = log.commitMtimes()
-    mtimeCache.getOrElse(v, {
-      mtimeMisses += v
+    if (!mtimeCache.contains(v)) mtimeCache = log.commitMtimes()
+    mtimeCache.getOrElse(v,
       throw new IllegalStateException(
         s"streaming CDF: commit $v has no CommitInfo.timestamp and its " +
           "commit file is no longer listable (log cleanup after compaction?)" +
-          " — cannot derive _commit_timestamp for its change rows")
-    })
+          " — cannot derive _commit_timestamp for its change rows"))
   }
 
   // ---- admission -----------------------------------------------------------

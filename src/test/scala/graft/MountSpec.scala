@@ -46,7 +46,7 @@ class MountSpec extends AnyFunSuite {
         .filter("part = 99").count() == 5)
       // time travel still replays the remapped log listing
       assert(t.asOfVersion(0).toDF.count() == 100)
-    } finally Mount.unregister("dbfs")
+    } finally Mount.unregister(spark, "dbfs")
   }
 
   test("without allowUnsafeRename: reads work, commits are refused loudly") {
@@ -64,7 +64,7 @@ class MountSpec extends AnyFunSuite {
       assert(msgs(e).exists(_.contains("allowUnsafeRename")), s"got: ${msgs(e)}")
       assert(DeltaTable.forPath(spark, "dbfs:/wh/t2").toDF.count() == 10,
         "refused commit must not change the table")
-    } finally Mount.unregister("dbfs")
+    } finally Mount.unregister(spark, "dbfs")
   }
 
   test("unsafe rename still refuses to OVERWRITE an existing version") {
@@ -77,6 +77,25 @@ class MountSpec extends AnyFunSuite {
       store.writeAtomic(p, Iterator("{\"x\":1}"))
     }
     assert(store.read(p) == Seq("{}"), "loser must not clobber the winner")
+  }
+
+  test("mount scheme without a MountLogStore registration is refused, not silently unsafe") {
+    // fs.dbfs.impl wired but the log-store half missing (e.g. unregister
+    // raced a writer, or a session set the conf by hand): the fallback
+    // HadoopLogStore must refuse — its rename-publish assumes an
+    // exclusive-rename filesystem, which a mount is not
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.dbfs.impl", classOf[graft.kernel.MountFileSystem].getName)
+    conf.set("fs.dbfs.impl.disable.cache", "true")
+    conf.set(Mount.rootKey("dbfs"), mountRoot)
+    try {
+      val e = intercept[Exception] {
+        DeltaTable.write(spark, spark.range(3).toDF("id"), "dbfs:/wh/t3")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("Mount.register")), s"got: ${msgs(e)}")
+    } finally Mount.unregister(spark, "dbfs")
   }
 
   test("file-scheme mount: MountLogStore registered for file replaces exclusive-create commits") {

@@ -65,10 +65,21 @@ class Round10Spec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("NULL doc_id")), s"got: ${messages(e)}")
   }
 
-  test("catalog createTable: empty leftover dir adopted; populated dir gets a dedicated error") {
+  test("catalog createTable: non-table dirs get dedicated errors; debris recovery works") {
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     spark.sql("CREATE NAMESPACE graft10.r10")
-    // crashed-CREATE debris: directory exists, no pointer, no _delta_log
+    // crashed-CREATE debris (= indistinguishable from an empty namespace):
+    // refused with a dedicated error NAMING the recovery — never silently
+    // adopted (adoption would convert an empty CREATE NAMESPACE dir into a
+    // table) and never the misleading TableAlreadyExists
     Files.createDirectories(Paths.get(warehouse, "r10", "debris"))
+    val e0 = intercept[Exception](spark.sql("CREATE TABLE graft10.r10.debris (id BIGINT)"))
+    assert(messages(e0).exists(m =>
+      m.contains("empty non-table directory") && m.contains("DROP NAMESPACE")),
+      s"got: ${messages(e0)}")
+    // the named recovery actually unblocks re-creation
+    spark.sql("DROP NAMESPACE graft10.r10.debris")
     spark.sql("CREATE TABLE graft10.r10.debris (id BIGINT)")
     spark.sql("INSERT INTO graft10.r10.debris VALUES (5)")
     assert(spark.sql("SELECT id FROM graft10.r10.debris").head().getLong(0) == 5L)
@@ -79,11 +90,15 @@ class Round10Spec extends AnyFunSuite {
     val e = intercept[Exception] {
       spark.sql("CREATE TABLE graft10.r10.sub (id BIGINT)")
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(m =>
       m.contains("populated non-table directory") && m.contains("sub")),
       s"got: ${messages(e)}")
+    // an empty NAMESPACE is likewise never silently converted
+    spark.sql("CREATE NAMESPACE graft10.r10.keepme")
+    intercept[Exception](spark.sql("CREATE TABLE graft10.r10.keepme (id BIGINT)"))
+    assert(spark.sql("SHOW NAMESPACES IN graft10.r10").collect()
+      .map(_.getString(0)).contains("r10.keepme"),
+      "the namespace must survive the refused create")
   }
 
   test("Azure Shared Key canonicalizes query per RFC 3986: '+' is a literal plus") {

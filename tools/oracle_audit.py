@@ -39,7 +39,11 @@ def main(sf_dir, oracle_json):
         try:
             cols = con.execute(f"DESCRIBE {sql}").fetchall()
         except Exception as e:
-            print(f"SKIP {name}: DESCRIBE failed: {str(e)[:200]}")
+            # un-auditable SQL is a FAILURE, not a skip: an entry DuckDB
+            # can't even DESCRIBE is exactly the unvetted class this gate
+            # exists to stop (and would fail the driver's oracle run too)
+            print(f"BAD  {name}: DESCRIBE failed: {str(e)[:200]}")
+            n_bad += 1
             continue
         bad = [(c[0], c[1]) for c in cols
                if any(b in c[1].upper() for b in BAD_TYPES)]
@@ -47,8 +51,9 @@ def main(sf_dir, oracle_json):
             n_bad += 1
             print(f"BAD  {name}: un-cast widened output cells: {bad}")
     if n_bad:
-        print(f"\n{n_bad}/{len(oracle)} entries carry HUGEINT output cells — "
-              "wrap them CAST(... AS BIGINT) in the final SELECT.")
+        print(f"\n{n_bad}/{len(oracle)} entries failed the audit — un-cast "
+              "HUGEINT cells need CAST(... AS BIGINT) in the final SELECT; "
+              "DESCRIBE failures need DuckDB-runnable SQL.")
         sys.exit(1)
     print(f"clean: {len(oracle)} oracle entries, no HUGEINT/UHUGEINT output cells")
 

@@ -129,7 +129,7 @@ object LlmEntries {
   /** DuckDB mirror of [[graft.llm.TextOps.normalize]] — ONE definition so
     * the eight oracle call sites cannot drift from the Spark side. */
   private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s\\p{Z}\\x{0085}]', '', 'g'), '[\\s\\p{Z}\\x{0085}]+', ' ', 'g'))"
   private val fpSql = s"md5($normSql)"
 
   /** DuckDB value of hex digit `i` (1-indexed) of the md5-hex column
@@ -2020,7 +2020,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         |                 regexp_replace(t, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
         |                 '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
         |               '(?s)<!--.*?-->', ' ', 'g'),
-        |             '<[^>]+>', ' ', 'g'),
+        |             '(?s)<(/?[a-zA-Z][^<>]*|[!?][^<>]*)>', ' ', 'g'),
         |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
         |         '\s+', ' ', 'g')) AS cleaned
         |FROM noisy""".stripMargin)),
@@ -2113,7 +2113,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       graft.llm.Dedup.dedupParagraphs(noisy, "doc_id", "text")
     }, Some {
       val normP =
-        "trim(regexp_replace(regexp_replace(lower(p), '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+        "trim(regexp_replace(regexp_replace(lower(p), '[^\\p{L}\\p{N}\\s\\p{Z}\\x{0085}]', '', 'g'), '[\\s\\p{Z}\\x{0085}]+', ' ', 'g'))"
       s"""WITH base AS (
          |  SELECT doc_id,
          |         text || chr(10) || 'Subscribe to our newsletter today' || chr(10) || 'All rights reserved worldwide' AS t

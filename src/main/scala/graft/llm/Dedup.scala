@@ -392,7 +392,10 @@ object Dedup {
     // table persisted under a different numHashes would otherwise die
     // mid-job on ANSI element_at — or worse, silently band a truncated
     // signature when MORE hashes are stored than requested
-    corpusSigs.select(size(col("sig")).as("n")).limit(1).collect()
+    // sampled over non-null sigs (probeWidth's rule): a leading NULL sig
+    // row must raise the real diagnostic, not an NPE on getInt
+    corpusSigs.select(size(col("sig")).as("n"))
+      .filter(col("n").isNotNull).limit(1).collect()
       .headOption.foreach { row =>
         require(row.getInt(0) == numHashes,
           s"crossNearDupsAgainstSignatures: stored signatures carry " +
@@ -755,9 +758,14 @@ object Dedup {
    */
   def crossDedup(corpus: DataFrame, shard: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val fp = TextOps.fingerprint(col(textCol)).as("__fp")
-    val corpusFps = corpus.select(fp).distinct()
-    shard.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+    // NULL text reads as "" (the package-wide rule) BEFORE fingerprinting:
+    // raw fingerprint(NULL) is NULL, which never equi-joins (every NULL-
+    // text shard row slipped past the corpus anti-join) yet GROUPS as
+    // equal in exactKeepMin (all but one NULL-text shard doc silently
+    // dropped) — two contradictory NULL semantics in one operator
+    val fpc = TextOps.fingerprint(coalesce(col(textCol), lit("")))
+    val corpusFps = corpus.select(fpc.as("__fp")).distinct()
+    shard.withColumn("__fp", fpc)
       .join(corpusFps, Seq("__fp"), "left_anti")
       .transform(s => exactKeepMin(s, idCol, Seq("__fp")))
       .drop("__fp")

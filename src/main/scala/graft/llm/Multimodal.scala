@@ -79,10 +79,11 @@ object Multimodal {
     // long math: int*int offset arithmetic overflows (and throws under
     // ANSI) for payloads over ~715 MB at the default nFrames
     val off = (lit(1L) + floor(col("__fi").cast("long") * len / lit(nFrames))).cast("int")
-    // NULL payloads emit NO frames (matching windowEnergy's contract) —
-    // exploding first would fabricate nFrames phantom rows of NULL hex
-    // that a per-doc frame count would mistake for real frames
-    df.filter(col(payloadCol).isNotNull)
+    // NULL **and empty** payloads emit NO frames (matching windowEnergy's
+    // no-complete-frame contract) — exploding first would fabricate
+    // nFrames phantom rows of NULL/'' hex that a per-doc frame count
+    // would mistake for real frames
+    df.filter(col(payloadCol).isNotNull && length(col(payloadCol)) > 0)
       .select(col(idCol), col(payloadCol),
         explode(sequence(lit(0), lit(nFrames - 1))).as("__fi"))
       .select(col(idCol), col("__fi").cast("long").as("frame_idx"),

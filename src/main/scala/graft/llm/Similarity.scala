@@ -64,13 +64,17 @@ object Similarity {
     when(n2a === 0.0 || n2b === 0.0, lit(-1.0))
       .otherwise(nanvl(d / (sqrt(n2a) * sqrt(n2b)), lit(-1.0)))
 
-  /** Per-query top-k by cosine over a scored (query_id, neighbor_id, cos)
-    * set — shared by the brute-force, IVF, and LSH paths. */
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+  /** Per-query top-k over a scored (query_id, neighbor_id, <scoreCol>)
+    * set — THE ranking definition shared by every path (brute-force, IVF,
+    * LSH, quantized, PQ): one copy of the tie-break (ascending neighbor
+    * id) and rank semantics, so a fix here cannot diverge the rankers. */
+  private def topK(scored: DataFrame, k: Int, scoreCol: String = "cos",
+      ascending: Boolean = false): DataFrame = {
+    val ord = if (ascending) col(scoreCol).asc else col(scoreCol).desc
+    val w = Window.partitionBy("query_id").orderBy(ord, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "rnk", "cos")
+      .select("query_id", "neighbor_id", "rnk", scoreCol)
   }
 
   /** The LSH paths hash against `dim`-length hyperplanes; a mismatched
@@ -107,10 +111,16 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      dot(col(vecCol), col(vecCol)).as("__qn2")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      dot(col(vecCol), col(vecCol)).as("__cn2"))
+    // NULL embeddings carry no geometry: admitted, a NULL query would
+    // emit k half-null result rows and a NULL corpus row would pad any
+    // under-full candidate set with cos=NULL rows — the 'silent garbage'
+    // quantizedTopK/pqTopK guard against; same rule here
+    val q = broadcast(queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        dot(col(vecCol), col(vecCol)).as("__qn2")))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        dot(col(vecCol), col(vecCol)).as("__cn2"))
     topK(c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
@@ -128,12 +138,20 @@ object Similarity {
     }
   }
 
-  /** Sign-LSH bucket id of a vector column: bit p set iff dot(v, h_p) > 0. */
-  def bucketId(vec: Column, planes: Array[Array[Double]]): Column =
+  /** Sign-LSH bucket id of a vector column: bit p set iff dot(v, h_p) > 0.
+    * Capped at 64 planes: Java's long shift masks its count to p % 64, so
+    * plane 64 would silently alias onto bit 0 (vectors disagreeing on
+    * plane i still collide via plane i+64 — corrupted buckets, quietly
+    * degraded recall) instead of widening the bucket space. */
+  def bucketId(vec: Column, planes: Array[Array[Double]]): Column = {
+    require(planes.length <= 64,
+      s"bucketId: ${planes.length} planes exceed the 64-bit bucket id — " +
+        "1L << p wraps at 64 and aliases high planes onto low bits")
     planes.zipWithIndex.map { case (h, p) =>
       val lits = array(h.map(lit): _*)
       when(dot(vec, lits) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+  }
 
   /**
    * Sign-LSH top-k over a corpus whose bucket id is ALREADY a column —
@@ -184,11 +202,16 @@ object Similarity {
       bucketCol: String,
       planes: Array[Array[Double]],
       k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), dot(col(vecCol), col(vecCol)).as("__qn2"),
-      bucketId(col(vecCol), planes).as("__qb")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      col(bucketCol).as("__cb"), dot(col(vecCol), col(vecCol)).as("__cn2"))
+    // NULL embeddings: a NULL query hashes to bucket 0 (every plane test
+    // false) and would equi-join that whole bucket with cos=NULL — drop
+    // both sides' NULL vectors, same rule as cosineTopK/quantizedTopK
+    val q = broadcast(queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"), dot(col(vecCol), col(vecCol)).as("__qn2"),
+        bucketId(col(vecCol), planes).as("__qb")))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col(bucketCol).as("__cb"), dot(col(vecCol), col(vecCol)).as("__cn2"))
     topK(c.join(q, col("__cb") === col("__qb") &&
         col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
@@ -390,11 +413,7 @@ object Similarity {
       .withColumn("score",
         aggregate(zip_with(col("__qc"), col("__cc"), (a, x) => a * x),
           lit(0L), (acc, x) => acc + x))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "rnk", "score")
+    topK(scored, k, scoreCol = "score")
   }
 
   /**
@@ -540,11 +559,7 @@ object Similarity {
           transform(col("__codes"), (code, s) =>
             element_at(col("__dt"), s * cbLen + code + 1)),
           lit(0.0), (acc, x) => acc + x))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("dist2").asc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "rnk", "dist2")
+    topK(scored, k, scoreCol = "dist2", ascending = true)
   }
 
   /**

@@ -25,10 +25,20 @@ object TextOps {
     * data). Newlines/tabs are WHITESPACE, not punctuation: deleting them
     * (an even older class) glued words across line breaks, so two
     * documents identical modulo line-wrapping — ubiquitous in web text —
-    * got different fingerprints. Deterministic normalization used by
+    * got different fingerprints. Whitespace is the full UNICODE set,
+    * not Java's ASCII-only `\s`: `[\s\p{Z}\x85]` adds the separator
+    * categories (NBSP U+00A0, thin/ideographic spaces, line/paragraph
+    * separators) plus NEL U+0085 - web text routinely carries literal
+    * NBSP, and classifying it as punctuation DELETED it, gluing the
+    * NBSP form of 'foo bar' into 'foobar' while the plain-space form
+    * stayed two words: different fingerprints for space-type-identical
+    * documents, the newline bug one tier up. The DuckDB oracle mirror
+    * (`LlmEntries.normSql`, RE2 `[\s\p{Z}\x{0085}]`) is pinned
+    * empirically to agree. Deterministic normalization used by
     * [[fingerprint]] and dedup. */
   def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", ""), "\\s+", " "))
+    trim(regexp_replace(regexp_replace(lower(text),
+      "[^\\p{L}\\p{N}\\s\\p{Z}\\x85]", ""), "[\\s\\p{Z}\\x85]+", " "))
 
   /** Stable document fingerprint: md5 of the normalized text. Two documents
     * with the same fingerprint are duplicates modulo case/punct/whitespace. */
@@ -83,7 +93,8 @@ object TextOps {
     // An entry that normalizes to empty or to multiple words can never
     // match a single token: refuse loudly instead of silently never firing
     val normed = blocklist.map(e => e.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("[^\\p{L}\\p{N}\\s]", "").replaceAll("\\s+", " ").trim)
+      .replaceAll("[^\\p{L}\\p{N}\\s\\p{Z}\\x85]", "")
+      .replaceAll("[\\s\\p{Z}\\x85]+", " ").trim)
     normed.zip(blocklist).foreach { case (n, raw) =>
       require(n.nonEmpty && !n.contains(' '),
         s"blocklistStats: entry '$raw' normalizes to '$n' and can never " +
@@ -236,7 +247,10 @@ object TextOps {
    * engines can replay the gate bit-for-bit.
    */
   def gopherQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+    // NULL text reads as empty: un-coalesced, every stat would go NULL
+    // (ANSI) and quality_pass=NULL rows vanish from BOTH filter(pass) and
+    // filter(!pass) — the pass/fail partition must cover the corpus
+    val t = coalesce(col(textCol), lit(""))
     val w = col("__gw")
     val lines = col("__gl")
     val nw = size(w).cast("long")
@@ -255,7 +269,7 @@ object TextOps {
     val mwl = when(size(w) === 0, lit(0.0)).otherwise(
       aggregate(transform(w, s => length(s).cast("double")), lit(0.0),
         (a, x) => a + x) / size(w).cast("double"))
-    df.select(col(idCol), t,
+    df.select(col(idCol), t.as(textCol),
         words(t).as("__gw"),
         split(t, "\n", -1).as("__gl"))
       .select(col(idCol),
@@ -311,7 +325,10 @@ object TextOps {
     * NULL/NaN) when the document is too short to have the n-gram at all, so
     * threshold filters behave. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    df.select(col(idCol), words(col(textCol)).as("__w"))
+    // NULL text = no words (the doc's 0.0-not-NULL ratio promise must
+    // hold for NULL input too, or threshold filters drop the row from
+    // both sides of the gate)
+    df.select(col(idCol), words(coalesce(col(textCol), lit(""))).as("__w"))
       .select(col(idCol), col("__w"),
         size(col("__w")).cast("long").as("n_words"),
         ngrams(col("__w"), 2).as("__bg"),
@@ -382,7 +399,9 @@ object TextOps {
     * expression (CollapseProject keeps multi-referenced non-cheap aliases,
     * so the two projections stay split in the optimized plan). */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+    // NULL text reads as empty (0 chars / 0 words / 0 tokens), matching
+    // the package-wide NULL rule (blocklistStats, chunkOverlap, spans)
+    val t = coalesce(col(textCol), lit(""))
     df.select(col(idCol), length(t).cast("long").as("n_chars"), words(t).as("__w"))
       .select(
         col(idCol),
@@ -403,13 +422,22 @@ object TextOps {
    * contract, replayable by any engine with POSIX regexps (no HTML5
    * parser semantics promised; malformed-markup edge cases degrade to
    * leaving text in place, never dropping prose).
+   *
+   * The generic tag pattern requires a TAG-SHAPED start (`</?letter`,
+   * `<!`, `<?`): the naive `<[^>]+>` matched from any bare '&lt;' to the
+   * next '&gt;' — on markup-free prose like "price &lt; 100 and rating
+   * &gt; 4" it swallowed "&lt; 100 and rating &gt;", exactly the
+   * dropped-prose failure the contract above forbids. HTML-parser
+   * alignment: browsers too treat '&lt;' followed by a non-letter as
+   * literal text, not a tag open.
    */
   def stripMarkup(text: Column): Column = {
     // (?is): case-insensitive, dot-matches-newline for multi-line blocks
     val noScript = regexp_replace(text, "(?is)<script\\b[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val noTags = regexp_replace(noComment,
+      "(?s)<(/?[a-zA-Z][^<>]*|[!?][^<>]*)>", " ")
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST: it may encode the others
       .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }

@@ -115,6 +115,86 @@ class Round10Spec extends AnyFunSuite {
     assert(auth("marker=a+b") != auth("marker=a%20b"))
   }
 
+  test("normalize: Unicode whitespace is whitespace, and DuckDB (RE2) agrees") {
+    import spark.implicits._
+    // NBSP, LINE SEPARATOR, IDEOGRAPHIC SPACE, NEL, THIN SPACE
+    val s = "Foo bar baz　quxquux  a-b! ÆØ"
+    val out = Seq(s).toDF("text")
+      .select(graft.llm.TextOps.normalize(col("text"))).head().getString(0)
+    // pinned against the DuckDB replay of LlmEntries.normSql (probed in
+    // round 10 with the local duckdb python): every separator becomes one
+    // plain space instead of being deleted (which glued words together)
+    assert(out == "foo bar baz qux quux ab æø", s"got: '$out'")
+  }
+
+  test("stripMarkup: markup-free prose with comparison operators survives intact") {
+    import spark.implicits._
+    val cases = Seq(
+      "price < 100 and rating > 4" -> "price < 100 and rating > 4",
+      "<p>real <b>tags</b> go</p> away" -> "real tags go away",
+      "a <!DOCTYPE html> b" -> "a b",
+      "x < y and z > w, plus <em>emph</em>" -> "x < y and z > w, plus emph")
+    cases.foreach { case (in, want) =>
+      val out = Seq(in).toDF("text")
+        .select(graft.llm.TextOps.stripMarkup(col("text"))).head().getString(0)
+      assert(out == want, s"'$in' -> '$out' (wanted '$want')")
+    }
+  }
+
+  test("NULL text: stats ops emit zero-rows, not NULL rows that vanish from both gate sides") {
+    import spark.implicits._
+    val df = Seq((1L, "some words here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val g = graft.llm.TextOps.gopherQuality(df, "doc_id", "text")
+    assert(g.count() == 2)
+    assert(g.filter("quality_pass").count() + g.filter("NOT quality_pass").count() == 2,
+      "pass/fail partition must cover the corpus")
+    val r = graft.llm.TextOps.repetitionStats(df, "doc_id", "text")
+      .filter("doc_id = 2").head()
+    assert(!r.isNullAt(r.fieldIndex("top_word_frac")))
+    val t = graft.llm.TextOps.textStats(df, "doc_id", "text")
+      .filter("doc_id = 2").head()
+    assert(t.getLong(t.fieldIndex("n_words")) == 0L)
+    // crossDedup: NULL-text shard docs are neither silently lost among
+    // themselves nor silently admitted past an empty-text corpus doc
+    val corpus = Seq((100L, "")).toDF("doc_id", "text")
+    val shard = Seq((10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(graft.llm.Dedup.crossDedup(corpus, shard, "doc_id", "text").count() == 0,
+      "NULL text reads as '' and dedups against an empty-text corpus doc")
+    val emptyCorpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val kept = graft.llm.Dedup.crossDedup(emptyCorpus, shard, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L), "among NULL-text dups the min id survives")
+  }
+
+  test("ANN: NULL embeddings are dropped, not emitted as half-null rows") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)),
+      (4L, null.asInstanceOf[Array[Double]]))
+    val emb = rows.toDF("vec_id", "embedding")
+    val brute = graft.llm.Similarity.cosineTopK(emb, emb, "vec_id", "embedding", k = 2)
+    assert(brute.filter("cos IS NULL OR query_id = 4").count() == 0)
+    val lsh = graft.llm.Similarity.lshTopK(emb, emb, "vec_id", "embedding",
+      k = 2, nBits = 2, dim = 2)
+    assert(lsh.filter("cos IS NULL OR query_id = 4").count() == 0)
+    // 65 planes would alias onto 64-bit bucket ids — refused loudly
+    intercept[IllegalArgumentException] {
+      graft.llm.Similarity.bucketId(col("embedding"),
+        graft.llm.Similarity.hyperplanes(65, 2))
+    }
+  }
+
+  test("frameSample: empty payload emits zero frames, matching windowEnergy") {
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](1, 2, 3, 4)), (2L, Array.empty[Byte]),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val f = graft.llm.Multimodal.frameSample(df, "id", "payload", nFrames = 2, frameSize = 2)
+    assert(f.filter("id IN (2, 3)").count() == 0, "no phantom frames")
+    assert(f.filter("id = 1").count() == 2)
+  }
+
   test("commitMtimes: one-listing mtime map covers every commit") {
     val dir = tmpDir()
     val df = spark.range(10).toDF("id")

@@ -40,11 +40,17 @@ class BlindDeltaTable private (val spark: SparkSession, val tablePath: Path) {
     require(appId.isDefined == appVersion.isDefined,
       "blind append: appId and appVersion must be set together (or neither)")
     refresh()
+    // ONE read of the volatile handle state for the whole append: the
+    // class supports concurrent use, and re-reading `meta` for the txn
+    // base after a concurrent refresh() swapped it would anchor conflict
+    // detection PAST a metadata change the data was never validated
+    // against (MetadataChanged silently skipped)
+    val snap = meta
     (appId, appVersion) match {
-      case (Some(a), Some(v)) if txnVersion(a).exists(_ >= v) => return None
+      case (Some(a), Some(v)) if snap.txns.get(a).exists(_ >= v) => return None
       case _ =>
     }
-    val m = meta.metadata
+    val m = snap.metadata
     // same guard as WriteIntoDelta (case-insensitive, like normalize's own
     // matching): a column absent from the table schema must fail, not
     // silently vanish in normalize's projection
@@ -61,7 +67,7 @@ class BlindDeltaTable private (val spark: SparkSession, val tablePath: Path) {
       case (Some(a), Some(v)) => Seq(SetTransaction(a, v, Some(System.currentTimeMillis())))
       case _ => Nil
     }
-    val txn = new OptimisticTransaction(deltaLog, Some(meta))
+    val txn = new OptimisticTransaction(deltaLog, Some(snap))
     val committed = txn.commit(adds ++ txnActions,
       Operation("WRITE", Map("mode" -> "Append", "blind" -> "true"),
         Map("numFiles" -> adds.size.toString,

@@ -51,7 +51,18 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
       case Some(p) => Scan.prunedFiles(snapshot, Seq(Scan.parsePredicate(spark, p)), Some(spark))
       case None => snapshot.allFiles
     }
-    files.map(_.partitionValues).distinct
+    // Add actions key partitionValues by PHYSICAL name under column
+    // mapping; the API (like the python table.partitions() it mirrors, and
+    // like this method's own predicate argument) speaks LOGICAL names —
+    // translate back so callers' result("date") lookups don't key-miss
+    val m = snapshot.metadata
+    val toLogical: Map[String, String] =
+      if (graft.kernel.ColumnMapping.enabled(m))
+        graft.kernel.ColumnMapping.nameMap(m.schema).map(_.swap)
+      else Map.empty
+    files.map(_.partitionValues.map { case (k, v) =>
+      toLogical.getOrElse(k, k) -> v
+    }).distinct
   }
 
   /** The live `add` actions as a DataFrame — path, partition values, size,

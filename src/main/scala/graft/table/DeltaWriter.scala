@@ -78,7 +78,10 @@ object DeltaWriter {
         // — VACUUM skips hidden dirs). Constraint-marker failures
         // (Validation.MARKER raise_error guards evaluated during this
         // write) additionally surface as the library's exception.
-        fs.delete(staging, true)
+        // Best-effort cleanup: a delete that ALSO fails (same outage that
+        // killed the write) must not mask the root cause or skip the
+        // constraint-exception mapping below.
+        try fs.delete(staging, true) catch { case _: Exception => }
         var t: Throwable = e
         while (t != null) {
           val m = t.getMessage
@@ -125,19 +128,29 @@ object DeltaWriter {
     val statsCols: Option[Set[String]] = meta.flatMap { m =>
       m.configuration.get("delta.dataSkippingStatsColumns").map { s =>
         val logical = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val known = m.schema.fieldNames.toSet
+        // CASE-INSENSITIVE like every other schema match in this writer:
+        // delta-spark resolves the property with the session resolver, so
+        // a table configured elsewhere may carry "ID" for column `id` —
+        // exact-case matching made such tables unwritable here (and the
+        // name-map lookup silently collected no stats)
+        val byLower = m.schema.fieldNames.map(f => f.toLowerCase -> f).toMap
         // the property allows dotted NESTED paths (delta-spark dialect);
         // validate only the head segment so a table configured by another
         // engine stays writable — we collect stats for top-level leaves
         // only, so a nested name simply gets no stats (pruning fails open)
         val unknown = logical.filterNot(c =>
-          known.contains(c) || known.contains(c.split('.').head))
+          byLower.contains(c.toLowerCase) ||
+            byLower.contains(c.split('.').head.toLowerCase))
         require(unknown.isEmpty,
           s"delta.dataSkippingStatsColumns names unknown column(s): " +
-            s"${unknown.mkString(", ")} (schema: ${known.mkString(", ")})")
+            s"${unknown.mkString(", ")} (schema: ${byLower.values.mkString(", ")})")
         val nm = if (graft.kernel.ColumnMapping.enabled(m))
           graft.kernel.ColumnMapping.nameMap(m.schema) else Map.empty[String, String]
-        logical.map(c => nm.getOrElse(c, c)).toSet
+        // canonicalize to the schema's case first, then logical→physical
+        logical.map { c =>
+          val canon = byLower.getOrElse(c.toLowerCase, c)
+          nm.getOrElse(canon, canon)
+        }.toSet
       }
     }
 
@@ -266,12 +279,22 @@ object DeltaWriter {
     * Missing nullable columns are filled with nulls. */
   def normalize(df: DataFrame, target: StructType): DataFrame = {
     val cols = target.map { f =>
-      df.schema.find(_.name.equalsIgnoreCase(f.name)) match {
-        case Some(src) =>
+      // ALL case-insensitive matches, not find's first hit: a source with
+      // case-duplicate columns (`id` and `ID` under spark.sql.caseSensitive)
+      // slips past the extra-column guards (they lowercase both) and a
+      // silent first-match would discard one column's data — delta-spark
+      // raises the same ambiguity error here
+      df.schema.filter(_.name.equalsIgnoreCase(f.name)) match {
+        case Seq(src) =>
           if (src.dataType == f.dataType) col(src.name).as(f.name)
           else col(src.name).cast(f.dataType).as(f.name)
-        case None =>
+        case Seq() =>
           org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+        case many =>
+          throw new IllegalArgumentException(
+            s"ambiguous source columns ${many.map(_.name).mkString(", ")} " +
+              s"all match table column '${f.name}' case-insensitively — " +
+              "rename or drop the duplicates before writing")
       }
     }
     df.select(cols: _*)

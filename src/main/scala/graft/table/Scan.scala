@@ -21,6 +21,25 @@ import graft.kernel.{AddFile, DeletionVectors, PathKeys, Snapshot, StatsPruning}
  */
 object Scan {
 
+  /** Broadcast memo for per-scan lookup structures (DV masks, partition
+    * values), keyed by (table, version, kind, file-set hash): repeated
+    * scans of the same snapshot — a temp view queried many times, or the
+    * several passes of one DML — were re-reading every DV bitmap
+    * sequentially on the driver and re-broadcasting identical bytes per
+    * query. Eviction is plain map removal: Spark's ContextCleaner reclaims
+    * a broadcast once no plan references it, so dropped entries cost
+    * nothing. The blunt clear() at 64 entries is deliberate — correctness
+    * never depends on a hit, and a smarter LRU isn't worth the state. */
+  private val lookupMemo =
+    scala.collection.concurrent.TrieMap[(String, Long, String, Int), AnyRef]()
+  private def memoLookup[T <: AnyRef](snapshot: Snapshot, kind: String,
+      paths: Seq[String])(build: => T): T = {
+    if (lookupMemo.size > 64) lookupMemo.clear()
+    lookupMemo.getOrElseUpdate(
+      (snapshot.tablePath.toString, snapshot.version, kind, paths.hashCode),
+      build).asInstanceOf[T]
+  }
+
   /** All live files, no pruning. */
   def read(spark: SparkSession, snapshot: Snapshot): DataFrame =
     readFiles(spark, snapshot, snapshot.allFiles)
@@ -64,14 +83,22 @@ object Scan {
     // next/scan/exec.rs:63-150).
     val masked = {
       val withId = readRaw(spark, snapshot, dvFiles, withIdentity = true)
-      val conf = spark.sessionState.newHadoopConf()
-      val tp = new org.apache.hadoop.fs.Path(snapshot.tablePath)
-      val masks: Map[String, Array[Byte]] = PathKeys.variantMap(
-        dvFiles.map { f =>
-          snapshot.absolutePath(f.path) ->
-            DeletionVectors.readBytes(tp, f.deletionVector.get, conf)
-        })
-      val lookup = new graft.functions.DvMaskLookup(spark.sparkContext.broadcast(masks))
+      val lookup = memoLookup(snapshot, "dv", dvFiles.map(_.path)) {
+        val conf = spark.sessionState.newHadoopConf()
+        val tp = new org.apache.hadoop.fs.Path(snapshot.tablePath)
+        // parallel blob reads: thousands of sequential open/read round
+        // trips on an object store are seconds of driver-side planning
+        // latency; the reads are independent
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val pairs = Await.result(
+          Future.traverse(dvFiles.toList) { f => Future {
+            snapshot.absolutePath(f.path) ->
+              DeletionVectors.readBytes(tp, f.deletionVector.get, conf)
+          }}, scala.concurrent.duration.Duration.Inf)
+        val masks: Map[String, Array[Byte]] = PathKeys.variantMap(pairs)
+        new graft.functions.DvMaskLookup(spark.sparkContext.broadcast(masks))
+      }
       import org.apache.spark.sql.GraftSqlBridge
       withId.filter(GraftSqlBridge.column(graft.functions.DvMaskKeep(
         GraftSqlBridge.expression(col("__file")),
@@ -89,6 +116,18 @@ object Scan {
       files: Seq[AddFile],
       withIdentity: Boolean): DataFrame = {
     val schema = snapshot.schema
+    // __file/__pos are this engine's row-identity channel (DV masking, DML
+    // bookkeeping): a DATA column with either name would collide — the
+    // masked leg's drop() would discard user data and the DML references
+    // would bind ambiguously. Fail loudly up front; identity columns are
+    // only attached on DV-masked or DML scans, so plain tables with such
+    // names still read fine.
+    if (withIdentity) schema.fieldNames.find(n => n == "__file" || n == "__pos")
+      .foreach { n =>
+        throw new IllegalArgumentException(
+          s"column name '$n' is reserved for row identity on DV-masked/DML " +
+            "scans of this engine — rename the column")
+      }
     val partCols = snapshot.partitionColumns
     if (files.isEmpty) {
       val out = if (withIdentity)
@@ -116,7 +155,7 @@ object Scan {
     // cannot cover column-mapped / random-prefix layouts (e.g. the
     // reference's table_with_column_mapping golden stores files under 2-char
     // prefix dirs) and loses to the log when directories disagree.
-    lazy val pvLookup = {
+    lazy val pvLookup = memoLookup(snapshot, "pv", files.map(_.path)) {
       val byFile: Map[String, Array[String]] = graft.kernel.PathKeys.variantMap(
         files.map { f =>
           snapshot.absolutePath(f.path) ->

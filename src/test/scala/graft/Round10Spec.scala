@@ -195,6 +195,66 @@ class Round10Spec extends AnyFunSuite {
     assert(f.filter("id = 1").count() == 2)
   }
 
+  test("normalize: case-duplicate source columns are refused, not silently dropped") {
+    val base = tmpDir()
+    DeltaTable.write(spark, spark.range(3).toDF("id"), base)
+    // select (not withColumn, which REPLACES under the case-insensitive
+    // analyzer) to get a frame genuinely carrying both `id` and `ID`
+    val dup = spark.range(3).select(col("id"), (col("id") * 100).as("ID"))
+    val e = intercept[Exception] {
+      DeltaTable.forPath(spark, base) // table exists; append the dup frame
+      DeltaTable.write(spark, dup, base, mode = "append")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("ambiguous source columns")), s"got: ${msgs(e)}")
+  }
+
+  test("dataSkippingStatsColumns matches schema case-insensitively (foreign-engine config)") {
+    val dir = tmpDir()
+    // "ID" configured for column `id` — delta-spark resolves the property
+    // case-insensitively, so such tables exist in the wild
+    DeltaTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))),
+      configuration = Map("delta.dataSkippingStatsColumns" -> "ID"))
+    DeltaTable.write(spark, spark.range(10).select(col("id"), (col("id") * 2).as("v")),
+      dir, mode = "append")
+    val t = DeltaTable.forPath(spark, dir)
+    val add = t.snapshot.allFiles.head
+    val stats = add.stats.getOrElse("")
+    assert(stats.contains("\"id\""), s"stats must cover id: $stats")
+    assert(!stats.replace("\"numRecords\"", "").contains("\"v\""),
+      s"stats must be restricted to the configured column: $stats")
+  }
+
+  test("partitions() returns LOGICAL keys on a column-mapped table") {
+    val dir = tmpDir()
+    val df = spark.range(20).select(col("id"), (col("id") % 3).cast("string").as("grp"))
+    DeltaTable.write(spark, df, dir, partitionBy = Seq("grp"),
+      configuration = Map("delta.columnMapping.mode" -> "name"))
+    val parts = DeltaTable.forPath(spark, dir).partitions()
+    assert(parts.size == 3)
+    assert(parts.forall(_.keySet == Set("grp")),
+      s"keys must be logical names, got: ${parts.map(_.keySet)}")
+  }
+
+  test("__file data column: plain reads fine, DV-identity scan refuses loudly") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "__file")
+    DeltaTable.write(spark, df, dir,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 3) // no DVs yet: fine
+    val e = intercept[Exception] {
+      DeltaTable.forPath(spark, dir).delete(Some("id = 2")) // DML needs identity
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("reserved for row identity")), s"got: ${msgs(e)}")
+  }
+
   test("commitMtimes: one-listing mtime map covers every commit") {
     val dir = tmpDir()
     val df = spark.range(10).toDF("id")

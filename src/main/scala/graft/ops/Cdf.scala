@@ -34,7 +34,14 @@ object CdfRead {
     val spark = table.spark
     val log = table.deltaLog
     val end = endingVersion.getOrElse(log.latestVersion())
-    val snapshot = table.snapshot
+    // schema/partitioning/column-mapping must come from the snapshot AT the
+    // range end, not the handle's cached snapshot: `end` is resolved from a
+    // FRESH listing, so a stale handle would read commits newer than the
+    // schema it decodes them with (an external ADD COLUMNS + data commit in
+    // the gap would silently drop the new column). Reuse the cached
+    // snapshot only when it is exactly at `end`.
+    val snapshot =
+      if (table.snapshot.version == end) table.snapshot else log.snapshotAt(end)
     // Change data is only well-defined while `delta.enableChangeDataFeed`
     // is set: without it DML rewrites carry no CDC files and synthesizing
     // legs from add/remove actions would misreport rescued rows as changes

@@ -10,16 +10,27 @@ import graft.table.{DeltaTable, DeltaWriter, Scan}
 object Dml {
 
   /** Map `input_file_name()` / `_metadata.file_path` URIs back to AddFiles.
-    * Keyed by the decoded absolute filesystem path — part-file NAMES are not
-    * unique across partition directories (one Spark write task reuses the
-    * same job UUID + task number in every partition dir it writes). */
+    * Keyed by AUTHORITY + decoded absolute filesystem path:
+    * - part-file NAMES are not unique across partition directories (one
+    *   Spark write task reuses the same job UUID + task number in every
+    *   partition dir it writes) — hence the full path;
+    * - absolute-URI AddFiles on DIFFERENT buckets can share a path
+    *   (s3a://bucketA/data/f vs s3a://bucketB/data/f) — hence the
+    *   authority. The SCHEME is deliberately excluded: the scan side is
+    *   always fs-qualified (file:/tmp/x) while a local table's AddFile
+    *   URIs may be scheme-less (/tmp/x), and keying on it would split
+    *   identical files; cross-scheme same-bucket-same-path aliases don't
+    *   arise in practice (a bucket name binds to one store). */
   def filePathIndex(snapshot: Snapshot, files: Seq[AddFile]): Map[String, AddFile] =
-    files.map(f => snapshot.absolutePath(f.path).toUri.getPath -> f).toMap
+    files.map(f => pathKey(snapshot.absolutePath(f.path).toUri) -> f).toMap
+
+  private def pathKey(u: java.net.URI): String =
+    Option(u.getAuthority).getOrElse("") + u.getPath
 
   /** Decode a scan-emitted file URI to the index key above. */
   def uriToPathKey(uri: String): String =
-    try new java.net.URI(uri).getPath
-    catch { case _: Exception => new org.apache.hadoop.fs.Path(uri).toUri.getPath }
+    try pathKey(new java.net.URI(uri))
+    catch { case _: Exception => pathKey(new org.apache.hadoop.fs.Path(uri).toUri) }
 
   /** Files that actually contain rows matching `pred` — stats-pruned
     * candidates narrowed by a distributed scan tagging each row with its
@@ -438,6 +449,7 @@ object UpdateOp {
     // cache instead of re-reading every hit file from storage
     val src0 = Scan.readFiles(spark, snapshot, files)
     val src = if (cdcOn) src0.persist() else src0
+    try {
     val predCol = coalesce(expr(pred), lit(false))
     val updatedCols = snapshot.schema.map { f =>
       set.get(f.name) match {
@@ -494,8 +506,6 @@ object UpdateOp {
           .withColumn(Dml.CDC_COL, lit("update_postimage"))
         Dml.writeCdc(spark, table, pre.unionByName(post), nIdx)
       } else Nil
-    if (cdcOn) src.unpersist()
-
     val totalRows = adds.flatMap(_.numRecords).sum
     val metrics = Map(
       "num_added_files" -> adds.size.toString,
@@ -506,5 +516,10 @@ object UpdateOp {
     table.commitAndRefresh(txn, actions ++ cdc,
       Operation("UPDATE", Map("predicate" -> pred), metrics))
     metrics
+    // unpersist in finally, not on the success path only: a failed rewrite
+    // (constraint raise_error, commit conflict) would otherwise leak the
+    // cached hit-file scan for the session (MERGE's persist has the same
+    // try/finally discipline)
+    } finally { if (cdcOn) src.unpersist() }
   }
 }

@@ -93,19 +93,35 @@ object IncrementalAgg {
     // short of rebuilding the rollup.
     val tgtSchema = target.refresh().schema
     val missingNn = sumCols.filter(c => !tgtSchema.fieldNames.contains(s"nn_$c"))
-    if (missingNn.nonEmpty) {
+    // TORN migration: the addColumns commit landed but the process died
+    // before the backfill merge — the columns exist, their values are
+    // NULL, and the missing-column check alone would skip the backfill
+    // FOREVER (NULL nn_ then poisons every subsequent delta silently).
+    // A complete migration leaves no NULL nn_ (the backfill merges every
+    // group; the update path always writes it), so one NULL row over a
+    // positive lastV means: rerun the backfill — it is idempotent (exact
+    // recount over the same pinned upstream version).
+    val tornNn =
+      if (missingNn.isEmpty && sumCols.nonEmpty && lastV.isDefined &&
+          target.toDF.filter(
+            sumCols.map(c => col(s"nn_$c").isNull).reduce(_ || _))
+            .limit(1).count() > 0) sumCols
+      else Nil
+    val backfillCols = if (missingNn.nonEmpty) missingNn else tornNn
+    if (backfillCols.nonEmpty) {
       val v = lastV.getOrElse(throw new IllegalStateException(
-        s"IncrementalAgg: target $targetPath lacks ${missingNn.map("nn_" + _).mkString(",")} " +
+        s"IncrementalAgg: target $targetPath lacks ${backfillCols.map("nn_" + _).mkString(",")} " +
           "but records no folded upstream version to backfill from — rebuild it"))
-      target.addColumns(org.apache.spark.sql.types.StructType(
-        missingNn.map(c => org.apache.spark.sql.types.StructField(s"nn_$c",
-          org.apache.spark.sql.types.LongType))))
-      val backfillAggs = missingNn.map(c => count(col(c)).as(s"__bf_$c"))
+      if (missingNn.nonEmpty)
+        target.addColumns(org.apache.spark.sql.types.StructType(
+          missingNn.map(c => org.apache.spark.sql.types.StructField(s"nn_$c",
+            org.apache.spark.sql.types.LongType))))
+      val backfillAggs = backfillCols.map(c => count(col(c)).as(s"__bf_$c"))
       val backfill = upstream.asOfVersion(v).groupBy(keyCols.map(col): _*)
         .agg(backfillAggs.head, backfillAggs.tail: _*)
       val bfCond = keyCols.map(k => s"target.`$k` <=> source.`$k`").mkString(" AND ")
       target.merge(backfill, bfCond)
-        .whenMatchedUpdate(missingNn.flatMap(c => Seq(
+        .whenMatchedUpdate(backfillCols.flatMap(c => Seq(
           s"nn_$c" -> s"source.__bf_$c",
           s"sum_$c" ->
             s"CASE WHEN source.__bf_$c = 0 THEN CAST(NULL AS BIGINT) ELSE target.sum_$c END"))

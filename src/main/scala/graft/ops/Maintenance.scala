@@ -313,8 +313,11 @@ object RestoreOp {
         s"deletion-vector blobs) that no longer exist (vacuumed?): " +
         s"${missing.take(3).map(_.path)}... — pass " +
         "ignoreMissingFiles=true to restore without them")
+    // set membership, not missing.exists per file: 500k files x 100k
+    // missing is 5e10 driver-side string compares (minutes) done linearly
+    val missingPaths = missing.map(_.path).toSet
     val toAdd = if (ignoreMissingFiles)
-      toAdd0.filterNot(f => missing.exists(_.path == f.path)) else toAdd0
+      toAdd0.filterNot(f => missingPaths.contains(f.path)) else toAdd0
     val now = System.currentTimeMillis()
     val toRemove = current.allFiles.filterNot(f => targetKeys.contains(key(f)))
       .map(_.remove(now, dataChange = true))
@@ -554,7 +557,13 @@ object ConvertToDeltaOp {
     // single fan-out, not 100k sequential driver round-trips
     val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val dataSchemaJson = dataSchema.json
-    val tableUri = tablePath.toUri
+    // QUALIFIED base: listStatus returns fully-qualified paths (file:/...),
+    // and URI.relativize on a scheme mismatch returns its input UNCHANGED —
+    // an unqualified base committed ABSOLUTE AddFile paths. Reads passed
+    // (absolutePath passes absolute through) but VACUUM's live set then
+    // never matched its relative listing keys: live data files aged into
+    // deletion candidates. Same qualification rule VacuumOp applies.
+    val tableUri = fs.makeQualified(tablePath).toUri
     val fileList = files.toSeq.map { case (p, parts) => (p.toString, parts) }
     val adds: Seq[AddFile] =
       if (fileList.isEmpty) Nil
@@ -569,8 +578,12 @@ object ConvertToDeltaOp {
             val p = new Path(pStr)
             val (_, stats) = ParquetStats.collect(conf, p, ds)
             val st = p.getFileSystem(conf).getFileStatus(p)
+            val rel = tableUri.relativize(p.toUri).getPath
+            require(!rel.startsWith("/"),
+              s"convert_to_delta: could not relativize $pStr against " +
+                s"$tableUri — refusing to commit an absolute AddFile path")
             AddFile(
-              path = PathCodec.encode(tableUri.relativize(p.toUri).getPath),
+              path = PathCodec.encode(rel),
               partitionValues = parts.map { case (k, v) =>
                 k -> (if (v == PartitionCodec.HIVE_DEFAULT) null else v)
               }.toMap,

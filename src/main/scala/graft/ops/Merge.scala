@@ -112,7 +112,8 @@ object MergeOp {
       val t0 = System.nanoTime()
       val r = body
       val dt = (System.nanoTime() - t0) / 1e9
-      acc(name) = acc.getOrElse(name, 0.0) + dt
+      // early-filter aggregations run concurrently — guard the accumulator
+      acc.synchronized { acc(name) = acc.getOrElse(name, 0.0) + dt }
       if (trace) System.err.println(f"[merge-trace] $name%-22s $dt%.3fs")
       r
     }
@@ -180,26 +181,14 @@ object MergeOp {
       else {
         val (partPairs, dataPairs) =
           equiPairs.partition { case (t, _) => snapshot.partitionColumns.contains(t) }
-        // Left = pair whose IN-list was too wide (falls back to range)
-        val inListResults: Seq[Either[(String, String), Expression]] =
-          partPairs.map { case pair @ (t, s) =>
-            val distinctVals = phases("early_filter_distinct")(
-              source.select(col(s)).distinct().limit(maxInList + 1).collect())
-            val nonNull = distinctVals.filter(!_.isNullAt(0))
-            if (distinctVals.length > maxInList || nonNull.isEmpty) Left(pair)
-            else Right(CIn(UnresolvedAttribute(Seq(t)),
-              nonNull.toSeq.map(r => CLiteral(r.get(0)))))
-          }
-        val inListPreds = inListResults.collect { case Right(p) => p }
-        val rangePairs = dataPairs ++ inListResults.collect { case Left(pair) => pair }
-        val rangePreds =
-          if (rangePairs.isEmpty) Nil
+        def rangePredsOf(pairs: Seq[(String, String)]): Seq[Expression] =
+          if (pairs.isEmpty) Nil
           else {
-            val aggs = rangePairs.flatMap { case (_, s) =>
+            val aggs = pairs.flatMap { case (_, s) =>
               Seq(min(col(s)).as(s + "__mn"), max(col(s)).as(s + "__mx"))
             }
             val row = phases("early_filter_agg")(source.agg(aggs.head, aggs.tail: _*).collect()(0))
-            rangePairs.zipWithIndex.flatMap { case ((t, _), i) =>
+            pairs.zipWithIndex.flatMap { case ((t, _), i) =>
               val mn = row.get(2 * i); val mx = row.get(2 * i + 1)
               if (mn == null || mx == null) None
               else Some(CAnd(
@@ -207,6 +196,31 @@ object MergeOp {
                 CLessThanOrEqual(UnresolvedAttribute(Seq(t)), CLiteral(mx))))
             }
           }
+        // every early-filter aggregation is an independent one-pass scan
+        // of the source — submit them CONCURRENTLY so a multi-key merge
+        // pays ~one scan of wall time, not one per partition-key pair
+        // (they ran as sequential collects). Only the rare IN-list
+        // overflow fallback needs a second, post-await range pass.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val inListF: Seq[Future[Either[(String, String), Expression]]] =
+          partPairs.map { case pair @ (t, s) => Future {
+            val distinctVals = phases("early_filter_distinct")(
+              source.select(col(s)).distinct().limit(maxInList + 1).collect())
+            val nonNull = distinctVals.filter(!_.isNullAt(0))
+            if (distinctVals.length > maxInList || nonNull.isEmpty)
+              Left(pair): Either[(String, String), Expression]
+            else Right(CIn(UnresolvedAttribute(Seq(t)),
+              nonNull.toSeq.map(r => CLiteral(r.get(0)))))
+          }}
+        val dataRangeF = Future(rangePredsOf(dataPairs))
+        val inListResults =
+          Await.result(Future.sequence(inListF), scala.concurrent.duration.Duration.Inf)
+        val inListPreds = inListResults.collect { case Right(p) => p }
+        val fallbackPairs = inListResults.collect { case Left(pair) => pair }
+        val rangePreds =
+          Await.result(dataRangeF, scala.concurrent.duration.Duration.Inf) ++
+            rangePredsOf(fallbackPairs)
         inListPreds ++ rangePreds
       }
     earlyPreds.foreach(txn.readPredicate)

@@ -42,9 +42,27 @@ object WriteIntoDelta {
     require(replaceWhere.isEmpty || m == "overwrite",
       s"replaceWhere requires mode=overwrite (got mode=$m) — an append would " +
         "neither replace the region nor enforce the predicate")
+    // replaceWhere + overwriteSchema: only the predicate's region is
+    // rewritten, so files OUTSIDE it would survive under a REPLACED schema
+    // (their old columns unreachable, reads resolving new columns to NULL;
+    // under column mapping even unchanged columns get fresh physical names
+    // and every kept row reads NULL) — delta-spark forbids the combination
+    require(replaceWhere.isEmpty || !overwriteSchema,
+      "replaceWhere cannot be combined with overwriteSchema: rows outside " +
+        "the predicate keep their files, which would not match the " +
+        "replaced schema")
 
     if (!exists) {
-      return createAndWrite(spark, df, tablePath, partitionBy, configuration)
+      // first write of an idempotent replaceWhere job: the predicate must
+      // be enforced on the CREATE path too, or out-of-region rows land
+      // exactly once (the rerun on the now-existing table would refuse them)
+      val guarded = replaceWhere match {
+        case Some(pred) => Validation.requireOnWrite(df,
+          not(coalesce(expr(pred), lit(false))),
+          s"replaceWhere: written data contains rows violating predicate '$pred'")
+        case None => df
+      }
+      return createAndWrite(spark, guarded, tablePath, partitionBy, configuration)
     }
 
     m match {

@@ -255,6 +255,108 @@ class Round10Spec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("reserved for row identity")), s"got: ${msgs(e)}")
   }
 
+  test("convert_to_delta commits RELATIVE AddFile paths (vacuum-safe)") {
+    val dir = tmpDir()
+    spark.range(50).select(col("id"), (col("id") % 2).as("p"))
+      .write.partitionBy("p").parquet(dir)
+    val t = DeltaTable.convertToDelta(spark, dir)
+    val paths = t.snapshot.allFiles.map(_.path)
+    assert(paths.nonEmpty && paths.forall(p => !p.startsWith("/") && !p.contains(":")),
+      s"convert must commit relative paths, got: ${paths.take(3)}")
+    // the real consequence: a vacuum on the converted table must NOT see
+    // live files as deletion candidates
+    val candidates = t.vacuum(retentionHours = 0.0, dryRun = true,
+      enforceRetention = false)
+    assert(candidates.isEmpty,
+      s"vacuum dry-run flagged live files on a fresh conversion: ${candidates.take(3)}")
+  }
+
+  test("replaceWhere: refused with overwriteSchema; enforced on the CREATE path") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = Seq((1L, "eu"), (2L, "us")).toDF("id", "region")
+    // CREATE path (table absent): predicate must be enforced, not ignored
+    intercept[Exception] {
+      DeltaTable.write(spark, df, dir, mode = "overwrite",
+        replaceWhere = Some("region = 'eu'"))
+    }
+    DeltaTable.write(spark, df.filter("region = 'eu'"), dir, mode = "overwrite",
+      replaceWhere = Some("region = 'eu'"))
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 1)
+    // replaceWhere + overwriteSchema: kept files outside the predicate
+    // cannot match a replaced schema — refuse the combination
+    val e = intercept[Exception] {
+      DeltaTable.write(spark, df.select(col("id"), col("region").as("r2")), dir,
+        mode = "overwrite", replaceWhere = Some("id = 1"), overwriteSchema = true)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("overwriteSchema")), s"got: ${msgs(e)}")
+  }
+
+  test("loadCdf on a stale handle reads post-evolution commits with the new schema") {
+    val dir = tmpDir()
+    DeltaTable.write(spark, spark.range(5).toDF("id"), dir,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val stale = DeltaTable.forPath(spark, dir)
+    stale.snapshot // pin the cached snapshot at v0
+    // external writer: add a column and data the stale handle knows nothing of
+    val writer = DeltaTable.forPath(spark, dir)
+    writer.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType))))
+    DeltaTable.write(spark,
+      spark.range(5, 8).select(col("id"), (col("id") * 10).as("extra")),
+      dir, mode = "append")
+    val cdf = stale.loadCdf(0)
+    assert(cdf.columns.contains("extra"),
+      s"stale-handle CDF must carry the evolved schema: ${cdf.columns.toSeq}")
+    val extras = cdf.filter("_commit_version = 2 AND extra IS NOT NULL").count()
+    assert(extras == 3, s"new-column values must survive, got $extras rows")
+  }
+
+  test("IncrementalAgg: TORN migration (addColumns landed, backfill crashed) self-heals") {
+    val dir = tmpDir(); val tgt = tmpDir()
+    val base = spark.range(30).select(col("id"), (col("id") % 3).as("grp"),
+      when(col("id") % 3 === 2, lit(null).cast("long"))
+        .otherwise(col("id") * 5).as("v"))
+    DeltaTable.write(spark, base, dir,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val up = DeltaTable.forPath(spark, dir)
+    val appId = graft.ops.IncrementalAgg.appIdFor(up)
+    val legacySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_v", org.apache.spark.sql.types.LongType)))
+    DeltaTable.create(spark, tgt, legacySchema, Nil)
+    val legacyRows = up.toDF.groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum(coalesce(col("v"), lit(0L))).as("sum_v"))
+    DeltaTable.forPath(spark, tgt)
+      .merge(legacyRows, "target.grp <=> source.grp")
+      .whenNotMatchedInsert(Map("grp" -> "source.grp", "cnt" -> "source.cnt",
+        "sum_v" -> "source.sum_v"))
+      .withAppTransaction(appId, 0L)
+      .execute()
+    // simulate the crash window: the addColumns commit landed, the
+    // backfill never ran — nn_v exists and is NULL everywhere
+    DeltaTable.forPath(spark, tgt).addColumns(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("nn_v",
+          org.apache.spark.sql.types.LongType))))
+    up.delete(Some("id < 6"))
+    graft.ops.IncrementalAgg.refresh(up, tgt, Seq("grp"), Seq("v"))
+    val got = DeltaTable.forPath(spark, tgt).toDF
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3)))).toMap
+    val want = up.toDF.groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"), count(col("v")).as("nn_v"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3)))).toMap
+    assert(got == want, s"torn migration must self-heal: $got vs $want")
+  }
+
   test("commitMtimes: one-listing mtime map covers every commit") {
     val dir = tmpDir()
     val df = spark.range(10).toDF("id")

@@ -90,9 +90,12 @@ case class AddFile(
     RemoveFile(path, Some(deletionTimestamp), dataChange,
       extendedFileMetadata = Some(true), partitionValues = Some(partitionValues),
       size = Some(size), deletionVector = deletionVector)
-  /** numRecords from the stats JSON, if present. */
+  /** numRecords from the stats JSON, if present. Stats are an ADVISORY
+    * free-form field a third-party writer may have malformed (empty
+    * string, truncated JSON) — parse failures degrade to None, never
+    * crash the consuming operation (same rule as StatsPruning.parseStats). */
   def numRecords: Option[Long] = stats.flatMap { s =>
-    JsonMethods.parse(s) \ "numRecords" match {
+    scala.util.Try(JsonMethods.parse(s) \ "numRecords").toOption.flatMap {
       case JInt(n) => Some(n.toLong)
       case JLong(n) => Some(n)
       case _ => None

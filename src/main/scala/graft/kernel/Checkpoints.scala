@@ -268,16 +268,8 @@ object Checkpoints {
         // EXACTLY from the written parts' footers on this branch), so an
         // estimate from the previous hint + the tail avoids two extra full
         // scans of the old checkpoint that countAdds()/count() cost
-        val prevHint = scala.util.Try {
-          store.read(new Path(logPath, LogStore.LAST_CHECKPOINT)).headOption
-            .flatMap { line =>
-              org.json4s.jackson.JsonMethods.parse(line) \ "size" match {
-                case org.json4s.JInt(n) => Some(n.toLong)
-                case org.json4s.JLong(n) => Some(n)
-                case _ => None
-              }
-            }.getOrElse(0L)
-        }.getOrElse(0L)
+        val prevHint =
+          DeltaLog.lastCheckpointHintOf(store, logPath)._2.getOrElse(0L)
         // overlaid keys are filtered OUT of the old legs and re-enter via the
         // tail, and the old checkpoint's control rows are replaced by ours —
         // subtract both or the estimate ratchets upward every checkpoint

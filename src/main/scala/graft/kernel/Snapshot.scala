@@ -195,40 +195,13 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
   /** Both hint fields from ONE read of `_delta_log/_last_checkpoint` —
     * separate per-field reads doubled the billable round-trips on object
     * stores for every snapshot load (one per streaming micro-batch). */
-  def lastCheckpointVersionAndSize(): (Option[Long], Option[Long]) = {
-    scala.util.Try {
-      val p = new Path(logPath, LogStore.LAST_CHECKPOINT)
-      if (!store.exists(p)) (None, None)
-      else store.read(p).headOption.map { line =>
-        val j = JsonMethods.parse(line)
-        def f(field: String): Option[Long] = j \ field match {
-          case JInt(n) => Some(n.toLong); case JLong(n) => Some(n); case _ => None
-        }
-        (f("version"), f("size"))
-      }.getOrElse((None, None))
-    }.getOrElse((None, None))
-  }
+  def lastCheckpointVersionAndSize(): (Option[Long], Option[Long]) =
+    DeltaLog.lastCheckpointHintOf(store, logPath)
 
-  def lastCheckpointHint(): Option[Long] = lastCheckpointField("version")
+  def lastCheckpointHint(): Option[Long] = lastCheckpointVersionAndSize()._1
 
   /** The hint's declared action count — decides eager vs lazy file index. */
-  def lastCheckpointSize(): Option[Long] = lastCheckpointField("size")
-
-  private def lastCheckpointField(field: String): Option[Long] = {
-    // the hint is ADVISORY (delta-spark semantics): a torn/corrupt read —
-    // e.g. racing the non-atomic overwrite another engine performs — must
-    // degrade to "no hint", never fail the snapshot load
-    scala.util.Try {
-      val p = new Path(logPath, LogStore.LAST_CHECKPOINT)
-      if (!store.exists(p)) None
-      else store.read(p).headOption.flatMap { line =>
-        JsonMethods.parse(line) \ field match {
-          case JInt(n) => Some(n.toLong); case JLong(n) => Some(n); case _ => None
-        }
-      }
-    }.toOption.flatten
-  }
-
+  def lastCheckpointSize(): Option[Long] = lastCheckpointVersionAndSize()._2
 
   def snapshot(): Snapshot = snapshotAt(None)
 
@@ -486,6 +459,26 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
 }
 
 object DeltaLog {
+  /** THE `_last_checkpoint` parse — one definition for every consumer
+    * (snapshot loads, checkpoint-size estimation): ONE read, with absence
+    * surfacing as FileNotFoundException into the Try (an exists() probe on
+    * an HTTP-backed log store is a full signed GET, so exists-then-read
+    * doubled the very round-trips the single read exists to halve). The
+    * hint is ADVISORY — any failure (absent, torn concurrent overwrite,
+    * transient IO) degrades to "no hint" and callers replay JSON. */
+  private[kernel] def lastCheckpointHintOf(
+      store: LogStore, logPath: Path): (Option[Long], Option[Long]) =
+    scala.util.Try {
+      store.read(new Path(logPath, LogStore.LAST_CHECKPOINT)).headOption
+        .map { line =>
+          val j = JsonMethods.parse(line)
+          def f(field: String): Option[Long] = j \ field match {
+            case JInt(n) => Some(n.toLong); case JLong(n) => Some(n); case _ => None
+          }
+          (f("version"), f("size"))
+        }.getOrElse((None, None))
+    }.getOrElse((None, None))
+
   private val registered = scala.collection.concurrent.TrieMap[String, LogStore]()
 
   /** Register a [[LogStore]] for a URI scheme — the injection point that

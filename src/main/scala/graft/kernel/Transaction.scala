@@ -378,7 +378,11 @@ private[graft] object LogCleanup {
     // recursive delete via the fs — staging entries are directories
     val debris = listing.filter { f =>
       val n = f.getPath.getName
+      // .put*.tmp: FsPutClient commit temps orphaned by a crash between
+      // createTempFile and the finally-delete — invisible to listPrefix
+      // (it filters .put names) so nothing else ever reaps them
       (n.startsWith(".checkpoint_tmp_") || n.startsWith(".tmp_commit_") ||
+        n.startsWith(".put") ||
         n.startsWith("." + LogStore.LAST_CHECKPOINT + ".")) &&
         f.getModificationTime < cutoff
     }

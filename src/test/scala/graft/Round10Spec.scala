@@ -357,6 +357,15 @@ class Round10Spec extends AnyFunSuite {
     assert(got == want, s"torn migration must self-heal: $got vs $want")
   }
 
+  test("AddFile.numRecords degrades to None on malformed stats, never throws") {
+    import graft.kernel.AddFile
+    assert(AddFile("f", stats = Some("")).numRecords.isEmpty)
+    assert(AddFile("f", stats = Some("{truncated")).numRecords.isEmpty)
+    assert(AddFile("f", stats = Some("not json at all")).numRecords.isEmpty)
+    assert(AddFile("f", stats = Some("""{"numRecords": 7}""")).numRecords.contains(7L))
+    assert(AddFile("f", stats = None).numRecords.isEmpty)
+  }
+
   test("commitMtimes: one-listing mtime map covers every commit") {
     val dir = tmpDir()
     val df = spark.range(10).toDF("id")

@@ -34,14 +34,15 @@ object CdfRead {
     val spark = table.spark
     val log = table.deltaLog
     val end = endingVersion.getOrElse(log.latestVersion())
-    // schema/partitioning/column-mapping must come from the snapshot AT the
-    // range end, not the handle's cached snapshot: `end` is resolved from a
-    // FRESH listing, so a stale handle would read commits newer than the
-    // schema it decodes them with (an external ADD COLUMNS + data commit in
-    // the gap would silently drop the new column). Reuse the cached
-    // snapshot only when it is exactly at `end`.
+    // schema/partitioning/column-mapping must come from a snapshot AT or
+    // AFTER the range end: `end` is resolved from a FRESH listing, so a
+    // stale handle would read commits newer than the schema it decodes
+    // them with (an external ADD COLUMNS + data commit in the gap would
+    // silently drop the new column). The cached snapshot is reused when it
+    // already covers `end` — including the allowOutOfRange empty-feed case
+    // where `end` can resolve below 0 and is not a replayable version.
     val snapshot =
-      if (table.snapshot.version == end) table.snapshot else log.snapshotAt(end)
+      if (end <= table.snapshot.version) table.snapshot else log.snapshotAt(end)
     // Change data is only well-defined while `delta.enableChangeDataFeed`
     // is set: without it DML rewrites carry no CDC files and synthesizing
     // legs from add/remove actions would misreport rescued rows as changes

@@ -116,6 +116,7 @@ class FsPutClient(root: java.nio.file.Path) extends ConditionalPutClient {
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
     val target = fileFor(key)
     Files.createDirectories(target.getParent)
+    reapStaleTemps(target.getParent)
     val tmp = Files.createTempFile(target.getParent, ".put", ".tmp")
     LogStore.umaskDefaultPerms(tmp) // link(2) publishes this inode's perms
     try {
@@ -124,6 +125,24 @@ class FsPutClient(root: java.nio.file.Path) extends ConditionalPutClient {
       catch { case _: FileAlreadyExistsException => false }
     } finally Files.deleteIfExists(tmp)
   }
+
+  /** Best-effort reap of .put*.tmp orphans (a crash between createTempFile
+    * and the finally-delete leaves one): they are filtered OUT of
+    * listPrefix, so no external cleanup (LogCleanup's debris pass included)
+    * can ever see them — the writer that visits the directory anyway is the
+    * only code positioned to delete them. Age-gated generously: a LIVE temp
+    * belongs to a concurrent put that is seconds old at most. */
+  private def reapStaleTemps(dir: java.nio.file.Path): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - 60 * 60 * 1000L
+      val ds = Files.newDirectoryStream(dir, ".put*.tmp")
+      try ds.forEach { p =>
+        try {
+          if (Files.getLastModifiedTime(p).toMillis < cutoff)
+            Files.deleteIfExists(p)
+        } catch { case _: Exception => }
+      } finally ds.close()
+    } catch { case _: Exception => }
 
   override def get(key: String): Option[Array[Byte]] = {
     val f = fileFor(key)

@@ -376,13 +376,12 @@ private[graft] object LogCleanup {
     // reap aged write debris: crashed checkpoint stagings / commit temps
     // (their writers are long gone once they're past the retention window);
     // recursive delete via the fs — staging entries are directories
+    // NOTE: .put*.tmp orphans (FsPutClient temps) cannot be reaped here —
+    // ObjectStoreLogStore's listing filters them out before this code ever
+    // sees them. FsPutClient reaps its own aged temps opportunistically.
     val debris = listing.filter { f =>
       val n = f.getPath.getName
-      // .put*.tmp: FsPutClient commit temps orphaned by a crash between
-      // createTempFile and the finally-delete — invisible to listPrefix
-      // (it filters .put names) so nothing else ever reaps them
       (n.startsWith(".checkpoint_tmp_") || n.startsWith(".tmp_commit_") ||
-        n.startsWith(".put") ||
         n.startsWith("." + LogStore.LAST_CHECKPOINT + ".")) &&
         f.getModificationTime < cutoff
     }

@@ -96,7 +96,7 @@ object CdfRead {
           "disabled window were not recorded")
       us.map { case (kind, path, pv, _) => (kind, path, pv, v, ts) }
     }
-    legsFor(spark, table, schema, partCols, units)
+    legsFor(spark, table, schema, partCols, snapshot.metadata, units)
   }
 
   /** One commit's actions classified into CDF change units:
@@ -146,10 +146,11 @@ object CdfRead {
       table: DeltaTable,
       schema: StructType,
       partCols: Seq[String],
+      meta: Metadata,
       units: Seq[(String, String, Map[String, String], Long, Long)]): DataFrame = {
     val legs: Seq[DataFrame] = Seq("cdc" -> None, "insert" -> Some("insert"),
       "delete" -> Some("delete")).flatMap { case (kind, ct) =>
-      legDf(spark, table, schema, partCols,
+      legDf(spark, table, schema, partCols, meta,
         units.collect { case (k, path, pv, v, ts) if k == kind => (path, pv, v, ts) },
         changeType = ct)
     }
@@ -192,6 +193,7 @@ object CdfRead {
       table: DeltaTable,
       schema: StructType,
       partCols: Seq[String],
+      meta: Metadata, // metadata AT the range end (the handle's may be stale)
       files: Seq[(String, Map[String, String], Long, Long)], // (rel path, partVals, version, tsMs)
       changeType: Option[String]): Option[DataFrame] = {
     if (files.isEmpty) return None
@@ -205,7 +207,7 @@ object CdfRead {
     val distinctFiles = files.distinct
     if (distinctFiles.groupBy(_._1).exists(_._2.map(_._3).distinct.size > 1)) {
       val subs = distinctFiles.groupBy(_._3).toSeq.sortBy(_._1).flatMap {
-        case (_, fs) => legDf(spark, table, schema, partCols, fs, changeType)
+        case (_, fs) => legDf(spark, table, schema, partCols, meta, fs, changeType)
       }
       return if (subs.isEmpty) None else Some(subs.reduce(_.unionByName(_)))
     }
@@ -213,7 +215,10 @@ object CdfRead {
       (table.snapshot.absolutePath(rel), pv, v, ts) // rel is a percent-encoded URL
     }
 
-    val mapped = ColumnMapping.enabled(table.snapshot.metadata)
+    // the RESOLVED range-end metadata, not table.snapshot's: a stale
+    // handle whose cache predates a column-mapping enablement would read
+    // physically-named files with logical names (every mapped column NULL)
+    val mapped = ColumnMapping.enabled(meta)
     val nm = if (mapped) ColumnMapping.nameMap(schema) else Map.empty[String, String]
     val logicalData = StructType(schema.filterNot(f => partCols.contains(f.name)))
     val dataSchema = StructType(

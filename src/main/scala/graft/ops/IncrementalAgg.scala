@@ -101,11 +101,28 @@ object IncrementalAgg {
     // group; the update path always writes it), so one NULL row over a
     // positive lastV means: rerun the backfill — it is idempotent (exact
     // recount over the same pinned upstream version).
+    // Probe cost discipline: the steady-state (healthy) refresh must not
+    // pay a data scan for this. Per-file nullCount stats answer "any NULL
+    // nn_?" driver-side; only files WITHOUT stats coverage for the nn_
+    // columns force the one-row scan fallback.
+    def nnMaybeNull: Boolean = {
+      val schema = target.snapshot.schema
+      val statsClear = target.snapshot.allFiles.forall { f =>
+        f.stats.exists { s =>
+          val parsed = scala.util.Try(
+            graft.kernel.StatsPruning.parseStats(s, schema)).toOption
+          parsed.exists(p => sumCols.forall(c =>
+            p.nullCount.get(s"nn_$c").contains(0L)))
+        }
+      }
+      if (statsClear) false
+      else target.toDF.filter(
+        sumCols.map(c => col(s"nn_$c").isNull).reduce(_ || _))
+        .limit(1).count() > 0
+    }
     val tornNn =
-      if (missingNn.isEmpty && sumCols.nonEmpty && lastV.isDefined &&
-          target.toDF.filter(
-            sumCols.map(c => col(s"nn_$c").isNull).reduce(_ || _))
-            .limit(1).count() > 0) sumCols
+      if (missingNn.isEmpty && sumCols.nonEmpty && lastV.isDefined && nnMaybeNull)
+        sumCols
       else Nil
     val backfillCols = if (missingNn.nonEmpty) missingNn else tornNn
     if (backfillCols.nonEmpty) {

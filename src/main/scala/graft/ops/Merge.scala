@@ -201,10 +201,15 @@ object MergeOp {
         // pays ~one scan of wall time, not one per partition-key pair
         // (they ran as sequential collects). Only the rare IN-list
         // overflow fallback needs a second, post-await range pass.
-        import scala.concurrent.{Await, Future}
+        // blocking{}: each future parks in a Spark collect() for seconds —
+        // on the shared global pool (sized to cores) un-marked blocking
+        // would pin every worker and serialize the remaining futures (and
+        // starve any other driver code on the same pool); blocking() lets
+        // the fork-join pool grow compensation threads instead
+        import scala.concurrent.{blocking, Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         val inListF: Seq[Future[Either[(String, String), Expression]]] =
-          partPairs.map { case pair @ (t, s) => Future {
+          partPairs.map { case pair @ (t, s) => Future { blocking {
             val distinctVals = phases("early_filter_distinct")(
               source.select(col(s)).distinct().limit(maxInList + 1).collect())
             val nonNull = distinctVals.filter(!_.isNullAt(0))
@@ -212,8 +217,8 @@ object MergeOp {
               Left(pair): Either[(String, String), Expression]
             else Right(CIn(UnresolvedAttribute(Seq(t)),
               nonNull.toSeq.map(r => CLiteral(r.get(0)))))
-          }}
-        val dataRangeF = Future(rangePredsOf(dataPairs))
+          }}}
+        val dataRangeF = Future(blocking(rangePredsOf(dataPairs)))
         val inListResults =
           Await.result(Future.sequence(inListF), scala.concurrent.duration.Duration.Inf)
         val inListPreds = inListResults.collect { case Right(p) => p }

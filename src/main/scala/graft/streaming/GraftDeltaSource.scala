@@ -612,7 +612,7 @@ class GraftDeltaSource(
     val batch =
       if (cdfMode)
         CdfRead.legsFor(spark, cdfTable, initSnapshot.schema,
-          initSnapshot.partitionColumns,
+          initSnapshot.partitionColumns, initSnapshot.metadata,
           unitsBetween(changesAt)(startOff, endOff)
             .map(u => (u.kind, u.relPath, u.pv, u.version, u.ts)))
       else

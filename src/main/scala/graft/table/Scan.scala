@@ -89,13 +89,15 @@ object Scan {
         // parallel blob reads: thousands of sequential open/read round
         // trips on an object store are seconds of driver-side planning
         // latency; the reads are independent
-        import scala.concurrent.{Await, Future}
+        // blocking{}: these are IO parks, and the shared global pool is
+        // sized to cores — un-marked they would pin every worker
+        import scala.concurrent.{blocking, Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         val pairs = Await.result(
-          Future.traverse(dvFiles.toList) { f => Future {
+          Future.traverse(dvFiles.toList) { f => Future { blocking {
             snapshot.absolutePath(f.path) ->
               DeletionVectors.readBytes(tp, f.deletionVector.get, conf)
-          }}, scala.concurrent.duration.Duration.Inf)
+          }}}, scala.concurrent.duration.Duration.Inf)
         val masks: Map[String, Array[Byte]] = PathKeys.variantMap(pairs)
         new graft.functions.DvMaskLookup(spark.sparkContext.broadcast(masks))
       }

@@ -84,11 +84,7 @@ object CdfRead {
           .exists(_.trim.equalsIgnoreCase("true"))
       }
       val (ts0, us) = changeUnitsOf(actions, v)
-      val ts = if (ts0 != 0L || us.isEmpty) ts0 else mtimes.getOrElse(v,
-        throw new IllegalStateException(
-          s"CDF: commit $v has no CommitInfo.timestamp and its commit file " +
-            "is no longer listable (log cleanup after compaction?) — " +
-            "cannot derive _commit_timestamp for its change rows"))
+      val ts = if (ts0 != 0L || us.isEmpty) ts0 else mtimeOrFail(v, mtimes)
       if (!cdcOn && us.nonEmpty)
         throw new IllegalStateException(
           s"Change Data Feed was disabled at or before version $v inside " +
@@ -132,6 +128,20 @@ object CdfRead {
       }
     (ts, units)
   }
+
+  /** THE commit-mtime fallback rule, shared by the batch feed above and the
+    * streaming source's commitMtime — the two feeds must agree on
+    * `_commit_timestamp` INCLUDING the failure mode, and that parity is
+    * structural only if both route through one definition: a commit whose
+    * CommitInfo lacks the optional timestamp is stamped with its file's
+    * mtime, and a commit whose file is no longer listable (log cleanup
+    * after compaction) fails loudly rather than stamping epoch-1970. */
+  private[graft] def mtimeOrFail(v: Long, mtimes: Map[Long, Long]): Long =
+    mtimes.getOrElse(v,
+      throw new IllegalStateException(
+        s"CDF: commit $v has no CommitInfo.timestamp and its commit file " +
+          "is no longer listable (log cleanup after compaction?) — " +
+          "cannot derive _commit_timestamp for its change rows"))
 
   /** The CDF output schema: table schema + provenance columns. */
   def cdfSchema(base: StructType): StructType =

@@ -138,6 +138,12 @@ class GraftDeltaSource(
     throw new IllegalArgumentException(
       s"startingVersion $v is beyond the table's latest version " +
         s"${initSnapshot.version} (max allowed is latest + 1)"))
+  // a negative version would surface later as a baffling FileNotFound on
+  // the %020d-formatted commit name — reject at stream construction like
+  // the batch feed's startingVersion >= 0 require
+  startingVersion.filter(_ < 0).foreach(v =>
+    throw new IllegalArgumentException(
+      s"startingVersion must be >= 0 (or 'latest'), got $v"))
 
   override val schema: StructType =
     if (cdfMode) GraftDeltaSource.cdfSchema(initSnapshot.schema)
@@ -375,15 +381,17 @@ class GraftDeltaSource(
 
   private def changesAt(version: Long, isInitial: Boolean, latest: Long): IndexedSeq[ChangeUnit] =
     cachedUnitsAt(versionChanges, version, isInitial, latest)(
-      snap => snap.allFiles.sortBy(_.path).map { f =>
-        if (f.deletionVector.exists(_.cardinality > 0))
-          throw new IllegalStateException(
-            s"readChangeFeed: initial-snapshot file ${f.path} carries a " +
-            "deletion vector; start from a version after the DV write " +
-            "(startingVersion) or OPTIMIZE first")
-        ChangeUnit("insert", f.path, f.partitionValues, version,
-          snap.timestampMs, f.size)
-      }.toIndexedSeq,
+      snap => {
+        val ts = snapshotTs(version) // once per snapshot, not per file
+        snap.allFiles.sortBy(_.path).map { f =>
+          if (f.deletionVector.exists(_.cardinality > 0))
+            throw new IllegalStateException(
+              s"readChangeFeed: initial-snapshot file ${f.path} carries a " +
+              "deletion vector; start from a version after the DV write " +
+              "(startingVersion) or OPTIMIZE first")
+          ChangeUnit("insert", f.path, f.partitionValues, version, ts, f.size)
+        }.toIndexedSeq
+      },
       v => {
         // same classifier as batch CDF — the feeds cannot diverge
         val actions = guardedCommit(v)
@@ -438,12 +446,22 @@ class GraftDeltaSource(
   private var mtimeCache: Map[Long, Long] = Map.empty
   private def commitMtime(v: Long): Long = synchronized {
     if (!mtimeCache.contains(v)) mtimeCache = log.commitMtimes()
-    mtimeCache.getOrElse(v,
-      throw new IllegalStateException(
-        s"streaming CDF: commit $v has no CommitInfo.timestamp and its " +
-          "commit file is no longer listable (log cleanup after compaction?)" +
-          " — cannot derive _commit_timestamp for its change rows"))
+    CdfRead.mtimeOrFail(v, mtimeCache) // ONE failure rule for both feeds
   }
+
+  /** `_commit_timestamp` for the initial-snapshot leg: same precedence as
+    * every per-commit change row — CommitInfo.timestamp of the snapshot
+    * version first (the batch feed's rule), commit-file mtime second, and
+    * a LOUD failure when neither survives log cleanup. Snapshot.timestampMs
+    * silently falls back to 0 there, which stamped every initial-snapshot
+    * row epoch-1970 — the exact bug commitMtime throws on for commits. */
+  private def snapshotTs(version: Long): Long =
+    scala.util.Try(log.readCommit(version)).toOption
+      .flatMap(_.collectFirst {
+        case ci: graft.kernel.CommitInfo if ci.timestamp.isDefined =>
+          ci.timestamp.get
+      })
+      .getOrElse(commitMtime(version))
 
   // ---- admission -----------------------------------------------------------
 
@@ -482,9 +500,25 @@ class GraftDeltaSource(
     // removed commits behind the committed offset). Defer the cap to the
     // first latestOffset call, where the restart offset is known — same
     // "everything available at query start" semantics.
-    if (current != null)
-      availableNowCap = Some(advance(current, Int.MaxValue, Long.MaxValue))
+    if (current != null) availableNowCap = Some(capAll(current))
     else availableNowPending = true
+  }
+
+  /** The end offset of "everything currently available" in O(1): an
+    * unbounded advance() admits every unit, so it always lands at
+    * (latest, unit-count-at-latest) — walking there version by version
+    * parsed AND CACHED the whole backlog's file metadata on the driver
+    * before any batch ran, defeating the per-batch-bounded-work design on
+    * a large AvailableNow catch-up. Only the LAST version's units are
+    * touched (and the next getBatch needs those anyway). */
+  private def capAll(from: GraftSourceOffset): GraftSourceOffset = {
+    val latest = math.max(log.latestVersion(), initSnapshot.version)
+    if (from.version > latest) return from // startingVersion=latest+1: nothing yet
+    val init = from.isInitialSnapshot && from.version == latest
+    val cap = GraftSourceOffset(latest, sizesAt(latest, init, latest).size.toLong, init)
+    // never behind the consumed position — a cap below `current` would
+    // clamp latestOffset BACKWARDS and re-admit already-processed units
+    if (GraftSourceOffset.ordering.gt(from, cap)) from else cap
   }
 
   /** Admission-unit sizes at a position (AddFile.size / change-file size). */
@@ -528,7 +562,7 @@ class GraftDeltaSource(
     else start.filter(s => GraftSourceOffset.ordering.gt(s, current))
       .foreach(current = _)
     if (availableNowPending) {
-      availableNowCap = Some(advance(current, Int.MaxValue, Long.MaxValue))
+      availableNowCap = Some(capAll(current))
       availableNowPending = false
     }
     val (fileBudget, byteBudget) = budgets(limit)

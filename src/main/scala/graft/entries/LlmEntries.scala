@@ -128,8 +128,11 @@ object LlmEntries {
 
   /** DuckDB mirror of [[graft.llm.TextOps.normalize]] — ONE definition so
     * the eight oracle call sites cannot drift from the Spark side. */
+  // \x{000B} (VT): Java's \s includes it, RE2's does not — without the
+  // explicit escape the two engines diverge on VT-bearing text (pinned
+  // empirically in round 10: 'a\x0Bb' → Spark 'a b', bare-RE2 'ab')
   private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s\\p{Z}\\x{0085}]', '', 'g'), '[\\s\\p{Z}\\x{0085}]+', ' ', 'g'))"
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s\\p{Z}\\x{0085}\\x{000B}]', '', 'g'), '[\\s\\p{Z}\\x{0085}\\x{000B}]+', ' ', 'g'))"
   private val fpSql = s"md5($normSql)"
 
   /** DuckDB value of hex digit `i` (1-indexed) of the md5-hex column
@@ -2112,8 +2115,8 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
           "\nAll rights reserved worldwide")).as("text"))
       graft.llm.Dedup.dedupParagraphs(noisy, "doc_id", "text")
     }, Some {
-      val normP =
-        "trim(regexp_replace(regexp_replace(lower(p), '[^\\p{L}\\p{N}\\s\\p{Z}\\x{0085}]', '', 'g'), '[\\s\\p{Z}\\x{0085}]+', ' ', 'g'))"
+      val normP = // same VT pin as normSql
+        "trim(regexp_replace(regexp_replace(lower(p), '[^\\p{L}\\p{N}\\s\\p{Z}\\x{0085}\\x{000B}]', '', 'g'), '[\\s\\p{Z}\\x{0085}\\x{000B}]+', ' ', 'g'))"
       s"""WITH base AS (
          |  SELECT doc_id,
          |         text || chr(10) || 'Subscribe to our newsletter today' || chr(10) || 'All rights reserved worldwide' AS t

@@ -47,7 +47,14 @@ object TextOps {
   /** Whitespace tokenizer: trims, then splits on whitespace RUNS (space,
     * tab, newline). A single-space split miscounts real documents — "a  b"
     * yields an empty token and "a\nb" never splits — skewing every stat
-    * built on it. Empty/blank text yields an EMPTY array, not [""]. */
+    * built on it. Empty/blank text yields an EMPTY array, not [""].
+    *
+    * DELIBERATELY ASCII `\s`, unlike [[normalize]]'s Unicode class: NBSP
+    * exists precisely to mark a non-breaking point, so a TOKENIZER keeping
+    * "U.S. Navy" as one token is semantically right even though the
+    * dedup FINGERPRINT treats the same byte as whitespace. Both engines'
+    * `\s` agree on the ASCII set (the oracles' string_split_regex replays
+    * this split exactly), so the choice is also oracle-stable. */
   def words(text: Column): Column = {
     val t = trim(text)
     when(length(t) === 0, array().cast("array<string>"))

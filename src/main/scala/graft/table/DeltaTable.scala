@@ -47,15 +47,20 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
   /** Distinct partition-value assignments of the live files, optionally
     * narrowed by a predicate (python/deltalake table.partitions(), table.py:341). */
   def partitions(predicate: Option[String] = None): Seq[Map[String, String]] = {
+    // ONE read of the volatile snapshot handle: files and the
+    // physical→logical map must come from the SAME version (a concurrent
+    // refresh between the two reads would translate old keys with new
+    // metadata — the BlindDeltaTable.append TOCTOU, one method over)
+    val snap = snapshot
     val files = predicate match {
-      case Some(p) => Scan.prunedFiles(snapshot, Seq(Scan.parsePredicate(spark, p)), Some(spark))
-      case None => snapshot.allFiles
+      case Some(p) => Scan.prunedFiles(snap, Seq(Scan.parsePredicate(spark, p)), Some(spark))
+      case None => snap.allFiles
     }
     // Add actions key partitionValues by PHYSICAL name under column
     // mapping; the API (like the python table.partitions() it mirrors, and
     // like this method's own predicate argument) speaks LOGICAL names —
     // translate back so callers' result("date") lookups don't key-miss
-    val m = snapshot.metadata
+    val m = snap.metadata
     val toLogical: Map[String, String] =
       if (graft.kernel.ColumnMapping.enabled(m))
         graft.kernel.ColumnMapping.nameMap(m.schema).map(_.swap)

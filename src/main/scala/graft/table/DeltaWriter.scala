@@ -80,8 +80,15 @@ object DeltaWriter {
         // write) additionally surface as the library's exception.
         // Best-effort cleanup: a delete that ALSO fails (same outage that
         // killed the write) must not mask the root cause or skip the
-        // constraint-exception mapping below.
-        try fs.delete(staging, true) catch { case _: Exception => }
+        // constraint-exception mapping below. An interrupt (job
+        // cancellation) restores the thread's flag instead of vanishing;
+        // ordinary failures log the leaked path (VACUUM skips hidden dirs,
+        // so nothing else will ever report it).
+        try fs.delete(staging, true) catch {
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case scala.util.control.NonFatal(e2) =>
+            System.err.println(s"[graft] staging cleanup failed for $staging: $e2")
+        }
         var t: Throwable = e
         while (t != null) {
           val m = t.getMessage
@@ -133,22 +140,26 @@ object DeltaWriter {
         // a table configured elsewhere may carry "ID" for column `id` —
         // exact-case matching made such tables unwritable here (and the
         // name-map lookup silently collected no stats)
-        val byLower = m.schema.fieldNames.map(f => f.toLowerCase -> f).toMap
+        val byLower = m.schema.fieldNames
+          .map(f => f.toLowerCase(java.util.Locale.ROOT) -> f).toMap
         // the property allows dotted NESTED paths (delta-spark dialect);
         // validate only the head segment so a table configured by another
         // engine stays writable — we collect stats for top-level leaves
         // only, so a nested name simply gets no stats (pruning fails open)
         val unknown = logical.filterNot(c =>
-          byLower.contains(c.toLowerCase) ||
-            byLower.contains(c.split('.').head.toLowerCase))
+          byLower.contains(c.toLowerCase(java.util.Locale.ROOT)) ||
+            byLower.contains(c.split('.').head.toLowerCase(java.util.Locale.ROOT)))
         require(unknown.isEmpty,
           s"delta.dataSkippingStatsColumns names unknown column(s): " +
             s"${unknown.mkString(", ")} (schema: ${byLower.values.mkString(", ")})")
         val nm = if (graft.kernel.ColumnMapping.enabled(m))
           graft.kernel.ColumnMapping.nameMap(m.schema) else Map.empty[String, String]
         // canonicalize to the schema's case first, then logical→physical
+        // Locale.ROOT: a tr_TR default locale lowercases "ID" to dotless-i,
+        // missing schema key "id" and re-wedging the very tables this
+        // case-insensitive match exists to keep writable
         logical.map { c =>
-          val canon = byLower.getOrElse(c.toLowerCase, c)
+          val canon = byLower.getOrElse(c.toLowerCase(java.util.Locale.ROOT), c)
           nm.getOrElse(canon, canon)
         }.toSet
       }

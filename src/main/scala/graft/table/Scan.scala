@@ -22,22 +22,47 @@ import graft.kernel.{AddFile, DeletionVectors, PathKeys, Snapshot, StatsPruning}
 object Scan {
 
   /** Broadcast memo for per-scan lookup structures (DV masks, partition
-    * values), keyed by (table, version, kind, file-set hash): repeated
-    * scans of the same snapshot — a temp view queried many times, or the
-    * several passes of one DML — were re-reading every DV bitmap
-    * sequentially on the driver and re-broadcasting identical bytes per
-    * query. Eviction is plain map removal: Spark's ContextCleaner reclaims
-    * a broadcast once no plan references it, so dropped entries cost
-    * nothing. The blunt clear() at 64 entries is deliberate — correctness
-    * never depends on a hit, and a smarter LRU isn't worth the state. */
+    * values): repeated scans of the same snapshot — a temp view queried
+    * many times, or the several passes of one DML — were re-reading every
+    * DV bitmap sequentially on the driver and re-broadcasting identical
+    * bytes per query. Key discipline:
+    * - the SparkContext applicationId is part of the key — a cached
+    *   broadcast from a stopped context would fail every task after a
+    *   same-JVM session restart ("Broadcast used after destroy");
+    * - the file set is identified by its md5 (128-bit), never a 32-bit
+    *   hashCode — a collision between two pruned subsets would silently
+    *   serve the wrong masks/partition values (wrong RESULTS, not an
+    *   error);
+    * - insertion-order eviction at a SMALL cap (8): entries hold strong
+    *   references to broadcasts of whole DV bitmaps, and Spark's
+    *   ContextCleaner can only reclaim them once unreferenced — a large
+    *   cache would PIN hundreds of MB on long-lived drivers. Correctness
+    *   never depends on a hit. */
   private val lookupMemo =
-    scala.collection.concurrent.TrieMap[(String, Long, String, Int), AnyRef]()
-  private def memoLookup[T <: AnyRef](snapshot: Snapshot, kind: String,
-      paths: Seq[String])(build: => T): T = {
-    if (lookupMemo.size > 64) lookupMemo.clear()
-    lookupMemo.getOrElseUpdate(
-      (snapshot.tablePath.toString, snapshot.version, kind, paths.hashCode),
-      build).asInstanceOf[T]
+    new java.util.LinkedHashMap[(String, String, Long, String, String), AnyRef]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Long, String, String), AnyRef]): Boolean =
+        size() > 8
+    }
+  private def memoLookup[T <: AnyRef](spark: SparkSession, snapshot: Snapshot,
+      kind: String, paths: Seq[String])(build: => T): T = {
+    val setId = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      paths.foreach(p => md.update(p.getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString
+    }
+    val key = (spark.sparkContext.applicationId, snapshot.tablePath.toString,
+      snapshot.version, kind, setId)
+    // build OUTSIDE the lock: blob reads + broadcast can take seconds and
+    // must not serialize unrelated tables' scans; a same-key race just
+    // builds twice (harmless — the loser's broadcast is GC-reclaimed)
+    Option(lookupMemo.synchronized(lookupMemo.get(key))) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val v = build
+        lookupMemo.synchronized(lookupMemo.put(key, v))
+        v
+    }
   }
 
   /** All live files, no pruning. */
@@ -83,7 +108,7 @@ object Scan {
     // next/scan/exec.rs:63-150).
     val masked = {
       val withId = readRaw(spark, snapshot, dvFiles, withIdentity = true)
-      val lookup = memoLookup(snapshot, "dv", dvFiles.map(_.path)) {
+      val lookup = memoLookup(spark, snapshot, "dv", dvFiles.map(_.path)) {
         val conf = spark.sessionState.newHadoopConf()
         val tp = new org.apache.hadoop.fs.Path(snapshot.tablePath)
         // parallel blob reads: thousands of sequential open/read round
@@ -157,7 +182,7 @@ object Scan {
     // cannot cover column-mapped / random-prefix layouts (e.g. the
     // reference's table_with_column_mapping golden stores files under 2-char
     // prefix dirs) and loses to the log when directories disagree.
-    lazy val pvLookup = memoLookup(snapshot, "pv", files.map(_.path)) {
+    lazy val pvLookup = memoLookup(spark, snapshot, "pv", files.map(_.path)) {
       val byFile: Map[String, Array[String]] = graft.kernel.PathKeys.variantMap(
         files.map { f =>
           snapshot.absolutePath(f.path) ->

@@ -117,14 +117,16 @@ class Round10Spec extends AnyFunSuite {
 
   test("normalize: Unicode whitespace is whitespace, and DuckDB (RE2) agrees") {
     import spark.implicits._
-    // NBSP, LINE SEPARATOR, IDEOGRAPHIC SPACE, NEL, THIN SPACE
-    val s = "Foo bar baz　quxquux  a-b! ÆØ"
+    // NBSP, LINE SEPARATOR, IDEOGRAPHIC SPACE, NEL, THIN SPACE, and VT
+    // (U+000B: in Java's \s but NOT RE2's - the oracle mirror carries an
+    // explicit \x{000B}, both engines pinned with the local duckdb python)
+    val s = "Foo bar baz　quxquux  a-b! ÆØ\u000Bvt"
     val out = Seq(s).toDF("text")
       .select(graft.llm.TextOps.normalize(col("text"))).head().getString(0)
     // pinned against the DuckDB replay of LlmEntries.normSql (probed in
     // round 10 with the local duckdb python): every separator becomes one
     // plain space instead of being deleted (which glued words together)
-    assert(out == "foo bar baz qux quux ab æø", s"got: '$out'")
+    assert(out == "foo bar baz qux quux ab æø vt", s"got: '$out'")
   }
 
   test("stripMarkup: markup-free prose with comparison operators survives intact") {

@@ -86,23 +86,31 @@ object CoreEntries {
     // cannot see: the bytes physically live under the mount root and the
     // snapshot's files carry the dbfs scheme.
     Entry("mount_scan", (s, d) => {
-      val root = EntryCtx.shared2.getOrElseUpdate(s"$d#mountRoot", {
+      // the scheme name is PER-sfDir (mount registration is global Hadoop
+      // state): a shared "dbfs" would let a concurrent invocation on
+      // another sfDir swap the mount root mid-flight of this one's IO —
+      // per-sfDir schemes make the global registry entries disjoint. The
+      // builder runs through once() (exactly-once), not getOrElseUpdate
+      // (which may evaluate racing builders twice against the SAME fixed
+      // table path).
+      val scheme = "dbfs" + java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+      val root = EntryCtx.once(s"$d#mountRoot") {
         val r = java.nio.file.Files.createTempDirectory("graft_mount").toString
-        Mount.register(s, "dbfs", r, allowUnsafeRename = true)
-        DeltaTable.write(s, pq(s, d, "nation"), "dbfs:/wh/nation")
-        DeltaTable.forPath(s, "dbfs:/wh/nation").delete(Some("n_nationkey >= 20"))
+        Mount.register(s, scheme, r, allowUnsafeRename = true)
+        DeltaTable.write(s, pq(s, d, "nation"), s"$scheme:/wh/nation")
+        DeltaTable.forPath(s, s"$scheme:/wh/nation").delete(Some("n_nationkey >= 20"))
         r
-      })
+      }
       // idempotent re-pin: a later entry invocation on a fresh session must
       // still resolve the scheme (registration is session/global state)
-      Mount.register(s, "dbfs", root, allowUnsafeRename = true)
+      Mount.register(s, scheme, root, allowUnsafeRename = true)
       require(new java.io.File(s"$root/wh/nation/_delta_log").isDirectory,
         s"mount_scan: table bytes did not land under the mount root $root")
-      // the handle itself resolves via the dbfs scheme (log replay + the
+      // the handle itself resolves via the mount scheme (log replay + the
       // delete's commit both already went through MountFileSystem /
-      // MountLogStore — no other FileSystem serves dbfs:)
-      val t = DeltaTable.forPath(s, "dbfs:/wh/nation")
-      require(t.tablePath.toString.startsWith("dbfs:"),
+      // MountLogStore — no other FileSystem serves it)
+      val t = DeltaTable.forPath(s, s"$scheme:/wh/nation")
+      require(t.tablePath.toString.startsWith(s"$scheme:"),
         s"mount_scan: handle path ${t.tablePath}")
       t.toDF
     }, Some("SELECT * FROM nation WHERE n_nationkey < 20")))
@@ -509,9 +517,13 @@ object CoreEntries {
     Entry("commit_metadata", (s, d) => {
       import s.implicits._
       val dir = tempDir("umeta")
-      s.conf.set("spark.graft.commitInfo.userMetadata", "ingest-batch-0")
-      try DeltaTable.write(s, pq(s, d, "nation"), dir)
-      finally s.conf.unset("spark.graft.commitInfo.userMetadata")
+      // session-conf provenance is set on a CHILD session (same context,
+      // separate conf): a set/unset window on the shared session would let
+      // a CONCURRENT entry's commit silently record this entry's
+      // userMetadata as its own audit trail
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.commitInfo.userMetadata", "ingest-batch-0")
+      DeltaTable.write(s2, pq(s2, d, "nation"), dir)
       val t = DeltaTable.forPath(s, dir)
       val txn = t.startTransaction()
       txn.commitUserMetadata = Some("manual-fixup")
@@ -539,21 +551,32 @@ object CoreEntries {
     // lifecycle — namespace, CTAS, INSERT, DELETE, SELECT — through
     // spark.sql over a GraftCatalog, zero library API calls.
     Entry("catalog_sql", (s, d) => {
-      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      // the catalog NAME is per-sfDir: Spark's CatalogManager caches the
+      // plugin instance, which captures its warehouse once at initialize()
+      // — re-pointing the conf for a second sfDir on the same session would
+      // be a silent no-op and the CREATE would collide with the first
+      // sfDir's table. Distinct names give distinct cached instances. The
+      // DDL builder runs through once() (catalog DDL on a fixed identifier
+      // must not race itself). Source view name is also per-sfDir — a
+      // concurrent invocation on another sfDir must not swap it mid-CTAS.
+      val cat = "graft" + java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
       val wh = shared2.getOrElseUpdate(s"$d#catalog_wh", tempDir("catwh"))
-      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-      shared2.getOrElseUpdate(s"$d#catalog_built", {
-        pq(s, d, "nation").createOrReplaceTempView("__nation_src")
-        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.core")
-        s.sql("""CREATE TABLE graft.core.nation AS
-                 SELECT n_nationkey, n_name, n_regionkey FROM __nation_src""")
-        s.sql("""INSERT INTO graft.core.nation
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      EntryCtx.once(s"$d#catalog_built") {
+        val srcView = s"__nation_src_$cat"
+        pq(s, d, "nation").createOrReplaceTempView(srcView)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.core")
+        s.sql(s"""CREATE TABLE $cat.core.nation AS
+                 SELECT n_nationkey, n_name, n_regionkey FROM $srcView""")
+        s.sql(s"""INSERT INTO $cat.core.nation
                  SELECT n_nationkey + 100, n_name || '_X', n_regionkey
-                 FROM __nation_src WHERE n_regionkey = 0""")
-        s.sql("DELETE FROM graft.core.nation WHERE n_regionkey = 2 AND n_nationkey < 100")
+                 FROM $srcView WHERE n_regionkey = 0""")
+        s.sql(s"DELETE FROM $cat.core.nation WHERE n_regionkey = 2 AND n_nationkey < 100")
+        s.catalog.dropTempView(srcView)
         "built"
-      })
-      s.sql("SELECT n_nationkey, n_name, n_regionkey FROM graft.core.nation")
+      }
+      s.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM $cat.core.nation")
     }, Some(
       """SELECT n_nationkey, n_name, n_regionkey FROM (
         |  SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -602,7 +625,7 @@ object CoreEntries {
         t.update(Map("n_name" -> expr("concat(n_name, '!')")), Some("n_nationkey < 3"))
         q.processAllAvailable()
       } finally q.stop()
-      s.table(view).drop("_commit_timestamp")
+      EntryCtx.memoryTable(s, view).drop("_commit_timestamp")
     }, Some(
       """SELECT n_nationkey, n_name, n_regionkey, 'insert' AS _change_type,
         |       CAST(0 AS BIGINT) AS _commit_version
@@ -1384,7 +1407,7 @@ object CoreEntries {
         q.processAllAvailable()
         advanceWatermark(s, q, dir)
       } finally q.stop()
-      s.table(view).filter(col("hr") < lit("2030-01-01"))
+      EntryCtx.memoryTable(s, view).filter(col("hr") < lit("2030-01-01"))
     }, Some(
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
         |       CAST(count(*) AS BIGINT) AS cnt,
@@ -1417,7 +1440,7 @@ object CoreEntries {
         q.processAllAvailable()
         advanceWatermark(s, q, dir)
       } finally q.stop()
-      s.table(view).filter(col("day") < lit("2030-01-01"))
+      EntryCtx.memoryTable(s, view).filter(col("day") < lit("2030-01-01"))
     }, Some(
       """SELECT CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS DATE) AS day,
         |       c.c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
@@ -1444,7 +1467,7 @@ object CoreEntries {
         q.processAllAvailable()
         advanceWatermark(s, q, dir)
       } finally q.stop()
-      s.table(view).filter("user_id >= 0")
+      EntryCtx.memoryTable(s, view).filter("user_id >= 0")
     }, Some(
       """WITH g AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
@@ -1471,39 +1494,38 @@ object CoreEntries {
       // read-only events table serves every invocation
       val dir = eventsDeltaView(s, d)
       val view = s"graft_tws_${EntryCtx.uniqueSuffix()}"
-      import s.implicits._
-      val prevProvider =
-        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      // the RocksDB provider requirement is scoped to a CHILD session
+      // (same context, separate conf): a set/restore window on the shared
+      // session would silently run any CONCURRENT streaming entry on
+      // RocksDB too. Memory-sink views register on the child's catalog,
+      // so the result is read there as well.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import s2.implicits._
+      // ONE FILE PER BATCH (not the single-batch eventsStream): typed
+      // state must survive ACROSS microbatches for the milestone counts
+      // to come out right — a single batch cannot catch state-store
+      // loss/double-count between batches. TimeMode.None needs no
+      // watermark, so the single-batch constraint documented on
+      // eventsStream does not apply here.
+      val q = s2.readStream.format("graft-delta")
+        .option("maxFilesPerTrigger", "1").load(dir)
+        .select(col("user_id").cast("long")).as[Long]
+        .groupByKey(identity)
+        .transformWithState(new graft.streaming.MilestoneProcessor(5L),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "milestone")
+        .writeStream.format("memory").outputMode("append")
+        .queryName(view).start()
       try {
-        // ONE FILE PER BATCH (not the single-batch eventsStream): typed
-        // state must survive ACROSS microbatches for the milestone counts
-        // to come out right — a single batch cannot catch state-store
-        // loss/double-count between batches. TimeMode.None needs no
-        // watermark, so the single-batch constraint documented on
-        // eventsStream does not apply here.
-        val q = s.readStream.format("graft-delta")
-          .option("maxFilesPerTrigger", "1").load(dir)
-          .select(col("user_id").cast("long")).as[Long]
-          .groupByKey(identity)
-          .transformWithState(new graft.streaming.MilestoneProcessor(5L),
-            org.apache.spark.sql.streaming.TimeMode.None(),
-            org.apache.spark.sql.streaming.OutputMode.Append())
-          .toDF("user_id", "milestone")
-          .writeStream.format("memory").outputMode("append")
-          .queryName(view).start()
-        try {
-          q.processAllAvailable()
-          require(q.recentProgress.count(_.numInputRows > 0) >= 2,
-            "streaming_transform_state: the 4-file snapshot must arrive in " +
-              "multiple batches to exercise cross-batch state")
-        } finally q.stop()
-      } finally prevProvider match {
-        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-      s.table(view)
+        q.processAllAvailable()
+        require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          "streaming_transform_state: the 4-file snapshot must arrive in " +
+            "multiple batches to exercise cross-batch state")
+      } finally q.stop()
+      EntryCtx.memoryTable(s2, view)
     }, Some(
       """SELECT user_id, CAST(unnest(range(5, cnt + 1, 5)) AS BIGINT) AS milestone
         |FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id) t""".stripMargin)),
@@ -1525,7 +1547,7 @@ object CoreEntries {
         .dropDuplicatesWithinWatermark("event_id")
         .writeStream.format("memory").outputMode("append").queryName(view).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(view).select("event_id", "user_id", "event_type")
+      EntryCtx.memoryTable(s, view).select("event_id", "user_id", "event_type")
     }, Some("SELECT event_id, user_id, event_type FROM events")),
 
     // stream-stream inner join (§2.10): click events joined to purchase
@@ -1557,7 +1579,7 @@ object CoreEntries {
           (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
         .writeStream.format("memory").outputMode("append").queryName(view).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(view)
+      EntryCtx.memoryTable(s, view)
     }, Some(
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
         |       CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS lag_us
@@ -1603,7 +1625,7 @@ object CoreEntries {
         q.processAllAvailable()
         advanceWatermark(s, q, dir)
       } finally q.stop()
-      s.table(view).filter("user_id >= 0")
+      EntryCtx.memoryTable(s, view).filter("user_id >= 0")
     }, Some(
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') c

@@ -27,6 +27,25 @@ object EntryCtx {
     * prefix keeps the namespaces from colliding. */
   val shared2 = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Atomic once-per-key builder: TrieMap.getOrElseUpdate may evaluate a
+    * RACING builder twice (losers discarded), which is fine for builders
+    * whose side effects land in fresh temp dirs but corrupting for builders
+    * with GLOBAL side effects — catalog DDL on a fixed identifier, mount
+    * scheme registration. computeIfAbsent runs the body exactly once. */
+  private val onceMap = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def once(key: String)(build: => String): String =
+    onceMap.computeIfAbsent(key, _ => build)
+
+  /** Materialized memory-sink result with the session-global temp view
+    * dropped immediately: the registry pinned each invocation's full
+    * result set for the session's lifetime, while the returned frame's
+    * analyzed plan holds the sink relation directly — the NAME is debris. */
+  def memoryTable(s: SparkSession, view: String): DataFrame = {
+    val df = s.table(view)
+    s.catalog.dropTempView(view)
+    df
+  }
+
   /** Collision-free suffix for per-invocation temp-view names: nanoTime
     * can tick identically across concurrent threads (same-tick / per-CPU
     * counters), so a "unique" view name built from it could clobber a

@@ -49,6 +49,15 @@ object LlmEntries {
     "SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s " +
       s"FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM $src) t"
 
+  /** DuckDB VALUES rendering of the 16x64 JL sign matrix — ONE definition
+    * for the two oracles (random_projection, ann_projected) that must agree
+    * on the same projection (the duckBucketExpr precedent for hyperplanes). */
+  private def signMatrixValues: String =
+    graft.llm.Similarity.signMatrix(16, 64).zipWithIndex.map { case (r, j) =>
+      r.map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString(s"($j, [", ", ", "])")
+    }.mkString(", ")
+
   private val corpusSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL
@@ -167,8 +176,7 @@ object LlmEntries {
       .mkString("[", ", ", "]")
     s"""WITH corpus AS ($corpusSql),
        |sh AS (
-       |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END) AS s
-       |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM corpus) t
+       |  SELECT doc_id, unnest(s) AS s FROM (${shingleSelect("corpus")}) t0
        |),
        |hs AS (SELECT doc_id, md5(s) AS m FROM sh),
        |bits AS (SELECT doc_id, $sums FROM hs GROUP BY doc_id),
@@ -1546,10 +1554,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
           col("value"))
     }, Some {
-      val rows = Similarity.signMatrix(16, 64).zipWithIndex.map { case (r, j) =>
-        r.map(v => if (v > 0) "1.0" else "-1.0")
-          .mkString(s"($j, [", ", ", "])")
-      }.mkString(", ")
+      val rows = signMatrixValues
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |s(j, sv) AS (VALUES $rows)
          |SELECT vec_id, CAST(j AS BIGINT) AS dim_idx,
@@ -1686,10 +1691,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       Similarity.cosineTopK(proj, proj.filter("vec_id < 8"), "vec_id", "proj",
         k = 10).select("query_id", "neighbor_id", "rnk")
     }, Some {
-      val rows = Similarity.signMatrix(16, 64).zipWithIndex.map { case (r, j) =>
-        r.map(v => if (v > 0) "1.0" else "-1.0")
-          .mkString(s"($j, [", ", ", "])")
-      }.mkString(", ")
+      val rows = signMatrixValues
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |s(j, sv) AS (VALUES $rows),
          |pr AS (

@@ -112,9 +112,12 @@ class MountFileSystem extends FileSystem {
   }
 
   /** `file:<root>/a/b` → `scheme:/a/b` (for returned statuses). */
-  private def toMount(p: Path): Path = {
+  private[graft] def toMount(p: Path): Path = {
     val lp = p.toUri.getPath
-    require(lp.startsWith(root),
+    // true descendants only: bare startsWith(root) lets a SIBLING whose
+    // name extends the root ("/mnt/ab" under root "/mnt/a") pass and remap
+    // to a bogus mount path instead of failing the escape check
+    require(lp == root || lp.startsWith(root + "/"),
       s"local path $lp escaped mount root $root")
     val rel = lp.stripPrefix(root)
     new Path(mountUri.getScheme + ":" + (if (rel.isEmpty) "/" else rel))

@@ -59,15 +59,23 @@ object PathCodec {
     * through literally rather than throwing mid-signature. */
   def pctDecode(s: String): String = {
     val out = new java.io.ByteArrayOutputStream(s.length)
+    // literal chars are buffered as a RUN and UTF-8-encoded whole: per-char
+    // encoding turns each half of a surrogate pair (any non-BMP literal)
+    // into the replacement byte, corrupting the canonical form being signed
+    val run = new java.lang.StringBuilder
+    def flushRun(): Unit = if (run.length > 0) {
+      out.write(run.toString.getBytes("UTF-8")); run.setLength(0)
+    }
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       val hi = if (c == '%' && i + 2 < s.length)
         Character.digit(s.charAt(i + 1), 16) else -1
       val lo = if (hi >= 0) Character.digit(s.charAt(i + 2), 16) else -1
-      if (lo >= 0) { out.write(hi * 16 + lo); i += 3 }
-      else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
+      if (lo >= 0) { flushRun(); out.write(hi * 16 + lo); i += 3 }
+      else { run.append(c); i += 1 }
     }
+    flushRun()
     new String(out.toByteArray, "UTF-8")
   }
 }

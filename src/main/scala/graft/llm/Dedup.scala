@@ -196,12 +196,13 @@ object Dedup {
   def shingleArray(text: Column, n: Int): Column = {
     // whitespace-run tokenization: one regexp_replace pass collapses every
     // whitespace run to a single space, then the hot split stays on the
-    // literal-space path. (Splitting directly on the \\s+ char class
+    // literal-space path. (Splitting directly on the char class
     // measured ~35% slower end-to-end on simhash; a translate()-based
     // char map measured slower still.) Token streams are identical to
     // [[TextOps.words]] for any non-blank doc (blank docs: words' []
     // vs [""] here -- both collapse to the single "" shingle below).
-    val w = split(trim(regexp_replace(text, "\\s+", " ")), " ")
+    // TextOps.WsRun, not Java \s: RE2 oracles exclude VT from \s.
+    val w = split(trim(regexp_replace(text, TextOps.WsRun, " ")), " ")
     when(size(w) >= n,
       array_distinct(transform(sequence(lit(0), size(w) - n),
         i => concat_ws(" ", slice(w, i + 1, lit(n))))))

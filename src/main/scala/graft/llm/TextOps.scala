@@ -52,14 +52,22 @@ object TextOps {
     * DELIBERATELY ASCII `\s`, unlike [[normalize]]'s Unicode class: NBSP
     * exists precisely to mark a non-breaking point, so a TOKENIZER keeping
     * "U.S. Navy" as one token is semantically right even though the
-    * dedup FINGERPRINT treats the same byte as whitespace. Both engines'
-    * `\s` agree on the ASCII set (the oracles' string_split_regex replays
-    * this split exactly), so the choice is also oracle-stable. */
+    * dedup FINGERPRINT treats the same byte as whitespace. Split on
+    * [[WsRun]], NOT Java `\s`: Java's `\s` also matches VT (U+000B)
+    * while DuckDB/RE2's does not, so VT-bearing text would tokenize
+    * differently from the oracles' string_split_regex('\s+'). */
   def words(text: Column): Column = {
     val t = trim(text)
     when(length(t) === 0, array().cast("array<string>"))
-      .otherwise(split(t, "\\s+"))
+      .otherwise(split(t, WsRun))
   }
+
+  /** The RE2/DuckDB `\s` ASCII set — space \t \n \f \r — as a Java regex
+    * run. Java's own `\s` ALSO matches VT (U+000B); RE2's does not. Every
+    * text-tokenization split/collapse mirrored by a DuckDB
+    * string_split_regex/regexp_replace('\s+') oracle must use THIS class,
+    * or VT-bearing documents tokenize differently between the engines. */
+  private[llm] val WsRun = "[ \\t\\n\\f\\r]+"
 
   /** Exact whitespace token count. */
   def wordCount(text: Column): Column = size(words(text)).cast("long")
@@ -448,7 +456,7 @@ object TextOps {
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST: it may encode the others
       .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
-    trim(regexp_replace(ent, "\\s+", " "))
+    trim(regexp_replace(ent, WsRun, " ")) // RE2-agreeing class, see WsRun
   }
 
   /**

@@ -44,13 +44,19 @@ object Scan {
           e: java.util.Map.Entry[(String, String, Long, String, String), AnyRef]): Boolean =
         size() > 8
     }
+  /** md5 identity of an ordered path list. NUL-terminates each path inside
+    * the digest: concatenation alone makes ["ab","c"] and ["a","bc"]
+    * collide to one key (and wrong masks are silent wrong RESULTS);
+    * 0x00 cannot appear in a valid path. */
+  private[graft] def fileSetId(paths: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    paths.foreach { p => md.update(p.getBytes("UTF-8")); md.update(0.toByte) }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   private def memoLookup[T <: AnyRef](spark: SparkSession, snapshot: Snapshot,
       kind: String, paths: Seq[String])(build: => T): T = {
-    val setId = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      paths.foreach(p => md.update(p.getBytes("UTF-8")))
-      md.digest().map("%02x".format(_)).mkString
-    }
+    val setId = fileSetId(paths)
     val key = (spark.sparkContext.applicationId, snapshot.tablePath.toString,
       snapshot.version, kind, setId)
     // build OUTSIDE the lock: blob reads + broadcast can take seconds and

@@ -27,6 +27,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 BAD_TYPES = {"HUGEINT", "UHUGEINT"}
 
+# Second flagged class: raw TIMESTAMP/TIMESTAMPTZ output cells. q51's first
+# two rounds of red were timestamp-normalization-flavored before the HUGEINT
+# root cause surfaced — the driver's pandas fetch and the builder's Arrow
+# fetch render timestamp cells through different normalization paths, so any
+# NEW entry emitting one must be a deliberate decision, not an accident.
+# DATE cells are fine (both fetch paths render 'YYYY-MM-DD').
+# Allowlist: every entry below has been hash-green on the DRIVER gate for
+# multiple rounds with these exact raw-timestamp cells (r10 = 210/210), so
+# their cell paths are proven; new entries should prefer DATE casts or
+# epoch/yyyymmdd BIGINT keys and only join this list once driver-proven.
+TIMESTAMP_ALLOWLIST = {
+    "delete_partial", "delete_partition", "delta_partition_pruning",
+    "delta_scan_full", "delta_scan_pruned", "events_funnel", "events_hourly",
+    "events_session_bounds", "generate_manifest", "merge_upsert",
+    "optimize_compact", "optimize_incremental", "optimize_zorder",
+    "replace_where", "stats_columns", "streaming_sessions",
+    "streaming_windowed_agg", "time_travel", "tpch_q18_shape",
+    "tpch_q3_shape", "vacuum_op",
+}
+
 
 def main(sf_dir, oracle_json):
     con = duckdb.connect()
@@ -50,12 +70,20 @@ def main(sf_dir, oracle_json):
         if bad:
             n_bad += 1
             print(f"BAD  {name}: un-cast widened output cells: {bad}")
+        ts = [(c[0], c[1]) for c in cols if "TIMESTAMP" in c[1].upper()]
+        if ts and name not in TIMESTAMP_ALLOWLIST:
+            n_bad += 1
+            print(f"BAD  {name}: raw timestamp output cells {ts} — prefer a "
+                  "DATE cast or an epoch/yyyymmdd BIGINT key; allowlist only "
+                  "once the DRIVER gate has proven the cells green")
     if n_bad:
         print(f"\n{n_bad}/{len(oracle)} entries failed the audit — un-cast "
               "HUGEINT cells need CAST(... AS BIGINT) in the final SELECT; "
+              "un-allowlisted TIMESTAMP cells need DATE/BIGINT forms; "
               "DESCRIBE failures need DuckDB-runnable SQL.")
         sys.exit(1)
-    print(f"clean: {len(oracle)} oracle entries, no HUGEINT/UHUGEINT output cells")
+    print(f"clean: {len(oracle)} oracle entries, no HUGEINT/UHUGEINT and no "
+          "un-vetted timestamp output cells")
 
 
 if __name__ == "__main__":

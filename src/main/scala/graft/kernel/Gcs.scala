@@ -229,14 +229,17 @@ class GcsClient(
       .header("x-goog-if-generation-match", "0")
       .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes))
       .build()
-    send(req, HttpResponse.BodyHandlers.ofByteArray()).statusCode() match {
+    val resp = send(req, HttpResponse.BodyHandlers.ofByteArray())
+    resp.statusCode() match {
       case 200 | 201 => true
       case 412 => false // generation != 0: an object exists = version taken
-      case 429 =>
+      case s @ (429 | 503) =>
         // same-key mutation rate limit — see the class doc for why this is
-        // a transient retry here, NOT the reference's AlreadyExists mapping
-        throw new java.io.IOException(
-          s"conditional put of $key rate-limited (GCS 429); retry")
+        // a transient retry here, NOT the reference's AlreadyExists mapping.
+        // Paced when GCS sends Retry-After (the commit loop honors it).
+        HttpWire.throttled(s,
+          Option(resp.headers().firstValue("Retry-After").orElse(null)),
+          s"conditional put of $key (GCS)")
       case other => throw new java.io.IOException(
         s"conditional put of $key failed: HTTP $other")
     }

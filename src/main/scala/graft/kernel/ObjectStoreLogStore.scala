@@ -80,7 +80,44 @@ private[kernel] object HttpWire {
       .orElse(scala.util.Try(
         java.time.OffsetDateTime.parse(ts).toInstant.toEpochMilli).toOption)
       .getOrElse(0L)
+
+  /** Max single server-directed wait honored from a Retry-After header —
+    * a misconfigured/hostile store must not park the writer for an hour. */
+  val MaxRetryAfterMs: Long = 30000L
+
+  /** Parse a Retry-After header value (RFC 9110: delta-seconds or
+    * HTTP-date) to a clamped milliseconds wait. Unparseable → None (the
+    * caller falls back to its own backoff). */
+  def retryAfterMs(value: String): Option[Long] = {
+    val v = value.trim
+    scala.util.Try(v.toLong * 1000L).toOption
+      .orElse(scala.util.Try {
+        val at = java.time.ZonedDateTime.parse(
+          v, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+        at.toInstant.toEpochMilli - System.currentTimeMillis()
+      }.toOption)
+      .map(ms => math.min(math.max(ms, 0L), MaxRetryAfterMs))
+  }
+
+  /** Throw the right transient error for a throttle response (429/503):
+    * paced when the server sent a usable Retry-After, plain IOException
+    * otherwise. The commit loop honors the pace from a SEPARATE budget so
+    * a sustained-but-bounded throttle window cannot burn the conflict
+    * retry allowance (README "sustained throttling" deployment caveat). */
+  def throttled(status: Int, retryAfter: Option[String], what: String): Nothing =
+    retryAfter.flatMap(retryAfterMs) match {
+      case Some(ms) => throw new RetryPacedException(
+        s"$what throttled (HTTP $status, Retry-After ${ms}ms)", ms)
+      case None => throw new java.io.IOException(
+        s"$what throttled (HTTP $status, no usable Retry-After); retry")
+    }
 }
+
+/** A store told us to slow down AND by how much (429/503 + Retry-After).
+  * An IOException so every existing transient-retry classification still
+  * applies; carries the server-directed pace for callers that honor it. */
+class RetryPacedException(msg: String, val retryAfterMs: Long)
+  extends java.io.IOException(msg)
 
 class InMemoryPutClient extends ConditionalPutClient {
   private case class Blob(bytes: Array[Byte], createdMs: Long)

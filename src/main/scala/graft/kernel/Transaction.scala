@@ -122,6 +122,14 @@ class OptimisticTransaction(
       attempt = math.max(attempt, known + 1)
     }
     var retries = 0
+    // Server-directed throttle pacing (RetryPacedException) draws from its
+    // OWN budget: a sustained-but-bounded 429/503 window with Retry-After
+    // must not burn the conflict/transient retry allowance above — 15
+    // generic retries sum to ~13s of backoff, shorter than one real S3
+    // SlowDown window. Cumulative paced wait is capped so a permanently
+    // throttling store still fails loudly instead of parking forever.
+    var pacedWaitMs = 0L
+    val maxPacedWaitMs = 120000L
     while (true) {
       val path = new Path(log.logPath, LogStore.commitFileName(attempt))
       // The catches are scoped to the writeAtomic call ONLY: a postCommit
@@ -201,6 +209,24 @@ class OptimisticTransaction(
               attempt = top + 1
               false
             }
+          case e: RetryPacedException =>
+            // Honor the server's pace, same-version retry (a landed put
+            // resolves via the ghost-commit txnId check above). Budget
+            // accounting floors at 100ms per paced retry so a store
+            // spamming `Retry-After: 0` still terminates at the cap.
+            pacedWaitMs += math.max(e.retryAfterMs, 100L)
+            if (pacedWaitMs > maxPacedWaitMs)
+              throw new CommitConflictException("MaxCommitRetries",
+                s"gave up after ${pacedWaitMs}ms of server-directed throttle " +
+                  s"pacing at version $attempt (last: ${e.getMessage})")
+            try Thread.sleep(e.retryAfterMs)
+            catch {
+              case _: InterruptedException =>
+                Thread.currentThread().interrupt()
+                throw new CommitConflictException("Interrupted",
+                  s"interrupted during server-directed pacing before retrying version $attempt")
+            }
+            false
           case e: java.io.IOException =>
             // Transient store failure (timeout, 5xx): retry the SAME version —
             // if the put actually landed, the next round's already-exists path

@@ -35,6 +35,19 @@ class MockObjectStoreServer(pageSize: Int = 1000,
 
   def stop(): Unit = { server.stop(0); pool.shutdownNow() }
 
+  /** Fault injection: the next N conditional PUTs answer 429 with
+    * `Retry-After: <retryAfterSecs>` (sustained-throttle window). An
+    * empty retryAfterSecs sends the 429 WITHOUT the header. */
+  @volatile var throttlePuts: Int = 0
+  @volatile var throttleRetryAfterSecs: Option[Int] = Some(1)
+  private val throttled429 = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** How many PUTs were actually answered 429 since construction. */
+  def throttledCount: Int = throttled429.get()
+  private def takeThrottle(): Boolean = synchronized {
+    if (throttlePuts > 0) { throttlePuts -= 1; throttled429.incrementAndGet(); true }
+    else false
+  }
+
   private def respond(ex: HttpExchange, code: Int, body: Array[Byte] = Array.empty): Unit = {
     ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
     if (body.nonEmpty) ex.getResponseBody.write(body)
@@ -107,7 +120,12 @@ class MockObjectStoreServer(pageSize: Int = 1000,
       case ("PUT", p) =>
         val key = decodeKey(p)
         val conditional = Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains("*")
-        if (conditional) respond(ex, if (store.putIfAbsent(key, body)) 200 else 412)
+        if (conditional && takeThrottle()) {
+          throttleRetryAfterSecs.foreach(s =>
+            ex.getResponseHeaders.set("Retry-After", s.toString))
+          respond(ex, 429)
+        }
+        else if (conditional) respond(ex, if (store.putIfAbsent(key, body)) 200 else 412)
         else { store.delete(key); store.putIfAbsent(key, body); respond(ex, 200) }
       case ("GET", p) =>
         store.get(decodeKey(p)) match {

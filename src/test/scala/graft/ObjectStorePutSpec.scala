@@ -244,6 +244,44 @@ class ObjectStorePutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fault: sustained 429+Retry-After throttle paces the loop, own budget") {
+    val s = new MockObjectStoreServer()
+    servers.synchronized { servers += s }
+    val client = new HttpPutClient(s.endpoint)
+
+    // wire level: the throttle surfaces as a paced exception carrying the
+    // server-directed wait (delta-seconds form)
+    s.throttlePuts = 1
+    s.throttleRetryAfterSecs = Some(1)
+    val e = intercept[graft.kernel.RetryPacedException] {
+      client.putIfAbsent("/probe", "x".getBytes)
+    }
+    assert(e.retryAfterMs == 1000L)
+    assert(client.putIfAbsent("/probe", "x".getBytes)) // window over
+
+    val store = new ObjectStoreLogStore(spark.sessionState.newHadoopConf(), client)
+    withScheme("graftthrottle", store) { log =>
+      createTable(log)
+      // (a) pacing honored: 2 throttled puts at Retry-After: 1 → ≥ ~2s wall
+      s.throttlePuts = 2
+      val t0 = System.nanoTime()
+      assert(blindAppend(log, "a.parquet") == 1L)
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(ms >= 1900, s"commit must sleep the server-directed pace, took ${ms}ms")
+      // (b) separate budget: 25 consecutive throttles exceed the 15-retry
+      // generic allowance — success proves paced retries draw from their
+      // own (cumulative-wait) cap, not the conflict retry budget
+      s.throttleRetryAfterSecs = Some(0)
+      s.throttlePuts = 25
+      assert(blindAppend(log, "b.parquet") == 2L)
+      assert(s.throttledCount == 28, s"expected 28 throttled puts, got ${s.throttledCount}")
+      // (c) a 429 WITHOUT Retry-After stays on the generic transient path
+      s.throttleRetryAfterSecs = None
+      s.throttlePuts = 3
+      assert(blindAppend(log, "c.parquet") == 3L)
+    }
+  }
+
   test("end-to-end: 8 racing blind appends through FsPutClient all land") {
     racingAppends("graftrace",
       new FsPutClient(Files.createTempDirectory("graft_race_")))

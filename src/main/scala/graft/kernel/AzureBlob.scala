@@ -172,9 +172,15 @@ class AzureBlobClient(
       Map("x-ms-blob-type" -> "BlockBlob", "If-None-Match" -> "*"))
       .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes))
       .build()
-    send(req, HttpResponse.BodyHandlers.ofByteArray()).statusCode() match {
+    val resp = send(req, HttpResponse.BodyHandlers.ofByteArray())
+    resp.statusCode() match {
       case 200 | 201 => true
       case 409 | 412 => false // BlobAlreadyExists / precondition: key exists
+      case s @ (429 | 503) =>
+        // ServerBusy/IngressOverLimit: Azure documents Retry-After (and
+        // x-ms-retry-after-ms) pacing on throttle responses — honored by
+        // the commit loop from its own pacing budget
+        HttpWire.throttled(s, resp, s"conditional put of $key (Azure)")
       case other => throw new java.io.IOException(
         s"conditional put of $key failed: HTTP $other")
     }

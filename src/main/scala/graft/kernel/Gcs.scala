@@ -237,9 +237,7 @@ class GcsClient(
         // same-key mutation rate limit — see the class doc for why this is
         // a transient retry here, NOT the reference's AlreadyExists mapping.
         // Paced when GCS sends Retry-After (the commit loop honors it).
-        HttpWire.throttled(s,
-          Option(resp.headers().firstValue("Retry-After").orElse(null)),
-          s"conditional put of $key (GCS)")
+        HttpWire.throttled(s, resp, s"conditional put of $key (GCS)")
       case other => throw new java.io.IOException(
         s"conditional put of $key failed: HTTP $other")
     }

@@ -94,9 +94,7 @@ class HttpPutClient(
         // SlowDown/throttle: honor the server's Retry-After pace when sent
         // (real S3 paces sustained 503 SlowDown windows; hammering at our
         // own cadence burns the retry budget mid-window)
-        HttpWire.throttled(s,
-          Option(resp.headers().firstValue("Retry-After").orElse(null)),
-          s"conditional put of $key")
+        HttpWire.throttled(s, resp, s"conditional put of $key")
       case other => throw new java.io.IOException(
         s"conditional put of $key failed: HTTP $other")
     }

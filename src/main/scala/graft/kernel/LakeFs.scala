@@ -74,7 +74,12 @@ class LakeFsClient(
     HttpWire.send(http, r, h, "lakeFS")
 
   private def fail(what: String, resp: HttpResponse[_]): Nothing =
-    throw new java.io.IOException(s"lakeFS $what failed: HTTP ${resp.statusCode()}")
+    resp.statusCode() match {
+      // rate limits pace the caller's retry via the shared header rule
+      case s @ (429 | 503) => HttpWire.throttled(s, resp, s"lakeFS $what")
+      case other =>
+        throw new java.io.IOException(s"lakeFS $what failed: HTTP $other")
+    }
 
   def createBranch(repo: String, name: String, source: String): Unit = {
     val body = s"""{"name":${jstr(name)},"source":${jstr(source)}}"""

@@ -111,6 +111,25 @@ private[kernel] object HttpWire {
       case None => throw new java.io.IOException(
         s"$what throttled (HTTP $status, no usable Retry-After); retry")
     }
+
+  /** [[throttled]] reading the pace off the response — the ONE place that
+    * knows the header dialects (`Retry-After` everywhere; Azure services
+    * also emit `x-ms-retry-after-ms`), so the per-client call sites cannot
+    * drift apart (the PathCodec lesson). */
+  def throttled(status: Int, resp: java.net.http.HttpResponse[_], what: String): Nothing = {
+    def hdr(name: String): Option[String] =
+      Option(resp.headers().firstValue(name).orElse(null))
+    val pace = hdr("Retry-After").flatMap(retryAfterMs)
+      .orElse(hdr("x-ms-retry-after-ms")
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        .map(ms => math.min(math.max(ms, 0L), MaxRetryAfterMs)))
+    pace match {
+      case Some(ms) => throw new RetryPacedException(
+        s"$what throttled (HTTP $status, server-directed wait ${ms}ms)", ms)
+      case None => throw new java.io.IOException(
+        s"$what throttled (HTTP $status, no usable Retry-After); retry")
+    }
+  }
 }
 
 /** A store told us to slow down AND by how much (429/503 + Retry-After).

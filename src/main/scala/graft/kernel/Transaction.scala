@@ -219,7 +219,10 @@ class OptimisticTransaction(
               throw new CommitConflictException("MaxCommitRetries",
                 s"gave up after ${pacedWaitMs}ms of server-directed throttle " +
                   s"pacing at version $attempt (last: ${e.getMessage})")
-            try Thread.sleep(e.retryAfterMs)
+            // sleep the same floored value being accounted: a raw
+            // `Retry-After: 0` (or a past HTTP-date clamped to 0) must not
+            // turn into up to 1200 back-to-back zero-backoff PUTs
+            try Thread.sleep(math.max(e.retryAfterMs, 100L))
             catch {
               case _: InterruptedException =>
                 Thread.currentThread().interrupt()

@@ -63,11 +63,12 @@ object TextOps {
   }
 
   /** The RE2/DuckDB `\s` ASCII set — space \t \n \f \r — as a Java regex
-    * run. Java's own `\s` ALSO matches VT (U+000B); RE2's does not. Every
-    * text-tokenization split/collapse mirrored by a DuckDB
-    * string_split_regex/regexp_replace('\s+') oracle must use THIS class,
-    * or VT-bearing documents tokenize differently between the engines. */
-  private[llm] val WsRun = "[ \\t\\n\\f\\r]+"
+    * class. Java's own `\s` ALSO matches VT (U+000B); RE2's does not.
+    * Every text regex mirrored by a DuckDB '\s' oracle (tokenizing splits,
+    * whitespace collapses, the gopher line matchers) must use THIS class,
+    * or VT-bearing documents score differently between the engines. */
+  private[llm] val WsCls = "[ \\t\\n\\f\\r]"
+  private[llm] val WsRun = WsCls + "+"
 
   /** Exact whitespace token count. */
   def wordCount(text: Column): Column = size(words(text)).cast("long")
@@ -272,8 +273,9 @@ object TextOps {
     val nl = size(lines).cast("long")
     val alphaWords = size(filter(w, s => s.rlike("[A-Za-z]"))).cast("long")
     val symbolHits = size(regexp_extract_all(t, lit("#|\\.\\.\\.|…"), lit(0))).cast("long")
-    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
-    val ellipsisLines = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    // WsCls, not Java \s: the oracle's RE2 '\s' excludes VT (U+000B)
+    val bulletLines = size(filter(lines, l => l.rlike(s"^$WsCls*[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines, l => l.rlike(s"(\\.\\.\\.|…)$WsCls*$$"))).cast("long")
     val stopHits = size(filter(transform(w, s => lower(s)),
       s => gopherStopwords.map(m => s === lit(m)).reduce(_ || _))).cast("long")
     def ratio(num: Column, den: Column): Column =

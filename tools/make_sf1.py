@@ -61,11 +61,17 @@ def main(out_dir="/tmp/graft_sf1", copies=10):
         f"SELECT max(doc_id)+1 FROM read_parquet('{SRC}/documents.parquet')"
     ).fetchone()[0]
     write("documents", f"""
-        SELECT doc_id + c.i*{did} AS doc_id,
-               CASE WHEN c.i = 0 THEN text
-                    ELSE 'c' || c.i || ' ' || text END AS text,
-               lang, source, n_chars
-        FROM read_parquet('{SRC}/documents.parquet'), (SELECT unnest({rng}) AS i) c""")
+        WITH salted AS (
+          SELECT doc_id + c.i*{did} AS doc_id,
+                 CASE WHEN c.i = 0 THEN text
+                      ELSE 'c' || c.i || ' ' || text END AS text,
+                 lang, source
+          FROM read_parquet('{SRC}/documents.parquet'), (SELECT unnest({rng}) AS i) c)
+        SELECT doc_id, text, lang, source,
+               -- recomputed: the salt changes the length, and the sf0.1
+               -- invariant n_chars = length(text) must hold at sf1 too
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM salted""")
 
     vid = con.execute(
         f"SELECT max(vec_id)+1 FROM read_parquet('{SRC}/embeddings.parquet')"

@@ -54,7 +54,7 @@ def main(sf_dir, oracle_json):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(oracle_json))
-    n_bad = 0
+    bad_entries = set()
     for name, sql in sorted(oracle.items()):
         try:
             cols = con.execute(f"DESCRIBE {sql}").fetchall()
@@ -63,19 +63,20 @@ def main(sf_dir, oracle_json):
             # can't even DESCRIBE is exactly the unvetted class this gate
             # exists to stop (and would fail the driver's oracle run too)
             print(f"BAD  {name}: DESCRIBE failed: {str(e)[:200]}")
-            n_bad += 1
+            bad_entries.add(name)
             continue
         bad = [(c[0], c[1]) for c in cols
                if any(b in c[1].upper() for b in BAD_TYPES)]
         if bad:
-            n_bad += 1
+            bad_entries.add(name)
             print(f"BAD  {name}: un-cast widened output cells: {bad}")
         ts = [(c[0], c[1]) for c in cols if "TIMESTAMP" in c[1].upper()]
         if ts and name not in TIMESTAMP_ALLOWLIST:
-            n_bad += 1
+            bad_entries.add(name)
             print(f"BAD  {name}: raw timestamp output cells {ts} — prefer a "
                   "DATE cast or an epoch/yyyymmdd BIGINT key; allowlist only "
                   "once the DRIVER gate has proven the cells green")
+    n_bad = len(bad_entries)
     if n_bad:
         print(f"\n{n_bad}/{len(oracle)} entries failed the audit — un-cast "
               "HUGEINT cells need CAST(... AS BIGINT) in the final SELECT; "

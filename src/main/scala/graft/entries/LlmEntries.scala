@@ -391,10 +391,27 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
 
     Entry("llm_exact_dedup", (s, d) => {
       val docs = docsDelta(s, d).select("doc_id", "text", "lang")
+      // data-derived offset: a fixed +10000 collides with original ids on
+      // any corpus of >10000 docs (1-row driver aggregate, not data-plane)
+      val off = docs.agg(max(col("doc_id")).cast("long")).head().getLong(0) + 1L
       val doubled = docs.unionByName(
-        docs.withColumn("doc_id", col("doc_id") + 10000))
+        docs.withColumn("doc_id", col("doc_id") + lit(off)))
       Dedup.exactKeepMin(doubled, "doc_id", Seq("text")).select("doc_id", "lang")
-    }, Some("SELECT doc_id, lang FROM documents")),
+    },
+      // keep-min per distinct text over the doubled corpus — NOT
+      // `SELECT doc_id, lang FROM documents`: that shortcut assumed every
+      // original text is unique, which held at sf0.001/0.01 but not sf0.1
+      // (8 native duplicate texts in the driver's 5000-doc table; caught
+      // by the round-11 full-gate sf0.1 probe — Spark's 4992 was correct,
+      // the oracle's 5000 was wrong)
+      Some(
+        """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+          |doubled AS (
+          |  SELECT doc_id, text, lang FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + (SELECT o FROM off) AS doc_id, text, lang FROM documents)
+          |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, min_by(lang, doc_id) AS lang
+          |FROM doubled GROUP BY text""".stripMargin)),
 
     Entry("llm_neardup_minhash", (s, d) =>
       Dedup.minhashNearDups(corpusWithNearDups(s, d), "doc_id", "text",

@@ -60,11 +60,21 @@ def main(out_dir="/tmp/graft_sf1", copies=10):
     did = con.execute(
         f"SELECT max(doc_id)+1 FROM read_parquet('{SRC}/documents.parquet')"
     ).fetchone()[0]
+    # WORD-level salt: a prefix-only salt leaves the copies' 3-gram shingle
+    # sets ~identical (jaccard → 1), making every copy a TRUE near-dup of
+    # its siblings — output pairs then inflate C(copies,2) per identity
+    # group by construction and the near-dup rows measure the synthetic
+    # blowup, not engine scaling (observed: 27x ngram_jaccard at 10x rows).
+    # Prefixing every token gives cross-copy-disjoint shingles while each
+    # copy keeps the organic within-copy near-dup density → true pairs
+    # scale linearly in copies, which is the honest scaling workload.
     write("documents", f"""
         WITH salted AS (
           SELECT doc_id + c.i*{did} AS doc_id,
                  CASE WHEN c.i = 0 THEN text
-                      ELSE 'c' || c.i || ' ' || text END AS text,
+                      ELSE array_to_string(
+                        list_transform(string_split(text, ' '),
+                                       w -> 'c' || c.i || w), ' ') END AS text,
                  lang, source
           FROM read_parquet('{SRC}/documents.parquet'), (SELECT unnest({rng}) AS i) c)
         SELECT doc_id, text, lang, source,

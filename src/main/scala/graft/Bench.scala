@@ -392,10 +392,18 @@ object Bench {
     // (invalid JSON).
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // sfDir is environment-controlled: a quote/backslash in the path must
-    // not corrupt the round's only bench record
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // sfDir is environment-controlled: a quote/backslash/control char in
+    // the path must not corrupt the round's only bench record (same
+    // full control-char escape as Verify.q — two-replace missed <0x20)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def jmap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // headline plans: only queries with at least one join (the census

@@ -11,9 +11,15 @@ import graft.entries.{CoreEntries, EntryCtx, LlmEntries, TpcdsEntries, TpchEntri
   * [[graft.entries.TpchEntries]]. */
 object SparkEntry {
 
-  private lazy val all =
-    CoreEntries.entries ++ LlmEntries.entries ++ TpcdsEntries.entries ++
+  private lazy val all = {
+    val es = CoreEntries.entries ++ LlmEntries.entries ++ TpcdsEntries.entries ++
       TpchEntries.entries
+    // a duplicate name would silently DROP an entry in the .toMap below —
+    // the gate's denominator shrinks and the driver still reads all-green
+    val dups = es.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty, s"duplicate entry names: ${dups.mkString(", ")}")
+    es
+  }
 
   /** Entries run on the DRIVER's session, which may not share Verify/Bench's
     * UTC pin — date-cast groupings (q51/q67/events) would silently flap on a

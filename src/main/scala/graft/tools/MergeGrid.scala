@@ -105,9 +105,13 @@ object MergeGrid {
     * validate_delete_only / validate_upsert, plus the insert-only
     * no-rewrite invariants. */
   def validate(c: Case, m: Map[String, String]): Seq[String] = {
-    def zero(field: String): Option[String] =
-      if (m.getOrElse(field, "0") == "0") None
-      else Some(s"${c.name}: expected $field == 0, found ${m(field)}")
+    def zero(field: String): Option[String] = m.get(field) match {
+      // a MISSING metric is itself a violation: defaulting it to "0"
+      // would turn every validator vacuous if Merge renamed/omitted a key
+      case None => Some(s"${c.name}: metric $field missing from operationMetrics")
+      case Some("0") => None
+      case Some(v) => Some(s"${c.name}: expected $field == 0, found $v")
+    }
     (c.scenario match {
       case "insert_single" | "insert_multiple" =>
         Seq(zero("num_target_rows_updated"), zero("num_target_rows_deleted"),

@@ -12,8 +12,7 @@ import duckdb
 import pyarrow.parquet as pq
 import pyarrow as pa
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+from graft_tables import create_views
 
 
 def norm_cell(v):
@@ -37,9 +36,7 @@ def table_to_rows(tbl: pa.Table):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    create_views(con, sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):

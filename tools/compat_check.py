@@ -182,6 +182,12 @@ def main(table, sum_col=None):
     v2v = max((int(os.path.basename(p).split(".")[0]) for p in v2), default=-1)
     if v2v > ckv:
         ckv = v2v
+        # a checkpoint is a COMPLETE snapshot: replaying the newer v2
+        # manifest on top of an older classic checkpoint's state would keep
+        # files whose remove tombstones expired before the v2 write
+        # (Checkpoints drops tombstones past deletedFileRetentionDuration),
+        # resurrecting dead rows in the replay
+        adds, proto, meta = {}, None, None
         manifest = [p for p in v2
                     if os.path.basename(p).startswith(f"{ckv:020d}.")][-1]
         for line in open(manifest):

@@ -47,6 +47,12 @@ def main(out_dir="/tmp/graft_sf1", copies=10):
     ok = con.execute(
         f"SELECT max(o_orderkey)+1 FROM read_parquet('{SRC}/orders.parquet')"
     ).fetchone()[0]
+    # MergeGrid.benchUpsertSource builds its insert keys as o_orderkey +
+    # 10,000,000; scaled keys crossing that constant would collide with the
+    # shifted rows and garble the merge benches this dataset exists to feed
+    assert copies * ok < 10_000_000, (
+        f"copies*maxKey = {copies * ok} would cross MergeGrid's 10M "
+        "insert-key shift; lower copies or raise the shift in MergeGrid")
     write("orders", f"""
         SELECT o_orderkey + c.i*{ok} AS o_orderkey, o_custkey, o_orderstatus,
                o_totalprice, o_orderdate, o_orderpriority

@@ -22,8 +22,7 @@ import sys
 
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+from graft_tables import create_views
 
 BAD_TYPES = {"HUGEINT", "UHUGEINT"}
 
@@ -50,9 +49,7 @@ TIMESTAMP_ALLOWLIST = {
 
 def main(sf_dir, oracle_json):
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    create_views(con, sf_dir)
     oracle = json.load(open(oracle_json))
     bad_entries = set()
     for name, sql in sorted(oracle.items()):

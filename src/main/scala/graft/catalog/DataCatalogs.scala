@@ -222,7 +222,10 @@ class GlueCatalogClient(
     // this stack reads through Hadoop, where only s3a has a connector — so
     // the USABLE direction here is the inverse (s3→s3a), keeping the
     // forPath-able-URI contract. The Spark placeholder strip is shared.
-    val s3 = loc.replace("s3://", "s3a://")
+    // prefix-anchored, not a global replace: a key whose TEXT embeds
+    // "s3://" (e.g. "backup-of-s3://old") must not be rewritten mid-string
+    val s3 =
+      if (loc.startsWith("s3://")) "s3a://" + loc.stripPrefix("s3://") else loc
     if (s3.endsWith(PlaceholderSuffix)) s3.dropRight(PlaceholderSuffix.length)
     else s3
   }

@@ -84,11 +84,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * with the warehouse FileSystem throws Hadoop's "Wrong FS". Warehouse-
     * resident paths reuse the (possibly uncached-FS) `fs` path above. */
   private def fsFor(p: Path): org.apache.hadoop.fs.FileSystem = {
-    val u = p.toUri; val w = warehouse.toUri
-    val sameScheme = u.getScheme == null || w.getScheme == null ||
-      u.getScheme == w.getScheme
-    if (sameScheme && Option(u.getAuthority) == Option(w.getAuthority)) fs
-    else p.getFileSystem(conf0)
+    // resolve null schemes against fs.defaultFS before comparing: treating
+    // null as a wildcard match routed a concrete-scheme external LOCATION
+    // (file:/...) through a schemeless warehouse's default-FS handle on
+    // HDFS-defaulted clusters — Hadoop "Wrong FS" on every later probe
+    val conf = conf0
+    val d = org.apache.hadoop.fs.FileSystem.getDefaultUri(conf)
+    def key(u: java.net.URI): (String, String) = (
+      Option(u.getScheme).orElse(Option(d.getScheme)).getOrElse("file"),
+      Option(u.getAuthority)
+        .orElse(if (u.getScheme == null) Option(d.getAuthority) else None)
+        .getOrElse(""))
+    if (key(p.toUri) == key(warehouse.toUri)) fs
+    else p.getFileSystem(conf)
   }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -150,15 +158,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def slotOccupied(slot: Path): Boolean =
     isTableDir(slot) || hasPointer(slot)
 
+  /** True when ANY component of the namespace path is a table slot. The
+    * leaf-only checks let multi-level identifiers reach INSIDE a table:
+    * `ns.t.year=2024` (a partition dir of table t) classified as a
+    * namespace, createTable/renameTable could materialize a table inside
+    * another table's tree (where the outer VACUUM deletes the inner's
+    * files as unreferenced debris), and DROP NAMESPACE ... CASCADE on a
+    * partition dir would delete table data while reporting a namespace
+    * drop. Every namespace-classifying entry point routes through this. */
+  private def namespaceInsideTable(namespace: Array[String]): Boolean = {
+    var p = warehouse
+    namespace.exists { seg => p = new Path(p, seg); slotOccupied(p) }
+  }
+
   // ---- tables ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsPath(namespace)
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
     // a TABLE slot is not a namespace (same rule as loadNamespaceMetadata/
-    // dropNamespace): listing "inside" a table would expose its partition
-    // directories as phantom members
-    if (namespace.nonEmpty && slotOccupied(dir))
+    // dropNamespace), and neither is anything INSIDE one: listing there
+    // would expose a table's partition directories as phantom members
+    if (namespaceInsideTable(namespace))
       throw new NoSuchNamespaceException(namespace)
     // probes run CONCURRENTLY (common ForkJoin pool): each slot costs 1-2
     // driver-side RPCs, and sequential exists() made SHOW TABLES O(N)
@@ -206,8 +227,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val external = props.get(TableCatalog.PROP_LOCATION).map(new Path(_))
     val location = external.getOrElse(slot)
     // a typo'd namespace must fail like every other entry point does, not
-    // be silently materialized by the table write
+    // be silently materialized by the table write; a namespace path passing
+    // THROUGH a table slot must fail too — it would nest this table inside
+    // another, where the outer table's VACUUM deletes the inner's files
     if (ident.namespace().nonEmpty && !fs.exists(nsPath(ident.namespace())))
+      throw new NoSuchNamespaceException(ident.namespace())
+    if (namespaceInsideTable(ident.namespace()))
       throw new NoSuchNamespaceException(ident.namespace())
     if (slotOccupied(slot)) throw new TableAlreadyExistsException(ident)
     // an existing directory at the slot that is NOT an occupied table slot
@@ -270,6 +295,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       require(schema.nonEmpty,
         s"no Delta table found at $location and no columns declared — " +
           "check the LOCATION, or declare a schema to create a new table")
+      // the slot-side conversion guard, applied to the LOCATION side: a
+      // populated non-Delta directory (a namespace, foreign data, another
+      // table's interior) must not be silently converted into a table —
+      // its contents would vanish from listings and VACUUM on the new
+      // table would delete them as unreferenced debris
+      if (external.isDefined) {
+        val lfs = fsFor(location)
+        if (lfs.exists(location) && lfs.listStatus(location).nonEmpty)
+          throw new IllegalStateException(
+            s"cannot create table $ident at LOCATION $location: the " +
+              "directory is populated but holds no Delta table — creating " +
+              "here would swallow its contents; use convert_to_delta to " +
+              "adopt existing parquet data, or choose an empty location")
+      }
       DeltaTable.create(spark, location.toString, schema,
         partitionColumns = partCols,
         configuration = props -- reserved,
@@ -349,6 +388,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // must be wholly absent, not merely unoccupied
     if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
     if (!fs.exists(to.getParent)) throw new NoSuchNamespaceException(newIdent.namespace())
+    // destination namespace passing through a table slot = renaming the
+    // table INSIDE another table (same hazard as createTable's guard)
+    if (namespaceInsideTable(newIdent.namespace()))
+      throw new NoSuchNamespaceException(newIdent.namespace())
     // safe for Delta tables: add.path entries are table-root-relative, and
     // an external slot carries only its pointer file
     require(fs.rename(from, to), s"rename $from -> $to failed")
@@ -371,7 +414,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
       return Array.empty // fresh warehouse root: no namespaces yet
     }
-    if (namespace.nonEmpty && slotOccupied(dir))
+    if (namespaceInsideTable(namespace))
       throw new NoSuchNamespaceException(namespace) // a table is not a namespace
     fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
       .filterNot(slotOccupied)
@@ -380,7 +423,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     val dir = nsPath(namespace)
-    if (!fs.exists(dir) || slotOccupied(dir)) throw new NoSuchNamespaceException(namespace)
+    if (!fs.exists(dir) || namespaceInsideTable(namespace))
+      throw new NoSuchNamespaceException(namespace)
     Map("location" -> dir.toString).asJava
   }
 
@@ -408,8 +452,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else {
       // same occupancy rule as loadNamespaceMetadata: a TABLE slot is not
       // a namespace — DROP NAMESPACE ... CASCADE on a table identifier
-      // would otherwise delete the table and report a namespace drop
-      if (slotOccupied(dir)) throw new NoSuchNamespaceException(namespace)
+      // (or on a partition dir INSIDE one) would otherwise delete table
+      // data and report a namespace drop
+      if (namespaceInsideTable(namespace)) throw new NoSuchNamespaceException(namespace)
       if (!cascade) require(fs.listStatus(dir).isEmpty,
         s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
       fs.delete(dir, true)

@@ -59,6 +59,43 @@ class Round11Spec extends AnyFunSuite {
     assert(e.getMessage.contains("escaped mount root"))
   }
 
+  test("catalog: table interiors are not namespaces — nested create/rename/drop refused") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh11").toString
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.catalog.g11", "graft.catalog.GraftCatalog")
+    ss.conf.set("spark.sql.catalog.g11.warehouse", wh)
+    ss.sql("CREATE NAMESPACE g11.sales")
+    ss.sql("CREATE TABLE g11.sales.orders (id BIGINT, year INT) PARTITIONED BY (year)")
+    ss.sql("INSERT INTO g11.sales.orders VALUES (1, 2024), (2, 2025)")
+    // createTable through a table slot: would nest a table inside orders,
+    // where orders' VACUUM deletes the inner files as unreferenced debris
+    intercept[Exception] {
+      ss.sql("CREATE TABLE g11.sales.orders.backup (i INT)")
+    }
+    assert(!new java.io.File(s"$wh/sales/orders/backup").exists)
+    // rename INTO a table's interior
+    ss.sql("CREATE TABLE g11.t2 (i INT)")
+    intercept[Exception] {
+      ss.sql("ALTER TABLE g11.t2 RENAME TO g11.sales.orders.inner")
+    }
+    assert(new java.io.File(s"$wh/t2/_delta_log").exists, "t2 must not have moved")
+    // a partition dir inside the table is not a namespace: neither listable
+    // nor droppable (CASCADE would delete table data)
+    intercept[Exception] { ss.sql("SHOW TABLES IN g11.sales.orders.`year=2024`") }
+    intercept[Exception] { ss.sql("DROP NAMESPACE g11.sales.orders.`year=2024` CASCADE") }
+    assert(ss.sql("SELECT count(*) FROM g11.sales.orders").head().getLong(0) == 2)
+    // CREATE ... LOCATION onto a populated non-Delta dir refused (namespace
+    // conversion hazard); an empty location still works
+    intercept[Exception] {
+      ss.sql(s"CREATE TABLE g11.x (i INT) LOCATION '$wh/sales'")
+    }
+    assert(!new java.io.File(s"$wh/sales/_delta_log").exists,
+      "the namespace dir must not have been converted into a table")
+    ss.sql(s"CREATE TABLE g11.y (i INT) LOCATION '$wh/../g11_ext_y'")
+    ss.sql("INSERT INTO g11.y VALUES (7)")
+    assert(ss.sql("SELECT i FROM g11.y").head().getInt(0) == 7)
+  }
+
   test("VT (U+000B) tokenizes like the RE2 oracles: literal, not whitespace") {
     import spark.implicits._
     val df = Seq(("ab c", 1)).toDF("text", "i")

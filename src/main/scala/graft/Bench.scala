@@ -393,17 +393,9 @@ object Bench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // sfDir is environment-controlled: a quote/backslash/control char in
-    // the path must not corrupt the round's only bench record (same
-    // full control-char escape as Verify.q — two-replace missed <0x20)
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // the path must not corrupt the round's only bench record — the ONE
+    // shared escape (Verify.q), not a drift-prone copy
+    def jstr(s: String): String = Verify.q(s)
     def jmap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // headline plans: only queries with at least one join (the census

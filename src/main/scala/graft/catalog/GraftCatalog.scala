@@ -308,6 +308,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               "directory is populated but holds no Delta table — creating " +
               "here would swallow its contents; use convert_to_delta to " +
               "adopt existing parquet data, or choose an empty location")
+        // and no ANCESTOR may be a Delta table: an absent/empty location
+        // inside another table's tree would nest this table there, where
+        // the outer table's VACUUM deletes its files as unreferenced
+        var anc = location.getParent
+        while (anc != null) {
+          if (isTableDir(anc)) throw new IllegalStateException(
+            s"cannot create table $ident at LOCATION $location: it lies " +
+              s"inside the Delta table at $anc — VACUUM on that table " +
+              "would delete this table's files; choose a location outside")
+          anc = anc.getParent
+        }
       }
       DeltaTable.create(spark, location.toString, schema,
         partitionColumns = partCols,
@@ -437,7 +448,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // mkdirs would otherwise silently materialize the whole wrong chain
     if (namespace.length > 1) {
       val parent = nsPath(namespace.dropRight(1))
-      if (!fs.exists(parent) || slotOccupied(parent))
+      // every COMPONENT, not just the leaf parent: a deep identifier whose
+      // prefix passes through a table (ns.t.`year=2024`.stash) would
+      // otherwise mkdirs inside the table's tree — invisible, undroppable,
+      // and VACUUM-deletable debris
+      if (!fs.exists(parent) || namespaceInsideTable(namespace.dropRight(1)))
         throw new NoSuchNamespaceException(namespace.dropRight(1))
     }
     fs.mkdirs(dir)

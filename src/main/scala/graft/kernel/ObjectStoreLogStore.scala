@@ -100,22 +100,13 @@ private[kernel] object HttpWire {
   }
 
   /** Throw the right transient error for a throttle response (429/503):
-    * paced when the server sent a usable Retry-After, plain IOException
-    * otherwise. The commit loop honors the pace from a SEPARATE budget so
-    * a sustained-but-bounded throttle window cannot burn the conflict
-    * retry allowance (README "sustained throttling" deployment caveat). */
-  def throttled(status: Int, retryAfter: Option[String], what: String): Nothing =
-    retryAfter.flatMap(retryAfterMs) match {
-      case Some(ms) => throw new RetryPacedException(
-        s"$what throttled (HTTP $status, Retry-After ${ms}ms)", ms)
-      case None => throw new java.io.IOException(
-        s"$what throttled (HTTP $status, no usable Retry-After); retry")
-    }
-
-  /** [[throttled]] reading the pace off the response — the ONE place that
-    * knows the header dialects (`Retry-After` everywhere; Azure services
-    * also emit `x-ms-retry-after-ms`), so the per-client call sites cannot
-    * drift apart (the PathCodec lesson). */
+    * paced (RetryPacedException) when the server sent a usable pace
+    * header, plain IOException otherwise. The commit loop honors the pace
+    * from a SEPARATE budget so a sustained-but-bounded throttle window
+    * cannot burn the conflict retry allowance (README "sustained
+    * throttling" deployment caveat). The ONE place that knows the header
+    * dialects (`Retry-After` everywhere; Azure services also emit
+    * `x-ms-retry-after-ms`), so call sites cannot drift apart. */
   def throttled(status: Int, resp: java.net.http.HttpResponse[_], what: String): Nothing = {
     def hdr(name: String): Option[String] =
       Option(resp.headers().firstValue(name).orElse(null))

@@ -91,9 +91,18 @@ class Round11Spec extends AnyFunSuite {
     }
     assert(!new java.io.File(s"$wh/sales/_delta_log").exists,
       "the namespace dir must not have been converted into a table")
-    ss.sql(s"CREATE TABLE g11.y (i INT) LOCATION '$wh/../g11_ext_y'")
+    // fresh per-run temp dir: a fixed path would make reruns take the
+    // REGISTER branch (table already there) instead of the create path
+    val extDir = java.nio.file.Files.createTempDirectory("g11_ext").toString + "/y"
+    ss.sql(s"CREATE TABLE g11.y (i INT) LOCATION '$extDir'")
     ss.sql("INSERT INTO g11.y VALUES (7)")
     assert(ss.sql("SELECT i FROM g11.y").head().getInt(0) == 7)
+    // LOCATION nesting inside a table's tree refused even when the target
+    // dir does not exist yet (the ancestor walk)
+    intercept[Exception] {
+      ss.sql(s"CREATE TABLE g11.z (i INT) LOCATION '$wh/sales/orders/backup2'")
+    }
+    assert(!new java.io.File(s"$wh/sales/orders/backup2").exists)
   }
 
   test("VT (U+000B) tokenizes like the RE2 oracles: literal, not whitespace") {

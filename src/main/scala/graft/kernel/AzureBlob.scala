@@ -175,7 +175,23 @@ class AzureBlobClient(
     val resp = send(req, HttpResponse.BodyHandlers.ofByteArray())
     resp.statusCode() match {
       case 200 | 201 => true
-      case 409 | 412 => false // BlobAlreadyExists / precondition: key exists
+      case 412 => false // precondition: key exists
+      case 409 =>
+        // 409 is AMBIGUOUS on Azure: BlobAlreadyExists = key exists, but
+        // ContainerBeingDeleted / lease conflicts are infrastructure
+        // conditions — mapping those to "exists" sent the commit loop into
+        // the ghost check, which 404s and fails as CommitAmbiguous (a
+        // misleading terminal error). Disambiguate by the error body like
+        // HttpPutClient does for S3's ConditionalRequestConflict; an
+        // UNRECOGNIZED body defaults to exists (the historical mapping).
+        val body = new String(resp.body(), "UTF-8")
+        if (body.contains("ContainerBeingDeleted") ||
+            body.contains("ContainerBeingDisabled") ||
+            body.contains("LeaseIdMissing") || body.contains("LeaseIdMismatch"))
+          throw new java.io.IOException(
+            s"conditional put of $key hit a non-existence 409: " +
+              s"${body.take(200)}; retry")
+        else false
       case s @ (429 | 503) =>
         // ServerBusy/IngressOverLimit: Azure documents Retry-After (and
         // x-ms-retry-after-ms) pacing on throttle responses — honored by
@@ -211,19 +227,11 @@ class AzureBlobClient(
       if (resp.statusCode() != 200)
         throw new java.io.IOException(
           s"list of $prefix failed: HTTP ${resp.statusCode()}")
-      val doc =
-        try secureParser().parse(new java.io.ByteArrayInputStream(resp.body()))
-        catch {
-          case e: org.xml.sax.SAXException =>
-            throw new java.io.IOException(s"unparseable list response for $prefix", e)
-        }
+      val doc = HttpWire.secureXml(resp.body(), s"blob list ($prefix)")
       val blobs = doc.getElementsByTagName("Blob")
       (0 until blobs.getLength).foreach { i =>
         val el = blobs.item(i).asInstanceOf[org.w3c.dom.Element]
-        def text(tag: String): Option[String] = {
-          val ns = el.getElementsByTagName(tag)
-          if (ns.getLength == 0) None else Some(ns.item(0).getTextContent)
-        }
+        def text(tag: String): Option[String] = HttpWire.elemText(el, tag)
         val name = text("Name").getOrElse(throw new java.io.IOException(
           s"list response blob without <Name> for prefix $prefix"))
         val size = text("Content-Length")
@@ -242,13 +250,6 @@ class AzureBlobClient(
       more = marker.isDefined
     }
     out.result().sortBy(_.key)
-  }
-
-  private def secureParser(): javax.xml.parsers.DocumentBuilder = {
-    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    f.setExpandEntityReferences(false)
-    f.newDocumentBuilder()
   }
 
   override def delete(key: String): Boolean = {

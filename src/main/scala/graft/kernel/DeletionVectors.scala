@@ -30,8 +30,20 @@ object PathKeys {
     val decoded = uri.getPath
     val encoded = try new java.net.URI(null, null, decoded, null).getRawPath
       catch { case _: Exception => decoded }
-    Seq(p.toString, uri.toString, decoded, encoded,
-      "file:" + encoded, "file://" + encoded, "file:" + decoded).distinct
+    // bare/file:-prefixed spellings are only REAL spellings for local or
+    // scheme-less paths: emitting them for authority-qualified URIs made
+    // two same-keyed files in DIFFERENT buckets collide to one variant
+    // ('/t/f.parquet') and variantMap refused the whole (unambiguous)
+    // table. Remote paths keep their scheme+authority in every variant.
+    val local = Option(uri.getScheme).forall(_ == "file") && uri.getAuthority == null
+    val extra =
+      if (local)
+        Seq(decoded, encoded, "file:" + encoded, "file://" + encoded, "file:" + decoded)
+      else {
+        val pre = uri.getScheme + "://" + Option(uri.getAuthority).getOrElse("")
+        Seq(pre + decoded, pre + encoded)
+      }
+    (Seq(p.toString, uri.toString) ++ extra).distinct
   }
 
   /** Build a per-file variant-key lookup, failing LOUDLY on a collision:

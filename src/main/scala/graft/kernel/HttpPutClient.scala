@@ -131,19 +131,11 @@ class HttpPutClient(
       // malformed bodies (missing fields, provider timestamp dialects) must
       // surface as IOException — the commit loop's retry classification —
       // never as a raw NPE/DateTimeParseException mid-conflict-check
-      val doc =
-        try secureParser().parse(new java.io.ByteArrayInputStream(resp.body()))
-        catch {
-          case e: org.xml.sax.SAXException =>
-            throw new java.io.IOException(s"unparseable list response for $prefix", e)
-        }
+      val doc = HttpWire.secureXml(resp.body(), s"list ($prefix)")
       val contents = doc.getElementsByTagName("Contents")
       (0 until contents.getLength).foreach { i =>
         val el = contents.item(i).asInstanceOf[org.w3c.dom.Element]
-        def text(tag: String): Option[String] = {
-          val ns = el.getElementsByTagName(tag)
-          if (ns.getLength == 0) None else Some(ns.item(0).getTextContent)
-        }
+        def text(tag: String): Option[String] = HttpWire.elemText(el, tag)
         val key = text("Key").getOrElse(throw new java.io.IOException(
           s"list response entry without <Key> for prefix $prefix"))
         val size = text("Size").flatMap(s => scala.util.Try(s.trim.toLong).toOption)
@@ -162,14 +154,6 @@ class HttpPutClient(
           s"list of $prefix claims IsTruncated without a NextContinuationToken")
     }
     out.result().sortBy(_.key)
-  }
-
-  /** JDK XML parser hardened against XXE — list bodies come off the wire. */
-  private def secureParser(): javax.xml.parsers.DocumentBuilder = {
-    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    f.setExpandEntityReferences(false)
-    f.newDocumentBuilder()
   }
 
   override def delete(key: String): Boolean = {

@@ -90,13 +90,37 @@ private[kernel] object HttpWire {
     * caller falls back to its own backoff). */
   def retryAfterMs(value: String): Option[Long] = {
     val v = value.trim
-    scala.util.Try(v.toLong * 1000L).toOption
+    // clamp the seconds BEFORE multiplying: a huge delta-seconds value
+    // overflows the Long to negative → max(_, 0) → a ZERO pace, the exact
+    // hammering the clamp exists to stop
+    scala.util.Try(math.min(v.toLong, MaxRetryAfterMs / 1000L) * 1000L).toOption
       .orElse(scala.util.Try {
         val at = java.time.ZonedDateTime.parse(
           v, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
         at.toInstant.toEpochMilli - System.currentTimeMillis()
       }.toOption)
       .map(ms => math.min(math.max(ms, 0L), MaxRetryAfterMs))
+  }
+
+  /** XXE-hardened XML parse of a wire response body — the ONE hardening
+    * site (was copy-pasted per client; a hardening fix applied to one copy
+    * silently missed the other). Parse failures surface as IOException =
+    * the commit loop's transient-retry classification. */
+  def secureXml(bytes: Array[Byte], what: String): org.w3c.dom.Document = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setExpandEntityReferences(false)
+    try f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(bytes))
+    catch {
+      case e: org.xml.sax.SAXException =>
+        throw new java.io.IOException(s"unparseable $what response", e)
+    }
+  }
+
+  /** First child element text by tag, shared by the XML list parsers. */
+  def elemText(el: org.w3c.dom.Element, tag: String): Option[String] = {
+    val ns = el.getElementsByTagName(tag)
+    if (ns.getLength == 0) None else Some(ns.item(0).getTextContent)
   }
 
   /** Throw the right transient error for a throttle response (429/503):

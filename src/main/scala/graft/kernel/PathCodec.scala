@@ -25,10 +25,24 @@ object PathCodec {
       else Option(u.getPath).getOrElse(rel)
     } catch { case _: Exception => rel } // tolerate non-URI legacy paths
 
-  /** Literal filesystem path fragment → log-recordable relative URL. */
+  /** Literal filesystem path fragment → log-recordable relative URL.
+    * Encoded via a "./" prefix: a ':' in the FIRST segment otherwise makes
+    * the multi-arg URI constructor parse the input as an opaque scheme'd
+    * URI whose getRawPath is NULL ("backup:final.parquet" → AddFile(path
+    * = null) committed, file orphaned, VACUUM deletes it) — and a
+    * digit-leading first segment threw into the raw-string fallback,
+    * leaving a ':' un-encoded. Any first-segment colon is then explicitly
+    * %3A-escaped: readers parse a leading-segment colon as a URL scheme. */
   def encode(relFsPath: String): String =
-    try new java.net.URI(null, null, relFsPath, null).getRawPath
-    catch { case _: Exception => relFsPath }
+    try {
+      val enc = new java.net.URI(null, null, "./" + relFsPath, null)
+        .getRawPath.stripPrefix("./")
+      val slash = enc.indexOf('/')
+      val first = if (slash < 0) enc else enc.take(slash)
+      if (first.contains(':'))
+        first.replace(":", "%3A") + (if (slash < 0) "" else enc.drop(slash))
+      else enc
+    } catch { case _: Exception => relFsPath }
 
   /** Strict RFC 3986 percent-encoding over the unreserved set
     * (A-Z a-z 0-9 - _ . ~), uppercase hex — the canonical form every

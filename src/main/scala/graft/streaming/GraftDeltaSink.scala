@@ -63,9 +63,15 @@ class GraftDeltaSink(
           DeltaTable.create(spark, path, batch.schema, partitionColumns)
           DeltaTable.forPath(spark, path)
       }
-    if (table.txnVersion(appId).exists(_ >= batchId)) return // replayed batch
-
-    val snap = table.snapshot
+    // Append mode needs only metadata/protocol/txns — materializing the
+    // FULL file index per micro-batch made sink latency and driver memory
+    // scale with TABLE size instead of batch size (a million-file table
+    // replayed its whole Add index every batch); only Complete mode's
+    // whole-table removes need allFiles. Same fast path as BlindDeltaTable.
+    val snap =
+      if (outputMode == OutputMode.Complete()) table.snapshot
+      else table.deltaLog.metadataSnapshot()
+    if (snap.txns.get(appId).exists(_ >= batchId)) return // replayed batch
     val m = snap.metadata
     // an existing table's partitioning wins over .partitionBy(...) — but a
     // MISMATCH must fail fast (delta-spark parity), not silently write the

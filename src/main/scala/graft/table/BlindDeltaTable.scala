@@ -54,8 +54,11 @@ class BlindDeltaTable private (val spark: SparkSession, val tablePath: Path) {
     // same guard as WriteIntoDelta (case-insensitive, like normalize's own
     // matching): a column absent from the table schema must fail, not
     // silently vanish in normalize's projection
-    val known = m.schema.fieldNames.map(_.toLowerCase).toSet
-    val extra = df.schema.fieldNames.filterNot(c => known.contains(c.toLowerCase))
+    // Locale.ROOT (the DeltaWriter.normalize standard): default-locale
+    // lowercasing under tr_TR spuriously rejects 'id' against table 'ID'
+    val known = m.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val extra = df.schema.fieldNames
+      .filterNot(c => known.contains(c.toLowerCase(java.util.Locale.ROOT)))
     require(extra.isEmpty,
       s"Schema mismatch: columns ${extra.toSet} not in table schema (blind " +
         "append does not evolve schemas; use DeltaTable.write with mergeSchema)")

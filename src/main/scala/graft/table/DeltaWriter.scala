@@ -225,7 +225,16 @@ object DeltaWriter {
     adds
     } catch {
       case e: Throwable =>
-        try fs.delete(staging, true) catch { case _: Exception => }
+        try fs.delete(staging, true)
+        catch {
+          // preserve a cancellation's interrupt flag (same hardening as the
+          // write-phase catch above) — swallowing it here made the
+          // cancellation vanish into an ordinary-looking failure
+          case ie: InterruptedException =>
+            Thread.currentThread().interrupt()
+            e.addSuppressed(ie)
+          case _: Exception =>
+        }
         throw e
     }
   }
@@ -330,12 +339,10 @@ object DeltaWriter {
       case (LongType, DoubleType) => false // precision loss beyond 2^53
       case (a: DecimalType, b: DecimalType) =>
         b.precision - b.scale >= a.precision - a.scale && b.scale >= a.scale
-      case (ArrayType(ae, an), ArrayType(be, bn)) =>
-        (bn || !an) && safelyCastable(ae, be)
-      case (a: StructType, b: StructType) =>
-        a.length == b.length && a.fields.zip(b.fields).forall { case (x, y) =>
-          x.name.equalsIgnoreCase(y.name) && safelyCastable(x.dataType, y.dataType)
-        }
+      // NO array/struct/map branches here: mergeTypes destructures every
+      // same-kind nested pair BEFORE consulting this lattice (its recursion
+      // merges rather than answers yes/no), so nested branches here would
+      // be dead code — and a stale copy of the rules invites divergence
       case _ => false
     }
   }
@@ -347,14 +354,20 @@ object DeltaWriter {
     * anything else (narrowing, incompatible) errors rather than silently
     * truncating at write time (merge_schema.rs:125 semantics). */
   def mergeSchemas(table: StructType, incoming: StructType): StructType = {
-    val existing = table.map(f => f.name.toLowerCase -> f).toMap
+    // Locale.ROOT, matching equalsIgnoreCase below: a default-locale
+    // toLowerCase under tr_TR maps "ID" to dotless-i, so a case-differing
+    // incoming column was BOTH merged (equalsIgnoreCase matched) AND
+    // appended (the lowercase dedup missed) — a schema with duplicate
+    // case-insensitive names that other readers reject outright
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val existing = table.map(f => lc(f.name) -> f).toMap
     val merged = table.map { tf =>
       incoming.find(_.name.equalsIgnoreCase(tf.name)) match {
         case Some(inF) if tf.dataType != inF.dataType =>
           tf.copy(dataType = mergeTypes(tf.name, tf.dataType, inF.dataType))
         case _ => tf
       }
-    } ++ incoming.filterNot(f => existing.contains(f.name.toLowerCase))
+    } ++ incoming.filterNot(f => existing.contains(lc(f.name)))
       .map(f => StructField(f.name, f.dataType, nullable = true, f.metadata))
     StructType(merged)
   }

@@ -99,6 +99,31 @@ object Scan {
       snapshot: Snapshot,
       files: Seq[AddFile],
       withFileIdentity: Boolean = false): DataFrame = {
+    // Per-path occurrence WAVES: a streaming ignoreChanges batch window can
+    // carry the SAME path re-added at two versions with different DV
+    // states. DV masks key by path (the physical `_metadata.file_path` is
+    // identical for both incarnations), so each incarnation must ride its
+    // own scan leg or variantMap keeps one DV for both. Unique-path input
+    // (every batch/DML caller) takes the single-wave fast path unchanged.
+    if (files.map(_.path).distinct.size != files.size) {
+      val occ = scala.collection.mutable.HashMap[String, Int]()
+      val indexed = files.map { f =>
+        val i = occ.getOrElse(f.path, 0); occ(f.path) = i + 1; (i, f)
+      }
+      return indexed.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, wave) =>
+          readFilesUniquePaths(spark, snapshot, wave.map(_._2), withFileIdentity)
+        }
+        .reduce(_.unionByName(_))
+    }
+    readFilesUniquePaths(spark, snapshot, files, withFileIdentity)
+  }
+
+  private def readFilesUniquePaths(
+      spark: SparkSession,
+      snapshot: Snapshot,
+      files: Seq[AddFile],
+      withFileIdentity: Boolean): DataFrame = {
     val (dvFiles, plainFiles) = files.partition(_.deletionVector.exists(_.cardinality > 0))
     if (files.isEmpty || dvFiles.isEmpty) {
       val plain = readRaw(spark, snapshot, files, withIdentity = withFileIdentity)
@@ -114,7 +139,11 @@ object Scan {
     // next/scan/exec.rs:63-150).
     val masked = {
       val withId = readRaw(spark, snapshot, dvFiles, withIdentity = true)
-      val lookup = memoLookup(spark, snapshot, "dv", dvFiles.map(_.path)) {
+      // memo identity = the RECONCILE key (path + DV uniqueId), not path
+      // alone: a pinned snapshot (streaming source) can serve batches where
+      // the same path set reappears with a NEW deletion vector — a
+      // path-only key would hit the stale mask and emit deleted rows
+      val lookup = memoLookup(spark, snapshot, "dv", dvFiles.map(_.reconcileKey)) {
         val conf = spark.sessionState.newHadoopConf()
         val tp = new org.apache.hadoop.fs.Path(snapshot.tablePath)
         // parallel blob reads: thousands of sequential open/read round

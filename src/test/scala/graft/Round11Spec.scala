@@ -59,6 +59,29 @@ class Round11Spec extends AnyFunSuite {
     assert(e.getMessage.contains("escaped mount root"))
   }
 
+  test("Scan.readFiles: duplicate-path incarnations get their own DV masks") {
+    import graft.table.{DeltaTable, Scan}
+    val dir = java.nio.file.Files.createTempDirectory("graft_waves").toString + "/t"
+    DeltaTable.write(spark,
+      spark.range(10).toDF("id").coalesce(1), dir,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val add0 = DeltaTable.forPath(spark, dir).snapshot.allFiles.head
+    DeltaTable.forPath(spark, dir).delete(Some("id < 3"))
+    val t2 = DeltaTable.forPath(spark, dir)
+    val add1 = t2.snapshot.allFiles.head
+    assert(add0.path == add1.path, "DV delete must keep the path")
+    assert(add0.deletionVector.isEmpty && add1.deletionVector.isDefined)
+    // a streaming ignoreChanges window can carry BOTH incarnations: each
+    // must ride its own scan leg with its own mask (path-keyed masks would
+    // serve one DV state for both)
+    val both = Scan.readFiles(spark, t2.snapshot, Seq(add0, add1))
+    assert(both.count() == 17, "10 unmasked + 7 masked rows")
+    // and the memo (same pinned snapshot, same path set, new DV) must not
+    // serve the stale mask — the digest keys by reconcileKey
+    assert(Scan.readFiles(spark, t2.snapshot, Seq(add1)).count() == 7)
+    assert(Scan.readFiles(spark, t2.snapshot, Seq(add0)).count() == 10)
+  }
+
   test("catalog: table interiors are not namespaces — nested create/rename/drop refused") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh11").toString
     val ss = spark.newSession()

@@ -33,7 +33,21 @@ object CdfRead {
       s"loadCdf: startingVersion must be >= 0, got $startingVersion")
     val spark = table.spark
     val log = table.deltaLog
-    val end = endingVersion.getOrElse(log.latestVersion())
+    val latest = log.latestVersion()
+    val end = endingVersion.getOrElse(latest)
+    // fail loudly on invalid ranges instead of returning a silent empty
+    // feed (delta-rs/delta-spark error semantics — an incremental consumer
+    // reading "no changes" for a typo'd version silently skips data). The
+    // ONE legal empty range is the canonical ending == starting - 1
+    // sentinel (loadBetweenTimestamps' allowOutOfRange path emits it).
+    val canonicalEmpty = endingVersion.contains(startingVersion - 1)
+    if (!canonicalEmpty) {
+      endingVersion.foreach(e => require(e >= startingVersion,
+        s"loadCdf: endingVersion $e < startingVersion $startingVersion"))
+      require(startingVersion <= latest,
+        s"loadCdf: startingVersion $startingVersion is beyond the latest " +
+          s"version $latest")
+    }
     // schema/partitioning/column-mapping must come from a snapshot AT or
     // AFTER the range end: `end` is resolved from a FRESH listing, so a
     // stale handle would read commits newer than the schema it decodes
@@ -57,8 +71,10 @@ object CdfRead {
     // range whose change data is fully recorded stays readable after CDC is
     // later disabled (delta-spark semantics), and an out-of-range request
     // (allowOutOfRange) yields the promised empty feed instead of throwing.
+    // reuses the listing above — a second latestVersion() here was an
+    // extra billable LIST round-trip on every poll-loop call
     if (end >= startingVersion && startingVersion >= 0 &&
-        startingVersion <= log.latestVersion() &&
+        startingVersion <= latest &&
         !Dml.cdcEnabled(log.snapshotAt(startingVersion)))
       throw enabledError
     val schema = snapshot.schema

@@ -69,15 +69,23 @@ object Dml {
   val CDC_DIR = "_change_data"
 
   /** Write CDC rows (must already carry `_change_type`) under
-    * `_change_data/`, returning the AddCDCFile actions. */
+    * `_change_data/`, returning the AddCDCFile actions. `meta` must be the
+    * metadata BEING COMMITTED when the op evolves the schema (MERGE
+    * withSchemaEvolution on a column-mapped table: the pre-commit snapshot
+    * has no physical names for evolved columns, so CDC parquet written
+    * against it stores them under LOGICAL names — and every later CDF read
+    * of the commit, which binds the range-end physical schema, silently
+    * reports the evolved column as NULL). */
   def writeCdc(
       spark: SparkSession,
       table: DeltaTable,
       cdcRows: DataFrame,
-      numIndexedCols: Int): Seq[AddCDCFile] = {
+      numIndexedCols: Int,
+      meta: Option[graft.kernel.Metadata] = None): Seq[AddCDCFile] = {
+    val m = meta.getOrElse(table.snapshot.metadata)
     val adds = DeltaWriter.writeFiles(spark, table.tablePath, cdcRows,
-      table.partitionColumns, numIndexedCols, pathPrefix = CDC_DIR,
-      meta = Some(table.snapshot.metadata))
+      m.partitionColumns, numIndexedCols, pathPrefix = CDC_DIR,
+      meta = Some(m))
     adds.map(a => AddCDCFile(a.path, a.partitionValues, a.size))
   }
 }
@@ -199,13 +207,20 @@ object DeleteOp {
         val removedRows = rewrittenFiles.flatMap(_.numRecords).sum -
           rewrittenFiles.flatMap(_.deletionVector).map(_.cardinality).sum
         val keptRows = rewriteAdds.flatMap(_.numRecords).sum
+        // foreign writers may omit stats (numRecords=None contributes 0 to
+        // removedRows while keptRows always has fresh footer stats) — the
+        // subtraction would go NEGATIVE; floor at 0 rather than commit a
+        // nonsense metric into the table history
+        val statsComplete = rewrittenFiles.forall(_.numRecords.isDefined)
         // DV-masked files commit Remove+re-Add pairs — count those removes
         // like MERGE does (consistent cross-op accounting)
         val dvRemoves = dvActions.count(_.isInstanceOf[RemoveFile])
         val metrics = Map(
           "num_removed_files" -> (removes.size + dvRemoves).toString,
           "num_added_files" -> rewriteAdds.size.toString,
-          "num_deleted_rows" -> (removedRows - keptRows + dvDeletedRows).toString,
+          "num_deleted_rows" ->
+            (if (statsComplete) removedRows - keptRows + dvDeletedRows
+             else math.max(0L, removedRows - keptRows) + dvDeletedRows).toString,
           "num_copied_rows" -> keptRows.toString,
           "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
         table.commitAndRefresh(txn,

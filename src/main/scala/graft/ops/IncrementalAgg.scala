@@ -152,6 +152,18 @@ object IncrementalAgg {
     // signed change rows: +1 rows entering the aggregate, -1 rows leaving
     val signed: DataFrame = lastV match {
       case None =>
+        // a first fold requires an EMPTY target: no recorded txn version
+        // on a populated rollup is ambiguous — either fresh, or the
+        // upstream path SPELLING changed (s3a vs mount, trailing slash)
+        // so appIdFor derives a new id — and folding the full snapshot
+        // into existing groups would silently DOUBLE every count/sum,
+        // then commit the corruption under exactly-once bookkeeping
+        require(target.snapshot.numFiles == 0 || target.toDF.isEmpty,
+          s"IncrementalAgg: target $targetPath is populated but records " +
+            s"no folded version for this upstream (appId changed? " +
+            "upstream path spelling must stay stable) — refusing a " +
+            "full-snapshot fold that would double every group; rebuild " +
+            "the target or restore the original upstream path")
         upstream.asOfVersion(endV).withColumn("__sign", lit(1L))
       case Some(v) =>
         upstream.loadCdf(v + 1, Some(endV)).withColumn("__sign",

@@ -234,6 +234,7 @@ object VacuumOp {
         (rels, n)
       }
 
+    try {
     if (!dryRun) {
       val txnStart = table.startTransaction()
       txnStart.commit(Nil, Operation("VACUUM START", Map(
@@ -267,7 +268,11 @@ object VacuumOp {
         Map("numDeletedFiles" -> candCount.toString)))
       table.refresh()
     }
-    candDfPersisted.foreach(_.unpersist())
+    // finally, not straight-line: a transient failure in the delete
+    // fan-out or the VACUUM commits must not leak a multi-GB cached
+    // candidate dataset for the life of the session (the Update/Merge
+    // persist discipline)
+    } finally candDfPersisted.foreach(_.unpersist())
     VacuumResult(candCount, candidates, truncated = candidates.size < candCount)
   }
 }
@@ -414,6 +419,22 @@ object ConstraintsOp {
 object MetadataOps {
   def setProperties(table: DeltaTable, props: Map[String, String]): Unit = {
     val snapshot = table.refresh()
+    // flipping delta.columnMapping.mode on an EXISTING table needs a real
+    // migration (per-field physical names/ids, maxColumnId, protocol
+    // (2,5)/feature) that the create path performs and this metadata-only
+    // commit cannot — committing the bare property writes spec-invalid
+    // metadata that delta-spark/delta-rs readers reject while this engine's
+    // logical-name fallback masks it locally. Refuse, like the reference
+    // refuses unsupported mapping transitions.
+    val oldMode = snapshot.metadata.configuration
+      .getOrElse("delta.columnMapping.mode", "none")
+    props.get("delta.columnMapping.mode").filter(_ != oldMode).foreach { m =>
+      throw new UnsupportedOperationException(
+        s"changing delta.columnMapping.mode ($oldMode -> $m) via " +
+          "setProperties is not supported: existing fields would lack " +
+          "physical names/ids and the protocol would not carry the " +
+          "columnMapping feature — create the table with the mode instead")
+    }
     val newMeta = snapshot.metadata.copy(
       configuration = snapshot.metadata.configuration ++ props)
     val txn = table.startTransaction()

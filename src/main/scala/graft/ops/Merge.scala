@@ -485,7 +485,9 @@ object MergeOp {
           val inserts = withOp.filter(isInsert).select(outCols: _*)
             .withColumn(Dml.CDC_COL, lit("insert"))
           val all = preImages.unionByName(postImages).unionByName(deletes).unionByName(inserts)
-          Dml.writeCdc(spark, table, all, nIdx)
+          // the EVOLVED metadata: on a column-mapped table the evolved
+          // columns' physical names exist only in writeMeta
+          Dml.writeCdc(spark, table, all, nIdx, meta = Some(writeMeta))
         } else Nil)
 
       val now = System.currentTimeMillis()

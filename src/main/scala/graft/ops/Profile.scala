@@ -36,7 +36,9 @@ object Profile {
       s"Profile.profile: no such column '$c' (have ${df.columns.mkString(", ")})"))
     val aggs = Seq(count(lit(1)).as("__rows")) ++ cols.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        // coalesce: sum() over ZERO rows is NULL — an empty corpus must
+        // profile as n_nulls = 0, not poison downstream null-rate checks
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_$c"),
         (if (approxDistinct) approx_count_distinct(col(c))
          else count_distinct(col(c))).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),

@@ -50,12 +50,20 @@ object Validation {
     * inline raise_error mechanism as [[prepareForWrite]]) — used by
     * replaceWhere to enforce "every written row satisfies the predicate"
     * without a separate pre-write scan. */
+  /** Literal column reference: functions.col PARSES its argument, so a
+    * logical column named "a.b" (legal under column mapping) would bind a
+    * struct FIELD path — AnalysisException at best, the wrong data at
+    * worst. Same rule as the Catalyst-literal lesson in Scan/DML. */
+  private def colLit(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(name)))
+
   def requireOnWrite(df: DataFrame, violation: org.apache.spark.sql.Column,
                      message: String): DataFrame = {
     val first = df.schema.fields.head
     val guarded = when(violation, raise_error(lit(s"$MARKER $message")))
-      .otherwise(col(first.name)).cast(first.dataType).as(first.name)
-    df.select(guarded +: df.columns.tail.map(col).toSeq: _*)
+      .otherwise(colLit(first.name)).cast(first.dataType).as(first.name)
+    df.select(guarded +: df.columns.tail.map(colLit).toSeq: _*)
   }
 
   /** Validate + return the input unchanged (validation is eager). */
@@ -66,7 +74,7 @@ object Validation {
     val notNullChecks = schema.fields.toSeq
       .filter(f => !f.nullable && df.schema.fieldNames.contains(f.name))
       .map(f => (s"NOT NULL constraint violated for column: ${f.name}",
-        col(f.name).isNull))
+        colLit(f.name).isNull))
 
     // CHECK constraints: violated when expression is FALSE (null passes)
     val checkChecks = constraints(meta).toSeq.map { case (name, e) =>
@@ -93,8 +101,8 @@ object Validation {
       // unchanged unless a check trips, in which case the write job aborts
       val first = df.schema.fields.head
       val guarded = when(msg.isNotNull, raise_error(msg))
-        .otherwise(col(first.name)).cast(first.dataType).as(first.name)
-      df.select(guarded +: df.columns.tail.map(col).toSeq: _*)
+        .otherwise(colLit(first.name)).cast(first.dataType).as(first.name)
+      df.select(guarded +: df.columns.tail.map(colLit).toSeq: _*)
     }
   }
 }

@@ -142,7 +142,8 @@ object WriteIntoDelta {
             val deleted = DeltaWriter.normalize(Scan.read(spark, snapshot), targetSchema)
               .withColumn(Dml.CDC_COL, lit("delete"))
             val inserted = normalized.withColumn(Dml.CDC_COL, lit("insert"))
-            Dml.writeCdc(spark, table, deleted.unionByName(inserted), numIndexedCols(meta))
+            Dml.writeCdc(spark, table, deleted.unionByName(inserted),
+              numIndexedCols(meta), meta = Some(meta))
           } else Nil
         (removes ++ cdc, None)
       case ("overwrite", Some(pred)) =>
@@ -175,7 +176,8 @@ object WriteIntoDelta {
             val deleted = DeltaWriter.normalize(removedLive, targetSchema)
               .withColumn(Dml.CDC_COL, lit("delete"))
             val inserted = normalized.withColumn(Dml.CDC_COL, lit("insert"))
-            Dml.writeCdc(spark, table, deleted.unionByName(inserted), numIndexedCols(meta))
+            Dml.writeCdc(spark, table, deleted.unionByName(inserted),
+              numIndexedCols(meta), meta = Some(meta))
           } else Nil
         (removes ++ rewriteAdds ++ cdc, Some(pred))
       case _ => (Nil, None) // append

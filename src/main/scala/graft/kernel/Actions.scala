@@ -153,7 +153,18 @@ case class CommitInfo(
       * serde-flattened — actions.rs:1118). String-valued entries only:
       * foreign commits' non-string extras are ignored on read, and writes
       * refuse reserved keys upstream (Transaction filters them). */
-    info: Map[String, String] = Map.empty
+    info: Map[String, String] = Map.empty,
+    /** The authoritative commit timestamp on tables with the
+      * `inCommitTimestamp` writer feature (delta protocol; the reference
+      * enumerates the feature in `kernel/models/actions.rs:794` but, like
+      * this engine, implements no write path). READ-side parity: when
+      * present, this value — not the commit file's mtime, which a log
+      * rewrite/copy can change — drives time-travel-by-timestamp, CDF
+      * `_commit_timestamp`, and history. This engine never writes it
+      * (ProtocolGate refuses ICT tables on the write side: the feature is
+      * absent from supportedWriterFeatures, and a non-ICT commit appended
+      * to an ICT table would break the spec's monotonicity guarantee). */
+    inCommitTimestamp: Option[Long] = None
 ) extends Action {
   override def wrapperKey: String = "commitInfo"
 }
@@ -164,7 +175,7 @@ object CommitInfo {
   val reservedKeys: Set[String] = Set(
     "timestamp", "operation", "operationParameters", "readVersion",
     "isolationLevel", "isBlindAppend", "operationMetrics", "engineInfo",
-    "txnId", "userMetadata")
+    "txnId", "userMetadata", "inCommitTimestamp")
 }
 
 case class DomainMetadata(domain: String, configuration: String, removed: Boolean = false)
@@ -277,6 +288,7 @@ object ActionCodec {
         opt("engineInfo", ci.engineInfo.map(JString(_))) ++
         opt("txnId", ci.txnId.map(JString(_))) ++
         opt("userMetadata", ci.userMetadata.map(JString(_))) ++
+        opt("inCommitTimestamp", ci.inCommitTimestamp.map(JLong(_))) ++
         // flattened extras, reserved keys defensively excluded; sorted so
         // the serialized form is deterministic
         ci.info.view.filterKeys(!CommitInfo.reservedKeys.contains(_))
@@ -421,6 +433,7 @@ object ActionCodec {
         engineInfo = strOpt(o \ "engineInfo"),
         txnId = strOpt(o \ "txnId"),
         userMetadata = strOpt(o \ "userMetadata"),
+        inCommitTimestamp = longOpt(o \ "inCommitTimestamp"),
         // flattened provenance extras: leftover STRING-valued keys (other
         // engines may write arbitrary JSON there; non-strings are dropped)
         info = o.obj.collect {

@@ -209,6 +209,7 @@ class AzureBlobClient(
     resp.statusCode() match {
       case 200 => Some(resp.body())
       case 404 => None
+      case s @ (429 | 503) => HttpWire.throttled(s, resp, s"get of $key (Azure)")
       case other => throw new java.io.IOException(s"get of $key failed: HTTP $other")
     }
   }
@@ -224,9 +225,13 @@ class AzureBlobClient(
       val req = withAuth(request(listUri), "GET", listUri, 0L, Map.empty)
         .GET().build()
       val resp = send(req, HttpResponse.BodyHandlers.ofByteArray())
-      if (resp.statusCode() != 200)
-        throw new java.io.IOException(
-          s"list of $prefix failed: HTTP ${resp.statusCode()}")
+      resp.statusCode() match {
+        case 200 => ()
+        case s @ (429 | 503) =>
+          HttpWire.throttled(s, resp, s"list of $prefix (Azure)")
+        case other => throw new java.io.IOException(
+          s"list of $prefix failed: HTTP $other")
+      }
       val doc = HttpWire.secureXml(resp.body(), s"blob list ($prefix)")
       val blobs = doc.getElementsByTagName("Blob")
       (0 until blobs.getLength).foreach { i =>

@@ -85,8 +85,14 @@ object ColumnMapping {
     }
 
   /** Assign physical names + ids to every field of a fresh schema (CREATE
-    * with mapping enabled). Returns the annotated schema and the max id. */
-  def assignMetadata(schema: StructType, startId: Int = 0): (StructType, Int) = {
+    * with mapping enabled). Returns the annotated schema and the max id.
+    * `preserveNames = true` is the upgrade path (none -> name on an
+    * EXISTING table): physical name := logical name, because the parquet
+    * files already on disk carry logical column names in their footers —
+    * a fresh UUID physical name would orphan every existing column. New
+    * columns added after the upgrade get UUID names as usual. */
+  def assignMetadata(schema: StructType, startId: Int = 0,
+      preserveNames: Boolean = false): (StructType, Int) = {
     var id = startId
     def annotate(dt: DataType): DataType = dt match {
       case s: StructType => StructType(s.fields.map(annotateField))
@@ -97,7 +103,8 @@ object ColumnMapping {
     def annotateField(f: StructField): StructField = {
       val b = new MetadataBuilder().withMetadata(f.metadata)
       if (!f.metadata.contains(PHYS_KEY))
-        b.putString(PHYS_KEY, s"col-${java.util.UUID.randomUUID()}")
+        b.putString(PHYS_KEY,
+          if (preserveNames) f.name else s"col-${java.util.UUID.randomUUID()}")
       // already-annotated fields keep their id (schema evolution re-runs
       // this over a merged schema); fresh fields get ids above every
       // existing one so uniqueness holds

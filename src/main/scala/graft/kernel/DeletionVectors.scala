@@ -40,7 +40,11 @@ object PathKeys {
       if (local)
         Seq(decoded, encoded, "file:" + encoded, "file://" + encoded, "file:" + decoded)
       else {
-        val pre = uri.getScheme + "://" + Option(uri.getAuthority).getOrElse("")
+        // A scheme-less path can still carry an authority ('//host/t/f');
+        // concatenating the null scheme would emit bogus 'null://host/...'
+        // keys, so the prefix keeps only the '//authority' part there.
+        val pre = Option(uri.getScheme).map(_ + "://").getOrElse("//") +
+          Option(uri.getAuthority).getOrElse("")
         Seq(pre + decoded, pre + encoded)
       }
     (Seq(p.toString, uri.toString) ++ extra).distinct

@@ -249,6 +249,7 @@ class GcsClient(
     resp.statusCode() match {
       case 200 => Some(resp.body())
       case 404 => None
+      case s @ (429 | 503) => HttpWire.throttled(s, resp, s"get of $key (GCS)")
       case other => throw new java.io.IOException(s"get of $key failed: HTTP $other")
     }
   }
@@ -264,9 +265,13 @@ class GcsClient(
           PathCodec.rfc3986(objectKey(prefix)) + pt)
       val resp = send(request(listUri).GET().build(),
         HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() != 200)
-        throw new java.io.IOException(
-          s"list of $prefix failed: HTTP ${resp.statusCode()}")
+      resp.statusCode() match {
+        case 200 => ()
+        case s @ (429 | 503) =>
+          HttpWire.throttled(s, resp, s"list of $prefix (GCS)")
+        case other => throw new java.io.IOException(
+          s"list of $prefix failed: HTTP $other")
+      }
       val j =
         try JsonMethods.parse(resp.body())
         catch { case e: Exception =>

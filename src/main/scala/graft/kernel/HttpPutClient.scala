@@ -107,6 +107,7 @@ class HttpPutClient(
     resp.statusCode() match {
       case 200 => Some(resp.body())
       case 404 => None
+      case s @ (429 | 503) => HttpWire.throttled(s, resp, s"get of $key")
       case other => throw new java.io.IOException(s"get of $key failed: HTTP $other")
     }
   }
@@ -126,8 +127,15 @@ class HttpPutClient(
       val req = withAuth(request(listUri), "GET", listUri, Array.empty,
         Map.empty).GET().build()
       val resp = send(req, HttpResponse.BodyHandlers.ofByteArray())
-      if (resp.statusCode() != 200)
-        throw new java.io.IOException(s"list of $prefix failed: HTTP ${resp.statusCode()}")
+      resp.statusCode() match {
+        case 200 => ()
+        // a throttled LIST during snapshot load paces exactly like the
+        // put paths — the store's pace applies to the whole wire, not
+        // just mutations (ObjectStoreLogStore honors it via pacedRetry)
+        case s @ (429 | 503) => HttpWire.throttled(s, resp, s"list of $prefix")
+        case other => throw new java.io.IOException(
+          s"list of $prefix failed: HTTP $other")
+      }
       // malformed bodies (missing fields, provider timestamp dialects) must
       // surface as IOException — the commit loop's retry classification —
       // never as a raw NPE/DateTimeParseException mid-conflict-check

@@ -145,6 +145,38 @@ private[kernel] object HttpWire {
         s"$what throttled (HTTP $status, no usable Retry-After); retry")
     }
   }
+
+  /** Honor server-directed pacing around a READ-side wire call (list/get):
+    * sleep the pace and retry, from a bounded budget, same floor/clamp
+    * discipline as the commit loop's paced leg (Transaction.scala) — a
+    * `Retry-After: 0` spam must not become back-to-back zero-backoff
+    * calls, and a permanently throttling store must still fail loudly.
+    * WRITE paths are NOT routed here: writeAtomic's pace belongs to the
+    * commit loop, whose ghost-commit disambiguation must run between
+    * attempts. */
+  def pacedRetry[T](what: String, maxPacedWaitMs: Long = 120000L)(op: => T): T = {
+    var pacedWaitMs = 0L
+    while (true) {
+      try return op
+      catch {
+        case e: RetryPacedException =>
+          val wait = math.max(e.retryAfterMs, 100L)
+          pacedWaitMs += wait
+          if (pacedWaitMs > maxPacedWaitMs)
+            throw new java.io.IOException(
+              s"gave up after ${pacedWaitMs}ms of server-directed throttle " +
+                s"pacing during $what (last: ${e.getMessage})", e)
+          try Thread.sleep(wait)
+          catch {
+            case _: InterruptedException =>
+              Thread.currentThread().interrupt()
+              throw new java.io.IOException(
+                s"interrupted during server-directed pacing of $what", e)
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }
 
 /** A store told us to slow down AND by how much (429/503 + Retry-After).
@@ -252,9 +284,12 @@ class ObjectStoreLogStore(val conf: Configuration, client: ConditionalPutClient)
 
   private def key(p: Path): String = p.toUri.getPath
 
+  // read-side calls honor server-directed throttle pacing here (the ONE
+  // seam every client's list/get funnels through); the write side paces
+  // in the commit loop instead, where ghost-commit disambiguation lives
   override def list(dir: Path): Seq[FileStatus] = {
     val prefix = key(dir).stripSuffix("/") + "/"
-    client.listPrefix(prefix).collect {
+    HttpWire.pacedRetry(s"list of $dir")(client.listPrefix(prefix)).collect {
       // only direct children (no '/' after the prefix)
       case ObjectMeta(k, size, mtime) if !k.stripPrefix(prefix).contains('/') =>
         new FileStatus(size, false, 1, size, mtime, new Path(k))
@@ -262,7 +297,7 @@ class ObjectStoreLogStore(val conf: Configuration, client: ConditionalPutClient)
   }
 
   override def read(path: Path): Seq[String] =
-    client.get(key(path)) match {
+    HttpWire.pacedRetry(s"read of $path")(client.get(key(path))) match {
       case Some(bytes) =>
         new String(bytes, StandardCharsets.UTF_8).split("\n", -1).toSeq
           .filter(_.nonEmpty)
@@ -276,7 +311,8 @@ class ObjectStoreLogStore(val conf: Configuration, client: ConditionalPutClient)
       throw new VersionAlreadyExistsException(path.toString)
   }
 
-  override def exists(path: Path): Boolean = client.get(key(path)).isDefined
+  override def exists(path: Path): Boolean =
+    HttpWire.pacedRetry(s"head of $path")(client.get(key(path))).isDefined
 
   override def delete(path: Path): Boolean = client.delete(key(path))
 }

@@ -47,6 +47,14 @@ object ProtocolGate {
   // (kernel/transaction/protocol.rs:325 — IdentityColumns commented out of
   // the supported writer set). Writer v6 (which *implies* the feature) is
   // refused in checkWrite for the same reason.
+  // inCommitTimestamp is deliberately NOT here either: this engine never
+  // stamps CommitInfo.inCommitTimestamp, and appending a non-ICT commit to
+  // an ICT table breaks the spec's monotonic-timestamp guarantee for every
+  // compliant reader resolving by timestamp. The reference enumerates the
+  // feature (kernel/models/actions.rs:794) but implements no ICT write
+  // path either — parity-by-refusal. READS honor recorded ICT values:
+  // time travel, CDF _commit_timestamp, and history resolve
+  // CommitInfo.inCommitTimestamp first (DeltaLog.ictResolvedTimestamps).
   val supportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "generatedColumns", "timestampNtz", "domainMetadata",
@@ -109,6 +117,26 @@ object ProtocolGate {
         (impliedReaderFeatures(p) :+ "deletionVectors").distinct),
       writerFeatures = Some(
         (impliedWriterFeatures(p) :+ "deletionVectors").distinct)))
+  }
+
+  /** Protocol carrying the columnMapping capability, for the none -> name
+    * upgrade (ALTER TABLE SET TBLPROPERTIES). Legacy protocols bump to the
+    * spec minimum (2,5); feature-based protocols enumerate the feature on
+    * both sides (plus every implied legacy feature — an upgrade that fails
+    * to enumerate strips capability signals, see impliedWriterFeatures). */
+  def upgradeForColumnMapping(p: Protocol): Option[Protocol] = {
+    val readerOk =
+      if (p.minReaderVersion >= 3) p.readerFeatures.exists(_.contains("columnMapping"))
+      else p.minReaderVersion >= 2
+    val writerOk =
+      if (p.minWriterVersion >= 7) p.writerFeatures.exists(_.contains("columnMapping"))
+      else p.minWriterVersion >= 5
+    if (readerOk && writerOk) None
+    else if (p.minReaderVersion < 3 && p.minWriterVersion < 7)
+      Some(Protocol(math.max(2, p.minReaderVersion), math.max(5, p.minWriterVersion)))
+    else Some(Protocol(3, 7,
+      readerFeatures = Some((impliedReaderFeatures(p) :+ "columnMapping").distinct),
+      writerFeatures = Some((impliedWriterFeatures(p) :+ "columnMapping").distinct)))
   }
 
   /** Reader features a pre-v3 protocol implies — reader v2 IS column

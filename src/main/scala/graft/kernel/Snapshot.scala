@@ -431,14 +431,57 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     }
   }
 
-  /** Time travel by timestamp: last commit with mtime ≤ target
-    * (`table/mod.rs:375` load_with_datetime). */
+  /** Time travel by timestamp: last commit with ts ≤ target
+    * (`table/mod.rs:375` load_with_datetime). On tables with the
+    * `inCommitTimestamp` writer feature the per-commit ts is
+    * CommitInfo.inCommitTimestamp, not the file mtime — a log
+    * rewrite/copy changes mtimes but not the recorded ICT values, and
+    * resolving by mtime there would pin the wrong version. */
   def snapshotForTimestamp(tsMs: Long): Snapshot = {
-    val versions = commitVersions()
+    val versions = ictResolvedTimestamps(commitVersions())
     val eligible = versions.filter(_._2 <= tsMs)
     require(eligible.nonEmpty,
       s"No commit at or before timestamp $tsMs (earliest: ${versions.headOption.map(_._2)})")
     snapshotAt(eligible.map(_._1).max)
+  }
+
+  /** Replace mtimes with CommitInfo.inCommitTimestamp for every version
+    * inside the ICT enablement window of the CURRENT metadata. Non-ICT
+    * tables (the overwhelming case, including everything this engine
+    * writes) keep the one-listing zero-read path; ICT tables pay one
+    * commit read per in-window version — bounded, and only on the
+    * by-timestamp resolution paths. A window version without the field
+    * fails loudly: guessing by mtime would silently pin a different
+    * version than a compliant reader. */
+  private def ictResolvedTimestamps(versions: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    ictEnablementVersion match {
+      case None => versions
+      case Some(enableV) =>
+        versions.map { case (v, mt) =>
+          if (v < enableV) (v, mt)
+          else {
+            val ict = readCommit(v)
+              .collectFirst { case ci: CommitInfo => ci }
+              .flatMap(_.inCommitTimestamp)
+            (v, ict.getOrElse(throw new IllegalStateException(
+              s"version $v is inside the inCommitTimestamp enablement " +
+                s"window (>= $enableV) but its CommitInfo lacks " +
+                "inCommitTimestamp — the table violates the ICT spec")))
+          }
+        }
+    }
+  }
+
+  /** The first version whose commit carries an authoritative ICT, per the
+    * CURRENT snapshot metadata: None when the feature is off; 0 when
+    * enabled with no recorded enablement version (ICT since creation). */
+  private def ictEnablementVersion: Option[Long] = {
+    val conf = scala.util.Try(snapshot().metadata.configuration)
+      .getOrElse(Map.empty[String, String])
+    if (!conf.get("delta.enableInCommitTimestamps")
+        .exists(_.trim.equalsIgnoreCase("true"))) None
+    else Some(conf.get("delta.inCommitTimestampEnablementVersion")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(0L))
   }
 
   /** (version → commit-file mtimeMs) from ONE log listing — no per-commit
@@ -447,13 +490,16 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     * its file's mtime, `table/state.rs`-style). */
   def commitMtimes(): Map[Long, Long] = commitVersions().toMap
 
-  /** Commit history, newest first: (version, timestampMs, commitInfo). */
+  /** Commit history, newest first: (version, timestampMs, commitInfo).
+    * timestampMs is the commit file's mtime, overridden by
+    * CommitInfo.inCommitTimestamp when the commit carries one (ICT
+    * tables: the recorded value is authoritative, mtimes are not). */
   def history(limit: Option[Int] = None): Seq[(Long, Long, Option[CommitInfo])] = {
     val versions = commitVersions().sortBy(-_._1)
     val sel = limit.map(versions.take).getOrElse(versions)
     sel.map { case (v, ts) =>
       val ci = readCommit(v).collectFirst { case c: CommitInfo => c }
-      (v, ts, ci)
+      (v, ci.flatMap(_.inCommitTimestamp).getOrElse(ts), ci)
     }
   }
 }

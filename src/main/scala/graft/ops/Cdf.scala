@@ -120,8 +120,11 @@ object CdfRead {
   private[graft] def changeUnitsOf(
       actions: Seq[graft.kernel.Action],
       version: Long): (Long, Seq[(String, String, Map[String, String], Long)]) = {
-    val ts = actions.collectFirst { case ci: CommitInfo if ci.timestamp.isDefined =>
-      ci.timestamp.get }.getOrElse(0L)
+    // inCommitTimestamp is authoritative when present (ICT tables record
+    // the real commit time there; mtime and even CommitInfo.timestamp can
+    // disagree after a log rewrite/copy)
+    val ts = actions.collectFirst { case ci: CommitInfo => ci }
+      .flatMap(ci => ci.inCommitTimestamp.orElse(ci.timestamp)).getOrElse(0L)
     val cdcFiles = actions.collect { case c: AddCDCFile => c }
     val units =
       if (cdcFiles.nonEmpty) cdcFiles.map(c => ("cdc", c.path, c.partitionValues, c.size))
@@ -197,7 +200,8 @@ object CdfRead {
     // (CommitInfo.timestamp, file mtime as fallback) — mixing sources lets
     // a mtime-skewed commit fall outside a window its rows claim to be in
     val versionsTs = table.history()
-      .map(h => (h._1, h._3.flatMap(_.timestamp).getOrElse(h._2))).sortBy(_._1)
+      .map(h => (h._1, h._3.flatMap(ci => ci.inCommitTimestamp.orElse(ci.timestamp))
+        .getOrElse(h._2))).sortBy(_._1)
     val startV = versionsTs.find(_._2 >= startTsMs).map(_._1)
     val endV = endTsMs.map(e => versionsTs.filter(_._2 <= e).map(_._1))
       .map(vs => if (vs.isEmpty) -1L else vs.max)

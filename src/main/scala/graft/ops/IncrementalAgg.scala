@@ -158,7 +158,18 @@ object IncrementalAgg {
         // so appIdFor derives a new id — and folding the full snapshot
         // into existing groups would silently DOUBLE every count/sum,
         // then commit the corruption under exactly-once bookkeeping
-        require(target.snapshot.numFiles == 0 || target.toDF.isEmpty,
+        // emptiness check is stats-first: sum(numRecords) net of DV
+        // cardinalities answers without touching data files; only a
+        // stats-absent target (foreign writer without footer stats)
+        // pays the full-scan fallback
+        def targetEmpty: Boolean = {
+          val snap = target.snapshot
+          snap.numFiles == 0 || (snap.approxNumRecords match {
+            case Some(n) => n == 0L
+            case None    => target.toDF.isEmpty
+          })
+        }
+        require(targetEmpty,
           s"IncrementalAgg: target $targetPath is populated but records " +
             s"no folded version for this upstream (appId changed? " +
             "upstream path spelling must stay stable) — refusing a " +

@@ -419,21 +419,42 @@ object ConstraintsOp {
 object MetadataOps {
   def setProperties(table: DeltaTable, props: Map[String, String]): Unit = {
     val snapshot = table.refresh()
-    // flipping delta.columnMapping.mode on an EXISTING table needs a real
-    // migration (per-field physical names/ids, maxColumnId, protocol
-    // (2,5)/feature) that the create path performs and this metadata-only
-    // commit cannot — committing the bare property writes spec-invalid
-    // metadata that delta-spark/delta-rs readers reject while this engine's
-    // logical-name fallback masks it locally. Refuse, like the reference
-    // refuses unsupported mapping transitions.
+    // delta.columnMapping.mode transitions: the reference refuses them all
+    // (operations/set_tbl_properties.rs:89 unsupported_column_mapping); we
+    // additionally support the one migration delta-spark supports — the
+    // none -> name upgrade — by performing the REAL migration the bare
+    // property commit would otherwise skip: per-field physical names (:=
+    // logical names, so the parquet files already on disk stay addressable),
+    // field ids, maxColumnId, and a protocol carrying columnMapping. Every
+    // other transition (none->id, name->none, id->name, ...) still refuses:
+    // id mode needs parquet field_ids rewritten into existing footers, and
+    // downgrades would strip mapping from files whose physical names differ.
     val oldMode = snapshot.metadata.configuration
-      .getOrElse("delta.columnMapping.mode", "none")
-    props.get("delta.columnMapping.mode").filter(_ != oldMode).foreach { m =>
-      throw new UnsupportedOperationException(
-        s"changing delta.columnMapping.mode ($oldMode -> $m) via " +
-          "setProperties is not supported: existing fields would lack " +
-          "physical names/ids and the protocol would not carry the " +
-          "columnMapping feature — create the table with the mode instead")
+      .getOrElse("delta.columnMapping.mode", "none").trim.toLowerCase
+    val requested = props.get("delta.columnMapping.mode")
+      .map(_.trim.toLowerCase).filter(_ != oldMode)
+    requested match {
+      case Some("name") if oldMode == "none" =>
+        val curMax = snapshot.metadata.configuration
+          .get(ColumnMapping.MAX_ID_KEY).map(_.toInt).getOrElse(0)
+        val (annotated, maxId) = ColumnMapping.assignMetadata(
+          snapshot.schema, startId = curMax, preserveNames = true)
+        val newMeta = snapshot.metadata.copy(
+          schemaString = annotated.json,
+          configuration = snapshot.metadata.configuration ++ props +
+            (ColumnMapping.MAX_ID_KEY -> maxId.toString))
+        val protoUp: Seq[Action] =
+          ProtocolGate.upgradeForColumnMapping(snapshot.protocol).toSeq
+        val txn = table.startTransaction()
+        table.commitAndRefresh(txn, protoUp :+ newMeta,
+          Operation("SET TBLPROPERTIES", props))
+        return
+      case Some(m) =>
+        throw new UnsupportedOperationException(
+          s"changing delta.columnMapping.mode ($oldMode -> $m) via " +
+            "setProperties is not supported (only the none -> name " +
+            "upgrade migrates); create the table with the mode instead")
+      case None => ()
     }
     val newMeta = snapshot.metadata.copy(
       configuration = snapshot.metadata.configuration ++ props)

@@ -457,10 +457,8 @@ class GraftDeltaSource(
     * row epoch-1970 — the exact bug commitMtime throws on for commits. */
   private def snapshotTs(version: Long): Long =
     scala.util.Try(log.readCommit(version)).toOption
-      .flatMap(_.collectFirst {
-        case ci: graft.kernel.CommitInfo if ci.timestamp.isDefined =>
-          ci.timestamp.get
-      })
+      .flatMap(_.collectFirst { case ci: graft.kernel.CommitInfo => ci })
+      .flatMap(ci => ci.inCommitTimestamp.orElse(ci.timestamp))
       .getOrElse(commitMtime(version))
 
   // ---- admission -----------------------------------------------------------

@@ -73,6 +73,37 @@ class AzureBlobSpec extends AnyFunSuite {
     assert(client.get("/t/_delta_log/00000000000000000007.json").isEmpty)
   }
 
+  test("throttled LIST paces via x-ms-retry-after-ms (and Retry-After)") {
+    val server = new MockAzureBlobServer()
+    servers += server
+    val client = new AzureBlobClient(s"${server.endpoint}/$account/c")
+    client.putIfAbsent("/t/_delta_log/00000000000000000000.json", "a".getBytes)
+
+    // wire level: the Azure-native ms header drives the pace
+    server.throttleMsHeader = Some(700L)
+    server.throttleLists = 1
+    val e = intercept[RetryPacedException](client.listPrefix("/t/_delta_log/"))
+    assert(e.retryAfterMs == 700L)
+    // standard Retry-After delta-seconds also honored on the list path
+    server.throttleMsHeader = None
+    server.throttleRetryAfterSecs = Some(1)
+    server.throttleLists = 1
+    val e2 = intercept[RetryPacedException](client.listPrefix("/t/_delta_log/"))
+    assert(e2.retryAfterMs == 1000L)
+
+    // through the log store: a throttled listing paces and then succeeds
+    val store = new ObjectStoreLogStore(
+      new org.apache.hadoop.conf.Configuration(false), client)
+    server.throttleMsHeader = Some(300L)
+    server.throttleRetryAfterSecs = None
+    server.throttleLists = 2
+    val t0 = System.nanoTime()
+    val listed = store.list(new org.apache.hadoop.fs.Path("az://c/t/_delta_log"))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(listed.map(_.getPath.getName) == Seq("00000000000000000000.json"))
+    assert(ms >= 550, s"listing must sleep the server-directed pace, took ${ms}ms")
+  }
+
   test("adversarial keys round-trip signed") {
     val server = new MockAzureBlobServer(
       requireSharedKey = Some((account, devKey)))

@@ -36,6 +36,16 @@ class MockAzureBlobServer(pageSize: Int = 1000,
 
   def stop(): Unit = { server.stop(0); pool.shutdownNow() }
 
+  /** Fault injection: the next N LIST calls answer 429. Azure's pace
+    * header dialect is selectable — `x-ms-retry-after-ms` (service
+    * native) or standard `Retry-After` delta-seconds. */
+  @volatile var throttleLists: Int = 0
+  @volatile var throttleMsHeader: Option[Long] = None
+  @volatile var throttleRetryAfterSecs: Option[Int] = None
+  private def takeListThrottle(): Boolean = synchronized {
+    if (throttleLists > 0) { throttleLists -= 1; true } else false
+  }
+
   private def respond(ex: HttpExchange, code: Int, body: Array[Byte] = Array.empty): Unit = {
     ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
     if (body.nonEmpty) ex.getResponseBody.write(body)
@@ -81,6 +91,12 @@ class MockAzureBlobServer(pageSize: Int = 1000,
       return
     }
     (ex.getRequestMethod, rawPath) match {
+      case ("GET", _) if params.get("comp").contains("list") && takeListThrottle() =>
+        throttleMsHeader.foreach(ms =>
+          ex.getResponseHeaders.set("x-ms-retry-after-ms", ms.toString))
+        throttleRetryAfterSecs.foreach(s =>
+          ex.getResponseHeaders.set("Retry-After", s.toString))
+        respond(ex, 429)
       case ("GET", p) if params.get("comp").contains("list") =>
         if (!params.get("restype").contains("container")) {
           respond(ex, 400, "list requires restype=container".getBytes("UTF-8"))

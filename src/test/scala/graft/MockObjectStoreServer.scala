@@ -48,6 +48,24 @@ class MockObjectStoreServer(pageSize: Int = 1000,
     else false
   }
 
+  /** Fault injection for the READ side: the next N LIST (list-type=2) and
+    * the next N plain GETs answer 429 (same Retry-After dialect knob). */
+  @volatile var throttleLists: Int = 0
+  @volatile var throttleGets: Int = 0
+  private def takeListThrottle(): Boolean = synchronized {
+    if (throttleLists > 0) { throttleLists -= 1; throttled429.incrementAndGet(); true }
+    else false
+  }
+  private def takeGetThrottle(): Boolean = synchronized {
+    if (throttleGets > 0) { throttleGets -= 1; throttled429.incrementAndGet(); true }
+    else false
+  }
+  private def respondThrottled(ex: HttpExchange): Unit = {
+    throttleRetryAfterSecs.foreach(s =>
+      ex.getResponseHeaders.set("Retry-After", s.toString))
+    respond(ex, 429)
+  }
+
   private def respond(ex: HttpExchange, code: Int, body: Array[Byte] = Array.empty): Unit = {
     ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
     if (body.nonEmpty) ex.getResponseBody.write(body)
@@ -96,6 +114,8 @@ class MockObjectStoreServer(pageSize: Int = 1000,
       // (what S3CompatibleStore's per-bucket clients emit); the bare-root
       // form serves the original endpoint-is-the-bucket clients. Returned
       // <Key>s are bucket-relative, as real S3 returns them.
+      case ("GET", _) if params.get("list-type").contains("2") && takeListThrottle() =>
+        respondThrottled(ex)
       case ("GET", p) if params.get("list-type").contains("2") =>
         val bucketSeg = decodeKey(p).stripSuffix("/")
         val prefix = params.getOrElse("prefix", "")
@@ -127,6 +147,8 @@ class MockObjectStoreServer(pageSize: Int = 1000,
         }
         else if (conditional) respond(ex, if (store.putIfAbsent(key, body)) 200 else 412)
         else { store.delete(key); store.putIfAbsent(key, body); respond(ex, 200) }
+      case ("GET", _) if takeGetThrottle() =>
+        respondThrottled(ex)
       case ("GET", p) =>
         store.get(decodeKey(p)) match {
           case Some(b) => respond(ex, 200, b)

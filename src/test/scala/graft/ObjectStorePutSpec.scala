@@ -282,6 +282,44 @@ class ObjectStorePutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fault: throttled LIST/GET pace the read side (Retry-After honored)") {
+    val s = new MockObjectStoreServer()
+    servers.synchronized { servers += s }
+    val client = new HttpPutClient(s.endpoint)
+
+    // wire level: list and get surface the paced exception with the wait
+    s.throttleRetryAfterSecs = Some(1)
+    s.throttleLists = 1
+    val le = intercept[RetryPacedException](client.listPrefix("/tbl/_delta_log/"))
+    assert(le.retryAfterMs == 1000L)
+    s.throttleGets = 1
+    val ge = intercept[RetryPacedException](client.get("/nope"))
+    assert(ge.retryAfterMs == 1000L)
+
+    val store = new ObjectStoreLogStore(spark.sessionState.newHadoopConf(), client)
+    withScheme("graftlistthrottle", store) { log =>
+      createTable(log)
+      assert(blindAppend(log, "a.parquet") == 1L)
+      // a throttled LIST during log listing paces, then succeeds — before
+      // this round it threw "list ... failed: HTTP 429" at the first 429
+      s.throttleLists = 2
+      val t0 = System.nanoTime()
+      assert(log.latestVersion() == 1L)
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(ms >= 1900, s"listing must sleep the server-directed pace, took ${ms}ms")
+      // Retry-After: 0 spam on GET floors at 100ms accounting, still lands
+      s.throttleRetryAfterSecs = Some(0)
+      s.throttleGets = 3
+      assert(log.readCommit(1L).nonEmpty)
+      // a 429 WITHOUT Retry-After keeps the generic IOException contract
+      s.throttleRetryAfterSecs = None
+      s.throttleLists = 1
+      val io = intercept[java.io.IOException](log.latestVersion())
+      assert(!io.isInstanceOf[RetryPacedException])
+      assert(io.getMessage.contains("throttled"))
+    }
+  }
+
   test("end-to-end: 8 racing blind appends through FsPutClient all land") {
     racingAppends("graftrace",
       new FsPutClient(Files.createTempDirectory("graft_race_")))

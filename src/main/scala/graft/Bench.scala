@@ -344,7 +344,8 @@ object Bench {
     bench("llm_simhash")(
       Dedup.simhash(docsWide.select("doc_id", "text"), "doc_id", "text"))
     bench("llm_ngram_jaccard")(
-      Dedup.ngramJaccardNearDups(docsWide.select("doc_id", "text"), "doc_id", "text"))
+      Dedup.ngramJaccardNearDups(docsWide.select("doc_id", "text"), "doc_id", "text",
+        maxDocFreq = 100000)) // pinned: matches the entry + baseline shape
 
     // ---- reference IO-throughput shapes (python/tests/test_benchmark.py:
     // 23-100): one ~128 MiB 21-column table written as Delta, then read
@@ -368,6 +369,37 @@ object Bench {
       }
     }
     val ioJson = io.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
+
+    // ---- catalog latency: create/list/load 100 tables at namespace depth
+    // 3 through the SQL surface. SHOW TABLES gained parallel slot probes
+    // (r10) and an O(depth) interior-occupancy walk (r11) for correctness;
+    // this key pins their cost so a future guard can't silently go
+    // quadratic. Separate "catalog" key like "io" — the headline "queries"
+    // total stays comparable to BASELINE.md.
+    val catalog = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (only.isEmpty) {
+      val wh = EntryCtx.tempDir("bench_catalog")
+      spark.conf.set("spark.sql.catalog.benchcat", "graft.catalog.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.benchcat.warehouse", wh)
+      spark.sql("CREATE NAMESPACE benchcat.a")
+      spark.sql("CREATE NAMESPACE benchcat.a.b")
+      spark.sql("CREATE NAMESPACE benchcat.a.b.c")
+      catalog("create_100") = timed {
+        (0 until 100).foreach(i => spark.sql(
+          s"CREATE TABLE benchcat.a.b.c.t$i (id BIGINT, v STRING)"))
+      }
+      catalog("list_100") = timed {
+        val n = spark.sql("SHOW TABLES IN benchcat.a.b.c").collect().length
+        require(n == 100, s"catalog bench: SHOW TABLES returned $n of 100")
+      }
+      catalog("load_100") = timed {
+        (0 until 100).foreach(i => spark.sql(
+          s"SELECT * FROM benchcat.a.b.c.t$i").collect())
+      }
+    }
+    val catalogJson = catalog.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     }.mkString("{", ",", "}")
 
@@ -454,6 +486,7 @@ object Bench {
       s""""phases":$phaseMedJson""",
       s""""plans":$shapes""",
       s""""merge_grid_sec":$gridSecs,"merge_grid_ok":$gridOk""",
+      s""""catalog":$catalogJson""",
       s""""io":$ioJson""")
     val headline = (optional.length to 0 by -1).iterator
       .map(n => "{" + (core +: optional.take(n)).mkString(",") + "}")
@@ -463,7 +496,7 @@ object Bench {
       .map { case (k, vs) => "\"" + k + "\":[" + vs.map(fmt).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"reps_sec":$repsAllJson,"plans":$shapesAll,"phases":$phaseRepJson,"merge_grid":$gridJson,"io":$ioJson,$loadJson,"reps":$reps,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"reps_sec":$repsAllJson,"plans":$shapesAll,"phases":$phaseRepJson,"merge_grid":$gridJson,"io":$ioJson,"catalog":$catalogJson,$loadJson,"reps":$reps,"sf":${jstr(sfDir)}}"""
     // best-effort: a detail-write failure (read-only cwd) must never block
     // the headline line — that's the round's only bench record
     scala.util.Try {

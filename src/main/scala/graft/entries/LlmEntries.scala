@@ -474,8 +474,11 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
     // expected output — including the jaccard value (IEEE division of
     // exact integer counts agrees bit-for-bit across engines).
     Entry("llm_ngram_jaccard", (s, d) => {
+      // explicit corpus-appropriate cap (far above every shingle df in the
+      // test corpus) — the library default is corpus-proportional and this
+      // entry's oracle is exact brute-force, so behavior stays pinned
       val out = Dedup.ngramJaccardNearDups(corpusWithNearDups(s, d), "doc_id", "text",
-        shingleSize = 3, threshold = 0.5)
+        shingleSize = 3, threshold = 0.5, maxDocFreq = 100000)
         .select("id_a", "id_b", "jaccard")
       // "inverted index, no all-pairs" is invisible to the oracle (the
       // brute-force DuckDB answer is identical by construction): pin the
@@ -509,7 +512,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
     // exact brute-force expected output, including the shared counts.
     Entry("llm_winnow", (s, d) =>
       Dedup.winnowNearDups(corpusWithNearDups(s, d), "doc_id", "text",
-        k = 4, window = 4, minShared = 5),
+        k = 4, window = 4, minShared = 5, maxDocFreq = 100000),
       Some(
         s"""WITH corpus AS ($corpusSql),
            |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS ws FROM corpus),
@@ -1398,7 +1401,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
 
       val pairs = Dedup.ngramJaccardNearDups(
         exactDeduped.select("doc_id", "text"), "doc_id", "text",
-        shingleSize = 3, threshold = 0.5)
+        shingleSize = 3, threshold = 0.5, maxDocFreq = 100000)
       val nearDeduped = exactDeduped.join(
         pairs.select(col("id_b").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")

@@ -456,6 +456,16 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Default posting-list cap for the inverted-index near-dup joins:
+    * 1% of the corpus, floored at 1000 (small corpora keep effectively
+    * complete candidate generation) and ceilinged at 100k (the absolute
+    * bound on per-shingle quadratic work). At 10M docs this is the old
+    * flat 100k; at 1M docs it is 10k — 100× less candidate work per hot
+    * shingle than the flat literal allowed; below 100k docs the floor
+    * makes it a no-op for any realistic shingle distribution. */
+  def autoDocFreqCap(nDocs: Long): Int =
+    math.min(100000L, math.max(1000L, nDocs / 100L)).toInt
+
   /**
    * Direct n-gram Jaccard near-duplicate pairs via an inverted shingle
    * index — the no-hash-approximation member of the dedup family (exact /
@@ -479,6 +489,12 @@ object Dedup {
    * in practice only boilerplate-only near-dups are affected; those belong
    * to exact dedup. Same recall-not-correctness trade as the MinHash
    * bucket-width guard.
+   *
+   * `maxDocFreq < 0` (the default) resolves to [[autoDocFreqCap]] — a
+   * corpus-proportional cap instead of a flat literal: a flat 100k cap
+   * permits ~5×10^9 candidate pairs per hot shingle at web scale, while
+   * 1% of the corpus keeps the per-shingle quadratic bounded relative to
+   * the data actually joined. Pass an explicit cap to pin behavior.
    */
   def ngramJaccardNearDups(
       df: DataFrame,
@@ -486,13 +502,14 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      maxDocFreq: Int = 100000): DataFrame = {
+      maxDocFreq: Int = -1): DataFrame = {
+    val cap = if (maxDocFreq >= 0) maxDocFreq else autoDocFreqCap(df.count())
     val sh = shingles(df, idCol, textCol, shingleSize)
 
     val dfWindow = Window.partitionBy(col("__sh"))
     val rare = sh
       .withColumn("__df", count(lit(1)).over(dfWindow))
-      .filter(col("__df") <= maxDocFreq)
+      .filter(col("__df") <= cap)
       .drop("__df")
 
     val candidates = rare.select(col("__id").as("id_a"), col("__sh"))
@@ -560,12 +577,13 @@ object Dedup {
       k: Int = 4,
       window: Int = 4,
       minShared: Int = 5,
-      maxDocFreq: Int = 100000): DataFrame = {
+      maxDocFreq: Int = -1): DataFrame = {
+    val cap = if (maxDocFreq >= 0) maxDocFreq else autoDocFreqCap(df.count())
     val fps = winnowFingerprints(df, idCol, textCol, k, window)
     val dfWindow = Window.partitionBy(col("fp"))
     val rare = fps
       .withColumn("__df", count(lit(1)).over(dfWindow))
-      .filter(col("__df") <= maxDocFreq)
+      .filter(col("__df") <= cap)
       .drop("__df")
     rare.select(col(idCol).as("id_a"), col("fp"))
       .join(rare.select(col(idCol).as("id_b"), col("fp").as("__fp2")),

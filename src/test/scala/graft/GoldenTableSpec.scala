@@ -556,6 +556,62 @@ class GoldenTableSpec extends AnyFunSuite {
     assert(t.toDF.count() == truthCount)
   }
 
+  test("checkpoints_tombstones: expired tombstones drop from the checkpoint, " +
+      "fresh survive, rows unchanged") {
+    // The reference fixture dir (crates/test/tests/data/checkpoints_tombstones)
+    // is RUNTIME-generated — its .gitignore blanks _delta_log/* and no
+    // checked-in content exists — so this scenario reproduces the
+    // generator's semantics instead of reading blanked bytes: checkpoint
+    // writes retain Remove tombstones whose deletionTimestamp is within
+    // delta.deletedFileRetentionDuration and drop the rest, with a MISSING
+    // deletionTimestamp counting as 0 = always expired (reference
+    // operations/vacuum.rs:652 is_tombstone_expired: unwrap_or(0)). Mixed
+    // ages in ONE table, asserting row content AND tombstone visibility
+    // across the checkpoint replay — the class where a silent divergence
+    // costs data (VACUUM's live-set math).
+    import spark.implicits._
+    import graft.kernel.{Checkpoints, OptimisticTransaction, Operation, RemoveFile}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_tomb_").toString + "/t"
+    // four single-file appends so each file is individually removable
+    DeltaTable.write(spark, Seq((0L, "keep")).toDF("id", "txt"), dir)
+    (1 to 3).foreach { i =>
+      DeltaTable.write(spark,
+        Seq((i.toLong, s"gone$i")).toDF("id", "txt"), dir, mode = "append")
+    }
+    val t = DeltaTable.forPath(spark, dir)
+    val files = t.snapshot.allFiles.sortBy(_.path)
+    assert(files.size == 4)
+    val now = System.currentTimeMillis()
+    val eightDaysAgo = now - 8L * 24 * 3600 * 1000 // outside the 7d default
+    // one expired, one timestamp-less (= expired per the unwrap_or(0)
+    // rule), one fresh — committed as three real removes; the fourth
+    // file's single row is the surviving content
+    val Seq(f1, f2, f3) = files.drop(1).toSeq
+    val removes = Seq(
+      f1.remove(eightDaysAgo, dataChange = true),
+      f2.remove(0L, dataChange = true).copy(deletionTimestamp = None),
+      f3.remove(now, dataChange = true))
+    val txn = new OptimisticTransaction(t.deltaLog, Some(t.snapshot))
+    txn.commit(removes, Operation("DELETE"))
+
+    val pre = DeltaTable.forPath(spark, dir)
+    val preRows = pre.toDF.as[(Long, String)].collect().sorted.toSeq
+    assert(preRows.size == 1, s"one file's row must survive, got $preRows")
+    assert(pre.snapshot.tombstones.size == 3)
+    Checkpoints.write(spark, pre.deltaLog.logPath, pre.snapshot, pre.deltaLog.store)
+
+    val replayed = DeltaTable.forPath(spark, dir)
+    // row content is checkpoint-invariant
+    assert(replayed.toDF.as[(Long, String)].collect().sorted.toSeq == preRows)
+    // tombstone visibility: only the fresh remove survives the checkpoint
+    val survivors = replayed.snapshot.tombstones.map(_.path).toSet
+    assert(survivors == Set(f3.path),
+      s"expected only the fresh tombstone to survive, got $survivors " +
+        s"(expired=${f1.path}, ts-less=${f2.path})")
+    assert(replayed.snapshot.tombstones.head.deletionTimestamp.contains(now))
+  }
+
   test("simple_commit / concurrent_workers: empty CREATE-only tables open") {
     Seq("simple_commit", "concurrent_workers").foreach { name =>
       val t = DeltaTable.forPath(spark, golden(name))

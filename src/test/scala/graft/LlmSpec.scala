@@ -61,6 +61,31 @@ class LlmSpec extends AnyFunSuite {
     // the recall trade is observable and bounded exactly as documented
     val capped = Dedup.ngramJaccardNearDups(corpus, "doc_id", "text", maxDocFreq = 1)
     assert(capped.isEmpty)
+    // the DEFAULT cap is corpus-proportional, not a flat literal: a flat
+    // 100k permits ~5e9 candidate pairs per hot shingle at web scale
+    assert(Dedup.autoDocFreqCap(200) == 1000, "small corpora keep the floor")
+    assert(Dedup.autoDocFreqCap(1000000) == 10000, "1M docs -> 1% = 10k")
+    assert(Dedup.autoDocFreqCap(5000000) == 50000)
+    assert(Dedup.autoDocFreqCap(10000000) == 100000, "ceiling reached at 10M")
+    assert(Dedup.autoDocFreqCap(2000000000L) == 100000,
+      "the absolute per-shingle quadratic bound holds at any corpus size")
+    // a pathological hot shingle (present in EVERY doc) is capped under an
+    // explicit corpus-fraction cap: all boilerplate-only pairs vanish
+    // while a genuinely shared rare shingle still pairs
+    import org.apache.spark.sql.functions._
+    val boiler = spark.range(0, 60)
+      .select(col("id").as("doc_id"),
+        concat(lit("copyright acme corp all rights reserved page "),
+          col("id")).as("text"))
+    val twins = Seq(
+      (1000L, "zebra quokka narwhal unique tail"),
+      (1001L, "zebra quokka narwhal unique tail")).toDF("doc_id", "text")
+    val hot = boiler.unionByName(twins)
+    val found2 = Dedup.ngramJaccardNearDups(hot, "doc_id", "text",
+      threshold = 0.4, maxDocFreq = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found2 == Set((1000L, 1001L)),
+      s"hot boilerplate shingles must be capped out of candidates, got $found2")
   }
 
   test("simhash: identical docs collide, near-dups within hamming bound") {

@@ -43,6 +43,59 @@ class CrossLangSpec extends AnyFunSuite {
     }.toMap
   }
 
+  private def pythonJson(args: String*): org.json4s.JValue = {
+    val out = new StringBuilder
+    val proc = new ProcessBuilder(("python3" +: args): _*)
+      .redirectErrorStream(true).start()
+    val r = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    var line = r.readLine()
+    while (line != null) { out.append(line).append('\n'); line = r.readLine() }
+    assert(proc.waitFor() == 0, s"${args.head} failed:\n$out")
+    org.json4s.jackson.JsonMethods.parse(out.toString.linesIterator.toSeq.last)
+  }
+
+  test("python reads evolved-column CDC of a column-mapped MERGE via the " +
+      "COMMITTED metadata") {
+    // The r11 fix point cross-engine: a withSchemaEvolution MERGE on a
+    // column-mapped table writes its CDC files under the metadata being
+    // COMMITTED (the pre-commit snapshot lacks physical names for evolved
+    // columns, so a third-party CDF reader resolved them to NULL).
+    // tools/cdc_check.py replays the log with pyarrow — no graft code —
+    // and must see the evolved column's values.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cdc_xl_").toString + "/t"
+    DeltaTable.write(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), dir,
+      configuration = Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.enableChangeDataFeed" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    val src = Seq((2, "b2", 99L), (3, "c", 100L)).toDF("k", "v", "extra")
+    t.merge(src, "target.k = source.k")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withSchemaEvolution()
+      .execute()
+    val mergeV = t.version
+    val res = pythonJson("tools/cdc_check.py", dir, mergeV.toString, "extra")
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    assert((res \ "mapping").extract[String] == "name", s"unexpected: $res")
+    assert((res \ "physical").extract[String].startsWith("col-"),
+      s"evolved column must carry a fresh physical name, got $res")
+    // update_preimage (k=2 before the merge) legitimately has extra=NULL;
+    // update_postimage and insert carry 99/100 — 2 non-null of 3 rows
+    assert((res \ "rows").extract[Int] == 3, s"expected 3 change rows: $res")
+    assert((res \ "nonnull").extract[Int] == 2,
+      s"evolved column must round-trip non-NULL cross-engine: $res")
+    assert((res \ "change_types").extract[Seq[String]].toSet ==
+      Set("insert", "update_preimage", "update_postimage"), s"$res")
+    // and our own CDF reader agrees with the independent one
+    val own = t.loadCdf(mergeV, Some(mergeV))
+      .filter("_change_type != 'update_preimage'")
+      .select("extra").collect().map(_.getLong(0)).sorted.toSeq
+    assert(own == Seq(99L, 100L))
+  }
+
   test("python replays our DV-masked, special-partition, checkpointed table") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_xlang_").toString

@@ -472,13 +472,24 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     }
   }
 
-  /** The first version whose commit carries an authoritative ICT, per the
-    * CURRENT snapshot metadata: None when the feature is off; 0 when
-    * enabled with no recorded enablement version (ICT since creation). */
-  private def ictEnablementVersion: Option[Long] = {
-    val conf = scala.util.Try(snapshot().metadata.configuration)
-      .getOrElse(Map.empty[String, String])
-    if (!conf.get("delta.enableInCommitTimestamps")
+  /** The first version whose commit carries an authoritative ICT: None
+    * when the feature is off; 0 when enabled with no recorded enablement
+    * version (ICT since creation). Spec rule: ICT is active only when the
+    * `inCommitTimestamp` WRITER FEATURE is on the protocol AND the table
+    * property is true — the property alone (which a metadata-only
+    * SET TBLPROPERTIES could plant on a legacy-protocol table no writer
+    * ever stamped) must not flip resolution, or it bricks
+    * time-travel-by-timestamp on a healthy table. Uses the metadata-only
+    * snapshot (no Add index), and load failures PROPAGATE: swallowing one
+    * here would silently classify an ICT table as non-ICT and pin by
+    * mtime — the exact wrong-version resolution this path exists to
+    * prevent. */
+  private[graft] def ictEnablementVersion: Option[Long] = {
+    val snap = metadataSnapshot()
+    val featureOn = snap.protocol.minWriterVersion >= 7 &&
+      snap.protocol.writerFeatures.exists(_.contains("inCommitTimestamp"))
+    val conf = snap.metadata.configuration
+    if (!featureOn || !conf.get("delta.enableInCommitTimestamps")
         .exists(_.trim.equalsIgnoreCase("true"))) None
     else Some(conf.get("delta.inCommitTimestampEnablementVersion")
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(0L))

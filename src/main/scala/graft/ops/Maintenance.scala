@@ -417,8 +417,28 @@ object ConstraintsOp {
 /** Metadata-only DDL: table properties, add-column
   * (`operations/set_tbl_properties.rs`, `add_column.rs`). */
 object MetadataOps {
-  def setProperties(table: DeltaTable, props: Map[String, String]): Unit = {
+  def setProperties(table: DeltaTable, rawProps: Map[String, String]): Unit = {
     val snapshot = table.refresh()
+    // the stored mode value is normalized, not just the comparison: this
+    // engine reads it via trim/toLowerCase, masking a literal "Name" that
+    // case-sensitive foreign readers reject
+    val props = rawProps.map {
+      case (k @ "delta.columnMapping.mode", v) => k -> v.trim.toLowerCase
+      case kv => kv
+    }
+    // enabling inCommitTimestamps via a bare property is refused: this
+    // engine never stamps CommitInfo.inCommitTimestamp (the writer feature
+    // is outside supportedWriterFeatures), so every commit after the flag
+    // would violate the ICT spec for compliant readers — and the read-side
+    // gate (DeltaLog.ictEnablementVersion) requires the protocol feature
+    // precisely so a planted property cannot brick timestamp resolution
+    props.get("delta.enableInCommitTimestamps")
+      .filter(_.trim.equalsIgnoreCase("true")).foreach { _ =>
+        throw new UnsupportedOperationException(
+          "enabling delta.enableInCommitTimestamps is not supported: this " +
+            "engine has no ICT write path (reads of foreign ICT tables " +
+            "resolve timestamps by the recorded values; writes refuse)")
+      }
     // delta.columnMapping.mode transitions: the reference refuses them all
     // (operations/set_tbl_properties.rs:89 unsupported_column_mapping); we
     // additionally support the one migration delta-spark supports — the

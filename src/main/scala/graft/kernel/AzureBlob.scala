@@ -65,7 +65,7 @@ class AzureSharedKeySigner(
   def sign(method: String, uri: URI, contentLength: Long,
            extraHeaders: Map[String, String] = Map.empty): Map[String, String] = {
     val xmsDate = rfc1123.format(clock())
-    val lower = extraHeaders.map { case (k, v) => k.toLowerCase -> v }
+    val lower = extraHeaders.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     val xms = (lower.filter(_._1.startsWith("x-ms-")) ++
       Map("x-ms-date" -> xmsDate, "x-ms-version" -> apiVersion))
       .map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
@@ -81,7 +81,7 @@ class AzureSharedKeySigner(
         .filter(_.nonEmpty).map { kv =>
           val i = kv.indexOf('=')
           val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
-          pctDecode(k).toLowerCase -> pctDecode(v)
+          pctDecode(k).toLowerCase(java.util.Locale.ROOT) -> pctDecode(v)
         }.sortBy(_._1).map { case (k, v) => s"\n$k:$v" }.mkString
       s"/$account$path$query"
     }

@@ -27,7 +27,7 @@ object ColumnMapping {
   // NB: `Metadata` unqualified would resolve to spark.sql.types.Metadata
   // (wildcard-imported above) — the table metadata must be fully qualified
   def mode(meta: graft.kernel.Metadata): String =
-    meta.configuration.getOrElse(MODE_KEY, "none").trim.toLowerCase
+    meta.configuration.getOrElse(MODE_KEY, "none").trim.toLowerCase(java.util.Locale.ROOT)
 
   def enabled(meta: graft.kernel.Metadata): Boolean = mode(meta) != "none"
 

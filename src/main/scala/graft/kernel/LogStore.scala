@@ -70,7 +70,7 @@ class HadoopLogStore(val conf: Configuration) extends LogStore {
     // those schemes must route through a conditional-put LogStore
     // (ObjectStoreLogStore) or an external lock, like the reference's
     // S3+DynamoDB backend (crates/aws/src/lib.rs:39).
-    if (HadoopLogStore.NonAtomicSchemes.contains(scheme.toLowerCase))
+    if (HadoopLogStore.NonAtomicSchemes.contains(scheme.toLowerCase(java.util.Locale.ROOT)))
       throw new UnsupportedOperationException(
         s"HadoopLogStore cannot commit atomically on '$scheme://' - " +
           "exists-then-create is not atomic on object stores. Use a " +

@@ -62,7 +62,7 @@ object ProtocolGate {
       "v2Checkpoint", "variantType", "variantType-preview")
 
   private def columnMappingMode(m: Metadata): String =
-    m.configuration.getOrElse("delta.columnMapping.mode", "none").trim.toLowerCase
+    m.configuration.getOrElse("delta.columnMapping.mode", "none").trim.toLowerCase(java.util.Locale.ROOT)
 
   /** Gate every snapshot materialization (read side). */
   def checkRead(protocol: Protocol, metadata: Metadata): Unit = {

@@ -92,7 +92,7 @@ class SigV4Signer(
       // collapsed form, so signing the uncollapsed one yields
       // SignatureDoesNotMatch
       extraHeaders.map { case (k, v) =>
-        k.toLowerCase -> v.trim.replaceAll("\\s+", " ") } ++
+        k.toLowerCase(java.util.Locale.ROOT) -> v.trim.replaceAll("\\s+", " ") } ++
         Map("host" -> hostHeader(uri), "x-amz-date" -> amzDate) ++
         (if (service == "s3") Map("x-amz-content-sha256" -> payloadHash) else Map.empty) ++
         sessionToken.map("x-amz-security-token" -> _)

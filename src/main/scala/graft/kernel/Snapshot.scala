@@ -545,15 +545,15 @@ object DeltaLog {
     * through it. Without a registration, [[HadoopLogStore]] is used (and
     * refuses non-atomic object-store schemes at commit time). */
   def registerLogStore(scheme: String, store: LogStore): Unit =
-    registered(scheme.toLowerCase) = store
+    registered(scheme.toLowerCase(java.util.Locale.ROOT)) = store
 
   def unregisterLogStore(scheme: String): Unit =
-    registered.remove(scheme.toLowerCase)
+    registered.remove(scheme.toLowerCase(java.util.Locale.ROOT))
 
   private[kernel] def storeFor(
       tablePath: Path,
       conf: org.apache.hadoop.conf.Configuration): LogStore =
-    Option(tablePath.toUri.getScheme).map(_.toLowerCase)
+    Option(tablePath.toUri.getScheme).map(_.toLowerCase(java.util.Locale.ROOT))
       .flatMap(registered.get)
       .getOrElse(new HadoopLogStore(conf))
 }

@@ -453,7 +453,7 @@ object DeltaConfig {
     * silently collapse a retention window and let cleanup destroy time
     * travel / VACUUM reap files still being read. */
   def parseDuration(s: String): Option[Long] = {
-    val t = s.trim.toLowerCase.stripPrefix("interval").trim
+    val t = s.trim.toLowerCase(java.util.Locale.ROOT).stripPrefix("interval").trim
     val parts = t.split("\\s+")
     if (parts.length != 2) return None
     scala.util.Try(parts(0).toLong).toOption.flatMap { n =>

@@ -423,7 +423,7 @@ object MetadataOps {
     // engine reads it via trim/toLowerCase, masking a literal "Name" that
     // case-sensitive foreign readers reject
     val props = rawProps.map {
-      case (k @ "delta.columnMapping.mode", v) => k -> v.trim.toLowerCase
+      case (k @ "delta.columnMapping.mode", v) => k -> v.trim.toLowerCase(java.util.Locale.ROOT)
       case kv => kv
     }
     // enabling inCommitTimestamps via a bare property is refused: this
@@ -450,9 +450,9 @@ object MetadataOps {
     // id mode needs parquet field_ids rewritten into existing footers, and
     // downgrades would strip mapping from files whose physical names differ.
     val oldMode = snapshot.metadata.configuration
-      .getOrElse("delta.columnMapping.mode", "none").trim.toLowerCase
+      .getOrElse("delta.columnMapping.mode", "none").trim.toLowerCase(java.util.Locale.ROOT)
     val requested = props.get("delta.columnMapping.mode")
-      .map(_.trim.toLowerCase).filter(_ != oldMode)
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_ != oldMode)
     requested match {
       case Some("name") if oldMode == "none" =>
         val curMax = snapshot.metadata.configuration
@@ -485,9 +485,9 @@ object MetadataOps {
 
   def addColumns(table: DeltaTable, newCols: StructType): Unit = {
     val snapshot = table.refresh()
-    val existing = snapshot.schema.fieldNames.map(_.toLowerCase).toSet
+    val existing = snapshot.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     newCols.foreach { f =>
-      require(!existing.contains(f.name.toLowerCase), s"Column ${f.name} already exists")
+      require(!existing.contains(f.name.toLowerCase(java.util.Locale.ROOT)), s"Column ${f.name} already exists")
       require(f.nullable, s"New column ${f.name} must be nullable")
     }
     val merged0 = StructType(snapshot.schema.fields ++ newCols.fields)

@@ -531,7 +531,7 @@ object MergeOp {
       sourceCols: Set[String]): Seq[(String, String)] = {
     def attr(e: Expression): Option[(String, String)] = e match {
       case a: UnresolvedAttribute if a.nameParts.length == 2 =>
-        Some((a.nameParts.head.toLowerCase, a.nameParts.last))
+        Some((a.nameParts.head.toLowerCase(java.util.Locale.ROOT), a.nameParts.last))
       case a: UnresolvedAttribute if a.nameParts.length == 1 =>
         Some(("", a.nameParts.head))
       case _ => None

@@ -31,7 +31,7 @@ object WriteIntoDelta {
     val tablePath = new Path(path)
     val log = new DeltaLog(spark, tablePath)
     val exists = log.tableExists
-    val m = mode.toLowerCase
+    val m = mode.toLowerCase(java.util.Locale.ROOT)
 
     // validate up front: an unknown mode (or an invalid option combination)
     // must never take the CREATE path just because the table is missing
@@ -103,8 +103,8 @@ object WriteIntoDelta {
         if (merged == meta.schema) (meta.schema, None)
         else evolved(merged)
       } else {
-        val incoming = df.schema.fieldNames.map(_.toLowerCase).toSet
-        val tableCols = meta.schema.fieldNames.map(_.toLowerCase).toSet
+        val incoming = df.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val tableCols = meta.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
         val extra = incoming -- tableCols
         require(extra.isEmpty,
           s"Schema mismatch: columns $extra not in table schema (use mergeSchema)")
@@ -242,14 +242,21 @@ object WriteIntoDelta {
   private[graft] def prepareCreateSchema(
       schema: StructType,
       configuration: Map[String, String]): (StructType, Map[String, String], Protocol) = {
-    val mode = configuration.getOrElse(ColumnMapping.MODE_KEY, "none").trim.toLowerCase
+    val mode = configuration.getOrElse(ColumnMapping.MODE_KEY, "none").trim.toLowerCase(java.util.Locale.ROOT)
+    // store the NORMALIZED mode (like setProperties does): this engine
+    // reads it via trim/toLowerCase, which would mask a literal "Name"/"ID"
+    // that case-sensitive foreign readers reject
+    val normConf =
+      if (configuration.contains(ColumnMapping.MODE_KEY))
+        configuration + (ColumnMapping.MODE_KEY -> mode)
+      else configuration
     val (schema2, conf2, base) =
       if (mode == "name" || mode == "id") {
         val (annotated, maxId) = ColumnMapping.assignMetadata(schema)
         (annotated,
-          configuration + (ColumnMapping.MAX_ID_KEY -> maxId.toString),
+          normConf + (ColumnMapping.MAX_ID_KEY -> maxId.toString),
           Protocol(2, 5))
-      } else (schema, configuration, Protocol())
+      } else (schema, normConf, Protocol())
     // a VARIANT column anywhere requires the variantType feature on 3/7
     val withVariant =
       ProtocolGate.upgradeForSchema(schema2, base).getOrElse(base)

@@ -172,7 +172,7 @@ class GraftDeltaSource(
     * (e.g. latest → 0 to backfill after a failed first run) is honored
     * instead of silently pinned to the old resolution. */
   private def startSpec: String =
-    opt("startingVersion").map(_.trim.toLowerCase).getOrElse("none")
+    opt("startingVersion").map(_.trim.toLowerCase(java.util.Locale.ROOT)).getOrElse("none")
 
   private def readPersistedStart(): Option[GraftSourceOffset] =
     startFile.flatMap { p =>
@@ -671,7 +671,7 @@ object GraftDeltaSource {
   /** Parse a byte-size option: plain bytes or a k/m/g suffix (optionally
     * followed by 'b'), e.g. "10485760", "64k", "10mb", "1g". */
   private[graft] def parseBytes(s: String): Long = {
-    val t = s.trim.toLowerCase.stripSuffix("b")
+    val t = s.trim.toLowerCase(java.util.Locale.ROOT).stripSuffix("b")
     val (digits, mult) = t.lastOption match {
       case Some('k') => (t.dropRight(1), 1L << 10)
       case Some('m') => (t.dropRight(1), 1L << 20)

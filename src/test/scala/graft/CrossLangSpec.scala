@@ -52,7 +52,14 @@ class CrossLangSpec extends AnyFunSuite {
     var line = r.readLine()
     while (line != null) { out.append(line).append('\n'); line = r.readLine() }
     assert(proc.waitFor() == 0, s"${args.head} failed:\n$out")
-    org.json4s.jackson.JsonMethods.parse(out.toString.linesIterator.toSeq.last)
+    // stderr is merged for diagnostics, so a warning python emits AFTER the
+    // result line (e.g. at interpreter shutdown) can trail it — take the
+    // last line that parses as a JSON object, not the last line
+    out.toString.linesIterator.toSeq.reverseIterator
+      .filter(_.trim.startsWith("{"))
+      .map(l => scala.util.Try(org.json4s.jackson.JsonMethods.parse(l)))
+      .collectFirst { case scala.util.Success(j: org.json4s.JObject) => j }
+      .getOrElse(fail(s"${args.head} emitted no JSON object line:\n$out"))
   }
 
   test("python reads evolved-column CDC of a column-mapped MERGE via the " +

@@ -1797,7 +1797,105 @@ object CoreEntries {
         .map(row).mkString("\nUNION ALL\n")
     })
 
+  // ------------------------------------------------------- round-13 entries
+
+  private val round13Entries = Seq(
+    // in-commit-timestamp read parity (§2.1 row 2 extension): timestamp
+    // resolution and history() ride CommitInfo.inCommitTimestamp, never
+    // file mtimes, on a table carrying the writer feature + property
+    // (kernel/snapshot.rs ICT ordering; delta-spark InCommitTimestampUtils).
+    // This engine writes no ICT itself, so the table is synthesized: commits
+    // written normally, then the recorded values + protocol feature injected
+    // and the log mtimes deliberately skewed AGAINST commit order.
+    Entry("ict_time_travel", (s, d) => {
+      val ict = Seq(1700000000000L, 1700000001000L, 1700000002000L)
+      val dir = once(s"$d#ictTable") {
+        val dirNew = tempDir("ict")
+        val n = pq(s, d, "nation")
+        (0 to 2).foreach { k =>
+          DeltaTable.write(s, n.filter(s"n_nationkey % 3 = $k"), dirNew, mode = "append")
+        }
+        val logDir = java.nio.file.Paths.get(dirNew, "_delta_log")
+        (0 to 2).foreach { v =>
+          val f = logDir.resolve(f"$v%020d.json")
+          var text = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+          require(text.contains("{\"commitInfo\":{"),
+            s"ict_time_travel: unexpected commit shape in $f")
+          text = text.replace("{\"commitInfo\":{",
+            "{\"commitInfo\":{\"inCommitTimestamp\":" + ict(v) + ",")
+          if (v == 0) {
+            // the create commit's configuration is empty ({}) — a bare
+            // comma-insert would leave a trailing comma
+            text =
+              if (text.contains("\"configuration\":{}"))
+                text.replace("\"configuration\":{}",
+                  "\"configuration\":{\"delta.enableInCommitTimestamps\":\"true\"}")
+              else text.replace("\"configuration\":{",
+                "\"configuration\":{\"delta.enableInCommitTimestamps\":\"true\",")
+            text = text.replaceAll(
+              "\\{\"protocol\":\\{[^}]*\\}\\}",
+              "{\"protocol\":{\"minReaderVersion\":1,\"minWriterVersion\":7," +
+                "\"writerFeatures\":[\"appendOnly\",\"invariants\",\"inCommitTimestamp\"]}}")
+          }
+          java.nio.file.Files.write(f, text.getBytes("UTF-8"))
+        }
+        // mtimes contradict commit order (v0 newest, v1 oldest): an
+        // mtime-based resolver CANNOT return version 1 for the target below
+        val now = System.currentTimeMillis()
+        Seq(now, now - 7200000L, now - 3600000L).zipWithIndex.foreach {
+          case (m, v) =>
+            java.nio.file.Files.setLastModifiedTime(
+              logDir.resolve(f"$v%020d.json"),
+              java.nio.file.attribute.FileTime.fromMillis(m))
+        }
+        dirNew
+      }
+      val t = DeltaTable.forPath(s, dir)
+      val snap = t.deltaLog.snapshotForTimestamp(ict(1) + 500L)
+      // history must report the RECORDED values newest-first — pins that
+      // the history surface rides ICT too, not just resolution
+      require(t.history().map(_._2) == ict.reverse,
+        s"ict_time_travel: history must report recorded ICT values, got ${t.history().map(_._2)}")
+      // resolved version/ICT join the OUTPUT so the oracle hash fails on a
+      // wrong pin even when the row content happens to coincide
+      graft.table.Scan.read(s, snap)
+        .withColumn("resolved_version", lit(snap.version))
+        .withColumn("resolved_ict_ms", lit(ict(snap.version.toInt)))
+    }, Some(
+      """SELECT *, CAST(1 AS BIGINT) AS resolved_version,
+        |       CAST(1700000001000 AS BIGINT) AS resolved_ict_ms
+        |FROM nation WHERE n_nationkey % 3 <= 1""".stripMargin)),
+
+    // none -> name column-mapping upgrade as a real migration (§2.9 row 47
+    // extension; reference refuses at operations/set_tbl_properties.rs:89 —
+    // this engine matches delta-spark's upgrade instead): physical names
+    // preserve logical names so pre-upgrade parquet stays addressable, and
+    // DML across the upgrade routes through the mapped schema
+    Entry("column_mapping_upgrade", (s, d) => {
+      val dir = tempDir("cmup")
+      DeltaTable.write(s, pq(s, d, "customer"), dir) // mapping mode none
+      val t = DeltaTable.forPath(s, dir)
+      t.setProperties(Map("delta.columnMapping.mode" -> "name"))
+      val snap = t.refresh()
+      require(ColumnMapping.mode(snap.metadata) == "name",
+        "column_mapping_upgrade: upgrade must store mode=name")
+      snap.schema.fields.foreach { f =>
+        require(f.metadata.getString(ColumnMapping.PHYS_KEY) == f.name,
+          s"column_mapping_upgrade: physical name must preserve logical " +
+            s"name for ${f.name} (pre-upgrade parquet stays addressable)")
+      }
+      t.update(Map("c_acctbal" -> expr("c_acctbal + 100")),
+        Some("c_mktsegment = 'BUILDING'"))
+      t.delete(Some("c_nationkey >= 20"))
+      t.toDF
+    }, Some(
+      """SELECT c_custkey, c_name, c_nationkey,
+        |       CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+        |       c_mktsegment
+        |FROM customer WHERE NOT (c_nationkey >= 20)""".stripMargin)))
+
   val entries: Seq[Entry] =
     scanEntries ++ sqlEntries ++ writeEntries ++ dmlEntries ++
-      maintenanceEntries ++ round3Entries ++ eventEntries :+ asofEntry :+ profileEntry
+      maintenanceEntries ++ round3Entries ++ eventEntries ++ round13Entries :+
+      asofEntry :+ profileEntry
 }

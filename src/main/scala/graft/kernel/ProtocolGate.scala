@@ -54,7 +54,7 @@ object ProtocolGate {
   // feature (kernel/models/actions.rs:794) but implements no ICT write
   // path either — parity-by-refusal. READS honor recorded ICT values:
   // time travel, CDF _commit_timestamp, and history resolve
-  // CommitInfo.inCommitTimestamp first (DeltaLog.ictResolvedTimestamps).
+  // CommitInfo.inCommitTimestamp first (DeltaLog.resolvedCommitTimestamps).
   val supportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "generatedColumns", "timestampNtz", "domainMetadata",

@@ -432,45 +432,95 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
   }
 
   /** Time travel by timestamp: last commit with ts ≤ target
-    * (`table/mod.rs:375` load_with_datetime). On tables with the
-    * `inCommitTimestamp` writer feature the per-commit ts is
-    * CommitInfo.inCommitTimestamp, not the file mtime — a log
-    * rewrite/copy changes mtimes but not the recorded ICT values, and
-    * resolving by mtime there would pin the wrong version. */
+    * (`table/mod.rs:375` load_with_datetime), over the RESOLVED timestamp
+    * sequence — ICT values inside the enablement window, monotonic-clamped
+    * mtimes outside. */
   def snapshotForTimestamp(tsMs: Long): Snapshot = {
-    val versions = ictResolvedTimestamps(commitVersions())
+    val versions = resolvedCommitTimestamps()
     val eligible = versions.filter(_._2 <= tsMs)
     require(eligible.nonEmpty,
       s"No commit at or before timestamp $tsMs (earliest: ${versions.headOption.map(_._2)})")
     snapshotAt(eligible.map(_._1).max)
   }
 
-  /** Replace mtimes with CommitInfo.inCommitTimestamp for every version
-    * inside the ICT enablement window of the CURRENT metadata. Non-ICT
-    * tables (the overwhelming case, including everything this engine
-    * writes) keep the one-listing zero-read path; ICT tables pay one
-    * commit read per in-window version — bounded, and only on the
-    * by-timestamp resolution paths. A window version without the field
-    * fails loudly: guessing by mtime would silently pin a different
-    * version than a compliant reader. */
-  private def ictResolvedTimestamps(versions: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+  /** (version → RESOLUTION timestamp), strictly increasing — THE sequence
+    * every by-timestamp surface (time travel, RESTORE, CDF windows) resolves
+    * against, so two surfaces can never pin the same target to different
+    * versions.
+    *
+    * Inside the ICT enablement window the recorded
+    * CommitInfo.inCommitTimestamp is authoritative (a log rewrite/copy
+    * changes mtimes but not the recorded values; a window version without
+    * the field fails LOUDLY — guessing by mtime would silently pin a
+    * different version than a compliant reader). Non-ICT tables (the
+    * overwhelming case, including everything this engine writes) keep the
+    * one-listing zero-read path; ICT tables pay one commit read per
+    * in-window version, bounded by window length and only on by-timestamp
+    * resolution.
+    *
+    * Outside the window, commit-file mtimes get delta-spark's monotonicity
+    * clamp (ts_i = max(ts_i, ts_{i-1}+1), DeltaHistoryManager.getCommits):
+    * the reference trusts raw mtimes (`table/mod.rs:375`), but on a log
+    * whose mtimes a copy shuffled, "latest version ≤ target" over a
+    * non-monotonic sequence is ill-defined and the two engines can pin
+    * different versions — the clamp only changes behavior on exactly those
+    * logs. Pre-window mtimes are additionally capped BELOW the enablement
+    * boundary (delta.inCommitTimestampEnablementTimestamp, else the first
+    * window ICT) by a backward pass (ts_i = min(ts_i, ts_{i+1}-1)): after a
+    * log copy every pre-window mtime is fresh (>> the old recorded ICTs),
+    * and uncapped they would exclude every pre-window version from targets
+    * below the window — a target just before enablement must resolve to the
+    * last pre-window version, as compliant readers do. */
+  private[graft] def resolvedCommitTimestamps(): Seq[(Long, Long)] = {
+    val versions = commitVersions().sortBy(_._1)
+    def clampForward(vs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      var prev = Long.MinValue
+      vs.map { case (v, ts) =>
+        val t = if (prev == Long.MinValue) ts else math.max(ts, prev + 1)
+        prev = t
+        (v, t)
+      }
+    }
     ictEnablementVersion match {
-      case None => versions
+      case None => clampForward(versions)
       case Some(enableV) =>
-        versions.map { case (v, mt) =>
-          if (v < enableV) (v, mt)
-          else {
-            val ict = readCommit(v)
-              .collectFirst { case ci: CommitInfo => ci }
-              .flatMap(_.inCommitTimestamp)
-            (v, ict.getOrElse(throw new IllegalStateException(
-              s"version $v is inside the inCommitTimestamp enablement " +
-                s"window (>= $enableV) but its CommitInfo lacks " +
-                "inCommitTimestamp — the table violates the ICT spec")))
-          }
+        val (pre, window) = versions.partition(_._1 < enableV)
+        val windowIct = window.map { case (v, _) =>
+          val ict = readCommit(v)
+            .collectFirst { case ci: CommitInfo => ci }
+            .flatMap(_.inCommitTimestamp)
+          (v, ict.getOrElse(throw new IllegalStateException(
+            s"version $v is inside the inCommitTimestamp enablement " +
+              s"window (>= $enableV) but its CommitInfo lacks " +
+              "inCommitTimestamp — the table violates the ICT spec")))
         }
+        val boundary = metadataSnapshot().metadata.configuration
+          .get("delta.inCommitTimestampEnablementTimestamp")
+          .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+          .orElse(windowIct.headOption.map(_._2))
+        val capped = boundary match {
+          case None => pre
+          case Some(b) =>
+            var next = b
+            pre.reverseIterator.map { case (v, ts) =>
+              val t = math.min(ts, next - 1)
+              next = t
+              (v, t)
+            }.toVector.reverse
+        }
+        // the forward clamp cannot push a capped value back to the
+        // boundary: each backward step decrements by ≥1, so capped ts_i ≤
+        // boundary - (|pre| - i), and max(ts_i, prev+1) preserves that
+        clampForward(capped) ++ windowIct
     }
   }
+
+  /** ICT active for version v — the ONE gate for every timestamp surface
+    * (resolution, history, CDF/streaming `_commit_timestamp`): a rogue
+    * commit carrying the field on a non-ICT-feature table must not flip
+    * one surface while the others ignore it. */
+  private[graft] def ictActiveAt(v: Long): Boolean =
+    ictEnablementVersion.exists(v >= _)
 
   /** The first version whose commit carries an authoritative ICT: None
     * when the feature is off; 0 when enabled with no recorded enablement
@@ -503,14 +553,18 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
 
   /** Commit history, newest first: (version, timestampMs, commitInfo).
     * timestampMs is the commit file's mtime, overridden by
-    * CommitInfo.inCommitTimestamp when the commit carries one (ICT
-    * tables: the recorded value is authoritative, mtimes are not). */
+    * CommitInfo.inCommitTimestamp for versions inside the ICT enablement
+    * window (same gate as timestamp resolution — a rogue commit carrying
+    * the field on a non-ICT table must not make history() disagree with
+    * snapshotForTimestamp about what time a version happened). */
   def history(limit: Option[Int] = None): Seq[(Long, Long, Option[CommitInfo])] = {
+    val ictFloor = ictEnablementVersion
     val versions = commitVersions().sortBy(-_._1)
     val sel = limit.map(versions.take).getOrElse(versions)
     sel.map { case (v, ts) =>
       val ci = readCommit(v).collectFirst { case c: CommitInfo => c }
-      (v, ci.flatMap(_.inCommitTimestamp).getOrElse(ts), ci)
+      val ict = if (ictFloor.exists(v >= _)) ci.flatMap(_.inCommitTimestamp) else None
+      (v, ict.getOrElse(ts), ci)
     }
   }
 }

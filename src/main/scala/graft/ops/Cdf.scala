@@ -93,13 +93,14 @@ object CdfRead {
     // CommitInfo reads), same rule as the streaming feed's commitMtime:
     // the two feeds must agree, including on the failure mode
     lazy val mtimes: Map[Long, Long] = log.commitMtimes()
+    val ictFloor = log.ictEnablementVersion // once, not per version
     val units = (startingVersion to end).flatMap { v =>
       val actions = log.readCommit(v)
       actions.collectFirst { case m: graft.kernel.Metadata => m }.foreach { m =>
         cdcOn = m.configuration.get("delta.enableChangeDataFeed")
           .exists(_.trim.equalsIgnoreCase("true"))
       }
-      val (ts0, us) = changeUnitsOf(actions, v)
+      val (ts0, us) = changeUnitsOf(actions, v, ictFloor.exists(v >= _))
       val ts = if (ts0 != 0L || us.isEmpty) ts0 else mtimeOrFail(v, mtimes)
       if (!cdcOn && us.nonEmpty)
         throw new IllegalStateException(
@@ -119,12 +120,16 @@ object CdfRead {
     * their feeds cannot diverge. */
   private[graft] def changeUnitsOf(
       actions: Seq[graft.kernel.Action],
-      version: Long): (Long, Seq[(String, String, Map[String, String], Long)]) = {
-    // inCommitTimestamp is authoritative when present (ICT tables record
-    // the real commit time there; mtime and even CommitInfo.timestamp can
-    // disagree after a log rewrite/copy)
+      version: Long,
+      ictActive: Boolean): (Long, Seq[(String, String, Map[String, String], Long)]) = {
+    // inCommitTimestamp is authoritative when the version is inside the ICT
+    // enablement window (DeltaLog.ictEnablementVersion — the same gate as timestamp
+    // resolution; a rogue commit carrying the field on a non-ICT table must
+    // not stamp its rows differently than history()/time-travel see it);
+    // mtime and even CommitInfo.timestamp can disagree after a log copy
     val ts = actions.collectFirst { case ci: CommitInfo => ci }
-      .flatMap(ci => ci.inCommitTimestamp.orElse(ci.timestamp)).getOrElse(0L)
+      .flatMap(ci => (if (ictActive) ci.inCommitTimestamp else None)
+        .orElse(ci.timestamp)).getOrElse(0L)
     val cdcFiles = actions.collect { case c: AddCDCFile => c }
     val units =
       if (cdcFiles.nonEmpty) cdcFiles.map(c => ("cdc", c.path, c.partitionValues, c.size))
@@ -196,12 +201,15 @@ object CdfRead {
       startTsMs: Long,
       endTsMs: Option[Long],
       allowOutOfRange: Boolean = false): DataFrame = {
-    // resolve the range with the SAME per-commit timestamp the feed emits
-    // (CommitInfo.timestamp, file mtime as fallback) — mixing sources lets
-    // a mtime-skewed commit fall outside a window its rows claim to be in
-    val versionsTs = table.history()
-      .map(h => (h._1, h._3.flatMap(ci => ci.inCommitTimestamp.orElse(ci.timestamp))
-        .getOrElse(h._2))).sortBy(_._1)
+    // resolve the range against THE shared resolution sequence
+    // (DeltaLog.resolvedCommitTimestamps — gated ICT inside the enablement
+    // window, monotonic-clamped mtimes outside): a CDF window and a
+    // time-travel on the same target must pin the same versions. The
+    // emitted _commit_timestamp stays the per-commit recorded value
+    // (changeUnitsOf), which on a clamped non-monotonic log can differ
+    // from the resolution value — same trade delta-spark makes
+    // (DeltaHistoryManager resolves, CommitInfo stamps).
+    val versionsTs = table.deltaLog.resolvedCommitTimestamps()
     val startV = versionsTs.find(_._2 >= startTsMs).map(_._1)
     val endV = endTsMs.map(e => versionsTs.filter(_._2 <= e).map(_._1))
       .map(vs => if (vs.isEmpty) -1L else vs.max)

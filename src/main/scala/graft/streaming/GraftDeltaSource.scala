@@ -402,7 +402,10 @@ class GraftDeltaSource(
           cdcTransitions(v) = m.configuration.get("delta.enableChangeDataFeed")
             .exists(_.trim.equalsIgnoreCase("true"))
         }
-        val (ts0, us) = CdfRead.changeUnitsOf(actions, v)
+        val carriesIct = actions.collectFirst {
+          case ci: graft.kernel.CommitInfo => ci }.exists(_.inCommitTimestamp.isDefined)
+        val (ts0, us) = CdfRead.changeUnitsOf(actions, v,
+          carriesIct && ictFloor.exists(v >= _))
         if (us.nonEmpty && !cdfEnabledAt(v))
           throw new IllegalStateException(
             s"readChangeFeed: Change Data Feed was disabled at or before " +
@@ -458,8 +461,29 @@ class GraftDeltaSource(
   private def snapshotTs(version: Long): Long =
     scala.util.Try(log.readCommit(version)).toOption
       .flatMap(_.collectFirst { case ci: graft.kernel.CommitInfo => ci })
-      .flatMap(ci => ci.inCommitTimestamp.orElse(ci.timestamp))
+      .flatMap(ci => ci.inCommitTimestamp
+        .filter(_ => ictFloor.exists(version >= _)).orElse(ci.timestamp))
       .getOrElse(commitMtime(version))
+
+  /** ICT gate memo (same gate as batch CDF / history / time travel —
+    * DeltaLog.ictEnablementVersion). Deriving it costs a log listing +
+    * metadata replay, so: it is only consulted for commits that actually
+    * CARRY inCommitTimestamp (non-ICT tables — everything this engine
+    * writes — never pay it), and a positive answer caches for the
+    * source's lifetime (the spec stamps the enablement version once and
+    * it never moves). A negative answer re-derives on the next
+    * field-carrying commit, so mid-stream enablement by a foreign writer
+    * is still picked up. */
+  private var ictFloorMemo: Option[Option[Long]] = None
+  private def ictFloor: Option[Long] = synchronized {
+    ictFloorMemo match {
+      case Some(f @ Some(_)) => f
+      case _ =>
+        val f = log.ictEnablementVersion
+        ictFloorMemo = Some(f)
+        f
+    }
+  }
 
   // ---- admission -----------------------------------------------------------
 

@@ -71,4 +71,90 @@ class Round13Spec extends AnyFunSuite {
       assert(ex.getMessage.contains("none -> id"), ex.getMessage)
     }
   }
+
+  private def setMtime(dir: String, v: Long, ms: Long): Unit =
+    Files.setLastModifiedTime(
+      java.nio.file.Paths.get(dir, "_delta_log", f"$v%020d.json"),
+      java.nio.file.attribute.FileTime.fromMillis(ms))
+
+  test("non-ICT timestamp resolution: monotonicity clamp (ts = max(ts, prev+1)) " +
+      "on shuffled mtimes, delta-spark parity") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (0 to 2).foreach { v =>
+      DeltaTable.write(spark, Seq((v.toLong, s"v$v")).toDF("id", "txt"), dir,
+        mode = "append")
+    }
+    // mtimes NON-monotonic: v2's mtime falls BETWEEN v0's and v1's (a log
+    // copy can do this). Clamped sequence: v0=T, v1=T+10000, v2=T+10001.
+    val base = 1700000000000L
+    setMtime(dir, 0, base)
+    setMtime(dir, 1, base + 10000)
+    setMtime(dir, 2, base + 5000)
+    val log = DeltaTable.forPath(spark, dir).deltaLog
+    // a raw-mtime resolver at T+6000 returns v2 (max eligible version) —
+    // i.e. a LATER version than T+10000 resolves to, which inverts time.
+    // The clamp pins v0 here and v2 only above v1's timestamp.
+    assert(log.snapshotForTimestamp(base + 6000).version == 0L)
+    assert(log.snapshotForTimestamp(base + 10000).version == 1L)
+    assert(log.snapshotForTimestamp(base + 10001).version == 2L)
+    val e = intercept[IllegalArgumentException] {
+      log.snapshotForTimestamp(base - 1)
+    }
+    assert(e.getMessage.contains("No commit at or before"))
+  }
+
+  test("mixed-window ICT table after a log copy: pre-enablement mtimes are " +
+      "capped below the enablement boundary, not excluded") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (0 to 3).foreach { v =>
+      DeltaTable.write(spark, Seq((v.toLong, s"v$v")).toDF("id", "txt"), dir,
+        mode = "append")
+    }
+    val boundary = 1700000002000L // = v2's ICT (ICT enabled AT v2)
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    // v0 carries the table's metaData/protocol: plant the feature + the
+    // enablement property pair (the gate reads CURRENT metadata; the
+    // window floor comes from the recorded enablement version)
+    val f0 = logDir.resolve(f"${0}%020d.json")
+    var t0 = new String(Files.readAllBytes(f0), "UTF-8")
+    t0 = t0.replace("\"configuration\":{}",
+      "\"configuration\":{\"delta.enableInCommitTimestamps\":\"true\"," +
+        "\"delta.inCommitTimestampEnablementVersion\":\"2\"," +
+        s""""delta.inCommitTimestampEnablementTimestamp":"$boundary"}""")
+    t0 = t0.replaceAll("\\{\"protocol\":\\{[^}]*\\}\\}",
+      "{\"protocol\":{\"minReaderVersion\":1,\"minWriterVersion\":7," +
+        "\"writerFeatures\":[\"appendOnly\",\"invariants\",\"inCommitTimestamp\"]}}")
+    Files.write(f0, t0.getBytes("UTF-8"))
+    Seq(2, 3).foreach { v =>
+      val f = logDir.resolve(f"$v%020d.json")
+      val ict = boundary + (v - 2) * 1000L
+      val t = new String(Files.readAllBytes(f), "UTF-8")
+        .replace("{\"commitInfo\":{",
+          "{\"commitInfo\":{\"inCommitTimestamp\":" + ict + ",")
+      Files.write(f, t.getBytes("UTF-8"))
+    }
+    // the log copy: EVERY mtime fresh (way above the old recorded ICTs)
+    val now = System.currentTimeMillis()
+    (0 to 3).foreach(v => setMtime(dir, v, now + v))
+    val log = DeltaTable.forPath(spark, dir).deltaLog
+
+    // ICT window resolves by recorded values
+    assert(log.snapshotForTimestamp(boundary).version == 2L)
+    assert(log.snapshotForTimestamp(boundary + 1000).version == 3L)
+    // a target just below the enablement boundary resolves to the LAST
+    // pre-window version — uncapped fresh mtimes would throw here
+    assert(log.snapshotForTimestamp(boundary - 1).version == 1L)
+    assert(log.snapshotForTimestamp(boundary - 2).version == 0L)
+    val e = intercept[IllegalArgumentException] {
+      log.snapshotForTimestamp(boundary - 3)
+    }
+    assert(e.getMessage.contains("No commit at or before"))
+
+    // history: window versions report recorded ICT, pre-window report mtime
+    val h = DeltaTable.forPath(spark, dir).history().map(x => (x._1, x._2))
+    assert(h.take(2) == Seq((3L, boundary + 1000), (2L, boundary)))
+    assert(h.drop(2).forall(_._2 >= now), s"pre-window history must be mtime: $h")
+  }
 }

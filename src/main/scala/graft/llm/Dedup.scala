@@ -466,6 +466,28 @@ object Dedup {
   def autoDocFreqCap(nDocs: Long): Int =
     math.min(100000L, math.max(1000L, nDocs / 100L)).toInt
 
+  /** Resolve the posting-list cap AND the frame the pipeline should read.
+    * Explicit cap wins; else a caller-supplied `nDocs` (free when the
+    * caller already knows it — e.g. from Delta stats,
+    * `Snapshot.approxNumRecords`); else count `df` ONCE through a
+    * MEMORY_AND_DISK persist: the count materializes the cache and the
+    * shingle pipeline reads the cache, so a possibly-expensive (or
+    * non-deterministic) upstream lineage is evaluated exactly once instead
+    * of once for the count and again for the join — the cache is released
+    * by Spark's ContextCleaner when the result frame is dropped. An
+    * already-persisted input is used as-is (re-persisting at a different
+    * level throws). */
+  private def resolveDocFreqCap(
+      df: DataFrame, maxDocFreq: Int, nDocs: Long): (DataFrame, Int) =
+    if (maxDocFreq >= 0) (df, maxDocFreq)
+    else if (nDocs >= 0) (df, autoDocFreqCap(nDocs))
+    else {
+      val cached =
+        if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+        else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (cached, autoDocFreqCap(cached.count()))
+    }
+
   /**
    * Direct n-gram Jaccard near-duplicate pairs via an inverted shingle
    * index — the no-hash-approximation member of the dedup family (exact /
@@ -494,7 +516,10 @@ object Dedup {
    * corpus-proportional cap instead of a flat literal: a flat 100k cap
    * permits ~5×10^9 candidate pairs per hot shingle at web scale, while
    * 1% of the corpus keeps the per-shingle quadratic bounded relative to
-   * the data actually joined. Pass an explicit cap to pin behavior.
+   * the data actually joined. Pass an explicit cap to pin behavior, or
+   * `nDocs` when the count is already known (Delta stats) — the default
+   * otherwise counts through a persist ([[resolveDocFreqCap]]) so the
+   * upstream evaluates once.
    */
   def ngramJaccardNearDups(
       df: DataFrame,
@@ -502,9 +527,10 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      maxDocFreq: Int = -1): DataFrame = {
-    val cap = if (maxDocFreq >= 0) maxDocFreq else autoDocFreqCap(df.count())
-    val sh = shingles(df, idCol, textCol, shingleSize)
+      maxDocFreq: Int = -1,
+      nDocs: Long = -1L): DataFrame = {
+    val (input, cap) = resolveDocFreqCap(df, maxDocFreq, nDocs)
+    val sh = shingles(input, idCol, textCol, shingleSize)
 
     val dfWindow = Window.partitionBy(col("__sh"))
     val rare = sh
@@ -577,9 +603,10 @@ object Dedup {
       k: Int = 4,
       window: Int = 4,
       minShared: Int = 5,
-      maxDocFreq: Int = -1): DataFrame = {
-    val cap = if (maxDocFreq >= 0) maxDocFreq else autoDocFreqCap(df.count())
-    val fps = winnowFingerprints(df, idCol, textCol, k, window)
+      maxDocFreq: Int = -1,
+      nDocs: Long = -1L): DataFrame = {
+    val (input, cap) = resolveDocFreqCap(df, maxDocFreq, nDocs)
+    val fps = winnowFingerprints(input, idCol, textCol, k, window)
     val dfWindow = Window.partitionBy(col("fp"))
     val rare = fps
       .withColumn("__df", count(lit(1)).over(dfWindow))

@@ -1109,4 +1109,41 @@ class LlmSpec extends AnyFunSuite {
       TextOps.blocklistStats(df, "doc_id", "text", Nil)
     }
   }
+
+  test("ngramJaccardNearDups default cap: expensive upstream lineage " +
+      "evaluates ONCE (count materializes a persist, pipeline reads it)") {
+    import spark.implicits._
+    val rows = (0 until 40).map(i => (i.toLong, s"alpha beta gamma delta $i"))
+    // the JVM-static counter is ground truth for row-visits in local mode
+    // (a longAccumulator double-reports under the scalatest runner); the
+    // old default ran df.count() eagerly and then re-evaluated the same
+    // lineage for the shingle pipeline (2x rows)
+    // caller-supplied nDocs stays fully LAZY: building the pipeline runs
+    // no job at all (the old default eagerly df.count()'d here)
+    EvalCounter.n.set(0)
+    val up2 = rows.toDS()
+      .map { t => EvalCounter.n.incrementAndGet(); t }.toDF("doc_id", "text")
+    val lazyRes = Dedup.ngramJaccardNearDups(up2, "doc_id", "text",
+      nDocs = rows.length.toLong)
+    assert(EvalCounter.n.get == 0L,
+      s"nDocs-supplied call must not evaluate the upstream eagerly, " +
+        s"saw ${EvalCounter.n.get} row-visits before any action")
+    assert(lazyRes.count() > 0) // and the pipeline itself still works
+
+    // default cap: the resolving count() materializes a persist and the
+    // pipeline reads the cache — ONE synchronous evaluation of the
+    // upstream. Without the persist the plan's four leaf usages of the
+    // upstream would re-evaluate it ~5x rows (count + 4 join/agg branches);
+    // the bound below separates that cleanly while tolerating Spark's
+    // asynchronous discarded-broadcast evaluation tail (~1x).
+    EvalCounter.n.set(0)
+    val upstream = rows.toDS()
+      .map { t => EvalCounter.n.incrementAndGet(); t }.toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardNearDups(upstream, "doc_id", "text").count() > 0)
+    val evals = EvalCounter.n.get
+    assert(evals <= 2L * rows.length,
+      s"default-cap call evaluated the upstream $evals row-visits for " +
+        s"${rows.length} rows — the persist must make the resolving count " +
+        "the ONLY full evaluation")
+  }
 }

@@ -246,10 +246,14 @@ class LakeFsLogStore(val conf: Configuration,
   private def qualify(p: Path, repo: String, branch: String, key: String): Path =
     new Path(s"${p.toUri.getScheme}://$repo/$branch/$key")
 
+  // read paths pace server-directed throttles (HttpWire.pacedRetry, same
+  // budget/floor discipline as ObjectStoreLogStore); write paths
+  // deliberately do NOT — writeAtomic's pace belongs to the commit loop,
+  // whose ghost-commit disambiguation must run between attempts
   override def list(dir: Path): Seq[FileStatus] = {
     val (repo, branch, key) = split(dir)
     val prefix = key.stripSuffix("/") + "/"
-    client.listObjects(repo, branch, prefix)
+    HttpWire.pacedRetry(s"list of $dir")(client.listObjects(repo, branch, prefix))
       // LogStore contract: DIRECT children only — a prefix listing also
       // surfaces nested layouts like _delta_log/_sidecars/*.parquet,
       // which must not masquerade as log entries
@@ -262,7 +266,7 @@ class LakeFsLogStore(val conf: Configuration,
 
   override def read(path: Path): Seq[String] = {
     val (repo, branch, key) = split(path)
-    client.getObject(repo, branch, key) match {
+    HttpWire.pacedRetry(s"read of $path")(client.getObject(repo, branch, key)) match {
       case Some(b) => new String(b, "UTF-8").split("\n", -1).toSeq
         .filter(_.nonEmpty)
       case None => throw new java.io.FileNotFoundException(path.toString)
@@ -298,7 +302,7 @@ class LakeFsLogStore(val conf: Configuration,
 
   override def exists(path: Path): Boolean = {
     val (repo, branch, key) = split(path)
-    client.statObject(repo, branch, key)
+    HttpWire.pacedRetry(s"stat of $path")(client.statObject(repo, branch, key))
   }
 
   override def delete(path: Path): Boolean = {

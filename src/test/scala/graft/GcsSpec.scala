@@ -170,6 +170,38 @@ class GcsSpec extends AnyFunSuite {
       e.getMessage.contains("service_account"), e.getMessage)
   }
 
+  test("fault: throttled LIST paces the read side, mid-pagination restart") {
+    val (server, client) = authed(pageSize = 3)
+    (0 until 8).foreach(i =>
+      assert(client.putIfAbsent(s"/wh/t/_delta_log/$i.json", s"v$i".getBytes)))
+
+    // wire level: a throttled list surfaces the paced exception + wait
+    server.throttleRetryAfterSecs = Some(1)
+    server.throttleLists.set(1)
+    val we = intercept[graft.kernel.RetryPacedException](
+      client.listPrefix("/wh/t/_delta_log/"))
+    assert(we.retryAfterMs == 1000L)
+
+    // store level: the 429 lands on the SECOND pagination page (after one
+    // clean nextPageToken page) — the paced retry must restart the listing
+    // cleanly and return the complete, ordered result
+    val store = GcsStore.routing("gsthrottle", server.endpoint,
+      Map("GOOGLE_SERVICE_ACCOUNT_KEY" -> saJson(server)))
+    DeltaLog.registerLogStore("gsthrottle", store)
+    try {
+      server.throttleSkip.set(1)
+      server.throttleLists.set(1)
+      val t0 = System.nanoTime()
+      val listed = store.list(
+        new org.apache.hadoop.fs.Path("gsthrottle://bucket/wh/t/_delta_log"))
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(listed.map(_.getPath.getName) == (0 until 8).map(i => s"$i.json"),
+        "mid-pagination throttle must not drop or duplicate entries")
+      assert(ms >= 900, s"listing must sleep the server-directed pace, took ${ms}ms")
+      assert(server.throttledCount >= 2, "both injected 429s must have fired")
+    } finally DeltaLog.unregisterLogStore("gsthrottle")
+  }
+
   test("whole commit protocol through the registered gs store (paginated)") {
     val server = new MockGcsServer(pageSize = 3,
       verifyJwtWith = Some(keyPair.getPublic))

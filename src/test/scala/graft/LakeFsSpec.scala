@@ -127,6 +127,40 @@ class LakeFsSpec extends AnyFunSuite {
       "wh/t/_delta_log/00000000000000000005.json").get) == "competitor won")
   }
 
+  test("fault: throttled LIST paces the read side, mid-pagination restart") {
+    val server = newServer() // pageSize = 3
+    val c = new LakeFsClient(server.endpoint, "AKIA", "SECRET")
+    (0 until 8).foreach(i =>
+      c.putObject("repo", "main", f"t/_delta_log/$i%020d.json", s"v$i".getBytes))
+
+    // wire level: a throttled ls surfaces the paced exception + wait
+    server.throttleRetryAfterSecs = Some(1)
+    server.throttleLists.set(1)
+    val we = intercept[graft.kernel.RetryPacedException](
+      c.listObjects("repo", "main", "t/_delta_log/"))
+    assert(we.retryAfterMs == 1000L)
+
+    // store level: the 429 lands on the SECOND pagination page (after one
+    // clean page) — the paced retry must restart the listing cleanly and
+    // return the complete, ordered result
+    val store = new LakeFsLogStore(
+      new org.apache.hadoop.conf.Configuration(), c)
+    server.throttleSkip.set(1)
+    server.throttleLists.set(1)
+    val t0 = System.nanoTime()
+    val listed = store.list(new Path("lakefsmock://repo/main/t/_delta_log"))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(listed.map(_.getPath.getName) == (0 until 8).map(i => f"$i%020d.json"),
+      "mid-pagination throttle must not drop or duplicate entries")
+    assert(ms >= 900, s"listing must sleep the server-directed pace, took ${ms}ms")
+    assert(server.throttledCount >= 2, "both injected 429s must have fired")
+    // read + stat pace too
+    server.throttleLists.set(0)
+    assert(store.read(
+      new Path("lakefsmock://repo/main/t/_delta_log/00000000000000000000.json"))
+      .head == "v0")
+  }
+
   test("whole commit protocol through the registered lakefs store") {
     val server = newServer()
     val store = LakeFsStore.register("lakefsmock", server.endpoint, env)

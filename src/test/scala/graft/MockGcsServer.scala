@@ -36,6 +36,19 @@ class MockGcsServer(pageSize: Int = 1000,
   val tokenRequests = new AtomicInteger(0)
   /** Pending injected 429s on conditional puts. */
   val inject429 = new AtomicInteger(0)
+  /** Fault injection on the LIST endpoint: the next N list requests answer
+    * 429 with `Retry-After: throttleRetryAfterSecs` (None = no header) —
+    * the read-side pacing path (`HttpWire.throttled` + the log store's
+    * `pacedRetry`) for the GCS dialect; a mid-pagination 429 must restart
+    * the listing cleanly. */
+  val throttleLists = new AtomicInteger(0)
+  /** Let this many list requests pass BEFORE throttling — positions the
+    * 429 on a later pagination page (mid-listing restart coverage). */
+  val throttleSkip = new AtomicInteger(0)
+  @volatile var throttleRetryAfterSecs: Option[Int] = Some(1)
+  private val throttled429 = new AtomicInteger(0)
+  /** How many LISTs were actually answered 429 since construction. */
+  def throttledCount: Int = throttled429.get()
   /** Last JWT assertion received, for independent inspection by the spec. */
   @volatile var lastAssertion: Option[String] = None
 
@@ -160,6 +173,16 @@ class MockGcsServer(pageSize: Int = 1000,
       case ("GET", p) if p.startsWith("/storage/v1/b/") =>
         val segs = p.stripPrefix("/storage/v1/b/").split("/", -1)
         if (segs.length != 2 || segs(1) != "o") { respond(ex, 400); return }
+        if (throttleSkip.get() > 0 && throttleSkip.decrementAndGet() >= 0) {
+          // pass through: this request is before the injected fault window
+        } else if (throttleLists.get() > 0 && throttleLists.decrementAndGet() >= 0) {
+          throttled429.incrementAndGet()
+          throttleRetryAfterSecs.foreach(s =>
+            ex.getResponseHeaders.set("Retry-After", s.toString))
+          respond(ex, 429,
+            """{"error":{"code":429,"message":"rateLimitExceeded"}}""".getBytes("UTF-8"))
+          return
+        }
         val bucket = java.net.URLDecoder.decode(segs(0), "UTF-8")
         val prefix = params.getOrElse("prefix", "")
         val all = store.listPrefix(s"$bucket/$prefix")

@@ -33,6 +33,19 @@ class MockLakeFsServer(user: String, pass: String, pageSize: Int = 1000) {
     ()
   }
 
+  /** Fault injection on the `objects/ls` endpoint: the next N list
+    * requests answer 429 with `Retry-After: throttleRetryAfterSecs`
+    * (None = no header) — the read-side pacing path for the lakeFS
+    * dialect; a mid-pagination 429 must restart the listing cleanly. */
+  val throttleLists = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Let this many list requests pass BEFORE throttling — positions the
+    * 429 on a later pagination page (mid-listing restart coverage). */
+  val throttleSkip = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var throttleRetryAfterSecs: Option[Int] = Some(1)
+  private val throttled429 = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** How many LISTs were actually answered 429 since construction. */
+  def throttledCount: Int = throttled429.get()
+
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
     (r: Runnable) => { val t = new Thread(r, "mock-lakefs"); t.setDaemon(true); t })
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -173,6 +186,16 @@ class MockLakeFsServer(user: String, pass: String, pageSize: Int = 1000) {
               }
           }
         case ("GET", Seq("refs", ref, "objects", "ls")) =>
+          if (throttleSkip.get() > 0 && throttleSkip.decrementAndGet() >= 0) {
+            // pass through: this request is before the injected fault window
+          } else if (throttleLists.get() > 0 && throttleLists.decrementAndGet() >= 0) {
+            throttled429.incrementAndGet()
+            throttleRetryAfterSecs.foreach(s =>
+              ex.getResponseHeaders.set("Retry-After", s.toString))
+            respond(ex, 429,
+              """{"message":"too many requests"}""".getBytes("UTF-8"))
+            return
+          }
           branches.get(ref) match {
             case None => respond(ex, 404)
             case Some(br) =>

@@ -610,6 +610,29 @@ class GoldenTableSpec extends AnyFunSuite {
       s"expected only the fresh tombstone to survive, got $survivors " +
         s"(expired=${f1.path}, ts-less=${f2.path})")
     assert(replayed.snapshot.tombstones.head.deletionTimestamp.contains(now))
+
+    // VACUUM's live-set math against the replayed snapshot — the
+    // motivating data-loss class: the FRESH tombstone must protect its
+    // file from deletion even when the file's mtime is ancient (another
+    // reader's clock has not expired the remove; protection must come
+    // from the tombstone's deletionTimestamp, never the file's mtime),
+    // while the files whose expired/ts-less tombstones legitimately
+    // dropped from the checkpoint become reclaimable orphans once their
+    // BYTES age past retention.
+    val tfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(f1, f2, f3).foreach { f =>
+      tfs.setTimes(new org.apache.hadoop.fs.Path(dir, f.path), eightDaysAgo, -1)
+    }
+    val cands = replayed.vacuum(dryRun = true).toSet
+    assert(!cands.contains(f3.path),
+      s"VACUUM must not reclaim ${f3.path}: its tombstone is inside the " +
+        s"retention window even though the file mtime is aged ($cands)")
+    assert(cands.contains(f1.path) && cands.contains(f2.path),
+      s"expired/ts-less tombstoned files with aged bytes must be " +
+        s"reclaimable orphans, got $cands")
+    assert(!cands.contains(files.head.path),
+      s"the live file must never be a candidate, got $cands")
   }
 
   test("simple_commit / concurrent_workers: empty CREATE-only tables open") {

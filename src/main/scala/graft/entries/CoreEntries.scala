@@ -1817,7 +1817,7 @@ object CoreEntries {
         }
         val logDir = java.nio.file.Paths.get(dirNew, "_delta_log")
         (0 to 2).foreach { v =>
-          val f = logDir.resolve(f"$v%020d.json")
+          val f = logDir.resolve(LogStore.commitFileName(v))
           var text = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
           require(text.contains("{\"commitInfo\":{"),
             s"ict_time_travel: unexpected commit shape in $f")
@@ -1845,7 +1845,7 @@ object CoreEntries {
         Seq(now, now - 7200000L, now - 3600000L).zipWithIndex.foreach {
           case (m, v) =>
             java.nio.file.Files.setLastModifiedTime(
-              logDir.resolve(f"$v%020d.json"),
+              logDir.resolve(LogStore.commitFileName(v)),
               java.nio.file.attribute.FileTime.fromMillis(m))
         }
         dirNew

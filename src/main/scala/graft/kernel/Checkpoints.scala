@@ -398,8 +398,8 @@ object Checkpoints {
       Seq(CheckpointMetadata(snapshot.version), snapshot.protocol, m) ++
       snapshot.txns.toSeq.map { case (app, v) => SetTransaction(app, v, None) } ++
       snapshot.domains.values.toSeq ++ sidecars
-    val manifestName =
-      f"${snapshot.version}%020d.checkpoint.${java.util.UUID.randomUUID}%s.json"
+    val manifestName = LogStore.zeroPad(snapshot.version, 20) +
+      s".checkpoint.${java.util.UUID.randomUUID}.json"
     store.writeAtomic(new Path(logPath, manifestName),
       manifestActions.iterator.map(ActionCodec.toJson))
 

@@ -26,7 +26,9 @@ object LogCompaction {
   private val CompactedRe = raw"(\d{20})\.(\d{20})\.compacted\.json".r
 
   def fileName(start: Long, end: Long): String =
-    f"$start%020d.$end%020d.compacted.json"
+    // LogStore.zeroPad, not %020d: the f-interpolator formats digits in
+    // the JVM default locale (see LogStore.zeroPad)
+    s"${LogStore.zeroPad(start, 20)}.${LogStore.zeroPad(end, 20)}.compacted.json"
 
   /** (startVersion, endVersion) if `name` is a compaction file. */
   def info(name: String): Option[(Long, Long)] = name match {

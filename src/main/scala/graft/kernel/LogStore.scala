@@ -166,10 +166,23 @@ object LogStore {
       catch { case scala.util.control.NonFatal(_) => () }
     }
 
-  def commitFileName(version: Long): String = f"$version%020d.json"
-  def checkpointFileName(version: Long): String = f"$version%020d.checkpoint.parquet"
+  /** Zero-padded ASCII decimal. The f-interpolator's %0Nd formats in the
+    * JVM DEFAULT locale (ar/fa/bn JVMs emit Arabic-Indic/Bengali digits,
+    * which Java's ASCII-only `\d` never matches) — a log file named in
+    * non-ASCII digits is unreadable by this engine and every other one.
+    * Long.toString is locale-independent by spec. Same hazard class as
+    * bare toLowerCase (Round13Spec tr_TR). */
+  def zeroPad(n: Long, width: Int): String = {
+    val s = java.lang.Long.toString(n)
+    if (s.length >= width) s else ("0" * (width - s.length)) + s
+  }
+
+  def commitFileName(version: Long): String = zeroPad(version, 20) + ".json"
+  def checkpointFileName(version: Long): String =
+    zeroPad(version, 20) + ".checkpoint.parquet"
   def multiPartCheckpointFileName(version: Long, part: Int, total: Int): String =
-    f"$version%020d.checkpoint.$part%010d.$total%010d.parquet"
+    zeroPad(version, 20) + ".checkpoint." + zeroPad(part.toLong, 10) +
+      "." + zeroPad(total.toLong, 10) + ".parquet"
 
   def isCommitFile(name: String): Boolean = name.matches("\\d{20}\\.json")
   /** Classic single-file, classic multi-part, and V2 uuid-named manifests

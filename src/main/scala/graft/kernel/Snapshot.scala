@@ -481,23 +481,24 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
         (v, t)
       }
     }
-    ictEnablementVersion match {
+    val metaSnap = metadataSnapshot() // ONE metadata replay per resolution
+    ictEnablementVersionOf(metaSnap) match {
       case None => clampForward(versions)
       case Some(enableV) =>
         val (pre, window) = versions.partition(_._1 < enableV)
         val windowIct = window.map { case (v, _) =>
-          val ict = readCommit(v)
-            .collectFirst { case ci: CommitInfo => ci }
-            .flatMap(_.inCommitTimestamp)
-          (v, ict.getOrElse(throw new IllegalStateException(
-            s"version $v is inside the inCommitTimestamp enablement " +
-              s"window (>= $enableV) but its CommitInfo lacks " +
-              "inCommitTimestamp — the table violates the ICT spec")))
+          (v, ictOrFail(v, enableV,
+            readCommit(v).collectFirst { case ci: CommitInfo => ci }))
         }
-        val boundary = metadataSnapshot().metadata.configuration
+        // boundary: min of the recorded enablement timestamp and the first
+        // window ICT — taking the property verbatim would let a property
+        // LARGER than the window's ICTs cap pre-window mtimes ABOVE the
+        // window values, breaking the strictly-increasing contract with
+        // time-inverted resolution instead of a loud failure
+        val boundary = (metaSnap.metadata.configuration
           .get("delta.inCommitTimestampEnablementTimestamp")
-          .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
-          .orElse(windowIct.headOption.map(_._2))
+          .flatMap(s => scala.util.Try(s.trim.toLong).toOption) ++
+          windowIct.headOption.map(_._2)).minOption
         val capped = boundary match {
           case None => pre
           case Some(b) =>
@@ -515,12 +516,17 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     }
   }
 
-  /** ICT active for version v — the ONE gate for every timestamp surface
-    * (resolution, history, CDF/streaming `_commit_timestamp`): a rogue
-    * commit carrying the field on a non-ICT-feature table must not flip
-    * one surface while the others ignore it. */
-  private[graft] def ictActiveAt(v: Long): Boolean =
-    ictEnablementVersion.exists(v >= _)
+  /** The recorded ICT of an in-window version — LOUD failure when absent
+    * (guessing by mtime would silently pin a different version than a
+    * compliant reader). Shared by resolution and history() so the two
+    * surfaces fail identically on the same corrupt input. */
+  private def ictOrFail(v: Long, enableV: Long,
+      ci: Option[CommitInfo]): Long =
+    ci.flatMap(_.inCommitTimestamp)
+      .getOrElse(throw new IllegalStateException(
+        s"version $v is inside the inCommitTimestamp enablement " +
+          s"window (>= $enableV) but its CommitInfo lacks " +
+          "inCommitTimestamp — the table violates the ICT spec"))
 
   /** The first version whose commit carries an authoritative ICT: None
     * when the feature is off; 0 when enabled with no recorded enablement
@@ -534,8 +540,13 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     * here would silently classify an ICT table as non-ICT and pin by
     * mtime — the exact wrong-version resolution this path exists to
     * prevent. */
-  private[graft] def ictEnablementVersion: Option[Long] = {
-    val snap = metadataSnapshot()
+  private[graft] def ictEnablementVersion: Option[Long] =
+    ictEnablementVersionOf(metadataSnapshot())
+
+  /** Gate evaluation against an ALREADY-LOADED snapshot — callers holding
+    * one (resolution, CDF range loads) must not pay a second metadata
+    * replay just to ask the gate. */
+  private[graft] def ictEnablementVersionOf(snap: Snapshot): Option[Long] = {
     val featureOn = snap.protocol.minWriterVersion >= 7 &&
       snap.protocol.writerFeatures.exists(_.contains("inCommitTimestamp"))
     val conf = snap.metadata.configuration
@@ -563,8 +574,12 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     val sel = limit.map(versions.take).getOrElse(versions)
     sel.map { case (v, ts) =>
       val ci = readCommit(v).collectFirst { case c: CommitInfo => c }
-      val ict = if (ictFloor.exists(v >= _)) ci.flatMap(_.inCommitTimestamp) else None
-      (v, ict.getOrElse(ts), ci)
+      // in-window: the recorded ICT, with the SAME loud failure as
+      // resolution when it is missing — silently reporting the mtime here
+      // would hand the user a timestamp that time-travel then refuses
+      val reported =
+        if (ictFloor.exists(v >= _)) ictOrFail(v, ictFloor.get, ci) else ts
+      (v, reported, ci)
     }
   }
 }

@@ -469,23 +469,28 @@ object Dedup {
   /** Resolve the posting-list cap AND the frame the pipeline should read.
     * Explicit cap wins; else a caller-supplied `nDocs` (free when the
     * caller already knows it — e.g. from Delta stats,
-    * `Snapshot.approxNumRecords`); else count `df` ONCE through a
-    * MEMORY_AND_DISK persist: the count materializes the cache and the
-    * shingle pipeline reads the cache, so a possibly-expensive (or
+    * `Snapshot.approxNumRecords`); else count `df` ONCE through an
+    * RDD-level MEMORY_AND_DISK persist: the count materializes the blocks
+    * and the shingle pipeline reads them, so a possibly-expensive (or
     * non-deterministic) upstream lineage is evaluated exactly once instead
-    * of once for the count and again for the join — the cache is released
-    * by Spark's ContextCleaner when the result frame is dropped. An
-    * already-persisted input is used as-is (re-persisting at a different
-    * level throws). */
+    * of once for the count and again for the join. RDD persist, NOT
+    * Dataset.persist: the session's CacheManager holds a strong reference
+    * to a Dataset cache until an explicit unpersist (the ContextCleaner
+    * never reclaims it), so a per-call Dataset.persist would leak one
+    * cached corpus per default-cap call for the session's lifetime — an
+    * RDD persist is auto-unpersisted by the ContextCleaner once the
+    * result frames are garbage. An already-persisted input is used as-is
+    * (its cache lifecycle belongs to the caller). */
   private def resolveDocFreqCap(
       df: DataFrame, maxDocFreq: Int, nDocs: Long): (DataFrame, Int) =
     if (maxDocFreq >= 0) (df, maxDocFreq)
     else if (nDocs >= 0) (df, autoDocFreqCap(nDocs))
+    else if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      (df, autoDocFreqCap(df.count()))
     else {
-      val cached =
-        if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
-        else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (cached, autoDocFreqCap(cached.count()))
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = rdd.count()
+      (df.sparkSession.createDataFrame(rdd, df.schema), autoDocFreqCap(n))
     }
 
   /**

@@ -93,14 +93,21 @@ object CdfRead {
     // CommitInfo reads), same rule as the streaming feed's commitMtime:
     // the two feeds must agree, including on the failure mode
     lazy val mtimes: Map[Long, Long] = log.commitMtimes()
-    val ictFloor = log.ictEnablementVersion // once, not per version
+    // the ICT gate is consulted only for commits that actually CARRY the
+    // field (non-ICT tables — everything this engine writes — never force
+    // it), and derived from the range-end snapshot already in hand: no
+    // extra metadata replay per load (streaming's ictFloorMemo analogue)
+    lazy val ictFloor = log.ictEnablementVersionOf(snapshot)
     val units = (startingVersion to end).flatMap { v =>
       val actions = log.readCommit(v)
       actions.collectFirst { case m: graft.kernel.Metadata => m }.foreach { m =>
         cdcOn = m.configuration.get("delta.enableChangeDataFeed")
           .exists(_.trim.equalsIgnoreCase("true"))
       }
-      val (ts0, us) = changeUnitsOf(actions, v, ictFloor.exists(v >= _))
+      val carriesIct = actions.collectFirst { case ci: CommitInfo => ci }
+        .exists(_.inCommitTimestamp.isDefined)
+      val (ts0, us) = changeUnitsOf(actions, v,
+        carriesIct && ictFloor.exists(v >= _))
       val ts = if (ts0 != 0L || us.isEmpty) ts0 else mtimeOrFail(v, mtimes)
       if (!cdcOn && us.nonEmpty)
         throw new IllegalStateException(

@@ -72,6 +72,23 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("ar locale: log file names stay ASCII digits (zeroPad, not %020d)") {
+    import graft.kernel.{LogCompaction, LogStore}
+    withLocale(new Locale("ar", "SA")) {
+      // sanity: this locale actually exhibits the hazard in the JVM
+      // (NumberFormat-based %d would emit Arabic-Indic digits)
+      val formatted = String.format("%020d", Long.box(5L))
+      if (formatted != "00000000000000000005")
+        assert(!formatted.forall(c => c >= '0' && c <= '9'))
+      assert(LogStore.commitFileName(5L) == "00000000000000000005.json")
+      assert(LogStore.isCommitFile(LogStore.commitFileName(5L)))
+      assert(LogStore.isCheckpointFile(LogStore.checkpointFileName(12L)))
+      assert(LogStore.isCheckpointFile(
+        LogStore.multiPartCheckpointFileName(12L, 1, 3)))
+      assert(LogCompaction.info(LogCompaction.fileName(3L, 9L)).contains((3L, 9L)))
+    }
+  }
+
   private def setMtime(dir: String, v: Long, ms: Long): Unit =
     Files.setLastModifiedTime(
       java.nio.file.Paths.get(dir, "_delta_log", f"$v%020d.json"),

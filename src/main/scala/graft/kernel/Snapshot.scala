@@ -213,6 +213,13 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     * a million-file table this touches a few KB instead of the full state. */
   def metadataSnapshot(): Snapshot = snapshotAt(None, withFiles = false)
 
+  /** Metadata-only snapshot pinned at `version` — for gates that need the
+    * protocol/metadata in effect at a historical version without
+    * materializing its Add index (e.g. CDF's enablement-at-range-start
+    * check, which was paying a full file-index replay per poll). */
+  def metadataSnapshotAt(version: Long): Snapshot =
+    snapshotAt(Some(version), withFiles = false)
+
   private def snapshotAt(target: Option[Long], withFiles: Boolean = true): Snapshot = {
     // ONE listing feeds commit discovery, checkpoint discovery and
     // compaction discovery — on an object store each extra list is a

@@ -75,7 +75,10 @@ object CdfRead {
     // extra billable LIST round-trip on every poll-loop call
     if (end >= startingVersion && startingVersion >= 0 &&
         startingVersion <= latest &&
-        !Dml.cdcEnabled(log.snapshotAt(startingVersion)))
+        // metadata-only: this gate reads one boolean from the
+        // range-start metadata; materializing the full Add index here
+        // multiplied billable LISTs/reads on every poll-loop call
+        !Dml.cdcEnabled(log.metadataSnapshotAt(startingVersion)))
       throw enabledError
     val schema = snapshot.schema
     val partCols = snapshot.partitionColumns
@@ -265,6 +268,18 @@ object CdfRead {
     // physically-named files with logical names (every mapped column NULL)
     val mapped = ColumnMapping.enabled(meta)
     val nm = if (mapped) ColumnMapping.nameMap(schema) else Map.empty[String, String]
+    // RemoveFile.partitionValues is OPTIONAL per the protocol (foreign
+    // writers omit it) — on a partitioned table a missing map would stamp
+    // every partition column NULL in this leg's rows, silently corrupting
+    // provenance an incremental consumer folds. Fail loudly, like the
+    // mtime fallback does.
+    if (partCols.nonEmpty) abs.foreach { case (p, pv, v, _) =>
+      val missing = partCols.filterNot(c => pv.contains(nm.getOrElse(c, c)))
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"CDF: file $p at version $v lacks partitionValues for " +
+          s"${missing.mkString(", ")} — cannot derive partition columns " +
+          "for its change rows (the remove action omitted them)")
+    }
     val logicalData = StructType(schema.filterNot(f => partCols.contains(f.name)))
     val dataSchema = StructType(
       (if (mapped) ColumnMapping.physicalSchema(logicalData) else logicalData) ++

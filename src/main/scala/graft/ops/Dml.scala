@@ -47,18 +47,32 @@ object Dml {
       // stats pruning on partition-only predicates is exact
       return candidates
     }
+    matchedFiles(spark, snapshot, candidates, pred, "DML")
+  }
+
+  /** Scan `candidates`, keep the files with at least one `pred` match, and
+    * map each matched URI back to its snapshot AddFile — ONE definition of
+    * the scan/map-back block (the URI-keying edge cases have a history;
+    * fixes must not need to land twice). */
+  private[graft] def matchedFiles(
+      spark: SparkSession,
+      snapshot: Snapshot,
+      candidates: Seq[AddFile],
+      pred: String,
+      op: String): Seq[AddFile] = {
+    if (candidates.isEmpty) return Nil
     val idx = filePathIndex(snapshot, candidates)
-    val hits = Scan.readFiles(spark, snapshot, candidates)
+    Scan.readFiles(spark, snapshot, candidates)
       .filter(expr(pred))
       .select(input_file_name().as("f"))
       .distinct()
       .collect()
-      .map(_.getString(0))
-    hits.toSeq.map { uri =>
-      idx.getOrElse(uriToPathKey(uri), throw new IllegalStateException(
-        s"DML: matched file $uri does not map back to a snapshot AddFile " +
-        "(path-encoding mismatch) — refusing to silently skip it"))
-    }
+      .toSeq.map { r =>
+        idx.getOrElse(uriToPathKey(r.getString(0)), throw new IllegalStateException(
+          s"$op: matched file ${r.getString(0)} does not map back to a " +
+          "snapshot AddFile (path-encoding mismatch) — refusing to " +
+          "silently skip it"))
+      }
   }
 
   /** Whether this table wants CDC rows (operations/cdc.rs should_write_cdc). */
@@ -151,19 +165,7 @@ object DeleteOp {
         }
         // narrow partial candidates to files with actual matches
         val partialFiles =
-          if (partialCandidates.isEmpty) Nil
-          else {
-            val idx = Dml.filePathIndex(snapshot, partialCandidates)
-            Scan.readFiles(spark, snapshot, partialCandidates)
-              .filter(expr(pred))
-              .select(input_file_name().as("f")).distinct().collect()
-              .toSeq.map { r =>
-                idx.getOrElse(Dml.uriToPathKey(r.getString(0)),
-                  throw new IllegalStateException(
-                    s"DELETE: matched file ${r.getString(0)} does not map back " +
-                    "to a snapshot AddFile (path-encoding mismatch)"))
-              }
-          }
+          Dml.matchedFiles(spark, snapshot, partialCandidates, pred, "DELETE")
 
         // With delta.enableDeletionVectors, partially-matching files keep
         // their data and gain a row-index mask instead of being rewritten —
@@ -345,13 +347,23 @@ object DvWriter {
             }
           }
         }
+        // adjacent-dedup on the sorted (file, pos) stream: MERGE with
+        // duplicate validation disabled can emit one target row k times
+        // (k source matches) — counting those k would inflate
+        // num_deleted_rows and spuriously trip the rewrite-fallback caps
+        // even though the deduplicated mask is under them
+        var last = Long.MinValue
         it.foreach { case (f, p) =>
           if (f != cur) {
-            flush(); cur = f; buf = Array.newBuilder[Long]; bufN = 0L; over = false
+            flush(); cur = f; buf = Array.newBuilder[Long]; bufN = 0L
+            over = false; last = Long.MinValue
           }
-          bufN += 1
-          if (bufN > perFileCap) { over = true; buf = Array.newBuilder[Long] }
-          else if (!over) buf += p
+          if (p != last || last == Long.MinValue) {
+            last = p
+            bufN += 1
+            if (bufN > perFileCap) { over = true; buf = Array.newBuilder[Long] }
+            else if (!over) buf += p
+          }
         }
         flush()
         out.iterator
@@ -473,6 +485,21 @@ object UpdateOp {
         case None => col(f.name)
       }
     }
+    // generated columns NOT explicitly SET are recomputed over the
+    // POST-update values in a second projection (delta-spark semantics):
+    // updating an input of `g = price * 2` must not carry the stale g
+    // forward — prepareForWrite now enforces the generation expression,
+    // so a stale copy would refuse the commit. For untouched rows the
+    // recompute is the identity on a valid table.
+    val genExprs = Generated.expressions(snapshot.schema)
+      .filter { case (c, _) => !set.contains(c) }
+    def recomputeGen(df: DataFrame): DataFrame =
+      if (genExprs.isEmpty) df
+      else df.select(snapshot.schema.map { f =>
+        genExprs.get(f.name)
+          .map(g => expr(g).cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))
+      }: _*)
 
     // With delta.enableDeletionVectors: mask the OLD versions of matching
     // rows in place and append a file holding only the updated rows —
@@ -486,7 +513,7 @@ object UpdateOp {
       val observed = src.observe(obs,
         sum(when(predCol, 1L).otherwise(0L)).as("n"))
       val rewritten = Validation.prepareForWrite(spark,
-        observed.select(updatedCols: _*), meta)
+        recomputeGen(observed.select(updatedCols: _*)), meta)
       val newAdds = DeltaWriter.writeFiles(spark, table.tablePath, rewritten,
         snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
       val now = System.currentTimeMillis()
@@ -501,7 +528,7 @@ object UpdateOp {
       if (useDv) DvDelete.maskFiles(table, snapshot, files, pred) match {
         case Some((dvActions, masked)) =>
           val updatedOnly = Validation.prepareForWrite(spark,
-            src.filter(predCol).select(updatedCols: _*), meta)
+            recomputeGen(src.filter(predCol).select(updatedCols: _*)), meta)
           val newAdds = DeltaWriter.writeFiles(spark, table.tablePath, updatedOnly,
             snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
           val upgrade = ProtocolGate.upgradeForDv(snapshot.protocol).toSeq

@@ -57,6 +57,14 @@ object IncrementalAgg {
   def refresh(upstream: DeltaTable, targetPath: String,
               keyCols: Seq[String], sumCols: Seq[String]): Map[String, String] = {
     require(keyCols.nonEmpty, "IncrementalAgg: at least one key column")
+    // the target schema appends cnt / sum_<c> / nn_<c> bookkeeping columns
+    // — a key or sum column with one of those names would build a
+    // duplicate-field StructType and collide in the merge's update map
+    val reserved = Set("cnt") ++ sumCols.flatMap(c => Seq(s"sum_$c", s"nn_$c"))
+    val clash = (keyCols ++ sumCols).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"IncrementalAgg: column name(s) ${clash.mkString(", ")} collide with " +
+        "the target's bookkeeping columns (cnt, sum_<c>, nn_<c>)")
     val spark = upstream.spark
     val upSnap = upstream.refresh()
     val endV = upSnap.version

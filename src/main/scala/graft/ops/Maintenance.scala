@@ -356,12 +356,15 @@ object FsckOp {
     // an add is unreadable when EITHER backing file vanished: the data
     // file, or the deletion-vector blob (without the mask the visible row
     // set is undefined — every scan of that file fails decoding)
-    val missing = snapshot.allFiles.filterNot { f =>
+    // parallel existence probes, like RESTORE's allPresent: serial
+    // driver-side exists() on a large table against an object store is
+    // hours of sequential round-trips
+    val missing = snapshot.allFiles.par.filterNot { f =>
       fs.exists(snapshot.absolutePath(f.path)) &&
         f.deletionVector
           .flatMap(dv => DeletionVectors.dvPath(table.tablePath, dv))
           .forall(fs.exists)
-    }
+    }.seq
     if (missing.nonEmpty && !dryRun) {
       val now = System.currentTimeMillis()
       val txn = table.startTransaction()

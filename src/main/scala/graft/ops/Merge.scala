@@ -368,20 +368,31 @@ object MergeOp {
       }
 
       // ---- output projection ----
-      val sourceHas = source.schema.fieldNames.toSet
+      // CASE-INSENSITIVE membership, matching Spark's default resolution
+      // and mergeSchemas: a source column `VALUE` against target `value`
+      // must feed updateAll/insertAll (col("source.value") resolves it
+      // fine) — a case-sensitive guard silently kept the old value /
+      // inserted NULL instead
+      val sourceHas = source.schema.fieldNames
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val targetHasCi = targetHas.map(_.toLowerCase(java.util.Locale.ROOT))
+      def srcHas(field: String): Boolean =
+        sourceHas.contains(field.toLowerCase(java.util.Locale.ROOT))
       // a target column absent from the (pre-evolution) target reads as null
       def tgtCol(field: String): Column =
-        if (targetHas.contains(field)) col(s"target.$field") else lit(null)
+        if (targetHasCi.contains(field.toLowerCase(java.util.Locale.ROOT)))
+          col(s"target.$field")
+        else lit(null)
 
       def clauseExpr(c: MergeClause, field: String): Column = c match {
         case MatchedUpdate(_, set) =>
           set.get(field).map(expr).getOrElse(tgtCol(field))
         case _: MatchedUpdateAll =>
-          if (sourceHas.contains(field)) col(s"source.$field") else tgtCol(field)
+          if (srcHas(field)) col(s"source.$field") else tgtCol(field)
         case NotMatchedInsert(_, values) =>
           values.get(field).map(expr).getOrElse(lit(null))
         case _: NotMatchedInsertAll =>
-          if (sourceHas.contains(field)) col(s"source.$field") else lit(null)
+          if (srcHas(field)) col(s"source.$field") else lit(null)
         case NotMatchedBySourceUpdate(_, set) =>
           set.get(field).map(expr).getOrElse(tgtCol(field))
         case _ => tgtCol(field) // deletes never project

@@ -59,14 +59,21 @@ object OptimizeOp {
     val byPartition = candidates.groupBy(_.partitionValues)
     val bins: Seq[Seq[AddFile]] = byPartition.values.flatMap { files =>
       val sorted = files.sortBy(-_.size)
-      val acc = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[AddFile]]()
+      // running total per bin — re-summing the bin inside every probe made
+      // packing O(bins × files × bin-size) driver CPU, minutes of stall on
+      // the many-small-files partitions OPTIMIZE exists for
+      val acc = scala.collection.mutable.ArrayBuffer[
+        (scala.collection.mutable.ArrayBuffer[AddFile], Long)]()
       sorted.foreach { f =>
-        acc.find(b => b.map(_.size).sum + f.size <= targetSize) match {
-          case Some(b) => b += f
-          case None => acc += scala.collection.mutable.ArrayBuffer(f)
+        acc.indexWhere { case (_, sz) => sz + f.size <= targetSize } match {
+          case -1 => acc += ((scala.collection.mutable.ArrayBuffer(f), f.size))
+          case i =>
+            val (b, sz) = acc(i)
+            b += f
+            acc(i) = (b, sz + f.size)
         }
       }
-      acc.filter(_.size >= 2).map(_.toSeq)
+      acc.collect { case (b, _) if b.size >= 2 => b.toSeq }
     }.toSeq
 
     if (bins.isEmpty) {

@@ -89,7 +89,19 @@ object Validation {
         (s"Invariant ($e) violated for column $c", not(coalesce(expr(e), lit(false))))
       }
 
-    val all = notNullChecks ++ checkChecks ++ invChecks
+    // generated columns: a writer-SUPPLIED value must equal the generation
+    // expression, null-safely (delta protocol; delta-spark enforces
+    // `g <=> expr`) — Generated.fill only computes ABSENT columns, so
+    // without this check a wrong explicit value commits silently and
+    // every engine trusting the invariant reads wrong data
+    val genChecks = Generated.expressions(schema).toSeq
+      .filter { case (c, _) => df.schema.fieldNames.contains(c) }
+      .map { case (c, e) =>
+        (s"Generated column $c does not match generation expression ($e)",
+          not(colLit(c) <=> expr(e).cast(schema(c).dataType)))
+      }
+
+    val all = notNullChecks ++ checkChecks ++ invChecks ++ genChecks
     if (all.isEmpty) df
     else {
       // violation message (first tripped check wins), null when the row is ok

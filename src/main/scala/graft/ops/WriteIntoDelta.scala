@@ -142,8 +142,12 @@ object WriteIntoDelta {
             val deleted = DeltaWriter.normalize(Scan.read(spark, snapshot), targetSchema)
               .withColumn(Dml.CDC_COL, lit("delete"))
             val inserted = normalized.withColumn(Dml.CDC_COL, lit("insert"))
+            // the metadata being COMMITTED, not the pre-evolution one:
+            // under column mapping an evolved column written through the
+            // old meta keeps its LOGICAL name in the CDC parquet and every
+            // CDF read resolves it to NULL (the Merge.scala:490 invariant)
             Dml.writeCdc(spark, table, deleted.unionByName(inserted),
-              numIndexedCols(meta), meta = Some(meta))
+              numIndexedCols(meta), meta = Some(writeMeta))
           } else Nil
         (removes ++ cdc, None)
       case ("overwrite", Some(pred)) =>
@@ -176,8 +180,9 @@ object WriteIntoDelta {
             val deleted = DeltaWriter.normalize(removedLive, targetSchema)
               .withColumn(Dml.CDC_COL, lit("delete"))
             val inserted = normalized.withColumn(Dml.CDC_COL, lit("insert"))
+            // committed metadata, same invariant as the plain-overwrite leg
             Dml.writeCdc(spark, table, deleted.unionByName(inserted),
-              numIndexedCols(meta), meta = Some(meta))
+              numIndexedCols(meta), meta = Some(writeMeta))
           } else Nil
         (removes ++ rewriteAdds ++ cdc, Some(pred))
       case _ => (Nil, None) // append

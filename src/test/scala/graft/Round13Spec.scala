@@ -89,6 +89,80 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("MERGE updateAll/insertAll resolve source columns case-insensitively") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "old"), (2L, "keep")).toDF("id", "value"), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    // source column VALUE (case-mismatched): Spark's default resolution is
+    // case-insensitive, so updateAll must feed it — a case-sensitive guard
+    // silently kept the old value and inserted NULL
+    val src = Seq((1L, "new"), (3L, "ins")).toDF("ID", "VALUE")
+    t.merge(src, "target.id = source.ID")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val rows = t.toDF.orderBy("id").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "new"), (2L, "keep"), (3L, "ins")),
+      s"case-mismatched source columns must update/insert, got $rows")
+  }
+
+  test("generated columns: wrong supplied value refuses; UPDATE recomputes") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = tmpDir()
+    val genMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "price * 2").build()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("price", DoubleType),
+      StructField("g", DoubleType, nullable = true, genMeta)))
+    DeltaTable.create(spark, dir, schema)
+    // absent g: computed on write
+    DeltaTable.write(spark, Seq((1L, 10.0)).toDF("id", "price"), dir,
+      mode = "append")
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF.select("g").as[Double].head() == 20.0)
+    // a writer-SUPPLIED wrong value must refuse (delta protocol: g <=> expr)
+    val e = intercept[Exception] {
+      DeltaTable.write(spark,
+        Seq((2L, 5.0, 0.0)).toDF("id", "price", "g"), dir, mode = "append")
+    }
+    assert(e.getMessage != null)
+    assert(t.refresh().version == 1L, "wrong generated value must not commit")
+    // a correct supplied value commits
+    DeltaTable.write(spark,
+      Seq((2L, 5.0, 10.0)).toDF("id", "price", "g"), dir, mode = "append")
+    // UPDATE of an input recomputes g for updated rows (stale g would now
+    // refuse at prepareForWrite)
+    t.update(Map("price" -> org.apache.spark.sql.functions.expr("price + 1")),
+      Some("id = 1"))
+    val after = t.toDF.orderBy("id").as[(Long, Double, Double)].collect().toSeq
+    assert(after == Seq((1L, 11.0, 22.0), (2L, 5.0, 10.0)),
+      s"UPDATE must recompute the generated column, got $after")
+  }
+
+  test("overwrite CDC on a column-mapped evolved table reads the evolved " +
+      "column non-NULL") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir,
+      configuration = Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.enableChangeDataFeed" -> "true",
+        "delta.enableDeletionVectors" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.delete(Some("k = 2")) // DV-masked remove → overwrite CDC goes explicit
+    require(t.snapshot.allFiles.exists(_.deletionVector.exists(_.cardinality > 0)))
+    // overwrite with an EVOLVED schema: the CDC files must be written under
+    // the COMMITTED metadata — under the pre-evolution meta the evolved
+    // column keeps its logical name in the CDC parquet and CDF reads NULL
+    DeltaTable.write(spark, Seq((9L, "z", 42L)).toDF("k", "v", "extra"), dir,
+      mode = "overwrite", mergeSchema = true)
+    val feed = t.loadCdf(2L, Some(2L))
+      .filter("_change_type = 'insert'")
+      .select("k", "extra").as[(Long, Option[Long])].collect().toSeq
+    assert(feed == Seq((9L, Some(42L))),
+      s"evolved column must round-trip through overwrite CDC, got $feed")
+  }
+
   private def setMtime(dir: String, v: Long, ms: Long): Unit =
     Files.setLastModifiedTime(
       java.nio.file.Paths.get(dir, "_delta_log", f"$v%020d.json"),

@@ -506,20 +506,26 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
           .get("delta.inCommitTimestampEnablementTimestamp")
           .flatMap(s => scala.util.Try(s.trim.toLong).toOption) ++
           windowIct.headOption.map(_._2)).minOption
+        // forward-clamp FIRST, then cap only the suffix that actually
+        // reaches the boundary: an unconditional backward rewrite would
+        // resolve equal-mtime pre-window commits to a DIFFERENT version
+        // than the non-ICT branch (and delta-spark's forward clamp) pick
+        // for identical mtimes. On the clamped (strictly increasing)
+        // input the backward pass is the identity until a value collides
+        // with the boundary, and the result stays strictly increasing
+        // (t_i = min(mono_i, t_{i+1}-1) ≤ t_{i+1}-1).
+        val mono = clampForward(pre)
         val capped = boundary match {
-          case None => pre
+          case None => mono
           case Some(b) =>
             var next = b
-            pre.reverseIterator.map { case (v, ts) =>
+            mono.reverseIterator.map { case (v, ts) =>
               val t = math.min(ts, next - 1)
               next = t
               (v, t)
             }.toVector.reverse
         }
-        // the forward clamp cannot push a capped value back to the
-        // boundary: each backward step decrements by ≥1, so capped ts_i ≤
-        // boundary - (|pre| - i), and max(ts_i, prev+1) preserves that
-        clampForward(capped) ++ windowIct
+        capped ++ windowIct
     }
   }
 
@@ -570,20 +576,32 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
   def commitMtimes(): Map[Long, Long] = commitVersions().toMap
 
   /** Commit history, newest first: (version, timestampMs, commitInfo).
-    * timestampMs is the commit file's mtime, overridden by
-    * CommitInfo.inCommitTimestamp for versions inside the ICT enablement
-    * window (same gate as timestamp resolution — a rogue commit carrying
-    * the field on a non-ICT table must not make history() disagree with
-    * snapshotForTimestamp about what time a version happened). */
+    * timestampMs is the RECORDED per-version value — the commit file's
+    * mtime, overridden by CommitInfo.inCommitTimestamp inside the ICT
+    * enablement window (same gate as resolution; a rogue commit carrying
+    * the field on a non-ICT table is ignored, and an in-window commit
+    * MISSING it fails as loudly as resolution does). Deliberately NOT the
+    * clamped resolution sequence: like delta-spark (DeltaHistoryManager
+    * clamps only getActiveCommitAtTime, history shows recorded
+    * timestamps), history reports what happened while resolution
+    * monotonizes — on a copy-shuffled non-monotonic log a history
+    * timestamp fed back to snapshotForTimestamp can therefore resolve
+    * past the clamp or refuse; resolution over a non-monotonic sequence
+    * has no answer that preserves both properties. */
   def history(limit: Option[Int] = None): Seq[(Long, Long, Option[CommitInfo])] = {
-    val ictFloor = ictEnablementVersion
     val versions = commitVersions().sortBy(-_._1)
     val sel = limit.map(versions.take).getOrElse(versions)
-    sel.map { case (v, ts) =>
-      val ci = readCommit(v).collectFirst { case c: CommitInfo => c }
-      // in-window: the recorded ICT, with the SAME loud failure as
-      // resolution when it is missing — silently reporting the mtime here
-      // would hand the user a timestamp that time-travel then refuses
+    val withCi = sel.map { case (v, ts) =>
+      (v, ts, readCommit(v).collectFirst { case c: CommitInfo => c })
+    }
+    // the gate costs a metadata replay (a billable extra LIST on object
+    // stores) — consult it only when a selected commit actually carries
+    // the field; non-ICT tables (everything this engine writes) skip it
+    val ictFloor =
+      if (withCi.exists(_._3.exists(_.inCommitTimestamp.isDefined)))
+        ictEnablementVersion
+      else None
+    withCi.map { case (v, ts, ci) =>
       val reported =
         if (ictFloor.exists(v >= _)) ictOrFail(v, ictFloor.get, ci) else ts
       (v, reported, ci)

@@ -247,5 +247,41 @@ class Round13Spec extends AnyFunSuite {
     val h = DeltaTable.forPath(spark, dir).history().map(x => (x._1, x._2))
     assert(h.take(2) == Seq((3L, boundary + 1000), (2L, boundary)))
     assert(h.drop(2).forall(_._2 >= now), s"pre-window history must be mtime: $h")
+
+    // equal pre-window mtimes BELOW the boundary: resolution must agree
+    // with the non-ICT branch (forward clamp → the EARLIER version owns
+    // the shared timestamp); an unconditional backward rewrite would hand
+    // the shared timestamp to the LATER version instead
+    val dir2 = tmpDir()
+    (0 to 2).foreach { v =>
+      DeltaTable.write(spark, Seq((v.toLong, s"v$v")).toDF("id", "txt"), dir2,
+        mode = "append")
+    }
+    val logDir2 = java.nio.file.Paths.get(dir2, "_delta_log")
+    val f0b = logDir2.resolve(f"${0}%020d.json")
+    var t0b = new String(Files.readAllBytes(f0b), "UTF-8")
+    t0b = t0b.replace("\"configuration\":{}",
+      "\"configuration\":{\"delta.enableInCommitTimestamps\":\"true\"," +
+        "\"delta.inCommitTimestampEnablementVersion\":\"2\"," +
+        s""""delta.inCommitTimestampEnablementTimestamp":"$boundary"}""")
+    t0b = t0b.replaceAll("\\{\"protocol\":\\{[^}]*\\}\\}",
+      "{\"protocol\":{\"minReaderVersion\":1,\"minWriterVersion\":7," +
+        "\"writerFeatures\":[\"appendOnly\",\"invariants\",\"inCommitTimestamp\"]}}")
+    Files.write(f0b, t0b.getBytes("UTF-8"))
+    val f2b = logDir2.resolve(f"${2}%020d.json")
+    Files.write(f2b, new String(Files.readAllBytes(f2b), "UTF-8")
+      .replace("{\"commitInfo\":{",
+        "{\"commitInfo\":{\"inCommitTimestamp\":" + boundary + ",")
+      .getBytes("UTF-8"))
+    val sharedMtime = 1700000000000L // well below the boundary
+    setMtime(dir2, 0, sharedMtime)
+    setMtime(dir2, 1, sharedMtime)
+    setMtime(dir2, 2, sharedMtime) // window mtime is irrelevant (ICT rules)
+    val log2 = DeltaTable.forPath(spark, dir2).deltaLog
+    assert(log2.snapshotForTimestamp(sharedMtime).version == 0L,
+      "equal pre-window mtimes: the earlier version owns the shared " +
+        "timestamp (forward-clamp parity with the non-ICT branch)")
+    assert(log2.snapshotForTimestamp(sharedMtime + 1).version == 1L)
+    assert(log2.snapshotForTimestamp(boundary).version == 2L)
   }
 }

@@ -287,7 +287,8 @@ object CdfRead {
           Seq(org.apache.spark.sql.types.StructField(Dml.CDC_COL, org.apache.spark.sql.types.StringType))
         else Nil))
 
-    val raw = spark.read.schema(dataSchema).parquet(abs.map(_._1.toString): _*)
+    val raw = spark.read.schema(dataSchema)
+      .parquet(abs.map(t => Scan.globEscape(t._1.toString)): _*)
 
     // _metadata.file_path is a URI-style string ("file:/dir/p%20x/f.parquet");
     // emit every plausible encoding of each path so the equi-join is robust

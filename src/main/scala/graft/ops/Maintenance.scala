@@ -596,7 +596,12 @@ object ConvertToDeltaOp {
       // infer: columns that only appear in directory names
       val sample = firstParquet(fs, tablePath)
         .getOrElse(throw new IllegalArgumentException(s"No parquet files under $path"))
-      val fileSchema = spark.read.parquet(sample.toString).schema.fieldNames.toSet
+      // glob-escaped: the sampled file's NAME is whatever the foreign
+      // layout carries (e.g. 'report [2020].parquet' — spark.read
+      // glob-expands its argument)
+      val fileSchema = spark.read
+        .parquet(graft.table.Scan.globEscape(sample.toString))
+        .schema.fieldNames.toSet
       fullSchema.fieldNames.toSeq.filterNot(fileSchema.contains)
     }
     val dataSchema = StructType(fullSchema.filterNot(f => partCols.contains(f.name)))

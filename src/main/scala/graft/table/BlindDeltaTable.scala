@@ -81,8 +81,6 @@ class BlindDeltaTable private (val spark: SparkSession, val tablePath: Path) {
 }
 
 object BlindDeltaTable {
-  def forPath(spark: SparkSession, path: String): BlindDeltaTable = {
-    val t = new BlindDeltaTable(spark, new Path(path))
-    t
-  }
+  def forPath(spark: SparkSession, path: String): BlindDeltaTable =
+    new BlindDeltaTable(spark, new Path(path))
 }

@@ -19,15 +19,22 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
 
   @volatile private var cached: Snapshot = _
 
-  def snapshot: Snapshot = {
+  // synchronized: concurrent first-touch callers must not each pay a full
+  // log replay (N-1 discarded), and two racing refresh() calls must not
+  // let the older snapshot's assignment land last and regress a version a
+  // caller already observed
+  def snapshot: Snapshot = synchronized {
     if (cached == null) cached = deltaLog.snapshot()
     cached
   }
 
   /** Re-read the log — incremental when a snapshot is cached
     * (update_incremental, table/mod.rs:206). */
-  def refresh(): Snapshot = {
-    cached = if (cached == null) deltaLog.snapshot() else deltaLog.update(cached)
+  def refresh(): Snapshot = synchronized {
+    val next = if (cached == null) deltaLog.snapshot() else deltaLog.update(cached)
+    // never regress: a concurrent commitAndRefresh may have installed a
+    // newer snapshot while this listing ran
+    if (cached == null || next.version >= cached.version) cached = next
     cached
   }
 
@@ -84,16 +91,24 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
       "data_change", "stats")
     if (!flatten) base
     else {
+      // nullCount parses as map<string,STRING>, values cast per-entry:
+      // delta-spark stats for struct columns nest objects inside the maps,
+      // and a map<string,long> schema made from_json null the whole map
+      // for every such file — nested entries now surface as a JSON-string
+      // min/max value and a NULL null-count for that key instead of
+      // poisoning the flat top-level columns
+      import org.apache.spark.sql.functions.{transform_values, when}
       val statsSchema = StructType(Seq(
         StructField("numRecords", LongType),
         StructField("minValues", MapType(StringType, StringType)),
         StructField("maxValues", MapType(StringType, StringType)),
-        StructField("nullCount", MapType(StringType, LongType))))
+        StructField("nullCount", MapType(StringType, StringType))))
       base.withColumn("s", from_json(col("stats"), statsSchema))
         .withColumn("num_records", col("s.numRecords"))
         .withColumn("min_values", col("s.minValues"))
         .withColumn("max_values", col("s.maxValues"))
-        .withColumn("null_counts", col("s.nullCount"))
+        .withColumn("null_counts", transform_values(col("s.nullCount"),
+          (_, v) => when(v.rlike("^-?\\d+$"), v.cast(LongType))))
         .drop("s", "stats")
     }
   }

@@ -233,7 +233,12 @@ object DeltaWriter {
           case ie: InterruptedException =>
             Thread.currentThread().interrupt()
             e.addSuppressed(ie)
-          case _: Exception =>
+          case ce: Exception =>
+            // same outage usually kills the delete too: report the leaked
+            // staging dir (VACUUM skips hidden dirs, nothing else will)
+            System.err.println(
+              s"[graft-write] failed to clean staging dir $staging: $ce")
+            e.addSuppressed(ce)
         }
         throw e
     }
@@ -282,9 +287,17 @@ object DeltaWriter {
       if (depth > 1) confScopes(spark) = (depth - 1, saved)
       else {
         confScopes.remove(spark)
+        // restore only keys STILL holding the pinned override: a user who
+        // set their own value mid-scope (for their own non-graft writes)
+        // must not have it silently clobbered by the first entrant's save
+        val pinned = ConfOverrides.toMap
         saved.foreach {
-          case (k, Some(v)) => spark.conf.set(k, v)
-          case (k, None) => spark.conf.unset(k)
+          case (k, old) if spark.conf.getOption(k).contains(pinned(k)) =>
+            old match {
+              case Some(v) => spark.conf.set(k, v)
+              case None => spark.conf.unset(k)
+            }
+          case _ => () // user changed it mid-scope — their value wins
         }
       }
     }

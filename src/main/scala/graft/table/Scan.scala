@@ -16,8 +16,10 @@ import graft.kernel.{AddFile, DeletionVectors, PathKeys, Snapshot, StatsPruning}
  * DataFusion's ParquetSource (`delta_datafusion/table_provider/next/mod.rs:728-768`).
  *
  * Data files omit partition columns (Delta protocol); they are recovered
- * from hive-style directory names via Spark partition discovery anchored at
- * `basePath`, then cast to the table schema's declared types.
+ * from the LOG's per-file partitionValues via a broadcast file→values
+ * lookup (PartitionValueAt), then cast to the table schema's declared
+ * types — NOT hive directory inference, which cannot cover column-mapped
+ * or random-prefix layouts (see readRaw).
  */
 object Scan {
 
@@ -209,7 +211,7 @@ object Scan {
     val dataSchema =
       if (mapped) graft.kernel.ColumnMapping.physicalSchema(logicalData) else logicalData
 
-    val raw = spark.read.schema(dataSchema).parquet(paths: _*)
+    val raw = spark.read.schema(dataSchema).parquet(paths.map(globEscape): _*)
 
     // partition columns come from the LOG's partitionValues (the protocol's
     // source of truth, resolved per-file by a codegen'd broadcast lookup on
@@ -239,6 +241,23 @@ object Scan {
         Seq(col("_metadata.file_path").as("__file"), col("_metadata.row_index").as("__pos"))
       else Nil
     raw.select(cols ++ identity: _*)
+  }
+
+  /** Escape Hadoop-glob metacharacters in a path handed to `spark.read`:
+    * the reader glob-expands its path arguments, so a data file legally
+    * named `report [2020].parquet` (foreign writers, convert_to_delta
+    * inputs — our own writer emits only safe names) would fail resolution,
+    * and a literal `*` would silently match OTHER files. Backslash-escape,
+    * which Hadoop's GlobPattern honors. `_metadata.file_path` joins are
+    * unaffected (they see the resolved, unescaped path). */
+  private[graft] def globEscape(p: String): String = {
+    val sb = new StringBuilder(p.length + 8)
+    p.foreach { c =>
+      if (c == '\\' || c == '[' || c == ']' || c == '{' || c == '}' ||
+          c == '*' || c == '?') sb += '\\'
+      sb += c
+    }
+    sb.toString
   }
 
   def emptyDf(spark: SparkSession, schema: StructType): DataFrame =

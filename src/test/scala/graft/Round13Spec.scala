@@ -163,6 +163,56 @@ class Round13Spec extends AnyFunSuite {
       s"evolved column must round-trip through overwrite CDC, got $feed")
   }
 
+  test("data files with glob metacharacters in their names read correctly") {
+    import spark.implicits._
+    // convert_to_delta registers whatever file names exist — rename a part
+    // file to carry glob chars, like a foreign writer might produce
+    val dir = tmpDir()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1).write.parquet(dir)
+    val d = new java.io.File(dir)
+    val part = d.listFiles().find(_.getName.endsWith(".parquet")).get
+    val weird = new java.io.File(d, "report [2020] {x}.parquet")
+    assert(part.renameTo(weird))
+    val t = DeltaTable.convertToDelta(spark, dir)
+    assert(t.snapshot.allFiles.exists(_.path.contains("%5B2020%5D") ||
+      t.snapshot.allFiles.exists(_.path.contains("[2020]"))),
+      s"converted paths: ${t.snapshot.allFiles.map(_.path)}")
+    // pre-fix: spark.read glob-expands '[2020]'/'{x}' and the read fails
+    // (or silently matches other files)
+    assert(t.toDF.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // DML across the weird name: rewrite + read-back still resolve it
+    t.delete(Some("id = 2"))
+    assert(t.toDF.as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("getAddActions(flatten): nested (struct-column) stats do not poison " +
+      "the flat columns") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "x")).toDF("id", "v"), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    // plant delta-spark-style NESTED stats (struct column `s`) into the
+    // add action by rewriting the commit json — our writer emits flat
+    // stats only, so synthesize the foreign shape
+    val f = java.nio.file.Paths.get(dir, "_delta_log",
+      graft.kernel.LogStore.commitFileName(0L))
+    val nested = """{\"numRecords\":1,\"minValues\":{\"id\":\"1\",\"s\":{\"x\":\"a\"}},\"maxValues\":{\"id\":\"1\",\"s\":{\"x\":\"z\"}},\"nullCount\":{\"id\":0,\"s\":{\"x\":1}}}"""
+    val txt = new String(Files.readAllBytes(f), "UTF-8")
+      .replaceAll("\"stats\":\"\\{[^\"]*\\}\"", "\"stats\":\"" +
+        java.util.regex.Matcher.quoteReplacement(nested) + "\"")
+    Files.write(f, txt.getBytes("UTF-8"))
+    val row = DeltaTable.forPath(spark, dir).getAddActions(flatten = true)
+      .selectExpr("num_records", "element_at(min_values, 'id')",
+        "element_at(null_counts, 'id')", "element_at(null_counts, 's')")
+      .collect().head
+    assert(row.getLong(0) == 1L, s"num_records must survive nested stats: $row")
+    assert(row.getString(1) == "1")
+    assert(row.getLong(2) == 0L,
+      s"flat null_counts must survive a nested sibling: $row")
+    assert(row.isNullAt(3), "nested entry surfaces as NULL, not a poison")
+  }
+
   private def setMtime(dir: String, v: Long, ms: Long): Unit =
     Files.setLastModifiedTime(
       java.nio.file.Paths.get(dir, "_delta_log", f"$v%020d.json"),

@@ -133,10 +133,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.exists(ptr)) None
     else {
       val in = fs.open(ptr)
-      try Some(new Path(new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim))
-      finally in.close()
+      val content =
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      // a torn pointer (crash between create and write) would otherwise
+      // surface as new Path("")'s opaque IllegalArgumentException from
+      // every SHOW TABLES / loadTable on the namespace — name the slot
+      if (content.isEmpty) throw new IllegalStateException(
+        s"corrupt external-table pointer $ptr (empty — a crashed CREATE?); " +
+          "drop the table identifier to clear it")
+      Some(new Path(content))
     }
   }
 
@@ -269,6 +277,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
       TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION)
+    // claim the slot FIRST for external tables: the register branch below
+    // commits TBLPROPERTIES/COMMENT to the target Delta table, and the
+    // loser of a concurrent CREATE race (or a crash) must fail BEFORE
+    // mutating a production table the statement will not own
+    external.foreach { ext =>
+      fs.mkdirs(slot)
+      // overwrite = false: two concurrent CREATEs of the same identifier
+      // must not resolve by silent last-writer-wins pointer loss
+      val out =
+        try fs.create(new Path(slot, PointerFile), false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            throw new TableAlreadyExistsException(ident)
+        }
+      try out.write(ext.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    try {
     if (external.isDefined && isTableDir(location)) {
       // REGISTER pre-existing external Delta data under the identifier —
       // the primary external-table use case. The declared schema must be
@@ -326,21 +352,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         name = Some(ident.name()),
         description = props.get(TableCatalog.PROP_COMMENT))
     }
-    // external tables leave a pointer in the warehouse slot so every later
-    // load/list/drop resolves the identifier back to the real location
-    external.foreach { ext =>
-      fs.mkdirs(slot)
-      // overwrite = false: two concurrent CREATEs of the same identifier
-      // must not resolve by silent last-writer-wins pointer loss — the
-      // loser fails atomically on create-exclusive filesystems
-      val out =
-        try fs.create(new Path(slot, PointerFile), false)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            throw new TableAlreadyExistsException(ident)
+    } catch {
+      case e: Throwable =>
+        // un-claim: a failed CREATE must not leave a pointer to a table
+        // the statement never finished setting up
+        external.foreach { _ =>
+          scala.util.Try(fs.delete(new Path(slot, PointerFile), false))
         }
-      try out.write(ext.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+        throw e
     }
     new GraftTable(spark, ident.toString, location)
   }
@@ -441,6 +460,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(
       namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    // a path-warehouse namespace stores no properties: silently dropping
+    // WITH DBPROPERTIES / COMMENT would report success while discarding
+    // them — fail loudly like alterNamespace does (PROP_OWNER is
+    // auto-added by Spark on plain CREATE NAMESPACE and is exempt)
+    val unsupported = metadata.keySet().toArray(Array.empty[String])
+      .filterNot(_ == SupportsNamespaces.PROP_OWNER)
+    if (unsupported.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"CREATE NAMESPACE properties not supported by graft-delta " +
+          s"(path-warehouse namespaces store none): ${unsupported.mkString(", ")}")
     val dir = nsPath(namespace)
     if (fs.exists(dir))
       throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(namespace)

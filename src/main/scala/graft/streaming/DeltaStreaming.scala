@@ -36,10 +36,16 @@ object DeltaStreaming {
                    partitionBy: Seq[String] = Nil): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      if (!DeltaTable.isDeltaTable(spark, path)) {
-        DeltaTable.write(spark, batch.limit(0), path, partitionBy = partitionBy)
-      }
-      val t = BlindDeltaTable.forPath(spark, path)
+      // create-on-miss, not probe-then-create: an isDeltaTable probe here
+      // re-LISTed the log on EVERY batch forever (the sink's own fix,
+      // GraftDeltaSink.scala — one billable round-trip per batch saved)
+      val t =
+        try BlindDeltaTable.forPath(spark, path)
+        catch {
+          case _: graft.kernel.DeltaTableNotFoundException =>
+            DeltaTable.write(spark, batch.limit(0), path, partitionBy = partitionBy)
+            BlindDeltaTable.forPath(spark, path)
+        }
       t.append(batch, Some(appId), Some(batchId))
       ()
     }

@@ -323,6 +323,20 @@ class GraftDeltaSource(
           if (isInitial) {
             val snap = if (version == initSnapshot.version) initSnapshot
                        else log.snapshotAt(version)
+            // restart mid-initial-snapshot across a schema/partitioning
+            // change: the remaining slices would be READ through the new
+            // layout (Scan keys partitionValues by the NEW columns →
+            // silent nulls) while the per-commit guard can't fire (the
+            // restarted source's initSnapshot already carries the new
+            // layout) — fail as loudly as the non-restart path does
+            if (snap.schema != initSnapshot.schema ||
+                snap.partitionColumns != initSnapshot.partitionColumns)
+              throw new IllegalStateException(
+                s"readStream restart: the initial snapshot pinned at " +
+                  s"version $version has a different schema/partitioning " +
+                  s"than the current table (version ${initSnapshot.version}" +
+                  ") — the layout changed mid-initial-snapshot; start a " +
+                  "fresh stream (new checkpoint) to adopt it")
             fromInitialSnapshot(snap)
           } else fromCommit(version)
         cache.update((version, isInitial), v)
@@ -428,7 +442,9 @@ class GraftDeltaSource(
   private val cdcTransitions = mutable.TreeMap.empty[Long, Boolean]
   private def cdfEnabledAt(v: Long): Boolean =
     cdcTransitions.rangeTo(v).lastOption.map(_._2).getOrElse {
-      val on = Dml.cdcEnabled(log.snapshotAt(v))
+      // metadata-only: this baseline reads ONE boolean config — a full
+      // file-index replay here was minutes of driver work on a large table
+      val on = Dml.cdcEnabled(log.metadataSnapshotAt(v))
       cdcTransitions(v) = on
       on
     }

@@ -47,7 +47,7 @@ object LlmEntries {
     * change now edits one place (the mixTokTotSql/md5Fold32 lesson). */
   private def shingleSelect(src: String): String =
     "SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s " +
-      s"FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w FROM $src) t"
+      s"FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE list_filter(string_split_regex(trim(text), '\\s+'), w -> w != '') END AS w FROM $src) t"
 
   /** DuckDB VALUES rendering of the 16x64 JL sign matrix — ONE definition
     * for the two oracles (random_projection, ann_projected) that must agree
@@ -92,7 +92,7 @@ object LlmEntries {
          |         CAST(coalesce(list_sum([CAST(ceil(length(w) / 4.0) AS BIGINT) FOR w IN ws]), 0) AS BIGINT) AS n_tokens
          |  FROM (SELECT doc_id, source,
          |          CASE WHEN length(trim(text)) = 0 THEN []
-         |               ELSE string_split_regex(trim(text), '\s+') END AS ws
+         |               ELSE list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') END AS ws
          |        FROM documents WHERE source IN ($in))
          |),
          |tot AS (SELECT source, SUM(n_tokens) AS t FROM tok GROUP BY source)""".stripMargin
@@ -287,7 +287,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
           |       CAST(coalesce(list_sum([CAST(ceil(length(w) / 4.0) AS BIGINT) FOR w IN ws]), 0) AS BIGINT) AS n_tokens
           |FROM (SELECT doc_id, text,
           |        CASE WHEN length(trim(text)) = 0 THEN []
-          |             ELSE string_split_regex(trim(text), '\s+') END AS ws
+          |             ELSE list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') END AS ws
           |      FROM documents)""".stripMargin)),
 
     // Unicode normalization (corpus cleaning stage 1) via the native
@@ -362,7 +362,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         |                   / CAST(length(text) AS DOUBLE) END AS digit_ratio
         |FROM (SELECT doc_id, text,
         |        CASE WHEN length(trim(text)) = 0 THEN []
-        |             ELSE string_split_regex(trim(text), '\s+') END AS ws
+        |             ELSE list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') END AS ws
         |      FROM documents)""".stripMargin)),
 
     Entry("llm_fingerprint", (s, d) =>
@@ -515,7 +515,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         k = 4, window = 4, minShared = 5, maxDocFreq = 100000),
       Some(
         s"""WITH corpus AS ($corpusSql),
-           |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS ws FROM corpus),
+           |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE list_filter(string_split_regex(trim(text), '\\s+'), w -> w != '') END AS ws FROM corpus),
            |g AS (SELECT doc_id, CASE WHEN len(ws) < 4 THEN [] ELSE [md5(array_to_string(ws[i:i+3], ' ')) FOR i IN range(1, len(ws) - 2)] END AS hs FROM w),
            |f0 AS (SELECT doc_id, unnest(
            |         CASE WHEN len(hs) = 0 THEN []
@@ -906,7 +906,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         |         CAST(coalesce(list_sum([CAST(ceil(length(w) / 4.0) AS BIGINT) FOR w IN ws]), 0) AS BIGINT) AS n_tokens
         |  FROM (SELECT doc_id,
         |          CASE WHEN length(trim(text)) = 0 THEN []
-        |               ELSE string_split_regex(trim(text), '\s+') END AS ws
+        |               ELSE list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') END AS ws
         |        FROM documents)),
         |cum AS (SELECT doc_id, n_tokens,
         |               sum(n_tokens) OVER (ORDER BY doc_id) AS gcum FROM toks)
@@ -949,7 +949,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         |         CAST(coalesce(list_sum([CAST(ceil(length(w) / 4.0) AS BIGINT) FOR w IN ws]), 0) AS BIGINT) AS n_tokens
         |  FROM (SELECT doc_id, n_chars,
         |          CASE WHEN length(trim(text)) = 0 THEN []
-        |               ELSE string_split_regex(trim(text), '\s+') END AS ws
+        |               ELSE list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') END AS ws
         |        FROM documents)),
         |cum AS (SELECT doc_id, n_chars, n_tokens,
         |               sum(n_tokens) OVER (ORDER BY n_chars DESC NULLS LAST, doc_id ASC NULLS FIRST
@@ -987,7 +987,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       Some(
         """WITH base AS (
           |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
-          |                      ELSE string_split_regex(trim(text), '\s+') END AS wl
+          |                      ELSE list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') END AS wl
           |  FROM documents),
           |words AS (SELECT doc_id, unnest(wl) AS g FROM base),
           |bigrams AS (SELECT doc_id, unnest(list_transform(range(1, len(wl)), i -> wl[i] || ' ' || wl[i+1])) AS g FROM base),
@@ -1033,7 +1033,9 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         |e AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1), i -> {'p': i, 'ln': ls[i]})) AS u FROM l),
         |f AS (SELECT doc_id, u.p AS p, u.ln AS ln FROM e),
         |c AS (SELECT ln, count(*) AS cnt FROM f GROUP BY ln),
-        |g AS (SELECT f.doc_id, f.p, f.ln, (c.cnt >= 50) AS rm FROM f JOIN c USING (ln))
+        |g AS (SELECT f.doc_id, f.p, f.ln,
+        |             (c.cnt >= 50 AND length(trim(f.ln)) > 0) AS rm
+        |      FROM f JOIN c USING (ln))
         |SELECT doc_id,
         |       CAST(count(*) AS BIGINT) AS n_lines,
         |       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed,
@@ -1048,7 +1050,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       Some(
         """WITH base AS (
           |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
-          |                      ELSE string_split_regex(trim(text), '\s+') END AS wl
+          |                      ELSE list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') END AS wl
           |  FROM documents),
           |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(wl)), i -> wl[i] || ' ' || wl[i+1])) AS g FROM base),
           |c AS (SELECT g, count(*) AS cnt FROM bg GROUP BY g),
@@ -1071,7 +1073,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
           |FROM (
           |  SELECT doc_id, unnest(list_transform(range(1, len(wl)), i -> wl[i] || ' ' || wl[i+1])) AS g
           |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
-          |                            ELSE string_split_regex(trim(text), '\s+') END AS wl
+          |                            ELSE list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') END AS wl
           |        FROM documents) b)
           |GROUP BY g ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin)),
 
@@ -1273,7 +1275,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       Some(
         """WITH d AS (
           |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
-          |                      ELSE string_split_regex(trim(text), '\s+') END AS ws
+          |                      ELSE list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') END AS ws
           |  FROM documents),
           |n AS (SELECT doc_id, ws, len(ws) AS n FROM d),
           |c AS (SELECT doc_id, ws,
@@ -1308,8 +1310,8 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
          |  FROM documents),
          |base AS (
          |  SELECT doc_id, t,
-         |         CASE WHEN length(trim(t)) = 0 THEN [] ELSE string_split_regex(trim(t), '\\s+') END AS w,
-         |         string_split(t, chr(10)) AS l
+         |         CASE WHEN length(trim(t)) = 0 THEN [] ELSE list_filter(string_split_regex(trim(t), '\\s+'), w -> w != '') END AS w,
+         |         string_split(regexp_replace(regexp_replace(t, '^\\n+', ''), '\\n+$$', ''), chr(10)) AS l
          |  FROM seeded),
          |m AS (
          |  SELECT doc_id,
@@ -1358,7 +1360,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         |         CAST(coalesce(list_sum([CAST(ceil(length(x) / 4.0) AS BIGINT) FOR x IN ws]), 0) AS BIGINT) AS nt
         |  FROM (SELECT source, lang,
         |          CASE WHEN length(trim(text)) = 0 THEN []
-        |               ELSE string_split_regex(trim(text), '\s+') END AS ws
+        |               ELSE list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') END AS ws
         |        FROM documents) t)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(nw) AS BIGINT) AS total_words,
@@ -1437,7 +1439,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
          |                     / CAST(length(text) AS DOUBLE) END AS dr
          |  FROM (SELECT doc_id, text, $best AS __best,
          |          CASE WHEN length(trim(text)) = 0 THEN []
-         |               ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |               ELSE list_filter(string_split_regex(trim(text), '\\s+'), w -> w != '') END AS ws
          |        FROM corpus) t),
          |qual AS (SELECT * FROM scored
          |         WHERE lang_pred <> 'und' AND n_words >= 5
@@ -1621,7 +1623,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
         |              ELSE text END AS text
         |  FROM documents),
         |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
-        |                          ELSE string_split_regex(trim(text), '\s+') END AS ws
+        |                          ELSE list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') END AS ws
         |      FROM d),
         |g AS (SELECT doc_id, unnest([{'gpos': i - 1, 'gh': md5(array_to_string(ws[i:i+7], ' '))}
         |                             FOR i IN range(1, len(ws) - 6)], recursive := true)
@@ -1694,7 +1696,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
          |w AS (
          |  SELECT a.split, c.lang,
          |         CAST(len(CASE WHEN length(trim(c.text)) = 0 THEN []
-         |                       ELSE string_split_regex(trim(c.text), '\\s+') END) AS BIGINT) AS nw
+         |                       ELSE list_filter(string_split_regex(trim(c.text), '\\s+'), w -> w != '') END) AS BIGINT) AS nw
          |  FROM corpus c JOIN assigned a USING (doc_id))
          |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(nw) AS BIGINT) AS total_words

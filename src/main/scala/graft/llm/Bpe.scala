@@ -67,6 +67,7 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var done = false
     var i = 0
+    try {
     while (i < numMerges && !done) {
       val top = words
         .select(col("__c"), explode(adjacentPairs(col("__s"))).as("__p"))
@@ -93,7 +94,9 @@ object Bpe {
           i += 1
       }
     }
-    words.unpersist()
+    // finally, not straight-line: a failed iteration job must not leak the
+    // cached symbol table for the session lifetime (kmeans/dsir discipline)
+    } finally words.unpersist()
     import spark.implicits._
     merges.toSeq.zipWithIndex
       .map { case ((l, r, c), rank) => (rank.toLong, l, r, c) }

@@ -70,7 +70,11 @@ object Dedup {
     val counts = lines.groupBy("__line").agg(count(lit(1)).as("__cnt"))
     lines.join(counts, Seq("__line"))
       .select(col(idCol), col("__pos"), col("__line"),
-        (col("__cnt") >= minRepeat).as("__rm"))
+        // blank lines are structure, not boilerplate: "" trivially reaches
+        // minRepeat corpus-wide, and removing it would glue paragraphs
+        // together in every document
+        (col("__cnt") >= minRepeat &&
+          length(trim(col("__line"))) > 0).as("__rm"))
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_lines"),

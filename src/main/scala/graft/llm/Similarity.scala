@@ -321,14 +321,18 @@ object Similarity {
     def cosArr(vec: Column, nv2: Column): Column =
       centroidCosArr(centroids)(vec, nv2)
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+    // NULL embeddings: same rule as every sibling ranker (cosineTopK) —
+    // unfiltered, a NULL query still explodes nProbe probe cells and
+    // row_number hands it k arbitrary NULL-cosine "neighbors"
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         dot(col(vecCol), col(vecCol)).as("__cn2"))
       .withColumn("__ca", cosArr(col("__cv"), col("__cn2")))
       .withColumn("__cell",
         (array_position(col("__ca"), array_max(col("__ca"))) - 1).cast("int"))
       .drop("__ca")
     // top-nProbe cell ids: sort (cos desc, index asc) via struct keys
-    val q = broadcast(queries
+    val q = broadcast(queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         dot(col(vecCol), col(vecCol)).as("__qn2"))
       .withColumn("__ca", cosArr(col("__qv"), col("__qn2")))
@@ -578,7 +582,11 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     requireDim(corpus, vecCol, dim, "cosineNearDups")
     val planes = hyperplanes(nBits, dim)
-    val b = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+    // NULL embeddings all land in bucket 0 (every plane test false) and
+    // inflate its self-join quadratically; their cos is NULL and filtered
+    // anyway — drop them before bucketing
+    val b = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
       dot(col(vecCol), col(vecCol)).as("__n2"),
       bucketId(col(vecCol), planes).as("__bucket"))
     val l = b.select(col("__id").as("id_a"), col("__v").as("__va"),

@@ -56,11 +56,13 @@ object TextOps {
     * [[WsRun]], NOT Java `\s`: Java's `\s` also matches VT (U+000B)
     * while DuckDB/RE2's does not, so VT-bearing text would tokenize
     * differently from the oracles' string_split_regex('\s+'). */
-  def words(text: Column): Column = {
-    val t = trim(text)
-    when(length(t) === 0, array().cast("array<string>"))
-      .otherwise(split(t, WsRun))
-  }
+  def words(text: Column): Column =
+    // filter, not the blank-test special case alone: Spark's trim() strips
+    // only ASCII SPACE, so "foo bar\n" split to ["foo","bar",""] and
+    // "\nfoo" to ["","foo"] — boundary empties diluted every word-count
+    // denominator and surfaced "" as a token (DuckDB oracles mirror with
+    // list_filter over the same split)
+    filter(split(trim(text), WsRun), w => length(w) > 0)
 
   /** The RE2/DuckDB `\s` ASCII set — space \t \n \f \r — as a Java regex
     * class. Java's own `\s` ALSO matches VT (U+000B); RE2's does not.
@@ -288,7 +290,11 @@ object TextOps {
         (a, x) => a + x) / size(w).cast("double"))
     df.select(col(idCol), t.as(textCol),
         words(t).as("__gw"),
-        split(t, "\n", -1).as("__gl"))
+        // boundary newline runs stripped before the line split: nearly
+        // every web document ends in "\n", and the phantom empty final
+        // line diluted the bullet/ellipsis denominators enough to flip
+        // the gate on boundary docs
+        split(regexp_replace(t, "^\\n+|\\n+$", ""), "\n", -1).as("__gl"))
       .select(col(idCol),
         nw.as("n_words"),
         mwl.as("mean_word_len"),

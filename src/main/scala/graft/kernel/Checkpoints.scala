@@ -184,8 +184,12 @@ object Checkpoints {
       snapshot.domains.values.toSeq.map(d =>
         Row(null, null, null, null, null, Row(d.domain, d.configuration, d.removed)))
 
+    // Try-parse like every other graft conf: a typo'd value would throw
+    // out of every postCommit checkpoint attempt, silently stopping
+    // checkpointing (and log cleanup) forever behind a stderr line
     val partSize = spark.conf.getOption("spark.graft.checkpoint.partSize")
-      .map(_.toInt).filter(_ > 0).getOrElse(1000000)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(1000000)
 
     // V2 (uuid manifest + sidecars) when the table opted in via
     // delta.checkpointPolicy=v2 AND carries the v2Checkpoint reader feature
@@ -227,9 +231,15 @@ object Checkpoints {
         // the SQL mirror of AddFile.reconcileKey / DvDescriptor.uniqueId
         def keyOf(action: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
           val dv = action("deletionVector")
-          org.apache.spark.sql.functions.concat(action("path"), lit("\u0000"),
+          // coalesce each field like Scala string concat renders null
+          // ("null"): a NULL field made the whole key NULL, and
+          // not(NULL.isin(...)) silently DROPS the row from the IN-list
+          // branch (the anti-join branch keeps it) — a live file would
+          // vanish from the rewritten checkpoint on a corrupt foreign row
+          def ns(c: org.apache.spark.sql.Column) = coalesce(c, lit("null"))
+          org.apache.spark.sql.functions.concat(ns(action("path")), lit("\u0000"),
             org.apache.spark.sql.functions.when(dv.isNotNull,
-              org.apache.spark.sql.functions.concat(dv("storageType"), dv("pathOrInlineDv"),
+              org.apache.spark.sql.functions.concat(ns(dv("storageType")), ns(dv("pathOrInlineDv")),
                 org.apache.spark.sql.functions.when(dv("offset").isNotNull,
                   org.apache.spark.sql.functions.concat(lit("@"), dv("offset").cast("string")))
                   .otherwise(lit(""))))
@@ -384,10 +394,15 @@ object Checkpoints {
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
       val sidecarDir = new Path(logPath, "_sidecars")
       fs.mkdirs(sidecarDir)
+      require(partFiles.nonEmpty,
+        s"V2 checkpoint write produced no part files under $tmp")
       partFiles.toSeq.map { p =>
         val name = s"${java.util.UUID.randomUUID}.parquet"
         val dest = new Path(sidecarDir, name)
-        fs.rename(p, dest)
+        // loud rename check, like the classic path: a false return would
+        // otherwise surface only as an incidental FileNotFoundException,
+        // leaking the already-renamed sidecars
+        require(fs.rename(p, dest), s"failed to publish sidecar $p -> $dest")
         val st = fs.getFileStatus(dest)
         Sidecar(name, Some(st.getLen), Some(st.getModificationTime))
       }
@@ -467,15 +482,20 @@ object Checkpoints {
     * the loss when a lazy re-checkpoint streams the old parts. One footer
     * peek decides; the synthesized column matches the eager read's
     * fallback (reference scan_row.rs:225-310). */
+  /** Footer peek shared by the lazy (addColumnDf) and eager (read) paths:
+    * the table-specific `add.stats_parsed` struct type when the parts were
+    * written with writeStatsAsJson=false — ONE definition, so a fix to the
+    * detection cannot land in only one path. */
+  private def statsParsedTypeOf(spark: SparkSession, parts: Seq[Path]): Option[StructType] =
+    scala.util.Try(spark.read.parquet(parts.map(_.toString): _*).schema).toOption
+      .flatMap(_.find(_.name == "add")).map(_.dataType)
+      .collect { case s: StructType => s }
+      .flatMap(_.find(_.name == "stats_parsed")).map(_.dataType)
+      .collect { case s: StructType => s }
+
   def addColumnDf(spark: SparkSession, parts: Seq[Path]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, to_json}
-    val statsParsedType: Option[StructType] =
-      scala.util.Try(spark.read.parquet(parts.map(_.toString): _*).schema).toOption
-        .flatMap(_.find(_.name == "add")).map(_.dataType)
-        .collect { case s: StructType => s }
-        .flatMap(_.find(_.name == "stats_parsed")).map(_.dataType)
-        .collect { case s: StructType => s }
-    statsParsedType match {
+    statsParsedTypeOf(spark, parts) match {
       case None =>
         spark.read.schema(StructType(Seq(StructField("add", addType))))
           .parquet(parts.map(_.toString): _*).filter(col("add").isNotNull)
@@ -501,13 +521,8 @@ object Checkpoints {
     // Peek the footer schema: when stats_parsed exists, read it too (its
     // struct type is table-specific) and synthesize the JSON form for any
     // add missing raw stats — pruning/approxCount survive either layout.
-    val statsParsedType: Option[org.apache.spark.sql.types.DataType] =
-      if (!withFiles) None
-      else scala.util.Try(spark.read.parquet(files.map(_.toString): _*).schema)
-        .toOption
-        .flatMap(_.find(_.name == "add")).map(_.dataType)
-        .collect { case s: StructType => s }
-        .flatMap(_.find(_.name == "stats_parsed")).map(_.dataType)
+    val statsParsedType: Option[StructType] =
+      if (!withFiles) None else statsParsedTypeOf(spark, files)
     val addReadType = statsParsedType match {
       case Some(t) => StructType(addType.fields :+ StructField("stats_parsed", t))
       case None => addType

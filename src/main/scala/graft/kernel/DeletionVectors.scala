@@ -102,6 +102,11 @@ object DeletionVectors {
         require(d >= 0, s"invalid z85 char '$c'")
         v = v * 85 + d
       }
+      // a group decoding above 2^32-1 is not valid z85 — truncating to the
+      // low 32 bits would silently resolve a corrupt descriptor to a wrong
+      // (or colliding) DV path, the class this module fails loudly on
+      require(v <= 0xFFFFFFFFL,
+        s"invalid z85 group '${s.substring(i, i + 5)}' (decodes above 2^32-1)")
       val o = i / 5 * 4
       out(o) = ((v >>> 24) & 0xFF).toByte
       out(o + 1) = ((v >>> 16) & 0xFF).toByte

@@ -115,7 +115,11 @@ class OptimisticTransaction(
           s"are at or below the pinned snapshot version $readVersion — they are " +
           "part of this transaction's base state, not own commits above it")
       (attempt to known).filterNot(ownSafeVersions.contains).foreach { v =>
-        checkConflicts(log.readCommit(v), actions, v)
+        // paced like the main loop's reads: one transient 503 on this
+        // one-time pre-scan must not abort a long compaction chunk
+        checkConflicts(
+          HttpWire.pacedRetry(s"pre-scan of version $v")(log.readCommit(v)),
+          actions, v)
       }
       // max(): never move the cursor backward — versions below attempt are
       // already reflected in the snapshot and must not be re-attempted
@@ -160,6 +164,25 @@ class OptimisticTransaction(
               while (result.isEmpty) {
                 try result = Some(log.readCommit(attempt))
                 catch {
+                  case e: RetryPacedException =>
+                    // honor the server's pace from the commit loop's own
+                    // budget — 3 fast retries would declare a durable,
+                    // OURS commit ambiguous during an ordinary SlowDown
+                    val wait = math.max(e.retryAfterMs, 100L)
+                    pacedWaitMs += wait
+                    if (pacedWaitMs > maxPacedWaitMs)
+                      throw new CommitConflictException("CommitAmbiguous",
+                        s"version $attempt exists but its disambiguation " +
+                          s"read was throttled past the ${maxPacedWaitMs}ms " +
+                          s"pacing budget: $e")
+                    try Thread.sleep(wait)
+                    catch {
+                      case _: InterruptedException =>
+                        Thread.currentThread().interrupt()
+                        throw new CommitConflictException("Interrupted",
+                          "interrupted while pacing a ghost-commit " +
+                            s"disambiguation read at version $attempt")
+                    }
                   case scala.util.control.NonFatal(e) =>
                     readTries += 1
                     if (readTries >= 3)
@@ -332,6 +355,12 @@ class OptimisticTransaction(
         Checkpoints.write(log.spark, log.logPath, snap, log.store)
         cleanupExpiredLogs(version, meta)
       } catch {
+        case _: InterruptedException =>
+          // cooperative cancellation must survive the swallow (same
+          // contract as the commit loop's three interrupt handlers); the
+          // commit itself already succeeded
+          Thread.currentThread().interrupt()
+          System.err.println(s"[graft] checkpoint at $version interrupted")
         case e: Exception =>
           // checkpointing is an optimization; never fail the commit
           System.err.println(s"[graft] checkpoint at $version failed: ${e.getMessage}")
@@ -379,28 +408,48 @@ private[graft] object LogCleanup {
       scala.util.Try(Checkpoints
         .manifestSidecars(log.spark, log.store, log.logPath, p).map(_.getName))
     val expiredPaths = expired.map(_.getPath).toSet
-    // an unreadable EXPIRED manifest: skip its sidecars (leak beats corrupt)
+    // an unreadable EXPIRED manifest: keep the MANIFEST too (not just skip
+    // its sidecars) — once the manifest is deleted, no later cycle can
+    // ever identify its sidecars as garbage; the next cycle retries
+    val unreadableExpired = scala.collection.mutable.Set[org.apache.hadoop.fs.Path]()
     val expiredSidecars = expired.collect {
       case f if isV2Manifest(f.getPath.getName) =>
-        sidecarsOf(f.getPath).getOrElse(Nil)
+        sidecarsOf(f.getPath) match {
+          case scala.util.Success(s) => s
+          case scala.util.Failure(_) => unreadableExpired += f.getPath; Nil
+        }
     }.flatten.toSet
     // an unreadable LIVE manifest: we cannot prove any sidecar unreferenced
-    // — abort sidecar deletion entirely for this cycle
+    // — abort sidecar deletion entirely for this cycle, and keep expired
+    // V2 manifests so their sidecars stay identifiable next cycle
     var liveUnknown = false
-    val liveSidecars =
-      if (expiredSidecars.isEmpty) Set.empty[String]
-      else listing.collect {
-        case f if isV2Manifest(f.getPath.getName) && !expiredPaths.contains(f.getPath) =>
-          sidecarsOf(f.getPath) match {
-            case scala.util.Success(s) => s
-            case scala.util.Failure(_) => liveUnknown = true; Nil
-          }
-      }.flatten.toSet
-    expired.foreach(f => log.store.delete(f.getPath))
+    val liveSidecars = listing.collect {
+      case f if isV2Manifest(f.getPath.getName) && !expiredPaths.contains(f.getPath) =>
+        sidecarsOf(f.getPath) match {
+          case scala.util.Success(s) => s
+          case scala.util.Failure(_) => liveUnknown = true; Nil
+        }
+    }.flatten.toSet
+    val deletable =
+      if (liveUnknown) expired.filterNot(f => isV2Manifest(f.getPath.getName))
+      else expired.filterNot(f => unreadableExpired.contains(f.getPath))
+    deletable.foreach(f => log.store.delete(f.getPath))
     if (!liveUnknown) {
       val sidecarDir = new org.apache.hadoop.fs.Path(log.logPath, "_sidecars")
       (expiredSidecars -- liveSidecars).foreach(p =>
         log.store.delete(new org.apache.hadoop.fs.Path(sidecarDir, p)))
+      // reap aged ORPHANS: sidecars renamed into place by a V2 checkpoint
+      // write that crashed before its manifest landed are referenced by NO
+      // manifest and invisible to every other cleanup path (the debris
+      // reaper below only matches direct logPath children). Only when
+      // every manifest — live and expired — was readable.
+      if (unreadableExpired.isEmpty) {
+        val referenced = liveSidecars ++ expiredSidecars
+        scala.util.Try(log.store.list(sidecarDir)).getOrElse(Nil)
+          .filter(f => f.getModificationTime < cutoff &&
+            !referenced.contains(f.getPath.getName))
+          .foreach(f => scala.util.Try(log.store.delete(f.getPath)))
+      }
     }
     // reap aged write debris: crashed checkpoint stagings / commit temps
     // (their writers are long gone once they're past the retention window);

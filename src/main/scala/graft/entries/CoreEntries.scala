@@ -1892,7 +1892,53 @@ object CoreEntries {
       """SELECT c_custkey, c_name, c_nationkey,
         |       CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
         |       c_mktsegment
-        |FROM customer WHERE NOT (c_nationkey >= 20)""".stripMargin)))
+        |FROM customer WHERE NOT (c_nationkey >= 20)""".stripMargin)),
+
+    // non-ICT timestamp monotonicity (§2.1 row 2, r12-verdict probe #5): a
+    // plain table whose log mtimes a copy shuffled AGAINST commit order.
+    // The reference trusts raw mtimes (table/mod.rs:375) — "latest version
+    // <= target" over a non-monotonic sequence is ill-defined and a
+    // raw-mtime resolver pins v2 for the target below; this engine rides
+    // delta-spark's forward clamp (ts_i = max(ts_i, prev+1),
+    // DeltaHistoryManager.getCommits) and pins v1, while history() keeps
+    // reporting the RECORDED mtimes — delta-spark parity on both surfaces
+    // (history shows what happened, resolution monotonizes;
+    // Round13Spec:221 pins the full boundary grid, this entry promotes the
+    // resolution behavior into the driver gate).
+    Entry("mtime_clamp_time_travel", (s, d) => {
+      // absolute past mtimes (not now-relative): the clamped sequence — and
+      // with it the oracle's resolved_ts_ms literal — stays deterministic
+      // across the once() cache and driver re-runs
+      val m0 = 1690000000000L
+      val dir = once(s"$d#clampTable") {
+        val dirNew = tempDir("clamp")
+        val n = pq(s, d, "nation")
+        (0 to 2).foreach { k =>
+          DeltaTable.write(s, n.filter(s"n_nationkey % 3 = $k"), dirNew, mode = "append")
+        }
+        val logDir = java.nio.file.Paths.get(dirNew, "_delta_log")
+        // v0 newest, v1 oldest, v2 between: clamped = (v0,m0), (v1,m0+1),
+        // (v2,m0+2); raw mtimes see all three <= m0+1 and would pin v2
+        Seq(m0, m0 - 7200000L, m0 - 3600000L).zipWithIndex.foreach {
+          case (m, v) =>
+            java.nio.file.Files.setLastModifiedTime(
+              logDir.resolve(LogStore.commitFileName(v)),
+              java.nio.file.attribute.FileTime.fromMillis(m))
+        }
+        dirNew
+      }
+      val t = DeltaTable.forPath(s, dir)
+      require(t.history().map(_._2) == Seq(m0 - 3600000L, m0 - 7200000L, m0),
+        s"mtime_clamp_time_travel: history must report the RECORDED mtimes " +
+          s"newest-first (it does not monotonize), got ${t.history().map(_._2)}")
+      val snap = t.deltaLog.snapshotForTimestamp(m0 + 1)
+      graft.table.Scan.read(s, snap)
+        .withColumn("resolved_version", lit(snap.version))
+        .withColumn("resolved_ts_ms", lit(m0 + snap.version))
+    }, Some(
+      """SELECT *, CAST(1 AS BIGINT) AS resolved_version,
+        |       CAST(1690000000001 AS BIGINT) AS resolved_ts_ms
+        |FROM nation WHERE n_nationkey % 3 <= 1""".stripMargin)))
 
   val entries: Seq[Entry] =
     scanEntries ++ sqlEntries ++ writeEntries ++ dmlEntries ++

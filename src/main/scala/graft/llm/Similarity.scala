@@ -100,6 +100,20 @@ object Similarity {
           "assignment would go NULL (empty probe join)")
     }
 
+  /** The same width check compiled INTO the plan: EVERY row is validated
+    * (a one-row probe misses a ragged corpus) and no eager driver job is
+    * scheduled — requireDim's limit(1) collect costs a whole job launch
+    * per side, two of which were ~30% of the lshTopK wall on the bench's
+    * sub-second row. NULL vectors pass through (callers drop them per the
+    * package's NULL rule); the mismatch raises at execution, from inside
+    * the same whole-stage-codegen projection that computes the dots. */
+  private def guardWidth(vec: Column, dim: Int, op: String): Column =
+    when(vec.isNull || size(vec) === dim, vec)
+      .otherwise(raise_error(concat(
+        lit(s"$op: dim=$dim does not match embedding width "),
+        size(vec).cast("string"),
+        lit(" — LSH buckets would collapse to 0 (all-pairs join)"))))
+
   /**
    * Exact cosine top-k: for each row of `queries` (small — it is broadcast),
    * the `k` nearest corpus rows by cosine, ties broken by ascending id.
@@ -192,8 +206,10 @@ object Similarity {
   }
 
   /** [[bucketedTopK]] minus every eager probe — for callers that already
-    * validated their sides (lshTopK checks the corpus once; the public
-    * wrapper checks both), so the hot path schedules zero extra jobs. */
+    * validated their sides (the public wrapper probes both), so the hot
+    * path schedules zero extra jobs. `guardDim` compiles a per-row
+    * [[guardWidth]] check into each side's projection instead (lshTopK's
+    * deployment: full validation, no extra jobs). */
   private def bucketedTopKUnchecked(
       corpus: DataFrame,
       queries: DataFrame,
@@ -201,16 +217,21 @@ object Similarity {
       vecCol: String,
       bucketCol: String,
       planes: Array[Array[Double]],
-      k: Int): DataFrame = {
+      k: Int,
+      guardDim: Option[(Int, String)] = None): DataFrame = {
+    def g(c: Column): Column =
+      guardDim.fold(c) { case (dm, op) => guardWidth(c, dm, op) }
     // NULL embeddings: a NULL query hashes to bucket 0 (every plane test
     // false) and would equi-join that whole bucket with cos=NULL — drop
     // both sides' NULL vectors, same rule as cosineTopK/quantizedTopK
+    // (the isNotNull filter stays on the RAW column so it pushes to the
+    // scan; the guard wraps only the projected copy)
     val q = broadcast(queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"),
-        col(vecCol).as("__qv"), dot(col(vecCol), col(vecCol)).as("__qn2"),
+        g(col(vecCol)).as("__qv"), dot(col(vecCol), col(vecCol)).as("__qn2"),
         bucketId(col(vecCol), planes).as("__qb")))
     val c = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      .select(col(idCol).as("neighbor_id"), g(col(vecCol)).as("__cv"),
         col(bucketCol).as("__cb"), dot(col(vecCol), col(vecCol)).as("__cn2"))
     topK(c.join(q, col("__cb") === col("__qb") &&
         col("neighbor_id") =!= col("query_id"))
@@ -612,16 +633,17 @@ object Similarity {
       k: Int,
       nBits: Int = 4,
       dim: Int = 64): DataFrame = {
-    requireDim(corpus, vecCol, dim, "lshTopK")
-    requireDim(queries, vecCol, dim, "lshTopK")
     val planes = hyperplanes(nBits, dim)
     // one pipeline, two deployments: on-the-fly buckets here, persisted
     // (Delta-partition) buckets in bucketedTopK — delegating keeps the
     // join/score/rank semantics a single definition. Unchecked variant:
     // the bucket column was computed HERE with THESE planes, so the
-    // persisted-bucket probes would be tautological eager jobs.
+    // persisted-bucket probes would be tautological eager jobs; width
+    // validation rides guardDim (per-row, in-plan) instead of requireDim's
+    // two eager one-row jobs — full coverage at zero extra job launches.
     bucketedTopKUnchecked(
       corpus.withColumn("__bucket", bucketId(col(vecCol), planes)),
-      queries, idCol, vecCol, "__bucket", planes, k)
+      queries, idCol, vecCol, "__bucket", planes, k,
+      guardDim = Some((dim, "lshTopK")))
   }
 }

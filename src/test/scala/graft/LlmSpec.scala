@@ -208,11 +208,23 @@ class LlmSpec extends AnyFunSuite {
   test("LSH dim mismatch fails loudly instead of collapsing buckets") {
     import spark.implicits._
     val corpus = Seq((1L, Array.fill(128)(0.5f))).toDF("id", "vec")
-    val e = intercept[IllegalArgumentException] {
-      Similarity.lshTopK(corpus, corpus, "id", "vec", k = 1, dim = 64)
+    // the check is compiled into the plan (per-row guardWidth — zero eager
+    // jobs), so it raises when the query EXECUTES, not at call time
+    val e = intercept[Throwable] {
+      Similarity.lshTopK(corpus, corpus, "id", "vec", k = 1, dim = 64).count()
     }
     assert(e.getMessage.contains("does not match the embedding width") ||
       e.getMessage.contains("does not match embedding width"), e.getMessage)
+    // a RAGGED corpus (right width in row 1, wrong in row 2) slips past a
+    // one-row probe by construction — the per-row guard must still raise
+    val ragged = Seq((1L, Array.fill(64)(0.5f)), (2L, Array.fill(63)(0.5f)))
+      .toDF("id", "vec")
+    val e2 = intercept[Throwable] {
+      Similarity.lshTopK(ragged, ragged.filter("id = 1"), "id", "vec",
+        k = 1, dim = 64).count()
+    }
+    assert(e2.getMessage.contains("does not match embedding width"),
+      e2.getMessage)
   }
 
   test("simhashNearDups refuses a hamming budget its banding cannot honor") {

@@ -343,9 +343,52 @@ class GraftDeltaSource(
         v
     }
 
+  /** Smallest commit version whose IN-EFFECT layout was verified against
+    * initSnapshot's. The per-commit Metadata guard below only fires on a
+    * Metadata action that DIFFERS from initSnapshot — after a checkpoint
+    * restart, commits written BEFORE a layout change carry no Metadata at
+    * all (or the change commit's Metadata EQUALS the restarted source's
+    * initSnapshot), so their files would be decoded against the new
+    * layout: silent-null partition values on a re-partitioning, dropped /
+    * mistyped cells on a non-additive schema change — the exact corruption
+    * the mid-initial-snapshot restart guard already fails loudly on.
+    * ADDITIVE evolution is the designed restart recovery (the guard's own
+    * message says "restart to pick up the new layout"): old files simply
+    * null-fill the new columns, so only genuinely incompatible layouts
+    * refuse. One metadata-only replay at the lowest served version closes
+    * the commit leg; every later version is covered by the per-commit
+    * guard because offsets walk versions contiguously upward from it. */
+  private var layoutVerifiedAt: Option[Long] = None
+
+  private def verifyLayoutAt(version: Long): Unit =
+    if (!layoutVerifiedAt.exists(_ <= version)) {
+      val at = log.metadataSnapshotAt(version)
+      // incompatible = partitioning differs, or some field the old files
+      // carry was dropped or retyped in the restarted schema (delta-spark
+      // posture: non-additive changes need a fresh checkpoint; renames on
+      // column-mapped tables land here too — conservative and LOUD)
+      val droppedOrRetyped = at.partitionColumns == initSnapshot.partitionColumns &&
+        at.schema.fields.exists { f =>
+          !initSnapshot.schema.fields.exists(g =>
+            g.name == f.name && g.dataType == f.dataType)
+        }
+      if (at.partitionColumns != initSnapshot.partitionColumns || droppedOrRetyped)
+        throw new IllegalStateException(
+          s"graft-delta source: commit $version was written under an " +
+          s"incompatible layout (${at.schema.simpleString} partitioned by " +
+          s"${at.partitionColumns}) vs the restarted stream's " +
+          s"(${initSnapshot.schema.simpleString} partitioned by " +
+          s"${initSnapshot.partitionColumns}) — the table was " +
+          "re-partitioned or non-additively evolved between this stream's " +
+          "offset and the restart; start a fresh stream (new checkpoint) " +
+          "to adopt the new layout")
+      layoutVerifiedAt = Some(version)
+    }
+
   /** Shared per-commit guards: a protocol we can't read or a schema change
     * fails the stream loudly (restart picks up the new schema). */
   private def guardedCommit(version: Long): Seq[Action] = {
+    verifyLayoutAt(version)
     val actions: Seq[Action] = log.readCommit(version)
     actions.collectFirst { case p: Protocol => p }
       .foreach(p => ProtocolGate.checkRead(p, initSnapshot.metadata))
@@ -474,12 +517,20 @@ class GraftDeltaSource(
     * a LOUD failure when neither survives log cleanup. Snapshot.timestampMs
     * silently falls back to 0 there, which stamped every initial-snapshot
     * row epoch-1970 — the exact bug commitMtime throws on for commits. */
-  private def snapshotTs(version: Long): Long =
-    scala.util.Try(log.readCommit(version)).toOption
-      .flatMap(_.collectFirst { case ci: graft.kernel.CommitInfo => ci })
+  private def snapshotTs(version: Long): Long = {
+    // only a VANISHED commit file (log cleanup) may fall through to the
+    // mtime rule — a blanket Try also swallowed transient read failures
+    // (object-store 5xx), silently stamping rows with an mtime that can
+    // disagree with CommitInfo.timestamp after a log copy and diverging
+    // this feed from batch loadCdf on identical rows
+    val actions =
+      try log.readCommit(version)
+      catch { case _: java.io.FileNotFoundException => Seq.empty[Action] }
+    actions.collectFirst { case ci: graft.kernel.CommitInfo => ci }
       .flatMap(ci => ci.inCommitTimestamp
         .filter(_ => ictFloor.exists(version >= _)).orElse(ci.timestamp))
       .getOrElse(commitMtime(version))
+  }
 
   /** ICT gate memo (same gate as batch CDF / history / time travel —
     * DeltaLog.ictEnablementVersion). Deriving it costs a log listing +
@@ -569,8 +620,14 @@ class GraftDeltaSource(
     * single file larger than the byte budget cannot stall the stream; empty
     * and skipped commits are passed over for free. */
   private def advance(from: GraftSourceOffset, fileBudget: Int,
-      byteBudget: Long): GraftSourceOffset = {
-    val latest = math.max(log.latestVersion(), initSnapshot.version)
+      byteBudget: Long, maxVersion: Long = Long.MaxValue): GraftSourceOffset = {
+    // maxVersion: an AvailableNow run must not WALK past its own cap —
+    // stepping beyond it parses (and guards) commits this run never
+    // serves, so a concurrent post-cap change commit would fail a run
+    // whose admitted range was entirely clean, and the driver caches a
+    // backlog capAll's O(1) design exists to avoid
+    val latest = math.min(
+      math.max(log.latestVersion(), initSnapshot.version), maxVersion)
     var v = from.version
     var idx = from.index
     var init = from.isInitialSnapshot
@@ -587,7 +644,11 @@ class GraftDeltaSource(
           filesUsed += 1; bytesUsed += sz; idx += 1
         } else stopped = true
       }
-      if (stopped) done = true
+      // a file budget exhausted EXACTLY at a version boundary must not
+      // step into (and parse/guard) the next commit it cannot admit —
+      // a change commit there would fail the stream one batch early,
+      // before the already-budgeted batch ever ran
+      if (stopped || filesUsed >= fileBudget) done = true
       else if (v < latest) { v += 1; idx = 0; init = false }
       else done = true
     }
@@ -604,7 +665,10 @@ class GraftDeltaSource(
       availableNowPending = false
     }
     val (fileBudget, byteBudget) = budgets(limit)
-    var next = advance(current, fileBudget, byteBudget)
+    var next = advance(current, fileBudget, byteBudget,
+      availableNowCap.map(_.version).getOrElse(Long.MaxValue))
+    // index-level clamp stays as defense (the version bound above keeps
+    // the walk from ever parsing past the cap)
     availableNowCap.filter(c => GraftSourceOffset.ordering.gt(next, c))
       .foreach(next = _)
     current = next

@@ -37,7 +37,7 @@ class LazyFileIndex(
   // overlay identity is (path, dvUniqueId) — AddFile.reconcileKey — so a
   // tail tombstone for an old DV state shadows exactly that checkpoint row,
   // never a same-path row with a different (live) deletion vector
-  private def tailKeys: Set[String] =
+  private lazy val tailKeys: Set[String] =
     (tailAdds.map(_.reconcileKey) ++ tailRemoves.map(_.reconcileKey)).toSet
 
   private def colDf(name: String, dt: StructType) = spark.read
@@ -61,7 +61,7 @@ class LazyFileIndex(
       preds: Seq[Expression]): Vector[AddFile] = {
     if (isMaterialized)
       return cachedAdds.filter(f =>
-        preds.forall(p => StatsPruning.fileMayMatch(schema, partitionColumns, p, f)))
+        StatsPruning.fileMayMatchAll(schema, partitionColumns, preds, f))
     val schemaJson = schema.json
     val pc = partitionColumns
     val predsB = spark.sparkContext.broadcast(preds.toVector)
@@ -73,12 +73,12 @@ class LazyFileIndex(
       it.flatMap { row =>
         val f = Checkpoints.decodeAdd(row.getStruct(0))
         if (!overlay.contains(f.reconcileKey) &&
-            ps.forall(p => StatsPruning.fileMayMatch(sch, pc, p, f))) Some(f)
+            StatsPruning.fileMayMatchAll(sch, pc, ps, f)) Some(f)
         else None
       }
     }.collect().toVector
     survivors ++ tailAdds.filter(f =>
-      preds.forall(p => StatsPruning.fileMayMatch(schema, partitionColumns, p, f)))
+      StatsPruning.fileMayMatchAll(schema, partitionColumns, preds, f))
   }
 
   /** Live file count without materializing (checkpoint rows minus overlay

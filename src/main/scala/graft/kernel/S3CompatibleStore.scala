@@ -56,6 +56,12 @@ object S3CompatibleStore {
   /** One signed [[HttpPutClient]] rooted at `<endpoint>/<bucket>`. */
   def clientFor(endpoint: String, bucket: String,
                 env: Map[String, String] = sys.env): HttpPutClient = {
+    // HALF a credential pair is always a misconfiguration — either missing
+    // half must fail here, not surface later as an anonymous (unsigned)
+    // client 403ing its first commit with no hint the other half was set
+    require(env.contains("AWS_ACCESS_KEY_ID") ||
+        !env.contains("AWS_SECRET_ACCESS_KEY"),
+      "AWS_SECRET_ACCESS_KEY is set but AWS_ACCESS_KEY_ID is not")
     val signer = env.get("AWS_ACCESS_KEY_ID").map { access =>
       val secret = env.getOrElse("AWS_SECRET_ACCESS_KEY", throw
         new IllegalArgumentException(

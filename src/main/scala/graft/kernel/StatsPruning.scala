@@ -42,7 +42,14 @@ object PartitionCodec {
     dt match {
       case StringType => s
       case IntegerType | LongType | ShortType | ByteType => BigDecimal(s)
-      case FloatType | DoubleType | _: DecimalType => BigDecimal(s)
+      // float/double partition strings mean the BINARY value ("1.1" for a
+      // float column IS 1.1f): parse through the column's own type, or an
+      // exact-decimal read can never equal the literal's binary repr and
+      // equality pruning skips the matching partition. NaN/Infinity throw
+      // here (BigDecimal can't hold them) — the caller's Try fails open.
+      case FloatType => BigDecimal(s.toFloat.toDouble)
+      case DoubleType => BigDecimal(s.toDouble)
+      case _: DecimalType => BigDecimal(s)
       case BooleanType => s.toBoolean
       case DateType => LocalDate.parse(s).toEpochDay.toInt
       case TimestampType | TimestampNTZType => parseTsMicros(s)
@@ -87,7 +94,11 @@ object StatsPruning {
       nullCount: Map[String, Long])
 
   def parseStats(statsJson: String, schema: StructType): FileStats = {
-    val j = JsonMethods.parse(statsJson)
+    // BigDecimal parse: json4s' default Double path rounds high-precision
+    // DECIMAL(38,x) bounds, making equality skips unsound (the file holding
+    // the exact value pruned away). Double/float columns re-round through
+    // their own type in jvalueToComparable below.
+    val j = JsonMethods.parse(statsJson, useBigDecimalForDouble = true)
     def typed(field: String): Map[String, Any] = j \ field match {
       case JObject(fields) =>
         fields.flatMap { case (name, v) =>
@@ -121,6 +132,16 @@ object StatsPruning {
     case (JInt(n), _) => Some(BigDecimal(n))
     case (JLong(n), _) => Some(BigDecimal(n))
     case (JDouble(d), _) => if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
+    // double/float bounds must round back through THEIR type: the JSON text
+    // "1.1" for a double column means 1.1d (binary), not exact decimal 1.1 —
+    // comparing the exact decimal against literalToComparable's binary
+    // double skipped files whose rows compare equal in Spark
+    case (JDecimal(d), DoubleType) =>
+      val x = d.toDouble
+      if (x.isNaN || x.isInfinite) None else Some(BigDecimal(x))
+    case (JDecimal(d), FloatType) =>
+      val f = d.toFloat
+      if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.toDouble))
     case (JDecimal(d), _) => Some(d)
     case _ => None
   }
@@ -132,8 +153,15 @@ object StatsPruning {
       case StringType => Some(lit.value.toString)
       case IntegerType | LongType | ShortType | ByteType =>
         Some(BigDecimal(lit.value.toString))
-      case FloatType | DoubleType =>
-        val d = lit.value.toString.toDouble
+      case FloatType =>
+        // the EXACT double of the float (stats serialize f.toDouble): going
+        // through toString parsed the shortest FLOAT repr as a DOUBLE
+        // ("1.1" -> 1.1d != 1.1f widened), so equality pruning skipped
+        // files whose rows match
+        val f = lit.value.asInstanceOf[Float]
+        if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.toDouble))
+      case DoubleType =>
+        val d = lit.value.asInstanceOf[Double]
         if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
       case dt: DecimalType => Some(BigDecimal(lit.value.toString))
       case BooleanType => Some(lit.value.asInstanceOf[Boolean])
@@ -177,8 +205,12 @@ object StatsPruning {
     case (x: String, y: String) => Some(codePointCompare(x, y))
     case (x: Int, y: Int) => Some(x.compareTo(y))
     case (x: Long, y: Long) => Some(x.compareTo(y))
-    case (x: Int, y: Long) => Some(x.toLong.compareTo(y))
-    case (x: Long, y: Int) => Some(x.compareTo(y.toLong))
+    // NO Int/Long cross cases: in this file's value domains Int is always
+    // epoch-DAYS (DateType) and Long epoch-MICROS (TimestampType) — the
+    // only way they meet is a domain-changing cast (CAST(ts AS DATE) = d),
+    // and numerically comparing days with micros produced provably-wrong
+    // Some(false) skips (silent missing rows; wrong DELETEs through the
+    // Not branch). Mixed domains must fail OPEN.
     case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
     case _ => None
   }
@@ -187,26 +219,76 @@ object StatsPruning {
       partitionValues: Map[String, Any], // typed, null allowed
       stats: Option[FileStats])
 
-  /** Extract (columnName, literal, flippedComparison) from a binary comparison. */
-  private def colLit(l: Expression, r: Expression): Option[(String, Literal, Boolean)] =
-    (stripCast(l), stripCast(r)) match {
-      case (a: UnresolvedAttribute, lit: Literal) => Some((a.nameParts.last, lit, false))
+  /** Extract (columnName, literal, flippedComparison) from a binary
+    * comparison. Multi-part attributes (nested fields, `a.b`) fail to None:
+    * collapsing them to the LAST part evaluated a nested predicate against
+    * an unrelated top-level column of the same name — including whole-file
+    * DELETE data loss when that name was a partition column. */
+  private def colLit(schema: StructType, l: Expression, r: Expression)
+      : Option[(String, Literal, Boolean)] =
+    (stripCast(schema, l), stripCast(schema, r)) match {
+      case (a: UnresolvedAttribute, lit: Literal) =>
+        topLevelName(a).map((_, lit, false))
       case (a: AttributeReference, lit: Literal) => Some((a.name, lit, false))
-      case (lit: Literal, a: UnresolvedAttribute) => Some((a.nameParts.last, lit, true))
+      case (lit: Literal, a: UnresolvedAttribute) =>
+        topLevelName(a).map((_, lit, true))
       case (lit: Literal, a: AttributeReference) => Some((a.name, lit, true))
       case _ => None
     }
 
-  private def stripCast(e: Expression): Expression = e match {
-    case Cast(child, _, _, _) => stripCast(child)
+  private def topLevelName(a: UnresolvedAttribute): Option[String] =
+    a.nameParts match { case Seq(one) => Some(one); case _ => None }
+
+  /** True iff casting `from` to `to` preserves values EXACTLY under this
+    * file's BigDecimal embedding — the only casts safe to strip. A
+    * value-changing cast (timestamp→date, long→double, double→float,
+    * narrowing decimals) stripped here compared stats in one domain with a
+    * literal in another, turning "provably no match" skips into silent
+    * missing rows / wrong DELETEs; those now fail OPEN (colLit → None). */
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+    case (IntegerType, LongType | DoubleType) => true // int→float ROUNDS
+    case (FloatType, DoubleType) => true
+    case (f @ (ByteType | ShortType | IntegerType | LongType), d: DecimalType) =>
+      val need = f match {
+        case ByteType => 3; case ShortType => 5; case IntegerType => 10
+        case _ => 19
+      }
+      d.precision - d.scale >= need
+    case (a: DecimalType, b: DecimalType) =>
+      b.precision - b.scale >= a.precision - a.scale && b.scale >= a.scale
+    case _ => false // long→double/float, ts↔date, string↔*, … : value-changing
+  }
+
+  /** Strip only value-preserving casts; FOLD resolved literal casts (the
+    * parser's `CAST('2024-01-01' AS DATE)` shape) into a typed literal so
+    * common coerced predicates still prune; keep everything else (colLit
+    * then fails open on the residual Cast node). */
+  private def stripCast(schema: StructType, e: Expression): Expression = e match {
+    case c @ Cast(child, to, _, _) =>
+      stripCast(schema, child) match {
+        case l: Literal =>
+          if (widens(l.dataType, to)) l
+          else if (c.childrenResolved && c.resolved)
+            scala.util.Try(Literal(c.eval(null), to)).getOrElse(c)
+          else c
+        case a: UnresolvedAttribute =>
+          val from = topLevelName(a).flatMap(n => schema.find(_.name == n))
+          if (from.exists(f => widens(f.dataType, to))) a else c
+        case a: AttributeReference => if (widens(a.dataType, to)) a else c
+        case _ => c
+      }
     case _ => e
   }
 
-  private def attrName(e: Expression): Option[String] = stripCast(e) match {
-    case a: UnresolvedAttribute => Some(a.nameParts.last)
-    case a: AttributeReference => Some(a.name)
-    case _ => None
-  }
+  private def attrName(schema: StructType, e: Expression): Option[String] =
+    stripCast(schema, e) match {
+      case a: UnresolvedAttribute => topLevelName(a)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
 
   /** Snapshot-aware variant: translates schema/partition/predicate names to
     * the physical domain when column mapping is enabled (log partitionValues
@@ -252,6 +334,17 @@ object StatsPruning {
       schema: StructType,
       partitionColumns: Seq[String],
       pred: Expression,
+      file: AddFile): Boolean =
+    fileMayMatchAll(schema, partitionColumns, Seq(pred), file)
+
+  /** Multi-predicate variant: parses the file's stats JSON and partition
+    * values ONCE and evaluates every predicate against the shared view —
+    * the per-file loops (prune, LazyFileIndex) were paying one json4s
+    * parse per (file × predicate). */
+  def fileMayMatchAll(
+      schema: StructType,
+      partitionColumns: Seq[String],
+      preds: Seq[Expression],
       file: AddFile): Boolean = {
     // a partition value we cannot parse into the declared type (e.g. "NaN"
     // for a double partition — legal per ScalarExt::serialize) must fail
@@ -265,8 +358,27 @@ object StatsPruning {
     }.toMap
     val stats = file.stats.flatMap(s =>
       scala.util.Try(parseStats(s, schema)).toOption)
-    eval(schema, partitionColumns.toSet, pred, FileView(partVals, stats))
-      .getOrElse(true)
+    val fv = FileView(partVals, stats)
+    val pcs = partitionColumns.toSet
+    preds.forall(p => eval(schema, pcs, p, fv).getOrElse(true))
+  }
+
+  /** Mapping-translated per-file predicate with the snapshot-level work
+    * (nameMap, physical schema, predicate rewrite) hoisted out of the
+    * per-file loop — DML's full/partial split calls this once and applies
+    * the closure to thousands of candidates. */
+  def filePredicate(snapshot: Snapshot, pred: Expression): AddFile => Boolean = {
+    if (ColumnMapping.enabled(snapshot.metadata)) {
+      val nm = ColumnMapping.nameMap(snapshot.schema)
+      val sch = ColumnMapping.physicalSchema(snapshot.schema)
+      val pcs = snapshot.partitionColumns.map(c => nm.getOrElse(c, c))
+      val p = ColumnMapping.toPhysicalPredicate(pred, nm)
+      f => fileMayMatch(sch, pcs, p, f)
+    } else {
+      val sch = snapshot.schema
+      val pcs = snapshot.partitionColumns
+      f => fileMayMatch(sch, pcs, pred, f)
+    }
   }
 
   /** Above this many candidate files, pruning runs as a Spark job instead
@@ -302,11 +414,11 @@ object StatsPruning {
             val sch = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
               .asInstanceOf[StructType]
             val ps = predsB.value
-            it.filter(f => ps.forall(p => fileMayMatch(sch, pc, p, f)))
+            it.filter(f => fileMayMatchAll(sch, pc, ps, f))
           }
           .collect().toSeq
       case _ =>
-        files.filter(f => preds.forall(p => fileMayMatch(schema, partitionColumns, p, f)))
+        files.filter(f => fileMayMatchAll(schema, partitionColumns, preds, f))
     }
   }
 
@@ -334,7 +446,7 @@ object StatsPruning {
     def cmpNode(l: Expression, r: Expression,
                 partOp: Int => Boolean,
                 statKeep: (Option[Any], Option[Any], Any) => Option[Boolean]): Option[Boolean] = {
-      colLit(l, r) match {
+      colLit(schema, l, r) match {
         case Some((c, lit, flipped)) =>
           val effOp: Int => Boolean = if (flipped) (i: Int) => partOp(-i) else partOp
           if (isPart(c)) partEval(c, lit, effOp)
@@ -409,7 +521,7 @@ object StatsPruning {
         // `c <=> lit` matches NULLs when lit is NULL — do NOT delegate to
         // EqualTo's null-rejecting semantics (ADVICE r1: scanWhere silently
         // dropped null-partition files).
-        colLit(l, r) match {
+        colLit(schema, l, r) match {
           case Some((c, lit, _)) =>
             val litIsNull = lit.value == null
             if (isPart(c)) {
@@ -427,7 +539,7 @@ object StatsPruning {
         }
 
       case LessThan(l, r) =>
-        colLit(l, r) match {
+        colLit(schema, l, r) match {
           case Some((c, lit, false)) => cmpKeep(c, lit, isPart, fv, _ < 0,
             (mn, lv) => lt(mn, lv), useMin = true)
           case Some((c, lit, true)) => // lit < col  ⇔  col > lit
@@ -436,7 +548,7 @@ object StatsPruning {
         }
 
       case LessThanOrEqual(l, r) =>
-        colLit(l, r) match {
+        colLit(schema, l, r) match {
           case Some((c, lit, false)) => cmpKeep(c, lit, isPart, fv, _ <= 0,
             (mn, lv) => le(mn, lv), useMin = true)
           case Some((c, lit, true)) =>
@@ -445,7 +557,7 @@ object StatsPruning {
         }
 
       case GreaterThan(l, r) =>
-        colLit(l, r) match {
+        colLit(schema, l, r) match {
           case Some((c, lit, false)) => cmpKeep(c, lit, isPart, fv, _ > 0,
             (mx, lv) => gt(mx, lv), useMin = false)
           case Some((c, lit, true)) =>
@@ -454,7 +566,7 @@ object StatsPruning {
         }
 
       case GreaterThanOrEqual(l, r) =>
-        colLit(l, r) match {
+        colLit(schema, l, r) match {
           case Some((c, lit, false)) => cmpKeep(c, lit, isPart, fv, _ >= 0,
             (mx, lv) => ge(mx, lv), useMin = false)
           case Some((c, lit, true)) =>
@@ -463,7 +575,7 @@ object StatsPruning {
         }
 
       case In(value, list) if list.forall(_.isInstanceOf[Literal]) =>
-        attrName(value).flatMap { c =>
+        attrName(schema, value).flatMap { c =>
           val lits = list.map(_.asInstanceOf[Literal])
           val results = lits.map(l => eval(schema, partCols, EqualTo(value, l), fv))
           if (results.exists(_.contains(true))) Some(true)
@@ -473,12 +585,27 @@ object StatsPruning {
 
       case InSet(value, hset) =>
         // evaluated over partition values only
-        attrName(value) match {
+        attrName(schema, value) match {
           case Some(c) if isPart(c) =>
             fv.partitionValues.get(c) match {
               case Some(null) => Some(false)
               case Some(v: BigDecimal) =>
-                Some(hset.exists(h => scala.util.Try(BigDecimal(h.toString) == v).getOrElse(false)))
+                // set elements convert through the SAME domain the
+                // partition value was parsed in: float/double partition
+                // strings round through their binary type, so a
+                // toString-exact decimal of a Float element could never
+                // equal them (unsound Some(false) on the matching file)
+                def elemBd(h: Any): Option[BigDecimal] = h match {
+                  case f: java.lang.Float =>
+                    if (f.isNaN || f.isInfinite) None
+                    else Some(BigDecimal(f.toDouble))
+                  case d: java.lang.Double =>
+                    if (d.isNaN || d.isInfinite) None
+                    else Some(BigDecimal(d))
+                  case other =>
+                    scala.util.Try(BigDecimal(other.toString)).toOption
+                }
+                Some(hset.exists(h => elemBd(h).contains(v)))
               case Some(v) => Some(hset.map(_.toString).contains(v.toString))
               case None => None
             }
@@ -486,13 +613,13 @@ object StatsPruning {
         }
 
       case IsNull(child) =>
-        attrName(child).flatMap { c =>
+        attrName(schema, child).flatMap { c =>
           if (isPart(c)) fv.partitionValues.get(c).map(_ == null)
           else fv.stats.flatMap(s => s.nullCount.get(c).map(_ > 0))
         }
 
       case IsNotNull(child) =>
-        attrName(child).flatMap { c =>
+        attrName(schema, child).flatMap { c =>
           if (isPart(c)) fv.partitionValues.get(c).map(_ != null)
           else fv.stats.flatMap { s =>
             for (nc <- s.nullCount.get(c); nr <- s.numRecords) yield nc < nr
@@ -500,7 +627,7 @@ object StatsPruning {
         }
 
       case StartsWith(l, Literal(prefix, StringType)) if prefix != null =>
-        attrName(l).flatMap { c =>
+        attrName(schema, l).flatMap { c =>
           val p = prefix.toString
           if (isPart(c)) fv.partitionValues.get(c).map {
             case null => false
@@ -552,8 +679,13 @@ object StatsPruning {
     }
   }
 
+  /** Attribute names as the FULL dotted path: a nested `a.b` must not
+    * alias a top-level/partition column `b` — the Not branch and
+    * isPartitionOnly treat "all attrs are partition columns" as license
+    * for exact evaluation, and the collapsed name turned that into
+    * whole-file/metadata-only deletes of rows the predicate never matched. */
   private def attrsOf(e: Expression): Seq[String] = e.collect {
-    case a: UnresolvedAttribute => a.nameParts.last
+    case a: UnresolvedAttribute => a.nameParts.mkString(".")
     case a: AttributeReference => a.name
   }
 

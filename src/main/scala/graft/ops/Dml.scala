@@ -160,9 +160,8 @@ object DeleteOp {
 
         // provably fully-matching files (negation can't match) drop whole
         val negation = Scan.parsePredicate(spark, s"NOT ($pred)")
-        val (fullFiles, partialCandidates) = candidates.partition { f =>
-          !StatsPruning.fileMayMatch(snapshot, negation, f)
-        }
+        val negMatch = StatsPruning.filePredicate(snapshot, negation)
+        val (fullFiles, partialCandidates) = candidates.partition(f => !negMatch(f))
         // narrow partial candidates to files with actual matches
         val partialFiles =
           Dml.matchedFiles(spark, snapshot, partialCandidates, pred, "DELETE")

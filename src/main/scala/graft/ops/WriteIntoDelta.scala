@@ -213,9 +213,8 @@ object WriteIntoDelta {
       candidates: Seq[AddFile],
       pred: String): (Seq[AddFile], Seq[AddFile]) = {
     val negation = Scan.parsePredicate(spark, s"NOT ($pred)")
-    candidates.partition { f =>
-      !StatsPruning.fileMayMatch(snapshot, negation, f)
-    }
+    val negMatch = StatsPruning.filePredicate(snapshot, negation)
+    candidates.partition(f => !negMatch(f))
   }
 
   /** CREATE-time schema handling: when `delta.columnMapping.mode` is

@@ -91,9 +91,15 @@ class GraftDeltaSink(
     // fail fast on columns the table doesn't know (the WriteIntoDelta /
     // BlindDeltaTable guard): normalize() below selects by name, so an
     // unknown stream column would otherwise vanish from every batch —
-    // silent data loss, not an error
+    // silent data loss, not an error. Locale.ROOT case-insensitive, the
+    // SAME rule as the normalize() projection this guard fronts (and as
+    // the other append surfaces) — a session-resolver guard under
+    // caseSensitive=true rejected batches whose columns normalize would
+    // have matched, splitting acceptance between the two streaming sinks
+    val known = m.schema.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val extra = batch.schema.fieldNames
-      .filterNot(c => m.schema.fieldNames.exists(resolver(_, c)))
+      .filterNot(c => known.contains(c.toLowerCase(java.util.Locale.ROOT)))
     require(extra.isEmpty,
       s"graft-delta sink: stream columns ${extra.mkString(", ")} are not in " +
         s"the table schema at $path")

@@ -228,16 +228,28 @@ object StatsPruning {
       : Option[(String, Literal, Boolean)] =
     (stripCast(schema, l), stripCast(schema, r)) match {
       case (a: UnresolvedAttribute, lit: Literal) =>
-        topLevelName(a).map((_, lit, false))
+        topLevelName(schema, a).map((_, lit, false))
       case (a: AttributeReference, lit: Literal) => Some((a.name, lit, false))
       case (lit: Literal, a: UnresolvedAttribute) =>
-        topLevelName(a).map((_, lit, true))
+        topLevelName(schema, a).map((_, lit, true))
       case (lit: Literal, a: AttributeReference) => Some((a.name, lit, true))
       case _ => None
     }
 
-  private def topLevelName(a: UnresolvedAttribute): Option[String] =
-    a.nameParts match { case Seq(one) => Some(one); case _ => None }
+  /** Resolve an UnresolvedAttribute to a TOP-LEVEL column name. Single
+    * parts pass through. A multi-part name resolves to its last part ONLY
+    * when no leading part names a schema field — then the leading parts
+    * are table/alias qualifiers (`t.part_col`), not a struct path; if any
+    * leading part IS a field the reference is (or may be) a nested field
+    * and must fail open (None). */
+  private def topLevelName(schema: StructType, a: UnresolvedAttribute): Option[String] =
+    a.nameParts match {
+      case Seq(one) => Some(one)
+      case parts
+        if parts.init.forall(p => !schema.fieldNames.contains(p)) &&
+          schema.fieldNames.contains(parts.last) => Some(parts.last)
+      case _ => None
+    }
 
   /** True iff casting `from` to `to` preserves values EXACTLY under this
     * file's BigDecimal embedding — the only casts safe to strip. A
@@ -275,7 +287,7 @@ object StatsPruning {
             scala.util.Try(Literal(c.eval(null), to)).getOrElse(c)
           else c
         case a: UnresolvedAttribute =>
-          val from = topLevelName(a).flatMap(n => schema.find(_.name == n))
+          val from = topLevelName(schema, a).flatMap(n => schema.find(_.name == n))
           if (from.exists(f => widens(f.dataType, to))) a else c
         case a: AttributeReference => if (widens(a.dataType, to)) a else c
         case _ => c
@@ -285,7 +297,7 @@ object StatsPruning {
 
   private def attrName(schema: StructType, e: Expression): Option[String] =
     stripCast(schema, e) match {
-      case a: UnresolvedAttribute => topLevelName(a)
+      case a: UnresolvedAttribute => topLevelName(schema, a)
       case a: AttributeReference => Some(a.name)
       case _ => None
     }
@@ -500,7 +512,7 @@ object StatsPruning {
         // whole files whose rows the predicate does NOT match (ADVICE r1).
         // Null-safe operators (IS [NOT] NULL, <=>) are genuinely 2-valued
         // and stay negatable even with NULL partition values.
-        attrsOf(child) match {
+        attrsOf(schema, child) match {
           case attrs if attrs.nonEmpty && attrs.forall(partCols.contains) =>
             val anyNullPart = attrs.exists(c => fv.partitionValues.get(c).contains(null))
             val nullSafe = child.isInstanceOf[IsNull] ||
@@ -684,14 +696,18 @@ object StatsPruning {
     * isPartitionOnly treat "all attrs are partition columns" as license
     * for exact evaluation, and the collapsed name turned that into
     * whole-file/metadata-only deletes of rows the predicate never matched. */
-  private def attrsOf(e: Expression): Seq[String] = e.collect {
-    case a: UnresolvedAttribute => a.nameParts.mkString(".")
+  private def attrsOf(schema: StructType, e: Expression): Seq[String] = e.collect {
+    case a: UnresolvedAttribute =>
+      // qualified top-level refs (t.part_col) resolve like colLit does;
+      // genuine nested paths keep the dotted form so the partition-only
+      // gates fail CLOSED on them
+      topLevelName(schema, a).getOrElse(a.nameParts.mkString("."))
     case a: AttributeReference => a.name
   }
 
   /** Does the predicate reference only partition columns? (find_files.rs:214-278) */
-  def isPartitionOnly(pred: Expression, partCols: Seq[String]): Boolean = {
-    val attrs = attrsOf(pred)
+  def isPartitionOnly(schema: StructType, pred: Expression, partCols: Seq[String]): Boolean = {
+    val attrs = attrsOf(schema, pred)
     attrs.nonEmpty && attrs.forall(partCols.contains) && !pred.exists {
       case _: UnresolvedFunction => true
       case _ => false

@@ -202,7 +202,12 @@ object Similarity {
             "the corpus was bucketed with different planes")
       }
     requireDim(queries, vecCol, dim, "bucketedTopK")
-    bucketedTopKUnchecked(corpus, queries, idCol, vecCol, bucketCol, planes, k)
+    // the one-row probes above fast-fail the common mistakes (wrong planes,
+    // wrong dim), but a RAGGED persisted corpus (right width in the sampled
+    // row, drifted later) slips past any probe by construction — the
+    // per-row in-plan guard closes that for this path like lshTopK's
+    bucketedTopKUnchecked(corpus, queries, idCol, vecCol, bucketCol, planes, k,
+      guardDim = Some((dim, "bucketedTopK")))
   }
 
   /** [[bucketedTopK]] minus every eager probe — for callers that already

@@ -43,7 +43,7 @@ object Dml {
     val predExpr = Scan.parsePredicate(spark, pred)
     val candidates = Scan.prunedFiles(snapshot, Seq(predExpr), Some(spark))
     if (candidates.isEmpty) return Nil
-    if (StatsPruning.isPartitionOnly(predExpr, snapshot.partitionColumns)) {
+    if (StatsPruning.isPartitionOnly(snapshot.schema, predExpr, snapshot.partitionColumns)) {
       // stats pruning on partition-only predicates is exact
       return candidates
     }

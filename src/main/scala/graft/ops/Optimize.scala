@@ -49,7 +49,7 @@ object OptimizeOp {
     val candidates = predicate match {
       case Some(p) =>
         val e = Scan.parsePredicate(spark, p)
-        require(StatsPruning.isPartitionOnly(e, snapshot.partitionColumns),
+        require(StatsPruning.isPartitionOnly(snapshot.schema, e, snapshot.partitionColumns),
           "OPTIMIZE predicate must reference only partition columns")
         Scan.prunedFiles(snapshot, Seq(e), Some(table.spark)).filter(_.size < targetSize)
       case None => snapshot.filesSmallerThan(targetSize)
@@ -253,7 +253,7 @@ object OptimizeOp {
     val files = predicate match {
       case Some(p) =>
         val e = Scan.parsePredicate(spark, p)
-        require(StatsPruning.isPartitionOnly(e, snapshot.partitionColumns),
+        require(StatsPruning.isPartitionOnly(snapshot.schema, e, snapshot.partitionColumns),
           "OPTIMIZE predicate must reference only partition columns")
         txn.readPredicate(e)
         Scan.prunedFiles(snapshot, Seq(e), Some(spark))

@@ -362,6 +362,15 @@ class GraftDeltaSource(
 
   private def verifyLayoutAt(version: Long): Unit =
     if (!layoutVerifiedAt.exists(_ <= version)) {
+      if (version > initSnapshot.version) {
+        // versions above the pinned snapshot are served contiguously from
+        // initSnapshot.version+1, and each one's own Metadata action is
+        // checked against initSnapshot by the per-commit guard below — the
+        // historical replay buys nothing there, so the common live stream
+        // never pays it
+        layoutVerifiedAt = Some(version)
+        return
+      }
       val at = log.metadataSnapshotAt(version)
       // incompatible = partitioning differs, or some field the old files
       // carry was dropped or retyped in the restarted schema (delta-spark
@@ -379,9 +388,11 @@ class GraftDeltaSource(
           s"${at.partitionColumns}) vs the restarted stream's " +
           s"(${initSnapshot.schema.simpleString} partitioned by " +
           s"${initSnapshot.partitionColumns}) — the table was " +
-          "re-partitioned or non-additively evolved between this stream's " +
-          "offset and the restart; start a fresh stream (new checkpoint) " +
-          "to adopt the new layout")
+          "re-partitioned or non-additively evolved after this commit; " +
+          "serving its files through the current layout would corrupt " +
+          "them. Start a fresh stream (new checkpoint) to adopt the " +
+          "current layout, or set startingVersion past the layout change " +
+          "if the old rows are not needed")
       layoutVerifiedAt = Some(version)
     }
 
@@ -644,11 +655,12 @@ class GraftDeltaSource(
           filesUsed += 1; bytesUsed += sz; idx += 1
         } else stopped = true
       }
-      // a file budget exhausted EXACTLY at a version boundary must not
-      // step into (and parse/guard) the next commit it cannot admit —
-      // a change commit there would fail the stream one batch early,
-      // before the already-budgeted batch ever ran
-      if (stopped || filesUsed >= fileBudget) done = true
+      // a budget (file OR byte) exhausted EXACTLY at a version boundary
+      // must not step into (and parse/guard) the next commit it cannot
+      // admit — a change commit there would fail the stream one batch
+      // early, before the already-budgeted batch ever ran
+      if (stopped || filesUsed >= fileBudget || bytesUsed >= byteBudget)
+        done = true
       else if (v < latest) { v += 1; idx = 0; init = false }
       else done = true
     }

@@ -99,6 +99,20 @@ class Round13StreamSpec extends AnyFunSuite {
       src.latestOffset(src.deserializeOffset(o.json), ReadLimit.maxFiles(3))
     }
     assert(e.getMessage.contains("data-changing removes"), e.getMessage)
+
+    // same boundary rule for the BYTE budget: a budget equal to the
+    // initial snapshot's total bytes must stop at the boundary instead of
+    // stepping into (and guarding) the change commit that lands after
+    val totalBytes = DeltaTable.forPath(spark, dir) // post-update v1 files
+      .snapshot.allFiles.map(_.size).sum
+    val src2 = new GraftDeltaSource(spark, dir, Map.empty,
+      metadataPath = Some(metaDir(restart = false))) // init = v1 snapshot
+    DeltaTable.forPath(spark, dir)
+      .update(Map("n" -> org.apache.spark.sql.functions.expr("n + 1000")),
+        Some("n = 2")) // v2: change commit, after src2 pinned
+    val o2 = GraftSourceOffset.from(
+      src2.latestOffset(null, ReadLimit.maxBytes(totalBytes)))
+    assert(o2.isInitialSnapshot && o2.version == 1L, o2)
   }
 
   test("restart across a re-partitioning refuses pre-change commits " +

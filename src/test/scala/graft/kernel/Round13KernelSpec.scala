@@ -65,8 +65,26 @@ class Round13KernelSpec extends AnyFunSuite {
     assert(StatsPruning.fileMayMatch(schema, Seq("b"), pred, f),
       "nested attribute must fail open, not evaluate against column b")
     // the metadata-only DELETE gate must not classify a.b as partition-only
-    assert(!StatsPruning.isPartitionOnly(
+    assert(!StatsPruning.isPartitionOnly(schema,
       EqualTo(attr("a", "b"), Literal(5, IntegerType)), Seq("b")))
+  }
+
+  test("qualified top-level refs keep pruning; only genuine nested paths fail open") {
+    // t.part_col — the qualifier is no schema field, so the last part is an
+    // unambiguous top-level reference: pruning and the partition-only gates
+    // must keep working exactly as for the bare name
+    val schema = StructType(Seq(
+      StructField("a", StructType(Seq(StructField("b", IntegerType)))),
+      StructField("b", IntegerType)))
+    val file = AddFile(path = "x", partitionValues = Map("b" -> "5"))
+    val qualified = EqualTo(attr("t", "b"), Literal(7, IntegerType))
+    assert(!StatsPruning.fileMayMatch(schema, Seq("b"), qualified, file),
+      "qualified top-level partition ref must still prune")
+    assert(StatsPruning.isPartitionOnly(schema, qualified, Seq("b")))
+    // a.b: the head IS a struct field → nested path → fail open everywhere
+    val nested = EqualTo(attr("a", "b"), Literal(7, IntegerType))
+    assert(StatsPruning.fileMayMatch(schema, Seq("b"), nested, file))
+    assert(!StatsPruning.isPartitionOnly(schema, nested, Seq("b")))
   }
 
   test("high-precision decimal bounds compare exactly (no double rounding)") {

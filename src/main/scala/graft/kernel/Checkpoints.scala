@@ -206,7 +206,8 @@ object Checkpoints {
     // checkpoint grow monotonically). Missing deletionTimestamp counts as
     // ancient, mirroring delta-spark's reaper.
     val retentionMs = m.configuration.get("delta.deletedFileRetentionDuration")
-      .flatMap(DeltaConfig.parseDuration).getOrElse(7L * 24 * 3600 * 1000)
+      .map(DeltaConfig.durationMs("delta.deletedFileRetentionDuration", _))
+      .getOrElse(7L * 24 * 3600 * 1000)
     val tombstoneCutoff = System.currentTimeMillis() - retentionMs
     def tombstoneLive(r: RemoveFile): Boolean =
       r.deletionTimestamp.getOrElse(0L) >= tombstoneCutoff
@@ -474,18 +475,14 @@ object Checkpoints {
     resolved.filterNot(a => a.isInstanceOf[Sidecar] || a.isInstanceOf[CheckpointMetadata])
   }
 
-  /** The `add` column of checkpoint parts with raw JSON `stats` GUARANTEED
-    * populated: parts written with `delta.checkpoint.writeStatsAsJson=false`
-    * (delta-spark) carry stats only as the table-specific `stats_parsed`
-    * struct — reading them through the bare addType silently nulls stats,
-    * degrading the lazy path's data skipping to full scans and PERSISTING
-    * the loss when a lazy re-checkpoint streams the old parts. One footer
-    * peek decides; the synthesized column matches the eager read's
-    * fallback (reference scan_row.rs:225-310). */
   /** Footer peek shared by the lazy (addColumnDf) and eager (read) paths:
     * the table-specific `add.stats_parsed` struct type when the parts were
-    * written with writeStatsAsJson=false — ONE definition, so a fix to the
-    * detection cannot land in only one path. */
+    * written with `delta.checkpoint.writeStatsAsJson=false` (delta-spark).
+    * Reading such parts through the bare addType silently nulls stats,
+    * degrading data skipping to full scans and PERSISTING the loss when a
+    * lazy re-checkpoint streams the old parts — both detection AND the
+    * synthesis ([[synthesizeStats]]) are single definitions so a fix
+    * cannot land in only one path (reference scan_row.rs:225-310). */
   private def statsParsedTypeOf(spark: SparkSession, parts: Seq[Path]): Option[StructType] =
     scala.util.Try(spark.read.parquet(parts.map(_.toString): _*).schema).toOption
       .flatMap(_.find(_.name == "add")).map(_.dataType)
@@ -493,8 +490,20 @@ object Checkpoints {
       .flatMap(_.find(_.name == "stats_parsed")).map(_.dataType)
       .collect { case s: StructType => s }
 
+  /** THE stats_parsed → raw-JSON synthesis (null-safe, drops the struct
+    * field afterwards so downstream sees exactly addType) — one definition
+    * for the lazy and eager paths; see [[statsParsedTypeOf]]. */
+  private def synthesizeStats(add: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, to_json, when}
+    when(add.isNotNull,
+      add.withField("stats",
+        coalesce(add.getField("stats"), to_json(add.getField("stats_parsed"))))
+        .dropFields("stats_parsed"))
+      .otherwise(add.dropFields("stats_parsed"))
+  }
+
   def addColumnDf(spark: SparkSession, parts: Seq[Path]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, to_json}
+    import org.apache.spark.sql.functions.col
     statsParsedTypeOf(spark, parts) match {
       case None =>
         spark.read.schema(StructType(Seq(StructField("add", addType))))
@@ -503,10 +512,7 @@ object Checkpoints {
         val readType = StructType(addType.fields :+ StructField("stats_parsed", t))
         spark.read.schema(StructType(Seq(StructField("add", readType))))
           .parquet(parts.map(_.toString): _*).filter(col("add").isNotNull)
-          .withColumn("add", col("add")
-            .withField("stats",
-              coalesce(col("add.stats"), to_json(col("add.stats_parsed"))))
-            .dropFields("stats_parsed"))
+          .withColumn("add", synthesizeStats(col("add")))
     }
   }
 
@@ -537,11 +543,8 @@ object Checkpoints {
     val df0raw = spark.read.schema(schema0).parquet(files.map(_.toString): _*)
     val df0 = statsParsedType match {
       case Some(_) =>
-        import org.apache.spark.sql.functions.{coalesce, to_json, when => whenF, col => colF}
         df0raw.withColumn("add",
-          whenF(colF("add").isNotNull, colF("add").withField("stats",
-            coalesce(colF("add.stats"), to_json(colF("add.stats_parsed")))))
-            .otherwise(colF("add")))
+          synthesizeStats(org.apache.spark.sql.functions.col("add")))
       case None => df0raw
     }
     // re-align to the full positional layout expected below

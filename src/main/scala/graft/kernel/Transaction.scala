@@ -114,12 +114,21 @@ class OptimisticTransaction(
         s"assumeOwnCommits: versions ${ownSafeVersions.filter(_ <= readVersion)} " +
           s"are at or below the pinned snapshot version $readVersion — they are " +
           "part of this transaction's base state, not own commits above it")
+      // paced like the main loop's reads (one transient 503 on this
+      // one-time pre-scan must not abort a long compaction chunk), but
+      // against ONE shared budget: per-read 120s budgets would let a
+      // permanently-throttling store park an N-commit pre-scan for
+      // N x 120s, bypassing the commit loop's documented hard ceiling.
+      // Wall-clock decrement (not just paced waits) is deliberate slack.
+      var preScanBudgetMs = 120000L
       (attempt to known).filterNot(ownSafeVersions.contains).foreach { v =>
-        // paced like the main loop's reads: one transient 503 on this
-        // one-time pre-scan must not abort a long compaction chunk
+        val t0 = System.nanoTime()
         checkConflicts(
-          HttpWire.pacedRetry(s"pre-scan of version $v")(log.readCommit(v)),
+          HttpWire.pacedRetry(s"pre-scan of version $v", preScanBudgetMs)(
+            log.readCommit(v)),
           actions, v)
+        preScanBudgetMs =
+          math.max(0L, preScanBudgetMs - (System.nanoTime() - t0) / 1000000L)
       }
       // max(): never move the cursor backward — versions below attempt are
       // already reflected in the snapshot and must not be re-attempted
@@ -134,6 +143,12 @@ class OptimisticTransaction(
     // throttling store still fails loudly instead of parking forever.
     var pacedWaitMs = 0L
     val maxPacedWaitMs = 120000L
+    // reserve for ghost-commit disambiguation reads (see the
+    // VersionAlreadyExists branch): kept OUT of pacedWaitMs so write-phase
+    // throttling can never starve the one read whose failure risks
+    // duplicate data
+    var ghostPacedMs = 0L
+    val maxGhostPacedMs = 60000L
     while (true) {
       val path = new Path(log.logPath, LogStore.commitFileName(attempt))
       // The catches are scoped to the writeAtomic call ONLY: a postCommit
@@ -165,16 +180,20 @@ class OptimisticTransaction(
                 try result = Some(log.readCommit(attempt))
                 catch {
                   case e: RetryPacedException =>
-                    // honor the server's pace from the commit loop's own
-                    // budget — 3 fast retries would declare a durable,
-                    // OURS commit ambiguous during an ordinary SlowDown
+                    // honor the server's pace from a RESERVE budget, not
+                    // the write loop's: a commit that burned ~120s of
+                    // write pacing before its put landed server-side
+                    // would otherwise get ZERO budget to confirm the
+                    // ghost is OURS — declared ambiguous, and a rerun
+                    // duplicates the data. (3 fast retries would likewise
+                    // mis-declare during an ordinary SlowDown.)
                     val wait = math.max(e.retryAfterMs, 100L)
-                    pacedWaitMs += wait
-                    if (pacedWaitMs > maxPacedWaitMs)
+                    ghostPacedMs += wait
+                    if (ghostPacedMs > maxGhostPacedMs)
                       throw new CommitConflictException("CommitAmbiguous",
                         s"version $attempt exists but its disambiguation " +
-                          s"read was throttled past the ${maxPacedWaitMs}ms " +
-                          s"pacing budget: $e")
+                          s"read was throttled past the ${maxGhostPacedMs}ms " +
+                          s"reserve pacing budget: $e")
                     try Thread.sleep(wait)
                     catch {
                       case _: InterruptedException =>
@@ -383,7 +402,8 @@ private[graft] object LogCleanup {
       .forall(_.trim.equalsIgnoreCase("true"))
     if (!enabled) return
     val retentionMs = meta.flatMap(_.configuration.get("delta.logRetentionDuration"))
-      .flatMap(DeltaConfig.parseDuration).getOrElse(30L * 24 * 3600 * 1000)
+      .map(DeltaConfig.durationMs("delta.logRetentionDuration", _))
+      .getOrElse(30L * 24 * 3600 * 1000)
     val cutoff = System.currentTimeMillis() - retentionMs
     val listing = log.store.list(log.logPath)
     val expired = listing.filter { f =>
@@ -501,6 +521,20 @@ object DeltaConfig {
     * default) — treating e.g. "interval 1 month" as 1 millisecond would
     * silently collapse a retention window and let cleanup destroy time
     * travel / VACUUM reap files still being read. */
+  /** Parse-or-THROW for a PRESENT config value: a present-but-unparseable
+    * retention (e.g. 'interval 2 months' — delta-spark's
+    * isValidIntervalConfigValue rejects months/years too) must not
+    * silently collapse to the caller's default. When the configured window
+    * is LONGER than the default, the silent fallback DESTROYS data the
+    * user asked to keep: expired-log cleanup deletes history inside the
+    * configured window, the checkpoint writer drops tombstones VACUUM
+    * still needs, and VACUUM's minimum-retention check weakens. */
+  def durationMs(key: String, s: String): Long =
+    parseDuration(s).getOrElse(throw new IllegalArgumentException(
+      s"$key: cannot parse interval '$s' — supported: 'interval N " +
+        "millisecond|second|minute|hour|day|week' (month/year units are " +
+        "rejected, matching delta-spark)"))
+
   def parseDuration(s: String): Option[Long] = {
     val t = s.trim.toLowerCase(java.util.Locale.ROOT).stripPrefix("interval").trim
     val parts = t.split("\\s+")

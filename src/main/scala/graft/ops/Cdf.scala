@@ -47,6 +47,11 @@ object CdfRead {
       require(startingVersion <= latest,
         s"loadCdf: startingVersion $startingVersion is beyond the latest " +
           s"version $latest")
+      // symmetric with the start-side check: without it an out-of-range
+      // ending surfaced as snapshotAt's time-travel error from deep inside
+      // snapshot loading — loud but misdiagnosable
+      endingVersion.foreach(e => require(e <= latest,
+        s"loadCdf: endingVersion $e is beyond the latest version $latest"))
     }
     // schema/partitioning/column-mapping must come from a snapshot AT or
     // AFTER the range end: `end` is resolved from a FRESH listing, so a

@@ -70,7 +70,8 @@ object VacuumOp {
     val spark = table.spark
     val snapshot = table.refresh()
     val configured = snapshot.getConf("delta.deletedFileRetentionDuration")
-      .flatMap(DeltaConfig.parseDuration).getOrElse(7L * 24 * 3600 * 1000)
+      .map(DeltaConfig.durationMs("delta.deletedFileRetentionDuration", _))
+      .getOrElse(7L * 24 * 3600 * 1000)
     val retentionMs = (retentionHours * 3600 * 1000).toLong
     if (enforceRetention && retentionMs < configured)
       throw new IllegalArgumentException(
@@ -442,6 +443,12 @@ object MetadataOps {
             "engine has no ICT write path (reads of foreign ICT tables " +
             "resolve timestamps by the recorded values; writes refuse)")
       }
+    // retention intervals validate AT SET TIME (delta-spark posture): a
+    // value the readers can't parse would otherwise throw on every later
+    // cleanup/checkpoint/VACUUM instead of at the command that planted it
+    Seq("delta.logRetentionDuration", "delta.deletedFileRetentionDuration")
+      .foreach(k => props.get(k).foreach(v =>
+        graft.kernel.DeltaConfig.durationMs(k, v)))
     // delta.columnMapping.mode transitions: the reference refuses them all
     // (operations/set_tbl_properties.rs:89 unsupported_column_mapping); we
     // additionally support the one migration delta-spark supports — the

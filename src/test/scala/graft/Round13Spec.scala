@@ -334,4 +334,43 @@ class Round13Spec extends AnyFunSuite {
     assert(log2.snapshotForTimestamp(sharedMtime + 1).version == 1L)
     assert(log2.snapshotForTimestamp(boundary).version == 2L)
   }
+
+  test("present-but-unparseable retention intervals fail loudly, not " +
+      "silently collapse to the default") {
+    import spark.implicits._
+    import graft.kernel.DeltaConfig
+    // a configured window LONGER than the default silently became the
+    // default — cleanup then destroys logs/tombstones the user asked to
+    // keep. Month/year units are rejected like delta-spark.
+    assert(DeltaConfig.durationMs("k", "interval 2 weeks") == 14L * 86400000)
+    val e = intercept[IllegalArgumentException] {
+      DeltaConfig.durationMs("delta.logRetentionDuration", "interval 2 months")
+    }
+    assert(e.getMessage.contains("month/year"), e.getMessage)
+    // and the value can't be PLANTED by this engine: setProperties
+    // validates retention keys at set time
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1, "a")).toDF("id", "v"), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    val e2 = intercept[IllegalArgumentException] {
+      t.setProperties(Map("delta.deletedFileRetentionDuration" -> "interval 3 years"))
+    }
+    assert(e2.getMessage.contains("cannot parse interval"), e2.getMessage)
+    t.setProperties(Map("delta.deletedFileRetentionDuration" -> "interval 14 days"))
+    assert(t.refresh().metadata.configuration(
+      "delta.deletedFileRetentionDuration") == "interval 14 days")
+  }
+
+  test("loadCdf validates endingVersion symmetrically with startingVersion") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1, "a")).toDF("id", "v"), dir,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.CdfRead.load(t, 0, Some(99))
+    }
+    assert(e.getMessage.contains("endingVersion 99 is beyond the latest"),
+      e.getMessage)
+  }
 }

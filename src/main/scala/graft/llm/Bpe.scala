@@ -87,16 +87,19 @@ object Bpe {
           if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint()
           else {
             next = next.persist(StorageLevel.MEMORY_AND_DISK)
-            next.count()
+            // a failed materialization must release the just-registered
+            // cache entry, not leak its partial blocks for the session
+            try next.count()
+            catch { case t: Throwable => next.unpersist(); throw t }
           }
-          words.unpersist()
+          release(words)
           words = next
           i += 1
       }
     }
     // finally, not straight-line: a failed iteration job must not leak the
     // cached symbol table for the session lifetime (kmeans/dsir discipline)
-    } finally words.unpersist()
+    } finally release(words)
     import spark.implicits._
     merges.toSeq.zipWithIndex
       .map { case ((l, r, c), rank) => (rank.toLong, l, r, c) }
@@ -108,8 +111,34 @@ object Bpe {
     * list is a driver-side array (it IS small — that's the point of BPE);
     * application is the same codegen fold, numMerges passes over each
     * word's symbol array. */
+  /** Free a symbol-table generation regardless of HOW it was cached:
+    * Dataset.unpersist only clears CacheManager entries, which a
+    * localCheckpoint'd frame does not have (its plan is a LogicalRDD whose
+    * underlying RDD was cached at the RDD level) — without the RDD-level
+    * unpersist every checkpointed generation, including the final one,
+    * stayed pinned at MEMORY_AND_DISK until GC. */
+  private def release(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+  }
+
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    // each merge nests one transform+fold layer into ONE expression tree:
+    // Catalyst's recursive plan transforms overflow the JVM stack at a few
+    // thousand nesting levels, so a production-sized merge table (10k-32k)
+    // must not be silently accepted and then die at PLAN time. This
+    // codegen fold is for small trained tables (trainMerges output); cap
+    // loudly rather than crash opaquely.
+    require(merges.length <= 200,
+      s"tokenCounts: ${merges.length} merges would nest a " +
+        s"${merges.length}-layer expression tree and overflow Catalyst's " +
+        "recursive planning — this fold is for small merge tables (<= 200); " +
+        "for production vocabularies tokenize outside the expression layer")
     val syms0 = transform(TextOps.words(TextOps.normalize(col(textCol))),
       w => split(w, ""))
     val symsMerged = merges.foldLeft(syms0) { case (s, (l, r)) =>

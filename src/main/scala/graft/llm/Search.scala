@@ -62,6 +62,11 @@ object Search {
     require(idfMode == "lucene" || idfMode == "rational",
       s"bm25TopK: unknown idfMode '$idfMode' (lucene | rational)")
     require(k >= 1, "bm25TopK: k must be >= 1")
+    // BM25's contract: k1 >= 0, 0 <= b <= 1 — out-of-range values make the
+    // length-normalization denominator zero or negative (silently inverted
+    // rankings, or DIVIDE_BY_ZERO under Spark 4's default ANSI mode)
+    require(k1 >= 0.0, s"bm25TopK: k1 must be >= 0, got $k1")
+    require(b >= 0.0 && b <= 1.0, s"bm25TopK: b must be in [0, 1], got $b")
 
     val docs = corpus
       .select(col(docIdCol).as("doc_id"),
@@ -92,8 +97,14 @@ object Search {
       .select(col("doc_id"), col("__dl"), explode(col("__ws")).as("term"))
       .join(vocab, Seq("term"))
 
+    // max, not first: first() is explicitly non-deterministic, so corpus
+    // rows sharing a doc_id (routine id collisions in scraped data) made
+    // the length normalization — and the top-k membership — change between
+    // runs. Duplicate-id semantics are documented as: tf merges the rows,
+    // dl is the longest row, N still counts rows; dedupe upstream for
+    // per-row scoring.
     val tf = postings.groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), first(col("__dl")).as("dl"))
+      .agg(count(lit(1)).as("tf"), max(col("__dl")).as("dl"))
     // document frequency rides the tf frame (no second pass over postings)
     val dfFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
 
@@ -117,9 +128,8 @@ object Search {
     // (collect_list order is partition-dependent; the sort fixes it)
     val grouped = scored.groupBy("query_id", "doc_id")
       .agg(count(lit(1)).cast("long").as("n_terms"),
-        aggregate(
-          array_sort(collect_list(struct(col("term"), col("__w").as("w")))),
-          lit(0.0), (acc, x) => acc + x("w")).as("score"))
+        TextOps.orderedFold(col("term"), col("__w").as("w"))(
+          (acc, x) => acc + x("w")).as("score"))
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)

@@ -88,6 +88,17 @@ object TextOps {
   private[llm] def md5BucketOfHex(hex: Column, n: Int): Column =
     conv(substring(hex, 1, 8), 16, 10).cast("long") % n
 
+  /** THE deterministic ordered-fold skeleton (the md5Bucket lesson, same
+    * class): collect_list order is partition-dependent, so every
+    * bit-exact aggregate sum folds a key-sorted struct list instead.
+    * `step` receives (acc, struct) and addresses the payload by the field
+    * name it was bound with — one definition of the sort/fold mechanics
+    * for [[bigramLmScore]], [[linearScore]] and
+    * [[graft.llm.Search.bm25TopK]]. */
+  private[llm] def orderedFold(key: Column, payload: Column)(
+      step: (Column, Column) => Column): Column =
+    aggregate(array_sort(collect_list(struct(key, payload))), lit(0.0), step)
+
   /** BPE-ish token estimate: word-piece count where each word contributes
     * ceil(len/4) pieces plus standalone punctuation; a cheap deterministic
     * stand-in for a real tokenizer, computed per-row without UDFs. */
@@ -507,8 +518,7 @@ object TextOps {
         (col("__c2").cast("double") / col("__c1").cast("double")).as("__p"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),
-        (aggregate(array_sort(collect_list(struct(col("__pos"), col("__p")))),
-          lit(0.0), (acc, x) => acc + x("__p")) /
+        (orderedFold(col("__pos"), col("__p"))((acc, x) => acc + x("__p")) /
           count(lit(1)).cast("double")).as("lm_score"))
     df.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -573,9 +583,7 @@ object TextOps {
       .agg(count(lit(1)).as("__c"))
       .groupBy(idCol)
       .agg(sum(col("__c")).as("n_tokens"),
-        (lit(bias) + aggregate(
-          array_sort(collect_list(struct(col("__b"), col("__c")))),
-          lit(0.0),
+        (lit(bias) + orderedFold(col("__b"), col("__c"))(
           (acc, x) => acc + x("__c").cast("double") *
             element_at(wArr, x("__b").cast("int") + 1))).as("score"))
     df.select(col(idCol)).join(scored, Seq(idCol), "left")

@@ -32,26 +32,34 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String],
       approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "Profile.profile: at least one column")
+    require(cols.distinct == cols,
+      s"Profile.profile: duplicate columns ${cols.diff(cols.distinct).mkString(", ")}")
     cols.foreach(c => require(df.columns.contains(c),
       s"Profile.profile: no such column '$c' (have ${df.columns.mkString(", ")})"))
+    // resolve names EXACTLY as validated: bare col(c) re-parses dots, so a
+    // column literally named "a.b" passed the guard above but resolved to
+    // struct field a.b (silently profiling the wrong data) or threw an
+    // unresolved-column error the guard promised away
+    def exact(c: String): org.apache.spark.sql.Column =
+      col("`" + c.replace("`", "``") + "`")
     val aggs = Seq(count(lit(1)).as("__rows")) ++ cols.flatMap { c =>
       Seq(
         // coalesce: sum() over ZERO rows is NULL — an empty corpus must
         // profile as n_nulls = 0, not poison downstream null-rate checks
-        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_$c"),
-        (if (approxDistinct) approx_count_distinct(col(c))
-         else count_distinct(col(c))).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
+        coalesce(sum(when(exact(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_$c"),
+        (if (approxDistinct) approx_count_distinct(exact(c))
+         else count_distinct(exact(c))).as(s"__nd_$c"),
+        min(exact(c)).cast("string").as(s"__mn_$c"),
+        max(exact(c)).cast("string").as(s"__mx_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = array(cols.map(c => struct(
       lit(c).as("column"),
       col("__rows").as("n_rows"),
-      col(s"__nn_$c").as("n_nulls"),
-      col(s"__nd_$c").as("n_distinct"),
-      col(s"__mn_$c").as("min_value"),
-      col(s"__mx_$c").as("max_value"))): _*)
+      exact(s"__nn_$c").as("n_nulls"),
+      exact(s"__nd_$c").as("n_distinct"),
+      exact(s"__mn_$c").as("min_value"),
+      exact(s"__mx_$c").as("max_value"))): _*)
     one.select(explode(rows).as("p")).select("p.*")
   }
 }

@@ -1158,4 +1158,60 @@ class LlmSpec extends AnyFunSuite {
         s"${rows.length} rows — the persist must make the resolving count " +
         "the ONLY full evaluation")
   }
+
+  test("round-13 guards: tokenCounts merge cap, bm25 param/dup-id hygiene, " +
+      "Profile exact column resolution, trainMerges releases checkpoints") {
+    import spark.implicits._
+    // tokenCounts: a production-sized merge table must refuse loudly at
+    // call time, not StackOverflow inside Catalyst planning
+    val doc = Seq((1L, "aa bb")).toDF("id", "text")
+    val bigMerges = (0 until 201).map(i => (s"x$i", s"y$i"))
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Bpe.tokenCounts(doc, "id", "text", bigMerges)
+    }
+    assert(e.getMessage.contains("201 merges"), e.getMessage)
+
+    // bm25: out-of-range k1/b silently inverted rankings (negative
+    // denominator) or threw ANSI DIVIDE_BY_ZERO mid-job
+    val corpus = Seq((1L, "spark delta lake"), (2L, "spark streaming")).toDF("doc_id", "text")
+    val q = Seq((1L, "spark")).toDF("query_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.llm.Search.bm25TopK(corpus, "doc_id", "text", q, "query_id", "text", k = 1, b = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.llm.Search.bm25TopK(corpus, "doc_id", "text", q, "query_id", "text", k = 1, k1 = -0.5)
+    }
+    // duplicate doc_id: the length normalization must be DETERMINISTIC —
+    // the plan carries max(__dl), never the non-deterministic first()
+    val dup = Seq((1L, "spark one"), (1L, "spark two three four")).toDF("doc_id", "text")
+    val planned = graft.llm.Search.bm25TopK(dup, "doc_id", "text", q, "query_id", "text", k = 2)
+    assert(!planned.queryExecution.analyzed.toString.contains("first("),
+      "bm25 doc length must not ride first()")
+    assert(planned.collect().nonEmpty)
+
+    // Profile: a column literally named "a.b" must profile ITSELF, not the
+    // struct field a.b the bare col() parse resolves to
+    val tricky = Seq((1, 10, 99), (2, 20, 99)).toDF("x", "y", "z")
+      .withColumnRenamed("y", "a.b")
+      .select(org.apache.spark.sql.functions.struct($"x".as("b")).as("a"), $"`a.b`", $"z")
+    val prof = graft.ops.Profile.profile(tricky, Seq("a.b")).collect().head
+    assert(prof.getAs[String]("min_value") == "10" &&
+      prof.getAs[String]("max_value") == "20",
+      s"profiled the struct field instead of the literal column: $prof")
+    intercept[IllegalArgumentException] {
+      graft.ops.Profile.profile(tricky, Seq("z", "z"))
+    }
+
+    // trainMerges: localCheckpoint'd generations must be RELEASED — the
+    // Dataset-level unpersist alone left every generation's RDD blocks
+    // pinned for the session
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val m = graft.llm.Bpe.trainMerges(
+      Seq((1L, "ab ab ab cd cd")).toDF("id", "text").selectExpr("text"),
+      "text", numMerges = 3, minPairCount = 1L, checkpointEvery = 1)
+    assert(m.count() >= 1)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      s"trainMerges leaked checkpointed generations: " +
+        s"${spark.sparkContext.getPersistentRDDs.size} vs $before persistent RDDs")
+  }
 }

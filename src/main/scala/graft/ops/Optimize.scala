@@ -78,12 +78,18 @@ object OptimizeOp {
 
     if (bins.isEmpty) {
       val metrics = Map("num_files_added" -> "0", "num_files_removed" -> "0",
-        "partitions_optimized" -> "0", "total_considered_files" -> candidates.size.toString) ++
+        "partitions_optimized" -> "0", "total_considered_files" -> candidates.size.toString,
+        "total_files_skipped" -> candidates.size.toString) ++
         // incremental mode promises a num_commits key — the empty path
         // commits exactly the one no-op OPTIMIZE record below
         minCommitInterval.map(_ => "num_commits" -> "1")
+      // same parameter shape as every other OPTIMIZE commit (opParams):
+      // history consumers must not see two shapes for one operation, and
+      // the predicate that scoped the run belongs in the durable log
       table.commitAndRefresh(txn, Nil, Operation("OPTIMIZE",
-        Map("targetSize" -> targetSize.toString), metrics))
+        Map("targetSize" -> targetSize.toString,
+          "predicate" -> predicate.map(p => s"[$p]").getOrElse("[]")) ++
+          minCommitInterval.map(ms => "minCommitInterval" -> s"${ms}ms"), metrics))
       return metrics
     }
 
@@ -268,11 +274,20 @@ object OptimizeOp {
     val numOut = math.max(1, math.ceil(totalSize.toDouble / targetSize).toInt)
 
     val df = Scan.readFiles(spark, snapshot, files)
-    val zkey = graft.functions.ZOrder.zorderKey(columns.map(col): _*)
-    val clustered = df.withColumn("__zkey", zkey)
-      .repartitionByRange(numOut, col("__zkey"))
-      .sortWithinPartitions("__zkey")
-      .drop("__zkey")
+    // literal attribute refs (a dotted logical name must not parse as a
+    // struct path), and a temp key column name guaranteed free under
+    // case-insensitive resolution: withColumn REPLACES case-insensitively,
+    // so a user column named __zkey (or any case variant) would be
+    // silently overwritten, dropped, and lost from the rewritten files
+    val zcols = columns.map(c => org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(c))))
+    val zkey = graft.functions.ZOrder.zorderKey(zcols: _*)
+    var zname = "__zkey"
+    while (snapshot.schema.fieldNames.exists(_.equalsIgnoreCase(zname))) zname += "_"
+    val clustered = df.withColumn(zname, zkey)
+      .repartitionByRange(numOut, col(zname))
+      .sortWithinPartitions(zname)
+      .drop(zname)
     val adds = DeltaWriter.writeFiles(spark, table.tablePath, clustered,
       snapshot.partitionColumns, WriteIntoDelta.numIndexedCols(snapshot.metadata),
       meta = Some(snapshot.metadata))

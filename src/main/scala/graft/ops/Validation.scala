@@ -41,7 +41,11 @@ object Validation {
         val j = org.json4s.jackson.JsonMethods.parse(raw)
         (j \ "expression" \ "expression") match {
           case org.json4s.JString(e) => Seq(f.name -> e)
-          case _ => Nil
+          case _ => throw new IllegalArgumentException(
+            s"column ${f.name}: cannot parse delta.invariants '$raw' — " +
+              "the protocol requires writers to ENFORCE invariants, so an " +
+              "unenforceable shape must refuse the write, not silently " +
+              "skip the check")
         }
       } else Nil
     }
@@ -58,23 +62,65 @@ object Validation {
     org.apache.spark.sql.GraftSqlBridge.column(
       org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(name)))
 
-  def requireOnWrite(df: DataFrame, violation: org.apache.spark.sql.Column,
-                     message: String): DataFrame = {
+  /** THE guard-weaving idiom, one definition for [[requireOnWrite]] and
+    * [[prepareForWrite]]: `msg` is null for passing rows; the guard rides
+    * the FIRST output column (a dropped side column would be pruned by
+    * Catalyst), columns rebind via colLit (never parsed names), and the
+    * declared type is re-asserted. */
+  private def weaveGuard(df: DataFrame, msg: org.apache.spark.sql.Column): DataFrame = {
     val first = df.schema.fields.head
-    val guarded = when(violation, raise_error(lit(s"$MARKER $message")))
+    val guarded = when(msg.isNotNull, raise_error(msg))
       .otherwise(colLit(first.name)).cast(first.dataType).as(first.name)
     df.select(guarded +: df.columns.tail.map(colLit).toSeq: _*)
   }
+
+  def requireOnWrite(df: DataFrame, violation: org.apache.spark.sql.Column,
+                     message: String): DataFrame =
+    weaveGuard(df,
+      when(violation, lit(s"$MARKER $message")).otherwise(lit(null).cast("string")))
 
   /** Validate + return the input unchanged (validation is eager). */
   def prepareForWrite(spark: SparkSession, df: DataFrame, meta: Metadata): DataFrame = {
     val schema = meta.schema
 
-    // NOT NULL columns (only those present in the frame)
+    // presence is CASE-INSENSITIVE, like the normalize() projection these
+    // checks front: an exact-case test skipped validation for a
+    // case-variant user column ("G" for table column g) that the write
+    // still maps onto the table column
+    def present(c: String): Boolean =
+      df.schema.fieldNames.exists(_.equalsIgnoreCase(c))
+
+    // NOT NULL columns (only those present in the frame), RECURSING into
+    // struct fields: Spark schema nullability is advisory, so a nested
+    // non-nullable field (s.x) accepted nulls silently — other engines
+    // trust the nested contract (delta-spark's write-time walk recurses)
+    def nestedNotNull(parent: org.apache.spark.sql.Column, t: StructType,
+        path: String): Seq[(String, org.apache.spark.sql.Column)] =
+      t.fields.toSeq.flatMap { f =>
+        val c = parent.getField(f.name)
+        val here =
+          if (!f.nullable)
+            Seq((s"NOT NULL constraint violated for column: $path.${f.name}",
+              parent.isNotNull && c.isNull))
+          else Nil
+        here ++ (f.dataType match {
+          case st: StructType => nestedNotNull(c, st, s"$path.${f.name}")
+          case _ => Nil
+        })
+      }
     val notNullChecks = schema.fields.toSeq
-      .filter(f => !f.nullable && df.schema.fieldNames.contains(f.name))
-      .map(f => (s"NOT NULL constraint violated for column: ${f.name}",
-        colLit(f.name).isNull))
+      .filter(f => present(f.name))
+      .flatMap { f =>
+        val top =
+          if (!f.nullable)
+            Seq((s"NOT NULL constraint violated for column: ${f.name}",
+              colLit(f.name).isNull))
+          else Nil
+        top ++ (f.dataType match {
+          case st: StructType => nestedNotNull(colLit(f.name), st, f.name)
+          case _ => Nil
+        })
+      }
 
     // CHECK constraints: violated when expression is FALSE (null passes)
     val checkChecks = constraints(meta).toSeq.map { case (name, e) =>
@@ -84,7 +130,7 @@ object Validation {
 
     // invariants: violated when false OR null (delta invariant semantics)
     val invChecks = invariants(schema)
-      .filter { case (c, _) => df.schema.fieldNames.contains(c) }
+      .filter { case (c, _) => present(c) }
       .map { case (c, e) =>
         (s"Invariant ($e) violated for column $c", not(coalesce(expr(e), lit(false))))
       }
@@ -95,7 +141,7 @@ object Validation {
     // without this check a wrong explicit value commits silently and
     // every engine trusting the invariant reads wrong data
     val genChecks = Generated.expressions(schema).toSeq
-      .filter { case (c, _) => df.schema.fieldNames.contains(c) }
+      .filter { case (c, _) => present(c) }
       .map { case (c, e) =>
         (s"Generated column $c does not match generation expression ($e)",
           not(colLit(c) <=> expr(e).cast(schema(c).dataType)))
@@ -108,13 +154,9 @@ object Validation {
       val msg = all.foldRight(lit(null).cast("string")) { case ((m, cond), acc) =>
         when(cond, lit(s"$MARKER $m")).otherwise(acc)
       }
-      // the guard is woven into the FIRST output column (not a dropped side
-      // column — Catalyst would prune that away): rows pass through
-      // unchanged unless a check trips, in which case the write job aborts
-      val first = df.schema.fields.head
-      val guarded = when(msg.isNotNull, raise_error(msg))
-        .otherwise(colLit(first.name)).cast(first.dataType).as(first.name)
-      df.select(guarded +: df.columns.tail.map(colLit).toSeq: _*)
+      // rows pass through unchanged unless a check trips, in which case
+      // the write job aborts (see weaveGuard for the idiom's rules)
+      weaveGuard(df, msg)
     }
   }
 }
@@ -132,7 +174,11 @@ object Generated {
   def fill(df: DataFrame, target: StructType): DataFrame = {
     val gens = expressions(target)
     gens.foldLeft(df) { case (acc, (name, e)) =>
-      if (acc.schema.fieldNames.contains(name)) acc
+      // case-insensitive presence: withColumn RESOLVES case-insensitively
+      // under the default analyzer, so an exact-case test let a
+      // case-variant user column ("G" for generated g) be silently
+      // REPLACED by the computed value instead of validated by genChecks
+      if (acc.schema.fieldNames.exists(_.equalsIgnoreCase(name))) acc
       else acc.withColumn(name, expr(e))
     }
   }

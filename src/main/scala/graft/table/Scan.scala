@@ -228,13 +228,19 @@ object Scan {
       new graft.functions.PartitionValueLookup(spark.sparkContext.broadcast(byFile))
     }
     import org.apache.spark.sql.GraftSqlBridge
+    // literal attribute references, never parsing col(): a legal column
+    // name containing a dot (or a convert_to_delta physical name) would
+    // otherwise bind a struct FIELD path — AnalysisException at best, the
+    // wrong data at worst (the Validation.colLit lesson)
+    def attr(n: String): Column = GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(n)))
     val cols: Seq[Column] = schema.map { f =>
       if (partCols.contains(f.name)) {
         GraftSqlBridge.column(graft.functions.PartitionValueAt(
           GraftSqlBridge.expression(col("_metadata.file_path")),
           partCols.indexOf(f.name), pvLookup)).cast(f.dataType).as(f.name)
-      } else if (mapped) col(nm.getOrElse(f.name, f.name)).cast(f.dataType).as(f.name)
-      else col(f.name)
+      } else if (mapped) attr(nm.getOrElse(f.name, f.name)).cast(f.dataType).as(f.name)
+      else attr(f.name)
     }
     val identity: Seq[Column] =
       if (withIdentity)

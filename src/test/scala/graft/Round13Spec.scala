@@ -373,4 +373,90 @@ class Round13Spec extends AnyFunSuite {
     assert(e.getMessage.contains("endingVersion 99 is beyond the latest"),
       e.getMessage)
   }
+
+  test("zorder preserves a user column named __zkey (temp key renames)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark,
+      (1 to 50).map(i => (i.toLong, i * 2.0, s"z$i")).toDF("id", "price", "__zkey"),
+      dir)
+    val t = DeltaTable.forPath(spark, dir)
+    t.optimizeZOrder(Seq("id", "price"))
+    // the temp clustering key used to REPLACE then DROP the user column —
+    // every later read returned NULL for all 50 rows
+    val vals = t.toDF.select("__zkey").collect().map(_.getString(0)).toSet
+    assert(vals == (1 to 50).map(i => s"z$i").toSet,
+      s"__zkey column lost/overwritten by OPTIMIZE Z-ORDER: ${vals.take(3)}")
+  }
+
+  test("nested non-nullable struct fields are enforced on write") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Row => SRow}
+    val dir = tmpDir()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StructType(Seq(
+        StructField("x", LongType, nullable = false),
+        StructField("y", StringType))), nullable = true)))
+    graft.table.DeltaTable.create(spark, dir, schema, Nil)
+    val t = DeltaTable.forPath(spark, dir)
+    // parent null: vacuous, must pass
+    val okDf = spark.createDataFrame(
+      java.util.Arrays.asList(SRow(1L, null), SRow(2L, SRow(5L, "a"))), schema)
+    DeltaTable.write(spark, okDf, dir, mode = "append")
+    assert(t.toDF.count() == 2)
+    // nested null under a non-null parent: must REFUSE (was silently
+    // committed — Spark schema nullability is advisory)
+    val badDf = spark.createDataFrame(
+      java.util.Arrays.asList(SRow(3L, SRow(null, "b"))), schema)
+    val e = intercept[Throwable] {
+      DeltaTable.write(spark, badDf, dir, mode = "append")
+    }
+    def msgs(x: Throwable): String =
+      if (x == null) "" else Option(x.getMessage).getOrElse("") + msgs(x.getCause)
+    assert(msgs(e).contains("NOT NULL constraint violated for column: s.x"),
+      msgs(e).take(400))
+  }
+
+  test("a case-variant generated column is VALIDATED, not silently replaced") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.LongType,
+        nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.generationExpression", "id + 1").build())))
+    graft.table.DeltaTable.create(spark, dir, schema, Nil)
+    // user supplies WRONG values under the case-variant name "G": the
+    // exact-case presence test used to let fill() compute g and silently
+    // DISCARD the user's column (withColumn resolves case-insensitively)
+    val e = intercept[Throwable] {
+      DeltaTable.write(spark, Seq((1L, 99L)).toDF("id", "G"), dir, mode = "append")
+    }
+    def msgs(x: Throwable): String =
+      if (x == null) "" else Option(x.getMessage).getOrElse("") + msgs(x.getCause)
+    assert(msgs(e).contains("Generated column g"), msgs(e).take(400))
+    // correct values under the variant name still write
+    DeltaTable.write(spark, Seq((1L, 2L)).toDF("id", "G"), dir, mode = "append")
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .selectExpr("g").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("an unparseable delta.invariants shape refuses the write") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("v", LongType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.invariants", """{"expression":"v < 3"}""").build())))
+    // flat shape (a third-party writer): the protocol requires writers to
+    // ENFORCE invariants — silently skipping the check let violating rows
+    // commit against metadata other engines trust
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Validation.invariants(schema)
+    }
+    assert(e.getMessage.contains("cannot parse delta.invariants"), e.getMessage)
+  }
 }

@@ -65,6 +65,14 @@ object Bpe {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    // checkpointed generations are RDD-released only at EXIT: a successor
+    // generation's lineage recomputes THROUGH the checkpoint's LogicalRDD
+    // on executor loss, so eagerly destroying a prior checkpoint's blocks
+    // would turn a recoverable block loss into a fatal "checkpoint block
+    // not found". (A localCheckpoint that FAILS mid-materialization can
+    // still leak its partial blocks — no handle survives the throw — but
+    // that is a failed-job path, not the old every-generation leak.)
+    val checkpointed = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var done = false
     var i = 0
     try {
@@ -84,33 +92,35 @@ object Bpe {
           // localCheckpoint() already materializes AND caches eagerly —
           // layering persist+count on top stored the symbol table twice
           // and ran a redundant job on every checkpointEvery-th iteration
-          if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint()
-          else {
+          if ((i + 1) % checkpointEvery == 0) {
+            next = next.localCheckpoint()
+            checkpointed += next
+          } else {
             next = next.persist(StorageLevel.MEMORY_AND_DISK)
             // a failed materialization must release the just-registered
             // cache entry, not leak its partial blocks for the session
             try next.count()
             catch { case t: Throwable => next.unpersist(); throw t }
           }
-          release(words)
+          // Dataset-level only here: frees persisted generations eagerly;
+          // checkpointed ones keep their RDD blocks until exit (above)
+          words.unpersist()
           words = next
           i += 1
       }
     }
     // finally, not straight-line: a failed iteration job must not leak the
     // cached symbol table for the session lifetime (kmeans/dsir discipline)
-    } finally release(words)
+    } finally {
+      words.unpersist()
+      checkpointed.foreach(release)
+    }
     import spark.implicits._
     merges.toSeq.zipWithIndex
       .map { case ((l, r, c), rank) => (rank.toLong, l, r, c) }
       .toDF("rank", "left", "right", "pair_count")
   }
 
-  /** Encode each document's words with a trained merge list: token count
-    * per document after applying every merge in rank order. The merge
-    * list is a driver-side array (it IS small — that's the point of BPE);
-    * application is the same codegen fold, numMerges passes over each
-    * word's symbol array. */
   /** Free a symbol-table generation regardless of HOW it was cached:
     * Dataset.unpersist only clears CacheManager entries, which a
     * localCheckpoint'd frame does not have (its plan is a LogicalRDD whose
@@ -126,19 +136,26 @@ object Bpe {
     }
   }
 
+  /** Encode each document's words with a trained merge list: token count
+    * per document after applying every merge in rank order. The merge
+    * list is a driver-side array (it IS small — that's the point of BPE);
+    * application is the same codegen fold, numMerges passes over each
+    * word's symbol array. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     // each merge nests one transform+fold layer into ONE expression tree:
     // Catalyst's recursive plan transforms overflow the JVM stack at a few
     // thousand nesting levels, so a production-sized merge table (10k-32k)
-    // must not be silently accepted and then die at PLAN time. This
-    // codegen fold is for small trained tables (trainMerges output); cap
-    // loudly rather than crash opaquely.
-    require(merges.length <= 200,
+    // must not be silently accepted and then die at PLAN time with an
+    // opaque StackOverflowError. The cap sits well under the observed
+    // overflow threshold while accepting everything trainMerges plausibly
+    // produces; for real vocabularies tokenize outside the expression layer.
+    require(merges.length <= 2000,
       s"tokenCounts: ${merges.length} merges would nest a " +
         s"${merges.length}-layer expression tree and overflow Catalyst's " +
-        "recursive planning — this fold is for small merge tables (<= 200); " +
-        "for production vocabularies tokenize outside the expression layer")
+        "recursive planning — this fold is for trained merge tables " +
+        "(<= 2000); for production vocabularies tokenize outside the " +
+        "expression layer")
     val syms0 = transform(TextOps.words(TextOps.normalize(col(textCol))),
       w => split(w, ""))
     val symsMerged = merges.foldLeft(syms0) { case (s, (l, r)) =>

@@ -97,14 +97,15 @@ object Search {
       .select(col("doc_id"), col("__dl"), explode(col("__ws")).as("term"))
       .join(vocab, Seq("term"))
 
-    // max, not first: first() is explicitly non-deterministic, so corpus
+    // min, not first: first() is explicitly non-deterministic, so corpus
     // rows sharing a doc_id (routine id collisions in scraped data) made
     // the length normalization — and the top-k membership — change between
-    // runs. Duplicate-id semantics are documented as: tf merges the rows,
-    // dl is the longest row, N still counts rows; dedupe upstream for
-    // per-row scoring.
+    // runs. min matches the pinned llm_bm25 DuckDB oracle (min(dl)).
+    // Duplicate-id semantics are documented as: tf merges the rows, dl is
+    // the SHORTEST row, N still counts rows; dedupe upstream for per-row
+    // scoring.
     val tf = postings.groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), max(col("__dl")).as("dl"))
+      .agg(count(lit(1)).as("tf"), min(col("__dl")).as("dl"))
     // document frequency rides the tf frame (no second pass over postings)
     val dfFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
 

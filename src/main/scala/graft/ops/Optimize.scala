@@ -279,8 +279,7 @@ object OptimizeOp {
     // case-insensitive resolution: withColumn REPLACES case-insensitively,
     // so a user column named __zkey (or any case variant) would be
     // silently overwritten, dropped, and lost from the rewritten files
-    val zcols = columns.map(c => org.apache.spark.sql.GraftSqlBridge.column(
-      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(c))))
+    val zcols = columns.map(org.apache.spark.sql.GraftSqlBridge.attr)
     val zkey = graft.functions.ZOrder.zorderKey(zcols: _*)
     var zname = "__zkey"
     while (snapshot.schema.fieldNames.exists(_.equalsIgnoreCase(zname))) zname += "_"

@@ -59,8 +59,7 @@ object Validation {
     * struct FIELD path — AnalysisException at best, the wrong data at
     * worst. Same rule as the Catalyst-literal lesson in Scan/DML. */
   private def colLit(name: String): org.apache.spark.sql.Column =
-    org.apache.spark.sql.GraftSqlBridge.column(
-      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(name)))
+    org.apache.spark.sql.GraftSqlBridge.attr(name)
 
   /** THE guard-weaving idiom, one definition for [[requireOnWrite]] and
     * [[prepareForWrite]]: `msg` is null for passing rows; the guard rides

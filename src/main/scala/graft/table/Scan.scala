@@ -231,9 +231,8 @@ object Scan {
     // literal attribute references, never parsing col(): a legal column
     // name containing a dot (or a convert_to_delta physical name) would
     // otherwise bind a struct FIELD path — AnalysisException at best, the
-    // wrong data at worst (the Validation.colLit lesson)
-    def attr(n: String): Column = GraftSqlBridge.column(
-      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(n)))
+    // wrong data at worst (one shared definition: GraftSqlBridge.attr)
+    def attr(n: String): Column = GraftSqlBridge.attr(n)
     val cols: Seq[Column] = schema.map { f =>
       if (partCols.contains(f.name)) {
         GraftSqlBridge.column(graft.functions.PartitionValueAt(

@@ -13,6 +13,13 @@ object GraftSqlBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Literal attribute reference — THE fix for the recurring "col() PARSES
+    * its argument" class: a legal column name containing a dot would bind
+    * a struct FIELD path (AnalysisException at best, the wrong data at
+    * worst). One definition for Scan/Validation/Optimize and friends. */
+  def attr(name: String): Column = column(
+    org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(name)))
+
   /** Re-wrap a batch plan as a *streaming* DataFrame (isStreaming=true) so a
     * v1 `Source.getBatch` result is accepted by MicroBatchExecution — the
     * same `internalCreateDataFrame` recipe Spark's own FileStreamSource

@@ -1165,11 +1165,11 @@ class LlmSpec extends AnyFunSuite {
     // tokenCounts: a production-sized merge table must refuse loudly at
     // call time, not StackOverflow inside Catalyst planning
     val doc = Seq((1L, "aa bb")).toDF("id", "text")
-    val bigMerges = (0 until 201).map(i => (s"x$i", s"y$i"))
+    val bigMerges = (0 until 2001).map(i => (s"x$i", s"y$i"))
     val e = intercept[IllegalArgumentException] {
       graft.llm.Bpe.tokenCounts(doc, "id", "text", bigMerges)
     }
-    assert(e.getMessage.contains("201 merges"), e.getMessage)
+    assert(e.getMessage.contains("2001 merges"), e.getMessage)
 
     // bm25: out-of-range k1/b silently inverted rankings (negative
     // denominator) or threw ANSI DIVIDE_BY_ZERO mid-job

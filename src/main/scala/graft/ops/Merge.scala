@@ -159,6 +159,34 @@ object MergeOp {
       .getOrElse(outSchema0)
     val writeMeta = evolvedMeta.getOrElse(snapshot.metadata)
     val targetHas = schema.fieldNames.toSet
+    // __src/__tgt/__op are this merge's join bookkeeping channel (same
+    // class as Scan's __file/__pos): a data column with one of these names
+    // would be silently REPLACED by withColumn and written back corrupted
+    // for every copied row — fail loudly up front
+    (outSchema.fieldNames ++ source.schema.fieldNames)
+      .find(n => n.equalsIgnoreCase("__src") || n.equalsIgnoreCase("__tgt") ||
+        n.equalsIgnoreCase("__op"))
+      .foreach(n => throw new IllegalArgumentException(
+        s"column name '$n' is reserved for MERGE bookkeeping on this " +
+          "engine — rename the column"))
+    // explicit SET / INSERT maps: every key must name a target output
+    // column (else the assignment was silently IGNORED — old value kept /
+    // NULL inserted — with the row still counted as updated/inserted)
+    locally {
+      val known = outSchema.fieldNames
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      def checkKeys(m: Map[String, String], what: String): Unit =
+        m.keys.find(k => !known.contains(k.toLowerCase(java.util.Locale.ROOT)))
+          .foreach(k => throw new IllegalArgumentException(
+            s"MERGE $what references unknown target column '$k' " +
+              s"(have: ${outSchema.fieldNames.mkString(", ")})"))
+      clauses.foreach {
+        case MatchedUpdate(_, set) => checkKeys(set, "UPDATE SET")
+        case NotMatchedInsert(_, values) => checkKeys(values, "INSERT")
+        case NotMatchedBySourceUpdate(_, set) => checkKeys(set, "BY SOURCE UPDATE SET")
+        case _ =>
+      }
+    }
     val nIdx = WriteIntoDelta.numIndexedCols(snapshot.metadata)
     val txn = table.startTransaction()
 
@@ -191,9 +219,12 @@ object MergeOp {
             pairs.zipWithIndex.flatMap { case ((t, _), i) =>
               val mn = row.get(2 * i); val mx = row.get(2 * i + 1)
               if (mn == null || mx == null) None
-              else Some(CAnd(
+              // fail OPEN on a join-key type Literal.apply can't express
+              // (struct/array keys): the optimization must degrade to "no
+              // pruning", never crash a merge that works without it
+              else scala.util.Try(CAnd(
                 CGreaterThanOrEqual(UnresolvedAttribute(Seq(t)), CLiteral(mn)),
-                CLessThanOrEqual(UnresolvedAttribute(Seq(t)), CLiteral(mx))))
+                CLessThanOrEqual(UnresolvedAttribute(Seq(t)), CLiteral(mx)))).toOption
             }
           }
         // every early-filter aggregation is an independent one-pass scan
@@ -336,13 +367,14 @@ object MergeOp {
       val changedCond =
         if (changeOps.isEmpty) lit(false)
         else col("__op").isin(changeOps.toSeq.map(Int.box): _*)
-      val matchedModifies = indexed.exists {
-        case (_: MatchedUpdate | _: MatchedUpdateAll | _: MatchedDelete, _) => true
-        case _ => false
-      }
-      val needDupCheck = validateDuplicates && matchedModifies
-      // changeOps.isEmpty implies !matchedModifies (every matched-modify
-      // clause is a changeOp), hence !needDupCheck — one condition suffices
+      // gate on ANY change op, not just matched-modify clauses: a
+      // by-source-only merge still REWRITES changed files, and a target
+      // row matched by two source rows rides the full-outer join twice as
+      // a COPY — without the check both copies were written back
+      // (committed duplicate-row corruption). Insert-only merges
+      // (changeOps empty) skip the pass entirely, preserving the
+      // dedup-append pattern.
+      val needDupCheck = validateDuplicates && changeOps.nonEmpty
       val perFile = phases("bookkeeping_pass")(
         if (changeOps.isEmpty) Array.empty[org.apache.spark.sql.Row]
         else withOp.filter(col("__tgt").isNotNull)
@@ -384,17 +416,23 @@ object MergeOp {
           col(s"target.$field")
         else lit(null)
 
+      // CASE-INSENSITIVE key lookup, same rule as srcHas/tgtCol above: a
+      // SET/INSERT key "Value" against target column `value` silently kept
+      // the old value / inserted NULL (keys were validated against the
+      // target schema at run() start, so a miss here is only casing)
+      def ciGet(m: Map[String, String], field: String): Option[String] =
+        m.collectFirst { case (k, v) if k.equalsIgnoreCase(field) => v }
       def clauseExpr(c: MergeClause, field: String): Column = c match {
         case MatchedUpdate(_, set) =>
-          set.get(field).map(expr).getOrElse(tgtCol(field))
+          ciGet(set, field).map(expr).getOrElse(tgtCol(field))
         case _: MatchedUpdateAll =>
           if (srcHas(field)) col(s"source.$field") else tgtCol(field)
         case NotMatchedInsert(_, values) =>
-          values.get(field).map(expr).getOrElse(lit(null))
+          ciGet(values, field).map(expr).getOrElse(lit(null))
         case _: NotMatchedInsertAll =>
           if (srcHas(field)) col(s"source.$field") else lit(null)
         case NotMatchedBySourceUpdate(_, set) =>
-          set.get(field).map(expr).getOrElse(tgtCol(field))
+          ciGet(set, field).map(expr).getOrElse(tgtCol(field))
         case _ => tgtCol(field) // deletes never project
       }
 
@@ -484,8 +522,7 @@ object MergeOp {
       val cdc: Seq[Action] = phases("cdc")(
         if (Dml.cdcEnabled(snapshot) &&
             (rowsUpdated + rowsDeleted + rowsInserted) > 0) {
-          val updCond = if (updateOps.isEmpty) lit(false)
-            else col("__op").isin(updateOps.toSeq.map(Int.box): _*)
+          val updCond = isUpdated // ONE definition of "row was updated"
           val tgtCols = outSchema.map(f => tgtCol(f.name).cast(f.dataType).as(f.name))
           val preImages = withOp.filter(updCond).select(tgtCols: _*)
             .withColumn(Dml.CDC_COL, lit("update_preimage"))

@@ -459,4 +459,73 @@ class Round13Spec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("cannot parse delta.invariants"), e.getMessage)
   }
+
+  test("MERGE round-13 guards: by-source dup rewrite, CI SET keys, " +
+      "unknown keys, reserved bookkeeping names, struct join keys") {
+    import spark.implicits._
+    import graft.ops.MergeDuplicateMatchException
+
+    // by-source-only merge whose changed file carries a target row matched
+    // by TWO source rows: the copy rode the full-outer join twice and was
+    // WRITTEN TWICE (silent duplicate-row corruption); must throw now
+    val d1 = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), d1)
+    val t1 = DeltaTable.forPath(spark, d1)
+    val dupSrc = Seq((1L, "x"), (1L, "y")).toDF("id", "v")
+    intercept[MergeDuplicateMatchException] {
+      t1.merge(dupSrc, "target.id = source.id")
+        .whenNotMatchedBySourceDelete().execute()
+    }
+    assert(t1.refresh().version == 0L, "failed merge must not commit")
+    assert(t1.toDF.count() == 2)
+
+    // case-insensitive SET/INSERT keys: "V" against target column v must
+    // assign (was silently ignored — old value kept, NULL inserted)
+    val d2 = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "old")).toDF("id", "v"), d2)
+    val t2 = DeltaTable.forPath(spark, d2)
+    t2.merge(Seq((1L, "new"), (3L, "ins")).toDF("id", "v"),
+        "target.id = source.id")
+      .whenMatchedUpdate(Map("V" -> "source.v"))
+      .whenNotMatchedInsert(Map("ID" -> "source.id", "V" -> "source.v"))
+      .execute()
+    assert(t2.toDF.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "new"), (3L, "ins")))
+
+    // a typo'd SET key must refuse loudly, not silently no-op
+    val e = intercept[IllegalArgumentException] {
+      t2.merge(Seq((1L, "z")).toDF("id", "v"), "target.id = source.id")
+        .whenMatchedUpdate(Map("vv" -> "source.v")).execute()
+    }
+    assert(e.getMessage.contains("unknown target column 'vv'"), e.getMessage)
+
+    // reserved bookkeeping names refuse up front (a data column named __op
+    // was silently REPLACED and written back corrupted)
+    val d3 = tmpDir()
+    DeltaTable.write(spark, Seq((1L, 7)).toDF("id", "__op"), d3)
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, d3)
+        .merge(Seq((1L, 8)).toDF("id", "__op"), "target.id = source.id")
+        .whenMatchedUpdateAll().execute()
+    }
+    assert(e3.getMessage.contains("reserved for MERGE bookkeeping"), e3.getMessage)
+
+    // struct join key: the early-filter min/max literal cannot express a
+    // struct — must fail OPEN (merge succeeds), not crash
+    val d4 = tmpDir()
+    // explicit nullable inner field — a NOT NULL struct field hits
+    // Catalyst's separate outer-join cast rule, unrelated to this guard
+    import org.apache.spark.sql.types.{StructType => ST, StructField => SF, LongType, StringType}
+    val kSchema = ST(Seq(
+      SF("k", ST(Seq(SF("n", LongType, nullable = true))), nullable = true),
+      SF("v", StringType)))
+    def structDf(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (n, v) =>
+        org.apache.spark.sql.Row(org.apache.spark.sql.Row(n), v) }: _*), kSchema)
+    DeltaTable.write(spark, structDf(Seq((1L, "a"))), d4)
+    val t4 = DeltaTable.forPath(spark, d4)
+    t4.merge(structDf(Seq((1L, "upd"), (2L, "ins"))), "target.k = source.k")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(t4.toDF.select("v").as[String].collect().toSet == Set("upd", "ins"))
+  }
 }

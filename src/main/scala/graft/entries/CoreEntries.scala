@@ -669,7 +669,45 @@ object CoreEntries {
       appendIdempotent(1L)
       appendIdempotent(1L) // duplicate delivery — must be skipped
       t.toDF
-    }, Some("SELECT * FROM region")))
+    }, Some("SELECT * FROM region")),
+
+    // MERGE run-level idempotent replay (§2.7 row 44 extension): the
+    // builder's withAppTransaction is not just recorded — MergeOp.run
+    // itself skips an already-applied (appId, version) with zeroed
+    // metrics, so a replayed batch cannot double-apply even when the
+    // caller forgot its own txnVersion pre-check (delta-spark
+    // txnAppId/txnVersion semantics).
+    Entry("merge_idempotent_replay", (s, d) => {
+      val dir = tempDir("mir")
+      DeltaTable.write(s, pq(s, d, "region"), dir)
+      val t = DeltaTable.forPath(s, dir)
+      def upsert(ver: Long, suffix: String): Map[String, String] =
+        t.merge(pq(s, d, "region"), "target.r_regionkey = source.r_regionkey")
+          .whenMatchedUpdate(Map("r_name" -> s"concat(target.r_name, '$suffix')"))
+          .withAppTransaction("replayer", ver)
+          .execute()
+      val first = upsert(7L, "_a")
+      require(first.get("replay_skipped").isEmpty &&
+        first("num_target_rows_updated").toLong > 0,
+        s"merge_idempotent_replay: first delivery must apply, got $first")
+      // duplicate delivery of the SAME version: must no-op with zeroed,
+      // marked metrics — a regression that re-applies appends '_a' twice
+      // and the oracle hash below fails
+      val replay = upsert(7L, "_a")
+      require(replay.get("replay_skipped").contains("true") &&
+        replay("num_target_rows_updated") == "0",
+        s"merge_idempotent_replay: replay of (replayer, 7) must skip, got $replay")
+      // a HIGHER version still applies (the skip is positional, not sticky)
+      val next = upsert(8L, "_b")
+      require(next.get("replay_skipped").isEmpty &&
+        next("num_target_rows_updated").toLong > 0,
+        s"merge_idempotent_replay: version 8 after 7 must apply, got $next")
+      require(t.txnVersion("replayer").contains(8L),
+        "merge_idempotent_replay: table must record the latest applied version")
+      t.toDF
+    }, Some(
+      """SELECT r_regionkey, concat(r_name, '_a_b') AS r_name
+        |FROM region""".stripMargin)))
 
   // ------------------------------------------------------------------- DML
 

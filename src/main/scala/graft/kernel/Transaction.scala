@@ -12,6 +12,19 @@ case class Operation(
 class CommitConflictException(kind: String, detail: String)
     extends RuntimeException(s"$kind: $detail")
 
+/** A conflict-retry winner already recorded this transaction's idempotency
+  * marker at an equal-or-higher version: the logical operation (a replayed
+  * streaming batch, a re-driven idempotent write) is ALREADY APPLIED.
+  * Deliberately NOT a [[CommitConflictException]]: callers that registered
+  * an idempotent txn must treat this as a successful no-op, never as a
+  * commit failure (delta-spark's idempotent txnAppId/txnVersion writes
+  * skip the same way). */
+class TransactionAlreadyAppliedException(
+    val appId: String, val version: Long, val winnerCommit: Long)
+    extends RuntimeException(
+      s"transaction ($appId, $version) was already applied by commit " +
+        s"$winnerCommit — idempotent replay, nothing to do")
+
 /**
  * Optimistic concurrency commit loop — port of delta-rs
  * `CommitBuilder`/`PreparedCommit` (`crates/core/src/kernel/transaction/mod.rs:1-117`,
@@ -52,6 +65,18 @@ class OptimisticTransaction(
   // still conflict-checked, once, before the first attempt.
   private var ownSafeVersions: Set[Long] = Set.empty
   def assumeOwnCommits(versions: Set[Long]): Unit = ownSafeVersions ++= versions
+
+  /** The (appId, version) this transaction uses as an IDEMPOTENCY marker
+    * (it must also ride the commit as a [[SetTransaction]] action). When a
+    * conflict-retry winner is found to have advanced the same appId to
+    * `>= version`, the commit aborts with
+    * [[TransactionAlreadyAppliedException]] instead of
+    * ConcurrentTransactionException — the operation was already applied by
+    * a racing replay and re-committing it would double-apply. Winners that
+    * advanced the appId to a LOWER version still conflict loudly (two
+    * writers disagreeing about the stream position is corruption, not a
+    * replay). */
+  var idempotentTxn: Option[(String, Long)] = None
 
   /** Per-commit provenance (reference CommitProperties custom metadata):
     * `commitUserMetadata` lands in commitInfo.userMetadata, `commitAppMetadata`
@@ -302,6 +327,19 @@ class OptimisticTransaction(
   }
 
   private def checkConflicts(winner: Seq[Action], ours: Seq[Action], winnerVersion: Long): Unit = {
+    // FIRST, before any other conflict classification: a winner carrying
+    // our idempotency marker at >= our version IS a completed replay of
+    // this very operation — every other signal the winner raises
+    // (ConcurrentAppend on the files it wrote, MetadataChanged, ...) is
+    // just that replay's own footprint, and reporting it as a conflict
+    // would turn "already done" into a spurious failure.
+    idempotentTxn.foreach { case (app, ver) =>
+      if (winner.exists {
+        case t: SetTransaction => t.appId == app && t.version >= ver
+        case _ => false
+      }) throw new TransactionAlreadyAppliedException(app, ver, winnerVersion)
+    }
+
     val winnerInfo = winner.collectFirst { case ci: CommitInfo => ci }
     val winnerBlind = winnerInfo.flatMap(_.isBlindAppend).getOrElse(false)
     val winnerAdds = winner.collect { case a: AddFile if a.dataChange => a }
@@ -343,7 +381,11 @@ class OptimisticTransaction(
       throw new CommitConflictException("ConcurrentDeleteDeleteException",
         s"version $winnerVersion removed files also removed by this transaction")
 
-    // ConcurrentTransaction: same appId txn
+    // ConcurrentTransaction: same appId txn. (A winner that was a replay
+    // of OUR idempotency marker never reaches here — the already-applied
+    // check at the top of this method preempts; what's left is a genuine
+    // disagreement, e.g. a second writer advancing the appId to a LOWER
+    // version.)
     val ourApps = ours.collect { case t: SetTransaction => t.appId }.toSet
     if (winner.exists { case t: SetTransaction => ourApps.contains(t.appId); case _ => false })
       throw new CommitConflictException("ConcurrentTransactionException",
@@ -531,24 +573,38 @@ object DeltaConfig {
     * still needs, and VACUUM's minimum-retention check weakens. */
   def durationMs(key: String, s: String): Long =
     parseDuration(s).getOrElse(throw new IllegalArgumentException(
-      s"$key: cannot parse interval '$s' — supported: 'interval N " +
-        "millisecond|second|minute|hour|day|week' (month/year units are " +
-        "rejected, matching delta-spark)"))
+      s"$key: cannot parse interval '$s' — supported: 'interval N <unit> " +
+        "[N <unit> ...]' with units millisecond|second|minute|hour|day|week " +
+        "and non-negative N (month/year units and negative components are " +
+        "rejected, matching delta-spark's isValidIntervalConfigValue)"))
 
+  /** Multi-unit intervals sum their `N unit` pairs ('interval 1 day 12
+    * hours' = 36h), matching delta-spark's CalendarInterval acceptance.
+    * Calendar-length units (month/year) and negative components are
+    * rejected like delta-spark's isValidIntervalConfigValue — a negative
+    * retention puts the cleanup cutoff in the FUTURE and destroys
+    * everything. */
   def parseDuration(s: String): Option[Long] = {
     val t = s.trim.toLowerCase(java.util.Locale.ROOT).stripPrefix("interval").trim
-    val parts = t.split("\\s+")
-    if (parts.length != 2) return None
-    scala.util.Try(parts(0).toLong).toOption.flatMap { n =>
-      parts(1) match {
-        case u if u.startsWith("millisecond") => Some(n)
-        case u if u.startsWith("second") => Some(n * 1000)
-        case u if u.startsWith("minute") => Some(n * 60000)
-        case u if u.startsWith("hour") => Some(n * 3600000)
-        case u if u.startsWith("day") => Some(n * 86400000)
-        case u if u.startsWith("week") => Some(n * 7 * 86400000)
-        case _ => None
-      }
+    val parts = t.split("\\s+").filter(_.nonEmpty)
+    if (parts.isEmpty || parts.length % 2 != 0) return None
+    def unitMs(u: String): Option[Long] = u match {
+      case _ if u.startsWith("millisecond") => Some(1L)
+      case _ if u.startsWith("second") => Some(1000L)
+      case _ if u.startsWith("minute") => Some(60000L)
+      case _ if u.startsWith("hour") => Some(3600000L)
+      case _ if u.startsWith("day") => Some(86400000L)
+      case _ if u.startsWith("week") => Some(7L * 86400000L)
+      case _ => None
     }
+    val terms = parts.grouped(2).map {
+      case Array(n, u) =>
+        for {
+          num <- scala.util.Try(n.toLong).toOption if num >= 0
+          ms <- unitMs(u)
+        } yield num * ms
+      case _ => None
+    }.toSeq
+    if (terms.exists(_.isEmpty)) None else Some(terms.flatten.sum)
   }
 }

@@ -119,6 +119,21 @@ object MergeOp {
     }
   }
 
+  /** The metrics of a MERGE that turned out to be an already-applied
+    * replay: every counter zero (nothing changed on this call) plus an
+    * explicit marker so callers/tests can tell a skip from an empty merge. */
+  private def replaySkippedMetrics(t0: Long): Map[String, String] = Map(
+    "num_source_rows" -> "0",
+    "num_target_rows_inserted" -> "0",
+    "num_target_rows_updated" -> "0",
+    "num_target_rows_deleted" -> "0",
+    "num_target_rows_copied" -> "0",
+    "num_output_rows" -> "0",
+    "num_target_files_added" -> "0",
+    "num_target_files_removed" -> "0",
+    "replay_skipped" -> "true",
+    "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
+
   def run(
       table: DeltaTable,
       source: DataFrame,
@@ -133,6 +148,16 @@ object MergeOp {
     val t0 = System.nanoTime()
     val phases = new PhaseRecorder
     val snapshot = phases("snapshot_refresh")(table.refresh())
+    // run-level idempotent-replay skip (delta-spark txnAppId/txnVersion
+    // semantics): a replayed (appId, version) at or below the table's
+    // recorded position no-ops BEFORE any scan or join. The same check
+    // re-fires inside the commit retry loop (checkConflicts →
+    // TransactionAlreadyAppliedException below) so a replay racing this
+    // pre-check still resolves to exactly one application.
+    appTxn.foreach { case (app, ver) =>
+      if (snapshot.txns.get(app).exists(_ >= ver))
+        return replaySkippedMetrics(t0)
+    }
     if (clauses.exists(c => !(c.isInstanceOf[NotMatchedInsert] || c.isInstanceOf[NotMatchedInsertAll])))
       ProtocolGate.checkAppendOnly(snapshot, "MERGE with update/delete clauses")
     val schema = snapshot.schema
@@ -175,11 +200,21 @@ object MergeOp {
     locally {
       val known = outSchema.fieldNames
         .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-      def checkKeys(m: Map[String, String], what: String): Unit =
+      def checkKeys(m: Map[String, String], what: String): Unit = {
         m.keys.find(k => !known.contains(k.toLowerCase(java.util.Locale.ROOT)))
           .foreach(k => throw new IllegalArgumentException(
             s"MERGE $what references unknown target column '$k' " +
               s"(have: ${outSchema.fieldNames.mkString(", ")})"))
+        // two keys differing only in case both pass the check above, and
+        // ciGet below would then pick whichever map iteration order yields
+        // — a NONDETERMINISTIC assignment; refuse loudly instead
+        m.keys.groupBy(_.toLowerCase(java.util.Locale.ROOT)).values
+          .find(_.size > 1)
+          .foreach(ks => throw new IllegalArgumentException(
+            s"MERGE $what contains keys that collide case-insensitively " +
+              s"(${ks.mkString(", ")}) — only one assignment per target " +
+              "column is allowed"))
+      }
       clauses.foreach {
         case MatchedUpdate(_, set) => checkKeys(set, "UPDATE SET")
         case NotMatchedInsert(_, values) => checkKeys(values, "INSERT")
@@ -189,6 +224,7 @@ object MergeOp {
     }
     val nIdx = WriteIntoDelta.numIndexedCols(snapshot.metadata)
     val txn = table.startTransaction()
+    txn.idempotentTxn = appTxn
 
     val hasBySource = clauses.exists {
       case _: NotMatchedBySourceUpdate | _: NotMatchedBySourceDelete => true
@@ -562,10 +598,18 @@ object MergeOp {
       val txnActions = appTxn.map { case (app, ver) =>
         SetTransaction(app, ver, Some(System.currentTimeMillis()))
       }.toSeq
-      phases("commit")(table.commitAndRefresh(txn,
-        metaActions ++ removes ++ dvActions ++ adds ++ cdc ++ txnActions,
-        Operation("MERGE", Map("predicate" -> condition), metrics)))
-      metrics
+      try {
+        phases("commit")(table.commitAndRefresh(txn,
+          metaActions ++ removes ++ dvActions ++ adds ++ cdc ++ txnActions,
+          Operation("MERGE", Map("predicate" -> condition), metrics)))
+        metrics
+      } catch {
+        // a racing replay of the same (appId, version) won the commit after
+        // this run's pre-check: already applied — report a no-op rather
+        // than failing (the written output files become unreferenced
+        // orphans, reaped by VACUUM like any aborted commit's)
+        case _: TransactionAlreadyAppliedException => replaySkippedMetrics(t0)
+      }
     } finally {
       withOp.unpersist()
       lastPhases = phases.acc.toMap

@@ -116,18 +116,26 @@ class GraftDeltaSink(
       } else Nil
     val txnAction = SetTransaction(appId, batchId, Some(System.currentTimeMillis()))
     val txn = new OptimisticTransaction(table.deltaLog, Some(snap))
+    // the batchId is an idempotency marker: a racing replay of the same
+    // batch that wins the commit after the pre-check above must resolve to
+    // a silent skip, not a failed stream (run-level analogue of the
+    // txnVersion pre-check; closes its check-then-commit TOCTOU)
+    txn.idempotentTxn = Some((appId, batchId))
     // Complete mode replaces the WHOLE table — declare the full read set so
     // a concurrent writer's interleaved files conflict instead of silently
     // surviving the replacement (same discipline as batch overwrite,
     // WriteIntoDelta's readWholeTable before whole-table removes)
     if (outputMode == OutputMode.Complete()) txn.readWholeTable()
-    txn.commit(adds ++ removes :+ txnAction,
+    try txn.commit(adds ++ removes :+ txnAction,
       Operation("STREAMING UPDATE", Map(
         "outputMode" -> outputMode.toString,
         "queryId" -> appId,
         "epochId" -> batchId.toString),
         Map("numFiles" -> adds.size.toString,
           "numRemovedFiles" -> removes.size.toString)))
+    catch {
+      case _: graft.kernel.TransactionAlreadyAppliedException => // replayed batch won the race
+    }
     ()
   }
 

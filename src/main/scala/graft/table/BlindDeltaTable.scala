@@ -71,10 +71,20 @@ class BlindDeltaTable private (val spark: SparkSession, val tablePath: Path) {
       case _ => Nil
     }
     val txn = new OptimisticTransaction(deltaLog, Some(snap))
-    val committed = txn.commit(adds ++ txnActions,
-      Operation("WRITE", Map("mode" -> "Append", "blind" -> "true"),
-        Map("numFiles" -> adds.size.toString,
-          "numOutputRows" -> adds.flatMap(_.numRecords).sum.toString)))
+    // close the pre-check's check-then-commit TOCTOU: a racing replay of
+    // the same (appId, appVersion) that wins the commit resolves to the
+    // same None as the pre-check, not a failed append
+    txn.idempotentTxn = (appId, appVersion) match {
+      case (Some(a), Some(v)) => Some((a, v)); case _ => None
+    }
+    val committed =
+      try txn.commit(adds ++ txnActions,
+        Operation("WRITE", Map("mode" -> "Append", "blind" -> "true"),
+          Map("numFiles" -> adds.size.toString,
+            "numOutputRows" -> adds.flatMap(_.numRecords).sum.toString)))
+      catch {
+        case _: TransactionAlreadyAppliedException => refresh(); return None
+      }
     refresh()
     Some(committed)
   }

@@ -1182,11 +1182,14 @@ class LlmSpec extends AnyFunSuite {
       graft.llm.Search.bm25TopK(corpus, "doc_id", "text", q, "query_id", "text", k = 1, k1 = -0.5)
     }
     // duplicate doc_id: the length normalization must be DETERMINISTIC —
-    // the plan carries max(__dl), never the non-deterministic first()
+    // the plan carries min(__dl) (the DuckDB-oracle-pinned semantics),
+    // never the non-deterministic first()
     val dup = Seq((1L, "spark one"), (1L, "spark two three four")).toDF("doc_id", "text")
     val planned = graft.llm.Search.bm25TopK(dup, "doc_id", "text", q, "query_id", "text", k = 2)
     assert(!planned.queryExecution.analyzed.toString.contains("first("),
       "bm25 doc length must not ride first()")
+    assert(planned.queryExecution.analyzed.toString.contains("min(__dl)"),
+      "bm25 doc length must be the deterministic min(__dl)")
     assert(planned.collect().nonEmpty)
 
     // Profile: a column literally named "a.b" must profile ITSELF, not the

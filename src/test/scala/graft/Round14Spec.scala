@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration.Duration
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kernel._
+import graft.table.DeltaTable
+
+/** Round-14 coverage for the r13 verdict/advice queue: run-level
+  * idempotent-replay skip (MERGE appTxn), multi-unit retention intervals,
+  * and case-colliding SET/INSERT key refusal. */
+class Round14Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test-r14")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmpDir(): String = Files.createTempDirectory("graft_r14_").toString + "/t"
+
+  // ---------------------------------------------------------- appTxn replay
+
+  test("MergeOp.run skips an already-applied (appId, version) with zeroed " +
+      "marked metrics; higher versions still apply") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    def upsert(ver: Long, suffix: String): Map[String, String] =
+      t.merge(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), "target.id = source.id")
+        .whenMatchedUpdate(Map("v" -> s"concat(target.v, '$suffix')"))
+        .withAppTransaction("r14app", ver)
+        .execute()
+
+    val first = upsert(3L, "_1")
+    assert(first.get("replay_skipped").isEmpty)
+    assert(first("num_target_rows_updated") == "2")
+
+    val replay = upsert(3L, "_1")
+    assert(replay.get("replay_skipped").contains("true"))
+    assert(replay("num_target_rows_updated") == "0")
+    assert(replay("num_output_rows") == "0")
+
+    val lower = upsert(1L, "_0") // at-or-below the recorded version: skip
+    assert(lower.get("replay_skipped").contains("true"))
+
+    val next = upsert(4L, "_2")
+    assert(next.get("replay_skipped").isEmpty)
+    assert(t.txnVersion("r14app").contains(4L))
+    assert(t.toDF.orderBy("id").as[(String, String)]
+      .collect().map(_._2).toSeq == Seq("a_1_2", "b_1_2"))
+  }
+
+  test("commit loop: a conflict-retry winner carrying our idempotency " +
+      "marker surfaces TransactionAlreadyApplied; a lower-version winner " +
+      "still conflicts") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+
+    def winnerCommit(app: String, ver: Long): Unit = {
+      val t2 = DeltaTable.forPath(spark, dir)
+      val txn2 = t2.startTransaction()
+      txn2.commit(Seq(SetTransaction(app, ver, None)),
+        Operation("WRITE", Map("mode" -> "Append")))
+    }
+
+    // pin a transaction, then let a replay of the SAME (app, ver) win
+    locally {
+      val t = DeltaTable.forPath(spark, dir)
+      val txn = t.startTransaction()
+      txn.idempotentTxn = Some(("raceapp", 5L))
+      winnerCommit("raceapp", 5L)
+      val e = intercept[TransactionAlreadyAppliedException] {
+        txn.commit(Seq(SetTransaction("raceapp", 5L, None)),
+          Operation("MERGE", Map.empty))
+      }
+      assert(e.appId == "raceapp" && e.version == 5L)
+    }
+
+    // a winner that advanced the appId to a LOWER version is a genuine
+    // conflict (two writers disagreeing about the stream position)
+    locally {
+      val t = DeltaTable.forPath(spark, dir)
+      val txn = t.startTransaction()
+      txn.idempotentTxn = Some(("raceapp2", 5L))
+      winnerCommit("raceapp2", 3L)
+      val e = intercept[CommitConflictException] {
+        txn.commit(Seq(SetTransaction("raceapp2", 5L, None)),
+          Operation("MERGE", Map.empty))
+      }
+      assert(e.getMessage.contains("ConcurrentTransaction"))
+    }
+
+    // without the idempotent marker the old loud behavior is unchanged
+    locally {
+      val t = DeltaTable.forPath(spark, dir)
+      val txn = t.startTransaction()
+      winnerCommit("plainapp", 5L)
+      intercept[CommitConflictException] {
+        txn.commit(Seq(SetTransaction("plainapp", 5L, None)),
+          Operation("MERGE", Map.empty))
+      }
+    }
+  }
+
+  test("two racing replays of one (appId, version) apply exactly once") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, (1L to 50L).map(i => (i, "v")).toDF("id", "v"), dir)
+    val src = (1L to 50L).map(i => (i, "w")).toDF("id", "v")
+
+    def replay(): Map[String, String] = {
+      val t = DeltaTable.forPath(spark, dir) // independent handle per racer
+      t.merge(src, "target.id = source.id")
+        .whenMatchedUpdate(Map("v" -> "concat(target.v, '+')"))
+        .withAppTransaction("racer", 9L)
+        .execute()
+    }
+    val results = Await.result(
+      Future.sequence(Seq(Future(replay()), Future(replay()))), Duration.Inf)
+
+    // whichever interleaving happened (pre-check skip, commit-loop skip, or
+    // serial), the table must reflect EXACTLY ONE application
+    val vs = DeltaTable.forPath(spark, dir).toDF
+      .select("v").distinct().as[String].collect().toSeq
+    assert(vs == Seq("v+"), s"expected single application, got values $vs")
+    assert(DeltaTable.forPath(spark, dir).txnVersion("racer").contains(9L))
+    val applied = results.count(_.get("replay_skipped").isEmpty)
+    assert(applied == 1, s"exactly one racer must report having applied: $results")
+  }
+
+  test("BlindDeltaTable replay race resolves to None, not a failed append") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val blind = graft.table.BlindDeltaTable.forPath(spark, dir)
+    assert(blind.append(Seq((2L, "b")).toDF("id", "v"),
+      Some("loader"), Some(1L)).isDefined)
+    // replay: pre-check path
+    assert(blind.append(Seq((2L, "b")).toDF("id", "v"),
+      Some("loader"), Some(1L)).isEmpty)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 2)
+  }
+
+  // ------------------------------------------------------ interval parsing
+
+  test("parseDuration accepts multi-unit intervals and rejects " +
+      "month/year and negative components") {
+    assert(DeltaConfig.parseDuration("interval 1 day 12 hours")
+      .contains(36L * 3600000))
+    assert(DeltaConfig.parseDuration("interval 2 days")
+      .contains(2L * 86400000))
+    assert(DeltaConfig.parseDuration("7 days").contains(7L * 86400000))
+    assert(DeltaConfig.parseDuration("interval 1 week 1 day 1 hour 1 minute 1 second 1 millisecond")
+      .contains(7L * 86400000 + 86400000 + 3600000 + 60000 + 1000 + 1))
+    assert(DeltaConfig.parseDuration("interval 1 month").isEmpty)
+    assert(DeltaConfig.parseDuration("interval 1 day 2 months").isEmpty)
+    assert(DeltaConfig.parseDuration("interval 1 year").isEmpty)
+    assert(DeltaConfig.parseDuration("interval -1 day").isEmpty)
+    assert(DeltaConfig.parseDuration("interval 1 day -12 hours").isEmpty)
+    assert(DeltaConfig.parseDuration("interval").isEmpty)
+    assert(DeltaConfig.parseDuration("interval 1").isEmpty)
+    assert(DeltaConfig.parseDuration("interval day 1").isEmpty)
+    // durationMs still throws loudly on what delta-spark would also reject
+    intercept[IllegalArgumentException] {
+      DeltaConfig.durationMs("delta.logRetentionDuration", "interval 2 months")
+    }
+    // ... and now ACCEPTS what delta-spark accepts
+    assert(DeltaConfig.durationMs("delta.logRetentionDuration",
+      "interval 1 day 12 hours") == 36L * 3600000)
+  }
+
+  // ------------------------------------------------- case-colliding SET keys
+
+  test("MERGE refuses SET/INSERT maps whose keys collide case-insensitively") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a", "b")).toDF("id", "v", "w"), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    val src = Seq((1L, "x", "y")).toDF("id", "v", "w")
+    val e = intercept[IllegalArgumentException] {
+      t.merge(src, "target.id = source.id")
+        .whenMatchedUpdate(Map("v" -> "'lo'", "V" -> "'hi'"))
+        .execute()
+    }
+    assert(e.getMessage.contains("collide case-insensitively"))
+    // a single case-variant key still resolves (existing behavior)
+    t.merge(src, "target.id = source.id")
+      .whenMatchedUpdate(Map("V" -> "'ok'"))
+      .execute()
+    assert(t.toDF.select("v").as[String].collect().toSeq == Seq("ok"))
+  }
+}

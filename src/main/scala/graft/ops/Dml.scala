@@ -67,13 +67,38 @@ object Dml {
       .select(input_file_name().as("f"))
       .distinct()
       .collect()
-      .toSeq.map { r =>
-        idx.getOrElse(uriToPathKey(r.getString(0)), throw new IllegalStateException(
-          s"$op: matched file ${r.getString(0)} does not map back to a " +
-          "snapshot AddFile (path-encoding mismatch) — refusing to " +
-          "silently skip it"))
-      }
+      .toSeq.map(r => mapBack(idx, r.getString(0), op))
   }
+
+  /** Map a scan-emitted URI back to its AddFile, failing loudly on a miss
+    * (a path-encoding mismatch must never silently skip a matched file). */
+  private[graft] def mapBack(idx: Map[String, AddFile], uri: String, op: String): AddFile =
+    idx.getOrElse(uriToPathKey(uri), throw new IllegalStateException(
+      s"$op: matched file $uri does not map back to a snapshot AddFile " +
+        "(path-encoding mismatch) — refusing to silently skip it"))
+
+  /** Restrict a with-identity scan to the given `__file` URIs — literal
+    * IN-list for small sets, broadcast semi-join above the threshold (an
+    * isin over 100k paths is a megabyte-scale expression the planner
+    * chokes on; same discipline as MERGE's changed-file membership). */
+  private[graft] def fileSubset(df: DataFrame, uris: Seq[String]): DataFrame =
+    if (uris.isEmpty) df.filter(lit(false))
+    else if (uris.size <= 1000) df.filter(col("__file").isin(uris: _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(uris.toDF("__hit_file")),
+        col("__file") === col("__hit_file"), "left_semi")
+    }
+
+  /** Persist level for the shared DML hit-file scan (read back 1-4 times:
+    * discovery, rewrite/mask, CDC pre/post). Serialized bytes like MERGE's
+    * rewrite leg (r11 A/B: compact cache = less heap to scan per GC);
+    * overridable via spark.graft.dml.persistLevel. */
+  private[graft] def dmlPersistLevel(spark: SparkSession): org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      spark.conf.getOption("spark.graft.dml.persistLevel")
+        .getOrElse("MEMORY_AND_DISK_SER"))
 
   /** Whether this table wants CDC rows (operations/cdc.rs should_write_cdc). */
   def cdcEnabled(snapshot: Snapshot): Boolean =
@@ -113,9 +138,16 @@ object Dml {
  */
 object DeleteOp {
 
+  /** Per-phase wall times of the most recent predicate DELETE on this JVM
+    * (seconds) — the single-scan contract's observability surface: the
+    * no-CDC path records ONE `find_files` pass with the rewrite/mask
+    * reading the cache, never a second storage scan of the hit files. */
+  @volatile var lastPhases: Map[String, Double] = Map.empty
+
   def run(table: DeltaTable, predicate: Option[String]): Map[String, String] = {
     val spark = table.spark
     val t0 = System.nanoTime()
+    val phases = new PhaseRecorder("delete")
     val snapshot = table.refresh()
     ProtocolGate.checkAppendOnly(snapshot, "DELETE")
     val meta = snapshot.metadata
@@ -162,17 +194,57 @@ object DeleteOp {
         val negation = Scan.parsePredicate(spark, s"NOT ($pred)")
         val negMatch = StatsPruning.filePredicate(snapshot, negation)
         val (fullFiles, partialCandidates) = candidates.partition(f => !negMatch(f))
-        // narrow partial candidates to files with actual matches
-        val partialFiles =
-          Dml.matchedFiles(spark, snapshot, partialCandidates, pred, "DELETE")
+
+        val useDv = snapshot.confBool("delta.enableDeletionVectors")
+        val cdcOn = Dml.cdcEnabled(snapshot)
+        val predCol = coalesce(expr(pred), lit(false))
+        // Hit-file data pages are read from storage at most once: when a
+        // second pass over them exists (CDC delete images after the
+        // rewrite/mask), it reads a persisted hit-file scan. Discovery
+        // stays a column-pruned candidate scan by default;
+        // spark.graft.dml.singleScan=true folds discovery into one
+        // full-width persisted scan instead (wide-predicate / object-store
+        // shape) — same trade as UPDATE, measured on the bench delete row.
+        val singleScan =
+          spark.conf.getOption("spark.graft.dml.singleScan").exists(_.toBoolean)
+        // identity columns only when a consumer exists (__pos for the DV
+        // mask, __file for singleScan discovery/membership)
+        val needId = useDv || singleScan
+        var cached: Option[DataFrame] = None
+        try {
+        val (partialFiles, partialHit): (Seq[AddFile], Option[DataFrame]) =
+          if (partialCandidates.isEmpty) (Nil, None)
+          else if (singleScan) {
+            val sc = Scan.readFiles(spark, snapshot, partialCandidates,
+              withFileIdentity = true).persist(Dml.dmlPersistLevel(spark))
+            cached = Some(sc)
+            val idx = Dml.filePathIndex(snapshot, partialCandidates)
+            val uris = phases("find_files")(
+              sc.filter(predCol).select(col("__file")).distinct()
+                .collect().map(_.getString(0)).toSeq)
+            (uris.map(u => Dml.mapBack(idx, u, "DELETE")),
+              Some(Dml.fileSubset(sc, uris)))
+          } else {
+            val fs = phases("find_files")(
+              Dml.matchedFiles(spark, snapshot, partialCandidates, pred, "DELETE"))
+            if (fs.isEmpty) (fs, None)
+            else {
+              val sc0 = Scan.readFiles(spark, snapshot, fs, withFileIdentity = needId)
+              // the DV-mask or keep-rewrite is the ONLY pass without CDC —
+              // persist only buys something when the CDC images re-read
+              // (the rare DV-over-cap fallback re-scans, matching the old
+              // shape rather than taxing every common-path delete)
+              val sc = if (cdcOn) { cached = Some(sc0.persist(Dml.dmlPersistLevel(spark))); sc0 }
+                else sc0
+              (fs, Some(sc))
+            }
+          }
 
         // With delta.enableDeletionVectors, partially-matching files keep
         // their data and gain a row-index mask instead of being rewritten —
         // deleting 0.1% of rows from a 100 TB table touches KBs, not TBs.
-        val useDv = snapshot.confBool("delta.enableDeletionVectors")
-        def rewriteKept(): Seq[AddFile] = {
-          val keep = Scan.readFiles(spark, snapshot, partialFiles)
-            .filter(not(coalesce(expr(pred), lit(false))))
+        def rewriteKept(): Seq[AddFile] = phases("rewrite_write") {
+          val keep = partialHit.get.filter(not(predCol)).drop("__file", "__pos")
           DeltaWriter.writeFiles(spark, table.tablePath, keep,
             snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
         }
@@ -180,19 +252,29 @@ object DeleteOp {
         // DVs disabled, or the mask exceeded the cap and we fell back)
         val (dvActions, rewriteAdds, dvDeletedRows, masked) =
           if (partialFiles.isEmpty) (Nil, Nil, 0L, useDv)
-          else if (useDv) DvDelete.maskFiles(table, snapshot, partialFiles, pred) match {
+          else if (useDv) phases("dv_mask")(DvWriter.maskDistributed(table,
+            Dml.filePathIndex(snapshot, partialFiles),
+            partialHit.get.filter(predCol)
+              .select(col("__file"), col("__pos")))) match {
             case Some((acts, n)) => (acts, Nil, n, true)
             case None => (Nil, rewriteKept(), 0L, false)
           }
           else (Nil, rewriteKept(), 0L, false)
 
-        val cdc: Seq[Action] =
-          if (Dml.cdcEnabled(snapshot) && (fullFiles.nonEmpty || partialFiles.nonEmpty)) {
-            val deleted = Scan.readFiles(spark, snapshot, fullFiles ++ partialFiles)
-              .filter(expr(pred))
+        val cdc: Seq[Action] = phases("cdc")(
+          if (cdcOn && (fullFiles.nonEmpty || partialFiles.nonEmpty)) {
+            // whole-file deletes are only ever read HERE (no rewrite pass
+            // touches them), so their direct scan is already single-pass;
+            // partial files come from the cache
+            val legs =
+              (if (fullFiles.isEmpty) Nil
+               else Seq(Scan.readFiles(spark, snapshot, fullFiles).filter(predCol))) ++
+              partialHit.filter(_ => partialFiles.nonEmpty)
+                .map(_.filter(predCol).drop("__file", "__pos"))
+            val deleted = legs.reduce(_ unionByName _)
               .withColumn(Dml.CDC_COL, lit("delete"))
             Dml.writeCdc(spark, table, deleted, nIdx)
-          } else Nil
+          } else Nil)
 
         // protocol upgrade rides the same commit when DVs are first written
         val protocolUpgrade: Seq[Action] =
@@ -224,10 +306,14 @@ object DeleteOp {
              else math.max(0L, removedRows - keptRows) + dvDeletedRows).toString,
           "num_copied_rows" -> keptRows.toString,
           "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
-        table.commitAndRefresh(txn,
+        phases("commit")(table.commitAndRefresh(txn,
           protocolUpgrade ++ removes ++ rewriteAdds ++ dvActions ++ cdc,
-          Operation("DELETE", Map("predicate" -> pred), metrics))
+          Operation("DELETE", Map("predicate" -> pred), metrics)))
         metrics
+        } finally {
+          cached.foreach(_.unpersist())
+          lastPhases = phases.acc.toMap
+        }
     }
   }
 }
@@ -409,24 +495,6 @@ object DvDelete {
     * stream in, before the union array exists). Overridable via
     * `spark.graft.dv.maxMaskedRowsPerFile`. */
   val MaxMaskedRowsPerFile = 10000000L
-
-  /** Returns Some(remove+add actions, rows newly masked), or None when the
-    * mask would exceed the cap (caller falls back to rewrite). Each file's
-    * new mask is unioned with any existing DV. */
-  def maskFiles(
-      table: DeltaTable,
-      snapshot: Snapshot,
-      files: Seq[AddFile],
-      pred: String): Option[(Seq[Action], Long)] = {
-    val spark = table.spark
-    val idx = Dml.filePathIndex(snapshot, files)
-    // positions of matching rows per file (row_index is pre-mask: the scan
-    // already excludes previously-masked rows, so indexes stay file-absolute)
-    val hits = Scan.readFiles(spark, snapshot, files, withFileIdentity = true)
-      .filter(expr(pred))
-      .select(col("__file"), col("__pos"))
-    DvWriter.maskDistributed(table, idx, hits)
-  }
 }
 
 /**
@@ -437,12 +505,20 @@ object DvDelete {
  */
 object UpdateOp {
 
+  /** Per-phase wall times of the most recent UPDATE on this JVM (seconds)
+    * — the single-scan contract's observability surface: the rewrite path
+    * records ONE `find_files` pass with every later pass (rewrite, DV
+    * mask, CDC images) reading the cache, never a second storage scan of
+    * the hit files. */
+  @volatile var lastPhases: Map[String, Double] = Map.empty
+
   def run(
       table: DeltaTable,
       set: Map[String, Column],
       predicate: Option[String]): Map[String, String] = {
     val spark = table.spark
     val t0 = System.nanoTime()
+    val phases = new PhaseRecorder("update")
     val snapshot = table.refresh()
     ProtocolGate.checkAppendOnly(snapshot, "UPDATE")
     val meta = snapshot.metadata
@@ -459,24 +535,74 @@ object UpdateOp {
     val predExpr = Scan.parsePredicate(spark, pred)
     txn.readPredicate(predExpr)
 
-    val files = Dml.findMatchingFiles(spark, snapshot, pred)
-    txn.readFile(files.map(_.path))
-    if (files.isEmpty) {
+    def emptyCommit(): Map[String, String] = {
       val metrics = Map("num_added_files" -> "0", "num_removed_files" -> "0",
         "num_updated_rows" -> "0", "num_copied_rows" -> "0",
         "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
       table.commitAndRefresh(txn, Nil, Operation("UPDATE", Map("predicate" -> pred), metrics))
-      return metrics
+      metrics
     }
 
+    val candidates = Scan.prunedFiles(snapshot, Seq(predExpr), Some(spark))
+    if (candidates.isEmpty) {
+      lastPhases = phases.acc.toMap
+      return emptyCommit()
+    }
+    val partitionOnly =
+      StatsPruning.isPartitionOnly(snapshot.schema, predExpr, snapshot.partitionColumns)
     val cdcOn = Dml.cdcEnabled(snapshot)
-    // CDC needs pre/post-image projections of the same hit rows the rewrite
-    // consumes — persist the hit-file scan so those extra passes hit the
-    // cache instead of re-reading every hit file from storage
-    val src0 = Scan.readFiles(spark, snapshot, files)
-    val src = if (cdcOn) src0.persist() else src0
-    try {
+    val useDv = snapshot.confBool("delta.enableDeletionVectors")
+    // The hit-file data pages are read from storage AT MOST ONCE: every
+    // pass after the first (DV mask + updated-rows write, CDC pre/post
+    // images) reads a persisted hit-file scan instead of re-scanning
+    // storage (the old shape re-read the hit files once per pass — 2x+
+    // read amplification on exactly the large-DML workloads DV/CDC
+    // target). Discovery stays a COLUMN-PRUNED scan of the candidates by
+    // default — predicates are typically narrow (keys, dates, flags), so
+    // reading just their columns beats caching the full candidate width
+    // (interleaved A/B on the bench delete row: full-scan persist was
+    // ~20% slower on local storage). spark.graft.dml.singleScan=true
+    // flips to ONE full-width candidate scan feeding discovery AND all
+    // later passes from cache — the shape for wide predicates or remote
+    // object stores where a second storage pass costs more than the
+    // cache write.
+    val singleScan = !partitionOnly &&
+      spark.conf.getOption("spark.graft.dml.singleScan").exists(_.toBoolean)
+    // file/row identity columns are only materialized when a consumer
+    // exists (__pos feeds the DV mask; __file feeds singleScan discovery
+    // and membership) — the plain-rewrite scan stays byte-identical to a
+    // bare read
+    val needId = useDv || singleScan
     val predCol = coalesce(expr(pred), lit(false))
+    var cached: Option[DataFrame] = None
+    def persisted(df: DataFrame): DataFrame = {
+      val p = df.persist(Dml.dmlPersistLevel(spark))
+      cached = Some(p)
+      p
+    }
+    try {
+    val (files, srcHit) =
+      if (partitionOnly) {
+        // partition-only stats pruning is exact: every candidate matches
+        val sc0 = Scan.readFiles(spark, snapshot, candidates, withFileIdentity = needId)
+        (candidates, if (useDv || cdcOn) persisted(sc0) else sc0)
+      } else if (singleScan) {
+        val sc = persisted(
+          Scan.readFiles(spark, snapshot, candidates, withFileIdentity = true))
+        val idx = Dml.filePathIndex(snapshot, candidates)
+        val uris = phases("find_files")(
+          sc.filter(predCol).select(col("__file")).distinct()
+            .collect().map(_.getString(0)).toSeq)
+        (uris.map(u => Dml.mapBack(idx, u, "UPDATE")), Dml.fileSubset(sc, uris))
+      } else {
+        val fs = phases("find_files")(
+          Dml.matchedFiles(spark, snapshot, candidates, pred, "UPDATE"))
+        val sc0 = Scan.readFiles(spark, snapshot, fs, withFileIdentity = needId)
+        (fs, if (useDv || cdcOn) persisted(sc0) else sc0)
+      }
+    txn.readFile(files.map(_.path))
+    if (files.isEmpty) return emptyCommit()
+    val src = if (needId) srcHit.drop("__file", "__pos") else srcHit
     val updatedCols = snapshot.schema.map { f =>
       set.get(f.name) match {
         case Some(newExpr) =>
@@ -503,8 +629,7 @@ object UpdateOp {
     // With delta.enableDeletionVectors: mask the OLD versions of matching
     // rows in place and append a file holding only the updated rows —
     // untouched rows never move (delta-spark's DV update shape)
-    val useDv = snapshot.confBool("delta.enableDeletionVectors")
-    def fullRewrite(): (Seq[Action], Seq[AddFile], Seq[Action], Long) = {
+    def fullRewrite(): (Seq[Action], Seq[AddFile], Seq[Action], Long) = phases("rewrite_write") {
       // num_updated_rows observed during the write pass itself — no second
       // scan of the hit files just for the metric (same shape as MERGE)
       val obs = new org.apache.spark.sql.Observation(
@@ -524,12 +649,15 @@ object UpdateOp {
       (rem ++ newAdds, newAdds, rem, matched)
     }
     val (actions, adds, removes, updatedRows): (Seq[Action], Seq[AddFile], Seq[Action], Long) =
-      if (useDv) DvDelete.maskFiles(table, snapshot, files, pred) match {
+      if (useDv) phases("dv_mask")(DvWriter.maskDistributed(table,
+        Dml.filePathIndex(snapshot, files),
+        srcHit.filter(predCol).select(col("__file"), col("__pos")))) match {
         case Some((dvActions, masked)) =>
           val updatedOnly = Validation.prepareForWrite(spark,
             recomputeGen(src.filter(predCol).select(updatedCols: _*)), meta)
-          val newAdds = DeltaWriter.writeFiles(spark, table.tablePath, updatedOnly,
-            snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata))
+          val newAdds = phases("rewrite_write")(
+            DeltaWriter.writeFiles(spark, table.tablePath, updatedOnly,
+              snapshot.partitionColumns, nIdx, meta = Some(snapshot.metadata)))
           val upgrade = ProtocolGate.upgradeForDv(snapshot.protocol).toSeq
           // the DV path commits Remove+re-Add pairs for each masked file —
           // count them in num_removed_files like MERGE does, or the history
@@ -540,13 +668,13 @@ object UpdateOp {
       }
       else fullRewrite()
 
-    val cdc: Seq[Action] =
+    val cdc: Seq[Action] = phases("cdc")(
       if (cdcOn) {
         val pre = src.filter(predCol).withColumn(Dml.CDC_COL, lit("update_preimage"))
         val post = src.filter(predCol).select(updatedCols: _*)
           .withColumn(Dml.CDC_COL, lit("update_postimage"))
         Dml.writeCdc(spark, table, pre.unionByName(post), nIdx)
-      } else Nil
+      } else Nil)
     val totalRows = adds.flatMap(_.numRecords).sum
     val metrics = Map(
       "num_added_files" -> adds.size.toString,
@@ -554,13 +682,16 @@ object UpdateOp {
       "num_updated_rows" -> updatedRows.toString,
       "num_copied_rows" -> math.max(0L, totalRows - updatedRows).toString,
       "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
-    table.commitAndRefresh(txn, actions ++ cdc,
-      Operation("UPDATE", Map("predicate" -> pred), metrics))
+    phases("commit")(table.commitAndRefresh(txn, actions ++ cdc,
+      Operation("UPDATE", Map("predicate" -> pred), metrics)))
     metrics
     // unpersist in finally, not on the success path only: a failed rewrite
     // (constraint raise_error, commit conflict) would otherwise leak the
     // cached hit-file scan for the session (MERGE's persist has the same
     // try/finally discipline)
-    } finally { if (cdcOn) src.unpersist() }
+    } finally {
+      cached.foreach(_.unpersist())
+      lastPhases = phases.acc.toMap
+    }
   }
 }

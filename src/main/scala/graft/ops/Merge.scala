@@ -95,29 +95,32 @@ class MergeBuilder(table: DeltaTable, source: DataFrame, condition: String) {
       schemaEvolution, appTxn, streaming)
 }
 
+/** Per-phase wall-time accumulator shared by the DML operators (merge,
+  * delete, update). A nanoTime pair per phase; stderr print under
+  * SPARK_GRAFT_TRACE=1. */
+private[ops] final class PhaseRecorder(tag: String) {
+  private val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+  val acc = scala.collection.mutable.LinkedHashMap[String, Double]()
+  def apply[T](name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    val dt = (System.nanoTime() - t0) / 1e9
+    // merge's early-filter aggregations run concurrently — guard the map
+    acc.synchronized { acc(name) = acc.getOrElse(name, 0.0) + dt }
+    if (trace) System.err.println(f"[$tag-trace] $name%-22s $dt%.3fs")
+    r
+  }
+}
+
 object MergeOp {
 
   private val COPY = -1
 
   /** Per-phase wall times of the most recent MERGE on this JVM, seconds.
-    * Always recorded (a nanoTime pair per phase); Bench emits them into the
-    * benchmark JSON so a slow driver run adjudicates contention vs
-    * regression from the record itself. Stderr print under
-    * SPARK_GRAFT_TRACE=1. */
+    * Always recorded; Bench emits them into the benchmark JSON so a slow
+    * driver run adjudicates contention vs regression from the record
+    * itself. */
   @volatile var lastPhases: Map[String, Double] = Map.empty
-  private val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
-  private final class PhaseRecorder {
-    val acc = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def apply[T](name: String)(body: => T): T = {
-      val t0 = System.nanoTime()
-      val r = body
-      val dt = (System.nanoTime() - t0) / 1e9
-      // early-filter aggregations run concurrently — guard the accumulator
-      acc.synchronized { acc(name) = acc.getOrElse(name, 0.0) + dt }
-      if (trace) System.err.println(f"[merge-trace] $name%-22s $dt%.3fs")
-      r
-    }
-  }
 
   /** The metrics of a MERGE that turned out to be an already-applied
     * replay: every counter zero (nothing changed on this call) plus an
@@ -146,7 +149,7 @@ object MergeOp {
     require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
     val spark = table.spark
     val t0 = System.nanoTime()
-    val phases = new PhaseRecorder
+    val phases = new PhaseRecorder("merge")
     val snapshot = phases("snapshot_refresh")(table.refresh())
     // run-level idempotent-replay skip (delta-spark txnAppId/txnVersion
     // semantics): a replayed (appId, version) at or below the table's

@@ -181,6 +181,141 @@ class Round14Spec extends AnyFunSuite {
       "interval 1 day 12 hours") == 36L * 3600000)
   }
 
+  // ---------------------------------------------------- DML single hit scan
+
+  private def fsBytesRead(): Long = {
+    import scala.jdk.CollectionConverters._
+    org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
+      .filter(_.getScheme == "file").map(_.getBytesRead).sum
+  }
+
+  private def dataFileBytes(dir: String): Long = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) {
+        if (f.getName == "_delta_log") Nil
+        else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      } else Seq(f)
+    walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+  }
+
+  /** A table whose data column dominates IO (~10 MB) so footer/log reads
+    * are noise in the bytes-read accounting. */
+  private def bigTable(dir: String): Unit = {
+    val df = spark.range(0, 120000)
+      .select(col("id"), concat_ws("-", md5(col("id").cast("string")),
+        md5(concat(col("id").cast("string"), lit("x"))),
+        md5(concat(col("id").cast("string"), lit("y")))).as("v"))
+      .repartition(4)
+    DeltaTable.write(spark, df, dir)
+  }
+
+  private def withSingleScan[A](body: => A): A = {
+    spark.conf.set("spark.graft.dml.singleScan", "true")
+    try body finally spark.conf.unset("spark.graft.dml.singleScan")
+  }
+
+  test("UPDATE singleScan=true: candidate files read from storage exactly " +
+      "once even with a full-width predicate (discovery shares the scan)") {
+    val dir = tmpDir()
+    bigTable(dir)
+    val size = dataFileBytes(dir)
+    assert(size > 4L * 1024 * 1024, s"fixture too small for IO accounting: $size")
+    val t = DeltaTable.forPath(spark, dir)
+    val b0 = fsBytesRead()
+    // predicate references the WIDE column, so a separate discovery pass
+    // would read the full data (column pruning can't save it) — the
+    // find-then-rewrite shape measures ~2x the table size here
+    val m = withSingleScan {
+      t.update(Map("v" -> expr("concat(v, '!')")), Some("v > '' AND id % 2 = 0"))
+    }
+    val read = fsBytesRead() - b0
+    assert(m("num_updated_rows") == "60000", m.toString)
+    assert(read < (size * 1.7).toLong,
+      s"UPDATE read ${read}B for a ${size}B table — hit files were scanned " +
+        "from storage more than once")
+    assert(graft.ops.UpdateOp.lastPhases.contains("find_files") &&
+      graft.ops.UpdateOp.lastPhases.contains("rewrite_write"),
+      s"phase trace incomplete: ${graft.ops.UpdateOp.lastPhases}")
+  }
+
+  test("DELETE singleScan=true: partial-candidate files read from storage " +
+      "exactly once with a full-width predicate") {
+    val dir = tmpDir()
+    bigTable(dir)
+    val size = dataFileBytes(dir)
+    val t = DeltaTable.forPath(spark, dir)
+    val b0 = fsBytesRead()
+    val m = withSingleScan { t.delete(Some("v > '' AND id % 2 = 0")) }
+    val read = fsBytesRead() - b0
+    assert(m("num_deleted_rows") == "60000", m.toString)
+    assert(read < (size * 1.7).toLong,
+      s"DELETE read ${read}B for a ${size}B table — hit files were scanned " +
+        "from storage more than once")
+    assert(graft.ops.DeleteOp.lastPhases.contains("find_files") &&
+      graft.ops.DeleteOp.lastPhases.contains("rewrite_write"),
+      s"phase trace incomplete: ${graft.ops.DeleteOp.lastPhases}")
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 60000)
+  }
+
+  test("default shape: column-pruned discovery + one full scan of hit " +
+      "files (narrow predicate reads ~1x the data, not 2x)") {
+    val dir = tmpDir()
+    bigTable(dir)
+    val size = dataFileBytes(dir)
+    val t = DeltaTable.forPath(spark, dir)
+    val b0 = fsBytesRead()
+    // narrow predicate: discovery reads only `id` pages; the rewrite is
+    // the single full-width pass over hit files
+    val m = t.update(Map("v" -> expr("concat(v, '!')")), Some("id % 2 = 0"))
+    val read = fsBytesRead() - b0
+    assert(m("num_updated_rows") == "60000", m.toString)
+    assert(read < (size * 1.6).toLong,
+      s"UPDATE (default shape) read ${read}B for a ${size}B table — " +
+        "expected one full pass plus column-pruned discovery")
+  }
+
+  test("UPDATE with DVs and no CDC reads hit files from storage once " +
+      "(mask + updated-rows write share the persisted scan)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = spark.range(0, 120000)
+      .select(col("id"), concat_ws("-", md5(col("id").cast("string")),
+        md5(concat(col("id").cast("string"), lit("x")))).as("v"))
+      .repartition(4)
+    DeltaTable.write(spark, df, dir,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val size = dataFileBytes(dir)
+    val t = DeltaTable.forPath(spark, dir)
+    val b0 = fsBytesRead()
+    val m = t.update(Map("v" -> expr("concat(v, '!')")), Some("id % 100 = 0"))
+    val read = fsBytesRead() - b0
+    assert(m("num_updated_rows") == "1200", m.toString)
+    // the old shape scanned the hit files once for the DV mask and once
+    // for the updated-rows write (~2x); the persisted scan reads once
+    assert(read < (size * 1.7).toLong,
+      s"DV UPDATE read ${read}B for a ${size}B table — mask and write " +
+        "must share one storage scan")
+    assert(t.deletionVectors.limit(1).count() > 0, "update must mask via DV")
+  }
+
+  test("findMatchingFiles (find_files surface): partition-only predicates " +
+      "resolve from stats; data predicates narrow to files with matches") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark,
+      (0L until 40L).map(i => (i, i % 4, s"r$i")).toDF("id", "p", "v"), dir,
+      partitionBy = Seq("p"))
+    val t = DeltaTable.forPath(spark, dir)
+    val snap = t.refresh()
+    val partOnly = graft.ops.Dml.findMatchingFiles(spark, snap, "p = 1")
+    assert(partOnly.nonEmpty &&
+      partOnly.forall(_.partitionValues.get("p").contains("1")))
+    val narrowed = graft.ops.Dml.findMatchingFiles(spark, snap, "id = 6")
+    assert(narrowed.size == 1 &&
+      narrowed.head.partitionValues.get("p").contains("2"))
+    assert(graft.ops.Dml.findMatchingFiles(spark, snap, "id = -5").isEmpty)
+  }
+
   // ------------------------------------------------- case-colliding SET keys
 
   test("MERGE refuses SET/INSERT maps whose keys collide case-insensitively") {

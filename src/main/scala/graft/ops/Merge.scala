@@ -122,6 +122,11 @@ object MergeOp {
     * itself. */
   @volatile var lastPhases: Map[String, Double] = Map.empty
 
+  /** Candidate file count after early-filter pruning of the most recent
+    * MERGE on this JVM (-1 until the scan is pruned) — lets tests pin
+    * "the early filter actually pruned" without a plan walk. */
+  @volatile var lastCandidateFiles: Int = -1
+
   /** The metrics of a MERGE that turned out to be an already-applied
     * replay: every counter zero (nothing changed on this call) plus an
     * explicit marker so callers/tests can tell a skip from an empty merge. */
@@ -236,18 +241,34 @@ object MergeOp {
 
     // ---- early filter (merge/filter.rs:324): source agg → target pruning ----
     val condExpr = Scan.parsePredicate(spark, condition)
-    val equiPairs = extractEquiPairs(condExpr, schema.fieldNames.toSet, source.schema.fieldNames.toSet)
+    val resolver = spark.sessionState.conf.resolver
+    // target-side names canonicalized to their schema spelling with the
+    // session resolver: partitionValues and stats maps are keyed by the
+    // CANONICAL column names, so a case-variant join key ("target.Cat" vs
+    // partition column "cat") previously fell out of the exact IN-list
+    // partition prune (and stats-range pruning) silently — never wrong,
+    // but the early filter stopped pruning exactly when it matters
+    val equiPairs = extractEquiPairs(condExpr, schema.fieldNames.toSet,
+        source.schema.fieldNames.toSet, resolver)
+      .flatMap { case (t, s) =>
+        // a target name that resolves to no schema field cannot feed the
+        // early filter (the merge itself will fail analysis later if it
+        // was a typo) — fail open to "no pruning from this pair"
+        schema.fieldNames.find(f => resolver(f, t)).map(f => (f, s))
+      }
     // partition-key equi-pairs get an exact IN-list (capped) instead of a
     // range — far tighter pruning when keys are sparse across partitions
     // (merge/filter.rs: distinct-partition list path)
     val maxInList = 1000
+    lastCandidateFiles = -1
     val earlyPreds: Seq[Expression] =
       // by-source clauses touch all files; streaming mode forbids the extra
       // source pre-scan (with_streaming, merge/mod.rs:465)
       if (streaming || hasBySource || equiPairs.isEmpty) Nil
       else {
         val (partPairs, dataPairs) =
-          equiPairs.partition { case (t, _) => snapshot.partitionColumns.contains(t) }
+          equiPairs.partition { case (t, _) =>
+            snapshot.partitionColumns.exists(pc => resolver(pc, t)) }
         def rangePredsOf(pairs: Seq[(String, String)]): Seq[Expression] =
           if (pairs.isEmpty) Nil
           else {
@@ -302,6 +323,7 @@ object MergeOp {
     if (earlyPreds.isEmpty) txn.readWholeTable()
 
     val candidates = Scan.prunedFiles(snapshot, earlyPreds, Some(spark))
+    lastCandidateFiles = candidates.size
     txn.readFile(candidates.map(_.path))
 
     // ---- single full-outer join ----
@@ -619,11 +641,15 @@ object MergeOp {
     }
   }
 
-  /** Find `target_col = source_col` equality pairs in the join condition. */
+  /** Find `target_col = source_col` equality pairs in the join condition.
+    * Bare-name membership follows the session resolver (the same rule the
+    * join's own analysis will apply), so `Key = k` against target column
+    * `key` still yields a pruning pair under caseSensitive=false. */
   private def extractEquiPairs(
       cond: Expression,
       targetCols: Set[String],
-      sourceCols: Set[String]): Seq[(String, String)] = {
+      sourceCols: Set[String],
+      resolver: (String, String) => Boolean): Seq[(String, String)] = {
     def attr(e: Expression): Option[(String, String)] = e match {
       case a: UnresolvedAttribute if a.nameParts.length == 2 =>
         Some((a.nameParts.head.toLowerCase(java.util.Locale.ROOT), a.nameParts.last))
@@ -648,7 +674,8 @@ object MergeOp {
           case (Some(("target", t)), Some(("source", s))) => Some((t, s))
           case (Some(("source", s)), Some(("target", t))) => Some((t, s))
           case (Some(("", a)), Some(("", b)))
-              if targetCols.contains(a) && sourceCols.contains(b) => Some((a, b))
+              if targetCols.exists(resolver(_, a)) && sourceCols.exists(resolver(_, b)) =>
+            Some((a, b))
           case _ => None
         }
       case _ => None

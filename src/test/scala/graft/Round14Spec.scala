@@ -316,6 +316,40 @@ class Round14Spec extends AnyFunSuite {
     assert(graft.ops.Dml.findMatchingFiles(spark, snap, "id = -5").isEmpty)
   }
 
+  // --------------------------------------- case-variant early-filter pruning
+
+  test("case-variant merge join key still takes the exact IN-list " +
+      "partition prune") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark,
+      (0L until 50L).map(i => (i, i % 5, s"v$i")).toDF("id", "cat", "v"), dir,
+      partitionBy = Seq("cat"))
+    val t = DeltaTable.forPath(spark, dir)
+    val totalFiles = t.refresh().allFiles.size
+    val p2Files = t.refresh().allFiles
+      .count(_.partitionValues.get("cat").contains("2"))
+    assert(totalFiles > p2Files, "fixture must span several partitions")
+    val src = Seq((2L, 2L, "x"), (7L, 2L, "y")).toDF("sid", "cat", "v")
+
+    def runMerge(cond: String): Int = {
+      t.merge(src, cond)
+        .whenMatchedUpdate(Map("v" -> "source.v"))
+        .execute()
+      graft.ops.MergeOp.lastCandidateFiles
+    }
+    // control: exact-case keys prune (partition IN-list + id stats range)
+    val control = runMerge("target.cat = source.cat AND target.id = source.sid")
+    assert(control <= p2Files && control < totalFiles,
+      s"control must prune: $control of $totalFiles files ($p2Files in cat=2)")
+    // case-variant partition key (and case-variant bare-name data key)
+    // must prune IDENTICALLY under the default case-insensitive
+    // resolution — this was silently falling back to an unpruned scan
+    val variant = runMerge("target.CAT = source.cat AND ID = sid")
+    assert(variant == control,
+      s"case-variant join key lost pruning: $variant files vs control $control")
+  }
+
   // ------------------------------------------------- case-colliding SET keys
 
   test("MERGE refuses SET/INSERT maps whose keys collide case-insensitively") {

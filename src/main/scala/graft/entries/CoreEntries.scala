@@ -934,6 +934,62 @@ object CoreEntries {
       DeltaTable.forPath(s, dir).toDF
     }, Some("SELECT * FROM orders WHERE NOT (o_totalprice < 50000)")),
 
+    // VACUUM live-set boundary (§2.6 extension; vacuum.rs:652
+    // is_tombstone_expired + this engine's DV protection): a RETAINED
+    // tombstone protects BOTH its data file and its DV blob even when the
+    // bytes' mtimes are ancient — protection comes from the tombstone's
+    // deletionTimestamp, never the file clock — while untracked aged
+    // debris is reclaimed; once the tombstone ages out, parquet AND blob
+    // are released. The tombstone set is asserted through a CHECKPOINT
+    // replay (the retention-filtered survivors), and time travel into the
+    // retention window must still decode the mask after the first VACUUM.
+    Entry("vacuum_liveset", (s, d) => {
+      val dir = tempDir("vls")
+      DeltaTable.write(s, pq(s, d, "nation").repartition(4), dir,
+        configuration = Map("delta.enableDeletionVectors" -> "true"))
+      val t = DeltaTable.forPath(s, dir)
+      t.delete(Some("n_nationkey >= 20")) // v1: masks in place via DVs
+      require(t.snapshot.allFiles.exists(_.deletionVector.exists(_.cardinality > 0)),
+        "vacuum_liveset: the delete must mask via deletion vectors")
+      t.optimizeCompact() // v2: rewrites the files; removes CARRY the DVs
+      t.createCheckpoint()
+      val t2 = DeltaTable.forPath(s, dir) // replay through the checkpoint
+      val dvTombs = t2.snapshot.tombstones.filter(_.deletionVector.isDefined)
+      require(dvTombs.nonEmpty,
+        "vacuum_liveset: checkpoint replay lost the DV-carrying tombstones")
+      val fs = t2.tablePath.getFileSystem(s.sessionState.newHadoopConf())
+      val tombParquets = dvTombs.map(r =>
+        new Path(dir, PathCodec.decode(r.path)))
+      val tombBlobs = dvTombs.flatMap(r =>
+        DeletionVectors.dvPath(t2.tablePath, r.deletionVector.get))
+      require(tombBlobs.nonEmpty, "vacuum_liveset: tombstone DVs have no on-disk blobs")
+      // age EVERY data byte far outside any retention window
+      val aged = System.currentTimeMillis() - 30L * 24 * 3600 * 1000
+      def ageAll(p: Path): Unit = fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) {
+          if (!st.getPath.getName.startsWith("_")) ageAll(st.getPath)
+        } else fs.setTimes(st.getPath, aged, -1)
+      }
+      ageAll(t2.tablePath)
+      // plant untracked aged debris — what VACUUM exists to reclaim
+      val orphan = new Path(dir, "part-orphan-vls.parquet")
+      locally { val o = fs.create(orphan); o.write(1); o.close() }
+      fs.setTimes(orphan, aged, -1)
+      // default 7-day retention: the fresh tombstones win over mtimes
+      t2.vacuum(dryRun = false)
+      require(!fs.exists(orphan),
+        "vacuum_liveset: aged untracked debris must be reclaimed")
+      (tombParquets ++ tombBlobs).foreach(p => require(fs.exists(p),
+        s"vacuum_liveset: $p is protected by a retained tombstone but was deleted"))
+      require(t2.asOfVersion(1).count() == 20,
+        "vacuum_liveset: time travel to the DV version must still decode the mask")
+      // collapse the window: expired tombstones release parquet AND blob
+      t2.vacuum(retentionHours = 0, dryRun = false, enforceRetention = false)
+      (tombParquets ++ tombBlobs).foreach(p => require(!fs.exists(p),
+        s"vacuum_liveset: $p outlived its expired tombstone"))
+      DeltaTable.forPath(s, dir).toDF
+    }, Some("SELECT * FROM nation WHERE NOT (n_nationkey >= 20)")),
+
     // explicit checkpoint + expired-log cleanup (python create_checkpoint /
     // cleanup_metadata): after aging every pre-checkpoint commit past the
     // 1ms retention and cleaning, replay reconstructs the FULL table from

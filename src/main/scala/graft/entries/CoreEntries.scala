@@ -784,9 +784,14 @@ object CoreEntries {
       val dir = tempDir("mrg")
       val o = pq(s, d, "orders")
       DeltaTable.write(s, o, dir)
+      // insert keys offset past the ACTUAL key domain (max+1), replayed
+      // identically by the oracle's scalar subquery — a fixed literal
+      // collided with real keys at sf1 (max o_orderkey 1.5M > 1M), turning
+      // the dup-free source into a duplicate-match error by construction
+      val offset = o.agg(max("o_orderkey")).head.getLong(0) + 1
       val updates = o.filter("o_orderkey % 2 = 0")
       val inserts = o.filter("o_orderkey % 100 = 0")
-        .withColumn("o_orderkey", col("o_orderkey") + 1000000)
+        .withColumn("o_orderkey", col("o_orderkey") + offset)
       val src = updates.unionByName(inserts)
         .withColumn("o_totalprice", col("o_totalprice") + 1)
       val t = DeltaTable.forPath(s, dir)
@@ -801,7 +806,8 @@ object CoreEntries {
         |       o_orderdate, o_orderpriority
         |FROM orders
         |UNION ALL
-        |SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_totalprice + 1,
+        |SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+        |       o_custkey, o_orderstatus, o_totalprice + 1,
         |       o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin)),
 

@@ -26,11 +26,33 @@ object CoreEntries {
       DeltaTable.forPath(s, sharedDelta(s, d, "lineitem")).toDF,
       Some("SELECT * FROM lineitem")),
 
-    // stats-based file skipping + exact re-filter (§2.2 rows 16,17)
-    Entry("delta_scan_pruned", (s, d) =>
-      DeltaTable.forPath(s, sharedDelta(s, d, "lineitem"))
-        .scanWhere("l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' AND l_quantity < 10"),
-      Some("SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' AND l_quantity < 10")),
+    // stats-based file skipping + exact re-filter (§2.2 rows 16,17).
+    // Range-layout copy (repartitionByRange on l_shipdate → disjoint
+    // per-file shipdate intervals) so FILE SKIPPING is provable in-entry:
+    // on the shared unsorted copy every file spanned the full shipdate
+    // range, and a keep-everything pruning regression was invisible to
+    // the oracle (the post-scan filter still fixed the rows) — the r14
+    // vacuous-claims audit's main find.
+    Entry("delta_scan_pruned", (s, d) => {
+      val dir = shared2.getOrElseUpdate(s"$d#lineitem#shipdate-range", {
+        val dd = tempDir("prscan")
+        DeltaTable.write(s, pq(s, d, "lineitem")
+          .repartitionByRange(8, col("l_shipdate")), dd)
+        dd
+      })
+      val t = DeltaTable.forPath(s, dir)
+      // cutoff chosen mid-domain (shipdate spans 1995-01..2001-11 at every
+      // SF) so several of the 8 range files lie PROVABLY below it
+      val pred = "l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity < 10"
+      val cands = graft.table.Scan.prunedFiles(t.snapshot,
+        Seq(graft.table.Scan.parsePredicate(s, pred)), Some(s))
+      require(cands.nonEmpty && cands.size < t.snapshot.allFiles.size,
+        s"delta_scan_pruned: stats pruning kept ${cands.size} of " +
+          s"${t.snapshot.allFiles.size} range-partitioned files — file " +
+          "skipping is not engaging")
+      t.scanWhere(pred)
+    },
+      Some("SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity < 10")),
 
     // partition pruning on a hive-partitioned Delta table (§2.2 row 18)
     Entry("delta_partition_pruning", (s, d) =>

@@ -87,8 +87,13 @@ object Dml {
     else {
       val spark = df.sparkSession
       import spark.implicits._
-      df.join(broadcast(uris.toDF("__hit_file")),
-        col("__file") === col("__hit_file"), "left_semi")
+      // qualified refs on both sides: a table with a data column literally
+      // named __hit_file must not make the bare reference ambiguous (only
+      // __file/__pos are reserved by the scan)
+      df.alias("__graft_scan")
+        .join(broadcast(uris.toDF("__hit_file").alias("__graft_hits")),
+          col("__graft_scan.__file") === col("__graft_hits.__hit_file"),
+          "left_semi")
     }
 
   /** Persist level for the shared DML hit-file scan (read back 1-4 times:

@@ -163,8 +163,14 @@ object MergeOp {
     // TransactionAlreadyAppliedException below) so a replay racing this
     // pre-check still resolves to exactly one application.
     appTxn.foreach { case (app, ver) =>
-      if (snapshot.txns.get(app).exists(_ >= ver))
+      if (snapshot.txns.get(app).exists(_ >= ver)) {
+        // keep the "most recent MERGE" observability contract on the skip
+        // path: stale phase times / candidate counts from the PREVIOUS
+        // merge must not be attributed to this no-op
+        lastPhases = phases.acc.toMap
+        lastCandidateFiles = -1
         return replaySkippedMetrics(t0)
+      }
     }
     if (clauses.exists(c => !(c.isInstanceOf[NotMatchedInsert] || c.isInstanceOf[NotMatchedInsertAll])))
       ProtocolGate.checkAppendOnly(snapshot, "MERGE with update/delete clauses")
@@ -526,9 +532,14 @@ object MergeOp {
           (withOp, col("__tgt").isNotNull && col("target.__file").isin(changedFiles.toSeq: _*))
         else {
           import spark.implicits._
-          val cfDf = broadcast(changedFiles.toSeq.toDF("__changed_file"))
-          (withOp.join(cfDf, col("target.__file") === col("__changed_file"), "left_outer"),
-            col("__tgt").isNotNull && col("__changed_file").isNotNull)
+          // qualified refs: a data column literally named __changed_file is
+          // legal (only __src/__tgt/__op and the scan's __file/__pos are
+          // reserved) and must not make these references ambiguous
+          val cfDf = broadcast(
+            changedFiles.toSeq.toDF("__changed_file").alias("__graft_cf"))
+          (withOp.join(cfDf,
+            col("target.__file") === col("__graft_cf.__changed_file"), "left_outer"),
+            col("__tgt").isNotNull && col("__graft_cf.__changed_file").isNotNull)
         }
 
       // With delta.enableDeletionVectors, changed target rows are MASKED in

@@ -597,14 +597,19 @@ object DeltaConfig {
       case _ if u.startsWith("week") => Some(7L * 86400000L)
       case _ => None
     }
+    // exact arithmetic: an overflowing `num * ms` (or sum) would wrap to
+    // exactly the negative retention this parser exists to reject —
+    // cleanup cutoffs in the future destroy everything retained
     val terms = parts.grouped(2).map {
       case Array(n, u) =>
         for {
           num <- scala.util.Try(n.toLong).toOption if num >= 0
           ms <- unitMs(u)
-        } yield num * ms
+          v <- scala.util.Try(Math.multiplyExact(num, ms)).toOption
+        } yield v
       case _ => None
     }.toSeq
-    if (terms.exists(_.isEmpty)) None else Some(terms.flatten.sum)
+    if (terms.exists(_.isEmpty)) None
+    else scala.util.Try(terms.flatten.reduce(Math.addExact(_, _))).toOption
   }
 }

@@ -96,6 +96,23 @@ object Dml {
           "left_semi")
     }
 
+  /** singleScan discovery: matched `__file` URIs collected from the
+    * persisted full-width candidate scan, mapped back to AddFiles, plus
+    * the scan restricted to those files — ONE definition shared by
+    * DELETE/UPDATE (the URI-keying edge cases have a history; fixes must
+    * not need to land twice). */
+  private[graft] def discoverFromScan(
+      sc: DataFrame,
+      snapshot: Snapshot,
+      candidates: Seq[AddFile],
+      predCol: Column,
+      op: String): (Seq[AddFile], DataFrame) = {
+    val idx = filePathIndex(snapshot, candidates)
+    val uris = sc.filter(predCol).select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    (uris.map(u => mapBack(idx, u, op)), fileSubset(sc, uris))
+  }
+
   /** Persist level for the shared DML hit-file scan (read back 1-4 times:
     * discovery, rewrite/mask, CDC pre/post). Serialized bytes like MERGE's
     * rewrite leg (r11 A/B: compact cache = less heap to scan per GC);
@@ -223,12 +240,9 @@ object DeleteOp {
             val sc = Scan.readFiles(spark, snapshot, partialCandidates,
               withFileIdentity = true).persist(Dml.dmlPersistLevel(spark))
             cached = Some(sc)
-            val idx = Dml.filePathIndex(snapshot, partialCandidates)
-            val uris = phases("find_files")(
-              sc.filter(predCol).select(col("__file")).distinct()
-                .collect().map(_.getString(0)).toSeq)
-            (uris.map(u => Dml.mapBack(idx, u, "DELETE")),
-              Some(Dml.fileSubset(sc, uris)))
+            val (fs, hit) = phases("find_files")(
+              Dml.discoverFromScan(sc, snapshot, partialCandidates, predCol, "DELETE"))
+            (fs, Some(hit))
           } else {
             val fs = phases("find_files")(
               Dml.matchedFiles(spark, snapshot, partialCandidates, pred, "DELETE"))
@@ -594,11 +608,8 @@ object UpdateOp {
       } else if (singleScan) {
         val sc = persisted(
           Scan.readFiles(spark, snapshot, candidates, withFileIdentity = true))
-        val idx = Dml.filePathIndex(snapshot, candidates)
-        val uris = phases("find_files")(
-          sc.filter(predCol).select(col("__file")).distinct()
-            .collect().map(_.getString(0)).toSeq)
-        (uris.map(u => Dml.mapBack(idx, u, "UPDATE")), Dml.fileSubset(sc, uris))
+        phases("find_files")(
+          Dml.discoverFromScan(sc, snapshot, candidates, predCol, "UPDATE"))
       } else {
         val fs = phases("find_files")(
           Dml.matchedFiles(spark, snapshot, candidates, pred, "UPDATE"))

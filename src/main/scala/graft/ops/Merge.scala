@@ -643,8 +643,12 @@ object MergeOp {
         // a racing replay of the same (appId, version) won the commit after
         // this run's pre-check: already applied — report a no-op rather
         // than failing (the written output files become unreferenced
-        // orphans, reaped by VACUUM like any aborted commit's)
-        case _: TransactionAlreadyAppliedException => replaySkippedMetrics(t0)
+        // orphans, reaped by VACUUM like any aborted commit's). Refresh
+        // like the success path does: the caller's handle must see the
+        // applied batch's rows, not the pre-merge snapshot.
+        case _: TransactionAlreadyAppliedException =>
+          table.refresh()
+          replaySkippedMetrics(t0)
       }
     } finally {
       withOp.unpersist()

@@ -1188,7 +1188,9 @@ class LlmSpec extends AnyFunSuite {
     val planned = graft.llm.Search.bm25TopK(dup, "doc_id", "text", q, "query_id", "text", k = 2)
     assert(!planned.queryExecution.analyzed.toString.contains("first("),
       "bm25 doc length must not ride first()")
-    assert(planned.queryExecution.analyzed.toString.contains("min(__dl)"),
+    // no closing paren: analyzed plans print attributes with expr IDs
+    // ("min(__dl#496L)")
+    assert(planned.queryExecution.analyzed.toString.contains("min(__dl"),
       "bm25 doc length must be the deterministic min(__dl)")
     assert(planned.collect().nonEmpty)
 

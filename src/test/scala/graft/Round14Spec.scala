@@ -169,6 +169,11 @@ class Round14Spec extends AnyFunSuite {
     assert(DeltaConfig.parseDuration("interval 1 year").isEmpty)
     assert(DeltaConfig.parseDuration("interval -1 day").isEmpty)
     assert(DeltaConfig.parseDuration("interval 1 day -12 hours").isEmpty)
+    // an overflowing product/sum must reject, not wrap to a negative
+    // retention (a future cutoff destroys everything retained)
+    assert(DeltaConfig.parseDuration("interval 300000000000 weeks").isEmpty)
+    assert(DeltaConfig.parseDuration(
+      s"interval ${Long.MaxValue / 1000} seconds 1 week").isEmpty)
     assert(DeltaConfig.parseDuration("interval").isEmpty)
     assert(DeltaConfig.parseDuration("interval 1").isEmpty)
     assert(DeltaConfig.parseDuration("interval day 1").isEmpty)

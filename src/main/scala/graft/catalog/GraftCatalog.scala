@@ -132,12 +132,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val ptr = new Path(slot, PointerFile)
     if (!fs.exists(ptr)) None
     else {
-      val in = fs.open(ptr)
-      val content =
+      def readPtr(): String = {
+        val in = fs.open(ptr)
         try new String(
           org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
           java.nio.charset.StandardCharsets.UTF_8).trim
         finally in.close()
+      }
+      var content = readPtr()
+      // the pointer is claimed with an exclusive create and written
+      // immediately after — a concurrent reader can land in that sub-ms
+      // window and see zero bytes. Re-read briefly before declaring the
+      // pointer torn: transient emptiness is an in-flight CREATE, only
+      // PERSISTENT emptiness is a crash.
+      var retries = 0
+      while (content.isEmpty && retries < 3) {
+        try Thread.sleep(50L)
+        catch { case _: InterruptedException => Thread.currentThread().interrupt(); retries = 3 }
+        retries += 1
+        content = readPtr()
+      }
       // a torn pointer (crash between create and write) would otherwise
       // surface as new Path("")'s opaque IllegalArgumentException from
       // every SHOW TABLES / loadTable on the namespace — name the slot
@@ -183,7 +197,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsPath(namespace)
-    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    // the ROOT namespace exists implicitly even before the warehouse dir
+    // is created (listNamespaces on a fresh warehouse returns empty; SHOW
+    // TABLES in the default namespace must agree, not throw)
+    if (!fs.exists(dir)) {
+      if (namespace.isEmpty) return Array.empty
+      throw new NoSuchNamespaceException(namespace)
+    }
     // a TABLE slot is not a namespace (same rule as loadNamespaceMetadata/
     // dropNamespace), and neither is anything INSIDE one: listing there
     // would expose a table's partition directories as phantom members
@@ -355,9 +375,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     } catch {
       case e: Throwable =>
         // un-claim: a failed CREATE must not leave a pointer to a table
-        // the statement never finished setting up
+        // the statement never finished setting up — and the slot dir was
+        // created by THIS statement (the exists-guard above refused any
+        // pre-existing dir), so remove it too or every corrected retry
+        // hits the empty-non-table-directory refusal forever.
+        // Non-recursive delete: if a concurrent writer put anything else
+        // in the slot, leave it alone.
         external.foreach { _ =>
           scala.util.Try(fs.delete(new Path(slot, PointerFile), false))
+          scala.util.Try(fs.delete(slot, false))
         }
         throw e
     }
@@ -384,16 +410,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           a.fieldNames()(0), a.dataType(), a.isNullable)
         Option(a.comment()).fold(base)(base.withComment)
     }
-    changes.foreach {
+    val comment = changes.collect {
       case s: TableChange.SetProperty if s.property == TableCatalog.PROP_COMMENT =>
-        t.delta.updateTableMetadata(description = Some(s.value))
-      case _: TableChange.SetProperty => // batched below
+        s.value
+    }.lastOption
+    changes.foreach {
+      case _: TableChange.SetProperty => // batched
       case a: TableChange.AddColumn if a.fieldNames.length == 1 => // batched above
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported by graft-delta: $other")
     }
-    if (addCols.nonEmpty) t.delta.addColumns(StructType(addCols))
-    if (setProps.nonEmpty) t.delta.setProperties(setProps.toMap)
+    // ONE commit for the whole statement: comment + columns + properties
+    // applied separately left a mid-statement conflict half-applied (the
+    // comment durably set while a property never landed)
+    t.delta.alterCombined(StructType(addCols), setProps.toMap, comment)
     loadTable(ident)
   }
 

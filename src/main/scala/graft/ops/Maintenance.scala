@@ -421,8 +421,12 @@ object ConstraintsOp {
 /** Metadata-only DDL: table properties, add-column
   * (`operations/set_tbl_properties.rs`, `add_column.rs`). */
 object MetadataOps {
-  def setProperties(table: DeltaTable, rawProps: Map[String, String]): Unit = {
-    val snapshot = table.refresh()
+  /** SET TBLPROPERTIES as a pure metadata transform: validated props
+    * merged into `meta`, plus the protocol upgrade when the props imply
+    * one (the none→name column-mapping migration). Shared by the
+    * single-purpose commit below and the one-commit ALTER TABLE. */
+  private def buildSetProps(meta: Metadata, protocol: Protocol,
+      rawProps: Map[String, String]): (Metadata, Option[Protocol], Map[String, String]) = {
     // the stored mode value is normalized, not just the comparison: this
     // engine reads it via trim/toLowerCase, masking a literal "Name" that
     // case-sensitive foreign readers reject
@@ -459,67 +463,96 @@ object MetadataOps {
     // other transition (none->id, name->none, id->name, ...) still refuses:
     // id mode needs parquet field_ids rewritten into existing footers, and
     // downgrades would strip mapping from files whose physical names differ.
-    val oldMode = snapshot.metadata.configuration
+    val oldMode = meta.configuration
       .getOrElse("delta.columnMapping.mode", "none").trim.toLowerCase(java.util.Locale.ROOT)
     val requested = props.get("delta.columnMapping.mode")
       .map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_ != oldMode)
     requested match {
       case Some("name") if oldMode == "none" =>
-        val curMax = snapshot.metadata.configuration
+        val curMax = meta.configuration
           .get(ColumnMapping.MAX_ID_KEY).map(_.toInt).getOrElse(0)
         val (annotated, maxId) = ColumnMapping.assignMetadata(
-          snapshot.schema, startId = curMax, preserveNames = true)
-        val newMeta = snapshot.metadata.copy(
+          meta.schema, startId = curMax, preserveNames = true)
+        (meta.copy(
           schemaString = annotated.json,
-          configuration = snapshot.metadata.configuration ++ props +
-            (ColumnMapping.MAX_ID_KEY -> maxId.toString))
-        val protoUp: Seq[Action] =
-          ProtocolGate.upgradeForColumnMapping(snapshot.protocol).toSeq
-        val txn = table.startTransaction()
-        table.commitAndRefresh(txn, protoUp :+ newMeta,
-          Operation("SET TBLPROPERTIES", props))
-        return
+          configuration = meta.configuration ++ props +
+            (ColumnMapping.MAX_ID_KEY -> maxId.toString)),
+          ProtocolGate.upgradeForColumnMapping(protocol), props)
       case Some(m) =>
         throw new UnsupportedOperationException(
           s"changing delta.columnMapping.mode ($oldMode -> $m) via " +
             "setProperties is not supported (only the none -> name " +
             "upgrade migrates); create the table with the mode instead")
-      case None => ()
+      case None =>
+        (meta.copy(configuration = meta.configuration ++ props), None, props)
     }
-    val newMeta = snapshot.metadata.copy(
-      configuration = snapshot.metadata.configuration ++ props)
+  }
+
+  def setProperties(table: DeltaTable, rawProps: Map[String, String]): Unit = {
+    val snapshot = table.refresh()
+    val (newMeta, protoUp, props) =
+      buildSetProps(snapshot.metadata, snapshot.protocol, rawProps)
     val txn = table.startTransaction()
-    table.commitAndRefresh(txn, Seq(newMeta),
+    table.commitAndRefresh(txn, protoUp.toSeq :+ newMeta,
       Operation("SET TBLPROPERTIES", props))
   }
 
-  def addColumns(table: DeltaTable, newCols: StructType): Unit = {
-    val snapshot = table.refresh()
-    val existing = snapshot.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+  /** ADD COLUMNS as a pure metadata transform (see [[buildSetProps]]). */
+  private def buildAddColumns(meta: Metadata, protocol: Protocol,
+      newCols: StructType): (Metadata, Option[Protocol]) = {
+    val existing = meta.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     newCols.foreach { f =>
       require(!existing.contains(f.name.toLowerCase(java.util.Locale.ROOT)), s"Column ${f.name} already exists")
       require(f.nullable, s"New column ${f.name} must be nullable")
     }
-    val merged0 = StructType(snapshot.schema.fields ++ newCols.fields)
+    val merged0 = StructType(meta.schema.fields ++ newCols.fields)
     // under column mapping the new fields need physical names/ids and a
     // maxColumnId bump (same invariant as merge schema evolution)
     val (merged, conf) =
-      if (ColumnMapping.enabled(snapshot.metadata)) {
-        val curMax = snapshot.metadata.configuration
+      if (ColumnMapping.enabled(meta)) {
+        val curMax = meta.configuration
           .get(ColumnMapping.MAX_ID_KEY).map(_.toInt).getOrElse(0)
         val (annotated, maxId) = ColumnMapping.assignMetadata(merged0, startId = curMax)
-        (annotated, snapshot.metadata.configuration +
+        (annotated, meta.configuration +
           (ColumnMapping.MAX_ID_KEY -> maxId.toString))
-      } else (merged0, snapshot.metadata.configuration)
-    val newMeta = snapshot.metadata.copy(schemaString = merged.json,
-      configuration = conf)
+      } else (merged0, meta.configuration)
     // a VARIANT column arriving through DDL needs the feature protocol,
     // exactly like the write/merge schema-evolution paths
-    val protocolUpgrade: Seq[Action] =
-      ProtocolGate.upgradeForSchema(merged, snapshot.protocol).toSeq
+    (meta.copy(schemaString = merged.json, configuration = conf),
+      ProtocolGate.upgradeForSchema(merged, protocol))
+  }
+
+  def addColumns(table: DeltaTable, newCols: StructType): Unit = {
+    val snapshot = table.refresh()
+    val (newMeta, protoUp) =
+      buildAddColumns(snapshot.metadata, snapshot.protocol, newCols)
     val txn = table.startTransaction()
-    table.commitAndRefresh(txn, protocolUpgrade :+ newMeta,
+    table.commitAndRefresh(txn, protoUp.toSeq :+ newMeta,
       Operation("ADD COLUMNS", Map("columns" -> newCols.fieldNames.mkString(","))))
+  }
+
+  /** One ALTER TABLE statement = ONE commit: ADD COLUMNS + SET
+    * TBLPROPERTIES + COMMENT applied to a single metadata action (each
+    * piece through its own validator above). Separate commits left the
+    * statement HALF-APPLIED when a later piece's commit conflicted — e.g.
+    * the comment durably set while the CDF property never landed. */
+  def alterCombined(table: DeltaTable, newCols: StructType,
+      rawProps: Map[String, String], description: Option[String]): Unit = {
+    if (newCols.isEmpty && rawProps.isEmpty && description.isEmpty) return
+    val snapshot = table.refresh()
+    val (m1, pr1): (Metadata, Option[Protocol]) =
+      if (newCols.isEmpty) (snapshot.metadata, None)
+      else buildAddColumns(snapshot.metadata, snapshot.protocol, newCols)
+    val (m2, pr2, props): (Metadata, Option[Protocol], Map[String, String]) =
+      if (rawProps.isEmpty) (m1, None, Map.empty[String, String])
+      else buildSetProps(m1, pr1.getOrElse(snapshot.protocol), rawProps)
+    val m3 = description.fold(m2)(d => m2.copy(description = Some(d)))
+    val txn = table.startTransaction()
+    table.commitAndRefresh(txn, pr2.orElse(pr1).toSeq :+ m3,
+      Operation("ALTER TABLE",
+        (if (newCols.isEmpty) Map.empty[String, String]
+         else Map("addColumns" -> newCols.fieldNames.mkString(","))) ++
+          props ++ description.map("comment" -> _).toMap))
   }
 
   /** ADD FEATURE (operations/add_feature.rs): record a protocol feature,

@@ -113,9 +113,10 @@ object GraftDeltaRelation {
     }
   }
 
-  /** Case-insensitive option lookup — ONE implementation for the read and
-    * write paths (two local copies had already diverged in name only). */
-  private def opt(parameters: Map[String, String], key: String): Option[String] =
+  /** Case-insensitive option lookup — ONE implementation for the read,
+    * write, and streaming paths (local copies had already diverged in name
+    * only; the streaming sink/source/datasource carried three more). */
+  private[graft] def opt(parameters: Map[String, String], key: String): Option[String] =
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
 
   /** Resolve the snapshot for read options (versionAsOf / timestampAsOf). */

@@ -53,11 +53,8 @@ class GraftDeltaDataSource extends DataSourceRegister
     GraftDeltaRelation.writeAndReturnRelation(sqlContext, mode, parameters,
       data, pathOf(parameters))
 
-  private def ci(parameters: Map[String, String]) =
-    org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters)
-
   private def pathOf(parameters: Map[String, String]): String =
-    ci(parameters).get("path")
+    graft.sources.GraftDeltaRelation.opt(parameters, "path")
       .getOrElse(throw new IllegalArgumentException(
         "graft-delta requires a table path: .load(path) / .start(path)"))
 
@@ -76,7 +73,7 @@ class GraftDeltaDataSource extends DataSourceRegister
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     refuseUserSchema(schema)
-    val cdf = ci(parameters).get("readChangeFeed")
+    val cdf = graft.sources.GraftDeltaRelation.opt(parameters, "readChangeFeed")
       .exists(_.trim.equalsIgnoreCase("true"))
     val base = DeltaTable.forPath(sqlContext.sparkSession, pathOf(parameters)).schema
     (shortName(), if (cdf) GraftDeltaSource.cdfSchema(base) else base)

@@ -34,9 +34,8 @@ class GraftDeltaSink(
   require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
     s"graft-delta sink supports Append and Complete output modes, got $outputMode")
 
-  private val ciOptions =
-    org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(options)
-  private def opt(key: String): Option[String] = ciOptions.get(key)
+  private def opt(key: String): Option[String] =
+    graft.sources.GraftDeltaRelation.opt(options, key)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession

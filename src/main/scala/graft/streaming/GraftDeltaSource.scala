@@ -96,9 +96,8 @@ class GraftDeltaSource(
     * file set. */
   private val initSnapshot: Snapshot = log.snapshot()
 
-  private val ciOptions =
-    org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(options)
-  private def opt(key: String): Option[String] = ciOptions.get(key)
+  private def opt(key: String): Option[String] =
+    graft.sources.GraftDeltaRelation.opt(options, key)
   private def boolOpt(key: String): Boolean =
     opt(key).exists(_.trim.equalsIgnoreCase("true"))
 
@@ -645,8 +644,27 @@ class GraftDeltaSource(
     var filesUsed = 0
     var bytesUsed = 0L
     var done = false
+    // offset at the last FULLY-ADMITTED version boundary: where the walk
+    // retreats to when stepping into the next commit fails its admission
+    // guards (see the catch below)
+    var boundary = from
     while (!done) {
-      val sizes = sizesAt(v, init, latest)
+      val sizes =
+        try sizesAt(v, init, latest)
+        catch {
+          // Stepping into the NEXT commit is for admission only: a commit
+          // that fails the guards there (e.g. a change commit without
+          // skipChangeCommits/ignoreChanges) must not kill the stream
+          // while a batch budgeted from EARLIER versions is pending —
+          // return that batch's boundary offset and let it commit; the
+          // next latestOffset starts AT the offending commit with nothing
+          // admitted (filesUsed == 0) and rethrows loudly. Same deferral
+          // the exact-exhaustion boundary check below provides; partial
+          // budgets previously lost it.
+          case scala.util.control.NonFatal(e)
+              if filesUsed > 0 && idx == 0L && v != from.version =>
+            return boundary
+        }
       var stopped = false
       while (!stopped && idx < sizes.size) {
         val sz = sizes(idx.toInt)
@@ -661,7 +679,10 @@ class GraftDeltaSource(
       // early, before the already-budgeted batch ever ran
       if (stopped || filesUsed >= fileBudget || bytesUsed >= byteBudget)
         done = true
-      else if (v < latest) { v += 1; idx = 0; init = false }
+      else if (v < latest) {
+        boundary = GraftSourceOffset(v, idx, init)
+        v += 1; idx = 0; init = false
+      }
       else done = true
     }
     GraftSourceOffset(v, idx, init)

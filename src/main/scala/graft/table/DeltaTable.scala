@@ -256,6 +256,13 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
   def addColumns(newCols: org.apache.spark.sql.types.StructType): Unit =
     MetadataOps.addColumns(this, newCols)
 
+  /** One ALTER TABLE statement = one commit (columns + properties +
+    * comment); separate commits leave a conflicted statement half-applied. */
+  def alterCombined(newCols: org.apache.spark.sql.types.StructType,
+                    props: Map[String, String],
+                    description: Option[String]): Unit =
+    MetadataOps.alterCombined(this, newCols, props, description)
+
   def generateSymlinkManifest(): Unit = GenerateManifestOp.run(this)
 
   /** Force a checkpoint of the current table state (python

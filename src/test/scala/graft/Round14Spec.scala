@@ -355,6 +355,103 @@ class Round14Spec extends AnyFunSuite {
       s"case-variant join key lost pruning: $variant files vs control $control")
   }
 
+  // ----------------------------------------------- streaming/catalog review
+
+  test("streaming source: a change commit past a partially-exhausted " +
+      "budget fails AFTER the budgeted batch delivers, not before") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, (1L to 10L).map(i => (i, "a")).toDF("id", "v"), dir)
+    DeltaTable.write(spark, (11L to 20L).map(i => (i, "b")).toDF("id", "v"), dir,
+      mode = "append")
+    val t = DeltaTable.forPath(spark, dir)
+    t.update(Map("v" -> lit("z")), Some("id = 1")) // v2: change commit
+    val collected = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    // a LARGE byte budget: the walk admits v0+v1 without exhausting it and
+    // previously stepped into (and guarded) v2 inside the FIRST
+    // latestOffset — the stream died with zero rows ever delivered
+    val q = spark.readStream.format("graft-delta")
+      .option("maxBytesPerTrigger", "1g")
+      .option("startingVersion", "0") // walk the COMMITS (v2 is the guard)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("id").collect().foreach(r => collected.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable() // delivers the budgeted v0+v1 batch
+      // the NEXT poll starts at the change commit with nothing admitted
+      // and must fail loudly (processAllAvailable can return before that
+      // poll fires — await the termination it causes)
+      q.awaitTermination(60000)
+      ()
+    }
+    q.stop()
+    assert(e.getMessage.contains("data-changing removes"),
+      s"stream must still fail loudly on the change commit: ${e.getMessage}")
+    assert(collected.size == 20,
+      s"the budgeted v0+v1 batch must deliver before the failure, got " +
+        s"${collected.size} rows")
+  }
+
+  test("ALTER TABLE applies columns + properties + comment as ONE commit") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    val v0 = t.version
+    t.alterCombined(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.StringType))),
+      Map("delta.enableChangeDataFeed" -> "true"),
+      Some("one-commit ddl"))
+    val snap = t.refresh()
+    assert(t.version == v0 + 1, "the whole statement must be one commit")
+    assert(snap.schema.fieldNames.contains("w"))
+    assert(snap.metadata.configuration("delta.enableChangeDataFeed") == "true")
+    assert(snap.metadata.description.contains("one-commit ddl"))
+    // an invalid piece fails the WHOLE statement with nothing applied
+    intercept[IllegalArgumentException] {
+      t.alterCombined(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.StringType))), // duplicate column
+        Map("k" -> "v"), None)
+    }
+    assert(t.refresh().metadata.configuration.get("k").isEmpty &&
+      t.version == v0 + 1, "a failed ALTER must apply nothing")
+  }
+
+  test("catalog: failed external CREATE leaves a retryable slot; fresh " +
+      "warehouse root lists empty") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_r14_wh_").toString
+    spark.conf.set("spark.sql.catalog.g14", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.g14.warehouse", wh + "/warehouse")
+    try {
+      // fresh warehouse: SHOW TABLES in the root namespace is empty, not an
+      // error (consistent with SHOW NAMESPACES)
+      assert(spark.sql("SHOW TABLES IN g14").collect().isEmpty)
+      // an external CREATE whose declared schema mismatches the target
+      // fails — and must not wedge the identifier for the corrected retry
+      val ext = tmpDir()
+      DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "v"), ext)
+      spark.sql("CREATE NAMESPACE g14.ns")
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE g14.ns.t (wrong INT) LOCATION '$ext'")
+      }
+      // retry with no declared schema (pure registration): must succeed
+      spark.sql(s"CREATE TABLE g14.ns.t LOCATION '$ext'")
+      assert(spark.sql("SELECT * FROM g14.ns.t").count() == 1)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.g14")
+      spark.conf.unset("spark.sql.catalog.g14.warehouse")
+    }
+  }
+
   // ------------------------------------------------- case-colliding SET keys
 
   test("MERGE refuses SET/INSERT maps whose keys collide case-insensitively") {

@@ -24,6 +24,23 @@ object Validation {
     * SparkException back to a ConstraintViolationException. */
   val MARKER = "[GRAFT_CONSTRAINT]"
 
+  /** Unknown-column guard shared by every append surface (batch write,
+    * streaming sink, blind append) — ONE definition (three verbatim copies
+    * had grown, each independently needing the Locale.ROOT fix): a column
+    * absent from the table schema must fail loudly, or it silently
+    * VANISHES in normalize's by-name projection. Case-insensitive under
+    * Locale.ROOT like the projection itself (default-locale lowercasing
+    * under tr_TR spuriously rejects 'id' against table 'ID'). */
+  def requireKnownColumns(df: org.apache.spark.sql.DataFrame,
+                          schema: org.apache.spark.sql.types.StructType,
+                          hint: String): Unit = {
+    val known = schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val extra = df.schema.fieldNames
+      .filterNot(c => known.contains(c.toLowerCase(java.util.Locale.ROOT)))
+    require(extra.isEmpty,
+      s"Schema mismatch: columns ${extra.toSet} not in table schema ($hint)")
+  }
+
   /** CHECK constraints from table properties (`delta.constraints.<name>`). */
   def constraints(meta: Metadata): Map[String, String] =
     meta.configuration.collect {

@@ -103,11 +103,7 @@ object WriteIntoDelta {
         if (merged == meta.schema) (meta.schema, None)
         else evolved(merged)
       } else {
-        val incoming = df.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-        val tableCols = meta.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-        val extra = incoming -- tableCols
-        require(extra.isEmpty,
-          s"Schema mismatch: columns $extra not in table schema (use mergeSchema)")
+        Validation.requireKnownColumns(df, meta.schema, "use mergeSchema")
         (meta.schema, None)
       }
 

@@ -87,21 +87,13 @@ class GraftDeltaSink(
         s"graft-delta sink: partitionBy(${partitionColumns.mkString(",")}) does " +
         s"not match the existing table's partitioning " +
         s"(${m.partitionColumns.mkString(",")}) at $path")
-    // fail fast on columns the table doesn't know (the WriteIntoDelta /
-    // BlindDeltaTable guard): normalize() below selects by name, so an
-    // unknown stream column would otherwise vanish from every batch —
-    // silent data loss, not an error. Locale.ROOT case-insensitive, the
-    // SAME rule as the normalize() projection this guard fronts (and as
-    // the other append surfaces) — a session-resolver guard under
-    // caseSensitive=true rejected batches whose columns normalize would
-    // have matched, splitting acceptance between the two streaming sinks
-    val known = m.schema.fieldNames
-      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    val extra = batch.schema.fieldNames
-      .filterNot(c => known.contains(c.toLowerCase(java.util.Locale.ROOT)))
-    require(extra.isEmpty,
-      s"graft-delta sink: stream columns ${extra.mkString(", ")} are not in " +
-        s"the table schema at $path")
+    // fail fast on columns the table doesn't know: normalize() below
+    // selects by name, so an unknown stream column would otherwise vanish
+    // from every batch — silent data loss, not an error (shared guard:
+    // Locale.ROOT case-insensitive, the SAME rule as the normalize()
+    // projection this fronts)
+    Validation.requireKnownColumns(batch, m.schema,
+      s"graft-delta sink does not evolve schemas; table at $path")
     val normalized = Validation.prepareForWrite(spark,
       DeltaWriter.normalize(graft.ops.Generated.fill(batch, m.schema), m.schema), m)
     val adds = DeltaWriter.writeFiles(spark, table.tablePath, normalized,

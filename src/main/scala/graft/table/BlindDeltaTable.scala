@@ -51,17 +51,8 @@ class BlindDeltaTable private (val spark: SparkSession, val tablePath: Path) {
       case _ =>
     }
     val m = snap.metadata
-    // same guard as WriteIntoDelta (case-insensitive, like normalize's own
-    // matching): a column absent from the table schema must fail, not
-    // silently vanish in normalize's projection
-    // Locale.ROOT (the DeltaWriter.normalize standard): default-locale
-    // lowercasing under tr_TR spuriously rejects 'id' against table 'ID'
-    val known = m.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    val extra = df.schema.fieldNames
-      .filterNot(c => known.contains(c.toLowerCase(java.util.Locale.ROOT)))
-    require(extra.isEmpty,
-      s"Schema mismatch: columns ${extra.toSet} not in table schema (blind " +
-        "append does not evolve schemas; use DeltaTable.write with mergeSchema)")
+    Validation.requireKnownColumns(df, m.schema,
+      "blind append does not evolve schemas; use DeltaTable.write with mergeSchema")
     val normalized = Validation.prepareForWrite(spark,
       DeltaWriter.normalize(Generated.fill(df, m.schema), m.schema), m)
     val adds = DeltaWriter.writeFiles(spark, tablePath, normalized,
@@ -83,7 +74,15 @@ class BlindDeltaTable private (val spark: SparkSession, val tablePath: Path) {
           Map("numFiles" -> adds.size.toString,
             "numOutputRows" -> adds.flatMap(_.numRecords).sum.toString)))
       catch {
-        case _: TransactionAlreadyAppliedException => refresh(); return None
+        case _: TransactionAlreadyAppliedException =>
+          // the loser's data files were already renamed into the table dir
+          // but will never be referenced — best-effort delete them now
+          // rather than leaving orphans only VACUUM can reclaim after the
+          // retention window
+          val fs = tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+          adds.foreach(a => scala.util.Try(
+            fs.delete(new Path(tablePath, graft.kernel.PathCodec.decode(a.path)), false)))
+          refresh(); return None
       }
     refresh()
     Some(committed)

@@ -48,8 +48,13 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
   def files: Seq[String] = snapshot.allFiles.map(_.path)
 
   /** Absolute data-file URIs (table.file_uris()). */
-  def fileUris: Seq[String] =
-    snapshot.allFiles.map(f => snapshot.absolutePath(f.path).toString)
+  def fileUris: Seq[String] = {
+    // ONE read of the synchronized snapshot getter (the partitions()
+    // discipline): per-file re-reads contend the handle lock against
+    // refresh()/replay and could span two versions
+    val snap = snapshot
+    snap.allFiles.map(f => snap.absolutePath(f.path).toString)
+  }
 
   /** Distinct partition-value assignments of the live files, optionally
     * narrowed by a predicate (python/deltalake table.partitions(), table.py:341). */
@@ -148,10 +153,11 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val root = tablePath.toString
-    val masked = snapshot.allFiles.filter(_.deletionVector.isDefined).map { f =>
+    val snap = snapshot // one read of the handle (partitions() discipline)
+    val masked = snap.allFiles.filter(_.deletionVector.isDefined).map { f =>
       val n = f.numRecords.getOrElse(
         throw new IllegalStateException(s"file ${f.path} has a DV but no numRecords stat"))
-      (snapshot.absolutePath(f.path).toString, f.deletionVector.get, n)
+      (snap.absolutePath(f.path).toString, f.deletionVector.get, n)
     }
     spark.createDataset(masked)
       .mapPartitions { it =>

@@ -57,7 +57,7 @@ object DeltaWriter {
 
     val toWrite =
       if (optimizeWrite && physPartCols.nonEmpty)
-        dfPhys.repartition(physPartCols.map(col): _*)
+        dfPhys.repartition(physPartCols.map(quotedCol): _*)
       else dfPhys
 
     // honor the table's compression property (delta-spark's knob; the
@@ -175,7 +175,12 @@ object DeltaWriter {
     val finalFiles: Seq[(Path, Seq[(String, String)])] = targetSize match {
       case None => files.toSeq.map { case (p, parts, _) => (p, parts) }
       case Some(tgt) =>
-        val (overL, okL) = files.toSeq.partition(_._3 > tgt * 3 / 2)
+        // overflow-safe 1.5x threshold: `tgt * 3 / 2` wraps negative for a
+        // targetFileSize above Long.MaxValue/3, classifying EVERY staged
+        // file as oversized and doubling the write's IO for nothing
+        val threshold =
+          if (tgt > Long.MaxValue / 3 * 2) Long.MaxValue else tgt / 2 * 3
+        val (overL, okL) = files.toSeq.partition(_._3 > threshold)
         val ok = okL.map { case (p, parts, _) => (p, parts) }
         val resplit = overL.zipWithIndex.flatMap { case ((p, parts, len), i) =>
           val (rows, _) = ParquetStats.collect(conf, p, dataSchema, 0)
@@ -308,6 +313,14 @@ object DeltaWriter {
   def escapePathName(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
 
+  /** Backtick-quoted literal column reference — `functions.col(name)`
+    * DOT-PARSES its argument (the ColumnMapping.toPhysical trap), so a
+    * top-level column literally named "a.b" resolves as struct access:
+    * AnalysisException at best, a struct FIELD's data silently bound to
+    * the wrong table column at worst. */
+  private def quotedCol(name: String) =
+    col("`" + name.replace("`", "``") + "`")
+
   /** Align `df` to the target schema: reorder columns, cast where needed.
     * Missing nullable columns are filled with nulls. */
   def normalize(df: DataFrame, target: StructType): DataFrame = {
@@ -319,8 +332,8 @@ object DeltaWriter {
       // raises the same ambiguity error here
       df.schema.filter(_.name.equalsIgnoreCase(f.name)) match {
         case Seq(src) =>
-          if (src.dataType == f.dataType) col(src.name).as(f.name)
-          else col(src.name).cast(f.dataType).as(f.name)
+          if (src.dataType == f.dataType) quotedCol(src.name).as(f.name)
+          else quotedCol(src.name).cast(f.dataType).as(f.name)
         case Seq() =>
           org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
         case many =>

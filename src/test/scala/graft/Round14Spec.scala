@@ -452,6 +452,30 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------- dotted-name write resolution
+
+  test("write path resolves a literal 'a.b' column, never the struct " +
+      "field a.b (normalize must not dot-parse names)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // the ambush shape: a top-level column literally named "a.b" NEXT TO a
+    // struct column `a` with field `b` — functions.col("a.b") silently
+    // binds the struct FIELD's data into table column "a.b"
+    val df = spark.range(3).select(col("id"),
+      concat(lit("top"), col("id")).as("a.b"),
+      struct(lit("nested").as("b")).as("a"))
+    DeltaTable.write(spark, df, dir)
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.schema.fieldNames.toSet == Set("id", "a.b", "a"))
+    val vals = t.toDF.select(col("`a.b`")).as[String].collect().toSet
+    assert(vals == Set("top0", "top1", "top2"),
+      s"literal column 'a.b' must carry its OWN data, got $vals")
+    // append through the same normalize: must keep resolving literally
+    DeltaTable.write(spark, df, dir, mode = "append")
+    assert(t.refresh() != null && DeltaTable.forPath(spark, dir)
+      .toDF.filter(col("`a.b`").startsWith("top")).count() == 6)
+  }
+
   // ------------------------------------------------- case-colliding SET keys
 
   test("MERGE refuses SET/INSERT maps whose keys collide case-insensitively") {

@@ -323,8 +323,13 @@ object Checkpoints {
     // the finally reclaims the staging dir on ANY failure (a rename require,
     // a write error) — debris in _delta_log inflates every listing forever
     val destFiles: Seq[Path] = try {
+      // repartition(1), not coalesce(1): coalesce is a NARROW dependency
+      // that collapses the whole upstream (old-checkpoint scan, overlay
+      // anti-join, stats synthesis) into ONE task — exactly the huge-table
+      // checkpoints the lazy branch exists to parallelize. repartition
+      // keeps the upstream cluster-wide and only funnels the write.
       val written =
-        if (nParts <= 1) df.coalesce(1) else df.repartition(nParts)
+        if (nParts <= 1) df.repartition(1) else df.repartition(nParts)
       written.write.mode("overwrite").parquet(tmp.toString)
       val partFiles = fs.listStatus(tmp).map(_.getPath)
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
@@ -388,8 +393,9 @@ object Checkpoints {
     val nParts = math.min(((nActions + partSize - 1) / partSize).toInt, 9999)
     val tmp = new Path(logPath, s".checkpoint_tmp_${snapshot.version}")
     val sidecars: Seq[Sidecar] = try {
+      // repartition(1) for the same reason as the classic writer above
       val written =
-        if (nParts <= 1) fileDf.coalesce(1) else fileDf.repartition(nParts)
+        if (nParts <= 1) fileDf.repartition(1) else fileDf.repartition(nParts)
       written.write.mode("overwrite").parquet(tmp.toString)
       val partFiles = fs.listStatus(tmp).map(_.getPath)
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)

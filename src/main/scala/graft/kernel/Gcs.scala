@@ -311,9 +311,12 @@ class GcsClient(
 
   override def delete(key: String): Boolean = {
     val req = request(uri(key)).DELETE().build()
-    send(req, HttpResponse.BodyHandlers.discarding()).statusCode() match {
+    val resp = send(req, HttpResponse.BodyHandlers.discarding())
+    resp.statusCode() match {
       case 200 | 204 => true
       case 404 => false
+      // pace on throttle like the sibling verbs (see HttpPutClient.delete)
+      case s @ (429 | 503) => HttpWire.throttled(s, resp, s"delete of $key")
       case other => throw new java.io.IOException(s"delete of $key failed: HTTP $other")
     }
   }

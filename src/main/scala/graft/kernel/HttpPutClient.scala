@@ -168,9 +168,13 @@ class HttpPutClient(
     val u = uri(key)
     val req = withAuth(request(u), "DELETE", u, Array.empty, Map.empty)
       .DELETE().build()
-    send(req, HttpResponse.BodyHandlers.discarding()).statusCode() match {
+    val resp = send(req, HttpResponse.BodyHandlers.discarding())
+    resp.statusCode() match {
       case 200 | 204 => true
       case 404 => false
+      // honor the server's pace like every sibling verb: a SlowDown window
+      // during log cleanup must pace, not abort the whole cycle
+      case s @ (429 | 503) => HttpWire.throttled(s, resp, s"delete of $key")
       case other => throw new java.io.IOException(s"delete of $key failed: HTTP $other")
     }
   }

@@ -277,7 +277,18 @@ class LakeFsLogStore(val conf: Configuration,
     val (repo, branch, key) = split(path)
     val bytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
     val txn = s"graft-tx-${java.util.UUID.randomUUID()}"
-    client.createBranch(repo, txn, source = branch)
+    // createBranch INSIDE the cleanup scope: an ambiguous create (timeout
+    // after the POST landed server-side) surfaces as IOException, the
+    // commit loop retries with a FRESH uuid, and the orphaned branch was
+    // referenced by nothing and reaped by no path — a flaky network
+    // accumulated dead graft-tx branches without bound
+    try client.createBranch(repo, txn, source = branch)
+    catch {
+      case e: java.io.IOException =>
+        try client.deleteBranch(repo, txn)
+        catch { case _: java.io.IOException => } // best-effort; may not exist
+        throw e
+    }
     var merged = false
     try {
       // fast refusal: the branch snapshot (= the table branch at branch

@@ -311,8 +311,15 @@ class ObjectStoreLogStore(val conf: Configuration, client: ConditionalPutClient)
       throw new VersionAlreadyExistsException(path.toString)
   }
 
-  override def exists(path: Path): Boolean =
-    HttpWire.pacedRetry(s"head of $path")(client.get(key(path))).isDefined
+  override def exists(path: Path): Boolean = {
+    // metadata-only probe: a GET would download the whole object body
+    // (checkpoint-sized) just to answer a boolean — the exact-key prefix
+    // listing transfers one metadata entry instead (the LakeFsClient
+    // statObject rationale, applied to the HTTP-backed stores)
+    val k = key(path)
+    HttpWire.pacedRetry(s"head of $path")(
+      client.listPrefix(k)).exists(_.key == k)
+  }
 
   override def delete(path: Path): Boolean = client.delete(key(path))
 }

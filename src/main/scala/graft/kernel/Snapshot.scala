@@ -92,8 +92,13 @@ case class Snapshot(
       if (uri.isAbsolute) return new Path(uri)
     } catch { case _: Exception => }
     val rel = PathCodec.decode(relative)
-    val p = new Path(rel)
-    if (p.isAbsolute) p else new Path(new Path(tablePath), rel)
+    // scheme-free ctor: a decoded name with ':' in its first segment
+    // ("backup:final.parquet" — legal; PathCodec.encode round-trips it as
+    // %3A) must not be URI-parsed, where "backup" reads as a scheme and
+    // Path(String) throws — making a table this engine itself wrote
+    // unreadable on every scan/DML/FSCK path
+    val p = new Path(null, null, rel)
+    if (p.isAbsolute) p else new Path(new Path(tablePath), p)
   }
 }
 

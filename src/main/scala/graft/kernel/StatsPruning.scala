@@ -596,7 +596,11 @@ object StatsPruning {
         }
 
       case InSet(value, hset) =>
-        // evaluated over partition values only
+        // NULL set elements ("IN (..., NULL)") can never make the
+        // predicate TRUE (3VL: x IN (a, NULL) is true iff x = a, else
+        // NULL) — skipping them keeps Some(false) sound AND avoids the
+        // .toString NPE that crashed planning against the module's
+        // fail-open contract
         attrName(schema, value) match {
           case Some(c) if isPart(c) =>
             fv.partitionValues.get(c) match {
@@ -608,6 +612,7 @@ object StatsPruning {
                 // toString-exact decimal of a Float element could never
                 // equal them (unsound Some(false) on the matching file)
                 def elemBd(h: Any): Option[BigDecimal] = h match {
+                  case null => None
                   case f: java.lang.Float =>
                     if (f.isNaN || f.isInfinite) None
                     else Some(BigDecimal(f.toDouble))
@@ -618,8 +623,35 @@ object StatsPruning {
                     scala.util.Try(BigDecimal(other.toString)).toOption
                 }
                 Some(hset.exists(h => elemBd(h).contains(v)))
-              case Some(v) => Some(hset.map(_.toString).contains(v.toString))
+              case Some(v) =>
+                Some(hset.exists(h => h != null && h.toString == v.toString))
               case None => None
+            }
+          case Some(c) =>
+            // non-partition column: min/max containment per set element —
+            // Spark's OptimizeIn rewrites IN-lists above ~10 elements to
+            // InSet, and failing open here silently lost ALL file skipping
+            // exactly when the point-lookup list grew (an invisible cliff
+            // vs the 10-element In form). Elements are Catalyst-internal
+            // values; route them through literalToComparable via a typed
+            // Literal so string/date/timestamp/decimal domains match the
+            // parsed stats. Any unknown element fails open to "may match".
+            schema.find(_.name == c).flatMap { f =>
+              (fv.stats.flatMap(_.min.get(c)), fv.stats.flatMap(_.max.get(c))) match {
+                case (Some(mn), Some(mx)) =>
+                  val anyMayMatch = hset.exists { h =>
+                    if (h == null) false
+                    else scala.util.Try(literalToComparable(Literal(h, f.dataType)))
+                      .toOption.flatten match {
+                      case Some(lv) =>
+                        (for (a <- le(mn, lv); b <- ge(mx, lv)) yield a && b)
+                          .getOrElse(true)
+                      case None => true
+                    }
+                  }
+                  if (anyMayMatch) None else Some(false)
+                case _ => None
+              }
             }
           case _ => None
         }

@@ -448,14 +448,23 @@ private[graft] object LogCleanup {
       .getOrElse(30L * 24 * 3600 * 1000)
     val cutoff = System.currentTimeMillis() - retentionMs
     val listing = log.store.list(log.logPath)
+    // fail-SAFE age test: the object-store list parsers degrade an
+    // unparseable/absent LastModified to mtime 0 (documented there as
+    // costing only history precision) — but 0 < cutoff is "expired", so a
+    // gateway emitting an unparsed timestamp dialect would turn the very
+    // next cleanup into immediate deletion of the ENTIRE retention window.
+    // Unknown age = NOT expired; such files wait for a store that reports
+    // real mtimes.
+    def aged(f: org.apache.hadoop.fs.FileStatus): Boolean =
+      f.getModificationTime > 0 && f.getModificationTime < cutoff
     val expired = listing.filter { f =>
       val name = f.getPath.getName
       val isOld = (LogStore.isCommitFile(name) || LogStore.isCheckpointFile(name)) &&
-        LogStore.fileVersion(name) < checkpointVersion && f.getModificationTime < cutoff
+        LogStore.fileVersion(name) < checkpointVersion && aged(f)
       // a compaction file is expired once its whole RANGE is behind the
       // checkpoint (fileVersion reads only its start version)
       val isOldCompaction = LogCompaction.info(name).exists(_._2 < checkpointVersion) &&
-        f.getModificationTime < cutoff
+        aged(f)
       isOld || isOldCompaction
     }
     // V2 manifests reference _sidecars/*.parquet payloads: deleting the
@@ -495,11 +504,23 @@ private[graft] object LogCleanup {
     val deletable =
       if (liveUnknown) expired.filterNot(f => isV2Manifest(f.getPath.getName))
       else expired.filterNot(f => unreadableExpired.contains(f.getPath))
-    deletable.foreach(f => log.store.delete(f.getPath))
+    // the delete verbs pace on 429/503 (RetryPacedException) like every
+    // other store call; honor it against ONE shared budget so a sustained
+    // SlowDown window slows the cycle instead of aborting it — with a hard
+    // ceiling so a permanently-throttling store still fails loudly
+    var deleteBudgetMs = 120000L
+    def pacedDelete(p: org.apache.hadoop.fs.Path): Unit = {
+      val t0 = System.nanoTime()
+      HttpWire.pacedRetry(s"cleanup delete of $p", deleteBudgetMs)(
+        log.store.delete(p))
+      deleteBudgetMs =
+        math.max(0L, deleteBudgetMs - (System.nanoTime() - t0) / 1000000L)
+    }
+    deletable.foreach(f => pacedDelete(f.getPath))
     if (!liveUnknown) {
       val sidecarDir = new org.apache.hadoop.fs.Path(log.logPath, "_sidecars")
       (expiredSidecars -- liveSidecars).foreach(p =>
-        log.store.delete(new org.apache.hadoop.fs.Path(sidecarDir, p)))
+        pacedDelete(new org.apache.hadoop.fs.Path(sidecarDir, p)))
       // reap aged ORPHANS: sidecars renamed into place by a V2 checkpoint
       // write that crashed before its manifest landed are referenced by NO
       // manifest and invisible to every other cleanup path (the debris
@@ -508,8 +529,7 @@ private[graft] object LogCleanup {
       if (unreadableExpired.isEmpty) {
         val referenced = liveSidecars ++ expiredSidecars
         scala.util.Try(log.store.list(sidecarDir)).getOrElse(Nil)
-          .filter(f => f.getModificationTime < cutoff &&
-            !referenced.contains(f.getPath.getName))
+          .filter(f => aged(f) && !referenced.contains(f.getPath.getName))
           .foreach(f => scala.util.Try(log.store.delete(f.getPath)))
       }
     }
@@ -522,8 +542,7 @@ private[graft] object LogCleanup {
     val debris = listing.filter { f =>
       val n = f.getPath.getName
       (n.startsWith(".checkpoint_tmp_") || n.startsWith(".tmp_commit_") ||
-        n.startsWith("." + LogStore.LAST_CHECKPOINT + ".")) &&
-        f.getModificationTime < cutoff
+        n.startsWith("." + LogStore.LAST_CHECKPOINT + ".")) && aged(f)
     }
     if (debris.nonEmpty) {
       val fs = log.logPath.getFileSystem(log.store.conf)

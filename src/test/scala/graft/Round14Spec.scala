@@ -476,6 +476,80 @@ class Round14Spec extends AnyFunSuite {
       .toDF.filter(col("`a.b`").startsWith("top")).count() == 6)
   }
 
+  // ------------------------------------------------------- kernel hardening
+
+  test("InSet pruning: null elements are safe (no NPE) and non-partition " +
+      "columns prune on stats ranges") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.InSet
+    val dir = tmpDir()
+    DeltaTable.write(spark,
+      (0L until 40L).map(i => (i, (i % 4).toInt, s"v$i")).toDF("id", "p", "v")
+        .repartition(1), dir, partitionBy = Seq("p"))
+    val snap = DeltaTable.forPath(spark, dir).refresh()
+    val f1 = snap.allFiles.find(_.partitionValues.get("p").contains("1")).get
+
+    def mayMatch(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                 f: graft.kernel.AddFile) =
+      StatsPruning.fileMayMatch(snap, e, f)
+
+    // partition InSet with a NULL element (IN (..., NULL) after OptimizeIn):
+    // previously NPE'd out of the planner; 3VL says NULL can never make the
+    // predicate true, so pruning decisions are unchanged
+    val pIn = InSet(UnresolvedAttribute(Seq("p")), Set[Any](1, null))
+    assert(mayMatch(pIn, f1), "p=1 file must stay for p IN (1, NULL)")
+    val f2 = snap.allFiles.find(_.partitionValues.get("p").contains("2")).get
+    assert(!mayMatch(pIn, f2), "p=2 file must prune for p IN (1, NULL)")
+
+    // non-partition InSet: an 11+-element IN-list (Spark's OptimizeIn
+    // threshold) previously lost ALL stats skipping; ids in this table
+    // span [0,39], so an all-out-of-range set must prune the file
+    val farIds: Set[Any] = (1000L to 1011L).map(Long.box).toSet + null
+    assert(!mayMatch(InSet(UnresolvedAttribute(Seq("id")), farIds), f1),
+      "out-of-range id IN-set must prune on stats")
+    val oneIn: Set[Any] = ((1000L to 1010L).map(Long.box).toSet: Set[Any]) + Long.box(5L)
+    assert(mayMatch(InSet(UnresolvedAttribute(Seq("id")), oneIn), f1),
+      "an in-range element must keep the file")
+  }
+
+  test("absolutePath resolves decoded names containing ':' (no URI-scheme " +
+      "parse of a file NAME)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val snap = DeltaTable.forPath(spark, dir).refresh()
+    // the round-11 encode fix commits "backup:final.parquet" as %3A; the
+    // READ side must resolve it instead of parsing "backup" as a scheme
+    val p = snap.absolutePath("backup%3Afinal.parquet")
+    assert(p.getName == "backup:final.parquet" &&
+      p.toString.startsWith(snap.tablePath))
+    assert(snap.absolutePath("2024-01%3A05.parquet").getName == "2024-01:05.parquet")
+  }
+
+  test("log cleanup treats unknown (zero) mtimes as NOT expired") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir,
+      configuration = Map("delta.logRetentionDuration" -> "interval 1 millisecond"))
+    DeltaTable.write(spark, Seq((2L, "b")).toDF("id", "v"), dir, mode = "append")
+    DeltaTable.write(spark, Seq((3L, "c")).toDF("id", "v"), dir, mode = "append")
+    val t = DeltaTable.forPath(spark, dir)
+    t.createCheckpoint()
+    val fs = t.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    // an object-store list parser that can't read LastModified degrades to
+    // mtime 0 — which is "older than any cutoff"; cleanup must treat it as
+    // UNKNOWN age and keep the files, not destroy the retention window
+    fs.listStatus(logDir).filter(_.getPath.getName.matches("\\d{20}\\.json"))
+      .foreach(f => fs.setTimes(f.getPath, 0L, 0L))
+    t.cleanupMetadata()
+    val commits = fs.listStatus(logDir).map(_.getPath.getName)
+      .count(_.matches("\\d{20}\\.json"))
+    assert(commits == 3,
+      s"zero-mtime commits must survive cleanup (unknown age), got $commits")
+  }
+
   // ------------------------------------------------- case-colliding SET keys
 
   test("MERGE refuses SET/INSERT maps whose keys collide case-insensitively") {

@@ -435,7 +435,7 @@ object DeletionVectors {
 
   /** Write a DV file (version byte + one entry) and return its descriptor
     * (storageType `u`) — the write half of DV-based DELETE
-    * ([[graft.ops.DvDelete]]) and the fixture builder for tests. */
+    * ([[graft.ops.DvWriter]]) and the fixture builder for tests. */
   def writeDvFile(tablePath: Path, values: Array[Long],
                   conf: org.apache.hadoop.conf.Configuration): DeletionVectorDescriptor = {
     val data = encodeRoaringArray(values)

@@ -77,13 +77,25 @@ object Dml {
       s"$op: matched file $uri does not map back to a snapshot AddFile " +
         "(path-encoding mismatch) — refusing to silently skip it"))
 
+  /** Above this size a file-membership IN-list becomes a broadcast join —
+    * an isin over 100k paths is a megabyte-scale expression the planner
+    * chokes on. ONE constant for every membership site (fileSubset,
+    * MERGE's changed-file membership and distinct-partition early filter). */
+  private[graft] val MaxInListSize = 1000
+
+  /** True when the schema carries a data column colliding with the scan's
+    * reserved identity names — such tables can't take any path that needs
+    * withFileIdentity (Scan.readRaw refuses the collision loudly). */
+  private[graft] def hasReservedIdCols(schema: org.apache.spark.sql.types.StructType): Boolean =
+    schema.fieldNames.exists(n =>
+      n.equalsIgnoreCase("__file") || n.equalsIgnoreCase("__pos"))
+
   /** Restrict a with-identity scan to the given `__file` URIs — literal
-    * IN-list for small sets, broadcast semi-join above the threshold (an
-    * isin over 100k paths is a megabyte-scale expression the planner
-    * chokes on; same discipline as MERGE's changed-file membership). */
+    * IN-list for small sets, broadcast semi-join above the threshold
+    * (same discipline as MERGE's changed-file membership). */
   private[graft] def fileSubset(df: DataFrame, uris: Seq[String]): DataFrame =
     if (uris.isEmpty) df.filter(lit(false))
-    else if (uris.size <= 1000) df.filter(col("__file").isin(uris: _*))
+    else if (uris.size <= MaxInListSize) df.filter(col("__file").isin(uris: _*))
     else {
       val spark = df.sparkSession
       import spark.implicits._
@@ -228,7 +240,8 @@ object DeleteOp {
         // full-width persisted scan instead (wide-predicate / object-store
         // shape) — same trade as UPDATE, measured on the bench delete row.
         val singleScan =
-          spark.conf.getOption("spark.graft.dml.singleScan").exists(_.toBoolean)
+          spark.conf.getOption("spark.graft.dml.singleScan").exists(_.toBoolean) &&
+            !Dml.hasReservedIdCols(snapshot.schema) // same fallback as UPDATE
         // identity columns only when a consumer exists (__pos for the DV
         // mask, __file for singleScan discovery/membership)
         val needId = useDv || singleScan
@@ -367,6 +380,17 @@ case class DvBlob(
   * dv-modes: positions never cross the driver. */
 object DvWriter {
 
+  /** Total-mask row cap; above it the caller rewrites instead (masks that
+    * big defeat the purpose). Overridable for tests via the spark conf
+    * `spark.graft.dv.maxMaskedRows`. */
+  val MaxMaskedRows = 50000000L
+
+  /** Per-FILE mask row cap, enforced inside the executor task building that
+    * file's blob (bounded task memory: the cap is checked while positions
+    * stream in, before the union array exists). Overridable via
+    * `spark.graft.dv.maxMaskedRowsPerFile`. */
+  val MaxMaskedRowsPerFile = 10000000L
+
   /** Union of two SORTED position arrays, deduplicated — single O(n) output
     * allocation instead of `(a ++ b).distinct.sorted`'s three copies. */
   private[ops] def unionSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
@@ -401,12 +425,12 @@ object DvWriter {
       hits: DataFrame): Option[(Seq[Action], Long)] = {
     val spark = table.spark
     val cap = spark.conf.getOption("spark.graft.dv.maxMaskedRows")
-      .map(_.toLong).getOrElse(DvDelete.MaxMaskedRows)
+      .map(_.toLong).getOrElse(DvWriter.MaxMaskedRows)
     // per-FILE cap enforced INSIDE the task, before any over-cap array is
     // built — a single hot file near the global cap must fail fast to the
     // rewrite path, not OOM the executor assembling its mask
     val perFileCap = spark.conf.getOption("spark.graft.dv.maxMaskedRowsPerFile")
-      .map(_.toLong).getOrElse(DvDelete.MaxMaskedRowsPerFile)
+      .map(_.toLong).getOrElse(DvWriter.MaxMaskedRowsPerFile)
 
     import spark.implicits._
     val tablePathStr = table.tablePath.toString
@@ -499,22 +523,6 @@ object DvWriter {
   }
 }
 
-/** DELETE-via-deletion-vector: mask matching rows instead of rewriting the
-  * file (delta-spark's DV delete; the reference reads DVs but rewrites on
-  * delete — this is the 100 TB-friendly extension). */
-object DvDelete {
-
-  /** Total-mask row cap; above it the caller rewrites instead (masks that
-    * big defeat the purpose). Overridable for tests via the spark conf
-    * `spark.graft.dv.maxMaskedRows`. */
-  val MaxMaskedRows = 50000000L
-
-  /** Per-FILE mask row cap, enforced inside the executor task building that
-    * file's blob (bounded task memory: the cap is checked while positions
-    * stream in, before the union array exists). Overridable via
-    * `spark.graft.dv.maxMaskedRowsPerFile`. */
-  val MaxMaskedRowsPerFile = 10000000L
-}
 
 /**
  * UPDATE — rewrite files containing matches; each SET column becomes
@@ -585,8 +593,14 @@ object UpdateOp {
     // later passes from cache — the shape for wide predicates or remote
     // object stores where a second storage pass costs more than the
     // cache write.
+    // singleScan is skipped (not failed) when a data column collides with
+    // the scan's reserved identity names: the perf conf must never turn a
+    // working DELETE/UPDATE into a reserved-name refusal (DV mode still
+    // requires identity and keeps its loud error — masks are impossible
+    // without row positions)
     val singleScan = !partitionOnly &&
-      spark.conf.getOption("spark.graft.dml.singleScan").exists(_.toBoolean)
+      spark.conf.getOption("spark.graft.dml.singleScan").exists(_.toBoolean) &&
+      !Dml.hasReservedIdCols(snapshot.schema)
     // file/row identity columns are only materialized when a consumer
     // exists (__pos feeds the DV mask; __file feeds singleScan discovery
     // and membership) — the plain-rewrite scan stays byte-identical to a
@@ -687,7 +701,12 @@ object UpdateOp {
     val cdc: Seq[Action] = phases("cdc")(
       if (cdcOn) {
         val pre = src.filter(predCol).withColumn(Dml.CDC_COL, lit("update_preimage"))
-        val post = src.filter(predCol).select(updatedCols: _*)
+        // recomputeGen like BOTH write paths: without it the postimage
+        // carried STALE generated columns (g = old price * 2) — values
+        // that never existed in the table, materialized downstream by any
+        // CDC consumer reconstructing state from postimages (writeCdc
+        // bypasses prepareForWrite, so nothing else catches the drift)
+        val post = recomputeGen(src.filter(predCol).select(updatedCols: _*))
           .withColumn(Dml.CDC_COL, lit("update_postimage"))
         Dml.writeCdc(spark, table, pre.unionByName(post), nIdx)
       } else Nil)

@@ -265,7 +265,7 @@ object MergeOp {
     // partition-key equi-pairs get an exact IN-list (capped) instead of a
     // range — far tighter pruning when keys are sparse across partitions
     // (merge/filter.rs: distinct-partition list path)
-    val maxInList = 1000
+    val maxInList = Dml.MaxInListSize
     lastCandidateFiles = -1
     val earlyPreds: Seq[Expression] =
       // by-source clauses touch all files; streaming mode forbids the extra
@@ -525,7 +525,7 @@ object MergeOp {
       // changed-file membership: a literal IN-list for small sets; above the
       // threshold a broadcast equi-join on __file (an isin over 100k paths
       // is a megabyte-scale expression the planner chokes on)
-      val maxChangedInList = 1000
+      val maxChangedInList = Dml.MaxInListSize
       val (withOpCf, fromChangedFiles) =
         if (changedFiles.isEmpty) (withOp, lit(false))
         else if (changedFiles.size <= maxChangedInList)

@@ -550,6 +550,49 @@ class Round14Spec extends AnyFunSuite {
       s"zero-mtime commits must survive cleanup (unknown age), got $commits")
   }
 
+  test("UPDATE CDC postimages recompute generated columns (no stale g in " +
+      "the change feed)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmpDir()
+    val genMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "price * 2").build()
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("price", DoubleType),
+      StructField("g", DoubleType, nullable = true, genMeta)))
+    DeltaTable.create(spark, dir, schema,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaTable.write(spark, Seq((1L, 5.0), (2L, 7.0)).toDF("id", "price"), dir,
+      mode = "append")
+    val t = DeltaTable.forPath(spark, dir)
+    t.update(Map("price" -> lit(10.0)), Some("id = 1"))
+    // the table row must carry g = 20 AND the postimage must agree — the
+    // stale shape (g = old price * 2 = 10) materialized a value that never
+    // existed in the table for every CDC consumer
+    assert(t.toDF.filter("id = 1").select("g").as[Double].head() == 20.0)
+    val post = t.loadCdf(2, Some(2))
+      .filter("_change_type = 'update_postimage'")
+      .select("g").as[Double].collect().toSeq
+    assert(post == Seq(20.0),
+      s"postimage must carry the RECOMPUTED generated column, got $post")
+  }
+
+  test("singleScan silently falls back when a data column collides with " +
+      "the scan's reserved identity names") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // __pos as a DATA column is legal on plain scans (readRaw's guard only
+    // fires when identity is requested) — the perf conf must not turn a
+    // working DELETE into a reserved-name refusal
+    DeltaTable.write(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "__pos"), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    val m = withSingleScan { t.delete(Some("id = 2")) }
+    assert(m("num_deleted_rows") == "1", m.toString)
+    assert(t.toDF.count() == 2)
+  }
+
   // ------------------------------------------------- case-colliding SET keys
 
   test("MERGE refuses SET/INSERT maps whose keys collide case-insensitively") {

@@ -1326,7 +1326,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
          |              ELSE CAST(len(list_filter(l, x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE) / CAST(len(l) AS DOUBLE) END AS frac_bullet_lines,
          |         CASE WHEN len(l) = 0 THEN 0.0
          |              ELSE CAST(len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE) / CAST(len(l) AS DOUBLE) END AS frac_ellipsis_lines,
-         |         CAST(len(list_filter(w, x -> lower(x) IN $stopList)) AS BIGINT) AS n_stopwords
+         |         CAST(len(list_distinct(list_filter([lower(x) FOR x IN w], x -> x IN $stopList))) AS BIGINT) AS n_stopwords
          |  FROM base)
          |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, symbol_word_ratio,
          |       frac_bullet_lines, frac_ellipsis_lines, n_stopwords,

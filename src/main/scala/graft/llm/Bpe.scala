@@ -65,14 +65,17 @@ object Bpe {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-    // checkpointed generations are RDD-released only at EXIT: a successor
-    // generation's lineage recomputes THROUGH the checkpoint's LogicalRDD
-    // on executor loss, so eagerly destroying a prior checkpoint's blocks
-    // would turn a recoverable block loss into a fatal "checkpoint block
-    // not found". (A localCheckpoint that FAILS mid-materialization can
-    // still leak its partial blocks — no handle survives the throw — but
-    // that is a failed-job path, not the old every-generation leak.)
-    val checkpointed = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // Only the MOST RECENT checkpoint is ever a live lineage root: every
+    // generation after checkpoint N roots at N (localCheckpoint truncates
+    // lineage, so N's blocks can never recompute from N-1 anyway — keeping
+    // ancestors adds zero recoverability), which means N-1 is releasable
+    // the moment N materializes eagerly. The old exit-only release pinned
+    // O(numMerges/checkpointEvery) full symbol-table copies simultaneously
+    // (100 copies at numMerges=1000, checkpointEvery=10) for a bounded
+    // 2-generation need. (A localCheckpoint that FAILS mid-materialization
+    // can still leak its partial blocks — no handle survives the throw —
+    // but that is a failed-job path, not a steady-state leak.)
+    var lastCheckpoint: Option[DataFrame] = None
     var done = false
     var i = 0
     try {
@@ -93,8 +96,9 @@ object Bpe {
           // layering persist+count on top stored the symbol table twice
           // and ran a redundant job on every checkpointEvery-th iteration
           if ((i + 1) % checkpointEvery == 0) {
-            next = next.localCheckpoint()
-            checkpointed += next
+            next = next.localCheckpoint() // eager: materialized on return
+            lastCheckpoint.foreach(release)
+            lastCheckpoint = Some(next)
           } else {
             next = next.persist(StorageLevel.MEMORY_AND_DISK)
             // a failed materialization must release the just-registered
@@ -113,7 +117,7 @@ object Bpe {
     // cached symbol table for the session lifetime (kmeans/dsir discipline)
     } finally {
       words.unpersist()
-      checkpointed.foreach(release)
+      lastCheckpoint.foreach(release)
     }
     import spark.implicits._
     merges.toSeq.zipWithIndex

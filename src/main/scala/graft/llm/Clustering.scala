@@ -66,10 +66,14 @@ object Clustering {
     require(k >= 1, "kmeans: k must be >= 1")
     require(iters >= 0, "kmeans: iters must be >= 0")
     // persisted for the loop: without it every Lloyd iteration (plus the
-    // init collect) re-scans and re-projects the full corpus from source
+    // init collect) re-scans and re-projects the full corpus from source.
+    // NaN-bearing vectors drop with NULLs: one NaN element makes EVERY
+    // distance NaN, Spark's NaN=NaN equality assigns the row to cluster 0,
+    // and the NaN __x sums then corrupt that centroid to NaN permanently
+    // (the empty-cluster fallback preserves it — k silently became k-1)
     val base = corpus.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull && !exists(col("__v"), x => isnan(x)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
 
@@ -79,6 +83,10 @@ object Clustering {
     var centroids: Array[Array[Double]] = base.orderBy(col("__id")).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     require(centroids.nonEmpty, "kmeans: corpus has no non-null embeddings")
+    require(centroids.length == k,
+      s"kmeans: corpus has only ${centroids.length} usable embeddings for " +
+        s"k=$k — a silently smaller model would surprise every consumer " +
+        "that persisted 'the k-cell quantizer' (pass a smaller k)")
     val dim = centroids(0).length
     require(centroids.forall(_.length == dim),
       s"kmeans: mixed embedding widths in the init sample " +
@@ -128,7 +136,10 @@ object Clustering {
     requireWidth(corpus, vecCol, centroids(0).length, "kmeansAssign")
     val v = col(vecCol).cast("array<double>")
     corpus
-      .filter(col(vecCol).isNotNull)
+      // NaN-bearing vectors drop like NULLs (all-NaN distances would pin
+      // the row to cluster 0 with dist2=NaN — the half-garbage rows this
+      // contract forbids), matching training's filter
+      .filter(col(vecCol).isNotNull && !exists(v, x => isnan(x)))
       .withColumn("__d", distArr(v, centroids))
       .withColumn("cluster", argminCluster(col("__d")))
       .withColumn("dist2", element_at(col("__d"), col("cluster") + 1))

@@ -33,9 +33,14 @@ object Dedup {
     // ids would aggregate to one all-NULL row (keys included). The ordering
     // key is therefore a never-NULL struct with a null flag first: NULL ids
     // sort before every real id (the window version's asc_nulls_first), and
-    // the struct itself is always comparable.
+    // the struct itself is always comparable. A full-row hash is the LAST
+    // tiebreak: rows that tie on (keyCols, idCol) — routine id collisions
+    // in scraped data — but differ in payload (source URL, timestamp)
+    // previously surfaced whichever row arrived first in its partition,
+    // silently breaking the documented run-to-run reproducibility.
     val ord = struct(when(col(idCol).isNull, 0).otherwise(1).as("__nn"),
-      col(idCol).as("__id"))
+      col(idCol).as("__id"),
+      xxhash64(cols.map(col): _*).as("__rh"))
     df.groupBy(keyCols.map(col): _*)
       .agg(min_by(struct(cols.map(col): _*), ord).as("__keep"))
       .select(cols.map(c => col("__keep")(c).as(c)): _*)
@@ -434,31 +439,33 @@ object Dedup {
     val candidates = sB.join(cB,
         col("__band") === col("__band2") && col("__bh") === col("__bh2"))
       .select("shard_id", "corpus_id").distinct()
+    jaccardVerified(candidates, "shard_id", sAgg, "corpus_id", cAgg, threshold)
+  }
+
+  /** THE exact-Jaccard verification tail — one definition for the
+    * same-corpus ([[verifyJaccard]]) and cross-corpus
+    * ([[crossCandidatesVerified]]) paths (they had byte-identical copies;
+    * a threshold or union-formula tweak applied to one would silently
+    * diverge minhashNearDups from crossNearDups). */
+  private def jaccardVerified(candidates: DataFrame,
+      aCol: String, aSets: DataFrame, bCol: String, bSets: DataFrame,
+      threshold: Double): DataFrame = {
     val withSets = candidates
-      .join(sAgg.select(col("__id").as("shard_id"), col("__hs").as("__hsa")), "shard_id")
-      .join(cAgg.select(col("__id").as("corpus_id"), col("__hs").as("__hsb")), "corpus_id")
+      .join(aSets.select(col("__id").as(aCol), col("__hs").as("__hsa")), aCol)
+      .join(bSets.select(col("__id").as(bCol), col("__hs").as("__hsb")), bCol)
     val inter = size(array_intersect(col("__hsa"), col("__hsb"))).cast("double")
     val union = (size(col("__hsa")) + size(col("__hsb"))).cast("double") - inter
     withSets
       .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= threshold)
-      .select("shard_id", "corpus_id", "jaccard")
+      .select(aCol, bCol, "jaccard")
   }
 
   /** Exact Jaccard verification: join candidate (id_a, id_b) pairs to the
     * per-doc shingle-hash sets (`__id`, `__hs`) and keep pairs ≥ threshold. */
   private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
-      threshold: Double): DataFrame = {
-    val withSets = candidates
-      .join(sets.select(col("__id").as("id_a"), col("__hs").as("__hsa")), "id_a")
-      .join(sets.select(col("__id").as("id_b"), col("__hs").as("__hsb")), "id_b")
-    val inter = size(array_intersect(col("__hsa"), col("__hsb"))).cast("double")
-    val union = (size(col("__hsa")) + size(col("__hsb"))).cast("double") - inter
-    withSets
-      .withColumn("jaccard", inter / union)
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
+      threshold: Double): DataFrame =
+    jaccardVerified(candidates, "id_a", sets, "id_b", sets, threshold)
 
   /** Default posting-list cap for the inverted-index near-dup joins:
     * 1% of the corpus, floored at 1000 (small corpora keep effectively

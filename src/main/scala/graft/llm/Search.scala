@@ -68,10 +68,25 @@ object Search {
     require(k1 >= 0.0, s"bm25TopK: k1 must be >= 0, got $k1")
     require(b >= 0.0 && b <= 1.0, s"bm25TopK: b must be in [0, 1], got $b")
 
-    val docs = corpus
+    val docs0 = corpus
       .select(col(docIdCol).as("doc_id"),
         TextOps.words(TextOps.normalize(col(textCol))).as("__ws"))
       .withColumn("__dl", size(col("__ws")).cast("long"))
+    // the N/avgdl aggregate AND the scoring pass both consume the
+    // tokenized corpus: evaluate the (possibly expensive or
+    // NON-DETERMINISTIC) upstream lineage exactly once through an
+    // RDD-level persist the ContextCleaner can reclaim — the
+    // Dedup.resolveDocFreqCap discipline (a Dataset.persist would leak one
+    // cached corpus per call for the session; a double evaluation could
+    // score a different corpus than the one N/avgdl were computed from,
+    // shifting every BM25 score). An already-persisted input is used
+    // as-is (its cache lifecycle belongs to the caller).
+    val docs =
+      if (corpus.storageLevel != org.apache.spark.storage.StorageLevel.NONE) docs0
+      else {
+        val rdd = docs0.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        corpus.sparkSession.createDataFrame(rdd, docs0.schema)
+      }
 
     // Corpus-wide constants: N and avgdl. One 1-row aggregate; the division
     // is a single IEEE op so an external engine recomputing

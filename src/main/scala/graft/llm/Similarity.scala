@@ -135,10 +135,25 @@ object Similarity {
     val c = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         dot(col(vecCol), col(vecCol)).as("__cn2"))
+    // in-plan width/element guard, POST-HOC: pairCos maps zero norms and
+    // NaN to -1.0 and NULL only survives from a NULL dot — i.e. a width
+    // mismatch (zip_with null-pads) or a NULL vector element. Previously
+    // a 384-dim query against a 512-dim corpus "ranked" k lowest-id
+    // neighbors with cos=NULL for every pair — the silent garbage every
+    // other ranker guards against, missing only from the brute-force
+    // baseline. One null check per pair (a per-pair size() comparison
+    // measured ~20-40% slower; a pre-join width probe costs an extra job).
     topK(c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
+      // bound column FIRST (the distArr discipline: lambda-bearing dot is
+      // excluded from subexpression elimination — inlining it into the
+      // guard too would run the whole dot twice per pair)
       .withColumn("cos",
-        pairCos(dot(col("__qv"), col("__cv")), col("__qn2"), col("__cn2"))), k)
+        pairCos(dot(col("__qv"), col("__cv")), col("__qn2"), col("__cn2")))
+      .withColumn("cos",
+        when(col("cos").isNotNull, col("cos")).otherwise(raise_error(lit(
+          "cosineTopK: NULL cosine — mismatched embedding widths " +
+            "(or NULL vector elements) between query and corpus")))), k)
   }
 
   /** Deterministic pseudo-random hyperplanes: `nBits` rows × `dim` values in
@@ -406,8 +421,15 @@ object Similarity {
     requireDim(queries, vecCol, dim, "quantizedTopK queries")
     val v = col(vecCol).cast("array<double>")
 
-    // one broadcastable row of per-dimension [min, max] over the corpus
-    val stats = broadcast(corpus.select(v.as("__v")).agg(
+    // one broadcastable row of per-dimension [min, max] over the corpus.
+    // NaN elements map to NULL first (nanvl): NaN sorts GREATEST in Spark
+    // aggregates, so one bad corpus row previously poisoned that
+    // dimension's max — every code computed round(NaN), which throws
+    // CAST_INVALID_INPUT under ANSI (whole query dead on one row) or
+    // silently zeroed the dimension with ANSI off. NULL already rides the
+    // aggregate/code NULL handling.
+    val statsOf = (vc: Column) => transform(vc, x => nanvl(x, lit(null)))
+    val stats = broadcast(corpus.select(statsOf(v).as("__v")).agg(
       array((0 until dim).map(i => min(element_at(col("__v"), i + 1))): _*).as("__mn"),
       array((0 until dim).map(i => max(element_at(col("__v"), i + 1))): _*).as("__mx")))
 
@@ -427,14 +449,18 @@ object Similarity {
             round((x - mn) * lit(255.0) / (mx - mn)).cast("long"))))
       })
 
-    // NULL embeddings drop on BOTH sides (the pqTopK discipline): a NULL
-    // query otherwise "ranks" the k lowest-id docs with NULL scores
+    // NULL and NaN-bearing embeddings drop on BOTH sides (the pqTopK
+    // discipline, extended: a NaN element carries no geometry either —
+    // passing it through produced a NULL code whose products silently
+    // mis-ranked the row, or an ANSI cast error)
+    def usable(vc: Column): Column =
+      vc.isNotNull && !exists(vc, x => isnan(x))
     val c = corpus.select(col(idCol).as("neighbor_id"), v.as("__cv"))
-      .filter(col("__cv").isNotNull)
+      .filter(usable(col("__cv")))
       .crossJoin(stats)
       .select(col("neighbor_id"), codes(col("__cv")).as("__cc"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), v.as("__qv"))
-      .filter(col("__qv").isNotNull)
+      .filter(usable(col("__qv")))
       .crossJoin(stats)
       .select(col("query_id"), codes(col("__qv")).as("__qc")))
 

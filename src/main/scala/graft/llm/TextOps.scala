@@ -267,7 +267,8 @@ object TextOps {
    *  - `symbol_word_ratio` — '#' and ellipsis ('...'/'…') hits per word
    *  - `frac_bullet_lines` / `frac_ellipsis_lines` — lines starting with a
    *    bullet ('-', '*', '•') / ending with an ellipsis
-   *  - `n_stopwords` — hits from [[gopherStopwords]]
+   *  - `n_stopwords` — DISTINCT [[gopherStopwords]] present (the A1.1
+   *    rule counts membership, not hit multiplicity)
    *  - `quality_pass` — the conjunction with Gopher's thresholds
    *
    * Tokenization is the raw whitespace-run split (punctuation KEPT — the
@@ -289,8 +290,12 @@ object TextOps {
     // WsCls, not Java \s: the oracle's RE2 '\s' excludes VT (U+000B)
     val bulletLines = size(filter(lines, l => l.rlike(s"^$WsCls*[-*•]"))).cast("long")
     val ellipsisLines = size(filter(lines, l => l.rlike(s"(\\.\\.\\.|…)$WsCls*$$"))).cast("long")
-    val stopHits = size(filter(transform(w, s => lower(s)),
-      s => gopherStopwords.map(m => s === lit(m)).reduce(_ || _))).cast("long")
+    // DISTINCT stop words present, not hit multiplicity: the cited rule
+    // (Rae et al. 2021 A1.1, as implemented in DataTrove/Dolma) requires
+    // at least two OF the stop words — a keyword-stuffed doc repeating
+    // only "the" twenty times previously scored n_stopwords=20 and passed
+    val stopHits = size(array_distinct(filter(transform(w, s => lower(s)),
+      s => gopherStopwords.map(m => s === lit(m)).reduce(_ || _)))).cast("long")
     def ratio(num: Column, den: Column): Column =
       when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
     // mean word length from the BOUND token array — meanWordLen(t) would
@@ -399,6 +404,13 @@ object TextOps {
    * on the probe side) → per-doc regroup. Documents with no bigram
    * (< 2 words) return ratio 0.0 — they are POOR evidence of rarity, and
    * 0.0-not-NULL keeps threshold filters total.
+   *
+   * Tokenizes the RAW text (the gopherQuality posture), so case and
+   * punctuation variants count as distinct bigrams — pass a
+   * pre-[[normalize]]d column when folded statistics are wanted (the
+   * bigramLmScore/bm25 family normalizes internally; this op leaves the
+   * choice to the caller because rarity of the raw surface form is itself
+   * a signal for OCR noise).
    */
   def rareBigramRatio(df: DataFrame, idCol: String, textCol: String,
       minCount: Long): DataFrame = {
@@ -543,8 +555,19 @@ object TextOps {
   def tfidfTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 1, s"tfidfTerms: k=$k")
-    val n = df.count() // one count job; N is part of the score contract
-    val toks = df.select(col(idCol), explode(words(normalize(col(textCol)))).as("__w"))
+    // count + scoring both consume the corpus: one RDD-persisted
+    // evaluation (the Dedup.resolveDocFreqCap discipline — a
+    // non-deterministic upstream re-evaluated for the scoring pass could
+    // disagree with the N the scores embed); already-persisted inputs are
+    // the caller's cache
+    val src =
+      if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+      else {
+        val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.sparkSession.createDataFrame(rdd, df.schema)
+      }
+    val n = src.count() // one count job; N is part of the score contract
+    val toks = src.select(col(idCol), explode(words(normalize(col(textCol)))).as("__w"))
     val tf = toks.groupBy(col(idCol), col("__w"))
       .agg(count(lit(1)).as("__tf"))
     val dfreq = tf.groupBy("__w").agg(count(lit(1)).as("__df"))

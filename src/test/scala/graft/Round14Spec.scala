@@ -593,6 +593,41 @@ class Round14Spec extends AnyFunSuite {
     assert(t.toDF.count() == 2)
   }
 
+  // ---------------------------------------------------------- llm hardening
+
+  test("cosineTopK refuses mismatched embedding widths instead of ranking " +
+      "NULL-cos garbage; NaN vectors drop from kmeans/quantized like NULLs") {
+    import spark.implicits._
+    val corpus = Seq((1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0)))
+      .toDF("id", "vec")
+    val q384 = Seq((10L, Seq(1.0, 0.0))).toDF("id", "vec") // wrong width
+    val e = intercept[Exception] {
+      graft.llm.Similarity.cosineTopK(corpus, q384, "id", "vec", k = 1).collect()
+    }
+    assert(e.getMessage.contains("mismatched embedding widths"), e.getMessage)
+    // matching widths still rank
+    val ok = graft.llm.Similarity.cosineTopK(corpus,
+      Seq((10L, Seq(1.0, 0.0, 0.0))).toDF("id", "vec"), "id", "vec", k = 1)
+    assert(ok.collect().map(_.getLong(1)).toSeq == Seq(1L))
+
+    // a NaN-bearing vector previously pinned itself to cluster 0 and
+    // corrupted that centroid to NaN permanently
+    val withNan = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(4.0, 4.0)),
+      (3L, Seq(Double.NaN, 1.0))).toDF("id", "vec")
+    val cs = graft.llm.Clustering.kmeansCentroids(withNan, "id", "vec",
+      k = 2, iters = 2)
+    assert(cs.forall(_.forall(x => !x.isNaN)),
+      s"NaN vector corrupted a centroid: ${cs.map(_.mkString(",")).mkString(" | ")}")
+    val assigned = graft.llm.Clustering.kmeansAssign(withNan, "id", "vec", cs)
+    assert(assigned.count() == 2, "the NaN vector must drop like a NULL")
+    // kmeans k > usable embeddings refuses loudly instead of silently
+    // shrinking the model
+    val e2 = intercept[IllegalArgumentException] {
+      graft.llm.Clustering.kmeansCentroids(withNan, "id", "vec", k = 5, iters = 1)
+    }
+    assert(e2.getMessage.contains("usable embeddings"), e2.getMessage)
+  }
+
   // ------------------------------------------------- case-colliding SET keys
 
   test("MERGE refuses SET/INSERT maps whose keys collide case-insensitively") {

@@ -178,14 +178,42 @@ object DeleteOp {
     * reading the cache, never a second storage scan of the hit files. */
   @volatile var lastPhases: Map[String, Double] = Map.empty
 
-  def run(table: DeltaTable, predicate: Option[String]): Map[String, String] = {
+  /** Zeroed DELETE metrics with the replay marker (MergeOp's
+    * replaySkippedMetrics shape — one convention across the DML surface). */
+  private def replaySkippedMetrics(t0: Long): Map[String, String] = Map(
+    "num_removed_files" -> "0",
+    "num_added_files" -> "0",
+    "num_deleted_rows" -> "0",
+    "num_copied_rows" -> "0",
+    "replay_skipped" -> "true",
+    "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
+
+  def run(table: DeltaTable, predicate: Option[String],
+      appTxn: Option[(String, Long)] = None): Map[String, String] = {
     val spark = table.spark
     val t0 = System.nanoTime()
     val phases = new PhaseRecorder("delete")
     val snapshot = table.refresh()
+    // run-level idempotent-replay skip (reference CommitProperties
+    // app_transactions apply to every operation — kernel/transaction/
+    // mod.rs:1-117; delta-spark txnAppId/txnVersion): an (appId, version)
+    // at or below the table's recorded position no-ops BEFORE any scan.
+    // The commit retry loop re-fires the same check (checkConflicts →
+    // TransactionAlreadyAppliedException, caught below) so a replay racing
+    // this pre-check still resolves to exactly one application.
+    appTxn.foreach { case (app, ver) =>
+      if (snapshot.txns.get(app).exists(_ >= ver)) {
+        lastPhases = phases.acc.toMap
+        return replaySkippedMetrics(t0)
+      }
+    }
     ProtocolGate.checkAppendOnly(snapshot, "DELETE")
     val meta = snapshot.metadata
     val txn = table.startTransaction()
+    txn.idempotentTxn = appTxn
+    val txnActions = appTxn.map { case (app, ver) =>
+      SetTransaction(app, ver, Some(System.currentTimeMillis()))
+    }.toSeq
     val now = System.currentTimeMillis()
     val nIdx = WriteIntoDelta.numIndexedCols(meta)
 
@@ -214,9 +242,18 @@ object DeleteOp {
           "num_deleted_rows" -> deletedRows.toString,
           "num_copied_rows" -> "0",
           "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
-        table.commitAndRefresh(txn, removes ++ cdc,
-          Operation("DELETE", Map("predicate" -> "true"), metrics))
-        metrics
+        try {
+          table.commitAndRefresh(txn, removes ++ cdc ++ txnActions,
+            Operation("DELETE", Map("predicate" -> "true"), metrics))
+          metrics
+        } catch {
+          // a racing replay of the same (appId, version) won: already
+          // applied — no-op like the pre-check path, refreshed so the
+          // caller's handle sees the applied state (MergeOp contract)
+          case _: TransactionAlreadyAppliedException =>
+            table.refresh()
+            replaySkippedMetrics(t0)
+        }
 
       case Some(pred) =>
         val predExpr = Scan.parsePredicate(spark, pred)
@@ -338,10 +375,19 @@ object DeleteOp {
              else math.max(0L, removedRows - keptRows) + dvDeletedRows).toString,
           "num_copied_rows" -> keptRows.toString,
           "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
-        phases("commit")(table.commitAndRefresh(txn,
-          protocolUpgrade ++ removes ++ rewriteAdds ++ dvActions ++ cdc,
-          Operation("DELETE", Map("predicate" -> pred), metrics)))
-        metrics
+        try {
+          phases("commit")(table.commitAndRefresh(txn,
+            protocolUpgrade ++ removes ++ rewriteAdds ++ dvActions ++ cdc ++ txnActions,
+            Operation("DELETE", Map("predicate" -> pred), metrics)))
+          metrics
+        } catch {
+          // replay race lost after the pre-check: the written rewrite/DV
+          // files become unreferenced orphans (VACUUM reaps them like any
+          // aborted commit's); report the skip, not a failure
+          case _: TransactionAlreadyAppliedException =>
+            table.refresh()
+            replaySkippedMetrics(t0)
+        }
         } finally {
           cached.foreach(_.unpersist())
           lastPhases = phases.acc.toMap
@@ -539,14 +585,33 @@ object UpdateOp {
     * the hit files. */
   @volatile var lastPhases: Map[String, Double] = Map.empty
 
+  /** Zeroed UPDATE metrics with the replay marker (MergeOp's
+    * replaySkippedMetrics shape — one convention across the DML surface). */
+  private def replaySkippedMetrics(t0: Long): Map[String, String] = Map(
+    "num_added_files" -> "0",
+    "num_removed_files" -> "0",
+    "num_updated_rows" -> "0",
+    "num_copied_rows" -> "0",
+    "replay_skipped" -> "true",
+    "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
+
   def run(
       table: DeltaTable,
       set: Map[String, Column],
-      predicate: Option[String]): Map[String, String] = {
+      predicate: Option[String],
+      appTxn: Option[(String, Long)] = None): Map[String, String] = {
     val spark = table.spark
     val t0 = System.nanoTime()
     val phases = new PhaseRecorder("update")
     val snapshot = table.refresh()
+    // run-level idempotent-replay skip before any scan (same contract and
+    // TOCTOU closure as DELETE above / MergeOp.run)
+    appTxn.foreach { case (app, ver) =>
+      if (snapshot.txns.get(app).exists(_ >= ver)) {
+        lastPhases = phases.acc.toMap
+        return replaySkippedMetrics(t0)
+      }
+    }
     ProtocolGate.checkAppendOnly(snapshot, "UPDATE")
     val meta = snapshot.metadata
     val nIdx = WriteIntoDelta.numIndexedCols(meta)
@@ -559,6 +624,10 @@ object UpdateOp {
 
     val pred = predicate.getOrElse("true")
     val txn = table.startTransaction()
+    txn.idempotentTxn = appTxn
+    val txnActions = appTxn.map { case (app, ver) =>
+      SetTransaction(app, ver, Some(System.currentTimeMillis()))
+    }.toSeq
     val predExpr = Scan.parsePredicate(spark, pred)
     txn.readPredicate(predExpr)
 
@@ -566,8 +635,18 @@ object UpdateOp {
       val metrics = Map("num_added_files" -> "0", "num_removed_files" -> "0",
         "num_updated_rows" -> "0", "num_copied_rows" -> "0",
         "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
-      table.commitAndRefresh(txn, Nil, Operation("UPDATE", Map("predicate" -> pred), metrics))
-      metrics
+      // the txn action still rides a no-match commit: the (appId, version)
+      // position advances — a replayed batch that happened to match nothing
+      // must not re-run forever, and a LOWER later version must conflict
+      try {
+        table.commitAndRefresh(txn, txnActions,
+          Operation("UPDATE", Map("predicate" -> pred), metrics))
+        metrics
+      } catch {
+        case _: TransactionAlreadyAppliedException =>
+          table.refresh()
+          replaySkippedMetrics(t0)
+      }
     }
 
     val candidates = Scan.prunedFiles(snapshot, Seq(predExpr), Some(spark))
@@ -717,9 +796,17 @@ object UpdateOp {
       "num_updated_rows" -> updatedRows.toString,
       "num_copied_rows" -> math.max(0L, totalRows - updatedRows).toString,
       "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
-    phases("commit")(table.commitAndRefresh(txn, actions ++ cdc,
-      Operation("UPDATE", Map("predicate" -> pred), metrics)))
-    metrics
+    try {
+      phases("commit")(table.commitAndRefresh(txn, actions ++ cdc ++ txnActions,
+        Operation("UPDATE", Map("predicate" -> pred), metrics)))
+      metrics
+    } catch {
+      // replay race lost after the pre-check: written files become
+      // unreferenced orphans (VACUUM-reaped); report the skip, refreshed
+      case _: TransactionAlreadyAppliedException =>
+        table.refresh()
+        replaySkippedMetrics(t0)
+    }
     // unpersist in finally, not on the success path only: a failed rewrite
     // (constraint raise_error, commit conflict) would otherwise leak the
     // cached hit-file scan for the session (MERGE's persist has the same

@@ -199,11 +199,19 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
 
   // ---- DML ----
 
-  def delete(predicate: Option[String] = None): Map[String, String] =
-    DeleteOp.run(this, predicate)
+  /** `appTxn`: optional (appId, version) idempotency marker — the delete
+    * rides a `txn` action and an already-applied replay no-ops with
+    * `replay_skipped` metrics (reference CommitProperties app_transactions,
+    * kernel/transaction/mod.rs:1-117; same contract as
+    * [[graft.ops.MergeBuilder.withAppTransaction]]). */
+  def delete(predicate: Option[String] = None,
+             appTxn: Option[(String, Long)] = None): Map[String, String] =
+    DeleteOp.run(this, predicate, appTxn)
 
-  def update(set: Map[String, Column], predicate: Option[String] = None): Map[String, String] =
-    UpdateOp.run(this, set, predicate)
+  /** `appTxn`: idempotency marker, see [[delete]]. */
+  def update(set: Map[String, Column], predicate: Option[String] = None,
+             appTxn: Option[(String, Long)] = None): Map[String, String] =
+    UpdateOp.run(this, set, predicate, appTxn)
 
   def merge(source: DataFrame, condition: String): MergeBuilder =
     new MergeBuilder(this, source, condition)

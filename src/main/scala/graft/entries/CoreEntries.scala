@@ -1174,8 +1174,12 @@ object CoreEntries {
       graft.ops.IncrementalAgg.refresh(up, tgt, keys, Seq("cents"))
       up.delete(Some("cents < 5000000"))
       up.update(Map("cents" -> expr("cents + 7")), Some("o_orderkey % 7 = 0"))
+      // appended keys past the real domain (output-invisible — o_orderkey
+      // is aggregated away — but data-derived anyway: no fixed-offset
+      // literals survive in entries, grep-verifiable)
+      val okOff = base.agg(max("o_orderkey")).head.getLong(0) + 1
       DeltaTable.write(s, base.filter("o_orderkey % 1000 = 1")
-        .withColumn("o_orderkey", col("o_orderkey") + 20000000), dir,
+        .withColumn("o_orderkey", col("o_orderkey") + okOff), dir,
         mode = "append")
       graft.ops.IncrementalAgg.refresh(up, tgt, keys, Seq("cents"))
       val m3 = graft.ops.IncrementalAgg.refresh(up, tgt, keys, Seq("cents"))
@@ -1770,10 +1774,14 @@ object CoreEntries {
       val ord = pq(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
       val src = tempDir("stups_src")
       DeltaTable.write(s, ord.withColumn("seq", lit(0L)), src)
+      // insert keys offset past the ACTUAL key domain (max+1, the
+      // merge_upsert sf1 lesson — a fixed literal collides once a larger
+      // SF's keys cross it); the oracle replays it as a scalar subquery
+      val okOff = ord.agg(max("o_orderkey")).head.getLong(0) + 1
       val changes = ord.filter("o_orderkey % 2 = 0")
         .withColumn("o_totalprice", col("o_totalprice") + 100.0)
         .unionByName(ord.filter("o_orderkey % 100 = 0")
-          .withColumn("o_orderkey", col("o_orderkey") + 10000000))
+          .withColumn("o_orderkey", col("o_orderkey") + okOff))
         .withColumn("seq", lit(1L))
       DeltaTable.write(s, changes, src, mode = "append")
       val tgt = tempDir("stups_tgt")
@@ -1798,7 +1806,7 @@ object CoreEntries {
         |  SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice
         |  FROM orders WHERE o_orderkey % 2 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders), o_custkey, o_totalprice
         |  FROM orders WHERE o_orderkey % 100 = 0)
         |SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
         |       COALESCE(c.o_custkey, b.o_custkey) AS o_custkey,
@@ -2062,8 +2070,91 @@ object CoreEntries {
         |       CAST(1690000000001 AS BIGINT) AS resolved_ts_ms
         |FROM nation WHERE n_nationkey % 3 <= 1""".stripMargin)))
 
+  private val round15Entries = Seq(
+    // run-level idempotent replay for DELETE/UPDATE (§2.7 row 44 extension;
+    // reference CommitProperties app_transactions apply to EVERY operation
+    // — kernel/transaction/mod.rs:1-117): one appId advances through an
+    // UPDATE, a DELETE, and a second UPDATE like a resumed change-stream
+    // position; each replayed delivery no-ops with marked zeroed metrics.
+    // The '_u'/'_v' concats make a double-application oracle-visible.
+    Entry("dml_idempotent_replay", (s, d) => {
+      val dir = tempDir("dmlir")
+      DeltaTable.write(s, pq(s, d, "region"), dir)
+      val t = DeltaTable.forPath(s, dir)
+      def upd(ver: Long, suffix: String): Map[String, String] =
+        t.update(Map("r_name" -> concat(col("r_name"), lit(suffix))),
+          appTxn = Some(("r15dml", ver)))
+      val u1 = upd(1L, "_u")
+      require(u1.get("replay_skipped").isEmpty && u1("num_updated_rows").toLong > 0,
+        s"dml_idempotent_replay: first UPDATE must apply, got $u1")
+      val uReplay = upd(1L, "_u")
+      require(uReplay.get("replay_skipped").contains("true") &&
+        uReplay("num_updated_rows") == "0",
+        s"dml_idempotent_replay: UPDATE replay of (r15dml, 1) must skip, got $uReplay")
+      val d2 = t.delete(Some("r_regionkey >= 3"), appTxn = Some(("r15dml", 2L)))
+      require(d2.get("replay_skipped").isEmpty && d2("num_deleted_rows").toLong > 0,
+        s"dml_idempotent_replay: DELETE at version 2 must apply, got $d2")
+      val dReplay = t.delete(Some("r_regionkey >= 3"), appTxn = Some(("r15dml", 2L)))
+      require(dReplay.get("replay_skipped").contains("true") &&
+        dReplay("num_deleted_rows") == "0",
+        s"dml_idempotent_replay: DELETE replay of (r15dml, 2) must skip, got $dReplay")
+      // at-or-BELOW the recorded position skips too (positional, not exact)
+      val uLow = upd(1L, "_never")
+      require(uLow.get("replay_skipped").contains("true"),
+        s"dml_idempotent_replay: version 1 after 2 must skip, got $uLow")
+      val u3 = upd(3L, "_v")
+      require(u3.get("replay_skipped").isEmpty && u3("num_updated_rows").toLong > 0,
+        s"dml_idempotent_replay: UPDATE at version 3 must apply, got $u3")
+      require(t.txnVersion("r15dml").contains(3L),
+        "dml_idempotent_replay: table must record the latest applied version")
+      t.toDF
+    }, Some(
+      """SELECT r_regionkey, concat(r_name, '_u_v') AS r_name
+        |FROM region WHERE r_regionkey < 3""".stripMargin)),
+
+    // LogCleanup mtime-0 fail-safe (r14 fix, kernel LogCleanup.run): the
+    // object-store list parsers degrade an unparseable/absent LastModified
+    // to mtime 0, and 0 < cutoff reads "expired" — without the unknown-age
+    // guard, ONE cleanup against such a listing deletes the ENTIRE
+    // pre-checkpoint retention window. Replays a cleanup on a
+    // degraded-mtime log and requires every commit to survive, then proves
+    // the same cleanup still reaps once real aged mtimes are visible (the
+    // guard defers deletion, it must not disable cleanup forever).
+    Entry("log_cleanup_mtime0", (s, d) => {
+      val dir = tempDir("lcm0")
+      val ord = pq(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      DeltaTable.write(s, ord.filter("o_orderkey % 3 = 0"), dir,
+        configuration = Map(
+          "delta.logRetentionDuration" -> "interval 1 millisecond",
+          "delta.checkpointInterval" -> "1000"))
+      DeltaTable.write(s, ord.filter("o_orderkey % 3 = 1"), dir, mode = "append")
+      DeltaTable.write(s, ord.filter("o_orderkey % 3 = 2"), dir, mode = "append")
+      val t = DeltaTable.forPath(s, dir)
+      t.createCheckpoint()
+      val fs = t.tablePath.getFileSystem(s.sessionState.newHadoopConf())
+      val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+      def logNames() = fs.listStatus(logDir).map(_.getPath.getName).toSet
+      val preCommits = logNames().filter(n => n.matches("\\d{20}\\.json") &&
+        n.stripSuffix(".json").toLong < t.version)
+      require(preCommits.nonEmpty,
+        "log_cleanup_mtime0: no pre-checkpoint commits to protect")
+      // degraded store: every log file's mtime reads 0
+      fs.listStatus(logDir).foreach(f => fs.setTimes(f.getPath, 0L, 0L))
+      t.cleanupMetadata()
+      val lost = preCommits -- logNames()
+      require(lost.isEmpty, "log_cleanup_mtime0: degraded-mtime cleanup " +
+        s"deleted the retention window: ${lost.mkString(",")}")
+      // real aged mtimes: the same cleanup now reaps everything expired
+      fs.listStatus(logDir).foreach(f => fs.setTimes(f.getPath, 1000L, 1000L))
+      t.cleanupMetadata()
+      val leftover = preCommits.intersect(logNames())
+      require(leftover.isEmpty, "log_cleanup_mtime0: aged pre-checkpoint " +
+        s"commits survived the unblocked cleanup: ${leftover.mkString(",")}")
+      DeltaTable.forPath(s, dir).toDF
+    }, Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders")))
+
   val entries: Seq[Entry] =
     scanEntries ++ sqlEntries ++ writeEntries ++ dmlEntries ++
-      maintenanceEntries ++ round3Entries ++ eventEntries ++ round13Entries :+
-      asofEntry :+ profileEntry
+      maintenanceEntries ++ round3Entries ++ eventEntries ++ round13Entries ++
+      round15Entries :+ asofEntry :+ profileEntry
 }

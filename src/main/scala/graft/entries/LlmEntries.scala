@@ -31,10 +31,25 @@ object LlmEntries {
       require(df.limit(1).count() == 1, s"$what is empty at this SF")
     })
 
+  // Planted-copy id offsets derived from the DATA (max+1), never fixed
+  // literals: the sf1 probe proved the literal class collides when a larger
+  // SF's ids cross them (merge_upsert's +1M vs 1.5M keys at sf1). Cached
+  // per sfDir; the oracles replay the same value via a scalar subquery
+  // (SELECT max(doc_id) + 1 FROM documents).
+  private val offsetCache = scala.collection.concurrent.TrieMap[String, Long]()
+  private def docOffset(s: SparkSession, d: String): Long =
+    offsetCache.getOrElseUpdate(s"$d#doc",
+      pq(s, d, "documents").agg(max("doc_id")).head.getLong(0) + 1)
+  private def vecOffset(s: SparkSession, d: String): Long =
+    offsetCache.getOrElseUpdate(s"$d#vec",
+      pq(s, d, "embeddings").agg(max("vec_id")).head.getLong(0) + 1)
+  private val docOffSql = "(SELECT max(doc_id) + 1 FROM documents)"
+  private val vecOffSql = "(SELECT max(vec_id) + 1 FROM embeddings)"
+
   private def corpusWithNearDups(s: SparkSession, d: String): DataFrame = {
     val docs = docsDelta(s, d).select("doc_id", "text")
     val mut = docs.filter("doc_id % 10 = 0")
-      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("doc_id", col("doc_id") + docOffset(s, d))
       .withColumn("text", concat(col("text"), lit(" zz extra token")))
     requirePlanted(s"$d#neardups", mut,
       "corpusWithNearDups: planted near-duplicate set")
@@ -59,9 +74,9 @@ object LlmEntries {
     }.mkString(", ")
 
   private val corpusSql =
-    """SELECT doc_id, text FROM documents
-      |UNION ALL
-      |SELECT doc_id + 1000000, text || ' zz extra token' FROM documents WHERE doc_id % 10 = 0""".stripMargin
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL
+       |SELECT doc_id + $docOffSql, text || ' zz extra token' FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   private def docsDelta(s: SparkSession, d: String): DataFrame =
     DeltaTable.forPath(s, sharedDelta(s, d, "documents")).toDF
@@ -642,7 +657,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
     Entry("llm_embedding_neardup", (s, d) => {
       val emb = embDelta(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val mut = emb.select((col("vec_id") + 1000000).as("vec_id"),
+      val mut = emb.select((col("vec_id") + vecOffset(s, d)).as("vec_id"),
         transform(col("v"), x => x * lit(2.0)).as("v"))
       Similarity.cosineNearDups(emb.unionByName(mut), "vec_id", "v",
         threshold = 0.95, nBits = 4, dim = 64)
@@ -652,7 +667,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |corpus AS (
          |  SELECT vec_id, v FROM base
-         |  UNION ALL SELECT vec_id + 1000000, [x * 2 FOR x IN v] FROM base),
+         |  UNION ALL SELECT vec_id + $vecOffSql, [x * 2 FOR x IN v] FROM base),
          |b AS (SELECT vec_id, v, $bucket AS bucket FROM corpus),
          |p AS (
          |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
@@ -670,7 +685,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
     Entry("llm_semdedup", (s, d) => {
       val emb = embDelta(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val mut = emb.select((col("vec_id") + 1000000).as("vec_id"),
+      val mut = emb.select((col("vec_id") + vecOffset(s, d)).as("vec_id"),
         transform(col("v"), x => x * lit(2.0)).as("v"))
       val corpus = emb.unionByName(mut)
       val pairs = Similarity.cosineNearDups(corpus, "vec_id", "v",
@@ -682,7 +697,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       s"""WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |corpus AS (
          |  SELECT vec_id, v FROM base
-         |  UNION ALL SELECT vec_id + 1000000, [x * 2 FOR x IN v] FROM base),
+         |  UNION ALL SELECT vec_id + $vecOffSql, [x * 2 FOR x IN v] FROM base),
          |b AS (SELECT vec_id, v, $bucket AS bucket FROM corpus),
          |pairs AS (
          |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
@@ -1382,10 +1397,14 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       val docs = docsDelta(s, d).select("doc_id", "text")
       // seed the corpus with exact copies and near-copies so both dedup
       // stages have real positives whose expected fate DuckDB can recompute
+      // disjoint planted-copy bands: near copies at [off, 2*off), exact
+      // copies at [2*off, 3*off) — off = max(doc_id)+1 keeps them disjoint
+      // from the base AND each other at every SF
+      val off = docOffset(s, d)
       val exactCopies = docs.filter("doc_id % 7 = 0")
-        .withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("doc_id", col("doc_id") + 2 * off)
       val nearCopies = docs.filter("doc_id % 10 = 0")
-        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("doc_id", col("doc_id") + off)
         .withColumn("text", concat(col("text"), lit(" zz extra token")))
       val corpus = docs.unionByName(exactCopies).unionByName(nearCopies)
 
@@ -1424,9 +1443,9 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+         |  SELECT doc_id + 2 * $docOffSql, text FROM documents WHERE doc_id % 7 = 0
          |  UNION ALL
-         |  SELECT doc_id + 1000000, text || ' zz extra token' FROM documents WHERE doc_id % 10 = 0),
+         |  SELECT doc_id + $docOffSql, text || ' zz extra token' FROM documents WHERE doc_id % 10 = 0),
          |scored AS (
          |  SELECT doc_id, text,
          |         CASE $cases ELSE 'und' END AS lang_pred,
@@ -1545,7 +1564,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
     Entry("llm_fuzzy_dedup", (s, d) => {
       val docs = docsDelta(s, d).select("doc_id", "text")
       val mut = docs.filter("doc_id % 7 = 0")
-        .withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("doc_id", col("doc_id") + docOffset(s, d))
         .withColumn("text", concat(col("text"), lit(" typoq xq")))
       Dedup.fuzzyNearDups(docs.unionByName(mut), "doc_id", "text",
         maxDist = 10, prefixLen = 16)
@@ -1553,7 +1572,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       val norm = normSql
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 2000000, text || ' typoq xq' FROM documents WHERE doc_id % 7 = 0),
+         |  UNION ALL SELECT doc_id + $docOffSql, text || ' typoq xq' FROM documents WHERE doc_id % 7 = 0),
          |n AS (SELECT doc_id, $norm AS nm FROM corpus),
          |p AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.nm, b.nm) AS dd
@@ -1653,7 +1672,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       def mkCorpus() = {
         val base = docsDelta(s, d).select("doc_id", "text", "lang")
         base.unionByName(base.filter("doc_id % 10 = 0")
-          .withColumn("doc_id", col("doc_id") + 1000000)
+          .withColumn("doc_id", col("doc_id") + docOffset(s, d))
           .withColumn("text", concat(col("text"), lit(" zz extra token"))))
       }
       val pairs = Dedup.minhashNearDups(mkCorpus().select("doc_id", "text"),
@@ -1684,7 +1703,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       s"""WITH RECURSIVE corpus AS (
          |  SELECT doc_id, text, lang FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000000, text || ' zz extra token', lang
+         |  SELECT doc_id + $docOffSql, text || ' zz extra token', lang
          |  FROM documents WHERE doc_id % 10 = 0),
          |$shingleClusterCtes,
          |assigned AS (

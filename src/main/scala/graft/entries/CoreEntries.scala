@@ -810,7 +810,7 @@ object CoreEntries {
       // identically by the oracle's scalar subquery — a fixed literal
       // collided with real keys at sf1 (max o_orderkey 1.5M > 1M), turning
       // the dup-free source into a duplicate-match error by construction
-      val offset = o.agg(max("o_orderkey")).head.getLong(0) + 1
+      val offset = o.agg(max("o_orderkey")).head().getLong(0) + 1
       val updates = o.filter("o_orderkey % 2 = 0")
       val inserts = o.filter("o_orderkey % 100 = 0")
         .withColumn("o_orderkey", col("o_orderkey") + offset)
@@ -1177,7 +1177,7 @@ object CoreEntries {
       // appended keys past the real domain (output-invisible — o_orderkey
       // is aggregated away — but data-derived anyway: no fixed-offset
       // literals survive in entries, grep-verifiable)
-      val okOff = base.agg(max("o_orderkey")).head.getLong(0) + 1
+      val okOff = base.agg(max("o_orderkey")).head().getLong(0) + 1
       DeltaTable.write(s, base.filter("o_orderkey % 1000 = 1")
         .withColumn("o_orderkey", col("o_orderkey") + okOff), dir,
         mode = "append")
@@ -1777,7 +1777,7 @@ object CoreEntries {
       // insert keys offset past the ACTUAL key domain (max+1, the
       // merge_upsert sf1 lesson — a fixed literal collides once a larger
       // SF's keys cross it); the oracle replays it as a scalar subquery
-      val okOff = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+      val okOff = ord.agg(max("o_orderkey")).head().getLong(0) + 1
       val changes = ord.filter("o_orderkey % 2 = 0")
         .withColumn("o_totalprice", col("o_totalprice") + 100.0)
         .unionByName(ord.filter("o_orderkey % 100 = 0")

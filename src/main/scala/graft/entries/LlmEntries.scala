@@ -39,10 +39,10 @@ object LlmEntries {
   private val offsetCache = scala.collection.concurrent.TrieMap[String, Long]()
   private def docOffset(s: SparkSession, d: String): Long =
     offsetCache.getOrElseUpdate(s"$d#doc",
-      pq(s, d, "documents").agg(max("doc_id")).head.getLong(0) + 1)
+      pq(s, d, "documents").agg(max("doc_id")).head().getLong(0) + 1)
   private def vecOffset(s: SparkSession, d: String): Long =
     offsetCache.getOrElseUpdate(s"$d#vec",
-      pq(s, d, "embeddings").agg(max("vec_id")).head.getLong(0) + 1)
+      pq(s, d, "embeddings").agg(max("vec_id")).head().getLong(0) + 1)
   private val docOffSql = "(SELECT max(doc_id) + 1 FROM documents)"
   private val vecOffSql = "(SELECT max(vec_id) + 1 FROM embeddings)"
 
@@ -275,7 +275,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
          |shard AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
-         |  UNION ALL SELECT doc_id + 900000, text || ' zz extra token'
+         |  UNION ALL SELECT doc_id + $docOffSql, text || ' zz extra token'
          |    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 6 = 1),
          |shc AS (
          |  ${shingleSelect("corpus")}),
@@ -1533,12 +1533,13 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
     // anti-join and keep-min relationally.
     Entry("llm_cross_dedup", (s, d) => {
       val docs = docsDelta(s, d).select("doc_id", "text", "source")
+      val off = docOffset(s, d)
       val corpus = docs.filter("doc_id % 3 != 0")
       val shard = docs.filter("doc_id % 3 = 0")
         .unionByName(corpus.filter("doc_id % 6 = 1")
-          .withColumn("doc_id", col("doc_id") + 500000))
+          .withColumn("doc_id", col("doc_id") + off))
         .unionByName(docs.filter("doc_id % 3 = 0 AND doc_id % 9 = 0")
-          .withColumn("doc_id", col("doc_id") + 600000))
+          .withColumn("doc_id", col("doc_id") + 2 * off))
       Dedup.crossDedup(corpus, shard, "doc_id", "text")
         .select("doc_id", "source")
     }, Some {
@@ -1546,8 +1547,8 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
          |shard AS (
          |  SELECT doc_id, text, source FROM documents WHERE doc_id % 3 = 0
-         |  UNION ALL SELECT doc_id + 500000, text, source FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 6 = 1
-         |  UNION ALL SELECT doc_id + 600000, text, source FROM documents WHERE doc_id % 3 = 0 AND doc_id % 9 = 0),
+         |  UNION ALL SELECT doc_id + $docOffSql, text, source FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 6 = 1
+         |  UNION ALL SELECT doc_id + 2 * $docOffSql, text, source FROM documents WHERE doc_id % 3 = 0 AND doc_id % 9 = 0),
          |cf AS (SELECT DISTINCT $fp AS f FROM corpus),
          |sf AS (SELECT doc_id, source, $fp AS f FROM shard),
          |kept AS (SELECT sf.* FROM sf LEFT JOIN cf USING (f) WHERE cf.f IS NULL)
@@ -1787,12 +1788,13 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       val docs = docsDelta(s, d).select("doc_id", "text", "source")
       val src = tempDir("st_ingest_src")
       DeltaTable.write(s, docs.repartition(1), src)
+      val off = docOffset(s, d)
       val additions = docs.filter("doc_id % 4 = 0")
-          .withColumn("doc_id", col("doc_id") + 700000)
+          .withColumn("doc_id", col("doc_id") + off)
         .unionByName(docs.filter("doc_id % 5 = 0")
           .withColumn("text",
             concat(col("text"), lit(" novel "), col("doc_id").cast("string")))
-          .withColumn("doc_id", col("doc_id") + 800000))
+          .withColumn("doc_id", col("doc_id") + 2 * off))
       DeltaTable.write(s, additions.repartition(1), src, mode = "append")
       val tgt = tempDir("st_ingest_tgt")
       // ONE FILE PER BATCH: the entry's NAME is cross-batch dedup — with
@@ -1821,8 +1823,8 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       val fp = fpSql
       s"""WITH all_docs AS (
          |  SELECT doc_id, text, source FROM documents
-         |  UNION ALL SELECT doc_id + 700000, text, source FROM documents WHERE doc_id % 4 = 0
-         |  UNION ALL SELECT doc_id + 800000, text || ' novel ' || CAST(doc_id AS VARCHAR), source
+         |  UNION ALL SELECT doc_id + $docOffSql, text, source FROM documents WHERE doc_id % 4 = 0
+         |  UNION ALL SELECT doc_id + 2 * $docOffSql, text || ' novel ' || CAST(doc_id AS VARCHAR), source
          |    FROM documents WHERE doc_id % 5 = 0)
          |SELECT min(doc_id) AS doc_id, min_by(source, doc_id) AS source
          |FROM (SELECT doc_id, source, $fp AS f FROM all_docs) t GROUP BY f""".stripMargin
@@ -2012,7 +2014,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       val corpus = docs.filter("doc_id % 3 != 0")
       val shard = docs.filter("doc_id % 3 = 0")
         .unionByName(corpus.filter("doc_id % 6 = 1")
-          .withColumn("doc_id", col("doc_id") + 900000)
+          .withColumn("doc_id", col("doc_id") + docOffset(s, d))
           .withColumn("text", concat(col("text"), lit(" zz extra token"))))
       Dedup.crossNearDups(corpus, shard, "doc_id", "text",
         shingleSize = 3, numHashes = 128, bands = 64, threshold = 0.5)
@@ -2028,7 +2030,7 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       val corpus = docs.filter("doc_id % 3 != 0")
       val shard = docs.filter("doc_id % 3 = 0")
         .unionByName(corpus.filter("doc_id % 6 = 1")
-          .withColumn("doc_id", col("doc_id") + 900000)
+          .withColumn("doc_id", col("doc_id") + docOffset(s, d))
           .withColumn("text", concat(col("text"), lit(" zz extra token"))))
       val sigDir = EntryCtx.shared2.getOrElseUpdate(s"$d#corpus_sigs", {
         val dd = tempDir("sigs")

@@ -138,6 +138,28 @@ object Dml {
   def cdcEnabled(snapshot: Snapshot): Boolean =
     snapshot.confBool("delta.enableChangeDataFeed")
 
+  /** The SetTransaction action of an idempotency marker — ONE builder for
+    * DELETE/UPDATE/MERGE (the replay contract must not drift per-op). */
+  private[ops] def txnActionsOf(appTxn: Option[(String, Long)]): Seq[Action] =
+    appTxn.map { case (app, ver) =>
+      SetTransaction(app, ver, Some(System.currentTimeMillis()))
+    }.toSeq
+
+  /** Commit wrapper for ops carrying an idempotency marker: a racing
+    * replay of the same (appId, version) that won AFTER the op's pre-check
+    * surfaces TransactionAlreadyApplied from the commit loop — report the
+    * skip rather than failing, refreshed so the caller's handle sees the
+    * applied state. The op's already-written output files become
+    * unreferenced orphans, reaped by VACUUM like any aborted commit's.
+    * ONE definition of that contract for DELETE/UPDATE/MERGE. */
+  private[ops] def orReplaySkip(table: DeltaTable, skip: => Map[String, String])(
+      body: => Map[String, String]): Map[String, String] =
+    try body catch {
+      case _: TransactionAlreadyAppliedException =>
+        table.refresh()
+        skip
+    }
+
   val CDC_COL = "_change_type"
   val CDC_DIR = "_change_data"
 
@@ -209,11 +231,13 @@ object DeleteOp {
     }
     ProtocolGate.checkAppendOnly(snapshot, "DELETE")
     val meta = snapshot.metadata
-    val txn = table.startTransaction()
+    // pinned to the PLANNING snapshot (DeltaTable.startTransaction(pinned)):
+    // a commit racing onto this handle between refresh() and here must be
+    // conflict-checked — with an idempotency marker in play, folding it
+    // into the base unchecked would double-apply the replay
+    val txn = table.startTransaction(snapshot)
     txn.idempotentTxn = appTxn
-    val txnActions = appTxn.map { case (app, ver) =>
-      SetTransaction(app, ver, Some(System.currentTimeMillis()))
-    }.toSeq
+    val txnActions = Dml.txnActionsOf(appTxn)
     val now = System.currentTimeMillis()
     val nIdx = WriteIntoDelta.numIndexedCols(meta)
 
@@ -242,18 +266,13 @@ object DeleteOp {
           "num_deleted_rows" -> deletedRows.toString,
           "num_copied_rows" -> "0",
           "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
-        try {
+        val out = Dml.orReplaySkip(table, replaySkippedMetrics(t0)) {
           table.commitAndRefresh(txn, removes ++ cdc ++ txnActions,
             Operation("DELETE", Map("predicate" -> "true"), metrics))
           metrics
-        } catch {
-          // a racing replay of the same (appId, version) won: already
-          // applied — no-op like the pre-check path, refreshed so the
-          // caller's handle sees the applied state (MergeOp contract)
-          case _: TransactionAlreadyAppliedException =>
-            table.refresh()
-            replaySkippedMetrics(t0)
         }
+        lastPhases = phases.acc.toMap // full-table path: same observability contract
+        out
 
       case Some(pred) =>
         val predExpr = Scan.parsePredicate(spark, pred)
@@ -375,18 +394,11 @@ object DeleteOp {
              else math.max(0L, removedRows - keptRows) + dvDeletedRows).toString,
           "num_copied_rows" -> keptRows.toString,
           "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
-        try {
+        Dml.orReplaySkip(table, replaySkippedMetrics(t0)) {
           phases("commit")(table.commitAndRefresh(txn,
             protocolUpgrade ++ removes ++ rewriteAdds ++ dvActions ++ cdc ++ txnActions,
             Operation("DELETE", Map("predicate" -> pred), metrics)))
           metrics
-        } catch {
-          // replay race lost after the pre-check: the written rewrite/DV
-          // files become unreferenced orphans (VACUUM reaps them like any
-          // aborted commit's); report the skip, not a failure
-          case _: TransactionAlreadyAppliedException =>
-            table.refresh()
-            replaySkippedMetrics(t0)
         }
         } finally {
           cached.foreach(_.unpersist())
@@ -595,6 +607,10 @@ object UpdateOp {
     "replay_skipped" -> "true",
     "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
 
+  /** Test seam: runs between the planning refresh/pre-check and the pinned
+    * startTransaction (see the call site). Production no-op. */
+  private[graft] var testHookBeforeTxn: () => Unit = () => ()
+
   def run(
       table: DeltaTable,
       set: Map[String, Column],
@@ -623,11 +639,14 @@ object UpdateOp {
     }
 
     val pred = predicate.getOrElse("true")
-    val txn = table.startTransaction()
+    // deterministic interleaving seam (the onBeforeChunkCommit precedent):
+    // lets a spec land a winner between the planning refresh above and the
+    // pinned transaction below — the exact window the snapshot pinning
+    // protects (UpdateOp is the representative op; the mechanism is shared)
+    testHookBeforeTxn()
+    val txn = table.startTransaction(snapshot) // pinned (same rule as DELETE)
     txn.idempotentTxn = appTxn
-    val txnActions = appTxn.map { case (app, ver) =>
-      SetTransaction(app, ver, Some(System.currentTimeMillis()))
-    }.toSeq
+    val txnActions = Dml.txnActionsOf(appTxn)
     val predExpr = Scan.parsePredicate(spark, pred)
     txn.readPredicate(predExpr)
 
@@ -638,14 +657,10 @@ object UpdateOp {
       // the txn action still rides a no-match commit: the (appId, version)
       // position advances — a replayed batch that happened to match nothing
       // must not re-run forever, and a LOWER later version must conflict
-      try {
+      Dml.orReplaySkip(table, replaySkippedMetrics(t0)) {
         table.commitAndRefresh(txn, txnActions,
           Operation("UPDATE", Map("predicate" -> pred), metrics))
         metrics
-      } catch {
-        case _: TransactionAlreadyAppliedException =>
-          table.refresh()
-          replaySkippedMetrics(t0)
       }
     }
 
@@ -796,16 +811,10 @@ object UpdateOp {
       "num_updated_rows" -> updatedRows.toString,
       "num_copied_rows" -> math.max(0L, totalRows - updatedRows).toString,
       "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
-    try {
+    Dml.orReplaySkip(table, replaySkippedMetrics(t0)) {
       phases("commit")(table.commitAndRefresh(txn, actions ++ cdc ++ txnActions,
         Operation("UPDATE", Map("predicate" -> pred), metrics)))
       metrics
-    } catch {
-      // replay race lost after the pre-check: written files become
-      // unreferenced orphans (VACUUM-reaped); report the skip, refreshed
-      case _: TransactionAlreadyAppliedException =>
-        table.refresh()
-        replaySkippedMetrics(t0)
     }
     // unpersist in finally, not on the success path only: a failed rewrite
     // (constraint raise_error, commit conflict) would otherwise leak the

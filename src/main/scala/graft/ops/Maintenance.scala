@@ -335,7 +335,7 @@ object RestoreOp {
         Seq(target.metadata)
       else Nil
 
-    val txn = table.startTransaction()
+    val txn = table.startTransaction(current) // pinned to the planning snapshot
     txn.readWholeTable()
     val metrics = Map(
       "numRestoredFiles" -> toAdd.size.toString,
@@ -368,7 +368,7 @@ object FsckOp {
     }.seq
     if (missing.nonEmpty && !dryRun) {
       val now = System.currentTimeMillis()
-      val txn = table.startTransaction()
+      val txn = table.startTransaction(snapshot) // pinned
       table.commitAndRefresh(txn,
         missing.map(_.remove(now, dataChange = true)),
         Operation("FSCK", Map("dry_run" -> "false"),
@@ -397,7 +397,7 @@ object ConstraintsOp {
         s"Cannot add constraint $name: existing rows violate ($exprStr)")
     val newMeta = snapshot.metadata.copy(
       configuration = snapshot.metadata.configuration + (key -> exprStr))
-    val txn = table.startTransaction()
+    val txn = table.startTransaction(snapshot) // pinned: metadata derived from it
     // the validation scan read the WHOLE table: without recording that, a
     // concurrent append of violating rows would not conflict and the
     // committed constraint would advertise a guarantee the data breaks
@@ -412,7 +412,7 @@ object ConstraintsOp {
     require(snapshot.metadata.configuration.contains(key), s"No such constraint: $name")
     val newMeta = snapshot.metadata.copy(
       configuration = snapshot.metadata.configuration - key)
-    val txn = table.startTransaction()
+    val txn = table.startTransaction(snapshot) // pinned: metadata derived from it
     table.commitAndRefresh(txn, Seq(newMeta),
       Operation("DROP CONSTRAINT", Map("name" -> name)))
   }
@@ -492,7 +492,7 @@ object MetadataOps {
     val snapshot = table.refresh()
     val (newMeta, protoUp, props) =
       buildSetProps(snapshot.metadata, snapshot.protocol, rawProps)
-    val txn = table.startTransaction()
+    val txn = table.startTransaction(snapshot) // pinned: metadata derived from it
     table.commitAndRefresh(txn, protoUp.toSeq :+ newMeta,
       Operation("SET TBLPROPERTIES", props))
   }
@@ -526,7 +526,7 @@ object MetadataOps {
     val snapshot = table.refresh()
     val (newMeta, protoUp) =
       buildAddColumns(snapshot.metadata, snapshot.protocol, newCols)
-    val txn = table.startTransaction()
+    val txn = table.startTransaction(snapshot) // pinned: metadata derived from it
     table.commitAndRefresh(txn, protoUp.toSeq :+ newMeta,
       Operation("ADD COLUMNS", Map("columns" -> newCols.fieldNames.mkString(","))))
   }
@@ -547,7 +547,7 @@ object MetadataOps {
       if (rawProps.isEmpty) (m1, None, Map.empty[String, String])
       else buildSetProps(m1, pr1.getOrElse(snapshot.protocol), rawProps)
     val m3 = description.fold(m2)(d => m2.copy(description = Some(d)))
-    val txn = table.startTransaction()
+    val txn = table.startTransaction(snapshot) // pinned: metadata derived from it
     table.commitAndRefresh(txn, pr2.orElse(pr1).toSeq :+ m3,
       Operation("ALTER TABLE",
         (if (newCols.isEmpty) Map.empty[String, String]
@@ -580,7 +580,7 @@ object MetadataOps {
           (if (isReaderFeature) Seq(feature) else Nil)).distinct),
       writerFeatures = Some(
         (ProtocolGate.impliedWriterFeatures(p) :+ feature).distinct))
-    val txn = table.startTransaction()
+    val txn = table.startTransaction(snapshot) // pinned: metadata derived from it
     table.commitAndRefresh(txn, Seq(newProtocol),
       Operation("ADD FEATURE", Map("feature" -> feature)))
   }
@@ -599,7 +599,7 @@ object MetadataOps {
       }
     }
     val newMeta = snapshot.metadata.copy(schemaString = StructType(newFields).json)
-    val txn = table.startTransaction()
+    val txn = table.startTransaction(snapshot) // pinned: metadata derived from it
     table.commitAndRefresh(txn, Seq(newMeta),
       Operation("UPDATE FIELD METADATA", Map("column" -> column)))
   }
@@ -611,7 +611,7 @@ object MetadataOps {
     val newMeta = snapshot.metadata.copy(
       name = name.orElse(snapshot.metadata.name),
       description = description.orElse(snapshot.metadata.description))
-    val txn = table.startTransaction()
+    val txn = table.startTransaction(snapshot) // pinned: metadata derived from it
     table.commitAndRefresh(txn, Seq(newMeta),
       Operation("UPDATE TABLE METADATA",
         name.map("name" -> _).toMap ++ description.map("description" -> _).toMap))

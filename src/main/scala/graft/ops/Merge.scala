@@ -237,7 +237,10 @@ object MergeOp {
       }
     }
     val nIdx = WriteIntoDelta.numIndexedCols(snapshot.metadata)
-    val txn = table.startTransaction()
+    // pinned to the PLANNING snapshot (see DeltaTable.startTransaction(pinned)):
+    // a concurrent commit on this handle between refresh() and here must be
+    // conflict-checked, not silently folded into the base
+    val txn = table.startTransaction(snapshot)
     txn.idempotentTxn = appTxn
 
     val hasBySource = clauses.exists {
@@ -631,9 +634,7 @@ object MergeOp {
         "num_target_files_removed" -> filesRemoved.toString,
         "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000).toString)
 
-      val txnActions = appTxn.map { case (app, ver) =>
-        SetTransaction(app, ver, Some(System.currentTimeMillis()))
-      }.toSeq
+      val txnActions = Dml.txnActionsOf(appTxn)
       try {
         phases("commit")(table.commitAndRefresh(txn,
           metaActions ++ removes ++ dvActions ++ adds ++ cdc ++ txnActions,

@@ -40,8 +40,8 @@ object OptimizeOp {
     val snapshot = table.refresh()
     // NOTE: created here but USED only by the empty-bins and whole-commit
     // paths — incremental-commit mode builds its own per-chunk transactions
-    // pinned to this planning snapshot (see below)
-    val txn = table.startTransaction()
+    // pinned to this planning snapshot (see below); pinned like every op
+    val txn = table.startTransaction(snapshot)
 
     // bin planning needs only the below-target files: on a lazy (huge-table)
     // snapshot the size filter runs distributed over the checkpoint parquet,
@@ -253,7 +253,7 @@ object OptimizeOp {
       require(!snapshot.partitionColumns.contains(c),
         s"Z-ORDER column $c is a partition column (optimize.rs:1287 validation)")
     }
-    val txn = table.startTransaction()
+    val txn = table.startTransaction(snapshot)
     // partition-scoped Z-ORDER (OptimizeBuilder.with_filters applies to both
     // optimize types): cluster only the selected partitions' files
     val files = predicate match {

@@ -119,7 +119,7 @@ object WriteIntoDelta {
       case None => normalized0
     }
 
-    val txn = table.startTransaction()
+    val txn = table.startTransaction(snapshot) // pinned to the planning snapshot
     val adds = DeltaWriter.writeFiles(spark, tablePath, normalized, partCols,
       numIndexedCols(meta), meta = Some(writeMeta))
 

@@ -190,6 +190,20 @@ class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
   def startTransaction(isolation: IsolationLevel = IsolationLevel.default) =
     new OptimisticTransaction(deltaLog, Some(snapshot), isolation)
 
+  /** Transaction pinned to the caller's PLANNING snapshot. Every operation
+    * that scans/derives from a snapshot must base its transaction on THAT
+    * snapshot, not the handle's current cache: a concurrent commit on the
+    * same handle (its commitAndRefresh advances the shared cache) landing
+    * between the op's refresh() and startTransaction() would otherwise be
+    * folded into the transaction base UNCHECKED — the op's read set never
+    * conflict-checks it, silently lost-updating (and for idempotent
+    * replays, double-applying: the winner's SetTransaction marker sits in
+    * the base where checkConflicts never sees it). Pinning makes the
+    * commit retry loop replay the gap commits through the conflict checker
+    * — the same rule the multi-commit OPTIMIZE chunks already follow. */
+  def startTransaction(pinned: Snapshot): OptimisticTransaction =
+    new OptimisticTransaction(deltaLog, Some(pinned))
+
   private[graft] def commitAndRefresh(
       txn: OptimisticTransaction, actions: Seq[Action], op: Operation): Long = {
     val v = txn.commit(actions, op)

@@ -134,6 +134,36 @@ class Round15Spec extends AnyFunSuite {
     assert(applied == 1, s"exactly one racer must report having applied: $results")
   }
 
+  test("a winner landing between planning refresh and the transaction is " +
+      "conflict-checked: shared-handle replay cannot double-apply") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    try {
+      graft.ops.UpdateOp.testHookBeforeTxn = () => {
+        graft.ops.UpdateOp.testHookBeforeTxn = () => () // fire once
+        // a racing replay wins via its own handle, then the SHARED handle's
+        // cache advances (what a concurrent commitAndRefresh does) — before
+        // the pinning fix, startTransaction() folded the winner into the
+        // base and the update applied a second time
+        val t2 = DeltaTable.forPath(spark, dir)
+        val txn2 = t2.startTransaction()
+        txn2.commit(Seq(graft.kernel.SetTransaction("r15toctou", 7L, None)),
+          graft.kernel.Operation("UPDATE", Map.empty))
+        t.refresh()
+      }
+      val res = t.update(Map("v" -> concat(col("v"), lit("+"))),
+        appTxn = Some(("r15toctou", 7L)))
+      assert(res.get("replay_skipped").contains("true"),
+        s"the update must skip, not double-apply: $res")
+      assert(t.toDF.select("v").as[String].collect().toSeq == Seq("a"))
+      assert(t.txnVersion("r15toctou").contains(7L))
+    } finally {
+      graft.ops.UpdateOp.testHookBeforeTxn = () => ()
+    }
+  }
+
   test("DML without appTxn records no transaction position") {
     import spark.implicits._
     val dir = tmpDir()

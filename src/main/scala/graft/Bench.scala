@@ -72,6 +72,27 @@ object Bench {
     math.max(0.0, (processCpuNs - cpu0) / 1e9 / wall)
   }
 
+  /** Process background-CPU rate over a short NO-SPIN window (cores'
+    * worth of CPU the JVM burns while this thread only sleeps). The
+    * post-suite probe runs while the SparkSession and its daemon threads
+    * are still alive — their idle/GC CPU lands in the probe's process-CPU
+    * delta and reads `probe_eff_cores_post` high relative to the
+    * pre-Spark pre-probe. Sampling the background rate just before the
+    * spin window and subtracting it makes the two sides comparable.
+    * (Heuristic: during the spin the background threads get LESS CPU than
+    * in the idle sample, so the subtraction can over-correct slightly —
+    * still closer than not correcting, and the direction is conservative:
+    * a clean window cannot be read as contended by it, since the rule's
+    * thresholds sit far below 32 minus any plausible idle-Spark rate.) */
+  private def backgroundCpuRate(wallMs: Long): Double = {
+    val cpu0 = processCpuNs
+    if (cpu0 < 0) return 0.0
+    val t0 = System.nanoTime()
+    Thread.sleep(wallMs)
+    val wall = (System.nanoTime() - t0) / 1e9
+    math.max(0.0, (processCpuNs - cpu0) / 1e9 / wall)
+  }
+
   /** Recursive directory copy (template table → fresh per-rep table). */
   private def cloneDir(src: String, dst: String): Unit = {
     val from = Paths.get(src)
@@ -96,7 +117,29 @@ object Bench {
     // pre-suite probe runs before the SparkSession exists — nothing but the
     // probe's own spin threads compete for the CPU it measures
     val probeMs = sys.env.getOrElse("SPARK_GRAFT_PROBE_MS", "1000").toLong
-    val probePre = probeEffCores(cpus.toInt, probeMs)
+    var probePre = probeEffCores(cpus.toInt, probeMs)
+    // Contended window: don't just self-flag the record — try once to not
+    // produce it (three of the last four driver records were contention
+    // artifacts the probe detected after the fact). A pre-probe below the
+    // validity rule's hard floor (<12 effective cores) sleeps out the
+    // contention for SPARK_GRAFT_PROBE_RETRY_MS (default 60s, 0 disables)
+    // and re-probes ONCE; the record then carries "probe_retried":true, and
+    // "contended":true if the window never cleared. Bounded: one retry, so
+    // the bench can never wedge the driver's round on a busy host.
+    val retryMs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RETRY_MS", "60000").toLong
+    // the validity rule's hard floor; env-overridable so the retry branch
+    // is testable on an idle host (and tunable on smaller machines)
+    val probeFloor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FLOOR", "12").toDouble
+    var probeRetried = false
+    if (probePre >= 0 && probePre < probeFloor && retryMs > 0) {
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench-probe] pre-probe %.1f eff cores < floor %.1f: contended " +
+          "window; sleeping %dms and re-probing once", Double.box(probePre),
+        Double.box(probeFloor), Long.box(retryMs)))
+      Thread.sleep(retryMs)
+      probePre = probeEffCores(cpus.toInt, probeMs)
+      probeRetried = true
+    }
     // run-load baselines taken AFTER the pre-probe: its ~32 CPU-seconds of
     // deliberate spin must not inflate the suite's own gc/cpu/wall figures
     // (the "wall >> cpu/32 = starved" heuristic reads them)
@@ -544,16 +587,33 @@ object Bench {
 
     // post-suite probe: a clean pre-probe with a dirty post-probe (or vice
     // versa) flags contention that ARRIVED or LEFT mid-run — per-query
-    // cpu/wall then locates which rows it hit
-    val probePost = probeEffCores(cpus.toInt, probeMs)
+    // cpu/wall then locates which rows it hit. Unlike the pre-probe this
+    // one runs with Spark's daemon threads alive, so their background CPU
+    // rate (sampled no-spin just before) is subtracted to keep the two
+    // sides comparable (r15 advisor: post read high by construction).
+    val probePost = {
+      val base = backgroundCpuRate(math.max(200L, probeMs / 4))
+      val raw = probeEffCores(cpus.toInt, probeMs)
+      if (raw < 0) raw else math.max(0.0, raw - base)
+    }
     val total = medians.values.sum
     // The driver keeps only the LAST ~2000 chars of merged output, so the
     // headline must fit with margin. Optional sections drop lowest-value
     // first until it does ("queries" + run-load always survive).
     // probe fields live in CORE (never dropped): they are the record's
     // validity certificate — a headline without them cannot be adjudicated
+    // retry/contended flags ride the core only when set (the common clean
+    // record stays byte-stable vs r15 parsers): probe_retried = the bench
+    // slept out one contended pre-probe; contended = even after that, a
+    // probe side is below the validity rule's hard floor — absolutes in
+    // this record are not comparable to baseline
+    val contendedJson =
+      (if (probeRetried) ""","probe_retried":true""" else "") +
+        (if ((probePre >= 0 && probePre < probeFloor) ||
+             (probePost >= 0 && probePost < probeFloor)) ""","contended":true"""
+         else "")
     val core =
-      s""""metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},$loadJson,"probe_eff_cores_pre":${fmt(probePre)},"probe_eff_cores_post":${fmt(probePost)},"reps":$reps,"sf":${jstr(sfDir)}"""
+      s""""metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},$loadJson,"probe_eff_cores_pre":${fmt(probePre)},"probe_eff_cores_post":${fmt(probePost)}$contendedJson,"reps":$reps,"sf":${jstr(sfDir)}"""
     // per-rep vectors for the historically contention-sensitive rows only
     // (headline budget); the full map is in the detail file
     val mutReps = jvecs(repRuns.filter { case (k, _) => mutNames.contains(k) })
@@ -584,7 +644,7 @@ object Bench {
     val repsAllJson = jvecs(repRuns)
     val cpuAllJson = jvecs(cpuRuns)
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"reps_sec":$repsAllJson,"cpu_sec":$cpuAllJson,"plans":$shapesAll,"phases":$phaseRepJson,"merge_grid":$gridJson,"io":$ioJson,"catalog":$catalogJson,$loadJson,"probe_eff_cores_pre":${fmt(probePre)},"probe_eff_cores_post":${fmt(probePost)},"reps":$reps,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(medians)},"mins":${jmap(mins)},"reps_sec":$repsAllJson,"cpu_sec":$cpuAllJson,"plans":$shapesAll,"phases":$phaseRepJson,"merge_grid":$gridJson,"io":$ioJson,"catalog":$catalogJson,$loadJson,"probe_eff_cores_pre":${fmt(probePre)},"probe_eff_cores_post":${fmt(probePost)}$contendedJson,"reps":$reps,"sf":${jstr(sfDir)}}"""
     // best-effort: a detail-write failure (read-only cwd) must never block
     // the headline line — that's the round's only bench record
     scala.util.Try {

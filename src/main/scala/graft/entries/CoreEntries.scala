@@ -2153,8 +2153,62 @@ object CoreEntries {
       DeltaTable.forPath(s, dir).toDF
     }, Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders")))
 
+  private val round16Entries = Seq(
+    // run-level idempotent replay for the WRITE path (§2.7 extension;
+    // reference CommitProperties app_transactions apply to EVERY operation
+    // — kernel/transaction/mod.rs:1-117; delta-spark txnAppId/txnVersion):
+    // one appId advances through CREATE, append, and the format("...")
+    // writer surface like a resumed batch-ingest position; each replayed
+    // delivery no-ops. The replays carry DIFFERENT data than the originals
+    // so a double-application is row-visible, and the create replay runs
+    // under mode=error — it must skip as already-applied, not fail on the
+    // table its own first run created.
+    Entry("write_idempotent_replay", (s, d) => {
+      val dir = tempDir("wir")
+      val region = pq(s, d, "region")
+      def cnt(): Long = DeltaTable.forPath(s, dir).toDF.count()
+      // v1: CREATE (mode=error) writes keys < 3
+      DeltaTable.write(s, region.filter("r_regionkey < 3"), dir,
+        mode = "error", appTxn = Some(("r16w", 1L)))
+      val n1 = cnt()
+      require(n1 == region.filter("r_regionkey < 3").count(),
+        s"write_idempotent_replay: create must write the <3 rows, got $n1")
+      // replayed create: same marker, different data, mode=error — skips
+      DeltaTable.write(s, region.filter("r_regionkey >= 3"), dir,
+        mode = "error", appTxn = Some(("r16w", 1L)))
+      require(cnt() == n1,
+        "write_idempotent_replay: replayed create must no-op")
+      // v2: append key 3; replay of v2 and an at-or-below v1 both skip
+      DeltaTable.write(s, region.filter("r_regionkey = 3"), dir,
+        mode = "append", appTxn = Some(("r16w", 2L)))
+      val n2 = cnt()
+      require(n2 == n1 + 1,
+        s"write_idempotent_replay: append v2 must add one row, got $n2")
+      DeltaTable.write(s, region.filter("r_regionkey = 3"), dir,
+        mode = "append", appTxn = Some(("r16w", 2L)))
+      DeltaTable.write(s, region.filter("r_regionkey = 3"), dir,
+        mode = "append", appTxn = Some(("r16w", 1L)))
+      require(cnt() == n2,
+        "write_idempotent_replay: replayed/below-position appends must no-op")
+      // v3 through the DataFrame writer surface (txnAppId/txnVersion
+      // options), then its replay
+      def viaWriter(): Unit = region.filter("r_regionkey = 4").write
+        .format("graft-delta").mode("append")
+        .option("txnAppId", "r16w").option("txnVersion", "3").save(dir)
+      viaWriter()
+      require(cnt() == n2 + 1,
+        "write_idempotent_replay: writer-surface append v3 must apply")
+      viaWriter()
+      require(cnt() == n2 + 1,
+        "write_idempotent_replay: writer-surface replay must no-op")
+      val t = DeltaTable.forPath(s, dir)
+      require(t.txnVersion("r16w").contains(3L),
+        "write_idempotent_replay: table must record the latest applied version")
+      t.toDF
+    }, Some("SELECT * FROM region")))
+
   val entries: Seq[Entry] =
     scanEntries ++ sqlEntries ++ writeEntries ++ dmlEntries ++
       maintenanceEntries ++ round3Entries ++ eventEntries ++ round13Entries ++
-      round15Entries :+ asofEntry :+ profileEntry
+      round15Entries ++ round16Entries :+ asofEntry :+ profileEntry
 }

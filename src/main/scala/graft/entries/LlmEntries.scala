@@ -36,12 +36,24 @@ object LlmEntries {
   // SF's ids cross them (merge_upsert's +1M vs 1.5M keys at sf1). Cached
   // per sfDir; the oracles replay the same value via a scalar subquery
   // (SELECT max(doc_id) + 1 FROM documents).
-  private val offsetCache = scala.collection.concurrent.TrieMap[String, Long]()
+  // lazy holders, not raw values: TrieMap.getOrElseUpdate is not atomic
+  // for the by-name computation, so two entries resolving one sfDir's
+  // offset concurrently would both run the max() Spark job (same value,
+  // duplicated work) — putIfAbsent of a holder makes exactly one compute
+  private val offsetCache =
+    scala.collection.concurrent.TrieMap[String, () => Long]()
+  private def cachedOffset(key: String)(compute: => Long): Long = {
+    val holder = new (() => Long) {
+      lazy val value: Long = compute
+      def apply(): Long = value
+    }
+    offsetCache.putIfAbsent(key, holder).getOrElse(holder)()
+  }
   private def docOffset(s: SparkSession, d: String): Long =
-    offsetCache.getOrElseUpdate(s"$d#doc",
+    cachedOffset(s"$d#doc")(
       pq(s, d, "documents").agg(max("doc_id")).head().getLong(0) + 1)
   private def vecOffset(s: SparkSession, d: String): Long =
-    offsetCache.getOrElseUpdate(s"$d#vec",
+    cachedOffset(s"$d#vec")(
       pq(s, d, "embeddings").agg(max("vec_id")).head().getLong(0) + 1)
   private val docOffSql = "(SELECT max(doc_id) + 1 FROM documents)"
   private val vecOffSql = "(SELECT max(vec_id) + 1 FROM embeddings)"

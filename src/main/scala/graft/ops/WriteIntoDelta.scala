@@ -26,7 +26,8 @@ object WriteIntoDelta {
       replaceWhere: Option[String],
       mergeSchema: Boolean,
       overwriteSchema: Boolean,
-      configuration: Map[String, String]): DeltaTable = {
+      configuration: Map[String, String],
+      appTxn: Option[(String, Long)] = None): DeltaTable = {
 
     val tablePath = new Path(path)
     val log = new DeltaLog(spark, tablePath)
@@ -62,18 +63,31 @@ object WriteIntoDelta {
           s"replaceWhere: written data contains rows violating predicate '$pred'")
         case None => df
       }
-      return createAndWrite(spark, guarded, tablePath, partitionBy, configuration)
+      return createAndWrite(spark, guarded, tablePath, partitionBy, configuration, appTxn)
+    }
+
+    val table = DeltaTable.forPath(spark, path)
+    val snapshot = table.snapshot
+    // run-level idempotent-replay skip, same contract as DELETE/UPDATE/
+    // MERGE (reference CommitProperties app_transactions apply to every
+    // operation — kernel/transaction/mod.rs:1-117; delta-spark txnAppId/
+    // txnVersion): an (appId, version) at or below the table's recorded
+    // position no-ops before any scan or write. Checked BEFORE the
+    // error/ignore dispatch — a replayed create-once (mode=error) batch
+    // job must skip as already applied, not fail on the table its own
+    // first run created. The commit retry loop re-fires the same check
+    // (checkConflicts → TransactionAlreadyAppliedException, caught below)
+    // so a replay racing this pre-check still applies exactly once.
+    appTxn.foreach { case (app, ver) =>
+      if (snapshot.txns.get(app).exists(_ >= ver)) return table
     }
 
     m match {
       case "error" | "errorifexists" =>
         throw new IllegalArgumentException(s"Delta table already exists at $path (mode=error)")
-      case "ignore" => return DeltaTable.forPath(spark, path)
+      case "ignore" => return table
       case _ => // continue
     }
-
-    val table = DeltaTable.forPath(spark, path)
-    val snapshot = table.snapshot
     if (m == "overwrite") ProtocolGate.checkAppendOnly(snapshot, "overwrite")
     val meta = snapshot.metadata
     val partCols = meta.partitionColumns
@@ -120,6 +134,7 @@ object WriteIntoDelta {
     }
 
     val txn = table.startTransaction(snapshot) // pinned to the planning snapshot
+    txn.idempotentTxn = appTxn
     val adds = DeltaWriter.writeFiles(spark, tablePath, normalized, partCols,
       numIndexedCols(meta), meta = Some(writeMeta))
 
@@ -188,14 +203,21 @@ object WriteIntoDelta {
     val protocolUpgrade: Seq[Action] =
       newMetadata
         .flatMap(m => ProtocolGate.upgradeForSchema(m.schema, snapshot.protocol)).toSeq
-    val actions: Seq[Action] = protocolUpgrade ++ newMetadata.toSeq ++ adds ++ extraActions
+    val actions: Seq[Action] = protocolUpgrade ++ newMetadata.toSeq ++ adds ++
+      extraActions ++ Dml.txnActionsOf(appTxn)
     val params = Map("mode" -> (if (m == "overwrite") "Overwrite" else "Append")) ++
       predicateParam.map("predicate" -> _)
-    table.commitAndRefresh(txn, actions,
-      Operation("WRITE", params, Map(
-        "numFiles" -> adds.size.toString,
-        "numOutputRows" -> adds.flatMap(_.numRecords).sum.toString,
-        "numOutputBytes" -> adds.map(_.size).sum.toString)))
+    // a replay that won after the pre-check surfaces from the commit loop
+    // as already-applied: skip, refreshed (this run's written files become
+    // unreferenced orphans, reaped by VACUUM like any aborted commit's)
+    Dml.orReplaySkip(table, Map.empty[String, String]) {
+      table.commitAndRefresh(txn, actions,
+        Operation("WRITE", params, Map(
+          "numFiles" -> adds.size.toString,
+          "numOutputRows" -> adds.flatMap(_.numRecords).sum.toString,
+          "numOutputBytes" -> adds.map(_.size).sum.toString)))
+      Map.empty[String, String]
+    }
     table
   }
 
@@ -272,7 +294,8 @@ object WriteIntoDelta {
       df: DataFrame,
       tablePath: Path,
       partitionBy: Seq[String],
-      configuration: Map[String, String]): DeltaTable = {
+      configuration: Map[String, String],
+      appTxn: Option[(String, Long)] = None): DeltaTable = {
     val log = new DeltaLog(spark, tablePath)
     validatePartitionColumns(df.schema, partitionBy)
     val (schema, conf, protocol) =
@@ -286,12 +309,18 @@ object WriteIntoDelta {
     val adds = DeltaWriter.writeFiles(spark, tablePath, normalized, partitionBy,
       numIndexedCols(metadata), meta = Some(metadata))
     val txn = new OptimisticTransaction(log, None)
-    txn.commit(Seq(protocol, metadata) ++ adds,
+    // a replay racing this create (both saw table-absent) resolves through
+    // the commit loop: the loser's conflict check finds the winner's
+    // SetTransaction marker and reports already-applied instead of a
+    // spurious version-0 conflict
+    txn.idempotentTxn = appTxn
+    try txn.commit(Seq(protocol, metadata) ++ adds ++ Dml.txnActionsOf(appTxn),
       Operation("CREATE TABLE AS SELECT",
         Map("mode" -> "ErrorIfExists",
             "partitionBy" -> partitionByJson(partitionBy)),
         Map("numFiles" -> adds.size.toString,
             "numOutputBytes" -> adds.map(_.size).sum.toString)))
+    catch { case _: TransactionAlreadyAppliedException => () }
     new DeltaTable(spark, tablePath)
   }
 }

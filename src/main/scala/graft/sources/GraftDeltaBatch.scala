@@ -178,12 +178,25 @@ object GraftDeltaRelation {
       case SaveMode.ErrorIfExists => "error"
       case SaveMode.Ignore => "ignore"
     }
+    // txnAppId/txnVersion (delta-spark option names): run-level idempotent
+    // replay for the writer surface — both or neither, version a Long
+    val appTxn: Option[(String, Long)] = (opt("txnAppId"), opt("txnVersion")) match {
+      case (Some(app), Some(ver)) =>
+        val v = scala.util.Try(ver.trim.toLong).getOrElse(throw
+          new IllegalArgumentException(s"txnVersion must be a long, got '$ver'"))
+        Some((app, v))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "txnAppId and txnVersion must be set together — one without the " +
+          "other cannot identify a replayable transaction")
+    }
     val t = DeltaTable.write(sqlContext.sparkSession, data, path,
       mode = modeStr,
       partitionBy = partitionBy,
       replaceWhere = opt("replaceWhere"),
       mergeSchema = opt("mergeSchema").exists(_.equalsIgnoreCase("true")),
-      overwriteSchema = opt("overwriteSchema").exists(_.equalsIgnoreCase("true")))
+      overwriteSchema = opt("overwriteSchema").exists(_.equalsIgnoreCase("true")),
+      appTxn = appTxn)
     new GraftDeltaRelation(sqlContext, t.snapshot)
   }
 }

@@ -407,7 +407,11 @@ object DeltaTable {
     new DeltaTable(spark, tablePath)
   }
 
-  /** Batch write — see [[graft.ops.WriteIntoDelta]]. */
+  /** Batch write — see [[graft.ops.WriteIntoDelta]]. `appTxn`: optional
+    * (appId, version) idempotency marker; a replayed write whose marker is
+    * at or below the table's recorded position no-ops (reference
+    * CommitProperties app_transactions, kernel/transaction/mod.rs:1-117;
+    * delta-spark txnAppId/txnVersion). */
   def write(
       spark: SparkSession,
       df: DataFrame,
@@ -417,9 +421,10 @@ object DeltaTable {
       replaceWhere: Option[String] = None,
       mergeSchema: Boolean = false,
       overwriteSchema: Boolean = false,
-      configuration: Map[String, String] = Map.empty): DeltaTable =
+      configuration: Map[String, String] = Map.empty,
+      appTxn: Option[(String, Long)] = None): DeltaTable =
     WriteIntoDelta.run(spark, df, path, mode, partitionBy, replaceWhere,
-      mergeSchema, overwriteSchema, configuration)
+      mergeSchema, overwriteSchema, configuration, appTxn)
 
   /** In-place convert of a parquet directory (operations/convert_to_delta.rs). */
   def convertToDelta(spark: SparkSession, path: String,

@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration.Duration
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.DeltaTable
+
+/** Round-16 coverage for the r15 verdict queue: run-level idempotent
+  * replay threaded through the WRITE path (append/overwrite/replaceWhere/
+  * create and the format("graft-delta") writer surface — r15 wired
+  * DELETE/UPDATE, r14 MERGE/sink/blind-append; the reference applies
+  * CommitProperties app_transactions to every operation,
+  * kernel/transaction/mod.rs:1-117). */
+class Round16Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test-r16")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmpDir(): String = Files.createTempDirectory("graft_r16_").toString + "/t"
+
+  // ------------------------------------------------------ WRITE appTxn
+
+  test("append with an already-applied (appId, version) no-ops; higher " +
+      "versions apply; at-or-below skips") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, (1L to 10L).map(i => (i, "v")).toDF("id", "v"), dir)
+    def append(ver: Long, ids: Range): DeltaTable =
+      DeltaTable.write(spark,
+        ids.map(i => (i.toLong, "a")).toDF("id", "v"), dir,
+        mode = "append", appTxn = Some(("r16a", ver)))
+
+    append(1L, 11 to 15)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 15)
+    append(1L, 16 to 20) // replay (different payload: double-apply visible)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 15,
+      "replayed append must not write")
+    append(2L, 16 to 20)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 20)
+    append(1L, 21 to 30) // below the recorded position
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 20)
+    assert(DeltaTable.forPath(spark, dir).txnVersion("r16a").contains(2L))
+  }
+
+  test("overwrite and replaceWhere honor the marker") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark,
+      (1L to 10L).map(i => (i, i % 2)).toDF("id", "k"), dir)
+    DeltaTable.write(spark, Seq((100L, 0L)).toDF("id", "k"), dir,
+      mode = "overwrite", appTxn = Some(("r16o", 1L)))
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 1)
+    // replayed overwrite with a larger payload: must not replace again
+    DeltaTable.write(spark,
+      (200L to 205L).map(i => (i, 0L)).toDF("id", "k"), dir,
+      mode = "overwrite", appTxn = Some(("r16o", 1L)))
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 1)
+
+    DeltaTable.write(spark, Seq((300L, 0L)).toDF("id", "k"), dir,
+      mode = "overwrite", replaceWhere = Some("k = 0"),
+      appTxn = Some(("r16o", 2L)))
+    val afterRw = DeltaTable.forPath(spark, dir).toDF
+    assert(afterRw.count() == 1 &&
+      afterRw.select("id").as[Long].collect().toSeq == Seq(300L))
+    DeltaTable.write(spark, Seq((400L, 0L)).toDF("id", "k"), dir,
+      mode = "overwrite", replaceWhere = Some("k = 0"),
+      appTxn = Some(("r16o", 2L))) // replay
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .select("id").as[Long].collect().toSeq == Seq(300L))
+    assert(DeltaTable.forPath(spark, dir).txnVersion("r16o").contains(2L))
+  }
+
+  test("replayed create under mode=error skips as already-applied instead " +
+      "of failing on its own first run's table") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "x")).toDF("id", "v"), dir,
+      mode = "error", appTxn = Some(("r16c", 1L)))
+    // same marker, mode=error, table now exists: must return, not throw
+    val t = DeltaTable.write(spark, Seq((2L, "y")).toDF("id", "v"), dir,
+      mode = "error", appTxn = Some(("r16c", 1L)))
+    assert(t.toDF.count() == 1)
+    // WITHOUT a marker the mode=error contract is unchanged
+    intercept[IllegalArgumentException] {
+      DeltaTable.write(spark, Seq((3L, "z")).toDF("id", "v"), dir, mode = "error")
+    }
+  }
+
+  test("two racing append replays of one (appId, version) apply exactly once") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, (1L to 50L).map(i => (i, "v")).toDF("id", "v"), dir)
+
+    def replay(): DeltaTable =
+      DeltaTable.write(spark,
+        (51L to 60L).map(i => (i, "r")).toDF("id", "v"), dir,
+        mode = "append", appTxn = Some(("r16race", 7L)))
+    Await.result(
+      Future.sequence(Seq(Future(replay()), Future(replay()))), Duration.Inf)
+
+    // whichever interleaving happened (pre-check skip, commit-loop skip,
+    // or serial), the table must reflect EXACTLY ONE application
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 60,
+      "exactly one racing append may land")
+    assert(DeltaTable.forPath(spark, dir).txnVersion("r16race").contains(7L))
+  }
+
+  test("two racing creates with one marker resolve to a single version-0 " +
+      "commit") {
+    import spark.implicits._
+    val dir = tmpDir()
+    def replay(): DeltaTable =
+      DeltaTable.write(spark, (1L to 5L).map(i => (i, "c")).toDF("id", "v"),
+        dir, mode = "error", appTxn = Some(("r16cc", 1L)))
+    Await.result(
+      Future.sequence(Seq(Future(replay()), Future(replay()))), Duration.Inf)
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.version == 0L, "the losing create must not commit a second version")
+    assert(t.toDF.count() == 5)
+    assert(t.txnVersion("r16cc").contains(1L))
+  }
+
+  test("writer-surface txnAppId/txnVersion options replay-skip; one " +
+      "without the other is rejected") {
+    import spark.implicits._
+    val dir = tmpDir()
+    DeltaTable.write(spark, Seq((1L, "v")).toDF("id", "v"), dir)
+    def viaWriter(ver: String, n: Int): Unit =
+      (100L until 100L + n).map(i => (i, "w")).toDF("id", "v").write
+        .format("graft-delta").mode("append")
+        .option("txnAppId", "r16opt").option("txnVersion", ver).save(dir)
+    viaWriter("5", 3)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 4)
+    viaWriter("5", 10) // replay
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 4)
+
+    val e = intercept[Exception] {
+      Seq((9L, "x")).toDF("id", "v").write.format("graft-delta")
+        .mode("append").option("txnAppId", "lonely").save(dir)
+    }
+    assert(e.getMessage.contains("txnAppId and txnVersion"))
+    val e2 = intercept[Exception] {
+      Seq((9L, "x")).toDF("id", "v").write.format("graft-delta")
+        .mode("append").option("txnVersion", "notanumber")
+        .option("txnAppId", "a").save(dir)
+    }
+    assert(e2.getMessage.contains("txnVersion"))
+  }
+}

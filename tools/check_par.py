@@ -42,23 +42,27 @@ def check_one(args):
     try:
         con = duckdb.connect()
         create_views(con, sf_dir)
-        got = con.sql(sql).arrow()
+        # naming matches check.py's sides exactly (spark = engine dump,
+        # duck = DuckDB oracle) so FAIL details can't mislabel sides
+        duck = con.sql(sql).arrow()
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             return (name, "MISSING", 0, time.time() - t0, "no spark dump")
-        want = pa.concat_tables([pq.read_table(f) for f in files])
-        c1, r1 = rows_of(got)
-        c2, r2 = rows_of(want)
-        if c1 != c2:
-            return (name, "FAIL", len(r2), time.time() - t0,
-                    f"schema {c2} vs oracle {c1}")
-        if r1 != r2:
-            detail = f"rows {len(r2)} vs oracle {len(r1)}"
-            if len(r1) == len(r2):
-                bad = next((i for i, (a, b) in enumerate(zip(r1, r2)) if a != b), -1)
-                detail = f"cell mismatch at sorted row {bad}: oracle={r1[bad][:4]} got={r2[bad][:4]}"
-            return (name, "FAIL", len(r2), time.time() - t0, detail)
-        return (name, "ok", len(r2), time.time() - t0, "")
+        spark = pa.concat_tables([pq.read_table(f) for f in files])
+        duck_cols, duck_rows = rows_of(duck)
+        spark_cols, spark_rows = rows_of(spark)
+        if duck_cols != spark_cols:
+            return (name, "FAIL", len(spark_rows), time.time() - t0,
+                    f"schema spark={spark_cols} vs duck={duck_cols}")
+        if duck_rows != spark_rows:
+            detail = f"rows spark={len(spark_rows)} vs duck={len(duck_rows)}"
+            if len(duck_rows) == len(spark_rows):
+                bad = next((i for i, (a, b) in enumerate(
+                    zip(spark_rows, duck_rows)) if a != b), -1)
+                detail = (f"cell mismatch at sorted row {bad}: "
+                          f"spark={spark_rows[bad][:4]} duck={duck_rows[bad][:4]}")
+            return (name, "FAIL", len(spark_rows), time.time() - t0, detail)
+        return (name, "ok", len(spark_rows), time.time() - t0, "")
     except Exception as e:
         return (name, "ERR", 0, time.time() - t0, f"{type(e).__name__}: {e}"[:200])
 
@@ -83,7 +87,21 @@ def main():
                 ok += 1
             else:
                 fail += 1
-    print(f"\n{ok} ok, {fail} failed, {len(skip)} skipped", flush=True)
+    # rows-only entries (present in outDir, absent from oracle_sql.json) —
+    # same superset behavior as check.py: without this loop a no-oracle
+    # entry silently vanishes from the gate record
+    import pyarrow.parquet as pq
+    rows_only = 0
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = d.rstrip("/").split("/")[-1]
+        if name in oracle:
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        rows = sum(pq.read_metadata(f).num_rows for f in files) if files else 0
+        rows_only += 1
+        print(f"info {name}: rows-only, {rows} rows", flush=True)
+    print(f"\n{ok} ok, {fail} failed, {len(skip)} skipped, "
+          f"{rows_only} rows-only", flush=True)
 
 
 if __name__ == "__main__":

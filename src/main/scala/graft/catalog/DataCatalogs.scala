@@ -159,9 +159,15 @@ class GlueCatalogClient(
 
   // AWS_REGION, then AWS_DEFAULT_REGION (the SDK/CLI resolution order) —
   // honoring only the former signed for the wrong region in common
-  // CLI-configured environments
+  // CLI-configured environments. Missing region fails as loudly as the
+  // missing-credential cases below: a silent us-east-1 default resolves
+  // tables against the wrong region's catalog and surfaces as a
+  // misdiagnosable "entity not found" (this client reads neither IMDS
+  // nor ~/.aws/config, so there is no quieter correct fallback).
   private val region = env.get("AWS_REGION")
-    .orElse(env.get("AWS_DEFAULT_REGION")).getOrElse("us-east-1")
+    .orElse(env.get("AWS_DEFAULT_REGION")).getOrElse(throw
+      new DataCatalogException(
+        "Glue catalog: AWS_REGION (or AWS_DEFAULT_REGION) not set"))
   private val endpoint =
     endpointOverride.getOrElse(s"https://glue.$region.amazonaws.com")
   private val signer = new SigV4Signer(

@@ -74,7 +74,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val conf = conf0
     val scheme = Option(warehouse.toUri.getScheme).getOrElse("file")
     if (conf.getBoolean(s"fs.$scheme.impl.disable.cache", false)) {
-      if (uncachedFs == null) uncachedFs = warehouse.getFileSystem(conf)
+      // double-checked under the catalog's lock: concurrent slot probes
+      // (listTables runs isTableSlot on the common pool) must not each
+      // construct — and leak, connection pools included — a fresh
+      // FileSystem instance that only the last assignment keeps
+      if (uncachedFs == null) synchronized {
+        if (uncachedFs == null) uncachedFs = warehouse.getFileSystem(conf)
+      }
       uncachedFs
     } else warehouse.getFileSystem(conf)
   }
@@ -392,6 +398,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = loadTable(ident).asInstanceOf[GraftTable]
+    // reserved v2 metadata keys (the createTable strip-set minus comment,
+    // which IS supported): SET ('location'/'provider'/...) must fail
+    // loudly, not be committed as an inert Delta property the statement
+    // then reports as success — ALTER TABLE SET LOCATION would "succeed"
+    // while the table never moves, and GraftTable.properties() shadows
+    // the bogus entry with the real path, hiding the lie from DESCRIBE
+    changes.foreach {
+      case s: TableChange.SetProperty
+          if s.property != TableCatalog.PROP_COMMENT &&
+            Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+              TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+              TableCatalog.PROP_IS_MANAGED_LOCATION).contains(s.property) =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE SET ('${s.property}') is not supported by " +
+            "graft-delta: reserved table metadata, not a table property")
+      case _ =>
+    }
     val setProps = changes.collect {
       case s: TableChange.SetProperty
           if s.property != TableCatalog.PROP_COMMENT => s.property -> s.value

@@ -47,7 +47,13 @@ object LlmEntries {
       lazy val value: Long = compute
       def apply(): Long = value
     }
-    offsetCache.putIfAbsent(key, holder).getOrElse(holder)()
+    val h = offsetCache.putIfAbsent(key, holder).getOrElse(holder)
+    // failure must not poison the cache: the installed holder captures the
+    // FIRST caller's closure (and its SparkSession) — retrying through it
+    // after e.g. a stopped session would fail forever. Remove-on-failure
+    // lets the next caller install a holder over ITS OWN live session.
+    try h()
+    catch { case e: Throwable => offsetCache.remove(key, h); throw e }
   }
   private def docOffset(s: SparkSession, d: String): Long =
     cachedOffset(s"$d#doc")(

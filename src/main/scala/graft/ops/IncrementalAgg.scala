@@ -87,11 +87,14 @@ object IncrementalAgg {
                 org.apache.spark.sql.types.LongType),
               org.apache.spark.sql.types.StructField(s"nn_$c",
                 org.apache.spark.sql.types.LongType))))
-        DeltaTable.create(spark, targetPath, schema, Nil)
+        // stats must cover every nn_ column or the torn-migration probe
+        // below (per-file nullCount) never reads clear and EVERY healthy
+        // refresh pays its limit(1) scan fallback — a wide rollup pushes
+        // nn_ columns past the default 32-column indexed prefix
+        DeltaTable.create(spark, targetPath, schema, Nil, configuration =
+          Map("delta.dataSkippingNumIndexedCols" -> schema.size.toString))
         DeltaTable.forPath(spark, targetPath)
       }
-
-    val lastV = target.txnVersion(appId)
 
     // migration: a target created before nn_ bookkeeping gains the columns
     // plus an EXACT backfill — count(<c>) per group over the pinned
@@ -99,7 +102,12 @@ object IncrementalAgg {
     // all-NULL flip from the legacy 0 to NULL. Without this, the merge
     // below would fail analysis on target.nn_<c> with no recovery path
     // short of rebuilding the rollup.
+    // ONE refresh feeds the whole decision block: reading txnVersion off
+    // the handle's first-touch snapshot would pay a separate log
+    // listing/replay that this refresh immediately repeats — and would
+    // read lastV from a different snapshot than the probes below
     val tgtSchema = target.refresh().schema
+    val lastV = target.txnVersion(appId)
     val missingNn = sumCols.filter(c => !tgtSchema.fieldNames.contains(s"nn_$c"))
     // TORN migration: the addColumns commit landed but the process died
     // before the backfill merge — the columns exist, their values are
@@ -137,10 +145,18 @@ object IncrementalAgg {
       val v = lastV.getOrElse(throw new IllegalStateException(
         s"IncrementalAgg: target $targetPath lacks ${backfillCols.map("nn_" + _).mkString(",")} " +
           "but records no folded upstream version to backfill from — rebuild it"))
-      if (missingNn.nonEmpty)
+      if (missingNn.nonEmpty) {
         target.addColumns(org.apache.spark.sql.types.StructType(
           missingNn.map(c => org.apache.spark.sql.types.StructField(s"nn_$c",
             org.apache.spark.sql.types.LongType))))
+        // widen stats coverage to the migrated width (the create-path
+        // property, applied late): future file stats then index the nn_
+        // columns and the torn-migration probe stays driver-side. A
+        // separate commit, crash-safe — if it never lands, the limit(1)
+        // scan fallback still answers the probe correctly.
+        target.setProperties(Map("delta.dataSkippingNumIndexedCols" ->
+          (tgtSchema.size + missingNn.size).toString))
+      }
       val backfillAggs = backfillCols.map(c => count(col(c)).as(s"__bf_$c"))
       val backfill = upstream.asOfVersion(v).groupBy(keyCols.map(col): _*)
         .agg(backfillAggs.head, backfillAggs.tail: _*)

@@ -67,7 +67,6 @@ object WriteIntoDelta {
     }
 
     val table = DeltaTable.forPath(spark, path)
-    val snapshot = table.snapshot
     // run-level idempotent-replay skip, same contract as DELETE/UPDATE/
     // MERGE (reference CommitProperties app_transactions apply to every
     // operation — kernel/transaction/mod.rs:1-117; delta-spark txnAppId/
@@ -78,8 +77,10 @@ object WriteIntoDelta {
     // first run created. The commit retry loop re-fires the same check
     // (checkConflicts → TransactionAlreadyAppliedException, caught below)
     // so a replay racing this pre-check still applies exactly once.
+    // Guarded on the marker: a markerless error/ignore must not pay a
+    // full snapshot load (log listing + replay) just to throw/return.
     appTxn.foreach { case (app, ver) =>
-      if (snapshot.txns.get(app).exists(_ >= ver)) return table
+      if (table.snapshot.txns.get(app).exists(_ >= ver)) return table
     }
 
     m match {
@@ -88,6 +89,8 @@ object WriteIntoDelta {
       case "ignore" => return table
       case _ => // continue
     }
+
+    val snapshot = table.snapshot
     if (m == "overwrite") ProtocolGate.checkAppendOnly(snapshot, "overwrite")
     val meta = snapshot.metadata
     val partCols = meta.partitionColumns

@@ -134,10 +134,16 @@ class DataCatalogSpec extends AnyFunSuite {
     assert(e404.getMessage.contains("entity not found"), e404.getMessage)
   }
 
-  test("glue: refuses to construct without credentials") {
-    val e = intercept[DataCatalogException](
+  test("glue: refuses to construct without region or credentials") {
+    // region resolves first and fails as loudly as the credential cases —
+    // a silent us-east-1 default would sign for the wrong region's catalog
+    // and surface as a misdiagnosable "entity not found"
+    val eRegion = intercept[DataCatalogException](
       new GlueCatalogClient(Map.empty, Some("http://x")))
-    assert(e.getMessage.contains("AWS_ACCESS_KEY_ID"))
+    assert(eRegion.getMessage.contains("AWS_REGION"))
+    val eKey = intercept[DataCatalogException](
+      new GlueCatalogClient(Map("AWS_REGION" -> "eu-west-1"), Some("http://x")))
+    assert(eKey.getMessage.contains("AWS_ACCESS_KEY_ID"))
   }
 }
 

@@ -303,7 +303,9 @@ object CdfRead {
       .toSeq.map { case (k, (v, ts)) => (k, v, ts) }.toDF("__k", "__v", "__ts")
 
     val joined = raw
-      .withColumn("__fp", col("_metadata.file_path"))
+      // metadataColumn: immune to a data column named _metadata shadowing
+      // the file-source struct (the Scan.readFiles discipline)
+      .withColumn("__fp", raw.metadataColumn("_metadata").getField("file_path"))
       .join(broadcast(keyed), col("__fp") === col("__k"), "left")
 
     // partition columns from the LOG's partitionValues (same codegen'd

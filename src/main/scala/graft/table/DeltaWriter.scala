@@ -85,9 +85,14 @@ object DeltaWriter {
         // ordinary failures log the leaked path (VACUUM skips hidden dirs,
         // so nothing else will ever report it).
         try fs.delete(staging, true) catch {
-          case _: InterruptedException => Thread.currentThread().interrupt()
+          case ie: InterruptedException =>
+            Thread.currentThread().interrupt()
+            e.addSuppressed(ie)
           case scala.util.control.NonFatal(e2) =>
             System.err.println(s"[graft] staging cleanup failed for $staging: $e2")
+            // attached to the thrown exception like the post-write twin
+            // below: callers capturing it see the leaked path too
+            e.addSuppressed(e2)
         }
         var t: Throwable = e
         while (t != null) {
@@ -188,7 +193,11 @@ object DeltaWriter {
           val perFile = math.max(1L, (rows + chunks - 1) / chunks)
           val sub = new Path(staging, s"resplit_$i")
           withMicrosTimestamps(spark) {
-            val w0 = spark.read.schema(dataSchema).parquet(p.toString)
+            // glob-escaped like every scan-side read (Scan.globEscape): a
+            // table path with [] {} * ? would make this re-read match
+            // nothing — or sibling files — instead of the staged file
+            val w0 = spark.read.schema(dataSchema)
+              .parquet(graft.table.Scan.globEscape(p.toString))
               .write.option("maxRecordsPerFile", perFile)
             codec.fold(w0)(c => w0.option("compression", c))
               .mode("overwrite").parquet(sub.toString)

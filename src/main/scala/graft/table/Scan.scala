@@ -233,17 +233,26 @@ object Scan {
     // otherwise bind a struct FIELD path — AnalysisException at best, the
     // wrong data at worst (one shared definition: GraftSqlBridge.attr)
     def attr(n: String): Column = GraftSqlBridge.attr(n)
+    // Spark HIDES the file-source _metadata struct whenever the data
+    // schema contains a column of that name (protocol-legal in foreign-
+    // written tables): col("_metadata.file_path") would then bind the USER
+    // column — AnalysisException on partitioned/DV reads at best, wrong
+    // file identity at worst. metadataColumn() resolves the METADATA
+    // column explicitly, immune to shadowing; the data column itself
+    // still reads normally through `attr`.
+    lazy val fileMeta: Column = raw.metadataColumn("_metadata")
     val cols: Seq[Column] = schema.map { f =>
       if (partCols.contains(f.name)) {
         GraftSqlBridge.column(graft.functions.PartitionValueAt(
-          GraftSqlBridge.expression(col("_metadata.file_path")),
+          GraftSqlBridge.expression(fileMeta.getField("file_path")),
           partCols.indexOf(f.name), pvLookup)).cast(f.dataType).as(f.name)
       } else if (mapped) attr(nm.getOrElse(f.name, f.name)).cast(f.dataType).as(f.name)
       else attr(f.name)
     }
     val identity: Seq[Column] =
       if (withIdentity)
-        Seq(col("_metadata.file_path").as("__file"), col("_metadata.row_index").as("__pos"))
+        Seq(fileMeta.getField("file_path").as("__file"),
+          fileMeta.getField("row_index").as("__pos"))
       else Nil
     raw.select(cols ++ identity: _*)
   }

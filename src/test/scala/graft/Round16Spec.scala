@@ -7,6 +7,7 @@ import scala.concurrent.duration.Duration
 import scala.concurrent.ExecutionContext.Implicits.global
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.table.DeltaTable
@@ -129,6 +130,51 @@ class Round16Spec extends AnyFunSuite {
     assert(t.version == 0L, "the losing create must not commit a second version")
     assert(t.toDF.count() == 5)
     assert(t.txnVersion("r16cc").contains(1L))
+  }
+
+  // ------------------------------------------- review-pass regressions
+
+  test("a data column named _metadata does not shadow file identity: " +
+      "partitioned reads and DV-masked DML still bind the file-source " +
+      "metadata struct") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // protocol-legal foreign shape: top-level data column literally named
+    // _metadata — Spark hides the file-source struct behind it for plain
+    // col() references
+    DeltaTable.write(spark,
+      (1L to 20L).map(i => (i, s"m$i", (i % 2).toString)).toDF("id", "_metadata", "k"),
+      dir, partitionBy = Seq("k"))
+    val t = DeltaTable.forPath(spark, dir)
+    // partition reconstruction routes through _metadata.file_path
+    assert(t.toDF.filter(col("k") === "1").count() == 10)
+    // the USER column still reads as data
+    assert(t.toDF.filter(col("_metadata") === "m3").count() == 1)
+    // identity scan (DV delete) routes __file/__pos through the same struct
+    val m = t.delete(Some("id <= 5"))
+    assert(m("num_deleted_rows").toLong == 5)
+    assert(t.toDF.count() == 15)
+    assert(t.toDF.select(max(col("_metadata"))).as[String].head() == "m9")
+  }
+
+  test("targetFileSize resplit re-reads its staged file glob-escaped " +
+      "(table path containing glob metacharacters)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_r16_glob_")
+    val dir = base.toString + "/run[1]/t"
+    // incompressible pad (per-row pseudo-random): a constant pad
+    // dictionary-encodes below the resplit threshold and never exercises
+    // the re-read under test
+    val wide = (1L to 20000L).map(i => (i,
+      java.util.UUID.nameUUIDFromBytes(BigInt(i).toByteArray).toString))
+      .toDF("id", "pad")
+    DeltaTable.write(spark, wide.coalesce(1), dir,
+      configuration = Map("delta.targetFileSize" -> "65536"))
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF.count() == 20000)
+    assert(t.snapshot.allFiles.size > 1,
+      s"expected the oversized staged file to resplit, got " +
+        s"${t.snapshot.allFiles.size} file(s)")
   }
 
   test("writer-surface txnAppId/txnVersion options replay-skip; one " +

@@ -148,6 +148,28 @@ object DeletionVectors {
       case _ => None
     }
 
+  /** Rel path of DV blob `p` under `tableUri`, or None when the blob lives
+    * outside the table tree (a VACUUM listing never yields it — nothing to
+    * protect or delete by rel there). Pure URI logic, safe inside executor
+    * tasks. URI.relativize returns its input UNCHANGED on a scheme or
+    * authority mismatch, so a scheme-qualified absolute descriptor
+    * ('p' storage, foreign writers) over a scheme-less table path must be
+    * rebased first — an unmatchable "rel" key would silently drop a LIVE
+    * blob from VACUUM's protection set and the blob would be deleted. */
+  def relDvPath(tableUri: java.net.URI, p: Path): Option[String] = {
+    val pu = p.toUri
+    val (base, target) = (tableUri.getScheme, pu.getScheme) match {
+      case (null, s) if s != null =>
+        (new java.net.URI(s, pu.getAuthority, tableUri.getPath, null, null), pu)
+      case (s, null) if s != null =>
+        (tableUri,
+          new java.net.URI(s, tableUri.getAuthority, pu.getPath, null, null))
+      case _ => (tableUri, pu)
+    }
+    val rel = base.relativize(target).getPath
+    if (rel.isEmpty || rel.startsWith("/")) None else Some(rel)
+  }
+
   /** Deleted row indexes of one descriptor (sorted ascending). */
   def read(tablePath: Path, dv: DeletionVectorDescriptor,
            conf: org.apache.hadoop.conf.Configuration): Array[Long] =

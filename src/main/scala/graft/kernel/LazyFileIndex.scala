@@ -141,16 +141,18 @@ class LazyFileIndex(
       it.flatMap { row =>
         val f = Checkpoints.decodeAdd(row.getStruct(0))
         if (overlay.contains(f.reconcileKey)) Iterator.empty
+        // scheme-robust relativize — the Maintenance.relPaths discipline:
+        // an unmatchable DV rel drops a live blob from VACUUM's protection
         else Iterator(PathCodec.decode(f.path)) ++ f.deletionVector
           .flatMap(dv => DeletionVectors.dvPath(tp, dv))
-          .map(p => uri.relativize(p.toUri).getPath).iterator
+          .flatMap(p => DeletionVectors.relDvPath(uri, p)).iterator
       }
     }
     val tpUri = new Path(tablePathStr).toUri
     val tailRels = tailAdds.flatMap { f =>
       PathCodec.decode(f.path) +: f.deletionVector
         .flatMap(dv => DeletionVectors.dvPath(new Path(tablePathStr), dv))
-        .map(p => tpUri.relativize(p.toUri).getPath).toSeq
+        .flatMap(p => DeletionVectors.relDvPath(tpUri, p)).toSeq
     }
     spark.createDataset(ckpt).toDF("rel")
       .union(tailRels.toDF("rel"))
@@ -174,7 +176,7 @@ class LazyFileIndex(
     val rels: (RemoveFile, Path) => Seq[String] = (r, tp) =>
       PathCodec.decode(r.path) +: r.deletionVector
         .flatMap(dv => DeletionVectors.dvPath(tp, dv))
-        .map(p => tp.toUri.relativize(p.toUri).getPath).toSeq
+        .flatMap(p => DeletionVectors.relDvPath(tp.toUri, p)).toSeq
     val ckpt = colDf("remove", Checkpoints.removeType).rdd.mapPartitions { it =>
       val tp = new Path(tablePathStr)
       it.flatMap { row =>

@@ -25,7 +25,7 @@ object VacuumOp {
   // (no `_` prefix on the file itself) would be vacuumed away
   private def vacuumableDir(name: String): Boolean =
     name == Dml.CDC_DIR ||
-      (!name.startsWith("_") && !name.startsWith(".") && !name.startsWith(".tmp_"))
+      (!name.startsWith("_") && !name.startsWith("."))
 
   private def vacuumableFile(name: String): Boolean =
     !name.startsWith(".") && !name.startsWith("_")
@@ -88,8 +88,12 @@ object VacuumOp {
     // serial walk + Set become the bottleneck); overridable for tests.
     val distThreshold = spark.conf.getOption("spark.graft.vacuum.distributedThreshold")
       .map(_.toInt).getOrElse(100000)
+    // forall (not isEmpty): a lazy index MATERIALIZED earlier in the
+    // session still fronts a huge table — the file count must keep its
+    // say, or a 10M-file VACUUM falls back to the serial driver walk
     val distributed = snapshot.lazyIndex.exists(!_.isMaterialized) ||
-      snapshot.lazyIndex.isEmpty && snapshot.allFiles.size >= distThreshold
+      (snapshot.lazyIndex.forall(_.isMaterialized) &&
+        snapshot.allFiles.size >= distThreshold)
 
     // one place maps a logged (path, dv) pair to its LITERAL on-disk rel
     // paths (data file + optional DV blob); listing yields literal names,
@@ -97,7 +101,11 @@ object VacuumOp {
     def relPaths(path: String, dv: Option[DeletionVectorDescriptor]): Seq[String] =
       PathCodec.decode(path) +: dv
         .flatMap(d => DeletionVectors.dvPath(table.tablePath, d))
-        .map(p => tableUri.relativize(p.toUri).getPath).toSeq
+        // scheme-robust relativize (DeletionVectors.relDvPath): a
+        // scheme-qualified absolute 'p' descriptor over a scheme-less
+        // table path previously produced an unmatchable key — the LIVE
+        // blob fell out of the protection set and VACUUM deleted it
+        .flatMap(p => DeletionVectors.relDvPath(tableUri, p)).toSeq
 
     // files referenced by keep_versions snapshots (vacuum.rs:182,
     // with_keep_versions): protected so time travel to them keeps working
@@ -292,8 +300,12 @@ object RestoreOp {
     // file identity includes the deletion-vector: the same path with a
     // different (or no) mask is a DIFFERENT logical file — path-only
     // comparison would fail to resurrect rows masked since `version`
+    // the engine's file-action identity (AddFile.reconcileKey semantics):
+    // uniqueId covers storageType AND offset — pathOrInlineDv alone read
+    // two different DVs packed in one blob (delta-spark packs by offset)
+    // as equal, so RESTORE kept the wrong row mask silently
     def key(f: AddFile): (String, Option[String]) =
-      (f.path, f.deletionVector.map(_.pathOrInlineDv))
+      (f.path, f.deletionVector.map(_.uniqueId))
     val currentKeys = current.allFiles.map(key).toSet
     val targetKeys = target.allFiles.map(key).toSet
 
@@ -570,14 +582,20 @@ object MetadataOps {
       s"Adding $feature requires a protocol upgrade (pass allowProtocolVersionIncrease=true)")
     // upgrading a legacy protocol to v7 must enumerate the writer features
     // the old version implied — feature lists replace version implication
+    val newReaderVersion = if (isReaderFeature) 3 else p.minReaderVersion
     val newProtocol = Protocol(
-      minReaderVersion = if (isReaderFeature) 3 else p.minReaderVersion,
+      minReaderVersion = newReaderVersion,
       minWriterVersion = 7,
-      readerFeatures = Some(
+      // PROTOCOL.md allows readerFeatures ONLY at minReaderVersion 3: a
+      // writer-feature upgrade of a legacy (v1/v2) reader must stay
+      // list-free or strict foreign readers reject the protocol action
+      // (the upgradeForColumnMapping discipline)
+      readerFeatures = if (newReaderVersion >= 3) Some(
         // a v2 reader implied columnMapping; the v3 feature LIST must
         // enumerate it or mapping-aware readers refuse/misread the table
         (ProtocolGate.impliedReaderFeatures(p) ++
-          (if (isReaderFeature) Seq(feature) else Nil)).distinct),
+          (if (isReaderFeature) Seq(feature) else Nil)).distinct)
+      else None,
       writerFeatures = Some(
         (ProtocolGate.impliedWriterFeatures(p) :+ feature).distinct))
     val txn = table.startTransaction(snapshot) // pinned: metadata derived from it
@@ -631,7 +649,21 @@ object ConvertToDeltaOp {
 
     // schema via Spark inference (includes hive partition columns)
     val inferred = spark.read.option("basePath", path).parquet(path)
-    val fullSchema = inferred.schema
+    // honor the CALLER's partition column TYPES, not just the names: an
+    // explicit partitionSchema exists to override inference (part='01'
+    // passed as STRING must not commit as the inferred INT, which reads
+    // the stored '01' as 1 and collapses distinct directory values)
+    val fullSchema = partitionSchema match {
+      case Some(ps) =>
+        val known = inferred.schema.fieldNames.toSet
+        val missing = ps.fieldNames.filterNot(known.contains)
+        require(missing.isEmpty,
+          s"convertToDelta: partitionSchema column(s) ${missing.mkString(", ")} " +
+            s"not found in the inferred layout (${known.mkString(", ")})")
+        StructType(inferred.schema.map(f =>
+          ps.find(_.name == f.name).getOrElse(f)))
+      case None => inferred.schema
+    }
     val partCols: Seq[String] = partitionSchema.map(_.fieldNames.toSeq).getOrElse {
       // infer: columns that only appear in directory names
       val sample = firstParquet(fs, tablePath)
@@ -718,7 +750,11 @@ object ConvertToDeltaOp {
     fs.listStatus(dir).sortBy(_.getPath.getName).view.flatMap { st =>
       val name = st.getPath.getName
       if (st.isDirectory && !name.startsWith("_") && !name.startsWith(".")) firstParquet(fs, st.getPath)
-      else if (st.isFile && name.endsWith(".parquet")) Some(st.getPath)
+      // same hidden-file guard as walk(): a '_committed_*.parquet' sidecar
+      // sorts first and its schema would misclassify real data columns as
+      // partition columns during inference
+      else if (st.isFile && name.endsWith(".parquet") &&
+        !name.startsWith("_") && !name.startsWith(".")) Some(st.getPath)
       else None
     }.headOption
   }

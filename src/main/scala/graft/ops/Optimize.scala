@@ -36,6 +36,11 @@ object OptimizeOp {
       predicate: Option[String],
       minCommitInterval: Option[Long] = None): Map[String, String] = {
     require(targetSize > 0, s"OPTIMIZE: targetSize must be > 0, got $targetSize")
+    // validated up front, not call-shape-dependent: the empty-bins path
+    // commits the parameters durably and previously let a negative
+    // interval through while the with-bins path threw
+    minCommitInterval.foreach(ms => require(ms >= 0,
+      s"minCommitInterval must be >= 0, got $ms"))
     val spark = table.spark
     val snapshot = table.refresh()
     // NOTE: created here but USED only by the empty-bins and whole-commit
@@ -299,7 +304,13 @@ object OptimizeOp {
       "num_files_removed" -> removes.size.toString,
       "zorder_columns" -> columns.mkString(","))
     table.commitAndRefresh(txn, removes ++ adds,
-      Operation("OPTIMIZE", Map("zOrderBy" -> columns.mkString("[", ",", "]")), metrics))
+      // same durable parameter shape as compact (predicate included):
+      // history consumers must be able to tell a partition-scoped
+      // clustering from a full-table one
+      Operation("OPTIMIZE", Map(
+        "zOrderBy" -> columns.mkString("[", ",", "]"),
+        "targetSize" -> targetSize.toString,
+        "predicate" -> predicate.map(p => s"[$p]").getOrElse("[]")), metrics))
     metrics
   }
 }

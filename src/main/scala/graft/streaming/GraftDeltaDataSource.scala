@@ -75,7 +75,12 @@ class GraftDeltaDataSource extends DataSourceRegister
     refuseUserSchema(schema)
     val cdf = graft.sources.GraftDeltaRelation.opt(parameters, "readChangeFeed")
       .exists(_.trim.equalsIgnoreCase("true"))
-    val base = DeltaTable.forPath(sqlContext.sparkSession, pathOf(parameters)).schema
+    // metadata-only snapshot: this call answers ONLY the schema, and the
+    // full snapshot (checkpoint Add reads + file index) is built moments
+    // later by createSource anyway — materializing it twice doubled the
+    // billable startup LISTs/reads on a large table
+    val base = new graft.kernel.DeltaLog(sqlContext.sparkSession,
+      new org.apache.hadoop.fs.Path(pathOf(parameters))).metadataSnapshot().schema
     (shortName(), if (cdf) GraftDeltaSource.cdfSchema(base) else base)
   }
 

@@ -125,7 +125,17 @@ class GraftDeltaSink(
         Map("numFiles" -> adds.size.toString,
           "numRemovedFiles" -> removes.size.toString)))
     catch {
-      case _: graft.kernel.TransactionAlreadyAppliedException => // replayed batch won the race
+      case _: graft.kernel.TransactionAlreadyAppliedException =>
+        // replayed batch won the race: this loser's data files were already
+        // renamed into the table dir but will never be referenced —
+        // best-effort delete them now rather than leaving a full batch of
+        // orphans (a whole table's worth in Complete mode) that only
+        // VACUUM can reclaim after the retention window (the
+        // BlindDeltaTable.append cleanup discipline)
+        val fs = table.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+        adds.foreach(a => scala.util.Try(fs.delete(
+          new org.apache.hadoop.fs.Path(table.tablePath,
+            graft.kernel.PathCodec.decode(a.path)), false)))
     }
     ()
   }

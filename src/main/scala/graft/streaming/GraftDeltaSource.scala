@@ -123,7 +123,14 @@ class GraftDeltaSource(
     * Extension beyond the reference (its CDF surface is the polling batch
     * `load_cdf`); option name matches delta-spark. */
   private val cdfMode = boolOpt("readChangeFeed")
-  if (cdfMode) require(Dml.cdcEnabled(initSnapshot),
+  // Gated on FRESH streams only: a checkpointed restart must be able to
+  // drain the already-RECORDED backlog after delta.enableChangeDataFeed
+  // was later unset — the batch feed (loadCdf) serves such historical
+  // ranges through its range-start gate, and the per-version
+  // cdfEnabledAt check below still fails genuinely-unrecorded windows
+  // loudly. Construction-time current-state enforcement here would wedge
+  // that restart forever.
+  if (cdfMode && freshStream) require(Dml.cdcEnabled(initSnapshot),
     "readChangeFeed=true requires delta.enableChangeDataFeed on the table")
 
   /** None = serve the initial snapshot first; Some(v) = tail from commit v. */
@@ -405,9 +412,18 @@ class GraftDeltaSource(
     actions.collectFirst {
       // partitionColumns change with an identical schema is just as fatal:
       // later AddFiles' partitionValues would be decoded against the OLD
-      // partition columns, silently yielding null/wrong partition values
-      case m: Metadata if m.schema != initSnapshot.schema ||
-          m.partitionColumns != initSnapshot.partitionColumns => m
+      // partition columns, silently yielding null/wrong partition values.
+      // Schema compatibility is the ADDITIVE rule verifyLayoutAt applies:
+      // an intermediate backlog commit whose schema is an identical-field
+      // SUBSET of the stream's decodes fine (later columns read null) —
+      // requiring strict equality wedged the stream permanently, because
+      // the error's own remedy (restart) re-reads the SAME old Metadata
+      // commit against the same newer snapshot. A commit carrying fields
+      // the stream does NOT know stays fatal: restarting genuinely fixes
+      // that (the restart adopts the newer schema).
+      case m: Metadata if m.partitionColumns != initSnapshot.partitionColumns ||
+          m.schema.fields.exists(f => !initSnapshot.schema.fields.exists(g =>
+            g.name == f.name && g.dataType == f.dataType)) => m
     }.foreach { m =>
       throw new IllegalStateException(
         s"graft-delta source: table schema or partitioning changed at version $version " +
@@ -614,7 +630,17 @@ class GraftDeltaSource(
     val latest = math.max(log.latestVersion(), initSnapshot.version)
     if (from.version > latest) return from // startingVersion=latest+1: nothing yet
     val init = from.isInitialSnapshot && from.version == latest
-    val cap = GraftSourceOffset(latest, sizesAt(latest, init, latest).size.toLong, init)
+    // A guard failure AT the log head (e.g. an un-admitted change commit)
+    // must not fail the run before its clean backlog is served — that
+    // defeats the advance() deferral contract and leaves an AvailableNow
+    // run at zero durable progress forever. A sentinel unit count keeps
+    // the cap an upper bound only: the walk drains every admissible unit,
+    // those batches commit, and the next admission attempt at the
+    // offending commit rethrows loudly with nothing admitted (the run
+    // FAILS rather than silently completing short).
+    val units = try sizesAt(latest, init, latest).size.toLong
+      catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    val cap = GraftSourceOffset(latest, units, init)
     // never behind the consumed position — a cap below `current` would
     // clamp latestOffset BACKWARDS and re-admit already-processed units
     if (GraftSourceOffset.ordering.gt(from, cap)) from else cap
@@ -742,6 +768,17 @@ class GraftDeltaSource(
     var init = start.isInitialSnapshot
     while (v <= end.version) {
       val units = at(v, init, latest)
+      // an admitted offset indexing PAST the units this replay computes
+      // means the admission options changed across a restart (commits are
+      // immutable, so the unit list at a version is a pure function of
+      // the options): truncating silently would drop WAL-admitted rows
+      if (v == end.version && !end.isInitialSnapshot && end.index > units.size)
+        throw new IllegalStateException(
+          s"graft-delta source: checkpointed offset admits ${end.index} " +
+            s"unit(s) at version $v but the current options yield only " +
+            s"${units.size} — skipChangeCommits/ignoreChanges/ignoreDeletes " +
+            "changed across a restart, which re-means recorded offsets. " +
+            "Restore the original options or start a fresh checkpoint.")
       val lo = if (v == start.version && init == start.isInitialSnapshot) start.index else 0L
       val hi = if (v == end.version) math.min(end.index, units.size.toLong) else units.size.toLong
       if (lo < hi) out ++= units.slice(lo.toInt, hi.toInt)

@@ -156,8 +156,10 @@ class Round13StreamSpec extends AnyFunSuite {
     val src2 = new GraftDeltaSource(spark, dir2,
       Map("startingVersion" -> "1"),
       metadataPath = Some(metaDir(restart = true)))
+    // exact unit count (v2 = one add): an over-large sentinel index now
+    // trips the r16 option-drift guard by design
     val served = src2.getBatch(None,
-      GraftSourceOffset(2, 99, isInitialSnapshot = false))
+      GraftSourceOffset(2, 1, isInitialSnapshot = false))
     assert(served.columns.toSeq == Seq("n", "p", "q"), served.columns.toSeq)
     spark.conf.set("spark.sql.streaming.unsupportedOperationCheck", "false")
     try {

@@ -35,4 +35,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // G1 sizes regions from -Xmx: 8g ⇒ 4 MiB regions ⇒ every allocation
+  // ≥2 MiB (shuffle sorter pointer arrays, broadcast buffers, the text
+  // pipeline's split arrays) is "humongous", lands straight in old gen and
+  // can trigger a concurrent-mark cycle. A full bench suite measured 154
+  // humongous-triggered concurrent cycles in 205s whose mark/refinement
+  // threads stole up to 20x CPU from late-suite queries (OPTIMIZATION_r16
+  // "GC storms"; llm_minhash 15s full-suite vs 3s solo, identical plans).
+  // 16 MiB regions raise the humongous threshold to 8 MiB — the same
+  // region size a ≥32g production executor heap gets automatically, so
+  // this aligns the local JVM with cluster-scale behavior rather than
+  // tuning for it. Measured: 154 → 12 concurrent cycles, suite total
+  // 24.8s → 15.2s on the same host, gc wall 5.9 → 2.0s.
+  "-XX:G1HeapRegionSize=16m",
 )

@@ -546,21 +546,44 @@ object Dedup {
       maxDocFreq: Int = -1,
       nDocs: Long = -1L): DataFrame = {
     val (input, cap) = resolveDocFreqCap(df, maxDocFreq, nDocs)
+    // ONE pass over the text (guide §1.2/§2.3): shingle identity collapses
+    // to its xxhash64 at the explode — the identity the verification sets
+    // ALWAYS used (collect_set(xxhash64(__sh))), so the collision model is
+    // unchanged: a collision can only merge two posting lists (extra
+    // candidate pairs, killed by the exact verify), never drop a
+    // qualifying pair — and the per-doc hash-set aggregation becomes the
+    // SINGLE source for both the verification sets and (re-exploded) the
+    // inverted posting index. The expensive side (scan + whitespace
+    // normalization + shingle assembly) previously ran twice — once for
+    // the posting path, once for the sets; now it runs once and its
+    // exchange is shared by every consumer via ReuseExchange, the
+    // minhashAgg construction. Per-doc distinctness of the re-exploded
+    // postings equals the old explode's (shingleArray is distinct per doc).
     val sh = shingles(input, idCol, textCol, shingleSize)
+      .select(col("__id"), xxhash64(col("__sh")).as("__h"))
+    val sets = sh.groupBy("__id")
+      .agg(collect_set(col("__h")).as("__hs"))
+    val posting = sets.select(col("__id"), explode(col("__hs")).as("__h"))
 
-    val dfWindow = Window.partitionBy(col("__sh"))
-    val rare = sh
+    val dfWindow = Window.partitionBy(col("__h"))
+    val rare = posting
       .withColumn("__df", count(lit(1)).over(dfWindow))
       .filter(col("__df") <= cap)
       .drop("__df")
 
-    val candidates = rare.select(col("__id").as("id_a"), col("__sh"))
-      .join(rare.select(col("__id").as("id_b"), col("__sh").as("__sh2")),
-        col("__sh") === col("__sh2") && col("id_a") < col("id_b"))
+    // SORT-MERGE pinned for the posting self-join: both sides are the SAME
+    // window output, already exchanged AND sorted on __h — SMJ here costs
+    // zero extra exchanges (ReuseExchange) and no broadcast build, while
+    // the 8-byte key's low size estimate otherwise baits AQE into
+    // broadcasting a whole posting list (measured slower at bench scale,
+    // and a posting list is exactly what must never broadcast at corpus
+    // scale).
+    val candidates = rare.select(col("__id").as("id_a"), col("__h"))
+      .hint("merge")
+      .join(rare.select(col("__id").as("id_b"), col("__h").as("__h2")),
+        col("__h") === col("__h2") && col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    val sets = sh.groupBy("__id")
-      .agg(collect_set(xxhash64(col("__sh"))).as("__hs"))
     verifyJaccard(candidates, sets, threshold)
   }
 

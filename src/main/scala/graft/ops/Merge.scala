@@ -400,10 +400,18 @@ object MergeOp {
       .persist(persistLevel)
 
     try {
-      // materialize the join into the cache as its own phase (fires both
-      // observations); later passes are cache reads, so phase attribution
-      // in lastPhases separates join cost from bookkeeping/write cost
-      phases("join_persist")(withOp.count())
+      // NO dedicated materialization pass (r16, guide §1.2 "don't compute
+      // things you throw away"): the dropped `withOp.count()` cost one full
+      // extra read of the cache (deserializing every joined row a second
+      // time) purely for phase attribution. The FIRST consumer below
+      // materializes the persist as a side effect and fires both
+      // observations — every clause shape has at least one consumer (the
+      // bookkeeping aggregation when any clause can change a row; the
+      // output write otherwise, since changeOps empty ⇒ insert clauses
+      // exist), so Observation.get below can never block. Phase
+      // attribution: the join+persist cost now lands in whichever phase
+      // consumes first (bookkeeping_pass, usually) — recorded in
+      // OPTIMIZATION_r16.md so the phase ledger stays interpretable.
       val deleteOps = indexed.collect {
         case (_: MatchedDelete, i) => i
         case (_: NotMatchedBySourceDelete, i) => i
@@ -446,7 +454,26 @@ object MergeOp {
       // dedup-append pattern.
       val needDupCheck = validateDuplicates && changeOps.nonEmpty
       val perFile = phases("bookkeeping_pass")(
-        if (changeOps.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        // Two shapes still need the count() materializer so the
+        // observations demonstrably fire before opObs.get below:
+        //  - insert-only merges (changeOps empty) skip the aggregation, and
+        //    a DataFrameWriter command's QueryExecution does not surface
+        //    CollectMetrics from the cached fragment it materializes (the
+        //    grid's insert-only cases got an EMPTY observation map);
+        //  - candidates empty (early filter pruned every target file): the
+        //    aggregation's filter over the empty-target full-outer join
+        //    collapses to an empty relation, ELIDING the CollectMetrics
+        //    node — zero tasks run and the observation completes empty
+        //    (grid upsert case matchedFraction=0.0, caught by
+        //    MergeGridSpec). count() on the UNFILTERED frame keeps the
+        //    nonempty source side and cannot collapse.
+        // Either way perFile is correctly empty: no target files ⇒ no
+        // dup-check, no changed files. Every other shape fires the
+        // observations through the aggregation itself (nonempty target
+        // relation ⇒ no empty-collapse of the filtered subtree).
+        if (changeOps.isEmpty || candidates.isEmpty) {
+          withOp.count(); Array.empty[org.apache.spark.sql.Row]
+        }
         else withOp.filter(col("__tgt").isNotNull)
           .select(col("target.__file").as("__f"), col("target.__pos").as("__p"),
             matchedC.as("__m"), changedCond.as("__c"))

@@ -203,4 +203,37 @@ class Round16Spec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("txnVersion"))
   }
+
+  // r16 optimization regression: the merge's dedicated join-materialization
+  // count() was dropped (the first consumer materializes the persist), so
+  // the two shapes where that first consumer CANNOT surface the metric
+  // observations must still produce correct metrics:
+  //  - candidates pruned to ZERO (early filter; the bookkeeping query
+  //    collapses to an empty relation, eliding CollectMetrics),
+  //  - insert-only merges (first action is a DataFrameWriter command,
+  //    whose QueryExecution does not surface cached-fragment metrics).
+  test("merge metrics survive empty-candidate pruning and insert-only shapes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("r16_obs").toString + "/t"
+    DeltaTable.write(spark, (1L to 100L).toDF("id").withColumn("v", col("id") * 2), dir)
+
+    // every source key outside the target range: stats prune ALL files
+    val offRange = (1001L to 1010L).toDF("id").withColumn("v", col("id"))
+    val m1 = DeltaTable.forPath(spark, dir)
+      .merge(offRange, "target.id = source.id")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(graft.ops.MergeOp.lastCandidateFiles == 0,
+      s"precondition: early filter should prune every file, got ${graft.ops.MergeOp.lastCandidateFiles}")
+    assert(m1("num_source_rows") == "10" && m1("num_target_rows_inserted") == "10" &&
+      m1("num_target_rows_updated") == "0", s"bad metrics: $m1")
+
+    // insert-only merge with matches present: dedup-append pattern
+    val m2 = DeltaTable.forPath(spark, dir)
+      .merge((95L to 120L).toDF("id").withColumn("v", col("id")),
+        "target.id = source.id")
+      .whenNotMatchedInsertAll().execute()
+    assert(m2("num_source_rows") == "26" && m2("num_target_rows_inserted") == "20",
+      s"bad metrics: $m2")
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 130)
+  }
 }

@@ -60,10 +60,15 @@ class Round7Spec extends AnyFunSuite {
     assert(metrics("num_target_rows_deleted").toLong == 0L)
 
     // every phase of the one-pass design fired and was accounted for
+    // (r16: the dedicated join_persist materialization pass was removed —
+    // the first consumer, bookkeeping_pass, materializes the cache)
     val phases = graft.ops.MergeOp.lastPhases
-    Seq("early_filter_agg", "join_persist", "bookkeeping_pass",
+    Seq("early_filter_agg", "bookkeeping_pass",
       "output_write", "commit").foreach(p =>
       assert(phases.contains(p), s"phase $p missing from ${phases.keySet}"))
+    assert(!phases.contains("join_persist"),
+      "the dedicated join-materialization pass is gone (r16): its " +
+        "reappearance means the merge re-grew a throwaway full cache read")
 
     val t = DeltaTable.forPath(spark, dir)
     assert(t.toDF.count() == n + n / 100)

@@ -218,7 +218,13 @@ object Dedup {
       .otherwise(array(concat_ws(" ", w)))
   }
 
-  /** (id, shingle) exploded + distinct — the input to MinHash. */
+  /** (id, shingle) exploded + distinct — the input to MinHash.
+    * (Left UNfiltered on purpose: an r16 experiment that dropped NULL ids
+    * here to unify consumer subtrees broke minhashNearDups' existing
+    * exchange reuse instead — measured 21→47 CPU-s/rep — while the same
+    * filter INSIDE ngramJaccardNearDups measured −30% CPU. Subtree
+    * identity under inferred-filter pushdown is shape-specific: decide
+    * per consumer, by measurement.) */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("__id"),
         explode(shingleArray(col(textCol), n)).as("__sh"))
@@ -559,7 +565,18 @@ object Dedup {
     // exchange is shared by every consumer via ReuseExchange, the
     // minhashAgg construction. Per-doc distinctness of the re-exploded
     // postings equals the old explode's (shingleArray is distinct per doc).
+    // NULL ids are dropped at the source, NOT left to optimizer inference:
+    // the verification joins infer `isnotnull(id)` and push it into THEIR
+    // copy of the aggregation subtree, which would otherwise differ from
+    // the posting path's copy and defeat ReuseExchange — the single text
+    // pass would silently become two (read in the executed plan,
+    // plans/r16; measured −30% CPU). Result-identical: a NULL-id document
+    // can never survive the id_a < id_b / equi-join conditions, so it
+    // appears in no output pair either way. Scoped HERE, not in
+    // shingles(): the same filter at the shared source broke
+    // minhashNearDups' reuse the other way (measured 21→47 CPU-s/rep).
     val sh = shingles(input, idCol, textCol, shingleSize)
+      .filter(col("__id").isNotNull)
       .select(col("__id"), xxhash64(col("__sh")).as("__h"))
     val sets = sh.groupBy("__id")
       .agg(collect_set(col("__h")).as("__hs"))

@@ -610,10 +610,27 @@ object MergeOp {
         case null => 0L // sum() over an empty input observes NULL
         case n: java.lang.Number => n.longValue
       }
+      // An observation can complete EMPTY despite an action having run:
+      // when the join's target side is empty AT RUNTIME (every candidate
+      // row DV-masked — candidates.isEmpty is caught statically above),
+      // AQE folds the bookkeeping filter's `__tgt IS NOT NULL` to false
+      // over the collapsed join and prunes the whole branch INCLUDING the
+      // CollectMetrics node — zero tasks run, the observation burns with
+      // an empty map (Round12Spec all-rows-DV-deleted caught this).
+      // The burn itself proves no target row joined, so no source row can
+      // have matched twice — recounting from the cached join is exact in
+      // precisely the shapes that reach this fallback.
       val opRow = opObs.get
-      val opCounts = indexed.map { case (_, i) => i -> obsLong(opRow(s"op_$i")) }.toMap
+      val opCounts =
+        if (opRow.nonEmpty)
+          indexed.map { case (_, i) => i -> obsLong(opRow(s"op_$i")) }.toMap
+        else withOp.groupBy(col("__op")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
       def countOf(ids: Set[Int]): Long = ids.toSeq.map(i => opCounts.getOrElse(i, 0L)).sum
-      val numSourceRows = obsLong(srcObs.get("n"))
+      val srcRow = srcObs.get
+      val numSourceRows =
+        if (srcRow.nonEmpty) obsLong(srcRow("n"))
+        else withOp.filter(col("__src").isNotNull).count()
       val rowsUpdated = countOf(updateOps)
       val rowsDeleted = countOf(deleteOps)
       val rowsInserted = countOf(insertOps)

@@ -94,8 +94,17 @@ object PlanDump {
         // capture explain("formatted") without stdout interleaving
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
+        // ALSO execute and capture the AQE-final plan: the formatted
+        // pre-execution plan prints shared subtrees once PER CONSUMER,
+        // so exchange-reuse claims (ReusedExchange nodes) are only
+        // visible in the executed plan (the Bench.force discipline —
+        // executing the df's own QueryExecution, not a separate one)
+        df.queryExecution.executedPlan.execute().foreach(_ => ())
+        val executed = df.queryExecution.executedPlan.toString
         val p = outDir.resolve(s"${name}_$suffix.txt")
-        java.nio.file.Files.write(p, txt.getBytes("UTF-8"))
+        java.nio.file.Files.write(p,
+          (txt + "\n\n== Executed Plan (AQE final) ==\n" + executed)
+            .getBytes("UTF-8"))
         System.err.println(s"[plan-dump] wrote $p")
       }
     }

@@ -288,10 +288,25 @@ object Bench {
     val phaseRecords =
       scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[String, Vector[Double]]]()
     // mutating operator: fresh clone of `template` per timed run (template
-    // by name: a disabled bench must not force its lazy table build)
+    // by name: a disabled bench must not force its lazy table build).
+    // ONE untimed warm-up rep (clone + op, discarded) precedes the timed
+    // reps — the methodology this file's header has always documented
+    // ("every query runs REPS times after a warm-up execution") and that
+    // bench() applies to every read query, but benchMut never did: its
+    // first timed rep carried the op's one-time JIT/codegen cost and read
+    // 1.5-2x the steady-state (r15 ledger protocol note), skewing every
+    // 3-rep median toward rep-1 noise. Methodology change recorded in
+    // OPTIMIZATION_r16.md with before/after records kept. The tiny
+    // shared warm-up table above stays: it covers benches the filter
+    // disables individually.
     def benchMut(name: String, template: => String,
         phasesOf: Option[() => Map[String, Double]] = None)(op: String => Unit): Unit =
       if (enabled(name)) {
+        locally {
+          val wdir = EntryCtx.tempDir(s"${name}_warm")
+          cloneDir(template, wdir)
+          op(wdir)
+        }
         record(name, (1 to reps).map { i =>
           val dir = EntryCtx.tempDir(s"${name}_r$i")
           cloneDir(template, dir)

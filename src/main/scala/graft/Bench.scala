@@ -322,6 +322,9 @@ object Bench {
         })
       }
 
+    // NOTE: the read-shaped queries below are mirrored verbatim in
+    // tools/PlanDump.scala (committed plan evidence) — edits here must be
+    // mirrored there, or plans/<round>/ describes a different query.
     // TPC-H Q1-shaped aggregation over the Delta lineitem
     bench("q1_agg")(spark.sql(
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

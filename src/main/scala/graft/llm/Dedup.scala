@@ -554,17 +554,23 @@ object Dedup {
     val (input, cap) = resolveDocFreqCap(df, maxDocFreq, nDocs)
     // ONE pass over the text (guide §1.2/§2.3): shingle identity collapses
     // to its xxhash64 at the explode — the identity the verification sets
-    // ALWAYS used (collect_set(xxhash64(__sh))), so the collision model is
-    // unchanged: a collision can only merge two posting lists (extra
-    // candidate pairs, killed by the exact verify), never drop a
-    // qualifying pair — and the per-doc hash-set aggregation becomes the
-    // SINGLE source for both the verification sets and (re-exploded) the
-    // inverted posting index. The expensive side (scan + whitespace
-    // normalization + shingle assembly) previously ran twice — once for
-    // the posting path, once for the sets; now it runs once and its
-    // exchange is shared by every consumer via ReuseExchange, the
-    // minhashAgg construction. Per-doc distinctness of the re-exploded
+    // ALWAYS used (collect_set(xxhash64(__sh))) — and the per-doc hash-set
+    // aggregation becomes the SINGLE source for both the verification sets
+    // and (re-exploded) the inverted posting index. The expensive side
+    // (scan + whitespace normalization + shingle assembly) previously ran
+    // twice — once for the posting path, once for the sets; now it runs
+    // once and its exchange is shared by every consumer via ReuseExchange,
+    // the minhashAgg construction. Per-doc distinctness of the re-exploded
     // postings equals the old explode's (shingleArray is distinct per doc).
+    // Collision model, stated precisely: in candidate GENERATION a
+    // collision merges two posting lists — extra candidate pairs, killed
+    // by the exact verify. But the df CAP now counts the MERGED list, so
+    // a rare shingle colliding with an above-cap shingle has its postings
+    // dropped with it — a ~|above-cap shingles|/2^64 per-shingle extension
+    // of the cap's documented recall trade (pairs whose every shared
+    // shingle is capped), NOT a new correctness class: the verify-set
+    // identity was already hash-based, and pairs retaining any un-capped,
+    // un-collided shared shingle still surface.
     // NULL ids are dropped at the source, NOT left to optimizer inference:
     // the verification joins infer `isnotnull(id)` and push it into THEIR
     // copy of the aggregation subtree, which would otherwise differ from

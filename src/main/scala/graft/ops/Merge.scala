@@ -621,16 +621,26 @@ object MergeOp {
       // have matched twice — recounting from the cached join is exact in
       // precisely the shapes that reach this fallback.
       val opRow = opObs.get
+      val srcRow = srcObs.get
+      // ONE recount pass serves both burned observations (they burn
+      // together — the same pruned query carried both CollectMetrics
+      // nodes): the cached join is the merge's largest materialization
+      // and must not be recomputed twice on the fallback path.
+      lazy val recountRow = {
+        val aggs = indexed.map { case (_, i) =>
+          sum(when(col("__op") === i, 1L).otherwise(0L)).as(s"op_$i")
+        } :+ sum(when(col("__src").isNotNull, 1L).otherwise(0L)).as("src_n")
+        withOp.agg(aggs.head, aggs.tail: _*).collect()(0)
+      }
       val opCounts =
         if (opRow.nonEmpty)
           indexed.map { case (_, i) => i -> obsLong(opRow(s"op_$i")) }.toMap
-        else withOp.groupBy(col("__op")).count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        else indexed.map { case (_, i) =>
+          i -> obsLong(recountRow.get(recountRow.fieldIndex(s"op_$i"))) }.toMap
       def countOf(ids: Set[Int]): Long = ids.toSeq.map(i => opCounts.getOrElse(i, 0L)).sum
-      val srcRow = srcObs.get
       val numSourceRows =
         if (srcRow.nonEmpty) obsLong(srcRow("n"))
-        else withOp.filter(col("__src").isNotNull).count()
+        else obsLong(recountRow.get(recountRow.fieldIndex("src_n")))
       val rowsUpdated = countOf(updateOps)
       val rowsDeleted = countOf(deleteOps)
       val rowsInserted = countOf(insertOps)

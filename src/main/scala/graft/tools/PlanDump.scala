@@ -20,6 +20,13 @@ import graft.table.DeltaTable
  * independent, and they carry PushedFilters/ReadSchema — the executed
  * (post-AQE) join census is separately recorded in the bench record's
  * "plans" key.
+ *
+ * DRIFT WARNING: the session confs, table layouts (nFiles) and query
+ * expressions below are DELIBERATE verbatim copies of Bench.scala's —
+ * the committed plan files are only evidence for the bench while the
+ * two stay in sync. If you change a bench query, layout or session conf
+ * in Bench.scala, mirror it here (and re-dump) or the plan evidence
+ * silently describes a different query than the one timed.
  */
 object PlanDump {
 

@@ -202,7 +202,7 @@ object Dedup {
     * shingles with the same content line-wrapped — silently defeating
     * near-dup detection and decontamination. Documents shorter than `n`
     * words become one shingle. */
-  def shingleArray(text: Column, n: Int): Column = {
+  def shingleArray(text: Column, n: Int): Column =
     // whitespace-run tokenization: one regexp_replace pass collapses every
     // whitespace run to a single space, then the hot split stays on the
     // literal-space path. (Splitting directly on the char class
@@ -211,23 +211,45 @@ object Dedup {
     // [[TextOps.words]] for any non-blank doc (blank docs: words' []
     // vs [""] here -- both collapse to the single "" shingle below).
     // TextOps.WsRun, not Java \s: RE2 oracles exclude VT from \s.
-    val w = split(trim(regexp_replace(text, TextOps.WsRun, " ")), " ")
+    shingleArrayOfWords(
+      split(trim(regexp_replace(text, TextOps.WsRun, " ")), " "), n)
+
+  /** Shingle assembly over an ALREADY-TOKENIZED words array. Callers on a
+    * hot path must pass a BOUND column attribute, not the split expression:
+    * a free (non-lambda-variable) expression inside a higher-order
+    * function's lambda is re-evaluated per ELEMENT on the interpreted eval
+    * path (HOFs don't participate in codegen), so `slice(w, ...)` over an
+    * inline split expression re-runs the whitespace regex split once per
+    * shingle position — O(words) redundant splits per document
+    * ([[shingles]] binds it; the winnowFingerprints fix, same mechanism,
+    * measured ~25x CPU there). */
+  private def shingleArrayOfWords(w: Column, n: Int): Column =
     when(size(w) >= n,
       array_distinct(transform(sequence(lit(0), size(w) - n),
         i => concat_ws(" ", slice(w, i + 1, lit(n))))))
       .otherwise(array(concat_ws(" ", w)))
-  }
 
-  /** (id, shingle) exploded + distinct — the input to MinHash.
-    * (Left UNfiltered on purpose: an r16 experiment that dropped NULL ids
-    * here to unify consumer subtrees broke minhashNearDups' existing
-    * exchange reuse instead — measured 21→47 CPU-s/rep — while the same
-    * filter INSIDE ngramJaccardNearDups measured −30% CPU. Subtree
-    * identity under inferred-filter pushdown is shape-specific: decide
-    * per consumer, by measurement.) */
+  /** (id, shingle) exploded + distinct — the input to MinHash. The words
+    * array is BOUND through a projection so the shingle transform reads an
+    * attribute (see [[shingleArrayOfWords]]); CollapseProject keeps the
+    * split (non-cheap producer referenced more than once is never
+    * inlined). The generator output is row-for-row identical to the
+    * pre-r16 one-expression shape: shingleArrayOfWords never returns an
+    * empty or null array for a non-null words array (the otherwise branch
+    * is a 1-element literal array), and a NULL text still collapses to the
+    * single "" shingle through concat_ws's null-as-empty contract exactly
+    * as before.
+    * (Left UNfiltered on ids on purpose: an r16 experiment that dropped
+    * NULL ids here to unify consumer subtrees broke minhashNearDups'
+    * existing exchange reuse instead — measured 21→47 CPU-s/rep — while
+    * the same filter INSIDE ngramJaccardNearDups measured −30% CPU.
+    * Subtree identity under inferred-filter pushdown is shape-specific:
+    * decide per consumer, by measurement.) */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("__id"),
-        explode(shingleArray(col(textCol), n)).as("__sh"))
+        split(trim(regexp_replace(col(textCol), TextOps.WsRun, " ")), " ")
+          .as("__w"))
+      .select(col("__id"), explode(shingleArrayOfWords(col("__w"), n)).as("__sh"))
 
   /**
    * MinHash + banded-LSH near-duplicate pairs with exact verification.
@@ -639,14 +661,38 @@ object Dedup {
       window: Int = 4): DataFrame = {
     require(k >= 1, s"winnowFingerprints: k must be >= 1, got $k")
     require(window >= 1, s"winnowFingerprints: window must be >= 1, got $window")
-    val grams = TextOps.ngrams(TextOps.words(col(textCol)), k)
-    val hashes = transform(grams, g => md5(g))
-    val fps = when(size(hashes) === 0, array().cast("array<string>"))
-      .when(size(hashes) < window, array(array_min(hashes)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(hashes) - window + 1),
-        i => array_min(slice(hashes, i, lit(window))))))
-    df.select(col(idCol), explode(fps).as("fp")).distinct()
+    // Each lambda-consumed array is BOUND as a column attribute (words →
+    // gram-md5s → fingerprints) instead of nesting one Column expression:
+    // a free (non-lambda-variable) expression inside a higher-order
+    // function's lambda is re-evaluated per ELEMENT on the interpreted
+    // eval path (HOFs don't participate in codegen), so the nested shape
+    // re-ran the whitespace split for every gram and ALL the gram md5s for
+    // every window position — O(words²) interpreted work per document.
+    // Bound attributes make each stage evaluate once per row: measured
+    // ~185 → ~7 process-CPU-s on the sf0.01 corpus, results byte-identical
+    // (exceptAll both ways = 0). CollapseProject cannot undo the split —
+    // a non-cheap producing expression referenced more than once is never
+    // inlined. explode_outer + IS NOT NULL stands in for explode for the
+    // same reason: with a CHEAP generator child (the bound attribute),
+    // InferFiltersFromGenerate adds size(child) > 0 and predicate pushdown
+    // re-substitutes the WHOLE pipeline into that filter BELOW the
+    // projections (everything computed twice again — read in the executed
+    // plan); outer generate blocks the inference, and the null filter on
+    // the OUTPUT attribute is exact: a fingerprint is an md5 hex (never
+    // null), so only the empty/null-array padding rows die — precisely
+    // the rows plain explode dropped.
+    val ws = df.select(col(idCol), TextOps.words(col(textCol)).as("__ws"))
+    val hs = ws.select(col(idCol),
+      transform(TextOps.ngrams(col("__ws"), k), g => md5(g)).as("__wfh"))
+    val h = col("__wfh")
+    val fps = hs.select(col(idCol),
+      when(size(h) === 0, array().cast("array<string>"))
+        .when(size(h) < window, array(array_min(h)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(h) - window + 1),
+          i => array_min(slice(h, i, lit(window)))))).as("__wfp"))
+    fps.select(col(idCol), explode_outer(col("__wfp")).as("fp"))
+      .filter(col("fp").isNotNull).distinct()
   }
 
   /**

@@ -414,8 +414,12 @@ object TextOps {
    */
   def rareBigramRatio(df: DataFrame, idCol: String, textCol: String,
       minCount: Long): DataFrame = {
-    val grams = df.select(col(idCol),
-      explode_outer(ngrams(words(col(textCol)), 2)).as("__g"))
+    // words bound as an attribute before ngrams: the ngram lambda reads the
+    // words array per ELEMENT, and a free split expression there is
+    // re-evaluated once per gram on the interpreted HOF path (the
+    // shingles()/winnowFingerprints fix, same mechanism)
+    val grams = df.select(col(idCol), words(col(textCol)).as("__w"))
+      .select(col(idCol), explode_outer(ngrams(col("__w"), 2)).as("__g"))
     val counts = grams.filter(col("__g").isNotNull)
       .groupBy("__g").agg(count(lit(1)).as("__cnt"))
     // left join: bigram-less docs (NULL __g from explode_outer) survive
@@ -434,7 +438,15 @@ object TextOps {
     * partial combine) + a TakeOrderedAndProject top-k; ties break on the
     * gram text so the result is deterministic. */
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
-    df.select(explode(ngrams(words(col(textCol)), n)).as("gram"))
+    // words bound before ngrams (per-element re-split otherwise — see
+    // rareBigramRatio); explode_outer + IS NOT NULL rather than explode so
+    // InferFiltersFromGenerate can't re-substitute the pipeline into a
+    // size(...)>0 filter below the binding projection (grams are concat_ws
+    // output, never null — only the short-doc empty-array padding rows
+    // die, exactly what plain explode dropped)
+    df.select(words(col(textCol)).as("__w"))
+      .select(explode_outer(ngrams(col("__w"), n)).as("gram"))
+      .filter(col("gram").isNotNull)
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram").asc)
       .limit(k)
@@ -514,13 +526,25 @@ object TextOps {
    * executors.
    */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = words(normalize(col(textCol)))
+    // normalize+split bound as an attribute: the bigram lambda reads the
+    // words array twice per ELEMENT (element_at i+1/i+2), and a free
+    // expression there re-runs the whole normalize+split per bigram on the
+    // interpreted HOF path (the shingles()/winnowFingerprints fix).
+    // explode_outer + IS NOT NULL rather than explode so
+    // InferFiltersFromGenerate can't re-substitute the pipeline into a
+    // size(...)>0 filter below the binding projection (bigram elements are
+    // structs, never null — only the <2-word empty-array padding rows die,
+    // exactly what plain explode dropped).
+    val w = col("__wlm")
     val bigrams = when(size(w) < 2,
         array().cast("array<struct<pos:int,w1:string,w2:string>>"))
       .otherwise(transform(sequence(lit(0), size(w) - 2), i =>
         struct(i.cast("int").as("pos"),
           element_at(w, i + 1).as("w1"), element_at(w, i + 2).as("w2"))))
-    val bi = df.select(col(idCol), explode(bigrams).as("__b"))
+    val bi = df
+      .select(col(idCol), words(normalize(col(textCol))).as("__wlm"))
+      .select(col(idCol), explode_outer(bigrams).as("__b"))
+      .filter(col("__b").isNotNull)
       .select(col(idCol), col("__b.pos").as("__pos"),
         col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
     val c2 = bi.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))

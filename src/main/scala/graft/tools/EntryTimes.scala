@@ -1,0 +1,66 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+/** Per-entry timing sweep (optimization-guide §1: measure first): run every
+  * `SparkEntry.queries` entry at `sfDir` through the noop sink (§1.4 — times
+  * the computation, never the output write) and print one `name<TAB>seconds`
+  * line per entry plus a slowest-first summary. The bench times family
+  * REPRESENTATIVES; this sweep is how a non-represented entry with a
+  * pathological shape (accidental cartesian, unpruned scan, driver-side
+  * loop) gets caught — an outlier here is a bug report, not a record.
+  *
+  * Usage: sbt "runMain graft.tools.EntryTimes <sfDir> [top]"
+  * Env: SPARK_GRAFT_CPUS (default 4, same as Verify),
+  *      SPARK_GRAFT_VERIFY_ONLY=a,b,c restricts entries (same contract as
+  *      Verify — unknown names fail loudly).
+  * One untimed warm-up execution per entry would double the sweep's cost
+  * for precision this tool does not need (it hunts ORDER-OF-MAGNITUDE
+  * outliers across 200+ entries); cold numbers are comparable to each
+  * other because every entry pays the same cold price.
+  */
+object EntryTimes {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.error("usage: EntryTimes <sfDir> [top]"))
+    val top = args.lift(1).map(_.toInt).getOrElse(20)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- graft.SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names unknown entries: ${unknown.mkString(",")}")
+    }
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    graft.SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        spark.sparkContext.setJobDescription(s"entrytimes: $name")
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val s = (System.nanoTime() - t0) / 1e9
+          times(name) = s
+          println(f"$name%s\t$s%.3f")
+        } catch { case e: Throwable =>
+          println(s"$name\tFAILED\t$e")
+        }
+      }
+    val total = times.values.sum
+    println(f"TOTAL\t$total%.3f\tentries=${times.size}%d")
+    println(s"== slowest $top ==")
+    times.toSeq.sortBy(-_._2).take(top).foreach { case (n, s) =>
+      println(f"$n%s\t$s%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -126,24 +126,50 @@ object Multimodal {
       window: Int = 64, hop: Int = 32): DataFrame = {
     require(window >= 1, s"windowEnergy: window=$window")
     require(hop >= 1, s"windowEnergy: hop=$hop")
-    val hx = hex(col(payloadCol))
+    // Each lambda-consumed array is BOUND as a column attribute (hex →
+    // samples → energies) instead of nesting one Column expression: a free
+    // (non-lambda-variable) expression inside a higher-order function's
+    // lambda is re-evaluated per ELEMENT on the interpreted eval path
+    // (HOFs don't participate in codegen), so the nested shape re-ran
+    // hex(payload) for every BYTE inside the sample decode and the whole
+    // O(bytes) sample decode again for every FRAME inside the energy
+    // transform — O(bytes² · frames) interpreted work per document (the
+    // winnowFingerprints fix, same mechanism). Bound attributes make each
+    // stage evaluate once per row; slices then read the materialized
+    // array, which is the "decode each byte ONCE" shape the previous
+    // comment claimed but the unbound expression tree did not deliver.
+    val hx = col("__wehx")
     val nBytes = (length(hx) / 2).cast("int")
-    val nWin = when(nBytes < window, lit(0))
-      .otherwise((nBytes - window) / hop + 1).cast("int")
     def byteAt(pos: org.apache.spark.sql.Column) =
       conv(substring(hx, pos * 2 + 1, lit(2)), 16, 10).cast("long")
-    // decode each byte ONCE into a centered-sample array, then square-sum
-    // SLICES of it per frame — with hop < window the naive per-frame decode
-    // runs every overlapped byte's substring+conv window/hop times
     val samples =
       when(nBytes === 0, array().cast("array<long>"))
         .otherwise(transform(sequence(lit(0), nBytes - 1), p => byteAt(p) - 128L))
+    val smp = col("__wesmp")
+    val nWin = when(size(smp) < window, lit(0))
+      .otherwise((size(smp) - window) / hop + 1).cast("int")
     val energies =
       when(nWin === 0, array().cast("array<long>"))
         .otherwise(transform(sequence(lit(0), nWin - 1), w =>
-          aggregate(slice(samples, w * hop + 1, lit(window)), lit(0L),
+          aggregate(slice(smp, w * hop + 1, lit(window)), lit(0L),
             (acc, x) => acc + x * x)))
-    df.select(col(idCol), posexplode(energies).as(Seq("frame_idx", "energy")))
+    // posexplode_outer + IS NOT NULL rather than posexplode for the same
+    // reason as winnowFingerprints: with a CHEAP generator child (the
+    // bound attribute), InferFiltersFromGenerate adds size(child) > 0 and
+    // predicate pushdown re-substitutes the WHOLE decode pipeline into
+    // that filter BELOW the binding projections (everything computed
+    // twice). Outer generate blocks the inference; the null filter on the
+    // OUTPUT is exact: a real frame's energy is a non-null long (integer
+    // aggregate over non-null samples), so only the empty/null-array
+    // padding rows die — precisely the rows plain posexplode dropped
+    // (short payloads: nWin=0 empty array; NULL payload: hex→samples→
+    // energies all NULL, dropped before and filtered now).
+    df.select(col(idCol), hex(col(payloadCol)).as("__wehx"))
+      .select(col(idCol), samples.as("__wesmp"))
+      .select(col(idCol), energies.as("__weeng"))
+      .select(col(idCol),
+        posexplode_outer(col("__weeng")).as(Seq("frame_idx", "energy")))
+      .filter(col("energy").isNotNull)
       .select(col(idCol), col("frame_idx").cast("long").as("frame_idx"),
         col("energy"))
   }

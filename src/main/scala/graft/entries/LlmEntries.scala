@@ -1436,7 +1436,21 @@ clusters AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
           col("mwl") >= 3.0 && col("mwl") <= 12.0 && col("dr") < 0.3)
 
       val withFp = scored.withColumn("fp", TextOps.fingerprint(t))
-      val exactDeduped = Dedup.exactKeepMin(withFp, "doc_id", Seq("fp"))
+      // The scored+exact-dedup prefix feeds TWO consumers (the near-dup
+      // pair mining and the anti-join that applies it); as one lazy plan
+      // the whole langid+quality scoring subtree re-executed once per
+      // consumer — the projections differ, so ReuseExchange cannot unify
+      // them (48 parquet scans in the executed plan, 12.9s at sf0.01).
+      // Materialize the deduped intermediate ONCE to a per-invocation temp
+      // parquet (optimization-guide §3.3: materialise an intermediate to
+      // truncate the plan) so the prefix runs exactly once; rows, columns
+      // and values are unchanged (long/string/double round-trip parquet
+      // exactly), and nothing persists across invocations (fresh tempDir
+      // per call, recomputed from the sfDir inputs every run).
+      val dd = tempDir("curpipe")
+      Dedup.exactKeepMin(withFp, "doc_id", Seq("fp"))
+        .write.mode("overwrite").parquet(dd)
+      val exactDeduped = s.read.parquet(dd)
 
       val pairs = Dedup.ngramJaccardNearDups(
         exactDeduped.select("doc_id", "text"), "doc_id", "text",

@@ -4,8 +4,15 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+
+  /** The ONE SparkSession builder for the gate tools (Verify, EntryTimes,
+    * EntryPlanDump): a session conf the entries need (e.g. a new legacy
+    * parquet flag for a new testdata table) is added HERE, once — the
+    * inline-copy drift this replaces had to be found and fixed tool by
+    * tool. Bench/PlanDump are deliberately NOT on this helper: their confs
+    * mirror each other verbatim under PlanDump's drift warning.
+    * Honors SPARK_GRAFT_CPUS (default 4, the Verify contract). */
+  def gateSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,18 +25,31 @@ object Verify {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    // SPARK_GRAFT_VERIFY_ONLY=a,b,c restricts to the named entries (local
-    // iteration aid; the driver sets nothing and dumps the full set)
+    spark
+  }
+
+  /** SPARK_GRAFT_VERIFY_ONLY=a,b,c entry filter, validated against the
+    * registry — a typo'd / empty filter silently producing an empty dump
+    * would read as a green-but-vacuous record, so unknown names fail
+    * loudly (shared by Verify/EntryTimes; same contract everywhere). */
+  def onlyFilter(): Option[Set[String]] = {
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
-    // typo'd / empty filters silently producing an empty dump would read as
-    // a green-but-vacuous round — fail loudly instead
     only.foreach { names =>
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_VERIFY_ONLY names unknown entries: ${unknown.mkString(",")}")
     }
+    only
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = gateSession()
+    new java.io.File(outDir).mkdirs()
+    // SPARK_GRAFT_VERIFY_ONLY restricts to the named entries (local
+    // iteration aid; the driver sets nothing and dumps the full set)
+    val only = onlyFilter()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -54,8 +54,47 @@ object EntryCtx {
   def uniqueSuffix(): String =
     java.util.UUID.randomUUID().toString.replace("-", "")
 
-  def tempDir(tag: String): String =
-    Files.createTempDirectory(s"graft_$tag").toString + "/t"
+  /** Temp roots registered for JVM-exit deletion: entries write whole
+    * fixture tables (events copies, bucketed embeddings, the curation
+    * pipeline's materialized prefix) under fresh tempDirs per invocation,
+    * and without cleanup a long-lived session sweeping the 218-entry gate
+    * repeatedly accumulates one table copy per invocation in /tmp for the
+    * life of the machine. At exit every consumer is done, so recursive
+    * deletion is safe; deletion failures are ignored (exit path). */
+  private val exitCleanup =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val it = exitCleanup.iterator()
+      while (it.hasNext) {
+        val root = it.next()
+        try {
+          // walkFileTree with CONTINUE-on-failure, not Files.walk: the
+          // exit path must not abort on a concurrently-vanishing file
+          Files.walkFileTree(root, new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+            import java.nio.file.{FileVisitResult, Path}
+            import java.nio.file.attribute.BasicFileAttributes
+            override def visitFile(f: Path, a: BasicFileAttributes) = {
+              try Files.deleteIfExists(f) catch { case _: Exception => () }
+              FileVisitResult.CONTINUE
+            }
+            override def visitFileFailed(f: Path, e: java.io.IOException) =
+              FileVisitResult.CONTINUE
+            override def postVisitDirectory(d: Path, e: java.io.IOException) = {
+              try Files.deleteIfExists(d) catch { case _: Exception => () }
+              FileVisitResult.CONTINUE
+            }
+          })
+        } catch { case _: Exception => () }
+      }
+    }, "graft-tempdir-exit-cleanup"))
+  }
+
+  def tempDir(tag: String): String = {
+    val root = Files.createTempDirectory(s"graft_$tag")
+    exitCleanup.add(root)
+    root.toString + "/t"
+  }
 
   /** Raw parquet input table. */
   def pq(spark: SparkSession, sfDir: String, table: String): DataFrame = {

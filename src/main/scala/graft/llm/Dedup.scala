@@ -201,7 +201,16 @@ object Dedup {
     * benchmark doc (eval sets are whitespace-normalized) would share zero
     * shingles with the same content line-wrapped — silently defeating
     * near-dup detection and decontamination. Documents shorter than `n`
-    * words become one shingle. */
+    * words become one shingle.
+    *
+    * PERFORMANCE: this single-Column convenience form embeds the split
+    * INSIDE the shingle transform's lambda, where a free (non-lambda-
+    * variable) expression is re-evaluated per ELEMENT on the interpreted
+    * HOF path — O(words) redundant regex splits per document. Fine for
+    * tests and one-off frames; any HOT path must bind the words array as
+    * a column attribute through a projection and call
+    * [[shingleArrayOfWords]] on it instead (what [[shingles]] does — the
+    * winnowFingerprints fix, same mechanism, measured ~25x CPU there). */
   def shingleArray(text: Column, n: Int): Column =
     // whitespace-run tokenization: one regexp_replace pass collapses every
     // whitespace run to a single space, then the hot split stays on the
@@ -223,7 +232,7 @@ object Dedup {
     * shingle position — O(words) redundant splits per document
     * ([[shingles]] binds it; the winnowFingerprints fix, same mechanism,
     * measured ~25x CPU there). */
-  private def shingleArrayOfWords(w: Column, n: Int): Column =
+  private[graft] def shingleArrayOfWords(w: Column, n: Int): Column =
     when(size(w) >= n,
       array_distinct(transform(sequence(lit(0), size(w) - n),
         i => concat_ws(" ", slice(w, i + 1, lit(n))))))

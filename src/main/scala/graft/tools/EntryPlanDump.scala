@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Plan-evidence dumper for GATE ENTRIES (optimization rounds): writes
   * `.explain("formatted")` plus the executed AQE-final plan of named
@@ -26,15 +25,9 @@ object EntryPlanDump {
     val unknown = names.toSet -- graft.SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown entries: ${unknown.mkString(",")}")
 
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .getOrCreate()
+    // session conf shared with graft.Verify (one place to add an
+    // entry-required conf); quieter log level for readable dumps
+    val spark = graft.Verify.gateSession()
     spark.sparkContext.setLogLevel("ERROR")
 
     names.foreach { name =>
@@ -50,7 +43,7 @@ object EntryPlanDump {
       val executed = df.queryExecution.executedPlan.toString
       val p = outDir.resolve(s"${name}_$suffix.txt")
       java.nio.file.Files.write(p,
-        (f"== Entry $name (build ${tBuild}%.3f s, final-frame exec ${tExec}%.3f s, sf=$sfDir, cpus=$cpus) ==%n" +
+        (f"== Entry $name (build ${tBuild}%.3f s, final-frame exec ${tExec}%.3f s, sf=$sfDir, cpus=${spark.sparkContext.defaultParallelism}) ==%n" +
           txt + "\n\n== Executed Plan (AQE final) ==\n" + executed)
           .getBytes("UTF-8"))
       System.err.println(f"[entry-plan] $name build=$tBuild%.3f exec=$tExec%.3f -> $p")

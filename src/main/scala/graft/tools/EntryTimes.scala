@@ -1,5 +1,4 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
 
 /** Per-entry timing sweep (optimization-guide §1: measure first): run every
   * `SparkEntry.queries` entry at `sfDir` through the noop sink (§1.4 — times
@@ -23,23 +22,10 @@ object EntryTimes {
     val sfDir = args.headOption.getOrElse(
       sys.error("usage: EntryTimes <sfDir> [top]"))
     val top = args.lift(1).map(_.toInt).getOrElse(20)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
-    only.foreach { names =>
-      val unknown = names -- graft.SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_VERIFY_ONLY names unknown entries: ${unknown.mkString(",")}")
-    }
+    // session conf + VERIFY_ONLY contract shared with graft.Verify — one
+    // place to add an entry-required conf, one fail-loudly filter parse
+    val spark = graft.Verify.gateSession()
+    val only = graft.Verify.onlyFilter()
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     graft.SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -51,8 +37,13 @@ object EntryTimes {
           val s = (System.nanoTime() - t0) / 1e9
           times(name) = s
           println(f"$name%s\t$s%.3f")
-        } catch { case e: Throwable =>
-          println(s"$name\tFAILED\t$e")
+        } catch {
+          // NonFatal only: after an OOM/fatal JVM error the process is
+          // degraded and every later entry's timing is garbage — a sweep
+          // that kept printing plausible rows would corrupt exactly the
+          // outlier signal this tool exists for. Let fatals abort the run.
+          case scala.util.control.NonFatal(e) =>
+            println(s"$name\tFAILED\t$e")
         }
       }
     val total = times.values.sum

@@ -231,10 +231,76 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     slotOccupied(slotPath(ident))
 
+  // ---- snapshot cache (the SELECT-path hot spot) ----
+  // loadTable previously resolved a FRESH DeltaTable per statement: one
+  // Hadoop-conf clone (DeltaLog construction) plus a full log replay
+  // (read + JSON-parse of every commit) per SELECT — ~50-85 ms/table of
+  // pure metadata work on the bench's catalog.load_100 row. Entries are
+  // keyed on the resolved table path and validated per lookup against the
+  // _delta_log LISTING SIGNATURE (name, mtime, length of every log file):
+  // one listing — which any snapshot load must pay anyway — instead of the
+  // whole replay. Staleness rules (each changes the listing, so each
+  // invalidates): a new commit (new %020d.json), a checkpoint publication
+  // (new checkpoint file + _last_checkpoint rewrite), log compaction, log
+  // cleanup (files disappear), DROP + re-CREATE (fresh files with fresh
+  // mtimes — version counts alone could collide, mtimes cannot go
+  // backwards unnoticed within fs timestamp granularity). VACUUM is NOT a
+  // staleness event by design: it deletes only unreferenced data files,
+  // never a live file a cached snapshot could serve. On any signature
+  // mismatch the entry is REBUILT from scratch (full replay) rather than
+  // incrementally refreshed: DeltaLog.update() assumes monotonically
+  // growing versions, which a DROP + re-CREATE of the same identifier
+  // violates. Bounded: LRU, capped by spark.graft.catalog.snapshotCacheSize
+  // (default 256 tables; <= 0 disables caching).
+  private case class CachedTable(sig: Vector[(String, Long, Long)], table: DeltaTable)
+  private lazy val cacheCap: Int = scala.util.Try(
+    spark.conf.get("spark.graft.catalog.snapshotCacheSize").toInt).getOrElse(256)
+  private val snapshotCache =
+    new java.util.LinkedHashMap[String, CachedTable](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, CachedTable]): Boolean = size() > cacheCap
+    }
+  private def cacheGet(key: String): Option[CachedTable] =
+    snapshotCache.synchronized(Option(snapshotCache.get(key)))
+  private def cachePut(key: String, v: CachedTable): Unit =
+    if (cacheCap > 0) snapshotCache.synchronized(snapshotCache.put(key, v))
+  private def cacheDrop(key: String): Unit =
+    snapshotCache.synchronized(snapshotCache.remove(key))
+
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
-    if (!isTableDir(p)) throw new NoSuchTableException(ident)
-    new GraftTable(spark, ident.toString, p)
+    val key = p.toString
+    val cached = cacheGet(key)
+    // freshness listing: reuse the cached DeltaLog when present (its
+    // construction cloned the Hadoop conf once) — a stale entry still
+    // lists through it fine, the table path is identical
+    val log = cached.map(_.table.deltaLog)
+      .getOrElse(new graft.kernel.DeltaLog(spark, p))
+    val listing = log.store.list(log.logPath)
+    val hasLog = listing.exists { f =>
+      val n = f.getPath.getName
+      graft.kernel.LogStore.isCommitFile(n) ||
+        graft.kernel.LogStore.isCheckpointFile(n) ||
+        graft.kernel.LogCompaction.info(n).isDefined
+    }
+    if (!hasLog) {
+      // not a loadable table (anymore): drop any stale entry, then keep the
+      // pre-cache semantics exactly — missing _delta_log dir fails HERE,
+      // an existing-but-unusable log dir fails on first snapshot use
+      cacheDrop(key)
+      if (!isTableDir(p)) throw new NoSuchTableException(ident)
+      return new GraftTable(spark, ident.toString, p)
+    }
+    val sig = listing.iterator
+      .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toVector
+    val table = cached match {
+      case Some(c) if c.sig == sig => c.table
+      case _ =>
+        val t = DeltaTable.forPath(spark, p.toString)
+        cachePut(key, CachedTable(sig, t))
+        t
+    }
+    new GraftTable(spark, ident.toString, p, preloaded = Some(table))
   }
 
   /** `VERSION AS OF` time travel through SQL. */

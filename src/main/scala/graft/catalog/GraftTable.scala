@@ -35,10 +35,15 @@ class GraftTable(
     spark: SparkSession,
     identName: String,
     val path: Path,
-    pinned: Option[Snapshot] = None)
+    pinned: Option[Snapshot] = None,
+    preloaded: Option[DeltaTable] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
-  private[catalog] lazy val delta: DeltaTable = DeltaTable.forPath(spark, path.toString)
+  // `preloaded`: the catalog's snapshot cache hands back the DeltaTable it
+  // already validated against the current log listing — re-resolving here
+  // would pay the full log replay the cache exists to skip.
+  private[catalog] lazy val delta: DeltaTable =
+    preloaded.getOrElse(DeltaTable.forPath(spark, path.toString))
 
   private def snapshot: Snapshot = pinned.getOrElse(delta.snapshot)
 

@@ -33,10 +33,19 @@ object EntryTimes {
         spark.sparkContext.setJobDescription(s"entrytimes: $name")
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          // BUILD vs EXEC split (r16-judge task 6): for fixture-backed
+          // entries — all 13 streaming entries, every tempDir-writing DML
+          // entry — `fn` itself runs the fixture (table writes, stream
+          // execution), and the single combined number permanently excused
+          // them from regression visibility ("it's just trigger waits").
+          // build = fn(...) wall (fixture setup + any eager execution);
+          // exec = the noop-sink write of the returned frame (the query).
+          val df = fn(spark, sfDir)
+          val tb = (System.nanoTime() - t0) / 1e9
+          df.write.format("noop").mode("overwrite").save()
           val s = (System.nanoTime() - t0) / 1e9
           times(name) = s
-          println(f"$name%s\t$s%.3f")
+          println(f"$name%s\t$s%.3f\tbuild=$tb%.3f\texec=${s - tb}%.3f")
         } catch {
           // NonFatal only: after an OOM/fatal JVM error the process is
           // degraded and every later entry's timing is garbage — a sweep

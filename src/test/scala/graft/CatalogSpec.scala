@@ -333,4 +333,45 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception](
       sql("ALTER TABLE graft.r9g.inner.t ADD COLUMNS (d INT AFTER id)"))
   }
+
+  test("r17 snapshot cache staleness: commits, API-side writes, checkpoint, drop+recreate") {
+    // the r17 loadTable snapshot cache is keyed on the _delta_log listing
+    // signature — every event below changes the listing and MUST invalidate;
+    // each assertion follows a repeated SELECT so the cached entry is
+    // demonstrably live before the invalidating event
+    sql("CREATE NAMESPACE graft.c17")
+    sql("CREATE TABLE graft.c17.t (id BIGINT, v STRING)")
+    assert(sql("SELECT count(*) FROM graft.c17.t").head().getLong(0) == 0)
+    assert(sql("SELECT count(*) FROM graft.c17.t").head().getLong(0) == 0) // cache hit
+
+    // (1) a commit through the SQL surface
+    sql("INSERT INTO graft.c17.t VALUES (1, 'a')")
+    assert(sql("SELECT count(*) FROM graft.c17.t").head().getLong(0) == 1)
+
+    // (2) a commit BYPASSING the catalog entirely (library API on the path):
+    // only the log listing can reveal it to the cache
+    import spark.implicits._
+    DeltaTable.write(spark, Seq((2L, "b")).toDF("id", "v"), s"$warehouse/c17/t")
+    assert(sql("SELECT count(*) FROM graft.c17.t").head().getLong(0) == 2)
+
+    // (3) checkpoint publication (new checkpoint file + _last_checkpoint):
+    // invalidates by signature; the rebuilt snapshot must read identically
+    assert(sql("SELECT count(*) FROM graft.c17.t").head().getLong(0) == 2) // re-warm
+    DeltaTable.forPath(spark, s"$warehouse/c17/t").createCheckpoint()
+    assert(sql("SELECT sum(id) FROM graft.c17.t").head().getLong(0) == 3)
+
+    // (4) DROP + re-CREATE under the same identifier with a DIFFERENT
+    // schema: the cache must never serve the dead table's snapshot (the
+    // incremental-refresh trap this cache rebuilds-from-scratch to avoid)
+    assert(sql("SELECT count(*) FROM graft.c17.t").head().getLong(0) == 2) // re-warm
+    sql("DROP TABLE graft.c17.t")
+    sql("CREATE TABLE graft.c17.t (id BIGINT)")
+    assert(spark.table("graft.c17.t").schema.fieldNames.toSeq == Seq("id"))
+    sql("INSERT INTO graft.c17.t VALUES (5)")
+    assert(sql("SELECT count(*) FROM graft.c17.t").head().getLong(0) == 1)
+
+    // (5) DROP leaves the identifier unresolvable (stale entry purged)
+    sql("DROP TABLE graft.c17.t")
+    intercept[Exception](sql("SELECT * FROM graft.c17.t").collect())
+  }
 }

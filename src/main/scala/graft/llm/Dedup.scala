@@ -344,10 +344,10 @@ object Dedup {
 
   /** Band keys (step 3) + skew guard: each signature row → `bands` rows
     * keyed by a hash of its r-wide slice, with pathologically wide buckets
-    * discarded by a WINDOW count (not a groupBy + anti-join: the window
-    * consumes the banded set in one pass, while an aggregate + join would
-    * recompute the expensive signature pipeline once per branch —
-    * measured ~20% slower end-to-end). */
+    * discarded by [[dropOverCap]] (default: window count — the r16 A/B
+    * measured a groupBy + anti-join ~20% slower here because the second
+    * consumer recomputes the signature aggregation; re-A/B'd r17 with the
+    * broadcast-heavy-keys shape, see OPTIMIZATION_r17.md). */
   private def bandedKeys(sig: DataFrame, bands: Int, r: Int,
       maxBucketWidth: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
@@ -357,12 +357,7 @@ object Dedup {
     val banded0 = sig
       .select(col("__id"), explode(array(bandStructs: _*)).as("__bk"))
       .select(col("__id"), col("__bk.band").as("__band"), col("__bk.bh").as("__bh"))
-    val bucketWidth = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__band"), col("__bh"))
-    banded0
-      .withColumn("__bw", count(lit(1)).over(bucketWidth))
-      .filter(col("__bw") <= maxBucketWidth)
-      .drop("__bw")
+    dropOverCap(banded0, Seq("__band", "__bh"), maxBucketWidth)
   }
 
   /**
@@ -504,6 +499,42 @@ object Dedup {
       threshold: Double): DataFrame =
     jaccardVerified(candidates, "id_a", sets, "id_b", sets, threshold)
 
+  /** True when spark.graft.dedup.capStrategy=agg selects the heavy-keys
+    * aggregation shape for the group-size caps below (A/B'd r17). */
+  private def capStrategyAgg(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption("spark.graft.dedup.capStrategy").contains("agg")
+
+  /** The df/bucket skew guard shared by the inverted-index joins: rows
+    * whose `keys` group holds more than `cap` rows are DROPPED. Two
+    * plan shapes (spark.graft.dedup.capStrategy):
+    *  - "window" (default): count(*) over Window.partitionBy(keys) — ONE
+    *    exchange + sort of the full input, whose output stays exchanged
+    *    AND sorted on the keys, so a downstream sort-merge self-join on
+    *    the same keys reuses both for free.
+    *  - "agg": groupBy(keys).count → only the OVER-cap keys (a bounded,
+    *    typically near-empty set — they are the pathological heavy
+    *    hitters) broadcast into a LEFT ANTI join. The count shuffle is
+    *    partial-aggregated map-side (tiny vs the full-row exchange), and
+    *    the input is never sorted — pair generation must then pick a
+    *    hash join, and the cap's own subtree is evaluated a second time
+    *    (ReuseExchange shares only exchanges, not aggregation work).
+    * Group keys here are never NULL (hashes/fingerprints); under NULL
+    * keys the two shapes would differ (anti-join keeps unmatched NULLs).
+    */
+  private def dropOverCap(df: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    if (capStrategyAgg(df)) {
+      val kc = keys.map(col)
+      val heavy = df.groupBy(kc: _*).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > cap)
+        .select(kc: _*)
+      df.join(broadcast(heavy), keys, "left_anti")
+    } else {
+      val w = Window.partitionBy(keys.map(col): _*)
+      df.withColumn("__df", count(lit(1)).over(w))
+        .filter(col("__df") <= cap)
+        .drop("__df")
+    }
+
   /** Default posting-list cap for the inverted-index near-dup joins:
     * 1% of the corpus, floored at 1000 (small corpora keep effectively
     * complete candidate generation) and ceilinged at 100k (the absolute
@@ -619,24 +650,58 @@ object Dedup {
       .agg(collect_set(col("__h")).as("__hs"))
     val posting = sets.select(col("__id"), explode(col("__hs")).as("__h"))
 
-    val dfWindow = Window.partitionBy(col("__h"))
-    val rare = posting
-      .withColumn("__df", count(lit(1)).over(dfWindow))
-      .filter(col("__df") <= cap)
-      .drop("__df")
+    val rare = dropOverCap(posting, Seq("__h"), cap)
 
-    // SORT-MERGE pinned for the posting self-join: both sides are the SAME
-    // window output, already exchanged AND sorted on __h — SMJ here costs
-    // zero extra exchanges (ReuseExchange) and no broadcast build, while
-    // the 8-byte key's low size estimate otherwise baits AQE into
-    // broadcasting a whole posting list (measured slower at bench scale,
-    // and a posting list is exactly what must never broadcast at corpus
-    // scale).
-    val candidates = rare.select(col("__id").as("id_a"), col("__h"))
-      .hint("merge")
+    // Join strategy tracks the cap strategy: under the WINDOW cap both
+    // sides are the SAME window output, already exchanged AND sorted on
+    // __h — SMJ costs zero extra exchanges (ReuseExchange) and no
+    // broadcast build. Under the AGG cap the input is unsorted, so SMJ
+    // would pay the very sort the agg shape exists to skip — pin
+    // shuffled-hash instead. Either way the hint keeps the 8-byte key's
+    // low size estimate from baiting AQE into broadcasting a whole
+    // posting list (measured slower at bench scale, and a posting list
+    // is exactly what must never broadcast at corpus scale).
+    //
+    // COUNT-BOUNDED PREFILTER (r17, guide §1.2 "don't compute what you
+    // throw away"): the old shape array-verified EVERY distinct candidate
+    // pair (sf0.1: 1.13M pairs for 81 survivors — two set joins plus an
+    // array_intersect each). The pair aggregation below replaces the
+    // .distinct() (same shuffle, one extra count column) and yields
+    //   c(a,b) = |shared UNCAPPED shingles|  (posting rows are distinct
+    //            per (doc, shingle-hash), so the join emits each shared
+    //            uncapped hash exactly once per pair),
+    // and per doc  capped(d) = |hs(d)| − |rare rows of d|. Any pair's true
+    // intersection satisfies |∩| ≤ c + min(capped_a, capped_b) =: cu, and
+    // x/(sa+sb−x) is increasing in x, so
+    //   jaccard_true ≤ cu/(sa+sb−cu) =: ubnd
+    // (denominator ≥ max(sa,sb) > 0 since cu ≤ min(sa,sb); both divisions
+    // are correctly-rounded doubles over exact integers < 2^53, and
+    // correctly-rounded division is monotone in both operands, so the
+    // inequality survives floating point). Pairs with ubnd < threshold are
+    // dropped WITHOUT touching the hash-set arrays — they cannot pass the
+    // exact filter. Survivors still get the UNCHANGED exact verification
+    // (full sets, exact jaccard in the output), so results are identical
+    // on every input, capped or not; when no shingle hits the cap,
+    // capped ≡ 0 and ubnd IS the exact jaccard, leaving only true
+    // near-dups for the array pass.
+    val pairCounts = rare.select(col("__id").as("id_a"), col("__h"))
+      .hint(if (capStrategyAgg(rare)) "shuffle_hash" else "merge")
       .join(rare.select(col("__id").as("id_b"), col("__h").as("__h2")),
         col("__h") === col("__h2") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__c"))
+    val rcnt = rare.groupBy("__id").agg(count(lit(1)).as("__rc"))
+    val docStats = sets.select(col("__id"), size(col("__hs")).as("__sz"))
+      .join(rcnt, Seq("__id"), "left")
+      .select(col("__id"), col("__sz"),
+        (col("__sz").cast("long") - coalesce(col("__rc"), lit(0L))).as("__cp"))
+    val pre = pairCounts
+      .join(docStats.select(col("__id").as("id_a"),
+        col("__sz").as("__sa"), col("__cp").as("__ua")), "id_a")
+      .join(docStats.select(col("__id").as("id_b"),
+        col("__sz").as("__sb"), col("__cp").as("__ub")), "id_b")
+    val cu = (col("__c") + least(col("__ua"), col("__ub"))).cast("double")
+    val ubnd = cu / (col("__sa").cast("double") + col("__sb").cast("double") - cu)
+    val candidates = pre.filter(ubnd >= threshold).select("id_a", "id_b")
 
     verifyJaccard(candidates, sets, threshold)
   }
@@ -724,11 +789,7 @@ object Dedup {
       nDocs: Long = -1L): DataFrame = {
     val (input, cap) = resolveDocFreqCap(df, maxDocFreq, nDocs)
     val fps = winnowFingerprints(input, idCol, textCol, k, window)
-    val dfWindow = Window.partitionBy(col("fp"))
-    val rare = fps
-      .withColumn("__df", count(lit(1)).over(dfWindow))
-      .filter(col("__df") <= cap)
-      .drop("__df")
+    val rare = dropOverCap(fps, Seq("fp"), cap)
     rare.select(col(idCol).as("id_a"), col("fp"))
       .join(rare.select(col(idCol).as("id_b"), col("fp").as("__fp2")),
         col("fp") === col("__fp2") && col("id_a") < col("id_b"))

@@ -37,4 +37,5 @@ object GraftSqlBridge {
     val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
     cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
 }

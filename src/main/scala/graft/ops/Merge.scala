@@ -345,7 +345,18 @@ object MergeOp {
       .withColumn("__tgt", lit(true))
     val src = source.observe(srcObs, count(lit(1)).as("n"))
       .withColumn("__src", lit(true))
-    val joined = src.alias("source")
+    // spark.graft.merge.joinStrategy: optional join-strategy hint on the
+    // SOURCE side of the full-outer join ("shuffle_hash" builds the hash
+    // table from the source partitions — r17 A/B knob; unset = planner/AQE
+    // choice, which at bench scale is sort-merge). Kept a conf, not a
+    // default: a pinned hash build must fit every post-shuffle source
+    // partition in memory, which only the deployment can promise at 100 TB
+    // — AQE's maxShuffledHashJoinLocalMapThreshold is the size-checked
+    // adaptive route to the same plan.
+    val srcSide = spark.conf.getOption("spark.graft.merge.joinStrategy")
+      .filter(_.nonEmpty)
+      .fold(src.alias("source"))(h => src.alias("source").hint(h))
+    val joined = srcSide
       .join(tgt.alias("target"), expr(condition), "full_outer")
 
     val matchedC = col("__src").isNotNull && col("__tgt").isNotNull

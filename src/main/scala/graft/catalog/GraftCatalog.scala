@@ -243,16 +243,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // invalidates): a new commit (new %020d.json), a checkpoint publication
   // (new checkpoint file + _last_checkpoint rewrite), log compaction, log
   // cleanup (files disappear), DROP + re-CREATE (fresh files with fresh
-  // mtimes — version counts alone could collide, mtimes cannot go
-  // backwards unnoticed within fs timestamp granularity). VACUUM is NOT a
-  // staleness event by design: it deletes only unreferenced data files,
-  // never a live file a cached snapshot could serve. On any signature
-  // mismatch the entry is REBUILT from scratch (full replay) rather than
-  // incrementally refreshed: DeltaLog.update() assumes monotonically
-  // growing versions, which a DROP + re-CREATE of the same identifier
-  // violates. Bounded: LRU, capped by spark.graft.catalog.snapshotCacheSize
-  // (default 256 tables; <= 0 disables caching).
-  private case class CachedTable(sig: Vector[(String, Long, Long)], table: DeltaTable)
+  // mtimes). VACUUM is NOT a staleness event by design: it deletes only
+  // unreferenced data files, never a live file a cached snapshot could
+  // serve. On any signature mismatch the entry is REBUILT from scratch
+  // (full replay) rather than incrementally refreshed: DeltaLog.update()
+  // assumes monotonically growing versions, which a DROP + re-CREATE of
+  // the same identifier violates.
+  //
+  // Timestamp-granularity hazard, closed by the FRESHNESS GUARD below: a
+  // scripted DROP + re-CREATE with identical DDL can produce a version-0
+  // commit with the SAME name, SAME byte length (fixed-width GUID +
+  // timestamps) and — within the store's mtime granularity (ms locally,
+  // seconds on some object stores) — the SAME mtime as the file the
+  // entry was cached against, and the signature alone would serve the
+  // dead table's snapshot. An entry is therefore SERVED only when its
+  // newest log mtime is at least SigGraceMs older than the entry's
+  // creation: any later recreate gets mtime >= entry-creation time, so a
+  // colliding signature can only exist inside that window. Entries cached
+  // inside the window act as misses and are re-cached on each load until
+  // the table is old enough — the cost is rebuilds for the first ~2s of a
+  // brand-new table's life, nothing else.
+  //
+  // Bounds: LRU, capped by spark.graft.catalog.snapshotCacheSize (default
+  // 256 tables; <= 0 disables caching), and the DeltaTable is held through
+  // a SoftReference — a snapshot of a large (but under the lazy-index
+  // threshold) table can pin up to ~hundreds of MB of AddFile metadata,
+  // and under heap pressure the GC reclaims entries, degrading to a
+  // rebuild instead of an OOM. (Tables above spark.graft.
+  // lazySnapshotThreshold keep their file index parquet-backed and pin
+  // almost nothing.)
+  private case class CachedTable(
+      sig: Vector[(String, Long, Long)],
+      newestMtime: Long,
+      cachedAtMs: Long,
+      ref: java.lang.ref.SoftReference[DeltaTable]) {
+    def servable: Boolean = newestMtime <= cachedAtMs - GraftCatalog.SigGraceMs
+  }
   private lazy val cacheCap: Int = scala.util.Try(
     spark.conf.get("spark.graft.catalog.snapshotCacheSize").toInt).getOrElse(256)
   private val snapshotCache =
@@ -274,15 +300,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // freshness listing: reuse the cached DeltaLog when present (its
     // construction cloned the Hadoop conf once) — a stale entry still
     // lists through it fine, the table path is identical
-    val log = cached.map(_.table.deltaLog)
+    val cachedTable = cached.flatMap(c => Option(c.ref.get))
+    val log = cachedTable.map(_.deltaLog)
       .getOrElse(new graft.kernel.DeltaLog(spark, p))
     val listing = log.store.list(log.logPath)
-    val hasLog = listing.exists { f =>
-      val n = f.getPath.getName
-      graft.kernel.LogStore.isCommitFile(n) ||
-        graft.kernel.LogStore.isCheckpointFile(n) ||
-        graft.kernel.LogCompaction.info(n).isDefined
-    }
+    val hasLog = listing.exists(f =>
+      graft.kernel.LogStore.isLogEntry(f.getPath.getName))
     if (!hasLog) {
       // not a loadable table (anymore): drop any stale entry, then keep the
       // pre-cache semantics exactly — missing _delta_log dir fails HERE,
@@ -291,14 +314,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (!isTableDir(p)) throw new NoSuchTableException(ident)
       return new GraftTable(spark, ident.toString, p)
     }
-    val sig = listing.iterator
-      .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toVector
-    val table = cached match {
-      case Some(c) if c.sig == sig => c.table
-      case _ =>
-        val t = DeltaTable.forPath(spark, p.toString)
-        cachePut(key, CachedTable(sig, t))
-        t
+    val table = if (cacheCap <= 0) {
+      // caching disabled: no signature bookkeeping, one DeltaLog total
+      new DeltaTable(spark, p, log)
+    } else {
+      val sig = listing.iterator
+        .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toVector
+      val now = System.currentTimeMillis()
+      cached match {
+        case Some(c) if c.sig == sig && c.servable && cachedTable.isDefined =>
+          cachedTable.get
+        case _ =>
+          val t = new DeltaTable(spark, p, log)
+          val newest = if (sig.isEmpty) Long.MaxValue else sig.map(_._2).max
+          cachePut(key, CachedTable(sig, newest, now,
+            new java.lang.ref.SoftReference(t)))
+          t
+      }
     }
     new GraftTable(spark, ident.toString, p, preloaded = Some(table))
   }
@@ -524,7 +556,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     val slot = slotPath(ident)
     if (!slotOccupied(slot)) false
-    else fs.delete(slot, true)
+    else {
+      cacheDrop(tablePath(ident).toString) // don't pin a dead snapshot
+      fs.delete(slot, true)
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -623,4 +658,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       fs.delete(dir, true)
     }
   }
+}
+
+object GraftCatalog {
+  /** Snapshot-cache freshness guard (ms): an entry is SERVED only when its
+    * newest log-file mtime is at least this much older than the entry's
+    * creation time, closing the same-tick DROP + re-CREATE signature
+    * collision (see the cache comment in [[GraftCatalog]]). 2s covers
+    * second-granularity object-store timestamps. */
+  private[catalog] val SigGraceMs: Long = 2000L
 }

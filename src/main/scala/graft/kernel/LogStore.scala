@@ -185,6 +185,14 @@ object LogStore {
       "." + zeroPad(total.toLong, 10) + ".parquet"
 
   def isCommitFile(name: String): Boolean = name.matches("\\d{20}\\.json")
+  /** Any file whose presence makes a log dir a LOADABLE table: commit,
+    * checkpoint, or log-compaction file — ONE definition shared by
+    * DeltaLog.tableExists and the catalog's loadTable probe (they carried
+    * byte-identical inline copies; a new log-file kind taught to one and
+    * not the other silently diverges "exists" between the two doors). */
+  def isLogEntry(name: String): Boolean =
+    isCommitFile(name) || isCheckpointFile(name) ||
+      LogCompaction.info(name).isDefined
   /** Classic single-file, classic multi-part, and V2 uuid-named manifests
     * (json lines or parquet — PROTOCOL.md allows both). */
   def isCheckpointFile(name: String): Boolean =

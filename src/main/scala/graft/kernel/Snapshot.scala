@@ -166,11 +166,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: Path) {
     * would send a write down the CREATE path whose fresh version 0 is then
     * silently shadowed during replay. */
   def tableExists: Boolean =
-    store.list(logPath).exists { f =>
-      val n = f.getPath.getName
-      LogStore.isCommitFile(n) || LogStore.isCheckpointFile(n) ||
-        LogCompaction.info(n).isDefined
-    }
+    store.list(logPath).exists(f => LogStore.isLogEntry(f.getPath.getName))
 
   /** All commit versions present in the log dir, ascending. */
   private def commitVersions(): Seq[(Long, Long)] = // (version, mtimeMs)

@@ -13,9 +13,18 @@ import graft.ops._
  * work happens in Spark DataFrames; this class owns only the metadata plane
  * (snapshot cache + transactions).
  */
-class DeltaTable private[graft] (val spark: SparkSession, val tablePath: Path) {
+class DeltaTable private[graft] (
+    val spark: SparkSession,
+    val tablePath: Path,
+    // an already-constructed DeltaLog for this path (the catalog's
+    // loadTable holds one from its freshness listing — constructing a
+    // second would pay another full Hadoop-conf clone per statement);
+    // null = construct our own, the default for every other caller
+    log0: DeltaLog = null) {
 
-  val deltaLog = new DeltaLog(spark, tablePath)
+  require(log0 == null || log0.tablePath == tablePath,
+    s"DeltaTable: supplied DeltaLog is for ${if (log0 == null) "" else log0.tablePath}, not $tablePath")
+  val deltaLog = if (log0 == null) new DeltaLog(spark, tablePath) else log0
 
   @volatile private var cached: Snapshot = _
 

@@ -53,19 +53,23 @@ object DedupProbe {
     bench("ngram.2 sets agg")(sets)
     val posting = sets.select(col("__id"), explode(col("__hs")).as("__h"))
     bench("ngram.3 posting")(posting)
-    // mirror of Dedup's window-cap + pinned-SMJ candidate stage (the
-    // internals are private; keep in sync with ngramJaccardNearDups)
+    // mirror of Dedup's WINDOW-cap + pinned-SMJ candidate stage (the
+    // internals are private; keep in sync with ngramJaccardNearDups).
+    // These three stage probes HARDCODE the window shape and the bench's
+    // pinned cap (100000) — they are labelled "window4/5/6" regardless of
+    // the active capStrategy so an agg-strategy run cannot read them as
+    // agg-shaped evidence; only the *.full rows respect the knob.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
     val rare = posting.withColumn("__df", count(lit(1)).over(w))
       .filter(col("__df") <= 100000).drop("__df")
-    bench("ngram.4 rare (cap)")(rare)
+    bench("ngram.window4 rare (cap)")(rare)
     val cands = rare.select(col("__id").as("id_a"), col("__h"))
       .hint("merge")
       .join(rare.select(col("__id").as("id_b"), col("__h").as("__h2")),
         col("__h") === col("__h2") && col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    bench("ngram.5 cand pairs")(cands)
-    bench("ngram.6 cand distinct")(cands.distinct())
+    bench("ngram.window5 cand pairs")(cands)
+    bench("ngram.window6 cand distinct")(cands.distinct())
     println(s"[dedup-probe stats] docs=${docsWide.count()} " +
       s"postingRows=${posting.count()} candPairsRaw=${cands.count()} " +
       s"candPairsDistinct=${cands.distinct().count()} " +

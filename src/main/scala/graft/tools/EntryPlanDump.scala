@@ -20,7 +20,14 @@ object EntryPlanDump {
     val outDir = java.nio.file.Paths.get(args(0))
     val suffix = args(1)
     val names = args(2).split(",").map(_.trim).toSeq
-    val sfDir = args.lift(3).getOrElse("/root/testdata/sf0.01")
+    // sfDir falls back to $SPARK_GRAFT_SF_DIR with a LOUD log line — a
+    // silent machine-specific default dumped plans against the wrong data
+    // on any other checkout (r16 advisor item)
+    val sfDir = args.lift(3)
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse(sys.error(
+        "EntryPlanDump: pass sfDir as the 4th arg or set SPARK_GRAFT_SF_DIR"))
+    System.err.println(s"[entry-plan] sfDir = $sfDir")
     java.nio.file.Files.createDirectories(outDir)
     val unknown = names.toSet -- graft.SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown entries: ${unknown.mkString(",")}")

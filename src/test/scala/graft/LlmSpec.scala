@@ -754,6 +754,40 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("windowEnergy optimized plan keeps the binding projections " +
+      "(hex/decode evaluated once — r16 rebinding pinned against optimizer drift)") {
+    // The r16 windowEnergy fix binds hex → samples → energies as separate
+    // column attributes; the win silently dies if a Spark upgrade's
+    // CollapseProject starts inlining the non-cheap producers or
+    // InferFiltersFromGenerate re-substitutes the decode below the
+    // projections (O(bytes² · frames) interpreted work restored with no
+    // correctness signal — r16 advisor item). Pin the shape: in the
+    // OPTIMIZED plan, the hex() decode and the byte-decode conv() must
+    // each appear exactly once.
+    import spark.implicits._
+    // file-backed source: over a LocalRelation the optimizer constant-folds
+    // the entire pipeline away and the plan shows nothing to count
+    val dir = java.nio.file.Files.createTempDirectory("we_plan").toString
+    Seq((1L, "A" * 96), (2L, "A" * 8)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val out = Multimodal.windowEnergy(
+      Multimodal.withPayload(df, "text"), "doc_id", "payload",
+      window = 64, hop = 32)
+    val plan = out.queryExecution.optimizedPlan.toString
+    def count(token: String): Int = {
+      var n = 0; var i = plan.indexOf(token)
+      while (i >= 0) { n += 1; i = plan.indexOf(token, i + 1) }
+      n
+    }
+    assert(count("hex(") - count("unhex(") == 1,
+      s"hex(payload) must be evaluated exactly once in the optimized plan " +
+        s"(found ${count("hex(")}):\n$plan")
+    assert(count("conv(") == 1,
+      s"the byte decode (conv) must be evaluated exactly once in the " +
+        s"optimized plan (found ${count("conv(")}):\n$plan")
+  }
+
   test("crossDedup invariants on random collision-heavy corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
